@@ -1,0 +1,26 @@
+"""deepseek_ocr_spark — PySpark-native web-document extraction engine.
+
+A from-scratch rebuild of the data-processing capabilities of
+lzy756/DeepSeek-OCR (reference at /root/reference, read-only) as an
+idiomatic Spark batch pipeline: Common-Crawl-style pages
+``(url, warc_ts, html, text, lang)`` are content-sniffed (HTML / PDF /
+image / unknown), extracted inside Arrow-batched ``mapInPandas`` UDFs,
+post-processed with the reference's exact string algebra
+(DeepSeek-OCR-vllm/run_dpsk_ocr_pdf.py:268-317), and written as
+``(url, extracted_text, spans, lineage)`` with per-partition metrics.
+
+Layout:
+    core/       pure-Python deterministic extraction semantics (shared
+                by the single-threaded oracle and the Spark UDFs — this
+                is what makes byte-identity hold by construction)
+    fixtures/   seeded synthetic ``pages`` generator (FIXTURES.md §1)
+    operators/  Spark operators: sniff router, batched extract, skew
+                repartition, checkpoint/resume
+    functions/  reusable column functions: post-processing string
+                algebra, text stats, dedup (minhash/simhash), ANN
+    sources/    readers/writers for the pages + extracted tables
+    plans/      explain/plan-inspection helpers
+    streaming/  Structured Streaming wrapper over the same UDFs
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,52 @@
+"""Engine constants.
+
+Mirrors the reference's limits (scaled where noted for synthetic
+fixtures): reference api/config.py:22-39, DeepSeek-OCR-vllm/config.py.
+"""
+
+# End-of-sequence token emitted by the reference model; stripped from
+# every page, pages lacking it are skipped as runaway repetition
+# (SKIP_REPEAT) — reference run_dpsk_ocr_pdf.py:289-293, config.py:16.
+EOS = "<｜end▁of▁sentence｜>"
+
+# Page separator exactly as composed by the reference CLI merge loop:
+# ``contents += content + f'\n{page_num}\n'`` with
+# ``page_num = '\n<--- Page Split --->'`` → run_dpsk_ocr_pdf.py:296-298.
+PAGE_SPLIT = "<--- Page Split --->"
+PAGE_SEP = "\n\n<--- Page Split --->\n"
+
+# Upload size limit analog (reference: 20 MB, api/config.py:26-27).
+# Scaled to 4 MiB so synthetic mega-docs (skew fixtures, up to ~1 MiB)
+# stay processable while the oversize fixture class is rejected.
+MAX_FILE_SIZE_BYTES = 4 * 1024 * 1024
+
+# PDF page-count cap (reference api/config.py:30, pdf_utils.py:45-74).
+MAX_PDF_PAGES = 50
+
+# Per-page error marker semantics (reference api/services/
+# vllm_service.py:276-284 emits "[OCR ERROR: Page {n}...]").
+ERROR_PREFIX = "[OCR ERROR: "
+
+EXTRACTOR_VERSION = "0.1.0"
+
+# Document types produced by the content sniffer (router R3 analog,
+# reference vllm_service.py:163-171 generalized per north_rule).
+DOC_HTML = "html"
+DOC_PDF = "pdf"
+DOC_IMAGE = "image"
+DOC_UNKNOWN = "unknown"
+
+# Row statuses.
+ST_OK = "ok"
+ST_ERROR = "error"
+ST_REJECTED = "rejected"
+ST_SKIPPED = "skipped_repeat"
+
+# HTML boilerplate classification: blocks whose linked-text fraction
+# exceeds this are dropped (Readability/trafilatura-family heuristic;
+# public-knowledge algorithm per BASELINE.json north_star).
+LINK_DENSITY_MAX = 0.5
+
+# XY-cut reading-order band height in the reference's normalized
+# [0, 999] coordinate space (run_dpsk_ocr_pdf.py:177-181).
+READING_ORDER_BAND = 40

@@ -1,0 +1,8 @@
+"""Pure-Python deterministic extraction core.
+
+Shared by the single-threaded oracle (golden anchor) and the Spark
+mapInPandas UDFs, so byte-identity of ``extracted_text`` per url holds
+by construction at any parallelism — the same way the reference anchors
+determinism with ``temperature=0.0`` (run_dpsk_ocr_pdf.py:48-54).
+No randomness, no wall-clock, no locale-dependent ops in this package.
+"""

@@ -1,0 +1,180 @@
+"""HTML main-content extraction (north_rule core).
+
+The reference has no HTML path — this is the north_rule's mandated
+generalization: a batched DOM parse with text-density / link-density
+boilerplate classification per block and tag-based heuristic scoring
+(Readability / trafilatura family; public-knowledge algorithms, see
+Kohlschütter et al., "Boilerplate Detection using Shallow Text
+Features", WSDM 2010).
+
+Implementation: a streaming block collector over the stdlib
+``html.parser.HTMLParser`` (tolerant of the unclosed tags / stray
+markup of the html_messy fixture class). Deterministic: pure function
+of the input bytes.
+
+Rules:
+* ``script/style/nav/header/footer/aside/...`` subtrees are dropped
+  (analog of the reference's validation-time rejection of non-content
+  payloads, plus classic boilerplate tags).
+* Text is accumulated into blocks, flushed at block-element
+  boundaries; whitespace inside a block collapses to single spaces.
+* A block whose linked-character fraction exceeds LINK_DENSITY_MAX is
+  boilerplate (link farms, nav bars) and dropped.
+* Consecutive identical blocks collapse to one — the text-level analog
+  of the reference's n-gram no-repeat guard
+  (DeepSeek-OCR-vllm/process/ngram_norepeat.py:7-40); like the
+  reference's whitelist of ``<td>``/``</td>`` tokens
+  (ngram_norepeat.py:16,33), table-cell blocks are exempt.
+* Blocks join with a blank line; headings get ``#``-prefix markdown to
+  mirror the reference's markdown output contract.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from deepseek_ocr_spark.config import LINK_DENSITY_MAX
+
+DROP_TAGS = frozenset(
+    {
+        "script",
+        "style",
+        "nav",
+        "header",
+        "footer",
+        "aside",
+        "noscript",
+        "template",
+        "form",
+        "button",
+        "iframe",
+        "svg",
+        "head",
+    }
+)
+
+BLOCK_TAGS = frozenset(
+    {
+        "p",
+        "div",
+        "li",
+        "td",
+        "th",
+        "tr",
+        "table",
+        "ul",
+        "ol",
+        "blockquote",
+        "pre",
+        "section",
+        "article",
+        "main",
+        "body",
+        "h1",
+        "h2",
+        "h3",
+        "h4",
+        "h5",
+        "h6",
+        "br",
+        "hr",
+    }
+)
+
+HEADING_PREFIX = {
+    "h1": "# ",
+    "h2": "## ",
+    "h3": "### ",
+    "h4": "#### ",
+    "h5": "##### ",
+    "h6": "###### ",
+}
+
+
+class _BlockCollector(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._drop_depth = 0
+        self._anchor_depth = 0
+        self._parts: list[str] = []
+        self._link_chars = 0
+        self._total_chars = 0
+        self._block_tag = ""
+        self._in_cell = False
+        # (text, link_chars, total_chars, tag, is_cell)
+        self.blocks: list[tuple[str, int, int, str, bool]] = []
+
+    def _flush(self) -> None:
+        text = " ".join("".join(self._parts).split())
+        if text:
+            self.blocks.append(
+                (text, self._link_chars, self._total_chars, self._block_tag, self._in_cell)
+            )
+        self._parts = []
+        self._link_chars = 0
+        self._total_chars = 0
+        self._block_tag = ""
+        self._in_cell = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag in DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._block_tag = tag
+            if tag in ("td", "th"):
+                self._in_cell = True
+
+    def handle_endtag(self, tag):
+        if tag in DROP_TAGS:
+            if self._drop_depth:
+                self._drop_depth -= 1
+            return
+        if self._drop_depth:
+            return
+        if tag == "a" and self._anchor_depth:
+            self._anchor_depth -= 1
+        if tag in BLOCK_TAGS:
+            is_cell = self._in_cell or tag in ("td", "th")
+            self._in_cell = is_cell
+            self._flush()
+
+    def handle_data(self, data):
+        if self._drop_depth or not data:
+            return
+        self._parts.append(data)
+        n = len(data.strip())
+        self._total_chars += n
+        if self._anchor_depth:
+            self._link_chars += n
+
+
+def extract_html(payload: bytes) -> str:
+    """Extract main content text from HTML bytes. Deterministic.
+
+    Returns the cleaned, markdown-ish main text: boilerplate blocks
+    removed, consecutive duplicate blocks collapsed (cells exempt),
+    blocks joined with blank lines.
+    """
+    html = payload.decode("utf-8", errors="replace")
+    parser = _BlockCollector()
+    parser.feed(html)
+    parser.close()
+    parser._flush()
+
+    out: list[str] = []
+    prev_text = None
+    for text, link_chars, total_chars, tag, is_cell in parser.blocks:
+        if total_chars > 0 and link_chars / total_chars > LINK_DENSITY_MAX:
+            continue
+        if text == prev_text and not is_cell:
+            continue  # repetition clamp (M10 analog)
+        prev_text = text
+        prefix = HEADING_PREFIX.get(tag, "")
+        out.append(prefix + text)
+    return "\n\n".join(out)

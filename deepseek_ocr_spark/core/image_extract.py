@@ -1,0 +1,74 @@
+"""Image path: deterministic stand-in for the vision-model generation.
+
+The reference's image path is: validate magic bytes (image_utils.py:
+61-84) → tile/tokenize (image_process.py:330-501) → vLLM generate at
+temperature 0.0 (vllm_service.py:299-350) → grounded raw text. The
+model weights are not shipped in the reference repo, so this engine
+replaces generation with a **deterministic fake model**: raw grounded
+output derived purely from a SHA-256 of the payload bytes. The Spark
+plumbing around it (binary column in, Arrow batch, grounded-markup
+string out, then the byte-faithful post-processing chain) is the real
+deliverable; swap `fake_model_generate` for a Pandas-UDF-wrapped model
+call on a GPU cluster and nothing else changes (M9 analog,
+run_dpsk_ocr_pdf.py:268-271).
+
+A small deterministic fraction of payloads simulates runaway
+repetition (no EOS emitted) to exercise the SKIP_REPEAT path
+(run_dpsk_ocr_pdf.py:289-293).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from deepseek_ocr_spark.config import EOS
+
+_LABELS = ("title", "text", "table", "image", "figure", "formula")
+
+_WORDS = (
+    "document page layout heading paragraph figure caption table cell "
+    "row column value number result method analysis data model section "
+    "equation reference appendix summary abstract introduction"
+).split()
+
+
+def fake_model_generate(payload: bytes) -> str:
+    """Deterministic grounded 'generation' for an image payload.
+
+    Pure function of the bytes: seeds every choice from SHA-256 digests
+    so the oracle and every Spark task agree byte-for-byte.
+    """
+    digest = hashlib.sha256(payload).digest()
+    # ~1/32 of images simulate runaway repetition: no EOS → SKIP_REPEAT.
+    runaway = digest[0] % 32 == 0
+
+    n_spans = 2 + digest[1] % 4
+    parts: list[str] = []
+    for k in range(n_spans):
+        d = hashlib.sha256(digest + bytes([k])).digest()
+        label = _LABELS[d[0] % len(_LABELS)]
+        x1 = (d[1] << 2 | d[2] >> 6) % 900
+        y1 = (d[3] << 2 | d[4] >> 6) % 900
+        x2 = x1 + 20 + d[5] % (999 - x1 - 19)
+        y2 = y1 + 10 + d[6] % (999 - y1 - 9)
+        marker = f"<|ref|>{label}<|/ref|><|det|>[[{x1}, {y1}, {x2}, {y2}]]<|/det|>"
+        if label == "image":
+            parts.append(marker + "\n")
+        else:
+            n_words = 4 + d[7] % 10
+            words = [_WORDS[d[8 + i] % len(_WORDS)] for i in range(n_words)]
+            body = " ".join(words)
+            if d[18] % 5 == 0:
+                body += " \\coloneqq " + _WORDS[d[19] % len(_WORDS)]
+            parts.append(marker + "\n" + body + "\n")
+    raw = "\n".join(parts)
+    if runaway:
+        # runaway repetition: repeat the tail, never emit EOS
+        tail = parts[-1] if parts else "repeat "
+        return raw + ("\n" + tail) * 8
+    return raw + EOS
+
+
+def image_to_raw_pages(payload: bytes) -> list[str]:
+    """Image front-end: one 'page' of grounded raw output."""
+    return [fake_model_generate(payload)]

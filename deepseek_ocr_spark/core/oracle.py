@@ -1,0 +1,101 @@
+"""The oracle extractor — single-threaded reference implementation.
+
+``extract_document`` is the full per-document pipeline: size gate →
+sniff → type-specific front-end → shared post-processing merge. It is
+the golden anchor for byte-identity: tests/golden files are generated
+by looping this function over the fixture table, and the Spark
+pipeline (which calls the SAME function from inside mapInPandas
+batches) must match byte-for-byte at any parallelism.
+
+Lifecycle mirror of the reference (SURVEY.md §3.3, run_dpsk_ocr_pdf.py
+__main__): validate → render/route → batched generate → post-process
+merge → write. Error containment mirrors O4 (vllm_service.py:263-284):
+failures become marker rows, never raised.
+"""
+
+from __future__ import annotations
+
+from deepseek_ocr_spark.config import (
+    DOC_HTML,
+    DOC_IMAGE,
+    DOC_PDF,
+    DOC_UNKNOWN,
+    EXTRACTOR_VERSION,
+    MAX_FILE_SIZE_BYTES,
+    ST_ERROR,
+    ST_OK,
+    ST_REJECTED,
+    ST_SKIPPED,
+)
+from deepseek_ocr_spark.core.html_extract import extract_html
+from deepseek_ocr_spark.core.image_extract import image_to_raw_pages
+from deepseek_ocr_spark.core.pdf_extract import (
+    PdfParseError,
+    PdfTooManyPages,
+    pdf_to_raw_pages,
+)
+from deepseek_ocr_spark.core.postprocess import merge_raw_pages
+from deepseek_ocr_spark.core.sniff import sniff_bytes
+
+
+def extract_document(
+    url: str, payload: bytes, max_bytes: int = MAX_FILE_SIZE_BYTES
+) -> dict:
+    """Extract one document. Pure, deterministic, never raises.
+
+    Returns dict with keys:
+        url, doc_type, status, extracted_text, spans (list of dicts),
+        n_pages, n_bytes, extractor_version
+    """
+    n_bytes = len(payload)
+    doc_type = sniff_bytes(payload)
+    base = {
+        "url": url,
+        "doc_type": doc_type,
+        "n_bytes": n_bytes,
+        "extractor_version": EXTRACTOR_VERSION,
+        "spans": [],
+        "n_pages": 0,
+    }
+
+    # F1 size gate — precheck before any decode (api/routers/ocr.py:72-79).
+    if n_bytes > max_bytes:
+        return {**base, "status": ST_REJECTED, "extracted_text": ""}
+
+    if doc_type == DOC_UNKNOWN:
+        return {
+            **base,
+            "status": ST_ERROR,
+            "extracted_text": "[OCR ERROR: unrecognized payload]",
+        }
+
+    if doc_type == DOC_HTML:
+        text = extract_html(payload)
+        return {**base, "status": ST_OK, "extracted_text": text, "n_pages": 1}
+
+    # PDF / image: grounded raw pages → shared reference merge loop.
+    if doc_type == DOC_PDF:
+        try:
+            raw_pages = pdf_to_raw_pages(payload)
+        except PdfTooManyPages:
+            return {**base, "status": ST_REJECTED, "extracted_text": ""}
+        except PdfParseError:
+            return {
+                **base,
+                "status": ST_ERROR,
+                "extracted_text": "[OCR ERROR: invalid pdf]",
+            }
+    else:
+        raw_pages = image_to_raw_pages(payload)
+
+    merged = merge_raw_pages(raw_pages)
+    if merged.n_pages == 0:
+        # every page skipped as runaway repetition (SKIP_REPEAT)
+        return {**base, "status": ST_SKIPPED, "extracted_text": ""}
+    return {
+        **base,
+        "status": ST_OK,
+        "extracted_text": merged.text,
+        "spans": merged.spans,
+        "n_pages": merged.n_pages,
+    }

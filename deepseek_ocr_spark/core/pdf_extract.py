@@ -1,0 +1,114 @@
+"""PDF/layout path: page parse, region segmentation, reading-order sort.
+
+The reference renders PDF pages to images (pdf_utils.py:77-124),
+runs the vision model per page, and post-processes the grounded raw
+text (run_dpsk_ocr_pdf.py:268-317). Model weights are absent from the
+reference repo, so this engine substitutes a **deterministic layout
+parser** over a synthetic mini-PDF format (FIXTURES.md §1 pdf_like):
+payloads begin ``%PDF-`` followed by a line-oriented page/block
+structure with normalized [0, 999] coords — the same coordinate space
+as the reference's grounding output (run_dpsk_ocr_pdf.py:177-181).
+
+The parser emits, per page, a *raw model output* string in the
+reference's grounding markup (``<|ref|>label<|/ref|><|det|>[[...]]
+<|/det|>`` + body text + EOS) so the downstream post-processing chain
+(core/postprocess.py) is byte-for-byte the reference's own loop.
+
+Reading order: XY-cut-lite — blocks sorted by (y-band, x1, y1, x2),
+band height READING_ORDER_BAND in normalized space. This mirrors the
+top-to-bottom/left-to-right order the reference model is trained to
+emit (openspec/project.md "Grounding ... normalized [0, 999] space").
+"""
+
+from __future__ import annotations
+
+from deepseek_ocr_spark.config import EOS, MAX_PDF_PAGES, READING_ORDER_BAND
+
+MINIPDF_HEADER = b"%PDF-1.4\n%MINIPDF v1\n"
+
+
+class PdfParseError(ValueError):
+    pass
+
+
+class PdfTooManyPages(PdfParseError):
+    """Over the MAX_PDF_PAGES cap → rejected, not an error row
+    (reference returns 400 on validate_pdf failure, ocr.py:177-181)."""
+
+
+def parse_minipdf(payload: bytes) -> list[list[tuple[int, int, int, int, str, str]]]:
+    """Parse mini-PDF bytes → pages of (x1, y1, x2, y2, label, text).
+
+    Raises PdfParseError on malformed input (the analog of
+    ``validate_pdf`` failure, api/utils/pdf_utils.py:45-74) and on
+    page_count > MAX_PDF_PAGES (api/config.py:30).
+    """
+    try:
+        text = payload.decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise PdfParseError(f"undecodable pdf payload: {e}") from e
+    lines = text.split("\n")
+    if not lines or not lines[0].startswith("%PDF-"):
+        raise PdfParseError("missing %PDF- header")
+
+    pages: list[list[tuple[int, int, int, int, str, str]]] = []
+    cur: list[tuple[int, int, int, int, str, str]] | None = None
+    for ln in lines[1:]:
+        if not ln or ln.startswith("%"):
+            continue
+        if ln.startswith("P "):
+            cur = []
+            pages.append(cur)
+            continue
+        if ln.startswith("B "):
+            if cur is None:
+                raise PdfParseError("block before first page")
+            parts = ln[2:].split(" ", 4)
+            if len(parts) != 5:
+                raise PdfParseError(f"malformed block line: {ln[:40]!r}")
+            try:
+                x1, y1, x2, y2 = (int(p) for p in parts[:4])
+            except ValueError as e:
+                raise PdfParseError(f"non-integer coords: {ln[:40]!r}") from e
+            label, _, btext = parts[4].partition("|")
+            if not label or not all(0 <= v <= 999 for v in (x1, y1, x2, y2)):
+                raise PdfParseError(f"bad block: {ln[:40]!r}")
+            cur.append((x1, y1, x2, y2, label, btext))
+            continue
+        raise PdfParseError(f"unknown line: {ln[:40]!r}")
+    if not pages:
+        raise PdfParseError("zero pages")
+    if len(pages) > MAX_PDF_PAGES:
+        raise PdfTooManyPages(f"page count {len(pages)} > {MAX_PDF_PAGES}")
+    return pages
+
+
+def reading_order(blocks):
+    """XY-cut-lite reading order over normalized coords."""
+    return sorted(
+        blocks, key=lambda b: (b[1] // READING_ORDER_BAND, b[0], b[1], b[2])
+    )
+
+
+def page_to_raw(blocks) -> str:
+    """Render one parsed page as reference-style grounded model output.
+
+    For each block in reading order:
+    ``<|ref|>{label}<|/ref|><|det|>[[x1, y1, x2, y2]]<|/det|>`` then the
+    block text on the next line (image blocks carry no text, like the
+    reference's figure regions), blocks separated by a blank line;
+    EOS appended (temperature-0 generation always terminates).
+    """
+    parts = []
+    for x1, y1, x2, y2, label, btext in reading_order(blocks):
+        marker = f"<|ref|>{label}<|/ref|><|det|>[[{x1}, {y1}, {x2}, {y2}]]<|/det|>"
+        if label == "image" or not btext:
+            parts.append(marker + "\n")
+        else:
+            parts.append(marker + "\n" + btext + "\n")
+    return "\n".join(parts) + EOS
+
+
+def pdf_to_raw_pages(payload: bytes) -> list[str]:
+    """Full PDF front-end: parse + segment + order → raw pages."""
+    return [page_to_raw(blocks) for blocks in parse_minipdf(payload)]

@@ -1,0 +1,144 @@
+"""Post-processing string algebra (SURVEY.md §2.5, P1-P9).
+
+Byte-faithful re-implementation of the reference CLI merge loop
+(DeepSeek-OCR-vllm/run_dpsk_ocr_pdf.py:268-317) and span extraction
+(run_dpsk_ocr_pdf.py:123-148). The reference's quirks are replicated
+deliberately — byte-identity per url is the invariant:
+
+* EOS strip is replace-all; a page lacking EOS is SKIPPED entirely
+  (SKIP_REPEAT, run_dpsk_ocr_pdf.py:289-293) and does NOT advance the
+  page counter ``jdx`` used in image filenames.
+* Image-ref substitution uses unbounded ``str.replace`` — a duplicated
+  match string is replaced at every occurrence with the FIRST ordinal's
+  filename (run_dpsk_ocr_pdf.py:310-311).
+* The TeX fixups and the two sequential literal newline collapses run
+  once per *other*-match iteration — so they DO NOT run at all when a
+  page has no non-image grounding markers (run_dpsk_ocr_pdf.py:313-314).
+* Page separator: ``content + '\\n' + '\\n<--- Page Split --->' + '\\n'``
+  appended after EVERY page including the last
+  (run_dpsk_ocr_pdf.py:296-298,317).
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+from dataclasses import dataclass, field
+
+from deepseek_ocr_spark.config import EOS
+
+# Grounding-marker pattern — run_dpsk_ocr_pdf.py:124; identical in
+# vllm_service.py:459-472 and run_dpsk_ocr_image.py:45-57.
+RE_GROUNDING = re.compile(
+    r"(<\|ref\|>(.*?)<\|/ref\|><\|det\|>(.*?)<\|/det\|>)", re.DOTALL
+)
+
+_IMAGE_REF = "<|ref|>image<|/ref|>"
+_PAGE_SEP_TAIL = "\n\n<--- Page Split --->\n"
+
+
+def re_match(text: str):
+    """Split grounding matches into image vs other.
+
+    Mirrors ``re_match`` at run_dpsk_ocr_pdf.py:123-135 (including the
+    substring — not equality — test for the image label).
+    """
+    matches = RE_GROUNDING.findall(text)
+    matches_image = []
+    matches_other = []
+    for m in matches:
+        if _IMAGE_REF in m[0]:
+            matches_image.append(m[0])
+        else:
+            matches_other.append(m[0])
+    return matches, matches_image, matches_other
+
+
+def parse_det_coords(det_text: str):
+    """Parse ``[[x1,y1,x2,y2],...]`` coordinate payloads.
+
+    Uses ``ast.literal_eval`` (the API variant's safer parser,
+    vllm_service.py:485-501) instead of the CLI's bare ``eval``
+    (run_dpsk_ocr_pdf.py:143). Returns None on any parse failure, like
+    ``extract_coordinates_and_label`` (run_dpsk_ocr_pdf.py:138-148).
+    """
+    try:
+        coords = ast.literal_eval(det_text)
+    except Exception:
+        return None
+    if not isinstance(coords, list):
+        return None
+    out = []
+    for box in coords:
+        if (
+            isinstance(box, (list, tuple))
+            and len(box) == 4
+            and all(isinstance(v, int) for v in box)
+        ):
+            out.append([box[0], box[1], box[2], box[3]])
+        else:
+            return None
+    return out
+
+
+def extract_spans(matches) -> list[dict]:
+    """Flatten grounding matches into span rows.
+
+    One row per (label, box); coords stay in the reference's normalized
+    [0, 999] space (run_dpsk_ocr_pdf.py:177-181 scales to pixels only
+    for rendering, which is off our hot path).
+    """
+    spans = []
+    for whole, label, det in matches:
+        boxes = parse_det_coords(det)
+        if boxes is None:
+            continue
+        for x1, y1, x2, y2 in boxes:
+            spans.append({"label": label, "x1": x1, "y1": y1, "x2": x2, "y2": y2})
+    return spans
+
+
+@dataclass
+class MergedDoc:
+    text: str = ""
+    spans: list = field(default_factory=list)
+    n_pages: int = 0
+    n_skipped: int = 0
+
+
+def merge_raw_pages(raw_pages: list[str]) -> MergedDoc:
+    """The reference CLI post-process + page-merge loop, byte-faithful.
+
+    Input: raw per-page model outputs in page order (the reference's
+    ``outputs_list`` zip, run_dpsk_ocr_pdf.py:286). Output: the cleaned
+    merged document (the ``.mmd`` contents) plus flattened spans.
+    """
+    doc = MergedDoc()
+    jdx = 0  # post-skip page counter, names image files (':285,316')
+    for content in raw_pages:
+        if EOS in content:
+            content = content.replace(EOS, "")
+        else:
+            # SKIP_REPEAT: runaway generation, drop page silently.
+            doc.n_skipped += 1
+            continue
+
+        matches, matches_image, matches_other = re_match(content)
+        doc.spans.extend(extract_spans(matches))
+
+        for idx, m_img in enumerate(matches_image):
+            content = content.replace(m_img, f"![](images/{jdx}_{idx}.jpg)\n")
+
+        for m_other in matches_other:
+            content = (
+                content.replace(m_other, "")
+                .replace("\\coloneqq", ":=")
+                .replace("\\eqqcolon", "=:")
+                .replace("\n\n\n\n", "\n\n")
+                .replace("\n\n\n", "\n\n")
+            )
+
+        doc.text += content + _PAGE_SEP_TAIL
+        doc.n_pages += 1
+        jdx += 1
+    return doc

@@ -1,0 +1,34 @@
+"""Content sniffing — the router (R3 analog).
+
+The reference routes on ``'<image>' in prompt`` (vllm_service.py:
+163-171) and validates magic bytes in ``validate_image``
+(api/utils/image_utils.py:61-84) / ``validate_pdf`` (pdf_utils.py:
+45-74). Generalized per north_rule into byte-level sniffing of the
+``html BINARY`` payload: PDF vs image magic vs HTML vs unknown.
+
+The column-level twin in ``operators/sniff.py`` must agree bit-for-bit
+with :func:`sniff_bytes`; both look only at a fixed-length prefix.
+"""
+
+from __future__ import annotations
+
+from deepseek_ocr_spark.config import DOC_HTML, DOC_IMAGE, DOC_PDF, DOC_UNKNOWN
+
+PDF_MAGIC = b"%PDF-"
+JPEG_MAGIC = b"\xff\xd8\xff"
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def sniff_bytes(payload: bytes) -> str:
+    """Classify a raw payload by magic prefix.
+
+    HTML is recognized by a leading ``<`` (the fixture generator never
+    emits leading whitespace; at CC scale a ltrim pass would precede).
+    """
+    if payload.startswith(PDF_MAGIC):
+        return DOC_PDF
+    if payload.startswith(JPEG_MAGIC) or payload.startswith(PNG_MAGIC):
+        return DOC_IMAGE
+    if payload[:1] == b"<":
+        return DOC_HTML
+    return DOC_UNKNOWN

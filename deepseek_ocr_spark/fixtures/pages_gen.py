@@ -1,0 +1,249 @@
+"""Deterministic synthetic ``pages`` table generator (FIXTURES.md §1).
+
+Authoritative input shape from BASELINE.json ``input_hint``:
+``pages(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING,
+lang STRING)`` — Common-Crawl-style web pages.
+
+Every row is a pure function of ``(seed, i)`` — per-row RNG — so the
+same table can be produced single-threaded (golden generation) or
+distributed (spark.range → mapInPandas) and byte-compare equal. No
+wall-clock, no global RNG state.
+
+Row classes (mix per FIXTURES.md §1): html_simple, html_messy,
+pdf_like, image_like, oversize, corrupt, mega_doc.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+
+import pandas as pd
+
+from deepseek_ocr_spark.config import MAX_FILE_SIZE_BYTES
+
+_EPOCH = _dt.datetime(2024, 1, 1)
+
+_VOCAB = (
+    "crawl corpus page content extraction boilerplate pipeline spark "
+    "partition shuffle batch arrow vector column parquet iceberg table "
+    "schema document heading span layout region block anchor footer "
+    "quality language token filter dedupe shingle hash bucket skew "
+    "throughput latency executor driver stage task lineage checkpoint "
+    "resume metric golden oracle deterministic merge order density"
+).split()
+
+_LANGS = ("en", "de", "zh", "fr", "")
+
+_CATEGORIES = ("news", "blog", "docs", "shop", "wiki")
+
+_PDF_LABELS = ("text", "text", "text", "text", "text", "text", "title", "title", "image", "table")
+
+# cumulative class thresholds
+_CLASSES = (
+    (0.60, "html_simple"),
+    (0.75, "html_messy"),
+    (0.85, "pdf_like"),
+    (0.90, "image_like"),
+    (0.92, "oversize"),
+    (0.95, "corrupt"),
+    (1.00, "mega_doc"),
+)
+
+
+def _words(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_VOCAB) for _ in range(n))
+
+
+def _paragraphs(rng: random.Random, n_paras: int) -> list[str]:
+    return [_words(rng, rng.randint(8, 40)) for _ in range(n_paras)]
+
+
+def _nav_html(rng: random.Random) -> str:
+    links = "".join(
+        f'<a href="/{rng.choice(_CATEGORIES)}/{rng.randint(0, 999)}">{rng.choice(_VOCAB)}</a> '
+        for _ in range(5)
+    )
+    return f"<nav><ul><li>{links}</li></ul></nav>"
+
+
+def _linkfarm_html(rng: random.Random) -> str:
+    links = " ".join(
+        f'<a href="/x/{rng.randint(0, 9999)}">{_words(rng, 2)}</a>'
+        for _ in range(rng.randint(10, 20))
+    )
+    return f'<div class="related">{links}</div>'
+
+
+def _table_html(rng: random.Random) -> str:
+    rows = []
+    for _ in range(rng.randint(2, 4)):
+        cells = "".join(f"<td>{_words(rng, 2)}</td>" for _ in range(rng.randint(2, 3)))
+        rows.append(f"<tr>{cells}</tr>")
+    return "<table>" + "".join(rows) + "</table>"
+
+
+def _html_simple(rng: random.Random) -> tuple[bytes, str]:
+    title = _words(rng, rng.randint(3, 6))
+    paras = _paragraphs(rng, rng.randint(3, 10))
+    body_main = "".join(f"<p>{p}</p>" for p in paras)
+    html = (
+        "<!doctype html><html><head><title>site</title>"
+        "<style>p{margin:0}</style></head><body>"
+        f"<header><h1>site banner</h1></header>{_nav_html(rng)}"
+        f"<main><h1>{title}</h1>{body_main}{_table_html(rng)}</main>"
+        f"<aside>sponsored {_words(rng, 6)}</aside>{_linkfarm_html(rng)}"
+        f"<footer><a href='/about'>about</a> <a href='/tos'>terms</a> copyright</footer>"
+        "</body></html>"
+    )
+    visible = title + " " + " ".join(paras)
+    return html.encode("utf-8"), visible
+
+
+def _html_messy(rng: random.Random) -> tuple[bytes, str]:
+    title = _words(rng, rng.randint(3, 6))
+    paras = _paragraphs(rng, rng.randint(2, 6))
+    dup = _words(rng, rng.randint(6, 14))
+    body = "".join(f"<div><p>{p}" for p in paras)  # unclosed tags
+    dup_block = f"<p>{dup}</p>" * rng.randint(2, 4)  # repetition fixture
+    html = (
+        f"<html><body><h2>{title}</h2><!-- comment -->"
+        f"<script>var x=1;</script>{body}{dup_block}"
+        f"<div style='color:red'>{_words(rng, 5)}"
+        f"{_nav_html(rng)}</body>"
+    )
+    visible = title + " " + " ".join(paras) + " " + dup
+    return html.encode("utf-8"), visible
+
+
+def _pdf_like(rng: random.Random) -> tuple[bytes, str]:
+    n_pages = rng.randint(51, 60) if rng.random() < 0.04 else rng.randint(1, 6)
+    lines = ["%PDF-1.4", "%MINIPDF v1"]
+    visible_parts: list[str] = []
+    for p in range(n_pages):
+        lines.append(f"P {p}")
+        blocks = []
+        for _ in range(rng.randint(3, 8)):
+            label = rng.choice(_PDF_LABELS)
+            x1 = rng.randint(0, 700)
+            y1 = rng.randint(0, 900)
+            x2 = min(999, x1 + rng.randint(40, 290))
+            y2 = min(999, y1 + rng.randint(15, 90))
+            btext = "" if label == "image" else _words(rng, rng.randint(3, 12))
+            blocks.append(f"B {x1} {y1} {x2} {y2} {label}|{btext}")
+            if btext:
+                visible_parts.append(btext)
+        rng.shuffle(blocks)  # emission order != reading order
+        lines.extend(blocks)
+    return "\n".join(lines).encode("utf-8"), " ".join(visible_parts)
+
+
+def _image_like(rng: random.Random) -> tuple[bytes, str]:
+    magic = b"\xff\xd8\xff" if rng.random() < 0.7 else b"\x89PNG\r\n\x1a\n"
+    body = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 256)))
+    return magic + body, ""
+
+
+def _oversize(rng: random.Random) -> tuple[bytes, str]:
+    filler = (_words(rng, 16) + " ").encode("utf-8")
+    reps = (MAX_FILE_SIZE_BYTES + 65536) // len(filler) + 1
+    return b"<html><body><p>" + filler * reps + b"</p></body></html>", ""
+
+
+def _corrupt(rng: random.Random) -> tuple[bytes, str]:
+    if rng.random() < 0.5:
+        # no recognizable magic → unknown payload
+        return bytes(rng.getrandbits(8) | 0x80 for _ in range(rng.randint(16, 128))), ""
+    # declares %PDF- but malformed body → pdf parse error
+    return b"%PDF-1.4\nB garbage without page\nnot a block", ""
+
+
+def _mega_doc(rng: random.Random) -> tuple[bytes, str]:
+    reps = rng.randint(100, 400)
+    paras = [f"{_words(rng, 20)} mega{i}" for i in range(10)]
+    chunk = "".join(f"<p>{p}</p>" for p in paras)
+    html = "<html><body><main>" + chunk * reps + "</main></body></html>"
+    return html.encode("utf-8"), " ".join(paras)
+
+
+_GEN = {
+    "html_simple": _html_simple,
+    "html_messy": _html_messy,
+    "pdf_like": _pdf_like,
+    "image_like": _image_like,
+    "oversize": _oversize,
+    "corrupt": _corrupt,
+    "mega_doc": _mega_doc,
+}
+
+
+def row_class(rng_val: float) -> str:
+    for thresh, name in _CLASSES:
+        if rng_val < thresh:
+            return name
+    return _CLASSES[-1][1]
+
+
+def gen_row(i: int, seed: int = 42) -> dict:
+    """One pages row — pure function of (seed, i)."""
+    rng = random.Random(f"{seed}:{i}")
+    cls = row_class(rng.random())
+    html, visible = _GEN[cls](rng)
+    cat = _CATEGORIES[i % len(_CATEGORIES)]
+    return {
+        "url": f"https://site{i % 97}.example/{cat}/{i}",
+        "warc_ts": _EPOCH + _dt.timedelta(seconds=rng.randrange(31_536_000)),
+        "html": html,
+        "text": visible,
+        "lang": rng.choice(_LANGS),
+    }
+
+
+def gen_pages_pandas(start: int, end: int, seed: int = 42) -> pd.DataFrame:
+    rows = [gen_row(i, seed) for i in range(start, end)]
+    return pd.DataFrame(
+        rows, columns=["url", "warc_ts", "html", "text", "lang"]
+    )
+
+
+PAGES_SPARK_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def gen_pages_spark(spark, n_rows: int, seed: int = 42, parts: int = 32):
+    """Distributed generation: spark.range → mapInPandas, same rows."""
+
+    def _gen(batches):
+        for pdf in batches:
+            for chunk_start in range(0, len(pdf), 1024):
+                ids = pdf["id"].iloc[chunk_start : chunk_start + 1024]
+                rows = [gen_row(int(i), seed) for i in ids]
+                yield pd.DataFrame(
+                    rows, columns=["url", "warc_ts", "html", "text", "lang"]
+                )
+
+    return (
+        spark.range(0, n_rows, numPartitions=parts)
+        .mapInPandas(_gen, schema=PAGES_SPARK_SCHEMA)
+    )
+
+
+def write_pages_parquet(path: str, n_rows: int, seed: int = 42, chunk: int = 2000) -> None:
+    """Single-threaded parquet writer (golden/test fixture path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    with pq.ParquetWriter(path, schema) as writer:
+        for start in range(0, n_rows, chunk):
+            pdf = gen_pages_pandas(start, min(start + chunk, n_rows), seed)
+            writer.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False))

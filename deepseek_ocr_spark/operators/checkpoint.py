@@ -1,0 +1,72 @@
+"""Checkpoint / resume / metrics (M5 — O3/O5 analogs).
+
+The reference tracks progress in an in-memory task queue with TTL
+cleanup (api/services/task_queue.py:20-203). The cluster-scale
+replacement: the output table itself is the checkpoint — resume is an
+anti-join of the input against already-extracted urls, appends are
+idempotent, and each run writes per-partition metrics rows
+(partition_id, status, rows, secs, ts) to a metrics table.
+
+At real scale both tables are Iceberg (snapshot-atomic appends, MERGE
+for exactly-once); in this sandbox they are parquet directories with
+the same access pattern.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+METRICS_SCHEMA = (
+    "run_id string, partition_id int, status string, rows bigint, "
+    "error_rows bigint, secs double, ts timestamp"
+)
+
+
+def read_done_urls(spark: SparkSession, output_path: str) -> DataFrame | None:
+    """Urls already present in the output table, or None if no output."""
+    try:
+        return spark.read.parquet(output_path).select("url")
+    except AnalysisException:
+        return None
+
+
+def filter_done(df: DataFrame, done: DataFrame | None) -> DataFrame:
+    """Resume filter: left_anti against the done-set (SURVEY.md §4.2)."""
+    if done is None:
+        return df
+    return df.join(done, "url", "left_anti")
+
+
+def metrics_from_extracted(extracted: DataFrame, run_id: str | None = None) -> DataFrame:
+    """Per-partition lineage rows from the extract stage's carried
+    partition_id/batch_secs columns. ``secs`` sums distinct batch
+    timings per partition (each batch carries one timing value)."""
+    rid = run_id or uuid.uuid4().hex[:12]
+    per_batch = (
+        extracted.groupBy("partition_id", "batch_secs")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("error_rows"),
+        )
+    )
+    return (
+        per_batch.groupBy("partition_id")
+        .agg(
+            F.sum("rows").alias("rows"),
+            F.sum("error_rows").alias("error_rows"),
+            F.sum("batch_secs").alias("secs"),
+        )
+        .select(
+            F.lit(rid).alias("run_id"),
+            "partition_id",
+            F.lit("done").alias("status"),
+            "rows",
+            "error_rows",
+            "secs",
+            F.current_timestamp().alias("ts"),
+        )
+    )

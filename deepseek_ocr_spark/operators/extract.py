@@ -1,0 +1,79 @@
+"""Batched extraction operator — the engine's M9 analog.
+
+One ``mapInPandas`` stage replaces the reference's per-request loop:
+each Arrow batch is the unit of amortized work (the reference amortizes
+via vLLM continuous batching, vllm_service.py:98-110; we amortize via
+Arrow record batches). All three payload types are handled in a single
+pass — no per-type union, no extra shuffle; routing happens on pandas
+masks inside the batch.
+
+Error containment is per-row (O4 analog, vllm_service.py:263-284):
+``extract_document`` never raises, failures become marker rows.
+
+Per-batch timing + the physical partition id are carried as lineage
+columns and aggregated into the metrics table downstream.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+
+from deepseek_ocr_spark.config import MAX_FILE_SIZE_BYTES
+from deepseek_ocr_spark.core.oracle import extract_document
+
+SPANS_TYPE = "array<struct<label:string,x1:int,y1:int,x2:int,y2:int>>"
+
+EXTRACT_SCHEMA = (
+    "url string, doc_type string, status string, extracted_text string, "
+    f"spans {SPANS_TYPE}, n_pages int, n_bytes bigint, "
+    "extractor_version string, partition_id int, batch_secs double"
+)
+
+_COLS = [
+    "url",
+    "doc_type",
+    "status",
+    "extracted_text",
+    "spans",
+    "n_pages",
+    "n_bytes",
+    "extractor_version",
+    "partition_id",
+    "batch_secs",
+]
+
+
+def _extract_iter(
+    batches: Iterator[pd.DataFrame], max_bytes: int
+) -> Iterator[pd.DataFrame]:
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    for pdf in batches:
+        t0 = time.perf_counter()
+        rows = [
+            extract_document(url, bytes(payload), max_bytes)
+            for url, payload in zip(pdf["url"], pdf["html"])
+        ]
+        out = pd.DataFrame(rows)
+        secs = time.perf_counter() - t0
+        out["partition_id"] = pid
+        out["batch_secs"] = secs
+        yield out[_COLS]
+
+
+def extract_pages(df, max_bytes: int = MAX_FILE_SIZE_BYTES):
+    """pages(url, html, ...) → extracted rows.
+
+    Column-prunes to (url, html) first so the parquet scan reads only
+    what the UDF needs (ReadSchema check in tests/test_plans.py).
+    """
+
+    def it(batches):
+        return _extract_iter(batches, max_bytes)
+
+    return df.select("url", "html").mapInPandas(it, schema=EXTRACT_SCHEMA)

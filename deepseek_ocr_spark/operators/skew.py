@@ -1,0 +1,41 @@
+"""Skew handling: byte-length bucketing + salted repartition (M4).
+
+At 10^12-document scale one 200 MB document lands next to 4 KB pages;
+a uniform row-hash repartition balances row COUNTS but not BYTES. The
+engine therefore splits the input on a byte-length threshold and gives
+each side its own hash-salted repartition, sized so partitions carry
+comparable byte volume. This is the cluster-scale analog of the
+reference capping per-image work with MAX_CROPS
+(DeepSeek-OCR-vllm/config.py:11-12).
+
+The salt is ``xxhash64(url)`` — deterministic, uniform, and keyed on
+the table's unique key so re-runs place rows identically (useful for
+straggler debugging); output content is partition-independent anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BIG_DOC_BYTES = 256 * 1024
+
+
+def split_by_size(
+    df: DataFrame, html_col: str = "html", big_bytes: int = BIG_DOC_BYTES
+) -> tuple[DataFrame, DataFrame]:
+    """(small, big) frames by payload byte length. Filter is JVM-side
+    and pushes to the scan when the source supports length stats."""
+    n = F.length(F.col(html_col))
+    return df.filter(n <= big_bytes), df.filter(n > big_bytes)
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, key: str = "url") -> DataFrame:
+    """Uniform deterministic repartition on xxhash64(key)."""
+    return df.repartition(num_partitions, F.xxhash64(F.col(key)))
+
+
+def size_bucket_col(html_col: str = "html"):
+    """log2 byte-length bucket — lineage/metrics dimension, and the
+    grouping key for byte-balanced partition sizing at real scale."""
+    return F.floor(F.log2(F.length(F.col(html_col)) + F.lit(1))).cast("int")

@@ -1,0 +1,34 @@
+"""Column-level content sniff — JVM-side, codegen-friendly (router R3).
+
+Must agree bit-for-bit with core.sniff.sniff_bytes: both classify on a
+fixed byte prefix. Implemented as hex-prefix compares on the BINARY
+column so no Python runs and Catalyst can constant-fold / push the
+derived predicates (e.g. routing filters) into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.config import DOC_HTML, DOC_IMAGE, DOC_PDF, DOC_UNKNOWN
+
+_PDF_HEX = "255044462D"  # %PDF-
+_JPEG_HEX = "FFD8FF"
+_PNG_HEX = "89504E470D0A1A0A"
+_LT_HEX = "3C"  # '<'
+
+
+def doc_type_col(html_col: Column) -> Column:
+    head = F.hex(F.substring(html_col, 1, 8))
+    return (
+        F.when(head.startswith(_PDF_HEX), F.lit(DOC_PDF))
+        .when(head.startswith(_JPEG_HEX), F.lit(DOC_IMAGE))
+        .when(head.startswith(_PNG_HEX), F.lit(DOC_IMAGE))
+        .when(head.startswith(_LT_HEX), F.lit(DOC_HTML))
+        .otherwise(F.lit(DOC_UNKNOWN))
+    )
+
+
+def with_doc_type(df: DataFrame, html_col: str = "html") -> DataFrame:
+    return df.withColumn("doc_type", doc_type_col(F.col(html_col)))

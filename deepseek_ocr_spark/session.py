@@ -1,0 +1,72 @@
+"""SparkSession builder with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_ROOT = os.path.dirname(_PKG_DIR)
+
+
+def package_zip(dest: str | None = None) -> str:
+    """Zip the package for shipping to executors — the
+    ``spark-submit --py-files`` artifact (north_rule M7). Rebuilt when
+    any source file is newer than the existing zip."""
+    dest = dest or os.path.join("/tmp", "deepseek_ocr_spark_pyfiles.zip")
+    sources = []
+    for root, _dirs, files in os.walk(_PKG_DIR):
+        for f in files:
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    newest = max(os.path.getmtime(p) for p in sources)
+    if not os.path.exists(dest) or os.path.getmtime(dest) < newest:
+        tmp = dest + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for p in sorted(sources):
+                zf.write(p, os.path.relpath(p, _REPO_ROOT))
+        os.replace(tmp, dest)
+    return dest
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "deepseek-ocr-spark",
+    shuffle_partitions: int = 32,
+    arrow_batch_rows: int = 1024,
+    extra: dict | None = None,
+) -> SparkSession:
+    """Session with AQE + Arrow tuned for the extraction workload.
+
+    * ``arrow.maxRecordsPerBatch`` bounded (default 1024) so a batch of
+      mega-documents can't blow pandas memory inside mapInPandas — the
+      admission-control analog of the reference's semaphore
+      (vllm_service.py:79,143).
+    * AQE on: runtime coalescing + skew-join handling.
+    * Python worker reuse: keeps executor-singleton state (parsers)
+      warm across tasks — O6 analog (vllm_service.py:61-112).
+    """
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    b = (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    # Ship the package to executor Python workers regardless of cwd —
+    # equivalent to `spark-submit --py-files <zip>` on a real cluster.
+    spark.sparkContext.addPyFile(package_zip())
+    return spark

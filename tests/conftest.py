@@ -1,0 +1,38 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from deepseek_ocr_spark.fixtures.pages_gen import write_pages_parquet  # noqa: E402
+from deepseek_ocr_spark.session import get_spark  # noqa: E402
+
+TINY_ROWS = 200
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(master="local[4]", shuffle_partitions=8, arrow_batch_rows=64)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def pages_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("fixtures") / "pages.parquet"
+    write_pages_parquet(str(p), TINY_ROWS, seed=42)
+    return str(p)
+
+
+@pytest.fixture(scope="session")
+def golden_rows():
+    """Oracle output for the tiny fixture — the byte-identity anchor."""
+    from deepseek_ocr_spark.core.oracle import extract_document
+    from deepseek_ocr_spark.fixtures.pages_gen import gen_row
+
+    out = {}
+    for i in range(TINY_ROWS):
+        r = gen_row(i, seed=42)
+        out[r["url"]] = extract_document(r["url"], r["html"])
+    return out

@@ -1,0 +1,52 @@
+"""Checkpoint/resume semantics (FIXTURES.md §3)."""
+
+from deepseek_ocr_spark.operators.checkpoint import filter_done, read_done_urls
+from deepseek_ocr_spark.pipeline import run_job
+
+
+def test_resume_processes_zero_done_urls(spark, pages_path, tmp_path):
+    out = str(tmp_path / "extracted")
+    metrics = str(tmp_path / "metrics")
+
+    r1 = run_job(spark, pages_path, out, metrics_path=metrics, parallelism=4)
+    n1 = r1["output_rows"]
+    assert n1 == 200
+
+    # resume: everything done → nothing reprocessed, output unchanged
+    pages = spark.read.parquet(pages_path)
+    todo = filter_done(pages, read_done_urls(spark, out))
+    assert todo.count() == 0
+
+    r2 = run_job(spark, pages_path, out, parallelism=4)
+    assert r2["output_rows"] == n1
+
+    # idempotent content: one row per url
+    dup = spark.read.parquet(out).groupBy("url").count().filter("count > 1").count()
+    assert dup == 0
+
+
+def test_partial_resume(spark, pages_path, tmp_path):
+    out = str(tmp_path / "extracted2")
+    pages = spark.read.parquet(pages_path)
+    # pre-complete half the urls
+    half = pages.limit(100)
+    from deepseek_ocr_spark.pipeline import extract_pipeline
+
+    extract_pipeline(half, parallelism=2).write.parquet(out)
+    todo = filter_done(pages, read_done_urls(spark, out))
+    assert todo.count() == 100
+
+    run_job(spark, pages_path, out, parallelism=4)
+    final = spark.read.parquet(out)
+    assert final.count() == 200
+    assert final.select("url").distinct().count() == 200
+
+
+def test_metrics_rows_cover_input(spark, pages_path, tmp_path):
+    out = str(tmp_path / "extracted3")
+    metrics = str(tmp_path / "metrics3")
+    run_job(spark, pages_path, out, metrics_path=metrics, parallelism=4)
+    m = spark.read.parquet(metrics)
+    agg = m.groupBy().sum("rows").collect()[0][0]
+    assert agg == 200
+    assert m.filter("secs < 0").count() == 0

@@ -1,0 +1,105 @@
+"""Pure-core tests: determinism, class routing, reference quirks."""
+
+from deepseek_ocr_spark.config import (
+    EOS,
+    MAX_FILE_SIZE_BYTES,
+    ST_ERROR,
+    ST_OK,
+    ST_REJECTED,
+)
+from deepseek_ocr_spark.core.oracle import extract_document
+from deepseek_ocr_spark.core.pdf_extract import (
+    MINIPDF_HEADER,
+    page_to_raw,
+    parse_minipdf,
+)
+from deepseek_ocr_spark.core.sniff import sniff_bytes
+from deepseek_ocr_spark.fixtures.pages_gen import gen_row
+
+
+def test_oracle_deterministic():
+    for i in range(50):
+        r = gen_row(i)
+        a = extract_document(r["url"], r["html"])
+        b = extract_document(r["url"], r["html"])
+        assert a == b
+
+
+def test_fixture_generator_deterministic():
+    assert gen_row(7) == gen_row(7)
+    assert gen_row(7)["html"] != gen_row(8)["html"]
+
+
+def test_sniff():
+    assert sniff_bytes(b"%PDF-1.4\nx") == "pdf"
+    assert sniff_bytes(b"\xff\xd8\xffjunk") == "image"
+    assert sniff_bytes(b"\x89PNG\r\n\x1a\njunk") == "image"
+    assert sniff_bytes(b"<html>") == "html"
+    assert sniff_bytes(b"\x00\x01\x02") == "unknown"
+    assert sniff_bytes(b"") == "unknown"
+
+
+def test_oversize_rejected():
+    big = b"<html>" + b"x" * MAX_FILE_SIZE_BYTES
+    out = extract_document("u", big)
+    assert out["status"] == ST_REJECTED
+    assert out["extracted_text"] == ""
+
+
+def test_unknown_is_error_marker():
+    out = extract_document("u", b"\x00\xffgarbage")
+    assert out["status"] == ST_ERROR
+    assert out["extracted_text"].startswith("[OCR ERROR: ")
+
+
+def test_pdf_page_cap_rejected():
+    lines = [b"%PDF-1.4"]
+    for p in range(51):
+        lines.append(f"P {p}".encode())
+        lines.append(b"B 0 0 10 10 text|hello")
+    out = extract_document("u", b"\n".join(lines))
+    assert out["status"] == ST_REJECTED
+
+
+def test_pdf_invalid_is_error():
+    out = extract_document("u", b"%PDF-1.4\nB broken")
+    assert out["status"] == ST_ERROR
+    assert out["extracted_text"] == "[OCR ERROR: invalid pdf]"
+
+
+def test_reading_order_invariant_to_emission_order():
+    blocks = [
+        b"B 500 500 900 540 text|low right",
+        b"B 0 0 400 40 title|top left",
+        b"B 500 0 900 40 text|top right",
+        b"B 0 500 400 540 text|low left",
+    ]
+    a = MINIPDF_HEADER + b"P 0\n" + b"\n".join(blocks)
+    b_ = MINIPDF_HEADER + b"P 0\n" + b"\n".join(reversed(blocks))
+    oa = extract_document("u", a)
+    ob = extract_document("u", b_)
+    assert oa["extracted_text"] == ob["extracted_text"]
+    assert "top left" in oa["extracted_text"]
+    idx = oa["extracted_text"]
+    assert idx.index("top left") < idx.index("top right") < idx.index("low left")
+
+
+def test_pdf_roundtrip_pages_and_spans():
+    payload = (
+        MINIPDF_HEADER
+        + b"P 0\nB 0 0 100 40 title|Heading One\nB 0 100 500 200 text|body words\n"
+        + b"P 1\nB 10 10 200 60 image|\n"
+    )
+    out = extract_document("u", payload)
+    assert out["status"] == ST_OK
+    assert out["n_pages"] == 2
+    assert out["extracted_text"].count("<--- Page Split --->") == 2
+    labels = sorted(s["label"] for s in out["spans"])
+    assert labels == ["image", "text", "title"]
+    assert "![](images/1_0.jpg)" in out["extracted_text"]
+
+
+def test_page_to_raw_ends_with_eos():
+    pages = parse_minipdf(MINIPDF_HEADER + b"P 0\nB 0 0 9 9 text|x")
+    raw = page_to_raw(pages[0])
+    assert raw.endswith(EOS)

@@ -1,0 +1,63 @@
+"""HTML main-content extraction heuristics."""
+
+from deepseek_ocr_spark.core.html_extract import extract_html
+
+
+def ex(s: str) -> str:
+    return extract_html(s.encode("utf-8"))
+
+
+def test_boilerplate_tags_dropped():
+    out = ex(
+        "<html><head><title>t</title></head><body>"
+        "<nav>navigation links</nav><header>banner</header>"
+        "<main><p>real content here</p></main>"
+        "<aside>ad text</aside><footer>copyright</footer>"
+        "<script>var x = 'hidden';</script><style>p{}</style></body></html>"
+    )
+    assert out == "real content here"
+
+
+def test_link_density_drops_link_farms():
+    out = ex(
+        "<body><p>good paragraph with plenty of plain text words</p>"
+        '<div><a href="/a">link</a> <a href="/b">link</a> <a href="/c">link</a></div></body>'
+    )
+    assert "good paragraph" in out
+    assert "link" not in out
+
+
+def test_low_link_density_kept():
+    out = ex("<body><p>mostly plain text with one <a href='/x'>anchor</a> inside</p></body>")
+    assert "anchor" in out
+
+
+def test_consecutive_duplicate_blocks_collapse():
+    out = ex("<body><p>dup block</p><p>dup block</p><p>dup block</p><p>other</p></body>")
+    assert out == "dup block\n\nother"
+
+
+def test_table_cells_exempt_from_dedup():
+    out = ex("<body><table><tr><td>same</td><td>same</td></tr></table></body>")
+    assert out.count("same") == 2
+
+
+def test_headings_markdownified():
+    out = ex("<body><h1>Top</h1><h2>Sub</h2><p>body</p></body>")
+    assert out == "# Top\n\n## Sub\n\nbody"
+
+
+def test_unclosed_tags_tolerated():
+    out = ex("<body><div><p>first<div><p>second<p>third")
+    for w in ("first", "second", "third"):
+        assert w in out
+
+
+def test_whitespace_collapsed_and_entities():
+    out = ex("<body><p>a   b\n\t c &amp; d</p></body>")
+    assert out == "a b c & d"
+
+
+def test_deterministic():
+    s = "<body><main><p>alpha</p><p>beta</p></main></body>"
+    assert ex(s) == ex(s)

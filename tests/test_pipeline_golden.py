@@ -1,0 +1,60 @@
+"""Golden byte-identity: Spark pipeline output == single-threaded
+oracle, per url, at multiple parallelism levels (SURVEY.md §7.3 risk 1).
+"""
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.core.sniff import sniff_bytes
+from deepseek_ocr_spark.operators.sniff import with_doc_type
+from deepseek_ocr_spark.pipeline import extract_pipeline
+
+
+def _collect_extracted(spark, pages_path, parallelism):
+    df = spark.read.parquet(pages_path)
+    out = extract_pipeline(df, parallelism=parallelism)
+    rows = out.select("url", "doc_type", "status", "extracted_text", "spans", "n_pages").collect()
+    return {r["url"]: r for r in rows}
+
+
+def _spans_to_dicts(spans):
+    return [
+        {"label": s["label"], "x1": s["x1"], "y1": s["y1"], "x2": s["x2"], "y2": s["y2"]}
+        for s in spans
+    ]
+
+
+def test_spark_matches_oracle_byte_identical(spark, pages_path, golden_rows):
+    got = _collect_extracted(spark, pages_path, parallelism=4)
+    assert set(got) == set(golden_rows)
+    for url, g in golden_rows.items():
+        row = got[url]
+        assert row["extracted_text"] == g["extracted_text"], url
+        assert row["status"] == g["status"], url
+        assert row["doc_type"] == g["doc_type"], url
+        assert row["n_pages"] == g["n_pages"], url
+        assert _spans_to_dicts(row["spans"]) == g["spans"], url
+
+
+def test_parallelism_invariance(spark, pages_path, golden_rows):
+    one = _collect_extracted(spark, pages_path, parallelism=1)
+    many = _collect_extracted(spark, pages_path, parallelism=16)
+    assert set(one) == set(many)
+    for url in one:
+        assert one[url]["extracted_text"] == many[url]["extracted_text"]
+        assert one[url]["extracted_text"] == golden_rows[url]["extracted_text"]
+
+
+def test_column_sniff_agrees_with_core(spark, pages_path):
+    df = with_doc_type(spark.read.parquet(pages_path))
+    rows = df.select("url", "html", "doc_type").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["doc_type"] == sniff_bytes(bytes(r["html"])), r["url"]
+
+
+def test_status_mix_covers_classes(spark, pages_path):
+    out = extract_pipeline(spark.read.parquet(pages_path), parallelism=4)
+    mix = {r["status"]: r["cnt"] for r in out.groupBy("status").agg(F.count("*").alias("cnt")).collect()}
+    assert mix.get("ok", 0) > 150
+    assert mix.get("rejected", 0) >= 1
+    assert mix.get("error", 0) >= 1

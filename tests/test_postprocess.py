@@ -1,0 +1,83 @@
+"""Byte-faithfulness tests for the reference post-process quirks
+(run_dpsk_ocr_pdf.py:268-317 — see core/postprocess.py docstring)."""
+
+from deepseek_ocr_spark.config import EOS
+from deepseek_ocr_spark.core.postprocess import (
+    merge_raw_pages,
+    parse_det_coords,
+    re_match,
+)
+
+MARK_IMG = "<|ref|>image<|/ref|><|det|>[[1, 2, 3, 4]]<|/det|>"
+MARK_TXT = "<|ref|>text<|/ref|><|det|>[[5, 6, 7, 8]]<|/det|>"
+
+
+def test_page_separator_including_trailing():
+    doc = merge_raw_pages([f"a{EOS}", f"b{EOS}"])
+    assert doc.text == "a\n\n<--- Page Split --->\nb\n\n<--- Page Split --->\n"
+
+
+def test_skip_repeat_drops_page_and_counter():
+    # page 0 lacks EOS → skipped; image on next page is named with
+    # post-skip counter jdx=0 (reference :285,316)
+    doc = merge_raw_pages(["no eos here", f"{MARK_IMG}\nrest{EOS}"])
+    assert doc.n_skipped == 1
+    assert doc.n_pages == 1
+    assert "![](images/0_0.jpg)" in doc.text
+
+
+def test_eos_strip_is_replace_all():
+    doc = merge_raw_pages([f"a{EOS}b{EOS}"])
+    assert doc.text.startswith("ab\n")
+
+
+def test_image_substitution_duplicate_match_quirk():
+    # duplicated identical image match: unbounded str.replace means the
+    # FIRST ordinal's filename lands at every occurrence
+    raw = f"{MARK_IMG} mid {MARK_IMG}{EOS}"
+    doc = merge_raw_pages([raw])
+    assert doc.text.count("![](images/0_0.jpg)") == 2
+    assert "0_1.jpg" not in doc.text
+
+
+def test_tex_fixup_gated_on_other_matches():
+    # no non-image markers → \coloneqq must survive (reference applies
+    # the fixups only inside the matches_other loop, :313-314)
+    doc = merge_raw_pages([f"x \\coloneqq y{EOS}"])
+    assert "\\coloneqq" in doc.text
+    # with a non-image marker present → fixups run
+    doc2 = merge_raw_pages([f"{MARK_TXT}\nx \\coloneqq y \\eqqcolon z{EOS}"])
+    assert ":=" in doc2.text and "=:" in doc2.text
+    assert "\\coloneqq" not in doc2.text
+
+
+def test_newline_collapse_two_sequential_literal_replaces():
+    # '\n\n\n\n\n' (5) → first replace (4→2) gives '\n\n\n' wait: 5 has
+    # one occurrence of 4 → '\n\n' + '\n' = 3 → second replace → 2.
+    doc = merge_raw_pages([f"{MARK_TXT}a" + "\n" * 5 + f"b{EOS}"])
+    assert "a\n\nb" in doc.text
+    # gate: without other-matches the collapse must NOT happen
+    doc2 = merge_raw_pages(["a" + "\n" * 5 + f"b{EOS}"])
+    assert "a\n\n\n\n\nb" in doc2.text
+
+
+def test_re_match_classification_substring_not_equality():
+    matches, imgs, others = re_match(MARK_IMG + MARK_TXT)
+    assert len(matches) == 2 and len(imgs) == 1 and len(others) == 1
+
+
+def test_parse_det_coords():
+    assert parse_det_coords("[[1, 2, 3, 4], [5, 6, 7, 8]]") == [
+        [1, 2, 3, 4],
+        [5, 6, 7, 8],
+    ]
+    assert parse_det_coords("not coords") is None
+    assert parse_det_coords("[[1,2]]") is None
+    assert parse_det_coords("[['a',2,3,4]]") is None
+
+
+def test_spans_from_unparseable_det_skipped():
+    raw = f"<|ref|>text<|/ref|><|det|>bogus<|/det|>{EOS}"
+    doc = merge_raw_pages([raw])
+    assert doc.spans == []
+    assert doc.n_pages == 1
