@@ -1,38 +1,73 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship corpus-curation query on sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 (registry lives in deepseek_ocr_spark/queries.py;
+each was verified against DuckDB locally via scripts/check_oracle.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from deepseek_ocr_spark.functions import text as T  # noqa: E402
+from deepseek_ocr_spark.functions import textstats as TS  # noqa: E402
+from deepseek_ocr_spark.queries import REGISTRY  # noqa: E402
+
+_SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: corpus curation over ``documents`` — text-stats
+    enrichment → exact-dedup keep-first → per-source ordered merge
+    (the P9 sort-agg) with quality/token aggregates.
+
+    The full binary-payload extraction pipeline (sniff → mapInPandas
+    extract → byte-identical text) runs in deepseek_ocr_spark.pipeline
+    and is exercised by tests/test_pipeline_golden.py and bench.py;
+    this flagship sticks to the driver-provided tables.
+    """
+    d = spark.read.parquet(f"{_SF0001}/documents.parquet")
+    enriched = d.select(
+        "doc_id",
+        "source",
+        F.col("text").alias("page_text"),
+        TS.token_count(F.col("text")).alias("n_tokens"),
+        TS.quality_score(F.col("text")).alias("quality"),
+        TS.lang_guess(F.col("text")).alias("lang_guess"),
+        TS.fingerprint(F.col("text")).alias("fp"),
+    )
+    # exact dedup: keep lowest doc_id per fingerprint (hash-groupBy)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        enriched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            T.merge_pages_agg("page_text", "doc_id").alias("merged_text"),
+        )
+        .orderBy("source")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,79 @@
+"""Column-level post-processing string algebra (SURVEY.md §2.5).
+
+JVM-side (whole-stage-codegen) twins of the per-row chain in
+core/postprocess.py, for use in relational queries and as the fast
+path when marker text already sits in a string column. The grounding
+pattern mirrors run_dpsk_ocr_pdf.py:124.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.config import EOS
+
+# Spark regex dialect (Java): same pattern as the reference's Python
+# regex; (?s) = DOTALL.
+GROUNDING_RE = r"(?s)<\|ref\|>(.*?)<\|/ref\|><\|det\|>(.*?)<\|/det\|>"
+GROUNDING_WHOLE_RE = r"(?s)<\|ref\|>.*?<\|/ref\|><\|det\|>.*?<\|/det\|>"
+
+
+def extract_ref_labels(col: Column) -> Column:
+    """P1: all grounding labels in order — regexp_extract_all group 1."""
+    return F.regexp_extract_all(col, F.lit(GROUNDING_RE), 1)
+
+
+def extract_det_payloads(col: Column) -> Column:
+    """P1/P2: all det coordinate payloads in order."""
+    return F.regexp_extract_all(col, F.lit(GROUNDING_RE), 2)
+
+
+def strip_markers(col: Column) -> Column:
+    """P5: remove every grounding marker block."""
+    return F.regexp_replace(col, GROUNDING_WHOLE_RE, "")
+
+
+def strip_eos(col: Column) -> Column:
+    """P3: literal EOS removal (replace-all, run_dpsk_ocr_pdf.py:289)."""
+    return F.replace(col, F.lit(EOS), F.lit(""))
+
+
+def tex_fixups(col: Column) -> Column:
+    """P5 tail: \\coloneqq → := , \\eqqcolon → =: (literal replaces)."""
+    return F.replace(
+        F.replace(col, F.lit("\\coloneqq"), F.lit(":=")),
+        F.lit("\\eqqcolon"),
+        F.lit("=:"),
+    )
+
+
+def newline_collapse(col: Column) -> Column:
+    """P6: the reference's two SEQUENTIAL literal replaces —
+    '\\n\\n\\n\\n'→'\\n\\n' then '\\n\\n\\n'→'\\n\\n' (NOT one regex;
+    run_dpsk_ocr_pdf.py:314)."""
+    return F.replace(
+        F.replace(col, F.lit("\n\n\n\n"), F.lit("\n\n")),
+        F.lit("\n\n\n"),
+        F.lit("\n\n"),
+    )
+
+
+def center_strip(col: Column) -> Column:
+    """P8 (eval path): remove <center>/</center> literals
+    (run_dpsk_ocr_eval_batch.py:156)."""
+    return F.replace(
+        F.replace(col, F.lit("<center>"), F.lit("")), F.lit("</center>"), F.lit("")
+    )
+
+
+def merge_pages_agg(text_col: str, order_col: str) -> Column:
+    """P9 ordered page merge as a sort-agg: collect (order, text)
+    structs, array_sort, concat with the reference separator
+    (run_dpsk_ocr_pdf.py:296-298). Use inside groupBy().agg()."""
+    pairs = F.array_sort(F.collect_list(F.struct(F.col(order_col), F.col(text_col))))
+    texts = F.transform(pairs, lambda s: s[text_col])
+    return F.concat(
+        F.concat_ws("\n\n<--- Page Split --->\n", texts),
+        F.lit("\n\n<--- Page Split --->\n"),
+    )

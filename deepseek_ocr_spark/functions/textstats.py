@@ -1,0 +1,80 @@
+"""Text analysis for a training-data pipeline: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All JVM-side column expressions (no Python on the hot path); each has
+an exact ANSI-SQL mirror in queries.py so the DuckDB oracle verifies
+the semantics. Public-knowledge heuristics (C4/Gopher-style quality
+signals; stopword-ratio language ID).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Word-boundary stopword patterns per language (tiny, deterministic;
+# the heuristic's point is the OPERATOR shape — swap lists at will).
+LANG_STOPWORD_RE = {
+    "en": r"\b(the|and|of|to|in|is|a)\b",
+    "de": r"\b(der|die|das|und|ist|ein)\b",
+    "fr": r"\b(le|la|les|et|est|un)\b",
+    "es": r"\b(el|los|las|y|es|un)\b",
+}
+
+PUNCT_RE = r"[.,;:!?]"
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, TOKEN_SPLIT_RE))
+    )
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(PUNCT_RE), 0))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(LANG_STOPWORD_RE[lang]), 0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1]-ish quality signal: length band + punctuation
+    presence + mean-word-length band (C4-family shallow features).
+    Integer-arithmetic core so both engines agree bit-for-bit; final
+    value rounded to 4 decimals."""
+    toks = token_count(col)
+    chars = char_count(col)
+    mean_wl = F.when(toks > 0, chars.cast("double") / toks).otherwise(F.lit(0.0))
+    len_ok = F.when((toks >= 10) & (toks <= 5000), 0.4).otherwise(0.0)
+    punct_ok = F.when(punct_count(col) > 0, 0.2).otherwise(0.0)
+    wl_ok = F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), 0.4).otherwise(0.0)
+    return F.round(len_ok + punct_ok + wl_ok, 4)
+
+
+def lang_guess(col: Column) -> Column:
+    """Stopword-ratio language ID: argmax of per-language hit counts,
+    'und' (undetermined) when all zero. Deterministic tie-break by
+    fixed language order en > de > fr > es."""
+    en, de, fr, es = (stopword_hits(col, lang) for lang in ("en", "de", "fr", "es"))
+    return (
+        F.when((en > 0) & (en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de > 0) & (de >= fr) & (de >= es), F.lit("de"))
+        .when((fr > 0) & (fr >= es), F.lit("fr"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized,
+    lowercased text — the exact-dedup key."""
+    norm = F.lower(F.regexp_replace(F.trim(col), TOKEN_SPLIT_RE, " "))
+    return F.md5(norm)

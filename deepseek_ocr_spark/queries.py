@@ -1,0 +1,581 @@
+"""Named queries over the driver's testdata tables + DuckDB oracles.
+
+Each entry exercises one operator family from SURVEY.md §2.7 (the
+relational shapes the reference's dataflow reduces to) or one
+training-data-pipeline operator (dedup, similarity, text analysis).
+``REGISTRY[name] = (fn, sql)``: ``fn(spark, sf_dir) -> DataFrame`` and
+``sql`` the ANSI-SQL twin DuckDB runs on the same parquet (views
+pre-registered by the driver); ``sql=None`` → rows-only check.
+
+Rules that keep the driver's value-hash comparison honest:
+* every computed column aliased identically on both sides,
+* doubles rounded on both sides,
+* array results stringified (concat_ws / array_to_string) — no
+  engine-specific array rendering in the hash,
+* deterministic total order where LIMIT/top-k is involved.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deepseek_ocr_spark.functions import text as T
+from deepseek_ocr_spark.functions import textstats as TS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------
+# §2.2 filters / projections
+# --------------------------------------------------------------------
+
+def q_filter_project(spark, sf_dir):
+    """F1/F5: predicate + projection; pushdown-friendly."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.05))
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+"""
+
+
+def q_size_gate(spark, sf_dir):
+    """F1 size-limit gate: length() filter + reject flag routing."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.when(F.length("text") > 300, "rejected").otherwise("ok").alias("gate"),
+    )
+
+
+SQL_SIZE_GATE = """
+SELECT doc_id, length(text) AS text_len,
+       CASE WHEN length(text) > 300 THEN 'rejected' ELSE 'ok' END AS gate
+FROM documents
+"""
+
+
+def q_eos_filter(spark, sf_dir):
+    """F6 (SKIP_REPEAT analog): LIKE-predicate keep/drop routing."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").like("%dup%"))
+        .select("doc_id", "lang")
+    )
+
+
+SQL_EOS_FILTER = "SELECT doc_id, lang FROM documents WHERE text LIKE '%dup%'"
+
+
+# --------------------------------------------------------------------
+# §2.3 routing / dispatch
+# --------------------------------------------------------------------
+
+def q_mode_case_routing(spark, sf_dir):
+    """R1 mode→prompt dispatch as a CASE ladder + agg."""
+    o = _t(spark, sf_dir, "orders")
+    mode = (
+        F.when(F.col("o_orderpriority").startswith("1"), "document")
+        .when(F.col("o_orderpriority").startswith("2"), "grounding")
+        .when(F.col("o_orderpriority").startswith("3"), "freeform")
+        .otherwise("plain")
+    )
+    return (
+        o.select(mode.alias("mode"), "o_totalprice")
+        .groupBy("mode")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+SQL_MODE_CASE_ROUTING = """
+SELECT CASE WHEN o_orderpriority LIKE '1%' THEN 'document'
+            WHEN o_orderpriority LIKE '2%' THEN 'grounding'
+            WHEN o_orderpriority LIKE '3%' THEN 'freeform'
+            ELSE 'plain' END AS mode,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+"""
+
+
+_PRESETS = [
+    ("news", "tiny", 512),
+    ("blog", "small", 640),
+    ("docs", "base", 1024),
+    ("shop", "large", 1280),
+    ("wiki", "gundam", 1664),
+]
+
+
+def q_preset_broadcast_join(spark, sf_dir):
+    """R2 preset dispatch: broadcast join to a tiny dim table
+    (api/config.py:51-57 presets analog)."""
+    d = _t(spark, sf_dir, "documents")
+    presets = spark.createDataFrame(_PRESETS, "source_kind string, preset string, base_size int")
+    keyed = d.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(k) for k, _, _ in _PRESETS]),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ).alias("source_kind"),
+    )
+    return (
+        keyed.join(F.broadcast(presets), "source_kind")
+        .groupBy("preset", "base_size")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_PRESET_BROADCAST_JOIN = """
+WITH presets(source_kind, preset, base_size) AS (
+  VALUES ('news','tiny',512),('blog','small',640),('docs','base',1024),
+         ('shop','large',1280),('wiki','gundam',1664)
+), keyed AS (
+  SELECT doc_id,
+         ['news','blog','docs','shop','wiki'][(doc_id % 5 + 1)::INT] AS source_kind
+  FROM documents
+)
+SELECT preset, base_size, count(*) AS n
+FROM keyed JOIN presets USING (source_kind)
+GROUP BY preset, base_size
+"""
+
+
+def q_union_paths(spark, sf_dir):
+    """R3 router fan-in: per-type paths unioned back (unionByName)."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("lang") == "en").select("doc_id", F.lit("html_path").alias("route"))
+    b = d.filter(F.col("lang") == "de").select("doc_id", F.lit("pdf_path").alias("route"))
+    return a.unionByName(b)
+
+
+SQL_UNION_PATHS = """
+SELECT doc_id, 'html_path' AS route FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT doc_id, 'pdf_path' AS route FROM documents WHERE lang = 'de'
+"""
+
+
+# --------------------------------------------------------------------
+# §2.7 joins / aggregates / windows
+# --------------------------------------------------------------------
+
+def q_equi_join_agg(spark, sf_dir):
+    """Three-way equi-join + hash agg (pages↔spans↔crops analog)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_EQUI_JOIN_AGG = """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """Left-anti join: customers with no orders (reject routing F6)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_idle"))
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_mktsegment, count(*) AS n_idle
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """Left-semi join: customers that do have orders, per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_nationkey, count(*) AS n_active
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey
+"""
+
+
+def q_hash_agg(spark, sf_dir):
+    """TPC-H Q1-shape map-side-combine hash aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_HASH_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_window_rank(spark, sf_dir):
+    """Figure-ordinal analog: row_number per group, keep top 2."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 2
+"""
+
+
+def q_topk(spark, sf_dir):
+    """Top-k with deterministic total order (first-box-only analog)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .limit(10)
+    )
+
+
+SQL_TOPK = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_distinct(spark, sf_dir):
+    """Distinct/dedupe (banned-token-set analog M10)."""
+    return _t(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+SQL_DISTINCT = "SELECT DISTINCT lang, source FROM documents"
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """Keep-latest dedup by key (training-pipeline recrawl pattern)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+SQL_LATEST_EVENT_PER_USER = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_ts_bucket_agg(spark, sf_dir):
+    """Timestamp functions + agg (task-timestamp analog O3)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+SQL_TS_BUCKET_AGG = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------
+# §2.5 string/regex algebra on the documents table
+# --------------------------------------------------------------------
+
+_SEP_SQL = "chr(10) || chr(10) || '<--- Page Split --->' || chr(10)"
+
+
+def q_ordered_merge(spark, sf_dir):
+    """P9 ordered page merge: sort-agg with the reference separator
+    INCLUDING the trailing one (run_dpsk_ocr_pdf.py:296-298,317)."""
+    d = _t(spark, sf_dir, "documents").withColumnRenamed("text", "page_text")
+    return d.groupBy("source").agg(
+        T.merge_pages_agg("page_text", "doc_id").alias("merged")
+    )
+
+
+SQL_ORDERED_MERGE = f"""
+SELECT source,
+       string_agg(text, {_SEP_SQL} ORDER BY doc_id) || {_SEP_SQL} AS merged
+FROM documents GROUP BY source
+"""
+
+
+def q_explode_tokens(spark, sf_dir):
+    """S5 page-explode analog: posexplode with order preserved."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+
+
+SQL_EXPLODE_TOKENS = """
+SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok
+FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE doc_id < 50)
+"""
+
+
+# Build grounded marker text from plain columns so the span algebra is
+# exercised (and oracle-verified) without binary payloads.
+def _marked_col():
+    return F.concat(
+        F.lit("<|ref|>"),
+        F.col("lang"),
+        F.lit("<|/ref|><|det|>[["),
+        (F.col("doc_id") % 999).cast("string"),
+        F.lit(", 5, 100, 200]]<|/det|>\nbody: "),
+        F.col("text"),
+        F.lit("\n<｜end▁of▁sentence｜>"),
+    )
+
+
+_MARKED_SQL = (
+    "'<|ref|>' || lang || '<|/ref|><|det|>[[' || (doc_id % 999)::VARCHAR"
+    " || ', 5, 100, 200]]<|/det|>' || chr(10) || 'body: ' || text || chr(10)"
+    " || '<｜end▁of▁sentence｜>'"
+)
+
+
+def q_span_extract(spark, sf_dir):
+    """P1/P2: grounding-span extraction via regexp_extract_all."""
+    d = _t(spark, sf_dir, "documents").withColumn("marked", _marked_col())
+    return d.select(
+        "doc_id",
+        F.concat_ws("|", T.extract_ref_labels(F.col("marked"))).alias("labels"),
+        F.concat_ws("|", T.extract_det_payloads(F.col("marked"))).alias("dets"),
+    )
+
+
+SQL_SPAN_EXTRACT = f"""
+SELECT doc_id,
+       array_to_string(regexp_extract_all(m, '(?s)<\\|ref\\|>(.*?)<\\|/ref\\|><\\|det\\|>(.*?)<\\|/det\\|>', 1), '|') AS labels,
+       array_to_string(regexp_extract_all(m, '(?s)<\\|ref\\|>(.*?)<\\|/ref\\|><\\|det\\|>(.*?)<\\|/det\\|>', 2), '|') AS dets
+FROM (SELECT doc_id, {_MARKED_SQL} AS m FROM documents)
+"""
+
+
+def q_marker_strip_chain(spark, sf_dir):
+    """P3+P5+P6 chain: EOS strip → marker strip → TeX fixups →
+    two sequential literal newline collapses."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "marked",
+        F.concat(
+            _marked_col(), F.lit("\n\n\n\ntail \\coloneqq x \\eqqcolon y\n\n\n.")
+        ),
+    )
+    cleaned = T.newline_collapse(
+        T.tex_fixups(T.strip_markers(T.strip_eos(F.col("marked"))))
+    )
+    return d.select("doc_id", cleaned.alias("cleaned"))
+
+
+SQL_MARKER_STRIP_CHAIN = f"""
+SELECT doc_id,
+  replace(replace(replace(replace(
+    regexp_replace(
+      replace(m, '<｜end▁of▁sentence｜>', ''),
+      '(?s)<\\|ref\\|>.*?<\\|/ref\\|><\\|det\\|>.*?<\\|/det\\|>', '', 'g'),
+    '\\coloneqq', ':='), '\\eqqcolon', '=:'),
+    chr(10)||chr(10)||chr(10)||chr(10), chr(10)||chr(10)),
+    chr(10)||chr(10)||chr(10), chr(10)||chr(10)) AS cleaned
+FROM (SELECT doc_id, {_MARKED_SQL} || chr(10)||chr(10)||chr(10)||chr(10) ||
+      'tail \\coloneqq x \\eqqcolon y' || chr(10)||chr(10)||chr(10) || '.' AS m
+      FROM documents)
+"""
+
+
+# --------------------------------------------------------------------
+# Text analysis (training-data pipeline)
+# --------------------------------------------------------------------
+
+def q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.quality_score(F.col("text")).alias("quality"),
+        TS.punct_count(F.col("text")).alias("n_punct"),
+    )
+
+
+SQL_QUALITY_SCORE = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+         length(text) AS chars,
+         len(regexp_extract_all(text, '[.,;:!?]', 0)) AS n_punct
+  FROM documents)
+SELECT doc_id,
+       round(
+         (CASE WHEN toks BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END) +
+         (CASE WHEN n_punct > 0 THEN 0.2 ELSE 0.0 END) +
+         (CASE WHEN toks > 0 AND chars::DOUBLE / toks BETWEEN 3.0 AND 12.0
+               THEN 0.4 ELSE 0.0 END), 4) AS quality,
+       n_punct
+FROM s
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+_HITS_SQL = {
+    lang: f"len(regexp_extract_all(lower(text), '{pat}', 0))"
+    for lang, pat in TS.LANG_STOPWORD_RE.items()
+}
+
+SQL_LANG_ID = f"""
+SELECT doc_id,
+  CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+       WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+       WHEN fr > 0 AND fr >= es THEN 'fr'
+       WHEN es > 0 THEN 'es'
+       ELSE 'und' END AS lang_guess
+FROM (SELECT doc_id, {_HITS_SQL['en']} AS en, {_HITS_SQL['de']} AS de,
+             {_HITS_SQL['fr']} AS fr, {_HITS_SQL['es']} AS es
+      FROM documents)
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    """Exact dedup: hash-groupBy on a normalized prefix fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.substring(F.col("text"), 1, 20))
+    return (
+        d.select(fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+SQL_EXACT_DUP_GROUPS = """
+SELECT md5(substr(text, 1, 20)) AS fp, count(*) AS n_dups
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# --------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
+    "size_gate": (q_size_gate, SQL_SIZE_GATE),
+    "eos_filter": (q_eos_filter, SQL_EOS_FILTER),
+    "mode_case_routing": (q_mode_case_routing, SQL_MODE_CASE_ROUTING),
+    "preset_broadcast_join": (q_preset_broadcast_join, SQL_PRESET_BROADCAST_JOIN),
+    "union_paths": (q_union_paths, SQL_UNION_PATHS),
+    "equi_join_agg": (q_equi_join_agg, SQL_EQUI_JOIN_AGG),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "hash_agg": (q_hash_agg, SQL_HASH_AGG),
+    "window_rank": (q_window_rank, SQL_WINDOW_RANK),
+    "topk": (q_topk, SQL_TOPK),
+    "distinct": (q_distinct, SQL_DISTINCT),
+    "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER),
+    "ts_bucket_agg": (q_ts_bucket_agg, SQL_TS_BUCKET_AGG),
+    "ordered_merge": (q_ordered_merge, SQL_ORDERED_MERGE),
+    "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
+    "span_extract": (q_span_extract, SQL_SPAN_EXTRACT),
+    "marker_strip_chain": (q_marker_strip_chain, SQL_MARKER_STRIP_CHAIN),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
+}

@@ -1,0 +1,98 @@
+"""Local replica of the driver's correctness gate: run each REGISTRY
+query on Spark and its SQL twin on DuckDB, compare row count, column
+names, and order-insensitive values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from deepseek_ocr_spark.queries import REGISTRY  # noqa: E402
+from deepseek_ocr_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    failures = []
+    for name, (fn, sql) in REGISTRY.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            continue
+        if sql is None:
+            print(f"rows-only  {name}: {len(srows)} rows")
+            continue
+        try:
+            res = con.sql(sql)
+            dcols = [c.lower() for c in res.columns]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            continue
+        ok = True
+        if sorted(c.lower() for c in scols) != sorted(dcols):
+            ok = False
+            print(f"FAIL  {name}: columns spark={scols} duck={dcols}")
+        elif len(srows) != len(drows):
+            ok = False
+            print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
+        else:
+            a = norm_rows([c.lower() for c in scols], srows)
+            b = norm_rows(dcols, drows)
+            if a != b:
+                ok = False
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
+        if ok:
+            print(f"OK    {name}: {len(srows)} rows")
+        else:
+            failures.append(name)
+    spark.stop()
+    print()
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("all queries match")
+
+
+if __name__ == "__main__":
+    main()
