@@ -1,0 +1,150 @@
+"""Deduplication operators for a training-data pipeline.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
+bucket-join), SimHash, and n-gram Jaccard — all as JVM-side column
+expressions / DataFrame compositions (no Python UDFs), each with an
+ANSI-SQL mirror in queries.py for the DuckDB oracle.
+
+MinHash permutations are implemented as lexicographic-min over
+``md5(seed || ':' || shingle)`` — a keyed random permutation both
+engines compute identically. SimHash is 32-bit: per-token hash =
+first 8 md5 hex chars as an integer; bit_j of the signature is the
+sign of the ±1 vote sum over tokens.
+
+Scale notes (100 TB): the shingle explode is the big intermediate —
+at real scale insert a ``repartition`` on doc hash before the explode
+and aggregate partially (min() is algebraic, map-side combine free);
+the LSH band join shuffles only (band_idx, band_hash, doc_id) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 8
+N_BANDS = 4  # 2 rows per band
+SHINGLE_K = 3
+SIMHASH_BITS = 32
+
+
+def words_col(text_col):
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def shingles_col(text_col, k: int = SHINGLE_K):
+    """Word k-gram shingles; null (→ explode drops row) under k words."""
+    w = words_col(text_col)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    return F.when(
+        n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, h0..h{N_HASHES-1}) minhash signature per document."""
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"h{s}")
+        for s in range(N_HASHES)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+    """Self-join signatures on band hashes → candidate pairs (a < b).
+
+    Bands of 2 rows: band_i = md5 of h_{2i} || h_{2i+1}. The join key
+    (band_idx, band) is small and uniform — this is the shuffle the
+    operator is built around.
+    """
+    bands = F.array(
+        *[
+            F.md5(F.concat(F.col(f"h{2 * i}"), F.col(f"h{2 * i + 1}")))
+            for i in range(N_BANDS)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.posexplode(bands).alias("band_idx", "band")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact word-shingle Jaccard for candidate pairs.
+
+    |A∩B| via a shingle equi-join restricted to the pair set; |A∪B| =
+    |A| + |B| − |A∩B|. Rounded to 4 decimals for the oracle hash.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def token_hash32():
+    """32-bit integer hash of a token: first 8 md5 hex chars."""
+    return lambda tok: F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document (multiset token votes)."""
+    h = token_hash32()
+    toks = df.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("tok")
+    ).withColumn("th", h(F.col("tok")))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select(F.col(id_col), sig.cast("bigint").alias("simhash"))

@@ -1,0 +1,128 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, and a
+sign-random-projection LSH bucketing as the scale path (bucket join
+instead of all-pairs). All JVM-side expressions: dot products via
+``zip_with`` + ``aggregate`` (whole-stage codegen), hyperplanes as
+literal arrays — no Python on the hot path. Each has an ANSI-SQL
+mirror in queries.py.
+
+Scale path at 100 TB: compute ``bucket`` once at ingest (it's a pure
+column), partition/cluster the table by bucket, and an ANN query
+touches one partition (partition pruning) instead of the full scan
+the brute-force baseline does.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+N_PLANES = 8
+
+
+def hyperplane(j: int, dim: int = EMB_DIM) -> list[float]:
+    """Deterministic ±1 hyperplane from sha256 parity — public-trick
+    seeded random projection, identically computable in SQL."""
+    out = []
+    for i in range(dim):
+        d = hashlib.sha256(f"plane:{j}:{i}".encode()).digest()
+        out.append(1.0 if d[0] % 2 == 0 else -1.0)
+    return out
+
+
+def dot_lit(emb: Column, plane: list[float]) -> Column:
+    """Dot of an array<double> column with a literal vector, summed in
+    array order (matches DuckDB list_inner_product order)."""
+    lit = F.array(*[F.lit(v) for v in plane])
+    return F.aggregate(
+        F.zip_with(emb, lit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def bucket_col(emb: Column, n_planes: int = N_PLANES) -> Column:
+    """LSH bucket id: sign bit per hyperplane packed into an int."""
+    acc = F.lit(0)
+    for j in range(n_planes):
+        bit = F.when(dot_lit(emb, hyperplane(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        acc = acc + bit
+    return acc.cast("int")
+
+
+def emb_double(df: DataFrame, col: str = "embedding") -> DataFrame:
+    return df.withColumn("emb", F.col(col).cast("array<double>"))
+
+
+def brute_force_topk(
+    df: DataFrame, query_id: int, k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Baseline ANN: broadcast the query vector, full-scan cosine,
+    deterministic total order (rounded sim desc, id)."""
+    d = emb_double(df)
+    q = d.filter(F.col(id_col) == query_id).select(F.col("emb").alias("q_emb"))
+    return (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(cosine_col(F.col("emb"), F.col("q_emb")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_bucketed_topk(
+    df: DataFrame, query_id: int, k: int = 5, id_col: str = "vec_id"
+) -> DataFrame:
+    """Scale-path ANN: restrict the scan to the query's LSH bucket."""
+    d = emb_double(df).withColumn("bucket", bucket_col(F.col("emb")))
+    q = d.filter(F.col(id_col) == query_id).select(
+        F.col("emb").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    return (
+        d.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.col("bucket"),
+            F.round(cosine_col(F.col("emb"), F.col("q_emb")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---- SQL mirror helpers -------------------------------------------------
+
+def plane_sql(j: int, dim: int = EMB_DIM) -> str:
+    vals = ",".join(str(v) for v in hyperplane(j, dim))
+    return f"[{vals}]::DOUBLE[]"
+
+
+def bucket_sql(emb_expr: str, n_planes: int = N_PLANES) -> str:
+    terms = [
+        f"(CASE WHEN list_inner_product({emb_expr}, {plane_sql(j)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    ]
+    return "(" + " + ".join(terms) + ")::INT"

@@ -550,6 +550,194 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 
 
 # --------------------------------------------------------------------
+# Deduplication (training-data pipeline)
+# --------------------------------------------------------------------
+
+from deepseek_ocr_spark.functions import dedup as DD  # noqa: E402
+from deepseek_ocr_spark.functions import similarity as SIM  # noqa: E402
+
+_SHINGLES_SQL = """
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+           FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(l) - 1),
+                                    i -> array_to_string(l[i:i+2], ' '))) AS sh
+       FROM w)
+"""
+
+_MINHASH_CORE = (
+    "SELECT doc_id, "
+    + ", ".join(f"min(md5('{s}:' || sh)) AS h{s}" for s in range(DD.N_HASHES))
+    + " FROM sh GROUP BY doc_id"
+)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures: shingle → keyed-md5 min per permutation."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_signature(d, "doc_id", "text")
+
+
+SQL_MINHASH_SIGNATURES = _SHINGLES_SQL + _MINHASH_CORE
+
+_BANDED_SQL = (
+    "banded AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, md5(h{2*i} || h{2*i+1}) AS band FROM sig"
+        for i in range(DD.N_BANDS)
+    )
+    + ")"
+)
+
+_PAIRS_CORE = f"""
+sig AS ({_MINHASH_CORE}), {_BANDED_SQL},
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band = b.band
+           AND a.doc_id < b.doc_id)
+"""
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    """MinHash-LSH: band-hash bucket self-join → candidate pairs."""
+    d = _t(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(d, "doc_id", "text")
+    return DD.lsh_candidate_pairs(sig, "doc_id").withColumnsRenamed(
+        {"id_a": "id_a", "id_b": "id_b"}
+    )
+
+
+SQL_LSH_CANDIDATE_PAIRS = _SHINGLES_SQL + "," + _PAIRS_CORE + "SELECT id_a, id_b FROM pairs"
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact shingle-Jaccard over the LSH candidate pairs."""
+    d = _t(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(d, "doc_id", "text")
+    pairs = DD.lsh_candidate_pairs(sig, "doc_id")
+    return DD.ngram_jaccard(d, pairs, "doc_id", "text")
+
+
+SQL_NGRAM_JACCARD = (
+    _SHINGLES_SQL
+    + ","
+    + _PAIRS_CORE
+    + """,
+dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+          FROM pairs p
+          JOIN dsh a ON a.doc_id = p.id_a
+          JOIN dsh b ON b.doc_id = p.id_b AND b.sh = a.sh
+          GROUP BY p.id_a, p.id_b)
+SELECT i.id_a, i.id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+             JOIN sizes sb ON sb.doc_id = i.id_b
+"""
+)
+
+
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash signature per document."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash(d, "doc_id", "text")
+
+
+_SIMHASH_VOTES = ", ".join(
+    f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(DD.SIMHASH_BITS)
+)
+_SIMHASH_PACK = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(DD.SIMHASH_BITS)
+)
+
+SQL_SIMHASH = f"""
+WITH t AS (SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+           FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th FROM t),
+v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id)
+SELECT doc_id, ({_SIMHASH_PACK})::BIGINT AS simhash FROM v
+"""
+
+
+# --------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------
+
+_COS_SQL = (
+    "round(list_inner_product(e, q_emb) / "
+    "(sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(q_emb, q_emb))), 4)"
+)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of vec_id 0 (baseline)."""
+    return SIM.brute_force_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id, {_COS_SQL} AS sim
+FROM d, q WHERE vec_id != 0
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Sign-projection LSH bucket histogram (the ANN scale path:
+    cluster/partition by bucket → ANN query prunes to one bucket)."""
+    d = SIM.emb_double(_t(spark, sf_dir, "embeddings"))
+    return (
+        d.select(SIM.bucket_col(F.col("emb")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_ANN_LSH_BUCKETS = f"""
+SELECT {SIM.bucket_sql("embedding::DOUBLE[]")} AS bucket, count(*) AS n
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Bucketed ANN: top-5 neighbors of vec_id 0 inside its bucket."""
+    return SIM.lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=5)
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                  {SIM.bucket_sql("embedding::DOUBLE[]")} AS bucket
+           FROM embeddings),
+q AS (SELECT e AS q_emb, bucket AS q_bucket FROM d WHERE vec_id = 0)
+SELECT vec_id, bucket, {_COS_SQL} AS sim
+FROM d, q WHERE bucket = q_bucket AND vec_id != 0
+ORDER BY sim DESC, vec_id LIMIT 5
+"""
+
+
+def q_emb_norm_by_label(spark, sf_dir):
+    """Vector-math agg: mean L2 norm per label."""
+    d = SIM.emb_double(_t(spark, sf_dir, "embeddings"))
+    return d.groupBy("label").agg(
+        F.round(F.avg(SIM.norm_col(F.col("emb"))), 4).alias("avg_norm"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_EMB_NORM_BY_LABEL = """
+SELECT label,
+       round(avg(sqrt(list_inner_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[]))), 4) AS avg_norm,
+       count(*) AS n
+FROM embeddings GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
 
@@ -578,4 +766,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "emb_norm_by_label": (q_emb_norm_by_label, SQL_EMB_NORM_BY_LABEL),
 }
