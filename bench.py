@@ -1,0 +1,239 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + north-rule scaling evidence).
+
+Phases:
+
+1. **Headline queries** — representative operators from the registry
+   (joins, sort-agg merge, windows, regex span chain, MinHash/LSH
+   dedup, ANN cosine top-k) timed at ``local[$SPARK_GRAFT_CPUS]``
+   against ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+   Results are materialized through the ``noop`` sink so Catalyst
+   cannot prune the work away.
+
+2. **Extraction scaling** — the north metric. Runs the full batch
+   extraction pipeline (sniff → JVM reject branch → mapInPandas
+   extract → noop sink) on a deterministic synthetic ``pages`` table
+   at TWO parallelism levels on the SAME input and reports docs/sec at
+   both plus throughput scaling efficiency ``(T_4N / T_N) / 4`` — the
+   sandbox stand-in for the N→4N-executor criterion in BASELINE.json.
+
+   Each measurement runs in a FRESH subprocess (fresh JVM): the
+   sandbox VM shows heavy CPU steal (~40% at times) and session-reuse
+   artifacts otherwise poison the numbers. Default pair is
+   ``local[2]`` vs ``local[8]``: a pure-CPU microbenchmark shows this
+   host delivers only ~13x aggregate at 32 procs (vCPU overcommit), so
+   2→8 is the widest N→4N window inside the host's linear region; a
+   ``local[32]`` datapoint is reported alongside for transparency.
+   Each level is best-of-``BENCH_REPS`` to ride out steal bursts.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "extract": {...}}``
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_DOCS,
+BENCH_SCALE_N (default 2), BENCH_REPS (default 2), BENCH_SCALING=0
+to skip the scaling phase, BENCH_EXTRA_CORES (default "32").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "24000"))
+SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))
+REPS = int(os.environ.get("BENCH_REPS", "2"))
+RUN_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
+EXTRA_CORES = [
+    int(c) for c in os.environ.get("BENCH_EXTRA_CORES", "32").split(",") if c
+]
+SEED = 42
+
+HEADLINE = [
+    "hash_agg",
+    "equi_join_agg",
+    "ordered_merge",
+    "window_rank",
+    "span_extract",
+    "marker_strip_chain",
+    "topk",
+    "lang_id",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard",
+    "ann_cosine_topk",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else 0.0
+
+
+def _pages_path(n_docs: int) -> str:
+    return f"/tmp/dsocr_bench_pages_{n_docs}_{SEED}.parquet"
+
+
+def _new_spark(cores: int, name: str):
+    from deepseek_ocr_spark.session import get_spark
+
+    return get_spark(
+        master=f"local[{cores}]",
+        app_name=name,
+        shuffle_partitions=max(cores, 8),
+        extra={"spark.ui.showConsoleProgress": "false"},
+    )
+
+
+def extract_one(cores: int, n_docs: int, reps: int) -> None:
+    """Subprocess mode: time the pipeline at one parallelism level."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_spark.pipeline import extract_pipeline
+
+    spark = _new_spark(cores, f"dsocr-extract-{cores}")
+    pages = spark.read.parquet(_pages_path(n_docs))
+    # Warmup: trivial mapInPandas over the FULL table — spins up every
+    # Python worker (import cost) and warms the page cache, so the
+    # timed run measures steady-state extraction, not cold start.
+    import pandas as pd
+
+    def _touch(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    pages.select("url", "html").mapInPandas(_touch, "n long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    best = float("inf")
+    all_secs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        extract_pipeline(pages, parallelism=cores).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        secs = time.perf_counter() - t0
+        all_secs.append(round(secs, 3))
+        best = min(best, secs)
+    n = pages.count()
+    n_ok = None  # count() above is the row total; ok-count not needed here
+    print(
+        "EXTRACT_RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "secs": round(best, 3),
+                "reps": all_secs,
+                "docs": n,
+                "docs_per_sec": round(n / best, 1),
+                "ok": n_ok,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+def _run_subprocess(cores: int) -> dict | None:
+    cmd = [
+        sys.executable,
+        os.path.abspath(__file__),
+        "--extract-one",
+        str(cores),
+        str(BENCH_DOCS),
+        str(REPS),
+    ]
+    env = dict(os.environ, PYTHONPATH=_HERE)
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=1800, env=env
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in out.stdout.splitlines():
+        if line.startswith("EXTRACT_RESULT "):
+            return json.loads(line[len("EXTRACT_RESULT "):])
+    sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
+    return None
+
+
+def main() -> None:
+    timings: dict[str, float] = {}
+
+    # ---- phase 1: generate pages (cached) + headline queries ----
+    spark = _new_spark(CPUS, "dsocr-bench")
+    pages_path = _pages_path(BENCH_DOCS)
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        from deepseek_ocr_spark.fixtures.pages_gen import gen_pages_spark
+
+        gen_pages_spark(spark, BENCH_DOCS, seed=SEED, parts=96).write.mode(
+            "overwrite"
+        ).parquet(pages_path)
+
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    for name in HEADLINE:
+        fn, _sql = REGISTRY[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+
+    # ---- phase 2: extraction scaling in fresh subprocesses ----
+    extract_stats: dict = {"docs": BENCH_DOCS}
+    if RUN_SCALING:
+        r_n = _run_subprocess(SCALE_N)
+        r_4n = _run_subprocess(SCALE_N * 4)
+        if r_n:
+            extract_stats["n"] = r_n
+            timings[f"extract_local{r_n['cores']}"] = r_n["secs"]
+        if r_4n:
+            extract_stats["4n"] = r_4n
+            timings[f"extract_local{r_4n['cores']}"] = r_4n["secs"]
+        if r_n and r_4n:
+            ratio = r_4n["docs_per_sec"] / r_n["docs_per_sec"]
+            extract_stats["scaling_efficiency"] = round(ratio / 4.0, 3)
+        for c in EXTRA_CORES:
+            if c in (SCALE_N, SCALE_N * 4):
+                continue
+            r = _run_subprocess(c)
+            if r:
+                extract_stats[f"cores{c}"] = r
+                timings[f"extract_local{c}"] = r["secs"]
+    else:
+        r = _run_subprocess(CPUS)
+        if r:
+            extract_stats["4n"] = r
+            timings[f"extract_local{CPUS}"] = r["secs"]
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+                "cpus": CPUS,
+                "extract": extract_stats,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--extract-one":
+        extract_one(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+    else:
+        main()

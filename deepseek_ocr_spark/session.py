@@ -59,7 +59,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.python.worker.reuse", "true")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Smaller than the 128 MiB default: the heavy stage is
+        # Python-side parse whose cost scales with payload bytes, so
+        # byte-bounded scan splits ARE the load balancer (the pipeline
+        # deliberately avoids a full-data shuffle before mapInPandas).
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
     )

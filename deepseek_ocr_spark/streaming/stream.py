@@ -1,0 +1,77 @@
+"""Structured-Streaming wrapper over the batch extraction operators.
+
+The reference's closest analogs are its FIFO task queue + background
+worker (api/services/task_queue.py:54-203) and TTL cleanup — a
+micro-batch loop in spirit. Here the SAME stateless operator graph
+(sniff → JVM reject branch → mapInPandas extract) runs under
+``readStream``: new page files landing in the input directory are
+picked up incrementally, the sink checkpoint gives exactly-once file
+processing, and ``trigger(availableNow=True)`` turns the stream into a
+resumable batch drain (the streaming twin of the batch job's done-set
+anti-join resume).
+
+No stateful operators are needed — extraction is per-row pure — so no
+watermarks; lineage columns flow exactly as in batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from deepseek_ocr_spark.fixtures.pages_gen import PAGES_SPARK_SCHEMA
+from deepseek_ocr_spark.pipeline import extract_pipeline
+
+
+def read_pages_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema: str = PAGES_SPARK_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of pages rows (parquet files dropped into a
+    directory — the micro-batch analog of a growing Iceberg table)."""
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.parquet(input_path)
+
+
+def extract_stream(
+    pages: DataFrame, parallelism: int | None = None
+) -> DataFrame:
+    """Streaming DataFrame → extracted streaming DataFrame.
+
+    Reuses the batch operator graph verbatim — the plan is identical
+    per micro-batch (one Exchange for the big-doc branch only).
+    """
+    if parallelism is None:
+        parallelism = pages.sparkSession.sparkContext.defaultParallelism
+    return extract_pipeline(pages, parallelism=parallelism)
+
+
+def run_stream_drain(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    parallelism: int | None = None,
+    timeout_secs: float | None = None,
+) -> None:
+    """Drain everything currently in ``input_path`` exactly once.
+
+    Re-invoking with the same checkpoint processes only files that
+    arrived since the last drain — idempotent resume without the batch
+    job's anti-join (the file-source log is the done-set).
+    """
+    pages = read_pages_stream(spark, input_path)
+    out = extract_stream(pages, parallelism=parallelism)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_secs)
+    if q.isActive:
+        q.stop()

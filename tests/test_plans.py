@@ -1,0 +1,93 @@
+"""Physical-plan assertions — the plans we designed for, not just the
+first ones that passed (SURVEY.md §4).
+
+These read ``.explain`` output:
+* column pruning: the extract stage's scan reads ONLY (url, html),
+* predicate pushdown: filters reach the parquet scan,
+* no full-data shuffle: the small-doc branch has no Exchange between
+  scan and mapInPandas,
+* dimension joins broadcast.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.operators.extract import extract_pages
+from deepseek_ocr_spark.pipeline import extract_pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_extract_scan_prunes_to_url_html(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    plan = plan_of(extract_pages(pages))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
+    assert cols == ["html", "url"], plan
+
+
+def test_small_branch_has_no_exchange(spark, pages_path):
+    """The majority-bytes path must not shuffle payloads (100 TB rule:
+    scan partitioning IS the byte balancer). Only the rare big-doc
+    branch repartitions, so the whole pipeline plan contains exactly
+    one Exchange."""
+    pages = spark.read.parquet(pages_path)
+    plan = plan_of(extract_pipeline(pages, parallelism=4))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    # and the small branch alone is exchange-free
+    small_only = extract_pages(pages.filter(F.length("html") <= 1024))
+    assert "Exchange" not in plan_of(small_only)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = plan_of(df)
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(l_quantity", plan), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
+    assert cols == ["l_orderkey", "l_quantity"], plan
+
+
+def test_preset_join_broadcasts(spark):
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["preset_broadcast_join"]
+    plan = plan_of(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_rejected_branch_is_jvm_only(spark, pages_path):
+    """Oversize rows are produced by pure JVM projection — their
+    sub-plan must contain no Python/Arrow eval node."""
+    from deepseek_ocr_spark.pipeline import rejected_rows_jvm
+
+    pages = spark.read.parquet(pages_path)
+    plan = plan_of(rejected_rows_jvm(pages.filter(F.length("html") > 4096)))
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["hash_agg", "equi_join_agg", "ordered_merge"])
+def test_headline_queries_stay_jvm_side(spark, name):
+    """Relational registry queries must not fall back to Python UDFs —
+    whole-stage codegen handles them end-to-end."""
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY[name]
+    plan = plan_of(fn(spark, SF))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan

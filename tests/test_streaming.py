@@ -1,0 +1,54 @@
+"""Streaming drain: byte-identity + exactly-once incremental resume."""
+
+from __future__ import annotations
+
+import os
+
+from deepseek_ocr_spark.fixtures.pages_gen import write_pages_parquet
+from deepseek_ocr_spark.streaming.stream import run_stream_drain
+
+
+def test_stream_drain_matches_golden_and_resumes(spark, tmp_path, golden_rows):
+    inp = tmp_path / "pages_in"
+    out = str(tmp_path / "extracted")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp)
+
+    # batch 1: rows 0..100
+    write_pages_parquet(str(inp / "part-0.parquet"), 100, seed=42)
+    run_stream_drain(spark, str(inp), out, ckpt, timeout_secs=120)
+    got1 = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert len(got1) == 100
+
+    # batch 2: drop a new file, re-drain with the SAME checkpoint —
+    # only the new file is processed, nothing reprocessed.
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_spark.fixtures.pages_gen import gen_pages_pandas
+
+    pdf = gen_pages_pandas(100, 160, seed=42)
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        str(inp / "part-1.parquet"),
+    )
+    run_stream_drain(spark, str(inp), out, ckpt, timeout_secs=120)
+
+    rows = spark.read.parquet(out).collect()
+    got = {r["url"]: r for r in rows}
+    assert len(rows) == 160 and len(got) == 160  # no duplicates
+
+    for url, row in got.items():
+        gold = golden_rows[url]
+        assert row["extracted_text"] == gold["extracted_text"], url
+        assert row["status"] == gold["status"], url
