@@ -30,9 +30,14 @@ Prints ONE JSON line:
 ``{"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "extract": {...}}``
 
+The pages table uses the ``cc`` fixture profile (tens-of-KB pages,
+Common-Crawl-like weight) so per-doc parse work dominates fixed
+overheads, as it does on real crawl data.
+
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_DOCS,
-BENCH_SCALE_N (default 2), BENCH_REPS (default 2), BENCH_SCALING=0
-to skip the scaling phase, BENCH_EXTRA_CORES (default "32").
+BENCH_PROFILE (default cc), BENCH_SCALE_N (default 2), BENCH_REPS
+(default 2), BENCH_SCALING=0 to skip the scaling phase,
+BENCH_EXTRA_CORES (default "32").
 """
 
 from __future__ import annotations
@@ -50,8 +55,9 @@ sys.path.insert(0, _HERE)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "24000"))
+PROFILE = os.environ.get("BENCH_PROFILE", "cc")
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))
-REPS = int(os.environ.get("BENCH_REPS", "2"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
 RUN_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
 EXTRA_CORES = [
     int(c) for c in os.environ.get("BENCH_EXTRA_CORES", "32").split(",") if c
@@ -80,7 +86,7 @@ def _sf_from_dir(d: str) -> float:
 
 
 def _pages_path(n_docs: int) -> str:
-    return f"/tmp/dsocr_bench_pages_{n_docs}_{SEED}.parquet"
+    return f"/tmp/dsocr_bench_pages_{PROFILE}_{n_docs}_{SEED}.parquet"
 
 
 def _new_spark(cores: int, name: str):
@@ -176,9 +182,9 @@ def main() -> None:
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         from deepseek_ocr_spark.fixtures.pages_gen import gen_pages_spark
 
-        gen_pages_spark(spark, BENCH_DOCS, seed=SEED, parts=96).write.mode(
-            "overwrite"
-        ).parquet(pages_path)
+        gen_pages_spark(
+            spark, BENCH_DOCS, seed=SEED, parts=96, profile=PROFILE
+        ).write.mode("overwrite").parquet(pages_path)
 
     from deepseek_ocr_spark.queries import REGISTRY
 

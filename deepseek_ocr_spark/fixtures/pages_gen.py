@@ -50,13 +50,39 @@ _CLASSES = (
     (1.00, "mega_doc"),
 )
 
+# Profiles control document weight, not structure. ``default`` keeps
+# the original tiny docs (fast unit/golden tests). ``cc`` approximates
+# Common-Crawl reality for benchmarking: pages average tens of KB of
+# markup with dense DOMs (so per-doc parse work dominates scan/Arrow
+# overhead, as it does on real crawl data), and oversize payloads are
+# rare (CC truncates records around 1 MB; 4 MiB+ rows are outliers).
+_PROFILES = {
+    # (para_count_lo, para_count_hi, words_lo, words_hi, classes)
+    "default": (3, 10, 8, 40, _CLASSES),
+    "cc": (
+        40,
+        120,
+        15,
+        50,
+        (
+            (0.63, "html_simple"),
+            (0.80, "html_messy"),
+            (0.88, "pdf_like"),
+            (0.92, "image_like"),
+            (0.925, "oversize"),
+            (0.95, "corrupt"),
+            (1.00, "mega_doc"),
+        ),
+    ),
+}
+
 
 def _words(rng: random.Random, n: int) -> str:
     return " ".join(rng.choice(_VOCAB) for _ in range(n))
 
 
-def _paragraphs(rng: random.Random, n_paras: int) -> list[str]:
-    return [_words(rng, rng.randint(8, 40)) for _ in range(n_paras)]
+def _paragraphs(rng: random.Random, n_paras: int, wlo: int = 8, whi: int = 40) -> list[str]:
+    return [_words(rng, rng.randint(wlo, whi)) for _ in range(n_paras)]
 
 
 def _nav_html(rng: random.Random) -> str:
@@ -83,9 +109,10 @@ def _table_html(rng: random.Random) -> str:
     return "<table>" + "".join(rows) + "</table>"
 
 
-def _html_simple(rng: random.Random) -> tuple[bytes, str]:
+def _html_simple(rng: random.Random, prof=_PROFILES["default"]) -> tuple[bytes, str]:
+    plo, phi, wlo, whi, _ = prof
     title = _words(rng, rng.randint(3, 6))
-    paras = _paragraphs(rng, rng.randint(3, 10))
+    paras = _paragraphs(rng, rng.randint(plo, phi), wlo, whi)
     body_main = "".join(f"<p>{p}</p>" for p in paras)
     html = (
         "<!doctype html><html><head><title>site</title>"
@@ -100,9 +127,10 @@ def _html_simple(rng: random.Random) -> tuple[bytes, str]:
     return html.encode("utf-8"), visible
 
 
-def _html_messy(rng: random.Random) -> tuple[bytes, str]:
+def _html_messy(rng: random.Random, prof=_PROFILES["default"]) -> tuple[bytes, str]:
+    plo, phi, wlo, whi, _ = prof
     title = _words(rng, rng.randint(3, 6))
-    paras = _paragraphs(rng, rng.randint(2, 6))
+    paras = _paragraphs(rng, rng.randint(max(2, plo // 2), max(6, phi // 2)), wlo, whi)
     dup = _words(rng, rng.randint(6, 14))
     body = "".join(f"<div><p>{p}" for p in paras)  # unclosed tags
     dup_block = f"<p>{dup}</p>" * rng.randint(2, 4)  # repetition fixture
@@ -177,18 +205,20 @@ _GEN = {
 }
 
 
-def row_class(rng_val: float) -> str:
-    for thresh, name in _CLASSES:
+def row_class(rng_val: float, classes=_CLASSES) -> str:
+    for thresh, name in classes:
         if rng_val < thresh:
             return name
-    return _CLASSES[-1][1]
+    return classes[-1][1]
 
 
-def gen_row(i: int, seed: int = 42) -> dict:
-    """One pages row — pure function of (seed, i)."""
+def gen_row(i: int, seed: int = 42, profile: str = "default") -> dict:
+    """One pages row — pure function of (seed, i, profile)."""
+    prof = _PROFILES[profile]
     rng = random.Random(f"{seed}:{i}")
-    cls = row_class(rng.random())
-    html, visible = _GEN[cls](rng)
+    cls = row_class(rng.random(), prof[4])
+    gen = _GEN[cls]
+    html, visible = gen(rng, prof) if cls in ("html_simple", "html_messy") else gen(rng)
     cat = _CATEGORIES[i % len(_CATEGORIES)]
     return {
         "url": f"https://site{i % 97}.example/{cat}/{i}",
@@ -199,8 +229,10 @@ def gen_row(i: int, seed: int = 42) -> dict:
     }
 
 
-def gen_pages_pandas(start: int, end: int, seed: int = 42) -> pd.DataFrame:
-    rows = [gen_row(i, seed) for i in range(start, end)]
+def gen_pages_pandas(
+    start: int, end: int, seed: int = 42, profile: str = "default"
+) -> pd.DataFrame:
+    rows = [gen_row(i, seed, profile) for i in range(start, end)]
     return pd.DataFrame(
         rows, columns=["url", "warc_ts", "html", "text", "lang"]
     )
@@ -211,14 +243,16 @@ PAGES_SPARK_SCHEMA = (
 )
 
 
-def gen_pages_spark(spark, n_rows: int, seed: int = 42, parts: int = 32):
+def gen_pages_spark(
+    spark, n_rows: int, seed: int = 42, parts: int = 32, profile: str = "default"
+):
     """Distributed generation: spark.range → mapInPandas, same rows."""
 
     def _gen(batches):
         for pdf in batches:
             for chunk_start in range(0, len(pdf), 1024):
                 ids = pdf["id"].iloc[chunk_start : chunk_start + 1024]
-                rows = [gen_row(int(i), seed) for i in ids]
+                rows = [gen_row(int(i), seed, profile) for i in ids]
                 yield pd.DataFrame(
                     rows, columns=["url", "warc_ts", "html", "text", "lang"]
                 )
@@ -229,7 +263,9 @@ def gen_pages_spark(spark, n_rows: int, seed: int = 42, parts: int = 32):
     )
 
 
-def write_pages_parquet(path: str, n_rows: int, seed: int = 42, chunk: int = 2000) -> None:
+def write_pages_parquet(
+    path: str, n_rows: int, seed: int = 42, chunk: int = 2000, profile: str = "default"
+) -> None:
     """Single-threaded parquet writer (golden/test fixture path)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -245,5 +281,5 @@ def write_pages_parquet(path: str, n_rows: int, seed: int = 42, chunk: int = 200
     )
     with pq.ParquetWriter(path, schema) as writer:
         for start in range(0, n_rows, chunk):
-            pdf = gen_pages_pandas(start, min(start + chunk, n_rows), seed)
+            pdf = gen_pages_pandas(start, min(start + chunk, n_rows), seed, profile)
             writer.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False))

@@ -1,0 +1,188 @@
+"""Multimodal binary columns: typed metadata + decode plumbing.
+
+Treats image/audio/video payloads as opaque ``BINARY`` columns with
+typed metadata, mirroring how the reference treats uploads (bytes →
+PIL only inside the service, api/utils/image_utils.py:87-118). The
+Spark-side plumbing — schema, batch shape, partitioning, UDF
+signatures — is real and tested; only the *pixel/sample codec* is
+stubbed (this container ships no PIL/ffmpeg), behind
+:func:`decode_pixels` / deterministic fakes, exactly as flagged in the
+build brief.
+
+What IS real, no stubs:
+
+* container sniffing (magic bytes, shared with core.sniff),
+* image dimension extraction by parsing container headers in pure
+  Python — PNG IHDR, GIF logical screen descriptor, and a JPEG
+  marker-segment walk to the SOF frame header. This is the metadata a
+  curation pipeline filters on (drop tiny images / extreme aspect
+  ratios) without ever decoding pixels — at 100 TB you prune on
+  header bytes, not decoded frames.
+
+All heavy ops run as iterator ``mapInPandas`` stages so one Python
+worker amortizes setup across a whole Arrow batch; nothing here is a
+row-at-a-time UDF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+IMAGE_META_SCHEMA = (
+    "url string, format string, width int, height int, n_bytes bigint, "
+    "valid boolean"
+)
+
+FRAME_SCHEMA = "url string, frame_idx int, frame binary"
+
+
+# ---- pure-python header parsers (real, tested) ---------------------------
+
+def png_dims(b: bytes) -> tuple[int, int] | None:
+    # 8-byte signature, 4-byte len, b"IHDR", then width/height u32 BE
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return (w, h)
+    return None
+
+
+def gif_dims(b: bytes) -> tuple[int, int] | None:
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return (w, h)
+    return None
+
+
+def jpeg_dims(b: bytes) -> tuple[int, int] | None:
+    """Walk JPEG marker segments to the first SOF0-SOF15 frame header
+    (public JPEG/JFIF structure: FF D8, then FF xx segments with
+    big-endian lengths; SOF carries height/width u16 BE at +3)."""
+    if len(b) < 4 or b[:3] != b"\xff\xd8\xff":
+        return None
+    i = 2
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None  # lost sync — corrupt stream
+        marker = b[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD9 and marker != 0xD9:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        if i + 4 > n:
+            return None
+        seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if seglen < 2:
+            return None
+        # SOF0..SOF3, SOF5..SOF7, SOF9..SOF11, SOF13..SOF15
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                return None
+            h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+            return (w, h)
+        i += 2 + seglen
+    return None
+
+
+def image_meta(payload: bytes) -> dict:
+    """Format + dimensions from header bytes alone (no pixel decode)."""
+    if payload[:8].startswith(b"\x89PNG"):
+        fmt, dims = "png", png_dims(payload)
+    elif payload[:3] == b"\xff\xd8\xff":
+        fmt, dims = "jpeg", jpeg_dims(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        fmt, dims = "gif", gif_dims(payload)
+    else:
+        fmt, dims = "unknown", None
+    return {
+        "format": fmt,
+        "width": dims[0] if dims else None,
+        "height": dims[1] if dims else None,
+        "n_bytes": len(payload),
+        "valid": dims is not None,
+    }
+
+
+# ---- stubbed codecs (deterministic fakes; marked) ------------------------
+
+def decode_pixels(payload: bytes):  # pragma: no cover - stub by design
+    """Full pixel decode — STUB. Requires an image codec (PIL/opencv)
+    not shipped in this container. On a real cluster, import PIL here;
+    everything around this call (batching, schema, partitioning) is
+    already exercised by the fake path below."""
+    raise NotImplementedError(
+        "pixel decode requires an image codec; use fake_thumbnail for "
+        "deterministic plumbing tests"
+    )
+
+
+def fake_thumbnail(payload: bytes, side: int = 8) -> bytes:
+    """Deterministic stand-in for decode→resize: ``side*side`` bytes
+    derived from the payload digest. Same shape/dtype contract a real
+    thumbnail UDF would have (fixed-size binary per row)."""
+    digest = hashlib.sha256(payload).digest()
+    reps = (side * side) // len(digest) + 1
+    return (digest * reps)[: side * side]
+
+
+def fake_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic stand-in for video frame-sampling: n 'frames' per
+    payload, each a digest-derived byte block (ffmpeg would go here)."""
+    return [
+        hashlib.sha256(payload + bytes([k])).digest() for k in range(n_frames)
+    ]
+
+
+# ---- mapInPandas stages --------------------------------------------------
+
+def image_meta_iter(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        metas = [image_meta(bytes(p)) for p in pdf["payload"]]
+        out = pd.DataFrame(metas)
+        out.insert(0, "url", pdf["url"].values)
+        yield out
+
+
+def with_image_meta(df, url_col: str = "url", bin_col: str = "html"):
+    """(url, payload BINARY) → IMAGE_META_SCHEMA rows. Column-prunes
+    to exactly the two needed columns before the Arrow transfer."""
+    from pyspark.sql import functions as F
+
+    src = df.select(
+        F.col(url_col).alias("url"), F.col(bin_col).alias("payload")
+    )
+    return src.mapInPandas(image_meta_iter, schema=IMAGE_META_SCHEMA)
+
+
+def frame_sample_iter(n_frames: int):
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, idxs, frames = [], [], []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                for k, fr in enumerate(fake_frames(bytes(payload), n_frames)):
+                    urls.append(url)
+                    idxs.append(k)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {"url": urls, "frame_idx": idxs, "frame": frames}
+            )
+
+    return it
+
+
+def sample_frames(df, n_frames: int = 4, url_col: str = "url", bin_col: str = "html"):
+    """(url, payload) → one row per sampled frame (UDTF-style fan-out
+    inside the batch; the real ffmpeg sampler drops in at fake_frames)."""
+    from pyspark.sql import functions as F
+
+    src = df.select(
+        F.col(url_col).alias("url"), F.col(bin_col).alias("payload")
+    )
+    return src.mapInPandas(frame_sample_iter(n_frames), schema=FRAME_SCHEMA)

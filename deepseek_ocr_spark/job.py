@@ -1,0 +1,77 @@
+"""spark-submit entry point for the batch extraction job (M7).
+
+The cluster analog of the reference's systemd service unit
+(service/deepseek-ocr-api.service → a single-node serving loop); here
+the unit of deployment is a Spark job:
+
+    spark-submit --py-files deepseek_ocr_spark.zip \\
+        deepseek_ocr_spark/job.py \\
+        --input  s3://bucket/pages_iceberg_or_parquet \\
+        --output s3://bucket/extracted \\
+        --metrics s3://bucket/extract_metrics \\
+        [--no-resume] [--parallelism N]
+
+Build the zip with ``python -m deepseek_ocr_spark.job --make-zip`` or
+``deepseek_ocr_spark.session.package_zip()``. When launched via
+spark-submit, the active session is reused (``getOrCreate`` inside
+``get_spark`` picks up the submitted conf — master, executors,
+memory come from the cluster, not from this file).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="batch document extraction")
+    p.add_argument("--input", required=False, help="pages table path")
+    p.add_argument("--output", required=False, help="extracted table path")
+    p.add_argument("--metrics", default=None, help="metrics table path")
+    p.add_argument(
+        "--no-resume",
+        action="store_true",
+        help="reprocess everything (default resumes via done-set anti-join)",
+    )
+    p.add_argument("--parallelism", type=int, default=None)
+    p.add_argument("--run-id", default=None)
+    p.add_argument(
+        "--make-zip",
+        action="store_true",
+        help="only build the --py-files artifact and print its path",
+    )
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    from deepseek_ocr_spark.session import get_spark, package_zip
+
+    if args.make_zip:
+        print(package_zip())
+        return 0
+    if not args.input or not args.output:
+        print("--input and --output are required", file=sys.stderr)
+        return 2
+
+    from deepseek_ocr_spark.pipeline import run_job
+
+    spark = get_spark()
+    summary = run_job(
+        spark,
+        input_path=args.input,
+        output_path=args.output,
+        metrics_path=args.metrics,
+        resume=not args.no_resume,
+        parallelism=args.parallelism,
+        run_id=args.run_id,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -737,6 +737,45 @@ FROM embeddings GROUP BY label
 """
 
 
+
+
+def q_emb_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — the dedup scale path:
+    LSH bucket self-join (candidates share a sign-projection bucket)
+    → exact cosine on candidates → threshold. At 100 TB the bucket
+    column is computed at ingest and the self-join is bucket-local
+    (co-partitioned), never all-pairs."""
+    d = SIM.emb_double(_t(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", SIM.bucket_col(F.col("emb"))
+    )
+    a = d.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("e_a"), "bucket")
+    b = d.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("e_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(SIM.cosine_col(F.col("e_a"), F.col("e_b")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.2)
+    )
+
+
+SQL_EMB_NEARDUP_PAIRS = f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                  {SIM.bucket_sql("embedding::DOUBLE[]")} AS bucket
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.e, b.e) /
+             (sqrt(list_inner_product(a.e, a.e)) *
+              sqrt(list_inner_product(b.e, b.e))), 4) AS sim
+FROM d a JOIN d b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.e, b.e) /
+            (sqrt(list_inner_product(a.e, a.e)) *
+             sqrt(list_inner_product(b.e, b.e))), 4) >= 0.2
+"""
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -774,4 +813,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "emb_norm_by_label": (q_emb_norm_by_label, SQL_EMB_NORM_BY_LABEL),
+    "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),
 }

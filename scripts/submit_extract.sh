@@ -1,0 +1,18 @@
+#!/usr/bin/env bash
+# Ship the extraction job to a cluster via spark-submit --py-files.
+# Usage: scripts/submit_extract.sh <input> <output> [metrics] [extra spark-submit args...]
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+INPUT="$1"; OUTPUT="$2"; METRICS="${3:-}"
+shift $(( $# >= 3 ? 3 : 2 ))
+ZIP="$(cd "$REPO" && python -m deepseek_ocr_spark.job --make-zip)"
+ARGS=(--input "$INPUT" --output "$OUTPUT")
+[ -n "$METRICS" ] && ARGS+=(--metrics "$METRICS")
+exec spark-submit \
+  --py-files "$ZIP" \
+  --conf spark.sql.adaptive.enabled=true \
+  --conf spark.sql.execution.arrow.pyspark.enabled=true \
+  --conf spark.python.worker.reuse=true \
+  --conf spark.sql.files.maxPartitionBytes=33554432 \
+  "$@" \
+  "$REPO/deepseek_ocr_spark/job.py" "${ARGS[@]}"

@@ -1,0 +1,99 @@
+"""Multimodal plumbing: header parsers (real) + stubbed codec stages."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from deepseek_ocr_spark.functions import multimodal as MM
+
+
+def make_png(w: int, h: int) -> bytes:
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def make_jpeg(w: int, h: int) -> bytes:
+    # SOI + APP0 (JFIF) + SOF0 + EOI — minimal marker walk
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof = b"\x08" + struct.pack(">HH", h, w) + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        + b"\xff\xd9"
+    )
+
+
+def make_gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def test_header_parsers():
+    assert MM.png_dims(make_png(640, 480)) == (640, 480)
+    assert MM.jpeg_dims(make_jpeg(1024, 768)) == (1024, 768)
+    assert MM.gif_dims(make_gif(16, 9)) == (16, 9)
+    assert MM.png_dims(b"notapng") is None
+    assert MM.jpeg_dims(b"\xff\xd8\xff" + b"\x00" * 10) is None  # lost sync
+
+
+def test_image_meta_classifies():
+    m = MM.image_meta(make_jpeg(100, 50))
+    assert (m["format"], m["width"], m["height"], m["valid"]) == (
+        "jpeg", 100, 50, True,
+    )
+    m2 = MM.image_meta(b"\xff\xd8\xff\xdb garbage")
+    assert m2["format"] == "jpeg" and not m2["valid"]
+    assert MM.image_meta(b"plain text")["format"] == "unknown"
+
+
+def test_decode_pixels_is_stub():
+    with pytest.raises(NotImplementedError):
+        MM.decode_pixels(make_png(2, 2))
+
+
+def test_fakes_are_deterministic():
+    p = make_png(4, 4)
+    assert MM.fake_thumbnail(p) == MM.fake_thumbnail(p)
+    assert len(MM.fake_thumbnail(p, side=8)) == 64
+    fr = MM.fake_frames(p, 3)
+    assert fr == MM.fake_frames(p, 3) and len(fr) == 3 and len(set(fr)) == 3
+
+
+def test_with_image_meta_spark(spark):
+    rows = [
+        ("u1", make_png(640, 480)),
+        ("u2", make_jpeg(32, 64)),
+        ("u3", make_gif(8, 8)),
+        ("u4", b"\x00\x01junk"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r for r in MM.with_image_meta(df).collect()}
+    assert got["u1"]["format"] == "png" and got["u1"]["width"] == 640
+    assert got["u2"]["height"] == 64
+    assert got["u3"]["valid"] is True
+    assert got["u4"]["valid"] is False and got["u4"]["width"] is None
+
+
+def test_sample_frames_spark(spark):
+    rows = [("u1", make_png(4, 4)), ("u2", make_gif(2, 2))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = MM.sample_frames(df, n_frames=3).collect()
+    assert len(out) == 6
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r["url"], []).append(r["frame_idx"])
+    assert sorted(by_url["u1"]) == [0, 1, 2]
+    # frames are deterministic per (payload, idx)
+    again = MM.sample_frames(df, n_frames=3).collect()
+    assert sorted((r["url"], r["frame_idx"], bytes(r["frame"])) for r in out) == sorted(
+        (r["url"], r["frame_idx"], bytes(r["frame"])) for r in again
+    )
