@@ -1,0 +1,114 @@
+"""Dynamic-tiling cost model (SURVEY.md §2.4 M1/M2/M6 parity).
+
+The reference plans per-image work by choosing a crop grid whose
+aspect ratio best matches the input (``find_closest_aspect_ratio`` /
+``count_tiles``, DeepSeek-OCR-vllm/process/image_process.py:11-42,
+bounded by MIN_CROPS/MAX_CROPS, config.py:11-12) and budgets vision
+tokens per resolution preset (README.md:217-223: Tiny 64 / Small 100 /
+Base 256 / Large 400 / Gundam n·100+256; formula mirror
+deepseek_ocr.py:95-106). Re-derived here from those published budgets
+— this is the standard dynamic-tiling scheme (InternVL-family, public
+knowledge), not a code port.
+
+In this engine the same math is the **cost model for batch sizing**:
+projected work per document bounds how many rows an Arrow batch should
+carry, the cluster-scale analog of the reference capping per-image
+work with MAX_CROPS.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+MIN_CROPS = 2
+MAX_CROPS = 9
+
+#: tokens per preset — published budget table (README.md:217-223)
+PRESET_TOKENS = {"tiny": 64, "small": 100, "base": 256, "large": 400}
+
+#: Gundam mode: each 640 tile costs 100 tokens, the 1024 global view 256
+TILE_TOKENS = 100
+GLOBAL_TOKENS = 256
+
+
+@lru_cache(maxsize=None)
+def candidate_grids(
+    min_crops: int = MIN_CROPS, max_crops: int = MAX_CROPS
+) -> tuple[tuple[int, int], ...]:
+    """All (cols i, rows j) grids with min_crops <= i*j <= max_crops,
+    sorted by tile count then (i, j) — a deterministic total order."""
+    out = {
+        (i, j)
+        for n in range(min_crops, max_crops + 1)
+        for i in range(1, n + 1)
+        for j in range(1, n + 1)
+        if min_crops <= i * j <= max_crops
+    }
+    return tuple(sorted(out, key=lambda g: (g[0] * g[1], g)))
+
+
+def closest_grid(
+    width: int,
+    height: int,
+    image_size: int = 640,
+    min_crops: int = MIN_CROPS,
+    max_crops: int = MAX_CROPS,
+) -> tuple[int, int]:
+    """Grid whose aspect ratio i/j is closest to width/height.
+
+    Tie-break: prefer the larger grid only when the image area exceeds
+    half the tiled canvas (0.5 * image_size^2 * i * j) — small images
+    shouldn't be sliced into many near-empty tiles. Same decision rule
+    as the reference planner (image_process.py:11-25), derived from
+    its published behavior.
+    """
+    ar = width / height
+    best = (1, 1)
+    best_diff = float("inf")
+    area = width * height
+    for i, j in candidate_grids(min_crops, max_crops):
+        diff = abs(ar - i / j)
+        if diff < best_diff:
+            best_diff = diff
+            best = (i, j)
+        elif diff == best_diff and area > 0.5 * image_size * image_size * i * j:
+            best = (i, j)
+    return best
+
+
+def n_tiles(width: int, height: int, image_size: int = 640) -> int:
+    """Number of local crops for an image; small images (fit in one
+    tile) skip tiling entirely (image_process.py:365-390 analog)."""
+    if width <= image_size and height <= image_size:
+        return 0
+    i, j = closest_grid(width, height, image_size)
+    return i * j
+
+
+def vision_token_budget(
+    width: int, height: int, preset: str = "gundam", image_size: int = 640
+) -> int:
+    """Projected vision tokens for one page — the per-document work
+    estimate. Fixed presets return their published budget; gundam
+    scales with the tile plan (n*100 + 256)."""
+    if preset != "gundam":
+        return PRESET_TOKENS[preset]
+    return n_tiles(width, height, image_size) * TILE_TOKENS + GLOBAL_TOKENS
+
+
+def batch_rows_for_budget(
+    avg_doc_bytes: float,
+    target_batch_bytes: int = 32 * 1024 * 1024,
+    lo: int = 64,
+    hi: int = 4096,
+) -> int:
+    """Arrow batch size (rows) so a batch carries ~target bytes — the
+    admission-control analog of the reference semaphore
+    (vllm_service.py:79,143): bounds peak memory per Python worker
+    regardless of document size mix."""
+    if avg_doc_bytes <= 0:
+        return hi
+    rows = target_batch_bytes / avg_doc_bytes
+    if rows >= hi:
+        return hi
+    return max(lo, int(rows))

@@ -102,18 +102,47 @@ def run_job(
     run_id: str | None = None,
 ) -> dict:
     """Run (or resume) the extraction job. Returns summary counts."""
+    from pyspark.sql import Observation
+
     rid = run_id or uuid.uuid4().hex[:12]
     pages = spark.read.parquet(input_path)
     todo = filter_done(pages, read_done_urls(spark, output_path) if resume else None)
-    extracted = extract_pipeline(todo, parallelism=parallelism)
+    extracted = extract_pipeline(todo, parallelism=parallelism).withColumn(
+        "run_id", F.lit(rid)
+    )
+    # Observation: run totals collected DURING the write — no second
+    # pass over the data (the Spark analog of the reference's per-task
+    # progress fields, task_queue.py:28-42).
+    obs = Observation(f"run-{rid}")
+    extracted = extracted.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_written"),
+        F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias(
+            "error_rows"
+        ),
+    )
     extracted.write.mode("append").parquet(output_path)
+    run_stats = obs.get
 
-    out = spark.read.parquet(output_path)
-    n_out = out.count()
+    # mergeSchema: tolerate pre-run_id files (e.g. seeded by an older
+    # writer) living in the same output directory
+    out = spark.read.option("mergeSchema", "true").parquet(output_path)
     if metrics_path is not None:
-        # metrics for THIS run: rows appended now (cheap re-read of the
-        # run's own lineage columns would need a run marker; we tag by
-        # re-deriving from the appended delta = out minus previously
-        # done urls — sandbox-simple: aggregate over the whole table)
-        metrics_from_extracted(out, rid).write.mode("append").parquet(metrics_path)
-    return {"run_id": rid, "output_rows": n_out}
+        # Per-partition metrics for THIS run only: the run_id filter is
+        # a constant per file, so parquet min/max stats prune every
+        # file written by earlier runs — no full-table rescan.
+        this_run = (
+            out.filter(F.col("run_id") == rid)
+            if "run_id" in out.columns
+            else out
+        )
+        metrics_from_extracted(this_run, rid).write.mode("append").parquet(
+            metrics_path
+        )
+    # total count is metadata-only for parquet (row-group counts)
+    return {
+        "run_id": rid,
+        "output_rows": out.count(),
+        "rows_written": run_stats.get("rows_written") or 0,
+        "error_rows": run_stats.get("error_rows") or 0,
+    }

@@ -1,0 +1,92 @@
+"""Property tests (hypothesis) for the pure math the pipeline rests on:
+tiling plan bounds, merge order/associativity, generator determinism."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from deepseek_ocr_spark.config import EOS
+from deepseek_ocr_spark.core.postprocess import merge_raw_pages
+from deepseek_ocr_spark.fixtures.pages_gen import gen_row
+from deepseek_ocr_spark.functions import tiling as TL
+
+
+@given(
+    w=st.integers(min_value=1, max_value=8000),
+    h=st.integers(min_value=1, max_value=8000),
+)
+def test_tile_count_bounded(w, h):
+    n = TL.n_tiles(w, h)
+    assert n == 0 or TL.MIN_CROPS <= n <= TL.MAX_CROPS
+    # grid is the argmin over candidates: nothing is strictly closer
+    if n:
+        i, j = TL.closest_grid(w, h)
+        ar = w / h
+        best = min(abs(ar - a / b) for a, b in TL.candidate_grids())
+        assert abs(ar - i / j) == best
+
+
+@given(
+    w=st.integers(min_value=1, max_value=8000),
+    h=st.integers(min_value=1, max_value=8000),
+    preset=st.sampled_from(["tiny", "small", "base", "large", "gundam"]),
+)
+def test_token_budget_positive_and_published(w, h, preset):
+    t = TL.vision_token_budget(w, h, preset)
+    if preset != "gundam":
+        assert t == TL.PRESET_TOKENS[preset]
+    else:
+        assert t == TL.GLOBAL_TOKENS + TL.n_tiles(w, h) * TL.TILE_TOKENS
+
+
+@given(avg=st.floats(min_value=0, max_value=1e9, allow_nan=False))
+def test_batch_rows_bounds(avg):
+    r = TL.batch_rows_for_budget(avg)
+    assert 64 <= r <= 4096
+
+
+_page = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=120
+).map(lambda s: s + EOS)
+
+
+@settings(max_examples=50)
+@given(pages=st.lists(_page, max_size=8))
+def test_merge_is_fold_of_single_pages(pages):
+    """Page merge must equal concatenation of per-page merges — the
+    property that makes the distributed sort-agg equal the sequential
+    reference loop at any partitioning."""
+    whole = merge_raw_pages(pages)
+    parts = [merge_raw_pages([p]) for p in pages]
+    assert whole.text == "".join(p.text for p in parts)
+    assert whole.n_pages == sum(p.n_pages for p in parts)
+    assert whole.spans == [s for p in parts for s in p.spans]
+
+
+@settings(max_examples=50)
+@given(pages=st.lists(_page, min_size=2, max_size=6))
+def test_merge_respects_order(pages):
+    a = merge_raw_pages(pages).text
+    b = merge_raw_pages(list(reversed(pages))).text
+    if len(set(pages)) > 1:
+        # order must matter whenever pages differ
+        assert a != b or "".join(pages) == "".join(reversed(pages))
+
+
+def test_skipped_pages_do_not_advance_image_counter():
+    """SKIP_REPEAT quirk (run_dpsk_ocr_pdf.py:285-316): the image-file
+    page index counts only EMITTED pages."""
+    img = "<|ref|>image<|/ref|><|det|>[[1, 2, 3, 4]]<|/det|>"
+    pages = [img + EOS, "runaway no eos", img + EOS]
+    out = merge_raw_pages(pages)
+    assert "![](images/0_0.jpg)" in out.text
+    assert "![](images/1_0.jpg)" in out.text  # NOT 2_0
+    assert out.n_skipped == 1
+
+
+@given(i=st.integers(min_value=0, max_value=5000))
+def test_gen_row_pure(i):
+    a, b = gen_row(i, 42), gen_row(i, 42)
+    assert a == b
+    assert gen_row(i, 43) != a  # seed matters
