@@ -1,0 +1,60 @@
+"""Physical-plan auditing (SURVEY.md §4).
+
+No custom Catalyst rules are needed for this engine (§7.2) — what IS
+needed is continuous proof that the plans Catalyst produces are the
+ones we designed for. These helpers read ``explain`` output and back
+both the test suite (tests/test_plans.py) and ad-hoc tuning.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+# Python-eval operators that must never appear on a JVM-only path.
+PY_EVAL_NODES = ("BatchEvalPython", "ArrowEvalPython")
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists actually read by each scan (pruning check)."""
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan_string(df)):
+        out.append(sorted(c.split(":")[0] for c in m.group(1).split(",") if c))
+    return out
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan_string(df))
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Shuffle count — tree nodes only, not detail headers."""
+    return len(re.findall(r"\(\d+\) Exchange", plan_string(df)))
+
+
+def uses_python_eval(df: DataFrame) -> bool:
+    p = plan_string(df)
+    return any(n in p for n in PY_EVAL_NODES)
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    p = plan_string(df)
+    return "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def audit(df: DataFrame) -> dict:
+    """One-call plan summary for notebooks / logs."""
+    return {
+        "exchanges": count_exchanges(df),
+        "read_schemas": read_schema_columns(df),
+        "pushed_filters": pushed_filters(df),
+        "python_eval": uses_python_eval(df),
+        "broadcast_join": uses_broadcast_join(df),
+    }

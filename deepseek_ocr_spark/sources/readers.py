@@ -1,0 +1,61 @@
+"""Input sources (SURVEY.md §2.1 S1-S6).
+
+The reference ingests documents three ways — multipart upload bytes,
+base64 strings, and URL fetch (api/utils/image_utils.py:87-118) — plus
+a directory glob for offline eval batches
+(run_dpsk_ocr_eval_batch.py:99-107). The cluster equivalents:
+
+* S1 → the pages table itself (payload bytes are already a BINARY
+  column; no per-row network I/O on the hot path, per north_star),
+* S2 → ``unbase64`` on a string column (JVM-side, codegen),
+* S4 → Spark's ``binaryFile`` source over a directory of raw files,
+* S3 (URL fetch) → deliberately NOT replicated: at CC scale payloads
+  arrive via the crawl table, and per-row HTTP in a UDF is the
+  anti-pattern the north_rule bans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.fixtures.pages_gen import PAGES_SPARK_SCHEMA
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-enforced pages reader — declaring the schema skips
+    inference (one less pass over footers at 10^12-row scale) and
+    fails fast on drift."""
+    return spark.read.schema(PAGES_SPARK_SCHEMA).parquet(path)
+
+
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Directory-of-files source (S4, eval-batch analog): one row per
+    file with (url=path, html=content) shaped like the pages table."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path)
+    return df.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+def decode_base64_payloads(
+    df: DataFrame, b64_col: str, out_col: str = "html"
+) -> DataFrame:
+    """S2: strip an optional data-URL prefix and decode base64 to
+    bytes, all JVM-side (image_utils.py:9-31 analog — the reference
+    splits on the first comma when a ``data:…;base64,`` prefix is
+    present)."""
+    c = F.col(b64_col)
+    stripped = F.when(
+        c.contains(","), F.substring_index(c, ",", -1)
+    ).otherwise(c)
+    return df.withColumn(out_col, F.unbase64(stripped))

@@ -1,0 +1,87 @@
+"""Input sources: binaryFile glob scan, base64 decode, schema reader."""
+
+from __future__ import annotations
+
+import base64
+import os
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.fixtures.pages_gen import gen_row
+from deepseek_ocr_spark.pipeline import extract_pipeline
+from deepseek_ocr_spark.sources.readers import (
+    decode_base64_payloads,
+    read_binary_dir,
+    read_pages,
+)
+
+
+def test_binary_dir_source_feeds_pipeline(spark, tmp_path, golden_rows):
+    """S4 eval-batch analog: a directory of raw documents → same
+    extraction results as the table path."""
+    d = tmp_path / "docs"
+    os.makedirs(d)
+    urls = {}
+    for i in range(12):
+        r = gen_row(i, seed=42)
+        name = f"doc{i:03d}.bin"
+        (d / name).write_bytes(r["html"])
+        urls[name] = r["url"]
+
+    df = read_binary_dir(spark, str(d))
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    out = {os.path.basename(row["url"]): row for row in
+           extract_pipeline(df, parallelism=2).collect()}
+    assert len(out) == 12
+    for name, orig_url in urls.items():
+        gold = golden_rows[orig_url]
+        assert out[name]["extracted_text"] == gold["extracted_text"], name
+        assert out[name]["status"] == gold["status"], name
+
+
+def test_binary_dir_glob_filter(spark, tmp_path):
+    d = tmp_path / "mix"
+    os.makedirs(d)
+    (d / "a.html").write_bytes(b"<html><body><p>x</p></body></html>")
+    (d / "b.txt").write_bytes(b"nope")
+    df = read_binary_dir(spark, str(d), glob="*.html")
+    assert df.count() == 1
+
+
+def test_base64_decode_roundtrip(spark):
+    payloads = [b"<html>hi</html>", b"\x89PNG\r\n\x1a\nxx", b""]
+    rows = [
+        ("plain", base64.b64encode(payloads[0]).decode()),
+        ("dataurl", "data:image/png;base64," + base64.b64encode(payloads[1]).decode()),
+        ("empty", base64.b64encode(payloads[2]).decode()),
+    ]
+    df = spark.createDataFrame(rows, "k string, b64 string")
+    got = {r["k"]: bytes(r["html"]) if r["html"] is not None else b""
+           for r in decode_base64_payloads(df, "b64").collect()}
+    assert got["plain"] == payloads[0]
+    assert got["dataurl"] == payloads[1]
+    assert got["empty"] == payloads[2]
+
+
+def test_read_pages_schema_enforced(spark, pages_path):
+    df = read_pages(spark, pages_path)
+    assert [f.name for f in df.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
+    assert df.schema["html"].dataType.simpleString() == "binary"
+    assert df.count() == 200
+
+
+def test_plan_audit_helpers(spark, pages_path):
+    from deepseek_ocr_spark.plans.audit import audit
+
+    pages = read_pages(spark, pages_path)
+    a = audit(extract_pipeline(pages, parallelism=2))
+    assert a["exchanges"] == 1
+    assert ["html", "url"] in a["read_schemas"]
+    # relational query: broadcast + no python
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["preset_broadcast_join"]
+    a2 = audit(fn(spark, "/root/testdata/sf0.001"))
+    assert a2["broadcast_join"] and not a2["python_eval"]
