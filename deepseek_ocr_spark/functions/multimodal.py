@@ -186,3 +186,41 @@ def sample_frames(df, n_frames: int = 4, url_col: str = "url", bin_col: str = "h
         F.col(url_col).alias("url"), F.col(bin_col).alias("payload")
     )
     return src.mapInPandas(frame_sample_iter(n_frames), schema=FRAME_SCHEMA)
+
+
+# ---- S10: figure-crop sink rows (JVM-side) -------------------------------
+
+def figure_crops(extracted_df, url_col: str = "url"):
+    """One row per image-labeled span — the reference crops these
+    regions to ``images/{page}_{idx}.jpg`` (vllm_service.py:526-558,
+    run_dpsk_ocr_pdf.py:183-189). The crop *payload* needs the pixel
+    codec (stubbed in this container), so the jpg column is a
+    deterministic 32-byte stand-in (sha2 of url+ordinal+box, JVM-side
+    unhex — no Python at all); the row shape, ordinal numbering, and
+    box plumbing are the real contract.
+    """
+    from pyspark.sql import functions as F
+
+    spans = extracted_df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode("spans").alias("idx", "span"),
+    )
+    imgs = spans.filter(F.col("span.label") == "image")
+    key = F.concat_ws(
+        ":",
+        F.col("url"),
+        F.col("idx"),
+        F.col("span.x1"),
+        F.col("span.y1"),
+        F.col("span.x2"),
+        F.col("span.y2"),
+    )
+    return imgs.select(
+        "url",
+        F.col("idx").alias("span_ordinal"),
+        F.col("span.x1").alias("x1"),
+        F.col("span.y1").alias("y1"),
+        F.col("span.x2").alias("x2"),
+        F.col("span.y2").alias("y2"),
+        F.unhex(F.sha2(key, 256)).alias("jpg"),
+    )

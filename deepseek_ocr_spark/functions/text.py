@@ -77,3 +77,41 @@ def merge_pages_agg(text_col: str, order_col: str) -> Column:
         F.concat_ws("\n\n<--- Page Split --->\n", texts),
         F.lit("\n\n<--- Page Split --->\n"),
     )
+
+
+# ---- M10 analog: text-level repetition clamp (pandas UDF) ---------------
+
+def clamp_repeats_py(text: str, max_ngram: int = 20) -> str:
+    """Collapse immediately-repeated token blocks (runaway-generation
+    cleanup). The reference bans n-gram repeats at decode time
+    (process/ngram_norepeat.py:7-40); post-hoc the equivalent is
+    collapsing a block of up to ``max_ngram`` tokens that repeats
+    back-to-back. Deterministic, idempotent for fixed n ordering.
+    """
+    import re as _re
+
+    for n in range(max_ngram, 0, -1):
+        pattern = _re.compile(
+            r"((?:\S+\s+){%d}\S+)(?:\s+\1)+" % (n - 1)
+        )
+        text = pattern.sub(r"\1", text)
+    return text
+
+
+def clamp_repeats_udf(max_ngram: int = 20):
+    """Arrow-batched column version of :func:`clamp_repeats_py` — the
+    designated non-SQL-expressible operator (driver records a
+    rows-only check for it)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _clamp(s):
+        return s.map(
+            lambda t: clamp_repeats_py(t, max_ngram) if t is not None else None
+        )
+
+    # set real (non-string) annotations: `from __future__ import
+    # annotations` in this module would otherwise stringify the hints
+    # pandas_udf inspects
+    _clamp.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_clamp, "string")

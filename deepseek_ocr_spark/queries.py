@@ -776,6 +776,38 @@ WHERE round(list_inner_product(a.e, b.e) /
              sqrt(list_inner_product(b.e, b.e))), 4) >= 0.2
 """
 
+
+
+def q_b64_roundtrip(spark, sf_dir):
+    """S2 base64 source: encode → decode roundtrip, JVM-side
+    (image_utils.py:9-31 analog; unbase64/base64 built-ins)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(F.unbase64(F.base64(F.encode(F.col("text"), "utf-8"))))
+        .alias("decoded_len"),
+        F.length(F.encode(F.col("text"), "utf-8")).alias("orig_len"),
+    )
+
+
+SQL_B64_ROUNDTRIP = """
+SELECT doc_id,
+       octet_length(from_base64(to_base64(encode(text)))) AS decoded_len,
+       octet_length(encode(text)) AS orig_len
+FROM documents
+"""
+
+
+def q_repetition_clamp(spark, sf_dir):
+    """M10 analog: collapse immediately-repeated token blocks with an
+    Arrow-batched pandas UDF — the designated non-SQL-expressible
+    operator (rows-only oracle check by design)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(T.clamp_repeats_udf(20)(F.col("text"))).alias("clamped_len"),
+    )
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -814,4 +846,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "emb_norm_by_label": (q_emb_norm_by_label, SQL_EMB_NORM_BY_LABEL),
     "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),
+    "b64_roundtrip": (q_b64_roundtrip, SQL_B64_ROUNDTRIP),
+    "repetition_clamp": (q_repetition_clamp, None),
 }

@@ -1,0 +1,41 @@
+"""Streaming observability: watermarked windowed throughput.
+
+The batch job tracks progress with per-partition metrics rows
+(operators/checkpoint.py); the streaming twin aggregates event-time
+windows with a watermark so late-arriving pages (out-of-order crawl
+timestamps) are bounded — the standard Structured-Streaming pattern
+the reference's in-memory progress dict (task_queue.py:28-51) cannot
+express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pages_per_window(
+    pages: DataFrame,
+    ts_col: str = "warc_ts",
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Event-time windowed ingest counts with late-data bound.
+
+    Works on a streaming OR batch DataFrame (same plan); streaming
+    sinks should use update/append mode per watermark semantics.
+    """
+    return (
+        pages.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("html")).alias("bytes_in"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_pages",
+            "bytes_in",
+        )
+    )

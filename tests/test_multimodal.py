@@ -97,3 +97,27 @@ def test_sample_frames_spark(spark):
     assert sorted((r["url"], r["frame_idx"], bytes(r["frame"])) for r in out) == sorted(
         (r["url"], r["frame_idx"], bytes(r["frame"])) for r in again
     )
+
+
+def test_figure_crops_from_pipeline(spark, pages_path):
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_spark.functions.multimodal import figure_crops
+    from deepseek_ocr_spark.pipeline import extract_pipeline
+    from deepseek_ocr_spark.plans.audit import uses_python_eval
+
+    pages = spark.read.parquet(pages_path)
+    extracted = extract_pipeline(pages, parallelism=2)
+    crops = figure_crops(extracted)
+    rows = crops.collect()
+    assert len(rows) > 0  # fixture pdf/image docs emit image spans
+    for r in rows[:20]:
+        assert len(bytes(r["jpg"])) == 32
+        assert r["x1"] <= r["x2"] and r["y1"] <= r["y2"]
+    # crop derivation itself is JVM-only (posexplode + sha2/unhex)
+    ex = spark.createDataFrame(
+        [("u", [{"label": "image", "x1": 1, "y1": 2, "x2": 3, "y2": 4}])],
+        "url string, spans array<struct<label:string,x1:int,y1:int,x2:int,y2:int>>",
+    )
+    assert not uses_python_eval(figure_crops(ex))
+    assert figure_crops(ex).collect()[0]["span_ordinal"] == 0

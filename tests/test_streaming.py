@@ -52,3 +52,35 @@ def test_stream_drain_matches_golden_and_resumes(spark, tmp_path, golden_rows):
         gold = golden_rows[url]
         assert row["extracted_text"] == gold["extracted_text"], url
         assert row["status"] == gold["status"], url
+
+
+def test_pages_per_window_stream(spark, pages_path, tmp_path):
+    """Watermarked event-time window agg over a file stream."""
+    from deepseek_ocr_spark.streaming.monitor import pages_per_window
+    from deepseek_ocr_spark.streaming.stream import read_pages_stream
+
+    import shutil
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    shutil.copy(pages_path, d / "part-0.parquet")
+    stream = read_pages_stream(spark, str(d))
+    agg = pages_per_window(stream, window="30 days", watermark="10 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tput")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from tput").collect()
+    assert sum(r["n_pages"] for r in rows) == 200
+    assert all(r["bytes_in"] > 0 for r in rows)
+    assert len(rows) >= 2  # warc_ts spans a year of windows
+
+    # same operator works identically on the batch frame
+    batch = pages_per_window(
+        spark.read.parquet(pages_path), window="30 days", watermark="10 days"
+    )
+    assert sum(r["n_pages"] for r in batch.collect()) == 200
