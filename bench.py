@@ -188,6 +188,11 @@ def main() -> None:
 
     from deepseek_ocr_spark.queries import REGISTRY
 
+    # JVM/codegen warmup so the first timed query doesn't absorb
+    # session startup (~8 s otherwise lands on whichever query is first)
+    warm_fn, _ = REGISTRY["filter_project"]
+    warm_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
         t0 = time.perf_counter()

@@ -5,19 +5,27 @@ bucket-join), SimHash, and n-gram Jaccard — all as JVM-side column
 expressions / DataFrame compositions (no Python UDFs), each with an
 ANSI-SQL mirror in queries.py for the DuckDB oracle.
 
-MinHash permutations are implemented as lexicographic-min over
-``md5(seed || ':' || shingle)`` — a keyed random permutation both
-engines compute identically. SimHash is 32-bit: per-token hash =
-first 8 md5 hex chars as an integer; bit_j of the signature is the
-sign of the ±1 vote sum over tokens.
+MinHash permutations use the classic linear family: ONE base hash
+per shingle (first 15 md5 hex chars → 60-bit int, mod the Mersenne
+prime 2^31-1), then h_s(x) = (a_s·x + b_s) mod p with deterministic
+sha256-derived coefficients — 1 md5 per shingle instead of N, and the
+arithmetic stays inside int64 in both engines (a_s,x < 2^31 →
+product < 2^62). SimHash is 32-bit: per-token hash = first 8 md5 hex
+chars as an integer; bit_j of the signature is the sign of the ±1
+vote sum over tokens.
 
 Scale notes (100 TB): the shingle explode is the big intermediate —
-at real scale insert a ``repartition`` on doc hash before the explode
-and aggregate partially (min() is algebraic, map-side combine free);
-the LSH band join shuffles only (band_idx, band_hash, doc_id) pairs.
+``_spread`` repartitions on doc hash BEFORE the explode (pre-explode
+rows are small, so the shuffle is cheap, and it fixes the
+single-file/single-task case: a 5000-doc table in one parquet file
+otherwise shingles on one core); min()/sum() aggregate partially
+(map-side combine); the LSH band join shuffles only
+(band_idx, band_hash, doc_id) pairs.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,6 +34,13 @@ N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
 SHINGLE_K = 3
 SIMHASH_BITS = 32
+
+
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition on the doc key before an explode so shingling
+    parallelizes regardless of input file layout."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.xxhash64(F.col(id_col)))
 
 
 def words_col(text_col):
@@ -42,15 +57,41 @@ def shingles_col(text_col, k: int = SHINGLE_K):
     )
 
 
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def perm_coeffs(s: int) -> tuple[int, int]:
+    """Deterministic (a, b) for permutation s, a in [1, p-1], b in [0, p-1]."""
+    d = hashlib.sha256(f"minhash:{s}".encode()).digest()
+    a = 1 + int.from_bytes(d[:8], "big") % (MINHASH_PRIME - 1)
+    b = int.from_bytes(d[8:16], "big") % MINHASH_PRIME
+    return a, b
+
+
+def shingle_base_hash(col):
+    """60-bit int from the shingle's md5, reduced mod p — computed ONCE
+    per shingle; the N permutations are arithmetic on top of it."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint"),
+        F.lit(MINHASH_PRIME),
+    )
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, h0..h{N_HASHES-1}) minhash signature per document."""
-    exploded = df.select(
+    exploded = _spread(df, id_col).select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("sh")
-    )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"h{s}")
-        for s in range(N_HASHES)
-    ]
+    ).withColumn("bh", shingle_base_hash(F.col("sh")))
+    aggs = []
+    for s in range(N_HASHES):
+        a, b = perm_coeffs(s)
+        aggs.append(
+            F.min(
+                F.pmod(
+                    F.col("bh") * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME)
+                )
+            ).alias(f"h{s}")
+        )
     return exploded.groupBy(id_col).agg(*aggs)
 
 
@@ -63,7 +104,13 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     """
     bands = F.array(
         *[
-            F.md5(F.concat(F.col(f"h{2 * i}"), F.col(f"h{2 * i + 1}")))
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col(f"h{2 * i}").cast("string"),
+                    F.col(f"h{2 * i + 1}").cast("string"),
+                )
+            )
             for i in range(N_BANDS)
         ]
     )
@@ -94,7 +141,7 @@ def ngram_jaccard(
     |A∩B| via a shingle equi-join restricted to the pair set; |A∪B| =
     |A| + |B| − |A∩B|. Rounded to 4 decimals for the oracle hash.
     """
-    sh = df.select(
+    sh = _spread(df, id_col).select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("sh")
     ).distinct()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -131,7 +178,7 @@ def token_hash32():
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash per document (multiset token votes)."""
     h = token_hash32()
-    toks = df.select(
+    toks = _spread(df, id_col).select(
         F.col(id_col), F.explode(words_col(F.col(text_col))).alias("tok")
     ).withColumn("th", h(F.col("tok")))
     votes = toks.groupBy(id_col).agg(

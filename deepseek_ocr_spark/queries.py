@@ -567,8 +567,16 @@ sh AS (SELECT doc_id,
 
 _MINHASH_CORE = (
     "SELECT doc_id, "
-    + ", ".join(f"min(md5('{s}:' || sh)) AS h{s}" for s in range(DD.N_HASHES))
-    + " FROM sh GROUP BY doc_id"
+    + ", ".join(
+        "min(({a} * bh + {b}) % {p}) AS h{s}".format(
+            a=DD.perm_coeffs(s)[0], b=DD.perm_coeffs(s)[1],
+            p=DD.MINHASH_PRIME, s=s,
+        )
+        for s in range(DD.N_HASHES)
+    )
+    + " FROM (SELECT doc_id,"
+    f" ('0x' || substr(md5(sh), 1, 15))::BIGINT % {DD.MINHASH_PRIME} AS bh"
+    " FROM sh) GROUP BY doc_id"
 )
 
 
@@ -583,7 +591,8 @@ SQL_MINHASH_SIGNATURES = _SHINGLES_SQL + _MINHASH_CORE
 _BANDED_SQL = (
     "banded AS ("
     + " UNION ALL ".join(
-        f"SELECT doc_id, {i} AS band_idx, md5(h{2*i} || h{2*i+1}) AS band FROM sig"
+        f"SELECT doc_id, {i} AS band_idx, "
+        f"md5(h{2*i}::VARCHAR || ':' || h{2*i+1}::VARCHAR) AS band FROM sig"
         for i in range(DD.N_BANDS)
     )
     + ")"

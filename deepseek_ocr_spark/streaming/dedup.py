@@ -1,0 +1,27 @@
+"""Streaming deduplication — exactly-once keys across micro-batches.
+
+Spark-first: ``dropDuplicatesWithinWatermark`` (built-in state store,
+RocksDB-backed on a real cluster) rather than a hand-rolled
+``applyInPandasWithState`` operator — the state Spark manages for us
+is the streaming twin of the batch job's done-set anti-join
+(operators/checkpoint.py). The watermark bounds state size: a url
+seen again after the lateness horizon is treated as new (at CC scale
+that is re-crawl semantics, and the batch anti-join still catches it
+at the output table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def dedup_stream(
+    pages: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Keep the first arrival per key within the watermark horizon."""
+    return pages.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )

@@ -84,3 +84,30 @@ def test_pages_per_window_stream(spark, pages_path, tmp_path):
         spark.read.parquet(pages_path), window="30 days", watermark="10 days"
     )
     assert sum(r["n_pages"] for r in batch.collect()) == 200
+
+
+def test_dedup_stream_drops_repeats(spark, pages_path, tmp_path):
+    """Stateful streaming dedup: a url arriving in two files is kept once."""
+    import shutil
+
+    from deepseek_ocr_spark.streaming.dedup import dedup_stream
+    from deepseek_ocr_spark.streaming.stream import read_pages_stream
+
+    d = tmp_path / "dup_in"
+    d.mkdir()
+    shutil.copy(pages_path, d / "a.parquet")
+    shutil.copy(pages_path, d / "b.parquet")  # every url duplicated
+
+    deduped = dedup_stream(read_pages_stream(spark, str(d)))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select url from dedup_out").collect()
+    urls = [r["url"] for r in rows]
+    assert len(urls) == 200 and len(set(urls)) == 200
