@@ -61,3 +61,65 @@ def test_whitespace_collapsed_and_entities():
 def test_deterministic():
     s = "<body><main><p>alpha</p><p>beta</p></main></body>"
     assert ex(s) == ex(s)
+
+
+def test_fast_path_matches_reference_on_corpus():
+    """The regex tokenizer must agree with the HTMLParser reference on
+    every HTML fixture (both profiles)."""
+    from deepseek_ocr_spark.core.html_extract import (
+        extract_html_fast,
+        extract_html_reference,
+    )
+    from deepseek_ocr_spark.fixtures.pages_gen import gen_row
+
+    checked = 0
+    for prof in ("default", "cc"):
+        for i in range(0, 1500):
+            h = gen_row(i, 42, prof)["html"]
+            if h[:1] != b"<":
+                continue
+            checked += 1
+            assert extract_html_fast(h) == extract_html_reference(h), (prof, i)
+    assert checked > 1000
+
+
+def test_fast_path_edge_cases():
+    from deepseek_ocr_spark.core.html_extract import (
+        extract_html_fast,
+        extract_html_reference,
+    )
+
+    cases = [
+        b"<p>a &amp; b &lt;c&gt;</p>",
+        b"<p>bare < less</p>",
+        b"<script>var x = '<p>not text</p>';</script><p>real</p>",
+        b"<!-- <p>comment</p> --><p>kept</p>",
+        b"<p>unterminated <!-- comment",
+        b"<P>UPPER</P><BR/><p>after</p>",
+        b'<a href="x>y">link text</a><p>plain</p>',
+        b"<td>cell</td><td>cell</td>",
+        b"",
+        b"<",
+        b"just text no tags",
+        b"<h2>t</h2><div><p>one<p>two",  # unclosed nesting
+    ]
+    for c in cases:
+        assert extract_html_fast(c) == extract_html_reference(c), c
+
+
+def test_fast_path_fuzz_vs_reference():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deepseek_ocr_spark.core.html_extract import (
+        extract_html_fast,
+        extract_html_reference,
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.text(alphabet="<>abc p/\"&;=!-?\n'", max_size=200))
+    def fuzz(s):
+        b = s.encode()
+        assert extract_html_fast(b) == extract_html_reference(b), repr(s)
+
+    fuzz()
