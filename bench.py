@@ -54,7 +54,7 @@ sys.path.insert(0, _HERE)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "24000"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "48000"))
 PROFILE = os.environ.get("BENCH_PROFILE", "cc")
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
