@@ -142,3 +142,31 @@ def merge_raw_pages(raw_pages: list[str]) -> MergedDoc:
         doc.n_pages += 1
         jdx += 1
     return doc
+
+
+# P7 — eval-path formula cleanup (run_dpsk_ocr_eval_batch.py:53-68).
+# Inside each display-math block ``\[ ... \]``: remove ``\quad (...)``
+# annotations, then strip surrounding whitespace. Regex-with-callback,
+# so the column version is a pandas UDF, not regexp_replace.
+_FORMULA_RE = re.compile(r"\\\[(.*?)\\\]")
+_QUAD_PAREN_RE = re.compile(r"\\quad\s*\([^)]*\)")
+
+
+def clean_formula(text: str) -> str:
+    def _inner(m: re.Match) -> str:
+        formula = _QUAD_PAREN_RE.sub("", m.group(1)).strip()
+        return r"\[" + formula + r"\]"
+
+    return _FORMULA_RE.sub(_inner, text)
+
+
+def clean_formula_udf():
+    """Arrow-batched column twin of :func:`clean_formula` (P7)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _clean(s):
+        return s.map(lambda t: clean_formula(t) if t is not None else None)
+
+    _clean.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_clean, "string")

@@ -817,6 +817,19 @@ def q_repetition_clamp(spark, sf_dir):
         F.length(T.clamp_repeats_udf(20)(F.col("text"))).alias("clamped_len"),
     )
 
+
+
+def q_formula_clean(spark, sf_dir):
+    """P7 eval-path formula cleanup (regex-with-callback → pandas UDF;
+    rows-only oracle, same class as repetition_clamp)."""
+    from deepseek_ocr_spark.core.postprocess import clean_formula_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(clean_formula_udf()(F.col("text"))).alias("cleaned_len"),
+    )
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -857,4 +870,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),
     "b64_roundtrip": (q_b64_roundtrip, SQL_B64_ROUNDTRIP),
     "repetition_clamp": (q_repetition_clamp, None),
+    "formula_clean": (q_formula_clean, None),
 }

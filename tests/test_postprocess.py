@@ -81,3 +81,19 @@ def test_spans_from_unparseable_det_skipped():
     doc = merge_raw_pages([raw])
     assert doc.spans == []
     assert doc.n_pages == 1
+
+
+def test_clean_formula_p7():
+    from deepseek_ocr_spark.core.postprocess import clean_formula
+
+    assert (
+        clean_formula(r"x \[ a + b \quad (eq. 1) \] y")
+        == r"x \[a + b\] y"
+    )
+    assert clean_formula(r"\[  E=mc^2  \]") == r"\[E=mc^2\]"
+    assert clean_formula("no math") == "no math"
+    # multiple blocks, quad without parens preserved
+    assert (
+        clean_formula(r"\[a \quad b\] mid \[c \quad (x) d\]")
+        == r"\[a \quad b\] mid \[c  d\]"
+    )
