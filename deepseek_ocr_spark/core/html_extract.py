@@ -272,10 +272,13 @@ def _blocks_fast(html: str):
 
     def flush():
         nonlocal parts, link_chars, total_chars, block_tag, in_cell
-        text = " ".join("".join(parts).split())
-        if text:
-            blocks.append((text, link_chars, total_chars, block_tag, in_cell))
-        parts = []
+        if parts:
+            text = " ".join("".join(parts).split())
+            if text:
+                blocks.append(
+                    (text, link_chars, total_chars, block_tag, in_cell)
+                )
+            parts = []
         link_chars = 0
         total_chars = 0
         block_tag = ""
