@@ -91,3 +91,22 @@ def test_headline_queries_stay_jvm_side(spark, name):
     plan = plan_of(fn(spark, SF))
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
+
+
+def test_registry_queries_jvm_only_except_designated():
+    """Every registry query must compile to a JVM-only plan, except
+    the two deliberately-pandas-UDF operators (regex-with-callback
+    semantics that SQL cannot express)."""
+    from deepseek_ocr_spark.plans.audit import uses_python_eval
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    designated = {"repetition_clamp", "formula_clean"}
+    from deepseek_ocr_spark.session import get_spark
+
+    spark = get_spark()
+    offenders = []
+    for name, (fn, _sql) in REGISTRY.items():
+        df = fn(spark, SF)
+        if uses_python_eval(df) and name not in designated:
+            offenders.append(name)
+    assert offenders == [], offenders
