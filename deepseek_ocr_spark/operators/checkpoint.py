@@ -19,6 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
+from pyspark.sql.window import Window
 
 METRICS_SCHEMA = (
     "run_id string, partition_id int, status string, rows bigint, "
@@ -70,3 +71,37 @@ def metrics_from_extracted(extracted: DataFrame, run_id: str | None = None) -> D
             F.current_timestamp().alias("ts"),
         )
     )
+
+
+def compact_output(
+    spark: SparkSession,
+    output_path: str,
+    dest_path: str,
+    target_partitions: int | None = None,
+) -> dict:
+    """Output-table maintenance (O5 analog — the reference TTL-cleans
+    its results dict, task_queue.py:124-145; an Iceberg deployment
+    would use MERGE + snapshot expiry).
+
+    Collapses duplicate urls (possible after forced reprocessing with
+    resume=False) keeping one deterministic winner per url (max run_id
+    — re-crawl semantics: the latest run wins), and rewrites the table
+    with a bounded partition count (small-file compaction). Writes to
+    ``dest_path``; callers swap directories atomically at their own
+    layer (a filesystem rename here, a snapshot commit on Iceberg).
+    """
+    out = spark.read.option("mergeSchema", "true").parquet(output_path)
+    if "run_id" not in out.columns:
+        out = out.withColumn("run_id", F.lit(""))
+    w = Window.partitionBy("url").orderBy(F.col("run_id").desc())
+    deduped = (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    n = target_partitions or max(
+        1, spark.sparkContext.defaultParallelism
+    )
+    deduped.repartition(n).write.mode("overwrite").parquet(dest_path)
+    res = spark.read.parquet(dest_path)
+    return {"rows": res.count(), "partitions": n}

@@ -830,6 +830,70 @@ def q_formula_clean(spark, sf_dir):
         F.length(clean_formula_udf()(F.col("text"))).alias("cleaned_len"),
     )
 
+
+
+def q_value_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per group (ordered-set aggregate;
+    Spark `percentile` ≡ DuckDB `quantile_cont`)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_crossmodal_neardup(spark, sf_dir):
+    """Cross-modal near-dup confirmation: candidate pairs flagged by
+    BOTH text MinHash-LSH and embedding-cosine similarity (vec_id and
+    doc_id share the key space). The curation pattern: cheap text LSH
+    proposes, embedding cosine confirms — both bucket-local at scale."""
+    d = _t(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(d, "doc_id", "text")
+    text_pairs = DD.lsh_candidate_pairs(sig, "doc_id")
+    emb = SIM.emb_double(_t(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("e_b"))
+    return (
+        text_pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(SIM.cosine_col(F.col("e_a"), F.col("e_b")), 4).alias("cos_sim"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_CROSSMODAL_NEARDUP = (
+    _SHINGLES_SQL
+    + ","
+    + _PAIRS_CORE
+    + """
+SELECT p.id_a, p.id_b,
+       round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+           AS cos_sim
+FROM pairs p
+JOIN embeddings a ON a.vec_id = p.id_a
+JOIN embeddings b ON b.vec_id = p.id_b
+ORDER BY p.id_a, p.id_b
+"""
+)
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -871,4 +935,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "b64_roundtrip": (q_b64_roundtrip, SQL_B64_ROUNDTRIP),
     "repetition_clamp": (q_repetition_clamp, None),
     "formula_clean": (q_formula_clean, None),
+    "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
+    "crossmodal_neardup": (q_crossmodal_neardup, SQL_CROSSMODAL_NEARDUP),
 }

@@ -50,3 +50,23 @@ def test_metrics_rows_cover_input(spark, pages_path, tmp_path):
     agg = m.groupBy().sum("rows").collect()[0][0]
     assert agg == 200
     assert m.filter("secs < 0").count() == 0
+
+
+def test_compact_output_collapses_forced_duplicates(spark, pages_path, tmp_path):
+    from deepseek_ocr_spark.operators.checkpoint import compact_output
+
+    out = str(tmp_path / "dup_out")
+    run_job(spark, pages_path, out, resume=True, parallelism=4, run_id="run_a")
+    run_job(spark, pages_path, out, resume=False, parallelism=4, run_id="run_b")
+    assert spark.read.parquet(out).count() == 400  # forced duplicates
+
+    dest = str(tmp_path / "compacted")
+    res = compact_output(spark, out, dest, target_partitions=4)
+    assert res["rows"] == 200
+    c = spark.read.parquet(dest)
+    assert c.count() == 200
+    assert c.select("url").distinct().count() == 200
+    # latest run wins
+    assert set(r["run_id"] for r in c.select("run_id").distinct().collect()) == {
+        "run_b"
+    }
