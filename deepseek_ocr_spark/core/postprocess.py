@@ -106,6 +106,31 @@ class MergedDoc:
     n_skipped: int = 0
 
 
+def postprocess_page(content: str, jdx: int) -> tuple[str, list[dict]]:
+    """Per-page post-processing — the body of the reference CLI loop
+    (run_dpsk_ocr_pdf.py:286-316) for one EMITTED page. ``jdx`` is the
+    post-skip ordinal that names image files. Shared verbatim by the
+    sequential merge below and the distributed page-explode path
+    (operators/pdf_pages.py), so both are byte-identical by
+    construction."""
+    content = content.replace(EOS, "")
+    matches, matches_image, matches_other = re_match(content)
+    spans = extract_spans(matches)
+
+    for idx, m_img in enumerate(matches_image):
+        content = content.replace(m_img, f"![](images/{jdx}_{idx}.jpg)\n")
+
+    for m_other in matches_other:
+        content = (
+            content.replace(m_other, "")
+            .replace("\\coloneqq", ":=")
+            .replace("\\eqqcolon", "=:")
+            .replace("\n\n\n\n", "\n\n")
+            .replace("\n\n\n", "\n\n")
+        )
+    return content, spans
+
+
 def merge_raw_pages(raw_pages: list[str]) -> MergedDoc:
     """The reference CLI post-process + page-merge loop, byte-faithful.
 
@@ -116,29 +141,13 @@ def merge_raw_pages(raw_pages: list[str]) -> MergedDoc:
     doc = MergedDoc()
     jdx = 0  # post-skip page counter, names image files (':285,316')
     for content in raw_pages:
-        if EOS in content:
-            content = content.replace(EOS, "")
-        else:
+        if EOS not in content:
             # SKIP_REPEAT: runaway generation, drop page silently.
             doc.n_skipped += 1
             continue
-
-        matches, matches_image, matches_other = re_match(content)
-        doc.spans.extend(extract_spans(matches))
-
-        for idx, m_img in enumerate(matches_image):
-            content = content.replace(m_img, f"![](images/{jdx}_{idx}.jpg)\n")
-
-        for m_other in matches_other:
-            content = (
-                content.replace(m_other, "")
-                .replace("\\coloneqq", ":=")
-                .replace("\\eqqcolon", "=:")
-                .replace("\n\n\n\n", "\n\n")
-                .replace("\n\n\n", "\n\n")
-            )
-
-        doc.text += content + _PAGE_SEP_TAIL
+        text, spans = postprocess_page(content, jdx)
+        doc.spans.extend(spans)
+        doc.text += text + _PAGE_SEP_TAIL
         doc.n_pages += 1
         jdx += 1
     return doc

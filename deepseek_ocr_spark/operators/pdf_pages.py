@@ -1,0 +1,129 @@
+"""Distributed PDF page fan-out (SURVEY.md §2.1 S5 + §2.5 P9 as real
+Spark operators).
+
+The fused pipeline (operators/extract.py) processes a document's pages
+serially inside one UDF call — right for crawl-scale inputs where a
+document is small. For page-heavy documents (the reference CLI's
+regime: one PDF, hundreds of pages, 64 preprocess threads +
+continuous-batched GPU, run_dpsk_ocr_pdf.py:233-329) the cluster
+answer is to make PAGES the unit of parallelism:
+
+    pdf docs → mapInPandas page render → one ROW per page
+      → JVM SKIP_REPEAT filter + window jdx
+      → mapInPandas per-page post-process
+      → sort-agg merge back to one row per document
+
+Byte-identity with the fused path holds by construction: the per-page
+body is the SAME function (core.postprocess.postprocess_page), the
+post-skip ordinal ``jdx`` is reconstructed with a window
+(row_number over emitted pages in page order − 1 ≡ the sequential
+loop's counter), and the merge is the P9 sort-agg. Verified in
+tests/test_pdf_pages.py against the sequential oracle.
+
+Scale shape: the only shuffles are the (small) per-page rows into the
+window and the final merge — page payloads (raw text) shuffle once;
+the input binary never does.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deepseek_ocr_spark.config import EOS, PAGE_SEP  # PAGE_SEP is the full per-page tail
+from deepseek_ocr_spark.operators.extract import SPANS_TYPE
+
+RAW_PAGE_SCHEMA = "url string, page_idx int, raw_text string"
+
+PAGE_OUT_SCHEMA = (
+    f"url string, page_idx int, jdx int, page_text string, spans {SPANS_TYPE}"
+)
+
+
+def explode_pdf_pages(df: DataFrame) -> DataFrame:
+    """(url, html %PDF- payloads) → one row per rendered page, in
+    ``page_idx`` order within each url (S5: the ``posexplode``
+    equivalent with the render inside the batch UDF). Invalid /
+    over-limit PDFs yield no rows here — the fused path owns their
+    error/reject rows."""
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepseek_ocr_spark.core.pdf_extract import (
+            PdfParseError,
+            PdfTooManyPages,
+            pdf_to_raw_pages,
+        )
+
+        for pdf in batches:
+            urls, idxs, raws = [], [], []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                try:
+                    pages = pdf_to_raw_pages(bytes(payload))
+                except (PdfParseError, PdfTooManyPages):
+                    continue
+                for i, raw in enumerate(pages):
+                    urls.append(url)
+                    idxs.append(i)
+                    raws.append(raw)
+            yield pd.DataFrame(
+                {"url": urls, "page_idx": idxs, "raw_text": raws}
+            )
+
+    return df.select("url", "html").mapInPandas(it, schema=RAW_PAGE_SCHEMA)
+
+
+def postprocess_pages(exploded: DataFrame) -> DataFrame:
+    """SKIP_REPEAT filter (JVM), window-reconstructed ``jdx``, then the
+    shared per-page post-process body in an Arrow batch UDF."""
+    kept = exploded.filter(F.col("raw_text").contains(EOS))
+    w = Window.partitionBy("url").orderBy("page_idx")
+    kept = kept.withColumn("jdx", (F.row_number().over(w) - 1).cast("int"))
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepseek_ocr_spark.core.postprocess import postprocess_page
+
+        for pdf in batches:
+            texts, spans_col = [], []
+            for raw, jdx in zip(pdf["raw_text"], pdf["jdx"]):
+                text, spans = postprocess_page(raw, int(jdx))
+                texts.append(text)
+                spans_col.append(spans)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "page_idx": pdf["page_idx"],
+                    "jdx": pdf["jdx"],
+                    "page_text": texts,
+                    "spans": spans_col,
+                }
+            )
+
+    return kept.mapInPandas(it, schema=PAGE_OUT_SCHEMA)
+
+
+def merge_pages(pages: DataFrame) -> DataFrame:
+    """P9 sort-agg: one row per url with the reference's exact page
+    concatenation (every page, including the last, followed by the
+    separator tail) and spans flattened in page order."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct("page_idx", "page_text", "spans"))
+    )
+    return pages.groupBy("url").agg(
+        F.concat_ws(
+            "",
+            F.transform(ordered, lambda s: F.concat(s["page_text"], F.lit(PAGE_SEP))),
+        ).alias("extracted_text"),
+        F.flatten(F.transform(ordered, lambda s: s["spans"])).alias("spans"),
+        F.count("*").cast("int").alias("n_pages"),
+    )
+
+
+def extract_pdf_distributed(df: DataFrame) -> DataFrame:
+    """Full exploded path: docs → pages → per-page post-process →
+    merged docs. Same output as the fused extractor for valid PDFs."""
+    return merge_pages(postprocess_pages(explode_pdf_pages(df)))

@@ -1,0 +1,60 @@
+"""Distributed page-explode path ≡ sequential oracle, byte for byte."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.core.oracle import extract_document
+from deepseek_ocr_spark.core.sniff import sniff_bytes
+from deepseek_ocr_spark.fixtures.pages_gen import gen_row
+from deepseek_ocr_spark.operators.pdf_pages import extract_pdf_distributed
+
+
+def test_distributed_pdf_path_matches_oracle(spark):
+    rows = [gen_row(i, seed=42) for i in range(400)]
+    pdf_rows = [r for r in rows if sniff_bytes(r["html"]) == "pdf"]
+    assert len(pdf_rows) >= 20
+
+    golden = {}
+    for r in pdf_rows:
+        g = extract_document(r["url"], r["html"])
+        if g["status"] == "ok":
+            golden[r["url"]] = g
+    assert len(golden) >= 15
+
+    df = spark.createDataFrame(
+        [(r["url"], r["html"]) for r in pdf_rows], "url string, html binary"
+    )
+    out = {r["url"]: r for r in extract_pdf_distributed(df).collect()}
+
+    # every ok-status oracle doc reproduced byte-identically
+    for url, g in golden.items():
+        got = out[url]
+        assert got["extracted_text"] == g["extracted_text"], url
+        assert got["n_pages"] == g["n_pages"], url
+        assert [
+            (s["label"], s["x1"], s["y1"], s["x2"], s["y2"]) for s in got["spans"]
+        ] == [
+            (s["label"], s["x1"], s["y1"], s["x2"], s["y2"]) for s in g["spans"]
+        ], url
+    # and nothing extra beyond docs the oracle yields pages for
+    # (rejected/error pdfs produce no rows on this path)
+    skipped_all = {
+        r["url"]
+        for r in pdf_rows
+        if extract_document(r["url"], r["html"])["status"] in ("skipped_repeat",)
+    }
+    assert set(out) == set(golden) | {
+        u for u in skipped_all if u in out
+    } - (skipped_all - set(out))
+
+
+def test_distributed_path_parallelism_invariant(spark):
+    """Output independent of partitioning (the determinism property)."""
+    rows = [gen_row(i, seed=42) for i in range(200)]
+    pdf_rows = [(r["url"], r["html"]) for r in rows if sniff_bytes(r["html"]) == "pdf"]
+    df1 = spark.createDataFrame(pdf_rows, "url string, html binary").repartition(1)
+    df8 = spark.createDataFrame(pdf_rows, "url string, html binary").repartition(8)
+    a = {r["url"]: r["extracted_text"] for r in extract_pdf_distributed(df1).collect()}
+    b = {r["url"]: r["extracted_text"] for r in extract_pdf_distributed(df8).collect()}
+    assert a == b
