@@ -1,0 +1,98 @@
+"""Corpus curation: extraction output → training-ready text corpus.
+
+The end-to-end training-data flow the engine exists to serve, composed
+entirely from this repo's operators:
+
+    pages → extract (pipeline.extract_pipeline)
+          → keep status='ok' text docs
+          → text stats (token count, quality score, lang guess)
+          → exact dedup (fingerprint keep-first)
+          → near-dup dedup (MinHash-LSH candidate pairs → drop the
+            higher doc of each confirmed pair)
+          → quality gate (min tokens, min quality)
+          → curated corpus + per-stage funnel counts
+
+Everything JVM-side after the extract UDF; the dedup joins are the
+bucket-local patterns from functions/dedup.py. At scale the funnel
+counts come from one Observation per stage boundary rather than
+separate counts — here the corpus is materialized once and counted
+from cache-free aggregates for test clarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deepseek_ocr_spark.functions import dedup as DD
+from deepseek_ocr_spark.functions import textstats as TS
+from deepseek_ocr_spark.pipeline import extract_pipeline
+
+MIN_TOKENS = 5
+MIN_QUALITY = 0.3
+JACCARD_DROP = 0.85
+
+
+def enrich(extracted: DataFrame) -> DataFrame:
+    """status=ok rows → text-stat columns (all codegen expressions)."""
+    t = F.col("extracted_text")
+    return extracted.filter(
+        (F.col("status") == "ok") & (F.length(t) > 0)
+    ).select(
+        "url",
+        "doc_type",
+        t.alias("text"),
+        TS.token_count(t).alias("n_tokens"),
+        TS.quality_score(t).alias("quality"),
+        TS.lang_guess(t).alias("lang_guess"),
+        TS.fingerprint(t).alias("fp"),
+    )
+
+
+def exact_dedup(docs: DataFrame, key: str = "fp", order: str = "url") -> DataFrame:
+    """Keep-first per fingerprint (hash groupBy semantics)."""
+    w = Window.partitionBy(key).orderBy(order)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def neardup_dedup(docs: DataFrame, jaccard_drop: float = JACCARD_DROP) -> DataFrame:
+    """MinHash-LSH proposes pairs, exact shingle-Jaccard confirms,
+    the lexicographically larger url of each confirmed pair drops."""
+    sig = DD.minhash_signature(docs, "url", "text")
+    pairs = DD.lsh_candidate_pairs(sig, "url")
+    confirmed = DD.ngram_jaccard(docs, pairs, "url", "text").filter(
+        F.col("jaccard") >= jaccard_drop
+    )
+    losers = confirmed.select(F.col("id_b").alias("url")).distinct()
+    return docs.join(losers, "url", "left_anti")
+
+
+def quality_gate(
+    docs: DataFrame,
+    min_tokens: int = MIN_TOKENS,
+    min_quality: float = MIN_QUALITY,
+) -> DataFrame:
+    return docs.filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
+    )
+
+
+def curate(pages: DataFrame, parallelism: int | None = None) -> tuple[DataFrame, dict]:
+    """pages → (curated corpus DataFrame, funnel counts)."""
+    extracted = extract_pipeline(pages, parallelism=parallelism)
+    docs = enrich(extracted)
+    exact = exact_dedup(docs)
+    near = neardup_dedup(exact)
+    final = quality_gate(near)
+    funnel = {
+        "extracted_ok": docs.count(),
+        "after_exact_dedup": exact.count(),
+        "after_neardup": near.count(),
+        "curated": final.count(),
+    }
+    return final, funnel

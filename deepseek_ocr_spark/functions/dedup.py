@@ -48,13 +48,24 @@ def words_col(text_col):
 
 
 def shingles_col(text_col, k: int = SHINGLE_K):
-    """Word k-gram shingles; null (→ explode drops row) under k words."""
+    """Word k-gram shingles; null (→ explode drops row) under k words.
+
+    Built by zipping progressively-offset slices of the word array —
+    NOT ``transform(sequence(...), i -> slice(w, i, k))``: a lambda
+    that references the split output re-evaluates the split per
+    element (O(n²) in document length; a 500 KB doc hangs). Here every
+    slice is a direct argument, evaluated once per row, so shingling
+    stays linear no matter the document size."""
     w = words_col(text_col)
     n = F.size(w)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    return F.when(
-        n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
-    )
+    sh = w
+    for j in range(1, k):
+        sh = F.zip_with(
+            F.slice(sh, 1, n - j),
+            F.slice(w, 1 + j, n - j),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(n >= k, sh)
 
 
 MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31-1

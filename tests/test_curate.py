@@ -1,0 +1,47 @@
+"""End-to-end curation funnel over the pages fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.curate import curate, exact_dedup, neardup_dedup
+
+
+def test_curation_funnel(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    final, funnel = curate(pages, parallelism=4)
+
+    assert funnel["extracted_ok"] > 100
+    # each stage can only shrink the corpus
+    assert (
+        funnel["extracted_ok"]
+        >= funnel["after_exact_dedup"]
+        >= funnel["after_neardup"]
+        >= funnel["curated"]
+        > 0
+    )
+    rows = final.collect()
+    # gate invariants hold on every surviving row
+    assert all(r["n_tokens"] >= 5 and r["quality"] >= 0.3 for r in rows)
+    # no exact duplicates survive
+    assert final.select("fp").distinct().count() == len(rows)
+
+
+def test_exact_dedup_keeps_one_per_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("u1", "same", "f1"), ("u2", "same", "f1"), ("u3", "other", "f2")],
+        "url string, text string, fp string",
+    )
+    out = exact_dedup(df).collect()
+    assert sorted(r["url"] for r in out) == ["u1", "u3"]  # keep-first by url
+
+
+def test_neardup_drops_higher_url_of_pair(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [("a", text), ("b", text + " extra"), ("c", "completely different words " * 3)],
+        "url string, text string",
+    )
+    out = neardup_dedup(df, jaccard_drop=0.5)
+    urls = sorted(r["url"] for r in out.collect())
+    assert "a" in urls and "c" in urls and "b" not in urls
