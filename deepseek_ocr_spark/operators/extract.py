@@ -56,7 +56,9 @@ def _extract_iter(
     for pdf in batches:
         t0 = time.perf_counter()
         rows = [
-            extract_document(url, bytes(payload), max_bytes)
+            extract_document(
+                url, b"" if payload is None else bytes(payload), max_bytes
+            )
             for url, payload in zip(pdf["url"], pdf["html"])
         ]
         out = pd.DataFrame(rows)
