@@ -1,0 +1,68 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+Incremental per-domain ingest statistics: as page batches stream in,
+each domain's running (docs, bytes) totals live in the state store and
+an updated row is emitted for every domain touched by the micro-batch.
+This is the pattern for operators Spark's built-ins can't express —
+arbitrary per-key accumulators — as opposed to streaming/dedup.py,
+which deliberately uses the built-in ``dropDuplicatesWithinWatermark``
+because Spark already manages that state shape.
+
+State is one small struct per domain (bounded by domain cardinality,
+not row count); at CC scale the grouping key shuffles only
+(domain, n_bytes) pairs, never payloads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "domain string, docs bigint, bytes bigint, batch_docs bigint"
+STATE_SCHEMA = "docs bigint, bytes bigint"
+
+
+def _update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    docs, total = state.get if state.exists else (0, 0)
+    batch_docs = 0
+    for pdf in pdfs:
+        batch_docs += len(pdf)
+        docs += len(pdf)
+        total += int(pdf["n_bytes"].sum())
+    state.update((docs, total))
+    yield pd.DataFrame(
+        {
+            "domain": [key[0]],
+            "docs": [docs],
+            "bytes": [total],
+            "batch_docs": [batch_docs],
+        }
+    )
+
+
+def domain_col(url_col: str = "url"):
+    """Registrable-domain-ish key: the host part of the url (JVM-side
+    regexp; good enough for synthetic fixtures and monitoring)."""
+    return F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)/", 1)
+
+
+def domain_stats_stream(pages: DataFrame) -> DataFrame:
+    """Streaming pages → per-domain running totals (update mode)."""
+    keyed = pages.select(
+        domain_col().alias("domain"), F.length("html").alias("n_bytes")
+    )
+    return keyed.groupBy("domain").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

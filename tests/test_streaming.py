@@ -111,3 +111,67 @@ def test_dedup_stream_drops_repeats(spark, pages_path, tmp_path):
     rows = spark.sql("select url from dedup_out").collect()
     urls = [r["url"] for r in rows]
     assert len(urls) == 200 and len(set(urls)) == 200
+
+
+def test_domain_stats_stateful_accumulates_across_batches(spark, pages_path, tmp_path):
+    """applyInPandasWithState: totals persist in the state store across
+    micro-batches (two drains, second sees accumulated counts)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_spark.streaming.domain_stats import (
+        domain_col,
+        domain_stats_stream,
+    )
+    from deepseek_ocr_spark.streaming.stream import read_pages_stream
+
+    d = tmp_path / "ds_in"
+    d.mkdir()
+    shutil.copy(pages_path, d / "a.parquet")
+
+    ckpt = str(tmp_path / "ds_ckpt")
+    outdir = str(tmp_path / "ds_out")
+
+    def drain(tag):
+        def sink(df, batch_id):
+            df.withColumn("tag", F.lit(tag)).write.mode("append").parquet(outdir)
+
+        q = (
+            domain_stats_stream(read_pages_stream(spark, str(d)))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain("d1")
+    first = {
+        r["domain"]: r
+        for r in spark.read.parquet(outdir)
+        .filter("tag = 'd1' and batch_docs > 0")
+        .collect()
+    }
+    expected = {
+        r["domain"]: (r["docs"], r["bytes"])
+        for r in spark.read.parquet(pages_path)
+        .groupBy(domain_col().alias("domain"))
+        .agg(F.count("*").alias("docs"), F.sum(F.length("html")).alias("bytes"))
+        .collect()
+    }
+    assert {k: (v["docs"], v["bytes"]) for k, v in first.items()} == expected
+
+    # second batch: same file again → totals double, state persisted
+    shutil.copy(pages_path, d / "b.parquet")
+    drain("d2")
+    second = {
+        r["domain"]: r
+        for r in spark.read.parquet(outdir)
+        .filter("tag = 'd2' and batch_docs > 0")
+        .collect()
+    }
+    assert {k: (v["docs"], v["bytes"]) for k, v in second.items()} == {
+        k: (2 * d_, 2 * b_) for k, (d_, b_) in expected.items()
+    }
