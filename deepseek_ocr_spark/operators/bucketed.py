@@ -1,0 +1,46 @@
+"""Bucketed tables: shuffle-free co-located joins (brief checkbox —
+"repartition()/bucketing for co-located joins").
+
+The resume anti-join (pages ⟕̸ done-urls) and the url-keyed
+reassociation joins (pages ↔ spans ↔ crops, SURVEY.md §2.7) shuffle
+BOTH sides on url at every run. Bucketing both tables by ``url`` at
+write time pins a consistent hash partitioning into the table layout,
+so Catalyst plans those joins with zero Exchange — at 10^12 rows the
+anti-join becomes a per-bucket merge instead of a full shuffle of the
+crawl. (Iceberg's bucket partition transform is the same idea; Spark's
+``bucketBy`` needs a saveAsTable catalog entry, which is why these
+helpers go through table names, not paths.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int = 64,
+    key: str = "url",
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` bucketed (and sorted) by ``key`` into the
+    session catalog — both sides of a future key-join must use the
+    same bucket count to join exchange-free. ``path`` makes it an
+    external table (useful when the warehouse dir is not writable)."""
+    w = df.write.mode(mode).bucketBy(buckets, key).sortBy(key).format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def resume_anti_join_bucketed(
+    spark: SparkSession, pages_table: str, done_table: str, key: str = "url"
+) -> DataFrame:
+    """Pages not yet extracted, via bucketed left_anti — plans with no
+    Exchange when both tables share the bucket spec (asserted in
+    tests/test_bucketed.py)."""
+    pages = spark.table(pages_table)
+    done = spark.table(done_table).select(key)
+    return pages.join(done, key, "left_anti")

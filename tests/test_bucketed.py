@@ -1,0 +1,50 @@
+"""Bucketed co-located joins: zero Exchange on the resume anti-join."""
+
+from __future__ import annotations
+
+import pytest
+
+from deepseek_ocr_spark.operators.bucketed import (
+    resume_anti_join_bucketed,
+    write_bucketed,
+)
+from deepseek_ocr_spark.plans.audit import count_exchanges
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, pages_path, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("warehouse")
+    pages = spark.read.parquet(pages_path)
+    write_bucketed(pages, "pages_b", buckets=8, path=str(wh / "pages_b"))
+    done = pages.limit(120).select("url")
+    write_bucketed(done, "done_b", buckets=8, path=str(wh / "done_b"))
+    yield "pages_b", "done_b"
+    spark.sql("DROP TABLE IF EXISTS pages_b")
+    spark.sql("DROP TABLE IF EXISTS done_b")
+
+
+def test_bucketed_anti_join_has_no_exchange(spark, bucketed_tables):
+    pages_t, done_t = bucketed_tables
+    todo = resume_anti_join_bucketed(spark, pages_t, done_t)
+    assert count_exchanges(todo) == 0, "bucketed join must not shuffle"
+    assert todo.count() == 80
+
+
+def test_unbucketed_join_does_shuffle(spark, pages_path, bucketed_tables):
+    """Control: the same join over plain parquet plans an Exchange —
+    the baseline the bucketing removes."""
+    pages = spark.read.parquet(pages_path)
+    done = pages.limit(120).select("url")
+    plain = pages.join(done, "url", "left_anti")
+    assert count_exchanges(plain) >= 1
+
+
+def test_bucketed_equi_join_no_exchange(spark, bucketed_tables):
+    """The url-keyed reassociation join (pages ↔ extracted) is also
+    exchange-free between co-bucketed tables."""
+    pages_t, done_t = bucketed_tables
+    a = spark.table(pages_t).select("url", "lang")
+    b = spark.table(done_t)
+    joined = a.join(b, "url")
+    assert count_exchanges(joined) == 0
+    assert joined.count() == 120
