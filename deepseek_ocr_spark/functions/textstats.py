@@ -78,3 +78,17 @@ def fingerprint(col: Column) -> Column:
     lowercased text — the exact-dedup key."""
     norm = F.lower(F.regexp_replace(F.trim(col), TOKEN_SPLIT_RE, " "))
     return F.md5(norm)
+
+
+# BPE-ish tokenizer pattern (GPT-2 family, simplified to the subset
+# both Java regex and RE2/DuckDB support — no lookahead, no \p
+# classes): contractions, space-prefixed letter runs, digit runs,
+# punctuation runs. The point is a token count that tracks subword
+# tokenizer behavior far better than whitespace splitting (e.g.
+# "don't stop." -> [don, 't, _stop, .] = 4, not 2).
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish token count (regex token classes, JVM-side)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))

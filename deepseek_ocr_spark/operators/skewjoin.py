@@ -1,0 +1,46 @@
+"""Salted equi-join for skewed keys (brief: "salting for skew").
+
+When one join key is hot (a single domain holding millions of pages,
+one template fingerprint shared by half the crawl), a plain equi-join
+puts the whole hot key in one reducer. The classic fix: append a salt
+in [0, S) to the big side's key, replicate the small side S times
+(one row per salt), join on (key, salt) — the hot key spreads over S
+tasks. AQE's skew-join split handles sort-merge cases adaptively;
+explicit salting is the deterministic tool when the small side fits
+in memory but is too big (or too row-multiplied) to broadcast.
+
+Result is row-identical to the plain join (verified in
+tests/test_skewjoin.py, including under a deliberately hot key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_equi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``big ⋈ small`` on ``key`` with the hot-key salt trick.
+
+    big:   arbitrary size, possibly heavily skewed on ``key``;
+    small: one-or-few rows per key (a dimension / aggregate side) —
+           it is replicated ``salts`` times, so keep it slim.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        # right/full would multiply unmatched small rows by the salt
+        # count; those sides belong to a plain or broadcast join.
+        raise ValueError(f"salted join supports inner/left, got {how!r}")
+    big_s = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salts)).cast("int")
+    )
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    out = big_s.join(small_s, [key, "_salt"], how)
+    return out.drop("_salt")

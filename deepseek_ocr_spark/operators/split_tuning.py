@@ -1,0 +1,67 @@
+"""Compression-aware scan-split sizing.
+
+The pipeline's load balancer is ``spark.sql.files.maxPartitionBytes``
+— but Spark sizes splits on COMPRESSED bytes while the Python parse
+cost scales with DECOMPRESSED bytes. Web text compresses 3-10x (and
+the repeated-filler oversize rows in the fixtures 50x), so a fixed
+split size silently makes partitions several times heavier than
+planned. Benchmarking on this repo's tables showed exactly that: a
+153 MB (compressed) table was really ~1.9 GB of parse work and 32 MB
+splits produced 6x-too-coarse tasks.
+
+``suggest_max_partition_bytes`` reads parquet footers (pyarrow — no
+data scan) to measure the table's actual compression ratio and
+returns the compressed split size that yields the requested
+DECOMPRESSED bytes of work per task.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def table_byte_stats(path: str, sample_files: int = 16) -> dict:
+    """(compressed, decompressed) totals from parquet footer metadata.
+
+    Reads at most ``sample_files`` footers (metadata pages only) —
+    at crawl scale the ratio is stable across files.
+    """
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )[:sample_files]
+    else:
+        files = [path]
+    compressed = 0
+    decompressed = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for c in range(g.num_columns):
+                col = g.column(c)
+                compressed += col.total_compressed_size
+                decompressed += col.total_uncompressed_size
+    ratio = (decompressed / compressed) if compressed else 1.0
+    return {
+        "files_sampled": len(files),
+        "compressed": compressed,
+        "decompressed": decompressed,
+        "ratio": ratio,
+    }
+
+
+def suggest_max_partition_bytes(
+    path: str,
+    target_logical_bytes: int = 64 * 1024 * 1024,
+    floor: int = 1 * 1024 * 1024,
+    ceiling: int = 512 * 1024 * 1024,
+) -> int:
+    """Compressed split size whose decompressed work ≈ the target."""
+    stats = table_byte_stats(path)
+    suggested = int(target_logical_bytes / stats["ratio"])
+    return max(floor, min(ceiling, suggested))

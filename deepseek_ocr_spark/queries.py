@@ -894,6 +894,28 @@ ORDER BY p.id_a, p.id_b
 """
 )
 
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish regex token counting (brief: whitespace + BPE-ish)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.token_count(F.col("text")).alias("ws_tokens"),
+        TS.token_count_bpe(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+_BPE_SQL = TS.BPE_TOKEN_RE.replace("'", "''")
+
+SQL_TOKEN_COUNT_BPE = f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_SQL}')) AS bpe_tokens
+FROM documents
+"""
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -937,4 +959,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "formula_clean": (q_formula_clean, None),
     "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
     "crossmodal_neardup": (q_crossmodal_neardup, SQL_CROSSMODAL_NEARDUP),
+    "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
 }

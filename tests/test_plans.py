@@ -110,3 +110,22 @@ def test_registry_queries_jvm_only_except_designated():
         if uses_python_eval(df) and name not in designated:
             offenders.append(name)
     assert offenders == [], offenders
+
+
+def test_split_tuning_accounts_for_compression(pages_path, tmp_path):
+    """Highly-compressible tables get proportionally smaller splits."""
+    from deepseek_ocr_spark.operators.split_tuning import (
+        suggest_max_partition_bytes,
+        table_byte_stats,
+    )
+
+    stats = table_byte_stats(pages_path)
+    assert stats["ratio"] > 1.0  # fixture html compresses
+    target = 64 * 1024 * 1024
+    mpb = suggest_max_partition_bytes(pages_path, target)
+    assert 1024 * 1024 <= mpb <= 512 * 1024 * 1024
+    # the suggested compressed split times ratio lands near the target
+    assert abs(mpb * stats["ratio"] - target) / target < 0.05 or mpb in (
+        1024 * 1024,
+        512 * 1024 * 1024,
+    )

@@ -1,0 +1,44 @@
+"""Salted join ≡ plain join, including under a hot key."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.operators.skewjoin import salted_equi_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    # hot key: 'hot' carries 5000 rows, the rest 50 keys x 10 rows
+    big = spark.range(5000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    ).unionByName(
+        spark.range(500).select(
+            F.concat(F.lit("k"), (F.col("id") % 50)).alias("k"),
+            (F.col("id") + 10_000).alias("v"),
+        )
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"k{i}", float(i)) for i in range(50)],
+        "k string, w double",
+    )
+    plain = big.join(small, "k").select("k", "v", "w")
+    salted = salted_equi_join(big, small, "k", salts=8).select("k", "v", "w")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    big = spark.range(4000).select(F.lit("hot").alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([("hot", 1.0)], "k string, w double")
+    salted = salted_equi_join(big, small, "k", salts=8)
+    # the hot key's rows traverse >1 salt bucket (work actually spreads)
+    n_salts = (
+        big.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8)),
+        )
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1
+    assert salted.count() == 4000
