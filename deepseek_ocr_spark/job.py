@@ -38,6 +38,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--parallelism", type=int, default=None)
     p.add_argument("--run-id", default=None)
     p.add_argument(
+        "--auto-split-target",
+        type=int,
+        default=None,
+        help="decompressed bytes of parse work per scan task; derives "
+        "maxPartitionBytes from the input's parquet compression ratio",
+    )
+    p.add_argument(
         "--make-zip",
         action="store_true",
         help="only build the --py-files artifact and print its path",
@@ -67,6 +74,7 @@ def main(argv: list[str] | None = None) -> int:
         resume=not args.no_resume,
         parallelism=args.parallelism,
         run_id=args.run_id,
+        auto_split_target=args.auto_split_target,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -100,11 +100,26 @@ def run_job(
     resume: bool = True,
     parallelism: int | None = None,
     run_id: str | None = None,
+    auto_split_target: int | None = None,
 ) -> dict:
-    """Run (or resume) the extraction job. Returns summary counts."""
+    """Run (or resume) the extraction job. Returns summary counts.
+
+    ``auto_split_target``: decompressed bytes of parse work per scan
+    task; when set, maxPartitionBytes is derived from the input's
+    actual parquet compression ratio (operators/split_tuning) —
+    web-text tables compress 3-10x, so sizing splits on compressed
+    bytes alone overloads partitions by the same factor.
+    """
     from pyspark.sql import Observation
 
     rid = run_id or uuid.uuid4().hex[:12]
+    if auto_split_target is not None:
+        from deepseek_ocr_spark.operators.split_tuning import (
+            suggest_max_partition_bytes,
+        )
+
+        mpb = suggest_max_partition_bytes(input_path, auto_split_target)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
     pages = spark.read.parquet(input_path)
     todo = filter_done(pages, read_done_urls(spark, output_path) if resume else None)
     extracted = extract_pipeline(todo, parallelism=parallelism).withColumn(

@@ -70,3 +70,16 @@ def test_compact_output_collapses_forced_duplicates(spark, pages_path, tmp_path)
     assert set(r["run_id"] for r in c.select("run_id").distinct().collect()) == {
         "run_b"
     }
+
+
+def test_run_job_auto_split_sets_conf_and_stays_identical(
+    spark, pages_path, tmp_path, golden_rows
+):
+    out = str(tmp_path / "auto_split_out")
+    run_job(spark, pages_path, out, parallelism=4, auto_split_target=8 * 1024 * 1024)
+    mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    assert 1024 * 1024 <= mpb <= 512 * 1024 * 1024
+    got = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 200
+    for url, row in got.items():
+        assert row["extracted_text"] == golden_rows[url]["extracted_text"], url
