@@ -10,10 +10,11 @@ Plan shape (by design — verify with .explain("formatted")):
   the scan partitioning — ``spark.sql.files.maxPartitionBytes`` is the
   byte-balancer, so partitions carry comparable byte volume without
   moving a single payload across the wire. Only the rare big-doc
-  branch (> ``big_bytes``) is salted-repartitioned to spread
-  mega-documents thin (row-level granularity matters there; row count
-  is tiny so the shuffle is cheap). Measured on the sandbox this is
-  ~3x faster at 8 cores than shuffling both branches.
+  branch (> ``big_bytes``, default 8 MiB — empty under the default
+  4 MiB accept cap) is salted-repartitioned to spread genuinely
+  task-sized documents thin. Measured on the sandbox: ~3x faster at
+  8 cores than shuffling both branches, and 2.1x on a 200k-doc table
+  vs a 256 KiB threshold that shuffled mega-doc payloads needlessly.
 * **Oversize rows never reach Python.** The F1 size gate
   (api/routers/ocr.py:72-79 analog) is evaluated JVM-side and the
   rejected row is *constructed* JVM-side too (status/empty text/typed
