@@ -1,0 +1,7 @@
+#!/usr/bin/env bash
+# One-shot local gate: unit/golden suite, DuckDB oracle parity, bench.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+python -m pytest tests/ -x -q
+python scripts/check_oracle.py /root/testdata/sf0.01
+BENCH_DOCS=${BENCH_DOCS:-12000} python bench.py
