@@ -916,6 +916,52 @@ SELECT doc_id,
 FROM documents
 """
 
+
+
+def q_user_sessions(spark, sf_dir):
+    """Sessionization: 30-minute-gap rule via lag + cumulative sum —
+    the window pattern (gap flag → running session ordinal) the
+    reference's task timeline would need at fleet scale."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.unix_timestamp(F.col("ts"))
+    gap = F.when(secs - F.lag(secs).over(w) > 1800, 1).otherwise(0)
+    sess = (
+        e.withColumn("new_sess", gap)
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            (F.max("sess_id") + 1).alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_USER_SESSIONS = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+)
+SELECT user_id, max(sess_id) + 1 AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -960,4 +1006,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
     "crossmodal_neardup": (q_crossmodal_neardup, SQL_CROSSMODAL_NEARDUP),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
+    "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
 }
