@@ -38,6 +38,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--parallelism", type=int, default=None)
     p.add_argument("--run-id", default=None)
     p.add_argument(
+        "--input-format",
+        choices=("parquet", "warc"),
+        default="parquet",
+        help="pages parquet table or a directory of WARC(.gz) files",
+    )
+    p.add_argument(
         "--auto-split-target",
         type=int,
         default=None,
@@ -75,6 +81,7 @@ def main(argv: list[str] | None = None) -> int:
         parallelism=args.parallelism,
         run_id=args.run_id,
         auto_split_target=args.auto_split_target,
+        input_format=args.input_format,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -102,6 +102,7 @@ def run_job(
     parallelism: int | None = None,
     run_id: str | None = None,
     auto_split_target: int | None = None,
+    input_format: str = "parquet",
 ) -> dict:
     """Run (or resume) the extraction job. Returns summary counts.
 
@@ -110,18 +111,26 @@ def run_job(
     actual parquet compression ratio (operators/split_tuning) —
     web-text tables compress 3-10x, so sizing splits on compressed
     bytes alone overloads partitions by the same factor.
+
+    ``input_format``: "parquet" (pages table) or "warc" (directory of
+    WARC/.warc.gz files read via sources.warc.read_warc_dir).
     """
     from pyspark.sql import Observation
 
     rid = run_id or uuid.uuid4().hex[:12]
-    if auto_split_target is not None:
+    if auto_split_target is not None and input_format == "parquet":
         from deepseek_ocr_spark.operators.split_tuning import (
             suggest_max_partition_bytes,
         )
 
         mpb = suggest_max_partition_bytes(input_path, auto_split_target)
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
-    pages = spark.read.parquet(input_path)
+    if input_format == "warc":
+        from deepseek_ocr_spark.sources.warc import read_warc_dir
+
+        pages = read_warc_dir(spark, input_path)
+    else:
+        pages = spark.read.parquet(input_path)
     todo = filter_done(pages, read_done_urls(spark, output_path) if resume else None)
     extracted = extract_pipeline(todo, parallelism=parallelism).withColumn(
         "run_id", F.lit(rid)

@@ -1,0 +1,170 @@
+"""WARC source: read Common-Crawl-style WARC(.gz) files directly.
+
+Turns a directory of WARC files into the engine's ``pages`` schema
+without a preprocessing hop: ``binaryFile`` scan → iterator
+``mapInPandas`` that walks WARC framing (public ISO 28500 structure:
+``WARC/1.x`` header block, CRLF-separated headers, Content-Length
+payload, CRLF CRLF record separator) and, for ``response`` records,
+strips the HTTP envelope to the body bytes. Gzip members are handled
+per the CC convention (one gzip member per record, concatenated) via a
+decompress-object loop — no temp files, no external tools.
+
+One WARC file is one scan split (gzip members aren't splittable
+mid-file); at crawl scale parallelism comes from file count (CC ships
+~60k files per crawl), which matches how every public CC pipeline
+shards. Malformed records are skipped, never fatal (O4 error-row
+philosophy: the extract stage downstream owns per-doc errors).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+_CRLF = b"\r\n"
+
+
+def _gunzip_members(raw: bytes) -> bytes:
+    """Decompress concatenated gzip members (CC: one per record)."""
+    out = []
+    data = raw
+    while data[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        out.append(d.decompress(data))
+        out.append(d.flush())
+        data = d.unused_data
+        if not data:
+            break
+    return b"".join(out) if out else raw
+
+
+def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield (warc_headers, payload_bytes) per record. Tolerant: stops
+    at the first unparseable frame instead of raising."""
+    data = _gunzip_members(raw)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            break
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[pos:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            if _:
+                headers[k.decode("latin-1").strip().lower()] = v.decode(
+                    "latin-1"
+                ).strip()
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = hdr_end + 4
+        payload = data[body_start : body_start + length]
+        yield headers, payload
+        pos = body_start + length
+
+
+def http_body(payload: bytes) -> bytes:
+    """Strip the HTTP response envelope (status line + headers)."""
+    if payload[:5] == b"HTTP/":
+        sep = payload.find(_CRLF + _CRLF)
+        if sep >= 0:
+            return payload[sep + 4 :]
+    return payload
+
+
+def _parse_warc_date(v: str | None):
+    if not v:
+        return None
+    try:
+        return _dt.datetime.strptime(v, "%Y-%m-%dT%H:%M:%SZ")
+    except ValueError:
+        return None
+
+
+def records_to_pages(raw: bytes) -> list[dict]:
+    """WARC bytes → pages-schema dicts (response records only)."""
+    rows = []
+    for headers, payload in iter_warc_records(raw):
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": _parse_warc_date(headers.get("warc-date")),
+                "html": http_body(payload),
+                "text": None,
+                "lang": None,
+            }
+        )
+    return rows
+
+
+def read_warc_dir(spark, path: str, glob: str = "*.warc*"):
+    """Directory of WARC(.gz) files → pages DataFrame."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_spark.fixtures.pages_gen import PAGES_SPARK_SCHEMA
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select(F.col("content"))
+    )
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "warc_ts", "html", "text", "lang"]
+        for pdf in batches:
+            rows = []
+            for raw in pdf["content"]:
+                rows.extend(records_to_pages(bytes(raw)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(it, schema=PAGES_SPARK_SCHEMA)
+
+
+# ---- fixture writer (tests / demos) --------------------------------------
+
+def build_warc(pages: list[dict], gzip_members: bool = True) -> bytes:
+    """Serialize pages rows into WARC response records (one gzip
+    member per record when ``gzip_members``), deterministic."""
+    import gzip as _gzip
+    import io
+
+    out = []
+    for r in pages:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + r["html"]
+        )
+        ts = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        hdr = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {r['url']}\r\n".encode()
+            + f"WARC-Date: {ts}\r\n".encode()
+            + f"Content-Length: {len(http)}\r\n".encode()
+        )
+        rec = hdr + _CRLF + http + _CRLF + _CRLF
+        if gzip_members:
+            buf = io.BytesIO()
+            with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(rec)
+            out.append(buf.getvalue())
+        else:
+            out.append(rec)
+    return b"".join(out)

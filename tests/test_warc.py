@@ -1,0 +1,65 @@
+"""WARC source: framing roundtrip + byte-identity through the pipeline."""
+
+from __future__ import annotations
+
+import os
+
+from deepseek_ocr_spark.core.oracle import extract_document
+from deepseek_ocr_spark.fixtures.pages_gen import gen_row
+from deepseek_ocr_spark.pipeline import extract_pipeline
+from deepseek_ocr_spark.sources.warc import (
+    build_warc,
+    http_body,
+    iter_warc_records,
+    read_warc_dir,
+    records_to_pages,
+)
+
+
+def _fixture_pages(lo, hi):
+    return [gen_row(i, seed=42) for i in range(lo, hi)]
+
+
+def test_warc_roundtrip_plain_and_gzip():
+    pages = _fixture_pages(0, 25)
+    for gz in (False, True):
+        raw = build_warc(pages, gzip_members=gz)
+        rows = records_to_pages(raw)
+        assert len(rows) == 25
+        for src, got in zip(pages, rows):
+            assert got["url"] == src["url"]
+            assert bytes(got["html"]) == src["html"]
+            assert got["warc_ts"].replace(microsecond=0) == src[
+                "warc_ts"
+            ].replace(microsecond=0)
+
+
+def test_warc_tolerates_garbage_and_non_response_records():
+    pages = _fixture_pages(0, 3)
+    raw = build_warc(pages, gzip_members=False)
+    # prepend a warcinfo record, append trailing garbage
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    )
+    rows = records_to_pages(info + raw + b"not a warc record")
+    assert len(rows) == 3
+    assert http_body(b"no http envelope") == b"no http envelope"
+    assert list(iter_warc_records(b"")) == []
+
+
+def test_warc_dir_feeds_pipeline_byte_identical(spark, tmp_path):
+    d = tmp_path / "warcs"
+    os.makedirs(d)
+    pages = _fixture_pages(0, 40)
+    # two shards, one gzipped, one plain
+    (d / "shard-0.warc.gz").write_bytes(build_warc(pages[:20], gzip_members=True))
+    (d / "shard-1.warc").write_bytes(build_warc(pages[20:], gzip_members=False))
+
+    df = read_warc_dir(spark, str(d))
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    out = {r["url"]: r for r in extract_pipeline(df, parallelism=2).collect()}
+    assert len(out) == 40
+    for src in pages:
+        gold = extract_document(src["url"], src["html"])
+        assert out[src["url"]]["extracted_text"] == gold["extracted_text"], src["url"]
+        assert out[src["url"]]["status"] == gold["status"], src["url"]
