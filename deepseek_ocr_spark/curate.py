@@ -83,9 +83,15 @@ def quality_gate(
 
 
 def curate(pages: DataFrame, parallelism: int | None = None) -> tuple[DataFrame, dict]:
-    """pages → (curated corpus DataFrame, funnel counts)."""
+    """pages → (curated corpus DataFrame, funnel counts).
+
+    The enriched frame is persisted: the extract UDF (the expensive
+    stage) runs once, and the four funnel counts plus the caller's
+    eventual materialization of ``final`` all reuse it. Caller may
+    ``final.sparkSession.catalog.clearCache()`` when done.
+    """
     extracted = extract_pipeline(pages, parallelism=parallelism)
-    docs = enrich(extracted)
+    docs = enrich(extracted).persist()
     exact = exact_dedup(docs)
     near = neardup_dedup(exact)
     final = quality_gate(near)
