@@ -38,6 +38,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--parallelism", type=int, default=None)
     p.add_argument("--run-id", default=None)
     p.add_argument(
+        "--mode",
+        choices=("extract", "curate"),
+        default="extract",
+        help="extract: pages -> extracted table; curate: pages -> "
+        "deduped, quality-gated text corpus (funnel counts in summary)",
+    )
+    p.add_argument(
         "--input-format",
         choices=("parquet", "warc"),
         default="parquet",
@@ -69,21 +76,34 @@ def main(argv: list[str] | None = None) -> int:
         print("--input and --output are required", file=sys.stderr)
         return 2
 
-    from deepseek_ocr_spark.pipeline import run_job
-
     spark = get_spark()
-    summary = run_job(
-        spark,
-        input_path=args.input,
-        output_path=args.output,
-        metrics_path=args.metrics,
-        resume=not args.no_resume,
-        parallelism=args.parallelism,
-        run_id=args.run_id,
-        auto_split_target=args.auto_split_target,
-        input_format=args.input_format,
-    )
-    print(json.dumps(summary))
+    if args.mode == "curate":
+        from deepseek_ocr_spark.curate import curate
+
+        if args.input_format == "warc":
+            from deepseek_ocr_spark.sources.warc import read_warc_dir
+
+            pages = read_warc_dir(spark, args.input)
+        else:
+            pages = spark.read.parquet(args.input)
+        final, funnel = curate(pages, parallelism=args.parallelism)
+        final.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"mode": "curate", **funnel}))
+    else:
+        from deepseek_ocr_spark.pipeline import run_job
+
+        summary = run_job(
+            spark,
+            input_path=args.input,
+            output_path=args.output,
+            metrics_path=args.metrics,
+            resume=not args.no_resume,
+            parallelism=args.parallelism,
+            run_id=args.run_id,
+            auto_split_target=args.auto_split_target,
+            input_format=args.input_format,
+        )
+        print(json.dumps(summary))
     spark.stop()
     return 0
 
