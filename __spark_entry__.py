@@ -24,6 +24,18 @@ from deepseek_ocr_spark.queries import REGISTRY  # noqa: E402
 _SF0001 = "/root/testdata/sf0.001"
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable on executors regardless of how the
+    session was built (local mode inherits driver sys.path; a real
+    cluster needs the --py-files zip)."""
+    try:
+        from deepseek_ocr_spark.session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added, or local mode where it isn't needed
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: corpus curation over ``documents`` — text-stats
     enrichment → exact-dedup keep-first → per-source ordered merge
@@ -34,6 +46,7 @@ def entry(spark: SparkSession) -> DataFrame:
     and is exercised by tests/test_pipeline_golden.py and bench.py;
     this flagship sticks to the driver-provided tables.
     """
+    _ship_package(spark)
     d = spark.read.parquet(f"{_SF0001}/documents.parquet")
     enriched = d.select(
         "doc_id",
@@ -66,7 +79,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    def wrap(fn):
+        def run(spark, sf_dir):
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
