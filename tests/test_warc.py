@@ -63,3 +63,35 @@ def test_warc_dir_feeds_pipeline_byte_identical(spark, tmp_path):
         gold = extract_document(src["url"], src["html"])
         assert out[src["url"]]["extracted_text"] == gold["extracted_text"], src["url"]
         assert out[src["url"]]["status"] == gold["status"], src["url"]
+
+
+def test_warc_roundtrip_fuzz():
+    """Framing survives payloads containing CRLFs, separators, fake
+    record headers — Content-Length framing, not delimiters."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payload = st.binary(max_size=300).map(
+        lambda b: b + b"\r\n\r\nWARC/1.0\r\n" if len(b) % 3 == 0 else b
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(payload, min_size=1, max_size=6), st.booleans())
+    def fuzz(bodies, gz):
+        pages = [
+            {
+                "url": f"https://x.example/{i}",
+                "warc_ts": dt.datetime(2024, 1, 1, 0, 0, i % 60),
+                "html": b,
+            }
+            for i, b in enumerate(bodies)
+        ]
+        rows = records_to_pages(build_warc(pages, gzip_members=gz))
+        assert len(rows) == len(pages)
+        for src, got in zip(pages, rows):
+            assert bytes(got["html"]) == src["html"]
+            assert got["url"] == src["url"]
+
+    fuzz()
