@@ -92,6 +92,17 @@ HEADING_PREFIX = {
 
 
 class _BlockCollector(HTMLParser):
+    def parse_marked_section(self, i, report=1):
+        # The stdlib raises on unknown marked-section keywords
+        # (`<![bogus>`) and on a missing name token (`<![>`); real crawl
+        # pages contain both. HTML5 treats these as bogus comments —
+        # consume to the next '>' — so recover that way here, and the
+        # fast tokenizer below mirrors the same recovery.
+        try:
+            return super().parse_marked_section(i, report)
+        except Exception:
+            return self.parse_bogus_comment(i, report=0)
+
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self._drop_depth = 0
@@ -218,7 +229,10 @@ _RAWTEXT = ("script", "style")
 _RAWEND = {t: _re.compile(r"</\s*" + t, _re.IGNORECASE) for t in _RAWTEXT}
 
 _MS_CLOSE = _re.compile(r"]\s*]\s*>")
-_MS_IF_CLOSE = _re.compile(r"]>")
+# stdlib _markupbase._msmarkedsectionclose is r']\s*>' — whitespace is
+# allowed between ']' and '>' (downlevel conditional comments like
+# '<![if gte IE] >').
+_MS_IF_CLOSE = _re.compile(r"]\s*>")
 _MS_NAME = _re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*")
 
 

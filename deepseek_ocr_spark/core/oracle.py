@@ -47,6 +47,19 @@ def extract_document(
         url, doc_type, status, extracted_text, spans (list of dicts),
         n_pages, n_bytes, extractor_version
     """
+    if payload is None:
+        # null payload (e.g. a crawl row whose body column is NULL):
+        # error row, never silently dropped.
+        return {
+            "url": url,
+            "doc_type": DOC_UNKNOWN,
+            "n_bytes": 0,
+            "extractor_version": EXTRACTOR_VERSION,
+            "spans": [],
+            "n_pages": 0,
+            "status": ST_ERROR,
+            "extracted_text": "[OCR ERROR: null payload]",
+        }
     n_bytes = len(payload)
     doc_type = sniff_bytes(payload)
     base = {

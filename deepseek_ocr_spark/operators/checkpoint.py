@@ -14,6 +14,7 @@ the same access pattern.
 
 from __future__ import annotations
 
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +26,14 @@ METRICS_SCHEMA = (
     "run_id string, partition_id int, status string, rows bigint, "
     "error_rows bigint, secs double, ts timestamp"
 )
+
+
+def new_run_id() -> str:
+    """Time-sortable run id: zero-padded ns-timestamp hex prefix
+    (lexicographic order == chronological order) + random suffix for
+    same-nanosecond collision safety. compact_output's latest-run-wins
+    dedup depends on this ordering."""
+    return f"{time.time_ns():016x}{uuid.uuid4().hex[:8]}"
 
 
 def read_done_urls(spark: SparkSession, output_path: str) -> DataFrame | None:
@@ -46,7 +55,7 @@ def metrics_from_extracted(extracted: DataFrame, run_id: str | None = None) -> D
     """Per-partition lineage rows from the extract stage's carried
     partition_id/batch_secs columns. ``secs`` sums distinct batch
     timings per partition (each batch carries one timing value)."""
-    rid = run_id or uuid.uuid4().hex[:12]
+    rid = run_id or new_run_id()
     per_batch = (
         extracted.groupBy("partition_id", "batch_secs")
         .agg(
@@ -84,8 +93,11 @@ def compact_output(
     would use MERGE + snapshot expiry).
 
     Collapses duplicate urls (possible after forced reprocessing with
-    resume=False) keeping one deterministic winner per url (max run_id
-    — re-crawl semantics: the latest run wins), and rewrites the table
+    resume=False) keeping one deterministic winner per url: max run_id.
+    Run ids from :func:`new_run_id` carry a ns-timestamp prefix, so max
+    run_id IS the latest run (re-crawl semantics); rows from legacy /
+    caller-supplied ids still get a deterministic (if arbitrary)
+    winner. Also rewrites the table
     with a bounded partition count (small-file compaction). Writes to
     ``dest_path``; callers swap directories atomically at their own
     layer (a filesystem rename here, a snapshot commit on Iceberg).

@@ -27,19 +27,20 @@ Plan shape (by design — verify with .explain("formatted")):
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deepseek_ocr_spark.config import (
+    DOC_UNKNOWN,
     EXTRACTOR_VERSION,
     MAX_FILE_SIZE_BYTES,
+    ST_ERROR,
     ST_REJECTED,
 )
 from deepseek_ocr_spark.operators.checkpoint import (
     filter_done,
     metrics_from_extracted,
+    new_run_id,
     read_done_urls,
 )
 from deepseek_ocr_spark.operators.extract import SPANS_TYPE, extract_pages
@@ -72,6 +73,27 @@ def rejected_rows_jvm(df: DataFrame) -> DataFrame:
     )
 
 
+def null_rows_jvm(df: DataFrame) -> DataFrame:
+    """NULL-payload rows as a pure-JVM projection (no UDF, no Arrow).
+
+    ``F.length(NULL)`` is NULL, so both size-gate branches would
+    silently drop these rows; instead they become explicit error rows,
+    byte-identical to ``core.oracle.extract_document``'s null branch.
+    """
+    return df.select(
+        "url",
+        F.lit(DOC_UNKNOWN).alias("doc_type"),
+        F.lit(ST_ERROR).alias("status"),
+        F.lit("[OCR ERROR: null payload]").alias("extracted_text"),
+        F.expr(f"CAST(array() AS {SPANS_TYPE})").alias("spans"),
+        F.lit(0).alias("n_pages"),
+        F.lit(0).cast("bigint").alias("n_bytes"),
+        F.lit(EXTRACTOR_VERSION).alias("extractor_version"),
+        F.spark_partition_id().alias("partition_id"),
+        F.lit(0.0).alias("batch_secs"),
+    )
+
+
 def extract_pipeline(
     df: DataFrame,
     parallelism: int | None = None,
@@ -83,6 +105,7 @@ def extract_pipeline(
     if parallelism is None:
         parallelism = spark.sparkContext.defaultParallelism
     n = F.length(F.col("html"))
+    nulls = null_rows_jvm(df.filter(F.col("html").isNull()))
     rejected = rejected_rows_jvm(df.filter(n > max_bytes))
     ok = df.filter(n <= max_bytes)
     small, big = split_by_size(ok, big_bytes=big_bytes)
@@ -90,7 +113,7 @@ def extract_pipeline(
     small_out = extract_pages(small, max_bytes)
     # big docs: few rows, heavy each — spread thin, ~2 partitions/core.
     big_out = extract_pages(salted_repartition(big, parallelism * 2), max_bytes)
-    return small_out.unionByName(big_out).unionByName(rejected)
+    return small_out.unionByName(big_out).unionByName(rejected).unionByName(nulls)
 
 
 def run_job(
@@ -117,7 +140,7 @@ def run_job(
     """
     from pyspark.sql import Observation
 
-    rid = run_id or uuid.uuid4().hex[:12]
+    rid = run_id or new_run_id()
     if auto_split_target is not None and input_format == "parquet":
         from deepseek_ocr_spark.operators.split_tuning import (
             suggest_max_partition_bytes,

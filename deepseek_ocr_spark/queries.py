@@ -958,7 +958,7 @@ WITH g AS (
                              ROWS UNBOUNDED PRECEDING) AS sess_id
   FROM g
 )
-SELECT user_id, max(sess_id) + 1 AS n_sessions, count(*) AS n_events
+SELECT user_id, (max(sess_id) + 1)::BIGINT AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id ORDER BY user_id
 """
 

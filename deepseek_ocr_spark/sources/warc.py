@@ -1,78 +1,157 @@
 """WARC source: read Common-Crawl-style WARC(.gz) files directly.
 
 Turns a directory of WARC files into the engine's ``pages`` schema
-without a preprocessing hop: ``binaryFile`` scan → iterator
-``mapInPandas`` that walks WARC framing (public ISO 28500 structure:
-``WARC/1.x`` header block, CRLF-separated headers, Content-Length
-payload, CRLF CRLF record separator) and, for ``response`` records,
-strips the HTTP envelope to the body bytes. Gzip members are handled
-per the CC convention (one gzip member per record, concatenated) via a
-decompress-object loop — no temp files, no external tools.
+without a preprocessing hop, and without ever materializing a whole
+file in memory:
 
-One WARC file is one scan split (gzip members aren't splittable
-mid-file); at crawl scale parallelism comes from file count (CC ships
-~60k files per crawl), which matches how every public CC pipeline
-shards. Malformed records are skipped, never fatal (O4 error-row
-philosophy: the extract stage downstream owns per-doc errors).
+* the Spark scan reads **paths only** (``binaryFile`` metadata columns
+  — the 1 GB payloads never enter the JVM or cross Arrow);
+* each task opens its files and streams them: gzip members are
+  decompressed incrementally (one ``zlib.decompressobj`` per member,
+  chunked reads), WARC frames (public ISO 28500 structure:
+  ``WARC/1.x`` header block, CRLF-separated headers, Content-Length
+  payload, CRLF CRLF record separator) are parsed as soon as each
+  record's bytes are complete, and ``response`` records have the HTTP
+  envelope stripped to body bytes;
+* output rows are yielded in bounded batches (row count AND byte
+  caps), so peak task memory is one record + one read chunk + one
+  output batch — independent of file size.
+
+One WARC file is one task (gzip members aren't splittable mid-file);
+at crawl scale parallelism comes from file count (CC ships ~60k files
+per crawl), which matches how every public CC pipeline shards.
+Malformed records are skipped, never fatal; a corrupt/truncated gzip
+member ends that file's stream (records before the corruption are
+kept) instead of failing the job (O4 error-row philosophy: the
+extract stage downstream owns per-doc errors).
+
+Remote filesystems (s3://, hdfs://) are handled through
+``pyarrow.fs.FileSystem.from_uri`` so the same streaming path works
+off-box; local paths use plain ``open``.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
+import io
 import zlib
-from collections.abc import Iterator
+from collections.abc import Iterable, Iterator
 
 import pandas as pd
 
 _CRLF = b"\r\n"
+_GZ_MAGIC = b"\x1f\x8b"
+_CHUNK = 1 << 20  # 1 MiB reads
+_BATCH_ROWS = 1024  # output batch caps (whichever trips first)
+_BATCH_BYTES = 32 << 20
+
+
+def _decompressed_chunks(stream, chunk_size: int = _CHUNK) -> Iterator[bytes]:
+    """Yield decompressed chunks from a file object holding either
+    concatenated gzip members (CC convention: one member per record)
+    or plain bytes. Bounded memory: one compressed chunk + one
+    member's decompressor state. Corrupt gzip data ends the stream
+    (earlier members were already yielded) — never raises."""
+    buf = stream.read(chunk_size)
+    if buf[:2] != _GZ_MAGIC:
+        while buf:
+            yield buf
+            buf = stream.read(chunk_size)
+        return
+    d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+    try:
+        while True:
+            if buf:
+                out = d.decompress(buf)
+                if out:
+                    yield out
+                if d.eof:
+                    # next member (or trailing garbage → zlib.error)
+                    buf = d.unused_data
+                    d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+                    continue
+                buf = b""
+            else:
+                buf = stream.read(chunk_size)
+                if not buf:
+                    return
+    except zlib.error:
+        return
 
 
 def _gunzip_members(raw: bytes) -> bytes:
-    """Decompress concatenated gzip members (CC: one per record)."""
-    out = []
-    data = raw
-    while data[:2] == b"\x1f\x8b":
-        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        out.append(d.decompress(data))
-        out.append(d.flush())
-        data = d.unused_data
-        if not data:
-            break
-    return b"".join(out) if out else raw
+    """Decompress concatenated gzip members from whole bytes (test /
+    small-payload convenience; the scan path streams instead)."""
+    return b"".join(_decompressed_chunks(io.BytesIO(raw)))
 
 
-def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
-    """Yield (warc_headers, payload_bytes) per record. Tolerant: stops
-    at the first unparseable frame instead of raising."""
-    data = _gunzip_members(raw)
-    pos = 0
-    n = len(data)
-    while pos < n:
+def iter_warc_stream(chunks: Iterable[bytes]) -> Iterator[tuple[dict, bytes]]:
+    """Yield (warc_headers, payload_bytes) per record from a stream of
+    (already decompressed) byte chunks. Holds at most one record plus
+    one chunk in memory. Tolerant: stops at the first unparseable
+    frame instead of raising."""
+    it = iter(chunks)
+    buf = bytearray()
+    eof = False
+
+    def fill() -> bool:
+        nonlocal eof
+        if eof:
+            return False
+        for chunk in it:
+            if chunk:
+                buf.extend(chunk)
+                return True
+        eof = True
+        return False
+
+    while True:
         # skip inter-record CRLFs
-        while data[pos : pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
+        while True:
+            if len(buf) >= 2 and buf[0:2] == _CRLF:
+                del buf[:2]
+                continue
+            if len(buf) < 2 and fill():
+                continue
             break
-        if not data.startswith(b"WARC/", pos):
-            break
-        hdr_end = data.find(_CRLF + _CRLF, pos)
-        if hdr_end < 0:
-            break
+        if not buf:
+            if fill():
+                continue
+            return
+        while len(buf) < 5 and fill():
+            pass
+        if buf[:5] != b"WARC/":
+            return  # garbage tail — tolerant stop
+        while True:
+            hdr_end = buf.find(_CRLF + _CRLF)
+            if hdr_end >= 0:
+                break
+            if not fill():
+                return  # EOF before header terminator
         headers: dict[str, str] = {}
-        for line in data[pos:hdr_end].split(_CRLF)[1:]:
-            k, _, v = line.partition(b":")
-            if _:
+        for line in bytes(buf[:hdr_end]).split(_CRLF)[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
                 headers[k.decode("latin-1").strip().lower()] = v.decode(
                     "latin-1"
                 ).strip()
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            break
+            return
         body_start = hdr_end + 4
-        payload = data[body_start : body_start + length]
+        need = body_start + max(0, length)
+        while len(buf) < need and fill():
+            pass
+        payload = bytes(buf[body_start : min(need, len(buf))])
         yield headers, payload
-        pos = body_start + length
+        del buf[: min(need, len(buf))]
+
+
+def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Whole-bytes variant of :func:`iter_warc_stream` (handles gzip
+    members transparently). Kept for tests / small payloads."""
+    return iter_warc_stream([_gunzip_members(raw)] if raw else [])
 
 
 def http_body(payload: bytes) -> bytes:
@@ -93,47 +172,112 @@ def _parse_warc_date(v: str | None):
         return None
 
 
+def _record_to_row(headers: dict, payload: bytes) -> dict | None:
+    """response record → pages-schema dict (else None)."""
+    if headers.get("warc-type") != "response":
+        return None
+    url = headers.get("warc-target-uri")
+    if not url:
+        return None
+    return {
+        "url": url,
+        "warc_ts": _parse_warc_date(headers.get("warc-date")),
+        "html": http_body(payload),
+        "text": None,
+        "lang": None,
+    }
+
+
 def records_to_pages(raw: bytes) -> list[dict]:
     """WARC bytes → pages-schema dicts (response records only)."""
     rows = []
     for headers, payload in iter_warc_records(raw):
-        if headers.get("warc-type") != "response":
-            continue
-        url = headers.get("warc-target-uri")
-        if not url:
-            continue
-        rows.append(
-            {
-                "url": url,
-                "warc_ts": _parse_warc_date(headers.get("warc-date")),
-                "html": http_body(payload),
-                "text": None,
-                "lang": None,
-            }
-        )
+        row = _record_to_row(headers, payload)
+        if row is not None:
+            rows.append(row)
     return rows
 
 
-def read_warc_dir(spark, path: str, glob: str = "*.warc*"):
-    """Directory of WARC(.gz) files → pages DataFrame."""
-    from pyspark.sql import functions as F
+def _open_input(path: str):
+    """Open a (possibly remote) file for streaming reads. Spark hands
+    out URIs (``file:/tmp/x``, ``s3a://bucket/key``); local/file paths
+    use plain ``open``, other schemes go through pyarrow.fs.
+    ``compression=None`` keeps remote reads raw so gzip corruption is
+    handled by our tolerant zlib path, not a mid-read raise."""
+    from urllib.parse import unquote, urlparse
 
+    u = urlparse(path)
+    if u.scheme in ("", "file"):
+        return open(unquote(u.path) if u.scheme else path, "rb")
+    from pyarrow import fs as _pafs
+
+    filesystem, rel = _pafs.FileSystem.from_uri(path)
+    return filesystem.open_input_stream(rel, compression=None)
+
+
+def iter_warc_file(path: str) -> Iterator[tuple[dict, bytes]]:
+    """Stream one WARC(.gz) file's records with bounded memory. An
+    unreadable file yields nothing (skip, never fatal)."""
+    try:
+        f = _open_input(path)
+    except OSError:
+        return
+    with f:
+        yield from iter_warc_stream(_decompressed_chunks(f))
+
+
+def pages_batches(
+    paths: Iterable[str],
+    batch_rows: int = _BATCH_ROWS,
+    batch_bytes: int = _BATCH_BYTES,
+) -> Iterator[pd.DataFrame]:
+    """Stream pages-schema pandas batches from WARC file paths.
+    Batches are capped by row count AND payload bytes so one output
+    batch never balloons on mega-documents."""
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    rows: list[dict] = []
+    nbytes = 0
+    for p in paths:
+        for headers, payload in iter_warc_file(p):
+            row = _record_to_row(headers, payload)
+            if row is None:
+                continue
+            rows.append(row)
+            nbytes += len(row["html"])
+            if len(rows) >= batch_rows or nbytes >= batch_bytes:
+                yield pd.DataFrame(rows, columns=cols)
+                rows = []
+                nbytes = 0
+    if rows:
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def read_warc_dir(spark, path: str, glob: str = "*.warc*"):
+    """Directory of WARC(.gz) files → pages DataFrame.
+
+    The scan carries only file *paths* (binaryFile metadata columns;
+    selecting neither ``content`` nor anything derived from it means
+    Spark never reads the file bytes into the JVM). Paths are
+    round-robin repartitioned across the cluster — at crawl scale
+    (~60k files/crawl vs O(10^3) task slots) file-count balancing
+    evens out file-size skew. Each task then streams its files
+    record-by-record via :func:`pages_batches`: peak memory is one
+    record + one 1 MiB read chunk + one bounded output batch,
+    independent of .warc.gz file size."""
     from deepseek_ocr_spark.fixtures.pages_gen import PAGES_SPARK_SCHEMA
 
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
-        .select(F.col("content"))
+        .select("path")  # metadata only — content column never read
     )
+    parallelism = spark.sparkContext.defaultParallelism
+    files = files.repartition(max(parallelism, 1))
 
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["url", "warc_ts", "html", "text", "lang"]
         for pdf in batches:
-            rows = []
-            for raw in pdf["content"]:
-                rows.extend(records_to_pages(bytes(raw)))
-            yield pd.DataFrame(rows, columns=cols)
+            yield from pages_batches(pdf["path"])
 
     return files.mapInPandas(it, schema=PAGES_SPARK_SCHEMA)
 
@@ -144,7 +288,6 @@ def build_warc(pages: list[dict], gzip_members: bool = True) -> bytes:
     """Serialize pages rows into WARC response records (one gzip
     member per record when ``gzip_members``), deterministic."""
     import gzip as _gzip
-    import io
 
     out = []
     for r in pages:

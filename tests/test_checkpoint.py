@@ -83,3 +83,26 @@ def test_run_job_auto_split_sets_conf_and_stays_identical(
     assert len(got) == 200
     for url, row in got.items():
         assert row["extracted_text"] == golden_rows[url]["extracted_text"], url
+
+
+def test_run_ids_time_sortable_and_latest_wins(spark, tmp_path):
+    """new_run_id sorts chronologically, so compact_output's max-run_id
+    dedup is true latest-run-wins."""
+    from deepseek_ocr_spark.operators.checkpoint import compact_output, new_run_id
+
+    a = new_run_id()
+    b = new_run_id()
+    assert a < b  # ns-timestamp prefix => lexicographic == chronological
+
+    out = str(tmp_path / "out")
+    rows_a = [("u1", "old text", a)]
+    rows_b = [("u1", "new text", b)]
+    schema = "url string, extracted_text string, run_id string"
+    spark.createDataFrame(rows_a, schema).write.mode("append").parquet(out)
+    spark.createDataFrame(rows_b, schema).write.mode("append").parquet(out)
+    dest = str(tmp_path / "compacted")
+    res = compact_output(spark, out, dest, target_partitions=1)
+    assert res["rows"] == 1
+    got = spark.read.parquet(dest).collect()[0]
+    assert got["extracted_text"] == "new text"
+    assert got["run_id"] == b

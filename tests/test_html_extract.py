@@ -102,6 +102,20 @@ def test_fast_path_edge_cases():
         b"<",
         b"just text no tags",
         b"<h2>t</h2><div><p>one<p>two",  # unclosed nesting
+        # marked sections / downlevel conditional comments — the
+        # ']\\s*>' close and the bogus-comment recovery must agree
+        b"<p>a<![if gte IE] >b</p>",
+        b"<p>a<![if gte IE]>b</p>",
+        b"<p>a<![endif  ]  >b</p>",
+        b"<p>a<![bogus>b</p>",
+        b"<p>a<![bogus]>b</p>",
+        b"<p>a<![>b</p>",
+        b"<p>a<![ if]>b</p>",
+        b"<p>a<![if",
+        b"<p>a<![bogus",
+        b"<p>a<![CDATA[x]]>b</p>",
+        b"<p>a<![include x] ]>b</p>",
+        b"<p>a<![if.x]>b</p>",
     ]
     for c in cases:
         assert extract_html_fast(c) == extract_html_reference(c), c
@@ -117,7 +131,7 @@ def test_fast_path_fuzz_vs_reference():
     )
 
     @settings(max_examples=400, deadline=None)
-    @given(st.text(alphabet="<>abc p/\"&;=!-?\n'", max_size=200))
+    @given(st.text(alphabet="<>abc p/\"&;=!-?\n'[] ", max_size=200))
     def fuzz(s):
         b = s.encode()
         assert extract_html_fast(b) == extract_html_reference(b), repr(s)

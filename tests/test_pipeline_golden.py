@@ -58,3 +58,29 @@ def test_status_mix_covers_classes(spark, pages_path):
     assert mix.get("ok", 0) > 150
     assert mix.get("rejected", 0) >= 1
     assert mix.get("error", 0) >= 1
+
+
+def test_null_payloads_become_error_rows(spark):
+    """html IS NULL must surface as an explicit error row (identical
+    to the oracle's null branch), never be silently dropped."""
+    import datetime as dt
+
+    from deepseek_ocr_spark.core.oracle import extract_document
+
+    rows = [
+        ("https://n.example/null", dt.datetime(2024, 1, 1), None, None, None),
+        ("https://n.example/ok", dt.datetime(2024, 1, 1),
+         b"<html><body><p>fine</p></body></html>", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = {r["url"]: r for r in extract_pipeline(df, parallelism=2).collect()}
+    assert len(out) == 2
+    null_row = out["https://n.example/null"]
+    gold = extract_document("https://n.example/null", None)
+    assert null_row["status"] == gold["status"] == "error"
+    assert null_row["extracted_text"] == gold["extracted_text"]
+    assert null_row["doc_type"] == gold["doc_type"]
+    assert null_row["n_bytes"] == gold["n_bytes"] == 0
+    assert out["https://n.example/ok"]["status"] == "ok"

@@ -65,6 +65,92 @@ def test_warc_dir_feeds_pipeline_byte_identical(spark, tmp_path):
         assert out[src["url"]]["status"] == gold["status"], src["url"]
 
 
+def test_warc_stream_chunked_matches_whole():
+    """Incremental framing (any chunking) == whole-bytes parse."""
+    from deepseek_ocr_spark.sources.warc import iter_warc_stream
+
+    pages = _fixture_pages(0, 15)
+    raw = build_warc(pages, gzip_members=False)
+    whole = list(iter_warc_records(raw))
+    for size in (1, 3, 7, 64, 100_000):
+        chunks = [raw[i : i + size] for i in range(0, len(raw), size)]
+        assert list(iter_warc_stream(chunks)) == whole, size
+
+
+def test_warc_corrupt_gzip_member_skips_tail_not_job(spark, tmp_path):
+    """A corrupt/truncated gzip member must end that file's stream
+    (keeping earlier records) and never fail the read."""
+    from deepseek_ocr_spark.sources.warc import iter_warc_file
+
+    d = tmp_path / "warcs"
+    os.makedirs(d)
+    good = _fixture_pages(0, 5)
+    bad_tail = build_warc(_fixture_pages(5, 10), gzip_members=True)
+    # file 1: 5 good members, then a corrupted member (flipped bytes)
+    corrupt = bytearray(build_warc(good, gzip_members=True) + bad_tail)
+    corrupt[-len(bad_tail) + 10 : -len(bad_tail) + 20] = b"\x00" * 10
+    (d / "bad.warc.gz").write_bytes(bytes(corrupt))
+    # file 2: truncated mid-member
+    trunc = build_warc(_fixture_pages(10, 13), gzip_members=True)
+    (d / "trunc.warc.gz").write_bytes(trunc[: len(trunc) - 40])
+    # file 3: fully healthy
+    (d / "ok.warc.gz").write_bytes(build_warc(_fixture_pages(13, 16)))
+
+    # pure-python streaming level: prefix records survive
+    got_bad = [h.get("warc-target-uri") for h, _ in
+               iter_warc_file(str(d / "bad.warc.gz"))]
+    assert got_bad == [p["url"] for p in good]
+
+    # spark level: no exception, all intact records land
+    urls = {r["url"] for r in read_warc_dir(spark, str(d)).collect()}
+    for p in good + _fixture_pages(13, 16):
+        assert p["url"] in urls
+    # nothing from the corrupted tail
+    for p in _fixture_pages(5, 10):
+        assert p["url"] not in urls
+
+
+def test_warc_batches_bounded():
+    """pages_batches caps output batches by rows and bytes — the
+    memory contract for 1 GB crawl files."""
+    import datetime as dt
+
+    from deepseek_ocr_spark.sources.warc import pages_batches
+
+    pages = [
+        {
+            "url": f"https://x.example/{i}",
+            "warc_ts": dt.datetime(2024, 1, 1),
+            "html": b"z" * 1000,
+        }
+        for i in range(57)
+    ]
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".warc.gz") as f:
+        f.write(build_warc(pages))
+        f.flush()
+        # row cap
+        bs = list(pages_batches([f.name], batch_rows=10))
+        assert [len(b) for b in bs] == [10] * 5 + [7]
+        # byte cap trips first
+        bs = list(pages_batches([f.name], batch_rows=10**6, batch_bytes=5000))
+        assert all(len(b) <= 5 for b in bs)
+        assert sum(len(b) for b in bs) == 57
+
+
+def test_warc_scan_reads_paths_only(spark, tmp_path):
+    """The Spark plan must not carry the binaryFile content column —
+    file bytes stay out of the JVM entirely."""
+    d = tmp_path / "w"
+    os.makedirs(d)
+    (d / "a.warc").write_bytes(build_warc(_fixture_pages(0, 2), gzip_members=False))
+    df = read_warc_dir(spark, str(d))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan
+    assert df.count() == 2
+
+
 def test_warc_roundtrip_fuzz():
     """Framing survives payloads containing CRLFs, separators, fake
     record headers — Content-Length framing, not delimiters."""
