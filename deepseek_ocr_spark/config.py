@@ -23,6 +23,12 @@ MAX_FILE_SIZE_BYTES = 4 * 1024 * 1024
 # PDF page-count cap (reference api/config.py:30, pdf_utils.py:45-74).
 MAX_PDF_PAGES = 50
 
+# F2 image validity gate (reference validate_image,
+# api/utils/image_utils.py:61-84): dims must be > 0 and the estimated
+# decoded RGB size (w*h*3) must stay under max_size_mb * 4 with
+# max_size_mb = 20 → 80 MB of decoded pixels.
+IMAGE_MAX_DECODED_BYTES = 80 * 1024 * 1024
+
 # Per-page error marker semantics (reference api/services/
 # vllm_service.py:276-284 emits "[OCR ERROR: Page {n}...]").
 ERROR_PREFIX = "[OCR ERROR: "

@@ -21,6 +21,7 @@ from deepseek_ocr_spark.config import (
     DOC_PDF,
     DOC_UNKNOWN,
     EXTRACTOR_VERSION,
+    IMAGE_MAX_DECODED_BYTES,
     MAX_FILE_SIZE_BYTES,
     ST_ERROR,
     ST_OK,
@@ -99,6 +100,21 @@ def extract_document(
                 "extracted_text": "[OCR ERROR: invalid pdf]",
             }
     else:
+        # F2 image validity gate (validate_image, image_utils.py:61-84):
+        # header must parse to positive dims (dims come from header
+        # bytes alone — no pixel decode, the 100 TB pruning pattern),
+        # and the estimated decoded RGB size must stay under the cap.
+        from deepseek_ocr_spark.functions.multimodal import image_meta
+
+        meta = image_meta(payload)
+        if not meta["valid"] or meta["width"] <= 0 or meta["height"] <= 0:
+            return {
+                **base,
+                "status": ST_ERROR,
+                "extracted_text": "[OCR ERROR: invalid image]",
+            }
+        if meta["width"] * meta["height"] * 3 > IMAGE_MAX_DECODED_BYTES:
+            return {**base, "status": ST_REJECTED, "extracted_text": ""}
         raw_pages = image_to_raw_pages(payload)
 
     merged = merge_raw_pages(raw_pages)

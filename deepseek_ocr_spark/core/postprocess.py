@@ -153,6 +153,65 @@ def merge_raw_pages(raw_pages: list[str]) -> MergedDoc:
     return doc
 
 
+# ---- API-variant merge (vllm_service.py) ---------------------------------
+#
+# The reference's FastAPI service composes result.mmd differently from
+# the CLI (SURVEY.md §7.3 risk 1 — a documented byte-identity variant):
+# * every page is emitted — timeouts arrive as '[OCR ERROR: ...]' text
+#   (vllm_service.py:276-284); there is NO SKIP_REPEAT and NO EOS strip
+#   (sampling uses include_stop_str_in_output=True, :336, and
+#   _save_pdf_results never removes it);
+# * image refs are named by the ORIGINAL page index —
+#   'images/{page_idx}_{idx}.jpg' (:426-430), single-image results use
+#   'images/{idx}.jpg' with no prefix (:377-379);
+# * markers are removed with the TeX fixups but WITHOUT the CLI's
+#   newline collapses (:433-435);
+# * pages are framed '# Page {page_idx+1}\n\n{text}\n\n<--- Page Split
+#   --->\n\n' and ''.join-ed (:400,437,442-446).
+
+PAGE_SEP_TAIL_API = "\n\n<--- Page Split --->\n\n"
+
+
+def postprocess_page_api(
+    content: str, page_idx: int | None
+) -> tuple[str, list[dict]]:
+    """API-variant per-page cleanup (vllm_service.py:404-435).
+    ``page_idx`` prefixes image names; None = single-image naming
+    (_save_image_results, :374-379)."""
+    matches, matches_image, matches_other = re_match(content)
+    spans = extract_spans(matches)
+    prefix = "" if page_idx is None else f"{page_idx}_"
+    for idx, m_img in enumerate(matches_image):
+        content = content.replace(m_img, f"![](images/{prefix}{idx}.jpg)\n")
+    for m_other in matches_other:
+        content = (
+            content.replace(m_other, "")
+            .replace("\\coloneqq", ":=")
+            .replace("\\eqqcolon", "=:")
+        )
+    return content, spans
+
+
+def merge_raw_pages_api(
+    raw_pages: list[str], with_images: bool = True
+) -> MergedDoc:
+    """API-variant merge loop (_save_pdf_results, vllm_service.py:
+    393-446), byte-faithful. ``with_images=False`` mirrors the text-only
+    prompt path: raw page text framed but not cleaned (:437)."""
+    doc = MergedDoc()
+    parts = []
+    for page_idx, content in enumerate(raw_pages):
+        if with_images:
+            text, spans = postprocess_page_api(content, page_idx)
+            doc.spans.extend(spans)
+        else:
+            text = content
+        parts.append(f"# Page {page_idx + 1}\n\n{text}{PAGE_SEP_TAIL_API}")
+        doc.n_pages += 1
+    doc.text = "".join(parts)
+    return doc
+
+
 # P7 — eval-path formula cleanup (run_dpsk_ocr_eval_batch.py:53-68).
 # Inside each display-math block ``\[ ... \]``: remove ``\quad (...)``
 # annotations, then strip surrounding whitespace. Regex-with-callback,

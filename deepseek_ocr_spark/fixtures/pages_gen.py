@@ -166,10 +166,49 @@ def _pdf_like(rng: random.Random) -> tuple[bytes, str]:
     return "\n".join(lines).encode("utf-8"), " ".join(visible_parts)
 
 
+def _jpeg_header(w: int, h: int) -> bytes:
+    """Minimal JPEG prelude with a parseable SOF0 frame header (public
+    JFIF structure: FFD8, then an FFC0 segment carrying height/width)."""
+    import struct
+
+    sof = struct.pack(">HBHHB", 11, 8, h, w, 3)  # seglen, prec, h, w, ncomp
+    return b"\xff\xd8\xff\xc0" + sof
+
+
+def _png_header(w: int, h: int) -> bytes:
+    """PNG signature + IHDR chunk with real width/height."""
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x02\x00\x00\x00"
+    )
+
+
 def _image_like(rng: random.Random) -> tuple[bytes, str]:
-    magic = b"\xff\xd8\xff" if rng.random() < 0.7 else b"\x89PNG\r\n\x1a\n"
+    """Image payloads with REAL container headers (the engine parses
+    PNG IHDR / JPEG SOF without decoding pixels), plus rare adversarial
+    subclasses exercising the F2 validity gate
+    (image_utils.py:61-84 analog): unparseable header → error,
+    zero dims → error, absurd dims (decoded size cap) → rejected."""
+    r = rng.random()
+    if r < 0.06:  # valid magic, header never parses → invalid image
+        magic = b"\xff\xd8\xff" if rng.random() < 0.5 else b"\x89PNG\r\n\x1a\n"
+        body = bytes(rng.getrandbits(8) | 0x01 for _ in range(rng.randint(16, 64)))
+        return magic + body, ""
+    if r < 0.09:  # zero-dimension header → invalid image
+        return _png_header(0, rng.randint(1, 500)), ""
+    if r < 0.12:  # absurd dims: decoded size over the 80 MB cap → rejected
+        w, h = rng.randint(20_000, 60_000), rng.randint(20_000, 60_000)
+        hdr = _jpeg_header(w, h) if rng.random() < 0.5 else _png_header(w, h)
+        return hdr, ""
+    w, h = rng.randint(64, 2000), rng.randint(64, 2000)
+    hdr = _jpeg_header(w, h) if rng.random() < 0.7 else _png_header(w, h)
     body = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 256)))
-    return magic + body, ""
+    return hdr + body, ""
 
 
 def _oversize(rng: random.Random) -> tuple[bytes, str]:

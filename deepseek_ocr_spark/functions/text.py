@@ -79,6 +79,26 @@ def merge_pages_agg(text_col: str, order_col: str) -> Column:
     )
 
 
+def merge_pages_api_agg(text_col: str, order_col: str) -> Column:
+    """API-variant ordered merge as a sort-agg: '# Page {i+1}' header +
+    '\\n\\n<--- Page Split --->\\n\\n' tail per page, ''.join
+    (vllm_service.py:400,437,442-446). ``i`` is the post-sort ordinal,
+    matching the service's enumerate over its results list. Use inside
+    groupBy().agg()."""
+    pairs = F.array_sort(F.collect_list(F.struct(F.col(order_col), F.col(text_col))))
+    framed = F.transform(
+        pairs,
+        lambda s, i: F.concat(
+            F.lit("# Page "),
+            (i + 1).cast("string"),
+            F.lit("\n\n"),
+            s[text_col],
+            F.lit("\n\n<--- Page Split --->\n\n"),
+        ),
+    )
+    return F.concat_ws("", framed)
+
+
 # ---- M10 analog: text-level repetition clamp (pandas UDF) ---------------
 
 def clamp_repeats_py(text: str, max_ngram: int = 20) -> str:

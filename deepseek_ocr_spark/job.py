@@ -39,10 +39,26 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--run-id", default=None)
     p.add_argument(
         "--mode",
-        choices=("extract", "curate"),
+        choices=("extract", "curate", "extract-pdf-exploded"),
         default="extract",
         help="extract: pages -> extracted table; curate: pages -> "
-        "deduped, quality-gated text corpus (funnel counts in summary)",
+        "deduped, quality-gated text corpus (funnel counts in summary); "
+        "extract-pdf-exploded: page-parallel PDF path (one task unit "
+        "per PAGE — for page-heavy corpora)",
+    )
+    p.add_argument(
+        "--merge-variant",
+        choices=("cli", "api"),
+        default="cli",
+        help="page-merge byte format for extract-pdf-exploded: the "
+        "reference CLI's or the FastAPI service's result.mmd layout",
+    )
+    p.add_argument(
+        "--time-budget-secs",
+        type=float,
+        default=None,
+        help="per-document wall-clock cap; over-budget docs become "
+        "'[OCR ERROR: processing timed out]' rows (reference: 120 s/page)",
     )
     p.add_argument(
         "--input-format",
@@ -65,7 +81,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """CLI body. ``spark`` may be injected (tests reuse a session and
+    it is then not stopped here); spark-submit leaves it None."""
     args = parse_args(argv)
     from deepseek_ocr_spark.session import get_spark, package_zip
 
@@ -76,7 +94,9 @@ def main(argv: list[str] | None = None) -> int:
         print("--input and --output are required", file=sys.stderr)
         return 2
 
-    spark = get_spark()
+    own_session = spark is None
+    if own_session:
+        spark = get_spark()
     if args.mode == "curate":
         from deepseek_ocr_spark.curate import curate
 
@@ -89,6 +109,20 @@ def main(argv: list[str] | None = None) -> int:
         final, funnel = curate(pages, parallelism=args.parallelism)
         final.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"mode": "curate", **funnel}))
+    elif args.mode == "extract-pdf-exploded":
+        from deepseek_ocr_spark.operators.pdf_pages import extract_pdf_distributed
+
+        if args.input_format == "warc":
+            from deepseek_ocr_spark.sources.warc import read_warc_dir
+
+            pages = read_warc_dir(spark, args.input)
+        else:
+            pages = spark.read.parquet(args.input)
+        merged = extract_pdf_distributed(pages, variant=args.merge_variant)
+        merged.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"mode": "extract-pdf-exploded",
+                          "variant": args.merge_variant, "docs": n}))
     else:
         from deepseek_ocr_spark.pipeline import run_job
 
@@ -102,9 +136,11 @@ def main(argv: list[str] | None = None) -> int:
             run_id=args.run_id,
             auto_split_target=args.auto_split_target,
             input_format=args.input_format,
+            time_budget_secs=args.time_budget_secs,
         )
         print(json.dumps(summary))
-    spark.stop()
+    if own_session:
+        spark.stop()
     return 0
 
 

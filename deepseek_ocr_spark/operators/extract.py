@@ -46,19 +46,71 @@ _COLS = [
 ]
 
 
+def _timeout_row(url: str, payload: bytes) -> dict:
+    """Marker row for a document that exceeded its time budget — the
+    O4 analog of the reference's per-page timeout marker
+    ('[OCR ERROR: Page {n} processing timed out]',
+    vllm_service.py:276-279). Never a task failure."""
+    from deepseek_ocr_spark.config import DOC_UNKNOWN, EXTRACTOR_VERSION, ST_ERROR
+
+    return {
+        "url": url,
+        "doc_type": DOC_UNKNOWN,
+        "status": ST_ERROR,
+        "extracted_text": "[OCR ERROR: processing timed out]",
+        "spans": [],
+        "n_pages": 0,
+        "n_bytes": 0 if payload is None else len(payload),
+        "extractor_version": EXTRACTOR_VERSION,
+    }
+
+
+class _BudgetedExtractor:
+    """Per-document wall-clock budget via a single worker thread — the
+    same containment shape as the reference's
+    ``asyncio.wait_for(run_in_executor(...), timeout=120)``
+    (vllm_service.py:263-284): on timeout the wedged worker is
+    ABANDONED (it runs to completion in the background, exactly as the
+    reference's executor thread does) and a fresh worker takes over, so
+    one adversarial document can never pin a task. Costs a thread
+    hand-off per document (~tens of µs), hence opt-in."""
+
+    def __init__(self, budget_secs: float):
+        self.budget = budget_secs
+        self._ex = None
+
+    def __call__(self, url, payload, max_bytes) -> dict:
+        import concurrent.futures as cf
+
+        if self._ex is None:
+            self._ex = cf.ThreadPoolExecutor(max_workers=1)
+        fut = self._ex.submit(extract_document, url, payload, max_bytes)
+        try:
+            return fut.result(timeout=self.budget)
+        except cf.TimeoutError:
+            fut.cancel()
+            self._ex = None  # abandon the wedged thread's pool
+            return _timeout_row(url, payload)
+
+
 def _extract_iter(
-    batches: Iterator[pd.DataFrame], max_bytes: int
+    batches: Iterator[pd.DataFrame],
+    max_bytes: int,
+    time_budget_secs: float | None = None,
 ) -> Iterator[pd.DataFrame]:
     from pyspark import TaskContext
 
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
+    one = (
+        _BudgetedExtractor(time_budget_secs)
+        if time_budget_secs is not None
+        else extract_document
+    )
     for pdf in batches:
         t0 = time.perf_counter()
         rows = [
-            extract_document(
-                url, b"" if payload is None else bytes(payload), max_bytes
-            )
+            one(url, None if payload is None else bytes(payload), max_bytes)
             for url, payload in zip(pdf["url"], pdf["html"])
         ]
         out = pd.DataFrame(rows)
@@ -68,14 +120,24 @@ def _extract_iter(
         yield out[_COLS]
 
 
-def extract_pages(df, max_bytes: int = MAX_FILE_SIZE_BYTES):
+def extract_pages(
+    df,
+    max_bytes: int = MAX_FILE_SIZE_BYTES,
+    time_budget_secs: float | None = None,
+):
     """pages(url, html, ...) → extracted rows.
 
     Column-prunes to (url, html) first so the parquet scan reads only
     what the UDF needs (ReadSchema check in tests/test_plans.py).
+
+    ``time_budget_secs``: per-document wall-clock cap (O4 analog,
+    reference 120 s/page) — over-budget documents become
+    '[OCR ERROR: processing timed out]' rows. Off by default: the
+    budget costs a thread hand-off per document, and the deterministic
+    extractor cannot run away on well-formed input.
     """
 
     def it(batches):
-        return _extract_iter(batches, max_bytes)
+        return _extract_iter(batches, max_bytes, time_budget_secs)
 
     return df.select("url", "html").mapInPandas(it, schema=EXTRACT_SCHEMA)

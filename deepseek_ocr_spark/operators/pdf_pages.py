@@ -123,7 +123,64 @@ def merge_pages(pages: DataFrame) -> DataFrame:
     )
 
 
-def extract_pdf_distributed(df: DataFrame) -> DataFrame:
+def postprocess_pages_api(exploded: DataFrame) -> DataFrame:
+    """API-variant per-page stage (vllm_service.py:404-435): NO
+    SKIP_REPEAT filter, no EOS strip, image names keyed by the
+    ORIGINAL ``page_idx`` — so no window pass is needed at all (one
+    less shuffle than the CLI variant)."""
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepseek_ocr_spark.core.postprocess import postprocess_page_api
+
+        for pdf in batches:
+            texts, spans_col = [], []
+            for raw, idx in zip(pdf["raw_text"], pdf["page_idx"]):
+                text, spans = postprocess_page_api(raw, int(idx))
+                texts.append(text)
+                spans_col.append(spans)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "page_idx": pdf["page_idx"],
+                    "jdx": pdf["page_idx"],
+                    "page_text": texts,
+                    "spans": spans_col,
+                }
+            )
+
+    return exploded.mapInPandas(it, schema=PAGE_OUT_SCHEMA)
+
+
+def merge_pages_api(pages: DataFrame) -> DataFrame:
+    """API-variant sort-agg (vllm_service.py:400,442-446): '# Page
+    {i+1}' headers + double-newline split tail, joined with ''."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct("page_idx", "page_text", "spans"))
+    )
+    framed = F.transform(
+        ordered,
+        lambda s, i: F.concat(
+            F.lit("# Page "),
+            (i + 1).cast("string"),
+            F.lit("\n\n"),
+            s["page_text"],
+            F.lit("\n\n<--- Page Split --->\n\n"),
+        ),
+    )
+    return pages.groupBy("url").agg(
+        F.concat_ws("", framed).alias("extracted_text"),
+        F.flatten(F.transform(ordered, lambda s: s["spans"])).alias("spans"),
+        F.count("*").cast("int").alias("n_pages"),
+    )
+
+
+def extract_pdf_distributed(df: DataFrame, variant: str = "cli") -> DataFrame:
     """Full exploded path: docs → pages → per-page post-process →
-    merged docs. Same output as the fused extractor for valid PDFs."""
-    return merge_pages(postprocess_pages(explode_pdf_pages(df)))
+    merged docs. ``variant='cli'`` matches the fused extractor /
+    reference CLI merge; ``variant='api'`` matches the FastAPI
+    service's result.mmd composition (core/postprocess.py's
+    merge_raw_pages_api twin)."""
+    exploded = explode_pdf_pages(df)
+    if variant == "api":
+        return merge_pages_api(postprocess_pages_api(exploded))
+    return merge_pages(postprocess_pages(exploded))

@@ -99,8 +99,12 @@ def extract_pipeline(
     parallelism: int | None = None,
     big_bytes: int = BIG_DOC_BYTES,
     max_bytes: int = MAX_FILE_SIZE_BYTES,
+    time_budget_secs: float | None = None,
 ) -> DataFrame:
-    """pages DataFrame → extracted DataFrame (lazy)."""
+    """pages DataFrame → extracted DataFrame (lazy).
+
+    ``time_budget_secs``: optional per-document wall-clock cap (O4
+    analog) — see operators.extract.extract_pages."""
     spark = df.sparkSession
     if parallelism is None:
         parallelism = spark.sparkContext.defaultParallelism
@@ -110,9 +114,11 @@ def extract_pipeline(
     ok = df.filter(n <= max_bytes)
     small, big = split_by_size(ok, big_bytes=big_bytes)
     # small docs: scan partitioning already byte-balances; zero shuffle.
-    small_out = extract_pages(small, max_bytes)
+    small_out = extract_pages(small, max_bytes, time_budget_secs)
     # big docs: few rows, heavy each — spread thin, ~2 partitions/core.
-    big_out = extract_pages(salted_repartition(big, parallelism * 2), max_bytes)
+    big_out = extract_pages(
+        salted_repartition(big, parallelism * 2), max_bytes, time_budget_secs
+    )
     return small_out.unionByName(big_out).unionByName(rejected).unionByName(nulls)
 
 
@@ -126,6 +132,7 @@ def run_job(
     run_id: str | None = None,
     auto_split_target: int | None = None,
     input_format: str = "parquet",
+    time_budget_secs: float | None = None,
 ) -> dict:
     """Run (or resume) the extraction job. Returns summary counts.
 
@@ -155,9 +162,9 @@ def run_job(
     else:
         pages = spark.read.parquet(input_path)
     todo = filter_done(pages, read_done_urls(spark, output_path) if resume else None)
-    extracted = extract_pipeline(todo, parallelism=parallelism).withColumn(
-        "run_id", F.lit(rid)
-    )
+    extracted = extract_pipeline(
+        todo, parallelism=parallelism, time_budget_secs=time_budget_secs
+    ).withColumn("run_id", F.lit(rid))
     # Observation: run totals collected DURING the write — no second
     # pass over the data (the Spark analog of the reference's per-task
     # progress fields, task_queue.py:28-42).

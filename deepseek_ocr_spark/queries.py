@@ -363,6 +363,32 @@ FROM documents GROUP BY source
 """
 
 
+def q_ordered_merge_api(spark, sf_dir):
+    """P9 API-variant ordered page merge (vllm_service.py:400,442-446):
+    '# Page {i+1}' headers, double-newline split tail, ''.join."""
+    d = _t(spark, sf_dir, "documents").withColumnRenamed("text", "page_text")
+    return d.groupBy("source").agg(
+        T.merge_pages_api_agg("page_text", "doc_id").alias("merged")
+    )
+
+
+_SEP_API_SQL = (
+    "chr(10) || chr(10) || '<--- Page Split --->' || chr(10) || chr(10)"
+)
+
+SQL_ORDERED_MERGE_API = f"""
+WITH o AS (
+  SELECT source, text, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       string_agg('# Page ' || rn::VARCHAR || chr(10) || chr(10) || text
+                  || {_SEP_API_SQL}, '' ORDER BY doc_id) AS merged
+FROM o GROUP BY source
+"""
+
+
 def q_explode_tokens(spark, sf_dir):
     """S5 page-explode analog: posexplode with order preserved."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
@@ -983,6 +1009,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER),
     "ts_bucket_agg": (q_ts_bucket_agg, SQL_TS_BUCKET_AGG),
     "ordered_merge": (q_ordered_merge, SQL_ORDERED_MERGE),
+    "ordered_merge_api": (q_ordered_merge_api, SQL_ORDERED_MERGE_API),
     "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
     "span_extract": (q_span_extract, SQL_SPAN_EXTRACT),
     "marker_strip_chain": (q_marker_strip_chain, SQL_MARKER_STRIP_CHAIN),

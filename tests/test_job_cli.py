@@ -1,0 +1,74 @@
+"""Job CLI modes (O7) + per-document time budget (O4)."""
+
+from __future__ import annotations
+
+import json
+
+from deepseek_ocr_spark.core.oracle import extract_document
+from deepseek_ocr_spark.core.sniff import sniff_bytes
+from deepseek_ocr_spark.fixtures.pages_gen import gen_row
+from deepseek_ocr_spark.job import main
+from deepseek_ocr_spark.operators.extract import extract_pages
+
+
+def test_cli_extract_pdf_exploded_both_variants(spark, pages_path, tmp_path, capsys):
+    """--mode extract-pdf-exploded reaches the distributed page path
+    from the CLI, for both merge byte-formats."""
+    for variant in ("cli", "api"):
+        out = str(tmp_path / f"out_{variant}")
+        rc = main(
+            [
+                "--mode", "extract-pdf-exploded",
+                "--merge-variant", variant,
+                "--input", pages_path,
+                "--output", out,
+            ],
+            spark=spark,
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["mode"] == "extract-pdf-exploded"
+        assert summary["variant"] == variant
+        assert summary["docs"] > 0
+        got = {r["url"]: r for r in spark.read.parquet(out).collect()}
+        # spot-check byte identity for the cli variant against the oracle
+        if variant == "cli":
+            checked = 0
+            for i in range(200):
+                r = gen_row(i, seed=42)
+                if sniff_bytes(r["html"]) != "pdf" or r["url"] not in got:
+                    continue
+                g = extract_document(r["url"], r["html"])
+                if g["status"] == "ok":
+                    assert got[r["url"]]["extracted_text"] == g["extracted_text"]
+                    checked += 1
+            assert checked >= 5
+
+
+def test_time_budget_over_budget_doc_becomes_error_row(spark):
+    """O4 analog: a document that blows the wall-clock budget yields a
+    timeout marker row — never a task failure — while fast documents
+    are untouched."""
+    big_html = (b"<html><body>" +
+                b"<p>word " * 120_000 + b"</p></body></html>")
+    rows = [
+        ("https://t.example/slow", big_html),
+        ("https://t.example/fast", b"<html><body><p>hi</p></body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary").repartition(2)
+    # microscopic budget: the mega-doc cannot finish, the tiny one can
+    out = {r["url"]: r for r in
+           extract_pages(df, time_budget_secs=0.02).collect()}
+    slow = out["https://t.example/slow"]
+    assert slow["status"] == "error"
+    assert slow["extracted_text"] == "[OCR ERROR: processing timed out]"
+    assert slow["n_bytes"] == len(big_html)
+    assert out["https://t.example/fast"]["status"] == "ok"
+
+    # generous budget: identical to the no-budget path
+    ok = {r["url"]: r for r in
+          extract_pages(df, time_budget_secs=120.0).collect()}
+    plain = {r["url"]: r for r in extract_pages(df).collect()}
+    for url in plain:
+        assert ok[url]["extracted_text"] == plain[url]["extracted_text"], url
+        assert ok[url]["status"] == plain[url]["status"], url

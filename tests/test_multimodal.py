@@ -121,3 +121,24 @@ def test_figure_crops_from_pipeline(spark, pages_path):
     )
     assert not uses_python_eval(figure_crops(ex))
     assert figure_crops(ex).collect()[0]["span_ordinal"] == 0
+
+
+def test_image_validity_gate_in_oracle():
+    """F2 analog (validate_image, image_utils.py:61-84): unparseable
+    header → error, zero dims → error, decoded-size cap → rejected,
+    sane image → extracted."""
+    from deepseek_ocr_spark.core.oracle import extract_document
+    from deepseek_ocr_spark.fixtures.pages_gen import _jpeg_header, _png_header
+
+    bad_hdr = b"\xff\xd8\xff" + b"\x01" * 32
+    assert extract_document("u", bad_hdr)["extracted_text"] == "[OCR ERROR: invalid image]"
+
+    zero = _png_header(0, 100)
+    assert extract_document("u", zero)["status"] == "error"
+
+    huge = _jpeg_header(60_000, 60_000)  # 10.8 GB decoded > 80 MB cap
+    r = extract_document("u", huge)
+    assert r["status"] == "rejected" and r["extracted_text"] == ""
+
+    ok = _png_header(640, 480) + b"\x00" * 64
+    assert extract_document("u", ok)["status"] in ("ok", "skipped_repeat")

@@ -58,3 +58,43 @@ def test_distributed_path_parallelism_invariant(spark):
     a = {r["url"]: r["extracted_text"] for r in extract_pdf_distributed(df1).collect()}
     b = {r["url"]: r["extracted_text"] for r in extract_pdf_distributed(df8).collect()}
     assert a == b
+
+
+def test_distributed_api_variant_matches_sequential(spark):
+    """extract_pdf_distributed(variant='api') ≡ merge_raw_pages_api
+    over the same rendered pages, byte for byte."""
+    from deepseek_ocr_spark.core.pdf_extract import (
+        PdfParseError,
+        PdfTooManyPages,
+        pdf_to_raw_pages,
+    )
+    from deepseek_ocr_spark.core.postprocess import merge_raw_pages_api
+
+    rows = [gen_row(i, seed=42) for i in range(400)]
+    pdf_rows = [r for r in rows if sniff_bytes(r["html"]) == "pdf"]
+    golden = {}
+    for r in pdf_rows:
+        try:
+            pages = pdf_to_raw_pages(r["html"])
+        except (PdfParseError, PdfTooManyPages):
+            continue
+        golden[r["url"]] = merge_raw_pages_api(pages)
+    assert len(golden) >= 15
+
+    df = spark.createDataFrame(
+        [(r["url"], r["html"]) for r in pdf_rows], "url string, html binary"
+    )
+    out = {
+        r["url"]: r
+        for r in extract_pdf_distributed(df, variant="api").collect()
+    }
+    assert set(out) == set(golden)
+    for url, g in golden.items():
+        assert out[url]["extracted_text"] == g.text, url
+        assert out[url]["n_pages"] == g.n_pages, url
+        got_spans = [
+            {"label": s["label"], "x1": s["x1"], "y1": s["y1"],
+             "x2": s["x2"], "y2": s["y2"]}
+            for s in out[url]["spans"]
+        ]
+        assert got_spans == g.spans, url

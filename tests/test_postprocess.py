@@ -97,3 +97,44 @@ def test_clean_formula_p7():
         clean_formula(r"\[a \quad b\] mid \[c \quad (x) d\]")
         == r"\[a \quad b\] mid \[c  d\]"
     )
+
+
+def test_api_variant_merge_semantics():
+    """API-variant merge (vllm_service.py:393-446): '# Page {i+1}'
+    headers, double-newline tail, no EOS strip, no SKIP_REPEAT, no
+    newline collapse, page_idx-prefixed image names."""
+    from deepseek_ocr_spark.core.postprocess import merge_raw_pages_api
+
+    eos = "<｜end▁of▁sentence｜>"
+    img = "<|ref|>image<|/ref|><|det|>[[1, 2, 3, 4]]<|/det|>"
+    other = "<|ref|>title<|/ref|><|det|>[[5, 6, 7, 8]]<|/det|>"
+    pages = [
+        f"first {img} page{eos}",
+        "no eos page",  # API keeps it — no SKIP_REPEAT
+        f"third {other} \\coloneqq x\n\n\n\n",
+    ]
+    doc = merge_raw_pages_api(pages)
+    assert doc.n_pages == 3
+    # image named by ORIGINAL page_idx; EOS retained verbatim
+    assert f"# Page 1\n\nfirst ![](images/0_0.jpg)\n page{eos}\n\n<--- Page Split --->\n\n" in doc.text
+    assert "# Page 2\n\nno eos page\n\n<--- Page Split --->\n\n" in doc.text
+    # marker removed, TeX fixup applied, newlines NOT collapsed
+    assert "third  := x\n\n\n\n\n\n<--- Page Split --->\n\n" in doc.text
+    assert doc.text.endswith("<--- Page Split --->\n\n")
+    # spans collected from both image and other markers
+    assert {s["label"] for s in doc.spans} == {"image", "title"}
+
+    # with_images=False: raw text framed, nothing cleaned, no spans
+    raw = merge_raw_pages_api(pages, with_images=False)
+    assert raw.spans == []
+    assert img in raw.text
+
+
+def test_api_variant_single_image_naming():
+    from deepseek_ocr_spark.core.postprocess import postprocess_page_api
+
+    img = "<|ref|>image<|/ref|><|det|>[[1, 2, 3, 4]]<|/det|>"
+    text, spans = postprocess_page_api(f"a {img} b {img} c", None)
+    # no page prefix; duplicate match string gets the FIRST ordinal
+    assert text == "a ![](images/0.jpg)\n b ![](images/0.jpg)\n c"
+    assert len(spans) == 2
