@@ -62,10 +62,9 @@ def exact_dedup(docs: DataFrame, key: str = "fp", order: str = "url") -> DataFra
 
 def neardup_dedup(docs: DataFrame, jaccard_drop: float = JACCARD_DROP) -> DataFrame:
     """MinHash-LSH proposes pairs, exact shingle-Jaccard confirms,
-    the lexicographically larger url of each confirmed pair drops."""
-    sig = DD.minhash_signature(docs, "url", "text")
-    pairs = DD.lsh_candidate_pairs(sig, "url")
-    confirmed = DD.ngram_jaccard(docs, pairs, "url", "text").filter(
+    the lexicographically larger url of each confirmed pair drops.
+    One persisted shingle frame serves both stages."""
+    confirmed = DD.neardup_scored_pairs(docs, "url", "text").filter(
         F.col("jaccard") >= jaccard_drop
     )
     losers = confirmed.select(F.col("id_b").alias("url")).distinct()

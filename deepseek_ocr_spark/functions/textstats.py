@@ -38,11 +38,14 @@ def char_count(col: Column) -> Column:
 
 
 def punct_count(col: Column) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(PUNCT_RE), 0))
+    # regexp_count counts matches without materializing a match array
+    # (regexp_extract_all + size builds one string per hit first) —
+    # these sit on the curation hot path, x4 languages per row.
+    return F.regexp_count(col, F.lit(PUNCT_RE))
 
 
 def stopword_hits(col: Column, lang: str) -> Column:
-    return F.size(F.regexp_extract_all(F.lower(col), F.lit(LANG_STOPWORD_RE[lang]), 0))
+    return F.regexp_count(F.lower(col), F.lit(LANG_STOPWORD_RE[lang]))
 
 
 def quality_score(col: Column) -> Column:
@@ -90,5 +93,6 @@ BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
 
 
 def token_count_bpe(col: Column) -> Column:
-    """BPE-ish token count (regex token classes, JVM-side)."""
-    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+    """BPE-ish token count (regex token classes, JVM-side; counted
+    without materializing the match array)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE))

@@ -646,11 +646,11 @@ SQL_LSH_CANDIDATE_PAIRS = _SHINGLES_SQL + "," + _PAIRS_CORE + "SELECT id_a, id_b
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact shingle-Jaccard over the LSH candidate pairs."""
+    """Exact shingle-Jaccard over the LSH candidate pairs — one shared
+    (persisted) shingle frame feeds both the MinHash signatures and the
+    Jaccard confirm (the explode is the dominant intermediate)."""
     d = _t(spark, sf_dir, "documents")
-    sig = DD.minhash_signature(d, "doc_id", "text")
-    pairs = DD.lsh_candidate_pairs(sig, "doc_id")
-    return DD.ngram_jaccard(d, pairs, "doc_id", "text")
+    return DD.neardup_scored_pairs(d, "doc_id", "text")
 
 
 SQL_NGRAM_JACCARD = (
