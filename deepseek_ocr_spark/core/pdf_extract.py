@@ -110,5 +110,30 @@ def page_to_raw(blocks) -> str:
 
 
 def pdf_to_raw_pages(payload: bytes) -> list[str]:
-    """Full PDF front-end: parse + segment + order → raw pages."""
-    return [page_to_raw(blocks) for blocks in parse_minipdf(payload)]
+    """Full PDF front-end: parse + segment + order → raw pages.
+
+    Mini-PDF fixtures take the deterministic layout parser above; any
+    other ``%PDF-`` payload takes the REAL text-object extractor
+    (core/pdf_text.py — object graph + FlateDecode + BT/ET machine),
+    so actual machine-generated PDFs from a crawl produce text without
+    fitz or a render step. Zero extractable pages → PdfParseError
+    (error row); over the page cap → PdfTooManyPages (rejected row),
+    same taxonomy as validate_pdf (api/utils/pdf_utils.py:45-74)."""
+    try:
+        return [page_to_raw(blocks) for blocks in parse_minipdf(payload)]
+    except PdfTooManyPages:
+        raise
+    except PdfParseError:
+        if not payload.startswith(b"%PDF-"):
+            raise
+    from deepseek_ocr_spark.core.pdf_text import real_pdf_to_raw_pages
+
+    try:
+        pages = real_pdf_to_raw_pages(payload)
+    except Exception as e:  # malformed object graph: error row
+        raise PdfParseError(f"unparseable pdf: {e}") from e
+    if not pages:
+        raise PdfParseError("no extractable pages")
+    if len(pages) > MAX_PDF_PAGES:
+        raise PdfTooManyPages(f"page count {len(pages)} > {MAX_PDF_PAGES}")
+    return pages

@@ -1,0 +1,463 @@
+"""Real ``%PDF-`` text extraction — pure Python, no render, no codecs.
+
+The reference renders PDF pages to images with fitz and runs the
+vision model per page (api/utils/pdf_utils.py:77-124); this container
+ships neither fitz nor model weights. This module closes the gap for
+*machine-generated* PDFs the way a text-first pipeline does: parse the
+document's object graph and content streams directly (public PDF 1.x
+structure, ISO 32000) and read the text-show operators.
+
+Covered:
+
+* indirect objects ``N G obj ... endobj`` located by scanning (no xref
+  needed — robust to the truncated/rebuilt files common in crawls);
+* ``/FlateDecode`` streams via zlib (raw/uncompressed streams pass
+  through); unknown filters skip that stream, never raise;
+* page order via the document tree: trailer ``/Root`` → ``/Pages`` →
+  recursive ``/Kids`` walk (falls back to document-order ``/Type
+  /Page`` objects when the tree is broken);
+* the text operator machine inside ``BT``/``ET``: ``Tj``, ``TJ``
+  (kern-aware: a gap ≤ -180/1000 em reads as a space), ``'``, ``"``,
+  with ``Td``/``TD``/``T*``/``Tm`` vertical moves emitting newlines;
+* string literals with nested parens, escape sequences and octal
+  codes, plus hex strings.
+
+Out of scope (documented): CID/composite fonts with ToUnicode CMaps
+decode best-effort as latin-1; encrypted PDFs yield no text. Both are
+the standard cut line for a no-dependency extractor.
+
+Per-page output is wrapped as the engine's *raw page* (text + EOS) so
+the shared reference merge loop (core/postprocess.py) applies
+unchanged downstream.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from deepseek_ocr_spark.config import EOS, MAX_PDF_PAGES
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_RE = re.compile(rb"stream\r?\n")
+
+# content-stream tokens: string start, hex string, name, number, operator
+_NUM_RE = re.compile(rb"[+-]?\d*\.?\d+")
+_NAME_RE = re.compile(rb"/[^\s/<>\[\]()]*")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+_KERN_SPACE_THRESHOLD = -180  # thousandths of an em; gaps beyond → space
+
+
+class _Obj:
+    __slots__ = ("raw", "stream")
+
+    def __init__(self, raw: bytes, stream: bytes | None):
+        self.raw = raw  # dict/body bytes (before any stream)
+        self.stream = stream
+
+
+def _scan_objects(payload: bytes) -> dict[int, _Obj]:
+    """Locate every ``N G obj ... endobj`` by scanning (xref-free)."""
+    objs: dict[int, _Obj] = {}
+    for m in _OBJ_RE.finditer(payload):
+        num = int(m.group(1))
+        start = m.end()
+        end = payload.find(b"endobj", start)
+        if end < 0:
+            end = len(payload)
+        body = payload[start:end]
+        sm = _STREAM_RE.search(body)
+        if sm:
+            se = body.find(b"endstream", sm.end())
+            if se < 0:
+                se = len(body)
+            objs[num] = _Obj(body[: sm.start()], body[sm.end() : se])
+        else:
+            objs[num] = _Obj(body, None)
+    return objs
+
+
+# ---- minimal object-syntax reader (names, refs, arrays, dicts) -----------
+
+_WS = b"\x00\t\n\x0c\r "
+
+
+def _skip_ws(b: bytes, i: int) -> int:
+    n = len(b)
+    while i < n:
+        c = b[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # '%' comment to EOL
+            j = b.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        else:
+            break
+    return i
+
+
+def _parse_value(b: bytes, i: int):
+    """Parse one PDF object value at offset i → (value, next_offset).
+    Refs become ('ref', num); unknown syntax returns (None, i+1)."""
+    i = _skip_ws(b, i)
+    if i >= len(b):
+        return None, i
+    c = b[i : i + 1]
+    if c == b"/":
+        m = _NAME_RE.match(b, i)
+        return ("name", m.group(0)[1:].decode("latin-1")), m.end()
+    if b.startswith(b"<<", i):
+        d = {}
+        i += 2
+        while True:
+            i = _skip_ws(b, i)
+            if i >= len(b) or b.startswith(b">>", i):
+                return ("dict", d), min(i + 2, len(b))
+            if b[i : i + 1] != b"/":
+                i += 1
+                continue
+            m = _NAME_RE.match(b, i)
+            key = m.group(0)[1:].decode("latin-1")
+            val, i = _parse_value(b, m.end())
+            d[key] = val
+    if c == b"[":
+        arr = []
+        i += 1
+        while True:
+            i = _skip_ws(b, i)
+            if i >= len(b) or b[i : i + 1] == b"]":
+                return ("array", arr), i + 1
+            val, i = _parse_value(b, i)
+            if val is not None:
+                arr.append(val)
+    m = _NUM_RE.match(b, i)
+    if m:
+        # lookahead for "G R" → indirect reference
+        j = _skip_ws(b, m.end())
+        m2 = _NUM_RE.match(b, j)
+        if m2:
+            k = _skip_ws(b, m2.end())
+            if b[k : k + 1] == b"R" and not _OP_RE.match(b, k + 1):
+                return ("ref", int(m.group(0))), k + 1
+        txt = m.group(0)
+        return ("num", float(txt) if b"." in txt else int(txt)), m.end()
+    if c == b"(":
+        s, i = _read_literal_string(b, i)
+        return ("str", s), i
+    if c == b"<":
+        j = b.find(b">", i)
+        if j < 0:
+            return None, len(b)
+        return ("str", _hex_bytes(b[i + 1 : j])), j + 1
+    if b.startswith(b"true", i):
+        return ("bool", True), i + 4
+    if b.startswith(b"false", i):
+        return ("bool", False), i + 5
+    if b.startswith(b"null", i):
+        return ("null", None), i + 4
+    return None, i + 1
+
+
+def _dict_of(obj: _Obj):
+    v, _ = _parse_value(obj.raw, 0)
+    return v[1] if v and v[0] == "dict" else {}
+
+
+def _deref(v, objs):
+    """Follow one level of ('ref', n) indirection to the object dict."""
+    if v and v[0] == "ref":
+        o = objs.get(v[1])
+        return _dict_of(o) if o else {}
+    if v and v[0] == "dict":
+        return v[1]
+    return {}
+
+
+# ---- strings -------------------------------------------------------------
+
+_ESCAPES = {
+    ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
+    ord("b"): b"\b", ord("f"): b"\f",
+    ord("("): b"(", ord(")"): b")", ord("\\"): b"\\",
+}
+
+
+def _read_literal_string(b: bytes, i: int) -> tuple[bytes, int]:
+    """Read a ``( ... )`` literal at i (must point at '('): nested
+    parens, backslash escapes, octal codes, line continuations."""
+    out = bytearray()
+    depth = 0
+    n = len(b)
+    while i < n:
+        c = b[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = b[i]
+            if e in _ESCAPES:
+                out += _ESCAPES[e]
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                j = i
+                while j < n and j - i < 3 and 0x30 <= b[j] <= 0x37:
+                    j += 1
+                out.append(int(b[i:j], 8) & 0xFF)
+                i = j
+            elif e == 0x0A:
+                i += 1  # line continuation
+            elif e == 0x0D:
+                i += 1
+                if i < n and b[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(e)
+                i += 1
+            continue
+        if c == 0x28:  # '('
+            depth += 1
+            if depth > 1:
+                out.append(c)
+            i += 1
+            continue
+        if c == 0x29:  # ')'
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(c)
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return bytes(out), n
+
+
+def _hex_bytes(h: bytes) -> bytes:
+    hx = b"".join(h.split())
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except ValueError:
+        return b""
+
+
+def _decode_text(raw: bytes) -> str:
+    """Best-effort string decode: UTF-16BE when BOM'd (PDF text-string
+    rule), else latin-1 (≈ PDFDocEncoding for printable range)."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", errors="replace")
+    return raw.decode("latin-1")
+
+
+# ---- page tree -----------------------------------------------------------
+
+def _page_objects(payload: bytes, objs: dict[int, _Obj]) -> list[dict]:
+    """Ordered page dicts via the /Root → /Pages → /Kids walk; fall
+    back to document-order /Type /Page objects on a broken tree."""
+    root = {}
+    t = payload.rfind(b"trailer")
+    if t >= 0:
+        v, _ = _parse_value(payload, t + 7)
+        if v and v[0] == "dict":
+            root = _deref(v[1].get("Root"), objs)
+    if not root:
+        for o in objs.values():
+            d = _dict_of(o)
+            if d.get("Type") == ("name", "Catalog"):
+                root = d
+                break
+
+    pages: list[dict] = []
+
+    def walk(node: dict, depth: int = 0) -> None:
+        if depth > 64 or len(pages) > MAX_PDF_PAGES:
+            return
+        t = node.get("Type")
+        if t == ("name", "Page"):
+            pages.append(node)
+            return
+        kids = node.get("Kids")
+        if kids and kids[0] == "array":
+            for kid in kids[1]:
+                walk(_deref(kid, objs), depth + 1)
+
+    if root:
+        walk(_deref(root.get("Pages"), objs))
+    if not pages:  # broken/absent tree: document order
+        for o in objs.values():
+            d = _dict_of(o)
+            if d.get("Type") == ("name", "Page"):
+                pages.append(d)
+    return pages
+
+
+def _content_bytes(page: dict, objs: dict[int, _Obj]) -> bytes:
+    """Concatenate a page's (decompressed) content streams."""
+    contents = page.get("Contents")
+    if contents is None:
+        return b""
+    refs = contents[1] if contents[0] == "array" else [contents]
+    out = []
+    for r in refs:
+        if r[0] != "ref":
+            continue
+        o = objs.get(r[1])
+        if o is None or o.stream is None:
+            continue
+        d = _dict_of(o)
+        filt = d.get("Filter")
+        names = []
+        if filt:
+            if filt[0] == "name":
+                names = [filt[1]]
+            elif filt[0] == "array":
+                names = [x[1] for x in filt[1] if x[0] == "name"]
+        if not names:
+            out.append(o.stream)
+        elif names == ["FlateDecode"]:
+            try:
+                out.append(zlib.decompress(o.stream))
+            except zlib.error:
+                continue  # corrupt stream: skip, never raise
+        # other filters (DCT, LZW, ...): not text content we can read
+    return b"\n".join(out)
+
+
+# ---- text operator machine -----------------------------------------------
+
+def _content_tokens(b: bytes):
+    """Yield ('str', bytes) | ('num', float) | ('name', s) | ('op', s)
+    from a content stream, skipping inline-image data."""
+    i = 0
+    n = len(b)
+    while i < n:
+        i = _skip_ws(b, i)
+        if i >= n:
+            return
+        c = b[i : i + 1]
+        if c == b"(":
+            s, i = _read_literal_string(b, i)
+            yield ("str", s)
+        elif b.startswith(b"<<", i):
+            v, i = _parse_value(b, i)
+            yield ("dict", v[1] if v else {})
+        elif c == b"<":
+            j = b.find(b">", i)
+            if j < 0:
+                return
+            yield ("str", _hex_bytes(b[i + 1 : j]))
+            i = j + 1
+        elif c == b"/":
+            m = _NAME_RE.match(b, i)
+            yield ("name", m.group(0)[1:].decode("latin-1"))
+            i = m.end()
+        elif c in (b"[", b"]"):
+            yield ("op", c.decode())
+            i += 1
+        else:
+            m = _NUM_RE.match(b, i)
+            if m:
+                txt = m.group(0)
+                yield ("num", float(txt))
+                i = m.end()
+                continue
+            m = _OP_RE.match(b, i)
+            if m:
+                op = m.group(0).decode("latin-1")
+                i = m.end()
+                if op == "BI":  # inline image: skip to EI
+                    j = b.find(b"EI", i)
+                    i = n if j < 0 else j + 2
+                    continue
+                yield ("op", op)
+            else:
+                i += 1
+
+
+def extract_page_text(content: bytes) -> str:
+    """Run the text operators of one page's content stream → text."""
+    parts: list[str] = []
+    stack: list = []  # operand stack (strings/nums/arrays)
+    in_array: list | None = None
+    last_ty = None
+
+    def newline():
+        if parts and not parts[-1].endswith("\n"):
+            parts.append("\n")
+
+    def show(raw: bytes):
+        s = _decode_text(raw)
+        if s:
+            parts.append(s)
+
+    for kind, val in _content_tokens(content):
+        if kind == "op":
+            op = val
+            if op == "[":
+                in_array = []
+                continue
+            if op == "]":
+                stack.append(in_array or [])
+                in_array = None
+                continue
+            if op == "Tj":
+                if stack and isinstance(stack[-1], bytes):
+                    show(stack[-1])
+            elif op == "TJ":
+                if stack and isinstance(stack[-1], list):
+                    for el in stack[-1]:
+                        if isinstance(el, bytes):
+                            show(el)
+                        elif (
+                            isinstance(el, float)
+                            and el <= _KERN_SPACE_THRESHOLD
+                        ):
+                            if parts and not parts[-1].endswith((" ", "\n")):
+                                parts.append(" ")
+            elif op == "'":
+                newline()
+                if stack and isinstance(stack[-1], bytes):
+                    show(stack[-1])
+            elif op == '"':
+                newline()
+                if stack and isinstance(stack[-1], bytes):
+                    show(stack[-1])
+            elif op in ("Td", "TD"):
+                if len(stack) >= 2 and isinstance(stack[-1], float):
+                    if stack[-1] != 0:
+                        newline()
+            elif op == "T*":
+                newline()
+            elif op == "Tm":
+                if len(stack) >= 6 and isinstance(stack[-1], float):
+                    ty = stack[-1]
+                    if last_ty is not None and ty != last_ty:
+                        newline()
+                    last_ty = ty
+            elif op == "ET":
+                newline()
+            stack = []
+        else:
+            tgt = in_array if in_array is not None else stack
+            tgt.append(val)
+    text = "".join(parts)
+    # normalize: strip trailing spaces per line, collapse 3+ newlines
+    lines = [ln.rstrip() for ln in text.split("\n")]
+    out = "\n".join(lines).strip("\n")
+    return re.sub(r"\n{3,}", "\n\n", out)
+
+
+# ---- entry point ----------------------------------------------------------
+
+def real_pdf_to_raw_pages(payload: bytes) -> list[str]:
+    """Standard PDF bytes → raw pages (text + EOS) for the shared merge
+    loop. Raises nothing by itself; callers treat zero pages as a parse
+    failure."""
+    objs = _scan_objects(payload)
+    pages = _page_objects(payload, objs)
+    out = []
+    for page in pages[: MAX_PDF_PAGES + 1]:
+        out.append(extract_page_text(_content_bytes(page, objs)) + EOS)
+    return out

@@ -145,6 +145,8 @@ def _html_messy(rng: random.Random, prof=_PROFILES["default"]) -> tuple[bytes, s
 
 
 def _pdf_like(rng: random.Random) -> tuple[bytes, str]:
+    if rng.random() < 0.25:  # real standard PDFs inside the pdf class
+        return _pdf_real(rng)
     n_pages = rng.randint(51, 60) if rng.random() < 0.04 else rng.randint(1, 6)
     lines = ["%PDF-1.4", "%MINIPDF v1"]
     visible_parts: list[str] = []
@@ -186,6 +188,66 @@ def _png_header(w: int, h: int) -> bytes:
         + struct.pack(">II", w, h)
         + b"\x08\x02\x00\x00\x00"
     )
+
+
+def build_real_pdf(page_lines: list[list[str]], compress: bool = True) -> bytes:
+    """Serialize a minimal REAL PDF (ISO 32000 subset): catalog → page
+    tree → per-page FlateDecode content streams with BT/ET + Td/Tj
+    text operators. Deterministic; exercises core/pdf_text.py."""
+    import zlib as _zlib
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    n_pages = len(page_lines)
+    objs: list[bytes] = []  # 1-indexed object bodies (without N 0 obj wrapper)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    for i, lines in enumerate(page_lines):
+        content_num = 4 + 2 * i
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_num} 0 R >>".encode()
+        )
+        ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+        for j, ln in enumerate(lines):
+            if j > 0:
+                ops.append("0 -14 Td")
+            ops.append(f"({esc(ln)}) Tj")
+        ops.append("ET")
+        data = "\n".join(ops).encode("latin-1")
+        if compress:
+            data = _zlib.compress(data)
+            filt = b"/Filter /FlateDecode "
+        else:
+            filt = b""
+        objs.append(
+            b"<< " + filt + b"/Length " + str(len(data)).encode() + b" >>"
+            b"\nstream\n" + data + b"\nendstream"
+        )
+    out = [b"%PDF-1.4"]
+    for num, body in enumerate(objs, start=1):
+        out.append(f"{num} 0 obj".encode() + b"\n" + body + b"\nendobj")
+    out.append(b"trailer\n<< /Root 1 0 R /Size " + str(len(objs) + 1).encode() + b" >>")
+    out.append(b"%%EOF")
+    return b"\n".join(out)
+
+
+def _pdf_real(rng: random.Random) -> tuple[bytes, str]:
+    """A REAL standard PDF (built by build_real_pdf) — routes through
+    the text-object extractor instead of the mini-PDF layout parser."""
+    n_pages = rng.randint(1, 4)
+    pages = []
+    visible: list[str] = []
+    for _ in range(n_pages):
+        lines = [_words(rng, rng.randint(4, 10)) for _ in range(rng.randint(2, 6))]
+        pages.append(lines)
+        visible.extend(lines)
+    compress = rng.random() < 0.7
+    return build_real_pdf(pages, compress=compress), " ".join(visible)
 
 
 def _image_like(rng: random.Random) -> tuple[bytes, str]:
