@@ -1,0 +1,110 @@
+"""Annotated-PDF sink (S9 analog) — codec-free.
+
+The reference recompresses annotated page images into a PDF with
+img2pdf (``pil_to_pdf_img2pdf``, api/utils/pdf_utils.py:127-171); that
+needs pixels. The Spark-first, deterministic substitute re-renders the
+EXTRACTED artifacts — text lines plus span bounding boxes — into a
+standard PDF using text operators and ``re``/``S`` rectangle strokes,
+built with the same minimal ISO 32000 subset the engine already parses
+(core/pdf_text.py). The output therefore ROUNDTRIPS: running the
+engine's own real-PDF extractor on an annotated PDF recovers the text,
+which is the determinism test.
+
+Span coords map from the reference's normalized [0, 999] space
+(run_dpsk_ocr_pdf.py:177-181) onto US-Letter points with the y-axis
+flipped (PDF origin is bottom-left).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+PAGE_W, PAGE_H = 612, 792
+MAX_LINES_PER_PAGE = 48
+
+
+def _esc(s: str) -> str:
+    return (
+        s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    )
+
+
+def _span_rect_ops(spans: list[dict]) -> list[str]:
+    ops = []
+    for sp in spans:
+        x = sp["x1"] * PAGE_W // 1000
+        w = max(1, (sp["x2"] - sp["x1"]) * PAGE_W // 1000)
+        h = max(1, (sp["y2"] - sp["y1"]) * PAGE_H // 1000)
+        y = PAGE_H - (sp["y1"] * PAGE_H // 1000) - h  # flip y
+        ops.append(f"{x} {y} {w} {h} re S")
+    return ops
+
+
+def annotated_pdf(extracted_text: str, spans: list[dict]) -> bytes:
+    """(extracted_text, spans) → standard PDF bytes: one text column,
+    paginated at MAX_LINES_PER_PAGE lines, with span rectangles stroked
+    on the first page. Pure function of its inputs."""
+    lines = [ln for ln in extracted_text.split("\n")]
+    chunks = [
+        lines[i : i + MAX_LINES_PER_PAGE]
+        for i in range(0, max(len(lines), 1), MAX_LINES_PER_PAGE)
+    ] or [[]]
+
+    objs: list[bytes] = []
+    n_pages = len(chunks)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for i, chunk in enumerate(chunks):
+        content_num = 4 + 2 * i
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+            f"/Contents {content_num} 0 R >>".encode()
+        )
+        ops: list[str] = []
+        if i == 0 and spans:
+            ops.append("q 1 w")
+            ops.extend(_span_rect_ops(spans))
+            ops.append("Q")
+        ops.extend(["BT", "/F1 10 Tf", "36 756 Td"])
+        for j, ln in enumerate(chunk):
+            if j > 0:
+                ops.append("0 -14 Td")
+            ops.append(f"({_esc(ln)}) Tj")
+        ops.append("ET")
+        data = zlib.compress("\n".join(ops).encode("latin-1"))
+        objs.append(
+            b"<< /Filter /FlateDecode /Length " + str(len(data)).encode()
+            + b" >>\nstream\n" + data + b"\nendstream"
+        )
+    out = [b"%PDF-1.4"]
+    for num, body in enumerate(objs, start=1):
+        out.append(f"{num} 0 obj".encode() + b"\n" + body + b"\nendobj")
+    out.append(
+        b"trailer\n<< /Root 1 0 R /Size " + str(len(objs) + 1).encode() + b" >>"
+    )
+    out.append(b"%%EOF")
+    return b"\n".join(out)
+
+
+def with_annotated_pdf(extracted, text_col: str = "extracted_text",
+                       spans_col: str = "spans", url_col: str = "url"):
+    """extracted rows → (url, annotated_pdf BINARY), Arrow-batched."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    src = extracted.select(url_col, text_col, spans_col)
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [
+                annotated_pdf(
+                    t or "",
+                    [dict(s) for s in (sp if sp is not None else [])],
+                )
+                for t, sp in zip(pdf[text_col], pdf[spans_col])
+            ]
+            yield pd.DataFrame({"url": pdf[url_col], "annotated_pdf": blobs})
+
+    return src.mapInPandas(it, schema="url string, annotated_pdf binary")

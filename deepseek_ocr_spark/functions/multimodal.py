@@ -34,7 +34,7 @@ import pandas as pd
 
 IMAGE_META_SCHEMA = (
     "url string, format string, width int, height int, n_bytes bigint, "
-    "valid boolean"
+    "valid boolean, orientation int"
 )
 
 FRAME_SCHEMA = "url string, frame_idx int, frame binary"
@@ -89,12 +89,82 @@ def jpeg_dims(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+def jpeg_exif_orientation(b: bytes) -> int | None:
+    """EXIF orientation tag (1-8) from the JPEG APP1 segment — header
+    bytes only, no decode (the S6 ``exif_transpose`` analog,
+    run_dpsk_ocr_image.py:28-42: the reference corrects orientation at
+    load; at crawl scale the tag is read from the first KB and the
+    pixel transpose belongs to the stubbed codec layer).
+
+    Walks marker segments to APP1/"Exif\\0\\0", then the TIFF header
+    (II/MM endianness, magic 42) and IFD0 entries for tag 0x0112."""
+    if len(b) < 4 or b[:3] != b"\xff\xd8\xff":
+        return None
+    i = 2
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if seglen < 2:
+            return None
+        if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+            t = i + 10  # TIFF header start
+            if t + 8 > n:
+                return None
+            order = b[t : t + 2]
+            if order == b"II":
+                u16, u32 = "<H", "<I"
+            elif order == b"MM":
+                u16, u32 = ">H", ">I"
+            else:
+                return None
+            if struct.unpack(u16, b[t + 2 : t + 4])[0] != 42:
+                return None
+            ifd = t + struct.unpack(u32, b[t + 4 : t + 8])[0]
+            if ifd + 2 > n:
+                return None
+            count = struct.unpack(u16, b[ifd : ifd + 2])[0]
+            for e in range(count):
+                off = ifd + 2 + 12 * e
+                if off + 12 > n:
+                    return None
+                tag = struct.unpack(u16, b[off : off + 2])[0]
+                if tag == 0x0112:
+                    val = struct.unpack(u16, b[off + 8 : off + 10])[0]
+                    return val if 1 <= val <= 8 else None
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # reached image data without APP1
+        i += 2 + seglen
+    return None
+
+
+def oriented_dims(w: int, h: int, orientation: int | None) -> tuple[int, int]:
+    """Display dimensions after EXIF correction: orientations 5-8
+    rotate 90°/270°, swapping width and height."""
+    if orientation in (5, 6, 7, 8):
+        return (h, w)
+    return (w, h)
+
+
 def image_meta(payload: bytes) -> dict:
-    """Format + dimensions from header bytes alone (no pixel decode)."""
+    """Format + dimensions (+ EXIF orientation for JPEG) from header
+    bytes alone (no pixel decode). width/height are EXIF-corrected
+    display dims; raw container dims stay recoverable via
+    :func:`oriented_dims` symmetry."""
+    orientation = None
     if payload[:8].startswith(b"\x89PNG"):
         fmt, dims = "png", png_dims(payload)
     elif payload[:3] == b"\xff\xd8\xff":
         fmt, dims = "jpeg", jpeg_dims(payload)
+        orientation = jpeg_exif_orientation(payload)
+        if dims is not None:
+            dims = oriented_dims(dims[0], dims[1], orientation)
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         fmt, dims = "gif", gif_dims(payload)
     else:
@@ -105,6 +175,7 @@ def image_meta(payload: bytes) -> dict:
         "height": dims[1] if dims else None,
         "n_bytes": len(payload),
         "valid": dims is not None,
+        "orientation": orientation,
     }
 
 

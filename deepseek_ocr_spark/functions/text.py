@@ -79,6 +79,36 @@ def merge_pages_agg(text_col: str, order_col: str) -> Column:
     )
 
 
+def span_overlay_svg(spans_col: Column, width: int = 1000, height: int = 1000) -> Column:
+    """P10 bounding-box render, Spark-first: spans → an SVG overlay
+    string, entirely JVM-side. The reference draws rects on the page
+    image with RANDOM colors (np.random.randint,
+    run_dpsk_ocr_pdf.py:151-215) — non-deterministic and needing
+    pixels; here the color is md5(label)[:6] (SURVEY.md §2.5's own
+    'seed the RNG' remedy) and the canvas is the reference's [0, 999]
+    normalized space, so the overlay composes with any later raster."""
+    rects = F.transform(
+        spans_col,
+        lambda s: F.concat(
+            F.lit('<rect x="'), s["x1"].cast("string"),
+            F.lit('" y="'), s["y1"].cast("string"),
+            F.lit('" width="'), (s["x2"] - s["x1"]).cast("string"),
+            F.lit('" height="'), (s["y2"] - s["y1"]).cast("string"),
+            F.lit('" stroke="#'), F.substring(F.md5(s["label"]), 1, 6),
+            F.lit('" fill="none"><title>'), s["label"],
+            F.lit("</title></rect>"),
+        ),
+    )
+    return F.concat(
+        F.lit(
+            f'<svg xmlns="http://www.w3.org/2000/svg" '
+            f'viewBox="0 0 {width} {height}">'
+        ),
+        F.concat_ws("", rects),
+        F.lit("</svg>"),
+    )
+
+
 def merge_pages_api_agg(text_col: str, order_col: str) -> Column:
     """API-variant ordered merge as a sort-agg: '# Page {i+1}' header +
     '\\n\\n<--- Page Split --->\\n\\n' tail per page, ''.join

@@ -85,6 +85,46 @@ def n_tiles(width: int, height: int, image_size: int = 640) -> int:
     return i * j
 
 
+def tile_boxes(
+    width: int,
+    height: int,
+    image_size: int = 640,
+    min_crops: int = MIN_CROPS,
+    max_crops: int = MAX_CROPS,
+    use_thumbnail: bool = False,
+) -> tuple[tuple[int, int], list[tuple[int, int, int, int]]]:
+    """M3 dynamic-tiling plan: the COORDINATE math of
+    ``dynamic_preprocess`` (image_process.py:45-83) without the pixel
+    crop — resize target ``(s·i, s·j)``, then ``i·j`` boxes of
+    ``s × s`` in row-major order (plus the ``s × s`` thumbnail box
+    when requested and the plan has > 1 tile). Returns
+    ``((target_w, target_h), [(left, upper, right, lower), ...])``;
+    the stubbed codec layer applies these to pixels on a real cluster."""
+    i, j = closest_grid(width, height, image_size, min_crops, max_crops)
+    tw, th = image_size * i, image_size * j
+    boxes = [
+        (
+            (k % i) * image_size,
+            (k // i) * image_size,
+            ((k % i) + 1) * image_size,
+            ((k // i) + 1) * image_size,
+        )
+        for k in range(i * j)
+    ]
+    if use_thumbnail and len(boxes) != 1:
+        boxes.append((0, 0, image_size, image_size))
+    return (tw, th), boxes
+
+
+def normalize_batch(x):
+    """M4 normalize transform on a uint8 array batch:
+    ``(x/255 − mean)/std`` with mean = std = 0.5 (ImageTransform,
+    image_process.py:89-108) — vectorized numpy, no torch."""
+    import numpy as np
+
+    return (np.asarray(x, dtype=np.float32) / 255.0 - 0.5) / 0.5
+
+
 def vision_token_budget(
     width: int, height: int, preset: str = "gundam", image_size: int = 640
 ) -> int:

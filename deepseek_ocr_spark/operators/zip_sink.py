@@ -1,0 +1,87 @@
+"""ZIP package sink (S8 analog) — cluster-style result bundles.
+
+The reference bundles one request's output directory into one ZIP
+(``create_result_zip``, api/utils/zip_utils.py:10-74: result.mmd +
+metadata.json + images/). The cluster re-expression: each task writes
+ONE ZIP SHARD for its partition of extracted rows — entry
+``{sha1(url)[:16]}.mmd`` per document plus a shard-level
+``metadata.json`` (url → entry name, status, n_pages, n_bytes; the
+zip_utils.py:49-52 metadata analog). Shards land in a shared
+directory; names carry the partition id, writes go through a temp-file
+rename so reruns replace shards atomically.
+
+Scale shape: no shuffle, no driver collect — the sink is
+``foreachPartition`` over whatever partitioning the extracted frame
+already has. A 1000-executor run writes 1000s of independent shards,
+which is how any object-store bulk export works.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import zipfile
+
+from pyspark.sql import DataFrame
+
+
+def entry_name(url: str) -> str:
+    return hashlib.sha1(url.encode()).hexdigest()[:16] + ".mmd"
+
+
+def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
+    """Write one ZIP shard per partition of ``extracted`` (needs url,
+    extracted_text, status, n_pages, n_bytes columns)."""
+    os.makedirs(out_dir, exist_ok=True)
+    cols = extracted.select(
+        "url", "extracted_text", "status", "n_pages", "n_bytes"
+    )
+
+    def write_part(rows) -> None:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        meta = []
+        tmp = os.path.join(out_dir, f".part-{pid:05d}.zip.tmp")
+        final = os.path.join(out_dir, f"part-{pid:05d}.zip")
+        wrote = False
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for r in rows:
+                name = entry_name(r["url"])
+                z.writestr(name, r["extracted_text"] or "")
+                meta.append(
+                    {
+                        "url": r["url"],
+                        "entry": name,
+                        "status": r["status"],
+                        "n_pages": r["n_pages"],
+                        "n_bytes": r["n_bytes"],
+                    }
+                )
+                wrote = True
+            if wrote:
+                z.writestr(
+                    "metadata.json",
+                    json.dumps(meta, sort_keys=True, indent=0),
+                )
+        if wrote:
+            os.replace(tmp, final)
+        else:
+            os.remove(tmp)  # empty partition: no shard
+
+    cols.foreachPartition(write_part)
+
+
+def read_zip_shards(out_dir: str) -> dict[str, str]:
+    """Test/inspection helper: url → text across every shard."""
+    out: dict[str, str] = {}
+    for fname in sorted(os.listdir(out_dir)):
+        if not fname.endswith(".zip"):
+            continue
+        with zipfile.ZipFile(os.path.join(out_dir, fname)) as z:
+            meta = json.loads(z.read("metadata.json"))
+            for m in meta:
+                out[m["url"]] = z.read(m["entry"]).decode("utf-8")
+    return out

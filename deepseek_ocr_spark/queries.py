@@ -442,6 +442,34 @@ FROM (SELECT doc_id, {_MARKED_SQL} AS m FROM documents)
 """
 
 
+def q_span_svg(spark, sf_dir):
+    """P10 bounding-box render as a deterministic JVM-side SVG overlay
+    (replaces the reference's random-color raster draw)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    spans = F.array(
+        F.struct(
+            F.coalesce(F.col("lang"), F.lit("und")).alias("label"),
+            (F.col("doc_id") % 999).cast("int").alias("x1"),
+            F.lit(5).cast("int").alias("y1"),
+            F.lit(100).cast("int").alias("x2"),
+            F.lit(200).cast("int").alias("y2"),
+        )
+    )
+    return d.select("doc_id", T.span_overlay_svg(spans).alias("svg"))
+
+
+SQL_SPAN_SVG = """
+SELECT doc_id,
+       '<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 1000 1000">'
+       || '<rect x="' || (doc_id % 999)::VARCHAR
+       || '" y="5" width="' || (100 - doc_id % 999)::VARCHAR
+       || '" height="195" stroke="#' || substr(md5(coalesce(lang, 'und')), 1, 6)
+       || '" fill="none"><title>' || coalesce(lang, 'und')
+       || '</title></rect></svg>' AS svg
+FROM documents WHERE doc_id < 200
+"""
+
+
 def q_marker_strip_chain(spark, sf_dir):
     """P3+P5+P6 chain: EOS strip → marker strip → TeX fixups →
     two sequential literal newline collapses."""
@@ -1012,6 +1040,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ordered_merge_api": (q_ordered_merge_api, SQL_ORDERED_MERGE_API),
     "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
     "span_extract": (q_span_extract, SQL_SPAN_EXTRACT),
+    "span_svg": (q_span_svg, SQL_SPAN_SVG),
     "marker_strip_chain": (q_marker_strip_chain, SQL_MARKER_STRIP_CHAIN),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),

@@ -1,0 +1,159 @@
+"""S6 EXIF, M3/M4 planner math, P10 SVG overlay, S8 ZIP sink, S9
+annotated PDF — the codec-free analogs of the reference's remaining
+serving-side operators."""
+
+from __future__ import annotations
+
+import struct
+
+
+def make_exif_jpeg(w: int, h: int, orientation: int, endian: str = "MM") -> bytes:
+    """JPEG with an APP1/EXIF orientation tag, then a SOF0 header."""
+    if endian == "MM":
+        u16, u32 = ">H", ">I"
+        order = b"MM"
+    else:
+        u16, u32 = "<H", "<I"
+        order = b"II"
+    ifd = (
+        struct.pack(u16, 1)
+        + struct.pack(u16, 0x0112)  # orientation tag
+        + struct.pack(u16, 3)       # SHORT
+        + struct.pack(u32, 1)
+        + struct.pack(u16, orientation) + b"\x00\x00"
+        + struct.pack(u32, 0)
+    )
+    tiff = order + struct.pack(u16, 42) + struct.pack(u32, 8) + ifd
+    app1 = b"Exif\x00\x00" + tiff
+    sof = struct.pack(">HBHHB", 11, 8, h, w, 3)
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+        + b"\xff\xc0" + sof
+    )
+
+
+def test_exif_orientation_both_endians():
+    from deepseek_ocr_spark.functions.multimodal import (
+        image_meta,
+        jpeg_exif_orientation,
+        oriented_dims,
+    )
+
+    for endian in ("MM", "II"):
+        b = make_exif_jpeg(400, 300, 6, endian)
+        assert jpeg_exif_orientation(b) == 6, endian
+        m = image_meta(b)
+        # orientation 6 = 90° rotation → display dims swap
+        assert (m["width"], m["height"]) == (300, 400)
+        assert m["orientation"] == 6
+    assert oriented_dims(400, 300, 1) == (400, 300)
+    assert oriented_dims(400, 300, 8) == (300, 400)
+    # no APP1 → None, and dims unchanged
+    plain = b"\xff\xd8\xff\xc0" + struct.pack(">HBHHB", 11, 8, 300, 400, 3)
+    assert jpeg_exif_orientation(plain) is None
+    m = image_meta(plain)
+    assert (m["width"], m["height"]) == (400, 300)
+
+
+def test_tile_boxes_match_reference_geometry():
+    from deepseek_ocr_spark.functions.tiling import closest_grid, tile_boxes
+
+    (tw, th), boxes = tile_boxes(1280, 640, image_size=640)
+    i, j = closest_grid(1280, 640, 640)
+    assert (tw, th) == (640 * i, 640 * j)
+    assert len(boxes) == i * j
+    # row-major s×s tiles covering the canvas exactly
+    assert boxes[0] == (0, 0, 640, 640)
+    assert boxes[-1] == (tw - 640, th - 640, tw, th)
+    for left, upper, right, lower in boxes:
+        assert right - left == 640 and lower - upper == 640
+    # thumbnail appended for multi-tile plans
+    _, with_thumb = tile_boxes(1280, 640, use_thumbnail=True)
+    assert with_thumb[-1] == (0, 0, 640, 640)
+    assert len(with_thumb) == len(boxes) + 1
+
+
+def test_normalize_batch():
+    import numpy as np
+
+    from deepseek_ocr_spark.functions.tiling import normalize_batch
+
+    x = np.array([0, 127.5, 255], dtype=np.uint8)
+    out = normalize_batch(np.array([0, 255], dtype=np.uint8))
+    assert out.dtype == np.float32
+    assert out[0] == -1.0 and out[1] == 1.0
+
+
+def test_span_overlay_svg_deterministic(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_spark.functions.text import span_overlay_svg
+    from deepseek_ocr_spark.operators.extract import SPANS_TYPE
+
+    df = spark.createDataFrame(
+        [("u", [{"label": "title", "x1": 10, "y1": 20, "x2": 110, "y2": 60}])],
+        f"url string, spans {SPANS_TYPE}",
+    )
+    svg = df.select(span_overlay_svg(F.col("spans")).alias("svg")).collect()[0]["svg"]
+    color = hashlib.md5(b"title").hexdigest()[:6]
+    assert f'stroke="#{color}"' in svg
+    assert '<rect x="10" y="20" width="100" height="40"' in svg
+    assert svg.startswith("<svg ") and svg.endswith("</svg>")
+
+
+def test_zip_sink_roundtrip(spark, pages_path, tmp_path):
+    from deepseek_ocr_spark.operators.zip_sink import (
+        read_zip_shards,
+        write_zip_shards,
+    )
+    from deepseek_ocr_spark.pipeline import extract_pipeline
+
+    extracted = extract_pipeline(
+        spark.read.parquet(pages_path), parallelism=2
+    )
+    out = str(tmp_path / "zips")
+    write_zip_shards(extracted, out)
+    got = read_zip_shards(out)
+    rows = {r["url"]: r["extracted_text"] for r in extracted.collect()}
+    assert got == rows
+    # rerun replaces shards, same content (idempotent)
+    write_zip_shards(extracted, out)
+    assert read_zip_shards(out) == rows
+
+
+def test_annotated_pdf_roundtrips_through_own_extractor(spark):
+    from deepseek_ocr_spark.core.annotate import annotated_pdf, with_annotated_pdf
+    from deepseek_ocr_spark.core.pdf_text import real_pdf_to_raw_pages
+    from deepseek_ocr_spark.config import EOS
+    from deepseek_ocr_spark.operators.extract import SPANS_TYPE
+
+    text = "heading line\nbody line one\nbody line two"
+    spans = [{"label": "title", "x1": 0, "y1": 0, "x2": 500, "y2": 40}]
+    pdf = annotated_pdf(text, spans)
+    pages = [p.removesuffix(EOS) for p in real_pdf_to_raw_pages(pdf)]
+    assert pages == [text]
+    # rectangle strokes present in the (Flate-compressed) content stream
+    import zlib as _z
+
+    start = pdf.find(b"stream\n") + 7
+    ops = _z.decompress(pdf[start : pdf.find(b"\nendstream", start)])
+    assert b" re S" in ops
+    # deterministic
+    assert annotated_pdf(text, spans) == pdf
+
+    # column path
+    df = spark.createDataFrame(
+        [("u1", text, spans)],
+        f"url string, extracted_text string, spans {SPANS_TYPE}",
+    )
+    row = with_annotated_pdf(df).collect()[0]
+    assert bytes(row["annotated_pdf"]) == pdf
+
+    # pagination over the per-page line cap
+    long_text = "\n".join(f"line {i}" for i in range(100))
+    many = real_pdf_to_raw_pages(annotated_pdf(long_text, []))
+    assert len(many) == 3  # 48 + 48 + 4
+    assert "\n".join(p.removesuffix(EOS) for p in many) == long_text
