@@ -271,17 +271,21 @@ def _page_objects(payload: bytes, objs: dict[int, _Obj]) -> list[dict]:
 
     pages: list[dict] = []
 
-    def walk(node: dict, depth: int = 0) -> None:
+    def walk(node: dict, depth: int = 0, inherited=None) -> None:
         if depth > 64 or len(pages) > MAX_PDF_PAGES:
             return
         t = node.get("Type")
         if t == ("name", "Page"):
+            if "Resources" not in node and inherited is not None:
+                node = {**node, "Resources": inherited}
             pages.append(node)
             return
         kids = node.get("Kids")
         if kids and kids[0] == "array":
+            # /Resources is inheritable down the page tree (ISO 32000 §7.7.3.4)
+            inh = node.get("Resources", inherited)
             for kid in kids[1]:
-                walk(_deref(kid, objs), depth + 1)
+                walk(_deref(kid, objs), depth + 1, inh)
 
     if root:
         walk(_deref(root.get("Pages"), objs))
@@ -291,6 +295,65 @@ def _page_objects(payload: bytes, objs: dict[int, _Obj]) -> list[dict]:
             if d.get("Type") == ("name", "Page"):
                 pages.append(d)
     return pages
+
+
+def _decode_stream(o: _Obj) -> bytes | None:
+    """Stream bytes after filters: raw or FlateDecode; None for
+    unknown filters or corrupt data (skip, never raise)."""
+    if o.stream is None:
+        return None
+    d = _dict_of(o)
+    filt = d.get("Filter")
+    names = []
+    if filt:
+        if filt[0] == "name":
+            names = [filt[1]]
+        elif filt[0] == "array":
+            names = [x[1] for x in filt[1] if x[0] == "name"]
+    if not names:
+        return o.stream
+    if names == ["FlateDecode"]:
+        try:
+            return zlib.decompress(o.stream)
+        except zlib.error:
+            return None
+    return None  # DCT, LZW, ... : not text content we can read
+
+
+def _expand_object_streams(objs: dict[int, _Obj]) -> None:
+    """PDF 1.5+ compressed object streams (/Type /ObjStm): member
+    objects live INSIDE a Flate stream and are invisible to the
+    top-level scan. Expand them: the stream starts with N (num, offset)
+    integer pairs, then the object values at /First + offset. Existing
+    top-level objects win on number collision."""
+    for o in list(objs.values()):
+        d = _dict_of(o)
+        if d.get("Type") != ("name", "ObjStm"):
+            continue
+        data = _decode_stream(o)
+        if data is None:
+            continue
+        n_v = d.get("N")
+        first_v = d.get("First")
+        if not (n_v and n_v[0] == "num" and first_v and first_v[0] == "num"):
+            continue
+        count, first = int(n_v[1]), int(first_v[1])
+        header = data[:first].split()
+        if len(header) < 2 * count:
+            count = len(header) // 2
+        pairs = []
+        try:
+            for k in range(count):
+                pairs.append((int(header[2 * k]), int(header[2 * k + 1])))
+        except ValueError:
+            continue
+        for idx, (num, off) in enumerate(pairs):
+            if num in objs:
+                continue
+            end = (
+                first + pairs[idx + 1][1] if idx + 1 < len(pairs) else len(data)
+            )
+            objs[num] = _Obj(data[first + off : end], None)
 
 
 def _content_bytes(page: dict, objs: dict[int, _Obj]) -> bytes:
@@ -304,25 +367,116 @@ def _content_bytes(page: dict, objs: dict[int, _Obj]) -> bytes:
         if r[0] != "ref":
             continue
         o = objs.get(r[1])
-        if o is None or o.stream is None:
+        if o is None:
             continue
-        d = _dict_of(o)
-        filt = d.get("Filter")
-        names = []
-        if filt:
-            if filt[0] == "name":
-                names = [filt[1]]
-            elif filt[0] == "array":
-                names = [x[1] for x in filt[1] if x[0] == "name"]
-        if not names:
-            out.append(o.stream)
-        elif names == ["FlateDecode"]:
-            try:
-                out.append(zlib.decompress(o.stream))
-            except zlib.error:
-                continue  # corrupt stream: skip, never raise
-        # other filters (DCT, LZW, ...): not text content we can read
+        data = _decode_stream(o)
+        if data is not None:
+            out.append(data)
     return b"\n".join(out)
+
+
+# ---- ToUnicode CMaps (CID/composite fonts) -------------------------------
+
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.DOTALL
+)
+_BFRANGE_ITEM_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|\[(.*?)\])",
+    re.DOTALL,
+)
+
+
+class ToUnicodeCMap:
+    """Character-code → Unicode mapping from a font's /ToUnicode
+    stream (bfchar + bfrange sections; dst values are UTF-16BE). The
+    standard vehicle for CID/Identity-H fonts, where show-string bytes
+    are 2-byte codes with no direct encoding."""
+
+    __slots__ = ("nbytes", "chars")
+
+    def __init__(self, nbytes: int, chars: dict[int, str]):
+        self.nbytes = nbytes
+        self.chars = chars
+
+    def decode(self, raw: bytes) -> str:
+        w = self.nbytes
+        out = []
+        for i in range(0, len(raw) - w + 1, w):
+            code = int.from_bytes(raw[i : i + w], "big")
+            ch = self.chars.get(code)
+            if ch is not None:
+                out.append(ch)
+        return "".join(out)
+
+
+def _u16(hexs: bytes) -> str:
+    try:
+        return bytes.fromhex(hexs.decode("ascii")).decode(
+            "utf-16-be", errors="replace"
+        )
+    except ValueError:
+        return ""
+
+
+def parse_tounicode(cmap: bytes) -> ToUnicodeCMap | None:
+    """Tolerant bfchar/bfrange parser for /ToUnicode CMap text."""
+    chars: dict[int, str] = {}
+    nbytes = 0
+    m = _CODESPACE_RE.search(cmap)
+    if m:
+        nbytes = max(1, len(m.group(1)) // 2)
+    for block in _BFCHAR_RE.finditer(cmap):
+        toks = _HEXTOK_RE.findall(block.group(1))
+        for k in range(0, len(toks) - 1, 2):
+            src, dst = toks[k], toks[k + 1]
+            nbytes = nbytes or max(1, len(src) // 2)
+            chars[int(src, 16)] = _u16(dst)
+    for block in _BFRANGE_RE.finditer(cmap):
+        for item in _BFRANGE_ITEM_RE.finditer(block.group(1)):
+            lo, hi = int(item.group(1), 16), int(item.group(2), 16)
+            nbytes = nbytes or max(1, len(item.group(1)) // 2)
+            if hi - lo > 0x10000:
+                continue  # absurd range: skip
+            if item.group(3) is not None:
+                base = _u16(item.group(3))
+                if not base:
+                    continue
+                head, last = base[:-1], ord(base[-1])
+                for c in range(lo, hi + 1):
+                    chars[c] = head + chr(last + (c - lo))
+            else:
+                dsts = _HEXTOK_RE.findall(item.group(4))
+                for c, dst in zip(range(lo, hi + 1), dsts):
+                    chars[c] = _u16(dst)
+    if not chars:
+        return None
+    return ToUnicodeCMap(nbytes or 1, chars)
+
+
+def _font_cmaps(page: dict, objs: dict[int, _Obj]) -> dict[str, ToUnicodeCMap]:
+    """Font-resource name → ToUnicode CMap for one page (fonts without
+    a /ToUnicode stream are absent: their strings decode latin-1)."""
+    res = _deref(page.get("Resources"), objs)
+    fonts = _deref(res.get("Font"), objs) if res else {}
+    out: dict[str, ToUnicodeCMap] = {}
+    for name, ref in fonts.items():
+        fd = _deref(ref, objs)
+        tu = fd.get("ToUnicode")
+        if not tu or tu[0] != "ref":
+            continue
+        o = objs.get(tu[1])
+        if o is None:
+            continue
+        data = _decode_stream(o)
+        if data is None:
+            continue
+        cm = parse_tounicode(data)
+        if cm is not None:
+            out[name] = cm
+    return out
 
 
 # ---- text operator machine -----------------------------------------------
@@ -376,19 +530,25 @@ def _content_tokens(b: bytes):
                 i += 1
 
 
-def extract_page_text(content: bytes) -> str:
-    """Run the text operators of one page's content stream → text."""
+def extract_page_text(
+    content: bytes, fonts: dict[str, ToUnicodeCMap] | None = None
+) -> str:
+    """Run the text operators of one page's content stream → text.
+    ``fonts`` maps resource names (from ``Tf``) to ToUnicode CMaps;
+    strings shown under a mapped font decode through it, everything
+    else decodes latin-1/UTF-16BE best-effort."""
     parts: list[str] = []
     stack: list = []  # operand stack (strings/nums/arrays)
     in_array: list | None = None
     last_ty = None
+    cur_cmap: ToUnicodeCMap | None = None
 
     def newline():
         if parts and not parts[-1].endswith("\n"):
             parts.append("\n")
 
     def show(raw: bytes):
-        s = _decode_text(raw)
+        s = cur_cmap.decode(raw) if cur_cmap is not None else _decode_text(raw)
         if s:
             parts.append(s)
 
@@ -436,6 +596,10 @@ def extract_page_text(content: bytes) -> str:
                     if last_ty is not None and ty != last_ty:
                         newline()
                     last_ty = ty
+            elif op == "Tf":
+                # operands: /FontName size — switch the active CMap
+                if fonts and len(stack) >= 2 and isinstance(stack[-2], str):
+                    cur_cmap = fonts.get(stack[-2])
             elif op == "ET":
                 newline()
             stack = []
@@ -456,8 +620,12 @@ def real_pdf_to_raw_pages(payload: bytes) -> list[str]:
     loop. Raises nothing by itself; callers treat zero pages as a parse
     failure."""
     objs = _scan_objects(payload)
+    _expand_object_streams(objs)
     pages = _page_objects(payload, objs)
     out = []
     for page in pages[: MAX_PDF_PAGES + 1]:
-        out.append(extract_page_text(_content_bytes(page, objs)) + EOS)
+        fonts = _font_cmaps(page, objs)
+        out.append(
+            extract_page_text(_content_bytes(page, objs), fonts or None) + EOS
+        )
     return out

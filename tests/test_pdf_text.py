@@ -128,3 +128,96 @@ def test_spark_pipeline_matches_oracle_on_real_pdfs(spark):
         gold = extract_document(url, payload)
         assert out[url]["extracted_text"] == gold["extracted_text"], url
         assert out[url]["status"] == gold["status"] == "ok", url
+
+
+def _cid_pdf() -> bytes:
+    """PDF with an Identity-H style font: 2-byte codes mapped to text
+    via a /ToUnicode CMap (bfchar + bfrange, incl. array form)."""
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"2 beginbfchar\n<0001> <0048>\n<0002> <0069>\nendbfchar\n"
+            b"2 beginbfrange\n<0010> <0012> <0061>\n"
+            b"<0020> <0021> [<0058> <0059>]\nendbfrange\nend")
+    # codes: 0001→H 0002→i ; 0010..0012→a,b,c ; 0020→X 0021→Y
+    content = b"BT /F9 12 Tf <00010002> Tj <001000110012> Tj <00200021> Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /Resources << /Font << /F9 5 0 R >> >> >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",  # inherits Resources
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+        b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n" + cmap + b"\nendstream",
+    ]
+    out = [b"%PDF-1.5"]
+    for num, body in enumerate(objs, start=1):
+        out.append(f"{num} 0 obj".encode() + b"\n" + body + b"\nendobj")
+    out.append(b"trailer\n<< /Root 1 0 R >>\n%%EOF")
+    return b"\n".join(out)
+
+
+def test_cid_font_tounicode_decoding():
+    assert pages_text(_cid_pdf()) == ["HiabcXY"]
+
+
+def test_tounicode_parser_directly():
+    from deepseek_ocr_spark.core.pdf_text import parse_tounicode
+
+    cm = parse_tounicode(
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfchar <41> <0041> endbfchar"
+    )
+    assert cm.nbytes == 1
+    assert cm.decode(b"\x41\x41") == "AA"
+    assert parse_tounicode(b"no cmap here") is None
+
+
+def _objstm_pdf() -> bytes:
+    """PDF 1.5 with catalog/pages/page dicts INSIDE a compressed
+    object stream — invisible without /ObjStm expansion."""
+    member1 = b"<< /Type /Catalog /Pages 2 0 R >>"
+    member2 = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    member3 = b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"
+    payload = member1 + b" " + member2 + b" " + member3
+    off2 = len(member1) + 1
+    off3 = off2 + len(member2) + 1
+    header = f"1 0 2 {off2} 3 {off3} ".encode()
+    data = header + payload
+    comp = zlib.compress(data)
+    content = b"BT (from objstm) Tj ET"
+    out = [
+        b"%PDF-1.5",
+        b"4 0 obj\n<< /Type /ObjStm /N 3 /First " + str(len(header)).encode()
+        + b" /Filter /FlateDecode /Length " + str(len(comp)).encode()
+        + b" >>\nstream\n" + comp + b"\nendstream\nendobj",
+        b"5 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj",
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF",
+    ]
+    return b"\n".join(out)
+
+
+def test_object_stream_members_extracted():
+    assert pages_text(_objstm_pdf()) == ["from objstm"]
+    doc = extract_document("u", _objstm_pdf())
+    assert doc["status"] == "ok"
+    assert "from objstm" in doc["extracted_text"]
+
+
+def test_fuzz_never_raises():
+    """Adversarial bytes must produce rows, never exceptions — the O4
+    containment contract for the whole real-PDF path."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=400))
+    def fuzz(b):
+        doc = extract_document("u", b"%PDF-1.5\n" + b)
+        assert doc["status"] in ("ok", "error", "rejected", "skipped_repeat")
+        # mutate a real pdf: splice fuzz bytes into the middle
+        base = build_real_pdf([["seed text"]])
+        cut = len(base) // 2
+        doc2 = extract_document("u", base[:cut] + b + base[cut:])
+        assert doc2["status"] in ("ok", "error", "rejected", "skipped_repeat")
+
+    fuzz()
