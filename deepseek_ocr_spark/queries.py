@@ -749,6 +749,25 @@ ORDER BY sim DESC, vec_id LIMIT 10
 """
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN probe (k-means coarse quantizer, n_probe=2 of 8 lists)
+    — iterative fit, so no SQL twin (rows-only check); the exhaustive
+    variant below IS hash-verified against brute force."""
+    d = _t(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_fit(d, k=8, iters=2)
+    return SIM.ivf_topk(d, cents, query_id=0, k=10, n_probe=2)
+
+
+def q_ivf_topk_exhaustive(spark, sf_dir):
+    """IVF machinery correctness gate: probing ALL lists must equal
+    brute-force top-k exactly (same sims, same tie-breaks), regardless
+    of centroid float jitter — hash-verified against the brute-force
+    SQL oracle."""
+    d = _t(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_fit(d, k=8, iters=2)
+    return SIM.ivf_topk(d, cents, query_id=0, k=10, n_probe=8)
+
+
 def q_ann_lsh_buckets(spark, sf_dir):
     """Sign-projection LSH bucket histogram (the ANN scale path:
     cluster/partition by bucket → ANN query prunes to one bucket)."""
@@ -1052,6 +1071,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ivf_topk": (q_ivf_topk, None),
+    "ivf_topk_exhaustive": (q_ivf_topk_exhaustive, SQL_ANN_COSINE_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "emb_norm_by_label": (q_emb_norm_by_label, SQL_EMB_NORM_BY_LABEL),

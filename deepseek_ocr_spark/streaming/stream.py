@@ -36,6 +36,64 @@ def read_pages_stream(
     return r.parquet(input_path)
 
 
+def read_warc_stream(
+    spark: SparkSession, input_path: str, glob: str = "*.warc*"
+) -> DataFrame:
+    """Streaming twin of ``sources.warc.read_warc_dir``: WARC(.gz)
+    files landing in a directory become pages rows incrementally. Same
+    memory contract as batch — the streaming binaryFile source carries
+    only the ``path`` column (content never read into the JVM) and each
+    task streams its files record-by-record in bounded batches; the
+    file-source log makes every crawl file exactly-once."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from deepseek_ocr_spark.sources.warc import pages_batches
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+        .load(input_path)
+        .select("path")
+    )
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield from pages_batches(pdf["path"])
+
+    return files.mapInPandas(it, schema=PAGES_SPARK_SCHEMA)
+
+
+def run_warc_stream_drain(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    parallelism: int | None = None,
+    timeout_secs: float | None = None,
+) -> None:
+    """Drain every WARC file currently in ``input_path`` exactly once
+    through the full extraction graph (incremental crawl-delivery
+    ingest: re-invoking picks up only newly landed files)."""
+    pages = read_warc_stream(spark, input_path)
+    out = extract_stream(pages, parallelism=parallelism)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_secs)
+    if q.isActive:
+        q.stop()
+
+
 def extract_stream(
     pages: DataFrame, parallelism: int | None = None
 ) -> DataFrame:

@@ -1,0 +1,70 @@
+"""IVF coarse-quantizer ANN (functions/similarity.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from deepseek_ocr_spark.functions import similarity as SIM
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def cents(emb):
+    return SIM.ivf_fit(emb, k=8, iters=2)
+
+
+def test_fit_shape_and_determinism(emb, cents):
+    assert len(cents) == 8
+    assert all(len(c) == len(cents[0]) for c in cents)
+    again = SIM.ivf_fit(emb, k=8, iters=2)
+    # same seeds + same distributed means → reproducible within fp noise
+    for a, b in zip(cents, again):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_assignment_is_nearest_centroid(emb, cents):
+    rows = SIM.ivf_assign(emb, cents).collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        e = list(r["emb"])
+        dists = [sum((x - y) ** 2 for x, y in zip(e, c)) for c in cents]
+        best = min(range(len(cents)), key=lambda i: (dists[i], i))
+        assert r["ivf_cid"] == best
+
+
+def test_exhaustive_probe_equals_brute_force(emb, cents):
+    bf = SIM.brute_force_topk(emb, query_id=3, k=10).collect()
+    ivf = SIM.ivf_topk(emb, cents, query_id=3, k=10, n_probe=len(cents)).collect()
+    assert [(r["vec_id"], r["sim"]) for r in ivf] == [
+        (r["vec_id"], r["sim"]) for r in bf
+    ]
+
+
+def test_partial_probe_recall(emb, cents):
+    """Mean recall over queries must beat the random-probe baseline
+    (n_probe/k) and improve with more probes — the recall/probe trade
+    IVF exists for. Measured on this fixture: ~0.42 @ 2/8 probes,
+    ~0.72 @ 4/8 (random baseline 0.25 / 0.5)."""
+
+    def mean_recall(n_probe: int) -> float:
+        recs = []
+        for qid in (0, 3, 7, 11, 20):
+            bf = {r["vec_id"] for r in
+                  SIM.brute_force_topk(emb, qid, k=10).collect()}
+            got = {r["vec_id"] for r in
+                   SIM.ivf_topk(emb, cents, qid, k=10, n_probe=n_probe).collect()}
+            assert len(got) == 10
+            recs.append(len(got & bf) / len(bf))
+        return sum(recs) / len(recs)
+
+    r2 = mean_recall(2)
+    r4 = mean_recall(4)
+    assert r2 >= 0.30  # > 0.25 random baseline
+    assert r4 >= 0.55  # > 0.5 random baseline
+    assert r4 > r2

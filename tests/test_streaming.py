@@ -175,3 +175,39 @@ def test_domain_stats_stateful_accumulates_across_batches(spark, pages_path, tmp
     assert {k: (v["docs"], v["bytes"]) for k, v in second.items()} == {
         k: (2 * d_, 2 * b_) for k, (d_, b_) in expected.items()
     }
+
+
+def test_warc_stream_drain_incremental(spark, tmp_path):
+    """Streaming WARC ingest: exactly-once per file, byte-identical
+    output, and a second drain picks up ONLY newly landed files."""
+    import os
+
+    from deepseek_ocr_spark.core.oracle import extract_document
+    from deepseek_ocr_spark.fixtures.pages_gen import gen_row
+    from deepseek_ocr_spark.sources.warc import build_warc
+    from deepseek_ocr_spark.streaming.stream import run_warc_stream_drain
+
+    d = tmp_path / "landing"
+    os.makedirs(d)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = [gen_row(i, seed=42) for i in range(20)]
+    (d / "crawl-0.warc.gz").write_bytes(build_warc(pages[:10]))
+    (d / "crawl-1.warc").write_bytes(build_warc(pages[10:15], gzip_members=False))
+
+    run_warc_stream_drain(spark, str(d), out, ckpt, parallelism=2,
+                          timeout_secs=120)
+    got = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 15
+    for src in pages[:15]:
+        gold = extract_document(src["url"], src["html"])
+        assert got[src["url"]]["extracted_text"] == gold["extracted_text"]
+
+    # land one more file; re-drain with same checkpoint
+    (d / "crawl-2.warc.gz").write_bytes(build_warc(pages[15:]))
+    run_warc_stream_drain(spark, str(d), out, ckpt, parallelism=2,
+                          timeout_secs=120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 20  # old files NOT reprocessed (no dups)
+    urls = {r["url"] for r in rows}
+    assert {p["url"] for p in pages} == urls
