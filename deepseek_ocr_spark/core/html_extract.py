@@ -165,6 +165,54 @@ class _BlockCollector(HTMLParser):
             self._link_chars += n
 
 
+# ---- charset detection ---------------------------------------------------
+#
+# Real crawls are not all UTF-8 (legacy pages declare windows-125x,
+# iso-8859-x, shift_jis, gb2312, ...). Detection order follows the
+# WHATWG encoding sniff: BOM first, then a bounded ASCII scan of the
+# head for `<meta charset=...>` / `http-equiv` content-type / `<?xml
+# encoding=...>`, else UTF-8. Decode always uses errors="replace" so
+# extraction never raises on mislabeled bytes.
+
+import codecs as _codecs
+import re as _re
+
+_CHARSET_RE = _re.compile(
+    rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_.:-]+)""", _re.IGNORECASE
+)
+_XML_ENC_RE = _re.compile(
+    rb"""<\?xml[^>]*encoding\s*=\s*["']([A-Za-z0-9_.:-]+)["']""",
+    _re.IGNORECASE,
+)
+_SNIFF_BYTES = 1024
+
+
+def detect_charset(payload: bytes) -> str:
+    """Best-effort charset of an HTML payload; always returns a codec
+    Python can decode with (falls back to utf-8)."""
+    if payload[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"  # codec reads endianness from the BOM and strips it
+    head = payload[:_SNIFF_BYTES]
+    m = _CHARSET_RE.search(head) or _XML_ENC_RE.search(head)
+    if m:
+        name = m.group(1).decode("ascii", errors="replace").strip().lower()
+        try:
+            _codecs.lookup(name)
+        except LookupError:
+            return "utf-8"
+        # x-user-defined etc. decode; utf-16 without BOM is handled above
+        return name
+    return "utf-8"
+
+
+def decode_html(payload: bytes) -> str:
+    """Charset-sniffed decode shared by BOTH parser twins (identical
+    text in → identical blocks out)."""
+    return payload.decode(detect_charset(payload), errors="replace")
+
+
 def extract_html_reference(payload: bytes) -> str:
     """HTMLParser-based reference implementation (slow path).
 
@@ -172,7 +220,7 @@ def extract_html_reference(payload: bytes) -> str:
     the production path below is ~2x faster with identical output
     (checked block-for-block over the fixture corpus).
     """
-    html = payload.decode("utf-8", errors="replace")
+    html = decode_html(payload)
     parser = _BlockCollector()
     parser.feed(html)
     parser.close()
@@ -470,7 +518,7 @@ def _blocks_fast(html: str):
 
 def extract_html_fast(payload: bytes) -> str:
     """Fast-path twin of :func:`extract_html_reference` (same output)."""
-    html = payload.decode("utf-8", errors="replace")
+    html = decode_html(payload)
     out: list[str] = []
     prev_text = None
     for text, link_chars, total_chars, tag, is_cell in _blocks_fast(html):

@@ -81,7 +81,20 @@ def quality_gate(
     )
 
 
-def curate(pages: DataFrame, parallelism: int | None = None) -> tuple[DataFrame, dict]:
+def lang_gate(docs: DataFrame, keep: tuple[str, ...] | None) -> DataFrame:
+    """Language filter on the enrich stage's ``lang_guess`` column —
+    the standard monolingual-corpus cut. ``None`` keeps everything
+    (including 'und')."""
+    if not keep:
+        return docs
+    return docs.filter(F.col("lang_guess").isin(list(keep)))
+
+
+def curate(
+    pages: DataFrame,
+    parallelism: int | None = None,
+    languages: tuple[str, ...] | None = None,
+) -> tuple[DataFrame, dict]:
     """pages → (curated corpus DataFrame, funnel counts).
 
     The enriched frame is persisted: the extract UDF (the expensive
@@ -91,11 +104,13 @@ def curate(pages: DataFrame, parallelism: int | None = None) -> tuple[DataFrame,
     """
     extracted = extract_pipeline(pages, parallelism=parallelism)
     docs = enrich(extracted).persist()
-    exact = exact_dedup(docs)
+    kept = lang_gate(docs, languages)
+    exact = exact_dedup(kept)
     near = neardup_dedup(exact)
     final = quality_gate(near)
     funnel = {
         "extracted_ok": docs.count(),
+        "after_lang_gate": kept.count(),
         "after_exact_dedup": exact.count(),
         "after_neardup": near.count(),
         "curated": final.count(),

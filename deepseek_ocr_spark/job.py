@@ -54,6 +54,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "reference CLI's or the FastAPI service's result.mmd layout",
     )
     p.add_argument(
+        "--languages",
+        default=None,
+        help="curate mode: comma-separated lang_guess values to keep "
+        "(e.g. 'en,de'); default keeps all",
+    )
+    p.add_argument(
         "--time-budget-secs",
         type=float,
         default=None,
@@ -106,7 +112,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             pages = read_warc_dir(spark, args.input)
         else:
             pages = spark.read.parquet(args.input)
-        final, funnel = curate(pages, parallelism=args.parallelism)
+        langs = tuple(args.languages.split(",")) if args.languages else None
+        final, funnel = curate(pages, parallelism=args.parallelism,
+                               languages=langs)
         final.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"mode": "curate", **funnel}))
     elif args.mode == "extract-pdf-exploded":

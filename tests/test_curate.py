@@ -45,3 +45,16 @@ def test_neardup_drops_higher_url_of_pair(spark):
     out = neardup_dedup(df, jaccard_drop=0.5)
     urls = sorted(r["url"] for r in out.collect())
     assert "a" in urls and "c" in urls and "b" not in urls
+
+
+def test_lang_gate_in_funnel(spark, pages_path):
+    from deepseek_ocr_spark.curate import curate
+
+    pages = spark.read.parquet(pages_path)
+    all_docs, funnel_all = curate(pages, parallelism=2)
+    en_docs, funnel_en = curate(pages, parallelism=2, languages=("en",))
+    assert funnel_all["after_lang_gate"] == funnel_all["extracted_ok"]
+    assert funnel_en["after_lang_gate"] < funnel_en["extracted_ok"]
+    assert funnel_en["curated"] <= funnel_all["curated"]
+    langs = {r["lang_guess"] for r in en_docs.select("lang_guess").collect()}
+    assert langs <= {"en"}

@@ -137,3 +137,54 @@ def test_fast_path_fuzz_vs_reference():
         assert extract_html_fast(b) == extract_html_reference(b), repr(s)
 
     fuzz()
+
+
+def test_charset_detection_and_decode():
+    from deepseek_ocr_spark.core.html_extract import detect_charset
+
+    # meta charset, legacy single-byte encoding
+    w1252 = ("<html><head><meta charset=windows-1252></head>"
+             "<body><p>café touché</p></body></html>").encode("windows-1252")
+    assert detect_charset(w1252) == "windows-1252"
+    assert extract_html(w1252) == "café touché"
+
+    # http-equiv form
+    he = (b'<html><head><meta http-equiv="Content-Type" '
+          b'content="text/html; charset=ISO-8859-1"></head>'
+          b'<body><p>na\xefve</p></body></html>')
+    assert detect_charset(he) == "iso-8859-1"
+    assert extract_html(he) == "naïve"
+
+    # BOMs
+    assert detect_charset("﻿hi".encode("utf-8")) == "utf-8-sig"
+    utf16 = "<body><p>中文</p></body>".encode("utf-16-le")
+    assert detect_charset(b"\xff\xfe" + utf16) == "utf-16"
+    assert extract_html(b"\xff\xfe" + utf16) == "中文"
+
+    # xml declaration
+    xml = b'<?xml version="1.0" encoding="ISO-8859-15"?><p>ok</p>'
+    assert detect_charset(xml) == "iso-8859-15"
+
+    # bogus charset name falls back to utf-8, never raises
+    bogus = b'<meta charset="no-such-enc"><p>still works</p>'
+    assert detect_charset(bogus) == "utf-8"
+    assert extract_html(bogus) == "still works"
+
+    # no declaration → utf-8
+    assert detect_charset(b"<p>plain</p>") == "utf-8"
+
+
+def test_charset_twins_agree():
+    from deepseek_ocr_spark.core.html_extract import (
+        extract_html_fast,
+        extract_html_reference,
+    )
+
+    cases = [
+        ("<body><p>ümläut straße</p></body>"
+         ).encode("iso-8859-1"),
+        b'<meta charset="windows-1252"><p>\x93quoted\x94</p>',
+        b"\xef\xbb\xbf<p>bom page</p>",
+    ]
+    for c in cases:
+        assert extract_html_fast(c) == extract_html_reference(c), c
