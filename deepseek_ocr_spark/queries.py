@@ -195,6 +195,70 @@ GROUP BY n_name
 """
 
 
+def q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5-flavor five-way join: region→nation→customer→orders→
+    lineitem, revenue per (region, nation). The two tiny dims broadcast
+    (no shuffle for them); the orders↔lineitem join carries the
+    volume."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT r_name, n_name, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_brand_supplier_stats(spark, sf_dir):
+    """Part/supplier dims joined into the fact table: per-brand
+    distinct-supplier count + shipped quantity (both dims broadcast)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("s_acctbal") > 0)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )
+
+
+SQL_BRAND_SUPPLIER_STATS = """
+SELECT p_brand, count(DISTINCT l_suppkey) AS n_suppliers,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_acctbal > 0
+GROUP BY p_brand
+"""
+
+
 def q_anti_join(spark, sf_dir):
     """Left-anti join: customers with no orders (reject routing F6)."""
     c = _t(spark, sf_dir, "customer")
@@ -1047,6 +1111,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "preset_broadcast_join": (q_preset_broadcast_join, SQL_PRESET_BROADCAST_JOIN),
     "union_paths": (q_union_paths, SQL_UNION_PATHS),
     "equi_join_agg": (q_equi_join_agg, SQL_EQUI_JOIN_AGG),
+    "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
+    "brand_supplier_stats": (q_brand_supplier_stats, SQL_BRAND_SUPPLIER_STATS),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "hash_agg": (q_hash_agg, SQL_HASH_AGG),

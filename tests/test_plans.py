@@ -129,3 +129,28 @@ def test_split_tuning_accounts_for_compression(pages_path, tmp_path):
         1024 * 1024,
         512 * 1024 * 1024,
     )
+
+
+def test_regional_revenue_broadcasts_dims(spark):
+    """The TPC-H-style 5-way join must broadcast the tiny dims (region,
+    nation) — at scale the only heavy exchange is orders↔lineitem."""
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["regional_revenue"]
+    plan = plan_of(fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_api_merge_variant_skips_window_shuffle(spark, pages_path):
+    """The API merge keys image names by the ORIGINAL page index, so
+    the distributed path needs no jdx window — one less shuffle than
+    the CLI variant."""
+    from deepseek_ocr_spark.operators.pdf_pages import extract_pdf_distributed
+
+    pages = spark.read.parquet(pages_path)
+    cli_plan = plan_of(extract_pdf_distributed(pages, variant="cli"))
+    api_plan = plan_of(extract_pdf_distributed(pages, variant="api"))
+    assert "Window" in cli_plan and "Window" not in api_plan
+    assert len(re.findall(r"\(\d+\) Exchange", api_plan)) < len(
+        re.findall(r"\(\d+\) Exchange", cli_plan)
+    )
