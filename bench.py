@@ -67,7 +67,9 @@ SEED = 42
 HEADLINE = [
     "hash_agg",
     "equi_join_agg",
+    "regional_revenue",
     "ordered_merge",
+    "ordered_merge_api",
     "window_rank",
     "span_extract",
     "marker_strip_chain",
@@ -150,14 +152,14 @@ def extract_one(cores: int, n_docs: int, reps: int) -> None:
     spark.stop()
 
 
-def _run_subprocess(cores: int) -> dict | None:
+def _run_subprocess(cores: int, reps: int | None = None) -> dict | None:
     cmd = [
         sys.executable,
         os.path.abspath(__file__),
         "--extract-one",
         str(cores),
         str(BENCH_DOCS),
-        str(REPS),
+        str(REPS if reps is None else reps),
     ]
     env = dict(os.environ, PYTHONPATH=_HERE)
     try:
@@ -201,10 +203,31 @@ def main() -> None:
     spark.stop()
 
     # ---- phase 2: extraction scaling in fresh subprocesses ----
+    # The N and 4N levels run as INTERLEAVED pairs (N, 4N, N, 4N, ...)
+    # rather than all reps of one level then the other: host steal
+    # arrives in multi-minute bursts, and a burst landing on one
+    # level's whole block skews the ratio; alternating exposes both
+    # levels to the same weather. Best-of across pairs per level.
     extract_stats: dict = {"docs": BENCH_DOCS}
+
+    def _merge(a: dict | None, b: dict | None) -> dict | None:
+        if a is None:
+            return b
+        if b is None:
+            return a
+        best = a if a["secs"] <= b["secs"] else b
+        return {**best, "reps": a.get("reps", []) + b.get("reps", [])}
+
     if RUN_SCALING:
-        r_n = _run_subprocess(SCALE_N)
-        r_4n = _run_subprocess(SCALE_N * 4)
+        r_n: dict | None = None
+        r_4n: dict | None = None
+        # 2 pairs default: each fresh-JVM subprocess costs ~30 s of
+        # non-measured warmup, so pairs are capped to keep the whole
+        # bench inside the per-round budget (BENCH_PAIRS overrides).
+        pairs = int(os.environ.get("BENCH_PAIRS", "2"))
+        for _ in range(max(1, pairs)):
+            r_n = _merge(r_n, _run_subprocess(SCALE_N, reps=1))
+            r_4n = _merge(r_4n, _run_subprocess(SCALE_N * 4, reps=1))
         if r_n:
             extract_stats["n"] = r_n
             timings[f"extract_local{r_n['cores']}"] = r_n["secs"]
@@ -217,7 +240,7 @@ def main() -> None:
         for c in EXTRA_CORES:
             if c in (SCALE_N, SCALE_N * 4):
                 continue
-            r = _run_subprocess(c)
+            r = _run_subprocess(c, reps=2)
             if r:
                 extract_stats[f"cores{c}"] = r
                 timings[f"extract_local{c}"] = r["secs"]
