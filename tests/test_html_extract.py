@@ -131,7 +131,7 @@ def test_fast_path_fuzz_vs_reference():
     )
 
     @settings(max_examples=400, deadline=None)
-    @given(st.text(alphabet="<>abc p/\"&;=!-?\n'[] ", max_size=200))
+    @given(st.text(alphabet="<>abc p/\"&;=!-?\n'[]# \t0", max_size=200))
     def fuzz(s):
         b = s.encode()
         assert extract_html_fast(b) == extract_html_reference(b), repr(s)
