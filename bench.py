@@ -109,6 +109,15 @@ def extract_one(cores: int, n_docs: int, reps: int) -> None:
     from deepseek_ocr_spark.pipeline import extract_pipeline
 
     spark = _new_spark(cores, f"dsocr-extract-{cores}")
+    # same row-width-aware scan batching a production run_job applies
+    from deepseek_ocr_spark.operators.split_tuning import (
+        suggest_columnar_batch_rows,
+    )
+
+    spark.conf.set(
+        "spark.sql.parquet.columnarReaderBatchSize",
+        str(suggest_columnar_batch_rows(_pages_path(n_docs))),
+    )
     pages = spark.read.parquet(_pages_path(n_docs))
     # Warmup: trivial mapInPandas over the FULL table — spins up every
     # Python worker (import cost) and warms the page cache, so the

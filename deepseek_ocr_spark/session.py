@@ -66,6 +66,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        # 32 MiB parquet row groups (default 128 MiB): every concurrent
+        # writer buffers one row group on heap, and local[32] puts all
+        # 32 writers in ONE JVM — 32 x 128 MiB blew an 8 g driver on a
+        # 200k-doc soak. 32 MiB keeps row groups scan-friendly while
+        # bounding writer memory; a real cluster (few tasks/executor)
+        # can raise it back via `extra`.
+        .config("spark.hadoop.parquet.block.size", "33554432")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

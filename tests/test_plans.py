@@ -154,3 +154,16 @@ def test_api_merge_variant_skips_window_shuffle(spark, pages_path):
     assert len(re.findall(r"\(\d+\) Exchange", api_plan)) < len(
         re.findall(r"\(\d+\) Exchange", cli_plan)
     )
+
+
+def test_columnar_batch_rows_row_width_aware(pages_path):
+    """Wide binary rows → small scan batches (bounded per-task scan
+    memory); narrow relational rows → Spark's 4096 default."""
+    from deepseek_ocr_spark.operators.split_tuning import (
+        suggest_columnar_batch_rows,
+    )
+
+    wide = suggest_columnar_batch_rows(pages_path)
+    assert 128 <= wide < 4096
+    narrow = suggest_columnar_batch_rows(f"{SF}/lineitem.parquet")
+    assert narrow == 4096
