@@ -56,7 +56,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "48000"))
 PROFILE = os.environ.get("BENCH_PROFILE", "cc")
-SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))
+# N→4N default window is 1→4: the host's own pure-CPU ceiling is 0.98
+# at 4 procs but 0.88 at 8 (vCPU overcommit, see BENCH.md) — 1→4 is
+# the window where the measurement reflects the engine, not the host.
+# local[2]→local[8] remains available via BENCH_SCALE_N=2.
+SCALE_N = int(os.environ.get("BENCH_SCALE_N", "1"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 RUN_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
 EXTRA_CORES = [
