@@ -28,7 +28,10 @@ from deepseek_ocr_spark.config import (
     ST_REJECTED,
     ST_SKIPPED,
 )
-from deepseek_ocr_spark.core.html_extract import extract_html
+from deepseek_ocr_spark.core.html_extract import (
+    extract_html_fast,
+    extract_html_reference,
+)
 from deepseek_ocr_spark.core.image_extract import image_to_raw_pages
 from deepseek_ocr_spark.core.pdf_extract import (
     PdfParseError,
@@ -39,8 +42,21 @@ from deepseek_ocr_spark.core.postprocess import merge_raw_pages
 from deepseek_ocr_spark.core.sniff import sniff_bytes
 
 
+#: R4 engine dispatch analog — the reference picks between vllm /
+#: transformers engines for the same model (SURVEY.md §2.3); here the
+#: two engines are the fast regex tokenizer and the stdlib-HTMLParser
+#: reference twin, differentially tested to byte-identical output.
+HTML_ENGINES = {
+    "fast": extract_html_fast,
+    "reference": extract_html_reference,
+}
+
+
 def extract_document(
-    url: str, payload: bytes, max_bytes: int = MAX_FILE_SIZE_BYTES
+    url: str,
+    payload: bytes,
+    max_bytes: int = MAX_FILE_SIZE_BYTES,
+    html_engine: str = "fast",
 ) -> dict:
     """Extract one document. Pure, deterministic, never raises.
 
@@ -84,7 +100,7 @@ def extract_document(
         }
 
     if doc_type == DOC_HTML:
-        text = extract_html(payload)
+        text = HTML_ENGINES[html_engine](payload)
         return {**base, "status": ST_OK, "extracted_text": text, "n_pages": 1}
 
     # PDF / image: grounded raw pages → shared reference merge loop.

@@ -60,6 +60,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "(e.g. 'en,de'); default keeps all",
     )
     p.add_argument(
+        "--html-engine",
+        choices=("fast", "reference"),
+        default="fast",
+        help="R4 engine dispatch: production regex tokenizer or the "
+        "stdlib-HTMLParser twin (byte-identical outputs)",
+    )
+    p.add_argument(
         "--time-budget-secs",
         type=float,
         default=None,
@@ -145,6 +152,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             auto_split_target=args.auto_split_target,
             input_format=args.input_format,
             time_budget_secs=args.time_budget_secs,
+            html_engine=args.html_engine,
         )
         print(json.dumps(summary))
     if own_session:

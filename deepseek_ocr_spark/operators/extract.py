@@ -75,8 +75,9 @@ class _BudgetedExtractor:
     one adversarial document can never pin a task. Costs a thread
     hand-off per document (~tens of µs), hence opt-in."""
 
-    def __init__(self, budget_secs: float):
+    def __init__(self, budget_secs: float, fn=extract_document):
         self.budget = budget_secs
+        self._fn = fn
         self._ex = None
 
     def __call__(self, url, payload, max_bytes) -> dict:
@@ -84,7 +85,7 @@ class _BudgetedExtractor:
 
         if self._ex is None:
             self._ex = cf.ThreadPoolExecutor(max_workers=1)
-        fut = self._ex.submit(extract_document, url, payload, max_bytes)
+        fut = self._ex.submit(self._fn, url, payload, max_bytes)
         try:
             return fut.result(timeout=self.budget)
         except cf.TimeoutError:
@@ -97,15 +98,20 @@ def _extract_iter(
     batches: Iterator[pd.DataFrame],
     max_bytes: int,
     time_budget_secs: float | None = None,
+    html_engine: str = "fast",
 ) -> Iterator[pd.DataFrame]:
     from pyspark import TaskContext
 
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
+
+    def base(url, payload, mb):
+        return extract_document(url, payload, mb, html_engine)
+
     one = (
-        _BudgetedExtractor(time_budget_secs)
+        _BudgetedExtractor(time_budget_secs, base)
         if time_budget_secs is not None
-        else extract_document
+        else base
     )
     for pdf in batches:
         t0 = time.perf_counter()
@@ -124,6 +130,7 @@ def extract_pages(
     df,
     max_bytes: int = MAX_FILE_SIZE_BYTES,
     time_budget_secs: float | None = None,
+    html_engine: str = "fast",
 ):
     """pages(url, html, ...) → extracted rows.
 
@@ -135,9 +142,15 @@ def extract_pages(
     '[OCR ERROR: processing timed out]' rows. Off by default: the
     budget costs a thread hand-off per document, and the deterministic
     extractor cannot run away on well-formed input.
+
+    ``html_engine``: R4 dispatch analog — 'fast' (regex tokenizer,
+    production) or 'reference' (stdlib HTMLParser twin); outputs are
+    byte-identical (differential suite), the knob exists for
+    cross-checking in production exactly as the reference can fall
+    back from vllm to transformers.
     """
 
     def it(batches):
-        return _extract_iter(batches, max_bytes, time_budget_secs)
+        return _extract_iter(batches, max_bytes, time_budget_secs, html_engine)
 
     return df.select("url", "html").mapInPandas(it, schema=EXTRACT_SCHEMA)

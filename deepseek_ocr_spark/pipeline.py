@@ -100,11 +100,12 @@ def extract_pipeline(
     big_bytes: int = BIG_DOC_BYTES,
     max_bytes: int = MAX_FILE_SIZE_BYTES,
     time_budget_secs: float | None = None,
+    html_engine: str = "fast",
 ) -> DataFrame:
     """pages DataFrame → extracted DataFrame (lazy).
 
-    ``time_budget_secs``: optional per-document wall-clock cap (O4
-    analog) — see operators.extract.extract_pages."""
+    ``time_budget_secs`` / ``html_engine``: see
+    operators.extract.extract_pages (O4 budget, R4 engine dispatch)."""
     spark = df.sparkSession
     if parallelism is None:
         parallelism = spark.sparkContext.defaultParallelism
@@ -114,10 +115,13 @@ def extract_pipeline(
     ok = df.filter(n <= max_bytes)
     small, big = split_by_size(ok, big_bytes=big_bytes)
     # small docs: scan partitioning already byte-balances; zero shuffle.
-    small_out = extract_pages(small, max_bytes, time_budget_secs)
+    small_out = extract_pages(small, max_bytes, time_budget_secs, html_engine)
     # big docs: few rows, heavy each — spread thin, ~2 partitions/core.
     big_out = extract_pages(
-        salted_repartition(big, parallelism * 2), max_bytes, time_budget_secs
+        salted_repartition(big, parallelism * 2),
+        max_bytes,
+        time_budget_secs,
+        html_engine,
     )
     return small_out.unionByName(big_out).unionByName(rejected).unionByName(nulls)
 
@@ -133,6 +137,7 @@ def run_job(
     auto_split_target: int | None = None,
     input_format: str = "parquet",
     time_budget_secs: float | None = None,
+    html_engine: str = "fast",
 ) -> dict:
     """Run (or resume) the extraction job. Returns summary counts.
 
@@ -177,7 +182,10 @@ def run_job(
         pages = spark.read.parquet(input_path)
     todo = filter_done(pages, read_done_urls(spark, output_path) if resume else None)
     extracted = extract_pipeline(
-        todo, parallelism=parallelism, time_budget_secs=time_budget_secs
+        todo,
+        parallelism=parallelism,
+        time_budget_secs=time_budget_secs,
+        html_engine=html_engine,
     ).withColumn("run_id", F.lit(rid))
     # Observation: run totals collected DURING the write — no second
     # pass over the data (the Spark analog of the reference's per-task

@@ -72,3 +72,20 @@ def test_time_budget_over_budget_doc_becomes_error_row(spark):
     for url in plain:
         assert ok[url]["extracted_text"] == plain[url]["extracted_text"], url
         assert ok[url]["status"] == plain[url]["status"], url
+
+
+def test_html_engine_dispatch_byte_identical(spark, pages_path):
+    """R4 analog: both execution engines (fast tokenizer / HTMLParser
+    twin) produce identical extraction output through the pipeline."""
+    from deepseek_ocr_spark.pipeline import extract_pipeline
+
+    pages = spark.read.parquet(pages_path)
+    fast = {r["url"]: r for r in
+            extract_pipeline(pages, parallelism=2).collect()}
+    ref = {r["url"]: r for r in
+           extract_pipeline(pages, parallelism=2,
+                            html_engine="reference").collect()}
+    assert set(fast) == set(ref)
+    for url in fast:
+        assert fast[url]["extracted_text"] == ref[url]["extracted_text"], url
+        assert fast[url]["status"] == ref[url]["status"], url
