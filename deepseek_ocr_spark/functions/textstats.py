@@ -76,6 +76,43 @@ def lang_guess(col: Column) -> Column:
     )
 
 
+# ---- Gopher-family repetition/format signals ----------------------------
+# (Rae et al., Gopher appendix A: symbol-to-word ratio, bullet/ellipsis
+# line fractions — the shallow format filters every corpus pipeline
+# applies before model-based quality scoring.)
+
+SYMBOL_RE = r"[^A-Za-z0-9\s]"
+BULLET_LINE_RE = r"(?m)^\s*[-*•]"
+ELLIPSIS_LINE_RE = r"(?m)\.\.\.\s*$"
+
+
+def symbol_ratio(col: Column) -> Column:
+    """Non-alphanumeric, non-space chars / total chars."""
+    return F.round(
+        F.regexp_count(col, F.lit(SYMBOL_RE))
+        / F.greatest(F.length(col), F.lit(1)),
+        4,
+    )
+
+
+def line_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit("\n")) + 1
+
+
+def bullet_line_ratio(col: Column) -> Column:
+    """Fraction of lines starting with a bullet marker."""
+    return F.round(
+        F.regexp_count(col, F.lit(BULLET_LINE_RE)) / line_count(col), 4
+    )
+
+
+def ellipsis_line_ratio(col: Column) -> Column:
+    """Fraction of lines ending with '...' (truncation signal)."""
+    return F.round(
+        F.regexp_count(col, F.lit(ELLIPSIS_LINE_RE)) / line_count(col), 4
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized,
     lowercased text — the exact-dedup key."""

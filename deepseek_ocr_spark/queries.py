@@ -586,6 +586,32 @@ FROM documents
 """
 
 
+def q_gopher_flags(spark, sf_dir):
+    """Gopher-family format signals: symbol ratio, bullet-line and
+    ellipsis-line fractions (the shallow filters applied before any
+    model-based quality scoring)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TS.symbol_ratio(t).alias("symbol_ratio"),
+        TS.bullet_line_ratio(t).alias("bullet_ratio"),
+        TS.ellipsis_line_ratio(t).alias("ellipsis_ratio"),
+    )
+
+
+SQL_GOPHER_FLAGS = r"""
+SELECT doc_id,
+       round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+             / greatest(length(text), 1), 4) AS symbol_ratio,
+       round(len(regexp_extract_all(text, '(?m)^\s*[-*•]'))
+             / (len(regexp_extract_all(text, '\n')) + 1), 4) AS bullet_ratio,
+       round(len(regexp_extract_all(text, '(?m)\.\.\.\s*$'))
+             / (len(regexp_extract_all(text, '\n')) + 1), 4) AS ellipsis_ratio
+FROM documents
+"""
+
+
 def q_quality_score(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -735,6 +761,34 @@ def q_lsh_candidate_pairs(spark, sf_dir):
 
 
 SQL_LSH_CANDIDATE_PAIRS = _SHINGLES_SQL + "," + _PAIRS_CORE + "SELECT id_a, id_b FROM pairs"
+
+
+def q_neardup_clusters(spark, sf_dir):
+    """Duplicate clusters: LSH candidate pairs → connected components
+    (min-reachable-id label per member). Catches transitive near-dup
+    sets that pairwise drop-the-larger misses."""
+    d = _t(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(d, "doc_id", "text")
+    pairs = DD.lsh_candidate_pairs(sig, "doc_id")
+    return DD.connected_components(pairs).orderBy("node")
+
+
+SQL_NEARDUP_CLUSTERS = (
+    _SHINGLES_SQL.replace("WITH w AS", "WITH RECURSIVE w AS", 1)
+    + ","
+    + _PAIRS_CORE
+    + """,
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk AS (
+  SELECT src AS node, dst AS reach FROM edges
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+)
+SELECT node, least(node, min(reach)) AS cluster
+FROM walk GROUP BY node ORDER BY node
+"""
+)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1129,11 +1183,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "marker_strip_chain": (q_marker_strip_chain, SQL_MARKER_STRIP_CHAIN),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "gopher_flags": (q_gopher_flags, SQL_GOPHER_FLAGS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
+    "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),

@@ -58,3 +58,31 @@ def test_lang_gate_in_funnel(spark, pages_path):
     assert funnel_en["curated"] <= funnel_all["curated"]
     langs = {r["lang_guess"] for r in en_docs.select("lang_guess").collect()}
     assert langs <= {"en"}
+
+
+def test_connected_components_crafted_graphs(spark):
+    """Chains, stars, and disjoint components resolve to min-id
+    clusters; convergence beats the iteration cap on deep chains."""
+    from deepseek_ocr_spark.functions.dedup import connected_components
+
+    pairs = [
+        # chain 1-2-3-4-5 (diameter 4: needs multiple rounds)
+        (1, 2), (2, 3), (3, 4), (4, 5),
+        # star centered at 10
+        (10, 11), (10, 12), (10, 13),
+        # two-node component
+        (20, 21),
+    ]
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    got = {r["node"]: r["cluster"]
+           for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
+
+    # direction-insensitive: reversed edges give identical clusters
+    rev = spark.createDataFrame([(b, a) for a, b in pairs],
+                                "id_a bigint, id_b bigint")
+    got_rev = {r["node"]: r["cluster"]
+               for r in connected_components(rev).collect()}
+    assert got_rev == got

@@ -90,3 +90,29 @@ def test_gen_row_pure(i):
     a, b = gen_row(i, 42), gen_row(i, 42)
     assert a == b
     assert gen_row(i, 43) != a  # seed matters
+
+
+def test_gopher_flags_on_crafted_text(spark):
+    """Format signals fire on genuinely bulleted/ellipsized/symbol-
+    heavy text (fixture corpus is mostly clean, so craft inputs)."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_spark.functions import textstats as TS
+
+    rows = [
+        (1, "- one\n- two\nplain\n- three"),        # 3/4 bullet lines
+        (2, "truncated line...\nanother...\nok"),    # 2/3 ellipsis
+        (3, "@@@ $$$ %%% !!!"),                      # symbol-heavy
+        (4, "clean prose with words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        TS.symbol_ratio(F.col("text")).alias("sym"),
+        TS.bullet_line_ratio(F.col("text")).alias("bul"),
+        TS.ellipsis_line_ratio(F.col("text")).alias("ell"),
+    ).collect()}
+    assert got[1]["bul"] == 0.75
+    assert got[2]["ell"] == round(2 / 3, 4)
+    assert got[3]["sym"] > 0.5
+    assert got[4]["sym"] < 0.05 and got[4]["bul"] == 0.0 and got[4]["ell"] == 0.0
