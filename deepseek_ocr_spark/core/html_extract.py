@@ -283,6 +283,15 @@ _MS_CLOSE = _re.compile(r"]\s*]\s*>")
 _MS_IF_CLOSE = _re.compile(r"]\s*>")
 _MS_NAME = _re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*")
 
+# strict end tag: anything this matches, endtagfind matches with the
+# same end position (strict subset: plain name + optional ws + '>').
+_STRICT_END = _re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)\s*>")
+
+#: tags whose start/end handlers change collector state; every other
+#: tag's handler is a provable no-op (span/em/b/...) and is skipped
+#: entirely in the hot loop.
+_SPECIAL_TAGS = DROP_TAGS | BLOCK_TAGS | {"a"}
+
 
 def _start_tag_slow(html: str, pos: int):
     """Mirror of check_for_whole_start_tag + parse_starttag's
@@ -428,7 +437,7 @@ def _blocks_fast(html: str):
                     data(html[pos:endpos])
                     pos = endpos
                     continue
-            raw = start_tag(tag, selfclose)
+            raw = start_tag(tag, selfclose) if tag in _SPECIAL_TAGS else 0
             pos = endpos
             if raw:
                 # cdata/raw-text mode: scan for the closing tag exactly
@@ -449,6 +458,13 @@ def _blocks_fast(html: str):
                         break
                     pos = gt + 1  # junk close inside raw text: skip it
         elif nxt == "/":
+            m = _STRICT_END.match(html, pos)
+            if m:
+                tag = m.group(1).lower()
+                if tag in _SPECIAL_TAGS:
+                    end_tag(tag)
+                pos = m.end()
+                continue
             gt = html.find(">", pos + 1)
             if gt < 0:
                 data(html[pos:])

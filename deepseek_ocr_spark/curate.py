@@ -60,14 +60,29 @@ def exact_dedup(docs: DataFrame, key: str = "fp", order: str = "url") -> DataFra
     )
 
 
-def neardup_dedup(docs: DataFrame, jaccard_drop: float = JACCARD_DROP) -> DataFrame:
+def neardup_dedup(
+    docs: DataFrame,
+    jaccard_drop: float = JACCARD_DROP,
+    strategy: str = "clusters",
+) -> DataFrame:
     """MinHash-LSH proposes pairs, exact shingle-Jaccard confirms,
-    the lexicographically larger url of each confirmed pair drops.
-    One persisted shingle frame serves both stages."""
+    then one survivor per duplicate group is kept.
+
+    ``strategy='clusters'`` (default): confirmed pairs → connected
+    components, keep the min url of each component — transitive sets
+    (A~B, B~C) collapse to ONE doc even when A!~C directly.
+    ``strategy='pairs'``: the simpler drop-the-larger-of-each-pair rule
+    (keeps A and C in the example; round-1 behavior)."""
     confirmed = DD.neardup_scored_pairs(docs, "url", "text").filter(
         F.col("jaccard") >= jaccard_drop
     )
-    losers = confirmed.select(F.col("id_b").alias("url")).distinct()
+    if strategy == "clusters":
+        comp = DD.connected_components(confirmed)
+        losers = comp.filter(F.col("node") != F.col("cluster")).select(
+            F.col("node").alias("url")
+        )
+    else:
+        losers = confirmed.select(F.col("id_b").alias("url")).distinct()
     return docs.join(losers, "url", "left_anti")
 
 

@@ -86,3 +86,30 @@ def test_connected_components_crafted_graphs(spark):
     got_rev = {r["node"]: r["cluster"]
                for r in connected_components(rev).collect()}
     assert got_rev == got
+
+
+def test_neardup_cluster_strategy_collapses_transitive_chains(spark):
+    """A chain of near-identical docs (A~B, B~C, A!~C under the LSH
+    bands) keeps exactly one survivor under the cluster strategy."""
+    from deepseek_ocr_spark.curate import neardup_dedup
+
+    base = [f"word{i}" for i in range(100)]  # 98 distinct shingles
+    docs = []
+    text = list(base)
+    for i in range(4):  # each step mutates 2 words: J(adjacent) ~ 0.89
+        text = list(text)
+        text[10 * i + 3] = f"mut{i}"
+        text[10 * i + 7] = f"alt{i}"
+        docs.append((f"https://c.example/{i}", " ".join(text)))
+    docs.append(("https://c.example/unique",
+                 "completely different content about embeddings and ann"))
+    df = spark.createDataFrame(docs, "url string, text string")
+
+    kept_cluster = {r["url"] for r in neardup_dedup(df).collect()}
+    kept_pairs = {r["url"] for r in
+                  neardup_dedup(df, strategy="pairs").collect()}
+    assert "https://c.example/unique" in kept_cluster
+    assert "https://c.example/0" in kept_cluster  # min url survives
+    # cluster strategy keeps at most as many docs as the pairwise rule
+    assert kept_cluster <= kept_pairs
+    assert len(kept_cluster) == 2  # one survivor + the unique doc
