@@ -586,6 +586,74 @@ FROM documents
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: the k lowest-md5 docs per
+    language — reproducible across engines, runs, and cluster sizes
+    (no RNG), the standard way to draw balanced eval/inspection sets
+    from a skewed corpus."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents
+)
+SELECT lang, doc_id, rn FROM r WHERE rn <= 5 ORDER BY lang, rn
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for training-batch prep: per-source docs in
+    doc_id order are packed greedily into ~512-token bins — pack_id is
+    floor(tokens-before-this-doc / budget). Window cumulative sum, no
+    shuffle beyond the source partitioning."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TS.token_count(F.col("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(toks).over(w), F.lit(0))
+    return d.select(
+        "source",
+        "doc_id",
+        toks.cast("bigint").alias("n_tokens"),
+        F.floor(cum_before / 512).cast("bigint").alias("pack_id"),
+    ).orderBy("source", "doc_id")
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT source, doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS cum_before
+  FROM t
+)
+SELECT source, doc_id, n_tokens::BIGINT AS n_tokens,
+       floor(cum_before / 512)::BIGINT AS pack_id
+FROM c ORDER BY source, doc_id
+"""
+
+
 def q_gopher_flags(spark, sf_dir):
     """Gopher-family format signals: symbol ratio, bullet-line and
     ellipsis-line fractions (the shallow filters applied before any
@@ -1184,6 +1252,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "gopher_flags": (q_gopher_flags, SQL_GOPHER_FLAGS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
