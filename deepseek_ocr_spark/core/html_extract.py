@@ -209,8 +209,13 @@ def detect_charset(payload: bytes) -> str:
 
 def decode_html(payload: bytes) -> str:
     """Charset-sniffed decode shared by BOTH parser twins (identical
-    text in → identical blocks out)."""
-    return payload.decode(detect_charset(payload), errors="replace")
+    text in → identical blocks out). LookupError guard: codecs.lookup
+    accepts NON-TEXT codecs ('hex', 'base64', ...) whose str-decode
+    then raises — a page declaring charset=hex must not kill a task."""
+    try:
+        return payload.decode(detect_charset(payload), errors="replace")
+    except LookupError:
+        return payload.decode("utf-8", errors="replace")
 
 
 def extract_html_reference(payload: bytes) -> str:

@@ -39,12 +39,20 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--run-id", default=None)
     p.add_argument(
         "--mode",
-        choices=("extract", "curate", "extract-pdf-exploded"),
+        choices=(
+            "extract",
+            "curate",
+            "extract-pdf-exploded",
+            "export-zip",
+            "annotate",
+        ),
         default="extract",
         help="extract: pages -> extracted table; curate: pages -> "
         "deduped, quality-gated text corpus (funnel counts in summary); "
         "extract-pdf-exploded: page-parallel PDF path (one task unit "
-        "per PAGE — for page-heavy corpora)",
+        "per PAGE — for page-heavy corpora); export-zip: EXTRACTED "
+        "table -> one result-bundle zip shard per partition (S8); "
+        "annotate: EXTRACTED table -> (url, annotated_pdf) table (S9)",
     )
     p.add_argument(
         "--merge-variant",
@@ -124,6 +132,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                                languages=langs)
         final.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"mode": "curate", **funnel}))
+    elif args.mode == "export-zip":
+        from deepseek_ocr_spark.operators.zip_sink import write_zip_shards
+
+        extracted = spark.read.parquet(args.input)
+        write_zip_shards(extracted, args.output)
+        import os as _os
+
+        shards = len([f for f in _os.listdir(args.output) if f.endswith(".zip")])
+        print(json.dumps({"mode": "export-zip", "shards": shards}))
+    elif args.mode == "annotate":
+        from deepseek_ocr_spark.core.annotate import with_annotated_pdf
+
+        extracted = spark.read.parquet(args.input)
+        with_annotated_pdf(extracted).write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"mode": "annotate", "docs": n}))
     elif args.mode == "extract-pdf-exploded":
         from deepseek_ocr_spark.operators.pdf_pages import extract_pdf_distributed
 

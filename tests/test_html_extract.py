@@ -188,3 +188,32 @@ def test_charset_twins_agree():
     ]
     for c in cases:
         assert extract_html_fast(c) == extract_html_reference(c), c
+
+
+def test_charset_sniff_fuzz_never_raises():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deepseek_ocr_spark.core.html_extract import decode_html, detect_charset
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=300))
+    def fuzz(b):
+        enc = detect_charset(b)
+        assert isinstance(enc, str)
+        assert isinstance(decode_html(b), str)
+        # adversarial declared charsets
+        assert isinstance(decode_html(b'<meta charset="' + b + b'"><p>x</p>'), str)
+
+    fuzz()
+
+
+def test_non_text_codec_charset_survives():
+    """codecs.lookup accepts non-text codecs (hex/base64/rot13) whose
+    str-decode raises — declared in a page they must fall back, not
+    kill the task."""
+    from deepseek_ocr_spark.core.html_extract import extract_html
+
+    for name in (b"hex", b"base64", b"zlib_codec", b"rot13"):
+        out = extract_html(b'<meta charset="' + name + b'"><p>ok</p>')
+        assert out == "ok", name

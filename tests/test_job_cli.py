@@ -89,3 +89,32 @@ def test_html_engine_dispatch_byte_identical(spark, pages_path):
     for url in fast:
         assert fast[url]["extracted_text"] == ref[url]["extracted_text"], url
         assert fast[url]["status"] == ref[url]["status"], url
+
+
+def test_cli_export_zip_and_annotate_modes(spark, pages_path, tmp_path, capsys):
+    """The S8/S9 sinks are reachable from the CLI over an extracted
+    table, and the annotated PDFs roundtrip through our extractor."""
+    from deepseek_ocr_spark.core.pdf_text import real_pdf_to_raw_pages
+    from deepseek_ocr_spark.operators.zip_sink import read_zip_shards
+    from deepseek_ocr_spark.pipeline import extract_pipeline
+
+    extracted_path = str(tmp_path / "extracted")
+    extract_pipeline(spark.read.parquet(pages_path), parallelism=2
+                     ).write.parquet(extracted_path)
+
+    zips = str(tmp_path / "zips")
+    rc = main(["--mode", "export-zip", "--input", extracted_path,
+               "--output", zips], spark=spark)
+    assert rc == 0
+    got = read_zip_shards(zips)
+    assert len(got) == 200
+
+    ann = str(tmp_path / "annotated")
+    rc = main(["--mode", "annotate", "--input", extracted_path,
+               "--output", ann], spark=spark)
+    assert rc == 0
+    rows = spark.read.parquet(ann).limit(5).collect()
+    assert rows
+    for r in rows:
+        pages = real_pdf_to_raw_pages(bytes(r["annotated_pdf"]))
+        assert pages  # valid PDF our own extractor can read back

@@ -221,3 +221,19 @@ def test_fuzz_never_raises():
         assert doc2["status"] in ("ok", "error", "rejected", "skipped_repeat")
 
     fuzz()
+
+
+def test_tounicode_fuzz_never_raises():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deepseek_ocr_spark.core.pdf_text import parse_tounicode
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=300))
+    def fuzz(b):
+        cm = parse_tounicode(b"beginbfchar " + b + b" endbfchar")
+        if cm is not None:
+            assert isinstance(cm.decode(b[:16]), str)
+
+    fuzz()
