@@ -17,16 +17,10 @@ flipped (PDF origin is bottom-left).
 
 from __future__ import annotations
 
-import zlib
+from deepseek_ocr_spark.core.pdf_write import build_pdf, text_page_ops
 
 PAGE_W, PAGE_H = 612, 792
 MAX_LINES_PER_PAGE = 48
-
-
-def _esc(s: str) -> str:
-    return (
-        s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
-    )
 
 
 def _span_rect_ops(spans: list[dict]) -> list[str]:
@@ -43,48 +37,24 @@ def _span_rect_ops(spans: list[dict]) -> list[str]:
 def annotated_pdf(extracted_text: str, spans: list[dict]) -> bytes:
     """(extracted_text, spans) → standard PDF bytes: one text column,
     paginated at MAX_LINES_PER_PAGE lines, with span rectangles stroked
-    on the first page. Pure function of its inputs."""
+    on the first page. Pure function of its inputs; non-Latin-1 text
+    (CJK, curly quotes, the EOS marker's fullwidth bar) is written as
+    UTF-16BE hex strings, never a UnicodeEncodeError."""
     lines = [ln for ln in extracted_text.split("\n")]
     chunks = [
         lines[i : i + MAX_LINES_PER_PAGE]
         for i in range(0, max(len(lines), 1), MAX_LINES_PER_PAGE)
     ] or [[]]
-
-    objs: list[bytes] = []
-    n_pages = len(chunks)
-    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
-    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    page_ops: list[list[str]] = []
     for i, chunk in enumerate(chunks):
-        content_num = 4 + 2 * i
-        objs.append(
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
-            f"/Contents {content_num} 0 R >>".encode()
-        )
         ops: list[str] = []
         if i == 0 and spans:
             ops.append("q 1 w")
             ops.extend(_span_rect_ops(spans))
             ops.append("Q")
-        ops.extend(["BT", "/F1 10 Tf", "36 756 Td"])
-        for j, ln in enumerate(chunk):
-            if j > 0:
-                ops.append("0 -14 Td")
-            ops.append(f"({_esc(ln)}) Tj")
-        ops.append("ET")
-        data = zlib.compress("\n".join(ops).encode("latin-1"))
-        objs.append(
-            b"<< /Filter /FlateDecode /Length " + str(len(data)).encode()
-            + b" >>\nstream\n" + data + b"\nendstream"
-        )
-    out = [b"%PDF-1.4"]
-    for num, body in enumerate(objs, start=1):
-        out.append(f"{num} 0 obj".encode() + b"\n" + body + b"\nendobj")
-    out.append(
-        b"trailer\n<< /Root 1 0 R /Size " + str(len(objs) + 1).encode() + b" >>"
-    )
-    out.append(b"%%EOF")
-    return b"\n".join(out)
+        ops.extend(text_page_ops(chunk, font_size=10, x=36, y=756))
+        page_ops.append(ops)
+    return build_pdf(page_ops, compress=True)
 
 
 def with_annotated_pdf(extracted, text_col: str = "extracted_text",

@@ -58,14 +58,30 @@ class _Obj:
 
 
 def _scan_objects(payload: bytes) -> dict[int, _Obj]:
-    """Locate every ``N G obj ... endobj`` by scanning (xref-free)."""
+    """Locate every ``N G obj ... endobj`` by scanning (xref-free).
+
+    The endobj search is a FORWARD-ONLY cursor: a naive per-match
+    ``payload.find(b"endobj", start)`` is O(n²) when an adversarial
+    payload repeats ``N 0 obj`` without terminators (a 1.6 MB crafted
+    doc pinned a task for >30 s) — one shared cursor keeps the whole
+    scan linear. Incremental-update files (same object number defined
+    twice) keep the LAST definition, matching PDF update semantics."""
     objs: dict[int, _Obj] = {}
+    endobj_cursor = -1
+    n = len(payload)
     for m in _OBJ_RE.finditer(payload):
         num = int(m.group(1))
         start = m.end()
-        end = payload.find(b"endobj", start)
-        if end < 0:
-            end = len(payload)
+        if start <= endobj_cursor:
+            # this "obj" token sits INSIDE the previous object's body
+            # (no endobj between them): it's data, not a new object —
+            # slicing it again would also re-copy the shared tail
+            # per match (quadratic on adversarial input).
+            continue
+        endobj_cursor = payload.find(b"endobj", start)
+        if endobj_cursor < 0:
+            endobj_cursor = n
+        end = endobj_cursor
         body = payload[start:end]
         sm = _STREAM_RE.search(body)
         if sm:

@@ -1,0 +1,76 @@
+"""Minimal ISO 32000 PDF writer — the single serializer behind both
+the annotated-PDF sink (core/annotate.py) and the real-PDF fixture
+builder (fixtures/pages_gen.py); one copy, so framing/escaping fixes
+land everywhere at once.
+
+Text strings: Latin-1-representable lines are written as escaped
+literal strings; anything else becomes a UTF-16BE hex string with BOM
+(`<FEFF...>`), the PDF text-string rule — which core/pdf_text.py's
+reader decodes back, so written documents roundtrip through the
+engine's own extractor regardless of script.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+def esc_literal(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def text_show_op(line: str) -> str:
+    """One Tj operation for a text line, Unicode-safe."""
+    try:
+        line.encode("latin-1")
+    except UnicodeEncodeError:
+        payload = ("﻿" + line).encode("utf-16-be").hex().upper()
+        return f"<{payload}> Tj"
+    return f"({esc_literal(line)}) Tj"
+
+
+def build_pdf(page_ops: list[list[str]], compress: bool = True) -> bytes:
+    """Serialize pages of content-stream operation lists into a PDF:
+    catalog → page tree → per-page (optionally Flate) content streams.
+    Deterministic."""
+    n_pages = len(page_ops)
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for i, ops in enumerate(page_ops):
+        content_num = 4 + 2 * i
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_num} 0 R >>".encode()
+        )
+        data = "\n".join(ops).encode("latin-1")
+        if compress:
+            data = zlib.compress(data)
+            filt = b"/Filter /FlateDecode "
+        else:
+            filt = b""
+        objs.append(
+            b"<< " + filt + b"/Length " + str(len(data)).encode() + b" >>"
+            b"\nstream\n" + data + b"\nendstream"
+        )
+    out = [b"%PDF-1.4"]
+    for num, body in enumerate(objs, start=1):
+        out.append(f"{num} 0 obj".encode() + b"\n" + body + b"\nendobj")
+    out.append(
+        b"trailer\n<< /Root 1 0 R /Size " + str(len(objs) + 1).encode() + b" >>"
+    )
+    out.append(b"%%EOF")
+    return b"\n".join(out)
+
+
+def text_page_ops(lines: list[str], font_size: int = 12,
+                  x: int = 72, y: int = 720, leading: int = 14) -> list[str]:
+    """Standard one-column text page: BT/Tf/Td + one Tj per line."""
+    ops = ["BT", f"/F1 {font_size} Tf", f"{x} {y} Td"]
+    for j, ln in enumerate(lines):
+        if j > 0:
+            ops.append(f"0 -{leading} Td")
+        ops.append(text_show_op(ln))
+    ops.append("ET")
+    return ops

@@ -191,49 +191,14 @@ def _png_header(w: int, h: int) -> bytes:
 
 
 def build_real_pdf(page_lines: list[list[str]], compress: bool = True) -> bytes:
-    """Serialize a minimal REAL PDF (ISO 32000 subset): catalog → page
-    tree → per-page FlateDecode content streams with BT/ET + Td/Tj
-    text operators. Deterministic; exercises core/pdf_text.py."""
-    import zlib as _zlib
+    """Serialize a minimal REAL PDF (ISO 32000 subset) — thin wrapper
+    over the shared writer (core/pdf_write.py, also behind the
+    annotated-PDF sink). Deterministic; exercises core/pdf_text.py."""
+    from deepseek_ocr_spark.core.pdf_write import build_pdf, text_page_ops
 
-    def esc(s: str) -> str:
-        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
-
-    n_pages = len(page_lines)
-    objs: list[bytes] = []  # 1-indexed object bodies (without N 0 obj wrapper)
-    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
-    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objs.append(
-        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    return build_pdf(
+        [text_page_ops(lines) for lines in page_lines], compress=compress
     )
-    for i, lines in enumerate(page_lines):
-        content_num = 4 + 2 * i
-        objs.append(
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            f"/Contents {content_num} 0 R >>".encode()
-        )
-        ops = ["BT", "/F1 12 Tf", "72 720 Td"]
-        for j, ln in enumerate(lines):
-            if j > 0:
-                ops.append("0 -14 Td")
-            ops.append(f"({esc(ln)}) Tj")
-        ops.append("ET")
-        data = "\n".join(ops).encode("latin-1")
-        if compress:
-            data = _zlib.compress(data)
-            filt = b"/Filter /FlateDecode "
-        else:
-            filt = b""
-        objs.append(
-            b"<< " + filt + b"/Length " + str(len(data)).encode() + b" >>"
-            b"\nstream\n" + data + b"\nendstream"
-        )
-    out = [b"%PDF-1.4"]
-    for num, body in enumerate(objs, start=1):
-        out.append(f"{num} 0 obj".encode() + b"\n" + body + b"\nendobj")
-    out.append(b"trailer\n<< /Root 1 0 R /Size " + str(len(objs) + 1).encode() + b" >>")
-    out.append(b"%%EOF")
-    return b"\n".join(out)
 
 
 def _pdf_real(rng: random.Random) -> tuple[bytes, str]:

@@ -256,16 +256,18 @@ def connected_components(
     drop-the-larger dedup misses transitive sets (A~B, B~C but A!~C);
     grouping by component is the standard fix.
 
-    Algorithm: min-label propagation — each round every node takes the
-    minimum label in its closed neighborhood, via a join + groupBy.
-    Rounds needed = graph diameter; near-dup clusters are shallow
-    (pairs share LSH buckets), so convergence is 2-4 rounds and the
-    loop exits early on a fixpoint (one lightweight count action per
-    round). ``localCheckpoint`` truncates the growing join lineage each
-    round — without it the plan doubles per iteration. At web scale
-    this is the published hash-to-min scheme (Rastogi et al., CC on
-    MapReduce family); the alternating large-star/small-star variant
-    drops in here if cluster diameters ever grow beyond O(10)."""
+    Algorithm: min-label propagation with POINTER JUMPING — each round
+    every node takes the minimum label in its closed neighborhood
+    (join + groupBy), then labels jump one level (label := label's
+    label), so convergence is O(log diameter) rounds: 12 rounds covers
+    component diameters past 4000, far beyond any real near-dup graph
+    (pairs share LSH buckets → shallow clusters, 2-4 rounds typical;
+    the loop exits early on a fixpoint, one lightweight count action
+    per round). Labels are always existing node ids (the component min
+    seen so far), so the jump join is well-defined. ``localCheckpoint``
+    truncates the growing join lineage each round — without it the
+    plan doubles per iteration. The published hash-to-min /
+    pointer-jumping family (Rastogi et al.)."""
     e = pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -280,10 +282,25 @@ def connected_components(
         nbr = edges.join(
             labels, edges["dst"] == labels["node"]
         ).select(edges["src"].alias("node"), "label")
-        new_labels = (
+        propagated = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: label := min(label, label-of-label)
+        lab2 = propagated.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            propagated.join(
+                lab2, propagated["label"] == lab2["jnode"], "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
+                ).alias("label"),
+            )
             .localCheckpoint()
         )
         changed = (

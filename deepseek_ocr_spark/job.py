@@ -102,6 +102,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
+def _parse_languages(s: str | None) -> tuple[str, ...] | None:
+    """Whitespace-tolerant: 'en, de' keeps BOTH languages; empty
+    segments (trailing commas) are dropped, never matched as ''."""
+    if not s:
+        return None
+    return tuple(x.strip() for x in s.split(",") if x.strip()) or None
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     """CLI body. ``spark`` may be injected (tests reuse a session and
     it is then not stopped here); spark-submit leaves it None."""
@@ -127,7 +135,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             pages = read_warc_dir(spark, args.input)
         else:
             pages = spark.read.parquet(args.input)
-        langs = tuple(args.languages.split(",")) if args.languages else None
+        langs = _parse_languages(args.languages)
         final, funnel = curate(pages, parallelism=args.parallelism,
                                languages=langs)
         final.write.mode("overwrite").parquet(args.output)

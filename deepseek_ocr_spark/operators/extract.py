@@ -73,16 +73,33 @@ class _BudgetedExtractor:
     ABANDONED (it runs to completion in the background, exactly as the
     reference's executor thread does) and a fresh worker takes over, so
     one adversarial document can never pin a task. Costs a thread
-    hand-off per document (~tens of µs), hence opt-in."""
+    hand-off per document (~tens of µs), hence opt-in.
+
+    Abandoned workers are TRACKED and capped: with reused Python
+    workers, an adversarial corpus could otherwise accumulate one
+    runaway thread per timed-out document. Past ``max_wedged`` live
+    strays the caller waits (up to one extra budget) for the oldest to
+    clear before proceeding — bounding both stray CPU burn and the
+    payload memory those threads pin."""
+
+    max_wedged = 4
 
     def __init__(self, budget_secs: float, fn=extract_document):
         self.budget = budget_secs
         self._fn = fn
         self._ex = None
+        self._wedged: list = []  # abandoned futures, oldest first
 
     def __call__(self, url, payload, max_bytes) -> dict:
         import concurrent.futures as cf
 
+        self._wedged = [f for f in self._wedged if not f.done()]
+        if len(self._wedged) >= self.max_wedged:
+            try:
+                self._wedged[0].result(timeout=self.budget)
+            except Exception:
+                pass  # still wedged (or failed): proceed regardless
+            self._wedged = [f for f in self._wedged if not f.done()]
         if self._ex is None:
             self._ex = cf.ThreadPoolExecutor(max_workers=1)
         fut = self._ex.submit(self._fn, url, payload, max_bytes)
@@ -90,6 +107,8 @@ class _BudgetedExtractor:
             return fut.result(timeout=self.budget)
         except cf.TimeoutError:
             fut.cancel()
+            self._wedged.append(fut)
+            self._ex.shutdown(wait=False)
             self._ex = None  # abandon the wedged thread's pool
             return _timeout_row(url, payload)
 

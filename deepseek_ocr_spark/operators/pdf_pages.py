@@ -62,6 +62,8 @@ def explode_pdf_pages(df: DataFrame) -> DataFrame:
         for pdf in batches:
             urls, idxs, raws = [], [], []
             for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue  # NULL body: no pages (fused path owns the error row)
                 try:
                     pages = pdf_to_raw_pages(bytes(payload))
                 except (PdfParseError, PdfTooManyPages):

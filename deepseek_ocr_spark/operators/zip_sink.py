@@ -34,6 +34,11 @@ def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
     """Write one ZIP shard per partition of ``extracted`` (needs url,
     extracted_text, status, n_pages, n_bytes columns)."""
     os.makedirs(out_dir, exist_ok=True)
+    # clear prior shards: a rerun with fewer partitions must not leave
+    # stale part-NNNNN.zip files from earlier runs in the bundle
+    for f in os.listdir(out_dir):
+        if f.startswith("part-") and f.endswith(".zip"):
+            os.remove(os.path.join(out_dir, f))
     cols = extracted.select(
         "url", "extracted_text", "status", "n_pages", "n_bytes"
     )

@@ -153,6 +153,7 @@ def run_job(
     from pyspark.sql import Observation
 
     rid = run_id or new_run_id()
+    restore_batch_conf = None
     if input_format == "parquet":
         from deepseek_ocr_spark.operators.split_tuning import (
             suggest_columnar_batch_rows,
@@ -167,13 +168,39 @@ def run_job(
         # one local JVM's heap; narrow tables keep Spark's default
         # (small batches cost them 2-3x — both measured, see
         # operators/split_tuning.suggest_columnar_batch_rows).
+        # Restored on exit: library callers sharing the session would
+        # otherwise pay the narrow-table penalty on later queries.
+        _KEY = "spark.sql.parquet.columnarReaderBatchSize"
         try:
             batch_rows = suggest_columnar_batch_rows(input_path)
-            spark.conf.set(
-                "spark.sql.parquet.columnarReaderBatchSize", str(batch_rows)
-            )
+            restore_batch_conf = ("prev", spark.conf.get(_KEY, None))
+            spark.conf.set(_KEY, str(batch_rows))
         except Exception:
             pass  # footer stats unavailable: keep session default
+    try:
+        return _run_job_body(
+            spark, rid, input_path, output_path, metrics_path, resume,
+            parallelism, input_format, time_budget_secs, html_engine,
+        )
+    finally:
+        if restore_batch_conf is not None:
+            _, prev = restore_batch_conf
+            key = "spark.sql.parquet.columnarReaderBatchSize"
+            if prev is not None:
+                spark.conf.set(key, prev)
+            else:
+                try:
+                    spark.conf.unset(key)
+                except Exception:
+                    pass
+
+
+def _run_job_body(
+    spark, rid, input_path, output_path, metrics_path, resume,
+    parallelism, input_format, time_budget_secs, html_engine,
+) -> dict:
+    from pyspark.sql import Observation
+
     if input_format == "warc":
         from deepseek_ocr_spark.sources.warc import read_warc_dir
 

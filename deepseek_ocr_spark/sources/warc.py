@@ -44,6 +44,16 @@ _GZ_MAGIC = b"\x1f\x8b"
 _CHUNK = 1 << 20  # 1 MiB reads
 _BATCH_ROWS = 1024  # output batch caps (whichever trips first)
 _BATCH_BYTES = 32 << 20
+# Per-record sanity bounds — the memory contract's teeth. A record
+# declaring a bogus Content-Length (or a header block with no CRLFCRLF
+# terminator) must not make the parser buffer the rest of a 1 GB file:
+# oversized payloads are STREAM-DISCARDED (consumed chunk-by-chunk,
+# never buffered) and parsing continues at the next record; an
+# unterminated header ends the file tolerantly. 64 MiB is ~16x the
+# engine's accept cap, so no payload the pipeline could process is
+# ever dropped here.
+_MAX_RECORD_BYTES = 64 << 20
+_MAX_HEADER_BYTES = 1 << 20
 
 
 def _decompressed_chunks(stream, chunk_size: int = _CHUNK) -> Iterator[bytes]:
@@ -126,6 +136,8 @@ def iter_warc_stream(chunks: Iterable[bytes]) -> Iterator[tuple[dict, bytes]]:
             hdr_end = buf.find(_CRLF + _CRLF)
             if hdr_end >= 0:
                 break
+            if len(buf) > _MAX_HEADER_BYTES:
+                return  # unterminated header: never buffer the file
             if not fill():
                 return  # EOF before header terminator
         headers: dict[str, str] = {}
@@ -140,7 +152,24 @@ def iter_warc_stream(chunks: Iterable[bytes]) -> Iterator[tuple[dict, bytes]]:
         except ValueError:
             return
         body_start = hdr_end + 4
-        need = body_start + max(0, length)
+        length = max(0, length)
+        if length > _MAX_RECORD_BYTES:
+            # bogus/oversized record: stream-discard the payload
+            # without ever holding it, then continue with the next
+            # record. Memory stays one chunk.
+            remaining = body_start + length - len(buf)
+            del buf[:]
+            while remaining > 0:
+                if not fill():
+                    return
+                if len(buf) <= remaining:
+                    remaining -= len(buf)
+                    del buf[:]
+                else:
+                    del buf[:remaining]
+                    remaining = 0
+            continue
+        need = body_start + length
         while len(buf) < need and fill():
             pass
         payload = bytes(buf[body_start : min(need, len(buf))])

@@ -106,3 +106,18 @@ def test_run_ids_time_sortable_and_latest_wins(spark, tmp_path):
     got = spark.read.parquet(dest).collect()[0]
     assert got["extracted_text"] == "new text"
     assert got["run_id"] == b
+
+
+def test_run_job_restores_scan_batch_conf(spark, pages_path, tmp_path):
+    """run_job's row-width-aware columnarReaderBatchSize is scoped to
+    the job — later narrow-table queries in the same session keep the
+    default (or the caller's own setting)."""
+    from deepseek_ocr_spark.pipeline import run_job
+
+    key = "spark.sql.parquet.columnarReaderBatchSize"
+    spark.conf.set(key, "2222")
+    run_job(spark, pages_path, str(tmp_path / "o1"))
+    assert spark.conf.get(key) == "2222"
+    spark.conf.unset(key)
+    run_job(spark, pages_path, str(tmp_path / "o2"))
+    assert spark.conf.get(key, None) in (None, "4096")

@@ -1,0 +1,140 @@
+"""Regressions for the round-2 self-review findings."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+
+def test_annotated_pdf_handles_non_latin1_text():
+    """CJK / curly quotes / the EOS marker's fullwidth bar must not
+    raise UnicodeEncodeError — they roundtrip via UTF-16BE strings."""
+    from deepseek_ocr_spark.config import EOS
+    from deepseek_ocr_spark.core.annotate import annotated_pdf
+    from deepseek_ocr_spark.core.pdf_text import real_pdf_to_raw_pages
+
+    text = "中文 heading\n“curly” — dash\nplain ascii\n" + EOS
+    pdf = annotated_pdf(text, [])
+    pages = [p.removesuffix(EOS) for p in real_pdf_to_raw_pages(pdf)]
+    got = "\n".join(pages)
+    assert "中文 heading" in got
+    assert "“curly” — dash" in got
+    assert "plain ascii" in got
+
+
+def test_real_pdf_builder_handles_unicode_lines():
+    from deepseek_ocr_spark.core.pdf_text import real_pdf_to_raw_pages
+    from deepseek_ocr_spark.fixtures.pages_gen import build_real_pdf
+
+    pdf = build_real_pdf([["ünïcode línes 中文", "ascii line"]])
+    text = real_pdf_to_raw_pages(pdf)[0]
+    assert "ünïcode línes 中文" in text and "ascii line" in text
+
+
+def test_adversarial_pdf_scan_stays_linear():
+    """Repeated 'obj' tokens without terminators must not go
+    quadratic (was >30 s for 1.6 MB; now linear)."""
+    from deepseek_ocr_spark.core.oracle import extract_document
+
+    for adv in (
+        b"%PDF-1.5\n" + b"1 0 obj " * 200_000,
+        b"%PDF-1.5\n" + b"".join(b"%d 0 obj " % i for i in range(150_000)),
+    ):
+        t0 = time.perf_counter()
+        doc = extract_document("u", adv)
+        assert time.perf_counter() - t0 < 5.0
+        assert doc["status"] in ("error", "rejected", "ok", "skipped_repeat")
+
+
+def test_warc_bogus_content_length_discarded_not_buffered():
+    """A record declaring an absurd Content-Length is stream-discarded
+    (prior records kept, parser never buffers the tail as one row)."""
+    from deepseek_ocr_spark.sources.warc import build_warc, records_to_pages
+
+    good = [
+        {"url": f"https://w.example/{i}", "warc_ts": dt.datetime(2024, 1, 1),
+         "html": b"<p>ok</p>"}
+        for i in range(3)
+    ]
+    bogus = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://w.example/bogus\r\n"
+        b"Content-Length: 999999999999\r\n\r\n"
+        + b"x" * 10_000
+    )
+    raw = build_warc(good, gzip_members=False) + bogus
+    rows = records_to_pages(raw)
+    assert [r["url"] for r in rows] == [g["url"] for g in good]
+
+    # unterminated header (no CRLFCRLF): tolerant stop, no buffering
+    raw2 = build_warc(good[:2], gzip_members=False) + b"WARC/1.0\r\nX: " + b"y" * 5000
+    assert len(records_to_pages(raw2)) == 2
+
+
+def test_zip_shards_rerun_with_fewer_partitions_leaves_no_stale(
+    spark, tmp_path
+):
+    from deepseek_ocr_spark.operators.zip_sink import (
+        read_zip_shards,
+        write_zip_shards,
+    )
+
+    rows = [(f"u{i}", f"text {i}", "ok", 1, 10) for i in range(8)]
+    schema = ("url string, extracted_text string, status string, "
+              "n_pages int, n_bytes bigint")
+    out = str(tmp_path / "zips")
+    write_zip_shards(spark.createDataFrame(rows, schema).repartition(4), out)
+    # rerun with a SUBSET on fewer partitions: old shards must vanish
+    write_zip_shards(
+        spark.createDataFrame(rows[:3], schema).repartition(1), out
+    )
+    got = read_zip_shards(out)
+    assert set(got) == {"u0", "u1", "u2"}
+
+
+def test_declared_utf16_label_without_bom_reads_as_utf8():
+    """WHATWG: pages declaring utf-16 in an ASCII-readable meta tag are
+    serving 8-bit bytes — decoding as UTF-16 makes CJK mojibake."""
+    from deepseek_ocr_spark.core.html_extract import detect_charset, extract_html
+
+    page = b'<meta charset="utf-16"><p>hello world</p>'
+    assert detect_charset(page) == "utf-8"
+    assert extract_html(page) == "hello world"
+    assert detect_charset(b'<meta charset="UTF-16LE">x') == "utf-8"
+    # BOM still wins
+    assert detect_charset(b"\xff\xfe" + b"x\x00") == "utf-16"
+
+
+def test_languages_arg_tolerates_spaces_and_trailing_commas():
+    from deepseek_ocr_spark.job import _parse_languages
+
+    assert _parse_languages("en, de") == ("en", "de")
+    assert _parse_languages("en,") == ("en",)
+    assert _parse_languages(" , ") is None
+    assert _parse_languages(None) is None
+
+
+def test_deep_chain_components_converge_with_pointer_jumping(spark):
+    """A 40-hop chain (diameter far past the old per-round reach)
+    resolves to one cluster — pointer jumping gives O(log d) rounds."""
+    from deepseek_ocr_spark.functions.dedup import connected_components
+
+    pairs = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    got = {r["node"]: r["cluster"] for r in connected_components(df).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 41
+
+
+def test_null_payload_skipped_in_exploded_pdf_path(spark):
+    from deepseek_ocr_spark.fixtures.pages_gen import build_real_pdf
+    from deepseek_ocr_spark.operators.pdf_pages import extract_pdf_distributed
+
+    rows = [
+        ("https://n.example/null", None),
+        ("https://n.example/pdf", build_real_pdf([["real content"]])),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: r for r in extract_pdf_distributed(df).collect()}
+    assert "https://n.example/pdf" in out
+    assert "https://n.example/null" not in out  # skipped, job alive
