@@ -198,16 +198,17 @@ def detect_charset(payload: bytes) -> str:
     m = _CHARSET_RE.search(head) or _XML_ENC_RE.search(head)
     if m:
         name = m.group(1).decode("ascii", errors="replace").strip().lower()
+        try:
+            canonical = _codecs.lookup(name).name
+        except LookupError:
+            return "utf-8"
         # WHATWG: a DECLARED utf-16 label (no BOM — the BOM cases
         # returned above) maps to UTF-8, because real pages that say
         # utf-16 in an ASCII-readable meta tag are serving 8-bit bytes;
-        # decoding them as UTF-16 yields CJK mojibake.
-        if name.replace("_", "-") in ("utf-16", "utf-16le", "utf-16be",
-                                      "utf-16-le", "utf-16-be", "utf16"):
-            return "utf-8"
-        try:
-            _codecs.lookup(name)
-        except LookupError:
+        # decoding them as UTF-16 yields CJK mojibake. Canonical codec
+        # name comparison catches every Python alias (u16, unicode, ...).
+        if canonical in ("utf-16", "utf-16-le", "utf-16-be", "utf-32",
+                         "utf-32-le", "utf-32-be"):
             return "utf-8"
         return name
     return "utf-8"

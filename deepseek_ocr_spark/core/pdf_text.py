@@ -63,25 +63,31 @@ def _scan_objects(payload: bytes) -> dict[int, _Obj]:
     The endobj search is a FORWARD-ONLY cursor: a naive per-match
     ``payload.find(b"endobj", start)`` is O(n²) when an adversarial
     payload repeats ``N 0 obj`` without terminators (a 1.6 MB crafted
-    doc pinned a task for >30 s) — one shared cursor keeps the whole
-    scan linear. Incremental-update files (same object number defined
+    doc pinned a task for >30 s). Objects that share one endobj region
+    (a REAL object whose endobj is missing, followed by intact
+    objects — the truncated-crawl corruption this module recovers) are
+    all registered, but the total bytes sliced per region is capped:
+    overlapping suffix slices are what made the adversarial case
+    quadratic. Incremental-update files (same object number defined
     twice) keep the LAST definition, matching PDF update semantics."""
     objs: dict[int, _Obj] = {}
     endobj_cursor = -1
+    region_budget = 0
     n = len(payload)
     for m in _OBJ_RE.finditer(payload):
         num = int(m.group(1))
         start = m.end()
-        if start <= endobj_cursor:
-            # this "obj" token sits INSIDE the previous object's body
-            # (no endobj between them): it's data, not a new object —
-            # slicing it again would also re-copy the shared tail
-            # per match (quadratic on adversarial input).
-            continue
-        endobj_cursor = payload.find(b"endobj", start)
-        if endobj_cursor < 0:
-            endobj_cursor = n
+        if start > endobj_cursor:
+            # new region: find its terminator once
+            endobj_cursor = payload.find(b"endobj", start)
+            if endobj_cursor < 0:
+                endobj_cursor = n
+            region_budget = 16 << 20  # max bytes sliced per region
         end = endobj_cursor
+        size = end - start
+        if size > region_budget:
+            continue  # adversarial shared-region flood: stop slicing
+        region_budget -= size
         body = payload[start:end]
         sm = _STREAM_RE.search(body)
         if sm:

@@ -75,12 +75,14 @@ class _BudgetedExtractor:
     one adversarial document can never pin a task. Costs a thread
     hand-off per document (~tens of µs), hence opt-in.
 
-    Abandoned workers are TRACKED and capped: with reused Python
+    Abandoned workers are TRACKED and soft-capped: with reused Python
     workers, an adversarial corpus could otherwise accumulate one
-    runaway thread per timed-out document. Past ``max_wedged`` live
-    strays the caller waits (up to one extra budget) for the oldest to
-    clear before proceeding — bounding both stray CPU burn and the
-    payload memory those threads pin."""
+    runaway thread per timed-out document. When ``max_wedged`` strays
+    are live, the caller grants the oldest ONE extra budget to clear;
+    if it still hasn't, it is written off (dropped from tracking, left
+    to die like the reference's executor thread) so well-formed
+    documents behind it never wait again — the extra wait is paid at
+    most once per ``max_wedged`` timeouts, not per document."""
 
     max_wedged = 4
 
@@ -98,7 +100,8 @@ class _BudgetedExtractor:
             try:
                 self._wedged[0].result(timeout=self.budget)
             except Exception:
-                pass  # still wedged (or failed): proceed regardless
+                pass  # still wedged (or failed): write it off
+            self._wedged = self._wedged[1:]
             self._wedged = [f for f in self._wedged if not f.done()]
         if self._ex is None:
             self._ex = cf.ThreadPoolExecutor(max_workers=1)

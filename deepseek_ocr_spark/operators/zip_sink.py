@@ -32,13 +32,21 @@ def entry_name(url: str) -> str:
 
 def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
     """Write one ZIP shard per partition of ``extracted`` (needs url,
-    extracted_text, status, n_pages, n_bytes columns)."""
+    extracted_text, status, n_pages, n_bytes columns).
+
+    Reruns are atomic at the bundle level: shards land in a staging
+    subdirectory first, and only after the Spark action SUCCEEDS are
+    the previous run's shards removed and the staged ones moved in —
+    a failed rerun leaves the prior complete export untouched. Stale
+    staging dirs from crashed runs are swept on the next call."""
     os.makedirs(out_dir, exist_ok=True)
-    # clear prior shards: a rerun with fewer partitions must not leave
-    # stale part-NNNNN.zip files from earlier runs in the bundle
-    for f in os.listdir(out_dir):
-        if f.startswith("part-") and f.endswith(".zip"):
-            os.remove(os.path.join(out_dir, f))
+    import shutil
+
+    for f in os.listdir(out_dir):  # sweep crashed runs' leftovers
+        if f.startswith(".staging-"):
+            shutil.rmtree(os.path.join(out_dir, f), ignore_errors=True)
+    staging = os.path.join(out_dir, f".staging-{os.getpid()}")
+    os.makedirs(staging, exist_ok=True)
     cols = extracted.select(
         "url", "extracted_text", "status", "n_pages", "n_bytes"
     )
@@ -49,8 +57,8 @@ def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         meta = []
-        tmp = os.path.join(out_dir, f".part-{pid:05d}.zip.tmp")
-        final = os.path.join(out_dir, f"part-{pid:05d}.zip")
+        tmp = os.path.join(staging, f".part-{pid:05d}.zip.tmp")
+        final = os.path.join(staging, f"part-{pid:05d}.zip")
         wrote = False
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
             for r in rows:
@@ -76,7 +84,19 @@ def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
         else:
             os.remove(tmp)  # empty partition: no shard
 
-    cols.foreachPartition(write_part)
+    try:
+        cols.foreachPartition(write_part)
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    # success: swap staged shards in, drop prior ones
+    for f in os.listdir(out_dir):
+        if f.startswith("part-") and f.endswith(".zip"):
+            os.remove(os.path.join(out_dir, f))
+    for f in sorted(os.listdir(staging)):
+        if f.endswith(".zip"):
+            os.replace(os.path.join(staging, f), os.path.join(out_dir, f))
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def read_zip_shards(out_dir: str) -> dict[str, str]:

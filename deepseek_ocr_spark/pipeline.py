@@ -150,8 +150,6 @@ def run_job(
     ``input_format``: "parquet" (pages table) or "warc" (directory of
     WARC/.warc.gz files read via sources.warc.read_warc_dir).
     """
-    from pyspark.sql import Observation
-
     rid = run_id or new_run_id()
     restore_batch_conf = None
     if input_format == "parquet":

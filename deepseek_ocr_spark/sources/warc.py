@@ -156,18 +156,19 @@ def iter_warc_stream(chunks: Iterable[bytes]) -> Iterator[tuple[dict, bytes]]:
         if length > _MAX_RECORD_BYTES:
             # bogus/oversized record: stream-discard the payload
             # without ever holding it, then continue with the next
-            # record. Memory stays one chunk.
-            remaining = body_start + length - len(buf)
-            del buf[:]
+            # record. Memory stays one chunk; bytes of LATER records
+            # already buffered are preserved (consume exactly the
+            # record's span, never the whole buffer).
+            total = body_start + length
+            consume = min(len(buf), total)
+            del buf[:consume]
+            remaining = total - consume
             while remaining > 0:
                 if not fill():
                     return
-                if len(buf) <= remaining:
-                    remaining -= len(buf)
-                    del buf[:]
-                else:
-                    del buf[:remaining]
-                    remaining = 0
+                consume = min(len(buf), remaining)
+                del buf[:consume]
+                remaining -= consume
             continue
         need = body_start + length
         while len(buf) < need and fill():

@@ -138,3 +138,78 @@ def test_null_payload_skipped_in_exploded_pdf_path(spark):
     out = {r["url"]: r for r in extract_pdf_distributed(df).collect()}
     assert "https://n.example/pdf" in out
     assert "https://n.example/null" not in out  # skipped, job alive
+
+
+def test_warc_oversized_record_preserves_following_records(monkeypatch):
+    """An over-cap record mid-stream is discarded EXACTLY (its own
+    span), never taking later records already in the buffer with it."""
+    from deepseek_ocr_spark.sources import warc as W
+
+    monkeypatch.setattr(W, "_MAX_RECORD_BYTES", 1000)
+    big_http = (b"HTTP/1.1 200 OK\r\n\r\n" + b"z" * 5000)
+    bogus = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+             b"WARC-Target-URI: https://w.example/big\r\n"
+             + b"Content-Length: %d\r\n\r\n" % len(big_http)
+             + big_http + b"\r\n\r\n")
+    good = [
+        {"url": f"https://w.example/{i}", "warc_ts": dt.datetime(2024, 1, 1),
+         "html": b"<p>ok</p>"}
+        for i in range(3)
+    ]
+    raw = (W.build_warc(good[:1], gzip_members=False) + bogus
+           + W.build_warc(good[1:], gzip_members=False))
+    rows = W.records_to_pages(raw)  # whole-bytes: buffer holds everything
+    assert [r["url"] for r in rows] == [g["url"] for g in good]
+    # chunked path too
+    chunks = [raw[i:i + 777] for i in range(0, len(raw), 777)]
+    rows2 = list(W.iter_warc_stream(chunks))
+    assert len([h for h, _ in rows2 if h.get("warc-type") == "response"]) == 3
+
+
+def test_pdf_missing_endobj_recovers_following_objects():
+    """A truncated object (endobj lost) must not swallow the intact
+    objects after it — the corruption this scanner exists to survive."""
+    from deepseek_ocr_spark.core.pdf_text import real_pdf_to_raw_pages
+    from deepseek_ocr_spark.fixtures.pages_gen import build_real_pdf
+
+    pdf = build_real_pdf([["page survives"]], compress=False)
+    # drop the FIRST endobj (catalog object loses its terminator)
+    broken = pdf.replace(b"\nendobj", b"", 1)
+    pages = [p for p in real_pdf_to_raw_pages(broken)]
+    assert any("page survives" in p for p in pages)
+
+
+def test_zip_export_failure_preserves_previous_bundle(spark, tmp_path):
+    from deepseek_ocr_spark.operators.zip_sink import (
+        read_zip_shards,
+        write_zip_shards,
+    )
+
+    schema = ("url string, extracted_text string, status string, "
+              "n_pages int, n_bytes bigint")
+    rows = [(f"u{i}", f"text {i}", "ok", 1, 10) for i in range(4)]
+    out = str(tmp_path / "zips")
+    write_zip_shards(spark.createDataFrame(rows, schema), out)
+    before = read_zip_shards(out)
+    assert len(before) == 4
+
+    def boom(batches):
+        raise RuntimeError("synthetic failure")
+        yield  # pragma: no cover
+
+    bad = spark.createDataFrame(rows, schema).mapInPandas(boom, schema)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        write_zip_shards(bad, out)
+    assert read_zip_shards(out) == before  # prior export intact
+    import os as _os
+
+    assert not [f for f in _os.listdir(out) if f.startswith(".staging-")]
+
+
+def test_utf16_alias_labels_also_remap():
+    from deepseek_ocr_spark.core.html_extract import detect_charset
+
+    for label in (b"u16", b"utf16", b"unicode", b"utf_16", b"U16", b"utf-32"):
+        assert detect_charset(b'<meta charset="' + label + b'">x') == "utf-8", label
