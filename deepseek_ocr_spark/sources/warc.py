@@ -60,8 +60,12 @@ def _decompressed_chunks(stream, chunk_size: int = _CHUNK) -> Iterator[bytes]:
     """Yield decompressed chunks from a file object holding either
     concatenated gzip members (CC convention: one member per record)
     or plain bytes. Bounded memory: one compressed chunk + one
-    member's decompressor state. Corrupt gzip data ends the stream
-    (earlier members were already yielded) — never raises."""
+    OUTPUT-CAPPED decompression step — ``max_length`` keeps a
+    zip-bomb member (100 KB of gzip expanding to gigabytes) from
+    materializing as one giant chunk; it drains in ≤ chunk_size
+    pieces that downstream record framing can then discard under its
+    own caps. Corrupt gzip data ends the stream (earlier members were
+    already yielded) — never raises."""
     buf = stream.read(chunk_size)
     if buf[:2] != _GZ_MAGIC:
         while buf:
@@ -72,13 +76,19 @@ def _decompressed_chunks(stream, chunk_size: int = _CHUNK) -> Iterator[bytes]:
     try:
         while True:
             if buf:
-                out = d.decompress(buf)
+                out = d.decompress(buf, chunk_size)
                 if out:
                     yield out
+                # ORDER MATTERS: at a member boundary eof=True while
+                # unconsumed_tail still shows the next member's bytes —
+                # checking the tail first loops forever re-feeding them.
                 if d.eof:
                     # next member (or trailing garbage → zlib.error)
                     buf = d.unused_data
                     d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+                    continue
+                if d.unconsumed_tail:
+                    buf = d.unconsumed_tail
                     continue
                 buf = b""
             else:

@@ -213,3 +213,37 @@ def test_utf16_alias_labels_also_remap():
 
     for label in (b"u16", b"utf16", b"unicode", b"utf_16", b"U16", b"utf-32"):
         assert detect_charset(b'<meta charset="' + label + b'">x') == "utf-8", label
+
+
+def test_gzip_bomb_member_yields_bounded_chunks(monkeypatch):
+    """A tiny gzip member expanding to 100 MB must drain in capped
+    chunks, and an over-cap record inside it is discarded without ever
+    being buffered whole."""
+    import gzip as _g
+    import io
+
+    from deepseek_ocr_spark.sources import warc as W
+
+    payload = b"\x00" * (100 << 20)  # 100 MB of zeros -> ~100 KB gz
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://w.example/bomb\r\n"
+           + b"Content-Length: %d\r\n\r\n" % len(payload)
+           + payload + b"\r\n\r\n")
+    good = W.build_warc(
+        [{"url": "https://w.example/ok", "warc_ts": dt.datetime(2024, 1, 1),
+          "html": b"<p>fine</p>"}])
+    buf = io.BytesIO()
+    with _g.GzipFile(fileobj=buf, mode="wb", mtime=0) as z:
+        z.write(rec)
+    raw = buf.getvalue() + good
+
+    # decompression layer: every yielded chunk respects the cap
+    max_chunk = max(len(c) for c in
+                    W._decompressed_chunks(io.BytesIO(raw), chunk_size=1 << 20))
+    assert max_chunk <= 1 << 20
+
+    # record layer: bomb record (over the 64 MiB cap) discarded,
+    # following member still parsed
+    monkeypatch.setattr(W, "_MAX_RECORD_BYTES", 1 << 20)
+    rows = W.records_to_pages(raw)
+    assert [r["url"] for r in rows] == ["https://w.example/ok"]
