@@ -86,6 +86,18 @@ def neardup_dedup(
     return docs.join(losers, "url", "left_anti")
 
 
+def url_canonical_dedup(docs: DataFrame) -> DataFrame:
+    """Collapse re-crawl duplicates whose urls differ only by
+    case/port/fragment/tracking params: keep-first per canonical url
+    (functions/urls.canonical_url). Run BEFORE content dedup — it's a
+    cheap hash-groupBy that removes the most common duplicate class
+    without touching text."""
+    from deepseek_ocr_spark.functions.urls import canonical_url
+
+    with_key = docs.withColumn("_curl", canonical_url(F.col("url")))
+    return exact_dedup(with_key, key="_curl", order="url").drop("_curl")
+
+
 def quality_gate(
     docs: DataFrame,
     min_tokens: int = MIN_TOKENS,

@@ -1,0 +1,68 @@
+"""URL column ops for crawl curation — all JVM-side expressions.
+
+Canonicalization implements the widely-used dedup-key normalizations
+(lowercase scheme/host, strip default ports, drop fragments, strip
+tracking params, collapse trailing slash) so near-identical crawl
+entries (`HTTP://Site.com:80/a/?utm_source=x#frag` vs
+`http://site.com/a`) share one key. Domain extraction is a plain
+regex (identical semantics everywhere) rather than ``parse_url``
+so any SQL mirror stays bit-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+
+
+def domain_col(url: Column) -> Column:
+    """Registered host (lowercased, userinfo and port stripped) or ''
+    for scheme-less strings."""
+    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    return F.regexp_replace(
+        F.regexp_replace(host, r"^[^@]*@", ""), r":\d+$", ""
+    )
+
+
+def canonical_url(url: Column) -> Column:
+    """Dedup-key normalization: lowercase scheme+host, strip default
+    ports (:80 http / :443 https), drop #fragment, strip tracking
+    params (utm_*/gclid/fbclid/...; empty '?' removed), collapse a
+    bare trailing slash. URLs without a scheme pass through with only
+    the fragment/param cleanups."""
+    prefix = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    u = F.when(prefix != "", F.concat(F.lower(prefix), rest)).otherwise(url)
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80(?=[/?#]|$)", "$1")
+    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443(?=[/?#]|$)", "$1")
+    # tracking params: each match consumes its value but re-emits its
+    # leading separator, so '?utm_a=1&utm_b=2&keep=3' -> '?&keep=3',
+    # tidied by the separator cleanups below
+    u = F.regexp_replace(
+        u,
+        r"([?&])(?:utm_[a-zA-Z]+|gclid|fbclid|msclkid|mc_cid|mc_eid)=[^&#]*",
+        "$1",
+    )
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", "$1")
+    return u
+
+
+def domain_stats(docs, url_col: str = "url"):
+    """Per-domain curation aggregates (doc count, token/quality means)
+    — the batch twin of streaming/domain_stats.py. Expects the enrich
+    stage's columns (n_tokens, quality)."""
+    return (
+        docs.withColumn("domain", domain_col(F.col(url_col)))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )

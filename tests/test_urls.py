@@ -1,0 +1,76 @@
+"""URL canonicalization + domain ops (functions/urls.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.urls import (
+    canonical_url,
+    domain_col,
+    domain_stats,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+
+
+def test_canonical_url_normalizations(spark):
+    cases = {
+        "HTTP://Site.Com:80/a/?utm_source=x#frag": "http://site.com/a/",
+        "https://site.com:443/p?a=1&utm_medium=m&b=2": "https://site.com/p?a=1&b=2",
+        "https://site.com/?utm_a=1&utm_b=2&keep=3": "https://site.com/?keep=3",
+        "https://site.com/x?gclid=abc": "https://site.com/x",
+        "https://site.com/": "https://site.com",
+        "https://site.com/path/": "https://site.com/path/",  # only bare root collapses
+        "https://site.com:8443/x": "https://site.com:8443/x",  # non-default port kept
+        "no-scheme-plain-text#frag": "no-scheme-plain-text",
+        "https://site.com/CaseSensitive/Path": "https://site.com/CaseSensitive/Path",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
+
+
+def test_canonical_url_is_a_dedup_key(spark):
+    variants = [
+        "HTTP://Example.com:80/page?utm_source=a",
+        "http://example.com/page",
+        "http://example.com/page#section",
+    ]
+    assert len(set(_canon(spark, variants))) == 1
+
+
+def test_domain_col_and_stats(spark):
+    rows = [
+        ("https://News.Example.com:8080/a", 100, 0.8),
+        ("https://news.example.com/b", 50, 0.6),
+        ("http://user:pw@other.example.org/c", 10, 1.0),
+        ("garbage-no-scheme", 1, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "url string, n_tokens int, quality double")
+    doms = [r["d"] for r in df.select(domain_col(F.col("url")).alias("d")).collect()]
+    assert doms == ["news.example.com", "news.example.com",
+                    "other.example.org", ""]
+    stats = {r["domain"]: r for r in domain_stats(df).collect()}
+    assert stats["news.example.com"]["n_docs"] == 2
+    assert stats["news.example.com"]["total_tokens"] == 150
+    assert stats["news.example.com"]["avg_quality"] == 0.7
+
+
+def test_url_canonical_dedup_in_curate(spark):
+    from deepseek_ocr_spark.curate import url_canonical_dedup
+
+    rows = [
+        ("HTTP://Example.com:80/page?utm_source=a", "text a"),
+        ("http://example.com/page", "text b"),
+        ("http://example.com/other", "text c"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    kept = url_canonical_dedup(df).collect()
+    assert len(kept) == 2
+    urls = {r["url"] for r in kept}
+    assert "http://example.com/other" in urls
+    # keep-first by url order within the canonical group
+    assert "HTTP://Example.com:80/page?utm_source=a" in urls
+    assert all("_curl" not in r.asDict() for r in kept)
