@@ -64,6 +64,7 @@ def neardup_dedup(
     docs: DataFrame,
     jaccard_drop: float = JACCARD_DROP,
     strategy: str = "clusters",
+    observation=None,
 ) -> DataFrame:
     """MinHash-LSH proposes pairs, exact shingle-Jaccard confirms,
     then one survivor per duplicate group is kept.
@@ -72,10 +73,15 @@ def neardup_dedup(
     components, keep the min url of each component — transitive sets
     (A~B, B~C) collapse to ONE doc even when A!~C directly.
     ``strategy='pairs'``: the simpler drop-the-larger-of-each-pair rule
-    (keeps A and C in the example; round-1 behavior)."""
-    confirmed = DD.neardup_scored_pairs(docs, "url", "text").filter(
-        F.col("jaccard") >= jaccard_drop
-    )
+    (keeps A and C in the example; round-1 behavior).
+
+    ``observation`` (a ``pyspark.sql.Observation``) receives the LSH
+    mega-bucket-cap metrics (rows_in_dropped_buckets /
+    max_bucket_seen) so truncation is never silent — curate() logs
+    them with the funnel."""
+    confirmed = DD.neardup_scored_pairs(
+        docs, "url", "text", observation=observation
+    ).filter(F.col("jaccard") >= jaccard_drop)
     if strategy == "clusters":
         comp = DD.connected_components(confirmed)
         losers = comp.filter(F.col("node") != F.col("cluster")).select(
@@ -129,11 +135,14 @@ def curate(
     eventual materialization of ``final`` all reuse it. Caller may
     ``final.sparkSession.catalog.clearCache()`` when done.
     """
+    from pyspark.sql import Observation
+
     extracted = extract_pipeline(pages, parallelism=parallelism)
     docs = enrich(extracted).persist()
     kept = lang_gate(docs, languages)
     exact = exact_dedup(kept)
-    near = neardup_dedup(exact)
+    lsh_obs = Observation("lsh_bucket_cap")
+    near = neardup_dedup(exact, observation=lsh_obs)
     final = quality_gate(near)
     funnel = {
         "extracted_ok": docs.count(),
@@ -142,4 +151,22 @@ def curate(
         "after_neardup": near.count(),
         "curated": final.count(),
     }
+    # Surface the LSH mega-bucket cap (no silent truncation): rows
+    # that sat in over-cap band buckets and the largest bucket seen.
+    try:
+        funnel["lsh_rows_in_dropped_buckets"] = int(
+            lsh_obs.get["rows_in_dropped_buckets"] or 0
+        )
+        funnel["lsh_max_bucket_seen"] = int(lsh_obs.get["max_bucket_seen"] or 0)
+    except Exception:  # observation never fired (e.g. empty corpus)
+        funnel["lsh_rows_in_dropped_buckets"] = 0
+        funnel["lsh_max_bucket_seen"] = 0
+    if funnel["lsh_rows_in_dropped_buckets"]:
+        print(
+            "[curate] LSH bucket cap dropped "
+            f"{funnel['lsh_rows_in_dropped_buckets']} banded rows "
+            f"(largest bucket {funnel['lsh_max_bucket_seen']}); "
+            "near-identical boilerplate should be handled by exact/URL "
+            "dedup upstream."
+        )
     return final, funnel

@@ -35,6 +35,17 @@ N_BANDS = 4  # 2 rows per band
 SHINGLE_K = 3
 SIMHASH_BITS = 32
 
+# LSH band buckets larger than this are dropped before the self-join:
+# the join is quadratic INSIDE a bucket, and at crawl scale
+# near-identical boilerplate (error pages, parked domains) that
+# survives exact dedup can put 10^5-10^6 docs into one band bucket →
+# 10^10+ pairs from a single key. 500 caps any bucket's contribution
+# at ~125k pairs; docs in a dropped bucket still pair through their
+# OTHER bands (recall dips only for docs whose every band is a
+# mega-bucket — by construction near-exact boilerplate better handled
+# by exact/URL dedup upstream). The standard guard in production LSH.
+LSH_MAX_BUCKET = 500
+
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
     """Repartition on the doc key before an explode so shingling
@@ -135,12 +146,40 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return minhash_from_shingles(exploded, id_col)
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
-    """Self-join signatures on band hashes → candidate pairs (a < b).
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
+    observation=None,
+) -> DataFrame:
+    """Bucket signatures on band hashes → candidate pairs (a < b).
 
-    Bands of 2 rows: band_i = md5 of h_{2i} || h_{2i+1}. The join key
-    (band_idx, band) is small and uniform — this is the shuffle the
-    operator is built around.
+    Bands of 2 rows: band_i = md5 of h_{2i} || h_{2i+1}. One groupBy
+    on (band_idx, band) collects each bucket's sorted member list, and
+    pairs expand map-side from the array — ONE shuffle of
+    (band_idx, band, id) triples total, where the classic band
+    self-join shuffles the banded frame twice (both join sides). The
+    sorted collect keeps the a < b orientation identical to the
+    self-join formulation.
+
+    Buckets with more than ``max_bucket_size`` members are DROPPED
+    before pair expansion (see LSH_MAX_BUCKET — the anti-quadratic
+    guard; the cap also bounds the per-bucket array the agg buffers).
+    Truncation is never silent: pass a ``pyspark.sql.Observation`` as
+    ``observation`` to receive ``rows_in_dropped_buckets`` /
+    ``max_bucket_seen`` metrics with the first action on the result
+    (curate.py logs them) — the grouped frame appears exactly once in
+    the plan, so the CollectMetrics node fires once per action.
+    ``max_bucket_size=None`` disables the cap; the DuckDB oracle twin
+    mirrors the default cap via QUALIFY so both engines see identical
+    pairs.
+
+    Spark quirk (measured on 4.1): if the capped result is COMPLETELY
+    empty, AQE's empty-relation propagation replaces the observed
+    subtree with an empty LocalRelation and ``Observation.get`` raises
+    instead of returning metrics — callers guard with try/except
+    (curate() does). Any surviving bucket, or AQE off, and the metrics
+    arrive normally.
     """
     bands = F.array(
         *[
@@ -157,31 +196,75 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     banded = sig.select(
         F.col(id_col), F.posexplode(bands).alias("band_idx", "band")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    grouped = banded.groupBy("band_idx", "band").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    if observation is not None:
+        cap = max_bucket_size if max_bucket_size is not None else 1 << 62
+        grouped = grouped.observe(
+            observation,
+            F.sum(
+                F.when(F.size("ids") > cap, F.size("ids")).otherwise(0)
+            ).alias("rows_in_dropped_buckets"),
+            F.max(F.size("ids")).alias("max_bucket_seen"),
+        )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    # C(n,2) in-bucket pairs: for each ids[i], struct-pair it with every
+    # later element. ids is a materialized column (not a re-evaluated
+    # expression), so the nested lambdas stay linear per element.
+    pair_expr = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ids"), i + 2, F.size(F.col("ids")) - i - 1
+                    ),
+                    lambda y: F.struct(
+                        x.alias("id_a"), y.alias("id_b")
+                    ),
+                ),
+            )
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        grouped.select(pair_expr.alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
 
 def ngram_jaccard_from_shingles(
-    sh: DataFrame, pairs: DataFrame, id_col: str
+    sh: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    distinct_input: bool = True,
 ) -> DataFrame:
     """Exact word-shingle Jaccard for candidate pairs, from an existing
-    DISTINCT (id, sh) frame.
+    (id, sh) frame (pass ``distinct_input=False`` for a raw explode —
+    the dedup then runs AFTER the candidate restriction, so its shuffle
+    is candidate-sized, not corpus-sized).
 
     |A∩B| via a shingle equi-join restricted to the pair set; |A∪B| =
     |A| + |B| − |A∩B|. Rounded to 4 decimals for the oracle hash.
+
+    Scale note: every stage here is semi-joined to the candidate-id
+    set FIRST — the confirm stage only ever needs shingles of docs
+    that appear in a pair, and at 100 TB the pair set is orders of
+    magnitude smaller than the corpus. Without the restriction the
+    sizes groupBy (and the distinct) are a second full-corpus shuffle.
+    The candidate-id build side is broadcast (ids of candidate pairs —
+    small by LSH construction + bucket cap).
     """
+    cand_ids = F.broadcast(
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = sh.join(cand_ids, id_col, "semi")
+    if not distinct_input:
+        sh = sh.distinct()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
@@ -219,7 +302,11 @@ def ngram_jaccard(
 
 
 def neardup_scored_pairs(
-    df: DataFrame, id_col: str, text_col: str, persist_shingles: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    persist_shingles: bool = False,
+    observation=None,
 ) -> DataFrame:
     """MinHash-LSH proposes, exact shingle-Jaccard confirms — both
     stages built from ONE shingle-explode expression. MinHash consumes
@@ -234,15 +321,24 @@ def neardup_scored_pairs(
     columnar-cache write costs more than the second explode, so the
     default is OFF. Flip it when the text column is expensive to
     rescan (remote object store, very wide rows) — the cache write is
-    then cheaper than a second full-table scan."""
+    then cheaper than a second full-table scan.
+
+    Candidate pairs are persisted before the confirm stage: the
+    confirm consumes them twice (the semi-join's broadcast id set and
+    the intersection join), and without the persist each consumer
+    would recompute the whole explode→minhash→band-join chain. The
+    pair set is tiny by LSH construction + bucket cap, so the cache
+    is bounded."""
     exploded = _spread(df, id_col).select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("sh")
     )
     if persist_shingles:
         exploded = exploded.persist()
     sig = minhash_from_shingles(exploded, id_col)
-    pairs = lsh_candidate_pairs(sig, id_col)
-    return ngram_jaccard_from_shingles(exploded.distinct(), pairs, id_col)
+    pairs = lsh_candidate_pairs(sig, id_col, observation=observation).persist()
+    return ngram_jaccard_from_shingles(
+        exploded, pairs, id_col, distinct_input=False
+    )
 
 
 def connected_components(
@@ -269,9 +365,19 @@ def connected_components(
     plan doubles per iteration. The published hash-to-min /
     pointer-jumping family (Rastogi et al.)."""
     e = pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # Pin the edge frame's partitioning instead of inheriting whatever
+    # the upstream pair join produced (often 1-2 post-AQE partitions at
+    # test scale, or thousands of tiny ones after a big shuffle): the
+    # per-round join re-keys on dst, so partition there once, and
+    # localCheckpoint so the (distinct + repartition) runs once, not
+    # once per round.
+    n_part = pairs.sparkSession.sparkContext.defaultParallelism
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition(n_part, "dst")
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

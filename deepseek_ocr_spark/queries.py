@@ -801,7 +801,7 @@ def q_minhash_signatures(spark, sf_dir):
 SQL_MINHASH_SIGNATURES = _SHINGLES_SQL + _MINHASH_CORE
 
 _BANDED_SQL = (
-    "banded AS ("
+    "banded0 AS ("
     + " UNION ALL ".join(
         f"SELECT doc_id, {i} AS band_idx, "
         f"md5(h{2*i}::VARCHAR || ':' || h{2*i+1}::VARCHAR) AS band FROM sig"
@@ -810,8 +810,13 @@ _BANDED_SQL = (
     + ")"
 )
 
+# The QUALIFY mirrors lsh_candidate_pairs' mega-bucket cap
+# (dedup.LSH_MAX_BUCKET) so Spark and the oracle see identical pairs.
 _PAIRS_CORE = f"""
 sig AS ({_MINHASH_CORE}), {_BANDED_SQL},
+banded AS (SELECT doc_id, band_idx, band FROM banded0
+           QUALIFY count(*) OVER (PARTITION BY band_idx, band)
+                   <= {DD.LSH_MAX_BUCKET}),
 pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM banded a JOIN banded b
             ON a.band_idx = b.band_idx AND a.band = b.band

@@ -1,0 +1,111 @@
+"""Scale-hardening guards from the round-2 verdict.
+
+1. LSH mega-bucket cap: 10k near-identical docs (the boilerplate /
+   error-page / parked-domain shape a real crawl WILL contain) must
+   complete in bounded time with a bounded pair count instead of the
+   uncapped ~10^8-pair band self-join — and the truncation must be
+   observable, never silent.
+2. connected_components at >=1e5 edges: pinned edge partitioning and
+   stable convergence on a graph far larger than the near-dup
+   fixtures.
+"""
+
+import time
+
+import pytest
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions import dedup as DD
+
+
+def test_lsh_bucket_cap_bounds_neardup_blowup(spark):
+    """10k docs sharing one boilerplate body (unique last token) put
+    ~10k signatures into the same band buckets. Uncapped, the band
+    self-join proposes ~4 * 10k^2/2 = 2e8 pairs; with the cap the
+    mega-buckets are dropped and the operator returns quickly with a
+    bounded result."""
+    n = 10_000
+    boiler = "this domain is parked free hosting error page not found " * 3
+    rows = [(f"d{i:05d}", f"{boiler} token{i}") for i in range(n)]
+    # a few genuinely distinct docs: realistic (a crawl is never 100%
+    # boilerplate) and keeps the capped result non-empty so the
+    # Observation survives AQE empty-relation propagation (see
+    # lsh_candidate_pairs docstring).
+    rows += [
+        (f"u{i:02d}", f"unique article number {i} discussing topic {i * 7}")
+        for i in range(10)
+    ]
+    # two identical non-boilerplate docs: they land in a size-2 bucket
+    # that SURVIVES the cap, keeping the result non-empty so the
+    # Observation survives AQE empty-relation propagation (see
+    # lsh_candidate_pairs docstring).
+    twin = "a genuinely distinct editorial about distributed shuffles"
+    rows += [("twin_a", twin), ("twin_b", twin)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = DD.minhash_signature(df, "doc_id", "text")
+    obs = Observation("cap")
+    t0 = time.monotonic()
+    pairs = DD.lsh_candidate_pairs(sig, "doc_id", observation=obs)
+    n_pairs = pairs.count()
+    elapsed = time.monotonic() - t0
+    # Uncapped this is ~2e8 joined rows (minutes + OOM risk); capped,
+    # each surviving bucket contributes < cap^2/2 pairs.
+    assert n_pairs <= DD.LSH_MAX_BUCKET**2 * DD.N_BANDS
+    assert elapsed < 120, f"bucket cap failed to bound runtime: {elapsed:.0f}s"
+    m = obs.get
+    assert m["rows_in_dropped_buckets"] > 0  # truncation happened...
+    assert m["max_bucket_seen"] > DD.LSH_MAX_BUCKET  # ...and was observed
+
+
+def test_lsh_cap_none_disables(spark):
+    """max_bucket_size=None keeps every pair (small input sanity)."""
+    rows = [(f"d{i}", "alpha beta gamma delta epsilon zeta") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = DD.minhash_signature(df, "doc_id", "text")
+    capped = DD.lsh_candidate_pairs(sig, "doc_id").count()
+    uncapped = DD.lsh_candidate_pairs(sig, "doc_id", max_bucket_size=None).count()
+    assert capped == uncapped == 5 * 4 // 2
+
+
+def test_connected_components_100k_edges(spark):
+    """1000 star components x 100 spokes + a 50-node chain welded onto
+    star 0: 100k+ edges, converges to the right min-label clusters."""
+    edges = []
+    for c in range(1000):
+        hub = c * 1000
+        edges.extend((hub, hub + j) for j in range(1, 101))
+    # chain hanging off star 0's last spoke (tests multi-hop propagation)
+    chain_base = 2_000_000
+    prev = 100  # spoke of hub 0
+    for j in range(50):
+        edges.append((prev, chain_base + j))
+        prev = chain_base + j
+    assert len(edges) >= 100_000
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    labels = DD.connected_components(df)
+    got = {r["node"]: r["cluster"] for r in labels.collect()}
+    assert got[5 * 1000 + 7] == 5000  # star 5 spoke → hub label
+    assert got[999_000 + 100] == 999_000
+    assert got[chain_base + 49] == 0  # chain end reaches star-0 min
+    assert len(got) == 1000 * 101 + 50
+
+
+@pytest.mark.parametrize("strategy", ["clusters"])
+def test_neardup_dedup_observation_threads_through(spark, strategy):
+    """curate.neardup_dedup surfaces the cap metrics via Observation."""
+    from deepseek_ocr_spark import curate
+
+    rows = [
+        ("u1", "the quick brown fox jumps over the lazy dog today"),
+        ("u2", "the quick brown fox jumps over the lazy dog today"),
+        ("u3", "completely different text about spark shuffles and joins"),
+    ]
+    docs = spark.createDataFrame(rows, ["url", "text"])
+    obs = Observation("lsh")
+    out = curate.neardup_dedup(docs, strategy=strategy, observation=obs)
+    kept = sorted(r["url"] for r in out.collect())
+    assert kept == ["u1", "u3"]
+    m = obs.get
+    assert m["rows_in_dropped_buckets"] == 0
+    assert 0 < m["max_bucket_seen"] <= DD.LSH_MAX_BUCKET
