@@ -35,9 +35,12 @@ Common-Crawl-like weight) so per-doc parse work dominates fixed
 overheads, as it does on real crawl data.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_DOCS,
-BENCH_PROFILE (default cc), BENCH_SCALE_N (default 2), BENCH_REPS
-(default 2), BENCH_SCALING=0 to skip the scaling phase,
-BENCH_EXTRA_CORES (default "32").
+BENCH_PROFILE (default cc), BENCH_SCALE_WINDOWS (default "1:4,2:8" —
+first window is the gate, every window is reported), BENCH_SCALE_N
+(shorthand overriding the primary window), BENCH_REPS (default 3),
+BENCH_PAIRS / BENCH_SEC_PAIRS (interleaved pairs per window),
+BENCH_SCALING=0 to skip the scaling phase, BENCH_EXTRA_CORES
+(default "32").
 """
 
 from __future__ import annotations
@@ -56,11 +59,24 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "48000"))
 PROFILE = os.environ.get("BENCH_PROFILE", "cc")
-# N→4N default window is 1→4: the host's own pure-CPU ceiling is 0.98
+# N→4N primary window is 1→4: the host's own pure-CPU ceiling is 0.98
 # at 4 procs but 0.88 at 8 (vCPU overcommit, see BENCH.md) — 1→4 is
 # the window where the measurement reflects the engine, not the host.
-# local[2]→local[8] remains available via BENCH_SCALE_N=2.
+# So the gate number can't silently ride the most favorable window,
+# BOTH windows are measured and reported by default (BENCH_SCALE_WINDOWS,
+# comma-separated "N:4N" pairs; first = primary/gate, rest get one
+# interleaved pair each): per-window efficiencies land in
+# extract.windows alongside the primary scaling_efficiency.
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "1"))
+SCALE_WINDOWS = [
+    tuple(int(x) for x in w.split(":"))
+    for w in os.environ.get(
+        "BENCH_SCALE_WINDOWS", f"{SCALE_N}:{SCALE_N * 4},2:8"
+    ).split(",")
+    if w
+]
+# dedupe while keeping order (BENCH_SCALE_N=2 collapses both to 2:8)
+SCALE_WINDOWS = list(dict.fromkeys(SCALE_WINDOWS))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 RUN_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
 EXTRA_CORES = [
@@ -232,26 +248,40 @@ def main() -> None:
         return {**best, "reps": a.get("reps", []) + b.get("reps", [])}
 
     if RUN_SCALING:
-        r_n: dict | None = None
-        r_4n: dict | None = None
-        # 2 pairs default: each fresh-JVM subprocess costs ~30 s of
-        # non-measured warmup, so pairs are capped to keep the whole
-        # bench inside the per-round budget (BENCH_PAIRS overrides).
-        pairs = int(os.environ.get("BENCH_PAIRS", "2"))
-        for _ in range(max(1, pairs)):
-            r_n = _merge(r_n, _run_subprocess(SCALE_N, reps=1))
-            r_4n = _merge(r_4n, _run_subprocess(SCALE_N * 4, reps=1))
-        if r_n:
-            extract_stats["n"] = r_n
-            timings[f"extract_local{r_n['cores']}"] = r_n["secs"]
-        if r_4n:
-            extract_stats["4n"] = r_4n
-            timings[f"extract_local{r_4n['cores']}"] = r_4n["secs"]
-        if r_n and r_4n:
-            ratio = r_4n["docs_per_sec"] / r_n["docs_per_sec"]
-            extract_stats["scaling_efficiency"] = round(ratio / 4.0, 3)
+        # 2 pairs default for the primary window, 1 for each secondary
+        # window: each fresh-JVM subprocess costs ~30 s of non-measured
+        # warmup, so pairs are capped to keep the whole bench inside
+        # the per-round budget (BENCH_PAIRS / BENCH_SEC_PAIRS override).
+        pairs = max(1, int(os.environ.get("BENCH_PAIRS", "2")))
+        sec_pairs = max(1, int(os.environ.get("BENCH_SEC_PAIRS", "1")))
+        by_cores: dict[int, dict | None] = {}
+        for i in range(pairs):
+            for w_idx, (lo, hi) in enumerate(SCALE_WINDOWS):
+                if i >= (pairs if w_idx == 0 else sec_pairs):
+                    continue
+                for c in (lo, hi):
+                    by_cores[c] = _merge(
+                        by_cores.get(c), _run_subprocess(c, reps=1)
+                    )
+        for c, r in by_cores.items():
+            if r:
+                timings[f"extract_local{c}"] = r["secs"]
+        windows: dict[str, float] = {}
+        for lo, hi in SCALE_WINDOWS:
+            r_lo, r_hi = by_cores.get(lo), by_cores.get(hi)
+            if r_lo and r_hi:
+                ratio = r_hi["docs_per_sec"] / r_lo["docs_per_sec"]
+                windows[f"{lo}to{hi}"] = round(ratio * lo / hi, 3)
+        extract_stats["windows"] = windows
+        p_lo, p_hi = SCALE_WINDOWS[0]
+        if by_cores.get(p_lo):
+            extract_stats["n"] = by_cores[p_lo]
+        if by_cores.get(p_hi):
+            extract_stats["4n"] = by_cores[p_hi]
+        if f"{p_lo}to{p_hi}" in windows:
+            extract_stats["scaling_efficiency"] = windows[f"{p_lo}to{p_hi}"]
         for c in EXTRA_CORES:
-            if c in (SCALE_N, SCALE_N * 4):
+            if c in by_cores:
                 continue
             r = _run_subprocess(c, reps=2)
             if r:

@@ -44,13 +44,31 @@ PAGE_OUT_SCHEMA = (
     f"url string, page_idx int, jdx int, page_text string, spans {SPANS_TYPE}"
 )
 
+# Marker rows (page_idx = -1) carry the docs the old path silently
+# dropped, so the exploded path's output ROW SET matches the fused
+# pipeline's (which emits explicit error/reject/skip rows for them —
+# pipeline.null_rows_jvm, core/oracle.py:68-139). reason →
+# (extracted_text, status), byte-identical to the fused twins.
+MARKER_ROWS = {
+    "null payload": ("[OCR ERROR: null payload]", "error"),
+    "invalid pdf": ("[OCR ERROR: invalid pdf]", "error"),
+    "too many pages": ("", "rejected"),
+    "empty pdf": ("", "skipped_repeat"),
+    "all_skipped": ("", "skipped_repeat"),
+}
+
 
 def explode_pdf_pages(df: DataFrame) -> DataFrame:
     """(url, html %PDF- payloads) → one row per rendered page, in
     ``page_idx`` order within each url (S5: the ``posexplode``
-    equivalent with the render inside the batch UDF). Invalid /
-    over-limit PDFs yield no rows here — the fused path owns their
-    error/reject rows."""
+    equivalent with the render inside the batch UDF).
+
+    Docs that yield no pages emit ONE marker row (page_idx = -1,
+    raw_text = reason; see MARKER_ROWS) instead of vanishing: NULL
+    bodies, invalid PDFs, over-limit PDFs, zero-page PDFs — plus an
+    ``all_skipped`` marker ALONGSIDE the pages when no page carries
+    EOS, so the CLI variant's SKIP_REPEAT filter can't erase the doc
+    (the API variant, which keeps every page, drops that marker)."""
 
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from deepseek_ocr_spark.core.pdf_extract import (
@@ -61,17 +79,33 @@ def explode_pdf_pages(df: DataFrame) -> DataFrame:
 
         for pdf in batches:
             urls, idxs, raws = [], [], []
+
+            def marker(url: str, reason: str) -> None:
+                urls.append(url)
+                idxs.append(-1)
+                raws.append(reason)
+
             for url, payload in zip(pdf["url"], pdf["html"]):
                 if payload is None:
-                    continue  # NULL body: no pages (fused path owns the error row)
+                    marker(url, "null payload")
+                    continue
                 try:
                     pages = pdf_to_raw_pages(bytes(payload))
-                except (PdfParseError, PdfTooManyPages):
+                except PdfTooManyPages:
+                    marker(url, "too many pages")
+                    continue
+                except PdfParseError:
+                    marker(url, "invalid pdf")
+                    continue
+                if not pages:
+                    marker(url, "empty pdf")
                     continue
                 for i, raw in enumerate(pages):
                     urls.append(url)
                     idxs.append(i)
                     raws.append(raw)
+                if not any(EOS in raw for raw in pages):
+                    marker(url, "all_skipped")
             yield pd.DataFrame(
                 {"url": urls, "page_idx": idxs, "raw_text": raws}
             )
@@ -81,8 +115,13 @@ def explode_pdf_pages(df: DataFrame) -> DataFrame:
 
 def postprocess_pages(exploded: DataFrame) -> DataFrame:
     """SKIP_REPEAT filter (JVM), window-reconstructed ``jdx``, then the
-    shared per-page post-process body in an Arrow batch UDF."""
-    kept = exploded.filter(F.col("raw_text").contains(EOS))
+    shared per-page post-process body in an Arrow batch UDF. Marker
+    rows (page_idx < 0) ride through untouched — by construction a
+    url group in ``kept`` holds EITHER real pages OR one marker, never
+    both, so the jdx window stays identical to the sequential loop."""
+    kept = exploded.filter(
+        F.col("raw_text").contains(EOS) | (F.col("page_idx") < 0)
+    )
     w = Window.partitionBy("url").orderBy("page_idx")
     kept = kept.withColumn("jdx", (F.row_number().over(w) - 1).cast("int"))
 
@@ -91,7 +130,13 @@ def postprocess_pages(exploded: DataFrame) -> DataFrame:
 
         for pdf in batches:
             texts, spans_col = [], []
-            for raw, jdx in zip(pdf["raw_text"], pdf["jdx"]):
+            for raw, jdx, pidx in zip(
+                pdf["raw_text"], pdf["jdx"], pdf["page_idx"]
+            ):
+                if int(pidx) < 0:  # marker: reason passes through
+                    texts.append(raw)
+                    spans_col.append([])
+                    continue
                 text, spans = postprocess_page(raw, int(jdx))
                 texts.append(text)
                 spans_col.append(spans)
@@ -108,20 +153,56 @@ def postprocess_pages(exploded: DataFrame) -> DataFrame:
     return kept.mapInPandas(it, schema=PAGE_OUT_SCHEMA)
 
 
+def _marker_case(reason, which: int):
+    """CASE over MARKER_ROWS → extracted_text (0) or status (1)."""
+    expr = F
+    for r, vals in MARKER_ROWS.items():
+        expr = expr.when(reason == r, F.lit(vals[which]))
+    return expr.otherwise(
+        F.concat(F.lit("[OCR ERROR: "), reason, F.lit("]"))
+        if which == 0
+        else F.lit("error")
+    )
+
+
+def _merge_with_markers(pages: DataFrame, page_frame) -> DataFrame:
+    """Shared sort-agg: marker groups (single page_idx = -1 row per
+    url) project to their fused-twin error/reject/skip row; page
+    groups concatenate via ``page_frame`` (variant-specific framing
+    over the ordered struct array)."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct("page_idx", "page_text", "spans"))
+    )
+    first = F.element_at(ordered, 1)
+    is_marker = first["page_idx"] < 0
+    reason = first["page_text"]
+    empty_spans = F.expr(f"CAST(array() AS {SPANS_TYPE})")
+    return pages.groupBy("url").agg(
+        F.when(is_marker, _marker_case(reason, 0))
+        .otherwise(F.concat_ws("", page_frame(ordered)))
+        .alias("extracted_text"),
+        F.when(is_marker, empty_spans)
+        .otherwise(F.flatten(F.transform(ordered, lambda s: s["spans"])))
+        .alias("spans"),
+        F.when(is_marker, F.lit(0))
+        .otherwise(F.count("*"))
+        .cast("int")
+        .alias("n_pages"),
+        F.when(is_marker, _marker_case(reason, 1))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+
+
 def merge_pages(pages: DataFrame) -> DataFrame:
     """P9 sort-agg: one row per url with the reference's exact page
     concatenation (every page, including the last, followed by the
     separator tail) and spans flattened in page order."""
-    ordered = F.array_sort(
-        F.collect_list(F.struct("page_idx", "page_text", "spans"))
-    )
-    return pages.groupBy("url").agg(
-        F.concat_ws(
-            "",
-            F.transform(ordered, lambda s: F.concat(s["page_text"], F.lit(PAGE_SEP))),
-        ).alias("extracted_text"),
-        F.flatten(F.transform(ordered, lambda s: s["spans"])).alias("spans"),
-        F.count("*").cast("int").alias("n_pages"),
+    return _merge_with_markers(
+        pages,
+        lambda ordered: F.transform(
+            ordered, lambda s: F.concat(s["page_text"], F.lit(PAGE_SEP))
+        ),
     )
 
 
@@ -129,7 +210,12 @@ def postprocess_pages_api(exploded: DataFrame) -> DataFrame:
     """API-variant per-page stage (vllm_service.py:404-435): NO
     SKIP_REPEAT filter, no EOS strip, image names keyed by the
     ORIGINAL ``page_idx`` — so no window pass is needed at all (one
-    less shuffle than the CLI variant)."""
+    less shuffle than the CLI variant). ``all_skipped`` markers are
+    dropped here (this variant keeps every page, so such docs merge
+    normally); the no-pages markers ride through."""
+    exploded = exploded.filter(
+        (F.col("page_idx") >= 0) | (F.col("raw_text") != "all_skipped")
+    )
 
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from deepseek_ocr_spark.core.postprocess import postprocess_page_api
@@ -137,6 +223,10 @@ def postprocess_pages_api(exploded: DataFrame) -> DataFrame:
         for pdf in batches:
             texts, spans_col = [], []
             for raw, idx in zip(pdf["raw_text"], pdf["page_idx"]):
+                if int(idx) < 0:  # marker: reason passes through
+                    texts.append(raw)
+                    spans_col.append([])
+                    continue
                 text, spans = postprocess_page_api(raw, int(idx))
                 texts.append(text)
                 spans_col.append(spans)
@@ -156,23 +246,18 @@ def postprocess_pages_api(exploded: DataFrame) -> DataFrame:
 def merge_pages_api(pages: DataFrame) -> DataFrame:
     """API-variant sort-agg (vllm_service.py:400,442-446): '# Page
     {i+1}' headers + double-newline split tail, joined with ''."""
-    ordered = F.array_sort(
-        F.collect_list(F.struct("page_idx", "page_text", "spans"))
-    )
-    framed = F.transform(
-        ordered,
-        lambda s, i: F.concat(
-            F.lit("# Page "),
-            (i + 1).cast("string"),
-            F.lit("\n\n"),
-            s["page_text"],
-            F.lit("\n\n<--- Page Split --->\n\n"),
+    return _merge_with_markers(
+        pages,
+        lambda ordered: F.transform(
+            ordered,
+            lambda s, i: F.concat(
+                F.lit("# Page "),
+                (i + 1).cast("string"),
+                F.lit("\n\n"),
+                s["page_text"],
+                F.lit("\n\n<--- Page Split --->\n\n"),
+            ),
         ),
-    )
-    return pages.groupBy("url").agg(
-        F.concat_ws("", framed).alias("extracted_text"),
-        F.flatten(F.transform(ordered, lambda s: s["spans"])).alias("spans"),
-        F.count("*").cast("int").alias("n_pages"),
     )
 
 

@@ -30,6 +30,39 @@ def entry_name(url: str) -> str:
     return hashlib.sha1(url.encode()).hexdigest()[:16] + ".mmd"
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # exists, owned by someone else
+        return True
+    return True
+
+
+def _sweep_stale_staging(out_dir: str) -> None:
+    """Remove leftover staging dirs from CRASHED runs only: a dir is
+    swept when its embedded driver PID is no longer alive (or, if the
+    name doesn't parse, when it hasn't been touched for a day — the
+    cross-driver-restart fallback). A live concurrent export's staging
+    is left alone, so two exports to the same out_dir can't delete
+    each other's in-progress work."""
+    import shutil
+    import time
+
+    for f in os.listdir(out_dir):
+        if not f.startswith(".staging-"):
+            continue
+        path = os.path.join(out_dir, f)
+        try:
+            pid = int(f.split("-")[1])
+            stale = not _pid_alive(pid)
+        except (IndexError, ValueError):
+            stale = (time.time() - os.path.getmtime(path)) > 86400
+        if stale:
+            shutil.rmtree(path, ignore_errors=True)
+
+
 def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
     """Write one ZIP shard per partition of ``extracted`` (needs url,
     extracted_text, status, n_pages, n_bytes columns).
@@ -38,14 +71,31 @@ def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
     subdirectory first, and only after the Spark action SUCCEEDS are
     the previous run's shards removed and the staged ones moved in —
     a failed rerun leaves the prior complete export untouched. Stale
-    staging dirs from crashed runs are swept on the next call."""
+    staging dirs from crashed runs (dead driver PID) are swept on the
+    next call; a live concurrent export's staging is never touched.
+
+    REQUIRES a filesystem shared between driver and executors (local
+    mode, NFS, or a shared mount): tasks write shards with plain
+    ``os`` calls and the driver swaps them in afterwards. Object-store
+    URIs (s3://, hdfs://, ...) are rejected up front, and a swap that
+    finds ZERO staged shards for a non-empty input aborts WITHOUT
+    deleting the previous export — the executors evidently wrote to
+    filesystems the driver can't see."""
+    if "://" in out_dir and not out_dir.startswith("file://"):
+        raise ValueError(
+            f"write_zip_shards needs a driver+executor-shared local path, "
+            f"got {out_dir!r}; write parquet and export from a shared "
+            "mount, or use a Hadoop-FS-based sink for object stores"
+        )
+    out_dir = out_dir.removeprefix("file://")
     os.makedirs(out_dir, exist_ok=True)
     import shutil
+    import uuid
 
-    for f in os.listdir(out_dir):  # sweep crashed runs' leftovers
-        if f.startswith(".staging-"):
-            shutil.rmtree(os.path.join(out_dir, f), ignore_errors=True)
-    staging = os.path.join(out_dir, f".staging-{os.getpid()}")
+    _sweep_stale_staging(out_dir)
+    staging = os.path.join(
+        out_dir, f".staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    )
     os.makedirs(staging, exist_ok=True)
     cols = extracted.select(
         "url", "extracted_text", "status", "n_pages", "n_bytes"
@@ -89,6 +139,21 @@ def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
         raise
+    staged = [f for f in os.listdir(staging) if f.endswith(".zip")]
+    if not staged:
+        # Either the input was empty (fine — keep the prior export and
+        # say so) or the executors wrote to a filesystem the driver
+        # can't see (NOT fine — deleting the prior export would leave
+        # nothing). Distinguish with a cheap emptiness probe.
+        shutil.rmtree(staging, ignore_errors=True)
+        if cols.limit(1).count() == 0:
+            print(f"[zip_sink] empty input; prior export in {out_dir} kept")
+            return
+        raise RuntimeError(
+            f"write_zip_shards: tasks reported success but no shards "
+            f"appeared in {staging} — driver and executors do not share "
+            f"this filesystem; prior export in {out_dir} left untouched"
+        )
     # success: swap staged shards in, drop prior ones
     for f in os.listdir(out_dir):
         if f.startswith("part-") and f.endswith(".zip"):

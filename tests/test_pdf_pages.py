@@ -31,22 +31,26 @@ def test_distributed_pdf_path_matches_oracle(spark):
     for url, g in golden.items():
         got = out[url]
         assert got["extracted_text"] == g["extracted_text"], url
+        assert got["status"] == "ok", url
         assert got["n_pages"] == g["n_pages"], url
         assert [
             (s["label"], s["x1"], s["y1"], s["x2"], s["y2"]) for s in got["spans"]
         ] == [
             (s["label"], s["x1"], s["y1"], s["x2"], s["y2"]) for s in g["spans"]
         ], url
-    # and nothing extra beyond docs the oracle yields pages for
-    # (rejected/error pdfs produce no rows on this path)
-    skipped_all = {
-        r["url"]
-        for r in pdf_rows
-        if extract_document(r["url"], r["html"])["status"] in ("skipped_repeat",)
-    }
-    assert set(out) == set(golden) | {
-        u for u in skipped_all if u in out
-    } - (skipped_all - set(out))
+    # FULL row coverage: every input doc appears exactly once, and the
+    # non-ok docs carry the fused pipeline's status + text (marker
+    # rows, operators/pdf_pages.py MARKER_ROWS) — the twin paths agree
+    # on the row SET, not just the ok rows.
+    assert set(out) == {r["url"] for r in pdf_rows}
+    for r in pdf_rows:
+        g = extract_document(r["url"], r["html"])
+        if g["status"] == "ok":
+            continue
+        got = out[r["url"]]
+        assert got["status"] == g["status"], r["url"]
+        assert got["extracted_text"] == g["extracted_text"], r["url"]
+        assert got["n_pages"] == 0 and list(got["spans"]) == [], r["url"]
 
 
 def test_distributed_path_parallelism_invariant(spark):
@@ -88,7 +92,11 @@ def test_distributed_api_variant_matches_sequential(spark):
         r["url"]: r
         for r in extract_pdf_distributed(df, variant="api").collect()
     }
-    assert set(out) == set(golden)
+    # full coverage: non-rendering docs appear as marker rows
+    assert set(out) == {r["url"] for r in pdf_rows}
+    for url in set(out) - set(golden):
+        assert out[url]["status"] in ("error", "rejected", "skipped_repeat")
+        assert out[url]["n_pages"] == 0
     for url, g in golden.items():
         assert out[url]["extracted_text"] == g.text, url
         assert out[url]["n_pages"] == g.n_pages, url

@@ -126,18 +126,32 @@ def test_deep_chain_components_converge_with_pointer_jumping(spark):
     assert len(got) == 41
 
 
-def test_null_payload_skipped_in_exploded_pdf_path(spark):
+def test_null_payload_error_row_in_exploded_pdf_path(spark):
+    """Twin-path row coverage: the exploded path emits the SAME error
+    rows as the fused pipeline for null/invalid payloads instead of
+    silently dropping the docs (round-2 advice)."""
     from deepseek_ocr_spark.fixtures.pages_gen import build_real_pdf
     from deepseek_ocr_spark.operators.pdf_pages import extract_pdf_distributed
 
     rows = [
         ("https://n.example/null", None),
         ("https://n.example/pdf", build_real_pdf([["real content"]])),
+        ("https://n.example/bad", b"%PDF-not really a pdf"),
     ]
     df = spark.createDataFrame(rows, "url string, html binary")
-    out = {r["url"]: r for r in extract_pdf_distributed(df).collect()}
-    assert "https://n.example/pdf" in out
-    assert "https://n.example/null" not in out  # skipped, job alive
+    for variant in ("cli", "api"):
+        out = {
+            r["url"]: r
+            for r in extract_pdf_distributed(df, variant=variant).collect()
+        }
+        assert out["https://n.example/pdf"]["status"] == "ok"
+        null_row = out["https://n.example/null"]
+        assert null_row["status"] == "error"
+        assert null_row["extracted_text"] == "[OCR ERROR: null payload]"
+        bad = out["https://n.example/bad"]
+        assert bad["status"] == "error"
+        assert bad["extracted_text"] == "[OCR ERROR: invalid pdf]"
+        assert bad["n_pages"] == 0 and list(bad["spans"]) == []
 
 
 def test_warc_oversized_record_preserves_following_records(monkeypatch):
