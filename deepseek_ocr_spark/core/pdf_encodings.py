@@ -1,0 +1,261 @@
+"""Simple-font encodings for the PDF text extractor (ISO 32000 Annex D).
+
+Fonts WITHOUT a /ToUnicode CMap — the most common real-crawl PDF class
+after ToUnicode'd ones — declare their byte→glyph mapping via
+``/Encoding``: a base encoding name (``/WinAnsiEncoding``,
+``/MacRomanEncoding``, ``/StandardEncoding``) optionally overridden by
+a ``/Differences`` array of ``code /glyphname ...`` runs. The
+reference never consults these (it rasterizes every page,
+api/utils/pdf_utils.py:77-124); a text-first extractor must.
+
+Everything here derives from public tables:
+
+* WinAnsiEncoding is Windows code page 1252 (Annex D.2 note 3) —
+  Python's ``cp1252`` codec supplies it.
+* MacRomanEncoding is Mac OS Roman with the pre-8.5 currency sign at
+  0xDB (Annex D keeps ``currency`` where modern Mac OS Roman put the
+  euro) — Python's ``mac_roman`` codec plus one override.
+* StandardEncoding's non-ASCII range is transcribed from Annex D.2.
+* Glyph names resolve through an Adobe Glyph List subset: explicit
+  punctuation/symbol names plus accented Latin composed via
+  ``unicodedata.lookup`` (LATIN {SMALL|CAPITAL} LETTER X WITH ...),
+  plus the ``uniXXXX`` / ``uXXXX..`` hex conventions.
+
+Undefined codes decode to nothing (.notdef shows no glyph).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+# ---- Adobe Glyph List subset ---------------------------------------------
+
+_PUNCT = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    # Latin-1 supplement + typographic set
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "currency": "¤", "yen": "¥", "brokenbar": "¦",
+    "section": "§", "dieresis": "¨", "copyright": "©",
+    "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯",
+    "degree": "°", "plusminus": "±", "twosuperior": "²",
+    "threesuperior": "³", "acute": "´", "mu": "µ",
+    "paragraph": "¶", "periodcentered": "·",
+    "cedilla": "¸", "onesuperior": "¹",
+    "ordmasculine": "º", "guillemotright": "»",
+    "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "questiondown": "¿",
+    "multiply": "×", "divide": "÷",
+    "AE": "Æ", "ae": "æ", "OE": "Œ", "oe": "œ",
+    "Eth": "Ð", "eth": "ð", "Thorn": "Þ",
+    "thorn": "þ", "germandbls": "ß", "dotlessi": "ı",
+    "Lslash": "Ł", "lslash": "ł", "Oslash": "Ø",
+    "oslash": "ø", "florin": "ƒ", "circumflex": "ˆ",
+    "tilde": "˜", "caron": "ˇ", "breve": "˘",
+    "dotaccent": "˙", "ring": "˚", "ogonek": "˛",
+    "hungarumlaut": "˝",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotesinglbase": "‚", "quotedblleft": "“",
+    "quotedblright": "”", "quotedblbase": "„",
+    "dagger": "†", "daggerdbl": "‡", "bullet": "•",
+    "ellipsis": "…", "perthousand": "‰",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "fraction": "⁄", "emdash": "—", "endash": "–",
+    "trademark": "™", "Euro": "€", "minus": "−",
+    "fi": "ﬁ", "fl": "ﬂ", "softhyphen": "­",
+    "nbspace": " ",
+}
+
+_ACCENT_UNAMES = {
+    "grave": "GRAVE", "acute": "ACUTE", "circumflex": "CIRCUMFLEX",
+    "tilde": "TILDE", "dieresis": "DIAERESIS", "ring": "RING ABOVE",
+    "cedilla": "CEDILLA", "caron": "CARON", "breve": "BREVE",
+    "macron": "MACRON", "ogonek": "OGONEK",
+    "hungarumlaut": "DOUBLE ACUTE", "dotaccent": "DOT ABOVE",
+    "slash": "STROKE",
+}
+
+
+def _build_glyph_map() -> dict[str, str]:
+    g = dict(_PUNCT)
+    for i in range(26):
+        g[chr(ord("A") + i)] = chr(ord("A") + i)
+        g[chr(ord("a") + i)] = chr(ord("a") + i)
+    for i, name in enumerate(
+        ["zero", "one", "two", "three", "four", "five",
+         "six", "seven", "eight", "nine"]
+    ):
+        g[name] = str(i)
+    # composed accented Latin: e.g. 'eacute' → LATIN SMALL LETTER E WITH ACUTE
+    for base in "abcdefghijklmnopqrstuvwxyz":
+        for accent, uname in _ACCENT_UNAMES.items():
+            for letter, case in ((base, "SMALL"), (base.upper(), "CAPITAL")):
+                try:
+                    ch = unicodedata.lookup(
+                        f"LATIN {case} LETTER {letter.upper()} WITH {uname}"
+                    )
+                except KeyError:
+                    continue
+                g.setdefault(letter + accent, ch)
+    return g
+
+
+GLYPH_MAP = _build_glyph_map()
+
+
+def glyph_to_char(name: str) -> str | None:
+    """AGL-style glyph name → character (None when unknown)."""
+    ch = GLYPH_MAP.get(name)
+    if ch is not None:
+        return ch
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            cp = int(name[1:], 16)
+            return chr(cp) if cp <= 0x10FFFF else None
+        except ValueError:
+            return None
+    return None
+
+
+# ---- base encoding tables (code → char) ----------------------------------
+
+def _codec_table(codec: str) -> dict[int, str]:
+    out: dict[int, str] = {}
+    for b in range(32, 256):
+        try:
+            out[b] = bytes([b]).decode(codec)
+        except UnicodeDecodeError:
+            pass  # undefined code point in this code page → .notdef
+    return out
+
+
+def _win_ansi() -> dict[int, str]:
+    return _codec_table("cp1252")
+
+
+def _mac_roman() -> dict[int, str]:
+    t = _codec_table("mac_roman")
+    # Annex D keeps the pre-Mac OS 8.5 currency sign at 0xDB where the
+    # Python codec (modern Mac OS Roman) has the euro.
+    t[0xDB] = "¤"
+    return t
+
+
+# Adobe StandardEncoding, Annex D.2: ASCII except quoteright/quoteleft
+# at 0x27/0x60, plus the 0xA1–0xFB symbol range below.
+_STANDARD_HIGH = {
+    0xA1: "exclamdown", 0xA2: "cent", 0xA3: "sterling", 0xA4: "fraction",
+    0xA5: "yen", 0xA6: "florin", 0xA7: "section", 0xA8: "currency",
+    0xA9: "quotesingle", 0xAA: "quotedblleft", 0xAB: "guillemotleft",
+    0xAC: "guilsinglleft", 0xAD: "guilsinglright", 0xAE: "fi", 0xAF: "fl",
+    0xB1: "endash", 0xB2: "dagger", 0xB3: "daggerdbl",
+    0xB4: "periodcentered", 0xB6: "paragraph", 0xB7: "bullet",
+    0xB8: "quotesinglbase", 0xB9: "quotedblbase", 0xBA: "quotedblright",
+    0xBB: "guillemotright", 0xBC: "ellipsis", 0xBD: "perthousand",
+    0xBF: "questiondown", 0xC1: "grave", 0xC2: "acute", 0xC3: "circumflex",
+    0xC4: "tilde", 0xC5: "macron", 0xC6: "breve", 0xC7: "dotaccent",
+    0xC8: "dieresis", 0xCA: "ring", 0xCB: "cedilla", 0xCD: "hungarumlaut",
+    0xCE: "ogonek", 0xCF: "caron", 0xD0: "emdash", 0xE1: "AE",
+    0xE3: "ordfeminine", 0xE8: "Lslash", 0xE9: "Oslash", 0xEA: "OE",
+    0xEB: "ordmasculine", 0xF1: "ae", 0xF5: "dotlessi", 0xF8: "lslash",
+    0xF9: "oslash", 0xFA: "oe", 0xFB: "germandbls",
+}
+
+
+def _standard() -> dict[int, str]:
+    out = {b: chr(b) for b in range(32, 127)}
+    out[0x27] = "’"  # quoteright
+    out[0x60] = "‘"  # quoteleft
+    for code, name in _STANDARD_HIGH.items():
+        ch = glyph_to_char(name)
+        if ch is not None:
+            out[code] = ch
+    return out
+
+
+_BASE_BUILDERS = {
+    "WinAnsiEncoding": _win_ansi,
+    "MacRomanEncoding": _mac_roman,
+    "StandardEncoding": _standard,
+    # MacExpertEncoding is all small-caps/ornament glyphs — no sensible
+    # text mapping; fonts declaring it fall through to the default.
+}
+
+_BASE_CACHE: dict[str, dict[int, str]] = {}
+
+
+def base_encoding_table(name: str) -> dict[int, str] | None:
+    if name not in _BASE_BUILDERS:
+        return None
+    if name not in _BASE_CACHE:
+        _BASE_CACHE[name] = _BASE_BUILDERS[name]()
+    return _BASE_CACHE[name]
+
+
+class SimpleFontDecoder:
+    """Byte-code → text for a simple (1-byte) font: base encoding table
+    overlaid with /Differences. Undefined codes emit nothing (.notdef),
+    matching what a viewer shows."""
+
+    __slots__ = ("table",)
+
+    def __init__(self, table: dict[int, str]):
+        self.table = table
+
+    def decode(self, raw: bytes) -> str:
+        t = self.table
+        return "".join(t.get(b, "") for b in raw)
+
+
+def decoder_from_encoding(enc_value, deref_dict) -> SimpleFontDecoder | None:
+    """Build a decoder from a font's /Encoding entry.
+
+    ``enc_value`` is the parsed value tuple (('name', s) or
+    ('dict'/'ref', ...)); ``deref_dict`` resolves a value tuple to its
+    dict (the extractor's ``_deref`` closed over the object table).
+    Returns None when the entry names no table we know (caller keeps
+    its default decode)."""
+    if enc_value is None:
+        return None
+    if enc_value[0] == "name":
+        t = base_encoding_table(enc_value[1])
+        return SimpleFontDecoder(t) if t is not None else None
+    d = deref_dict(enc_value)
+    if not d:
+        return None
+    base = None
+    bv = d.get("BaseEncoding")
+    if bv and bv[0] == "name":
+        base = base_encoding_table(bv[1])
+    if base is None:
+        # Annex D: absent /BaseEncoding means the font's built-in
+        # encoding; StandardEncoding is the documented stand-in.
+        base = base_encoding_table("StandardEncoding")
+    table = dict(base)
+    diffs = d.get("Differences")
+    if diffs and diffs[0] == "array":
+        code = 0
+        for item in diffs[1]:
+            if item[0] == "num":
+                code = int(item[1])
+            elif item[0] == "name":
+                ch = glyph_to_char(item[1])
+                if ch is not None and 0 <= code <= 255:
+                    table[code] = ch
+                code += 1
+    if diffs is None and bv is None:
+        return None  # empty /Encoding dict: nothing declared
+    return SimpleFontDecoder(table)

@@ -9,22 +9,32 @@ structure, ISO 32000) and read the text-show operators.
 
 Covered:
 
-* indirect objects ``N G obj ... endobj`` located by scanning (no xref
-  needed — robust to the truncated/rebuilt files common in crawls);
-* ``/FlateDecode`` streams via zlib (raw/uncompressed streams pass
-  through); unknown filters skip that stream, never raise;
-* page order via the document tree: trailer ``/Root`` → ``/Pages`` →
-  recursive ``/Kids`` walk (falls back to document-order ``/Type
-  /Page`` objects when the tree is broken);
+* indirect objects ``N G obj ... endobj``: streams with a confirmed
+  numeric ``/Length`` are framed by count (stream bytes are never
+  scanned for object syntax); everything else is located by byte scan
+  (no xref needed — robust to the truncated/rebuilt files common in
+  crawls);
+* stream filters: ``/FlateDecode`` (incl. PNG/TIFF predictors),
+  ``/LZWDecode``, ``/ASCIIHexDecode``, ``/ASCII85Decode``,
+  ``/RunLengthDecode``, and chains thereof; unknown filters skip that
+  stream, never raise;
+* page order via the document tree: trailer ``/Root`` (classic
+  ``trailer`` dict or a PDF 1.5+ ``/Type /XRef`` cross-reference
+  stream's dict) → ``/Pages`` → recursive ``/Kids`` walk (falls back
+  to document-order ``/Type /Page`` objects when the tree is broken);
 * the text operator machine inside ``BT``/``ET``: ``Tj``, ``TJ``
   (kern-aware: a gap ≤ -180/1000 em reads as a space), ``'``, ``"``,
   with ``Td``/``TD``/``T*``/``Tm`` vertical moves emitting newlines;
 * string literals with nested parens, escape sequences and octal
-  codes, plus hex strings.
+  codes, plus hex strings;
+* per-font decoding: /ToUnicode CMaps (single- and mixed-width
+  codespaces) for CID/composite fonts, simple-font /Encoding tables
+  (WinAnsi/MacRoman/Standard + /Differences, Annex D —
+  core/pdf_encodings.py) for fonts without one.
 
-Out of scope (documented): CID/composite fonts with ToUnicode CMaps
-decode best-effort as latin-1; encrypted PDFs yield no text. Both are
-the standard cut line for a no-dependency extractor.
+Out of scope (documented): fonts with neither /ToUnicode nor a known
+/Encoding decode best-effort as latin-1; encrypted PDFs yield no
+text — the standard cut line for a no-dependency extractor.
 
 Per-page output is wrapped as the engine's *raw page* (text + EOS) so
 the shared reference merge loop (core/postprocess.py) applies
@@ -45,38 +55,123 @@ _STREAM_RE = re.compile(rb"stream\r?\n")
 _NUM_RE = re.compile(rb"[+-]?\d*\.?\d+")
 _NAME_RE = re.compile(rb"/[^\s/<>\[\]()]*")
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+_DICT_SKIP_RE = re.compile(rb"[/>]")  # next dict key or closer
 
 _KERN_SPACE_THRESHOLD = -180  # thousandths of an em; gaps beyond → space
 
+_FRAME_WINDOW = 8192  # max stream-dict bytes parsed by _length_framed
+_FRAME_BUDGET = 4 << 20  # max cumulative framing-parse bytes per doc
+
 
 class _Obj:
-    __slots__ = ("raw", "stream")
+    __slots__ = ("raw", "stream", "_dict")
 
     def __init__(self, raw: bytes, stream: bytes | None):
         self.raw = raw  # dict/body bytes (before any stream)
         self.stream = stream
+        self._dict = None  # memoized _dict_of result
+
+
+def _length_framed(payload: bytes, start: int):
+    """Try to frame the object at ``start`` by its declared /Length.
+
+    When the object is ``<<dict>> stream`` with a NUMERIC /Length whose
+    claimed span is confirmed by an ``endstream`` right after it, the
+    stream is consumed by count (ISO 32000 §7.3.8: /Length is the
+    authoritative extent) instead of by byte search — so ``endobj`` or
+    ``N G obj`` byte sequences occurring INSIDE compressed stream data
+    can neither truncate this object nor register bogus shadowing
+    objects. Returns (raw_dict_bytes, stream_bytes, scan_resume_pos)
+    or None when the fast framing doesn't apply (indirect /Length,
+    lying /Length, no stream) — callers then fall back to the scanning
+    path, which tolerates exactly those corruptions."""
+    # Parse the dict inside a bounded WINDOW: real stream dicts are a
+    # few hundred bytes, and an unbounded _parse_value walk over an
+    # adversarial `N 0 obj <<`-flood would be quadratic (same attack
+    # class as the endobj scan below). Dicts larger than the window
+    # simply fall back to the scanning path.
+    window = payload[start : start + _FRAME_WINDOW]
+    v, di_rel = _parse_value(window, 0)
+    if not v or v[0] != "dict" or di_rel >= len(window):
+        return None
+    lv = v[1].get("Length")
+    if not (lv and lv[0] == "num"):
+        return None
+    di = start + di_rel
+    j = _skip_ws(payload, di)
+    if not payload.startswith(b"stream", j):
+        return None
+    k = j + 6
+    if payload.startswith(b"\r\n", k):
+        data = k + 2
+    elif payload.startswith(b"\n", k):
+        data = k + 1
+    else:
+        return None
+    length = int(lv[1])
+    if length < 0 or data + length > len(payload):
+        return None
+    e = _skip_ws(payload, data + length)
+    if not payload.startswith(b"endstream", e):
+        return None  # /Length lies: let the scanner find the real end
+    eo = payload.find(b"endobj", e + 9, e + 9 + 64)
+    resume = (eo + 6) if eo >= 0 else (e + 9)
+    return payload[start:di], payload[data : data + length], resume
 
 
 def _scan_objects(payload: bytes) -> dict[int, _Obj]:
     """Locate every ``N G obj ... endobj`` by scanning (xref-free).
 
-    The endobj search is a FORWARD-ONLY cursor: a naive per-match
-    ``payload.find(b"endobj", start)`` is O(n²) when an adversarial
-    payload repeats ``N 0 obj`` without terminators (a 1.6 MB crafted
-    doc pinned a task for >30 s). Objects that share one endobj region
-    (a REAL object whose endobj is missing, followed by intact
-    objects — the truncated-crawl corruption this module recovers) are
-    all registered, but the total bytes sliced per region is capped:
-    overlapping suffix slices are what made the adversarial case
-    quadratic. Incremental-update files (same object number defined
-    twice) keep the LAST definition, matching PDF update semantics."""
+    Objects whose dict declares a numeric /Length confirmed by an
+    ``endstream`` at the claimed offset are framed by count
+    (``_length_framed``) and the scan RESUMES AFTER the stream — the
+    stream's bytes are never searched for object syntax. Everything
+    else (truncated crawls, indirect /Length, lying /Length) falls back
+    to the byte scan below.
+
+    The fallback endobj search is a FORWARD-ONLY cursor: a naive
+    per-match ``payload.find(b"endobj", start)`` is O(n²) when an
+    adversarial payload repeats ``N 0 obj`` without terminators (a
+    1.6 MB crafted doc pinned a task for >30 s). Objects that share one
+    endobj region (a REAL object whose endobj is missing, followed by
+    intact objects — the truncated-crawl corruption this module
+    recovers) are all registered, but the total bytes sliced per region
+    is capped: overlapping suffix slices are what made the adversarial
+    case quadratic. Incremental-update files (same object number
+    defined twice) keep the LAST definition, matching PDF update
+    semantics."""
     objs: dict[int, _Obj] = {}
     endobj_cursor = -1
+    stream_cursor = -1
     region_budget = 0
+    frame_budget = _FRAME_BUDGET
     n = len(payload)
-    for m in _OBJ_RE.finditer(payload):
+    pos = 0
+    while True:
+        m = _OBJ_RE.search(payload, pos)
+        if m is None:
+            break
         num = int(m.group(1))
         start = m.end()
+        pos = start
+        # framing is only attempted when a `stream` keyword is within
+        # the dict window (forward-only cursor keeps this O(n)) and the
+        # per-doc parse budget isn't exhausted — adversarial obj floods
+        # degrade to the scanning path, never to quadratic parsing.
+        if start > stream_cursor:
+            stream_cursor = payload.find(b"stream", start)
+            if stream_cursor < 0:
+                stream_cursor = n
+        if stream_cursor < start + _FRAME_WINDOW and frame_budget > 0:
+            framed = _length_framed(payload, start)
+            if framed is not None:
+                # success consumes distinct payload bytes (pos jumps
+                # past the stream) → O(n) total, not budget-charged
+                raw, stream, resume = framed
+                objs[num] = _Obj(raw, stream)
+                pos = resume
+                continue
+            frame_budget -= _FRAME_WINDOW  # failed attempts are charged
         if start > endobj_cursor:
             # new region: find its terminator once
             endobj_cursor = payload.find(b"endobj", start)
@@ -137,7 +232,11 @@ def _parse_value(b: bytes, i: int):
             if i >= len(b) or b.startswith(b">>", i):
                 return ("dict", d), min(i + 2, len(b))
             if b[i : i + 1] != b"/":
-                i += 1
+                # junk between entries: C-speed jump to the next key
+                # or closer instead of a per-byte Python walk (the
+                # hot path on adversarial obj floods)
+                m = _DICT_SKIP_RE.search(b, i + 1)
+                i = len(b) if m is None else m.start()
                 continue
             m = _NAME_RE.match(b, i)
             key = m.group(0)[1:].decode("latin-1")
@@ -182,8 +281,14 @@ def _parse_value(b: bytes, i: int):
 
 
 def _dict_of(obj: _Obj):
-    v, _ = _parse_value(obj.raw, 0)
-    return v[1] if v and v[0] == "dict" else {}
+    """Parsed top-level dict of an object, memoized: page walks, font
+    maps, ObjStm expansion and the XRef /Root scan each visit the same
+    objects — re-parsing per visit made adversarial obj floods
+    quadratic across passes."""
+    if obj._dict is None:
+        v, _ = _parse_value(obj.raw, 0)
+        obj._dict = v[1] if v and v[0] == "dict" else {}
+    return obj._dict
 
 
 def _deref(v, objs):
@@ -285,6 +390,19 @@ def _page_objects(payload: bytes, objs: dict[int, _Obj]) -> list[dict]:
         if v and v[0] == "dict":
             root = _deref(v[1].get("Root"), objs)
     if not root:
+        # PDF 1.5+ cross-reference STREAMS carry the trailer dict in
+        # the /Type /XRef stream object itself (ISO 32000 §7.5.8) —
+        # there is no `trailer` keyword. Objects arrive in scan order,
+        # so the last /XRef seen is the newest incremental update; its
+        # /Root wins (matching startxref-chain semantics without
+        # needing to decode the xref stream data).
+        for o in objs.values():
+            d = _dict_of(o)
+            if d.get("Type") == ("name", "XRef") and "Root" in d:
+                cand = _deref(d.get("Root"), objs)
+                if cand:
+                    root = cand
+    if not root:
         for o in objs.values():
             d = _dict_of(o)
             if d.get("Type") == ("name", "Catalog"):
@@ -319,9 +437,170 @@ def _page_objects(payload: bytes, objs: dict[int, _Obj]) -> list[dict]:
     return pages
 
 
+def _png_unpredict(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
+    """Reverse PNG row predictors (ISO 32000 §7.4.4.4 → RFC 2083):
+    each row is a filter-type byte + filtered bytes. Used by Flate/LZW
+    streams with /Predictor >= 10 — ubiquitous in xref and object
+    streams."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    n = len(data)
+    while i < n:
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        if len(row) < rowlen:
+            row.extend(b"\x00" * (rowlen - len(row)))
+        i += 1 + rowlen
+        if ft == 1:  # Sub
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        # ft == 0 (None) and unknown types: row unchanged
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _apply_predictor(data: bytes, parms: dict) -> bytes:
+    pv = parms.get("Predictor")
+    pred = int(pv[1]) if pv and pv[0] == "num" else 1
+    if pred <= 1:
+        return data
+
+    def _num(key, default):
+        v = parms.get(key)
+        return int(v[1]) if v and v[0] == "num" else default
+
+    colors = _num("Colors", 1)
+    bpc = _num("BitsPerComponent", 8)
+    columns = _num("Columns", 1)
+    if pred == 2:  # TIFF horizontal differencing (8-bit only)
+        if bpc != 8:
+            return data
+        bpp = colors
+        rowlen = columns * colors
+        out = bytearray(data)
+        for r0 in range(0, len(out) - rowlen + 1, rowlen):
+            for j in range(r0 + bpp, r0 + rowlen):
+                out[j] = (out[j] + out[j - bpp]) & 0xFF
+        return bytes(out)
+    return _png_unpredict(data, colors, bpc, columns)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes | None:
+    """PDF LZWDecode (ISO 32000 §7.4.4.2 — TIFF-style LZW): 9→12-bit
+    MSB-first codes, 256 = clear table, 257 = EOD. ``early_change``
+    bumps the code width one entry early (the spec default)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return None  # corrupt
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None  # corrupt
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:  # EOD
+            break
+        if ln < 128:
+            out += data[i + 1 : i + 2 + ln]
+            i += 2 + ln
+        else:
+            if i + 1 < n:
+                out += bytes([data[i + 1]]) * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
+def _decode_one_filter(name: str, data: bytes, parms: dict) -> bytes | None:
+    if name in ("FlateDecode", "Fl"):
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            return None
+        return _apply_predictor(data, parms)
+    if name in ("LZWDecode", "LZW"):
+        ec = parms.get("EarlyChange")
+        early = int(ec[1]) if ec and ec[0] == "num" else 1
+        data = _lzw_decode(data, early)
+        if data is None:
+            return None
+        return _apply_predictor(data, parms)
+    if name in ("ASCIIHexDecode", "AHx"):
+        body = data.split(b">", 1)[0]
+        return _hex_bytes(body)
+    if name in ("ASCII85Decode", "A85"):
+        import base64
+
+        txt = data
+        if txt.endswith(b"~>"):
+            txt = txt[:-2]
+        try:
+            return base64.a85decode(b"".join(txt.split()))
+        except ValueError:
+            return None
+    if name in ("RunLengthDecode", "RL"):
+        return _run_length_decode(data)
+    return None  # DCTDecode, JPXDecode, Crypt, ...: not text content
+
+
 def _decode_stream(o: _Obj) -> bytes | None:
-    """Stream bytes after filters: raw or FlateDecode; None for
-    unknown filters or corrupt data (skip, never raise)."""
+    """Stream bytes after the full /Filter chain (Flate incl. PNG/TIFF
+    predictors, LZW, ASCIIHex, ASCII85, RunLength); None for unknown
+    filters or corrupt data (skip, never raise)."""
     if o.stream is None:
         return None
     d = _dict_of(o)
@@ -334,12 +613,22 @@ def _decode_stream(o: _Obj) -> bytes | None:
             names = [x[1] for x in filt[1] if x[0] == "name"]
     if not names:
         return o.stream
-    if names == ["FlateDecode"]:
-        try:
-            return zlib.decompress(o.stream)
-        except zlib.error:
+    # /DecodeParms mirrors /Filter's shape: one dict or an array of
+    # dict/null aligned with the filter array (§7.3.8.2; /DP is the
+    # inline-image abbreviation).
+    dp = d.get("DecodeParms") or d.get("DP")
+    parms_list: list[dict] = []
+    if dp and dp[0] == "dict":
+        parms_list = [dp[1]]
+    elif dp and dp[0] == "array":
+        parms_list = [x[1] if x and x[0] == "dict" else {} for x in dp[1]]
+    data = o.stream
+    for idx, name in enumerate(names):
+        parms = parms_list[idx] if idx < len(parms_list) else {}
+        data = _decode_one_filter(name, data, parms)
+        if data is None:
             return None
-    return None  # DCT, LZW, ... : not text content we can read
+    return data
 
 
 def _expand_object_streams(objs: dict[int, _Obj]) -> None:
@@ -402,8 +691,11 @@ def _content_bytes(page: dict, objs: dict[int, _Obj]) -> bytes:
 _HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
-_CODESPACE_RE = re.compile(
-    rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.DOTALL
+_CODESPACE_BLOCK_RE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.DOTALL
+)
+_CODESPACE_PAIR_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>"
 )
 _BFRANGE_ITEM_RE = re.compile(
     rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|\[(.*?)\])",
@@ -415,22 +707,63 @@ class ToUnicodeCMap:
     """Character-code → Unicode mapping from a font's /ToUnicode
     stream (bfchar + bfrange sections; dst values are UTF-16BE). The
     standard vehicle for CID/Identity-H fonts, where show-string bytes
-    are 2-byte codes with no direct encoding."""
+    are 2-byte codes with no direct encoding.
 
-    __slots__ = ("nbytes", "chars")
+    ``ranges`` carries the codespacerange list as (width, lo, hi): when
+    a CMap declares MIXED code widths (e.g. 1-byte ASCII + 2-byte CJK,
+    ISO 32000 §9.7.6.2), decode walks the string trying each declared
+    width at each position — the codespace, not a fixed stride, decides
+    how many bytes one character consumes. Single-width CMaps (the
+    common case, and CMaps with no codespacerange at all) keep the
+    fixed-stride behavior via ``nbytes``."""
 
-    def __init__(self, nbytes: int, chars: dict[int, str]):
+    __slots__ = ("nbytes", "chars", "ranges", "_widths")
+
+    def __init__(
+        self,
+        nbytes: int,
+        chars: dict[tuple[int, int], str],
+        ranges: list[tuple[int, int, int]] | None = None,
+    ):
         self.nbytes = nbytes
         self.chars = chars
+        self.ranges = ranges or []
+        self._widths = sorted({w for w, _, _ in self.ranges})
 
-    def decode(self, raw: bytes) -> str:
-        w = self.nbytes
+    def _decode_fixed(self, raw: bytes, w: int) -> str:
         out = []
         for i in range(0, len(raw) - w + 1, w):
-            code = int.from_bytes(raw[i : i + w], "big")
-            ch = self.chars.get(code)
+            ch = self.chars.get((w, int.from_bytes(raw[i : i + w], "big")))
             if ch is not None:
                 out.append(ch)
+        return "".join(out)
+
+    def decode(self, raw: bytes) -> str:
+        widths = self._widths
+        if len(widths) <= 1:
+            return self._decode_fixed(raw, widths[0] if widths else self.nbytes)
+        out = []
+        i = 0
+        n = len(raw)
+        while i < n:
+            consumed = 0
+            for w in widths:  # shortest matching codespace wins
+                if i + w > n:
+                    break
+                code = int.from_bytes(raw[i : i + w], "big")
+                if any(
+                    w == rw and lo <= code <= hi
+                    for rw, lo, hi in self.ranges
+                ):
+                    ch = self.chars.get((w, code))
+                    if ch is not None:
+                        out.append(ch)
+                    consumed = w
+                    break
+            if not consumed:
+                # outside every codespace: skip the shortest width
+                consumed = widths[0]
+            i += consumed
         return "".join(out)
 
 
@@ -444,22 +777,33 @@ def _u16(hexs: bytes) -> str:
 
 
 def parse_tounicode(cmap: bytes) -> ToUnicodeCMap | None:
-    """Tolerant bfchar/bfrange parser for /ToUnicode CMap text."""
-    chars: dict[int, str] = {}
+    """Tolerant bfchar/bfrange parser for /ToUnicode CMap text.
+    Collects every codespacerange pair, so mixed-width CMaps decode
+    per-codespace (see ToUnicodeCMap.decode)."""
+    chars: dict[tuple[int, int], str] = {}
+    ranges: list[tuple[int, int, int]] = []
     nbytes = 0
-    m = _CODESPACE_RE.search(cmap)
-    if m:
-        nbytes = max(1, len(m.group(1)) // 2)
+    for block in _CODESPACE_BLOCK_RE.finditer(cmap):
+        for pm in _CODESPACE_PAIR_RE.finditer(block.group(1)):
+            lo_h, hi_h = pm.group(1), pm.group(2)
+            w = max(1, len(lo_h) // 2)
+            try:
+                ranges.append((w, int(lo_h, 16), int(hi_h, 16)))
+            except ValueError:
+                continue
+            nbytes = nbytes or w
     for block in _BFCHAR_RE.finditer(cmap):
         toks = _HEXTOK_RE.findall(block.group(1))
         for k in range(0, len(toks) - 1, 2):
             src, dst = toks[k], toks[k + 1]
-            nbytes = nbytes or max(1, len(src) // 2)
-            chars[int(src, 16)] = _u16(dst)
+            w = max(1, len(src) // 2)
+            nbytes = nbytes or w
+            chars[(w, int(src, 16))] = _u16(dst)
     for block in _BFRANGE_RE.finditer(cmap):
         for item in _BFRANGE_ITEM_RE.finditer(block.group(1)):
             lo, hi = int(item.group(1), 16), int(item.group(2), 16)
-            nbytes = nbytes or max(1, len(item.group(1)) // 2)
+            w = max(1, len(item.group(1)) // 2)
+            nbytes = nbytes or w
             if hi - lo > 0x10000:
                 continue  # absurd range: skip
             if item.group(3) is not None:
@@ -468,36 +812,43 @@ def parse_tounicode(cmap: bytes) -> ToUnicodeCMap | None:
                     continue
                 head, last = base[:-1], ord(base[-1])
                 for c in range(lo, hi + 1):
-                    chars[c] = head + chr(last + (c - lo))
+                    chars[(w, c)] = head + chr(last + (c - lo))
             else:
                 dsts = _HEXTOK_RE.findall(item.group(4))
                 for c, dst in zip(range(lo, hi + 1), dsts):
-                    chars[c] = _u16(dst)
+                    chars[(w, c)] = _u16(dst)
     if not chars:
         return None
-    return ToUnicodeCMap(nbytes or 1, chars)
+    return ToUnicodeCMap(nbytes or 1, chars, ranges)
 
 
-def _font_cmaps(page: dict, objs: dict[int, _Obj]) -> dict[str, ToUnicodeCMap]:
-    """Font-resource name → ToUnicode CMap for one page (fonts without
-    a /ToUnicode stream are absent: their strings decode latin-1)."""
+def _font_cmaps(page: dict, objs: dict[int, _Obj]) -> dict:
+    """Font-resource name → text decoder for one page. Priority per
+    font (ISO 32000 §9.10.2): /ToUnicode CMap when present (exact),
+    else a simple-font /Encoding table (base encoding + /Differences,
+    Annex D — core/pdf_encodings.py), else absent (strings decode
+    through the latin-1/UTF-16BE default). Both decoder kinds expose
+    ``.decode(bytes) -> str``."""
+    from deepseek_ocr_spark.core.pdf_encodings import decoder_from_encoding
+
     res = _deref(page.get("Resources"), objs)
     fonts = _deref(res.get("Font"), objs) if res else {}
-    out: dict[str, ToUnicodeCMap] = {}
+    out: dict = {}
     for name, ref in fonts.items():
         fd = _deref(ref, objs)
         tu = fd.get("ToUnicode")
-        if not tu or tu[0] != "ref":
-            continue
-        o = objs.get(tu[1])
-        if o is None:
-            continue
-        data = _decode_stream(o)
-        if data is None:
-            continue
-        cm = parse_tounicode(data)
-        if cm is not None:
-            out[name] = cm
+        if tu and tu[0] == "ref":
+            o = objs.get(tu[1])
+            data = _decode_stream(o) if o is not None else None
+            cm = parse_tounicode(data) if data is not None else None
+            if cm is not None:
+                out[name] = cm
+                continue
+        dec = decoder_from_encoding(
+            fd.get("Encoding"), lambda v: _deref(v, objs)
+        )
+        if dec is not None:
+            out[name] = dec
     return out
 
 
@@ -553,10 +904,11 @@ def _content_tokens(b: bytes):
 
 
 def extract_page_text(
-    content: bytes, fonts: dict[str, ToUnicodeCMap] | None = None
+    content: bytes, fonts: dict | None = None
 ) -> str:
     """Run the text operators of one page's content stream → text.
-    ``fonts`` maps resource names (from ``Tf``) to ToUnicode CMaps;
+    ``fonts`` maps resource names (from ``Tf``) to decoders (ToUnicode
+    CMaps or simple-font encoding tables, each with ``.decode``);
     strings shown under a mapped font decode through it, everything
     else decodes latin-1/UTF-16BE best-effort."""
     parts: list[str] = []

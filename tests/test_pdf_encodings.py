@@ -1,0 +1,429 @@
+"""Round-3 PDF extractor hardening: simple-font /Encoding tables
+(ISO 32000 Annex D), /Length-framed object scan, xref-stream trailers,
+the full filter set, and mixed-width ToUnicode codespaces."""
+
+from __future__ import annotations
+
+import zlib
+
+from deepseek_ocr_spark.config import EOS
+from deepseek_ocr_spark.core.pdf_encodings import (
+    decoder_from_encoding,
+    glyph_to_char,
+)
+from deepseek_ocr_spark.core.pdf_text import real_pdf_to_raw_pages
+
+
+def pages_text(pdf: bytes) -> list[str]:
+    return [p.removesuffix(EOS) for p in real_pdf_to_raw_pages(pdf)]
+
+
+def _simple_pdf(objs: list[bytes], trailer: bytes | None = b"<< /Root 1 0 R >>") -> bytes:
+    out = [b"%PDF-1.5"]
+    for num, body in enumerate(objs, start=1):
+        out.append(f"{num} 0 obj".encode() + b"\n" + body + b"\nendobj")
+    if trailer is not None:
+        out.append(b"trailer\n" + trailer + b"\n%%EOF")
+    else:
+        out.append(b"%%EOF")
+    return b"\n".join(out)
+
+
+def _stream_obj(data: bytes, extra: bytes = b"") -> bytes:
+    return (
+        b"<< /Length " + str(len(data)).encode() + b" " + extra
+        + b" >>\nstream\n" + data + b"\nendstream"
+    )
+
+
+def _font_pdf(content: bytes, font_obj: bytes, extra_objs: list[bytes] | None = None) -> bytes:
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        _stream_obj(content),
+        font_obj,
+    ] + (extra_objs or [])
+    return _simple_pdf(objs)
+
+
+# ---- glyph names ---------------------------------------------------------
+
+def test_glyph_name_resolution():
+    assert glyph_to_char("eacute") == "é"
+    assert glyph_to_char("Aacute") == "Á"
+    assert glyph_to_char("ccedilla") == "ç"
+    assert glyph_to_char("germandbls") == "ß"
+    assert glyph_to_char("quotedblleft") == "“"
+    assert glyph_to_char("emdash") == "—"
+    assert glyph_to_char("Euro") == "€"
+    assert glyph_to_char("uni0434") == "д"
+    assert glyph_to_char("u1F600") == "😀"
+    assert glyph_to_char("seven") == "7"
+    assert glyph_to_char("g123notaglyph") is None
+
+
+# ---- simple-font encodings ----------------------------------------------
+
+def test_winansi_encoding_font():
+    # cp1252: 0x93/0x94 curly quotes, 0xE9 é, 0x85 ellipsis
+    content = b"BT /F1 12 Tf (\x93caf\xe9\x94\x85) Tj ET"
+    pdf = _font_pdf(
+        content,
+        b"<< /Type /Font /Subtype /TrueType /Encoding /WinAnsiEncoding >>",
+    )
+    assert pages_text(pdf) == ["“café”…"]
+
+
+def test_macroman_encoding_font_with_annexd_currency():
+    # mac_roman: 0x8E é; 0xDB is CURRENCY in Annex D (euro in modern
+    # Mac OS Roman) — the one deliberate divergence from the codec
+    content = b"BT /F1 12 Tf (caf\x8e \xdb) Tj ET"
+    pdf = _font_pdf(
+        content,
+        b"<< /Type /Font /Subtype /TrueType /Encoding /MacRomanEncoding >>",
+    )
+    assert pages_text(pdf) == ["café ¤"]
+
+
+def test_differences_over_base_encoding():
+    # remap A→eacute, B→Euro, and 0xC0→uni0414 (Д) over WinAnsi
+    content = b"BT /F1 12 Tf (xABy \xc0) Tj ET"
+    enc = (
+        b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [ 65 /eacute /Euro 192 /uni0414 ] >>"
+    )
+    pdf = _font_pdf(
+        content,
+        b"<< /Type /Font /Subtype /Type1 /Encoding 6 0 R >>",
+        [enc],
+    )
+    assert pages_text(pdf) == ["xé€y Д"]
+
+
+def test_differences_without_base_defaults_to_standard():
+    # StandardEncoding: 0x27 is quoteright (’), 0xA9 quotesingle
+    content = b"BT /F1 12 Tf (it's \xa9 \xae) Tj ET"
+    enc = b"<< /Type /Encoding /Differences [ 97 /alpha ] >>"  # unknown name: keep base
+    pdf = _font_pdf(
+        content,
+        b"<< /Type /Font /Subtype /Type1 /Encoding 6 0 R >>",
+        [enc],
+    )
+    # 0xAE is the fi ligature in StandardEncoding
+    assert pages_text(pdf) == ["it’s ' ﬁ"]
+
+
+def test_unknown_base_encoding_falls_back_to_default_decode():
+    content = b"BT /F1 12 Tf (plain ascii) Tj ET"
+    pdf = _font_pdf(
+        content,
+        b"<< /Type /Font /Encoding /MacExpertEncoding >>",
+    )
+    assert pages_text(pdf) == ["plain ascii"]
+
+
+def test_decoder_from_encoding_unit():
+    dec = decoder_from_encoding(("name", "WinAnsiEncoding"), lambda v: {})
+    assert dec.decode(b"\x93hi\x94") == "“hi”"
+    assert decoder_from_encoding(None, lambda v: {}) is None
+    assert decoder_from_encoding(("name", "NoSuchEncoding"), lambda v: {}) is None
+
+
+def test_tounicode_wins_over_encoding():
+    cmap = (
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfchar <41> <0057> endbfchar"  # A → W
+    )
+    content = b"BT /F1 12 Tf (A) Tj ET"
+    pdf = _font_pdf(
+        content,
+        b"<< /Type /Font /Encoding /WinAnsiEncoding /ToUnicode 6 0 R >>",
+        [_stream_obj(cmap)],
+    )
+    assert pages_text(pdf) == ["W"]
+
+
+# ---- /Length-framed object scan ------------------------------------------
+
+def test_endobj_bytes_inside_stream_do_not_truncate():
+    # stream DATA contains `endobj` and a bogus `3 0 obj` redefinition
+    # of the page object — /Length framing must carry the scan past
+    # both instead of truncating the stream or shadowing object 3.
+    content = (
+        b"BT (before) Tj ET\n"
+        b"endobj\n"
+        b"3 0 obj << /Type /Page /Contents 99 0 R >>\n"
+        b"BT (after) Tj ET"
+    )
+    pdf = _simple_pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            _stream_obj(content),
+        ]
+    )
+    texts = pages_text(pdf)
+    assert len(texts) == 1
+    assert "before" in texts[0] and "after" in texts[0]
+
+
+def test_compressed_stream_with_objlike_bytes():
+    """Flate bytes engineered to contain `endobj`: without /Length
+    framing the stream decode fails and the page text is lost."""
+    base = b"BT (surviving text) Tj ET"
+    comp = None
+    for pad in range(200):
+        c = zlib.compress(base + b" % " + bytes([pad]) * 3, 0)  # stored mode
+        if b"endobj" in c:
+            comp = c
+            break
+    if comp is None:
+        # force it: level-0 zlib stores raw bytes, so embed the marker
+        comp = zlib.compress(base + b" % endobj endobj", 0)
+        assert b"endobj" in comp
+    pdf = _simple_pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            _stream_obj(comp, b"/Filter /FlateDecode"),
+        ]
+    )
+    assert "surviving text" in pages_text(pdf)[0]
+
+
+def test_lying_length_falls_back_to_scan():
+    content = b"BT (fallback works) Tj ET"
+    obj = (
+        b"<< /Length 999999 >>\nstream\n" + content + b"\nendstream"
+    )
+    pdf = _simple_pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            obj,
+        ]
+    )
+    assert pages_text(pdf) == ["fallback works"]
+
+
+def test_obj_flood_with_streams_stays_fast():
+    import time
+
+    # adversarial: thousands of `N 0 obj <<` heads, one stream keyword
+    # in range — bounded by the frame window + budget
+    flood = b"".join(
+        b"%d 0 obj << /Length 5 " % i for i in range(1, 4000)
+    )
+    payload = b"%PDF-1.5\n" + flood + b"\nstream\nxxxxx\nendstream\n"
+    t0 = time.perf_counter()
+    real_pdf_to_raw_pages(payload)
+    assert time.perf_counter() - t0 < 5.0
+
+
+# ---- xref-stream trailers -------------------------------------------------
+
+def _xref_stream_pdf() -> bytes:
+    """PDF 1.5 style: NO `trailer` keyword; /Root lives in the
+    /Type /XRef stream object's dict. Includes a decoy second catalog
+    to prove /Root (not the catalog scan) picks the pages."""
+    content = b"BT (via xref stream) Tj ET"
+    decoy_content = b"BT (decoy) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        _stream_obj(content),
+        # decoy catalog earlier in catalog-scan order would win without
+        # the XRef /Root — its tree points at the decoy page
+        b"<< /Type /Catalog /Pages 6 0 R >>",
+        b"<< /Type /Pages /Kids [7 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 6 0 R /Contents 8 0 R >>",
+        _stream_obj(decoy_content),
+        _stream_obj(
+            b"\x00" * 10,
+            b"/Type /XRef /Size 9 /W [1 2 1] /Root 1 0 R",
+        ),
+    ]
+    return _simple_pdf(objs, trailer=None)
+
+
+def test_xref_stream_root_found_without_trailer():
+    assert pages_text(_xref_stream_pdf()) == ["via xref stream"]
+
+
+def test_last_xref_stream_wins_incremental_update():
+    pdf = _xref_stream_pdf()
+    # incremental update appends a NEW xref stream whose /Root points
+    # at the second catalog — newest update must win
+    update = (
+        b"\n10 0 obj\n"
+        + _stream_obj(b"\x00" * 10, b"/Type /XRef /Size 11 /Root 5 0 R")
+        + b"\nendobj\n%%EOF"
+    )
+    assert pages_text(pdf + update) == ["decoy"]
+
+
+# ---- filters --------------------------------------------------------------
+
+def _one_page_pdf_with_stream(stream_obj: bytes) -> bytes:
+    return _simple_pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            stream_obj,
+        ]
+    )
+
+
+def test_asciihex_filter():
+    content = b"BT (hex works) Tj ET"
+    data = content.hex().encode() + b">"
+    pdf = _one_page_pdf_with_stream(
+        _stream_obj(data, b"/Filter /ASCIIHexDecode")
+    )
+    assert pages_text(pdf) == ["hex works"]
+
+
+def test_ascii85_filter():
+    import base64
+
+    content = b"BT (a85 works) Tj ET"
+    data = base64.a85encode(content) + b"~>"
+    pdf = _one_page_pdf_with_stream(
+        _stream_obj(data, b"/Filter /ASCII85Decode")
+    )
+    assert pages_text(pdf) == ["a85 works"]
+
+
+def test_runlength_filter():
+    content = b"BT (rl" + b"e" * 40 + b") Tj ET"
+    # literal run + repeated run + literal tail + EOD
+    head = b"BT (rl"
+    tail = b") Tj ET"
+    data = (
+        bytes([len(head) - 1]) + head
+        + bytes([257 - 40]) + b"e"
+        + bytes([len(tail) - 1]) + tail
+        + bytes([128])
+    )
+    pdf = _one_page_pdf_with_stream(
+        _stream_obj(data, b"/Filter /RunLengthDecode")
+    )
+    assert pages_text(pdf) == ["rl" + "e" * 40]
+
+
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Minimal TIFF/PDF LZW encoder for the decoder test."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits: list[tuple[int, int]] = [(256, 9)]  # leading clear
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w += c
+            continue
+        out_bits.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        if next_code + early_change - 1 >= (1 << width) and width < 12:
+            width += 1
+        w = c
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((257, width))
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for code, wd in out_bits:
+        acc = (acc << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_filter():
+    content = b"BT (lzw lzw lzw lzw works) Tj ET"
+    data = _lzw_encode(content)
+    pdf = _one_page_pdf_with_stream(_stream_obj(data, b"/Filter /LZWDecode"))
+    assert pages_text(pdf) == ["lzw lzw lzw lzw works"]
+
+
+def test_lzw_roundtrip_longer():
+    from deepseek_ocr_spark.core.pdf_text import _lzw_decode
+
+    data = (b"the quick brown fox " * 50) + bytes(range(256))
+    assert _lzw_decode(_lzw_encode(data)) == data
+
+
+def test_flate_with_png_up_predictor():
+    content = b"BT (predicted text content here) Tj ET"
+    columns = 10
+    # pad to row multiple, PNG-Up filter each row
+    pad = (-len(content)) % columns
+    padded = content + b" " * pad
+    rows = [padded[i : i + columns] for i in range(0, len(padded), columns)]
+    prev = bytes(columns)
+    enc = bytearray()
+    for row in rows:
+        enc.append(2)  # Up
+        enc += bytes((row[j] - prev[j]) & 0xFF for j in range(columns))
+        prev = row
+    data = zlib.compress(bytes(enc))
+    pdf = _one_page_pdf_with_stream(
+        _stream_obj(
+            data,
+            b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns "
+            + str(columns).encode() + b" >>",
+        )
+    )
+    assert pages_text(pdf)[0].startswith("predicted text content here")
+
+
+def test_filter_chain_a85_then_flate():
+    import base64
+
+    content = b"BT (chained filters) Tj ET"
+    data = base64.a85encode(zlib.compress(content)) + b"~>"
+    pdf = _one_page_pdf_with_stream(
+        _stream_obj(data, b"/Filter [ /ASCII85Decode /FlateDecode ]")
+    )
+    assert pages_text(pdf) == ["chained filters"]
+
+
+# ---- mixed-width ToUnicode codespaces -------------------------------------
+
+def test_mixed_width_codespace_cmap():
+    from deepseek_ocr_spark.core.pdf_text import parse_tounicode
+
+    cmap = (
+        b"2 begincodespacerange\n"
+        b"<00> <7F>\n<8140> <FEFC>\nendcodespacerange\n"
+        b"3 beginbfchar\n<41> <0041>\n<8140> <4E00>\n<8141> <4E8C>\nendbfchar\n"
+    )
+    cm = parse_tounicode(cmap)
+    assert sorted({w for w, _, _ in cm.ranges}) == [1, 2]
+    # 1-byte 'A', then 2-byte codes, then 1-byte again
+    assert cm.decode(b"\x41\x81\x40\x81\x41\x41") == "A一二A"
+
+
+def test_single_width_cmap_unchanged():
+    from deepseek_ocr_spark.core.pdf_text import parse_tounicode
+
+    cm = parse_tounicode(
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfchar <0041> <0057> endbfchar"
+    )
+    assert cm.nbytes == 2
+    assert cm.decode(b"\x00\x41\x00\x41") == "WW"
