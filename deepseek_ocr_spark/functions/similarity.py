@@ -244,6 +244,129 @@ def ivf_topk(
     )
 
 
+# ---- quantified recall (ANN quality as a number) -------------------------
+#
+# recall@k of an approximate index vs the brute-force twin, as a
+# DETERMINISTIC per-query number (fixed hyperplanes / fixed k-means
+# seeds, rounded sims, id tie-breaks). This is the gate that pins
+# bucket/list quality: a partitioning change that silently degrades the
+# ANN path shows up as a recall drop, not as an unnoticed ranking
+# shift. At 100 TB you run it over a query SAMPLE (the plan below is
+# |Q| broadcast joins against the full table — linear in the table,
+# per-query work amortized in one pass).
+
+def _multi_query_scored(d: DataFrame, q: DataFrame, id_col: str) -> DataFrame:
+    """One pass scoring every (doc, query) pair: d × broadcast(q)."""
+    return (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn(
+            "sim", F.round(cosine_col(F.col("emb"), F.col("q_emb")), 4)
+        )
+    )
+
+
+def _topk_ids(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", id_col)
+    )
+
+
+def lsh_recall_at_k(
+    df: DataFrame, max_query_id: int = 10, k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """(q_id, recall) for queries ``vec_id < max_query_id``: fraction
+    of the brute-force top-k found inside the query's LSH bucket
+    (denominator k, the standard recall@k). Fully SQL-expressible —
+    the DuckDB twin hash-verifies every number."""
+    d = emb_double(df).withColumn("bucket", bucket_col(F.col("emb")))
+    q = d.filter(F.col(id_col) < max_query_id).select(
+        F.col(id_col).alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = _multi_query_scored(d, q, id_col)
+    brute = _topk_ids(scored, k, id_col)
+    approx = _topk_ids(
+        scored.filter(F.col("bucket") == F.col("q_bucket")), k, id_col
+    )
+    hits = brute.intersect(approx).groupBy("q_id").agg(
+        F.count("*").alias("_c")
+    )
+    qids = q.select("q_id").distinct()
+    return (
+        qids.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(F.coalesce(F.col("_c"), F.lit(0)) / F.lit(k), 4).alias(
+                "recall"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
+def ivf_recall_at_k(
+    df: DataFrame,
+    cents: list[list[float]],
+    max_query_id: int = 10,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(q_id, recall) of the IVF probe (``n_probe`` of ``len(cents)``
+    lists) vs brute force, one pass for all queries. The k-means fit is
+    iterative (no SQL twin — rows-only for the driver), but the number
+    is deterministic under the fixed seeding, so the pytest golden pins
+    it exactly."""
+    assigned = ivf_assign(df, cents, id_col)
+    q = assigned.filter(F.col(id_col) < max_query_id).select(
+        F.col(id_col).alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    spark = df.sparkSession
+    cdf = _centroid_df(spark, cents)
+    from pyspark.sql.window import Window
+
+    wq = Window.partitionBy("q_id").orderBy(F.col("_d2"), F.col("cid"))
+    probes = (
+        cdf.crossJoin(F.broadcast(q.select("q_id", "q_emb")))
+        .withColumn("_d2", _sq_dist(F.col("c_emb"), F.col("q_emb")))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        # alias away the shared lineage with `scored` (both descend
+        # from q): joining on scored["q_id"] == probes["q_id"] would
+        # resolve to a trivially-true self-comparison
+        .select(F.col("q_id").alias("p_qid"), F.col("cid").alias("p_cid"))
+    )
+    scored = _multi_query_scored(assigned, q, id_col)
+    brute = _topk_ids(scored, k, id_col)
+    in_probe = scored.join(
+        F.broadcast(probes),
+        (F.col("q_id") == F.col("p_qid"))
+        & (F.col("ivf_cid") == F.col("p_cid")),
+    ).select("q_id", id_col, "sim")
+    approx = _topk_ids(in_probe, k, id_col)
+    hits = brute.intersect(approx).groupBy("q_id").agg(
+        F.count("*").alias("_c")
+    )
+    return (
+        q.select("q_id").distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(F.coalesce(F.col("_c"), F.lit(0)) / F.lit(k), 4).alias(
+                "recall"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
 # ---- SQL mirror helpers -------------------------------------------------
 
 def plane_sql(j: int, dim: int = EMB_DIM) -> str:

@@ -82,27 +82,53 @@ class _BudgetedExtractor:
     if it still hasn't, it is written off (dropped from tracking, left
     to die like the reference's executor thread) so well-formed
     documents behind it never wait again — the extra wait is paid at
-    most once per ``max_wedged`` timeouts, not per document."""
+    most once per ``max_wedged`` timeouts, not per document.
+
+    Written-off threads stay alive (a CPU-bound pure-Python thread
+    cannot be killed), so each write-off adds permanent GIL contention
+    to this worker — enough of them would slow well-formed documents
+    into SPURIOUS timeouts, a cascade. ``max_written_off`` bounds it:
+    past that many live write-offs, the budget machinery self-disables
+    and documents run IN-LINE (unbudgeted) for the rest of the worker's
+    life. Row-level error containment still holds (extract_document
+    never raises); only the wall-clock cap is given up, which is the
+    honest trade — a worker with ``max_written_off`` runaway threads
+    cannot meet a wall-clock promise anyway. Write-offs that turn out
+    to have finished are forgiven (the counter recounts LIVE strays)."""
 
     max_wedged = 4
+    max_written_off = 8
 
     def __init__(self, budget_secs: float, fn=extract_document):
         self.budget = budget_secs
         self._fn = fn
         self._ex = None
         self._wedged: list = []  # abandoned futures, oldest first
+        self._written_off: list = []  # written-off futures (may finish late)
+        self.budget_disabled = False
 
     def __call__(self, url, payload, max_bytes) -> dict:
         import concurrent.futures as cf
 
+        if self.budget_disabled:
+            # recount LIVE strays: late finishers are forgiven and the
+            # budget machinery re-arms once contention is gone
+            self._written_off = [f for f in self._written_off if not f.done()]
+            if len(self._written_off) >= self.max_written_off:
+                return self._fn(url, payload, max_bytes)
+            self.budget_disabled = False
         self._wedged = [f for f in self._wedged if not f.done()]
         if len(self._wedged) >= self.max_wedged:
             try:
                 self._wedged[0].result(timeout=self.budget)
             except Exception:
-                pass  # still wedged (or failed): write it off
+                self._written_off.append(self._wedged[0])
             self._wedged = self._wedged[1:]
             self._wedged = [f for f in self._wedged if not f.done()]
+            self._written_off = [f for f in self._written_off if not f.done()]
+            if len(self._written_off) >= self.max_written_off:
+                self.budget_disabled = True
+                return self._fn(url, payload, max_bytes)
         if self._ex is None:
             self._ex = cf.ThreadPoolExecutor(max_workers=1)
         fut = self._ex.submit(self._fn, url, payload, max_bytes)

@@ -992,6 +992,50 @@ ORDER BY sim DESC, vec_id LIMIT 5
 """
 
 
+def q_ann_lsh_recall(spark, sf_dir):
+    """recall@10 of the LSH-bucket ANN vs brute force for queries
+    vec_id < 10 — ANN quality pinned as a hash-verified number."""
+    return SIM.lsh_recall_at_k(
+        _t(spark, sf_dir, "embeddings"), max_query_id=10, k=10
+    )
+
+
+SQL_ANN_LSH_RECALL = f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                  {SIM.bucket_sql("embedding::DOUBLE[]")} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, e AS q_emb, bucket AS q_bucket
+      FROM d WHERE vec_id < 10),
+scored AS (SELECT q.q_id, d.vec_id, d.bucket, q.q_bucket, {_COS_SQL} AS sim
+           FROM d, q WHERE d.vec_id != q.q_id),
+brute AS (SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= 10),
+approx AS (SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+    FROM scored WHERE bucket = q_bucket) WHERE rn <= 10),
+hits AS (SELECT q_id, count(*) AS c FROM
+         (SELECT * FROM brute INTERSECT SELECT * FROM approx)
+         GROUP BY q_id)
+SELECT qs.q_id AS q_id, round(coalesce(h.c, 0) / 10.0, 4) AS recall
+FROM (SELECT DISTINCT q_id FROM q) qs LEFT JOIN hits h USING (q_id)
+ORDER BY q_id
+"""
+
+
+def q_ivf_recall(spark, sf_dir):
+    """recall@10 of the IVF probe (n_probe=2 of 8) vs brute force for
+    queries vec_id < 10. Deterministic under the fixed k-means seeding
+    (the pytest golden pins the numbers); iterative fit → no SQL twin,
+    rows-only for the driver. The exhaustive-probe twin
+    (ivf_topk_exhaustive) stays the hash-verified machinery gate."""
+    d = _t(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_fit(d, k=8, iters=2)
+    return SIM.ivf_recall_at_k(d, cents, max_query_id=10, k=10, n_probe=2)
+
+
 def q_emb_norm_by_label(spark, sf_dir):
     """Vector-math agg: mean L2 norm per label."""
     d = SIM.emb_double(_t(spark, sf_dir, "embeddings"))
@@ -1272,6 +1316,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ivf_topk_exhaustive": (q_ivf_topk_exhaustive, SQL_ANN_COSINE_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "ann_lsh_recall": (q_ann_lsh_recall, SQL_ANN_LSH_RECALL),
+    "ivf_recall": (q_ivf_recall, None),
     "emb_norm_by_label": (q_emb_norm_by_label, SQL_EMB_NORM_BY_LABEL),
     "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),
     "b64_roundtrip": (q_b64_roundtrip, SQL_B64_ROUNDTRIP),

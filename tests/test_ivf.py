@@ -68,3 +68,34 @@ def test_partial_probe_recall(emb, cents):
     assert r2 >= 0.30  # > 0.25 random baseline
     assert r4 >= 0.55  # > 0.5 random baseline
     assert r4 > r2
+
+
+def test_recall_queries_deterministic_and_consistent(emb, cents):
+    """Round-3: the quantified-recall operators. The multi-query plans
+    must agree exactly with per-query set arithmetic, exhaustive probe
+    must give recall 1.0, and the numbers must be stable run-to-run
+    (they are the pytest-pinned guarantee behind the registry entries)."""
+    ivf = {r["q_id"]: r["recall"] for r in
+           SIM.ivf_recall_at_k(emb, cents, max_query_id=5, k=10,
+                               n_probe=2).collect()}
+    lsh = {r["q_id"]: r["recall"] for r in
+           SIM.lsh_recall_at_k(emb, max_query_id=5, k=10).collect()}
+    assert sorted(ivf) == sorted(lsh) == [0, 1, 2, 3, 4]
+    for qid in range(5):
+        bf = {r["vec_id"] for r in
+              SIM.brute_force_topk(emb, qid, k=10).collect()}
+        got_ivf = {r["vec_id"] for r in
+                   SIM.ivf_topk(emb, cents, qid, k=10, n_probe=2).collect()}
+        assert ivf[qid] == len(got_ivf & bf) / 10, qid
+        got_lsh = {r["vec_id"] for r in
+                   SIM.lsh_bucketed_topk(emb, qid, k=10).collect()}
+        assert lsh[qid] == len(got_lsh & bf) / 10, qid
+    # exhaustive probe: recall is 1.0 by construction
+    full = SIM.ivf_recall_at_k(emb, cents, max_query_id=5, k=10,
+                               n_probe=len(cents)).collect()
+    assert all(r["recall"] == 1.0 for r in full)
+    # determinism: second evaluation returns identical numbers
+    again = {r["q_id"]: r["recall"] for r in
+             SIM.ivf_recall_at_k(emb, cents, max_query_id=5, k=10,
+                                 n_probe=2).collect()}
+    assert again == ivf

@@ -261,3 +261,53 @@ def test_gzip_bomb_member_yields_bounded_chunks(monkeypatch):
     monkeypatch.setattr(W, "_MAX_RECORD_BYTES", 1 << 20)
     rows = W.records_to_pages(raw)
     assert [r["url"] for r in rows] == ["https://w.example/ok"]
+
+
+def test_budget_disables_after_too_many_written_off_threads():
+    """Round-3 advice: written-off (unkillable) threads are bounded —
+    past ``max_written_off`` live strays the budget machinery
+    self-disables and runs documents in-line, and it RE-ARMS once the
+    strays actually finish."""
+    import threading
+
+    from deepseek_ocr_spark.operators.extract import _BudgetedExtractor
+
+    gate = threading.Event()
+    calls = []
+
+    def fn(url, payload, max_bytes):
+        calls.append(url)
+        if url.startswith("slow"):
+            gate.wait(timeout=30)
+        return {"url": url, "status": "ok"}
+
+    try:
+        ex = _BudgetedExtractor(0.05, fn)
+        ex.max_wedged = 1
+        ex.max_written_off = 2
+
+        assert ex(  # times out -> wedged
+            "slow1", b"", 0)["extracted_text"] == "[OCR ERROR: processing timed out]"
+        assert ex("slow2", b"", 0)["status"] == "error"  # writes off slow1
+        out3 = ex("fast1", b"", 0)  # writes off slow2 -> cap hit -> inline
+        assert out3 == {"url": "fast1", "status": "ok"}
+        assert ex.budget_disabled
+
+        # while strays live, further docs run inline (no new threads)
+        before = threading.active_count()
+        assert ex("fast2", b"", 0)["status"] == "ok"
+        assert threading.active_count() <= before
+        assert ex.budget_disabled
+
+        # strays finish -> machinery re-arms and budgets again
+        gate.set()
+        for _ in range(100):
+            if all(f.done() for f in ex._written_off):
+                break
+            time.sleep(0.05)
+        assert ex("fast3", b"", 0)["status"] == "ok"
+        assert not ex.budget_disabled
+        gate.clear()  # make slow docs slow again
+        assert ex("slow3", b"", 0)["status"] == "error"  # budget is back on
+    finally:
+        gate.set()
