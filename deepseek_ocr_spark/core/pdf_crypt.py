@@ -1,0 +1,432 @@
+"""Standard security handler for encrypted PDFs (ISO 32000 §7.6).
+
+The reference inherits decryption from fitz and never sees it; a
+text-first crawl extractor meets encrypted PDFs constantly — almost
+always *owner*-locked documents with an EMPTY user password (printing
+restrictions etc.), which any viewer opens silently. This module does
+the same: it verifies the empty user password and derives the file
+key; documents with a real (non-empty) user password stay unreadable
+by design and yield no text.
+
+Everything implements public specifications:
+
+* RC4 and the Algorithm 2/4/5 key derivation (§7.6.3.3-4, /V 1-2,
+  /R 2-3) — MD5 via hashlib;
+* crypt filters (/V 4): /AESV2 = AES-128-CBC with a per-stream IV and
+  RFC 2898 padding (§7.6.5), /V2 = RC4, /Identity = passthrough;
+* /V 5, /R 5-6: AES-256 (§7.6.4.3.3-4, Algorithm 2.A/2.B with the
+  R6 iterated hardened hash);
+* AES itself is a from-scratch FIPS-197 implementation (S-box derived
+  from the GF(2^8) inverse + affine transform rather than transcribed
+  tables); this container ships no crypto library.
+
+Per-object keys (Algorithm 1) use the object number and generation;
+strings inside content streams are covered by stream decryption (the
+whole stream is one crypt unit). XRef streams and the /Encrypt
+dictionary are never encrypted (§7.5.8.2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+# ---- RC4 ------------------------------------------------------------------
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+# ---- AES (FIPS-197), encrypt + decrypt + CBC ------------------------------
+
+
+def _gf_mul(a: int, b: int) -> int:
+    p = 0
+    for _ in range(8):
+        if b & 1:
+            p ^= a
+        hi = a & 0x80
+        a = (a << 1) & 0xFF
+        if hi:
+            a ^= 0x1B
+        b >>= 1
+    return p
+
+
+def _build_sbox() -> tuple[list[int], list[int]]:
+    # multiplicative inverse in GF(2^8) then the affine transform —
+    # derived, not transcribed, so a typo is structurally impossible
+    sbox = [0] * 256
+    inv = [0] * 256
+    for x in range(1, 256):
+        inv[x] = next(i for i in range(1, 256) if _gf_mul(x, i) == 1)
+    for x in range(256):
+        b = inv[x] if x else 0
+        s = b
+        for sh in (1, 2, 3, 4):
+            s ^= ((b << sh) | (b >> (8 - sh))) & 0xFF
+        sbox[x] = s ^ 0x63
+    invbox = [0] * 256
+    for i, v in enumerate(sbox):
+        invbox[v] = i
+    return sbox, invbox
+
+
+_SBOX, _INV_SBOX = _build_sbox()
+_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36, 0x6C, 0xD8, 0xAB, 0x4D]
+
+
+def _build_ttables():
+    """Classic 32-bit T-tables (SubBytes+MixColumns fused per byte) —
+    the standard public rijndael optimization; ~50× the naive
+    per-byte state machine in pure Python."""
+    te0, td0 = [0] * 256, [0] * 256
+    for x in range(256):
+        s = _SBOX[x]
+        te0[x] = (
+            (_gf_mul(s, 2) << 24) | (s << 16) | (s << 8) | _gf_mul(s, 3)
+        )
+        t = _INV_SBOX[x]
+        td0[x] = (
+            (_gf_mul(t, 14) << 24)
+            | (_gf_mul(t, 9) << 16)
+            | (_gf_mul(t, 13) << 8)
+            | _gf_mul(t, 11)
+        )
+
+    def ror8(v):
+        return ((v >> 8) | ((v & 0xFF) << 24)) & 0xFFFFFFFF
+
+    te = [te0]
+    td = [td0]
+    for _ in range(3):
+        te.append([ror8(v) for v in te[-1]])
+        td.append([ror8(v) for v in td[-1]])
+    return te, td
+
+
+(_TE0, _TE1, _TE2, _TE3), (_TD0, _TD1, _TD2, _TD3) = _build_ttables()
+
+
+class AES:
+    """Block cipher core. 16/24/32-byte keys; CBC helpers below."""
+
+    def __init__(self, key: bytes):
+        nk = len(key) // 4
+        assert nk in (4, 6, 8), "AES key must be 128/192/256-bit"
+        self.nr = nk + 6
+        w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+        for i in range(nk, 4 * (self.nr + 1)):
+            t = list(w[i - 1])
+            if i % nk == 0:
+                t = t[1:] + t[:1]
+                t = [_SBOX[b] for b in t]
+                t[0] ^= _RCON[i // nk - 1]
+            elif nk > 6 and i % nk == 4:
+                t = [_SBOX[b] for b in t]
+            w.append([w[i - nk][j] ^ t[j] for j in range(4)])
+        # encryption round keys as 32-bit column words
+        self._ek = [
+            (c[0] << 24) | (c[1] << 16) | (c[2] << 8) | c[3] for c in w
+        ]
+        # equivalent-inverse-cipher keys: InvMixColumns on middle
+        # rounds, applied via TD∘SBOX (IS[S[x]] = x leaves only IMC)
+        ek = self._ek
+        dk = list(ek)
+        n = self.nr
+        for r in range(4, 4 * n):
+            v = ek[r]
+            dk[4 * n - 4 * (r // 4) + r % 4] = (
+                _TD0[_SBOX[v >> 24]]
+                ^ _TD1[_SBOX[(v >> 16) & 0xFF]]
+                ^ _TD2[_SBOX[(v >> 8) & 0xFF]]
+                ^ _TD3[_SBOX[v & 0xFF]]
+            )
+        for j in range(4):
+            dk[j] = ek[4 * n + j]
+            dk[4 * n + j] = ek[j]
+        self._dk = dk
+
+    def encrypt_block(self, block: bytes) -> bytes:
+        ek = self._ek
+        s0 = int.from_bytes(block[0:4], "big") ^ ek[0]
+        s1 = int.from_bytes(block[4:8], "big") ^ ek[1]
+        s2 = int.from_bytes(block[8:12], "big") ^ ek[2]
+        s3 = int.from_bytes(block[12:16], "big") ^ ek[3]
+        for rnd in range(1, self.nr):
+            k = 4 * rnd
+            t0 = (_TE0[s0 >> 24] ^ _TE1[(s1 >> 16) & 0xFF]
+                  ^ _TE2[(s2 >> 8) & 0xFF] ^ _TE3[s3 & 0xFF] ^ ek[k])
+            t1 = (_TE0[s1 >> 24] ^ _TE1[(s2 >> 16) & 0xFF]
+                  ^ _TE2[(s3 >> 8) & 0xFF] ^ _TE3[s0 & 0xFF] ^ ek[k + 1])
+            t2 = (_TE0[s2 >> 24] ^ _TE1[(s3 >> 16) & 0xFF]
+                  ^ _TE2[(s0 >> 8) & 0xFF] ^ _TE3[s1 & 0xFF] ^ ek[k + 2])
+            t3 = (_TE0[s3 >> 24] ^ _TE1[(s0 >> 16) & 0xFF]
+                  ^ _TE2[(s1 >> 8) & 0xFF] ^ _TE3[s2 & 0xFF] ^ ek[k + 3])
+            s0, s1, s2, s3 = t0, t1, t2, t3
+        k = 4 * self.nr
+        S = _SBOX
+        o0 = ((S[s0 >> 24] << 24) | (S[(s1 >> 16) & 0xFF] << 16)
+              | (S[(s2 >> 8) & 0xFF] << 8) | S[s3 & 0xFF]) ^ ek[k]
+        o1 = ((S[s1 >> 24] << 24) | (S[(s2 >> 16) & 0xFF] << 16)
+              | (S[(s3 >> 8) & 0xFF] << 8) | S[s0 & 0xFF]) ^ ek[k + 1]
+        o2 = ((S[s2 >> 24] << 24) | (S[(s3 >> 16) & 0xFF] << 16)
+              | (S[(s0 >> 8) & 0xFF] << 8) | S[s1 & 0xFF]) ^ ek[k + 2]
+        o3 = ((S[s3 >> 24] << 24) | (S[(s0 >> 16) & 0xFF] << 16)
+              | (S[(s1 >> 8) & 0xFF] << 8) | S[s2 & 0xFF]) ^ ek[k + 3]
+        return b"".join(v.to_bytes(4, "big") for v in (o0, o1, o2, o3))
+
+    def decrypt_block(self, block: bytes) -> bytes:
+        dk = self._dk
+        s0 = int.from_bytes(block[0:4], "big") ^ dk[0]
+        s1 = int.from_bytes(block[4:8], "big") ^ dk[1]
+        s2 = int.from_bytes(block[8:12], "big") ^ dk[2]
+        s3 = int.from_bytes(block[12:16], "big") ^ dk[3]
+        for rnd in range(1, self.nr):
+            k = 4 * rnd
+            t0 = (_TD0[s0 >> 24] ^ _TD1[(s3 >> 16) & 0xFF]
+                  ^ _TD2[(s2 >> 8) & 0xFF] ^ _TD3[s1 & 0xFF] ^ dk[k])
+            t1 = (_TD0[s1 >> 24] ^ _TD1[(s0 >> 16) & 0xFF]
+                  ^ _TD2[(s3 >> 8) & 0xFF] ^ _TD3[s2 & 0xFF] ^ dk[k + 1])
+            t2 = (_TD0[s2 >> 24] ^ _TD1[(s1 >> 16) & 0xFF]
+                  ^ _TD2[(s0 >> 8) & 0xFF] ^ _TD3[s3 & 0xFF] ^ dk[k + 2])
+            t3 = (_TD0[s3 >> 24] ^ _TD1[(s2 >> 16) & 0xFF]
+                  ^ _TD2[(s1 >> 8) & 0xFF] ^ _TD3[s0 & 0xFF] ^ dk[k + 3])
+            s0, s1, s2, s3 = t0, t1, t2, t3
+        k = 4 * self.nr
+        S = _INV_SBOX
+        o0 = ((S[s0 >> 24] << 24) | (S[(s3 >> 16) & 0xFF] << 16)
+              | (S[(s2 >> 8) & 0xFF] << 8) | S[s1 & 0xFF]) ^ dk[k]
+        o1 = ((S[s1 >> 24] << 24) | (S[(s0 >> 16) & 0xFF] << 16)
+              | (S[(s3 >> 8) & 0xFF] << 8) | S[s2 & 0xFF]) ^ dk[k + 1]
+        o2 = ((S[s2 >> 24] << 24) | (S[(s1 >> 16) & 0xFF] << 16)
+              | (S[(s0 >> 8) & 0xFF] << 8) | S[s3 & 0xFF]) ^ dk[k + 2]
+        o3 = ((S[s3 >> 24] << 24) | (S[(s2 >> 16) & 0xFF] << 16)
+              | (S[(s1 >> 8) & 0xFF] << 8) | S[s0 & 0xFF]) ^ dk[k + 3]
+        return b"".join(v.to_bytes(4, "big") for v in (o0, o1, o2, o3))
+
+
+def aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    a = AES(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data) - 15, 16):
+        blk = data[i : i + 16]
+        dec = a.decrypt_block(blk)
+        out += bytes(x ^ y for x, y in zip(dec, prev))
+        prev = blk
+    return bytes(out)
+
+
+def aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    a = AES(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data) - 15, 16):
+        blk = bytes(x ^ y for x, y in zip(data[i : i + 16], prev))
+        prev = a.encrypt_block(blk)
+        out += prev
+    return bytes(out)
+
+
+def _strip_pad(plain: bytes) -> bytes:
+    """RFC 2898 padding strip, tolerant of garbage (return as-is)."""
+    if not plain:
+        return plain
+    n = plain[-1]
+    if 1 <= n <= 16 and n <= len(plain):
+        return plain[:-n]
+    return plain
+
+
+# ---- standard security handler -------------------------------------------
+
+# §7.6.3.3 Algorithm 2 padding constant (public spec bytes)
+_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _num(v, default=0):
+    return int(v[1]) if v and v[0] == "num" else default
+
+
+def _sval(v) -> bytes:
+    return v[1] if v and v[0] == "str" else b""
+
+
+def _name(v) -> str:
+    return v[1] if v and v[0] == "name" else ""
+
+
+class StdSecurityHandler:
+    """File-key holder + per-object decryptor for /Filter /Standard
+    with an EMPTY user password. ``from_encrypt`` returns None for
+    other handlers, unsupported /V, or a real user password."""
+
+    def __init__(self, file_key: bytes, v: int, stm_aes: bool):
+        self.file_key = file_key
+        self.v = v
+        self.stm_aes = stm_aes  # stream crypt filter is AES-CBC
+
+    # -- construction ------------------------------------------------------
+
+    @staticmethod
+    def from_encrypt(enc: dict, id0: bytes) -> "StdSecurityHandler | None":
+        if _name(enc.get("Filter")) != "Standard":
+            return None
+        v = _num(enc.get("V"), 0)
+        r = _num(enc.get("R"), 0)
+        o = _sval(enc.get("O"))
+        u = _sval(enc.get("U"))
+        p = _num(enc.get("P"), -1)
+        if v in (1, 2) or (v == 4):
+            length_bits = _num(enc.get("Length"), 40)
+            if v == 1:
+                length_bits = 40
+            stm_aes = False
+            if v == 4:
+                cf = enc.get("CF")
+                stmf = _name(enc.get("StmF")) or "Identity"
+                cfm = ""
+                if cf and cf[0] == "dict":
+                    f = cf[1].get(stmf)
+                    if f and f[0] == "dict":
+                        cfm = _name(f[1].get("CFM"))
+                if cfm == "AESV2":
+                    stm_aes = True
+                    length_bits = 128
+                elif cfm == "V2":
+                    stm_aes = False
+                elif stmf == "Identity":
+                    stm_aes = False
+                else:
+                    return None  # unknown crypt filter
+            encrypt_metadata = enc.get("EncryptMetadata") != ("bool", False)
+            key = _alg2_key(b"", o, p, id0, length_bits // 8, r,
+                            encrypt_metadata)
+            if not _check_user_r234(key, u, id0, r):
+                return None  # non-empty user password
+            return StdSecurityHandler(key, v, stm_aes)
+        if v == 5 and r in (5, 6):
+            key = _retrieve_key_r56(b"", enc)
+            if key is None:
+                return None
+            return StdSecurityHandler(key, 5, True)
+        return None
+
+    # -- per-object decryption (§7.6.3.1 Algorithm 1 / 1.A) ----------------
+
+    def _object_key(self, num: int, gen: int) -> bytes:
+        if self.v == 5:
+            return self.file_key  # AES-256: file key used directly
+        h = hashlib.md5()
+        h.update(self.file_key)
+        h.update(struct.pack("<I", num)[:3])
+        h.update(struct.pack("<I", gen)[:2])
+        if self.stm_aes:
+            h.update(b"sAlT")
+        n = min(len(self.file_key) + 5, 16)
+        return h.digest()[:n]
+
+    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        key = self._object_key(num, gen)
+        if self.stm_aes or self.v == 5:
+            if len(data) < 16:
+                return b""
+            return _strip_pad(
+                aes_cbc_decrypt_nopad(key, data[:16], data[16:])
+            )
+        return rc4(key, data)
+
+
+def _alg2_key(
+    pw: bytes, o: bytes, p: int, id0: bytes, keylen: int, r: int,
+    encrypt_metadata: bool,
+) -> bytes:
+    h = hashlib.md5()
+    h.update((pw + _PAD)[:32])
+    h.update(o[:32])
+    h.update(struct.pack("<i", p if p < 1 << 31 else p - (1 << 32)))
+    h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
+    digest = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest[:keylen]).digest()
+    return digest[:keylen]
+
+
+def _check_user_r234(key: bytes, u: bytes, id0: bytes, r: int) -> bool:
+    """Algorithm 6: does the derived key reproduce /U (empty user pw)?"""
+    if r == 2:
+        return rc4(key, _PAD) == u[:32]
+    # r >= 3 (Algorithm 5): MD5(PAD + ID0) through 20 RC4 rounds
+    digest = hashlib.md5(_PAD + id0).digest()
+    out = rc4(key, digest)
+    for i in range(1, 20):
+        out = rc4(bytes(b ^ i for b in key), out)
+    return out == u[:16]
+
+
+def _hash_r6(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+    """Algorithm 2.B (R6 hardened hash); for R5 the caller uses plain
+    SHA-256."""
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        if mod == 0:
+            k = hashlib.sha256(e).digest()
+        elif mod == 1:
+            k = hashlib.sha384(e).digest()
+        else:
+            k = hashlib.sha512(e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            break
+    return k[:32]
+
+
+def _retrieve_key_r56(pw: bytes, enc: dict) -> bytes | None:
+    """Algorithm 2.A: verify the (empty) user password and unwrap the
+    file key from /UE. /U is 48 bytes: hash(32) + vsalt(8) + ksalt(8)."""
+    r = _num(enc.get("R"), 5)
+    u = _sval(enc.get("U"))
+    ue = _sval(enc.get("UE"))
+    if len(u) < 48 or len(ue) < 32:
+        return None
+    uhash, vsalt, ksalt = u[:32], u[32:40], u[40:48]
+    if r == 6:
+        got = _hash_r6(pw, vsalt, b"")
+    else:
+        got = hashlib.sha256(pw + vsalt).digest()
+    if got != uhash:
+        return None  # real user password
+    ikey = (
+        _hash_r6(pw, ksalt, b"") if r == 6
+        else hashlib.sha256(pw + ksalt).digest()
+    )
+    return aes_cbc_decrypt_nopad(ikey, b"\x00" * 16, ue[:32])

@@ -64,11 +64,12 @@ _FRAME_BUDGET = 4 << 20  # max cumulative framing-parse bytes per doc
 
 
 class _Obj:
-    __slots__ = ("raw", "stream", "_dict")
+    __slots__ = ("raw", "stream", "gen", "_dict")
 
-    def __init__(self, raw: bytes, stream: bytes | None):
+    def __init__(self, raw: bytes, stream: bytes | None, gen: int = 0):
         self.raw = raw  # dict/body bytes (before any stream)
         self.stream = stream
+        self.gen = gen  # generation number (per-object crypt keys)
         self._dict = None  # memoized _dict_of result
 
 
@@ -152,6 +153,7 @@ def _scan_objects(payload: bytes) -> dict[int, _Obj]:
         if m is None:
             break
         num = int(m.group(1))
+        gen = int(m.group(2))
         start = m.end()
         pos = start
         # framing is only attempted when a `stream` keyword is within
@@ -168,7 +170,7 @@ def _scan_objects(payload: bytes) -> dict[int, _Obj]:
                 # success consumes distinct payload bytes (pos jumps
                 # past the stream) → O(n) total, not budget-charged
                 raw, stream, resume = framed
-                objs[num] = _Obj(raw, stream)
+                objs[num] = _Obj(raw, stream, gen)
                 pos = resume
                 continue
             frame_budget -= _FRAME_WINDOW  # failed attempts are charged
@@ -189,9 +191,9 @@ def _scan_objects(payload: bytes) -> dict[int, _Obj]:
             se = body.find(b"endstream", sm.end())
             if se < 0:
                 se = len(body)
-            objs[num] = _Obj(body[: sm.start()], body[sm.end() : se])
+            objs[num] = _Obj(body[: sm.start()], body[sm.end() : se], gen)
         else:
-            objs[num] = _Obj(body, None)
+            objs[num] = _Obj(body, None, gen)
     return objs
 
 
@@ -987,6 +989,70 @@ def extract_page_text(
     return re.sub(r"\n{3,}", "\n\n", out)
 
 
+# ---- encryption -----------------------------------------------------------
+
+def _find_encrypt(payload: bytes, objs: dict[int, _Obj]):
+    """Locate the /Encrypt dict + first /ID string: classic trailer
+    first, then /Type /XRef stream dicts (PDF 1.5+ keeps the trailer
+    there). Returns (encrypt_obj_num, encrypt_dict, id0) or None."""
+
+    def from_trailer(d: dict):
+        ev = d.get("Encrypt")
+        if not ev:
+            return None
+        idv = d.get("ID")
+        id0 = b""
+        if idv and idv[0] == "array" and idv[1] and idv[1][0][0] == "str":
+            id0 = idv[1][0][1]
+        if ev[0] == "ref":
+            o = objs.get(ev[1])
+            return (ev[1], _dict_of(o) if o else {}, id0)
+        if ev[0] == "dict":
+            return (-1, ev[1], id0)
+        return None
+
+    t = payload.rfind(b"trailer")
+    if t >= 0:
+        v, _ = _parse_value(payload, t + 7)
+        if v and v[0] == "dict":
+            r = from_trailer(v[1])
+            if r:
+                return r
+    for o in objs.values():
+        d = _dict_of(o)
+        if d.get("Type") == ("name", "XRef"):
+            r = from_trailer(d)
+            if r:
+                return r
+    return None
+
+
+def _maybe_decrypt(payload: bytes, objs: dict[int, _Obj]) -> bool:
+    """Decrypt all stream payloads in place when the file carries a
+    standard security handler openable with the EMPTY user password
+    (the owner-locked class — §7.6.3; XRef streams and the /Encrypt
+    object are exempt per §7.5.8.2). Returns False when the file is
+    encrypted but unreadable (real user password / unsupported
+    handler): the caller yields zero pages rather than latin-1
+    ciphertext garbage."""
+    found = _find_encrypt(payload, objs)
+    if found is None:
+        return True  # not encrypted
+    enc_num, enc_dict, id0 = found
+    from deepseek_ocr_spark.core.pdf_crypt import StdSecurityHandler
+
+    handler = StdSecurityHandler.from_encrypt(enc_dict, id0)
+    if handler is None:
+        return False
+    for num, o in objs.items():
+        if o.stream is None or num == enc_num:
+            continue
+        if _dict_of(o).get("Type") == ("name", "XRef"):
+            continue
+        o.stream = handler.decrypt(num, o.gen, o.stream)
+    return True
+
+
 # ---- entry point ----------------------------------------------------------
 
 def real_pdf_to_raw_pages(payload: bytes) -> list[str]:
@@ -994,6 +1060,8 @@ def real_pdf_to_raw_pages(payload: bytes) -> list[str]:
     loop. Raises nothing by itself; callers treat zero pages as a parse
     failure."""
     objs = _scan_objects(payload)
+    if not _maybe_decrypt(payload, objs):
+        return []  # encrypted with a real user password: no text
     _expand_object_streams(objs)
     pages = _page_objects(payload, objs)
     out = []

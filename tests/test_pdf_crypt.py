@@ -1,0 +1,232 @@
+"""Encrypted-PDF support (core/pdf_crypt.py): standard security
+handler, empty user password — RC4 (R3), AES-128 (V4/AESV2), and
+AES-256 (V5/R6). Fixtures are ENCRYPTED here with the spec's forward
+algorithms (3/4/5 + SHA-2 family for R6), so the decrypt path is
+exercised against independently-produced ciphertext."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from deepseek_ocr_spark.config import EOS
+from deepseek_ocr_spark.core.pdf_crypt import (
+    _PAD,
+    AES,
+    StdSecurityHandler,
+    _hash_r6,
+    aes_cbc_decrypt_nopad,
+    aes_cbc_encrypt_nopad,
+    rc4,
+)
+from deepseek_ocr_spark.core.pdf_text import real_pdf_to_raw_pages
+
+
+def pages_text(pdf: bytes) -> list[str]:
+    return [p.removesuffix(EOS) for p in real_pdf_to_raw_pages(pdf)]
+
+
+# ---- primitives -----------------------------------------------------------
+
+def test_aes_fips197_vectors():
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    assert AES(bytes(range(16))).encrypt_block(pt).hex() == (
+        "69c4e0d86a7b0430d8cdb78070b4c55a"
+    )
+    assert AES(bytes(range(24))).encrypt_block(pt).hex() == (
+        "dda97ca4864cdfe06eaf70a0ec0d7191"
+    )
+    assert AES(bytes(range(32))).encrypt_block(pt).hex() == (
+        "8ea2b7ca516745bfeafc49904b496089"
+    )
+    for klen in (16, 24, 32):
+        k = bytes(range(klen))
+        assert AES(k).decrypt_block(AES(k).encrypt_block(pt)) == pt
+
+
+def test_rc4_vector():
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+
+
+def test_cbc_roundtrip():
+    key, iv = bytes(range(16)), bytes(range(100, 116))
+    data = b"0123456789abcdef" * 5
+    assert aes_cbc_decrypt_nopad(key, iv, aes_cbc_encrypt_nopad(key, iv, data)) == data
+
+
+# ---- fixture encryptors (spec forward algorithms) -------------------------
+
+def _alg3_O(owner_pw: bytes, user_pw: bytes, keylen: int, r: int) -> bytes:
+    digest = hashlib.md5((owner_pw + _PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest).digest()
+    key = digest[:keylen]
+    out = rc4(key, (user_pw + _PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            out = rc4(bytes(b ^ i for b in key), out)
+    return out
+
+
+def _alg2_key(user_pw: bytes, o: bytes, p: int, id0: bytes, keylen: int,
+              r: int) -> bytes:
+    h = hashlib.md5()
+    h.update((user_pw + _PAD)[:32])
+    h.update(o[:32])
+    h.update(struct.pack("<i", p))
+    h.update(id0)
+    digest = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest[:keylen]).digest()
+    return digest[:keylen]
+
+
+def _alg5_U(key: bytes, id0: bytes) -> bytes:
+    out = rc4(key, hashlib.md5(_PAD + id0).digest())
+    for i in range(1, 20):
+        out = rc4(bytes(b ^ i for b in key), out)
+    return out + b"\x00" * 16
+
+
+def _obj_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
+    h = hashlib.md5()
+    h.update(file_key)
+    h.update(struct.pack("<I", num)[:3])
+    h.update(struct.pack("<I", gen)[:2])
+    if aes:
+        h.update(b"sAlT")
+    return h.digest()[: min(len(file_key) + 5, 16)]
+
+
+def _aes_stream_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
+    padn = 16 - len(data) % 16
+    return iv + aes_cbc_encrypt_nopad(key, iv, data + bytes([padn]) * padn)
+
+
+def _pdf_shell(content_enc: bytes, encrypt_dict: bytes, id0: bytes) -> bytes:
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length " + str(len(content_enc)).encode()
+        + b" >>\nstream\n" + content_enc + b"\nendstream",
+        encrypt_dict,
+    ]
+    out = [b"%PDF-1.6"]
+    for num, body in enumerate(objs, start=1):
+        out.append(f"{num} 0 obj".encode() + b"\n" + body + b"\nendobj")
+    id_hex = id0.hex().encode()
+    out.append(
+        b"trailer\n<< /Root 1 0 R /Encrypt 5 0 R /ID [ <" + id_hex
+        + b"> <" + id_hex + b"> ] >>\n%%EOF"
+    )
+    return b"\n".join(out)
+
+
+CONTENT = b"BT (secret but owner-locked) Tj ET"
+ID0 = bytes(range(16))
+P = -44
+
+
+def _rc4_r3_pdf(user_pw: bytes = b"") -> bytes:
+    keylen = 16  # /Length 128
+    o = _alg3_O(b"ownerpw", user_pw, keylen, r=3)
+    key = _alg2_key(user_pw, o, P, ID0, keylen, r=3)
+    u = _alg5_U(key, ID0)
+    enc_dict = (
+        b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P " + str(P).encode()
+        + b" /O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> >>"
+    )
+    content_enc = rc4(_obj_key(key, 4, 0, aes=False), CONTENT)
+    return _pdf_shell(content_enc, enc_dict, ID0)
+
+
+def _aesv2_pdf() -> bytes:
+    keylen = 16
+    o = _alg3_O(b"ownerpw", b"", keylen, r=4)
+    key = _alg2_key(b"", o, P, ID0, keylen, r=4)
+    u = _alg5_U(key, ID0)
+    enc_dict = (
+        b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P " + str(P).encode()
+        + b" /O <" + o.hex().encode() + b"> /U <" + u.hex().encode()
+        + b"> /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+        b"/StmF /StdCF /StrF /StdCF >>"
+    )
+    content_enc = _aes_stream_encrypt(
+        _obj_key(key, 4, 0, aes=True), CONTENT, iv=bytes(range(16, 32))
+    )
+    return _pdf_shell(content_enc, enc_dict, ID0)
+
+
+def _v5_r6_pdf(user_pw: bytes = b"") -> bytes:
+    file_key = bytes(range(200, 232))  # 32-byte file key
+    vsalt, ksalt = b"VSALT#01", b"KSALT#02"
+    uhash = _hash_r6(user_pw, vsalt, b"")
+    ue = aes_cbc_encrypt_nopad(
+        _hash_r6(user_pw, ksalt, b""), b"\x00" * 16, file_key
+    )
+    u = uhash + vsalt + ksalt
+    enc_dict = (
+        b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P " + str(P).encode()
+        + b" /O <" + (b"\x11" * 48).hex().encode()
+        + b"> /U <" + u.hex().encode()
+        + b"> /OE <" + (b"\x22" * 32).hex().encode()
+        + b"> /UE <" + ue.hex().encode()
+        + b"> /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+        b"/StmF /StdCF /StrF /StdCF >>"
+    )
+    content_enc = _aes_stream_encrypt(
+        file_key, CONTENT, iv=bytes(range(32, 48))
+    )
+    return _pdf_shell(content_enc, enc_dict, ID0)
+
+
+# ---- end-to-end -----------------------------------------------------------
+
+def test_rc4_r3_owner_locked_extracts():
+    assert pages_text(_rc4_r3_pdf()) == ["secret but owner-locked"]
+
+
+def test_aesv2_owner_locked_extracts():
+    assert pages_text(_aesv2_pdf()) == ["secret but owner-locked"]
+
+
+def test_v5_r6_owner_locked_extracts():
+    assert pages_text(_v5_r6_pdf()) == ["secret but owner-locked"]
+
+
+def test_real_user_password_yields_no_pages():
+    assert pages_text(_rc4_r3_pdf(user_pw=b"hunter2")) == []
+    assert pages_text(_v5_r6_pdf(user_pw=b"hunter2")) == []
+
+
+def test_unsupported_handler_yields_no_pages():
+    pdf = _rc4_r3_pdf().replace(b"/Filter /Standard", b"/Filter /Oddball")
+    assert pages_text(pdf) == []
+
+
+def test_encrypted_via_oracle_is_ok_row():
+    from deepseek_ocr_spark.core.oracle import extract_document
+
+    doc = extract_document("https://e.example/locked.pdf", _aesv2_pdf())
+    assert doc["status"] == "ok"
+    assert "secret but owner-locked" in doc["extracted_text"]
+    bad = extract_document(
+        "https://e.example/sealed.pdf", _rc4_r3_pdf(user_pw=b"hunter2")
+    )
+    assert bad["status"] == "error"  # zero pages → invalid-pdf marker row
+
+
+def test_handler_rejects_wrong_password_directly():
+    o = _alg3_O(b"ownerpw", b"real-user-pw", 16, r=3)
+    key = _alg2_key(b"real-user-pw", o, P, ID0, 16, r=3)
+    u = _alg5_U(key, ID0)
+    enc = {
+        "Filter": ("name", "Standard"),
+        "V": ("num", 2), "R": ("num", 3), "Length": ("num", 128),
+        "P": ("num", P),
+        "O": ("str", o), "U": ("str", u),
+    }
+    assert StdSecurityHandler.from_encrypt(enc, ID0) is None
