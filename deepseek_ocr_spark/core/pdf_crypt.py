@@ -220,11 +220,29 @@ class AES:
         return b"".join(v.to_bytes(4, "big") for v in (o0, o1, o2, o3))
 
 
+try:  # hardware AES when the cryptography wheel is present (it is in
+    # this container); the pure-Python core above is the fallback and
+    # the tests assert both paths agree
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher as _HazCipher,
+        algorithms as _haz_alg,
+        modes as _haz_modes,
+    )
+except ImportError:  # pragma: no cover - environment without the wheel
+    _HazCipher = None
+
+
 def aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    n = len(data) - len(data) % 16
+    if _HazCipher is not None:
+        dec = _HazCipher(
+            _haz_alg.AES(key), _haz_modes.CBC(iv)
+        ).decryptor()
+        return dec.update(data[:n]) + dec.finalize()
     a = AES(key)
     out = bytearray()
     prev = iv
-    for i in range(0, len(data) - 15, 16):
+    for i in range(0, n, 16):
         blk = data[i : i + 16]
         dec = a.decrypt_block(blk)
         out += bytes(x ^ y for x, y in zip(dec, prev))
@@ -233,13 +251,32 @@ def aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
 
 
 def aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    n = len(data) - len(data) % 16
+    if _HazCipher is not None:
+        enc = _HazCipher(
+            _haz_alg.AES(key), _haz_modes.CBC(iv)
+        ).encryptor()
+        return enc.update(data[:n]) + enc.finalize()
+    a = AES(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, n, 16):
+        blk = bytes(x ^ y for x, y in zip(data[i : i + 16], prev))
+        prev = a.encrypt_block(blk)
+        out += prev
+    return bytes(out)
+
+
+def _cbc_pure_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Pure-Python CBC decrypt (test twin for the fast path)."""
     a = AES(key)
     out = bytearray()
     prev = iv
     for i in range(0, len(data) - 15, 16):
-        blk = bytes(x ^ y for x, y in zip(data[i : i + 16], prev))
-        prev = a.encrypt_block(blk)
-        out += prev
+        blk = data[i : i + 16]
+        dec = a.decrypt_block(blk)
+        out += bytes(x ^ y for x, y in zip(dec, prev))
+        prev = blk
     return bytes(out)
 
 

@@ -230,3 +230,17 @@ def test_handler_rejects_wrong_password_directly():
         "O": ("str", o), "U": ("str", u),
     }
     assert StdSecurityHandler.from_encrypt(enc, ID0) is None
+
+
+def test_fast_cbc_path_matches_pure_python():
+    """When the cryptography wheel is present the CBC helpers use it;
+    the pure FIPS-197 core must agree byte-for-byte."""
+    from deepseek_ocr_spark.core.pdf_crypt import _cbc_pure_decrypt
+
+    for klen in (16, 32):
+        key = bytes(range(40, 40 + klen))
+        iv = bytes(range(70, 86))
+        data = bytes((i * 37) & 0xFF for i in range(16 * 9))
+        enc = aes_cbc_encrypt_nopad(key, iv, data)
+        assert aes_cbc_decrypt_nopad(key, iv, enc) == data
+        assert _cbc_pure_decrypt(key, iv, enc) == data
