@@ -17,10 +17,13 @@ from deepseek_ocr_spark.config import DOC_HTML, DOC_IMAGE, DOC_PDF, DOC_UNKNOWN
 PDF_MAGIC = b"%PDF-"
 JPEG_MAGIC = b"\xff\xd8\xff"
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+BMP_MAGIC = b"BM"
 
 
 def sniff_bytes(payload: bytes) -> str:
-    """Classify a raw payload by magic prefix.
+    """Classify a raw payload by magic prefix. The image set matches
+    the reference's validate_image exactly (JPEG, PNG, WEBP, BMP —
+    image_utils.py:73).
 
     HTML is recognized by a leading ``<`` (the fixture generator never
     emits leading whitespace; at CC scale a ltrim pass would precede).
@@ -28,6 +31,10 @@ def sniff_bytes(payload: bytes) -> str:
     if payload.startswith(PDF_MAGIC):
         return DOC_PDF
     if payload.startswith(JPEG_MAGIC) or payload.startswith(PNG_MAGIC):
+        return DOC_IMAGE
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WEBP":
+        return DOC_IMAGE
+    if payload.startswith(BMP_MAGIC):
         return DOC_IMAGE
     if payload[:1] == b"<":
         return DOC_HTML

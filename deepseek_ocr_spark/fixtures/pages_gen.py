@@ -190,6 +190,30 @@ def _png_header(w: int, h: int) -> bytes:
     )
 
 
+def _webp_header(w: int, h: int) -> bytes:
+    """WebP VP8X container header with real 24-bit canvas dims."""
+    payload = (
+        b"WEBPVP8X"
+        + (10).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (w - 1).to_bytes(3, "little")
+        + (h - 1).to_bytes(3, "little")
+    )
+    return b"RIFF" + len(payload).to_bytes(4, "little") + payload
+
+
+def _bmp_header(w: int, h: int) -> bytes:
+    """BMP with a BITMAPINFOHEADER carrying real i32 dims."""
+    import struct
+
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 26 + 40, 0, 0, 54)
+        + struct.pack("<Iii", 40, w, h)
+        + b"\x00" * 28
+    )
+
+
 def build_real_pdf(page_lines: list[list[str]], compress: bool = True) -> bytes:
     """Serialize a minimal REAL PDF (ISO 32000 subset) — thin wrapper
     over the shared writer (core/pdf_write.py, also behind the
@@ -233,7 +257,17 @@ def _image_like(rng: random.Random) -> tuple[bytes, str]:
         hdr = _jpeg_header(w, h) if rng.random() < 0.5 else _png_header(w, h)
         return hdr, ""
     w, h = rng.randint(64, 2000), rng.randint(64, 2000)
-    hdr = _jpeg_header(w, h) if rng.random() < 0.7 else _png_header(w, h)
+    # format mix mirrors the reference's supported set (JPEG, PNG,
+    # WEBP, BMP — image_utils.py:73), crawl-weighted toward JPEG
+    fr = rng.random()
+    if fr < 0.55:
+        hdr = _jpeg_header(w, h)
+    elif fr < 0.8:
+        hdr = _png_header(w, h)
+    elif fr < 0.92:
+        hdr = _webp_header(w, h)
+    else:
+        hdr = _bmp_header(w, h)
     body = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 256)))
     return hdr + body, ""
 

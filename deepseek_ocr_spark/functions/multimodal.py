@@ -57,6 +57,47 @@ def gif_dims(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+def webp_dims(b: bytes) -> tuple[int, int] | None:
+    """WebP container (RIFF/WEBP): VP8X extended header carries 24-bit
+    canvas dims-1; VP8 (lossy) has 14-bit dims after the frame start
+    code; VP8L (lossless) packs 14-bit dims-1 after its signature
+    byte. All public container structure, header bytes only."""
+    if len(b) < 30 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    chunk = b[12:16]
+    if chunk == b"VP8X":
+        w = int.from_bytes(b[24:27], "little") + 1
+        h = int.from_bytes(b[27:30], "little") + 1
+        return (w, h)
+    if chunk == b"VP8 ":
+        if b[23:26] != b"\x9d\x01\x2a":
+            return None
+        w = struct.unpack("<H", b[26:28])[0] & 0x3FFF
+        h = struct.unpack("<H", b[28:30])[0] & 0x3FFF
+        return (w, h)
+    if chunk == b"VP8L":
+        if b[20] != 0x2F:
+            return None
+        bits = int.from_bytes(b[21:25], "little")
+        return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+    return None
+
+
+def bmp_dims(b: bytes) -> tuple[int, int] | None:
+    """BMP: DIB header size at +14 selects BITMAPCOREHEADER (u16 dims)
+    vs BITMAPINFOHEADER+ (i32 dims; negative height = top-down)."""
+    if len(b) < 22 or b[:2] != b"BM":
+        return None
+    hdr = struct.unpack("<I", b[14:18])[0]
+    if hdr == 12:  # BITMAPCOREHEADER: u16 dims, 22 bytes suffice
+        w, h = struct.unpack("<HH", b[18:22])
+        return (w, h)
+    if hdr >= 40 and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return (w, abs(h))
+    return None
+
+
 def jpeg_dims(b: bytes) -> tuple[int, int] | None:
     """Walk JPEG marker segments to the first SOF0-SOF15 frame header
     (public JPEG/JFIF structure: FF D8, then FF xx segments with
@@ -167,6 +208,10 @@ def image_meta(payload: bytes) -> dict:
             dims = oriented_dims(dims[0], dims[1], orientation)
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         fmt, dims = "gif", gif_dims(payload)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        fmt, dims = "webp", webp_dims(payload)
+    elif payload[:2] == b"BM":
+        fmt, dims = "bmp", bmp_dims(payload)
     else:
         fmt, dims = "unknown", None
     return {

@@ -16,15 +16,24 @@ from deepseek_ocr_spark.config import DOC_HTML, DOC_IMAGE, DOC_PDF, DOC_UNKNOWN
 _PDF_HEX = "255044462D"  # %PDF-
 _JPEG_HEX = "FFD8FF"
 _PNG_HEX = "89504E470D0A1A0A"
+_RIFF_HEX = "52494646"  # RIFF (bytes 1-4; WEBP tag sits at bytes 9-12)
+_WEBP_HEX = "57454250"  # WEBP
+_BMP_HEX = "424D"  # BM
 _LT_HEX = "3C"  # '<'
 
 
 def doc_type_col(html_col: Column) -> Column:
     head = F.hex(F.substring(html_col, 1, 8))
+    riff_tag = F.hex(F.substring(html_col, 9, 4))
     return (
         F.when(head.startswith(_PDF_HEX), F.lit(DOC_PDF))
         .when(head.startswith(_JPEG_HEX), F.lit(DOC_IMAGE))
         .when(head.startswith(_PNG_HEX), F.lit(DOC_IMAGE))
+        .when(
+            head.startswith(_RIFF_HEX) & (riff_tag == _WEBP_HEX),
+            F.lit(DOC_IMAGE),
+        )
+        .when(head.startswith(_BMP_HEX), F.lit(DOC_IMAGE))
         .when(head.startswith(_LT_HEX), F.lit(DOC_HTML))
         .otherwise(F.lit(DOC_UNKNOWN))
     )

@@ -34,6 +34,10 @@ def test_sniff():
     assert sniff_bytes(b"%PDF-1.4\nx") == "pdf"
     assert sniff_bytes(b"\xff\xd8\xffjunk") == "image"
     assert sniff_bytes(b"\x89PNG\r\n\x1a\njunk") == "image"
+    assert sniff_bytes(b"RIFF\x10\x00\x00\x00WEBPVP8 junk") == "image"
+    assert sniff_bytes(b"BM\x36\x00\x00\x00junk") == "image"
+    # RIFF that is NOT WebP (e.g. WAV) stays unknown
+    assert sniff_bytes(b"RIFF\x10\x00\x00\x00WAVEfmt ") == "unknown"
     assert sniff_bytes(b"<html>") == "html"
     assert sniff_bytes(b"\x00\x01\x02") == "unknown"
     assert sniff_bytes(b"") == "unknown"

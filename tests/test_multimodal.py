@@ -37,12 +37,97 @@ def make_gif(w: int, h: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
 
 
+def make_webp_vp8x(w: int, h: int) -> bytes:
+    payload = (
+        b"WEBPVP8X"
+        + (10).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (w - 1).to_bytes(3, "little")
+        + (h - 1).to_bytes(3, "little")
+    )
+    return b"RIFF" + len(payload).to_bytes(4, "little") + payload
+
+
+def make_webp_vp8(w: int, h: int) -> bytes:
+    # lossy bitstream: 3-byte frame tag, start code 9D 01 2A, 14-bit dims
+    chunk = b"\x00" * 3 + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+    payload = b"WEBPVP8 " + len(chunk).to_bytes(4, "little") + chunk
+    return b"RIFF" + len(payload).to_bytes(4, "little") + payload
+
+
+def make_webp_vp8l(w: int, h: int) -> bytes:
+    bits = (w - 1) | ((h - 1) << 14)
+    chunk = b"\x2f" + bits.to_bytes(4, "little")
+    payload = b"WEBPVP8L" + len(chunk).to_bytes(4, "little") + chunk
+    return b"RIFF" + len(payload).to_bytes(4, "little") + payload + b"\x00" * 8
+
+
+def make_bmp_info(w: int, h: int) -> bytes:
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 66, 0, 0, 54)
+        + struct.pack("<Iii", 40, w, h)
+        + b"\x00" * 28
+    )
+
+
+def make_bmp_core(w: int, h: int) -> bytes:
+    return b"BM" + struct.pack("<IHHI", 26, 0, 0, 26) + struct.pack("<IHH", 12, w, h)
+
+
 def test_header_parsers():
     assert MM.png_dims(make_png(640, 480)) == (640, 480)
     assert MM.jpeg_dims(make_jpeg(1024, 768)) == (1024, 768)
     assert MM.gif_dims(make_gif(16, 9)) == (16, 9)
     assert MM.png_dims(b"notapng") is None
     assert MM.jpeg_dims(b"\xff\xd8\xff" + b"\x00" * 10) is None  # lost sync
+
+
+def test_webp_bmp_parsers():
+    assert MM.webp_dims(make_webp_vp8x(800, 600)) == (800, 600)
+    assert MM.webp_dims(make_webp_vp8(320, 240)) == (320, 240)
+    assert MM.webp_dims(make_webp_vp8l(1920, 1080)) == (1920, 1080)
+    assert MM.webp_dims(b"RIFF\x08\x00\x00\x00WAVEdata") is None
+    # VP8 without the frame-start code is unparseable
+    bad = make_webp_vp8(32, 32)
+    assert MM.webp_dims(bad[:23] + b"\x00\x00\x00" + bad[26:]) is None
+    assert MM.bmp_dims(make_bmp_info(1024, 768)) == (1024, 768)
+    assert MM.bmp_dims(make_bmp_core(64, 48)) == (64, 48)
+    # top-down BMP stores negative height; dims report magnitude
+    assert MM.bmp_dims(make_bmp_info(100, -200)) == (100, 200)
+    assert MM.bmp_dims(b"BMxx") is None
+    m = MM.image_meta(make_webp_vp8x(12, 34))
+    assert (m["format"], m["width"], m["height"], m["valid"]) == ("webp", 12, 34, True)
+    assert MM.image_meta(make_bmp_core(5, 6))["format"] == "bmp"
+
+
+def test_sniff_twins_agree_on_new_formats(spark):
+    """Python sniff_bytes and the JVM doc_type_col must classify the
+    same bytes identically — including WEBP/BMP and the WAV negative."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_spark.core.sniff import sniff_bytes
+    from deepseek_ocr_spark.operators.sniff import doc_type_col
+
+    payloads = [
+        make_webp_vp8x(10, 10),
+        make_webp_vp8(10, 10),
+        make_bmp_info(3, 3),
+        make_bmp_core(3, 3),
+        b"RIFF\x10\x00\x00\x00WAVEfmt ",
+        b"RIFF",  # truncated RIFF, no tag
+        b"BM",  # bare magic
+        make_png(2, 2),
+        b"%PDF-1.7 x",
+        b"<p>hi</p>",
+        b"",
+    ]
+    df = spark.createDataFrame(
+        [(str(i), p) for i, p in enumerate(payloads)], "url string, html binary"
+    )
+    got = {r["url"]: r["t"] for r in df.select("url", doc_type_col(F.col("html")).alias("t")).collect()}
+    for i, p in enumerate(payloads):
+        assert got[str(i)] == sniff_bytes(p), (i, p[:16])
 
 
 def test_image_meta_classifies():
