@@ -254,14 +254,16 @@ def ngram_jaccard_from_shingles(
     that appear in a pair, and at 100 TB the pair set is orders of
     magnitude smaller than the corpus. Without the restriction the
     sizes groupBy (and the distinct) are a second full-corpus shuffle.
-    The candidate-id build side is broadcast (ids of candidate pairs —
-    small by LSH construction + bucket cap).
+    The candidate-id side is built with one pass over the pair frame
+    (explode of the [id_a, id_b] array — measured ~1.5x faster than
+    the two-scan union at sf0.1) and carries NO broadcast hint: the
+    capped pair set is small so AQE picks a broadcast semi-join on its
+    own, and a hard hint would force an eager blocking build where the
+    statistics should decide.
     """
-    cand_ids = F.broadcast(
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
+    cand_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
     sh = sh.join(cand_ids, id_col, "semi")
     if not distinct_input:
         sh = sh.distinct()
@@ -306,6 +308,7 @@ def neardup_scored_pairs(
     id_col: str,
     text_col: str,
     persist_shingles: bool = False,
+    persist_pairs: bool = False,
     observation=None,
 ) -> DataFrame:
     """MinHash-LSH proposes, exact shingle-Jaccard confirms — both
@@ -323,19 +326,26 @@ def neardup_scored_pairs(
     rescan (remote object store, very wide rows) — the cache write is
     then cheaper than a second full-table scan.
 
-    Candidate pairs are persisted before the confirm stage: the
-    confirm consumes them twice (the semi-join's broadcast id set and
-    the intersection join), and without the persist each consumer
-    would recompute the whole explode→minhash→band-join chain. The
-    pair set is tiny by LSH construction + bucket cap, so the cache
-    is bounded."""
+    The confirm stage consumes the pair frame twice (candidate-id set
+    + intersection join). ``persist_pairs`` caches it between the two;
+    the default is OFF because it was measured NET-NEGATIVE on this
+    host at sf0.1 (warm session, alternated A/B, clearCache between
+    runs: persist 5.8-10.6 s vs no-persist 2.5-4.4 s): the
+    InMemoryRelation turns one DAG into cache-fill-then-consume
+    sequential jobs, while without it the duplicated
+    explode→minhash→band subtrees run CONCURRENTLY on cores that are
+    otherwise idle at this scale. Flip it ON for corpora where a
+    duplicated full scan is the dominant cost (the 100 TB setting —
+    the pair cache itself is tiny by LSH construction + bucket cap)."""
     exploded = _spread(df, id_col).select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("sh")
     )
     if persist_shingles:
         exploded = exploded.persist()
     sig = minhash_from_shingles(exploded, id_col)
-    pairs = lsh_candidate_pairs(sig, id_col, observation=observation).persist()
+    pairs = lsh_candidate_pairs(sig, id_col, observation=observation)
+    if persist_pairs:
+        pairs = pairs.persist()
     return ngram_jaccard_from_shingles(
         exploded, pairs, id_col, distinct_input=False
     )
