@@ -456,3 +456,37 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return votes.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Train/eval n-gram decontamination: flag every training document
+    that shares at least one word ``k``-gram with the evaluation set,
+    returning (id, n_shared) with the count of DISTINCT shared k-grams.
+
+    The published pre-training hygiene pass (GPT-3 appendix C / PaLM /
+    Llama all report a 8-13-gram overlap filter): benchmarks leak into
+    crawls verbatim, so any train doc containing an eval k-gram is
+    suspect. Plan shape at 10^12 train docs: the eval side is tiny by
+    definition (benchmarks are thousands of docs), so its distinct
+    k-gram set is BROADCAST and the train side never shuffles — the
+    whole pass is a map-side semi-join over one linear shingle scan."""
+    ev = (
+        eval_df.select(
+            F.explode(shingles_col(F.col(text_col), k)).alias("sh")
+        )
+        .distinct()
+    )
+    tr = _spread(train, id_col).select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("sh")
+    )
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("sh").alias("n_shared"))
+    )

@@ -1,0 +1,49 @@
+"""PII scrubbing expressions — emails, phone numbers, IPv4 addresses.
+
+Pure JVM ``regexp_replace`` / ``regexp_count`` column expressions
+(whole-stage codegen, no Python on the hot path), so a redaction pass
+over a 10^12-row text column is a single projection with zero shuffle.
+
+The patterns deliberately use only the regex subset shared by Java's
+``java.util.regex`` and RE2 (DuckDB/Go): character classes, bounded
+repetition, ``\\b`` word boundaries — no backreferences, no lookaround
+— so the DuckDB oracle twin can run the IDENTICAL pattern strings.
+
+The reference pipeline has no PII handling (it emits raw OCR text,
+DeepSeek-OCR-master/api/vllm_service.py); this is one of the
+training-data curation passes a crawl-scale corpus requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Shared Java-regex / RE2 subset. Order matters when scrubbing: emails
+# first (their domains contain dots that the IP pattern must never
+# see), then IPs, then phones.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+EMAIL_TOKEN = "<EMAIL>"
+IPV4_TOKEN = "<IP>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def scrub_pii(col: Column) -> Column:
+    """Replace every email / IPv4 / phone occurrence with a typed
+    redaction token."""
+    out = F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN)
+    out = F.regexp_replace(out, IPV4_RE, IPV4_TOKEN)
+    out = F.regexp_replace(out, PHONE_RE, PHONE_TOKEN)
+    return out
+
+
+def pii_counts(col: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_phones) occurrence counts, pre-scrub."""
+    return (
+        F.regexp_count(col, F.lit(EMAIL_RE)),
+        F.regexp_count(col, F.lit(IPV4_RE)),
+        F.regexp_count(col, F.lit(PHONE_RE)),
+    )

@@ -133,3 +133,20 @@ def token_count_bpe(col: Column) -> Column:
     """BPE-ish token count (regex token classes, JVM-side; counted
     without materializing the match array)."""
     return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
+
+
+def dup_ngram_fraction(col: Column, k: int = 3) -> Column:
+    """Gopher-style repetition signal: fraction of word k-gram
+    occurrences that are repeats of an earlier k-gram in the same
+    document (``1 - distinct/total``; NULL under ``k`` words).
+
+    Entirely expression-level — the shingle array, its distinct, and
+    both sizes stay inside whole-stage codegen; no explode, no shuffle,
+    no Python. Per-document cost is linear in document length, so the
+    signal is a free extra column on any corpus-profiling scan."""
+    from deepseek_ocr_spark.functions.dedup import shingles_col
+
+    sh = shingles_col(col, k)
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh), 4
+    )

@@ -1,0 +1,127 @@
+"""Temporal join operators: distributed as-of join and bucketed range
+join.
+
+Neither exists as a Spark builtin; both are composed from shuffles the
+engine already does well, so they hold at 10^12 rows:
+
+* ``asof_join`` is the union-and-window formulation: tag both inputs,
+  union them, and run ONE window over (key, ts). That is a single
+  shuffle on the join key — never a range-predicate join, which Spark
+  would execute as a broadcast-nested-loop (quadratic per key). Cost is
+  O((|L|+|R|) log) per key partition, the same shape as a sort-merge
+  join, and skewed keys are handled by AQE exactly like any other
+  window.
+
+* ``bucketed_range_join`` turns ``|a.ts - b.ts| <= w`` into an
+  equi-join: bucket timestamps into width-``w`` bins, explode each left
+  row into the (at most two) bins its window overlaps, equi-join on
+  (key, bin), then re-check the exact predicate. The shuffle is keyed
+  and hash-partitioned — Catalyst plans a SortMergeJoin, not a
+  nested-loop — and the bin width bounds the per-bucket fan-out.
+
+The reference has no temporal joins (it is a per-request serving loop,
+DeepSeek-OCR-master/api/server.py); these cover the event-correlation
+queries a crawl-scale pipeline runs over its own telemetry tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    payload_prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` for the same ``key`` (inner semantics:
+    left rows with no prior right row are dropped).
+
+    ``payload`` names the right-side columns to carry over; they are
+    emitted as ``{payload_prefix}{col}``. Ties on ``right_ts`` within a
+    key resolve to the payload struct that sorts greatest under
+    field-wise comparison — put a unique id FIRST in ``payload`` and
+    the winner is the max-id row, deterministically.
+
+    Single shuffle on ``key``; no range join, no broadcast.
+    """
+    lcols = left.columns
+    tagged_r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.struct(*[F.col(c) for c in payload]).alias("__pay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    tagged_l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None)
+        .cast(tagged_r.schema["__pay"].dataType)
+        .alias("__pay"),
+        *lcols,
+    )
+    # Right rows sort before left rows at equal ts (__tag 0 < 1), so a
+    # right row AT the left timestamp is visible to it (<= semantics).
+    # Within equal (ts, tag) the struct's natural ordering ends on the
+    # trailing unique id, making last_value deterministic.
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__tag", "__pay")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = tagged_r.unionByName(tagged_l).withColumn(
+        "__match", F.last("__pay", ignorenulls=True).over(w)
+    )
+    out = merged.filter((F.col("__tag") == 1) & F.col("__match").isNotNull())
+    return out.select(
+        *lcols,
+        *[
+            F.col(f"__match.{c}").alias(f"{payload_prefix}{c}")
+            for c in payload
+        ],
+    )
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window: Column,
+    window_seconds: int,
+) -> DataFrame:
+    """Equi-join plan for ``right_ts IN (left_ts, left_ts + window]``
+    with the same ``key``.
+
+    ``window_seconds`` is the bin width (pass the same duration as
+    ``window``); each left row lands in its own bin plus the next one,
+    so every right row in range shares a (key, bin) with it. The exact
+    predicate is re-applied after the equi-join, so the bins only
+    affect the plan, never the result.
+
+    Columns of both inputs are preserved; ambiguous names must be
+    disambiguated by the caller beforehand.
+    """
+    bin_l = (F.unix_timestamp(F.col(left_ts)) / window_seconds).cast("bigint")
+    bin_r = (F.unix_timestamp(F.col(right_ts)) / window_seconds).cast(
+        "bigint"
+    )
+    lefts = left.withColumn(
+        "__bin", F.explode(F.array(bin_l, bin_l + F.lit(1)))
+    )
+    rights = right.withColumn("__bin", bin_r)
+    joined = lefts.join(rights, on=[key, "__bin"], how="inner")
+    exact = (F.col(right_ts) > F.col(left_ts)) & (
+        F.col(right_ts) <= F.col(left_ts) + window
+    )
+    return joined.filter(exact).drop("__bin")

@@ -1271,6 +1271,217 @@ FROM s GROUP BY user_id ORDER BY user_id
 """
 
 # --------------------------------------------------------------------
+# temporal joins (custom operators Spark lacks as builtins)
+# --------------------------------------------------------------------
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each event picks up the latest order placed at or
+    before its timestamp by the same user — union-and-window plan, one
+    shuffle, no range predicate (operators/temporal.py)."""
+    from deepseek_ocr_spark.operators import temporal as TEMP
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = TEMP.asof_join(
+        ev, od, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_o_orderkey").alias("last_orderkey"),
+        F.round("asof_o_totalprice", 2).alias("last_totalprice"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH od AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderkey AS last_orderkey,
+       round(o.o_totalprice, 2) AS last_totalprice
+FROM events e ASOF JOIN (SELECT * FROM od WHERE rn = 1) o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_range_join_events(spark, sf_dir):
+    """Range join: event pairs from the same user within 30 minutes —
+    bucketed equi-join plan (SortMergeJoin on (key, time-bin)), never
+    a broadcast-nested-loop (operators/temporal.py)."""
+    from deepseek_ocr_spark.operators import temporal as TEMP
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id", F.col("event_id").alias("event_a"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = ev.select(
+        "user_id", F.col("event_id").alias("event_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    out = TEMP.bucketed_range_join(
+        a, b, key="user_id", left_ts="ts_a", right_ts="ts_b",
+        window=F.expr("INTERVAL 30 MINUTES"), window_seconds=1800,
+    )
+    return out.select("user_id", "event_a", "event_b")
+
+
+SQL_RANGE_JOIN_EVENTS = """
+SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+"""
+
+
+# --------------------------------------------------------------------
+# training-data curation: PII, repetition, decontamination, domains
+# --------------------------------------------------------------------
+
+def _with_injected_pii(d: DataFrame) -> DataFrame:
+    """Deterministically append synthetic PII (email, IPv4, phone)
+    derived from doc_id — the testdata text carries none, so the
+    scrubber needs seeded targets for its hash-verified twin."""
+    return d.withColumn(
+        "pii_text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel 555-867-53"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass: typed tokens for emails / IPv4s / phones,
+    plus per-class occurrence counts — all JVM regex, zero shuffle."""
+    from deepseek_ocr_spark.functions import pii as PII
+
+    d = _with_injected_pii(_t(spark, sf_dir, "documents"))
+    n_email, n_ip, n_phone = PII.pii_counts(F.col("pii_text"))
+    return d.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_phone.alias("n_phones"),
+        PII.scrub_pii(F.col("pii_text")).alias("scrubbed"),
+    )
+
+
+_PII_INJECT_SQL = """
+text || ' contact u' || doc_id || '@ex' || (doc_id % 7)
+     || '.org ip 10.0.' || (doc_id % 256)
+     || '.7 tel 555-867-53' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+"""
+
+_EMAIL_RE_SQL = "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'"
+_IPV4_RE_SQL = "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'"
+_PHONE_RE_SQL = "'\\b\\d{3}-\\d{3}-\\d{4}\\b'"
+
+SQL_PII_SCRUB = f"""
+WITH p AS (SELECT doc_id, {_PII_INJECT_SQL} AS pii_text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(pii_text, {_EMAIL_RE_SQL})) AS n_emails,
+       len(regexp_extract_all(pii_text, {_IPV4_RE_SQL})) AS n_ips,
+       len(regexp_extract_all(pii_text, {_PHONE_RE_SQL})) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(pii_text, {_EMAIL_RE_SQL}, '<EMAIL>', 'g'),
+           {_IPV4_RE_SQL}, '<IP>', 'g'),
+         {_PHONE_RE_SQL}, '<PHONE>', 'g') AS scrubbed
+FROM p
+"""
+
+
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Gopher repetition signal: per-doc fraction of repeated word
+    3-grams — expression-only, no explode (textstats)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.dup_ngram_fraction(F.col("text"), 3).alias("dup_frac"),
+    )
+
+
+SQL_DUP_NGRAM_FRACTION = """
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN len(l) >= 3 THEN
+         round(1 - len(list_distinct(list_transform(
+                 range(1, len(l) - 1),
+                 i -> array_to_string(l[i:i+2], ' ')))) / (len(l) - 2), 4)
+       END AS dup_frac
+FROM w
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Train/eval 8-gram decontamination: flag training docs sharing
+    any word 8-gram with the (broadcast) eval split. Eval split =
+    doc_id % 29 == 0, a stand-in benchmark set."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 29 == 0)
+    tr = d.filter(F.col("doc_id") % 29 != 0)
+    return DD.decontaminate(tr, ev, "doc_id", "text", k=8).orderBy(
+        "doc_id"
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+           FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(l) - 6),
+                                    i -> array_to_string(l[i:i+7], ' '))) AS sh
+       FROM w),
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 29 = 0),
+tr AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 29 <> 0)
+SELECT t.doc_id, count(*) AS n_shared
+FROM tr t JOIN ev e ON t.sh = e.sh
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+def q_domain_profile(spark, sf_dir):
+    """Per-source corpus profile: doc count, language spread, mean
+    length, total whitespace tokens — one hash-agg pass."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum(TS.token_count(F.col("text"))).alias("total_tokens"),
+    )
+
+
+SQL_DOMAIN_PROFILE = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       round(avg(n_chars), 2) AS avg_chars,
+       sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+'))
+           END)::BIGINT AS total_tokens
+FROM documents GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
 
@@ -1327,4 +1538,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "crossmodal_neardup": (q_crossmodal_neardup, SQL_CROSSMODAL_NEARDUP),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "range_join_events": (q_range_join_events, SQL_RANGE_JOIN_EVENTS),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),
 }

@@ -1,0 +1,202 @@
+"""Unit semantics for the round-3 operators: as-of join, bucketed
+range join, PII scrubbing, repetition fraction, decontamination.
+
+The oracle gate (scripts/check_oracle.py) cross-checks these against
+DuckDB on the driver tables; here we pin the hand-checkable edge
+semantics and the plan shapes that must hold at scale.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions import pii as PII
+from deepseek_ocr_spark.functions.dedup import decontaminate
+from deepseek_ocr_spark.functions.textstats import dup_ngram_fraction
+from deepseek_ocr_spark.operators.temporal import (
+    asof_join,
+    bucketed_range_join,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # (key, ts, qid, px): two same-ts rows for key 1 to pin tie-break.
+    rows = [
+        (1, _ts("2024-01-01 10:00:00"), 100, 5.0),
+        (1, _ts("2024-01-01 10:00:00"), 101, 6.0),
+        (1, _ts("2024-01-01 11:00:00"), 102, 7.0),
+        (2, _ts("2024-01-01 12:00:00"), 200, 9.0),
+    ]
+    return spark.createDataFrame(rows, "k int, qts timestamp, qid int, px double")
+
+
+def test_asof_exact_ts_and_tiebreak(spark, quotes):
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "at-quote"),
+            (1, _ts("2024-01-01 10:30:00"), "between"),
+            (1, _ts("2024-01-01 23:00:00"), "after-all"),
+            (2, _ts("2024-01-01 11:59:59"), "before-any"),
+        ],
+        "k int, tts timestamp, tag string",
+    )
+    out = {
+        r["tag"]: (r["asof_qid"], r["asof_px"])
+        for r in asof_join(
+            trades, quotes, "k", "tts", "qts", ["qid", "px"]
+        ).collect()
+    }
+    # ts == quote ts matches (<= semantics); same-ts tie -> max qid.
+    assert out["at-quote"] == (101, 6.0)
+    assert out["between"] == (101, 6.0)
+    assert out["after-all"] == (102, 7.0)
+    # no quote at or before -> row dropped (inner semantics).
+    assert "before-any" not in out
+
+
+def test_asof_no_nested_loop(spark, quotes):
+    trades = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:30:00"), "x")],
+        "k int, tts timestamp, tag string",
+    )
+    plan = (
+        asof_join(trades, quotes, "k", "tts", "qts", ["qid", "px"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_matches_naive(spark):
+    # 300 events over 3 keys; bucketed plan must equal the naive
+    # range-predicate join row-for-row, including both boundaries.
+    base = _ts("2024-03-01 00:00:00")
+    rows = [
+        (i % 3, i, base + dt.timedelta(seconds=(i * 7919) % 90000))
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(rows, "k int, eid int, ts timestamp")
+    a = ev.select("k", F.col("eid").alias("ea"), F.col("ts").alias("ts_a"))
+    b = ev.select("k", F.col("eid").alias("eb"), F.col("ts").alias("ts_b"))
+    got = sorted(
+        (r["ea"], r["eb"])
+        for r in bucketed_range_join(
+            a, b, "k", "ts_a", "ts_b",
+            F.expr("INTERVAL 10 MINUTES"), 600,
+        ).collect()
+    )
+    naive = sorted(
+        (r["ea"], r["eb"])
+        for r in a.join(b, "k")
+        .filter(
+            (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 10 MINUTES"))
+        )
+        .collect()
+    )
+    assert got == naive and len(got) > 0
+
+
+def test_range_join_boundaries(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01 00:00:00")),
+            (1, 2, _ts("2024-01-01 00:30:00")),  # exactly +window: in
+            (1, 3, _ts("2024-01-01 00:30:01")),  # past window: out
+            (1, 4, _ts("2024-01-01 00:00:00")),  # equal ts: out (strict >)
+        ],
+        "k int, eid int, ts timestamp",
+    )
+    a = ev.select("k", F.col("eid").alias("ea"), F.col("ts").alias("ts_a"))
+    b = ev.select("k", F.col("eid").alias("eb"), F.col("ts").alias("ts_b"))
+    pairs = sorted(
+        (r["ea"], r["eb"])
+        for r in bucketed_range_join(
+            a, b, "k", "ts_a", "ts_b",
+            F.expr("INTERVAL 30 MINUTES"), 1800,
+        ).collect()
+    )
+    assert pairs == [(1, 2), (2, 3), (4, 2)]
+
+
+def test_pii_scrub_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail me at jo.doe+x@sub.example.co or 10.1.2.3 / 555-123-4567",),
+            ("no pii here",),
+            ("two ips 1.2.3.4 5.6.7.8",),
+        ],
+        "t string",
+    )
+    ne, ni, np_ = PII.pii_counts(F.col("t"))
+    rows = df.select(
+        PII.scrub_pii(F.col("t")).alias("s"),
+        ne.alias("ne"), ni.alias("ni"), np_.alias("np"),
+    ).collect()
+    assert rows[0]["s"] == "mail me at <EMAIL> or <IP> / <PHONE>"
+    assert (rows[0]["ne"], rows[0]["ni"], rows[0]["np"]) == (1, 1, 1)
+    assert rows[1]["s"] == "no pii here"
+    assert rows[2]["s"] == "two ips <IP> <IP>"
+    # email scrub runs first: the address's host dots never feed the
+    # IP pattern even when the local part is numeric.
+    digit_mail = spark.createDataFrame([("9.8.7.6@44.33.22.11.example",)], "t string")
+    assert (
+        digit_mail.select(PII.scrub_pii(F.col("t")).alias("s")).first()["s"]
+        == "<EMAIL>"
+    )
+
+
+def test_dup_ngram_fraction_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # 3-grams: aba bab aba bab -> 2/4 dup
+            (2, "w x y z"),       # all distinct -> 0.0
+            (3, "just two"),      # under k words -> NULL
+        ],
+        "doc_id int, t string",
+    )
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", dup_ngram_fraction(F.col("t"), 3).alias("f")
+        ).collect()
+    }
+    assert got[1] == 0.5
+    assert got[2] == 0.0
+    assert got[3] is None
+
+
+def test_decontaminate_flags_only_overlap(spark):
+    shared = "one two three four five six seven eight"
+    ev = spark.createDataFrame(
+        [(0, f"intro {shared} outro")], "doc_id int, t string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, f"copypasta {shared} tail words here"),
+            (2, "totally different words that never overlap at all ok"),
+            (3, shared),
+        ],
+        "doc_id int, t string",
+    )
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in decontaminate(tr, ev, "doc_id", "t", k=8).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1] == 1 and got[3] == 1
+
+
+def test_decontaminate_broadcasts_eval(spark):
+    ev = spark.createDataFrame([(0, "a b c d e f g h")], "doc_id int, t string")
+    tr = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id int, t string")
+    plan = (
+        decontaminate(tr, ev, "doc_id", "t", k=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
