@@ -99,6 +99,9 @@ HEADLINE = [
     "lsh_candidate_pairs",
     "ngram_jaccard",
     "ann_cosine_topk",
+    "asof_join",
+    "pii_scrub",
+    "decontaminate",
 ]
 
 
@@ -248,11 +251,16 @@ def main() -> None:
         return {**best, "reps": a.get("reps", []) + b.get("reps", [])}
 
     if RUN_SCALING:
-        # 2 pairs default for the primary window, 1 for each secondary
+        # 3 pairs default for the primary window, 1 for each secondary
         # window: each fresh-JVM subprocess costs ~30 s of non-measured
         # warmup, so pairs are capped to keep the whole bench inside
         # the per-round budget (BENCH_PAIRS / BENCH_SEC_PAIRS override).
-        pairs = max(1, int(os.environ.get("BENCH_PAIRS", "2")))
+        # Why 3: steal only ever ADDS time, so the best-of-level ratio
+        # converges to the engine's true efficiency from below as pairs
+        # accumulate — with 2 pairs a single burst landing on one
+        # level's both runs still skews the gate (measured: a 2-pair
+        # run scored 0.79 while its own cross-pair best implied ≥0.85).
+        pairs = max(1, int(os.environ.get("BENCH_PAIRS", "3")))
         sec_pairs = max(1, int(os.environ.get("BENCH_SEC_PAIRS", "1")))
         by_cores: dict[int, dict | None] = {}
         for i in range(pairs):

@@ -112,10 +112,11 @@ def bucketed_range_join(
     Columns of both inputs are preserved; ambiguous names must be
     disambiguated by the caller beforehand.
     """
-    bin_l = (F.unix_timestamp(F.col(left_ts)) / window_seconds).cast("bigint")
-    bin_r = (F.unix_timestamp(F.col(right_ts)) / window_seconds).cast(
-        "bigint"
-    )
+    # floor(), not cast("bigint"): the cast truncates toward zero, which
+    # shifts every pre-1970 (negative-epoch) timestamp one bin up and
+    # silently loses cross-bin matches in archival data.
+    bin_l = F.floor(F.unix_timestamp(F.col(left_ts)) / window_seconds)
+    bin_r = F.floor(F.unix_timestamp(F.col(right_ts)) / window_seconds)
     lefts = left.withColumn(
         "__bin", F.explode(F.array(bin_l, bin_l + F.lit(1)))
     )

@@ -124,6 +124,29 @@ def test_range_join_boundaries(spark):
     assert pairs == [(1, 2), (2, 3), (4, 2)]
 
 
+def test_range_join_pre_epoch(spark):
+    # negative unix seconds: floor-division binning must still place
+    # in-window pairs in adjacent bins (cast-truncation would not).
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts("1969-12-31 23:45:00")),
+            (1, 2, _ts("1970-01-01 00:10:00")),  # 25 min later, crosses 0
+            (1, 3, _ts("1969-12-31 23:50:00")),  # 5 min after eid 1
+        ],
+        "k int, eid int, ts timestamp",
+    )
+    a = ev.select("k", F.col("eid").alias("ea"), F.col("ts").alias("ts_a"))
+    b = ev.select("k", F.col("eid").alias("eb"), F.col("ts").alias("ts_b"))
+    pairs = sorted(
+        (r["ea"], r["eb"])
+        for r in bucketed_range_join(
+            a, b, "k", "ts_a", "ts_b",
+            F.expr("INTERVAL 30 MINUTES"), 1800,
+        ).collect()
+    )
+    assert pairs == [(1, 2), (1, 3), (3, 2)]
+
+
 def test_pii_scrub_and_counts(spark):
     df = spark.createDataFrame(
         [
