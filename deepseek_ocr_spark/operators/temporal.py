@@ -39,10 +39,19 @@ def asof_join(
     right_ts: str,
     payload: list[str],
     payload_prefix: str = "asof_",
+    how: str = "inner",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
-    ``right_ts <= left_ts`` for the same ``key`` (inner semantics:
-    left rows with no prior right row are dropped).
+    ``right_ts <= left_ts`` for the same ``key``.
+
+    ``how="inner"`` (default) drops left rows with no prior right row;
+    ``how="left"`` keeps them with NULL payload columns — the pandas
+    ``merge_asof`` shape. ``tolerance_seconds`` bounds the lookback:
+    a prior right row older than ``left_ts - tolerance`` does not
+    count as a match. The bound is evaluated in exact integer
+    microseconds (``unix_micros``), the same arithmetic DuckDB's
+    ``epoch_us`` uses, so oracle twins never drift at the boundary.
 
     ``payload`` names the right-side columns to carry over; they are
     emitted as ``{payload_prefix}{col}``. Ties on ``right_ts`` within a
@@ -52,12 +61,20 @@ def asof_join(
 
     Single shuffle on ``key``; no range join, no broadcast.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join: how must be inner|left, got {how!r}")
     lcols = left.columns
     tagged_r = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
-        F.struct(*[F.col(c) for c in payload]).alias("__pay"),
+        # __mts leads the struct but never perturbs the tie-break: the
+        # window already orders by __ts first, and within a tie every
+        # right row's __mts equals that shared __ts.
+        F.struct(
+            F.col(right_ts).cast("timestamp").alias("__mts"),
+            *[F.col(c) for c in payload],
+        ).alias("__pay"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
     )
     tagged_l = left.select(
@@ -81,14 +98,28 @@ def asof_join(
     merged = tagged_r.unionByName(tagged_l).withColumn(
         "__match", F.last("__pay", ignorenulls=True).over(w)
     )
-    out = merged.filter((F.col("__tag") == 1) & F.col("__match").isNotNull())
-    return out.select(
-        *lcols,
-        *[
+    valid = F.col("__match").isNotNull()
+    if tolerance_seconds is not None:
+        tol_us = int(round(float(tolerance_seconds) * 1_000_000))
+        valid = valid & (
+            F.unix_micros(F.col(left_ts).cast("timestamp"))
+            - F.unix_micros(F.col("__match.__mts"))
+            <= F.lit(tol_us)
+        )
+    out = merged.filter(F.col("__tag") == 1)
+    if how == "inner":
+        out = out.filter(valid)
+        pay_cols = [
             F.col(f"__match.{c}").alias(f"{payload_prefix}{c}")
             for c in payload
-        ],
-    )
+        ]
+    else:
+        pay_cols = [
+            F.when(valid, F.col(f"__match.{c}"))
+            .alias(f"{payload_prefix}{c}")
+            for c in payload
+        ]
+    return out.select(*lcols, *pay_cols)
 
 
 def bucketed_range_join(

@@ -1344,6 +1344,62 @@ FROM events a JOIN events b
  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
 """
 
+# 25 Julian years in seconds. Events sit in 2024-01 and orders span
+# 1995–2001, so this splits users by whether their latest prior order
+# is after ~1999 — exercising both the matched and the nulled branch.
+_ASOF_TOL_SEC = 25 * 36525 * 864  # == 25 * 365.25 * 86400
+
+
+def q_asof_join_left_tol(spark, sf_dir):
+    """LEFT as-of join with a lookback tolerance: every event is kept;
+    the latest order older than 25 years is nulled out — the pandas
+    ``merge_asof(tolerance=...)`` shape, same single-shuffle
+    union-and-window plan (operators/temporal.py)."""
+    from deepseek_ocr_spark.operators import temporal as TEMP
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = TEMP.asof_join(
+        ev, od, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+        how="left", tolerance_seconds=_ASOF_TOL_SEC,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_o_orderkey").alias("last_orderkey"),
+        F.round("asof_o_totalprice", 2).alias("last_totalprice"),
+    )
+
+
+SQL_ASOF_JOIN_LEFT_TOL = f"""
+WITH od AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+), j AS (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderdate,
+         o.o_orderkey, o.o_totalprice
+  FROM events e ASOF LEFT JOIN (SELECT * FROM od WHERE rn = 1) o
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN epoch_us(ts) - epoch_us(o_orderdate)
+                 <= {_ASOF_TOL_SEC}::BIGINT * 1000000
+            THEN o_orderkey END AS last_orderkey,
+       CASE WHEN epoch_us(ts) - epoch_us(o_orderdate)
+                 <= {_ASOF_TOL_SEC}::BIGINT * 1000000
+            THEN round(o_totalprice, 2) END AS last_totalprice
+FROM j
+"""
+
 
 # --------------------------------------------------------------------
 # training-data curation: PII, repetition, decontamination, domains
@@ -1539,6 +1595,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "asof_join_left_tol": (q_asof_join_left_tol, SQL_ASOF_JOIN_LEFT_TOL),
     "range_join_events": (q_range_join_events, SQL_RANGE_JOIN_EVENTS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),

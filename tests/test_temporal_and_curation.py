@@ -60,6 +60,47 @@ def test_asof_exact_ts_and_tiebreak(spark, quotes):
     assert "before-any" not in out
 
 
+def test_asof_left_and_tolerance(spark, quotes):
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:30:00"), "fresh"),      # 30 min back
+            (1, _ts("2024-01-01 23:00:00"), "stale"),      # 12 h back
+            (2, _ts("2024-01-01 11:59:59"), "no-prior"),
+        ],
+        "k int, tts timestamp, tag string",
+    )
+    # LEFT keeps every trade; a 1-hour tolerance nulls the stale match
+    # and the never-matched row alike.
+    out = {
+        r["tag"]: (r["asof_qid"], r["asof_px"])
+        for r in asof_join(
+            trades, quotes, "k", "tts", "qts", ["qid", "px"],
+            how="left", tolerance_seconds=3600,
+        ).collect()
+    }
+    assert out["fresh"] == (101, 6.0)
+    assert out["stale"] == (None, None)
+    assert out["no-prior"] == (None, None)
+    # inner + tolerance drops rather than nulls.
+    inner = asof_join(
+        trades, quotes, "k", "tts", "qts", ["qid", "px"],
+        tolerance_seconds=3600,
+    )
+    assert [r["tag"] for r in inner.collect()] == ["fresh"]
+    # tolerance boundary is inclusive at exactly tolerance seconds.
+    edge = spark.createDataFrame(
+        [(1, _ts("2024-01-01 12:00:00"), "edge")],
+        "k int, tts timestamp, tag string",
+    )
+    got = asof_join(
+        edge, quotes, "k", "tts", "qts", ["qid", "px"],
+        how="left", tolerance_seconds=3600,
+    ).collect()[0]
+    assert (got["asof_qid"], got["asof_px"]) == (102, 7.0)
+    with pytest.raises(ValueError):
+        asof_join(edge, quotes, "k", "tts", "qts", ["qid"], how="outer")
+
+
 def test_asof_no_nested_loop(spark, quotes):
     trades = spark.createDataFrame(
         [(1, _ts("2024-01-01 10:30:00"), "x")],
