@@ -29,6 +29,7 @@ import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
@@ -489,4 +490,94 @@ def decontaminate(
         tr.join(F.broadcast(ev), "sh")
         .groupBy(id_col)
         .agg(F.count_distinct("sh").alias("n_shared"))
+    )
+
+
+def line_dedup_stats(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    line_col: str = "line",
+) -> DataFrame:
+    """Per-document line-duplication profile from a (id, pos, line)
+    frame: ``dup_lines`` counts lines that occur in MORE THAN ONE
+    document, ``dup_frac`` their share of the doc.
+
+    The CCNet/RefinedWeb paragraph-dedup signal (Wenzek 2019 §4.1;
+    Penedo 2023 §3.2): boilerplate (nav bars, cookie banners, footers)
+    repeats across a crawl while body text doesn't, so corpus-level
+    line frequency separates them better than any per-doc heuristic.
+
+    Scale shape: lines are grouped by their 64-bit hash, never by the
+    line bytes, so the dedup shuffle moves 8-byte keys (collision odds
+    over 10^12 lines ~ 3%·birthday(2^64), immaterial for a stats
+    signal); the count-distinct aggregates partially map-side, and the
+    stats join is hash-to-hash. Two shuffles total, both on the hash.
+    """
+    tagged = lines.select(
+        F.col(id_col),
+        F.xxhash64(F.col(line_col)).alias("__h"),
+    )
+    docs_per = tagged.groupBy("__h").agg(
+        F.count_distinct(id_col).alias("__nd")
+    )
+    return (
+        tagged.join(docs_per, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((F.col("__nd") > 1).cast("bigint")).alias("dup_lines"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("dup_lines") / F.col("n_lines"), 4)
+        )
+    )
+
+
+def line_dedup_rewrite(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    line_col: str = "line",
+    sep: str = " ",
+) -> DataFrame:
+    """Corpus-wide line dedup: keep only the FIRST occurrence of every
+    line (ordered by (id, pos) — deterministic across runs and cluster
+    sizes) and reassemble each document from its surviving lines in
+    original order. Documents whose every line first appeared elsewhere
+    vanish from the output, exactly like the SQL mirror.
+
+    One shuffle on the line hash (first-occurrence window), one on the
+    doc id (reassembly). The window partitions by ``xxhash64(line)``,
+    so the sort key per partition is tiny; reassembly uses
+    ``array_sort`` over (pos, line) structs — pos is unique per doc,
+    making the rebuilt text deterministic.
+    """
+    win = Window.partitionBy(F.xxhash64(F.col(line_col))).orderBy(
+        id_col, pos_col
+    )
+    kept = (
+        lines.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(pos_col).alias("p"),
+                                F.col(line_col).alias("l"),
+                            )
+                        )
+                    ),
+                    lambda s: s["l"],
+                ),
+                sep,
+            ).alias("dedup_text"),
+        )
     )

@@ -892,6 +892,87 @@ FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
 )
 
 
+# Line-level dedup (CCNet/RefinedWeb): the testdata text is one long
+# word run, so the queries derive deterministic "lines" by chunking
+# every CHUNK_WORDS consecutive words — the operator itself takes any
+# (id, pos, line) frame (real crawls split on newlines upstream).
+_CHUNK_WORDS = 10
+
+
+def _word_chunk_lines(d):
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.floor((F.size(words) - 1) / _CHUNK_WORDS).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda i: F.array_join(
+            F.slice(words, i * _CHUNK_WORDS + 1, _CHUNK_WORDS), " "
+        ),
+    )
+    return d.select("doc_id", F.posexplode(chunks).alias("pos", "line"))
+
+
+_CHUNKS_SQL = f"""
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+cl AS (SELECT doc_id,
+              [array_to_string(
+                   ws[(i*{_CHUNK_WORDS}+1):(i*{_CHUNK_WORDS}+{_CHUNK_WORDS})],
+                   ' ')
+               for i in generate_series(
+                   0, (len(ws)+{_CHUNK_WORDS}-1)//{_CHUNK_WORDS} - 1)]
+              AS chunks
+       FROM w),
+lines AS (SELECT doc_id,
+                 unnest(generate_series(0, len(chunks)-1)) AS pos,
+                 unnest(chunks) AS line
+          FROM cl)
+"""
+
+
+def q_chunk_dup_stats(spark, sf_dir):
+    """Per-doc line-duplication profile — the CCNet boilerplate signal:
+    share of the doc's word-chunks that also occur in another doc
+    (functions/dedup.py line_dedup_stats; two hash-keyed shuffles)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.line_dedup_stats(_word_chunk_lines(d)).orderBy("doc_id")
+
+
+SQL_CHUNK_DUP_STATS = (
+    "WITH "
+    + _CHUNKS_SQL
+    + """,
+nd AS (SELECT line, count(DISTINCT doc_id) AS ndocs FROM lines GROUP BY line)
+SELECT l.doc_id, count(*) AS n_lines,
+       sum((nd.ndocs > 1)::BIGINT)::BIGINT AS dup_lines,
+       round(sum((nd.ndocs > 1)::BIGINT) / count(*), 4) AS dup_frac
+FROM lines l JOIN nd ON nd.line = l.line
+GROUP BY l.doc_id ORDER BY l.doc_id
+"""
+)
+
+
+def q_chunk_dedup_rewrite(spark, sf_dir):
+    """Corpus-wide first-occurrence line dedup with in-order document
+    reassembly (functions/dedup.py line_dedup_rewrite) — RefinedWeb's
+    repetition removal as a deterministic rewrite."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.line_dedup_rewrite(_word_chunk_lines(d)).orderBy("doc_id")
+
+
+SQL_CHUNK_DEDUP_REWRITE = (
+    "WITH "
+    + _CHUNKS_SQL
+    + """,
+r AS (SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+               AS rn
+      FROM lines)
+SELECT doc_id, count(*) AS n_kept,
+       string_agg(line, ' ' ORDER BY pos) AS dedup_text
+FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+"""
+)
+
+
 def q_simhash(spark, sf_dir):
     """32-bit SimHash signature per document."""
     d = _t(spark, sf_dir, "documents")
@@ -1577,6 +1658,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "chunk_dup_stats": (q_chunk_dup_stats, SQL_CHUNK_DUP_STATS),
+    "chunk_dedup_rewrite": (q_chunk_dedup_rewrite, SQL_CHUNK_DEDUP_REWRITE),
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ivf_topk": (q_ivf_topk, None),

@@ -12,7 +12,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from deepseek_ocr_spark.functions import pii as PII
-from deepseek_ocr_spark.functions.dedup import decontaminate
+from deepseek_ocr_spark.functions.dedup import (
+    decontaminate,
+    line_dedup_rewrite,
+    line_dedup_stats,
+)
 from deepseek_ocr_spark.functions.textstats import dup_ngram_fraction
 from deepseek_ocr_spark.operators.temporal import (
     asof_join,
@@ -264,3 +268,42 @@ def test_decontaminate_broadcasts_eval(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# -- line-level dedup (CCNet/RefinedWeb pass) -------------------------
+
+def _lines_df(spark):
+    # doc 1: [x, y]  doc 2: [y, z]  doc 3: [y]  -> y is the shared
+    # boilerplate line; x and z are unique body text.
+    return spark.createDataFrame(
+        [(1, 0, "x"), (1, 1, "y"), (2, 0, "y"), (2, 1, "z"), (3, 0, "y")],
+        "doc_id int, pos int, line string",
+    )
+
+
+def test_line_dedup_stats(spark):
+    got = {
+        r["doc_id"]: (r["n_lines"], r["dup_lines"], r["dup_frac"])
+        for r in line_dedup_stats(_lines_df(spark)).collect()
+    }
+    assert got == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (1, 1, 1.0)}
+
+
+def test_line_dedup_rewrite_first_occurrence_wins(spark):
+    got = {
+        r["doc_id"]: (r["n_kept"], r["dedup_text"])
+        for r in line_dedup_rewrite(_lines_df(spark)).collect()
+    }
+    # y survives only in doc 1 (smallest (doc_id, pos)); doc 3 had
+    # nothing but the duplicate, so it vanishes from the output.
+    assert got == {1: (2, "x y"), 2: (1, "z")}
+
+
+def test_line_dedup_rewrite_order_within_doc(spark):
+    df = spark.createDataFrame(
+        [(1, 2, "c"), (1, 0, "a"), (1, 1, "b")],
+        "doc_id int, pos int, line string",
+    )
+    assert (
+        line_dedup_rewrite(df).collect()[0]["dedup_text"] == "a b c"
+    )
