@@ -1,0 +1,131 @@
+"""Token-budget domain rebalancing (UniMax-family, Chung 2023).
+
+Web corpora are wildly skewed by source; training mixes cap each
+source at a token budget instead of sampling proportionally. Two
+pieces, both deterministic and integer-exact so the DuckDB oracle
+reproduces them bit-for-bit:
+
+* ``budget_allocations`` — exact water-filling over the per-source
+  token totals, in closed form: sort sources ascending by size; source
+  ``i`` is saturated iff ``T_i <= (B - P_i) DIV r_i`` (``P_i`` = sum of
+  all smaller sources, ``r_i`` = sources remaining including ``i``).
+  That test is self-consistent — if ``T_j > cap_j`` for some ``j < i``
+  then ``B - P_i <= B - P_j - (i-j)·T_j < T_j·(r_j - (i-j)) <=
+  T_i·r_i``, so an unsaturated source can never be followed by a
+  saturated one and the saturated set is a prefix. Every unsaturated
+  source then gets the common level ``(B - S) DIV U`` (``S`` = tokens
+  of the saturated prefix, ``U`` = unsaturated count), clamped at 0.
+  Pure integer arithmetic — no float normalization whose last-bit
+  rounding could differ across engines; up to ``U-1`` remainder tokens
+  of the budget stay unassigned (integer floor). The frame is
+  dimension-sized (one row per source), so the unpartitioned windows
+  are a few KB on one task.
+
+* ``hash_budget_sample`` — picks documents WITHOUT any per-source
+  sort: keep a doc iff ``h * t_tokens < alloc_tokens * 2^52`` with
+  ``h`` = first 13 md5 hex chars of the id (52 bits). That is the
+  exact integer form of ``h/2^52 < alloc/total`` — cross-multiplied in
+  decimal(38,0) so there is no float boundary; products stay under
+  1e30 even at 10^14 tokens per source. The filter is a broadcast
+  join + scan predicate: zero extra shuffles, embarrassingly parallel,
+  hits the budget in expectation (a greedy exact prefix would need a
+  per-source global sort — the skew bottleneck this avoids). Saturated
+  sources (alloc == total) keep every doc since h < 2^52 always.
+
+The reference has no sampling stage (it is a per-request OCR service);
+this is part of the training-data-pipeline surface the engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HASH_BITS = 52
+HASH_SCALE = 1 << HASH_BITS  # 4503599627370496
+
+
+def budget_allocations(
+    df: DataFrame,
+    group_col: str,
+    ntok_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-group token allocations: (group, t_tokens, alloc_tokens)."""
+    tot = df.groupBy(group_col).agg(
+        F.sum(ntok_col).cast("bigint").alias("t_tokens")
+    )
+    w = Window.orderBy("t_tokens", group_col)
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    prefix = F.sum("t_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    idx = F.row_number().over(w) - 1
+    ngroups = F.count("*").over(whole)
+    staged = tot.select(
+        group_col,
+        "t_tokens",
+        (F.lit(int(budget)).cast("bigint") - F.coalesce(prefix, F.lit(0)))
+        .cast("bigint")
+        .alias("__rem"),
+        (ngroups - idx).cast("bigint").alias("__slots"),
+    ).withColumn(
+        "__sat", F.col("t_tokens") <= F.expr("__rem DIV __slots")
+    )
+    leveled = staged.select(
+        group_col,
+        "t_tokens",
+        "__sat",
+        (
+            F.lit(int(budget)).cast("bigint")
+            - F.sum(
+                F.when(F.col("__sat"), F.col("t_tokens")).otherwise(0)
+            ).over(whole)
+        ).alias("__left"),
+        F.sum(F.when(F.col("__sat"), 0).otherwise(1))
+        .over(whole)
+        .cast("bigint")
+        .alias("__unsat"),
+    )
+    return leveled.select(
+        group_col,
+        "t_tokens",
+        F.when(F.col("__sat"), F.col("t_tokens"))
+        .otherwise(
+            F.greatest(
+                F.lit(0).cast("bigint"), F.expr("__left DIV __unsat")
+            )
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    )
+
+
+def doc_hash52(id_col) -> F.Column:
+    """First 52 bits of md5(id) as a bigint — the same value DuckDB
+    gets from ``('0x' || substr(md5(id::VARCHAR), 1, 13))::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+
+
+def hash_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    ntok_col: str,
+    budget: int,
+) -> DataFrame:
+    """Rows of ``df`` sampled to the per-group budget, plus the
+    ``t_tokens`` / ``alloc_tokens`` columns from the allocation."""
+    alloc = budget_allocations(df, group_col, ntok_col, budget)
+    joined = df.join(F.broadcast(alloc), group_col)
+    keep = doc_hash52(id_col).cast("decimal(38,0)") * F.col(
+        "t_tokens"
+    ).cast("decimal(38,0)") < F.col("alloc_tokens").cast(
+        "decimal(38,0)"
+    ) * F.lit(HASH_SCALE).cast("decimal(38,0)")
+    return joined.filter(keep)

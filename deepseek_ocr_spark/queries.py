@@ -1617,6 +1617,88 @@ SELECT source, count(*) AS n_docs,
 FROM documents GROUP BY source
 """
 
+# ~92% of the sf0.01 corpus: small sources saturate (keep everything),
+# large ones sample — both branches of the water-fill exercised.
+_REBALANCE_BUDGET = 25_000
+
+
+def q_domain_rebalance(spark, sf_dir):
+    """UniMax-style token-budget rebalancing: integer water-fill
+    allocation per source + deterministic hash-threshold doc sampling
+    (functions/sampling.py) — reported as a per-source funnel."""
+    from deepseek_ocr_spark.functions import sampling as SMP
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", TS.token_count(F.col("text")).alias("n_tok")
+    )
+    alloc = SMP.budget_allocations(d, "source", "n_tok", _REBALANCE_BUDGET)
+    kept = SMP.hash_budget_sample(
+        d, "source", "doc_id", "n_tok", _REBALANCE_BUDGET
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("n_tok").cast("bigint").alias("kept_tokens"),
+    )
+    return (
+        alloc.join(kept_agg, "source", "left")
+        .select(
+            "source",
+            "t_tokens",
+            "alloc_tokens",
+            F.coalesce("kept_docs", F.lit(0)).cast("bigint").alias(
+                "kept_docs"
+            ),
+            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOMAIN_REBALANCE = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+'))
+         END AS n_tok
+  FROM documents
+), tot AS (
+  SELECT source, sum(n_tok)::BIGINT AS t_tokens FROM tok GROUP BY source
+), capped AS (
+  SELECT source, t_tokens,
+         t_tokens <= ({_REBALANCE_BUDGET}::BIGINT
+            - coalesce(sum(t_tokens) OVER (
+                ORDER BY t_tokens, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+           // (count(*) OVER ()
+               - (row_number() OVER (ORDER BY t_tokens, source) - 1))
+           AS sat
+  FROM tot
+), al AS (
+  SELECT source, t_tokens,
+         (CASE WHEN sat THEN t_tokens
+               ELSE greatest(0::BIGINT,
+                 ({_REBALANCE_BUDGET}::BIGINT
+                  - sum(CASE WHEN sat THEN t_tokens ELSE 0 END) OVER ())
+                 // nullif(sum(CASE WHEN sat THEN 0 ELSE 1 END) OVER (), 0))
+          END)::BIGINT AS alloc_tokens
+  FROM capped
+), k AS (
+  SELECT t.source, t.doc_id, t.n_tok
+  FROM tok t JOIN al ON al.source = t.source
+  WHERE ('0x' || substr(md5(t.doc_id::VARCHAR), 1, 13))::BIGINT::HUGEINT
+          * al.t_tokens
+        < al.alloc_tokens::HUGEINT * 4503599627370496
+)
+SELECT al.source, al.t_tokens, al.alloc_tokens,
+       count(k.doc_id)::BIGINT AS kept_docs,
+       coalesce(sum(k.n_tok), 0)::BIGINT AS kept_tokens
+FROM al LEFT JOIN k ON k.source = al.source
+GROUP BY al.source, al.t_tokens, al.alloc_tokens
+ORDER BY al.source
+"""
+
 
 # --------------------------------------------------------------------
 # registry
@@ -1684,4 +1766,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),
+    "domain_rebalance": (q_domain_rebalance, SQL_DOMAIN_REBALANCE),
 }

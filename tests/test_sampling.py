@@ -1,0 +1,86 @@
+"""Water-filling allocation + hash-threshold sampling semantics
+(functions/sampling.py). The oracle gate cross-checks the full
+domain_rebalance query against DuckDB; these pin the closed-form
+water-fill against hand-computed exact solutions and the sampler's
+guarantees (saturated keeps all, zero-alloc keeps none)."""
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.sampling import (
+    budget_allocations,
+    hash_budget_sample,
+)
+
+
+def _docs(spark, spec):
+    # spec: {group: [token counts]} -> one row per doc
+    rows, i = [], 0
+    for g, toks in spec.items():
+        for t in toks:
+            rows.append((i, g, t))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, src string, n_tok long")
+
+
+def _alloc(spark, spec, budget):
+    d = _docs(spark, spec)
+    return {
+        r["src"]: (r["t_tokens"], r["alloc_tokens"])
+        for r in budget_allocations(d, "src", "n_tok", budget).collect()
+    }
+
+
+def test_waterfill_exact_mixed(spark):
+    # totals A=10 B=100 C=1000, budget 60: exact water level is 25 —
+    # A saturates, B and C share (B - 10) // 2 = 25 each. The naive
+    # progressive fill would give C only max(0, (60-110)//1) = 0.
+    got = _alloc(spark, {"A": [10], "B": [100], "C": [500, 500]}, 60)
+    assert got == {"A": (10, 10), "B": (100, 25), "C": (1000, 25)}
+
+
+def test_waterfill_all_saturate(spark):
+    got = _alloc(spark, {"A": [10], "B": [20]}, 1000)
+    assert got == {"A": (10, 10), "B": (20, 20)}
+
+
+def test_waterfill_zero_budget(spark):
+    got = _alloc(spark, {"A": [10], "B": [20]}, 0)
+    assert got == {"A": (10, 0), "B": (20, 0)}
+
+
+def test_waterfill_integer_remainder(spark):
+    # budget 7 over two equal unsaturated sources: 3 each, 1 leftover.
+    got = _alloc(spark, {"A": [100], "B": [100]}, 7)
+    assert got == {"A": (100, 3), "B": (100, 3)}
+
+
+def test_sample_saturated_keeps_all_zero_keeps_none(spark):
+    d = _docs(spark, {"A": [5] * 40, "B": [5] * 40})
+    # budget 200: A saturates at 200? no — both 200 total; level 100
+    # each -> both sample ~half. Use asymmetric budget checks instead:
+    kept_all = hash_budget_sample(d, "src", "doc_id", "n_tok", 10_000)
+    assert kept_all.count() == 80  # budget >= total: every doc kept
+    kept_none = hash_budget_sample(d, "src", "doc_id", "n_tok", 0)
+    assert kept_none.count() == 0
+
+
+def test_sample_hits_budget_in_expectation(spark):
+    d = _docs(spark, {"A": [10] * 100})
+    kept = hash_budget_sample(d, "src", "doc_id", "n_tok", 500)
+    n = kept.count()
+    # alloc = 500 of 1000 tokens -> p = 0.5; md5 is uniform, 100 draws.
+    assert 30 <= n <= 70
+    # determinism: same inputs, same rows.
+    again = hash_budget_sample(d, "src", "doc_id", "n_tok", 500)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_sample_broadcasts_allocation(spark):
+    d = _docs(spark, {"A": [10] * 10, "B": [10] * 10})
+    plan = (
+        hash_budget_sample(d, "src", "doc_id", "n_tok", 100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
