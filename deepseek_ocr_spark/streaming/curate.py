@@ -1,0 +1,119 @@
+"""Streaming curation: the stateless cleaning projections (PII scrub,
+quality/repetition signals) and the train/eval decontamination join,
+run incrementally over document files as they land.
+
+Both are safe in a stream by construction:
+
+* PII scrub / quality / repetition are pure per-row column
+  expressions — the SAME Columns the batch queries use
+  (functions/pii.py, functions/textstats.py), so batch and stream
+  emit byte-identical rows for the same input file.
+* Decontamination is a stream-static join: the eval-set k-gram frame
+  is a static (batch) DataFrame, tiny by definition, and Spark
+  broadcasts it into every micro-batch — no state store, no
+  watermark, exactly the plan the batch pass uses
+  (functions/dedup.py:decontaminate).
+
+The file-source checkpoint gives exactly-once per document file, the
+same resume contract as the extraction drain (streaming/stream.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions import pii as PII
+from deepseek_ocr_spark.functions import textstats as TS
+from deepseek_ocr_spark.functions.dedup import shingles_col
+
+DOCS_SPARK_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_docs_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema: str = DOCS_SPARK_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of documents rows."""
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.parquet(input_path)
+
+
+def curate_stream(docs: DataFrame, eval_df: DataFrame | None = None,
+                  k: int = 8) -> DataFrame:
+    """Stateless curation projection over a (streaming or batch)
+    documents frame; identical output either way.
+
+    Emits the scrubbed text plus the per-doc signals downstream gates
+    filter on. When ``eval_df`` (static) is given, ``n_shared_eval``
+    counts word ``k``-grams the doc shares with the eval set (0 = not
+    contaminated) via a broadcast stream-static semi-join — the
+    aggregate-free formulation of decontaminate(), because streaming
+    can't groupBy without state; ``array_size ∘ array_intersect`` on
+    the doc's own shingles gives the same count per row.
+    """
+    ne, ni, np_ = PII.pii_counts(F.col("text"))
+    cols = [
+        "doc_id",
+        "source",
+        "lang",
+        PII.scrub_pii(F.col("text")).alias("clean_text"),
+        ne.alias("n_emails"),
+        ni.alias("n_ips"),
+        np_.alias("n_phones"),
+        TS.token_count(F.col("text")).alias("n_tokens"),
+        TS.quality_score(F.col("text")).alias("quality"),
+        F.round(TS.dup_ngram_fraction(F.col("text")), 4).alias("dup3_frac"),
+    ]
+    base = docs
+    if eval_df is not None:
+        ev = (
+            eval_df.select(
+                F.explode(shingles_col(F.col("text"), k)).alias("sh")
+            )
+            .distinct()
+            .agg(F.collect_set("sh").alias("ev_set"))
+        )
+        # raw text, like the batch decontaminate — scrubbing must not
+        # mask a benchmark leak.
+        base = docs.join(F.broadcast(ev))
+        cols.append(
+            F.array_size(
+                F.array_intersect(
+                    F.array_distinct(shingles_col(F.col("text"), k)),
+                    F.col("ev_set"),
+                )
+            ).alias("n_shared_eval")
+        )
+    return base.select(*cols)
+
+
+def run_curate_stream_drain(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    eval_df: DataFrame | None = None,
+    timeout_secs: float | None = None,
+) -> None:
+    """Drain every document file currently in ``input_path`` exactly
+    once through the curation projection (incremental delivery: a
+    re-invocation picks up only newly landed files)."""
+    docs = read_docs_stream(spark, input_path)
+    out = curate_stream(docs, eval_df=eval_df)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_secs)
+    if q.isActive:
+        q.stop()

@@ -211,3 +211,98 @@ def test_warc_stream_drain_incremental(spark, tmp_path):
     assert len(rows) == 20  # old files NOT reprocessed (no dups)
     urls = {r["url"] for r in rows}
     assert {p["url"] for p in pages} == urls
+
+
+def test_curate_stream_matches_batch_and_resumes(spark, tmp_path):
+    """Streaming curation twin: identical rows to the batch projection
+    on the same files, exactly-once on re-drain, and the stream-static
+    decontamination join agrees with the batch decontaminate() agg."""
+    from deepseek_ocr_spark.functions.dedup import decontaminate
+    from deepseek_ocr_spark.streaming.curate import (
+        curate_stream,
+        run_curate_stream_drain,
+    )
+
+    inp = tmp_path / "docs_in"
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp)
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _docs_pa = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    _cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def write_docs_file(rows, path):
+        # the file stream globs FILES in inp, not spark output dirs
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(rows, columns=_cols),
+                schema=_docs_pa, preserve_index=False,
+            ),
+            path,
+        )
+
+    def docs_df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    rows1 = [
+        (1, f"intro words {leak} mail me a@b.co", "en", "s1", 40),
+        (2, "clean body text with no pii at all here", "en", "s1", 40),
+    ]
+    batch1 = docs_df(rows1)
+    write_docs_file(rows1, str(inp / "f1.parquet"))
+    eval_df = docs_df([(100, leak + " trailing benchmark words", "en", "ev", 40)])
+
+    run_curate_stream_drain(
+        spark, str(inp), out, ckpt, eval_df=eval_df, timeout_secs=120
+    )
+    got1 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(got1) == 2
+    assert got1[1]["n_emails"] == 1 and "<EMAIL>" in got1[1]["clean_text"]
+    assert got1[2]["n_emails"] == 0
+
+    # stream twin == batch projection, row for row.
+    batch_rows = {
+        r["doc_id"]: r
+        for r in curate_stream(batch1, eval_df=eval_df).collect()
+    }
+    for did, row in got1.items():
+        assert row.asDict() == batch_rows[did].asDict(), did
+
+    # stream-static overlap count == batch decontaminate() for the
+    # contaminated doc; clean doc reports 0 instead of being absent.
+    dec = {
+        r["doc_id"]: r["n_shared_eval"]
+        for r in decontaminate(
+            batch1, eval_df.select("text"), "doc_id", "text", k=8
+        ).withColumnRenamed("n_shared", "n_shared_eval").collect()
+    }
+    assert got1[1]["n_shared_eval"] == dec[1] > 0
+    assert 2 not in dec and got1[2]["n_shared_eval"] == 0
+
+    # exactly-once resume: second file only.
+    write_docs_file(
+        [(3, "later arrival doc body", "en", "s2", 22)],
+        str(inp / "f2.parquet"),
+    )
+    run_curate_stream_drain(
+        spark, str(inp), out, ckpt, eval_df=eval_df, timeout_secs=120
+    )
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 3]
