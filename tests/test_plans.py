@@ -167,3 +167,29 @@ def test_columnar_batch_rows_row_width_aware(pages_path):
     assert 128 <= wide < 4096
     narrow = suggest_columnar_batch_rows(f"{SF}/lineitem.parquet")
     assert narrow == 4096
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The union-and-window as-of formulation costs exactly ONE
+    Exchange (hash by key) — tolerance and LEFT semantics must not
+    add a join or a second shuffle."""
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    df = REGISTRY["asof_join_left_tol"][0](spark, SF)
+    plan = plan_of(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan
+
+
+def test_rebalance_doc_scan_is_shuffle_free(spark):
+    """hash_budget_sample's doc-side path: the per-doc keep predicate
+    is a broadcast join + scan filter; only the dimension-sized
+    allocation frame (one row per source) may shuffle."""
+    from deepseek_ocr_spark.functions import sampling as SMP
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", F.length("text").alias("n_tok")
+    )
+    plan = plan_of(SMP.hash_budget_sample(d, "source", "doc_id", "n_tok", 1000))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
