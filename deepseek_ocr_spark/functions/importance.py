@@ -1,0 +1,140 @@
+"""DSIR-style hashed-token importance weights (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+Given a raw corpus and a target slice (e.g. the docs whose ``lang``
+matches the training target), DSIR scores every raw document by the
+log-likelihood ratio of its hashed token features under the target
+vs the raw unigram distributions, then keeps the highest-importance
+documents. This is the data-SELECTION pass of a curation funnel —
+where dedup removes redundancy, importance resampling shifts the
+mix toward the target domain.
+
+The reference has no selection stage (it is a per-request OCR
+service, DeepSeek-OCR-master/api/vllm_service.py); this belongs to
+the training-data-pipeline surface the engine adds.
+
+Scale shape (the part that must hold at 10^12 docs):
+
+* tokens are hashed into ``N_BUCKETS`` buckets, so both distribution
+  estimates are bounded frames of exactly ``N_BUCKETS`` rows no matter
+  the corpus size — their aggregation is map-side partial over one
+  linear token scan, shuffling only bucket-keyed partial counts;
+* the per-bucket log-ratio table is broadcast back onto the token
+  stream (a 4096-row dimension — never a corpus-sized shuffle);
+* the final per-doc sum is the only doc-keyed shuffle, with partial
+  aggregation; nothing in the plan is quadratic and nothing collects.
+
+Determinism across engines (the DuckDB oracle must hash-match):
+
+* the log-likelihood ratio uses a FIXED 9th-order odd-power series of
+  ``atanh`` — ``ln r = 2·atanh(z)``, ``z = (r-1)/(r+1)`` — composed
+  ONLY of +, −, ×, ÷, which IEEE 754 defines as correctly rounded, so
+  two engines evaluating the same expression tree on the same doubles
+  produce the same bits (a real ``ln()`` is a libm call with no such
+  guarantee). The expression STRINGS below are shared verbatim with
+  the SQL twin, pinning the tree shape.
+* the truncated series is exact at r=1, sign-correct and strictly
+  monotone in r everywhere (odd series, positive coefficients), and
+  within 1.2% of ln for r ∈ [1/8, 8]; for extreme ratios it compresses
+  toward zero relative to true ln — a documented, deterministic
+  surrogate, not an approximation bug. Smoothing (+1 per bucket)
+  bounds r away from 0/∞.
+* per-bucket values are floored into 1e-6 fixed-point BIGINTs before
+  the per-doc sum, so the aggregate is exact integer arithmetic —
+  immune to float summation-order drift across partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 4096
+
+# ---- expression fragments shared verbatim with the DuckDB oracle ----
+# Smoothed likelihood ratio of one bucket: columns c_t (target count),
+# c_r (raw count), n_t / n_r (total token counts). Laplace +1 keeps the
+# ratio finite; casts go through DOUBLE before multiplying so the
+# product can't overflow BIGINT at web scale.
+RATIO_SQL = (
+    "(CAST(c_t + 1 AS DOUBLE) * CAST(n_r + {b} AS DOUBLE)) / "
+    "(CAST(c_r + 1 AS DOUBLE) * CAST(n_t + {b} AS DOUBLE))"
+)
+Z_SQL = "(__r - 1) / (__r + 1)"
+Z2_SQL = "__z * __z"
+# 2·(z + z³/3 + z⁵/5 + z⁷/7 + z⁹/9) in 1e-6 fixed point.
+LR_FP_SQL = (
+    "CAST(FLOOR(2 * __z * (1 + __z2/3 + __z2*__z2/5 + __z2*__z2*__z2/7"
+    " + __z2*__z2*__z2*__z2/9) * 1000000) AS BIGINT)"
+)
+
+
+def hashed_tokens(
+    df: DataFrame, id_col: str, text_col: str, extra: list[str] | None = None,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """One row per whitespace token: (id, *extra, bucket). The same
+    lower/trim/``\\s+`` tokenization the SimHash and token-count
+    queries use, hashed into ``n_buckets`` via the md5-prefix trick
+    DuckDB reproduces exactly."""
+    tok = F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ).alias("__tok")
+    base = df.select(F.col(id_col), *[F.col(c) for c in (extra or [])], tok)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10)
+        .cast("bigint") % n_buckets
+    )
+    return base.select(
+        id_col, *(extra or []), bucket.alias("b")
+    )
+
+
+def bucket_logratios(
+    toks: DataFrame, target: Column, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """Per-bucket fixed-point log-likelihood ratios (b, lr_fp) of the
+    target vs raw hashed-unigram distributions. ``toks`` is a
+    ``hashed_tokens`` frame carrying the columns ``target`` reads;
+    the result is exactly ``n_buckets`` rows (broadcastable)."""
+    counts = toks.groupBy("b").agg(
+        F.count("*").alias("c_r"),
+        F.sum(target.cast("bigint")).alias("c_t"),
+    )
+    totals = counts.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("__r", F.expr(RATIO_SQL.format(b=n_buckets)))
+        .withColumn("__z", F.expr(Z_SQL))
+        .withColumn("__z2", F.expr(Z2_SQL))
+        .select("b", F.expr(LR_FP_SQL).alias("lr_fp"))
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Per-document DSIR importance weight: (id, n_toks, w_fp) where
+    ``w_fp`` is the summed per-token log-likelihood ratio in 1e-6
+    fixed point (positive = looks like the target slice). ``target``
+    is a boolean Column over ``df``'s columns selecting the target
+    docs whose token distribution defines the numerator."""
+    toks = hashed_tokens(
+        df.withColumn("__is_t", target), id_col, text_col, ["__is_t"],
+        n_buckets,
+    )
+    lr = bucket_logratios(toks, F.col("__is_t"), n_buckets)
+    return (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum("lr_fp").cast("bigint").alias("w_fp"),
+        )
+    )

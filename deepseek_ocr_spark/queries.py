@@ -1700,6 +1700,74 @@ ORDER BY al.source
 """
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (functions/importance.py): per-doc
+    summed log-likelihood ratio of hashed tokens under the target
+    (lang='en') vs raw unigram distributions, 1e-6 fixed point.
+    Bucket frames are N_BUCKETS-bounded; the log-ratio table is
+    broadcast onto the token stream — nothing corpus-quadratic."""
+    from deepseek_ocr_spark.functions import importance as IMP
+
+    d = _t(spark, sf_dir, "documents")
+    return IMP.importance_weights(
+        d, "doc_id", "text", F.col("lang") == "en"
+    ).orderBy("doc_id")
+
+
+def q_dsir_topk(spark, sf_dir):
+    """Selection step on top of the DSIR weights: the 50 most
+    target-like docs by fixed-point weight, deterministic tie-break
+    on doc_id."""
+    from deepseek_ocr_spark.functions import importance as IMP
+
+    d = _t(spark, sf_dir, "documents")
+    w = IMP.importance_weights(d, "doc_id", "text", F.col("lang") == "en")
+    return w.orderBy(F.desc("w_fp"), "doc_id").limit(50)
+
+
+def _dsir_sql(select: str) -> str:
+    from deepseek_ocr_spark.functions import importance as IMP
+
+    b = IMP.N_BUCKETS
+    return f"""
+WITH t AS (
+  SELECT doc_id, (lang = 'en') AS __is_t,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), bk AS (
+  SELECT doc_id, __is_t,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % {b} AS b
+  FROM t
+), c AS (
+  SELECT b, count(*) AS c_r, sum(__is_t::BIGINT) AS c_t
+  FROM bk GROUP BY b
+), n AS (
+  SELECT sum(c_r)::BIGINT AS n_r, sum(c_t)::BIGINT AS n_t FROM c
+), r1 AS (
+  SELECT b, {IMP.RATIO_SQL.format(b=b)} AS __r FROM c, n
+), r2 AS (
+  SELECT b, {IMP.Z_SQL} AS __z FROM r1
+), r3 AS (
+  SELECT b, __z, {IMP.Z2_SQL} AS __z2 FROM r2
+), lr AS (
+  SELECT b, {IMP.LR_FP_SQL} AS lr_fp FROM r3
+), w AS (
+  SELECT bk.doc_id, count(*)::BIGINT AS n_toks,
+         sum(lr.lr_fp)::BIGINT AS w_fp
+  FROM bk JOIN lr USING (b) GROUP BY bk.doc_id
+)
+{select}
+"""
+
+
+SQL_DSIR_WEIGHTS = _dsir_sql(
+    "SELECT doc_id, n_toks, w_fp FROM w ORDER BY doc_id"
+)
+SQL_DSIR_TOPK = _dsir_sql(
+    "SELECT doc_id, n_toks, w_fp FROM w ORDER BY w_fp DESC, doc_id LIMIT 50"
+)
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -1767,4 +1835,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),
     "domain_rebalance": (q_domain_rebalance, SQL_DOMAIN_REBALANCE),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "dsir_topk": (q_dsir_topk, SQL_DSIR_TOPK),
 }

@@ -1,0 +1,95 @@
+"""DSIR importance-weight tests: surrogate-log math (pure Python),
+weight semantics on a hand corpus, and the scale-shape plan assert."""
+
+import math
+import re
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions import importance as IMP
+
+
+def _surrogate(r: float) -> float:
+    """The shared expression fragments evaluated in Python — same
+    IEEE double ops, so this IS the number both engines compute."""
+    z = (r - 1) / (r + 1)
+    z2 = z * z
+    return math.floor(
+        2 * z * (1 + z2 / 3 + z2 * z2 / 5 + z2 * z2 * z2 / 7
+                 + z2 * z2 * z2 * z2 / 9) * 1000000
+    )
+
+
+def test_surrogate_sign_zero_and_monotone():
+    assert _surrogate(1.0) == 0
+    assert _surrogate(2.0) > 0 > _surrogate(0.5)
+    rs = [0.01, 0.1, 0.5, 0.9, 1.0, 1.1, 2.0, 8.0, 100.0]
+    vals = [_surrogate(r) for r in rs]
+    assert vals == sorted(vals)
+    # odd symmetry of atanh: surrogate(1/r) ≈ -surrogate(r)
+    assert abs(_surrogate(4.0) + _surrogate(0.25)) <= 1
+
+
+def test_surrogate_tracks_ln_in_moderate_range():
+    for r in [0.125, 0.3, 0.7, 1.5, 3.0, 8.0]:
+        approx = _surrogate(r) / 1e6
+        assert abs(approx - math.log(r)) <= 0.012 * max(1.0, abs(math.log(r)))
+
+
+def test_importance_weights_separate_target_tokens(spark):
+    # Target (en) docs speak w0/w1, raw-only (fr) docs speak w2/w3; a
+    # doc of target-favored tokens must score positive, a raw-only doc
+    # negative, and w_fp must be the exact fixed-point bucket sum.
+    # n_buckets=16 keeps Laplace smoothing proportionate to the tiny
+    # corpus; w0..w3 md5-hash into four DISTINCT buckets at B=16.
+    B = 16
+    rows = (
+        [(i, "w0 w1", "en") for i in range(5)]
+        + [(i + 5, "w2 w3", "fr") for i in range(5)]
+        + [(10, "w0 w0 w0", "fr"), (11, "w2 w2 w2", "fr")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = {
+        r["doc_id"]: r["w_fp"]
+        for r in IMP.importance_weights(
+            df, "doc_id", "text", F.col("lang") == "en", n_buckets=B
+        ).collect()
+    }
+    assert w[11] < 0 < w[10]      # target-token doc + / raw-token doc -
+    assert w[5] < 0 < w[0]        # pure-target doc + / pure-raw doc -
+    assert w[0] > w[10]           # w1 is exclusively-target, w0 shared
+    # fixed-point exactness: doc 10 = 3 identical tokens, so its
+    # weight is exactly 3x the per-bucket value.
+    lr = {
+        r["b"]: r["lr_fp"]
+        for r in IMP.bucket_logratios(
+            IMP.hashed_tokens(
+                df.withColumn("__is_t", F.col("lang") == "en"),
+                "doc_id", "text", ["__is_t"], n_buckets=B,
+            ),
+            F.col("__is_t"),
+            n_buckets=B,
+        ).collect()
+    }
+    w0_b = IMP.hashed_tokens(
+        spark.createDataFrame([(0, "w0")], "doc_id long, text string"),
+        "doc_id", "text", n_buckets=B,
+    ).collect()[0]["b"]
+    assert w[10] == 3 * lr[w0_b]
+
+
+def test_dsir_plan_is_broadcast_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3}", "en" if i % 2 else "fr")
+         for i in range(64)],
+        "doc_id long, text string, lang string",
+    )
+    plan = (
+        IMP.importance_weights(df, "doc_id", "text", F.col("lang") == "en")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the lr table reaches the token stream by broadcast, and the only
+    # nested-loop is the 1-row totals attach on the bucket dimension
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 1
