@@ -56,7 +56,17 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def words_col(text_col):
-    return F.split(F.lower(F.trim(text_col)), r"\s+")
+    from deepseek_ocr_spark.functions.textstats import TOKEN_SPLIT_RE
+
+    return F.split(F.lower(F.trim(text_col)), TOKEN_SPLIT_RE)
+
+
+def md5_prefix_int(col, nhex: int):
+    """First ``nhex`` hex chars of md5 as a non-negative bigint — the
+    portable hash both engines compute identically; DuckDB twin:
+    ``('0x' || substr(md5(x), 1, nhex))::BIGINT``. ``nhex <= 15``
+    keeps the value under 2^60."""
+    return F.conv(F.substring(F.md5(col), 1, nhex), 16, 10).cast("bigint")
 
 
 def shingles_col(text_col, k: int = SHINGLE_K):

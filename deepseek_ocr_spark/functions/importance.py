@@ -17,7 +17,7 @@ Scale shape (the part that must hold at 10^12 docs):
 
 * tokens are hashed into ``N_BUCKETS`` buckets, so both distribution
   estimates are bounded frames of exactly ``N_BUCKETS`` rows no matter
-  the corpus size — their aggregation is map-side partial over one
+  the corpus size — their aggregation is map-side partial over a
   linear token scan, shuffling only bucket-keyed partial counts;
 * the per-bucket log-ratio table is broadcast back onto the token
   stream (a 4096-row dimension — never a corpus-sized shuffle);
@@ -49,6 +49,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from deepseek_ocr_spark.functions.dedup import md5_prefix_int, words_col
+
 N_BUCKETS = 4096
 
 # ---- expression fragments shared verbatim with the DuckDB oracle ----
@@ -74,19 +76,15 @@ def hashed_tokens(
     n_buckets: int = N_BUCKETS,
 ) -> DataFrame:
     """One row per whitespace token: (id, *extra, bucket). The same
-    lower/trim/``\\s+`` tokenization the SimHash and token-count
-    queries use, hashed into ``n_buckets`` via the md5-prefix trick
-    DuckDB reproduces exactly."""
-    tok = F.explode(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    ).alias("__tok")
+    ``words_col`` tokenization the SimHash and token-count queries
+    use, hashed into ``n_buckets`` via the md5-prefix trick DuckDB
+    reproduces exactly."""
+    tok = F.explode(words_col(F.col(text_col))).alias("__tok")
     base = df.select(F.col(id_col), *[F.col(c) for c in (extra or [])], tok)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10)
-        .cast("bigint") % n_buckets
-    )
     return base.select(
-        id_col, *(extra or []), bucket.alias("b")
+        id_col,
+        *(extra or []),
+        (md5_prefix_int(F.col("__tok"), 15) % n_buckets).alias("b"),
     )
 
 
@@ -119,16 +117,30 @@ def importance_weights(
     text_col: str,
     target: Column,
     n_buckets: int = N_BUCKETS,
+    persist_tokens: bool = False,
 ) -> DataFrame:
     """Per-document DSIR importance weight: (id, n_toks, w_fp) where
     ``w_fp`` is the summed per-token log-likelihood ratio in 1e-6
     fixed point (positive = looks like the target slice). ``target``
     is a boolean Column over ``df``'s columns selecting the target
-    docs whose token distribution defines the numerator."""
+    docs whose token distribution defines the numerator; NULLs (e.g.
+    a NULL lang) count as non-target — their tokens are raw evidence,
+    never silently dropped from the bucket counts.
+
+    The token subtree feeds both the bucket counts and the scoring
+    join; by default the two consumers recompute it concurrently (two
+    linear scans — the measured-cheaper shape at bench scale, see
+    BENCH.md on the Jaccard-confirm persist). ``persist_tokens=True``
+    caches it for corpora where one full scan dominates end-to-end
+    cost (the true 100 TB setting)."""
     toks = hashed_tokens(
-        df.withColumn("__is_t", target), id_col, text_col, ["__is_t"],
-        n_buckets,
+        df.withColumn(
+            "__is_t", F.coalesce(target.cast("boolean"), F.lit(False))
+        ),
+        id_col, text_col, ["__is_t"], n_buckets,
     )
+    if persist_tokens:
+        toks = toks.persist()
     lr = bucket_logratios(toks, F.col("__is_t"), n_buckets)
     return (
         toks.join(F.broadcast(lr), "b")

@@ -22,7 +22,11 @@ LANG_STOPWORD_RE = {
 }
 
 PUNCT_RE = r"[.,;:!?]"
-TOKEN_SPLIT_RE = r"\s+"
+# NOT \s+: Java regex \s includes \x0B (vertical tab) but RE2
+# (DuckDB/Go) \s does not, so a VT-bearing doc would tokenize
+# differently in Spark vs every SQL oracle twin. Spelling the class
+# out makes both engines split identical byte streams identically.
+TOKEN_SPLIT_RE = r"[ \t\n\x0B\f\r]+"
 
 
 def token_count(col: Column) -> Column:

@@ -580,7 +580,7 @@ def q_token_count(spark, sf_dir):
 SQL_TOKEN_COUNT = """
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+            ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens,
        length(text) AS n_chars_actual
 FROM documents
 """
@@ -639,7 +639,7 @@ SQL_PACK_SEQUENCES = """
 WITH t AS (
   SELECT source, doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens
   FROM documents
 ), c AS (
   SELECT source, doc_id, n_tokens,
@@ -693,7 +693,7 @@ SQL_QUALITY_SCORE = """
 WITH s AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS toks,
          length(text) AS chars,
          len(regexp_extract_all(text, '[.,;:!?]', 0)) AS n_punct
   FROM documents)
@@ -738,7 +738,7 @@ def q_fingerprint(spark, sf_dir):
 
 SQL_FINGERPRINT = """
 SELECT doc_id,
-       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+       md5(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
 FROM documents
 """
 
@@ -769,7 +769,7 @@ from deepseek_ocr_spark.functions import dedup as DD  # noqa: E402
 from deepseek_ocr_spark.functions import similarity as SIM  # noqa: E402
 
 _SHINGLES_SQL = """
-WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS l
            FROM documents),
 sh AS (SELECT doc_id,
               unnest(list_transform(range(1, len(l) - 1),
@@ -989,7 +989,7 @@ _SIMHASH_PACK = " + ".join(
 
 SQL_SIMHASH = f"""
 WITH t AS (SELECT doc_id,
-                  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                  unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
            FROM documents),
 h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th FROM t),
 v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id)
@@ -1300,7 +1300,7 @@ _BPE_SQL = TS.BPE_TOKEN_RE.replace("'", "''")
 SQL_TOKEN_COUNT_BPE = f"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+            ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS ws_tokens,
        len(regexp_extract_all(text, '{_BPE_SQL}')) AS bpe_tokens
 FROM documents
 """
@@ -1556,7 +1556,7 @@ def q_dup_ngram_fraction(spark, sf_dir):
 
 
 SQL_DUP_NGRAM_FRACTION = """
-WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS l
            FROM documents)
 SELECT doc_id,
        CASE WHEN len(l) >= 3 THEN
@@ -1581,7 +1581,7 @@ def q_decontaminate(spark, sf_dir):
 
 
 SQL_DECONTAMINATE = """
-WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS l
            FROM documents),
 sh AS (SELECT doc_id,
               unnest(list_transform(range(1, len(l) - 6),
@@ -1612,7 +1612,7 @@ SELECT source, count(*) AS n_docs,
        count(DISTINCT lang) AS n_langs,
        round(avg(n_chars), 2) AS avg_chars,
        sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\\s+'))
+                ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))
            END)::BIGINT AS total_tokens
 FROM documents GROUP BY source
 """
@@ -1660,7 +1660,7 @@ SQL_DOMAIN_REBALANCE = f"""
 WITH tok AS (
   SELECT doc_id, source,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+'))
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))
          END AS n_tok
   FROM documents
 ), tot AS (
@@ -1731,8 +1731,8 @@ def _dsir_sql(select: str) -> str:
     b = IMP.N_BUCKETS
     return f"""
 WITH t AS (
-  SELECT doc_id, (lang = 'en') AS __is_t,
-         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  SELECT doc_id, coalesce(lang = 'en', false) AS __is_t,
+         unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
   FROM documents
 ), bk AS (
   SELECT doc_id, __is_t,

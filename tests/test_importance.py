@@ -78,6 +78,30 @@ def test_importance_weights_separate_target_tokens(spark):
     assert w[10] == 3 * lr[w0_b]
 
 
+def test_tokenizer_class_is_engine_portable():
+    """Java \\s includes \\x0B, RE2 \\s does not — every SQL twin must
+    tokenize with the shared explicit class, or a vertical-tab doc
+    diverges between Spark and the oracle corpus-wide."""
+    import duckdb
+
+    from deepseek_ocr_spark.functions.textstats import TOKEN_SPLIT_RE
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    assert "\\s" not in TOKEN_SPLIT_RE and "\\x0B" in TOKEN_SPLIT_RE
+    for name, (_, sql) in REGISTRY.items():
+        if not sql:
+            continue
+        for m in re.finditer(r"string_split_regex\([^,]+,\s*'([^']*)'", sql):
+            assert m.group(1) == TOKEN_SPLIT_RE, (name, m.group(1))
+        assert r"'\s+'" not in sql, name
+    # the class itself splits VT in RE2 (DuckDB) — the bug \s+ had
+    got = duckdb.sql(
+        "select string_split_regex('a' || chr(11) || 'b', "
+        f"'{TOKEN_SPLIT_RE}')"
+    ).fetchone()[0]
+    assert got == ["a", "b"]
+
+
 def test_dsir_plan_is_broadcast_and_bounded(spark):
     df = spark.createDataFrame(
         [(i, f"tok{i % 7} tok{i % 3}", "en" if i % 2 else "fr")

@@ -193,3 +193,11 @@ def test_rebalance_doc_scan_is_shuffle_free(spark):
     plan = plan_of(SMP.hash_budget_sample(d, "source", "doc_id", "n_tok", 1000))
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # ZERO shuffles on the doc (streamed/left) side of the join: in the
+    # tree rendering the streamed subtree's lines carry the ':' gutter,
+    # so any Exchange there means the scan stopped feeding the join
+    # directly. The dimension subtree may keep its (bounded) exchanges.
+    streamed = [ln for ln in plan.splitlines() if ln.lstrip().startswith(":")]
+    assert streamed and not any("Exchange" in ln for ln in streamed), plan
+    assert len(re.findall(r"Exchange (hashpartitioning|SinglePartition)",
+                          plan)) <= 2, plan
