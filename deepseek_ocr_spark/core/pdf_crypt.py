@@ -320,10 +320,17 @@ class StdSecurityHandler:
     with an EMPTY user password. ``from_encrypt`` returns None for
     other handlers, unsupported /V, or a real user password."""
 
-    def __init__(self, file_key: bytes, v: int, stm_aes: bool):
+    def __init__(
+        self, file_key: bytes, v: int, stm_aes: bool,
+        stm_identity: bool = False,
+    ):
         self.file_key = file_key
         self.v = v
         self.stm_aes = stm_aes  # stream crypt filter is AES-CBC
+        # /StmF /Identity: streams are NOT encrypted (only strings
+        # and/or embedded files are) — decrypt() must pass them
+        # through untouched, never RC4 them.
+        self.stm_identity = stm_identity
 
     # -- construction ------------------------------------------------------
 
@@ -341,6 +348,7 @@ class StdSecurityHandler:
             if v == 1:
                 length_bits = 40
             stm_aes = False
+            stm_identity = False
             if v == 4:
                 cf = enc.get("CF")
                 stmf = _name(enc.get("StmF")) or "Identity"
@@ -349,12 +357,12 @@ class StdSecurityHandler:
                     f = cf[1].get(stmf)
                     if f and f[0] == "dict":
                         cfm = _name(f[1].get("CFM"))
-                if cfm == "AESV2":
+                if stmf == "Identity":
+                    stm_identity = True  # plaintext streams, no key use
+                elif cfm == "AESV2":
                     stm_aes = True
                     length_bits = 128
                 elif cfm == "V2":
-                    stm_aes = False
-                elif stmf == "Identity":
                     stm_aes = False
                 else:
                     return None  # unknown crypt filter
@@ -363,7 +371,7 @@ class StdSecurityHandler:
                             encrypt_metadata)
             if not _check_user_r234(key, u, id0, r):
                 return None  # non-empty user password
-            return StdSecurityHandler(key, v, stm_aes)
+            return StdSecurityHandler(key, v, stm_aes, stm_identity)
         if v == 5 and r in (5, 6):
             key = _retrieve_key_r56(b"", enc)
             if key is None:
@@ -386,6 +394,8 @@ class StdSecurityHandler:
         return h.digest()[:n]
 
     def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        if self.stm_identity:
+            return data
         key = self._object_key(num, gen)
         if self.stm_aes or self.v == 5:
             if len(data) < 16:

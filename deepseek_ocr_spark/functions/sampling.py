@@ -30,7 +30,9 @@ reproduces them bit-for-bit:
   join + scan predicate: zero extra shuffles, embarrassingly parallel,
   hits the budget in expectation (a greedy exact prefix would need a
   per-source global sort — the skew bottleneck this avoids). Saturated
-  sources (alloc == total) keep every doc since h < 2^52 always.
+  sources (alloc == total) keep every doc: the explicit ``alloc >= t``
+  clause guarantees it even for a zero-token source, where the
+  cross-multiplied test degenerates to ``0 < 0``.
 
 The reference has no sampling stage (it is a per-request OCR service);
 this is part of the training-data-pipeline surface the engine adds.
@@ -107,9 +109,9 @@ def budget_allocations(
 def doc_hash52(id_col) -> F.Column:
     """First 52 bits of md5(id) as a bigint — the same value DuckDB
     gets from ``('0x' || substr(md5(id::VARCHAR), 1, 13))::BIGINT``."""
-    return F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
-    ).cast("bigint")
+    from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+
+    return md5_prefix_int(F.col(id_col).cast("string"), 13)
 
 
 def hash_budget_sample(
@@ -123,9 +125,16 @@ def hash_budget_sample(
     ``t_tokens`` / ``alloc_tokens`` columns from the allocation."""
     alloc = budget_allocations(df, group_col, ntok_col, budget)
     joined = df.join(F.broadcast(alloc), group_col)
-    keep = doc_hash52(id_col).cast("decimal(38,0)") * F.col(
-        "t_tokens"
-    ).cast("decimal(38,0)") < F.col("alloc_tokens").cast(
-        "decimal(38,0)"
-    ) * F.lit(HASH_SCALE).cast("decimal(38,0)")
+    # the saturated clause is not redundant: a zero-token source has
+    # t_tokens = alloc_tokens = 0 and the cross-multiplied test reads
+    # 0 < 0 = false — without `alloc >= t` the whole source vanishes
+    # despite costing nothing against the budget.
+    keep = (
+        F.col("alloc_tokens") >= F.col("t_tokens")
+    ) | (
+        doc_hash52(id_col).cast("decimal(38,0)")
+        * F.col("t_tokens").cast("decimal(38,0)")
+        < F.col("alloc_tokens").cast("decimal(38,0)")
+        * F.lit(HASH_SCALE).cast("decimal(38,0)")
+    )
     return joined.filter(keep)

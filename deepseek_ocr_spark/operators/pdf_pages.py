@@ -98,6 +98,11 @@ def explode_pdf_pages(df: DataFrame) -> DataFrame:
                     marker(url, "invalid pdf")
                     continue
                 if not pages:
+                    # defensive: pdf_to_raw_pages currently raises on
+                    # zero pages, but IF it ever returned [], the
+                    # fused twin's merge_raw_pages([]) yields
+                    # n_pages == 0 → ("", "skipped_repeat") — which is
+                    # exactly what this marker maps to (MARKER_ROWS).
                     marker(url, "empty pdf")
                     continue
                 for i, raw in enumerate(pages):

@@ -128,21 +128,27 @@ def bucketed_range_join(
     key: str,
     left_ts: str,
     right_ts: str,
-    window: Column,
     window_seconds: int,
+    window: Column | None = None,
 ) -> DataFrame:
-    """Equi-join plan for ``right_ts IN (left_ts, left_ts + window]``
-    with the same ``key``.
+    """Equi-join plan for ``right_ts IN (left_ts, left_ts +
+    window_seconds]`` with the same ``key``.
 
-    ``window_seconds`` is the bin width (pass the same duration as
-    ``window``); each left row lands in its own bin plus the next one,
-    so every right row in range shares a (key, bin) with it. The exact
-    predicate is re-applied after the equi-join, so the bins only
-    affect the plan, never the result.
+    ``window_seconds`` alone defines BOTH the bin width and the exact
+    predicate's interval (derived internally), so the two can never
+    drift apart — a mismatched pair would silently drop cross-bin
+    matches. ``window`` remains as an override for sub-second or
+    calendar intervals; callers passing it own the invariant that it
+    never exceeds ``window_seconds``. Each left row lands in its own
+    bin plus the next one, so every right row in range shares a
+    (key, bin) with it; the exact predicate is re-applied after the
+    equi-join, so the bins only affect the plan, never the result.
 
     Columns of both inputs are preserved; ambiguous names must be
     disambiguated by the caller beforehand.
     """
+    if window is None:
+        window = F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
     # floor(), not cast("bigint"): the cast truncates toward zero, which
     # shifts every pre-1970 (negative-epoch) timestamp one bin up and
     # silently loses cross-bin matches in archival data.

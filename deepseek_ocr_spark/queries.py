@@ -1413,7 +1413,7 @@ def q_range_join_events(spark, sf_dir):
     )
     out = TEMP.bucketed_range_join(
         a, b, key="user_id", left_ts="ts_a", right_ts="ts_b",
-        window=F.expr("INTERVAL 30 MINUTES"), window_seconds=1800,
+        window_seconds=1800,
     )
     return out.select("user_id", "event_a", "event_b")
 
@@ -1687,7 +1687,8 @@ WITH tok AS (
 ), k AS (
   SELECT t.source, t.doc_id, t.n_tok
   FROM tok t JOIN al ON al.source = t.source
-  WHERE ('0x' || substr(md5(t.doc_id::VARCHAR), 1, 13))::BIGINT::HUGEINT
+  WHERE al.alloc_tokens >= al.t_tokens
+     OR ('0x' || substr(md5(t.doc_id::VARCHAR), 1, 13))::BIGINT::HUGEINT
           * al.t_tokens
         < al.alloc_tokens::HUGEINT * 4503599627370496
 )

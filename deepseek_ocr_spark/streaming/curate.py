@@ -69,7 +69,8 @@ def curate_stream(docs: DataFrame, eval_df: DataFrame | None = None,
         np_.alias("n_phones"),
         TS.token_count(F.col("text")).alias("n_tokens"),
         TS.quality_score(F.col("text")).alias("quality"),
-        F.round(TS.dup_ngram_fraction(F.col("text")), 4).alias("dup3_frac"),
+        # dup_ngram_fraction already rounds to 4 decimals
+        TS.dup_ngram_fraction(F.col("text")).alias("dup3_frac"),
     ]
     base = docs
     if eval_df is not None:
@@ -83,12 +84,18 @@ def curate_stream(docs: DataFrame, eval_df: DataFrame | None = None,
         # raw text, like the batch decontaminate — scrubbing must not
         # mask a benchmark leak.
         base = docs.join(F.broadcast(ev))
+        # coalesce: shingles_col is NULL under k words, and a short
+        # clean doc must read 0 (not NULL) or `n_shared_eval == 0`
+        # gates silently drop it.
         cols.append(
-            F.array_size(
-                F.array_intersect(
-                    F.array_distinct(shingles_col(F.col("text"), k)),
-                    F.col("ev_set"),
-                )
+            F.coalesce(
+                F.array_size(
+                    F.array_intersect(
+                        F.array_distinct(shingles_col(F.col("text"), k)),
+                        F.col("ev_set"),
+                    )
+                ),
+                F.lit(0),
             ).alias("n_shared_eval")
         )
     return base.select(*cols)

@@ -244,3 +244,24 @@ def test_fast_cbc_path_matches_pure_python():
         enc = aes_cbc_encrypt_nopad(key, iv, data)
         assert aes_cbc_decrypt_nopad(key, iv, enc) == data
         assert _cbc_pure_decrypt(key, iv, enc) == data
+
+
+def _v4_identity_pdf() -> bytes:
+    # /StmF /Identity: streams are PLAINTEXT (only strings would be
+    # encrypted); the handler must pass stream bytes through, never
+    # RC4 them with the derived key.
+    keylen = 16
+    o = _alg3_O(b"ownerpw", b"", keylen, r=4)
+    key = _alg2_key(b"", o, P, ID0, keylen, r=4)
+    u = _alg5_U(key, ID0)
+    enc_dict = (
+        b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P " + str(P).encode()
+        + b" /O <" + o.hex().encode() + b"> /U <" + u.hex().encode()
+        + b"> /CF << /StdCF << /CFM /V2 /Length 16 >> >> "
+        b"/StmF /Identity /StrF /StdCF >>"
+    )
+    return _pdf_shell(CONTENT, enc_dict, ID0)
+
+
+def test_v4_stmf_identity_streams_pass_through():
+    assert pages_text(_v4_identity_pdf()) == ["secret but owner-locked"]

@@ -84,3 +84,14 @@ def test_sample_broadcasts_allocation(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_sample_zero_token_source_is_kept(spark):
+    # A zero-token source is saturated by definition (alloc == t == 0)
+    # and costs nothing against the budget: the explicit alloc >= t
+    # clause must keep its docs even though h*0 < 0*2^52 is false.
+    d = _docs(spark, {"A": [5] * 40, "Z": [0] * 7})
+    kept = hash_budget_sample(d, "src", "doc_id", "n_tok", 10_000)
+    by_src = {r["src"]: r["n"] for r in
+              kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert by_src.get("Z") == 7 and by_src.get("A") == 40

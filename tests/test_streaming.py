@@ -306,3 +306,17 @@ def test_curate_stream_matches_batch_and_resumes(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 3
     assert sorted(r["doc_id"] for r in rows) == [1, 2, 3]
+
+
+def test_curate_short_doc_reads_zero_shared_not_null(spark):
+    # A clean doc under k words has NULL shingles; n_shared_eval must
+    # coalesce to 0 or `== 0` gates silently drop short clean docs.
+    from deepseek_ocr_spark.streaming.curate import curate_stream
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc", "en", "s", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ev = spark.createDataFrame([("a b c d e f g h i j",)], "text string")
+    row = curate_stream(docs, eval_df=ev).collect()[0]
+    assert row["n_shared_eval"] == 0

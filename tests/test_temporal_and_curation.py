@@ -131,8 +131,7 @@ def test_range_join_matches_naive(spark):
     got = sorted(
         (r["ea"], r["eb"])
         for r in bucketed_range_join(
-            a, b, "k", "ts_a", "ts_b",
-            F.expr("INTERVAL 10 MINUTES"), 600,
+            a, b, "k", "ts_a", "ts_b", 600,
         ).collect()
     )
     naive = sorted(
@@ -162,8 +161,7 @@ def test_range_join_boundaries(spark):
     pairs = sorted(
         (r["ea"], r["eb"])
         for r in bucketed_range_join(
-            a, b, "k", "ts_a", "ts_b",
-            F.expr("INTERVAL 30 MINUTES"), 1800,
+            a, b, "k", "ts_a", "ts_b", 1800,
         ).collect()
     )
     assert pairs == [(1, 2), (2, 3), (4, 2)]
@@ -185,8 +183,7 @@ def test_range_join_pre_epoch(spark):
     pairs = sorted(
         (r["ea"], r["eb"])
         for r in bucketed_range_join(
-            a, b, "k", "ts_a", "ts_b",
-            F.expr("INTERVAL 30 MINUTES"), 1800,
+            a, b, "k", "ts_a", "ts_b", 1800,
         ).collect()
     )
     assert pairs == [(1, 2), (1, 3), (3, 2)]
