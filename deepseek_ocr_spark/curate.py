@@ -10,6 +10,8 @@ entirely from this repo's operators:
           → near-dup dedup (MinHash-LSH candidate pairs → drop the
             higher doc of each confirmed pair)
           → quality gate (min tokens, min quality)
+          → optional domain token rebalancing (water-fill + hash
+            sampling) and DSIR importance gate (target-language mix)
           → curated corpus + per-stage funnel counts
 
 Everything JVM-side after the extract UDF; the dedup joins are the
@@ -123,15 +125,64 @@ def lang_gate(docs: DataFrame, keep: tuple[str, ...] | None) -> DataFrame:
     return docs.filter(F.col("lang_guess").isin(list(keep)))
 
 
+def rebalance_gate(docs: DataFrame, token_budget: int) -> DataFrame:
+    """UniMax-style per-domain token rebalancing on the curated frame:
+    water-fill ``token_budget`` across registrable domains, then
+    hash-threshold sample each domain to its allocation
+    (functions/sampling.py — broadcast join + scan predicate, zero
+    extra shuffles over the doc table)."""
+    from deepseek_ocr_spark.functions import sampling as SMP
+    from deepseek_ocr_spark.functions import urls as U
+
+    with_dom = docs.withColumn("_domain", U.domain_col(F.col("url")))
+    return SMP.hash_budget_sample(
+        with_dom, "_domain", "url", "n_tokens", token_budget
+    ).drop("_domain", "t_tokens", "alloc_tokens")
+
+
+def dsir_gate(
+    docs: DataFrame,
+    target,
+    min_w_fp: int = 0,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """DSIR importance gate: keep docs whose hashed-token distribution
+    looks MORE like the ``target`` slice (a boolean Column over
+    ``docs``) than the raw corpus — summed log-likelihood ratio above
+    ``min_w_fp``; functions/importance.py. The selection pass after
+    dedup: shifts the mix toward the target without a per-doc
+    classifier.
+
+    Raises ``ValueError`` if no doc satisfies ``target``: with an
+    empty target slice every bucket ratio is a pure smoothing
+    artifact and the gate would emit deterministic nonsense."""
+    from deepseek_ocr_spark.functions import importance as IMP
+
+    if docs.filter(target).limit(1).count() == 0:
+        raise ValueError("dsir_gate: target slice is empty")
+    kw = {} if n_buckets is None else {"n_buckets": n_buckets}
+    w = IMP.importance_weights(docs, "url", "text", target, **kw).filter(
+        F.col("w_fp") > min_w_fp
+    )
+    return docs.join(w.select("url"), "url", "left_semi")
+
+
 def curate(
     pages: DataFrame,
     parallelism: int | None = None,
     languages: tuple[str, ...] | None = None,
+    domain_token_budget: int | None = None,
+    dsir_target_langs: tuple[str, ...] | None = None,
 ) -> tuple[DataFrame, dict]:
     """pages → (curated corpus DataFrame, funnel counts).
 
+    Optional selection stages after the quality gate:
+    ``domain_token_budget`` rebalances the per-domain token mix
+    (water-fill + hash sampling), ``dsir_target_langs`` keeps only
+    docs with positive DSIR importance toward those languages.
+
     The enriched frame is persisted: the extract UDF (the expensive
-    stage) runs once, and the four funnel counts plus the caller's
+    stage) runs once, and the funnel counts plus the caller's
     eventual materialization of ``final`` all reuse it. Caller may
     ``final.sparkSession.catalog.clearCache()`` when done.
     """
@@ -151,6 +202,22 @@ def curate(
         "after_neardup": near.count(),
         "curated": final.count(),
     }
+    if domain_token_budget is not None:
+        final = rebalance_gate(final, domain_token_budget)
+        funnel["after_rebalance"] = final.count()
+    if dsir_target_langs:
+        pred = F.col("lang_guess").isin(list(dsir_target_langs))
+        try:
+            final = dsir_gate(final, pred)
+            funnel["after_dsir"] = final.count()
+        except ValueError:
+            # no doc guesses a target language: applying the gate
+            # would keep smoothing noise — skip it LOUDLY instead.
+            funnel["dsir_skipped_empty_target"] = 1
+            print(
+                "[curate] DSIR gate skipped: no doc matches target "
+                f"languages {dsir_target_langs}"
+            )
     # Surface the LSH mega-bucket cap (no silent truncation): rows
     # that sat in over-cap band buckets and the largest bucket seen.
     try:

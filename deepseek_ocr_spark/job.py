@@ -68,6 +68,20 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "(e.g. 'en,de'); default keeps all",
     )
     p.add_argument(
+        "--domain-token-budget",
+        type=int,
+        default=None,
+        help="curate mode: total token budget water-filled across "
+        "registrable domains (UniMax-style rebalancing); default off",
+    )
+    p.add_argument(
+        "--dsir-target-langs",
+        default=None,
+        help="curate mode: comma-separated lang_guess values defining "
+        "the DSIR target slice; keeps docs with positive importance "
+        "toward it; default off",
+    )
+    p.add_argument(
         "--html-engine",
         choices=("fast", "reference"),
         default="fast",
@@ -136,8 +150,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         else:
             pages = spark.read.parquet(args.input)
         langs = _parse_languages(args.languages)
-        final, funnel = curate(pages, parallelism=args.parallelism,
-                               languages=langs)
+        final, funnel = curate(
+            pages,
+            parallelism=args.parallelism,
+            languages=langs,
+            domain_token_budget=args.domain_token_budget,
+            dsir_target_langs=_parse_languages(args.dsir_target_langs),
+        )
         final.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"mode": "curate", **funnel}))
     elif args.mode == "export-zip":

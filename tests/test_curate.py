@@ -113,3 +113,87 @@ def test_neardup_cluster_strategy_collapses_transitive_chains(spark):
     # cluster strategy keeps at most as many docs as the pairwise rule
     assert kept_cluster <= kept_pairs
     assert len(kept_cluster) == 2  # one survivor + the unique doc
+
+
+def test_curate_selection_stages(spark, pages_path):
+    # rebalance composes after the quality gate: counts stay monotone,
+    # schema unchanged, survivors still satisfy the earlier gates. The
+    # fixture corpus all lang-guesses 'und', so a DSIR target of 'en'
+    # is EMPTY — the gate must skip loudly, never emit smoothing noise.
+    pages = spark.read.parquet(pages_path)
+    final, funnel = curate(
+        pages,
+        parallelism=4,
+        domain_token_budget=50_000,
+        dsir_target_langs=("en",),
+    )
+    assert funnel["curated"] >= funnel["after_rebalance"] >= 0
+    assert funnel["dsir_skipped_empty_target"] == 1
+    assert "after_dsir" not in funnel
+    rows = final.collect()
+    assert funnel["after_rebalance"] == len(rows)
+    # selection must not add or drop columns vs the curated frame
+    assert {"url", "text", "n_tokens", "quality", "lang_guess"} <= set(
+        final.columns
+    )
+    # every survivor still satisfies the earlier gates
+    assert all(r["n_tokens"] >= 5 and r["quality"] >= 0.3 for r in rows)
+
+
+def test_dsir_gate_keeps_target_like_docs(spark):
+    from pyspark.sql import functions as SF
+
+    from deepseek_ocr_spark.curate import dsir_gate
+
+    # w0..w3 hash into distinct buckets at B=16 (see test_importance)
+    docs = spark.createDataFrame(
+        [(f"u{i}", "w0 w1", "en") for i in range(5)]
+        + [(f"v{i}", "w2 w3", "fr") for i in range(5)]
+        + [("mix", "w0 w0 w0", "fr"), ("raw", "w2 w2 w2", "fr")],
+        "url string, text string, lang_guess string",
+    )
+    kept = {
+        r["url"]
+        for r in dsir_gate(
+            docs, SF.col("lang_guess") == "en", n_buckets=16
+        ).collect()
+    }
+    # target docs and the target-token 'fr' doc survive; raw-token
+    # docs do not
+    assert "mix" in kept and "raw" not in kept
+    assert all(f"u{i}" in kept for i in range(5))
+    assert not any(f"v{i}" in kept for i in range(5))
+
+
+def test_dsir_gate_empty_target_raises(spark):
+    import pytest
+    from pyspark.sql import functions as SF
+
+    from deepseek_ocr_spark.curate import dsir_gate
+
+    docs = spark.createDataFrame(
+        [("u", "w0 w1", "fr")], "url string, text string, lang_guess string"
+    )
+    with pytest.raises(ValueError, match="target slice is empty"):
+        dsir_gate(docs, SF.col("lang_guess") == "en")
+
+
+def test_rebalance_gate_caps_domains(spark):
+    from deepseek_ocr_spark.curate import rebalance_gate
+
+    docs = spark.createDataFrame(
+        [(f"https://big.example/{i}", "x" * 50, 100) for i in range(50)]
+        + [(f"https://small.example/{i}", "y" * 5, 10) for i in range(3)],
+        "url string, text string, n_tokens long",
+    )
+    # budget 1000: small (30 tokens) saturates; big (5000) samples to
+    # the ~970-token level -> far fewer than its 50 docs survive.
+    kept = rebalance_gate(docs, 1000)
+    by_dom = {
+        r["d"]: r["n"]
+        for r in kept.groupBy(
+            F.regexp_extract("url", r"https://([^/]+)/", 1).alias("d")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert by_dom.get("small.example") == 3  # saturated: all kept
+    assert 0 < by_dom.get("big.example", 0) < 50
