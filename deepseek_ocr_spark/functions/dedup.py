@@ -503,6 +503,52 @@ def decontaminate(
     )
 
 
+def decontaminate_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    eval_id_col: str = "eval_id",
+) -> DataFrame:
+    """Sub-document contamination LOCALIZATION: for every (train doc,
+    eval doc) pair sharing at least one word ``k``-gram, report the
+    count of distinct shared k-grams plus WHERE they sit in the train
+    doc — ``first_tok``/``last_tok`` are 1-based word indices bounding
+    the contaminated region — so a consumer can excise the span
+    instead of dropping the whole document, and attribute the leak to
+    a specific benchmark doc (the removal granularity Llama-2 §A.6
+    reports; GPT-3 appendix C drops whole docs).
+
+    Plan shape at 10^12 train docs: identical to ``decontaminate`` —
+    the eval side is benchmark-sized, so its (eval_id, shingle) set is
+    BROADCAST (carrying the id adds ~one int per row to a frame that
+    is tiny by definition); the train side is one linear
+    posexplode scan, the join is map-side, and the only shuffle is the
+    partial-agged groupBy on (train_id, eval_id), whose row count is
+    bounded by actual contamination, not corpus size."""
+    ev = (
+        eval_df.select(
+            F.col(id_col).alias(eval_id_col),
+            F.explode(shingles_col(F.col(text_col), k)).alias("sh"),
+        )
+        .distinct()
+    )
+    tr = _spread(train, id_col).select(
+        F.col(id_col),
+        F.posexplode(shingles_col(F.col(text_col), k)).alias("pos", "sh"),
+    )
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy(id_col, eval_id_col)
+        .agg(
+            F.count_distinct("sh").alias("n_shared"),
+            (F.min("pos") + 1).cast("bigint").alias("first_tok"),
+            (F.max("pos") + k).cast("bigint").alias("last_tok"),
+        )
+    )
+
+
 def line_dedup_stats(
     lines: DataFrame,
     id_col: str = "doc_id",

@@ -1595,6 +1595,39 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def q_decontaminate_spans(spark, sf_dir):
+    """Contamination localization: per (train doc, eval doc) pair, the
+    distinct shared-8-gram count and the 1-based word-index bounds of
+    the contaminated region in the train doc (span excision beats
+    whole-doc drop). Same synthetic eval split as `decontaminate`."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 29 == 0)
+    tr = d.filter(F.col("doc_id") % 29 != 0)
+    return DD.decontaminate_spans(tr, ev, "doc_id", "text", k=8).orderBy(
+        "doc_id", "eval_id"
+    )
+
+
+SQL_DECONTAMINATE_SPANS = """
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS l
+           FROM documents),
+shp AS (SELECT doc_id,
+               unnest(range(1, len(l) - 6)) AS pos,
+               unnest(list_transform(range(1, len(l) - 6),
+                                     i -> array_to_string(l[i:i+7], ' '))) AS sh
+        FROM w),
+ev AS (SELECT DISTINCT doc_id AS eval_id, sh FROM shp WHERE doc_id % 29 = 0),
+tr AS (SELECT doc_id, pos, sh FROM shp WHERE doc_id % 29 <> 0)
+SELECT t.doc_id, e.eval_id,
+       count(DISTINCT t.sh) AS n_shared,
+       min(t.pos)::BIGINT AS first_tok,
+       (max(t.pos) + 7)::BIGINT AS last_tok
+FROM tr t JOIN ev e ON t.sh = e.sh
+GROUP BY t.doc_id, e.eval_id
+ORDER BY t.doc_id, e.eval_id
+"""
+
+
 def q_domain_profile(spark, sf_dir):
     """Per-source corpus profile: doc count, language spread, mean
     length, total whitespace tokens — one hash-agg pass."""
@@ -1834,6 +1867,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
     "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),
     "domain_rebalance": (q_domain_rebalance, SQL_DOMAIN_REBALANCE),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),

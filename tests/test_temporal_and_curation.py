@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from deepseek_ocr_spark.functions import pii as PII
 from deepseek_ocr_spark.functions.dedup import (
     decontaminate,
+    decontaminate_spans,
     line_dedup_rewrite,
     line_dedup_stats,
 )
@@ -265,6 +266,36 @@ def test_decontaminate_broadcasts_eval(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_spans_localizes(spark):
+    shared = "one two three four five six seven eight"
+    ev = spark.createDataFrame(
+        [(10, f"intro {shared} outro"), (20, "nine ten eleven twelve "
+         "thirteen fourteen fifteen sixteen")],
+        "doc_id int, t string",
+    )
+    # doc 1: eval-10 8-gram starts at word 3 (1-based) -> span [3, 10];
+    # doc 2: clean; doc 3: contaminated by BOTH eval docs.
+    tr = spark.createDataFrame(
+        [
+            (1, f"pad pad {shared} tail words"),
+            (2, "totally different words that never overlap at all ok"),
+            (3, f"{shared} nine ten eleven twelve thirteen fourteen "
+                "fifteen sixteen"),
+        ],
+        "doc_id int, t string",
+    )
+    got = {
+        (r["doc_id"], r["eval_id"]): (
+            r["n_shared"], r["first_tok"], r["last_tok"]
+        )
+        for r in decontaminate_spans(tr, ev, "doc_id", "t", k=8).collect()
+    }
+    assert got[(1, 10)] == (1, 3, 10)
+    assert got[(3, 10)] == (1, 1, 8)
+    assert got[(3, 20)] == (1, 9, 16)
+    assert not any(d == 2 for d, _ in got)
 
 
 # -- line-level dedup (CCNet/RefinedWeb pass) -------------------------
