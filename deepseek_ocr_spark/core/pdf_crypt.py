@@ -347,6 +347,12 @@ class StdSecurityHandler:
             length_bits = _num(enc.get("Length"), 40)
             if v == 1:
                 length_bits = 40
+            # §7.6.2: Length is 40-128, a multiple of 8. Out-of-range
+            # values (e.g. a hostile /Length 0) would derive an empty
+            # file key and crash rc4 with a modulo-by-zero — treat the
+            # dict as unreadable instead.
+            if not 40 <= length_bits <= 128 or length_bits % 8:
+                return None
             stm_aes = False
             stm_identity = False
             if v == 4:
@@ -373,10 +379,26 @@ class StdSecurityHandler:
                 return None  # non-empty user password
             return StdSecurityHandler(key, v, stm_aes, stm_identity)
         if v == 5 and r in (5, 6):
+            # /StmF defaults to Identity for V 4-5 alike (Table 20);
+            # an Identity stream filter means PLAINTEXT streams — the
+            # V4 branch above honors it, and failing to here would
+            # AES-garble unencrypted content streams into silent
+            # all-pages-empty data loss.
+            stmf = _name(enc.get("StmF")) or "Identity"
+            stm_identity = stmf == "Identity"
+            if not stm_identity:
+                cf = enc.get("CF")
+                cfm = ""
+                if cf and cf[0] == "dict":
+                    f = cf[1].get(stmf)
+                    if f and f[0] == "dict":
+                        cfm = _name(f[1].get("CFM"))
+                if cfm != "AESV3":
+                    return None  # unknown crypt filter
             key = _retrieve_key_r56(b"", enc)
             if key is None:
                 return None
-            return StdSecurityHandler(key, 5, True)
+            return StdSecurityHandler(key, 5, True, stm_identity)
         return None
 
     # -- per-object decryption (§7.6.3.1 Algorithm 1 / 1.A) ----------------
@@ -386,8 +408,10 @@ class StdSecurityHandler:
             return self.file_key  # AES-256: file key used directly
         h = hashlib.md5()
         h.update(self.file_key)
-        h.update(struct.pack("<I", num)[:3])
-        h.update(struct.pack("<I", gen)[:2])
+        # mask: a scanned (bogus) object number >= 2^32 must not turn
+        # into a struct.error; only the low 3/2 bytes are hashed anyway
+        h.update(struct.pack("<I", num & 0xFFFFFFFF)[:3])
+        h.update(struct.pack("<I", gen & 0xFFFFFFFF)[:2])
         if self.stm_aes:
             h.update(b"sAlT")
         n = min(len(self.file_key) + 5, 16)

@@ -220,20 +220,27 @@ class SimpleFontDecoder:
         return "".join(t.get(b, "") for b in raw)
 
 
-def decoder_from_encoding(enc_value, deref_dict) -> SimpleFontDecoder | None:
+def decoder_from_encoding(enc_value, deref_value) -> SimpleFontDecoder | None:
     """Build a decoder from a font's /Encoding entry.
 
-    ``enc_value`` is the parsed value tuple (('name', s) or
-    ('dict'/'ref', ...)); ``deref_dict`` resolves a value tuple to its
-    dict (the extractor's ``_deref`` closed over the object table).
-    Returns None when the entry names no table we know (caller keeps
-    its default decode)."""
+    ``enc_value`` is the parsed value tuple (('name', s), ('dict', d)
+    or ('ref', n)); ``deref_value`` follows a ('ref', n) tuple to the
+    referenced object's parsed top-level VALUE — any dict value may be
+    an indirect reference per ISO 32000 §7.3.10, including /Encoding
+    itself and the /Differences array. Returns None when the entry
+    names no table we know (caller keeps its default decode)."""
     if enc_value is None:
         return None
+    if enc_value[0] == "ref":
+        enc_value = deref_value(enc_value)
+        if not enc_value:
+            return None
     if enc_value[0] == "name":
         t = base_encoding_table(enc_value[1])
         return SimpleFontDecoder(t) if t is not None else None
-    d = deref_dict(enc_value)
+    if enc_value[0] != "dict":
+        return None
+    d = enc_value[1]
     if not d:
         return None
     base = None
@@ -245,17 +252,25 @@ def decoder_from_encoding(enc_value, deref_dict) -> SimpleFontDecoder | None:
         # encoding; StandardEncoding is the documented stand-in.
         base = base_encoding_table("StandardEncoding")
     table = dict(base)
+    had_diffs = "Differences" in d
     diffs = d.get("Differences")
+    if diffs and diffs[0] == "ref":
+        diffs = deref_value(diffs)
     if diffs and diffs[0] == "array":
         code = 0
         for item in diffs[1]:
             if item[0] == "num":
                 code = int(item[1])
             elif item[0] == "name":
-                ch = glyph_to_char(item[1])
-                if ch is not None and 0 <= code <= 255:
-                    table[code] = ch
+                if 0 <= code <= 255:
+                    # a /Differences entry REPLACES the base mapping;
+                    # an unresolvable glyph name is .notdef (emits
+                    # nothing), never the base character it shadowed —
+                    # a subsetted/dingbat font's g-NN codes must not
+                    # surface as asserted Latin letters
+                    ch = glyph_to_char(item[1])
+                    table[code] = ch if ch is not None else ""
                 code += 1
-    if diffs is None and bv is None:
+    if not had_diffs and bv is None:
         return None  # empty /Encoding dict: nothing declared
     return SimpleFontDecoder(table)

@@ -303,6 +303,19 @@ def _deref(v, objs):
     return {}
 
 
+def _deref_value(v, objs):
+    """Follow one level of ('ref', n) indirection to the referenced
+    object's parsed top-level VALUE (array/name/num/dict — §7.3.10
+    allows any dict value to be indirect, not just dicts)."""
+    if v and v[0] == "ref":
+        o = objs.get(v[1])
+        if o is None:
+            return None
+        val, _ = _parse_value(o.raw, 0)
+        return val
+    return v
+
+
 # ---- strings -------------------------------------------------------------
 
 _ESCAPES = {
@@ -363,13 +376,13 @@ def _read_literal_string(b: bytes, i: int) -> tuple[bytes, int]:
 
 
 def _hex_bytes(h: bytes) -> bytes:
-    hx = b"".join(h.split())
+    # skip non-hex bytes (viewer error-recovery practice) instead of
+    # dropping the whole string: one corrupt byte in a crawl-damaged
+    # <hex> string must not delete the entire shown word
+    hx = bytes(c for c in h if c in b"0123456789abcdefABCDEF")
     if len(hx) % 2:
         hx += b"0"
-    try:
-        return bytes.fromhex(hx.decode("ascii"))
-    except ValueError:
-        return b""
+    return bytes.fromhex(hx.decode("ascii"))
 
 
 def _decode_text(raw: bytes) -> str:
@@ -814,7 +827,11 @@ def parse_tounicode(cmap: bytes) -> ToUnicodeCMap | None:
                     continue
                 head, last = base[:-1], ord(base[-1])
                 for c in range(lo, hi + 1):
-                    chars[(w, c)] = head + chr(last + (c - lo))
+                    cp = last + (c - lo)
+                    if cp > 0x10FFFF:
+                        break  # increment walked past Unicode: stop,
+                        # never let chr() raise on a corrupt CMap
+                    chars[(w, c)] = head + chr(cp)
             else:
                 dsts = _HEXTOK_RE.findall(item.group(4))
                 for c, dst in zip(range(lo, hi + 1), dsts):
@@ -842,12 +859,15 @@ def _font_cmaps(page: dict, objs: dict[int, _Obj]) -> dict:
         if tu and tu[0] == "ref":
             o = objs.get(tu[1])
             data = _decode_stream(o) if o is not None else None
-            cm = parse_tounicode(data) if data is not None else None
+            try:
+                cm = parse_tounicode(data) if data is not None else None
+            except Exception:
+                cm = None  # corrupt CMap: fall back, never error the doc
             if cm is not None:
                 out[name] = cm
                 continue
         dec = decoder_from_encoding(
-            fd.get("Encoding"), lambda v: _deref(v, objs)
+            fd.get("Encoding"), lambda v: _deref_value(v, objs)
         )
         if dec is not None:
             out[name] = dec
@@ -896,9 +916,29 @@ def _content_tokens(b: bytes):
             if m:
                 op = m.group(0).decode("latin-1")
                 i = m.end()
-                if op == "BI":  # inline image: skip to EI
-                    j = b.find(b"EI", i)
-                    i = n if j < 0 else j + 2
+                if op == "BI":
+                    # inline image: skip to a DELIMITED EI — the two
+                    # bytes occur inside binary pixel data ~1/65536
+                    # per offset, so a bare find() regularly resumes
+                    # the tokenizer mid-image and eats the rest of
+                    # the page. Require whitespace before and
+                    # whitespace/delimiter/EOF after.
+                    j = i
+                    while True:
+                        j = b.find(b"EI", j)
+                        if j < 0:
+                            i = n
+                            break
+                        pre_ws = j == 0 or b[j - 1] in b"\x00\t\n\x0c\r "
+                        nxt = b[j + 2 : j + 3]
+                        post_ok = (
+                            nxt == b""
+                            or nxt[0] in b"\x00\t\n\x0c\r ()<>[]{}/%"
+                        )
+                        if pre_ws and post_ok:
+                            i = j + 2
+                            break
+                        j += 2
                     continue
                 yield ("op", op)
             else:

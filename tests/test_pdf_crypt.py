@@ -265,3 +265,49 @@ def _v4_identity_pdf() -> bytes:
 
 def test_v4_stmf_identity_streams_pass_through():
     assert pages_text(_v4_identity_pdf()) == ["secret but owner-locked"]
+
+
+def _v5_identity_pdf() -> bytes:
+    # V5/R6 with /StmF /Identity: same plaintext-streams contract as
+    # the V4 case above — AES-"decrypting" them would garble every
+    # content stream into silent all-pages-empty data loss.
+    file_key = bytes(range(200, 232))
+    vsalt, ksalt = b"VSALT#01", b"KSALT#02"
+    uhash = _hash_r6(b"", vsalt, b"")
+    ue = aes_cbc_encrypt_nopad(_hash_r6(b"", ksalt, b""), b"\x00" * 16,
+                               file_key)
+    u = uhash + vsalt + ksalt
+    enc_dict = (
+        b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P " + str(P).encode()
+        + b" /O <" + (b"\x11" * 48).hex().encode()
+        + b"> /U <" + u.hex().encode()
+        + b"> /OE <" + (b"\x22" * 32).hex().encode()
+        + b"> /UE <" + ue.hex().encode()
+        + b"> /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+        b"/StmF /Identity /StrF /StdCF >>"
+    )
+    return _pdf_shell(CONTENT, enc_dict, ID0)
+
+
+def test_v5_stmf_identity_streams_pass_through():
+    assert pages_text(_v5_identity_pdf()) == ["secret but owner-locked"]
+
+
+def test_v5_unknown_stream_cfm_is_unreadable():
+    pdf = _v5_r6_pdf().replace(b"/CFM /AESV3", b"/CFM /Oddball")
+    assert pages_text(pdf) == []
+
+
+def test_hostile_length_zero_is_unreadable_not_crash():
+    # /Length 0 would derive an empty file key and crash rc4 with a
+    # modulo-by-zero; the dict must read as unsupported instead.
+    pdf = _rc4_r3_pdf().replace(b"/Length 128", b"/Length 0")
+    assert pages_text(pdf) == []
+    pdf = _rc4_r3_pdf().replace(b"/Length 128", b"/Length 1024")
+    assert pages_text(pdf) == []
+
+
+def test_object_key_masks_huge_object_numbers():
+    # a scanned (bogus) object number >= 2^32 must not struct.error
+    h = StdSecurityHandler(bytes(16), 2, False)
+    assert len(h.decrypt((1 << 40) + 7, 0, b"abc")) == 3

@@ -103,16 +103,32 @@ def test_differences_over_base_encoding():
 
 
 def test_differences_without_base_defaults_to_standard():
-    # StandardEncoding: 0x27 is quoteright (’), 0xA9 quotesingle
-    content = b"BT /F1 12 Tf (it's \xa9 \xae) Tj ET"
-    enc = b"<< /Type /Encoding /Differences [ 97 /alpha ] >>"  # unknown name: keep base
+    # StandardEncoding: 0x27 is quoteright (’), 0xA9 quotesingle.
+    # 'a' (97) is remapped to an unknown glyph: the Differences entry
+    # REPLACES the base mapping, so it must emit NOTHING (.notdef),
+    # never the shadowed base character.
+    content = b"BT /F1 12 Tf (bad it's \xa9 \xae) Tj ET"
+    enc = b"<< /Type /Encoding /Differences [ 97 /g97notaglyph ] >>"
     pdf = _font_pdf(
         content,
         b"<< /Type /Font /Subtype /Type1 /Encoding 6 0 R >>",
         [enc],
     )
     # 0xAE is the fi ligature in StandardEncoding
-    assert pages_text(pdf) == ["it’s ' ﬁ"]
+    assert pages_text(pdf) == ["bd it’s ' ﬁ"]
+
+
+def test_differences_as_indirect_reference():
+    # §7.3.10: ANY dict value may be indirect — /Differences included.
+    content = b"BT /F1 12 Tf (xA) Tj ET"
+    enc = b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+    enc += b"/Differences 7 0 R >>"
+    pdf = _font_pdf(
+        content,
+        b"<< /Type /Font /Subtype /Type1 /Encoding 6 0 R >>",
+        [enc, b"[ 65 /eacute ]"],
+    )
+    assert pages_text(pdf) == ["xé"]
 
 
 def test_unknown_base_encoding_falls_back_to_default_decode():
@@ -125,10 +141,17 @@ def test_unknown_base_encoding_falls_back_to_default_decode():
 
 
 def test_decoder_from_encoding_unit():
-    dec = decoder_from_encoding(("name", "WinAnsiEncoding"), lambda v: {})
+    # identity deref: no indirection in these values
+    dec = decoder_from_encoding(("name", "WinAnsiEncoding"), lambda v: v)
     assert dec.decode(b"\x93hi\x94") == "“hi”"
-    assert decoder_from_encoding(None, lambda v: {}) is None
-    assert decoder_from_encoding(("name", "NoSuchEncoding"), lambda v: {}) is None
+    assert decoder_from_encoding(None, lambda v: v) is None
+    assert decoder_from_encoding(("name", "NoSuchEncoding"), lambda v: v) is None
+    # /Encoding that is itself a ref (here: to a base-encoding name)
+    dec = decoder_from_encoding(
+        ("ref", 9), lambda v: ("name", "WinAnsiEncoding")
+    )
+    assert dec.decode(b"\xe9") == "é"
+    assert decoder_from_encoding(("ref", 9), lambda v: None) is None
 
 
 def test_tounicode_wins_over_encoding():

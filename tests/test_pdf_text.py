@@ -67,6 +67,32 @@ def test_inline_image_skipped():
     assert "before" in out and "after" in out
 
 
+def test_inline_image_with_embedded_ei_bytes():
+    # b"EI" occurs inside binary pixel data ~1/65536 per offset; a bare
+    # find() would resume the tokenizer mid-image, where the stray '('
+    # swallows the rest of the stream. Only a whitespace-delimited EI
+    # terminates the skip.
+    pixels = b"\x00\x11EI\x22(\x99\x41EIB\xfe"
+    content = (
+        b"BT (before) Tj ET BI /W 4 /H 4 ID " + pixels
+        + b" EI BT (after) Tj ET"
+    )
+    out = extract_page_text(content)
+    assert "before" in out and "after" in out
+
+
+def test_inline_image_unterminated_consumes_rest():
+    content = b"BT (before) Tj ET BI /W 4 /H 4 ID \x00EI\x01 (gone) Tj"
+    out = extract_page_text(content)
+    assert "before" in out and "gone" not in out
+
+
+def test_hex_string_recovers_from_corrupt_bytes():
+    # one corrupt byte inside a <hex> string: skip the byte (viewer
+    # error-recovery), never drop the whole shown word
+    assert extract_page_text(b"BT <48454C4CZ4F> Tj ET") == "HELLO"
+
+
 def test_broken_page_tree_falls_back_to_document_order():
     pdf = build_real_pdf([["first page"], ["second page"]])
     # sever the trailer → /Root lookup fails → catalog scan; then break
@@ -169,6 +195,34 @@ def test_tounicode_parser_directly():
     assert cm.nbytes == 1
     assert cm.decode(b"\x41\x41") == "AA"
     assert parse_tounicode(b"no cmap here") is None
+
+
+def test_bfrange_overflowing_unicode_never_raises():
+    from deepseek_ocr_spark.core.pdf_text import parse_tounicode
+
+    # dst base is U+10FFFF (surrogate pair DBFF DFFF): the increment
+    # walks past Unicode at code 1 — stop there, never let chr() raise
+    cm = parse_tounicode(
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfrange <0000> <00FF> <DBFFDFFF> endbfrange"
+    )
+    assert cm is not None
+    assert cm.decode(b"\x00\x00") == "\U0010ffff"
+
+
+def test_corrupt_tounicode_falls_back_not_error():
+    # a corrupt /ToUnicode CMap must degrade the FONT, not error the
+    # DOCUMENT: one bad font in a 100-page PDF may not erase the rest
+    pdf = _cid_pdf()
+    orig = b"2 beginbfchar\n<0001> <0048>\n<0002> <0069>\nendbfchar\n"
+    repl = b"1 beginbfrange <0000> <00FF> <DBFFDFFF> endbfrange \n"
+    assert len(orig) == len(repl)  # keep the stream /Length honest
+    bad = pdf.replace(orig, repl)
+    assert bad != pdf
+    texts = pages_text(bad)  # must not raise / become an error row
+    assert len(texts) == 1
+    doc = extract_document("u", bad)
+    assert doc["status"] == "ok"
 
 
 def _objstm_pdf() -> bytes:

@@ -112,6 +112,18 @@ def test_registry_queries_jvm_only_except_designated():
     assert offenders == [], offenders
 
 
+def test_decontaminate_spans_broadcasts_eval(spark):
+    """Contamination localization keeps decontaminate's plan shape:
+    the eval shingle set is broadcast (map-side join over the train
+    scan); the only exchange is the (train_id, eval_id) partial-agg."""
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["decontaminate_spans"]
+    plan = plan_of(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_split_tuning_accounts_for_compression(pages_path, tmp_path):
     """Highly-compressible tables get proportionally smaller splits."""
     from deepseek_ocr_spark.operators.split_tuning import (
