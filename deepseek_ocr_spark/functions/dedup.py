@@ -549,6 +549,53 @@ def decontaminate_spans(
     )
 
 
+def kgram_dup_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """Corpus-level k-gram duplication profile: per document, how many
+    of its word k-grams also occur in ANOTHER document (``dup_grams``)
+    and their share of the doc (``dup_frac``). Documents under ``k``
+    words produce no row (they have no k-grams), matching the SQL twin.
+
+    The exact-substring-duplication signal of Lee 2021 ("Deduplicating
+    Training Data Makes Language Models Better") at k-gram granularity,
+    and the Dolma dedup-stats pass: corpus-wide n-gram frequency
+    separates templated/boilerplate text from body prose better than
+    any within-document heuristic (``dup_ngram_fraction`` is the
+    intra-doc complement).
+
+    Scale shape mirrors ``line_dedup_stats``: k-grams are grouped by a
+    60-bit md5-prefix hash, never the gram bytes, so the dedup shuffle
+    moves 8-byte keys; count-distinct partial-aggregates map-side; the
+    stats join is hash-to-hash. Two shuffles total, both on the hash.
+    The hash is the cross-engine ``md5_prefix_int`` so the DuckDB twin
+    computes the identical keys."""
+    sh = _spread(docs, id_col).select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col), k)).alias("__sh"),
+    )
+    tagged = sh.select(
+        F.col(id_col), md5_prefix_int(F.col("__sh"), 15).alias("__h")
+    )
+    docs_per = tagged.groupBy("__h").agg(
+        F.count_distinct(id_col).alias("__nd")
+    )
+    return (
+        tagged.join(docs_per, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("__nd") > 1).cast("bigint")).alias("dup_grams"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("dup_grams") / F.col("n_grams"), 4)
+        )
+    )
+
+
 def line_dedup_stats(
     lines: DataFrame,
     id_col: str = "doc_id",

@@ -1595,6 +1595,34 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def q_kgram_dup_stats(spark, sf_dir):
+    """Corpus-level 16-gram duplication profile per doc (Lee 2021 /
+    Dolma substring-dup signal): occurrences whose gram appears in >1
+    document, as count + fraction. Hash-grouped (md5-prefix), two
+    shuffles, both on the 8-byte hash."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.kgram_dup_stats(d, "doc_id", "text", k=16)
+
+
+SQL_KGRAM_DUP_STATS = """
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS l
+           FROM documents),
+shp AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(l) - 14),
+                                     i -> array_to_string(l[i:i+15], ' '))) AS sh
+        FROM w),
+t AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM shp),
+dp AS (SELECT h, count(DISTINCT doc_id) AS nd FROM t GROUP BY h)
+SELECT t.doc_id,
+       count(*) AS n_grams,
+       sum(CASE WHEN dp.nd > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_grams,
+       round(sum(CASE WHEN dp.nd > 1 THEN 1 ELSE 0 END) / count(*), 4)
+         AS dup_frac
+FROM t JOIN dp ON t.h = dp.h
+GROUP BY t.doc_id
+"""
+
+
 def q_decontaminate_spans(spark, sf_dir):
     """Contamination localization: per (train doc, eval doc) pair, the
     distinct shared-8-gram count and the 1-based word-index bounds of
@@ -1868,6 +1896,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
+    "kgram_dup_stats": (q_kgram_dup_stats, SQL_KGRAM_DUP_STATS),
     "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),
     "domain_rebalance": (q_domain_rebalance, SQL_DOMAIN_REBALANCE),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),

@@ -15,6 +15,7 @@ from deepseek_ocr_spark.functions import pii as PII
 from deepseek_ocr_spark.functions.dedup import (
     decontaminate,
     decontaminate_spans,
+    kgram_dup_stats,
     line_dedup_rewrite,
     line_dedup_stats,
 )
@@ -296,6 +297,23 @@ def test_decontaminate_spans_localizes(spark):
     assert got[(3, 10)] == (1, 1, 8)
     assert got[(3, 20)] == (1, 9, 16)
     assert not any(d == 2 for d, _ in got)
+
+
+def test_kgram_dup_stats_cross_doc_only(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),       # grams: "a b c", "b c d"
+            (2, "a b c x"),       # shares "a b c" with doc 1
+            (3, "z z z z z"),     # within-doc repeats only: NOT dups
+            (4, "too-short"),     # < k words: no row
+        ],
+        "doc_id int, t string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dup_grams"], r["dup_frac"])
+        for r in kgram_dup_stats(docs, "doc_id", "t", k=3).collect()
+    }
+    assert got == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (3, 0, 0.0)}
 
 
 # -- line-level dedup (CCNet/RefinedWeb pass) -------------------------
