@@ -376,13 +376,20 @@ def _read_literal_string(b: bytes, i: int) -> tuple[bytes, int]:
 
 
 def _hex_bytes(h: bytes) -> bytes:
-    # skip non-hex bytes (viewer error-recovery practice) instead of
-    # dropping the whole string: one corrupt byte in a crawl-damaged
-    # <hex> string must not delete the entire shown word
-    hx = bytes(c for c in h if c in b"0123456789abcdefABCDEF")
+    hx = b"".join(h.split())
     if len(hx) % 2:
         hx += b"0"
-    return bytes.fromhex(hx.decode("ascii"))
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except ValueError:
+        # corrupt bytes: skip them (viewer error-recovery practice)
+        # instead of dropping the whole string — one damaged byte must
+        # not delete the entire shown word. Off the clean-string fast
+        # path, so the per-byte filter only runs on broken input.
+        hx = bytes(c for c in h if c in b"0123456789abcdefABCDEF")
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
 
 
 def _decode_text(raw: bytes) -> str:

@@ -102,6 +102,20 @@ def compact_output(
     ``dest_path``; callers swap directories atomically at their own
     layer (a filesystem rename here, a snapshot commit on Iceberg).
     """
+    import os
+
+    def _local(p: str) -> str:
+        return os.path.realpath(p.removeprefix("file://"))
+
+    if _local(dest_path) == _local(output_path):
+        # mode("overwrite") truncates dest at write START, while the
+        # deduped plan still lazily scans those same files — writing a
+        # table onto itself destroys the job's done-set. Fail fast.
+        raise ValueError(
+            "compact_output: dest_path must differ from output_path "
+            f"(both resolve to {_local(dest_path)!r}); compact to a "
+            "sibling dir and swap at the caller's layer"
+        )
     out = spark.read.option("mergeSchema", "true").parquet(output_path)
     if "run_id" not in out.columns:
         out = out.withColumn("run_id", F.lit(""))

@@ -6,9 +6,22 @@ metadata.json + images/). The cluster re-expression: each task writes
 ONE ZIP SHARD for its partition of extracted rows — entry
 ``{sha1(url)[:16]}.mmd`` per document plus a shard-level
 ``metadata.json`` (url → entry name, status, n_pages, n_bytes; the
-zip_utils.py:49-52 metadata analog). Shards land in a shared
-directory; names carry the partition id, writes go through a temp-file
-rename so reruns replace shards atomically.
+zip_utils.py:49-52 metadata analog).
+
+Commit protocol (the Iceberg snapshot-pointer pattern): shards land in
+a hidden per-run directory (``.run-<host>-<pid>-<nonce>/part-*.zip``);
+the ONE atomic commit step is an ``os.replace`` of ``MANIFEST.json``
+pointing at that run. A crash anywhere before the pointer swap leaves
+the previous export fully live; readers resolve the pointer, so they
+never observe a half-swapped mixture of two runs. Unreferenced run
+dirs are garbage: swept when their writing driver is dead (same-host
+PID probe) or, for other hosts, after a day idle — a LIVE concurrent
+export's run dir is never touched.
+
+Within a run dir, task attempts write to attempt-unique temp names and
+``os.replace`` onto the per-partition shard name, so a speculative or
+zombie duplicate attempt can only install a COMPLETE file, never
+interleave with another attempt's writes.
 
 Scale shape: no shuffle, no driver collect — the sink is
 ``foreachPartition`` over whatever partitioning the extracted frame
@@ -21,9 +34,12 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import socket
 import zipfile
 
 from pyspark.sql import DataFrame
+
+_MANIFEST = "MANIFEST.json"
 
 
 def entry_name(url: str) -> str:
@@ -40,25 +56,67 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
-def _sweep_stale_staging(out_dir: str) -> None:
-    """Remove leftover staging dirs from CRASHED runs only: a dir is
-    swept when its embedded driver PID is no longer alive (or, if the
-    name doesn't parse, when it hasn't been touched for a day — the
-    cross-driver-restart fallback). A live concurrent export's staging
-    is left alone, so two exports to the same out_dir can't delete
-    each other's in-progress work."""
+def _run_dirname() -> str:
+    import uuid
+
+    return (
+        f".run-{socket.gethostname()}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    )
+
+
+def _parse_run_dir(name: str) -> tuple[str, int] | None:
+    """(host, pid) from a .run-<host>-<pid>-<nonce> name, or None.
+    Hostnames may contain dashes, so parse from the right."""
+    parts = name.removeprefix(".run-").rsplit("-", 2)
+    if len(parts) != 3:
+        return None
+    try:
+        return parts[0], int(parts[1])
+    except ValueError:
+        return None
+
+
+def _current_run(out_dir: str) -> str | None:
+    try:
+        with open(os.path.join(out_dir, _MANIFEST)) as fh:
+            return json.load(fh).get("run")
+    except (OSError, ValueError):
+        return None
+
+
+def _sweep_stale_runs(out_dir: str) -> None:
+    """Remove leftover run/staging dirs from CRASHED runs only. The
+    manifest-referenced run dir is never touched. An unreferenced dir
+    is swept when its embedded driver PID is dead — but the PID probe
+    only means something on the host that spawned it, so dirs from
+    OTHER hosts (shared-NFS deployments) fall back to a 1-day idle
+    age-out instead of a cross-host PID collision guess. A live
+    concurrent export's dir therefore survives both rules."""
     import shutil
     import time
 
+    current = _current_run(out_dir)
+    me = socket.gethostname()
     for f in os.listdir(out_dir):
-        if not f.startswith(".staging-"):
+        if not (f.startswith(".run-") or f.startswith(".staging-")):
+            continue
+        if f == current:
             continue
         path = os.path.join(out_dir, f)
-        try:
-            pid = int(f.split("-")[1])
-            stale = not _pid_alive(pid)
-        except (IndexError, ValueError):
-            stale = (time.time() - os.path.getmtime(path)) > 86400
+        parsed = _parse_run_dir(f) if f.startswith(".run-") else None
+        if parsed is None and f.startswith(".staging-"):
+            # legacy pre-manifest staging layout: .staging-<pid>-<nonce>
+            try:
+                parsed = (me, int(f.split("-")[1]))
+            except (IndexError, ValueError):
+                parsed = None
+        if parsed and parsed[0] == me:
+            stale = not _pid_alive(parsed[1])
+        else:
+            try:
+                stale = (time.time() - os.path.getmtime(path)) > 86400
+            except OSError:
+                continue  # vanished under us: a concurrent sweep won
         if stale:
             shutil.rmtree(path, ignore_errors=True)
 
@@ -67,20 +125,20 @@ def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
     """Write one ZIP shard per partition of ``extracted`` (needs url,
     extracted_text, status, n_pages, n_bytes columns).
 
-    Reruns are atomic at the bundle level: shards land in a staging
-    subdirectory first, and only after the Spark action SUCCEEDS are
-    the previous run's shards removed and the staged ones moved in —
-    a failed rerun leaves the prior complete export untouched. Stale
-    staging dirs from crashed runs (dead driver PID) are swept on the
-    next call; a live concurrent export's staging is never touched.
+    Reruns are atomic at the bundle level via the manifest pointer
+    swap (module docstring): a failed or crashed rerun leaves the
+    prior complete export untouched and LIVE, and a successful one
+    replaces it in a single ``os.replace``.
 
     REQUIRES a filesystem shared between driver and executors (local
     mode, NFS, or a shared mount): tasks write shards with plain
-    ``os`` calls and the driver swaps them in afterwards. Object-store
-    URIs (s3://, hdfs://, ...) are rejected up front, and a swap that
-    finds ZERO staged shards for a non-empty input aborts WITHOUT
-    deleting the previous export — the executors evidently wrote to
-    filesystems the driver can't see."""
+    ``os`` calls and the driver commits the manifest afterwards.
+    Object-store URIs (s3://, hdfs://, ...) are rejected up front, and
+    a commit that finds ZERO staged shards for a non-empty input
+    aborts WITHOUT touching the previous export — the executors
+    evidently wrote to filesystems the driver can't see (the emptiness
+    test rides a row-count accumulator, not a second pass over the
+    input plan)."""
     if "://" in out_dir and not out_dir.startswith("file://"):
         raise ValueError(
             f"write_zip_shards needs a driver+executor-shared local path, "
@@ -92,24 +150,29 @@ def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
     import shutil
     import uuid
 
-    _sweep_stale_staging(out_dir)
-    staging = os.path.join(
-        out_dir, f".staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    )
-    os.makedirs(staging, exist_ok=True)
+    _sweep_stale_runs(out_dir)
+    run_name = _run_dirname()
+    run_dir = os.path.join(out_dir, run_name)
+    os.makedirs(run_dir, exist_ok=True)
     cols = extracted.select(
         "url", "extracted_text", "status", "n_pages", "n_bytes"
     )
+    n_rows = cols.sparkSession.sparkContext.accumulator(0)
 
     def write_part(rows) -> None:
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
         meta = []
-        tmp = os.path.join(staging, f".part-{pid:05d}.zip.tmp")
-        final = os.path.join(staging, f"part-{pid:05d}.zip")
-        wrote = False
+        # attempt-unique temp name: concurrent attempts of the same
+        # partition (speculation, zombie after stage retry) each write
+        # a complete file and the final os.replace is last-wins-whole,
+        # never an interleaving of two writers
+        tmp = os.path.join(run_dir, f".part-{pid:05d}.zip.tmp-{attempt}")
+        final = os.path.join(run_dir, f"part-{pid:05d}.zip")
+        wrote = 0
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
             for r in rows:
                 name = entry_name(r["url"])
@@ -123,12 +186,13 @@ def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
                         "n_bytes": r["n_bytes"],
                     }
                 )
-                wrote = True
+                wrote += 1
             if wrote:
                 z.writestr(
                     "metadata.json",
                     json.dumps(meta, sort_keys=True, indent=0),
                 )
+        n_rows.add(wrote)
         if wrote:
             os.replace(tmp, final)
         else:
@@ -137,40 +201,67 @@ def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
     try:
         cols.foreachPartition(write_part)
     except Exception:
-        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(run_dir, ignore_errors=True)
         raise
-    staged = [f for f in os.listdir(staging) if f.endswith(".zip")]
+    staged = sorted(f for f in os.listdir(run_dir) if f.endswith(".zip"))
     if not staged:
         # Either the input was empty (fine — keep the prior export and
         # say so) or the executors wrote to a filesystem the driver
-        # can't see (NOT fine — deleting the prior export would leave
-        # nothing). Distinguish with a cheap emptiness probe.
-        shutil.rmtree(staging, ignore_errors=True)
-        if cols.limit(1).count() == 0:
+        # can't see (NOT fine — swapping would publish an empty run).
+        # The accumulator already counted rows during the one pass.
+        shutil.rmtree(run_dir, ignore_errors=True)
+        if n_rows.value == 0:
             print(f"[zip_sink] empty input; prior export in {out_dir} kept")
             return
         raise RuntimeError(
-            f"write_zip_shards: tasks reported success but no shards "
-            f"appeared in {staging} — driver and executors do not share "
-            f"this filesystem; prior export in {out_dir} left untouched"
+            f"write_zip_shards: tasks wrote {n_rows.value} rows but no "
+            f"shards appeared in {run_dir} — driver and executors do not "
+            f"share this filesystem; prior export in {out_dir} left live"
         )
-    # success: swap staged shards in, drop prior ones
-    for f in os.listdir(out_dir):
+    # THE commit: one atomic pointer swap. Everything before this line
+    # is invisible to readers; everything after is garbage collection.
+    prev = _current_run(out_dir)
+    tmp_manifest = os.path.join(
+        out_dir, f".{_MANIFEST}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    )
+    with open(tmp_manifest, "w") as fh:
+        json.dump(
+            {"run": run_name, "shards": staged, "host": socket.gethostname(),
+             "pid": os.getpid()},
+            fh, sort_keys=True,
+        )
+    os.replace(tmp_manifest, os.path.join(out_dir, _MANIFEST))
+    # GC our OWN previous run immediately (same host+pid proves no one
+    # else can be writing it); other unreferenced dirs age out via
+    # _sweep_stale_runs so a concurrent export is never deleted live.
+    if prev and prev != run_name:
+        parsed = _parse_run_dir(prev)
+        if parsed == (socket.gethostname(), os.getpid()):
+            shutil.rmtree(os.path.join(out_dir, prev), ignore_errors=True)
+    for f in os.listdir(out_dir):  # legacy pre-manifest top-level shards
         if f.startswith("part-") and f.endswith(".zip"):
             os.remove(os.path.join(out_dir, f))
-    for f in sorted(os.listdir(staging)):
-        if f.endswith(".zip"):
-            os.replace(os.path.join(staging, f), os.path.join(out_dir, f))
-    shutil.rmtree(staging, ignore_errors=True)
 
 
 def read_zip_shards(out_dir: str) -> dict[str, str]:
-    """Test/inspection helper: url → text across every shard."""
+    """Test/inspection helper: url → text across every shard of the
+    CURRENT export (manifest pointer), falling back to the legacy
+    flat part-*.zip layout when no manifest exists."""
+    out_dir = out_dir.removeprefix("file://")
     out: dict[str, str] = {}
-    for fname in sorted(os.listdir(out_dir)):
-        if not fname.endswith(".zip"):
-            continue
-        with zipfile.ZipFile(os.path.join(out_dir, fname)) as z:
+    run = _current_run(out_dir)
+    if run is not None:
+        base = os.path.join(out_dir, run)
+        names = sorted(
+            f for f in os.listdir(base) if f.endswith(".zip")
+        )
+    else:
+        base = out_dir
+        names = sorted(
+            f for f in os.listdir(out_dir) if f.endswith(".zip")
+        )
+    for fname in names:
+        with zipfile.ZipFile(os.path.join(base, fname)) as z:
             meta = json.loads(z.read("metadata.json"))
             for m in meta:
                 out[m["url"]] = z.read(m["entry"]).decode("utf-8")

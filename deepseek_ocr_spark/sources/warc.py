@@ -194,22 +194,119 @@ def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
     return iter_warc_stream([_gunzip_members(raw)] if raw else [])
 
 
+def _http_header(head: bytes, name: bytes) -> bytes:
+    """Case-insensitive single-header lookup in a raw header block."""
+    want = name + b":"
+    for line in head.split(_CRLF):
+        if line[: len(want)].lower() == want:
+            return line.split(b":", 1)[1].strip().lower()
+    return b""
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode Transfer-Encoding: chunked framing (size-hex CRLF data
+    CRLF ... 0 CRLF). Output is strictly smaller than the input, so no
+    amplification bound is needed. Malformed framing returns what was
+    decoded so far (tolerant, like the record parser)."""
+    out = bytearray()
+    i, n = 0, len(body)
+    while i < n:
+        j = body.find(_CRLF, i)
+        if j < 0:
+            break
+        try:
+            size = int(body[i:j].split(b";")[0].strip() or b"0", 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        start = j + 2
+        out += body[start : start + size]
+        i = start + size + 2  # skip the chunk-terminating CRLF
+    return bytes(out)
+
+
+def _bounded_inflate(data: bytes, wbits: int) -> bytes | None:
+    """Decompress with output capped at the record sanity bound (a
+    Content-Encoding gzip bomb must not out-materialize the record
+    caps the framing layer enforces). None on corrupt data."""
+    d = zlib.decompressobj(wbits=wbits)
+    out = bytearray()
+    try:
+        while data and len(out) < _MAX_RECORD_BYTES:
+            out += d.decompress(data, _MAX_RECORD_BYTES - len(out))
+            data = d.unconsumed_tail
+        return bytes(out)
+    except zlib.error:
+        return None
+
+
 def http_body(payload: bytes) -> bytes:
-    """Strip the HTTP response envelope (status line + headers)."""
-    if payload[:5] == b"HTTP/":
-        sep = payload.find(_CRLF + _CRLF)
-        if sep >= 0:
-            return payload[sep + 4 :]
-    return payload
+    """Strip the HTTP response envelope (status line + headers) and
+    undo wire encodings: Transfer-Encoding: chunked framing first
+    (outermost layer), then Content-Encoding gzip/deflate — real CC
+    response records carry both, and without decoding them the html
+    column holds hex chunk-size lines interleaved in the markup, or
+    compressed bytes that sniff as binary. A body that fails to decode
+    falls back to the raw bytes (downstream sniff rejects it, exactly
+    as before)."""
+    if payload[:5] != b"HTTP/":
+        return payload
+    sep = payload.find(_CRLF + _CRLF)
+    if sep < 0:
+        return payload
+    head, body = payload[:sep], payload[sep + 4 :]
+    if b"chunked" in _http_header(head, b"transfer-encoding"):
+        body = _dechunk(body)
+    ce = _http_header(head, b"content-encoding")
+    if ce in (b"gzip", b"x-gzip"):
+        out = _bounded_inflate(body, 16 + zlib.MAX_WBITS)
+        body = out if out is not None else body
+    elif ce == b"deflate":
+        # raw deflate per RFC, but many servers send zlib-wrapped
+        out = _bounded_inflate(body, -zlib.MAX_WBITS)
+        if out is None or not out:
+            out = _bounded_inflate(body, zlib.MAX_WBITS)
+        body = out if out is not None else body
+    return body
+
+
+_WARC_DATE_RE = None  # compiled lazily; see _parse_warc_date
 
 
 def _parse_warc_date(v: str | None):
+    """WARC/1.0 dates are second-resolution ISO-8601 Z; WARC/1.1
+    allows fractional seconds of any precision, and nonconforming
+    writers emit explicit UTC offsets. Accept all three (fraction
+    truncated to microseconds, offsets normalized to UTC) — a null
+    warc_ts silently drops the row from every watermark-keyed
+    streaming operator, so rejecting a legal date loses the crawl."""
+    global _WARC_DATE_RE
     if not v:
         return None
+    if _WARC_DATE_RE is None:
+        import re
+
+        _WARC_DATE_RE = re.compile(
+            r"(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})"
+            r"(?:\.(\d{1,9}))?(Z|[+-]\d{2}:?\d{2})$"
+        )
+    m = _WARC_DATE_RE.match(v.strip())
+    if not m:
+        return None
     try:
-        return _dt.datetime.strptime(v, "%Y-%m-%dT%H:%M:%SZ")
+        ts = _dt.datetime.strptime(m.group(1), "%Y-%m-%dT%H:%M:%S")
     except ValueError:
         return None
+    if m.group(2):
+        ts = ts.replace(microsecond=int(m.group(2)[:6].ljust(6, "0")))
+    off = m.group(3)
+    if off != "Z":
+        sign = 1 if off[0] == "+" else -1
+        ts -= sign * _dt.timedelta(
+            hours=int(off[1:3]), minutes=int(off[-2:])
+        )
+    return ts
 
 
 def _record_to_row(headers: dict, payload: bytes) -> dict | None:
@@ -249,6 +346,10 @@ def _open_input(path: str):
     u = urlparse(path)
     if u.scheme in ("", "file"):
         return open(unquote(u.path) if u.scheme else path, "rb")
+    # Spark/Hadoop hand out s3a:// (and legacy s3n://) scheme names
+    # that pyarrow's from_uri does not recognize — they ARE S3.
+    if u.scheme in ("s3a", "s3n"):
+        path = "s3://" + path.split("://", 1)[1]
     from pyarrow import fs as _pafs
 
     filesystem, rel = _pafs.FileSystem.from_uri(path)
@@ -257,10 +358,12 @@ def _open_input(path: str):
 
 def iter_warc_file(path: str) -> Iterator[tuple[dict, bytes]]:
     """Stream one WARC(.gz) file's records with bounded memory. An
-    unreadable file yields nothing (skip, never fatal)."""
+    unreadable file yields nothing (skip, never fatal) — including
+    unrecognized-URI errors: pyarrow raises ArrowInvalid, a ValueError
+    subclass that an OSError-only except would let kill the task."""
     try:
         f = _open_input(path)
-    except OSError:
+    except (OSError, ValueError):
         return
     with f:
         yield from iter_warc_stream(_decompressed_chunks(f))
@@ -314,12 +417,18 @@ def read_warc_dir(spark, path: str, glob: str = "*.warc*"):
     )
     parallelism = spark.sparkContext.defaultParallelism
     files = files.repartition(max(parallelism, 1))
+    return files.mapInPandas(
+        paths_to_pages_batches, schema=PAGES_SPARK_SCHEMA
+    )
 
-    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield from pages_batches(pdf["path"])
 
-    return files.mapInPandas(it, schema=PAGES_SPARK_SCHEMA)
+def paths_to_pages_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas adapter shared by the batch and streaming WARC
+    readers: path-column batches in, bounded pages batches out."""
+    for pdf in batches:
+        yield from pages_batches(pdf["path"])
 
 
 # ---- fixture writer (tests / demos) --------------------------------------

@@ -108,19 +108,13 @@ def run_curate_stream_drain(
     checkpoint_path: str,
     eval_df: DataFrame | None = None,
     timeout_secs: float | None = None,
-) -> None:
+) -> bool:
     """Drain every document file currently in ``input_path`` exactly
     once through the curation projection (incremental delivery: a
-    re-invocation picks up only newly landed files)."""
+    re-invocation picks up only newly landed files). Returns whether
+    the drain completed (see ``stream.drain_to_parquet``)."""
+    from deepseek_ocr_spark.streaming.stream import drain_to_parquet
+
     docs = read_docs_stream(spark, input_path)
     out = curate_stream(docs, eval_df=eval_df)
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", output_path)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_secs)
-    if q.isActive:
-        q.stop()
+    return drain_to_parquet(out, output_path, checkpoint_path, timeout_secs)

@@ -45,11 +45,7 @@ def read_warc_stream(
     only the ``path`` column (content never read into the JVM) and each
     task streams its files record-by-record in bounded batches; the
     file-source log makes every crawl file exactly-once."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from deepseek_ocr_spark.sources.warc import pages_batches
+    from deepseek_ocr_spark.sources.warc import paths_to_pages_batches
 
     files = (
         spark.readStream.format("binaryFile")
@@ -61,12 +57,34 @@ def read_warc_stream(
         .load(input_path)
         .select("path")
     )
+    return files.mapInPandas(
+        paths_to_pages_batches, schema=PAGES_SPARK_SCHEMA
+    )
 
-    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield from pages_batches(pdf["path"])
 
-    return files.mapInPandas(it, schema=PAGES_SPARK_SCHEMA)
+def drain_to_parquet(
+    out: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    timeout_secs: float | None = None,
+) -> bool:
+    """Run an availableNow parquet drain of a streaming frame and
+    report whether it COMPLETED: True = the query terminated on its
+    own (everything available was processed), False = ``timeout_secs``
+    expired and the query was stopped mid-drain. Callers must not
+    treat a False drain as a drained directory — the checkpoint makes
+    a re-invocation resume where the partial drain stopped."""
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    done = q.awaitTermination(timeout_secs)
+    if q.isActive:
+        q.stop()
+    return bool(done) if timeout_secs is not None else True
 
 
 def run_warc_stream_drain(
@@ -76,22 +94,14 @@ def run_warc_stream_drain(
     checkpoint_path: str,
     parallelism: int | None = None,
     timeout_secs: float | None = None,
-) -> None:
+) -> bool:
     """Drain every WARC file currently in ``input_path`` exactly once
     through the full extraction graph (incremental crawl-delivery
-    ingest: re-invoking picks up only newly landed files)."""
+    ingest: re-invoking picks up only newly landed files). Returns
+    whether the drain completed (see :func:`drain_to_parquet`)."""
     pages = read_warc_stream(spark, input_path)
     out = extract_stream(pages, parallelism=parallelism)
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", output_path)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_secs)
-    if q.isActive:
-        q.stop()
+    return drain_to_parquet(out, output_path, checkpoint_path, timeout_secs)
 
 
 def extract_stream(
@@ -114,22 +124,14 @@ def run_stream_drain(
     checkpoint_path: str,
     parallelism: int | None = None,
     timeout_secs: float | None = None,
-) -> None:
+) -> bool:
     """Drain everything currently in ``input_path`` exactly once.
 
     Re-invoking with the same checkpoint processes only files that
     arrived since the last drain — idempotent resume without the batch
-    job's anti-join (the file-source log is the done-set).
+    job's anti-join (the file-source log is the done-set). Returns
+    whether the drain completed (see :func:`drain_to_parquet`).
     """
     pages = read_pages_stream(spark, input_path)
     out = extract_stream(pages, parallelism=parallelism)
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", output_path)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_secs)
-    if q.isActive:
-        q.stop()
+    return drain_to_parquet(out, output_path, checkpoint_path, timeout_secs)

@@ -92,6 +92,69 @@ def test_zip_shards_rerun_with_fewer_partitions_leaves_no_stale(
     assert set(got) == {"u0", "u1", "u2"}
 
 
+def test_compact_output_refuses_self_overwrite(spark, tmp_path):
+    """mode('overwrite') onto the directory being lazily read would
+    truncate the job's done-set mid-scan — fail fast instead."""
+    import pytest as _pytest
+
+    from deepseek_ocr_spark.operators.checkpoint import compact_output
+
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [("u1", "t", "r1")], "url string, extracted_text string, run_id string"
+    ).write.parquet(out)
+    with _pytest.raises(ValueError, match="must differ"):
+        compact_output(spark, out, out)
+    with _pytest.raises(ValueError, match="must differ"):
+        compact_output(spark, out, "file://" + out)
+    # distinct dest still works
+    res = compact_output(spark, out, str(tmp_path / "compacted"))
+    assert res["rows"] == 1
+
+
+def test_zip_manifest_pointer_swap_and_orphan_sweep(spark, tmp_path):
+    """A run dir without a manifest swap (simulated driver crash) must
+    leave the prior export live, and be swept once its pid is dead."""
+    import os
+    import socket
+    import subprocess
+
+    from deepseek_ocr_spark.operators.zip_sink import (
+        _current_run,
+        read_zip_shards,
+        write_zip_shards,
+    )
+
+    schema = ("url string, extracted_text string, status string, "
+              "n_pages int, n_bytes bigint")
+    out = str(tmp_path / "zips")
+    write_zip_shards(
+        spark.createDataFrame([("u1", "t1", "ok", 1, 10)], schema), out
+    )
+    live = _current_run(out)
+    # orphan run dir from a "crashed" driver: a real dead pid
+    p = subprocess.Popen(["true"])
+    p.wait()
+    orphan = os.path.join(
+        out, f".run-{socket.gethostname()}-{p.pid}-deadbeef"
+    )
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.zip"), "wb") as fh:
+        fh.write(b"junk never committed")
+    # uncommitted junk is invisible to readers (pointer semantics)
+    assert read_zip_shards(out) == {"u1": "t1"}
+    # the next export sweeps the dead orphan and swaps the pointer
+    write_zip_shards(
+        spark.createDataFrame([("u2", "t2", "ok", 1, 10)], schema), out
+    )
+    assert not os.path.exists(orphan)
+    assert _current_run(out) != live
+    assert read_zip_shards(out) == {"u2": "t2"}
+    # exactly one run dir remains: the manifest-referenced one
+    runs = [f for f in os.listdir(out) if f.startswith(".run-")]
+    assert runs == [_current_run(out)]
+
+
 def test_declared_utf16_label_without_bom_reads_as_utf8():
     """WHATWG: pages declaring utf-16 in an ASCII-readable meta tag are
     serving 8-bit bytes — decoding as UTF-16 makes CJK mojibake."""
@@ -219,7 +282,16 @@ def test_zip_export_failure_preserves_previous_bundle(spark, tmp_path):
     assert read_zip_shards(out) == before  # prior export intact
     import os as _os
 
-    assert not [f for f in _os.listdir(out) if f.startswith(".staging-")]
+    from deepseek_ocr_spark.operators.zip_sink import _current_run
+
+    # the manifest-referenced run dir is the live export; nothing else
+    # may linger after a failed rerun
+    leftovers = [
+        f for f in _os.listdir(out)
+        if (f.startswith(".run-") or f.startswith(".staging-"))
+        and f != _current_run(out)
+    ]
+    assert leftovers == []
 
 
 def test_utf16_alias_labels_also_remap():

@@ -16,7 +16,7 @@ def test_stream_drain_matches_golden_and_resumes(spark, tmp_path, golden_rows):
 
     # batch 1: rows 0..100
     write_pages_parquet(str(inp / "part-0.parquet"), 100, seed=42)
-    run_stream_drain(spark, str(inp), out, ckpt, timeout_secs=120)
+    assert run_stream_drain(spark, str(inp), out, ckpt, timeout_secs=120)
     got1 = {r["url"]: r for r in spark.read.parquet(out).collect()}
     assert len(got1) == 100
 
@@ -42,7 +42,7 @@ def test_stream_drain_matches_golden_and_resumes(spark, tmp_path, golden_rows):
         pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
         str(inp / "part-1.parquet"),
     )
-    run_stream_drain(spark, str(inp), out, ckpt, timeout_secs=120)
+    assert run_stream_drain(spark, str(inp), out, ckpt, timeout_secs=120)
 
     rows = spark.read.parquet(out).collect()
     got = {r["url"]: r for r in rows}
@@ -195,8 +195,8 @@ def test_warc_stream_drain_incremental(spark, tmp_path):
     (d / "crawl-0.warc.gz").write_bytes(build_warc(pages[:10]))
     (d / "crawl-1.warc").write_bytes(build_warc(pages[10:15], gzip_members=False))
 
-    run_warc_stream_drain(spark, str(d), out, ckpt, parallelism=2,
-                          timeout_secs=120)
+    assert run_warc_stream_drain(spark, str(d), out, ckpt, parallelism=2,
+                                 timeout_secs=120)
     got = {r["url"]: r for r in spark.read.parquet(out).collect()}
     assert len(got) == 15
     for src in pages[:15]:
@@ -205,8 +205,8 @@ def test_warc_stream_drain_incremental(spark, tmp_path):
 
     # land one more file; re-drain with same checkpoint
     (d / "crawl-2.warc.gz").write_bytes(build_warc(pages[15:]))
-    run_warc_stream_drain(spark, str(d), out, ckpt, parallelism=2,
-                          timeout_secs=120)
+    assert run_warc_stream_drain(spark, str(d), out, ckpt, parallelism=2,
+                                 timeout_secs=120)
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 20  # old files NOT reprocessed (no dups)
     urls = {r["url"] for r in rows}

@@ -181,3 +181,85 @@ def test_warc_roundtrip_fuzz():
             assert got["url"] == src["url"]
 
     fuzz()
+
+
+def test_warc_date_variants():
+    from deepseek_ocr_spark.sources.warc import _parse_warc_date as p
+    import datetime as dt
+
+    assert p("2025-01-01T00:00:00Z") == dt.datetime(2025, 1, 1)
+    # WARC/1.1: fractional seconds of any precision
+    assert p("2025-01-01T00:00:00.123456Z") == dt.datetime(
+        2025, 1, 1, microsecond=123456
+    )
+    assert p("2025-01-01T00:00:00.123456789Z") == dt.datetime(
+        2025, 1, 1, microsecond=123456
+    )
+    assert p("2025-01-01T00:00:00.5Z") == dt.datetime(
+        2025, 1, 1, microsecond=500000
+    )
+    # nonconforming writers: explicit UTC offsets normalize to UTC
+    assert p("2025-01-01T02:00:00+02:00") == dt.datetime(2025, 1, 1)
+    assert p("2024-12-31T22:30:00-01:30") == dt.datetime(2025, 1, 1)
+    assert p("not a date") is None
+    assert p("") is None
+    assert p(None) is None
+
+
+def test_http_body_dechunks_transfer_encoding():
+    payload = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"6\r\n<html>\r\nB\r\nhello world\r\n7\r\n</html>\r\n0\r\n\r\n"
+    )
+    assert http_body(payload) == b"<html>hello world</html>"
+    # chunk extensions after ';' are ignored per RFC 9112
+    ext = (
+        b"HTTP/1.1 200 OK\r\ntransfer-encoding: CHUNKED\r\n\r\n"
+        b"5;name=v\r\nabcde\r\n0\r\n\r\n"
+    )
+    assert http_body(ext) == b"abcde"
+
+
+def test_http_body_decodes_content_encoding_gzip_and_deflate():
+    import gzip as _gzip
+    import zlib
+
+    doc = b"<html>compressed body</html>"
+    gz = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+        + _gzip.compress(doc, mtime=0)
+    )
+    assert http_body(gz) == doc
+    # raw deflate AND zlib-wrapped deflate (common server bug)
+    raw = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    rawbody = raw.compress(doc) + raw.flush()
+    for body in (rawbody, zlib.compress(doc)):
+        p = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + body
+        assert http_body(p) == doc
+    # corrupt compressed data: fall back to the raw bytes, never raise
+    bad = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip"
+    assert http_body(bad) == b"not gzip"
+
+
+def test_http_body_chunked_then_gzip():
+    import gzip as _gzip
+
+    doc = b"<html>layered</html>"
+    gz = _gzip.compress(doc, mtime=0)
+    chunked = (
+        f"{len(gz):x}".encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    )
+    payload = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + chunked
+    )
+    assert http_body(payload) == doc
+
+
+def test_unreadable_uri_schemes_skip_not_raise():
+    from deepseek_ocr_spark.sources.warc import iter_warc_file
+
+    # pyarrow raises ArrowInvalid (a ValueError) for unknown schemes —
+    # 'skip, never fatal' must hold for those too
+    assert list(iter_warc_file("weird-scheme://bucket/f.warc.gz")) == []
+    assert list(iter_warc_file("/no/such/file.warc.gz")) == []
