@@ -6,6 +6,7 @@ entirely from this repo's operators:
     pages → extract (pipeline.extract_pipeline)
           → keep status='ok' text docs
           → text stats (token count, quality score, lang guess)
+          → url-canonical dedup (cheapest class first: no text touched)
           → exact dedup (fingerprint keep-first)
           → near-dup dedup (MinHash-LSH candidate pairs → drop the
             higher doc of each confirmed pair)
@@ -191,13 +192,18 @@ def curate(
     extracted = extract_pipeline(pages, parallelism=parallelism)
     docs = enrich(extracted).persist()
     kept = lang_gate(docs, languages)
-    exact = exact_dedup(kept)
+    # cheapest dedup class first: re-crawl urls differing only by
+    # case/port/fragment/tracking params collapse before any content
+    # hashing or shingling touches the text
+    canon = url_canonical_dedup(kept)
+    exact = exact_dedup(canon)
     lsh_obs = Observation("lsh_bucket_cap")
     near = neardup_dedup(exact, observation=lsh_obs)
     final = quality_gate(near)
     funnel = {
         "extracted_ok": docs.count(),
         "after_lang_gate": kept.count(),
+        "after_url_dedup": canon.count(),
         "after_exact_dedup": exact.count(),
         "after_neardup": near.count(),
         "curated": final.count(),

@@ -15,6 +15,8 @@ def test_curation_funnel(spark, pages_path):
     # each stage can only shrink the corpus
     assert (
         funnel["extracted_ok"]
+        >= funnel["after_lang_gate"]
+        >= funnel["after_url_dedup"]
         >= funnel["after_exact_dedup"]
         >= funnel["after_neardup"]
         >= funnel["curated"]
@@ -25,6 +27,32 @@ def test_curation_funnel(spark, pages_path):
     assert all(r["n_tokens"] >= 5 and r["quality"] >= 0.3 for r in rows)
     # no exact duplicates survive
     assert final.select("fp").distinct().count() == len(rows)
+
+
+def test_url_variants_collapse_in_funnel(spark):
+    """Re-crawl url variants (tracking params / default port / case)
+    collapse at the url-canonical stage even when their CONTENT
+    differs (so no later dedup stage could catch them)."""
+    body = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+            "do eiusmod tempor incididunt ut labore et dolore magna %d")
+    rows = [
+        ("HTTPS://x.example:443/a?utm_source=tw#frag",
+         f"<html><body><p>{body % 1}</p></body></html>".encode()),
+        ("https://x.example/a",
+         f"<html><body><p>{body % 2}</p></body></html>".encode()),
+        ("https://y.example/b",
+         b"<html><body><p>entirely unrelated page about oceanic plate "
+         b"tectonics and the subduction of dense lithosphere beneath "
+         b"continental margins over geologic time scales</p></body></html>"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, h, None, None) for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    final, funnel = curate(pages, parallelism=2)
+    assert funnel["extracted_ok"] == 3
+    assert funnel["after_url_dedup"] == 2
+    assert final.count() == 2
 
 
 def test_exact_dedup_keeps_one_per_fingerprint(spark):
