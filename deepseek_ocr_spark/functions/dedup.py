@@ -469,6 +469,98 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
 
 
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BLOCKS = SIMHASH_MAX_HAMMING + 1  # pigeonhole: <=k diffs spare a block
+
+
+def simhash_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    n_blocks: int = SIMHASH_BLOCKS,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
+    observation=None,
+) -> DataFrame:
+    """Near-dup pairs from SimHash signatures at Hamming distance
+    ``<= max_hamming`` — the Manku/Jain/Sarma (WWW 2007) web-crawl
+    dedup scheme, the one Google ran at 8B-page scale.
+
+    Pigeonhole bucketing instead of an all-pairs scan: split the
+    ``SIMHASH_BITS``-bit signature into ``n_blocks`` contiguous blocks;
+    any pair within Hamming distance k < n_blocks differs in at most k
+    blocks, so at least one block matches EXACTLY. Bucket on
+    (block_idx, block_val), expand in-bucket pairs map-side from one
+    sorted collect (same single-shuffle shape as lsh_candidate_pairs),
+    and confirm with ``bit_count(xor)`` — the signature rides along in
+    the collected struct, so the exact-distance confirm needs no join
+    back to the signature table. Candidate volume at crawl scale is
+    bounded by the same ``max_bucket_size`` mega-bucket guard as LSH
+    (boilerplate collapses to identical signatures → one bucket), with
+    the same Observation metrics contract.
+
+    Returns (id_a, id_b, hamming), id_a < id_b, distinct."""
+    if SIMHASH_BITS % n_blocks:
+        raise ValueError("n_blocks must divide SIMHASH_BITS")
+    if max_hamming >= n_blocks:
+        raise ValueError("need max_hamming < n_blocks for the pigeonhole")
+    width = SIMHASH_BITS // n_blocks
+    mask = (1 << width) - 1
+    vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit(mask))
+            .cast("int")
+            for i in range(n_blocks)
+        ]
+    )
+    keyed = sig.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.posexplode(vals).alias("block_idx", "block_val"),
+    )
+    grouped = keyed.groupBy("block_idx", "block_val").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("id"), F.col("simhash").alias("sh")))
+        ).alias("members")
+    )
+    if observation is not None:
+        cap = max_bucket_size if max_bucket_size is not None else 1 << 62
+        grouped = grouped.observe(
+            observation,
+            F.sum(
+                F.when(F.size("members") > cap, F.size("members")).otherwise(0)
+            ).alias("rows_in_dropped_buckets"),
+            F.max(F.size("members")).alias("max_bucket_seen"),
+        )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("members") <= max_bucket_size)
+    pair_expr = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("members"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("members"), i + 2, F.size(F.col("members")) - i - 1
+                    ),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        F.bit_count(x["sh"].bitwiseXOR(y["sh"]))
+                        .cast("int")
+                        .alias("hamming"),
+                    ),
+                ),
+            )
+        )
+    )
+    return (
+        grouped.select(pair_expr.alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

@@ -987,14 +987,48 @@ _SIMHASH_PACK = " + ".join(
     f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(DD.SIMHASH_BITS)
 )
 
-SQL_SIMHASH = f"""
+_SIMHASH_SIG_SQL = f"""
 WITH t AS (SELECT doc_id,
                   unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
            FROM documents),
 h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th FROM t),
-v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id)
-SELECT doc_id, ({_SIMHASH_PACK})::BIGINT AS simhash FROM v
+v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id)"""
+
+SQL_SIMHASH = (
+    _SIMHASH_SIG_SQL
+    + f"\nSELECT doc_id, ({_SIMHASH_PACK})::BIGINT AS simhash FROM v\n"
+)
+
+
+def q_simhash_neardup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming distance <= 3 via Manku-2007
+    block-permutation bucketing (pigeonhole exact-block match), with
+    the LSH mega-bucket cap."""
+    d = _t(spark, sf_dir, "documents")
+    sig = DD.simhash(d, "doc_id", "text")
+    return DD.simhash_hamming_pairs(sig, "doc_id")
+
+
+_SH_WIDTH = DD.SIMHASH_BITS // DD.SIMHASH_BLOCKS
+SQL_SIMHASH_NEARDUP_PAIRS = (
+    _SIMHASH_SIG_SQL
+    + f""",
+sig AS (SELECT doc_id, ({_SIMHASH_PACK})::BIGINT AS simhash FROM v),
+blk AS (SELECT doc_id, simhash, i AS block_idx,
+               (simhash >> (i * {_SH_WIDTH})) & {(1 << _SH_WIDTH) - 1}
+                 AS block_val
+        FROM sig, (SELECT unnest(range({DD.SIMHASH_BLOCKS})) AS i)),
+capped AS (SELECT * FROM blk
+           QUALIFY count(*) OVER (PARTITION BY block_idx, block_val)
+                   <= {DD.LSH_MAX_BUCKET})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM capped a JOIN capped b
+  ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {DD.SIMHASH_MAX_HAMMING}
 """
+)
 
 
 # --------------------------------------------------------------------
@@ -1873,6 +1907,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chunk_dup_stats": (q_chunk_dup_stats, SQL_CHUNK_DUP_STATS),
     "chunk_dedup_rewrite": (q_chunk_dedup_rewrite, SQL_CHUNK_DEDUP_REWRITE),
     "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_neardup_pairs": (
+        q_simhash_neardup_pairs,
+        SQL_SIMHASH_NEARDUP_PAIRS,
+    ),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ivf_topk": (q_ivf_topk, None),
     "ivf_topk_exhaustive": (q_ivf_topk_exhaustive, SQL_ANN_COSINE_TOPK),

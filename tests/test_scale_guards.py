@@ -109,3 +109,41 @@ def test_neardup_dedup_observation_threads_through(spark, strategy):
     m = obs.get
     assert m["rows_in_dropped_buckets"] == 0
     assert 0 < m["max_bucket_seen"] <= DD.LSH_MAX_BUCKET
+
+def test_simhash_hamming_pairs_exact_distance(spark):
+    """Hand-built signatures: pairs within Hamming<=3 surface with the
+    exact xor-popcount distance; a far signature never pairs even when
+    it shares a block with a near one."""
+    base = 0b1011_0110_1100_0011_0101_1010_0110_1001
+    rows = [
+        ("a", base),
+        ("b", base ^ 0b1),                    # hamming 1 (block 0)
+        ("c", base ^ (0b101 << 9)),           # hamming 2 (blocks 1-2)
+        # shares blocks 0 and 3 with `a` exactly, but 8 bits flipped in
+        # the middle -> candidate via pigeonhole, rejected by confirm
+        ("far", base ^ (0xFF << 12)),
+    ]
+    sig = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DD.simhash_hamming_pairs(sig, "doc_id").collect()
+    }
+    assert got == {("a", "b"): 1, ("a", "c"): 2, ("b", "c"): 3}
+
+
+def test_simhash_hamming_pairs_bucket_cap(spark):
+    """Identical signatures collapse into one mega-bucket per block;
+    the cap drops them (observably) while a small surviving bucket
+    still pairs."""
+    from pyspark.sql import Observation as Obs
+
+    rows = [(f"d{i:05d}", 0x12345678) for i in range(DD.LSH_MAX_BUCKET + 50)]
+    rows += [("x1", 0x0F0F0F0F), ("x2", 0x0F0F0F0E)]  # hamming 1 survivors
+    sig = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    obs = Obs("shcap")
+    pairs = DD.simhash_hamming_pairs(sig, "doc_id", observation=obs)
+    got = [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()]
+    assert got == [("x1", "x2", 1)]
+    m = obs.get
+    assert m["rows_in_dropped_buckets"] > 0
+    assert m["max_bucket_seen"] > DD.LSH_MAX_BUCKET
