@@ -106,6 +106,8 @@ HEADLINE = [
     "asof_join",
     "pii_scrub",
     "decontaminate",
+    "simhash_neardup_pairs",
+    "bm25_topk",
 ]
 
 

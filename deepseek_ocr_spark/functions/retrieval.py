@@ -1,0 +1,114 @@
+"""BM25 relevance scoring / top-k retrieval over a document table.
+
+The sparse-retrieval primitive of a training-data pipeline: score every
+document against a query with Okapi BM25 (Robertson/Walker, the Lucene
+default) and keep the top k — used for targeted corpus slicing ("pull
+the k docs most about X"), eval-set curation, and retrieval-augmented
+filtering. The reference engine has no retrieval surface (it is a
+per-request OCR service); this belongs to the pipeline operators the
+engine adds on top.
+
+Scale shape (what must hold at 10^12 docs):
+
+* the query-term dimension is tokenized IN-ENGINE from the query
+  string (same tokenizer as every other text operator) and BROADCAST;
+  the corpus-sized token explode is immediately semi-joined to it, so
+  the per-(doc, term) frequency aggregation shuffles only rows whose
+  token IS a query term — query-sized, not corpus-sized;
+* document length comes from a ``size(split(...))`` projection — an
+  expression, never a second explode; the corpus statistics
+  (doc count, total length) are one map-side-partial scalar aggregate;
+* document frequencies reduce the tf frame (already query-restricted)
+  to at most |query| rows — broadcast back for scoring;
+* the final top-k is ``ORDER BY ... LIMIT k`` → TakeOrderedAndProject
+  (per-partition heaps + driver merge of k·n_part rows), never a full
+  sort.
+
+Determinism across engines (the DuckDB oracle must hash-match):
+
+* ``idf = ln((N - df + ½)/(df + ½) + 1)`` (the Lucene-sanitized form,
+  always positive) is evaluated with the SAME fixed 9th-order atanh
+  series as the DSIR weights (functions/importance.py) — only
+  correctly-rounded +,−,×,÷, expression strings shared verbatim with
+  the SQL twin — and floored to a 1e-6 fixed-point BIGINT;
+* the tf saturation term is pure +,−,×,÷ on doubles from exact
+  integers, again a shared expression string;
+* each (doc, term) contribution is floored to an integer BEFORE the
+  per-doc sum, so aggregation order cannot drift the result. Scores
+  are therefore reported as fixed-point BIGINTs (``score_fp``,
+  1e-6 units).
+
+The truncated series compresses extreme idf ratios toward zero
+relative to true ln (documented in importance.py); it is strictly
+monotone in the ratio, so per-term orderings match true BM25 and
+multi-term orderings are a deterministic, engine-portable surrogate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.dedup import words_col
+from deepseek_ocr_spark.functions.importance import LR_FP_SQL, Z2_SQL, Z_SQL
+
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+
+# Lucene-sanitized idf ratio: always > 1, so ln(r) > 0 and the atanh
+# series operates in its accurate range for all but ultra-rare terms.
+IDF_R_SQL = (
+    "((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) + 1"
+)
+# Okapi tf saturation with length normalization; avgdl is carried as
+# exact corpus totals and divided HERE so both engines perform the
+# identical correctly-rounded op sequence.
+TFNORM_SQL = (
+    f"(CAST(tf AS DOUBLE) * ({BM25_K1} + 1)) / "
+    f"(CAST(tf AS DOUBLE) + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * "
+    "(CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))))"
+)
+CONTRIB_SQL = "CAST(FLOOR(CAST(idf_fp AS DOUBLE) * __tfn) AS BIGINT)"
+
+
+def bm25_topk(
+    df: DataFrame, id_col: str, text_col: str, query: str, k: int = 10
+) -> DataFrame:
+    """Top-``k`` documents by BM25 against ``query``: (id, score_fp),
+    score in 1e-6 fixed point, ties broken by ascending id."""
+    spark = df.sparkSession
+    qterms = (
+        spark.range(1)
+        .select(F.explode(words_col(F.lit(query))).alias("term"))
+        .distinct()
+    )
+    docs = df.select(
+        F.col(id_col), F.col(text_col), F.size(words_col(F.col(text_col))).alias("dl")
+    )
+    stats = docs.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    toks = docs.select(
+        F.col(id_col), F.col("dl"), F.explode(words_col(F.col(text_col))).alias("term")
+    )
+    tf = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .withColumn("__r", F.expr(IDF_R_SQL))
+        .withColumn("__z", F.expr(Z_SQL))
+        .withColumn("__z2", F.expr(Z2_SQL))
+        .select("term", F.expr(LR_FP_SQL).alias("idf_fp"))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__tfn", F.expr(TFNORM_SQL))
+        .groupBy(id_col)
+        .agg(F.sum(F.expr(CONTRIB_SQL)).cast("bigint").alias("score_fp"))
+    )
+    return scored.orderBy(F.desc("score_fp"), F.col(id_col)).limit(k)

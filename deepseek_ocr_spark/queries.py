@@ -1864,6 +1864,64 @@ SQL_DSIR_TOPK = _dsir_sql(
 )
 
 
+_BM25_QUERY = "spark vector join filter"
+_BM25_K = 25
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (functions/retrieval.py): query terms
+    tokenized in-engine and broadcast, the token explode semi-joined
+    to them (query-sized shuffles), idf via the engine-exact atanh
+    series, fixed-point per-term contributions summed as integers."""
+    from deepseek_ocr_spark.functions import retrieval as RET
+
+    d = _t(spark, sf_dir, "documents")
+    return RET.bm25_topk(d, "doc_id", "text", _BM25_QUERY, k=_BM25_K)
+
+
+def _bm25_sql() -> str:
+    from deepseek_ocr_spark.functions import retrieval as RET
+    from deepseek_ocr_spark.functions import importance as IMP
+
+    ws = "'[ \\t\\n\\x0B\\f\\r]+'"
+    return f"""
+WITH qt AS (
+  SELECT DISTINCT unnest(string_split_regex(lower(trim('{_BM25_QUERY}')), {ws}))
+           AS term
+), w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), {ws}) AS ws
+  FROM documents
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(len(ws))::BIGINT AS sum_dl FROM w
+), tok AS (
+  SELECT doc_id, len(ws)::BIGINT AS dl, unnest(ws) AS term FROM w
+), tf AS (
+  SELECT doc_id, term, dl, count(*)::BIGINT AS tf
+  FROM tok JOIN qt USING (term) GROUP BY doc_id, term, dl
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), r1 AS (
+  SELECT term, {RET.IDF_R_SQL} AS __r FROM dfreq, stats
+), r2 AS (
+  SELECT term, {IMP.Z_SQL} AS __z FROM r1
+), r3 AS (
+  SELECT term, __z, {IMP.Z2_SQL} AS __z2 FROM r2
+), idf AS (
+  SELECT term, {IMP.LR_FP_SQL} AS idf_fp FROM r3
+), contrib AS (
+  SELECT tf.doc_id, {RET.CONTRIB_SQL.replace("__tfn", f"({RET.TFNORM_SQL})")}
+           AS c_fp
+  FROM tf JOIN idf USING (term), stats
+)
+SELECT doc_id, sum(c_fp)::BIGINT AS score_fp
+FROM contrib GROUP BY doc_id
+ORDER BY score_fp DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
+SQL_BM25_TOPK = _bm25_sql()
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -1937,6 +1995,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "kgram_dup_stats": (q_kgram_dup_stats, SQL_KGRAM_DUP_STATS),
     "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),
     "domain_rebalance": (q_domain_rebalance, SQL_DOMAIN_REBALANCE),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "dsir_topk": (q_dsir_topk, SQL_DSIR_TOPK),
 }

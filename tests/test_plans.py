@@ -213,3 +213,21 @@ def test_rebalance_doc_scan_is_shuffle_free(spark):
     assert streamed and not any("Exchange" in ln for ln in streamed), plan
     assert len(re.findall(r"Exchange (hashpartitioning|SinglePartition)",
                           plan)) <= 2, plan
+
+
+def test_bm25_topk_broadcasts_and_heap_sorts(spark):
+    """BM25's corpus-sized token explode must meet the query-term set
+    via BroadcastHashJoin (a shuffle there would be corpus-sized), and
+    the final top-k must be TakeOrderedAndProject, never a global
+    Sort + Exchange of every scored doc."""
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["bm25_topk"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    # the one-row corpus-stats frame joins as BroadcastNestedLoopJoin
+    # (the scalar-broadcast pattern, same as DSIR's totals) — any OTHER
+    # nested loop would be a real hazard
+    assert "NestedLoopJoin" not in plan.replace("BroadcastNestedLoopJoin", "")
+    assert "SortMergeJoin" not in plan, plan

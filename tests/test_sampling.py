@@ -95,3 +95,30 @@ def test_sample_zero_token_source_is_kept(spark):
     by_src = {r["src"]: r["n"] for r in
               kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
     assert by_src.get("Z") == 7 and by_src.get("A") == 40
+
+
+def test_bm25_topk_ranking(spark):
+    """More query-term occurrences (tf) and rarer terms (idf) rank
+    higher; docs with no query terms never appear."""
+    from deepseek_ocr_spark.functions.retrieval import bm25_topk
+
+    filler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    rows = [
+        ("heavy", f"spark spark spark {filler}"),
+        ("light", f"spark {filler}"),
+        ("rare", f"zebra {filler}"),
+        ("none", filler),
+        ("pad", f"{filler} extra words here"),
+        # "spark" appears in 3 docs, "zebra" in 2 -> zebra idf higher
+        ("both", f"spark zebra {filler}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [(r["doc_id"], r["score_fp"])
+           for r in bm25_topk(df, "doc_id", "text", "spark zebra", k=10).collect()]
+    ids = [i for i, _ in got]
+    assert "none" not in ids and "pad" not in ids and len(got) == 4
+    assert ids[0] == "both"            # matches both terms
+    scores = dict(got)
+    assert scores["heavy"] > scores["light"]   # tf saturation still ranks
+    assert scores["rare"] > scores["light"]    # rarer term outweighs common
+    assert all(s > 0 for s in scores.values())
