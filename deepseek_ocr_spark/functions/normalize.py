@@ -1,0 +1,73 @@
+"""Deterministic text normalization — the cleaning pass every corpus
+pipeline runs before tokenization/dedup (ccnet, C4, Dolma all ship a
+variant): strip zero-width characters, map exotic Unicode spaces to
+ASCII space, drop control characters, and collapse whitespace runs.
+
+Pure JVM ``regexp_replace`` chains (whole-stage codegen, zero shuffle,
+no Python) over pattern strings restricted to the Java-regex ∩ RE2
+subset — literal character classes and ``\\x{...}`` escapes only — so
+the DuckDB oracle twin runs the IDENTICAL strings (same discipline as
+functions/pii.py). Unicode NFC/NFKC proper needs ICU tables neither
+engine exposes as a builtin; this pass covers the whitespace/control
+normalization layer, which is the part dedup correctness depends on
+(two visually-identical docs differing by NBSP vs space must
+fingerprint identically).
+
+Order matters and is pinned by the chain below:
+1. zero-width marks (ZWSP/ZWNJ/ZWJ/BOM/soft hyphen) are DELETED —
+   they join words, so mapping them to space would split tokens;
+2. Unicode space separators (NBSP, en/em/thin spaces, ideographic
+   space) plus VT/FF become ASCII space — they separate words;
+3. remaining C0/C1 controls and DEL are deleted (tab/newline/CR were
+   already handled as whitespace in step 2's collapse input);
+4. horizontal-whitespace runs collapse to one space, spaces hugging a
+   newline are dropped, 3+ newlines collapse to a paragraph break,
+   and the result is trimmed.
+
+The reference emits raw OCR text with no normalization
+(DeepSeek-OCR-master/api/vllm_service.py); this is a training-data
+curation pass the engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# step 1: joiners/format marks to delete (never word-separating)
+ZERO_WIDTH_RE = r"[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}\x{00AD}]"
+# step 2: word-separating whitespace variants → ASCII space
+UNISPACE_RE = (
+    r"[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}"
+    r"\x{000B}\x{000C}\x{0085}\x{2028}\x{2029}\t\r]"
+)
+# step 3: remaining C0/C1 controls + DEL (newline survives)
+CONTROL_RE = r"[\x{0000}-\x{0008}\x{000E}-\x{001F}\x{007F}-\x{009F}]"
+# step 4: whitespace shape-up
+MULTISPACE_RE = r" {2,}"
+SPACE_AROUND_NL_RE = r" ?\n ?"
+PARA_RE = r"\n{3,}"
+
+
+def normalize_text(col: Column) -> Column:
+    """Apply the full normalization chain; see module docstring for
+    the pinned order."""
+    out = F.regexp_replace(col, ZERO_WIDTH_RE, "")
+    out = F.regexp_replace(out, UNISPACE_RE, " ")
+    out = F.regexp_replace(out, CONTROL_RE, "")
+    out = F.regexp_replace(out, MULTISPACE_RE, " ")
+    out = F.regexp_replace(out, SPACE_AROUND_NL_RE, "\n")
+    out = F.regexp_replace(out, PARA_RE, "\n\n")
+    return F.trim(out)
+
+
+def normalize_sql(expr: str) -> str:
+    """The identical chain as DuckDB SQL over ``expr`` — built from the
+    same pattern constants so the twins cannot drift."""
+    out = f"regexp_replace({expr}, '{ZERO_WIDTH_RE}', '', 'g')"
+    out = f"regexp_replace({out}, '{UNISPACE_RE}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{CONTROL_RE}', '', 'g')"
+    out = f"regexp_replace({out}, '{MULTISPACE_RE}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{SPACE_AROUND_NL_RE}', chr(10), 'g')"
+    out = f"regexp_replace({out}, '{PARA_RE}', chr(10) || chr(10), 'g')"
+    return f"trim({out})"

@@ -1864,6 +1864,35 @@ SQL_DSIR_TOPK = _dsir_sql(
 )
 
 
+# Wrap each document in deterministic normalization nasties (NBSP,
+# zero-width space, BEL, tab runs, ideographic space, 4x newline) so
+# the cross-engine check exercises every rule on every row — the
+# fixture text itself is clean ASCII.
+_NORM_PREFIX = "  start\u200bjoined\u00a0"
+_NORM_SUFFIX = " \t\twide\u3000end\u0007 \n\n\n\n  tail  done\u00ad "
+
+
+def q_normalize_text(spark, sf_dir):
+    """Whitespace/control normalization (functions/normalize.py):
+    zero-width strip, unicode-space mapping, control removal,
+    whitespace collapse — one codegen projection, zero shuffle."""
+    from deepseek_ocr_spark.functions import normalize as NRM
+
+    d = _t(spark, sf_dir, "documents")
+    nasty = F.concat(F.lit(_NORM_PREFIX), F.col("text"), F.lit(_NORM_SUFFIX))
+    return d.select("doc_id", NRM.normalize_text(nasty).alias("norm_text"))
+
+
+def _normalize_sql() -> str:
+    from deepseek_ocr_spark.functions import normalize as NRM
+
+    expr = NRM.normalize_sql(f"'{_NORM_PREFIX}' || text || '{_NORM_SUFFIX}'")
+    return f"SELECT doc_id, {expr} AS norm_text FROM documents"
+
+
+SQL_NORMALIZE_TEXT = _normalize_sql()
+
+
 _BM25_QUERY = "spark vector join filter"
 _BM25_K = 25
 
@@ -1996,6 +2025,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),
     "domain_rebalance": (q_domain_rebalance, SQL_DOMAIN_REBALANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "dsir_topk": (q_dsir_topk, SQL_DSIR_TOPK),
 }

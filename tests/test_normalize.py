@@ -1,0 +1,60 @@
+"""Text normalization chain (functions/normalize.py) — Spark semantics
+plus the Spark↔DuckDB twin parity the oracle gate relies on."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.normalize import normalize_sql, normalize_text
+
+
+def _norm(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    return [r["n"] for r in df.select(normalize_text(F.col("t")).alias("n")).collect()]
+
+
+CASES = {
+    # zero-width marks deleted (word-joining, never spacing)
+    "zero\u200bwidth\u200cand\u200djoin\u2060er\ufeffbom": "zerowidthandjoinerbom",
+    # soft hyphen deleted
+    "hy\u00adphen": "hyphen",
+    # unicode spaces -> ASCII space, runs collapsed
+    "a\u00a0b\u2003c\u3000d": "a b c d",
+    "a \t   b": "a b",
+    # VT/FF are word-separating
+    "a\x0bb\x0cc": "a b c",
+    # controls deleted, newline survives
+    "be\x07ll\x00nul\x1besc": "bellnulesc",
+    "line1\nline2": "line1\nline2",
+    # spaces hugging a newline dropped; 3+ newlines -> paragraph break
+    "para1 \n para2": "para1\npara2",
+    "p1\n\n\n\n\np2": "p1\n\np2",
+    # trim
+    "  padded  ": "padded",
+    # clean text is a fixpoint
+    "already clean text": "already clean text",
+}
+
+
+def test_normalize_semantics(spark):
+    got = _norm(spark, list(CASES))
+    assert got == list(CASES.values())
+
+
+def test_normalize_duckdb_twin_matches(spark):
+    """The generated SQL chain produces byte-identical output for every
+    case — the cross-engine guarantee the oracle gate leans on."""
+    spark_out = _norm(spark, list(CASES))
+    con = duckdb.connect()
+    sql_out = [
+        con.execute(f"SELECT {normalize_sql('?')}", [t]).fetchone()[0]
+        for t in CASES
+    ]
+    assert sql_out == spark_out
+
+
+def test_normalize_idempotent(spark):
+    once = _norm(spark, list(CASES))
+    twice = _norm(spark, once)
+    assert twice == once
