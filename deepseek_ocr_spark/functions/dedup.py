@@ -246,6 +246,103 @@ def lsh_candidate_pairs(
     )
 
 
+def incremental_new_docs(
+    new: DataFrame, old: DataFrame, fp_col: str
+) -> DataFrame:
+    """Rows of ``new`` whose ``fp_col`` fingerprint does not occur in
+    ``old`` — the exact-dedup step of INCREMENTAL crawl processing
+    (each monthly snapshot is deduped against the already-curated
+    corpus before any further work touches it). A left-anti hash join:
+    one shuffle on the fingerprint, or none where both sides are
+    bucketed on it in storage."""
+    return new.join(old.select(fp_col).distinct(), fp_col, "left_anti")
+
+
+def incremental_lsh_pairs(
+    new: DataFrame,
+    old: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
+    observation=None,
+) -> DataFrame:
+    """Bipartite MinHash-LSH between a NEW snapshot and the curated
+    OLD corpus: (new_id, old_id) candidate near-dup pairs, distinct.
+
+    Both sides are banded and unioned with a side tag, so ONE groupBy
+    shuffle collects each bucket's members split by side; the
+    new×old cross products expand map-side from the two sorted lists.
+    Within-side pairs are never generated — the old corpus is already
+    deduped, and new-vs-new dedup is `lsh_candidate_pairs`' job.
+    Per-side bucket caps (``max_bucket_size``, same Observation
+    metrics contract as `lsh_candidate_pairs`) bound the in-bucket
+    product against boilerplate mega-buckets; at crawl scale the old
+    side is ~12x the new side (a year of snapshots vs one), so the cap
+    on old-side membership is the one that matters."""
+    def _banded(df: DataFrame, side: str) -> DataFrame:
+        sig = minhash_signature(df, id_col, text_col)
+        bands = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col(f"h{2 * i}").cast("string"),
+                        F.col(f"h{2 * i + 1}").cast("string"),
+                    )
+                )
+                for i in range(N_BANDS)
+            ]
+        )
+        return sig.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(bands).alias("band_idx", "band"),
+            F.lit(side).alias("side"),
+        )
+
+    both = _banded(new, "n").unionByName(_banded(old, "o"))
+    grouped = both.groupBy("band_idx", "band").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("side") == "n", F.col("id")))
+        ).alias("new_ids"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("side") == "o", F.col("id")))
+        ).alias("old_ids"),
+    )
+    if observation is not None:
+        cap = max_bucket_size if max_bucket_size is not None else 1 << 62
+        over = (F.size("new_ids") > cap) | (F.size("old_ids") > cap)
+        grouped = grouped.observe(
+            observation,
+            F.sum(
+                F.when(over, F.size("new_ids") + F.size("old_ids")).otherwise(0)
+            ).alias("rows_in_dropped_buckets"),
+            F.max(
+                F.greatest(F.size("new_ids"), F.size("old_ids"))
+            ).alias("max_bucket_seen"),
+        )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(
+            (F.size("new_ids") <= max_bucket_size)
+            & (F.size("old_ids") <= max_bucket_size)
+        )
+    pair_expr = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("new_ids"),
+                lambda x: F.transform(
+                    F.col("old_ids"),
+                    lambda y: F.struct(x.alias("new_id"), y.alias("old_id")),
+                ),
+            )
+        )
+    )
+    return (
+        grouped.select(pair_expr.alias("p"))
+        .select("p.new_id", "p.old_id")
+        .distinct()
+    )
+
+
 def ngram_jaccard_from_shingles(
     sh: DataFrame,
     pairs: DataFrame,

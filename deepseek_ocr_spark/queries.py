@@ -1864,6 +1864,57 @@ SQL_DSIR_TOPK = _dsir_sql(
 )
 
 
+# Incremental (cross-snapshot) dedup: the fixture corpus is split by
+# doc_id parity into an already-curated OLD half and a NEW snapshot.
+def _snapshot_halves(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") % 2 == 1), d.filter(F.col("doc_id") % 2 == 0)
+
+
+def q_incremental_new_docs(spark, sf_dir):
+    """Exact incremental dedup: NEW-snapshot docs whose text
+    fingerprint is absent from the curated OLD corpus (left-anti hash
+    join on md5(text))."""
+    new, old = _snapshot_halves(spark, sf_dir)
+    return DD.incremental_new_docs(
+        new.withColumn("fp", F.md5(F.col("text"))),
+        old.withColumn("fp", F.md5(F.col("text"))),
+        "fp",
+    ).select("doc_id", "fp")
+
+
+SQL_INCREMENTAL_NEW_DOCS = """
+WITH old AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0)
+SELECT doc_id, md5(text) AS fp FROM documents n
+WHERE doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM old WHERE old.fp = md5(n.text))
+"""
+
+
+def q_incremental_lsh_pairs(spark, sf_dir):
+    """Bipartite MinHash-LSH between the NEW snapshot and the OLD
+    corpus: one tagged band shuffle, map-side new x old expansion,
+    per-side mega-bucket caps."""
+    new, old = _snapshot_halves(spark, sf_dir)
+    return DD.incremental_lsh_pairs(new, old, "doc_id", "text")
+
+
+SQL_INCREMENTAL_LSH_PAIRS = (
+    _SHINGLES_SQL
+    + f""",
+sig AS ({_MINHASH_CORE}), {_BANDED_SQL},
+bn AS (SELECT doc_id, band_idx, band FROM banded0 WHERE doc_id % 2 = 1
+       QUALIFY count(*) OVER (PARTITION BY band_idx, band)
+               <= {DD.LSH_MAX_BUCKET}),
+bo AS (SELECT doc_id, band_idx, band FROM banded0 WHERE doc_id % 2 = 0
+       QUALIFY count(*) OVER (PARTITION BY band_idx, band)
+               <= {DD.LSH_MAX_BUCKET})
+SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+FROM bn n JOIN bo o ON n.band_idx = o.band_idx AND n.band = o.band
+"""
+)
+
+
 # Wrap each document in deterministic normalization nasties (NBSP,
 # zero-width space, BEL, tab runs, ideographic space, 4x newline) so
 # the cross-engine check exercises every rule on every row — the
@@ -2026,6 +2077,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "domain_rebalance": (q_domain_rebalance, SQL_DOMAIN_REBALANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+    "incremental_new_docs": (q_incremental_new_docs, SQL_INCREMENTAL_NEW_DOCS),
+    "incremental_lsh_pairs": (
+        q_incremental_lsh_pairs,
+        SQL_INCREMENTAL_LSH_PAIRS,
+    ),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "dsir_topk": (q_dsir_topk, SQL_DSIR_TOPK),
 }

@@ -147,3 +147,62 @@ def test_simhash_hamming_pairs_bucket_cap(spark):
     m = obs.get
     assert m["rows_in_dropped_buckets"] > 0
     assert m["max_bucket_seen"] > DD.LSH_MAX_BUCKET
+
+
+def test_incremental_new_docs_anti_join(spark):
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [("o1", "seen before"), ("o2", "also seen")], ["doc_id", "text"]
+    ).withColumn("fp", F.md5("text"))
+    new = spark.createDataFrame(
+        [("n1", "seen before"), ("n2", "brand new content")],
+        ["doc_id", "text"],
+    ).withColumn("fp", F.md5("text"))
+    kept = [r["doc_id"] for r in DD.incremental_new_docs(new, old, "fp").collect()]
+    assert kept == ["n2"]
+
+
+def test_incremental_lsh_pairs_bipartite_only(spark):
+    """Cross-corpus near-dups pair up; identical docs WITHIN the new
+    snapshot never produce a pair (that's lsh_candidate_pairs' job)."""
+    boiler = "the quick brown fox jumps over the lazy dog again today"
+    old = spark.createDataFrame(
+        [("o1", boiler), ("o2", "unrelated editorial about spark plans")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [("n1", boiler), ("n2", boiler), ("n3", "totally fresh reporting here")],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r["new_id"], r["old_id"])
+        for r in DD.incremental_lsh_pairs(new, old, "doc_id", "text").collect()
+    )
+    assert got == [("n1", "o1"), ("n2", "o1")]
+
+
+def test_incremental_lsh_pairs_old_side_cap(spark):
+    """A boilerplate mega-bucket on the old side is dropped (observed,
+    not silent) while a small bucket still pairs."""
+    from pyspark.sql import Observation as Obs
+
+    boiler = "this domain is parked free hosting error page not found " * 3
+    # identical texts -> identical signatures -> ONE definitively
+    # over-cap bucket per band (unique suffixes would split signatures
+    # across bands and keep each bucket under the cap)
+    old = [(f"o{i:05d}", boiler) for i in range(DD.LSH_MAX_BUCKET + 50)]
+    old += [("okeep", "a genuinely distinct editorial about shuffles")]
+    new = [("nboil", boiler),
+           ("nkeep", "a genuinely distinct editorial about shuffles")]
+    obs = Obs("inccap")
+    pairs = DD.incremental_lsh_pairs(
+        spark.createDataFrame(new, ["doc_id", "text"]),
+        spark.createDataFrame(old, ["doc_id", "text"]),
+        "doc_id", "text", observation=obs,
+    )
+    got = sorted((r["new_id"], r["old_id"]) for r in pairs.collect())
+    assert got == [("nkeep", "okeep")]
+    m = obs.get
+    assert m["rows_in_dropped_buckets"] > 0
+    assert m["max_bucket_seen"] > DD.LSH_MAX_BUCKET
