@@ -1,0 +1,125 @@
+"""Host-level link-graph operators — degree profiles and PageRank.
+
+Link-based signals are a standard curation input at crawl scale
+(Common Crawl publishes host- and domain-level graphs per snapshot;
+harmonic-centrality / PageRank percentiles feed quality filters à la
+CCNet/RefinedWeb). The engine side is an edge-list DataFrame
+(src host, dst host); extraction of edges from raw HTML is a
+``regexp_extract_all`` projection upstream.
+
+PageRank here is the FIXED-ITERATION, FIXED-POINT variant:
+
+* ranks live in 1e-9 fixed point as BIGINTs; every update uses ONLY
+  integer multiply / integer divide (``DIV``), so the result is
+  bit-identical across engines and partitionings — the DuckDB oracle
+  unrolls the same ``iters`` updates as chained CTEs and hash-matches
+  exactly. (Float PageRank cannot be oracle-verified: summation order
+  drifts the low bits.)
+* the update is the standard damped form, teleport 3/20 (= 0.15) and
+  damping 17/20 (= 0.85) kept as integer ratios:
+      rank'(v) = SCALE*3 DIV (20*N)
+               + (17 * Σ_{(u,v)∈E} (rank(u) DIV outdeg(u))) DIV 20
+               + (17 * dangling_mass) DIV (20*N)
+  where dangling_mass is the summed rank of nodes without outlinks
+  (redistributed uniformly, the textbook correction). Flooring leaks
+  a few ulps of mass per round — deterministic, documented, and
+  irrelevant to ranking order.
+
+Scale shape: each iteration is one hash join of the rank frame onto
+the edge list plus a dst-keyed partial-agg sum (both shuffles keyed on
+host — co-partitioned across iterations if the edge frame is
+pre-partitioned), a broadcast of the 1-row dangling scalar, and a left
+join back to the node set. Iterations are a fixed small constant
+(graphs converge in ~10-20 rounds; CC's host graph uses ~5 for filter
+features). For large ``iters`` add a ``localCheckpoint`` per round
+(see ``dedup.connected_components``) to truncate lineage; at the
+default 5 the pure DAG is cheaper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**9
+PR_ITERS = 5
+
+
+def degree_stats(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Per-host (node, out_degree, in_degree) over a DISTINCT edge
+    list — two host-keyed partial aggs and one outer join."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    outd = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_degree")
+    )
+    ind = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        outd.join(ind, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """(node, rank) after ``iters`` fixed-point updates; rank in 1e-9
+    units, Σ rank ≈ scale. See module docstring for the exact update
+    rule the DuckDB twin mirrors."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outd = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n_nodes = nodes.agg(F.count("*").alias("n"))
+    rank = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", F.expr(f"{scale} DIV n").alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(outd, "src")
+            .join(rank.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inc"))
+        )
+        dangling = (
+            rank.join(
+                outd.withColumnRenamed("src", "node"), "node", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dm"))
+        )
+        rank = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.expr(
+                    # scale*3 precomputed: a 32-bit literal product
+                    # would overflow under ANSI constant folding
+                    f"{scale * 3} DIV (20 * n)"
+                    " + (17 * coalesce(inc, 0)) DIV 20"
+                    " + (17 * dm) DIV (20 * n)"
+                ).alias("rank"),
+            )
+        )
+    return rank

@@ -1915,6 +1915,100 @@ FROM bn n JOIN bo o ON n.band_idx = o.band_idx AND n.band = o.band
 )
 
 
+# Host link graph: the fixture tables carry no outlinks, so a
+# deterministic edge list is synthesized identically in both engines —
+# src = the doc's source host, dst = a md5(doc_id)-derived host.
+_HOST_DST_SQL = (
+    "'src' || (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 20)"
+    "::VARCHAR"
+)
+_HOST_EDGES_SQL = f"""
+e0 AS (SELECT DISTINCT source AS src, {_HOST_DST_SQL} AS dst FROM documents),
+e AS (SELECT * FROM e0 WHERE src != dst)
+"""
+
+
+def _host_edges(spark, sf_dir):
+    from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+
+    d = _t(spark, sf_dir, "documents")
+    dst = F.concat(
+        F.lit("src"),
+        (md5_prefix_int(F.col("doc_id").cast("string"), 8) % 20).cast("string"),
+    )
+    return (
+        d.select(F.col("source").alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_host_graph_degrees(spark, sf_dir):
+    """Per-host in/out degree over the synthesized link graph
+    (functions/graph.py degree_stats — two host-keyed partial aggs)."""
+    from deepseek_ocr_spark.functions import graph as GR
+
+    return GR.degree_stats(_host_edges(spark, sf_dir), "src", "dst")
+
+
+SQL_HOST_GRAPH_DEGREES = (
+    "WITH "
+    + _HOST_EDGES_SQL
+    + """,
+outd AS (SELECT src AS node, count(*)::BIGINT AS out_degree FROM e GROUP BY src),
+ind AS (SELECT dst AS node, count(*)::BIGINT AS in_degree FROM e GROUP BY dst)
+SELECT coalesce(o.node, i.node) AS node,
+       coalesce(out_degree, 0)::BIGINT AS out_degree,
+       coalesce(in_degree, 0)::BIGINT AS in_degree
+FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+"""
+)
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank (functions/graph.py), 5 unrolled
+    damped updates with dangling-mass redistribution — bit-identical
+    across engines because every op is integer multiply/DIV."""
+    from deepseek_ocr_spark.functions import graph as GR
+
+    return GR.pagerank(_host_edges(spark, sf_dir), "src", "dst")
+
+
+def _pagerank_sql() -> str:
+    from deepseek_ocr_spark.functions import graph as GR
+
+    scale, iters = GR.PR_SCALE, GR.PR_ITERS
+    parts = [
+        "WITH "
+        + _HOST_EDGES_SQL
+        + f""",
+outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, ({scale} // n)::BIGINT AS rank FROM nodes, nn)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+inc{k} AS (SELECT e.dst AS node, sum(r.rank // o.outdeg)::BIGINT AS inc
+           FROM e JOIN outd o ON o.src = e.src
+                  JOIN r{k - 1} r ON r.node = e.src
+           GROUP BY e.dst),
+dgl{k} AS (SELECT coalesce(sum(rank), 0)::BIGINT AS dm FROM r{k - 1}
+           WHERE node NOT IN (SELECT src FROM outd)),
+r{k} AS (SELECT n.node,
+                ({scale * 3} // (20 * nn.n)
+                 + (17 * coalesce(i.inc, 0)) // 20
+                 + (17 * d.dm) // (20 * nn.n))::BIGINT AS rank
+         FROM nodes n LEFT JOIN inc{k} i ON i.node = n.node, nn, dgl{k} d)"""
+        )
+    parts.append(f"\nSELECT node, rank FROM r{iters}")
+    return "".join(parts)
+
+
+SQL_HOST_PAGERANK = _pagerank_sql()
+
+
 # Wrap each document in deterministic normalization nasties (NBSP,
 # zero-width space, BEL, tab runs, ideographic space, 4x newline) so
 # the cross-engine check exercises every rule on every row — the
@@ -2077,6 +2171,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "domain_rebalance": (q_domain_rebalance, SQL_DOMAIN_REBALANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+    "host_graph_degrees": (q_host_graph_degrees, SQL_HOST_GRAPH_DEGREES),
+    "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     "incremental_new_docs": (q_incremental_new_docs, SQL_INCREMENTAL_NEW_DOCS),
     "incremental_lsh_pairs": (
         q_incremental_lsh_pairs,

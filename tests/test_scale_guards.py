@@ -206,3 +206,38 @@ def test_incremental_lsh_pairs_old_side_cap(spark):
     m = obs.get
     assert m["rows_in_dropped_buckets"] > 0
     assert m["max_bucket_seen"] > DD.LSH_MAX_BUCKET
+
+
+def test_pagerank_fixed_point(spark):
+    """Star-plus-chain graph: the hub every node links to ranks
+    highest; total mass stays within flooring loss of the scale; a
+    dangling node (no outlinks) still receives and redistributes."""
+    from deepseek_ocr_spark.functions import graph as GR
+
+    edges = [("a", "hub"), ("b", "hub"), ("c", "hub"),
+             ("hub", "sink"),             # sink is dangling
+             ("a", "b")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in GR.pagerank(df, "src", "dst").collect()}
+    assert set(got) == {"a", "b", "c", "hub", "sink"}
+    # sink drains the hub's whole mass through its only outlink, so it
+    # tops the ranking; the hub (3 in-links) comes second
+    ranked = sorted(got, key=got.get, reverse=True)
+    assert ranked[:2] == ["sink", "hub"]
+    assert got["b"] > got["a"] == got["c"]  # b has an extra in-link
+    total = sum(got.values())
+    assert 0 <= GR.PR_SCALE - total < 1000  # flooring leak only
+    # determinism across partitionings (the fixed-point guarantee)
+    again = {r["node"]: r["rank"]
+             for r in GR.pagerank(df.repartition(7), "src", "dst").collect()}
+    assert again == got
+
+
+def test_degree_stats(spark):
+    from deepseek_ocr_spark.functions import graph as GR
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("a", "b")]  # dup edge
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: (r["out_degree"], r["in_degree"])
+           for r in GR.degree_stats(df, "src", "dst").collect()}
+    assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
