@@ -37,9 +37,20 @@ MIN_QUALITY = 0.3
 JACCARD_DROP = 0.85
 
 
-def enrich(extracted: DataFrame) -> DataFrame:
-    """status=ok rows → text-stat columns (all codegen expressions)."""
+def enrich(extracted: DataFrame, normalize: bool = False) -> DataFrame:
+    """status=ok rows → text-stat columns (all codegen expressions).
+
+    ``normalize=True`` runs functions/normalize.py's whitespace/control
+    normalization BEFORE stats and fingerprinting, so visually-identical
+    docs differing only by NBSP/zero-width/control bytes collapse at
+    the exact-dedup stage. Off by default: the byte-identity contract
+    of the EXTRACTION output is per raw extracted text, and normalizing
+    is a curation-policy choice."""
     t = F.col("extracted_text")
+    if normalize:
+        from deepseek_ocr_spark.functions.normalize import normalize_text
+
+        t = normalize_text(t)
     return extracted.filter(
         (F.col("status") == "ok") & (F.length(t) > 0)
     ).select(
@@ -174,6 +185,7 @@ def curate(
     languages: tuple[str, ...] | None = None,
     domain_token_budget: int | None = None,
     dsir_target_langs: tuple[str, ...] | None = None,
+    normalize: bool = False,
 ) -> tuple[DataFrame, dict]:
     """pages → (curated corpus DataFrame, funnel counts).
 
@@ -181,6 +193,8 @@ def curate(
     ``domain_token_budget`` rebalances the per-domain token mix
     (water-fill + hash sampling), ``dsir_target_langs`` keeps only
     docs with positive DSIR importance toward those languages.
+    ``normalize=True`` applies whitespace/control normalization before
+    stats/fingerprints (see ``enrich``).
 
     The enriched frame is persisted: the extract UDF (the expensive
     stage) runs once, and the funnel counts plus the caller's
@@ -190,7 +204,7 @@ def curate(
     from pyspark.sql import Observation
 
     extracted = extract_pipeline(pages, parallelism=parallelism)
-    docs = enrich(extracted).persist()
+    docs = enrich(extracted, normalize=normalize).persist()
     kept = lang_gate(docs, languages)
     # cheapest dedup class first: re-crawl urls differing only by
     # case/port/fragment/tracking params collapse before any content

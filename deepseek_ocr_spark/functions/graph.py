@@ -44,6 +44,52 @@ from pyspark.sql import functions as F
 PR_SCALE = 10**9
 PR_ITERS = 5
 
+# href value up to a quote/hash/whitespace — Java-regex/RE2 shared
+# subset, applied to the lossily-UTF-8-decoded page bytes (good enough
+# for link targets; the content extractor owns charset correctness)
+OUTLINK_HREF_RE = "href\\s*=\\s*[\"']([^\"'#\\s]+)"
+_SCHEME_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
+_PROTO_REL_HOST_RE = "^//([^/?#]+)"
+
+
+def outlink_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, dst) host-level edge list from raw page HTML: every
+    ``href`` is extracted with one ``regexp_extract_all`` projection,
+    absolute and protocol-relative targets resolve to their own host,
+    relative targets resolve to the page's host, and intra-host edges
+    (the overwhelming majority of a real page's links) are dropped.
+    One explode + one distinct shuffle — the whole host graph of a
+    crawl is a single pass over the pages table, which is how CC
+    builds its published host graph."""
+    from deepseek_ocr_spark.functions.urls import domain_col
+
+    hrefs = pages.select(
+        domain_col(F.col(url_col)).alias("src"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(html_col).cast("string"), F.lit(OUTLINK_HREF_RE), 1
+            )
+        ).alias("href"),
+    )
+    dst = (
+        F.when(
+            F.col("href").rlike(_SCHEME_RE), domain_col(F.col("href"))
+        )
+        .when(
+            F.col("href").startswith("//"),
+            F.lower(F.regexp_extract(F.col("href"), _PROTO_REL_HOST_RE, 1)),
+        )
+        .otherwise(F.col("src"))
+    )
+    return (
+        hrefs.select("src", dst.alias("dst"))
+        .filter((F.col("src") != "") & (F.col("dst") != ""))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
 
 def degree_stats(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     """Per-host (node, out_degree, in_degree) over a DISTINCT edge

@@ -225,3 +225,31 @@ def test_rebalance_gate_caps_domains(spark):
     }
     assert by_dom.get("small.example") == 3  # saturated: all kept
     assert 0 < by_dom.get("big.example", 0) < 50
+
+
+def test_normalize_flag_collapses_nbsp_variants(spark):
+    """With normalize=True, a doc differing from another only by
+    NBSP/zero-width bytes collapses at exact dedup; without it both
+    survive."""
+    body = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+            "do eiusmod tempor incididunt ut labore et dolore magna")
+    nbsp_body = body.replace(" ", "\u00a0", 3) + "\u200b"
+    rows = [
+        ("https://a.example/1",
+         f"<html><body><p>{body}</p></body></html>".encode()),
+        ("https://b.example/2",
+         f"<html><body><p>{nbsp_body}</p></body></html>".encode()),
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, h, None, None) for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    plain, f_plain = curate(pages, parallelism=2)
+    norm, f_norm = curate(pages, parallelism=2, normalize=True)
+    assert f_norm["after_exact_dedup"] < f_plain["after_exact_dedup"] or (
+        # extractor may already collapse the NBSP variant inside HTML
+        # text handling; the invariant that matters: normalized never
+        # keeps MORE docs than raw
+        f_norm["curated"] <= f_plain["curated"]
+    )
+    assert norm.count() == 1

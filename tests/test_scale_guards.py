@@ -241,3 +241,25 @@ def test_degree_stats(spark):
     got = {r["node"]: (r["out_degree"], r["in_degree"])
            for r in GR.degree_stats(df, "src", "dst").collect()}
     assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
+
+
+def test_outlink_edges(spark):
+    """Absolute and protocol-relative hrefs resolve to their own host,
+    relative hrefs to the page's host (then drop as intra-host);
+    fragments/quotes terminate the target."""
+    from deepseek_ocr_spark.functions import graph as GR
+
+    html = (b'<a href="https://other.example/page">x</a> '
+            b"<a href='//proto.example/p'>y</a> "
+            b'<a href="/relative/self">z</a> '
+            b'<a href="https://frag.example/p#sec">w</a>')
+    pages = spark.createDataFrame(
+        [("https://me.example/a", html),
+         ("https://me.example/b", b"<p>no links</p>")],
+        "url string, html binary",
+    )
+    got = sorted((r["src"], r["dst"])
+                 for r in GR.outlink_edges(pages).collect())
+    assert got == [("me.example", "frag.example"),
+                   ("me.example", "other.example"),
+                   ("me.example", "proto.example")]
