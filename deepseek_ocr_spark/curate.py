@@ -88,11 +88,27 @@ def neardup_dedup(
     (A~B, B~C) collapse to ONE doc even when A!~C directly.
     ``strategy='pairs'``: the simpler drop-the-larger-of-each-pair rule
     (keeps A and C in the example; round-1 behavior).
+    ``strategy='simhash'``: Manku-2007 Hamming<=3 pairs from 32-bit
+    SimHash signatures instead of MinHash+Jaccard — one signature agg
+    and one bucket shuffle total (no shingle explode, no confirm
+    join), the cheap-and-coarser near-dup class for corpora where the
+    Jaccard pass is the budget item; duplicate groups collapse via
+    connected components like ``clusters``.
 
     ``observation`` (a ``pyspark.sql.Observation``) receives the LSH
     mega-bucket-cap metrics (rows_in_dropped_buckets /
     max_bucket_seen) so truncation is never silent — curate() logs
     them with the funnel."""
+    if strategy == "simhash":
+        sig = DD.simhash(docs, "url", "text")
+        pairs = DD.simhash_hamming_pairs(
+            sig, "url", observation=observation
+        ).select("id_a", "id_b")
+        comp = DD.connected_components(pairs)
+        losers = comp.filter(F.col("node") != F.col("cluster")).select(
+            F.col("node").alias("url")
+        )
+        return docs.join(losers, "url", "left_anti")
     confirmed = DD.neardup_scored_pairs(
         docs, "url", "text", observation=observation
     ).filter(F.col("jaccard") >= jaccard_drop)

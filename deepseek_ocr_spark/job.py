@@ -45,6 +45,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             "extract-pdf-exploded",
             "export-zip",
             "annotate",
+            "host-graph",
         ),
         default="extract",
         help="extract: pages -> extracted table; curate: pages -> "
@@ -52,7 +53,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "extract-pdf-exploded: page-parallel PDF path (one task unit "
         "per PAGE — for page-heavy corpora); export-zip: EXTRACTED "
         "table -> one result-bundle zip shard per partition (S8); "
-        "annotate: EXTRACTED table -> (url, annotated_pdf) table (S9)",
+        "annotate: EXTRACTED table -> (url, annotated_pdf) table (S9); "
+        "host-graph: pages -> host edge list + degrees + PageRank "
+        "(link-quality signals a la the CC host graph)",
     )
     p.add_argument(
         "--merge-variant",
@@ -175,6 +178,28 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         with_annotated_pdf(extracted).write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"mode": "annotate", "docs": n}))
+    elif args.mode == "host-graph":
+        from deepseek_ocr_spark.functions import graph as GR
+
+        if args.input_format == "warc":
+            from deepseek_ocr_spark.sources.warc import read_warc_dir
+
+            pages = read_warc_dir(spark, args.input)
+        else:
+            pages = spark.read.parquet(args.input)
+        edges = GR.outlink_edges(pages).persist()
+        edges.write.mode("overwrite").parquet(f"{args.output}/edges")
+        GR.degree_stats(edges, "src", "dst").write.mode("overwrite").parquet(
+            f"{args.output}/degrees"
+        )
+        GR.pagerank(edges, "src", "dst").write.mode("overwrite").parquet(
+            f"{args.output}/pagerank"
+        )
+        n_edges = edges.count()
+        n_hosts = spark.read.parquet(f"{args.output}/pagerank").count()
+        edges.unpersist()
+        print(json.dumps({"mode": "host-graph", "edges": n_edges,
+                          "hosts": n_hosts}))
     elif args.mode == "extract-pdf-exploded":
         from deepseek_ocr_spark.operators.pdf_pages import extract_pdf_distributed
 

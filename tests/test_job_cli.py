@@ -118,3 +118,36 @@ def test_cli_export_zip_and_annotate_modes(spark, pages_path, tmp_path, capsys):
     for r in rows:
         pages = real_pdf_to_raw_pages(bytes(r["annotated_pdf"]))
         assert pages  # valid PDF our own extractor can read back
+
+
+def test_cli_host_graph_mode(spark, tmp_path, capsys):
+    """--mode host-graph writes edges/degrees/pagerank tables; ranks
+    are fixed-point BIGINTs summing to ~PR_SCALE. Uses a pages table
+    with cross-host links (the standard fixture links only
+    intra-host, which correctly yields an empty host graph)."""
+    from deepseek_ocr_spark.functions.graph import PR_SCALE
+
+    def page(host, links):
+        anchors = "".join(f'<a href="{t}">x</a>' for t in links)
+        return (f"https://{host}/p", f"<html><body>{anchors}</body></html>".encode())
+
+    rows = [
+        page("a.example", ["https://b.example/x", "https://c.example/y"]),
+        page("b.example", ["https://c.example/z", "/intra/only"]),
+        page("c.example", ["https://a.example/w"]),
+    ]
+    inp = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(inp)
+    out = str(tmp_path / "graph")
+    rc = main(["--mode", "host-graph", "--input", inp, "--output", out],
+              spark=spark)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"mode": "host-graph", "edges": 4, "hosts": 3}
+    ranks = [r["rank"] for r in spark.read.parquet(f"{out}/pagerank").collect()]
+    assert len(ranks) == 3
+    assert 0 <= PR_SCALE - sum(ranks) < len(ranks) * 40
+    deg = {r["node"]: (r["out_degree"], r["in_degree"])
+           for r in spark.read.parquet(f"{out}/degrees").collect()}
+    assert deg == {"a.example": (2, 1), "b.example": (1, 1),
+                   "c.example": (1, 2)}

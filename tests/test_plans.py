@@ -231,3 +231,14 @@ def test_bm25_topk_broadcasts_and_heap_sorts(spark):
     # nested loop would be a real hazard
     assert "NestedLoopJoin" not in plan.replace("BroadcastNestedLoopJoin", "")
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_host_pagerank_plan_is_join_clean(spark):
+    """Five unrolled PageRank iterations must stay hash/broadcast
+    joins — a CartesianProduct or non-broadcast nested loop anywhere
+    in the 5-round DAG would explode at host-graph scale."""
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["host_pagerank"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan.replace("BroadcastNestedLoopJoin", "")

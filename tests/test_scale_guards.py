@@ -91,7 +91,7 @@ def test_connected_components_100k_edges(spark):
     assert len(got) == 1000 * 101 + 50
 
 
-@pytest.mark.parametrize("strategy", ["clusters"])
+@pytest.mark.parametrize("strategy", ["clusters", "simhash"])
 def test_neardup_dedup_observation_threads_through(spark, strategy):
     """curate.neardup_dedup surfaces the cap metrics via Observation."""
     from deepseek_ocr_spark import curate
