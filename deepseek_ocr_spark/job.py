@@ -112,6 +112,21 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "maxPartitionBytes from the input's parquet compression ratio",
     )
     p.add_argument(
+        "--normalize",
+        action="store_true",
+        help="curate mode: whitespace/control text normalization "
+        "before stats and fingerprints (NBSP/zero-width re-encodes "
+        "collapse at exact dedup)",
+    )
+    p.add_argument(
+        "--output-format",
+        choices=("parquet", "jsonl"),
+        default="parquet",
+        help="curate mode: corpus output format — parquet (default) or "
+        "gzipped JSON-lines shards (the common training-corpus wire "
+        "format: one doc per line, .json.gz per partition)",
+    )
+    p.add_argument(
         "--make-zip",
         action="store_true",
         help="only build the --py-files artifact and print its path",
@@ -159,8 +174,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             languages=langs,
             domain_token_budget=args.domain_token_budget,
             dsir_target_langs=_parse_languages(args.dsir_target_langs),
+            normalize=args.normalize,
         )
-        final.write.mode("overwrite").parquet(args.output)
+        if args.output_format == "jsonl":
+            # one gzipped JSON-lines shard per partition — Spark's
+            # native json writer, so the shard layout scales with the
+            # corpus partitioning (no driver-side serialization)
+            final.write.mode("overwrite").option(
+                "compression", "gzip"
+            ).json(args.output)
+        else:
+            final.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"mode": "curate", **funnel}))
     elif args.mode == "export-zip":
         from deepseek_ocr_spark.operators.zip_sink import write_zip_shards

@@ -151,3 +151,31 @@ def test_cli_host_graph_mode(spark, tmp_path, capsys):
            for r in spark.read.parquet(f"{out}/degrees").collect()}
     assert deg == {"a.example": (2, 1), "b.example": (1, 1),
                    "c.example": (1, 2)}
+
+
+def test_cli_curate_jsonl_output(spark, pages_path, tmp_path, capsys):
+    """--mode curate --output-format jsonl ships gzipped JSON-lines
+    shards readable back with identical row content."""
+    import gzip
+    import os
+
+    out = str(tmp_path / "corpus_jsonl")
+    rc = main(
+        ["--mode", "curate", "--input", pages_path, "--output", out,
+         "--output-format", "jsonl", "--parallelism", "4"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["mode"] == "curate" and summary["curated"] > 0
+    shards = [f for f in os.listdir(out) if f.endswith(".json.gz")]
+    assert shards
+    n_lines, seen_keys = 0, set()
+    for s in shards:
+        with gzip.open(os.path.join(out, s), "rt", encoding="utf-8") as fh:
+            for line in fh:
+                doc = json.loads(line)
+                seen_keys.update(doc)
+                n_lines += 1
+    assert n_lines == summary["curated"]
+    assert {"url", "text", "n_tokens", "quality"} <= seen_keys
