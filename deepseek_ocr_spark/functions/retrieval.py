@@ -117,9 +117,13 @@ def bm25_topk(
             for i in range(len(terms))
         ],
     )
+    # idf carries (n_docs, sum_dl) along, so the scalar-stats subtree
+    # appears ONCE in the plan — a second crossJoin(stats) would run
+    # the corpus-stats scan twice
     idf = (
         stats.select(
             "n_docs",
+            "sum_dl",
             F.posexplode(
                 F.array(*[F.col(f"df{i}") for i in range(len(terms))])
             ).alias("ti", "df"),
@@ -127,7 +131,9 @@ def bm25_topk(
         .withColumn("__r", F.expr(IDF_R_SQL))
         .withColumn("__z", F.expr(Z_SQL))
         .withColumn("__z2", F.expr(Z2_SQL))
-        .select("ti", F.expr(LR_FP_SQL).alias("idf_fp"))
+        .select(
+            "ti", F.expr(LR_FP_SQL).alias("idf_fp"), "n_docs", "sum_dl"
+        )
     )
     tf_long = per.select(
         F.col(id_col),
@@ -138,7 +144,6 @@ def bm25_topk(
     ).filter(F.col("tf") > 0)
     scored = (
         tf_long.join(F.broadcast(idf), "ti")
-        .crossJoin(F.broadcast(stats.select("n_docs", "sum_dl")))
         .withColumn("__tfn", F.expr(TFNORM_SQL))
         .groupBy(id_col)
         .agg(F.sum(F.expr(CONTRIB_SQL)).cast("bigint").alias("score_fp"))
