@@ -44,12 +44,19 @@ from pyspark.sql import functions as F
 PR_SCALE = 10**9
 PR_ITERS = 5
 
-# href value up to a quote/hash/whitespace — Java-regex/RE2 shared
-# subset, applied to the lossily-UTF-8-decoded page bytes (good enough
-# for link targets; the content extractor owns charset correctness)
-OUTLINK_HREF_RE = "href\\s*=\\s*[\"']([^\"'#\\s]+)"
+# href value of ANCHOR tags only (<a ...> / case-insensitive; <link>
+# stylesheet/font hrefs are resource inclusion, not navigation — the
+# CC host graph is built from anchors), quotes optional (legacy HTML),
+# value up to quote/hash/'>'/whitespace. The whitespace class is
+# spelled out, never \s: Java \s includes \x0B, RE2/DuckDB \s does
+# not (the cross-engine divergence the round-3 tokenizer fix pinned).
+# Applied to the lossily-UTF-8-decoded page bytes — good enough for
+# link targets; the content extractor owns charset correctness.
+_WS = " \\t\\n\\x0B\\f\\r"
+OUTLINK_HREF_RE = (
+    f"(?i)<a[{_WS}][^>]*?href[{_WS}]*=[{_WS}]*[\"']?([^\"'#>{_WS}]+)"
+)
 _SCHEME_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
-_PROTO_REL_HOST_RE = "^//([^/?#]+)"
 
 
 def outlink_edges(
@@ -78,8 +85,11 @@ def outlink_edges(
             F.col("href").rlike(_SCHEME_RE), domain_col(F.col("href"))
         )
         .when(
+            # protocol-relative: same normalization as absolute hrefs
+            # (domain_col strips port/userinfo), else one physical host
+            # would split into two graph nodes
             F.col("href").startswith("//"),
-            F.lower(F.regexp_extract(F.col("href"), _PROTO_REL_HOST_RE, 1)),
+            domain_col(F.concat(F.lit("http:"), F.col("href"))),
         )
         .otherwise(F.col("src"))
     )

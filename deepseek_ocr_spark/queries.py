@@ -2043,10 +2043,11 @@ _BM25_K = 25
 
 
 def q_bm25_topk(spark, sf_dir):
-    """BM25 top-k retrieval (functions/retrieval.py): query terms
-    tokenized in-engine and broadcast, the token explode semi-joined
-    to them (query-sized shuffles), idf via the engine-exact atanh
-    series, fixed-point per-term contributions summed as integers."""
+    """BM25 top-k retrieval (functions/retrieval.py): per-term tf via
+    plan-time size(filter(words, = term)) projections — the corpus is
+    never token-exploded — stats/df from one scalar agg broadcast
+    back, idf via the engine-exact atanh series, fixed-point per-term
+    contributions summed as integers, TakeOrderedAndProject top-k."""
     from deepseek_ocr_spark.functions import retrieval as RET
 
     d = _t(spark, sf_dir, "documents")

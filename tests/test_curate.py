@@ -246,10 +246,10 @@ def test_normalize_flag_collapses_nbsp_variants(spark):
     )
     plain, f_plain = curate(pages, parallelism=2)
     norm, f_norm = curate(pages, parallelism=2, normalize=True)
-    assert f_norm["after_exact_dedup"] < f_plain["after_exact_dedup"] or (
-        # extractor may already collapse the NBSP variant inside HTML
-        # text handling; the invariant that matters: normalized never
-        # keeps MORE docs than raw
-        f_norm["curated"] <= f_plain["curated"]
-    )
+    # raw extraction preserves the NBSP/ZWSP bytes, so the EXACT stage
+    # keeps both (the near-dup stage later catches them as a ~identical
+    # pair); with normalization the pair already collapses at exact
+    # dedup — the cheap stage, before any shingling
+    assert f_plain["after_exact_dedup"] == 2
+    assert f_norm["after_exact_dedup"] == 1
     assert norm.count() == 1

@@ -244,15 +244,19 @@ def test_degree_stats(spark):
 
 
 def test_outlink_edges(spark):
-    """Absolute and protocol-relative hrefs resolve to their own host,
+    """Absolute and protocol-relative hrefs resolve to their own host
+    (port/userinfo normalized off like domain_col everywhere else),
     relative hrefs to the page's host (then drop as intra-host);
-    fragments/quotes terminate the target."""
+    fragments/quotes terminate the target; legacy uppercase/unquoted
+    anchors count; <link> resource hrefs do NOT."""
     from deepseek_ocr_spark.functions import graph as GR
 
     html = (b'<a href="https://other.example/page">x</a> '
-            b"<a href='//proto.example/p'>y</a> "
+            b"<a href='//proto.example:8080/p'>y</a> "
             b'<a href="/relative/self">z</a> '
-            b'<a href="https://frag.example/p#sec">w</a>')
+            b'<a href="https://frag.example/p#sec">w</a> '
+            b'<A HREF=https://legacy.example/unquoted>v</A> '
+            b'<link rel="stylesheet" href="https://cdn.example/s.css">')
     pages = spark.createDataFrame(
         [("https://me.example/a", html),
          ("https://me.example/b", b"<p>no links</p>")],
@@ -261,5 +265,6 @@ def test_outlink_edges(spark):
     got = sorted((r["src"], r["dst"])
                  for r in GR.outlink_edges(pages).collect())
     assert got == [("me.example", "frag.example"),
+                   ("me.example", "legacy.example"),
                    ("me.example", "other.example"),
                    ("me.example", "proto.example")]
