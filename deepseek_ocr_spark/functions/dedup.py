@@ -279,8 +279,27 @@ def incremental_lsh_pairs(
     product against boilerplate mega-buckets; at crawl scale the old
     side is ~12x the new side (a year of snapshots vs one), so the cap
     on old-side membership is the one that matters."""
-    def _banded(df: DataFrame, side: str) -> DataFrame:
-        sig = minhash_signature(df, id_col, text_col)
+    return incremental_lsh_pairs_from_signatures(
+        minhash_signature(new, id_col, text_col),
+        minhash_signature(old, id_col, text_col),
+        id_col,
+        max_bucket_size=max_bucket_size,
+        observation=observation,
+    )
+
+
+def incremental_lsh_pairs_from_signatures(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
+    observation=None,
+) -> DataFrame:
+    """``incremental_lsh_pairs`` over PRECOMPUTED (id, h0..h{N-1})
+    signature frames — the shape the streaming near-dup gate uses: the
+    curated corpus's signatures are computed once and stored, and each
+    micro-batch signs only its own documents."""
+    def _banded(sig: DataFrame, side: str) -> DataFrame:
         bands = F.array(
             *[
                 F.md5(
@@ -299,7 +318,7 @@ def incremental_lsh_pairs(
             F.lit(side).alias("side"),
         )
 
-    both = _banded(new, "n").unionByName(_banded(old, "o"))
+    both = _banded(sig_new, "n").unionByName(_banded(sig_old, "o"))
     grouped = both.groupBy("band_idx", "band").agg(
         F.array_sort(
             F.collect_list(F.when(F.col("side") == "n", F.col("id")))

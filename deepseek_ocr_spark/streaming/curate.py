@@ -118,3 +118,65 @@ def run_curate_stream_drain(
     docs = read_docs_stream(spark, input_path)
     out = curate_stream(docs, eval_df=eval_df)
     return drain_to_parquet(out, output_path, checkpoint_path, timeout_secs)
+
+
+def neardup_gate_batch(
+    batch_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop documents that LSH-collide with the already-curated corpus
+    — the per-micro-batch body of the stream-static near-dup gate.
+    The corpus side is a PRECOMPUTED (id, h0..h{N-1}) signature table
+    (store it when the corpus is curated; never re-shingle the corpus
+    per batch); only the batch's own documents are signed here."""
+    from deepseek_ocr_spark.functions import dedup as DD
+
+    sig_new = DD.minhash_signature(batch_docs, id_col, text_col)
+    pairs = DD.incremental_lsh_pairs_from_signatures(
+        sig_new, corpus_sigs, id_col
+    )
+    losers = pairs.select(F.col("new_id").alias(id_col)).distinct()
+    return batch_docs.join(losers, id_col, "left_anti")
+
+
+def run_neardup_gate_drain(
+    spark: SparkSession,
+    input_path: str,
+    corpus_sigs_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    timeout_secs: float | None = None,
+) -> bool:
+    """Stream-static near-dup gate: drain every document file in
+    ``input_path`` exactly once, dropping docs whose MinHash-LSH bands
+    collide with the stored corpus signature table, appending
+    survivors to ``output_path``.
+
+    LSH pair generation needs a groupBy (banding buckets), which a
+    pure streaming plan disallows without state — so the gate runs in
+    ``foreachBatch``: each micro-batch is a plain batch frame, gated
+    with the exact batch operator (no semantics fork between stream
+    and batch). The file-source checkpoint still gives exactly-once
+    per input file; the corpus signatures load once per drain.
+    Returns whether the drain completed (see stream.drain_to_parquet).
+    """
+    corpus_sigs = spark.read.parquet(corpus_sigs_path)
+    docs = read_docs_stream(spark, input_path)
+
+    def _gate_and_append(batch_df: DataFrame, _batch_id: int) -> None:
+        neardup_gate_batch(batch_df, corpus_sigs).write.mode(
+            "append"
+        ).parquet(output_path)
+
+    q = (
+        docs.writeStream.foreachBatch(_gate_and_append)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    done = q.awaitTermination(timeout_secs)
+    if q.isActive:
+        q.stop()
+    return bool(done) if timeout_secs is not None else True

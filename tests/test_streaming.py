@@ -320,3 +320,64 @@ def test_curate_short_doc_reads_zero_shared_not_null(spark):
     ev = spark.createDataFrame([("a b c d e f g h i j",)], "text string")
     row = curate_stream(docs, eval_df=ev).collect()[0]
     assert row["n_shared_eval"] == 0
+
+
+def test_neardup_gate_drain_stream_static(spark, tmp_path):
+    """Stream-static near-dup gate: docs colliding with the stored
+    corpus signatures are dropped per micro-batch; fresh docs land;
+    a second drain over a new file is incremental and exactly-once."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_spark.functions import dedup as DD
+    from deepseek_ocr_spark.streaming.curate import run_neardup_gate_drain
+
+    boiler = "the quick brown fox jumps over the lazy dog once more today"
+    corpus = spark.createDataFrame(
+        [(1000, boiler), (1001, "settled editorial about spark plans")],
+        "doc_id long, text string",
+    )
+    sigs = str(tmp_path / "corpus_sigs")
+    DD.minhash_signature(corpus, "doc_id", "text").write.parquet(sigs)
+
+    inp = tmp_path / "docs_in"
+    os.makedirs(inp)
+    out = str(tmp_path / "gated")
+    ckpt = str(tmp_path / "ckpt")
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()),
+         ("lang", pa.string()), ("source", pa.string()),
+         ("n_chars", pa.int64())]
+    )
+
+    def write_docs_file(rows, path):
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame(rows, columns=cols),
+                                 schema=schema, preserve_index=False),
+            path,
+        )
+
+    write_docs_file(
+        [(1, boiler, "en", "s", 10),                      # corpus near-dup
+         (2, "genuinely new reporting on shuffle joins", "en", "s", 10)],
+        str(inp / "b1.parquet"),
+    )
+    assert run_neardup_gate_drain(spark, str(inp), sigs, out, ckpt,
+                                  timeout_secs=120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [2]
+
+    # second file: re-drain picks up ONLY the new file (exactly-once)
+    write_docs_file(
+        [(3, boiler + " tiny edit", "en", "s", 10),       # still collides
+         (4, "another fresh unrelated article entirely", "en", "s", 10)],
+        str(inp / "b2.parquet"),
+    )
+    assert run_neardup_gate_drain(spark, str(inp), sigs, out, ckpt,
+                                  timeout_secs=120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [2, 4]
