@@ -2009,6 +2009,46 @@ r{k} AS (SELECT n.node,
 SQL_HOST_PAGERANK = _pagerank_sql()
 
 
+def q_host_harmonic(spark, sf_dir):
+    """Truncated (K=3) in-harmonic centrality — CC's published host
+    ranking signal — exact level-synchronous BFS over distinct (u, v)
+    pairs, fixed-point integer contributions (functions/graph.py)."""
+    from deepseek_ocr_spark.functions import graph as GR
+
+    return GR.harmonic_centrality(_host_edges(spark, sf_dir), "src", "dst")
+
+
+def _harmonic_sql() -> str:
+    from deepseek_ocr_spark.functions import graph as GR
+
+    s = GR.PR_SCALE
+    return (
+        "WITH "
+        + _HOST_EDGES_SQL
+        + f""",
+p1 AS (SELECT DISTINCT src AS u, dst AS v FROM e),
+p2 AS (SELECT DISTINCT a.u, b.dst AS v
+       FROM p1 a JOIN e b ON b.src = a.v
+       WHERE a.u != b.dst
+         AND NOT EXISTS (SELECT 1 FROM p1 x WHERE x.u = a.u AND x.v = b.dst)),
+p3 AS (SELECT DISTINCT a.u, b.dst AS v
+       FROM p2 a JOIN e b ON b.src = a.v
+       WHERE a.u != b.dst
+         AND NOT EXISTS (SELECT 1 FROM p1 x WHERE x.u = a.u AND x.v = b.dst)
+         AND NOT EXISTS (SELECT 1 FROM p2 x WHERE x.u = a.u AND x.v = b.dst)),
+allp AS (SELECT u, v, 1 AS d FROM p1
+         UNION ALL SELECT u, v, 2 FROM p2
+         UNION ALL SELECT u, v, 3 FROM p3)
+SELECT v AS node, sum({s} // d)::BIGINT AS harmonic_fp,
+       count(*)::BIGINT AS n_reached
+FROM allp GROUP BY v
+"""
+    )
+
+
+SQL_HOST_HARMONIC = _harmonic_sql()
+
+
 # Wrap each document in deterministic normalization nasties (NBSP,
 # zero-width space, BEL, tab runs, ideographic space, 4x newline) so
 # the cross-engine check exercises every rule on every row — the
@@ -2174,6 +2214,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "host_graph_degrees": (q_host_graph_degrees, SQL_HOST_GRAPH_DEGREES),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
+    "host_harmonic": (q_host_harmonic, SQL_HOST_HARMONIC),
     "incremental_new_docs": (q_incremental_new_docs, SQL_INCREMENTAL_NEW_DOCS),
     "incremental_lsh_pairs": (
         q_incremental_lsh_pairs,

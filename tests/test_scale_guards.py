@@ -268,3 +268,25 @@ def test_outlink_edges(spark):
                    ("me.example", "legacy.example"),
                    ("me.example", "other.example"),
                    ("me.example", "proto.example")]
+
+
+def test_harmonic_centrality_exact_distances(spark):
+    """Chain a->b->c->d->e: exact shortest distances at K=3, truncated
+    beyond; unreachable pairs contribute nothing; a shortcut edge
+    shortens the distance (shortest path, not path count)."""
+    from deepseek_ocr_spark.functions import graph as GR
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: (r["harmonic_fp"], r["n_reached"])
+           for r in GR.harmonic_centrality(df, "src", "dst").collect()}
+    S = GR.PR_SCALE
+    # b: only a at d=1
+    assert got["b"] == (S, 1)
+    # c: b at 1, a at 1 (shortcut beats a->b->c=2)
+    assert got["c"] == (2 * S, 2)
+    # d: c at 1, b at 2, a at 2 (via shortcut)
+    assert got["d"] == (S + 2 * (S // 2), 3)
+    # e: d at 1, c at 2, a and b at 3
+    assert got["e"] == (S + S // 2 + 2 * (S // 3), 4)
+    assert "a" not in got  # nothing reaches a
