@@ -219,6 +219,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         GR.pagerank(edges, "src", "dst").write.mode("overwrite").parquet(
             f"{args.output}/pagerank"
         )
+        GR.harmonic_centrality(edges, "src", "dst").write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/harmonic")
         n_edges = edges.count()
         n_hosts = spark.read.parquet(f"{args.output}/pagerank").count()
         edges.unpersist()

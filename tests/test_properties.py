@@ -116,3 +116,75 @@ def test_gopher_flags_on_crafted_text(spark):
     assert got[2]["ell"] == round(2 / 3, 4)
     assert got[3]["sym"] > 0.5
     assert got[4]["sym"] < 0.05 and got[4]["bul"] == 0.0 and got[4]["ell"] == 0.0
+
+
+def test_simhash_pairs_equal_bruteforce(spark):
+    """Pigeonhole completeness: block-bucketed pair generation finds
+    EXACTLY the pairs a brute-force all-pairs popcount scan finds
+    (hamming <= 3 guarantees a shared block, so bucketing loses
+    nothing; the confirm loses nothing extra)."""
+    import random
+
+    from deepseek_ocr_spark.functions import dedup as DD
+
+    rng = random.Random(1234)
+    # cluster around a few centers so hamming<=3 pairs actually occur
+    centers = [rng.getrandbits(32) for _ in range(6)]
+    sigs = []
+    for i in range(60):
+        c = centers[i % len(centers)]
+        flips = rng.sample(range(32), rng.randint(0, 3))
+        v = c
+        for b in flips:
+            v ^= 1 << b
+        sigs.append((f"d{i:02d}", v))
+    expected = {
+        (a, b, bin(x ^ y).count("1"))
+        for (a, x) in sigs
+        for (b, y) in sigs
+        if a < b and bin(x ^ y).count("1") <= DD.SIMHASH_MAX_HAMMING
+    }
+    df = spark.createDataFrame(sigs, ["doc_id", "simhash"])
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in DD.simhash_hamming_pairs(df, "doc_id").collect()
+    }
+    assert got == expected and expected  # non-vacuous
+
+
+def test_harmonic_equals_python_bfs(spark):
+    """Truncated harmonic centrality matches a per-source Python BFS
+    on a seeded random digraph (distances exact, truncation exact)."""
+    import random
+    from collections import deque
+
+    from deepseek_ocr_spark.functions import graph as GR
+
+    rng = random.Random(99)
+    nodes = [f"h{i:02d}" for i in range(30)]
+    edges = {(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)}
+    edges = [(u, v) for u, v in edges if u != v]
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    K, S = 3, GR.PR_SCALE
+    expected = {}
+    for src in nodes:
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            x = q.popleft()
+            if dist[x] >= K:
+                continue
+            for y in adj.get(x, []):
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        for v, d in dist.items():
+            if 0 < d <= K:
+                fp, n = expected.get(v, (0, 0))
+                expected[v] = (fp + S // d, n + 1)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: (r["harmonic_fp"], r["n_reached"])
+           for r in GR.harmonic_centrality(df, "src", "dst").collect()}
+    assert got == expected
