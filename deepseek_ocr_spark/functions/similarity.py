@@ -381,3 +381,48 @@ def bucket_sql(emb_expr: str, n_planes: int = N_PLANES) -> str:
         for j in range(n_planes)
     ]
     return "(" + " + ".join(terms) + ")::INT"
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    emb_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-label component-wise embedding centroid in ``scale`` fixed
+    point: (label, idx, c_fp, n) — the distributed centroid aggregate
+    (class prototypes, cluster summaries; the agg an IVF re-train or a
+    label-prototype ANN seed runs over the full corpus).
+
+    Determinism across engines: each component is floored into a
+    fixed-point BIGINT BEFORE the sum (exact integer addition in any
+    order — float mean drifts with partitioning), and the mean divides
+    AS DOUBLE then floors, never integer division: Spark's DIV
+    truncates toward zero while DuckDB's // floors, and embedding
+    components go negative. Plan shape: one posexplode + one
+    (label, idx) partial agg — dim x labels result rows, no collect.
+
+    Scale note: component sums stay exact while |sum| < 2^53 at the
+    double-division step — at scale=1e6 and unit-normalized components
+    that is ~10^9 vectors per label; beyond that, shard the mean
+    (per-partition counts+sums, then combine) or drop scale."""
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(emb_col)).alias("idx", "v"),
+    )
+    fp = ex.withColumn(
+        "v_fp",
+        F.expr(f"CAST(FLOOR(CAST(v AS DOUBLE) * {scale}) AS BIGINT)"),
+    )
+    return (
+        fp.groupBy("label", "idx")
+        .agg(F.sum("v_fp").alias("s"), F.count("*").alias("n"))
+        .select(
+            "label",
+            "idx",
+            F.expr(
+                "CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"
+            ).alias("c_fp"),
+            "n",
+        )
+    )

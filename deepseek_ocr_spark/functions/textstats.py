@@ -37,6 +37,28 @@ def token_count(col: Column) -> Column:
     )
 
 
+# Scripts written without word separators (Han incl. ext-A, kana,
+# hangul syllables, CJK compatibility): whitespace tokenization
+# undercounts them to ~1 token per sentence. One char ≈ one token is
+# the standard no-segmenter heuristic (and within ~1.5x of real CJK
+# BPE rates). Ranges are literal \x{...} classes — valid and identical
+# in Java regex and RE2.
+CJK_CHAR_RE = (
+    r"[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}"
+    r"\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}]"
+)
+
+
+def token_count_multilingual(col: Column) -> Column:
+    """Token count for mixed-script text: one token per CJK character
+    plus the whitespace token count of the text with CJK characters
+    replaced by spaces (so a CJK run glued to a Latin word doesn't
+    hide the word). Equals ``token_count`` on pure space-delimited
+    text."""
+    n_cjk = F.regexp_count(col, F.lit(CJK_CHAR_RE))
+    return n_cjk + token_count(F.regexp_replace(col, CJK_CHAR_RE, " "))
+
+
 def char_count(col: Column) -> Column:
     return F.length(col)
 

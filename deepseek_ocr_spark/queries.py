@@ -586,6 +586,75 @@ FROM documents
 """
 
 
+# CJK injection so the multilingual count is exercised on every row
+# (fixture text is pure ASCII): han + kana + hangul glued to a Latin
+# word, which whitespace counting alone would fold into one token.
+_ML_SUFFIX = " 漢字テスト한글mixed"
+
+
+def q_token_count_multilingual(spark, sf_dir):
+    """CJK-aware token counting (functions/textstats.py): one token
+    per CJK char + whitespace tokens of the CJK-blanked text."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.concat(F.col("text"), F.lit(_ML_SUFFIX))
+    return d.select(
+        "doc_id",
+        TS.token_count_multilingual(t).alias("n_tokens_ml"),
+        TS.token_count(t).alias("n_tokens_ws"),
+    )
+
+
+def _token_count_ml_sql() -> str:
+    ws = "'[ \\t\\n\\x0B\\f\\r]+'"
+    cjk = f"'{TS.CJK_CHAR_RE}'"
+    t = f"(text || '{_ML_SUFFIX}')"
+    blanked = f"regexp_replace({t}, {cjk}, ' ', 'g')"
+    ws_count = (
+        f"CASE WHEN length(trim({blanked})) = 0 THEN 0 "
+        f"ELSE len(string_split_regex(trim({blanked}), {ws})) END"
+    )
+    return f"""
+SELECT doc_id,
+       (len(regexp_extract_all({t}, {cjk})) + {ws_count})::INT AS n_tokens_ml,
+       (CASE WHEN length(trim({t})) = 0 THEN 0
+             ELSE len(string_split_regex(trim({t}), {ws})) END)::INT
+         AS n_tokens_ws
+FROM documents
+"""
+
+
+SQL_TOKEN_COUNT_ML = _token_count_ml_sql()
+
+
+def q_emb_label_centroids(spark, sf_dir):
+    """Per-label fixed-point embedding centroids
+    (functions/similarity.py label_centroids): floored-to-BIGINT
+    components summed exactly, mean via double division + floor."""
+    from deepseek_ocr_spark.functions import similarity as SIM2
+
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM2.label_centroids(e, "label", "embedding")
+
+
+SQL_EMB_LABEL_CENTROIDS = """
+WITH ex AS (
+  SELECT label,
+         unnest(generate_series(0, len(embedding) - 1)) AS idx,
+         unnest(embedding) AS v
+  FROM embeddings
+), fp AS (
+  SELECT label, idx,
+         CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS v_fp
+  FROM ex
+)
+SELECT label, idx,
+       CAST(FLOOR(CAST(sum(v_fp) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+            AS BIGINT) AS c_fp,
+       count(*)::BIGINT AS n
+FROM fp GROUP BY label, idx
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling: the k lowest-md5 docs per
     language — reproducible across engines, runs, and cluster sizes
@@ -2192,6 +2261,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_lsh_recall": (q_ann_lsh_recall, SQL_ANN_LSH_RECALL),
     "ivf_recall": (q_ivf_recall, None),
     "emb_norm_by_label": (q_emb_norm_by_label, SQL_EMB_NORM_BY_LABEL),
+    "emb_label_centroids": (q_emb_label_centroids, SQL_EMB_LABEL_CENTROIDS),
+    "token_count_multilingual": (
+        q_token_count_multilingual,
+        SQL_TOKEN_COUNT_ML,
+    ),
     "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),
     "b64_roundtrip": (q_b64_roundtrip, SQL_B64_ROUNDTRIP),
     "repetition_clamp": (q_repetition_clamp, None),

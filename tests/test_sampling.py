@@ -122,3 +122,45 @@ def test_bm25_topk_ranking(spark):
     assert scores["heavy"] > scores["light"]   # tf saturation still ranks
     assert scores["rare"] > scores["light"]    # rarer term outweighs common
     assert all(s > 0 for s in scores.values())
+
+
+def test_token_count_multilingual(spark):
+    """One token per CJK char; CJK glued to a Latin word doesn't
+    swallow the word; pure-ASCII equals the whitespace count."""
+    from deepseek_ocr_spark.functions import textstats as TS
+    from pyspark.sql import functions as SF
+
+    rows = [
+        ("ascii", "plain space separated words"),
+        ("cjk", "漢字テスト"),          # 5 CJK chars
+        ("glued", "word漢字word"),                   # 2 words + 2 CJK
+        ("mixed", "hello 안녕 world"),               # 2 words + 2 hangul
+    ]
+    df = spark.createDataFrame(rows, ["k", "t"])
+    got = {r["k"]: (r["ml"], r["ws"]) for r in df.select(
+        "k",
+        TS.token_count_multilingual(SF.col("t")).alias("ml"),
+        TS.token_count(SF.col("t")).alias("ws"),
+    ).collect()}
+    assert got["ascii"] == (4, 4)
+    assert got["cjk"] == (5, 1)
+    assert got["glued"] == (4, 1)
+    assert got["mixed"] == (4, 3)
+
+
+def test_label_centroids_exact(spark):
+    """Hand-checkable centroid: exact fixed-point means, negative
+    components floor consistently, n counts vectors per label."""
+    from deepseek_ocr_spark.functions.similarity import label_centroids
+
+    rows = [
+        (1, [1.0, -0.5]), (1, [0.0, -0.25]),
+        (2, [2.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {(r["label"], r["idx"]): (r["c_fp"], r["n"])
+           for r in label_centroids(df).collect()}
+    assert got[(1, 0)] == (500_000, 2)        # mean(1.0, 0.0)
+    assert got[(1, 1)] == (-375_000, 2)       # mean(-0.5, -0.25), negative
+    assert got[(2, 0)] == (2_000_000, 1)
+    assert got[(2, 1)] == (2_000_000, 1)
