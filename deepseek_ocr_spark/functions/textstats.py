@@ -59,6 +59,41 @@ def token_count_multilingual(col: Column) -> Column:
     return n_cjk + token_count(F.regexp_replace(col, CJK_CHAR_RE, " "))
 
 
+# Encoding-damage signatures (all literal \x{...} classes, identical
+# in Java regex and RE2):
+# * U+FFFD — a decoder already gave up on those bytes;
+# * UTF-8 bytes mis-decoded as Latin-1 OR cp1252: a 2-byte UTF-8 lead
+#   ('Â'/'Ã' = U+00C2/C3, same in both legacy charsets) followed by a
+#   continuation-byte image ('é' → 'Ã©'), or the 3-byte analog with a
+#   lead in U+00E0-EF and two continuation images ('’' → 'â€™').
+#   A continuation byte 0x80-0xBF decodes to U+0080-00BF under
+#   Latin-1, but cp1252 remaps 0x80-0x9F to punctuation/letters — the
+#   class below is the exact union of both images, so BOTH mojibake
+#   families are caught ('â€™' is the cp1252 one every crawl shows).
+REPLACEMENT_CHAR_RE = r"\x{FFFD}"
+_MOJ_CONT = (
+    r"\x{0080}-\x{00BF}\x{20AC}\x{201A}\x{0192}\x{201E}\x{2026}"
+    r"\x{2020}\x{2021}\x{02C6}\x{2030}\x{0160}\x{2039}\x{0152}"
+    r"\x{017D}\x{2018}\x{2019}\x{201C}\x{201D}\x{2022}\x{2013}"
+    r"\x{2014}\x{02DC}\x{2122}\x{0161}\x{203A}\x{0153}\x{017E}"
+    r"\x{0178}"
+)
+MOJIBAKE_RE = (
+    f"([\\x{{00C2}}\\x{{00C3}}][{_MOJ_CONT}]"
+    f"|[\\x{{00E0}}-\\x{{00EF}}][{_MOJ_CONT}]{{2}})"
+)
+
+
+def encoding_quality(col: Column) -> tuple[Column, Column, Column]:
+    """(n_replacement, n_mojibake, enc_bad) — counts of decoder
+    replacement chars and double-encoding signatures, plus the
+    CCNet-style drop flag (any damage marker present). Pure
+    ``regexp_count`` projections; zero shuffle at any scale."""
+    n_rep = F.regexp_count(col, F.lit(REPLACEMENT_CHAR_RE))
+    n_moj = F.regexp_count(col, F.lit(MOJIBAKE_RE))
+    return n_rep, n_moj, (n_rep + n_moj) > 0
+
+
 def char_count(col: Column) -> Column:
     return F.length(col)
 

@@ -655,6 +655,46 @@ FROM fp GROUP BY label, idx
 """
 
 
+# Mojibake injection: every 7th doc gets a double-encoded 'é' + a
+# replacement char, so the oracle check exercises both damage classes
+# AND the clean path on the same corpus.
+_MOJ_SUFFIX = " cafÃ© bad�"
+
+
+def q_encoding_quality(spark, sf_dir):
+    """Encoding-damage signals (functions/textstats.py
+    encoding_quality): replacement-char + mojibake-digraph counts and
+    the CCNet-style drop flag — zero-shuffle projections."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_MOJ_SUFFIX))
+    ).otherwise(F.col("text"))
+    n_rep, n_moj, bad = TS.encoding_quality(t)
+    return d.select(
+        "doc_id",
+        n_rep.alias("n_replacement"),
+        n_moj.alias("n_mojibake"),
+        bad.alias("enc_bad"),
+    )
+
+
+def _encoding_quality_sql() -> str:
+    t = (f"(CASE WHEN doc_id % 7 = 0 THEN text || '{_MOJ_SUFFIX}' "
+         "ELSE text END)")
+    n_rep = f"len(regexp_extract_all({t}, '{TS.REPLACEMENT_CHAR_RE}'))"
+    n_moj = f"len(regexp_extract_all({t}, '{TS.MOJIBAKE_RE}'))"
+    return f"""
+SELECT doc_id,
+       {n_rep}::INT AS n_replacement,
+       {n_moj}::INT AS n_mojibake,
+       ({n_rep} + {n_moj}) > 0 AS enc_bad
+FROM documents
+"""
+
+
+SQL_ENCODING_QUALITY = _encoding_quality_sql()
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling: the k lowest-md5 docs per
     language — reproducible across engines, runs, and cluster sizes
@@ -2266,6 +2306,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_token_count_multilingual,
         SQL_TOKEN_COUNT_ML,
     ),
+    "encoding_quality": (q_encoding_quality, SQL_ENCODING_QUALITY),
     "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),
     "b64_roundtrip": (q_b64_roundtrip, SQL_B64_ROUNDTRIP),
     "repetition_clamp": (q_repetition_clamp, None),

@@ -164,3 +164,26 @@ def test_label_centroids_exact(spark):
     assert got[(1, 1)] == (-375_000, 2)       # mean(-0.5, -0.25), negative
     assert got[(2, 0)] == (2_000_000, 1)
     assert got[(2, 1)] == (2_000_000, 1)
+
+
+def test_encoding_quality_signals(spark):
+    """Replacement chars and 2-/3-byte mojibake digraphs (latin-1 AND
+    cp1252 images) are counted; clean text, including legitimate
+    accented chars, is not flagged."""
+    from deepseek_ocr_spark.functions import textstats as TS
+    from pyspark.sql import functions as SF
+
+    rows = [
+        ("clean", "a normal café sentence with “quotes”"),
+        ("rep", "lost � bytes � here"),
+        ("moj2", "cafÃ© double encoded"),       # 'Ã©' latin-1
+        ("moj3", "itâ€™s broken"),          # 'â€™' cp1252
+    ]
+    df = spark.createDataFrame(rows, ["k", "t"])
+    n_rep, n_moj, bad = TS.encoding_quality(SF.col("t"))
+    got = {r["k"]: (r["r"], r["m"], r["b"]) for r in df.select(
+        "k", n_rep.alias("r"), n_moj.alias("m"), bad.alias("b")).collect()}
+    assert got["clean"] == (0, 0, False)
+    assert got["rep"] == (2, 0, True)
+    assert got["moj2"] == (0, 1, True)
+    assert got["moj3"] == (0, 1, True)
