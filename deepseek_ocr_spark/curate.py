@@ -51,6 +51,7 @@ def enrich(extracted: DataFrame, normalize: bool = False) -> DataFrame:
         from deepseek_ocr_spark.functions.normalize import normalize_text
 
         t = normalize_text(t)
+    enc_bad = TS.encoding_quality(t)[2]
     return extracted.filter(
         (F.col("status") == "ok") & (F.length(t) > 0)
     ).select(
@@ -61,6 +62,7 @@ def enrich(extracted: DataFrame, normalize: bool = False) -> DataFrame:
         TS.quality_score(t).alias("quality"),
         TS.lang_guess(t).alias("lang_guess"),
         TS.fingerprint(t).alias("fp"),
+        enc_bad.alias("enc_bad"),
     )
 
 
@@ -139,9 +141,15 @@ def quality_gate(
     min_tokens: int = MIN_TOKENS,
     min_quality: float = MIN_QUALITY,
 ) -> DataFrame:
-    return docs.filter(
-        (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
+    """Length/quality thresholds plus the encoding-damage drop (docs
+    carrying replacement chars or mojibake digraphs — see
+    textstats.encoding_quality — are junk to a tokenizer)."""
+    gate = (F.col("n_tokens") >= min_tokens) & (
+        F.col("quality") >= min_quality
     )
+    if "enc_bad" in docs.columns:
+        gate = gate & ~F.col("enc_bad")
+    return docs.filter(gate)
 
 
 def lang_gate(docs: DataFrame, keep: tuple[str, ...] | None) -> DataFrame:

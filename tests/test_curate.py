@@ -253,3 +253,26 @@ def test_normalize_flag_collapses_nbsp_variants(spark):
     assert f_plain["after_exact_dedup"] == 2
     assert f_norm["after_exact_dedup"] == 1
     assert norm.count() == 1
+
+
+def test_quality_gate_drops_mojibake_docs(spark):
+    """A doc whose extracted text carries mojibake is dropped at the
+    quality gate even when its length/quality pass."""
+    rows = [
+        ("https://ok.example/1",
+         b"<html><body><p>lorem ipsum dolor sit amet consectetur "
+         b"adipiscing elit sed do eiusmod tempor incididunt ut labore. "
+         b"</p></body></html>"),
+        ("https://bad.example/2",
+         "<html><body><p>completely different article about plate "
+         "tectonics and oceanic subduction, itâ€™s the cafÃ© of "
+         "mangled encodings today.</p></body></html>".encode()),
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, h, None, None) for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    final, funnel = curate(pages, parallelism=2)
+    kept = [r["url"] for r in final.collect()]
+    assert kept == ["https://ok.example/1"]
+    assert funnel["after_neardup"] == 2 and funnel["curated"] == 1
