@@ -94,6 +94,31 @@ def encoding_quality(col: Column) -> tuple[Column, Column, Column]:
     return n_rep, n_moj, (n_rep + n_moj) > 0
 
 
+# Code-vs-prose routing signals (Dolma/StarCoder-family shallow
+# features): symbol density and structural markers that separate
+# source code / config dumps from natural text. All shared-subset
+# regexes; thresholds live with the caller (they're corpus policy).
+CODE_SYMBOL_RE = r"[{}\[\]();<>=|&]"
+CODE_KEYWORD_RE = (
+    r"\b(def|class|import|return|function|var|const|if|else|for|while"
+    r"|void|int|public|static)\b"
+)
+INDENT_LINE_RE = r"(?m)^(    |\t)"
+CODE_FENCE_RE = r"```"
+
+
+def format_signals(col: Column) -> tuple[Column, Column, Column, Column]:
+    """(n_symbols, n_keywords, n_indented_lines, n_fences) — the raw
+    counts a code/prose router thresholds on. Pure ``regexp_count``
+    projections; density = count / token_count at the call site."""
+    return (
+        F.regexp_count(col, F.lit(CODE_SYMBOL_RE)),
+        F.regexp_count(col, F.lit(CODE_KEYWORD_RE)),
+        F.regexp_count(col, F.lit(INDENT_LINE_RE)),
+        F.regexp_count(col, F.lit(CODE_FENCE_RE)),
+    )
+
+
 def char_count(col: Column) -> Column:
     return F.length(col)
 

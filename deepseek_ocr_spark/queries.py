@@ -695,6 +695,50 @@ FROM documents
 SQL_ENCODING_QUALITY = _encoding_quality_sql()
 
 
+# code-snippet injection on every 5th doc so both router branches
+# hash-verify on the same corpus
+_CODE_SUFFIX = (
+    "\n```\ndef f(x):\n    return x { } ( ) ; < > = | &\n```\n\tindented"
+)
+
+
+def q_format_signals(spark, sf_dir):
+    """Code-vs-prose routing signals (functions/textstats.py
+    format_signals): symbol/keyword/indent/fence counts — zero-shuffle
+    regexp_count projections."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(_CODE_SUFFIX))
+    ).otherwise(F.col("text"))
+    syms, kws, ind, fen = TS.format_signals(t)
+    return d.select(
+        "doc_id",
+        syms.alias("n_code_symbols"),
+        kws.alias("n_code_keywords"),
+        ind.alias("n_indented_lines"),
+        fen.alias("n_fences"),
+    )
+
+
+def _format_signals_sql() -> str:
+    esc = _CODE_SUFFIX.replace("\n", "' || chr(10) || '").replace(
+        "\t", "' || chr(9) || '"
+    )
+    t = f"(CASE WHEN doc_id % 5 = 0 THEN text || '{esc}' ELSE text END)"
+    cnt = "len(regexp_extract_all({t}, '{p}'))::INT"
+    return f"""
+SELECT doc_id,
+       {cnt.format(t=t, p=TS.CODE_SYMBOL_RE)} AS n_code_symbols,
+       {cnt.format(t=t, p=TS.CODE_KEYWORD_RE)} AS n_code_keywords,
+       {cnt.format(t=t, p=TS.INDENT_LINE_RE)} AS n_indented_lines,
+       {cnt.format(t=t, p=TS.CODE_FENCE_RE)} AS n_fences
+FROM documents
+"""
+
+
+SQL_FORMAT_SIGNALS = _format_signals_sql()
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling: the k lowest-md5 docs per
     language — reproducible across engines, runs, and cluster sizes
@@ -2307,6 +2351,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_TOKEN_COUNT_ML,
     ),
     "encoding_quality": (q_encoding_quality, SQL_ENCODING_QUALITY),
+    "format_signals": (q_format_signals, SQL_FORMAT_SIGNALS),
     "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),
     "b64_roundtrip": (q_b64_roundtrip, SQL_B64_ROUNDTRIP),
     "repetition_clamp": (q_repetition_clamp, None),

@@ -187,3 +187,22 @@ def test_encoding_quality_signals(spark):
     assert got["rep"] == (2, 0, True)
     assert got["moj2"] == (0, 1, True)
     assert got["moj3"] == (0, 1, True)
+
+
+def test_format_signals_code_vs_prose(spark):
+    from deepseek_ocr_spark.functions import textstats as TS
+    from pyspark.sql import functions as SF
+
+    code = "def f(x):\n    return g(x) | h[0];\n\twhile x < 10: x = x+1"
+    prose = "a gentle paragraph about rivers and their long histories"
+    fenced = "text\n```\ncode here\n```\nmore text"
+    df = spark.createDataFrame(
+        [("code", code), ("prose", prose), ("fenced", fenced)], ["k", "t"])
+    s, kw, ind, fen = TS.format_signals(SF.col("t"))
+    got = {r["k"]: (r["s"], r["kw"], r["i"], r["f"]) for r in df.select(
+        "k", s.alias("s"), kw.alias("kw"), ind.alias("i"), fen.alias("f")
+    ).collect()}
+    assert got["prose"] == (0, 0, 0, 0)
+    cs, ckw, ci, cf = got["code"]
+    assert cs >= 8 and ckw >= 3 and ci == 2 and cf == 0
+    assert got["fenced"][3] == 2
