@@ -66,3 +66,33 @@ def domain_stats(docs, url_col: str = "url"):
             F.round(F.avg("quality"), 4).alias("avg_quality"),
         )
     )
+
+
+# URL-shape filtering features (C4 dropped pages by URL blocklists and
+# shapes before ever fetching text; media/file extensions never carry
+# prose). Shared Java/RE2 subset; the spam list is a tiny placeholder
+# — swap for a real blocklist table at deploy time (broadcast join).
+MEDIA_EXT_RE = (
+    r"(?i)\.(jpe?g|png|gif|webp|bmp|svg|ico|mp[34]|avi|mov|mkv|wav"
+    r"|zip|gz|tar|rar|7z|exe|dmg|iso|pdf)([?#]|$)"
+)
+URL_SPAM_TOKEN_RE = r"(?i)\b(casino|viagra|xxx|porn|escort|betting)\b"
+
+
+def url_signals(url: Column) -> tuple[Column, Column, Column, Column]:
+    """(path_depth, has_query, is_media, n_spam_tokens) — the shape
+    features a URL pre-filter thresholds on before any byte of content
+    is touched. Pure projections; at crawl scale this gate runs on the
+    url COLUMN alone with the payload never read (column pruning)."""
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1),
+        r"[?#].*$",
+        "",
+    )
+    depth = F.when(F.length(path) <= 1, F.lit(0)).otherwise(
+        F.regexp_count(path, F.lit("/"))
+    )
+    has_query = url.contains("?")
+    is_media = F.regexp_count(url, F.lit(MEDIA_EXT_RE)) > 0
+    n_spam = F.regexp_count(url, F.lit(URL_SPAM_TOKEN_RE))
+    return depth, has_query, is_media, n_spam

@@ -605,21 +605,27 @@ def q_token_count_multilingual(spark, sf_dir):
 
 
 def _token_count_ml_sql() -> str:
+    # the blanked/trimmed strings are hoisted into a CTE so every
+    # string_split_regex call site reads the shared whitespace class
+    # directly (the engine-portability test scans those call sites)
     ws = "'[ \\t\\n\\x0B\\f\\r]+'"
     cjk = f"'{TS.CJK_CHAR_RE}'"
-    t = f"(text || '{_ML_SUFFIX}')"
-    blanked = f"regexp_replace({t}, {cjk}, ' ', 'g')"
-    ws_count = (
-        f"CASE WHEN length(trim({blanked})) = 0 THEN 0 "
-        f"ELSE len(string_split_regex(trim({blanked}), {ws})) END"
-    )
     return f"""
+WITH b AS (
+  SELECT doc_id,
+         trim(text || '{_ML_SUFFIX}') AS t,
+         trim(regexp_replace(text || '{_ML_SUFFIX}', {cjk}, ' ', 'g')) AS bl
+  FROM documents
+)
 SELECT doc_id,
-       (len(regexp_extract_all({t}, {cjk})) + {ws_count})::INT AS n_tokens_ml,
-       (CASE WHEN length(trim({t})) = 0 THEN 0
-             ELSE len(string_split_regex(trim({t}), {ws})) END)::INT
+       (len(regexp_extract_all(t, {cjk}))
+        + CASE WHEN length(bl) = 0 THEN 0
+               ELSE len(string_split_regex(bl, {ws})) END)::INT
+         AS n_tokens_ml,
+       (CASE WHEN length(t) = 0 THEN 0
+             ELSE len(string_split_regex(t, {ws})) END)::INT
          AS n_tokens_ws
-FROM documents
+FROM b
 """
 
 
@@ -737,6 +743,69 @@ FROM documents
 
 
 SQL_FORMAT_SIGNALS = _format_signals_sql()
+
+
+def q_url_signals(spark, sf_dir):
+    """URL-shape pre-filter features (functions/urls.url_signals) over
+    urls synthesized deterministically from documents (depth via path
+    repeat, media extensions on doc_id%5, spam tokens on doc_id%7) —
+    the gate that at crawl scale runs on the url column alone."""
+    from deepseek_ocr_spark.functions.urls import url_signals
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example"),
+        F.expr("repeat('/p', CAST(doc_id % 4 AS INT))"),
+        F.lit("/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(".jpg"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(".pdf"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("?ref=casino"))
+        .otherwise(F.lit("")),
+    )
+    depth, has_q, is_media, n_spam = url_signals(url)
+    return d.select(
+        "doc_id",
+        depth.alias("path_depth"),
+        has_q.alias("has_query"),
+        is_media.alias("is_media"),
+        n_spam.alias("n_spam_tokens"),
+    )
+
+
+def _url_signals_sql() -> str:
+    from deepseek_ocr_spark.functions import urls as U
+
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example'
+           || repeat('/p', CAST(doc_id % 4 AS INT))
+           || '/' || doc_id::VARCHAR
+           || (CASE WHEN doc_id % 5 = 0 THEN '.jpg'
+                    WHEN doc_id % 5 = 1 THEN '.pdf' ELSE '' END)
+           || (CASE WHEN doc_id % 7 = 0 THEN '?ref=casino' ELSE '' END)
+           AS url
+  FROM documents
+), p AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1),
+           '[?#].*$', '', 'g') AS path
+  FROM u
+)
+SELECT doc_id,
+       (CASE WHEN length(path) <= 1 THEN 0
+             ELSE len(regexp_extract_all(path, '/')) END)::INT AS path_depth,
+       contains(url, '?') AS has_query,
+       len(regexp_extract_all(url, '{U.MEDIA_EXT_RE}')) > 0 AS is_media,
+       len(regexp_extract_all(url, '{U.URL_SPAM_TOKEN_RE}'))::INT
+         AS n_spam_tokens
+FROM p
+"""
+
+
+SQL_URL_SIGNALS = _url_signals_sql()
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -2352,6 +2421,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "encoding_quality": (q_encoding_quality, SQL_ENCODING_QUALITY),
     "format_signals": (q_format_signals, SQL_FORMAT_SIGNALS),
+    "url_signals": (q_url_signals, SQL_URL_SIGNALS),
     "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),
     "b64_roundtrip": (q_b64_roundtrip, SQL_B64_ROUNDTRIP),
     "repetition_clamp": (q_repetition_clamp, None),

@@ -74,3 +74,26 @@ def test_url_canonical_dedup_in_curate(spark):
     # keep-first by url order within the canonical group
     assert "HTTP://Example.com:80/page?utm_source=a" in urls
     assert all("_curl" not in r.asDict() for r in kept)
+
+
+def test_url_signals_features(spark):
+    from deepseek_ocr_spark.functions.urls import url_signals
+
+    cases = [
+        ("root", "https://a.example", (0, False, False, 0)),
+        ("slash", "https://a.example/", (0, False, False, 0)),
+        ("deep", "https://a.example/a/b/c", (3, False, False, 0)),
+        ("query", "https://a.example/p?x=1", (1, True, False, 0)),
+        ("media", "https://a.example/img/cat.JPG", (2, False, True, 0)),
+        ("media_q", "https://a.example/v.mp4?t=2", (1, True, True, 0)),
+        ("spam", "https://a.example/free-casino-xxx/now", (2, False, False, 2)),
+        # extension mid-path is NOT a media url
+        ("midext", "https://a.example/file.zip/extract", (2, False, False, 0)),
+    ]
+    df = spark.createDataFrame([(k, u) for k, u, _ in cases], ["k", "u"])
+    d, q, m, s = url_signals(F.col("u"))
+    got = {r["k"]: (r["d"], r["q"], r["m"], r["s"]) for r in df.select(
+        "k", d.alias("d"), q.alias("q"), m.alias("m"), s.alias("s")
+    ).collect()}
+    for k, _, want in cases:
+        assert got[k] == want, (k, got[k], want)
