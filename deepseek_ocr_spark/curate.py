@@ -51,7 +51,6 @@ def enrich(extracted: DataFrame, normalize: bool = False) -> DataFrame:
         from deepseek_ocr_spark.functions.normalize import normalize_text
 
         t = normalize_text(t)
-    enc_bad = TS.encoding_quality(t)[2]
     return extracted.filter(
         (F.col("status") == "ok") & (F.length(t) > 0)
     ).select(
@@ -62,7 +61,6 @@ def enrich(extracted: DataFrame, normalize: bool = False) -> DataFrame:
         TS.quality_score(t).alias("quality"),
         TS.lang_guess(t).alias("lang_guess"),
         TS.fingerprint(t).alias("fp"),
-        enc_bad.alias("enc_bad"),
     )
 
 
@@ -142,13 +140,16 @@ def quality_gate(
     min_quality: float = MIN_QUALITY,
 ) -> DataFrame:
     """Length/quality thresholds plus the encoding-damage drop (docs
-    carrying replacement chars or mojibake digraphs — see
-    textstats.encoding_quality — are junk to a tokenizer)."""
+    carrying replacement chars or pervasive mojibake digraphs — see
+    textstats.encoding_quality — are junk to a tokenizer). The flag is
+    computed HERE from the text column rather than carried as an
+    enrich column: it is constant-false on every surviving row, so
+    persisting it would only pollute the exported corpus schema."""
     gate = (F.col("n_tokens") >= min_tokens) & (
         F.col("quality") >= min_quality
     )
-    if "enc_bad" in docs.columns:
-        gate = gate & ~F.col("enc_bad")
+    if "text" in docs.columns:
+        gate = gate & ~TS.encoding_quality(F.col("text"))[2]
     return docs.filter(gate)
 
 

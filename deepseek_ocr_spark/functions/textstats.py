@@ -63,14 +63,21 @@ def token_count_multilingual(col: Column) -> Column:
 # in Java regex and RE2):
 # * U+FFFD — a decoder already gave up on those bytes;
 # * UTF-8 bytes mis-decoded as Latin-1 OR cp1252: a 2-byte UTF-8 lead
-#   ('Â'/'Ã' = U+00C2/C3, same in both legacy charsets) followed by a
-#   continuation-byte image ('é' → 'Ã©'), or the 3-byte analog with a
-#   lead in U+00E0-EF and two continuation images ('’' → 'â€™').
-#   A continuation byte 0x80-0xBF decodes to U+0080-00BF under
-#   Latin-1, but cp1252 remaps 0x80-0x9F to punctuation/letters — the
-#   class below is the exact union of both images, so BOTH mojibake
-#   families are caught ('â€™' is the cp1252 one every crawl shows).
+#   (ANY of 0xC2-0xDF — Latin 'Ã©', Cyrillic 'Ð¿', Greek/Hebrew/Arabic
+#   leads included; the images of C2-DF are U+00C2-00DF under both
+#   legacy charsets) followed by a continuation-byte image, or the
+#   3-byte analog with a lead in U+00E0-EF and two continuation images
+#   ('’' → 'â€™'). A continuation byte 0x80-0xBF decodes to
+#   U+0080-00BF under Latin-1, but cp1252 remaps 0x80-0x9F to
+#   punctuation/letters — the class below is the exact union of both
+#   images, so both mis-decode families are caught.
+#   KNOWN FALSE-POSITIVE CLASS: legitimate accented-letter +
+#   curly-punctuation runs (French « c'était l'été…» has é+…+» = lead
+#   + two continuation images). Real mojibake garbles EVERY non-ASCII
+#   char, so the drop flag below requires n_mojibake >= MOJIBAKE_MIN
+#   — counts stay raw for ratio-based policies.
 REPLACEMENT_CHAR_RE = r"\x{FFFD}"
+MOJIBAKE_MIN = 3
 _MOJ_CONT = (
     r"\x{0080}-\x{00BF}\x{20AC}\x{201A}\x{0192}\x{201E}\x{2026}"
     r"\x{2020}\x{2021}\x{02C6}\x{2030}\x{0160}\x{2039}\x{0152}"
@@ -79,7 +86,7 @@ _MOJ_CONT = (
     r"\x{0178}"
 )
 MOJIBAKE_RE = (
-    f"([\\x{{00C2}}\\x{{00C3}}][{_MOJ_CONT}]"
+    f"([\\x{{00C2}}-\\x{{00DF}}][{_MOJ_CONT}]"
     f"|[\\x{{00E0}}-\\x{{00EF}}][{_MOJ_CONT}]{{2}})"
 )
 
@@ -87,11 +94,14 @@ MOJIBAKE_RE = (
 def encoding_quality(col: Column) -> tuple[Column, Column, Column]:
     """(n_replacement, n_mojibake, enc_bad) — counts of decoder
     replacement chars and double-encoding signatures, plus the
-    CCNet-style drop flag (any damage marker present). Pure
-    ``regexp_count`` projections; zero shuffle at any scale."""
+    CCNet-style drop flag: any replacement char, or at least
+    ``MOJIBAKE_MIN`` mojibake digraphs (a single digraph can be
+    legitimate accented-letter + curly-punctuation text; pervasive
+    digraphs cannot). Pure ``regexp_count`` projections; zero shuffle
+    at any scale."""
     n_rep = F.regexp_count(col, F.lit(REPLACEMENT_CHAR_RE))
     n_moj = F.regexp_count(col, F.lit(MOJIBAKE_RE))
-    return n_rep, n_moj, (n_rep + n_moj) > 0
+    return n_rep, n_moj, (n_rep > 0) | (n_moj >= MOJIBAKE_MIN)
 
 
 # Code-vs-prose routing signals (Dolma/StarCoder-family shallow
@@ -103,7 +113,10 @@ CODE_KEYWORD_RE = (
     r"\b(def|class|import|return|function|var|const|if|else|for|while"
     r"|void|int|public|static)\b"
 )
-INDENT_LINE_RE = r"(?m)^(    |\t)"
+# NOT (?m)^: Java MULTILINE ^ also matches after \r / U+0085 / U+2028
+# while RE2's matches only after \n — the same Java-vs-RE2 class
+# divergence as \s. Spelled out, identical in both engines.
+INDENT_LINE_RE = r"(?:^|\n)(?:    |\t)"
 CODE_FENCE_RE = r"```"
 
 

@@ -72,9 +72,12 @@ def domain_stats(docs, url_col: str = "url"):
 # shapes before ever fetching text; media/file extensions never carry
 # prose). Shared Java/RE2 subset; the spam list is a tiny placeholder
 # — swap for a real blocklist table at deploy time (broadcast join).
+# \z not $: Java's $ matches before a trailing newline while RE2's
+# matches only at end of text; \z means end-of-input in BOTH engines,
+# so a stray trailing newline can't split the twins.
 MEDIA_EXT_RE = (
     r"(?i)\.(jpe?g|png|gif|webp|bmp|svg|ico|mp[34]|avi|mov|mkv|wav"
-    r"|zip|gz|tar|rar|7z|exe|dmg|iso|pdf)([?#]|$)"
+    r"|zip|gz|tar|rar|7z|exe|dmg|iso|pdf)([?#]|\z)"
 )
 URL_SPAM_TOKEN_RE = r"(?i)\b(casino|viagra|xxx|porn|escort|betting)\b"
 

@@ -693,7 +693,7 @@ def _encoding_quality_sql() -> str:
 SELECT doc_id,
        {n_rep}::INT AS n_replacement,
        {n_moj}::INT AS n_mojibake,
-       ({n_rep} + {n_moj}) > 0 AS enc_bad
+       ({n_rep} > 0 OR {n_moj} >= {TS.MOJIBAKE_MIN}) AS enc_bad
 FROM documents
 """
 

@@ -120,24 +120,53 @@ def run_curate_stream_drain(
     return drain_to_parquet(out, output_path, checkpoint_path, timeout_secs)
 
 
+NEARDUP_GATE_MIN_AGREE = 6  # of N_HASHES=8 components: est. J >= 0.75
+
+
 def neardup_gate_batch(
     batch_docs: DataFrame,
     corpus_sigs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_agree: int = NEARDUP_GATE_MIN_AGREE,
 ) -> DataFrame:
-    """Drop documents that LSH-collide with the already-curated corpus
-    — the per-micro-batch body of the stream-static near-dup gate.
-    The corpus side is a PRECOMPUTED (id, h0..h{N-1}) signature table
+    """Drop documents that near-duplicate the already-curated corpus —
+    the per-micro-batch body of the stream-static near-dup gate. The
+    corpus side is a PRECOMPUTED (id, h0..h{N-1}) signature table
     (store it when the corpus is curated; never re-shingle the corpus
-    per batch); only the batch's own documents are signed here."""
+    per batch); only the batch's own documents are signed here.
+
+    LSH band collision PROPOSES, signature agreement CONFIRMS: a raw
+    band hit happens at ~68% even for Jaccard~0.5 docs (1-(1-s^2)^4),
+    so dropping on collision alone would silently discard genuinely
+    fresh documents with moderate boilerplate overlap. The confirm
+    counts matching minhash components across the pair — the unbiased
+    Jaccard estimator, E[matches]/N = J — and only
+    ``matches >= min_agree`` drops. Batch curate() confirms with exact
+    shingle Jaccard; the stream trades that exactness for zero text
+    re-processing (both sides' signatures are already in hand)."""
     from deepseek_ocr_spark.functions import dedup as DD
 
     sig_new = DD.minhash_signature(batch_docs, id_col, text_col)
     pairs = DD.incremental_lsh_pairs_from_signatures(
         sig_new, corpus_sigs, id_col
     )
-    losers = pairs.select(F.col("new_id").alias(id_col)).distinct()
+    agree = sum(
+        (F.col(f"n.h{s}") == F.col(f"o.h{s}")).cast("int")
+        for s in range(DD.N_HASHES)
+    )
+    confirmed = (
+        pairs.join(
+            sig_new.alias("n"),
+            pairs["new_id"] == F.col(f"n.{id_col}"),
+        )
+        .join(
+            corpus_sigs.alias("o"),
+            pairs["old_id"] == F.col(f"o.{id_col}"),
+        )
+        .filter(agree >= min_agree)
+    )
+    losers = confirmed.select(F.col("new_id").alias(id_col)).distinct()
     return batch_docs.join(losers, id_col, "left_anti")
 
 
@@ -150,33 +179,45 @@ def run_neardup_gate_drain(
     timeout_secs: float | None = None,
 ) -> bool:
     """Stream-static near-dup gate: drain every document file in
-    ``input_path`` exactly once, dropping docs whose MinHash-LSH bands
-    collide with the stored corpus signature table, appending
-    survivors to ``output_path``.
+    ``input_path`` exactly once, dropping docs that near-duplicate the
+    stored corpus signature table (band-collision propose + signature
+    -agreement confirm, see ``neardup_gate_batch``), landing survivors
+    under ``output_path``.
 
     LSH pair generation needs a groupBy (banding buckets), which a
     pure streaming plan disallows without state — so the gate runs in
-    ``foreachBatch``: each micro-batch is a plain batch frame, gated
-    with the exact batch operator (no semantics fork between stream
-    and batch). The file-source checkpoint still gives exactly-once
-    per input file; the corpus signatures load once per drain.
+    ``foreachBatch`` on plain batch frames. foreachBatch is only
+    at-least-once, so each batch OVERWRITES its own
+    ``batch=<epoch id>`` subdirectory (the standard batchId-keyed
+    idempotency recipe): a retry after a crash-between-write-and-
+    checkpoint rewrites the same directory instead of appending
+    duplicates, restoring effective exactly-once; epoch ids continue
+    monotonically across re-invocations of the same checkpoint, so
+    drains never collide. The corpus signature frame is persisted for
+    the drain (it is re-joined by every micro-batch; without the
+    persist each batch would re-scan the corpus parquet — at scale,
+    maintain the corpus as a table bucketed on the band key instead).
     Returns whether the drain completed (see stream.drain_to_parquet).
     """
-    corpus_sigs = spark.read.parquet(corpus_sigs_path)
+    corpus_sigs = spark.read.parquet(corpus_sigs_path).persist()
+
     docs = read_docs_stream(spark, input_path)
 
-    def _gate_and_append(batch_df: DataFrame, _batch_id: int) -> None:
+    def _gate_and_write(batch_df: DataFrame, batch_id: int) -> None:
         neardup_gate_batch(batch_df, corpus_sigs).write.mode(
-            "append"
-        ).parquet(output_path)
+            "overwrite"
+        ).parquet(f"{output_path}/batch={batch_id}")
 
     q = (
-        docs.writeStream.foreachBatch(_gate_and_append)
+        docs.writeStream.foreachBatch(_gate_and_write)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
     )
-    done = q.awaitTermination(timeout_secs)
-    if q.isActive:
-        q.stop()
+    try:
+        done = q.awaitTermination(timeout_secs)
+        if q.isActive:
+            q.stop()
+    finally:
+        corpus_sigs.unpersist()
     return bool(done) if timeout_secs is not None else True

@@ -266,7 +266,8 @@ def test_quality_gate_drops_mojibake_docs(spark):
         ("https://bad.example/2",
          "<html><body><p>completely different article about plate "
          "tectonics and oceanic subduction, itâ€™s the cafÃ© of "
-         "mangled encodings today.</p></body></html>".encode()),
+         "mangled Ã©ncodings tÃ³day â€” truly broken.</p></body>"
+         "</html>".encode()),
     ]
     pages = spark.createDataFrame(
         [(u, None, h, None, None) for u, h in rows],

@@ -175,18 +175,24 @@ def test_encoding_quality_signals(spark):
 
     rows = [
         ("clean", "a normal café sentence with “quotes”"),
+        # single digraph can be legit punctuation runs (French é+…+»):
+        # counted, but NOT flagged below MOJIBAKE_MIN
+        ("french", "c'était l'été…» said the text"),
         ("rep", "lost � bytes � here"),
         ("moj2", "cafÃ© double encoded"),       # 'Ã©' latin-1
         ("moj3", "itâ€™s broken"),          # 'â€™' cp1252
+        ("cyr", "Ð¿Ñ€Ð¸Ð²ÐµÑ‚ mangled cyrillic"),  # 0xC4-DF leads
     ]
     df = spark.createDataFrame(rows, ["k", "t"])
     n_rep, n_moj, bad = TS.encoding_quality(SF.col("t"))
     got = {r["k"]: (r["r"], r["m"], r["b"]) for r in df.select(
         "k", n_rep.alias("r"), n_moj.alias("m"), bad.alias("b")).collect()}
     assert got["clean"] == (0, 0, False)
+    assert got["french"][0] == 0 and not got["french"][2]
     assert got["rep"] == (2, 0, True)
-    assert got["moj2"] == (0, 1, True)
-    assert got["moj3"] == (0, 1, True)
+    assert got["moj2"] == (0, 1, False)   # counted, below the flag floor
+    assert got["moj3"] == (0, 1, False)
+    assert got["cyr"][1] >= TS.MOJIBAKE_MIN and got["cyr"][2]
 
 
 def test_format_signals_code_vs_prose(spark):

@@ -361,15 +361,21 @@ def test_neardup_gate_drain_stream_static(spark, tmp_path):
             path,
         )
 
+    # doc 5 band-collides with the corpus boiler (1 shared band,
+    # measured) but its signature agreement is 5/8 < NEARDUP_GATE_MIN
+    # _AGREE — the confirm stage must KEEP it (raw band collision is a
+    # ~68%-at-J=0.5 event; dropping on propose alone loses fresh docs)
+    moderate = "the quick brown fox jumps over the lazy dog once more tonight"
     write_docs_file(
         [(1, boiler, "en", "s", 10),                      # corpus near-dup
-         (2, "genuinely new reporting on shuffle joins", "en", "s", 10)],
+         (2, "genuinely new reporting on shuffle joins", "en", "s", 10),
+         (5, moderate, "en", "s", 10)],
         str(inp / "b1.parquet"),
     )
     assert run_neardup_gate_drain(spark, str(inp), sigs, out, ckpt,
                                   timeout_secs=120)
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
-    assert got == [2]
+    assert got == [2, 5]
 
     # second file: re-drain picks up ONLY the new file (exactly-once)
     write_docs_file(
@@ -380,4 +386,4 @@ def test_neardup_gate_drain_stream_static(spark, tmp_path):
     assert run_neardup_gate_drain(spark, str(inp), sigs, out, ckpt,
                                   timeout_secs=120)
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
-    assert got == [2, 4]
+    assert got == [2, 4, 5]
