@@ -845,6 +845,79 @@ def line_dedup_stats(
     )
 
 
+def kgram_dedup_rewrite(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """Lee-2021 exact-substring REMOVAL at word granularity — the
+    rewrite that `kgram_dup_stats` is the detection pass for: every
+    occurrence of a word ``k``-gram except the corpus-FIRST one
+    (ordered by (id, pos), deterministic across runs and cluster
+    sizes) marks its k-word span for removal, spans union per
+    document, and each document reassembles from its surviving words
+    in order. Documents shorter than ``k`` words carry no grams and
+    pass through whole; documents whose every word sat in duplicated
+    spans vanish (like the SQL mirror).
+
+    Returns (id, n_kept_words, dedup_text). Text is tokenized with
+    the shared lowercasing tokenizer, so the rewrite is over the
+    normalized word stream (the form every dedup operator here
+    compares).
+
+    Scale shape: grams shuffle as 60-bit md5-prefix hashes (8-byte
+    keys, never gram bytes) for the first-occurrence window; span
+    coverage explodes k rows per DUPLICATED gram only; the word-level
+    anti-join and the reassembly agg are doc-keyed. Three shuffles
+    total (gram hash, coverage distinct, doc rebuild), all partial-
+    aggregated. Same 60-bit-collision caveat as `kgram_dup_stats`."""
+    words = _spread(docs, id_col).select(
+        F.col(id_col),
+        F.posexplode(words_col(F.col(text_col))).alias("widx", "__w"),
+    )
+    grams = (
+        _spread(docs, id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(shingles_col(F.col(text_col), k)).alias(
+                "pos", "__sh"
+            ),
+        )
+        .select(
+            F.col(id_col), "pos", md5_prefix_int(F.col("__sh"), 15).alias("__h")
+        )
+    )
+    win = Window.partitionBy("__h").orderBy(id_col, "pos")
+    marked = (
+        grams.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") > 1)
+    )
+    covered = marked.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("widx"),
+    ).distinct()
+    kept = words.join(covered, [id_col, "widx"], "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept_words"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("widx").alias("p"), F.col("__w").alias("w")
+                        )
+                    )
+                ),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+
+
 def line_dedup_rewrite(
     lines: DataFrame,
     id_col: str = "doc_id",

@@ -1879,6 +1879,47 @@ GROUP BY t.doc_id
 """
 
 
+def q_kgram_dedup_rewrite(spark, sf_dir):
+    """Lee-2021 exact-substring removal (functions/dedup.py
+    kgram_dedup_rewrite): non-first corpus occurrences of word
+    16-grams mark their spans, docs reassemble from surviving words."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.kgram_dedup_rewrite(d, "doc_id", "text")
+
+
+SQL_KGRAM_DEDUP_REWRITE = """
+WITH lw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS l
+            FROM documents),
+g0 AS (SELECT doc_id,
+              list_transform(range(1, len(l) - 14),
+                             i -> array_to_string(l[i:i+15], ' ')) AS gs
+       FROM lw),
+g AS (SELECT doc_id,
+             unnest(generate_series(1, len(gs))) AS i,
+             unnest(gs) AS gram
+      FROM g0),
+gh AS (SELECT doc_id, i - 1 AS pos,
+              ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+       FROM g),
+marked AS (SELECT doc_id, pos FROM gh
+           QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id, pos)
+                   > 1),
+cov AS (SELECT DISTINCT doc_id,
+               unnest(generate_series(pos, pos + 15)) AS widx
+        FROM marked),
+words AS (SELECT doc_id,
+                 unnest(generate_series(0, len(l) - 1)) AS widx,
+                 unnest(l) AS w
+          FROM lw),
+kept AS (SELECT words.doc_id, words.widx, words.w
+         FROM words ANTI JOIN cov
+           ON cov.doc_id = words.doc_id AND cov.widx = words.widx)
+SELECT doc_id, count(*)::BIGINT AS n_kept_words,
+       string_agg(w, ' ' ORDER BY widx) AS dedup_text
+FROM kept GROUP BY doc_id
+"""
+
+
 def q_decontaminate_spans(spark, sf_dir):
     """Contamination localization: per (train doc, eval doc) pair, the
     distinct shared-8-gram count and the 1-based word-index bounds of
@@ -2438,6 +2479,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
     "kgram_dup_stats": (q_kgram_dup_stats, SQL_KGRAM_DUP_STATS),
+    "kgram_dedup_rewrite": (q_kgram_dedup_rewrite, SQL_KGRAM_DEDUP_REWRITE),
     "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),
     "domain_rebalance": (q_domain_rebalance, SQL_DOMAIN_REBALANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),

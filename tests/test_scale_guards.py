@@ -290,3 +290,27 @@ def test_harmonic_centrality_exact_distances(spark):
     # e: d at 1, c at 2, a and b at 3
     assert got["e"] == (S + S // 2 + 2 * (S // 3), 4)
     assert "a" not in got  # nothing reaches a
+
+
+def test_kgram_dedup_rewrite_spans(spark):
+    """Copied regions are excised from non-first occurrences at word
+    granularity; unique tails survive; whole-duplicate docs vanish;
+    the first occurrence is untouched."""
+    base = [f"w{i}" for i in range(20)]
+    tail = [f"t{i}" for i in range(10)]
+    rows = [
+        ("a", " ".join(base)),
+        ("b", " ".join(base + tail)),   # copies a, adds a unique tail
+        ("c", " ".join(base)),          # exact duplicate of a
+        ("short", "under sixteen words here"),  # no grams: passes whole
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_kept_words"], r["dedup_text"])
+           for r in DD.kgram_dedup_rewrite(df, "doc_id", "text").collect()}
+    assert got["a"] == (20, " ".join(base))          # first occurrence kept
+    assert "c" not in got                            # fully duplicated
+    assert got["short"] == (4, "under sixteen words here")
+    n_b, text_b = got["b"]
+    assert text_b.endswith(" ".join(tail))           # tail survives
+    assert n_b < 30                                  # copied region excised
+    assert all(w not in text_b.split() for w in base[:4])  # head removed
