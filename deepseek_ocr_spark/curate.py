@@ -211,6 +211,7 @@ def curate(
     domain_token_budget: int | None = None,
     dsir_target_langs: tuple[str, ...] | None = None,
     normalize: bool = False,
+    substring_dedup: bool = False,
 ) -> tuple[DataFrame, dict]:
     """pages → (curated corpus DataFrame, funnel counts).
 
@@ -219,7 +220,12 @@ def curate(
     (water-fill + hash sampling), ``dsir_target_langs`` keeps only
     docs with positive DSIR importance toward those languages.
     ``normalize=True`` applies whitespace/control normalization before
-    stats/fingerprints (see ``enrich``).
+    stats/fingerprints (see ``enrich``). ``substring_dedup=True`` runs
+    the Lee-2021 exact-substring REWRITE (dedup.kgram_dedup_rewrite)
+    between near-dup dedup and the quality gate: duplicated 16-gram
+    spans are excised from non-first occurrences, the doc's text is
+    replaced by the rewrite, and token/quality stats are RECOMPUTED on
+    the surviving text so the gate judges what will actually ship.
 
     The enriched frame is persisted: the extract UDF (the expensive
     stage) runs once, and the funnel counts plus the caller's
@@ -238,15 +244,26 @@ def curate(
     exact = exact_dedup(canon)
     lsh_obs = Observation("lsh_bucket_cap")
     near = neardup_dedup(exact, observation=lsh_obs)
-    final = quality_gate(near)
     funnel = {
         "extracted_ok": docs.count(),
         "after_lang_gate": kept.count(),
         "after_url_dedup": canon.count(),
         "after_exact_dedup": exact.count(),
         "after_neardup": near.count(),
-        "curated": final.count(),
     }
+    if substring_dedup:
+        rw = DD.kgram_dedup_rewrite(near, "url", "text").select(
+            "url", F.col("dedup_text").alias("text")
+        )
+        near = (
+            near.drop("text", "n_tokens", "quality")
+            .join(rw, "url")  # docs rewritten to nothing drop here
+            .withColumn("n_tokens", TS.token_count(F.col("text")))
+            .withColumn("quality", TS.quality_score(F.col("text")))
+        )
+        funnel["after_substring_dedup"] = near.count()
+    final = quality_gate(near)
+    funnel["curated"] = final.count()
     if domain_token_budget is not None:
         final = rebalance_gate(final, domain_token_budget)
         funnel["after_rebalance"] = final.count()

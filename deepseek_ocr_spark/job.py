@@ -112,6 +112,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "maxPartitionBytes from the input's parquet compression ratio",
     )
     p.add_argument(
+        "--substring-dedup",
+        action="store_true",
+        help="curate mode: Lee-2021 exact-substring removal — excise "
+        "corpus-duplicated 16-gram spans from non-first occurrences "
+        "and recompute stats before the quality gate",
+    )
+    p.add_argument(
         "--normalize",
         action="store_true",
         help="curate mode: whitespace/control text normalization "
@@ -175,6 +182,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             domain_token_budget=args.domain_token_budget,
             dsir_target_langs=_parse_languages(args.dsir_target_langs),
             normalize=args.normalize,
+            substring_dedup=args.substring_dedup,
         )
         if args.output_format == "jsonl":
             # one gzipped JSON-lines shard per partition — Spark's

@@ -277,3 +277,36 @@ def test_quality_gate_drops_mojibake_docs(spark):
     kept = [r["url"] for r in final.collect()]
     assert kept == ["https://ok.example/1"]
     assert funnel["after_neardup"] == 2 and funnel["curated"] == 1
+
+
+def test_substring_dedup_stage(spark):
+    """substring_dedup=True excises corpus-duplicated 16-gram spans
+    from non-first docs, recomputes stats, and gates on the rewritten
+    text; off by default the docs pass through intact."""
+    base = " ".join(f"w{i}" for i in range(24))
+    tail = ("completely original tail content about tectonic plates and "
+            "the slow drift of continents over deep geological time")
+    rows = [
+        ("https://a.example/1",
+         f"<html><body><p>{base}</p></body></html>".encode()),
+        ("https://b.example/2",
+         f"<html><body><p>{base} {tail}</p></body></html>".encode()),
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, h, None, None) for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    # the two docs are near-dup-distinct (tail dominates b's shingles?
+    # no: b CONTAINS a, Jaccard |A∩B|/|B| ~ 22/40 < 0.85 -> both pass
+    # the near-dup stage) but share the 24-word head verbatim.
+    plain, f_plain = curate(pages, parallelism=2)
+    assert f_plain["after_neardup"] == 2 and plain.count() == 2
+
+    rewritten, f_rw = curate(pages, parallelism=2, substring_dedup=True)
+    assert f_rw["after_substring_dedup"] == 2
+    texts = {r["url"]: r["text"] for r in rewritten.collect()}
+    assert texts["https://a.example/1"] == base      # first occurrence whole
+    b = texts["https://b.example/2"]
+    assert "tectonic" in b and "w0" not in b.split() # head excised, tail kept
+    toks = {r["url"]: r["n_tokens"] for r in rewritten.collect()}
+    assert toks["https://b.example/2"] == len(b.split())  # stats recomputed
