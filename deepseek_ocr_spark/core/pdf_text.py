@@ -760,6 +760,17 @@ class ToUnicodeCMap:
                 out.append(ch)
         return "".join(out)
 
+    @staticmethod
+    def _bytes_in(seg: bytes, w: int, lo: int, hi: int) -> bool:
+        """ISO 32000 codespace membership is BYTE-WISE (each byte of
+        the code between the corresponding bytes of lo/hi), not an
+        integer interval: <8140>..<FEFC> does NOT contain 0x8500."""
+        for j in range(w):
+            shift = 8 * (w - 1 - j)
+            if not ((lo >> shift) & 0xFF) <= seg[j] <= ((hi >> shift) & 0xFF):
+                return False
+        return True
+
     def decode(self, raw: bytes) -> str:
         widths = self._widths
         if len(widths) <= 1:
@@ -769,19 +780,39 @@ class ToUnicodeCMap:
         n = len(raw)
         while i < n:
             consumed = 0
-            for w in widths:  # shortest matching codespace wins
+            # pass 1: full byte-wise codespace match — the code is a
+            # defined member of some range; shortest matching wins.
+            for w in widths:
                 if i + w > n:
                     break
-                code = int.from_bytes(raw[i : i + w], "big")
+                seg = raw[i : i + w]
                 if any(
-                    w == rw and lo <= code <= hi
+                    w == rw and self._bytes_in(seg, w, lo, hi)
                     for rw, lo, hi in self.ranges
                 ):
-                    ch = self.chars.get((w, code))
+                    ch = self.chars.get((w, int.from_bytes(seg, "big")))
                     if ch is not None:
                         out.append(ch)
                     consumed = w
                     break
+            if not consumed:
+                # pass 2: leading-byte prefix match decides the WIDTH
+                # for codes whose first byte sits in a range's
+                # first-byte span but whose later bytes fall outside
+                # the range (ISO 32000 §9.7.6.3: consume that many
+                # bytes, map to nothing) — keeps the stride in sync
+                # instead of mis-decoding at the shortest width.
+                for w in widths:
+                    b0 = raw[i]
+                    if any(
+                        w == rw
+                        and ((lo >> (8 * (w - 1))) & 0xFF)
+                        <= b0
+                        <= ((hi >> (8 * (w - 1))) & 0xFF)
+                        for rw, lo, hi in self.ranges
+                    ):
+                        consumed = w
+                        break
             if not consumed:
                 # outside every codespace: skip the shortest width
                 consumed = widths[0]

@@ -116,7 +116,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         action="store_true",
         help="curate mode: Lee-2021 exact-substring removal — excise "
         "corpus-duplicated 16-gram spans from non-first occurrences "
-        "and recompute stats before the quality gate",
+        "and recompute stats before the quality gate. NOTE: surviving "
+        "documents are REBUILT from the lowercased whitespace-"
+        "tokenized word stream, so shipped text is case-folded and "
+        "punctuation-spacing-normalized",
     )
     p.add_argument(
         "--normalize",

@@ -90,7 +90,10 @@ def _sweep_stale_runs(out_dir: str) -> None:
     is swept when its embedded driver PID is dead — but the PID probe
     only means something on the host that spawned it, so dirs from
     OTHER hosts (shared-NFS deployments) fall back to a 1-day idle
-    age-out instead of a cross-host PID collision guess. A live
+    age-out instead of a cross-host PID collision guess. The age-out
+    keys on the NEWEST mtime of any file INSIDE the run dir, not the
+    dir's own mtime: a live export writing one huge shard for >24h
+    advances the shard file's mtime but never the directory's. A live
     concurrent export's dir therefore survives both rules."""
     import shutil
     import time
@@ -114,7 +117,17 @@ def _sweep_stale_runs(out_dir: str) -> None:
             stale = not _pid_alive(parsed[1])
         else:
             try:
-                stale = (time.time() - os.path.getmtime(path)) > 86400
+                newest = os.path.getmtime(path)
+                for root, _dirs, files in os.walk(path):
+                    for fn in files:
+                        try:
+                            newest = max(
+                                newest,
+                                os.path.getmtime(os.path.join(root, fn)),
+                            )
+                        except OSError:
+                            pass  # a file vanished mid-walk
+                stale = (time.time() - newest) > 86400
             except OSError:
                 continue  # vanished under us: a concurrent sweep won
         if stale:

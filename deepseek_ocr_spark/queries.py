@@ -1130,6 +1130,13 @@ def _word_chunk_lines(d):
             F.slice(words, i * _CHUNK_WORDS + 1, _CHUNK_WORDS), " "
         ),
     )
+    # size(words) can be 0/-1 (NULL text, legacy size semantics), where
+    # n_chunks=-1 makes F.sequence(0,-1) DESCEND to [0,-1] in Spark
+    # while DuckDB's generate_series(0,-1) is empty — guard so both
+    # engines emit zero chunk rows for degenerate docs.
+    chunks = F.when(F.size(words) > 0, chunks).otherwise(
+        F.array().cast("array<string>")
+    )
     return d.select("doc_id", F.posexplode(chunks).alias("pos", "line"))
 
 

@@ -210,6 +210,32 @@ def test_bfrange_overflowing_unicode_never_raises():
     assert cm.decode(b"\x00\x00") == "\U0010ffff"
 
 
+def test_mixed_width_codespace_matches_bytewise():
+    from deepseek_ocr_spark.core.pdf_text import parse_tounicode
+
+    # Shift-JIS-shaped mixed CMap: 1-byte <00>..<80>, 2-byte
+    # <8140>..<FEFC>. Codespace membership is BYTE-WISE (ISO 32000):
+    # 0x85 0x00 is NOT in the 2-byte range (second byte < 0x40), but
+    # its LEAD byte selects the 2-byte width, so the stride stays in
+    # sync instead of eating 0x85 at width 1 and mis-decoding 0x00.
+    cm = parse_tounicode(
+        b"2 begincodespacerange <00> <80> <8140> <FEFC> "
+        b"endcodespacerange\n"
+        b"3 beginbfchar <41> <0041> <8142> <3042> <4100> <005A> endbfchar"
+    )
+    assert cm is not None
+    # in-range codes decode at their own widths
+    assert cm.decode(b"\x41\x81\x42\x41") == "AあA"
+    # 0x85 0x00: lead byte in the 2-byte first-byte span -> consume 2,
+    # emit nothing; the following 1-byte code still decodes.
+    assert cm.decode(b"\x85\x00\x41") == "A"
+    # an integer-interval matcher would treat 0x4100 (inside
+    # [0x8140,0xFEFC]? no — but inside a naive full-int compare for a
+    # <0000>-style range) differently; here 0x41 matches the 1-byte
+    # range byte-wise first, so the <4100> bfchar entry is dead code.
+    assert cm.decode(b"\x41\x00") == "A"
+
+
 def test_corrupt_tounicode_falls_back_not_error():
     # a corrupt /ToUnicode CMap must degrade the FONT, not error the
     # DOCUMENT: one bad font in a 100-page PDF may not erase the rest
