@@ -139,11 +139,21 @@ def _minhash_aggs():
     return aggs
 
 
-def minhash_from_shingles(sh: DataFrame, id_col: str) -> DataFrame:
+def minhash_from_shingles(
+    sh: DataFrame, id_col: str, hashed: bool = False
+) -> DataFrame:
     """(id, sh) frame → (id, h0..h{N_HASHES-1}) signatures. min() is
     duplicate-invariant, so a distinct or non-distinct frame gives the
-    same signature."""
-    exploded = sh.withColumn("bh", shingle_base_hash(F.col("sh")))
+    same signature. ``hashed=True`` means ``sh`` already carries the
+    60-bit md5-prefix int (see ``neardup_scored_pairs``) — the base
+    hash is then just the mod-p reduction, yielding the IDENTICAL
+    signature as hashing the string here."""
+    bh = (
+        F.pmod(F.col("sh"), F.lit(MINHASH_PRIME))
+        if hashed
+        else shingle_base_hash(F.col("sh"))
+    )
+    exploded = sh.withColumn("bh", bh)
     return exploded.groupBy(id_col).agg(*_minhash_aggs())
 
 
@@ -367,6 +377,7 @@ def ngram_jaccard_from_shingles(
     pairs: DataFrame,
     id_col: str,
     distinct_input: bool = True,
+    persist_confirm: bool = False,
 ) -> DataFrame:
     """Exact word-shingle Jaccard for candidate pairs, from an existing
     (id, sh) frame (pass ``distinct_input=False`` for a raw explode —
@@ -387,13 +398,27 @@ def ngram_jaccard_from_shingles(
     capped pair set is small so AQE picks a broadcast semi-join on its
     own, and a hard hint would force an eager blocking build where the
     statistics should decide.
-    """
+
+    ``persist_confirm`` caches the candidate-RESTRICTED distinct
+    shingle frame, which three consumers read (the sizes agg and both
+    sides of the intersection join). Default OFF by measurement
+    (round 4, sf0.1, fresh local[32] JVMs, two interleaved A/B pairs,
+    warm reps): with the shared explode carrying int64 shingle hashes
+    the re-evaluations are cheap enough that the persist's
+    cache-fill-then-consume serialization LOSES — no-persist
+    2.9-3.4 s vs confirm-persist 3.7-4.3 s. (Before the int64 change
+    the ordering was reversed: strings made recompute dominant and
+    confirm-persist won 3.8-4.3 vs 4.7-5.8.) Flip it ON when the
+    restricted frame is large AND rescanning the corpus text is the
+    dominant cost (remote object store)."""
     cand_ids = pairs.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()
     sh = sh.join(cand_ids, id_col, "semi")
     if not distinct_input:
         sh = sh.distinct()
+    if persist_confirm:
+        sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
@@ -436,6 +461,7 @@ def neardup_scored_pairs(
     text_col: str,
     persist_shingles: bool = False,
     persist_pairs: bool = False,
+    persist_confirm: bool = False,
     observation=None,
 ) -> DataFrame:
     """MinHash-LSH proposes, exact shingle-Jaccard confirms — both
@@ -464,17 +490,35 @@ def neardup_scored_pairs(
     otherwise idle at this scale. Flip it ON for corpora where a
     duplicated full scan is the dominant cost (the 100 TB setting —
     the pair cache itself is tiny by LSH construction + bucket cap)."""
-    exploded = _spread(df, id_col).select(
-        F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("sh")
+    # The shared frame carries the shingle's 60-bit md5-prefix INT,
+    # not the string: every downstream consumer (minhash base hash,
+    # the confirm's distinct + intersection equi-join, the cache
+    # write) only ever needs shingle IDENTITY, and 8-byte ints
+    # shuffle/cache/compare several times cheaper than word trigrams.
+    # The minhash signature is bit-identical (its base hash was
+    # already pmod(md5int60, p)); the Jaccard twin distincts the same
+    # md5 ints, so a (±2^-60) collision collapses identically in both
+    # engines.
+    exploded = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(shingles_col(F.col(text_col))).alias("_shs"),
+        )
+        .select(F.col(id_col), md5_prefix_int(F.col("_shs"), 15).alias("sh"))
     )
     if persist_shingles:
         exploded = exploded.persist()
-    sig = minhash_from_shingles(exploded, id_col)
+    sig = minhash_from_shingles(exploded, id_col, hashed=True)
     pairs = lsh_candidate_pairs(sig, id_col, observation=observation)
     if persist_pairs:
         pairs = pairs.persist()
     return ngram_jaccard_from_shingles(
-        exploded, pairs, id_col, distinct_input=False
+        exploded,
+        pairs,
+        id_col,
+        distinct_input=False,
+        persist_confirm=persist_confirm,
     )
 
 

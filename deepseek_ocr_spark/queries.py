@@ -1099,7 +1099,9 @@ SQL_NGRAM_JACCARD = (
     + ","
     + _PAIRS_CORE
     + """,
-dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+dsh AS (SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh
+        FROM sh),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
 inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
           FROM pairs p
