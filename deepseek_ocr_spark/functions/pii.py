@@ -1,4 +1,4 @@
-"""PII scrubbing expressions — emails, phone numbers, IPv4 addresses.
+"""PII scrubbing expressions — emails, phones, IPv4/IPv6, credentials.
 
 Pure JVM ``regexp_replace`` / ``regexp_count`` column expressions
 (whole-stage codegen, no Python on the hot path), so a redaction pass
@@ -6,8 +6,33 @@ over a 10^12-row text column is a single projection with zero shuffle.
 
 The patterns deliberately use only the regex subset shared by Java's
 ``java.util.regex`` and RE2 (DuckDB/Go): character classes, bounded
-repetition, ``\\b`` word boundaries — no backreferences, no lookaround
-— so the DuckDB oracle twin can run the IDENTICAL pattern strings.
+repetition, ``\\b`` word boundaries, ordered alternation — no
+backreferences, no lookaround — so the DuckDB oracle twin runs the
+IDENTICAL pattern strings (queries.py imports these constants rather
+than re-typing them). Both engines scan leftmost-first with ordered
+alternation (Java NFA; DuckDB's RE2 with default, non-longest-match
+options), so alternative ORDER inside each pattern is part of the
+cross-engine contract — keep the most-consuming alternative first.
+
+Coverage (each class deliberately recall-leaning — a scrubbed
+training corpus tolerates a redacted ISBN far better than a leaked
+phone number):
+
+* emails — RFC-casual local@domain.tld;
+* phones — ``555-867-5309``, ``555.867.5309``, ``(555) 867-5309``,
+  and any of those with a ``+<1-3 digit>`` country prefix
+  (``+1 (555) 867-5309``, ``+44 555.867.5309``). Space-separated
+  bare triples (``555 867 5309``) are deliberately NOT matched —
+  they collide with prose number runs;
+* IPv4 dotted quads;
+* IPv6 — full 8-group form, ``::``-compressed interior
+  (``2001:db8::1``), and trailing-``::`` prefixes (``fe80::``).
+  Leading-``::`` forms (``::1``) are NOT matched: ``\\b`` cannot
+  anchor before a colon, and a bare ``::1`` in prose is almost
+  always a loopback literal in code, not PII;
+* credentials — AWS access-key ids (``AKIA…``/``ASIA…``), GitHub
+  tokens (``ghp_…`` family), and ``Bearer <16+ token chars>``
+  authorization values.
 
 The reference pipeline has no PII handling (it emits raw OCR text,
 DeepSeek-OCR-master/api/vllm_service.py); this is one of the
@@ -21,29 +46,63 @@ from pyspark.sql import functions as F
 
 # Shared Java-regex / RE2 subset. Order matters when scrubbing: emails
 # first (their domains contain dots that the IP pattern must never
-# see), then IPs, then phones.
+# see), then credentials (token bodies may embed digit/dot runs the
+# phone pattern could nibble), then IPv6 before IPv4 (a v4-mapped
+# ``::ffff:1.2.3.4`` leaves its tail for the v4 pass), phones last.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV6_RE = (
+    r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
+    r"|\b(?:[0-9A-Fa-f]{1,4}:){1,7}:(?:[0-9A-Fa-f]{1,4}:){0,5}"
+    r"[0-9A-Fa-f]{1,4}\b"
+    r"|\b(?:[0-9A-Fa-f]{1,4}:){1,7}:"
+)
+# Optional +CC prefix, then (area) or area with a ./- separator, then
+# NNN<sep>NNNN. The \b inside the second alternative stops a match
+# starting mid-digit-run (e.g. inside 1234-567-8901 the 234- start is
+# rejected because 1|2 is not a word boundary).
+PHONE_RE = (
+    r"(?:\+\d{1,3}[ .-]?)?"
+    r"(?:\(\d{3}\)[ .-]?|\b\d{3}[.-])"
+    r"\d{3}[.-]\d{4}\b"
+)
+CRED_RE = (
+    r"\b(?:AKIA|ASIA)[0-9A-Z]{16}\b"
+    r"|\bgh[pousr]_[A-Za-z0-9]{36}\b"
+    # [ \t] spelled out, NOT \s: Java's \s includes \x0B, RE2's does
+    # not (the repo-wide TOKEN_SPLIT_RE lesson) — and a header value
+    # never legitimately sits across a newline from "Bearer" anyway.
+    r"|\bBearer[ \t]+[A-Za-z0-9._=+/-]{16,}"
+)
 
 EMAIL_TOKEN = "<EMAIL>"
-IPV4_TOKEN = "<IP>"
+IP_TOKEN = "<IP>"
 PHONE_TOKEN = "<PHONE>"
+CRED_TOKEN = "<CRED>"
+# Back-compat alias (round-3 name).
+IPV4_TOKEN = IP_TOKEN
 
 
 def scrub_pii(col: Column) -> Column:
-    """Replace every email / IPv4 / phone occurrence with a typed
-    redaction token."""
+    """Replace every email / credential / IP (v6 then v4) / phone
+    occurrence with a typed redaction token, in that order."""
     out = F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN)
-    out = F.regexp_replace(out, IPV4_RE, IPV4_TOKEN)
+    out = F.regexp_replace(out, CRED_RE, CRED_TOKEN)
+    out = F.regexp_replace(out, IPV6_RE, IP_TOKEN)
+    out = F.regexp_replace(out, IPV4_RE, IP_TOKEN)
     out = F.regexp_replace(out, PHONE_RE, PHONE_TOKEN)
     return out
 
 
-def pii_counts(col: Column) -> tuple[Column, Column, Column]:
-    """(n_emails, n_ips, n_phones) occurrence counts, pre-scrub."""
+def pii_counts(col: Column) -> tuple[Column, Column, Column, Column]:
+    """(n_emails, n_ips, n_phones, n_creds) occurrence counts on the
+    PRE-scrub text (n_ips = v4 + v6). Counts are per-pattern scans, so
+    e.g. a dotted quad inside an email domain counts under both
+    classes even though the scrub (email-first) redacts it once."""
     return (
         F.regexp_count(col, F.lit(EMAIL_RE)),
-        F.regexp_count(col, F.lit(IPV4_RE)),
+        F.regexp_count(col, F.lit(IPV4_RE))
+        + F.regexp_count(col, F.lit(IPV6_RE)),
         F.regexp_count(col, F.lit(PHONE_RE)),
+        F.regexp_count(col, F.lit(CRED_RE)),
     )

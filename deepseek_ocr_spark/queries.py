@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from deepseek_ocr_spark.functions import pii as PII
 from deepseek_ocr_spark.functions import text as T
 from deepseek_ocr_spark.functions import textstats as TS
 
@@ -1752,35 +1753,53 @@ FROM j
 # --------------------------------------------------------------------
 
 def _with_injected_pii(d: DataFrame) -> DataFrame:
-    """Deterministically append synthetic PII (email, IPv4, phone)
-    derived from doc_id — the testdata text carries none, so the
-    scrubber needs seeded targets for its hash-verified twin."""
+    """Deterministically append synthetic PII derived from doc_id —
+    the testdata text carries none, so the scrubber needs seeded
+    targets for its hash-verified twin. One instance of every class
+    the scrubber claims: email; dashed / parenthesized / intl-dotted
+    phones; IPv4; compressed IPv6; AWS access-key id; Bearer token."""
+    did = F.col("doc_id")
     return d.withColumn(
         "pii_text",
         F.concat(
             F.col("text"),
-            F.lit(" contact u"), F.col("doc_id").cast("string"),
-            F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(" contact u"), did.cast("string"),
+            F.lit("@ex"), (did % 7).cast("string"),
             F.lit(".org ip 10.0."),
-            (F.col("doc_id") % 256).cast("string"),
+            (did % 256).cast("string"),
             F.lit(".7 tel 555-867-53"),
-            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lpad((did % 100).cast("string"), 2, "0"),
+            F.lit(" alt (2"), (did % 10).cast("string"),
+            F.lit("5) 555.01"),
+            F.lpad((did % 100).cast("string"), 2, "0"),
+            F.lit(" intl +"), (did % 89 + 1).cast("string"),
+            F.lit(" 310.555.0"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit(" v6 2001:db8::"),
+            (did % 9000 + 1000).cast("string"),
+            F.lit(" key AKIA"),
+            F.lpad((did * 7919).cast("string"), 16, "0"),
+            F.lit(" auth Bearer tok"),
+            F.lpad(did.cast("string"), 16, "0"),
+            F.lit(".sig"),
         ),
     )
 
 
 def q_pii_scrub(spark, sf_dir):
-    """PII redaction pass: typed tokens for emails / IPv4s / phones,
-    plus per-class occurrence counts — all JVM regex, zero shuffle."""
-    from deepseek_ocr_spark.functions import pii as PII
-
+    """PII redaction pass: typed tokens for emails / phones (dashed,
+    dotted, parenthesized, +intl) / IPv4+IPv6 / credentials (AWS key
+    ids, GitHub tokens, Bearer values), plus per-class occurrence
+    counts — all JVM regex, zero shuffle. The DuckDB twin runs the
+    IDENTICAL pattern strings (imported from functions/pii.py)."""
     d = _with_injected_pii(_t(spark, sf_dir, "documents"))
-    n_email, n_ip, n_phone = PII.pii_counts(F.col("pii_text"))
+    n_email, n_ip, n_phone, n_cred = PII.pii_counts(F.col("pii_text"))
     return d.select(
         "doc_id",
         n_email.alias("n_emails"),
         n_ip.alias("n_ips"),
         n_phone.alias("n_phones"),
+        n_cred.alias("n_creds"),
         PII.scrub_pii(F.col("pii_text")).alias("scrubbed"),
     )
 
@@ -1789,21 +1808,39 @@ _PII_INJECT_SQL = """
 text || ' contact u' || doc_id || '@ex' || (doc_id % 7)
      || '.org ip 10.0.' || (doc_id % 256)
      || '.7 tel 555-867-53' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+     || ' alt (2' || (doc_id % 10) || '5) 555.01'
+     || lpad((doc_id % 100)::VARCHAR, 2, '0')
+     || ' intl +' || (doc_id % 89 + 1) || ' 310.555.0'
+     || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+     || ' v6 2001:db8::' || (doc_id % 9000 + 1000)
+     || ' key AKIA' || lpad((doc_id * 7919)::VARCHAR, 16, '0')
+     || ' auth Bearer tok' || lpad(doc_id::VARCHAR, 16, '0') || '.sig'
 """
 
-_EMAIL_RE_SQL = "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'"
-_IPV4_RE_SQL = "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'"
-_PHONE_RE_SQL = "'\\b\\d{3}-\\d{3}-\\d{4}\\b'"
+# The twin runs the very constants the Spark side compiles — one
+# source of truth per pattern (DuckDB regular string literals keep
+# backslashes verbatim; none of the patterns contains a quote).
+_EMAIL_RE_SQL = "'" + PII.EMAIL_RE + "'"
+_IPV4_RE_SQL = "'" + PII.IPV4_RE + "'"
+_IPV6_RE_SQL = "'" + PII.IPV6_RE + "'"
+_PHONE_RE_SQL = "'" + PII.PHONE_RE + "'"
+_CRED_RE_SQL = "'" + PII.CRED_RE + "'"
 
 SQL_PII_SCRUB = f"""
 WITH p AS (SELECT doc_id, {_PII_INJECT_SQL} AS pii_text FROM documents)
 SELECT doc_id,
        len(regexp_extract_all(pii_text, {_EMAIL_RE_SQL})) AS n_emails,
-       len(regexp_extract_all(pii_text, {_IPV4_RE_SQL})) AS n_ips,
+       len(regexp_extract_all(pii_text, {_IPV4_RE_SQL}))
+         + len(regexp_extract_all(pii_text, {_IPV6_RE_SQL})) AS n_ips,
        len(regexp_extract_all(pii_text, {_PHONE_RE_SQL})) AS n_phones,
+       len(regexp_extract_all(pii_text, {_CRED_RE_SQL})) AS n_creds,
        regexp_replace(
          regexp_replace(
-           regexp_replace(pii_text, {_EMAIL_RE_SQL}, '<EMAIL>', 'g'),
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(pii_text, {_EMAIL_RE_SQL}, '<EMAIL>', 'g'),
+               {_CRED_RE_SQL}, '<CRED>', 'g'),
+             {_IPV6_RE_SQL}, '<IP>', 'g'),
            {_IPV4_RE_SQL}, '<IP>', 'g'),
          {_PHONE_RE_SQL}, '<PHONE>', 'g') AS scrubbed
 FROM p

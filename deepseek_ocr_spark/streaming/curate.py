@@ -58,7 +58,7 @@ def curate_stream(docs: DataFrame, eval_df: DataFrame | None = None,
     can't groupBy without state; ``array_size ∘ array_intersect`` on
     the doc's own shingles gives the same count per row.
     """
-    ne, ni, np_ = PII.pii_counts(F.col("text"))
+    ne, ni, np_, nc = PII.pii_counts(F.col("text"))
     cols = [
         "doc_id",
         "source",
@@ -67,6 +67,7 @@ def curate_stream(docs: DataFrame, eval_df: DataFrame | None = None,
         ne.alias("n_emails"),
         ni.alias("n_ips"),
         np_.alias("n_phones"),
+        nc.alias("n_creds"),
         TS.token_count(F.col("text")).alias("n_tokens"),
         TS.quality_score(F.col("text")).alias("quality"),
         # dup_ngram_fraction already rounds to 4 decimals
