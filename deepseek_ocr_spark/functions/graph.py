@@ -44,6 +44,21 @@ from pyspark.sql import functions as F
 PR_SCALE = 10**9
 PR_ITERS = 5
 
+# Per-node frontier cap for truncated-harmonic BFS expansion (the
+# anti-quadratic guard, same contract as dedup.LSH_MAX_BUCKET). A
+# mega-hub reached by F frontier sources and carrying D outlinks
+# expands F x D rows at the next level — on a hub-heavy host graph
+# (CC: popular CDNs/link shorteners have 10^6+ in-degree) that goes
+# quadratic in practice. Capping the sources carried THROUGH each
+# node at C bounds every level's expansion at C x |E| rows. The cap
+# drops paths, not reached pairs: everything already reached keeps
+# its distance, and a dropped (u, mid) continuation can still find
+# (u, w) through u's other paths — only pairs whose EVERY shortest
+# path runs through a saturated hub are lost. Selection is the C
+# smallest (md5(u), u) per node: deterministic, partitioning-
+# independent, and mirrored verbatim by the DuckDB twin's QUALIFY.
+HARMONIC_FRONTIER_CAP = 10_000
+
 # href value of ANCHOR tags only (<a ...> / case-insensitive; <link>
 # stylesheet/font hrefs are resource inclusion, not navigation — the
 # CC host graph is built from anchors), quotes optional (legacy HTML),
@@ -123,34 +138,68 @@ def degree_stats(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     )
 
 
+def _cap_frontier(frontier: DataFrame, cap: int, observation, depth: int):
+    """Keep the ``cap`` smallest-(md5(u), u) frontier pairs per
+    endpoint ``v`` before expanding through v's out-edges. Never
+    silent: with an Observation attached, the first action reports
+    ``dropped_pairs_l{depth}`` / ``max_frontier_l{depth}``. The
+    row_number window shuffles on v — the same key the expansion join
+    needs next, so the exchange is not wasted work."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("v").orderBy(F.md5(F.col("u")), F.col("u"))
+    ranked = frontier.withColumn("rn", F.row_number().over(w))
+    if observation is not None:
+        ranked = ranked.observe(
+            observation,
+            F.sum(
+                F.when(F.col("rn") > cap, 1).otherwise(0)
+            ).alias(f"dropped_pairs_l{depth}"),
+            F.max("rn").alias(f"max_frontier_l{depth}"),
+        )
+    return ranked.filter(F.col("rn") <= cap).drop("rn")
+
+
 def harmonic_centrality(
     edges: DataFrame,
     src_col: str,
     dst_col: str,
     max_depth: int = 3,
     scale: int = PR_SCALE,
+    frontier_cap: int | None = HARMONIC_FRONTIER_CAP,
+    observations: dict | None = None,
 ) -> DataFrame:
     """In-harmonic centrality truncated at ``max_depth`` hops:
     H(v) = Σ_{u: 0 < d(u,v) ≤ K} scale DIV d(u,v), fixed-point BIGINT —
     the ranking signal Common Crawl publishes for its host graph
-    (harmonic centrality percentiles). Exact truncated variant: each
-    BFS level is one equi-join of the previous frontier onto the edge
-    list plus an anti-join against already-reached pairs, all integer
-    arithmetic, so the DuckDB twin (unrolled CTEs) hash-matches.
+    (harmonic centrality percentiles). Each BFS level is one equi-join
+    of the previous frontier onto the edge list plus an anti-join
+    against already-reached pairs, all integer arithmetic, so the
+    DuckDB twin (unrolled CTEs) hash-matches.
 
-    Scale honesty: this materializes the distinct ≤K-hop (u, v) pair
-    set — O(Σ_v |ball_K(v)|). On a host graph (CC: ~90M hosts, sparse)
-    K=3 is tractable; for larger K or denser graphs the published
-    approach is HyperBall (HyperLogLog neighborhood sketches), which
-    trades exactness for O(V) state and would live behind this same
-    signature. Truncation at K is itself standard for filter features
-    (distant mass contributes ≤ scale/K per node)."""
+    Scale shape: the distinct ≤K-hop (u, v) pair set is
+    O(Σ_v |ball_K(v)|), which a hub-heavy graph turns quadratic —
+    ``frontier_cap`` (see HARMONIC_FRONTIER_CAP) bounds every level's
+    expansion at cap x |E| rows by carrying at most ``cap``
+    deterministically-chosen sources through any single node. Level-1
+    pairs (the edge list itself) are always exact; the cap only
+    prunes which paths CONTINUE. Pass ``observations`` as
+    {depth: pyspark.sql.Observation} for depths 1..max_depth-1 to
+    receive dropped-row metrics with the first action (the LSH-cap
+    contract; same AQE empty-result caveat as
+    dedup.lsh_candidate_pairs). ``frontier_cap=None`` restores the
+    exact variant. For graphs where even cap x |E| is too much, the
+    published approach is HyperBall (HyperLogLog neighborhood
+    sketches, O(V) state) behind this same signature."""
     e = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).filter(F.col("u") != F.col("v")).distinct()
     reached = e.withColumn("d", F.lit(1))
     frontier = e
     for k in range(2, max_depth + 1):
+        if frontier_cap is not None:
+            obs = (observations or {}).get(k - 1)
+            frontier = _cap_frontier(frontier, frontier_cap, obs, k - 1)
         nxt = (
             frontier.join(
                 e.withColumnsRenamed({"u": "mid", "v": "w"}),

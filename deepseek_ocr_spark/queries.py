@@ -2331,17 +2331,25 @@ def _harmonic_sql() -> str:
     from deepseek_ocr_spark.functions import graph as GR
 
     s = GR.PR_SCALE
+    cap = GR.HARMONIC_FRONTIER_CAP
+    # c1/c2 mirror the Spark side's deterministic per-node frontier
+    # cap (graph.HARMONIC_FRONTIER_CAP) so both engines prune the
+    # SAME continuations: smallest (md5(u), u) per v.
     return (
         "WITH "
         + _HOST_EDGES_SQL
         + f""",
 p1 AS (SELECT DISTINCT src AS u, dst AS v FROM e),
+c1 AS (SELECT u, v FROM p1
+       QUALIFY row_number() OVER (PARTITION BY v ORDER BY md5(u), u) <= {cap}),
 p2 AS (SELECT DISTINCT a.u, b.dst AS v
-       FROM p1 a JOIN e b ON b.src = a.v
+       FROM c1 a JOIN e b ON b.src = a.v
        WHERE a.u != b.dst
          AND NOT EXISTS (SELECT 1 FROM p1 x WHERE x.u = a.u AND x.v = b.dst)),
+c2 AS (SELECT u, v FROM p2
+       QUALIFY row_number() OVER (PARTITION BY v ORDER BY md5(u), u) <= {cap}),
 p3 AS (SELECT DISTINCT a.u, b.dst AS v
-       FROM p2 a JOIN e b ON b.src = a.v
+       FROM c2 a JOIN e b ON b.src = a.v
        WHERE a.u != b.dst
          AND NOT EXISTS (SELECT 1 FROM p1 x WHERE x.u = a.u AND x.v = b.dst)
          AND NOT EXISTS (SELECT 1 FROM p2 x WHERE x.u = a.u AND x.v = b.dst)),

@@ -292,6 +292,104 @@ def test_harmonic_centrality_exact_distances(spark):
     assert "a" not in got  # nothing reaches a
 
 
+def test_harmonic_frontier_cap_matches_duckdb_when_binding(spark):
+    """With a cap SMALLER than a hub's frontier, Spark and a DuckDB
+    run of the identical QUALIFY formulation must prune the SAME
+    continuations (the cross-engine contract behind the host_harmonic
+    twin), the Observation must report the drops, and the result must
+    be partitioning-independent."""
+    import duckdb
+    from pyspark.sql import Observation
+
+    from deepseek_ocr_spark.functions import graph as GR
+
+    # 6 sources -> hub -> 2 targets, plus a side chain so level-3 has
+    # work; cap=2 carries only 2 of the 6 sources through the hub.
+    edges = [(f"s{i}", "hub") for i in range(6)]
+    edges += [("hub", "t1"), ("hub", "t2"), ("t1", "z")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    obs = {1: Observation("l1"), 2: Observation("l2")}
+    got = {
+        r["node"]: (r["harmonic_fp"], r["n_reached"])
+        for r in GR.harmonic_centrality(
+            df, "src", "dst", frontier_cap=2, observations=obs
+        ).collect()
+    }
+    # hub's frontier is 6 sources; 4 continuations dropped at level 1.
+    assert obs[1].get["dropped_pairs_l1"] == 4
+    assert obs[1].get["max_frontier_l1"] == 6
+    con = duckdb.connect()
+    con.register("edges_pd", df.toPandas())
+    con.execute("CREATE TABLE e AS SELECT * FROM edges_pd")
+    sql = f"""
+WITH p1 AS (SELECT DISTINCT src AS u, dst AS v FROM e),
+c1 AS (SELECT u, v FROM p1
+       QUALIFY row_number() OVER (PARTITION BY v ORDER BY md5(u), u) <= 2),
+p2 AS (SELECT DISTINCT a.u, b.dst AS v
+       FROM c1 a JOIN e b ON b.src = a.v
+       WHERE a.u != b.dst
+         AND NOT EXISTS (SELECT 1 FROM p1 x WHERE x.u = a.u AND x.v = b.dst)),
+c2 AS (SELECT u, v FROM p2
+       QUALIFY row_number() OVER (PARTITION BY v ORDER BY md5(u), u) <= 2),
+p3 AS (SELECT DISTINCT a.u, b.dst AS v
+       FROM c2 a JOIN e b ON b.src = a.v
+       WHERE a.u != b.dst
+         AND NOT EXISTS (SELECT 1 FROM p1 x WHERE x.u = a.u AND x.v = b.dst)
+         AND NOT EXISTS (SELECT 1 FROM p2 x WHERE x.u = a.u AND x.v = b.dst)),
+allp AS (SELECT u, v, 1 AS d FROM p1
+         UNION ALL SELECT u, v, 2 FROM p2
+         UNION ALL SELECT u, v, 3 FROM p3)
+SELECT v AS node, sum({GR.PR_SCALE} // d)::BIGINT AS harmonic_fp,
+       count(*)::BIGINT AS n_reached
+FROM allp GROUP BY v"""
+    want = {n: (h, r) for n, h, r in con.execute(sql).fetchall()}
+    assert got == want
+    # level-1 (direct edges) stay exact regardless of the cap
+    assert got["hub"][1] == 6
+    # partitioning-independence of the md5 selection
+    got7 = {
+        r["node"]: (r["harmonic_fp"], r["n_reached"])
+        for r in GR.harmonic_centrality(
+            df.repartition(7), "src", "dst", frontier_cap=2
+        ).collect()
+    }
+    assert got7 == want
+
+
+def test_harmonic_cap_bounds_hub_graph_100k_edges(spark):
+    """>=1e5-edge graph with 5 mega-hubs (10^4 in, 10^4 out each):
+    uncapped the level-2 expansion alone is 5 x 10^8 pairs; with a
+    cap of 20 every level is bounded at cap x |E| rows and the job
+    completes in bounded time with the drops observed."""
+    import time
+
+    from pyspark.sql import Observation
+
+    from deepseek_ocr_spark.functions import graph as GR
+
+    n_hub, fan = 5, 10_000
+    edges = []
+    for h in range(n_hub):
+        edges.extend((f"in{h}_{i}", f"hub{h}") for i in range(fan))
+        edges.extend((f"hub{h}", f"out{h}_{i}") for i in range(fan))
+    assert len(edges) >= 100_000
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    obs = {1: Observation("hl1")}
+    t0 = time.monotonic()
+    out = GR.harmonic_centrality(
+        df, "src", "dst", frontier_cap=20, observations=obs
+    )
+    # every out-node is reached by its hub (d=1) and by <=20 carried
+    # sources (d=2); total pairs bounded by |E| + cap x |E|.
+    n_pairs = out.agg(F.sum("n_reached")).first()[0]
+    elapsed = time.monotonic() - t0
+    assert n_pairs <= len(edges) * 21
+    assert elapsed < 300, f"frontier cap failed to bound runtime: {elapsed:.0f}s"
+    m = obs[1].get
+    assert m["dropped_pairs_l1"] == n_hub * (fan - 20)
+    assert m["max_frontier_l1"] == fan
+
+
 def test_kgram_dedup_rewrite_spans(spark):
     """Copied regions are excised from non-first occurrences at word
     granularity; unique tails survive; whole-duplicate docs vanish;
