@@ -256,6 +256,40 @@ def lsh_candidate_pairs(
     )
 
 
+def banded_signature_frame(sig: DataFrame, id_col: str) -> DataFrame:
+    """(band_idx, band, id, h0..h{N_HASHES-1}) — one row per (doc,
+    band), the FULL signature carried alongside each band key so a
+    band-collision propose and a component-agreement confirm are ONE
+    equi-join with no join-back to the signature table (the simhash
+    carried-struct pattern). Pure projection + posexplode: no shuffle
+    here; the caller decides the storage partitioning. This is the
+    layout the streaming near-dup gate's corpus table uses — written
+    bucketed on (band_idx, band) so every micro-batch's propose join
+    reads corpus buckets in place (zero corpus-side Exchange, no
+    per-drain re-banding). Band definition is identical to
+    ``incremental_lsh_pairs_from_signatures``: md5 of h_{2i}:h_{2i+1},
+    matched only within the same band_idx."""
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col(f"h{2 * i}").cast("string"),
+                    F.col(f"h{2 * i + 1}").cast("string"),
+                )
+            )
+            for i in range(N_BANDS)
+        ]
+    )
+    return sig.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(bands).alias("band_idx", "band"),
+        *[F.col(f"h{s}") for s in range(N_HASHES)],
+    ).select(
+        "band_idx", "band", "id", *[f"h{s}" for s in range(N_HASHES)]
+    )
+
+
 def incremental_new_docs(
     new: DataFrame, old: DataFrame, fp_col: str
 ) -> DataFrame:

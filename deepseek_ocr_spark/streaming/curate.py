@@ -171,6 +171,134 @@ def neardup_gate_batch(
     return batch_docs.join(losers, id_col, "left_anti")
 
 
+CORPUS_BAND_BUCKETS = 32
+
+
+def build_corpus_band_table(
+    corpus_sigs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    buckets: int = CORPUS_BAND_BUCKETS,
+    max_bucket_size: int | None = None,
+    observation=None,
+    path: str | None = None,
+) -> None:
+    """Materialize the curated corpus's LSH band layout ONCE, bucketed
+    on the band key, so every subsequent micro-batch's near-dup
+    propose join is bucket-local: the corpus side is read in place
+    with zero Exchange and is never re-banded per drain.
+
+    Rows are (band_idx, band, id, h0..h{N-1}) — full signatures
+    carried so the gate confirms agreement in the same join
+    (``dedup.banded_signature_frame``). ``max_bucket_size`` (default
+    ``dedup.LSH_MAX_BUCKET``) caps membership per (band_idx, band) at
+    BUILD time — the deterministic smallest-(md5(id), id) members
+    survive, mirroring the batch path's anti-quadratic guard, and an
+    ``Observation`` reports ``rows_in_dropped_buckets`` /
+    ``max_bucket_seen`` so truncation is never silent. A doc truncated
+    out of one mega band still gates through its other bands.
+
+    ``bucketBy`` needs a catalog entry, hence a table name; ``path``
+    makes it external (same contract as operators/bucketed.py)."""
+    from pyspark.sql.window import Window
+
+    from deepseek_ocr_spark.functions import dedup as DD
+
+    if max_bucket_size is None:
+        max_bucket_size = DD.LSH_MAX_BUCKET
+    banded = DD.banded_signature_frame(corpus_sigs, id_col)
+    w = Window.partitionBy("band_idx", "band").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    )
+    ranked = banded.withColumn("rn", F.row_number().over(w))
+    if observation is not None:
+        ranked = ranked.observe(
+            observation,
+            F.sum(
+                F.when(F.col("rn") > max_bucket_size, 1).otherwise(0)
+            ).alias("rows_in_dropped_buckets"),
+            F.max("rn").alias("max_bucket_seen"),
+        )
+    capped = ranked.filter(F.col("rn") <= max_bucket_size).drop("rn")
+    writer = (
+        capped.write.mode("overwrite")
+        .bucketBy(buckets, "band_idx", "band")
+        .sortBy("band_idx", "band")
+        .format("parquet")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def neardup_gate_batch_banded(
+    batch_docs: DataFrame,
+    corpus_band: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_agree: int = NEARDUP_GATE_MIN_AGREE,
+) -> DataFrame:
+    """`neardup_gate_batch` against a PRE-BANDED corpus table
+    (``build_corpus_band_table``): the micro-batch's docs are signed
+    and banded (two projections + one batch-sized agg — the corpus
+    text/signatures are never touched), then ONE equi-join on
+    (band_idx, band) both proposes (band collision) and confirms
+    (>= ``min_agree`` of the carried signature components agree — the
+    unbiased Jaccard estimate, see `neardup_gate_batch`). With the
+    corpus table bucketed on the band key, that join plans zero
+    corpus-side Exchange: only the (tiny) batch side shuffles to the
+    bucket layout (asserted in tests/test_streaming.py)."""
+    from deepseek_ocr_spark.functions import dedup as DD
+
+    sig_new = DD.minhash_signature(batch_docs, id_col, text_col)
+    new_banded = DD.banded_signature_frame(sig_new, id_col)
+    agree = sum(
+        (F.col(f"n.h{s}") == F.col(f"o.h{s}")).cast("int")
+        for s in range(DD.N_HASHES)
+    )
+    losers = (
+        new_banded.alias("n")
+        .join(corpus_band.alias("o"), ["band_idx", "band"])
+        .filter(agree >= min_agree)
+        .select(F.col("n.id").alias(id_col))
+        .distinct()
+    )
+    return batch_docs.join(losers, id_col, "left_anti")
+
+
+def run_neardup_gate_drain_banded(
+    spark: SparkSession,
+    input_path: str,
+    corpus_band_table: str,
+    output_path: str,
+    checkpoint_path: str,
+    timeout_secs: float | None = None,
+) -> bool:
+    """Stream-static near-dup gate against a pre-bucketed corpus band
+    table: each micro-batch joins bucket-locally (no corpus re-banding,
+    no corpus-side shuffle, nothing persisted driver-side — the table's
+    layout IS the cache). Same batchId-keyed idempotent sink as
+    `run_neardup_gate_drain`."""
+    corpus_band = spark.table(corpus_band_table)
+    docs = read_docs_stream(spark, input_path)
+
+    def _gate_and_write(batch_df: DataFrame, batch_id: int) -> None:
+        neardup_gate_batch_banded(batch_df, corpus_band).write.mode(
+            "overwrite"
+        ).parquet(f"{output_path}/batch={batch_id}")
+
+    q = (
+        docs.writeStream.foreachBatch(_gate_and_write)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    done = q.awaitTermination(timeout_secs)
+    if q.isActive:
+        q.stop()
+    return bool(done) if timeout_secs is not None else True
+
+
 def run_neardup_gate_drain(
     spark: SparkSession,
     input_path: str,
@@ -196,8 +324,10 @@ def run_neardup_gate_drain(
     monotonically across re-invocations of the same checkpoint, so
     drains never collide. The corpus signature frame is persisted for
     the drain (it is re-joined by every micro-batch; without the
-    persist each batch would re-scan the corpus parquet — at scale,
-    maintain the corpus as a table bucketed on the band key instead).
+    persist each batch would re-scan the corpus parquet). At scale,
+    prefer ``run_neardup_gate_drain_banded`` over a
+    ``build_corpus_band_table`` table: bucket-local corpus reads, no
+    per-drain re-banding, no executor-memory persist of the corpus.
     Returns whether the drain completed (see stream.drain_to_parquet).
     """
     corpus_sigs = spark.read.parquet(corpus_sigs_path).persist()

@@ -387,3 +387,163 @@ def test_neardup_gate_drain_stream_static(spark, tmp_path):
                                   timeout_secs=120)
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == [2, 4, 5]
+
+
+def test_neardup_gate_banded_no_corpus_exchange(spark, tmp_path):
+    """The pre-bucketed corpus band table version of the gate: same
+    keep/drop decisions as the signature-path gate, and the
+    propose+confirm join — the exact frame the foreachBatch body
+    builds — plans with the corpus side read bucket-locally: the ONLY
+    Exchange in the join subtree is the micro-batch side conforming
+    to the bucket layout; the corpus scan itself is bucketed with no
+    shuffle above it and is never re-banded."""
+    import os
+    import re
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_spark.functions import dedup as DD
+    from deepseek_ocr_spark.plans.audit import plan_string
+    from deepseek_ocr_spark.streaming.curate import (
+        build_corpus_band_table,
+        neardup_gate_batch_banded,
+        run_neardup_gate_drain_banded,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog once more today"
+    corpus = spark.createDataFrame(
+        [(1000, boiler), (1001, "settled editorial about spark plans")],
+        "doc_id long, text string",
+    )
+    table = "corpus_band_t"
+    try:
+        build_corpus_band_table(
+            DD.minhash_signature(corpus, "doc_id", "text"),
+            table,
+            path=str(tmp_path / "corpus_band"),
+        )
+
+        # ---- plan shape: batch-side-only Exchange, bucketed scan ----
+        # At fixture scale the 2-doc corpus would broadcast (also
+        # shuffle-free, also fine); the 100TB shape is the bucketed
+        # sort-merge join, revealed by disabling auto-broadcast.
+        batch = spark.createDataFrame(
+            [(1, boiler), (2, "genuinely new reporting on shuffle joins")],
+            "doc_id long, text string",
+        )
+        sig_new = DD.minhash_signature(batch, "doc_id", "text")
+        join = (
+            DD.banded_signature_frame(sig_new, "doc_id")
+            .alias("n")
+            .join(spark.table(table).alias("o"), ["band_idx", "band"])
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = plan_string(join)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert re.search(r"Bucketed: true", plan), plan
+        # Corpus subtree: no Exchange may sit between the corpus scan
+        # and the join. The batch side keeps its (micro-batch-sized)
+        # shuffles — spread repartition, signature agg, bucket
+        # conform — so we assert per-operator: every Exchange's input
+        # attributes are disjoint from the corpus scan's output.
+        blocks = re.split(r"\n(?=\(\d+\) )", plan)
+        scan_ids = set()
+        for b in blocks:
+            if b.startswith("(") and "Scan parquet" in b and table in b:
+                m = re.search(r"Output \[\d+\]: \[([^\]]*)\]", b)
+                scan_ids = set(re.findall(r"#\d+", m.group(1)))
+        assert scan_ids, plan
+        for b in blocks:
+            if re.match(r"\(\d+\) Exchange", b):
+                ex_ids = set(re.findall(r"#\d+", b))
+                assert not (ex_ids & scan_ids), (
+                    "corpus-side Exchange found:\n" + b
+                )
+
+        # ---- behavior: identical decisions to the signature gate ----
+        moderate = (
+            "the quick brown fox jumps over the lazy dog once more tonight"
+        )
+        inp = tmp_path / "docs_in_banded"
+        os.makedirs(inp)
+        out = str(tmp_path / "gated_banded")
+        ckpt = str(tmp_path / "ckpt_banded")
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string()),
+             ("lang", pa.string()), ("source", pa.string()),
+             ("n_chars", pa.int64())]
+        )
+        rows = [(1, boiler, "en", "s", 10),
+                (2, "genuinely new reporting on shuffle joins", "en", "s", 10),
+                (5, moderate, "en", "s", 10)]
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "text", "lang", "source", "n_chars"],
+                ),
+                schema=schema, preserve_index=False,
+            ),
+            str(inp / "b1.parquet"),
+        )
+        assert run_neardup_gate_drain_banded(
+            spark, str(inp), table, out, ckpt, timeout_secs=120
+        )
+        got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        assert got == [2, 5]  # 1 drops (near-dup), 5 survives confirm
+
+        # batch-frame parity with the signature-path gate
+        docs5 = spark.createDataFrame(
+            [(1, boiler), (2, "fresh take"), (5, moderate)],
+            "doc_id long, text string",
+        )
+        banded_kept = sorted(
+            r["doc_id"]
+            for r in neardup_gate_batch_banded(
+                docs5, spark.table(table)
+            ).collect()
+        )
+        assert banded_kept == [2, 5]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_corpus_band_table_build_cap_observed(spark, tmp_path):
+    """Mega band buckets are truncated deterministically at BUILD time
+    with the drop observed — the per-drain cost is zero because the
+    stored table is already capped."""
+    from pyspark.sql import Observation
+
+    from deepseek_ocr_spark.functions import dedup as DD
+    from deepseek_ocr_spark.streaming.curate import build_corpus_band_table
+
+    boiler = "identical parked domain boilerplate text for every row here"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(40)], "doc_id long, text string"
+    )
+    obs = Observation("build_cap")
+    table = "corpus_band_capped_t"
+    try:
+        build_corpus_band_table(
+            DD.minhash_signature(corpus, "doc_id", "text"),
+            table,
+            max_bucket_size=10,
+            observation=obs,
+            path=str(tmp_path / "capped_band"),
+        )
+        per_bucket = (
+            spark.table(table).groupBy("band_idx", "band").count().collect()
+        )
+        assert per_bucket and all(r["count"] <= 10 for r in per_bucket)
+        m = obs.get
+        # 40 identical docs -> every band bucket holds 40, 30 dropped
+        # from each of the N_BANDS buckets.
+        assert m["rows_in_dropped_buckets"] == 30 * DD.N_BANDS
+        assert m["max_bucket_seen"] == 40
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
