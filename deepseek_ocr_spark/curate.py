@@ -16,10 +16,11 @@ entirely from this repo's operators:
           → curated corpus + per-stage funnel counts
 
 Everything JVM-side after the extract UDF; the dedup joins are the
-bucket-local patterns from functions/dedup.py. At scale the funnel
-counts come from one Observation per stage boundary rather than
-separate counts — here the corpus is materialized once and counted
-from cache-free aggregates for test clarity.
+bucket-local patterns from functions/dedup.py. Funnel counts default
+to the two-action path (one single-pass head aggregation + stage
+Observations fired by the curated count — see ``curate``); the
+one-count-per-stage reference path remains available as
+``funnel_mode="counts"`` and the tests pin both to equal numbers.
 """
 
 from __future__ import annotations
@@ -204,6 +205,65 @@ def dsir_gate(
     return docs.join(w.select("url"), "url", "left_semi")
 
 
+def _funnel_head_counts(
+    docs: DataFrame, languages: tuple[str, ...] | None
+) -> dict:
+    """The first four funnel boundaries (extracted_ok, lang gate,
+    url-canonical keep-first, fingerprint keep-first) from ONE
+    aggregation pass over the enriched frame — no stage is executed.
+
+    Keep-first semantics reproduce the stage operators exactly via the
+    cumulative-flag trick: a row is the stage's survivor iff it passes
+    the upstream flag AND the running count of upstream-passing rows
+    in its (group, ORDER BY url) window is 1 — precisely
+    ``row_number() == 1`` over the upstream-filtered frame, without
+    filtering. Two window ops + one agg = one job; both windows
+    shuffle on columns the real stages shuffle on anyway."""
+    from deepseek_ocr_spark.functions.urls import canonical_url
+
+    lang_ok = (
+        F.col("lang_guess").isin(list(languages))
+        if languages
+        else F.lit(True)
+    )
+    w_curl = (
+        Window.partitionBy("_curl")
+        .orderBy("url")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fp = (
+        Window.partitionBy("fp")
+        .orderBy("url")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = (
+        docs.withColumn("_curl", canonical_url(F.col("url")))
+        .withColumn("_lang_ok", lang_ok)
+        .withColumn(
+            "_url_keep",
+            F.col("_lang_ok")
+            & (F.sum(F.col("_lang_ok").cast("int")).over(w_curl) == 1),
+        )
+        .withColumn(
+            "_fp_keep",
+            F.col("_url_keep")
+            & (F.sum(F.col("_url_keep").cast("int")).over(w_fp) == 1),
+        )
+    )
+    row = flagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.col("_lang_ok").cast("long")), F.lit(0)).alias("nl"),
+        F.coalesce(F.sum(F.col("_url_keep").cast("long")), F.lit(0)).alias("nu"),
+        F.coalesce(F.sum(F.col("_fp_keep").cast("long")), F.lit(0)).alias("nf"),
+    ).first()
+    return {
+        "extracted_ok": row["n"],
+        "after_lang_gate": row["nl"],
+        "after_url_dedup": row["nu"],
+        "after_exact_dedup": row["nf"],
+    }
+
+
 def curate(
     pages: DataFrame,
     parallelism: int | None = None,
@@ -212,6 +272,7 @@ def curate(
     dsir_target_langs: tuple[str, ...] | None = None,
     normalize: bool = False,
     substring_dedup: bool = False,
+    funnel_mode: str = "observe",
 ) -> tuple[DataFrame, dict]:
     """pages → (curated corpus DataFrame, funnel counts).
 
@@ -227,6 +288,20 @@ def curate(
     replaced by the rewrite, and token/quality stats are RECOMPUTED on
     the surviving text so the gate judges what will actually ship.
 
+    Funnel accounting (``funnel_mode``):
+
+    * ``"observe"`` (default) — TWO actions total on the default
+      path: one single-pass aggregation derives the head boundaries
+      (``_funnel_head_counts``), and the ``curated`` count's action
+      also fires Observations for the join-dependent boundaries
+      (near-dup / substring-rewrite outputs — each observed node
+      occurs exactly once in the final plan, so CollectMetrics fires
+      once). At 10^12 rows this is the difference between scanning
+      the funnel once and six times.
+    * ``"counts"`` — one ``.count()`` per stage boundary (the
+      round-1..3 behavior): trivially auditable, used by tests as the
+      reference the observe path must equal.
+
     The enriched frame is persisted: the extract UDF (the expensive
     stage) runs once, and the funnel counts plus the caller's
     eventual materialization of ``final`` all reuse it. Caller may
@@ -234,6 +309,9 @@ def curate(
     """
     from pyspark.sql import Observation
 
+    if funnel_mode not in ("observe", "counts"):
+        raise ValueError(f"unknown funnel_mode: {funnel_mode!r}")
+    observe = funnel_mode == "observe"
     extracted = extract_pipeline(pages, parallelism=parallelism)
     docs = enrich(extracted, normalize=normalize).persist()
     kept = lang_gate(docs, languages)
@@ -244,13 +322,18 @@ def curate(
     exact = exact_dedup(canon)
     lsh_obs = Observation("lsh_bucket_cap")
     near = neardup_dedup(exact, observation=lsh_obs)
-    funnel = {
-        "extracted_ok": docs.count(),
-        "after_lang_gate": kept.count(),
-        "after_url_dedup": canon.count(),
-        "after_exact_dedup": exact.count(),
-        "after_neardup": near.count(),
-    }
+    if observe:
+        funnel = _funnel_head_counts(docs, languages)
+        near_obs = Observation("funnel_near")
+        near = near.observe(near_obs, F.count(F.lit(1)).alias("n"))
+    else:
+        funnel = {
+            "extracted_ok": docs.count(),
+            "after_lang_gate": kept.count(),
+            "after_url_dedup": canon.count(),
+            "after_exact_dedup": exact.count(),
+            "after_neardup": near.count(),
+        }
     if substring_dedup:
         rw = DD.kgram_dedup_rewrite(near, "url", "text").select(
             "url", F.col("dedup_text").alias("text")
@@ -261,9 +344,34 @@ def curate(
             .withColumn("n_tokens", TS.token_count(F.col("text")))
             .withColumn("quality", TS.quality_score(F.col("text")))
         )
-        funnel["after_substring_dedup"] = near.count()
+        if observe:
+            sub_obs = Observation("funnel_substring")
+            near = near.observe(sub_obs, F.count(F.lit(1)).alias("n"))
+        else:
+            funnel["after_substring_dedup"] = near.count()
     final = quality_gate(near)
     funnel["curated"] = final.count()
+    if observe:
+        # AQE's empty-relation propagation can elide an observed node
+        # whose subtree came out empty (see lsh_candidate_pairs) —
+        # fall back to the stage count rather than raise.
+        try:
+            funnel["after_neardup"] = int(near_obs.get["n"])
+        except Exception:
+            funnel["after_neardup"] = funnel["curated"]
+        if substring_dedup:
+            try:
+                funnel["after_substring_dedup"] = int(sub_obs.get["n"])
+            except Exception:
+                funnel["after_substring_dedup"] = funnel["curated"]
+        # present the funnel in stage order regardless of how the
+        # numbers were gathered
+        order = [
+            "extracted_ok", "after_lang_gate", "after_url_dedup",
+            "after_exact_dedup", "after_neardup",
+            "after_substring_dedup", "curated",
+        ]
+        funnel = {k: funnel[k] for k in order if k in funnel}
     if domain_token_budget is not None:
         final = rebalance_gate(final, domain_token_budget)
         funnel["after_rebalance"] = final.count()

@@ -143,6 +143,98 @@ def test_neardup_cluster_strategy_collapses_transitive_chains(spark):
     assert len(kept_cluster) == 2  # one survivor + the unique doc
 
 
+def _dup_rich_pages(spark):
+    """Pages exercising EVERY funnel drop: a url-canonical variant
+    pair, an exact content duplicate, a near-dup pair, and a unique
+    doc — so funnel-mode parity is tested where the numbers actually
+    differ stage to stage."""
+    filler = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+              "do eiusmod tempor incididunt ut labore et dolore magna")
+    near = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the shuffle service drains its queue %s")
+    mk = lambda body: f"<html><body><p>{body}</p></body></html>".encode()
+    rows = [
+        # url variants (content differs -> only url stage can collapse)
+        ("HTTPS://x.example:443/a?utm_source=tw", mk(filler + " one")),
+        ("https://x.example/a", mk(filler + " two")),
+        # exact content duplicates on distinct urls
+        ("https://y.example/c1", mk(filler + " three")),
+        ("https://y.example/c2", mk(filler + " three")),
+        # near-dup pair
+        ("https://z.example/n1", mk(near % "today")),
+        ("https://z.example/n2", mk(near % "today briefly")),
+        # unique
+        ("https://w.example/u", mk("entirely unrelated page about "
+                                   "oceanic plate tectonics and dense "
+                                   "lithosphere subduction over time")),
+    ]
+    return spark.createDataFrame(
+        [(u, None, h, None, None) for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def test_funnel_observe_mode_matches_counts_and_uses_two_actions(
+    spark, monkeypatch
+):
+    """The default observe-mode funnel must (a) equal the count-mode
+    reference on a fixture where every stage drops rows, and (b) run
+    exactly TWO actions — the single-pass head aggregation and the
+    curated count that fires the Observations — where count mode runs
+    one per boundary. At 10^12 rows that is 2 funnel scans vs 6."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    pages = _dup_rich_pages(spark)
+    actions = {"n": 0}
+    real_count, real_collect = CDF.count, CDF.collect
+
+    def counting_count(self):
+        actions["n"] += 1
+        return real_count(self)
+
+    def counting_collect(self):
+        actions["n"] += 1
+        return real_collect(self)
+
+    monkeypatch.setattr(CDF, "count", counting_count)
+    monkeypatch.setattr(CDF, "collect", counting_collect)
+
+    _, f_obs = curate(pages, parallelism=2)
+    obs_actions = actions["n"]
+    spark.catalog.clearCache()
+    actions["n"] = 0
+    _, f_cnt = curate(pages, parallelism=2, funnel_mode="counts")
+    cnt_actions = actions["n"]
+    spark.catalog.clearCache()
+
+    assert f_obs == f_cnt
+    # the fixture makes every stage strictly shrink
+    assert f_obs["extracted_ok"] == 7
+    assert f_obs["after_url_dedup"] == 6
+    assert f_obs["after_exact_dedup"] == 5
+    # near-dup drops one of the n1/n2 pair AND one of the two
+    # surviving filler docs (same long prefix, one-word tails)
+    assert f_obs["after_neardup"] == 3
+    # Both modes share connected_components' internal fixpoint probes
+    # (tiny label-frame counts, not corpus scans); the FUNNEL actions
+    # must drop from 6 (5 stage counts + curated) to 2 (head agg +
+    # curated-count-firing-observations).
+    assert cnt_actions - obs_actions == 4, (obs_actions, cnt_actions)
+    assert obs_actions <= 4, f"observe mode ran {obs_actions} actions"
+    # substring path: the rewrite join duplicates the observed subtree
+    # in the plan — parity must hold there too
+    actions["n"] = 0
+    _, f_obs_s = curate(pages, parallelism=2, substring_dedup=True)
+    obs_s_actions = actions["n"]
+    spark.catalog.clearCache()
+    _, f_cnt_s = curate(
+        pages, parallelism=2, substring_dedup=True, funnel_mode="counts"
+    )
+    spark.catalog.clearCache()
+    assert f_obs_s == f_cnt_s
+    assert obs_s_actions == obs_actions  # rewrite adds no extra action
+
+
 def test_curate_selection_stages(spark, pages_path):
     # rebalance composes after the quality gate: counts stay monotone,
     # schema unchanged, survivors still satisfy the earlier gates. The
