@@ -264,6 +264,21 @@ def _funnel_head_counts(
     }
 
 
+def model_quality_gate(
+    docs: DataFrame, weights: DataFrame, min_score_pf_fp: int = 0
+) -> DataFrame:
+    """fastText/DCLM-style classifier gate on the curated frame: score
+    every doc against a PRE-TRAINED broadcast (b, w_fp) weight table
+    (functions/quality_model.py — train once on reference corpora,
+    ship the 4096-row artifact to every snapshot) and keep docs whose
+    length-normalized log-odds clear ``min_score_pf_fp``."""
+    from deepseek_ocr_spark.functions import quality_model as QM
+
+    return QM.quality_model_gate(
+        docs, weights, "url", "text", min_score_pf_fp
+    )
+
+
 def curate(
     pages: DataFrame,
     parallelism: int | None = None,
@@ -273,10 +288,15 @@ def curate(
     normalize: bool = False,
     substring_dedup: bool = False,
     funnel_mode: str = "observe",
+    quality_model_weights: DataFrame | None = None,
+    quality_model_min_pf: int = 0,
 ) -> tuple[DataFrame, dict]:
     """pages → (curated corpus DataFrame, funnel counts).
 
     Optional selection stages after the quality gate:
+    ``quality_model_weights`` (a trained (b, w_fp) table from
+    ``functions/quality_model.train_quality_model``) applies the
+    model-based classifier gate at ``quality_model_min_pf``;
     ``domain_token_budget`` rebalances the per-domain token mix
     (water-fill + hash sampling), ``dsir_target_langs`` keeps only
     docs with positive DSIR importance toward those languages.
@@ -351,6 +371,11 @@ def curate(
             funnel["after_substring_dedup"] = near.count()
     final = quality_gate(near)
     funnel["curated"] = final.count()
+    if quality_model_weights is not None:
+        final = model_quality_gate(
+            final, quality_model_weights, quality_model_min_pf
+        )
+        funnel["after_quality_model"] = final.count()
     if observe:
         # AQE's empty-relation propagation can elide an observed node
         # whose subtree came out empty (see lsh_candidate_pairs) —
@@ -365,13 +390,16 @@ def curate(
             except Exception:
                 funnel["after_substring_dedup"] = funnel["curated"]
         # present the funnel in stage order regardless of how the
-        # numbers were gathered
+        # numbers were gathered (later-stage / metric keys keep their
+        # insertion order after the core boundaries)
         order = [
             "extracted_ok", "after_lang_gate", "after_url_dedup",
             "after_exact_dedup", "after_neardup",
             "after_substring_dedup", "curated",
         ]
-        funnel = {k: funnel[k] for k in order if k in funnel}
+        funnel = {k: funnel[k] for k in order if k in funnel} | {
+            k: v for k, v in funnel.items() if k not in order
+        }
     if domain_token_budget is not None:
         final = rebalance_gate(final, domain_token_budget)
         funnel["after_rebalance"] = final.count()

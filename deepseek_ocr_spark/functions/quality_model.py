@@ -1,0 +1,196 @@
+"""Model-based quality scoring: a broadcast linear classifier over
+hashed n-gram features — the fastText/DCLM-style step above the
+shallow Gopher signals.
+
+The published pattern (GPT-3's WebText-vs-CommonCrawl classifier,
+CCNet, DCLM's OH+ELI5 fastText filter): train a linear model that
+separates a high-quality reference corpus from raw crawl text, score
+every crawl document, keep the high scorers. Here the linear model is
+the multinomial naive-Bayes log-odds approximation — per-feature
+weight = log P(feature|positive) / P(feature|negative) — which (a) is
+the textbook closed-form linear text classifier, (b) trains in ONE
+aggregation pass instead of SGD epochs, and (c) stays hash-verifiable
+because the log runs through the same fixed odd-power atanh series
+(only +,−,×,÷ — IEEE-correctly-rounded, bit-identical across engines)
+that functions/importance.py pins, with the SAME shared expression
+strings. Thresholding the summed log-odds is decision-equivalent to
+thresholding a sigmoid output: sigmoid is monotone.
+
+Features are fastText-shaped: hashed unigrams PLUS word bigrams
+(``wordNgrams=2``), md5-prefix-hashed into ``N_FEAT_BUCKETS`` buckets
+— bigrams are what let the model see phrase-level quality ("click
+here", "terms of service") that unigram DSIR cannot.
+
+Scale shape (the 100 TB contract):
+
+* the trained model is EXACTLY ``n_buckets`` rows (every bucket
+  materialized, absent ones at the smoothed prior weight) — a
+  broadcast dimension, never corpus-sized;
+* training is one linear feature scan + one bucket-keyed partial agg;
+* scoring is one linear feature scan + one broadcast join + one
+  doc-keyed partial agg. Nothing quadratic, nothing collected.
+
+Relation to DSIR (functions/importance.py): DSIR reweights against a
+target slice OF THE SAME corpus; this trains a reusable weight TABLE
+from explicit positive/negative corpora — the model artifact a
+production pipeline trains once and ships to every snapshot.
+
+The reference has no quality model (it is a per-request OCR service,
+DeepSeek-OCR-master/api/vllm_service.py); this belongs to the
+training-data-pipeline surface the engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.dedup import md5_prefix_int, words_col
+from deepseek_ocr_spark.functions.importance import (
+    LR_FP_SQL,
+    RATIO_SQL,
+    Z2_SQL,
+    Z_SQL,
+)
+
+N_FEAT_BUCKETS = 4096
+
+# Normalized per-feature score: divide AS DOUBLE then floor — Spark's
+# DIV truncates toward zero while DuckDB's // floors, and log-odds
+# sums go negative (shared verbatim with the SQL twin; exact while
+# |score_fp| < 2^53).
+SCORE_PF_SQL = (
+    "CAST(FLOOR(CAST(score_fp AS DOUBLE) / n_feats) AS BIGINT)"
+)
+
+
+def ngram_feature_buckets(
+    text_col: Column, n_buckets: int = N_FEAT_BUCKETS
+) -> Column:
+    """Array of hashed feature-bucket ids for one document: unigrams
+    (the repo-wide ``words_col`` tokenization) followed by word
+    bigrams joined with '_', each md5-prefix-hashed mod ``n_buckets``.
+    The size-guard keeps Spark's descending ``sequence(1, 0)`` quirk
+    from fabricating bigrams on one-word docs (the DuckDB twin's
+    ``range(1, len(ws))`` is empty there)."""
+    w = words_col(text_col)
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat(
+                F.element_at(w, i), F.lit("_"), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(w, bigrams),
+        lambda t: md5_prefix_int(t, 15) % n_buckets,
+    )
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra: list[str] | None = None,
+    n_buckets: int = N_FEAT_BUCKETS,
+) -> DataFrame:
+    """One row per feature occurrence: (id, *extra, b)."""
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (extra or [])],
+        F.explode(ngram_feature_buckets(F.col(text_col), n_buckets)).alias(
+            "b"
+        ),
+    )
+
+
+def train_quality_model(
+    labeled: DataFrame,
+    label: Column,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = N_FEAT_BUCKETS,
+) -> DataFrame:
+    """(b, w_fp) weight table — exactly ``n_buckets`` rows — where
+    ``w_fp`` is the 1e-6 fixed-point NB log-odds of the feature under
+    the positive (``label`` true) vs negative training distributions,
+    Laplace-smoothed (+1 / +n_buckets). Buckets absent from training
+    get the pure-smoothing weight, not 0, so scoring never silently
+    zeroes unseen features. NULL labels count as negative (raw
+    evidence, never dropped). RATIO/atanh expression strings are
+    shared verbatim with importance.py and the SQL twin; c_t/n_t name
+    the positive side, c_r/n_r the negative."""
+    feats = hashed_ngram_features(
+        labeled.withColumn(
+            "__is_pos", F.coalesce(label.cast("boolean"), F.lit(False))
+        ),
+        id_col, text_col, ["__is_pos"], n_buckets,
+    )
+    counts = feats.groupBy("b").agg(
+        F.sum(F.col("__is_pos").cast("bigint")).alias("c_t"),
+        F.sum((~F.col("__is_pos")).cast("bigint")).alias("c_r"),
+    )
+    spine = labeled.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("b")
+    )
+    full = (
+        spine.join(counts, "b", "left")
+        .select(
+            "b",
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+            F.coalesce("c_r", F.lit(0)).alias("c_r"),
+        )
+    )
+    totals = full.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )
+    return (
+        full.crossJoin(F.broadcast(totals))
+        .withColumn("__r", F.expr(RATIO_SQL.format(b=n_buckets)))
+        .withColumn("__z", F.expr(Z_SQL))
+        .withColumn("__z2", F.expr(Z2_SQL))
+        .select("b", F.expr(LR_FP_SQL).alias("w_fp"))
+    )
+
+
+def score_with_model(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = N_FEAT_BUCKETS,
+) -> DataFrame:
+    """(id, n_feats, score_fp, score_pf_fp): summed per-feature
+    log-odds (1e-6 fixed point, exact integer aggregation — immune to
+    partitioning) plus the floor(score/n_feats) length-normalized
+    variant. The model side is broadcast; the only doc-keyed shuffle
+    is the final partial agg."""
+    feats = hashed_ngram_features(docs, id_col, text_col, None, n_buckets)
+    return (
+        feats.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w_fp").cast("bigint").alias("score_fp"),
+        )
+        .withColumn("score_pf_fp", F.expr(SCORE_PF_SQL))
+    )
+
+
+def quality_model_gate(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_score_pf_fp: int = 0,
+    n_buckets: int = N_FEAT_BUCKETS,
+) -> DataFrame:
+    """Keep docs whose length-normalized model score clears
+    ``min_score_pf_fp`` (1e-6 fixed point; 0 = 'more positive-like
+    than negative-like'). One semi-join back onto ``docs``."""
+    keep = score_with_model(docs, model, id_col, text_col, n_buckets).filter(
+        F.col("score_pf_fp") > min_score_pf_fp
+    )
+    return docs.join(keep.select(id_col), id_col, "left_semi")

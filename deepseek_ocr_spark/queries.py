@@ -2173,6 +2173,74 @@ SQL_DSIR_TOPK = _dsir_sql(
 )
 
 
+def q_quality_model_score(spark, sf_dir):
+    """Model-based quality scoring (functions/quality_model.py): train
+    the NB-log-odds linear model on lang='en' (positive) vs the rest
+    over hashed unigram+bigram features, then score EVERY document
+    with the broadcast 4096-row weight table — summed 1e-6 fixed-point
+    log-odds plus the floored per-feature normalization. The
+    fastText/DCLM-style classifier step above the shallow Gopher
+    signals."""
+    from deepseek_ocr_spark.functions import quality_model as QM
+
+    d = _t(spark, sf_dir, "documents")
+    model = QM.train_quality_model(
+        d, F.col("lang") == "en", "doc_id", "text"
+    )
+    return QM.score_with_model(d, model, "doc_id", "text").orderBy("doc_id")
+
+
+def _quality_model_sql() -> str:
+    from deepseek_ocr_spark.functions import importance as IMP
+    from deepseek_ocr_spark.functions import quality_model as QM
+
+    b = QM.N_FEAT_BUCKETS
+    return f"""
+WITH w0 AS (
+  SELECT doc_id, coalesce(lang = 'en', false) AS __is_pos,
+         string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+  FROM documents
+), f AS (
+  SELECT doc_id, __is_pos,
+         unnest(ws || list_transform(range(1, len(ws)),
+                                     i -> ws[i] || '_' || ws[i + 1])) AS tok
+  FROM w0
+), bk AS (
+  SELECT doc_id, __is_pos,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % {b} AS b
+  FROM f
+), c AS (
+  SELECT b, sum(__is_pos::BIGINT) AS c_t,
+         sum((NOT __is_pos)::BIGINT) AS c_r
+  FROM bk GROUP BY b
+), spine AS (
+  SELECT unnest(range({b}))::INT AS b
+), full_c AS (
+  SELECT spine.b, coalesce(c.c_t, 0) AS c_t, coalesce(c.c_r, 0) AS c_r
+  FROM spine LEFT JOIN c USING (b)
+), n AS (
+  SELECT sum(c_t)::BIGINT AS n_t, sum(c_r)::BIGINT AS n_r FROM full_c
+), r1 AS (
+  SELECT b, {IMP.RATIO_SQL.format(b=b)} AS __r FROM full_c, n
+), r2 AS (
+  SELECT b, {IMP.Z_SQL} AS __z FROM r1
+), r3 AS (
+  SELECT b, __z, {IMP.Z2_SQL} AS __z2 FROM r2
+), model AS (
+  SELECT b, {IMP.LR_FP_SQL} AS w_fp FROM r3
+), s AS (
+  SELECT bk.doc_id, count(*)::BIGINT AS n_feats,
+         sum(model.w_fp)::BIGINT AS score_fp
+  FROM bk JOIN model USING (b) GROUP BY bk.doc_id
+)
+SELECT doc_id, n_feats, score_fp, {QM.SCORE_PF_SQL} AS score_pf_fp
+FROM s ORDER BY doc_id
+"""
+
+
+SQL_QUALITY_MODEL_SCORE = _quality_model_sql()
+
+
 # Incremental (cross-snapshot) dedup: the fixture corpus is split by
 # doc_id parity into an already-curated OLD half and a NEW snapshot.
 def _snapshot_halves(spark, sf_dir):
@@ -2478,6 +2546,7 @@ SQL_BM25_TOPK = _bm25_sql()
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
+    "quality_model_score": (q_quality_model_score, SQL_QUALITY_MODEL_SCORE),
     # --- round-3 operator families -----------------------------------
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "asof_join_left_tol": (q_asof_join_left_tol, SQL_ASOF_JOIN_LEFT_TOL),

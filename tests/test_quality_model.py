@@ -1,0 +1,113 @@
+"""Model-based quality scoring (functions/quality_model.py): NB
+log-odds linear model over hashed unigram+bigram features. The oracle
+gate (scripts/check_oracle.py: quality_model_score) cross-checks the
+fixed-point math against DuckDB; here we pin the classifier SEMANTICS
+— separation, bigram sensitivity, partitioning-independence — and the
+curate() wiring."""
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions import quality_model as QM
+
+POS = [
+    (f"p{i}", "thoughtful analysis of distributed query planning and "
+              "careful measurement of shuffle behavior in practice")
+    for i in range(6)
+]
+NEG = [
+    (f"n{i}", "click here buy now cheap deals click here limited offer "
+              "subscribe click here")
+    for i in range(6)
+]
+
+
+def _train(spark):
+    labeled = spark.createDataFrame(
+        [(u, t, True) for u, t in POS] + [(u, t, False) for u, t in NEG],
+        "url string, text string, is_pos boolean",
+    )
+    return QM.train_quality_model(
+        labeled, F.col("is_pos"), "url", "text"
+    )
+
+
+def test_model_separates_pos_from_neg(spark):
+    model = _train(spark)
+    assert model.count() == QM.N_FEAT_BUCKETS  # full spine, broadcastable
+    docs = spark.createDataFrame(
+        [("good", POS[0][1] + " with fresh words too"),
+         ("bad", NEG[0][1] + " order today")],
+        "url string, text string",
+    )
+    got = {r["url"]: r for r in
+           QM.score_with_model(docs, model, "url", "text").collect()}
+    assert got["good"]["score_pf_fp"] > 0 > got["bad"]["score_pf_fp"]
+    # floored normalization is consistent with the raw sum
+    for r in got.values():
+        assert r["score_pf_fp"] <= r["score_fp"] / r["n_feats"]
+
+
+def test_bigram_features_present_and_guarded(spark):
+    """Word bigrams are real features (an n-word doc has 2n-1), and a
+    one-word doc emits exactly one unigram — the sequence(1,0)
+    descending quirk must not fabricate bigrams."""
+    one = spark.createDataFrame([("u", "solo")], "url string, text string")
+    multi = spark.createDataFrame(
+        [("u", "alpha beta gamma")], "url string, text string"
+    )
+    assert QM.hashed_ngram_features(one, "url", "text").count() == 1
+    assert QM.hashed_ngram_features(multi, "url", "text").count() == 5
+    # phrase order matters: 'beta alpha' hashes different bigrams
+    a = QM.hashed_ngram_features(multi, "url", "text")
+    b = QM.hashed_ngram_features(
+        spark.createDataFrame(
+            [("u", "gamma beta alpha")], "url string, text string"
+        ),
+        "url", "text",
+    )
+    assert (sorted(r["b"] for r in a.collect())
+            != sorted(r["b"] for r in b.collect()))
+
+
+def test_scores_partitioning_independent(spark):
+    """Fixed-point aggregation: identical scores at any parallelism."""
+    model = _train(spark)
+    docs = spark.createDataFrame(
+        [(u, t) for u, t in POS[:2] + NEG[:2]], "url string, text string"
+    )
+    base = {r["url"]: (r["score_fp"], r["n_feats"]) for r in
+            QM.score_with_model(docs, model, "url", "text").collect()}
+    re7 = {r["url"]: (r["score_fp"], r["n_feats"]) for r in
+           QM.score_with_model(
+               docs.repartition(7), model, "url", "text"
+           ).collect()}
+    assert base == re7
+
+
+def test_gate_and_curate_wiring(spark):
+    """quality_model_gate keeps positives and drops negatives; the
+    curate() flag applies it after the shallow quality gate with a
+    funnel entry."""
+    from deepseek_ocr_spark.curate import curate
+
+    model = _train(spark)
+    docs = spark.createDataFrame(
+        [("keep", POS[0][1]), ("drop", NEG[0][1])],
+        "url string, text string",
+    )
+    kept = QM.quality_model_gate(docs, model, "url", "text").collect()
+    assert [r["url"] for r in kept] == ["keep"]
+
+    mk = lambda body: f"<html><body><p>{body}</p></body></html>".encode()
+    pages = spark.createDataFrame(
+        [("https://a.example/good", None, mk(POS[0][1]), None, None),
+         ("https://b.example/bad", None, mk(NEG[0][1]), None, None)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    final, funnel = curate(
+        pages, parallelism=2, quality_model_weights=model
+    )
+    assert funnel["curated"] == 2
+    assert funnel["after_quality_model"] == 1
+    assert [r["url"] for r in final.collect()] == ["https://a.example/good"]
+    spark.catalog.clearCache()
