@@ -108,6 +108,9 @@ HEADLINE = [
     "decontaminate",
     "simhash_neardup_pairs",
     "bm25_topk",
+    # round 4
+    "quality_model_score",
+    "hyperball_harmonic",
 ]
 
 

@@ -188,9 +188,9 @@ def harmonic_centrality(
     receive dropped-row metrics with the first action (the LSH-cap
     contract; same AQE empty-result caveat as
     dedup.lsh_candidate_pairs). ``frontier_cap=None`` restores the
-    exact variant. For graphs where even cap x |E| is too much, the
-    published approach is HyperBall (HyperLogLog neighborhood
-    sketches, O(V) state) behind this same signature."""
+    exact variant. For graphs where even cap x |E| is too much — or
+    where lossless hub treatment matters more than exact counts — use
+    ``hyperball_harmonic`` (HLL sketches, O(V) state, no cap)."""
     e = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).filter(F.col("u") != F.col("v")).distinct()
@@ -218,6 +218,139 @@ def harmonic_centrality(
             F.sum(F.expr(f"{scale} DIV d")).cast("bigint").alias("harmonic_fp"),
             F.count("*").alias("n_reached"),
         )
+    )
+
+
+# ---- HyperBall (Boldi & Vigna 2013) --------------------------------
+# In-harmonic centrality via HyperLogLog neighborhood sketches: O(V)
+# state (16 registers per node) instead of the exact variant's
+# materialized <=K-hop pair set — the published algorithm for
+# centralities on web/host graphs too hub-heavy for exact balls.
+# Everything below is engine-portable and deterministic:
+#  * register init hashes each node with the repo's md5-prefix trick
+#    (low 4 bits pick the register, rho = leading-zero rank of the
+#    remaining 56 bits via length(bin(x)) — identical in Spark and
+#    DuckDB);
+#  * the per-level merge is element-wise max — order- and
+#    partitioning-independent by construction;
+#  * the HLL estimate alpha*m^2/sum(2^-M_j) is one integer shift-sum
+#    (S = sum 2^(58-M_j), max 16*2^58 < 2^63) and ONE correctly-
+#    rounded double divide, floored back to BIGINT — bit-identical
+#    across engines, same contract as importance.py's atanh series.
+# The estimate is our sketch's DEFINITION (no small-range correction),
+# so the DuckDB twin running the same formula hash-matches exactly.
+HB_REGS = 16  # m = 2^4 registers; alpha_16 = 673/1000 (Flajolet 2007)
+HB_SHIFT_BASE = 58  # S terms 2^(58 - M); M in [0, 57]
+_HB_EST_NUM = 673 * HB_REGS * HB_REGS * (1 << HB_SHIFT_BASE)  # exact in double
+
+
+def _hb_rho_sql(rest: str) -> str:
+    """Leading-zero rank (1-based) of a 56-bit value given as SQL
+    expression ``rest``: 57 - bit_length via length(bin(x)), with the
+    all-zero suffix pinned to 57. Shared verbatim by both engines."""
+    return (
+        f"CASE WHEN ({rest}) = 0 THEN 57 "
+        f"ELSE 57 - length(bin({rest})) END"
+    )
+
+
+def _hb_est_exprs(shift):
+    """(S_expr, est_expr) builders. ``shift(one_expr, amount_expr)``
+    renders an engine's 64-bit left shift; the rest of the strings are
+    engine-shared. The double product 673*256*2^58 = 673*2^66 is
+    exactly representable; the single divide is IEEE correctly
+    rounded, so floor() agrees across engines."""
+    s_expr = " + ".join(
+        shift(f"{HB_SHIFT_BASE} - r{j}") for j in range(HB_REGS)
+    )
+    est_expr = (
+        f"CAST(FLOOR(CAST({_HB_EST_NUM} AS DOUBLE) / "
+        f"(1000e0 * CAST(__s AS DOUBLE))) AS BIGINT)"
+    )
+    return s_expr, est_expr
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_depth: int = 3,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """(node, hb_harmonic_fp, ball_est) — approximate truncated
+    in-harmonic centrality H(v) = sum_k (|B_k(v)| - |B_{k-1}(v)|)/k
+    with ball sizes from per-node HLL sketches. Per level: one hash
+    join of the V x 16-register frame onto the edge list, one dst-keyed
+    max-merge partial agg, one node-keyed merge join — state and
+    shuffle are O(V + E) REGARDLESS of hub structure, where the exact
+    `harmonic_centrality` materializes O(sum |ball_K|) pairs (capped
+    but lossy on saturated hubs). Deterministic by construction (max
+    merges, integer shifts, one pinned double divide), so the DuckDB
+    twin hash-matches; accuracy is the standard HLL ~1.04/sqrt(16) =
+    26% per ball — a RANKING signal, not a count. ``ball_est`` is the
+    final ball-size estimate at K.
+    Ref: Boldi & Vigna, "In-Core Computation of Geometric
+    Centralities with HyperBall" (2013)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+
+    h = md5_prefix_int(F.col("node"), 15)
+    rho = F.expr(_hb_rho_sql(f"__h DIV {HB_REGS}"))
+    r = (
+        nodes.withColumn("__h", h)
+        .select(
+            "node",
+            *[
+                F.when((F.col("__h") % HB_REGS) == j, rho)
+                .otherwise(F.lit(0))
+                .cast("int")
+                .alias(f"r{j}")
+                for j in range(HB_REGS)
+            ],
+        )
+    )
+    s_expr, est_expr = _hb_est_exprs(
+        lambda amt: f"shiftleft(cast(1 as bigint), {amt})"
+    )
+
+    def est(frame: DataFrame, name: str) -> DataFrame:
+        return frame.withColumn("__s", F.expr(s_expr)).withColumn(
+            name, F.expr(est_expr)
+        ).drop("__s")
+
+    r = est(r, "e0")
+    for k in range(1, max_depth + 1):
+        nbr = (
+            e.join(r.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(*[F.max(f"r{j}").alias(f"n{j}") for j in range(HB_REGS)])
+        )
+        merged = r.join(nbr, "node", "left").select(
+            "node",
+            *[F.col(c) for c in r.columns if c.startswith("e")][0:k],
+            *[
+                F.greatest(
+                    F.col(f"r{j}"), F.coalesce(F.col(f"n{j}"), F.lit(0))
+                ).alias(f"r{j}")
+                for j in range(HB_REGS)
+            ],
+        )
+        r = est(merged, f"e{k}")
+    h_fp = " + ".join(
+        f"((e{k} - e{k - 1}) * {scale}) DIV {k}"
+        for k in range(1, max_depth + 1)
+    )
+    return r.select(
+        "node",
+        F.expr(h_fp).cast("bigint").alias("hb_harmonic_fp"),
+        F.col(f"e{max_depth}").alias("ball_est"),
     )
 
 

@@ -2434,6 +2434,78 @@ FROM allp GROUP BY v
 SQL_HOST_HARMONIC = _harmonic_sql()
 
 
+def q_hyperball_harmonic(spark, sf_dir):
+    """HyperBall (Boldi-Vigna 2013) approximate in-harmonic centrality
+    over the host graph: per-node 16-register HLL neighborhood
+    sketches, element-wise-max BFS merges, integer shift-sum + one
+    pinned double-divide estimator — O(V) state on any hub structure
+    (functions/graph.py). The sketch math is deterministic, so this is
+    hash-verified, not rows-only."""
+    from deepseek_ocr_spark.functions import graph as GR
+
+    return GR.hyperball_harmonic(
+        _host_edges(spark, sf_dir), "src", "dst"
+    ).orderBy("node")
+
+
+def _hyperball_sql() -> str:
+    from deepseek_ocr_spark.functions import graph as GR
+
+    m, k_max, s = GR.HB_REGS, 3, GR.PR_SCALE
+    regs = range(m)
+    _, est_expr = GR._hb_est_exprs(lambda amt: "")
+    duck_s = " + ".join(
+        f"(1::BIGINT << ({GR.HB_SHIFT_BASE} - r{j}))" for j in regs
+    )
+    rho = GR._hb_rho_sql(f"h // {m}")
+    init_cols = ",\n         ".join(
+        f"CASE WHEN h % {m} = {j} THEN ({rho}) ELSE 0 END AS r{j}"
+        for j in regs
+    )
+    parts = [
+        "WITH "
+        + _HOST_EDGES_SQL
+        + f""",
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, ('0x' || substr(md5(node), 1, 15))::BIGINT AS h
+       FROM nodes),
+r_0 AS (SELECT node,
+         {init_cols}
+        FROM h0),
+est_0 AS (SELECT node, {est_expr.replace("__s", f"({duck_s})")} AS e0
+          FROM r_0)"""
+    ]
+    for k in range(1, k_max + 1):
+        maxes = ", ".join(f"max(r.r{j}) AS n{j}" for j in regs)
+        merges = ",\n         ".join(
+            f"greatest(p.r{j}, coalesce(b.n{j}, 0)) AS r{j}" for j in regs
+        )
+        parts.append(
+            f""",
+nb_{k} AS (SELECT e.dst AS node, {maxes}
+           FROM e JOIN r_{k - 1} r ON r.node = e.src GROUP BY e.dst),
+r_{k} AS (SELECT p.node,
+         {merges}
+        FROM r_{k - 1} p LEFT JOIN nb_{k} b USING (node)),
+est_{k} AS (SELECT node, {est_expr.replace("__s", f"({duck_s})")} AS e{k}
+            FROM r_{k})"""
+        )
+    h_fp = " + ".join(
+        f"((e{k} - e{k - 1}) * {s}) // {k}" for k in range(1, k_max + 1)
+    )
+    joins = " ".join(f"JOIN est_{k} USING (node)" for k in range(1, k_max + 1))
+    parts.append(
+        f"""
+SELECT node, ({h_fp})::BIGINT AS hb_harmonic_fp, e{k_max} AS ball_est
+FROM est_0 {joins}
+ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+SQL_HYPERBALL_HARMONIC = _hyperball_sql()
+
+
 # Wrap each document in deterministic normalization nasties (NBSP,
 # zero-width space, BEL, tab runs, ideographic space, 4x newline) so
 # the cross-engine check exercises every rule on every row — the
@@ -2547,6 +2619,7 @@ SQL_BM25_TOPK = _bm25_sql()
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
     "quality_model_score": (q_quality_model_score, SQL_QUALITY_MODEL_SCORE),
+    "hyperball_harmonic": (q_hyperball_harmonic, SQL_HYPERBALL_HARMONIC),
     # --- round-3 operator families -----------------------------------
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "asof_join_left_tol": (q_asof_join_left_tol, SQL_ASOF_JOIN_LEFT_TOL),

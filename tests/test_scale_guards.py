@@ -390,6 +390,53 @@ def test_harmonic_cap_bounds_hub_graph_100k_edges(spark):
     assert m["max_frontier_l1"] == fan
 
 
+def test_hyperball_harmonic_hub_graph_o_v_state(spark):
+    """HyperBall on the same 5-mega-hub 10^5-edge graph needs NO cap:
+    state is V x 16 registers regardless of hub structure. Sanity:
+    unreached nodes score exactly 0; hubs (10^4-node balls at d=1)
+    outrank their out-fans (same ball one hop later, halved weight);
+    the hub ball estimate lands within HLL accuracy of the truth; and
+    the whole thing is partitioning-independent (max-merges + pinned
+    arithmetic)."""
+    import time
+
+    from deepseek_ocr_spark.functions import graph as GR
+
+    n_hub, fan = 5, 10_000
+    edges = []
+    for h in range(n_hub):
+        edges.extend((f"in{h}_{i}", f"hub{h}") for i in range(fan))
+        edges.extend((f"hub{h}", f"out{h}_{i}") for i in range(fan))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    t0 = time.monotonic()
+    got = {r["node"]: (r["hb_harmonic_fp"], r["ball_est"])
+           for r in GR.hyperball_harmonic(df, "src", "dst").collect()}
+    elapsed = time.monotonic() - t0
+    assert elapsed < 300, f"hyperball took {elapsed:.0f}s"
+    assert len(got) == n_hub * (2 * fan + 1)
+    # nothing reaches the in-nodes: sketch never grows, score exactly 0
+    assert got["in0_0"][0] == 0
+    for h in range(n_hub):
+        hub_h, hub_ball = got[f"hub{h}"]
+        out_h = got[f"out{h}_0"][0]
+        assert hub_h > out_h > 0
+        # HLL m=16 is a ~26%-sigma estimator; the fan+1 truth must sit
+        # within a generous 3-sigma band (the value itself is
+        # DETERMINISTIC — this guards the estimator's calibration)
+        assert 0.35 * (fan + 1) < hub_ball < 2.5 * (fan + 1), hub_ball
+
+def test_hyperball_partitioning_independent(spark):
+    from deepseek_ocr_spark.functions import graph as GR
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "e"),
+             ("e", "a"), ("c", "e")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    one = sorted(map(tuple, GR.hyperball_harmonic(df, "src", "dst").collect()))
+    many = sorted(map(tuple, GR.hyperball_harmonic(
+        df.repartition(7), "src", "dst").collect()))
+    assert one == many
+
+
 def test_kgram_dedup_rewrite_spans(spark):
     """Copied regions are excised from non-first occurrences at word
     granularity; unique tails survive; whole-duplicate docs vanish;
