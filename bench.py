@@ -111,6 +111,8 @@ HEADLINE = [
     # round 4
     "quality_model_score",
     "hyperball_harmonic",
+    "kmeans_assign",
+    "semdedup_keep",
 ]
 
 

@@ -1,0 +1,177 @@
+"""Embedding clustering + semantic dedup — k-means (fixed-point
+Lloyd) and the SemDeDup pruning rule (Abbas et al. 2023).
+
+SemDeDup is the embedding-space analogue of MinHash dedup: cluster
+the corpus's embeddings with k-means, then WITHIN each cluster drop
+documents whose embeddings sit closer than a threshold to a kept
+neighbor — semantic near-duplicates (same content, different words)
+that no lexical pass catches. DCLM and SemDeDup both report sizable
+quality gains from this stage; it composes after lexical dedup in a
+curation funnel.
+
+Determinism (both operators are hash-verified against DuckDB):
+
+* embedding components are floored into 1e-6 fixed-point BIGINTs
+  once, up front — every distance after that is exact integer
+  arithmetic, immune to float summation order;
+* k-means init is the k smallest ids' embeddings (deterministic seed
+  — the k-means++ randomness is a quality knob, not a semantics
+  requirement, and a fixed seed is what makes the run reproducible
+  across engines and reruns);
+* assignment ties break toward the smaller cluster index; centroid
+  means divide AS DOUBLE then floor (Spark DIV truncates, DuckDB //
+  floors — the repo-wide negative-value division rule);
+* iteration count is FIXED (Lloyd converges fast; a production run
+  picks iters like it picks k) so the DuckDB twin unrolls the same
+  updates as chained CTEs.
+
+Scale shape: per iteration, assignment is a broadcast of the k x dim
+centroid frame onto the corpus (k ~ sqrt(N) in SemDeDup practice —
+thousands of rows, still broadcastable) followed by one (cluster,
+idx) partial agg; nothing corpus-quadratic. The SemDeDup prune IS
+quadratic within a cluster by definition — that is why k scales with
+N (expected cluster size N/k stays bounded); the pair join shuffles
+on the cluster key only.
+
+The reference has no clustering/semantic-dedup surface (per-request
+OCR service); this extends the training-data-pipeline family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+KM_K = 8
+KM_ITERS = 3
+EMB_SCALE = 10**6
+
+# mean of possibly-negative fixed-point sums: through DOUBLE, floored
+# (exact while |s| < 2^53 — see similarity.label_centroids)
+_MEAN_FP_SQL = "CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"
+
+
+def emb_fp(emb_col: Column, scale: int = EMB_SCALE) -> Column:
+    """array<float> → array<bigint>, each component floored into
+    ``scale`` fixed point (the one float→int crossing; everything
+    downstream is exact)."""
+    return F.transform(
+        emb_col,
+        lambda v: F.floor(v.cast("double") * scale).cast("bigint"),
+    )
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between two fixed-point arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    scale: int = EMB_SCALE,
+) -> DataFrame:
+    """(id, cluster, dist_fp2) after ``iters`` fixed-point Lloyd
+    updates from the deterministic smallest-k-ids init. ``dist_fp2``
+    is the exact integer squared L2 to the final centroid (scale^2
+    units). A cluster that empties mid-run simply stops existing —
+    the same thing happens in the unrolled DuckDB twin, so results
+    stay bit-identical."""
+    x = df.select(
+        F.col(id_col).alias("id"), emb_fp(F.col(emb_col), scale).alias("x")
+    )
+    cent = (
+        x.orderBy("id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("id")) - 1).alias("c"),
+            F.col("x").alias("cx"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign(x, cent)
+        cent = (
+            assigned.select(
+                "cluster", F.posexplode("x").alias("idx", "v")
+            )
+            .groupBy("cluster", "idx")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .withColumn("m", F.expr(_MEAN_FP_SQL))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "m"))),
+                    lambda st: st["m"],
+                ).alias("cx")
+            )
+            .select(F.col("cluster").alias("c"), "cx")
+        )
+    return _assign(x, cent).select(
+        F.col("id").alias(id_col), "cluster", "dist_fp2"
+    )
+
+
+def _assign(x: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id, x, cluster, dist_fp2): nearest centroid per point —
+    broadcast k-row centroid frame, exact integer distances, ties to
+    the smaller cluster index (min over (dist, c) structs)."""
+    scored = x.crossJoin(F.broadcast(cent)).select(
+        "id", "x",
+        F.struct(
+            _sq_l2(F.col("x"), F.col("cx")).alias("d"), F.col("c").alias("c")
+        ).alias("dc"),
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.min("dc").alias("m"), F.first("x").alias("x"))
+        .select(
+            "id", "x",
+            F.col("m.c").alias("cluster"), F.col("m.d").alias("dist_fp2"),
+        )
+    )
+
+
+def semdedup_keep(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    max_dist_fp2: int,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    scale: int = EMB_SCALE,
+) -> DataFrame:
+    """SemDeDup: rows of ``df`` that survive within-cluster semantic
+    dedup — a row is DROPPED iff some smaller-id row in its k-means
+    cluster sits within ``max_dist_fp2`` (exact integer squared L2 in
+    scale^2 units; for unit-normalized embeddings, cosine >= t maps to
+    dist <= 2(1-t)*scale^2). Greedy-by-id keep-first — the
+    deterministic version of SemDeDup's keep-one-per-duplicate-set.
+    One cluster-keyed self-join; quadratic only within a cluster,
+    which SemDeDup bounds by scaling k with corpus size."""
+    a = kmeans_assign(df, id_col, emb_col, k, iters, scale)
+    withx = a.join(
+        df.select(
+            F.col(id_col), emb_fp(F.col(emb_col), scale).alias("x")
+        ),
+        id_col,
+    )
+    l, r = withx.alias("l"), withx.alias("r")
+    losers = (
+        l.join(
+            r,
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .filter(_sq_l2(F.col("l.x"), F.col("r.x")) <= max_dist_fp2)
+        .select(F.col(f"r.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -2241,6 +2241,113 @@ FROM s ORDER BY doc_id
 SQL_QUALITY_MODEL_SCORE = _quality_model_sql()
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """Fixed-point k-means (functions/clustering.py): k=8, 3 Lloyd
+    iterations from the deterministic smallest-ids init; exact integer
+    squared-L2 assignment with ties to the smaller cluster. The
+    clustering stage SemDeDup builds on."""
+    from deepseek_ocr_spark.functions import clustering as CL
+
+    e = _t(spark, sf_dir, "embeddings")
+    return CL.kmeans_assign(e, "vec_id", "embedding").orderBy("vec_id")
+
+
+# Semantic near-dup threshold for the fixture corpus: squared L2 in
+# (1e-6)^2 fixed-point units. The sf0.01 minimum pairwise distance is
+# ~0.974e12, so 1.3e12 prunes the close tail without collapsing
+# clusters wholesale.
+_SEMDEDUP_THR_FP2 = 1_300_000_000_000
+
+
+def q_semdedup_keep(spark, sf_dir):
+    """SemDeDup (Abbas 2023): drop embeddings sitting within the
+    threshold of a smaller-id member of their own k-means cluster —
+    semantic near-duplicates no lexical dedup catches."""
+    from deepseek_ocr_spark.functions import clustering as CL
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        CL.semdedup_keep(
+            e, "vec_id", "embedding", _SEMDEDUP_THR_FP2
+        )
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+def _kmeans_cte() -> str:
+    """Shared CTE chain: x (fixed-point embeddings), unrolled Lloyd
+    iterations, `fin` = final assignment carrying x."""
+    from deepseek_ocr_spark.functions import clustering as CL
+
+    k, iters, s = CL.KM_K, CL.KM_ITERS, CL.EMB_SCALE
+    dist = (
+        "list_sum(list_transform(range(1, len(x.x) + 1),"
+        " j -> (x.x[j] - c.cx[j]) * (x.x[j] - c.cx[j])))"
+    )
+    parts = [
+        f"""
+WITH x AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+                        v -> CAST(FLOOR(CAST(v AS DOUBLE) * {s}) AS BIGINT))
+           AS x
+  FROM embeddings
+), c_0 AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS c, x AS cx FROM x
+  QUALIFY row_number() OVER (ORDER BY id) <= {k}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", a_{i} AS (
+  SELECT x.id, x.x, c.c, {dist} AS d
+  FROM x, c_{i - 1} c
+  QUALIFY row_number() OVER (PARTITION BY x.id ORDER BY {dist}, c.c) = 1
+), u_{i} AS (
+  SELECT c AS cluster, unnest(generate_series(0, len(x) - 1)) AS idx,
+         unnest(x) AS v
+  FROM a_{i}
+), m_{i} AS (
+  SELECT cluster, idx,
+         CAST(FLOOR(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+              AS BIGINT) AS m
+  FROM u_{i} GROUP BY cluster, idx
+), c_{i} AS (
+  SELECT cluster AS c, list(m ORDER BY idx) AS cx FROM m_{i} GROUP BY cluster
+)"""
+        )
+    parts.append(
+        f""", fin AS (
+  SELECT x.id, x.x, c.c AS cluster, {dist} AS dist_fp2
+  FROM x, c_{iters} c
+  QUALIFY row_number() OVER (PARTITION BY x.id ORDER BY {dist}, c.c) = 1
+)"""
+    )
+    return "".join(parts)
+
+
+SQL_KMEANS_ASSIGN = (
+    _kmeans_cte()
+    + "\nSELECT id AS vec_id, cluster, dist_fp2 FROM fin ORDER BY vec_id"
+)
+
+SQL_SEMDEDUP_KEEP = (
+    _kmeans_cte()
+    + f"""
+SELECT e.vec_id, e.label FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM fin a JOIN fin b
+    ON a.cluster = b.cluster AND a.id < b.id
+  WHERE b.id = e.vec_id
+    AND list_sum(list_transform(range(1, len(a.x) + 1),
+                 j -> (a.x[j] - b.x[j]) * (a.x[j] - b.x[j])))
+        <= {_SEMDEDUP_THR_FP2})
+ORDER BY e.vec_id
+"""
+)
+
+
 # Incremental (cross-snapshot) dedup: the fixture corpus is split by
 # doc_id parity into an already-curated OLD half and a NEW snapshot.
 def _snapshot_halves(spark, sf_dir):
@@ -2620,6 +2727,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # --- round-4 queries ---------------------------------------------
     "quality_model_score": (q_quality_model_score, SQL_QUALITY_MODEL_SCORE),
     "hyperball_harmonic": (q_hyperball_harmonic, SQL_HYPERBALL_HARMONIC),
+    "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
+    "semdedup_keep": (q_semdedup_keep, SQL_SEMDEDUP_KEEP),
     # --- round-3 operator families -----------------------------------
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "asof_join_left_tol": (q_asof_join_left_tol, SQL_ASOF_JOIN_LEFT_TOL),

@@ -1,0 +1,65 @@
+"""k-means + SemDeDup semantics (functions/clustering.py). The oracle
+gate (kmeans_assign / semdedup_keep) pins cross-engine bit-identity;
+here we pin clustering behavior on separable data, the greedy
+keep-first dedup rule, and partitioning-independence."""
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions import clustering as CL
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    """Three well-separated blobs end up in three distinct clusters
+    with all members co-assigned."""
+    blob = lambda base, i: [float(base + 0.01 * i), float(base), 0.0, 0.0]
+    rows = (
+        [(i, blob(0.0, i)) for i in range(4)]
+        + [(10 + i, blob(5.0, i)) for i in range(4)]
+        + [(20 + i, blob(-5.0, i)) for i in range(4)]
+    )
+    got = {r["vec_id"]: r["cluster"] for r in
+           CL.kmeans_assign(_vecs(spark, rows), "vec_id", "embedding",
+                            k=3, iters=4).collect()}
+    groups = [
+        {got[i] for i in range(4)},
+        {got[10 + i] for i in range(4)},
+        {got[20 + i] for i in range(4)},
+    ]
+    assert all(len(g) == 1 for g in groups), got
+    assert len(set().union(*groups)) == 3
+
+
+def test_kmeans_partitioning_independent(spark):
+    rows = [(i, [float((i * 7) % 5), float((i * 3) % 4), 1.0, -0.5])
+            for i in range(40)]
+    df = _vecs(spark, rows)
+    one = sorted(map(tuple,
+                     CL.kmeans_assign(df, "vec_id", "embedding").collect()))
+    many = sorted(map(tuple, CL.kmeans_assign(
+        df.repartition(7), "vec_id", "embedding").collect()))
+    assert one == many
+
+
+def test_semdedup_drops_semantic_twin_keeps_first(spark):
+    """A near-identical embedding pair inside one cluster: the larger
+    id drops, the smaller survives; a far-away point in the same
+    cluster survives; cross-cluster closeness is never compared."""
+    rows = [
+        (1, [1.0, 1.0, 0.0, 0.0]),
+        (2, [1.001, 1.0, 0.0, 0.0]),   # semantic twin of 1
+        (3, [1.5, 1.4, 0.0, 0.0]),     # same region, not a twin
+        (10, [-5.0, -5.0, 0.0, 0.0]),  # different cluster
+    ]
+    kept = sorted(
+        r["vec_id"]
+        for r in CL.semdedup_keep(
+            _vecs(spark, rows), "vec_id", "embedding",
+            max_dist_fp2=10**9,  # (0.0316)^2 in real units
+            k=2, iters=3,
+        ).collect()
+    )
+    assert kept == [1, 3, 10]
