@@ -46,6 +46,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             "export-zip",
             "annotate",
             "host-graph",
+            "train-quality-model",
         ),
         default="extract",
         help="extract: pages -> extracted table; curate: pages -> "
@@ -54,8 +55,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "per PAGE — for page-heavy corpora); export-zip: EXTRACTED "
         "table -> one result-bundle zip shard per partition (S8); "
         "annotate: EXTRACTED table -> (url, annotated_pdf) table (S9); "
-        "host-graph: pages -> host edge list + degrees + PageRank "
-        "(link-quality signals a la the CC host graph)",
+        "host-graph: pages -> host edge list + degrees + PageRank + "
+        "harmonic (exact capped + HyperBall sketch) link-quality "
+        "signals a la the CC host graph; train-quality-model: "
+        "--qm-positive reference corpus vs --input raw corpus (both "
+        "(url, text) tables) -> 4096-row (b, w_fp) classifier weight "
+        "table at --output (feed it back via --quality-model)",
     )
     p.add_argument(
         "--merge-variant",
@@ -137,6 +142,27 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "format: one doc per line, .json.gz per partition)",
     )
     p.add_argument(
+        "--qm-positive",
+        default=None,
+        help="train-quality-model mode: parquet path of the POSITIVE "
+        "(high-quality reference) corpus; --input is the negative/raw "
+        "side",
+    )
+    p.add_argument(
+        "--quality-model",
+        default=None,
+        help="curate mode: parquet path of a trained (b, w_fp) weight "
+        "table (see train-quality-model); applies the classifier gate "
+        "after the shallow quality gate",
+    )
+    p.add_argument(
+        "--quality-model-min-pf",
+        type=int,
+        default=0,
+        help="curate mode: minimum length-normalized model score in "
+        "1e-6 fixed point (0 = more positive-like than negative-like)",
+    )
+    p.add_argument(
         "--make-zip",
         action="store_true",
         help="only build the --py-files artifact and print its path",
@@ -178,6 +204,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         else:
             pages = spark.read.parquet(args.input)
         langs = _parse_languages(args.languages)
+        qm_weights = (
+            spark.read.parquet(args.quality_model)
+            if args.quality_model
+            else None
+        )
         final, funnel = curate(
             pages,
             parallelism=args.parallelism,
@@ -186,6 +217,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             dsir_target_langs=_parse_languages(args.dsir_target_langs),
             normalize=args.normalize,
             substring_dedup=args.substring_dedup,
+            quality_model_weights=qm_weights,
+            quality_model_min_pf=args.quality_model_min_pf,
         )
         if args.output_format == "jsonl":
             # one gzipped JSON-lines shard per partition — Spark's
@@ -233,11 +266,35 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         GR.harmonic_centrality(edges, "src", "dst").write.mode(
             "overwrite"
         ).parquet(f"{args.output}/harmonic")
+        GR.hyperball_harmonic(edges, "src", "dst").write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/harmonic_hb")
         n_edges = edges.count()
         n_hosts = spark.read.parquet(f"{args.output}/pagerank").count()
         edges.unpersist()
         print(json.dumps({"mode": "host-graph", "edges": n_edges,
                           "hosts": n_hosts}))
+    elif args.mode == "train-quality-model":
+        from pyspark.sql import functions as F
+
+        from deepseek_ocr_spark.functions import quality_model as QM
+
+        if not args.qm_positive:
+            print("--qm-positive is required", file=sys.stderr)
+            if own_session:
+                spark.stop()
+            return 2
+        pos = spark.read.parquet(args.qm_positive).select("url", "text")
+        neg = spark.read.parquet(args.input).select("url", "text")
+        labeled = pos.withColumn("__is_pos", F.lit(True)).unionByName(
+            neg.withColumn("__is_pos", F.lit(False))
+        )
+        model = QM.train_quality_model(
+            labeled, F.col("__is_pos"), "url", "text"
+        )
+        model.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"mode": "train-quality-model", "buckets": n}))
     elif args.mode == "extract-pdf-exploded":
         from deepseek_ocr_spark.operators.pdf_pages import extract_pdf_distributed
 

@@ -179,3 +179,53 @@ def test_cli_curate_jsonl_output(spark, pages_path, tmp_path, capsys):
                 n_lines += 1
     assert n_lines == summary["curated"]
     assert {"url", "text", "n_tokens", "quality"} <= seen_keys
+
+
+def test_cli_train_quality_model_and_curate_gate(spark, tmp_path, capsys):
+    """--mode train-quality-model writes the 4096-row weight table;
+    feeding it back through --quality-model applies the classifier
+    gate in curate mode with its own funnel entry."""
+    from deepseek_ocr_spark.functions import quality_model as QM
+
+    pos_rows = [(f"https://ref.example/{i}",
+                 "thoughtful analysis of distributed query planning and "
+                 "careful measurement of shuffle behavior in practice")
+                for i in range(5)]
+    neg_rows = [(f"https://spam.example/{i}",
+                 "click here buy now cheap deals click here limited "
+                 "offer subscribe click here")
+                for i in range(5)]
+    pos_p, neg_p = str(tmp_path / "pos"), str(tmp_path / "neg")
+    spark.createDataFrame(pos_rows, "url string, text string").write.parquet(pos_p)
+    spark.createDataFrame(neg_rows, "url string, text string").write.parquet(neg_p)
+    model_p = str(tmp_path / "qm_weights")
+    rc = main(
+        ["--mode", "train-quality-model", "--input", neg_p,
+         "--qm-positive", pos_p, "--output", model_p],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"mode": "train-quality-model",
+                       "buckets": QM.N_FEAT_BUCKETS}
+
+    mk = lambda body: f"<html><body><p>{body}</p></body></html>".encode()
+    pages_p = str(tmp_path / "pages_qm")
+    spark.createDataFrame(
+        [("https://a.example/good", None, mk(pos_rows[0][1]), None, None),
+         ("https://b.example/bad", None, mk(neg_rows[0][1]), None, None)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).write.parquet(pages_p)
+    out = str(tmp_path / "qm_corpus")
+    rc = main(
+        ["--mode", "curate", "--input", pages_p, "--output", out,
+         "--quality-model", model_p, "--parallelism", "2"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["curated"] == 2
+    assert summary["after_quality_model"] == 1
+    kept = [r["url"] for r in spark.read.parquet(out).collect()]
+    assert kept == ["https://a.example/good"]
+    spark.catalog.clearCache()
