@@ -242,3 +242,28 @@ def test_host_pagerank_plan_is_join_clean(spark):
     plan = plan_of(REGISTRY["host_pagerank"][0](spark, SF))
     assert "CartesianProduct" not in plan
     assert "NestedLoopJoin" not in plan.replace("BroadcastNestedLoopJoin", "")
+
+
+def test_quality_model_scoring_broadcasts_weights(spark):
+    """The classifier's scoring join must broadcast the 4096-row
+    weight table onto the feature stream — a shuffled join there
+    would re-shuffle the whole corpus's exploded n-grams at 100 TB.
+    The model-side spine (range + counts) must never be a cartesian
+    growth: no CartesianProduct anywhere."""
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["quality_model_score"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_broadcasts_centroids(spark):
+    """Every Lloyd assignment joins the corpus against the k x dim
+    centroid frame — that side must broadcast (BroadcastNestedLoopJoin
+    is the expected shape for the keyless cross join against the tiny
+    centroid frame); nothing may plan a real CartesianProduct."""
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["kmeans_assign"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
