@@ -271,7 +271,8 @@ def model_quality_gate(
     every doc against a PRE-TRAINED broadcast (b, w_fp) weight table
     (functions/quality_model.py — train once on reference corpora,
     ship the 4096-row artifact to every snapshot) and keep docs whose
-    length-normalized log-odds clear ``min_score_pf_fp``."""
+    length-normalized log-odds are STRICTLY greater than
+    ``min_score_pf_fp`` (an exact tie at the threshold is dropped)."""
     from deepseek_ocr_spark.functions import quality_model as QM
 
     return QM.quality_model_gate(

@@ -147,6 +147,7 @@ def semdedup_keep(
     k: int = KM_K,
     iters: int = KM_ITERS,
     scale: int = EMB_SCALE,
+    persist_assign: bool = True,
 ) -> DataFrame:
     """SemDeDup: rows of ``df`` that survive within-cluster semantic
     dedup — a row is DROPPED iff some smaller-id row in its k-means
@@ -155,7 +156,17 @@ def semdedup_keep(
     dist <= 2(1-t)*scale^2). Greedy-by-id keep-first — the
     deterministic version of SemDeDup's keep-one-per-duplicate-set.
     One cluster-keyed self-join; quadratic only within a cluster,
-    which SemDeDup bounds by scaling k with corpus size."""
+    which SemDeDup bounds by scaling k with corpus size.
+
+    ``persist_assign`` (default ON — the opposite default from the
+    shingle-explode knobs in dedup.py, deliberately) caches the
+    assigned frame: it is consumed THREE times (both sides of the
+    within-cluster self-join plus, via the anti-join, the losers
+    branch), and each uncached consumer replays the ENTIRE unrolled
+    Lloyd DAG — ``iters`` rounds of corpus-wide broadcast-distance
+    scoring and two aggregations each — not a single cheap projection
+    like a shingle explode. The values are deterministic fixed-point
+    ints, so caching cannot change results."""
     a = kmeans_assign(df, id_col, emb_col, k, iters, scale)
     withx = a.join(
         df.select(
@@ -163,6 +174,8 @@ def semdedup_keep(
         ),
         id_col,
     )
+    if persist_assign:
+        withx = withx.persist()
     l, r = withx.alias("l"), withx.alias("r")
     losers = (
         l.join(

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -107,6 +107,31 @@ def shingle_base_hash(col):
     return F.pmod(
         F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint"),
         F.lit(MINHASH_PRIME),
+    )
+
+
+def band_hashes_col() -> Column:
+    """The LSH band keys as one array expression over a signature row
+    (columns h0..h{N_HASHES-1}): band_i = md5 of ``h_{2i}:h_{2i+1}``.
+
+    This is THE band definition — the batch pair join
+    (``lsh_candidate_pairs``), the incremental new-vs-old join
+    (``incremental_lsh_pairs_from_signatures``), and the streaming
+    gate's stored corpus layout (``banded_signature_frame``) all call
+    this one helper, because the stream-static propose join only works
+    if the corpus table built yesterday and the micro-batch banded
+    today produce byte-identical band keys. Never inline a copy."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col(f"h{2 * i}").cast("string"),
+                    F.col(f"h{2 * i + 1}").cast("string"),
+                )
+            )
+            for i in range(N_BANDS)
+        ]
     )
 
 
@@ -202,18 +227,7 @@ def lsh_candidate_pairs(
     (curate() does). Any surviving bucket, or AQE off, and the metrics
     arrive normally.
     """
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.col(f"h{2 * i}").cast("string"),
-                    F.col(f"h{2 * i + 1}").cast("string"),
-                )
-            )
-            for i in range(N_BANDS)
-        ]
-    )
+    bands = band_hashes_col()
     banded = sig.select(
         F.col(id_col), F.posexplode(bands).alias("band_idx", "band")
     )
@@ -269,18 +283,7 @@ def banded_signature_frame(sig: DataFrame, id_col: str) -> DataFrame:
     per-drain re-banding). Band definition is identical to
     ``incremental_lsh_pairs_from_signatures``: md5 of h_{2i}:h_{2i+1},
     matched only within the same band_idx."""
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.col(f"h{2 * i}").cast("string"),
-                    F.col(f"h{2 * i + 1}").cast("string"),
-                )
-            )
-            for i in range(N_BANDS)
-        ]
-    )
+    bands = band_hashes_col()
     return sig.select(
         F.col(id_col).alias("id"),
         F.posexplode(bands).alias("band_idx", "band"),
@@ -344,21 +347,9 @@ def incremental_lsh_pairs_from_signatures(
     curated corpus's signatures are computed once and stored, and each
     micro-batch signs only its own documents."""
     def _banded(sig: DataFrame, side: str) -> DataFrame:
-        bands = F.array(
-            *[
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col(f"h{2 * i}").cast("string"),
-                        F.col(f"h{2 * i + 1}").cast("string"),
-                    )
-                )
-                for i in range(N_BANDS)
-            ]
-        )
         return sig.select(
             F.col(id_col).alias("id"),
-            F.posexplode(bands).alias("band_idx", "band"),
+            F.posexplode(band_hashes_col()).alias("band_idx", "band"),
             F.lit(side).alias("side"),
         )
 

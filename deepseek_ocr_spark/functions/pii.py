@@ -26,10 +26,16 @@ phone number):
   they collide with prose number runs;
 * IPv4 dotted quads;
 * IPv6 — full 8-group form, ``::``-compressed interior
-  (``2001:db8::1``), and trailing-``::`` prefixes (``fe80::``).
-  Leading-``::`` forms (``::1``) are NOT matched: ``\\b`` cannot
-  anchor before a colon, and a bare ``::1`` in prose is almost
-  always a loopback literal in code, not PII;
+  (``2001:db8::1``), and trailing-``::`` prefixes of at least two
+  groups (``2001:db8::``). Leading-``::`` forms (``::1``) are NOT
+  matched: ``\\b`` cannot anchor before a colon, and a bare ``::1``
+  in prose is almost always a loopback literal in code, not PII.
+  Single-group trailing forms (``fe80::``) are also NOT matched —
+  that shape is indistinguishable from hex-looking scope paths in
+  code (Rust ``f64::MAX``, C++ ``face::method()``), which are far
+  more common in a crawl than a bare link-local prefix, and a bare
+  prefix identifies no host anyway (``fe80::1`` etc. still match
+  via the interior-compressed alternative);
 * credentials — AWS access-key ids (``AKIA…``/``ASIA…``), GitHub
   tokens (``ghp_…`` family), and ``Bearer <16+ token chars>``
   authorization values.
@@ -55,7 +61,7 @@ IPV6_RE = (
     r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
     r"|\b(?:[0-9A-Fa-f]{1,4}:){1,7}:(?:[0-9A-Fa-f]{1,4}:){0,5}"
     r"[0-9A-Fa-f]{1,4}\b"
-    r"|\b(?:[0-9A-Fa-f]{1,4}:){1,7}:"
+    r"|\b(?:[0-9A-Fa-f]{1,4}:){2,7}:"
 )
 # Optional +CC prefix, then (area) or area with a ./- separator, then
 # NNN<sep>NNNN. The \b inside the second alternative stops a match

@@ -187,9 +187,12 @@ def quality_model_gate(
     min_score_pf_fp: int = 0,
     n_buckets: int = N_FEAT_BUCKETS,
 ) -> DataFrame:
-    """Keep docs whose length-normalized model score clears
-    ``min_score_pf_fp`` (1e-6 fixed point; 0 = 'more positive-like
-    than negative-like'). One semi-join back onto ``docs``."""
+    """Keep docs whose length-normalized model score is STRICTLY
+    greater than ``min_score_pf_fp`` (1e-6 fixed point). The
+    inequality is strict on purpose: at the default threshold 0 a doc
+    scoring exactly 0 is a positive/negative TIE, not 'more
+    positive-like', so it is dropped. One semi-join back onto
+    ``docs``."""
     keep = score_with_model(docs, model, id_col, text_col, n_buckets).filter(
         F.col("score_pf_fp") > min_score_pf_fp
     )

@@ -159,8 +159,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "--quality-model-min-pf",
         type=int,
         default=0,
-        help="curate mode: minimum length-normalized model score in "
-        "1e-6 fixed point (0 = more positive-like than negative-like)",
+        help="curate mode: keep docs whose length-normalized model "
+        "score is STRICTLY greater than this (1e-6 fixed point; at the "
+        "default 0 an exact tie is dropped)",
     )
     p.add_argument(
         "--make-zip",

@@ -2755,12 +2755,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dsir_topk": (q_dsir_topk, SQL_DSIR_TOPK),
     "format_signals": (q_format_signals, SQL_FORMAT_SIGNALS),
     "url_signals": (q_url_signals, SQL_URL_SIGNALS),
-    "token_count_multilingual": (
-        q_token_count_multilingual,
-        SQL_TOKEN_COUNT_ML,
-    ),
-    "encoding_quality": (q_encoding_quality, SQL_ENCODING_QUALITY),
-    "emb_label_centroids": (q_emb_label_centroids, SQL_EMB_LABEL_CENTROIDS),
     # --- round-2 queries displaced from the r3 window ----------------
     "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),
     "b64_roundtrip": (q_b64_roundtrip, SQL_B64_ROUNDTRIP),
@@ -2771,8 +2765,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     # --- dedup family (bucketed-join shapes) -------------------------
-    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
-    "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
@@ -2794,9 +2786,19 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ivf_recall": (q_ivf_recall, None),
     "emb_norm_by_label": (q_emb_norm_by_label, SQL_EMB_NORM_BY_LABEL),
     # ------------------------------------------------------------------
-    # BELOW THE DRIVER'S 50-SLOT CUT: stable relational/text shapes,
-    # driver-verified in rounds 1-3, re-verified locally every round.
+    # BELOW THE DRIVER'S 50-SLOT CUT: stable shapes driver-verified in
+    # rounds 1-3 and UNCHANGED since, re-verified locally every round.
+    # (Exactly 50 entries sit above this banner — tests/test_review_
+    # fixes.py pins the count so the policy can't silently drift.)
     # ------------------------------------------------------------------
+    "token_count_multilingual": (
+        q_token_count_multilingual,
+        SQL_TOKEN_COUNT_ML,
+    ),
+    "encoding_quality": (q_encoding_quality, SQL_ENCODING_QUALITY),
+    "emb_label_centroids": (q_emb_label_centroids, SQL_EMB_LABEL_CENTROIDS),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "size_gate": (q_size_gate, SQL_SIZE_GATE),
     "eos_filter": (q_eos_filter, SQL_EOS_FILTER),

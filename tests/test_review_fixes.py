@@ -383,3 +383,37 @@ def test_budget_disables_after_too_many_written_off_threads():
         assert ex("slow3", b"", 0)["status"] == "error"  # budget is back on
     finally:
         gate.set()
+
+
+def test_registry_window_holds_exactly_fifty_entries():
+    """The driver's correctness gate checks the FIRST 50 registry
+    entries; the ordering-policy comment promises the round-4 queries
+    and the whole ANN/embedding family sit inside that window. Pin the
+    banner position so an insertion can't silently push entries out."""
+    import inspect
+    import re
+
+    from deepseek_ocr_spark import queries
+
+    src = inspect.getsource(queries)
+    reg_src = src.split("REGISTRY: dict")[1]
+    above = reg_src.split("BELOW THE DRIVER'S 50-SLOT CUT")[0]
+    in_window = re.findall(r'^\s+"(\w+)":', above, re.M)
+    assert len(in_window) == 50, (
+        f"{len(in_window)} registry entries above the 50-slot banner; "
+        "move the banner or demote stable driver-verified shapes"
+    )
+    assert in_window == list(queries.REGISTRY)[:50]
+    for name in (
+        "quality_model_score",
+        "hyperball_harmonic",
+        "kmeans_assign",
+        "semdedup_keep",
+        "pii_scrub",
+        "ngram_jaccard",
+        "host_harmonic",
+        "ann_lsh_recall",
+        "ivf_recall",
+        "emb_norm_by_label",
+    ):
+        assert name in in_window, f"{name} fell below the driver cut"

@@ -249,7 +249,15 @@ def test_pii_ipv6_and_credentials(spark):
     full = "2001:0db8:85a3:0000:0000:8a2e:0370:7334"
     assert _scrub_one(spark, f"v6 {full} end") == "v6 <IP> end"
     assert _scrub_one(spark, "at 2001:db8::1 ok") == "at <IP> ok"
-    assert _scrub_one(spark, "net fe80:: up") == "net <IP> up"
+    assert _scrub_one(spark, "net 2001:db8:: up") == "net <IP> up"
+    # Single-group trailing-:: is a documented non-match: that shape is
+    # a hex-looking code scope path far more often than a bare (and
+    # non-identifying) link-local prefix.
+    assert _scrub_one(spark, "net fe80:: up") == "net fe80:: up"
+    assert _scrub_one(spark, "let x = f64::MAX;") == "let x = f64::MAX;"
+    assert _scrub_one(spark, "face::method()") == "face::method()"
+    # ...but a trailing-:: form with a tail still redacts.
+    assert _scrub_one(spark, "host fe80::1 up") == "host <IP> up"
     # v4-mapped: the leading-:: head is a documented non-match (no \b
     # before a colon), but the dotted-quad tail still v4-redacts — the
     # part that is actually PII.
