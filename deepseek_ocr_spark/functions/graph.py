@@ -38,6 +38,8 @@ default 5 the pure DAG is cheaper.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -236,12 +238,30 @@ def harmonic_centrality(
 #  * the HLL estimate alpha*m^2/sum(2^-M_j) is one integer shift-sum
 #    (S = sum 2^(58-M_j), max 16*2^58 < 2^63) and ONE correctly-
 #    rounded double divide, floored back to BIGINT — bit-identical
-#    across engines, same contract as importance.py's atanh series.
-# The estimate is our sketch's DEFINITION (no small-range correction),
-# so the DuckDB twin running the same formula hash-matches exactly.
+#    across engines, same contract as importance.py's atanh series;
+#  * the standard small-range (linear-counting) correction: when the
+#    raw estimate is <= 2.5m AND some register is still zero, use
+#    E = m*ln(m/V) with V = zero-register count (Flajolet 2007 §4).
+#    With m = 16 there are only 16 possible inputs, so ln never runs
+#    in EITHER engine — the 16 corrected values are baked below as
+#    integer literals shared verbatim by both expression strings.
+#    Without it a singleton ball (one register set, V = 15) estimates
+#    ~11; with it, exactly 1.
+#  * per-level ball estimates are greatest()-chained onto the previous
+#    level: registers only grow so the RAW estimate is monotone, but
+#    the LC→raw crossover can dip (LC at V=1 is 44 > the 2.5m = 40
+#    threshold), and a dip would put a negative term in the harmonic
+#    sum.
+# The corrected estimate is our sketch's DEFINITION, so the DuckDB
+# twin running the same CASE/shift/divide strings hash-matches exactly.
 HB_REGS = 16  # m = 2^4 registers; alpha_16 = 673/1000 (Flajolet 2007)
 HB_SHIFT_BASE = 58  # S terms 2^(58 - M); M in [0, 57]
 _HB_EST_NUM = 673 * HB_REGS * HB_REGS * (1 << HB_SHIFT_BASE)  # exact in double
+HB_LC_MAX = 5 * HB_REGS // 2  # apply linear counting when raw est <= 2.5m
+# floor(m * ln(m/V)) for V = 1..m, precomputed HERE (module import,
+# plain CPython math) and embedded as literals — the hash-verified
+# expressions themselves stay transcendental-free in both engines.
+HB_LC = {v: int(HB_REGS * math.log(HB_REGS / v)) for v in range(1, HB_REGS + 1)}
 
 
 def _hb_rho_sql(rest: str) -> str:
@@ -255,19 +275,30 @@ def _hb_rho_sql(rest: str) -> str:
 
 
 def _hb_est_exprs(shift):
-    """(S_expr, est_expr) builders. ``shift(one_expr, amount_expr)``
-    renders an engine's 64-bit left shift; the rest of the strings are
-    engine-shared. The double product 673*256*2^58 = 673*2^66 is
-    exactly representable; the single divide is IEEE correctly
-    rounded, so floor() agrees across engines."""
+    """(S_expr, V_expr, est_expr) builders. ``shift(amount_expr)``
+    renders an engine's 64-bit left shift; the other strings are
+    engine-shared (est_expr references placeholders ``__s`` and
+    ``__v``). The double product 673*256*2^58 = 673*2^66 is exactly
+    representable; the single divide is IEEE correctly rounded, so
+    floor() agrees across engines. The small-range branch is a pure
+    integer CASE over the zero-register count — the HB_LC literals
+    were precomputed at import, no transcendental runs in-engine."""
     s_expr = " + ".join(
         shift(f"{HB_SHIFT_BASE} - r{j}") for j in range(HB_REGS)
     )
-    est_expr = (
+    v_expr = " + ".join(
+        f"(CASE WHEN r{j} = 0 THEN 1 ELSE 0 END)" for j in range(HB_REGS)
+    )
+    raw = (
         f"CAST(FLOOR(CAST({_HB_EST_NUM} AS DOUBLE) / "
         f"(1000e0 * CAST(__s AS DOUBLE))) AS BIGINT)"
     )
-    return s_expr, est_expr
+    lc = " ".join(f"WHEN {v} THEN {HB_LC[v]}" for v in range(1, HB_REGS + 1))
+    est_expr = (
+        f"CASE WHEN ({raw}) <= {HB_LC_MAX} AND __v > 0 "
+        f"THEN (CASE __v {lc} END) ELSE ({raw}) END"
+    )
+    return s_expr, v_expr, est_expr
 
 
 def hyperball_harmonic(
@@ -285,10 +316,14 @@ def hyperball_harmonic(
     shuffle are O(V + E) REGARDLESS of hub structure, where the exact
     `harmonic_centrality` materializes O(sum |ball_K|) pairs (capped
     but lossy on saturated hubs). Deterministic by construction (max
-    merges, integer shifts, one pinned double divide), so the DuckDB
-    twin hash-matches; accuracy is the standard HLL ~1.04/sqrt(16) =
-    26% per ball — a RANKING signal, not a count. ``ball_est`` is the
-    final ball-size estimate at K.
+    merges, integer shifts, one pinned double divide, integer-CASE
+    small-range correction), so the DuckDB twin hash-matches; accuracy
+    is the standard HLL ~1.04/sqrt(16) = 26% per ball in the raw
+    range, near-exact for small balls via linear counting (a singleton
+    estimates exactly 1) — a RANKING signal, not a count. Per-level
+    estimates are monotone by construction (greatest-chained), so
+    every harmonic term is >= 0. ``ball_est`` is the final ball-size
+    estimate at K.
     Ref: Boldi & Vigna, "In-Core Computation of Geometric
     Centralities with HyperBall" (2013)."""
     e = edges.select(
@@ -316,14 +351,17 @@ def hyperball_harmonic(
             ],
         )
     )
-    s_expr, est_expr = _hb_est_exprs(
+    s_expr, v_expr, est_expr = _hb_est_exprs(
         lambda amt: f"shiftleft(cast(1 as bigint), {amt})"
     )
 
     def est(frame: DataFrame, name: str) -> DataFrame:
-        return frame.withColumn("__s", F.expr(s_expr)).withColumn(
-            name, F.expr(est_expr)
-        ).drop("__s")
+        return (
+            frame.withColumn("__s", F.expr(s_expr))
+            .withColumn("__v", F.expr(v_expr))
+            .withColumn(name, F.expr(est_expr))
+            .drop("__s", "__v")
+        )
 
     r = est(r, "e0")
     for k in range(1, max_depth + 1):
@@ -342,7 +380,10 @@ def hyperball_harmonic(
                 for j in range(HB_REGS)
             ],
         )
-        r = est(merged, f"e{k}")
+        # greatest-chain: the LC→raw crossover may dip (module comment)
+        r = est(merged, f"e{k}").withColumn(
+            f"e{k}", F.greatest(F.col(f"e{k}"), F.col(f"e{k - 1}"))
+        )
     h_fp = " + ".join(
         f"((e{k} - e{k - 1}) * {scale}) DIV {k}"
         for k in range(1, max_depth + 1)

@@ -2560,9 +2560,12 @@ def _hyperball_sql() -> str:
 
     m, k_max, s = GR.HB_REGS, 3, GR.PR_SCALE
     regs = range(m)
-    _, est_expr = GR._hb_est_exprs(lambda amt: "")
+    _, v_expr, est_expr = GR._hb_est_exprs(lambda amt: "")
     duck_s = " + ".join(
         f"(1::BIGINT << ({GR.HB_SHIFT_BASE} - r{j}))" for j in regs
+    )
+    duck_est = est_expr.replace("__s", f"({duck_s})").replace(
+        "__v", f"({v_expr})"
     )
     rho = GR._hb_rho_sql(f"h // {m}")
     init_cols = ",\n         ".join(
@@ -2579,7 +2582,7 @@ h0 AS (SELECT node, ('0x' || substr(md5(node), 1, 15))::BIGINT AS h
 r_0 AS (SELECT node,
          {init_cols}
         FROM h0),
-est_0 AS (SELECT node, {est_expr.replace("__s", f"({duck_s})")} AS e0
+est_0 AS (SELECT node, {duck_est} AS e0
           FROM r_0)"""
     ]
     for k in range(1, k_max + 1):
@@ -2587,6 +2590,8 @@ est_0 AS (SELECT node, {est_expr.replace("__s", f"({duck_s})")} AS e0
         merges = ",\n         ".join(
             f"greatest(p.r{j}, coalesce(b.n{j}, 0)) AS r{j}" for j in regs
         )
+        # greatest-chain onto the previous level's estimate — mirrors
+        # the Spark side's LC→raw crossover guard exactly.
         parts.append(
             f""",
 nb_{k} AS (SELECT e.dst AS node, {maxes}
@@ -2594,8 +2599,8 @@ nb_{k} AS (SELECT e.dst AS node, {maxes}
 r_{k} AS (SELECT p.node,
          {merges}
         FROM r_{k - 1} p LEFT JOIN nb_{k} b USING (node)),
-est_{k} AS (SELECT node, {est_expr.replace("__s", f"({duck_s})")} AS e{k}
-            FROM r_{k})"""
+est_{k} AS (SELECT node, greatest({duck_est}, e{k - 1}) AS e{k}
+            FROM r_{k} JOIN est_{k - 1} USING (node))"""
         )
     h_fp = " + ".join(
         f"((e{k} - e{k - 1}) * {s}) // {k}" for k in range(1, k_max + 1)

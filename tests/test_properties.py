@@ -188,3 +188,39 @@ def test_harmonic_equals_python_bfs(spark):
     got = {r["node"]: (r["harmonic_fp"], r["n_reached"])
            for r in GR.harmonic_centrality(df, "src", "dst").collect()}
     assert got == expected
+
+
+def test_hyperball_small_range_correction(spark):
+    """With m=16 linear counting, small in-balls estimate EXACTLY
+    (each of the <=4 chain nodes lands in its own register, so the
+    zero-register count recovers the true cardinality), and the
+    greatest-chained levels keep every harmonic term non-negative on
+    an arbitrary digraph."""
+    from deepseek_ocr_spark.functions import graph as GR
+
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    got = {r["node"]: (r["hb_harmonic_fp"], r["ball_est"])
+           for r in GR.hyperball_harmonic(chain, "src", "dst").collect()}
+    S = GR.PR_SCALE
+    # in-balls at K=3: a={a}, b={a,b}, c={a,b,c}, d={a,b,c,d} — exact,
+    # and therefore so are the harmonic sums (1, 1+1/2, 1+1/2+1/3).
+    assert got == {
+        "a": (0, 1),
+        "b": (S, 2),
+        "c": (S + S // 2, 3),
+        "d": (S + S // 2 + S // 3, 4),
+    }
+
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)})
+    df = spark.createDataFrame(
+        [(u, v) for u, v in edges if u != v], ["src", "dst"]
+    )
+    rows = GR.hyperball_harmonic(df, "src", "dst").collect()
+    assert rows and all(r["hb_harmonic_fp"] >= 0 for r in rows)
+    assert all(r["ball_est"] >= 1 for r in rows)
