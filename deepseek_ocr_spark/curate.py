@@ -280,6 +280,20 @@ def model_quality_gate(
     )
 
 
+def lm_fluency_gate(
+    docs: DataFrame, lm_model: DataFrame, max_nll_ptok_fp: int
+) -> DataFrame:
+    """CCNet-style fluency gate on the curated frame: score every doc's
+    per-event bigram NLL against a PRE-TRAINED broadcast
+    (prev, cur, c_big, c_prev) LM count table (functions/lm.py — train
+    once on a clean reference corpus, ship the bounded artifact to
+    every snapshot) and keep docs at or below the fixed-point
+    threshold (lower = more reference-like)."""
+    from deepseek_ocr_spark.functions import lm as LM
+
+    return LM.perplexity_gate(docs, lm_model, max_nll_ptok_fp, "url", "text")
+
+
 def curate(
     pages: DataFrame,
     parallelism: int | None = None,
@@ -291,6 +305,8 @@ def curate(
     funnel_mode: str = "observe",
     quality_model_weights: DataFrame | None = None,
     quality_model_min_pf: int = 0,
+    lm_model: DataFrame | None = None,
+    lm_max_nll_ptok_fp: int = 0,
 ) -> tuple[DataFrame, dict]:
     """pages → (curated corpus DataFrame, funnel counts).
 
@@ -298,6 +314,10 @@ def curate(
     ``quality_model_weights`` (a trained (b, w_fp) table from
     ``functions/quality_model.train_quality_model``) applies the
     model-based classifier gate at ``quality_model_min_pf``;
+    ``lm_model`` (a trained (prev, cur, c_big, c_prev) count table
+    from ``functions/lm.train_bigram_lm``) applies the CCNet fluency
+    gate keeping docs whose per-event bigram NLL is at most
+    ``lm_max_nll_ptok_fp`` (1e-6 fixed point);
     ``domain_token_budget`` rebalances the per-domain token mix
     (water-fill + hash sampling), ``dsir_target_langs`` keeps only
     docs with positive DSIR importance toward those languages.
@@ -377,6 +397,9 @@ def curate(
             final, quality_model_weights, quality_model_min_pf
         )
         funnel["after_quality_model"] = final.count()
+    if lm_model is not None:
+        final = lm_fluency_gate(final, lm_model, lm_max_nll_ptok_fp)
+        funnel["after_lm_gate"] = final.count()
     if observe:
         # AQE's empty-relation propagation can elide an observed node
         # whose subtree came out empty (see lsh_candidate_pairs) —

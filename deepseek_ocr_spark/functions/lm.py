@@ -1,0 +1,198 @@
+"""CCNet-style hashed-bigram language-model perplexity scoring.
+
+CCNet (Wenzek et al. 2019) ranks crawl documents by the perplexity of
+a small LM trained on a clean reference corpus (Wikipedia) and keeps
+the low-perplexity head/middle — the standard model-based fluency
+filter that sits between the shallow Gopher signals and a full
+quality classifier. The reference repo has no curation stage at all
+(it is a per-request OCR service); this belongs to the
+training-data-pipeline surface the engine adds, next to
+``functions/quality_model.py`` (which separates two labeled corpora —
+perplexity instead scores fluency under ONE reference distribution).
+
+Model: a bucket-hashed bigram LM with Laplace smoothing.
+
+* tokens hash into ``LM_BUCKETS`` buckets (the repo-wide md5-prefix
+  trick), so the model is bounded at ``(B+1) x B`` rows — a DIMENSION,
+  independent of corpus size; fixture-to-100 TB the same broadcast;
+* P(cur | prev) = (c_bigram + 1) / (c_prev + B) — add-one smoothing
+  over the B-bucket emission space; ``prev`` ranges over B buckets
+  plus the BOS sentinel (bucket id == B);
+* per-doc score = sum over bigram events of -ln P, in 1e-6 fixed
+  point; ``nll_ptok_fp`` divides by the event count (floored through
+  DOUBLE, the SCORE_PF contract) — the length-normalized number CCNet
+  thresholds on (perplexity = exp of it; monotone, so the gate
+  compares the log directly and no exp ever runs).
+
+Determinism across engines (the DuckDB twin must hash-match): the
+importance.py atanh series alone saturates near |ln r| ~ 3.57, but
+smoothed LM ratios span 1..corpus_size. So ln gets EXACT RANGE
+REDUCTION first:
+
+    ln(num/den) = k*ln2 + ln(num / (den * 2^k)),
+    k = bit_length(num) - bit_length(den)   (pure integer, via
+        length(bin(x)) — the proven-portable HyperBall rho trick),
+
+which pins the residual ratio r2 into (0.5, 2), where the 9-term odd
+atanh series is accurate to ~1e-10 — far below the 1e-6 fixed-point
+grain. ln2 enters as the integer literal 693147 (floor of 1e6*ln2;
+the 0.18e-6*k truncation is deterministic and documented). Every
+operation is +,-,x,/ on doubles (IEEE correctly rounded) or exact
+integer arithmetic; the expression strings are shared verbatim with
+the SQL twin. num >= den always (c_prev >= c_big, B >= 1), so every
+per-event nll is >= 0.
+
+Scale shape: one linear bigram scan of the reference slice -> two
+bounded aggs (the model); one linear bigram scan of the scored corpus
+-> two broadcast joins onto the model -> one doc-keyed partial agg.
+Nothing corpus-quadratic, nothing collects.
+
+Docs whose text tokenizes to zero words cannot exist (the repo's
+``words_col`` split of an empty string yields ['']), so every doc
+produces >= 1 bigram event (BOS, first-token) and appears in the
+output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.dedup import md5_prefix_int, words_col
+
+LM_BUCKETS = 1024
+LN2_FP = 693147  # floor(1e6 * ln 2); integer so k*LN2_FP is exact
+
+# ---- expression fragments shared verbatim with the DuckDB twin ------
+# Placeholders: __num / __den (positive BIGINTs), __k, __r2, __z, __z2.
+K_SQL = "(length(bin(__num)) - length(bin(__den)))"
+Z_SQL = "(__r2 - 1) / (__r2 + 1)"
+Z2_SQL = "__z * __z"
+NLL_FP_SQL = (
+    f"__k * {LN2_FP} + CAST(FLOOR(2 * __z * (1 + __z2/3 + __z2*__z2/5"
+    " + __z2*__z2*__z2/7 + __z2*__z2*__z2*__z2/9) * 1000000) AS BIGINT)"
+)
+
+
+def r2_sql(shift) -> str:
+    """The range-reduced ratio num / (den * 2^k) in (0.5, 2), with the
+    shift applied to whichever side keeps the operand a non-negative
+    amount (the shifted value's bit length never exceeds the other
+    operand's, so no overflow). ``shift(x, amt)`` renders an engine's
+    64-bit left shift."""
+    return (
+        "CASE WHEN __k >= 0"
+        f" THEN CAST(__num AS DOUBLE) / CAST({shift('__den', '__k')} AS DOUBLE)"
+        f" ELSE CAST({shift('__num', '-__k')} AS DOUBLE) / CAST(__den AS DOUBLE)"
+        " END"
+    )
+
+
+def bucket_ids_col(text_col: Column, n_buckets: int = LM_BUCKETS) -> Column:
+    """array<bigint> of per-token hash buckets in [0, n_buckets) —
+    ``transform`` over the words array (the lambda touches only its
+    element, so the split is evaluated once; see the shingles_col
+    warning about lambdas that re-reference the split)."""
+    return F.transform(
+        words_col(text_col),
+        lambda t: (md5_prefix_int(t, 15) % n_buckets).cast("bigint"),
+    )
+
+
+def doc_bigrams(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = LM_BUCKETS
+) -> DataFrame:
+    """One row per bigram event: (id, prev, cur), with prev ==
+    ``n_buckets`` as the BOS sentinel for each document's first token.
+    posexplode + element_at on the RETAINED array — no per-element
+    re-evaluation, no slice/empty-array edge cases."""
+    base = df.select(
+        F.col(id_col), bucket_ids_col(F.col(text_col), n_buckets).alias("lb")
+    )
+    return base.select(
+        id_col, "lb", F.posexplode("lb").alias("pos", "cur")
+    ).select(
+        id_col,
+        F.when(F.col("pos") == 0, F.lit(n_buckets).cast("bigint"))
+        .otherwise(F.element_at("lb", F.col("pos")))
+        .alias("prev"),
+        "cur",
+    )
+
+
+def train_bigram_lm(
+    ref: DataFrame, id_col: str, text_col: str, n_buckets: int = LM_BUCKETS
+) -> DataFrame:
+    """(prev, cur, c_big, c_prev) — observed-bigram counts plus their
+    context totals over the reference corpus. At most (B+1) x B rows
+    regardless of corpus size; both aggs are map-side partial over one
+    linear bigram scan."""
+    big = (
+        doc_bigrams(ref, id_col, text_col, n_buckets)
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("c_big"))
+    )
+    ctx = big.groupBy("prev").agg(F.sum("c_big").alias("c_prev"))
+    return big.join(ctx, "prev")
+
+
+def perplexity(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = LM_BUCKETS,
+) -> DataFrame:
+    """(id, n_big, nll_fp, nll_ptok_fp): total and per-event smoothed
+    bigram negative log-likelihood in 1e-6 fixed point. Unseen bigrams
+    and unseen contexts coalesce to count 0 and pay the pure-smoothing
+    price — never dropped, never NULL. ``lm`` and its context
+    projection are explicitly broadcast (bounded dimensions)."""
+    bg = doc_bigrams(docs, id_col, text_col, n_buckets)
+    ctx = lm.select("prev", "c_prev").distinct()
+    shift = lambda x, amt: f"shiftleft(cast({x} as bigint), {amt})"  # noqa: E731
+    scored = (
+        bg.join(F.broadcast(lm.select("prev", "cur", "c_big")), ["prev", "cur"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .withColumn(
+            "__num",
+            (F.coalesce("c_prev", F.lit(0)) + F.lit(n_buckets)).cast("bigint"),
+        )
+        .withColumn(
+            "__den", (F.coalesce("c_big", F.lit(0)) + F.lit(1)).cast("bigint")
+        )
+        .withColumn("__k", F.expr(K_SQL))
+        .withColumn("__r2", F.expr(r2_sql(shift)))
+        .withColumn("__z", F.expr(Z_SQL))
+        .withColumn("__z2", F.expr(Z2_SQL))
+        .withColumn("__nll", F.expr(NLL_FP_SQL))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_big"),
+            F.sum("__nll").cast("bigint").alias("nll_fp"),
+        )
+        .withColumn(
+            "nll_ptok_fp",
+            F.expr("CAST(FLOOR(CAST(nll_fp AS DOUBLE) / n_big) AS BIGINT)"),
+        )
+    )
+
+
+def perplexity_gate(
+    docs: DataFrame,
+    lm: DataFrame,
+    max_nll_ptok_fp: int,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = LM_BUCKETS,
+) -> DataFrame:
+    """CCNet keep-the-fluent gate: rows of ``docs`` whose per-event
+    fixed-point NLL is <= the threshold (lower = more reference-like;
+    CCNet's head+middle split is two such thresholds). One semi-join
+    back onto ``docs``."""
+    keep = perplexity(docs, lm, id_col, text_col, n_buckets).filter(
+        F.col("nll_ptok_fp") <= max_nll_ptok_fp
+    )
+    return docs.join(keep.select(id_col), id_col, "semi")

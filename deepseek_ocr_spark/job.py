@@ -47,6 +47,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             "annotate",
             "host-graph",
             "train-quality-model",
+            "train-lm",
         ),
         default="extract",
         help="extract: pages -> extracted table; curate: pages -> "
@@ -60,7 +61,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "signals a la the CC host graph; train-quality-model: "
         "--qm-positive reference corpus vs --input raw corpus (both "
         "(url, text) tables) -> 4096-row (b, w_fp) classifier weight "
-        "table at --output (feed it back via --quality-model)",
+        "table at --output (feed it back via --quality-model); "
+        "train-lm: --input clean reference corpus ((url, text)) -> "
+        "bounded (prev, cur, c_big, c_prev) hashed-bigram LM count "
+        "table at --output (feed it back via --lm-model)",
     )
     p.add_argument(
         "--merge-variant",
@@ -164,6 +168,22 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "default 0 an exact tie is dropped)",
     )
     p.add_argument(
+        "--lm-model",
+        default=None,
+        help="curate mode: parquet path of a trained hashed-bigram LM "
+        "count table (see train-lm); applies the CCNet fluency gate "
+        "keeping docs whose per-event NLL is at most "
+        "--lm-max-nll-ptok",
+    )
+    p.add_argument(
+        "--lm-max-nll-ptok",
+        type=int,
+        default=0,
+        help="curate mode: per-bigram-event negative-log-likelihood "
+        "ceiling in 1e-6 fixed point (lower = more reference-like; "
+        "e.g. 6500000 ~ perplexity 665). Only applies with --lm-model",
+    )
+    p.add_argument(
         "--make-zip",
         action="store_true",
         help="only build the --py-files artifact and print its path",
@@ -210,6 +230,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if args.quality_model
             else None
         )
+        lm_model = (
+            spark.read.parquet(args.lm_model) if args.lm_model else None
+        )
         final, funnel = curate(
             pages,
             parallelism=args.parallelism,
@@ -220,6 +243,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             substring_dedup=args.substring_dedup,
             quality_model_weights=qm_weights,
             quality_model_min_pf=args.quality_model_min_pf,
+            lm_model=lm_model,
+            lm_max_nll_ptok_fp=args.lm_max_nll_ptok,
         )
         if args.output_format == "jsonl":
             # one gzipped JSON-lines shard per partition — Spark's
@@ -296,6 +321,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         model.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"mode": "train-quality-model", "buckets": n}))
+    elif args.mode == "train-lm":
+        from deepseek_ocr_spark.functions import lm as LM
+
+        ref = spark.read.parquet(args.input).select("url", "text")
+        model = LM.train_bigram_lm(ref, "url", "text")
+        model.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"mode": "train-lm", "bigrams": n}))
     elif args.mode == "extract-pdf-exploded":
         from deepseek_ocr_spark.operators.pdf_pages import extract_pdf_distributed
 

@@ -2241,6 +2241,78 @@ FROM s ORDER BY doc_id
 SQL_QUALITY_MODEL_SCORE = _quality_model_sql()
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style hashed-bigram-LM perplexity (functions/lm.py):
+    train the add-one-smoothed bigram LM on the lang='en' reference
+    slice, then score EVERY document's negative log-likelihood in
+    1e-6 fixed point (total + per-event). The fluency filter CCNet
+    (Wenzek 2019) thresholds on — the step between quality_model's
+    two-corpus classifier and the shallow Gopher signals."""
+    from deepseek_ocr_spark.functions import lm as LM
+
+    d = _t(spark, sf_dir, "documents")
+    model = LM.train_bigram_lm(
+        d.filter(F.col("lang") == "en"), "doc_id", "text"
+    )
+    return LM.perplexity(d, model, "doc_id", "text").orderBy("doc_id")
+
+
+def _lm_sql() -> str:
+    from deepseek_ocr_spark.functions import lm as LM
+
+    b = LM.LM_BUCKETS
+    shift = lambda x, amt: f"({x}::BIGINT << ({amt}))"  # noqa: E731
+    return f"""
+WITH lb AS (
+  SELECT doc_id, lang,
+         list_transform(
+           string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {b}) AS l
+  FROM documents
+), bg0 AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(l) + 1),
+           i -> struct_pack(
+             prev := CASE WHEN i = 1 THEN {b}::BIGINT ELSE l[i - 1] END,
+             cur := l[i]))) AS e
+  FROM lb
+), bg AS (
+  SELECT doc_id, lang, e.prev AS prev, e.cur AS cur FROM bg0
+), big AS (
+  SELECT prev, cur, count(*)::BIGINT AS c_big
+  FROM bg WHERE coalesce(lang = 'en', false) GROUP BY prev, cur
+), ctx AS (
+  SELECT prev, sum(c_big)::BIGINT AS c_prev FROM big GROUP BY prev
+), j AS (
+  SELECT bg.doc_id,
+         (coalesce(ctx.c_prev, 0) + {b})::BIGINT AS __num,
+         (coalesce(big.c_big, 0) + 1)::BIGINT AS __den
+  FROM bg
+  LEFT JOIN big USING (prev, cur)
+  LEFT JOIN ctx USING (prev)
+), k1 AS (
+  SELECT doc_id, __num, __den, {LM.K_SQL} AS __k FROM j
+), r1 AS (
+  SELECT doc_id, __k, {LM.r2_sql(shift)} AS __r2 FROM k1
+), z1 AS (
+  SELECT doc_id, __k, {LM.Z_SQL} AS __z FROM r1
+), z2t AS (
+  SELECT doc_id, __k, __z, {LM.Z2_SQL} AS __z2 FROM z1
+), ev AS (
+  SELECT doc_id, {LM.NLL_FP_SQL} AS __nll FROM z2t
+), s AS (
+  SELECT doc_id, count(*)::BIGINT AS n_big, sum(__nll)::BIGINT AS nll_fp
+  FROM ev GROUP BY doc_id
+)
+SELECT doc_id, n_big, nll_fp,
+       CAST(FLOOR(CAST(nll_fp AS DOUBLE) / n_big) AS BIGINT) AS nll_ptok_fp
+FROM s ORDER BY doc_id
+"""
+
+
+SQL_LM_PERPLEXITY = _lm_sql()
+
+
 def q_kmeans_assign(spark, sf_dir):
     """Fixed-point k-means (functions/clustering.py): k=8, 3 Lloyd
     iterations from the deterministic smallest-ids init; exact integer
@@ -2730,6 +2802,7 @@ SQL_BM25_TOPK = _bm25_sql()
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "quality_model_score": (q_quality_model_score, SQL_QUALITY_MODEL_SCORE),
     "hyperball_harmonic": (q_hyperball_harmonic, SQL_HYPERBALL_HARMONIC),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
@@ -2768,7 +2841,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
     "crossmodal_neardup": (q_crossmodal_neardup, SQL_CROSSMODAL_NEARDUP),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
-    "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     # --- dedup family (bucketed-join shapes) -------------------------
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
@@ -2796,6 +2868,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # (Exactly 50 entries sit above this banner — tests/test_review_
     # fixes.py pins the count so the policy can't silently drift.)
     # ------------------------------------------------------------------
+    "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "token_count_multilingual": (
         q_token_count_multilingual,
         SQL_TOKEN_COUNT_ML,

@@ -229,3 +229,57 @@ def test_cli_train_quality_model_and_curate_gate(spark, tmp_path, capsys):
     kept = [r["url"] for r in spark.read.parquet(out).collect()]
     assert kept == ["https://a.example/good"]
     spark.catalog.clearCache()
+
+def test_cli_train_lm_and_curate_fluency_gate(spark, tmp_path, capsys):
+    """--mode train-lm writes the bounded bigram count table; feeding
+    it back through --lm-model applies the CCNet fluency gate in
+    curate mode with its own funnel entry."""
+    from deepseek_ocr_spark.functions import lm as LM
+
+    fluent = ("the quick brown fox jumps over the lazy dog and then "
+              "the quick brown fox rests under the shady tree")
+    gib = "zxqv wvud plomk brzk qwexx jvvph zzrtt mnbvc"
+    ref_p = str(tmp_path / "lm_ref")
+    spark.createDataFrame(
+        [(f"https://ref.example/{i}", fluent) for i in range(4)],
+        "url string, text string",
+    ).write.parquet(ref_p)
+    model_p = str(tmp_path / "lm_model")
+    rc = main(
+        ["--mode", "train-lm", "--input", ref_p, "--output", model_p],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["mode"] == "train-lm"
+    assert 0 < summary["bigrams"] <= (LM.LM_BUCKETS + 1) * LM.LM_BUCKETS
+
+    model = spark.read.parquet(model_p)
+    docs = spark.createDataFrame(
+        [("keep", fluent), ("drop", gib)], "url string, text string"
+    )
+    nll = {r["url"]: r["nll_ptok_fp"] for r in
+           LM.perplexity(docs, model, "url", "text").collect()}
+    cut = (nll["keep"] + nll["drop"]) // 2
+
+    mk = lambda body: f"<html><body><p>{body}</p></body></html>".encode()
+    pages_p = str(tmp_path / "pages_lm")
+    spark.createDataFrame(
+        [("https://a.example/good", None, mk(fluent), None, None),
+         ("https://b.example/bad", None, mk(gib), None, None)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).write.parquet(pages_p)
+    out = str(tmp_path / "lm_corpus")
+    rc = main(
+        ["--mode", "curate", "--input", pages_p, "--output", out,
+         "--lm-model", model_p, "--lm-max-nll-ptok", str(cut),
+         "--parallelism", "2"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["curated"] == 2
+    assert summary["after_lm_gate"] == 1
+    kept = [r["url"] for r in spark.read.parquet(out).collect()]
+    assert kept == ["https://a.example/good"]
+    spark.catalog.clearCache()

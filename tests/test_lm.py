@@ -1,0 +1,144 @@
+"""CCNet-style hashed-bigram LM perplexity (functions/lm.py). The
+oracle gate (scripts/check_oracle.py: lm_perplexity) cross-checks the
+fixed-point math against DuckDB; here we pin the MODEL semantics —
+bounded dimension, fluency separation, numeric accuracy of the
+range-reduced ln against Python's libm, partitioning-independence —
+and the curate() fluency-gate wiring."""
+
+import hashlib
+import math
+import re
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions import lm as LM
+
+REF = [
+    (f"r{i}", "the quick brown fox jumps over the lazy dog and then "
+              "the quick brown fox rests under the shady tree")
+    for i in range(4)
+]
+
+
+def _train(spark):
+    ref = spark.createDataFrame(REF, "url string, text string")
+    return LM.train_bigram_lm(ref, "url", "text")
+
+
+def _buckets(text: str) -> list[int]:
+    toks = re.split(r"[ \t\n\x0B\f\r]+", text.strip().lower())
+    return [
+        int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % LM.LM_BUCKETS
+        for t in toks
+    ]
+
+
+def test_model_is_a_bounded_dimension(spark):
+    """Rows <= (B+1) x B regardless of corpus size, and c_prev is the
+    exact per-context total — the invariant that keeps the model a
+    broadcastable dimension at 100 TB."""
+    model = _train(spark).collect()
+    assert len(model) <= (LM.LM_BUCKETS + 1) * LM.LM_BUCKETS
+    totals: dict[int, int] = {}
+    for r in model:
+        totals[r["prev"]] = totals.get(r["prev"], 0) + r["c_big"]
+    for r in model:
+        assert r["c_prev"] == totals[r["prev"]]
+    # BOS sentinel context exists (one per training doc)
+    assert totals[LM.LM_BUCKETS] == len(REF)
+
+
+def test_fluency_separation_and_every_doc_scored(spark):
+    """Reference-like text scores a lower per-event NLL than text made
+    of bigrams the model never saw; a one-word doc still produces its
+    single BOS event (no doc silently dropped)."""
+    model = _train(spark)
+    texts = {"fluent": REF[0][1],
+             "gibberish": "zxqv wvud plomk brzk qwexx jvvph zzrtt mnbvc",
+             "solo": "word"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "url string, text string"
+    )
+    got = {r["url"]: r for r in
+           LM.perplexity(docs, model, "url", "text").collect()}
+    assert set(got) == set(texts)
+    assert got["fluent"]["nll_ptok_fp"] < got["gibberish"]["nll_ptok_fp"]
+    assert got["solo"]["n_big"] == 1
+    for url, r in got.items():
+        assert r["n_big"] == len(_buckets(texts[url]))
+        assert r["nll_fp"] >= 0
+
+
+def test_nll_matches_libm_within_fixed_point_grain(spark):
+    """The range-reduced atanh-series ln (shared verbatim with the SQL
+    twin) tracks Python's correctly-rounded libm ln within the
+    documented budget: 1e-10 series truncation + 0.18e-6 * k from the
+    floored LN2_FP literal + 1 ulp of the final floor, per event."""
+    model = _train(spark)
+    counts = {(r["prev"], r["cur"]): (r["c_big"], r["c_prev"])
+              for r in model.collect()}
+    ctx = {p: cp for (p, _), (_, cp) in counts.items()}
+
+    text = REF[0][1] + " with some extra unseen words zxqv"
+    docs = spark.createDataFrame([("d", text)], "url string, text string")
+    got = LM.perplexity(docs, model, "url", "text").collect()[0]
+
+    b = LM.LM_BUCKETS
+    ids = _buckets(text)
+    expect, kmax = 0.0, 0
+    for i, cur in enumerate(ids):
+        prev = b if i == 0 else ids[i - 1]
+        c_big, _ = counts.get((prev, cur), (0, 0))
+        c_prev = ctx.get(prev, 0)
+        num, den = c_prev + b, c_big + 1
+        expect += math.log(num / den)
+        kmax = max(kmax, abs(num.bit_length() - den.bit_length()))
+    assert got["n_big"] == len(ids)
+    budget = len(ids) * (kmax * 0.18 + 1.1)  # in 1e-6 units
+    assert abs(got["nll_fp"] - expect * 1e6) <= budget
+
+
+def test_scores_partitioning_independent(spark):
+    model = _train(spark)
+    docs = spark.createDataFrame(
+        [(u, t + f" variant {u}") for u, t in REF], "url string, text string"
+    )
+    base = {r["url"]: (r["nll_fp"], r["n_big"]) for r in
+            LM.perplexity(docs, model, "url", "text").collect()}
+    re7 = {r["url"]: (r["nll_fp"], r["n_big"]) for r in
+           LM.perplexity(
+               docs.repartition(7), model, "url", "text"
+           ).collect()}
+    assert base == re7
+
+
+def test_gate_and_curate_wiring(spark):
+    """perplexity_gate keeps fluent docs and drops high-NLL ones; the
+    curate() flag applies it after the quality gates with its own
+    funnel entry."""
+    from deepseek_ocr_spark.curate import curate
+
+    model = _train(spark)
+    fluent, gib = REF[0][1], "zxqv wvud plomk brzk qwexx jvvph zzrtt"
+    docs = spark.createDataFrame(
+        [("keep", fluent), ("drop", gib)], "url string, text string"
+    )
+    nll = {r["url"]: r["nll_ptok_fp"] for r in
+           LM.perplexity(docs, model, "url", "text").collect()}
+    cut = (nll["keep"] + nll["drop"]) // 2
+    kept = LM.perplexity_gate(docs, model, cut, "url", "text").collect()
+    assert [r["url"] for r in kept] == ["keep"]
+
+    mk = lambda body: f"<html><body><p>{body}</p></body></html>".encode()
+    pages = spark.createDataFrame(
+        [("https://a.example/good", None, mk(fluent), None, None),
+         ("https://b.example/bad", None, mk(gib), None, None)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    final, funnel = curate(
+        pages, parallelism=2, lm_model=model, lm_max_nll_ptok_fp=cut
+    )
+    assert funnel["curated"] == 2
+    assert funnel["after_lm_gate"] == 1
+    assert [r["url"] for r in final.collect()] == ["https://a.example/good"]
+    spark.catalog.clearCache()
