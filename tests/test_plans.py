@@ -267,3 +267,17 @@ def test_kmeans_broadcasts_centroids(spark):
     plan = plan_of(REGISTRY["kmeans_assign"][0](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lm_perplexity_broadcasts_model(spark):
+    """Both LM joins (bigram counts, context totals) must broadcast —
+    the model is a bounded (B+1) x B dimension; a shuffled join there
+    would re-shuffle the corpus's exploded bigram stream at 100 TB.
+    The only SortMergeJoin-free shuffle left is the final doc-keyed
+    aggregation."""
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["lm_perplexity"][0](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
