@@ -109,6 +109,7 @@ HEADLINE = [
     "simhash_neardup_pairs",
     "bm25_topk",
     # round 4
+    "pack_sequences",
     "lm_perplexity",
     "quality_model_score",
     "hyperball_harmonic",

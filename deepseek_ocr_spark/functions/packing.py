@@ -1,0 +1,192 @@
+"""Sequence packing: concatenate-and-chunk documents into fixed
+token-budget training sequences (the GPT-style pretraining layout —
+every sequence except the tail is exactly ``budget`` tokens; documents
+spanning a boundary are split across consecutive sequences).
+
+The layout is a pure function of one exact global prefix sum of
+per-document token counts in id order. A naive window
+(``ORDER BY id`` with no partition) funnels the whole corpus through
+ONE task — the classic scalability cliff. This implements the
+textbook two-level scan instead, all JVM-side:
+
+1. bucket every doc by a MONOTONE id bucketing (``id div span`` —
+   order-preserving, each bucket bounded at ``span`` docs, so the
+   within-bucket window never sees skew beyond ``span`` rows);
+2. within-bucket running sums partition on the bucket key (parallel,
+   bounded);
+3. bucket totals aggregate to a bucket-count-sized frame whose own
+   prefix sum runs on one task — that frame is |ids| / span rows
+   (pick ``span`` ~ sqrt(expected docs per id-range); at 100 B docs
+   and span 2^20 it is ~10^5 rows of 16 bytes), then BROADCASTS back;
+4. global start = bucket offset + within-bucket running sum − n_tok.
+
+A doc covering global tokens [start, start+n) overlaps sequences
+``start div B .. (start+n-1) div B``; one output row per (doc,
+sequence) overlap with the slice coordinates. ``sequence()`` explodes
+only the spanned ids — a doc adds rows proportional to its own
+length, never to the corpus.
+
+Determinism across engines (the DuckDB twin hash-matches): token
+counts come from the repo-wide ``words_col`` split; all arithmetic is
+exact integer (sums in BIGINT, ``div`` floor-for-non-negatives
+division in both engines); no floats anywhere.
+
+The reference has no training-data stage (it is a per-request OCR
+service); this belongs to the pipeline surface the engine adds,
+downstream of curation: curate -> pack -> shuffle-by-seq_id is the
+standard corpus-to-trainer handoff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deepseek_ocr_spark.functions.dedup import words_col
+
+# Docs per id-bucket for the two-level scan. Fixture ids are dense, so
+# sqrt-ish sizing at test scale exercises >1 bucket; production callers
+# size it so (id range / span) rows fit one comfortable task.
+PACK_BUCKET_SPAN = 64
+
+
+def doc_token_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_span: int = PACK_BUCKET_SPAN,
+) -> DataFrame:
+    """(id, n_tok, tok_start): each document's token count and its
+    exact global offset in the id-ordered concatenated token stream —
+    the two-level distributed prefix sum described in the module
+    docstring. ``id`` must be a non-negative integer key."""
+    base = docs.select(
+        F.col(id_col),
+        F.size(words_col(F.col(text_col))).cast("bigint").alias("n_tok"),
+        # integer div, not float-divide-then-cast: exact at any id
+        F.expr(f"cast({id_col} as bigint) div {bucket_span}").alias("__bkt"),
+    )
+    in_bucket = base.withColumn(
+        "__run",
+        F.sum("n_tok").over(
+            Window.partitionBy("__bkt")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # bucket-count-sized frame; its prefix sum is the one small
+    # single-task window, then it broadcasts back
+    offsets = (
+        base.groupBy("__bkt")
+        .agg(F.sum("n_tok").alias("__tot"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__tot").over(
+                    Window.orderBy("__bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        .select("__bkt", "__off")
+    )
+    return (
+        in_bucket.join(F.broadcast(offsets), "__bkt")
+        .select(
+            id_col,
+            "n_tok",
+            (F.col("__off") + F.col("__run") - F.col("n_tok")).alias(
+                "tok_start"
+            ),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_span: int = PACK_BUCKET_SPAN,
+) -> DataFrame:
+    """One row per (document, training sequence) overlap:
+
+    * ``seq_id``     — 0-based sequence index; every sequence except
+      the last covers exactly ``budget`` tokens;
+    * ``seq_off``    — where this doc slice starts within the sequence;
+    * ``doc_off``    — where the slice starts within the document;
+    * ``slice_len``  — tokens in the slice (>= 1).
+
+    ``words_col`` of any string yields >= 1 token (an empty text
+    tokenizes to ['']), so every doc emits >= 1 row."""
+    spans = doc_token_spans(docs, id_col, text_col, bucket_span)
+    b = F.lit(budget).cast("bigint")
+    exploded = spans.select(
+        id_col,
+        "n_tok",
+        "tok_start",
+        F.explode(
+            F.sequence(
+                F.expr(f"tok_start div {budget}"),
+                F.expr(f"(tok_start + n_tok - 1) div {budget}"),
+            )
+        ).alias("seq_id"),
+    )
+    slice_start = F.greatest(F.col("tok_start"), F.col("seq_id") * b)
+    slice_end = F.least(
+        F.col("tok_start") + F.col("n_tok"), (F.col("seq_id") + 1) * b
+    )
+    return exploded.select(
+        id_col,
+        "seq_id",
+        (slice_start - F.col("seq_id") * b).alias("seq_off"),
+        (slice_start - F.col("tok_start")).alias("doc_off"),
+        (slice_end - slice_start).alias("slice_len"),
+    )
+
+
+SPLIT_DENOM = 10_000
+
+
+def hash_split(
+    docs: DataFrame,
+    splits: dict[str, int],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    denom: int = SPLIT_DENOM,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a ``split`` column
+    from a salted hash of the id — the standard leakage-safe dataset
+    split (membership is a pure function of (salt, id): stable across
+    reruns, snapshots, and partitionings; no coordination, no state,
+    no sort — a zero-shuffle projection at any corpus size).
+
+    ``splits`` maps name -> integer weight in parts of ``denom``
+    (insertion order fixes the threshold order); weights must sum to
+    ``denom`` so every doc lands in exactly one split. Integer
+    thresholds on a 52-bit md5 prefix mod ``denom`` — no float
+    boundary to disagree across engines. Changing ``salt`` redraws
+    the assignment; keeping it pins membership forever (the property
+    decontamination audits rely on)."""
+    from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+
+    if sum(splits.values()) != denom:
+        raise ValueError(
+            f"split weights must sum to {denom}, got {sum(splits.values())}"
+        )
+    h = md5_prefix_int(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")), 13
+    ) % F.lit(denom)
+    expr, hi = None, 0
+    names = list(splits)
+    for name in names[:-1]:
+        hi += splits[name]
+        cond = h < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return docs.withColumn(
+        "split", last if expr is None else expr.otherwise(last)
+    )

@@ -2313,6 +2313,75 @@ FROM s ORDER BY doc_id
 SQL_LM_PERPLEXITY = _lm_sql()
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (functions/packing.py): concatenate
+    the corpus token stream in doc_id order and chunk it into 256-token
+    training sequences via the two-level distributed prefix sum (no
+    global single-partition window). One row per (doc, seq) overlap
+    with exact slice coordinates."""
+    from deepseek_ocr_spark.functions.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, 256).orderBy("doc_id", "seq_id")
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)),
+             '[ \\t\\n\\x0B\\f\\r]+'))::BIGINT AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         (sum(n_tok) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+           - n_tok AS tok_start
+  FROM t
+), s AS (
+  SELECT doc_id, n_tok, tok_start,
+         unnest(generate_series(tok_start // 256,
+                                (tok_start + n_tok - 1) // 256)) AS seq_id
+  FROM c
+)
+SELECT doc_id, seq_id,
+       greatest(tok_start, seq_id * 256) - seq_id * 256 AS seq_off,
+       greatest(tok_start, seq_id * 256) - tok_start AS doc_off,
+       least(tok_start + n_tok, (seq_id + 1) * 256)
+         - greatest(tok_start, seq_id * 256) AS slice_len
+FROM s ORDER BY doc_id, seq_id
+"""
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic leakage-safe train/val/test split
+    (functions/packing.py hash_split): membership is a pure function
+    of (salt, doc_id) — a zero-shuffle projection, stable across
+    reruns and partitionings."""
+    from deepseek_ocr_spark.functions.packing import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, {"train": 9800, "val": 100, "test": 100})
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+SQL_HASH_SPLIT = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 13))::BIGINT
+           % 10000 AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN hv < 9800 THEN 'train'
+            WHEN hv < 9900 THEN 'val'
+            ELSE 'test' END AS split
+FROM h ORDER BY doc_id
+"""
+
+
 def q_kmeans_assign(spark, sf_dir):
     """Fixed-point k-means (functions/clustering.py): k=8, 3 Lloyd
     iterations from the deterministic smallest-ids init; exact integer
@@ -2802,6 +2871,8 @@ SQL_BM25_TOPK = _bm25_sql()
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "quality_model_score": (q_quality_model_score, SQL_QUALITY_MODEL_SCORE),
     "hyperball_harmonic": (q_hyperball_harmonic, SQL_HYPERBALL_HARMONIC),
@@ -2838,9 +2909,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "b64_roundtrip": (q_b64_roundtrip, SQL_B64_ROUNDTRIP),
     "repetition_clamp": (q_repetition_clamp, None),
     "formula_clean": (q_formula_clean, None),
-    "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
     "crossmodal_neardup": (q_crossmodal_neardup, SQL_CROSSMODAL_NEARDUP),
-    "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     # --- dedup family (bucketed-join shapes) -------------------------
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
@@ -2869,6 +2938,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # fixes.py pins the count so the policy can't silently drift.)
     # ------------------------------------------------------------------
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
+    "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "token_count_multilingual": (
         q_token_count_multilingual,
         SQL_TOKEN_COUNT_ML,

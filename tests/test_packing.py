@@ -1,0 +1,110 @@
+"""Sequence packing + hash split (functions/packing.py). The oracle
+gate (scripts/check_oracle.py: pack_sequences, hash_split) cross-checks
+values against DuckDB; here we pin the PACKING invariants — exact
+budget coverage, doc reassembly, bucket-span/partitioning independence
+(the two-level prefix sum must be pure bookkeeping) — and the plan
+shape that keeps it off the single-task-window cliff."""
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions import packing as PK
+
+BUDGET = 16
+
+
+def _docs(spark):
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(3 + (i * 7) % 23)))
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_every_sequence_full_and_every_doc_reassembles(spark):
+    docs = _docs(spark)
+    out = PK.pack_sequences(docs, BUDGET, bucket_span=8).collect()
+    total = sum(3 + (i * 7) % 23 for i in range(40))
+
+    per_seq: dict[int, int] = defaultdict(int)
+    per_doc: dict[int, list] = defaultdict(list)
+    for r in out:
+        assert r["slice_len"] >= 1
+        per_seq[r["seq_id"]] += r["slice_len"]
+        per_doc[r["doc_id"]].append(r)
+    # every sequence except the last is exactly full; ids contiguous
+    last = max(per_seq)
+    assert sorted(per_seq) == list(range(last + 1))
+    for sid, n in per_seq.items():
+        assert n == BUDGET if sid < last else 0 < n <= BUDGET
+    assert sum(per_seq.values()) == total
+    # each doc's slices reassemble it: doc_offs chain 0..n_tok with
+    # consecutive seq_ids, and a non-first slice starts at seq_off 0
+    for i, slices in per_doc.items():
+        slices.sort(key=lambda r: r["seq_id"])
+        n_tok = 3 + (i * 7) % 23
+        off = 0
+        for j, r in enumerate(slices):
+            assert r["doc_off"] == off
+            if j > 0:
+                assert r["seq_off"] == 0
+                assert r["seq_id"] == slices[j - 1]["seq_id"] + 1
+            off += r["slice_len"]
+        assert off == n_tok
+
+
+def test_layout_independent_of_bucket_span_and_partitioning(spark):
+    """The two-level scan is bookkeeping only: any bucket_span and any
+    input partitioning must produce the identical layout."""
+    docs = _docs(spark)
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    base = key(PK.pack_sequences(docs, BUDGET, bucket_span=8).collect())
+    assert base == key(
+        PK.pack_sequences(docs, BUDGET, bucket_span=1).collect()
+    )
+    assert base == key(
+        PK.pack_sequences(docs, BUDGET, bucket_span=1000).collect()
+    )
+    assert base == key(
+        PK.pack_sequences(docs.repartition(7), BUDGET, bucket_span=8).collect()
+    )
+
+
+def test_pack_plan_has_one_single_partition_exchange(spark):
+    """The corpus-side window partitions on the bucket key; the ONLY
+    single-partition funnel is the bucket-offsets frame (bucket-count
+    rows), which then broadcasts back. A second SinglePartition
+    Exchange would mean the corpus itself went through one task."""
+    from tests.test_plans import plan_of
+
+    docs = _docs(spark)
+    plan = plan_of(PK.pack_sequences(docs, BUDGET, bucket_span=8))
+    assert plan.count("SinglePartition") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    docs = _docs(spark)
+    splits = {"train": 9800, "val": 100, "test": 100}
+    a = {r["doc_id"]: r["split"]
+         for r in PK.hash_split(docs, splits).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in PK.hash_split(docs.repartition(5), splits).collect()}
+    assert a == b and len(a) == 40
+    # a different salt redraws; the same salt never does
+    c = {r["doc_id"]: r["split"]
+         for r in PK.hash_split(docs, splits, salt="v2").collect()}
+    assert set(c.values()) <= {"train", "val", "test"}
+    big = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    frac = (
+        PK.hash_split(big, splits)
+        .groupBy("split").count().collect()
+    )
+    got = {r["split"]: r["count"] for r in frac}
+    assert abs(got.get("train", 0) - 19600) < 300
+    assert abs(got.get("val", 0) - 200) < 100
+    assert abs(got.get("test", 0) - 200) < 100
+    with pytest.raises(ValueError):
+        PK.hash_split(docs, {"train": 9000, "val": 100})

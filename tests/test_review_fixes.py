@@ -405,6 +405,8 @@ def test_registry_window_holds_exactly_fifty_entries():
     )
     assert in_window == list(queries.REGISTRY)[:50]
     for name in (
+        "pack_sequences",
+        "hash_split",
         "lm_perplexity",
         "quality_model_score",
         "hyperball_harmonic",
