@@ -196,3 +196,39 @@ def perplexity_gate(
         F.col("nll_ptok_fp") <= max_nll_ptok_fp
     )
     return docs.join(keep.select(id_col), id_col, "semi")
+
+
+def ppl_tertiles(
+    scored: DataFrame,
+    lang_col: str = "lang",
+    nll_col: str = "nll_ptok_fp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: per-language perplexity
+    tertiles over ``perplexity()`` output (plus a language column).
+    Rank-based and exact — bucket sizes differ by at most one, ties
+    broken by id, so the assignment is a pure function of the input
+    (both engines agree bit-for-bit).
+
+    Scale note: exact per-language ranking sorts each language's docs
+    (one Exchange + per-partition sort; the window itself is a linear
+    pass). CCNet itself thresholds on quantiles from a SAMPLE — at
+    100 TB, compute the two cutoff values on a hash-sampled slice
+    (``md5 % k`` — deterministic) and broadcast them as a scan
+    predicate instead of ranking every doc."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(lang_col).orderBy(nll_col, id_col)
+    wn = Window.partitionBy(lang_col)
+    rn, n = F.col("__rn"), F.col("__n")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wn))
+        .withColumn(
+            "ppl_bucket",
+            F.when(rn * 3 <= n, "head")
+            .when(rn * 3 <= n * 2, "middle")
+            .otherwise("tail"),
+        )
+        .drop("__rn", "__n")
+    )

@@ -2313,6 +2313,53 @@ FROM s ORDER BY doc_id
 SQL_LM_PERPLEXITY = _lm_sql()
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet's full selection shape (Wenzek 2019): score every doc's
+    bigram-LM perplexity against the lang='en' reference slice, then
+    split each language into exact head/middle/tail tertiles (rank-
+    based, id tiebreak — deterministic across engines). CCNet keeps
+    head+middle for training; the bucket column is that decision."""
+    from deepseek_ocr_spark.functions import lm as LM
+
+    d = _t(spark, sf_dir, "documents")
+    model = LM.train_bigram_lm(
+        d.filter(F.col("lang") == "en"), "doc_id", "text"
+    )
+    scored = LM.perplexity(d, model, "doc_id", "text").join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        LM.ppl_tertiles(scored)
+        .select("doc_id", "lang", "nll_ptok_fp", "ppl_bucket")
+        .orderBy("doc_id")
+    )
+
+
+def _ccnet_buckets_sql() -> str:
+    return f"""
+WITH base AS ({_lm_sql()}),
+l AS (
+  SELECT base.doc_id, d.lang, base.nll_ptok_fp
+  FROM base JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT doc_id, lang, nll_ptok_fp,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY nll_ptok_fp, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM l
+)
+SELECT doc_id, lang, nll_ptok_fp,
+       CASE WHEN rn * 3 <= n THEN 'head'
+            WHEN rn * 3 <= n * 2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM r ORDER BY doc_id
+"""
+
+
+SQL_CCNET_BUCKETS = _ccnet_buckets_sql()
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style sequence packing (functions/packing.py): concatenate
     the corpus token stream in doc_id order and chunk it into 256-token
@@ -2874,6 +2921,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "quality_model_score": (q_quality_model_score, SQL_QUALITY_MODEL_SCORE),
     "hyperball_harmonic": (q_hyperball_harmonic, SQL_HYPERBALL_HARMONIC),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
@@ -2909,7 +2957,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "b64_roundtrip": (q_b64_roundtrip, SQL_B64_ROUNDTRIP),
     "repetition_clamp": (q_repetition_clamp, None),
     "formula_clean": (q_formula_clean, None),
-    "crossmodal_neardup": (q_crossmodal_neardup, SQL_CROSSMODAL_NEARDUP),
     # --- dedup family (bucketed-join shapes) -------------------------
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
@@ -2940,6 +2987,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
+    "crossmodal_neardup": (q_crossmodal_neardup, SQL_CROSSMODAL_NEARDUP),
     "token_count_multilingual": (
         q_token_count_multilingual,
         SQL_TOKEN_COUNT_ML,

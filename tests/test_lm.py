@@ -142,3 +142,32 @@ def test_gate_and_curate_wiring(spark):
     assert funnel["after_lm_gate"] == 1
     assert [r["url"] for r in final.collect()] == ["https://a.example/good"]
     spark.catalog.clearCache()
+
+
+def test_ppl_tertiles_exact_and_ordered(spark):
+    """Per-language tertiles: sizes differ by at most one (the floor
+    rule gives any extra rows to the LATER buckets), and every head
+    NLL <= every middle NLL <= every tail NLL within a language."""
+    model = _train(spark)
+    rows = [(i, f"en{i % 3}", REF[0][1] + " pad" * (i % 5)) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    scored = LM.perplexity(docs, model, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    out = LM.ppl_tertiles(scored).collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(out) == 20 and len(by_lang) == 3
+    for rows_ in by_lang.values():
+        sizes = {"head": 0, "middle": 0, "tail": 0}
+        nlls = {"head": [], "middle": [], "tail": []}
+        for r in rows_:
+            sizes[r["ppl_bucket"]] += 1
+            nlls[r["ppl_bucket"]].append(r["nll_ptok_fp"])
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        assert sizes["head"] <= sizes["middle"] <= sizes["tail"]
+        if nlls["head"] and nlls["middle"]:
+            assert max(nlls["head"]) <= min(nlls["middle"])
+        if nlls["middle"] and nlls["tail"]:
+            assert max(nlls["middle"]) <= min(nlls["tail"])

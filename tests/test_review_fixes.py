@@ -408,6 +408,7 @@ def test_registry_window_holds_exactly_fifty_entries():
         "pack_sequences",
         "hash_split",
         "lm_perplexity",
+        "ccnet_buckets",
         "quality_model_score",
         "hyperball_harmonic",
         "kmeans_assign",
