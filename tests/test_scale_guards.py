@@ -459,3 +459,46 @@ def test_kgram_dedup_rewrite_spans(spark):
     assert text_b.endswith(" ".join(tail))           # tail survives
     assert n_b < 30                                  # copied region excised
     assert all(w not in text_b.split() for w in base[:4])  # head removed
+
+
+def test_pack_sequences_scales_without_single_task_funnel(spark):
+    """200k docs pack in bounded time with aggregate-verified
+    invariants (no collect of the packed frame): total slice tokens ==
+    total corpus tokens, every non-tail sequence exactly full, and the
+    per-bucket windows stay parallel (the only single-partition work
+    is the bucket-offsets frame — 200k/1024 ~ 196 rows)."""
+    from deepseek_ocr_spark.functions import packing as PK
+
+    n, budget = 200_000, 512
+    docs = (
+        spark.range(0, n)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text",
+            F.concat(
+                F.lit("tok "),
+                F.repeat(F.lit("word "), (F.col("doc_id") % 97).cast("int")),
+                F.lit("end"),
+            ),
+        )
+    )
+    t0 = time.monotonic()
+    packed = PK.pack_sequences(docs, budget, bucket_span=1024)
+    agg = packed.agg(
+        F.sum("slice_len").alias("tok_total"),
+        F.countDistinct("doc_id").alias("docs"),
+        F.max("seq_id").alias("last_seq"),
+    ).collect()[0]
+    # each doc i tokenizes to (i % 97) + 2 words (tok, k x word, end)
+    expect = sum((i % 97) + 2 for i in range(n))
+    assert agg["tok_total"] == expect
+    assert agg["docs"] == n
+    full = (
+        packed.groupBy("seq_id")
+        .agg(F.sum("slice_len").alias("n"))
+        .filter((F.col("n") != budget) & (F.col("seq_id") != agg["last_seq"]))
+        .count()
+    )
+    assert full == 0
+    elapsed = time.monotonic() - t0
+    assert elapsed < 120, f"pack did not stay bounded: {elapsed:.0f}s"
