@@ -1,0 +1,173 @@
+"""HTML ``<head>`` metadata extraction (title / description / og /
+canonical / lang / charset / published time).
+
+The main-content extractor (core/html_extract.py) deliberately drops
+the ``<head>`` subtree — boilerplate classification has no use for it.
+A training-data pipeline DOES: page title and meta description are
+standard quality / topic signals, the canonical link is the
+URL-normalization key that beats string canonicalization when present
+(trafilatura's ``extract_metadata`` family; public heuristics), and
+``article:published_time`` feeds temporal slicing of a crawl.
+
+Reference analog: none — the reference (FastAPI OCR loop) never sees
+HTML. This is north_rule surface ("DOM heuristics" tier) generalized
+to the corpus table.
+
+Design for 100 TB: the whole extractor is ONE zero-shuffle regexp
+projection over the html column — whole-stage-codegen, column-pruned,
+no Python. Every pattern lives in the Java∩RE2 subset (no lookarounds,
+no backrefs, ``[ \\t]`` spelled out — never ``\\s``, see
+textstats.TOKEN_SPLIT_RE) so the DuckDB oracle twin runs the SAME
+pattern strings verbatim: the module exports them as constants and
+``queries.py`` interpolates them into the SQL twin.
+
+Attribute-order tolerance: HTML attributes are unordered, so
+``<meta name=.. content=..>`` and ``<meta content=.. name=..>`` are
+both matched — two patterns per field, coalesced (first non-empty
+wins), which is deterministic and engine-identical.
+
+Entity decoding is the bounded 5-entity chain (lt/gt/quot/#39 first,
+``&amp;`` LAST so ``&amp;lt;`` decodes to the literal text ``&lt;``,
+the single-pass-correct order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Shared pattern constants (interpolated verbatim into the SQL twin).
+# A quoted attribute value stops at the quote; an unquoted one stops at
+# whitespace or '>'.
+_V = "[\"']([^\"'>]*)"  # capture: quoted-or-unquoted attr value
+_EQ = "[ \\t]*=[ \\t]*"
+
+TITLE_RE = "(?i)<title[^>]*>([^<]*)</title>"
+
+# <meta name="X" ... content="..."> and the content-first ordering.
+def _meta_re(attr: str, key: str) -> tuple[str, str]:
+    key_eq = f"{attr}{_EQ}[\"']?{key}[\"' \\t>]"
+    return (
+        f"(?i)<meta[^>]+{key_eq}[^>]*content{_EQ}{_V}",
+        f"(?i)<meta[^>]+content{_EQ}{_V}[\"'][^>]*{key_eq}",
+    )
+
+
+DESC_NAME_RE, DESC_CONTENT_RE = _meta_re("name", "description")
+OG_TITLE_NAME_RE, OG_TITLE_CONTENT_RE = _meta_re("property", "og:title")
+PUBTIME_NAME_RE, PUBTIME_CONTENT_RE = _meta_re(
+    "property", "article:published_time"
+)
+
+CANONICAL_REL_RE = (
+    f"(?i)<link[^>]+rel{_EQ}[\"']?canonical[\"' \\t>][^>]*"
+    f"href{_EQ}[\"']?([^\"' \\t>]+)"
+)
+CANONICAL_HREF_RE = (
+    f"(?i)<link[^>]+href{_EQ}[\"']?([^\"' \\t>]+)[\"']?[^>]*"
+    f"rel{_EQ}[\"']?canonical[\"' \\t>]"
+)
+
+HTML_LANG_RE = f"(?i)<html[^>]*[ \\t]lang{_EQ}[\"']?([a-zA-Z-]+)"
+CHARSET_RE = f"(?i)<meta[^>]+charset{_EQ}[\"']?([a-zA-Z0-9_-]+)"
+
+# (needle, replacement) — &amp; deliberately last.
+ENTITY_CHAIN = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+WS_COLLAPSE_RE = "[ \\t\\n\\r]+"
+
+
+def _decode_entities(col: Column) -> Column:
+    for needle, repl in ENTITY_CHAIN:
+        col = F.replace(col, F.lit(needle), F.lit(repl))
+    return col
+
+
+def _clean_text_field(col: Column) -> Column:
+    """Whitespace-collapse + trim + entity-decode; '' → NULL."""
+    out = F.trim(F.regexp_replace(col, WS_COLLAPSE_RE, " "))
+    return F.nullif(_decode_entities(out), F.lit(""))
+
+
+def _first_of(html: Column, *patterns: str) -> Column:
+    """First non-empty regexp_extract among attribute orderings."""
+    hits = [F.nullif(F.regexp_extract(html, p, 1), F.lit("")) for p in patterns]
+    return hits[0] if len(hits) == 1 else F.coalesce(*hits)
+
+
+def metadata_columns(html: Column) -> dict[str, Column]:
+    """The extraction expressions, keyed by output column name.
+
+    All seven fields come from ONE pass over the html column — Catalyst
+    collapses them into a single Project, so the cost at 100 TB is one
+    scan of the (column-pruned) html bytes and zero shuffles.
+    """
+    return {
+        "title": _clean_text_field(F.regexp_extract(html, TITLE_RE, 1)),
+        "meta_description": _clean_text_field(
+            _first_of(html, DESC_NAME_RE, DESC_CONTENT_RE)
+        ),
+        "og_title": _clean_text_field(
+            _first_of(html, OG_TITLE_NAME_RE, OG_TITLE_CONTENT_RE)
+        ),
+        "canonical_url": _first_of(html, CANONICAL_REL_RE, CANONICAL_HREF_RE),
+        "html_lang": F.lower(_first_of(html, HTML_LANG_RE)),
+        "charset": F.lower(_first_of(html, CHARSET_RE)),
+        "published_time": _first_of(html, PUBTIME_NAME_RE, PUBTIME_CONTENT_RE),
+    }
+
+
+def extract_metadata(
+    pages: DataFrame, html_col: str = "html", keep: tuple[str, ...] = ("url",)
+) -> DataFrame:
+    """(url, title, meta_description, og_title, canonical_url,
+    html_lang, charset, published_time) — one projection, no shuffle.
+
+    ``html_col`` may be binary (cast to string) or string.
+    """
+    html = F.col(html_col).cast("string")
+    cols = [F.col(c) for c in keep if c in pages.columns]
+    cols += [expr.alias(name) for name, expr in metadata_columns(html).items()]
+    return pages.select(*cols)
+
+
+def sql_field_exprs(html_expr: str) -> dict[str, str]:
+    """DuckDB twin expressions over ``html_expr``, same pattern strings.
+
+    DuckDB regexp_extract returns '' on no match (like Spark) →
+    nullif-normalized identically. Single quotes in patterns are
+    SQL-escaped here.
+    """
+
+    def q(pat: str) -> str:
+        return "'" + pat.replace("'", "''") + "'"
+
+    def ext(pat: str) -> str:
+        return f"nullif(regexp_extract({html_expr}, {q(pat)}, 1), '')"
+
+    def first(*pats: str) -> str:
+        return "coalesce(" + ", ".join(ext(p) for p in pats) + ")"
+
+    def clean(expr: str) -> str:
+        out = f"trim(regexp_replace({expr}, '{WS_COLLAPSE_RE}', ' ', 'g'))"
+        for needle, repl in ENTITY_CHAIN:
+            nd = needle.replace("'", "''")
+            rp = repl.replace("'", "''")
+            out = f"replace({out}, '{nd}', '{rp}')"
+        return f"nullif({out}, '')"
+
+    return {
+        "title": clean(f"regexp_extract({html_expr}, {q(TITLE_RE)}, 1)"),
+        "meta_description": clean(first(DESC_NAME_RE, DESC_CONTENT_RE)),
+        "og_title": clean(first(OG_TITLE_NAME_RE, OG_TITLE_CONTENT_RE)),
+        "canonical_url": first(CANONICAL_REL_RE, CANONICAL_HREF_RE),
+        "html_lang": f"lower({first(HTML_LANG_RE)})",
+        "charset": f"lower({first(CHARSET_RE)})",
+        "published_time": first(PUBTIME_NAME_RE, PUBTIME_CONTENT_RE),
+    }

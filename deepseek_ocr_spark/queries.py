@@ -837,46 +837,6 @@ SELECT lang, doc_id, rn FROM r WHERE rn <= 5 ORDER BY lang, rn
 """
 
 
-def q_pack_sequences(spark, sf_dir):
-    """Sequence packing for training-batch prep: per-source docs in
-    doc_id order are packed greedily into ~512-token bins — pack_id is
-    floor(tokens-before-this-doc / budget). Window cumulative sum, no
-    shuffle beyond the source partitioning."""
-    d = _t(spark, sf_dir, "documents")
-    toks = TS.token_count(F.col("text"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum_before = F.coalesce(F.sum(toks).over(w), F.lit(0))
-    return d.select(
-        "source",
-        "doc_id",
-        toks.cast("bigint").alias("n_tokens"),
-        F.floor(cum_before / 512).cast("bigint").alias("pack_id"),
-    ).orderBy("source", "doc_id")
-
-
-SQL_PACK_SEQUENCES = """
-WITH t AS (
-  SELECT source, doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens
-  FROM documents
-), c AS (
-  SELECT source, doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         AS cum_before
-  FROM t
-)
-SELECT source, doc_id, n_tokens::BIGINT AS n_tokens,
-       floor(cum_before / 512)::BIGINT AS pack_id
-FROM c ORDER BY source, doc_id
-"""
-
-
 def q_gopher_flags(spark, sf_dir):
     """Gopher-family format signals: symbol ratio, bullet-line and
     ellipsis-line fractions (the shallow filters applied before any
@@ -2895,6 +2855,124 @@ SQL_BM25_TOPK = _bm25_sql()
 
 
 # --------------------------------------------------------------------
+# html <head> metadata extraction (functions/html_meta.py)
+# --------------------------------------------------------------------
+#
+# The fixture tables carry no html column, so a deterministic page is
+# synthesized per doc IDENTICALLY in both engines (same string algebra;
+# the doc_id residues pick which optional fields exist and which
+# attribute ordering is used, so every extractor branch is exercised).
+
+# chars that would break an attribute value: quotes, angle brackets,
+# ampersands, whitespace controls
+_META_CLEAN_RE = "[\"'<>&\\n\\r\\t]"
+
+
+def _synth_html_spark(d: DataFrame) -> DataFrame:
+    did = F.col("doc_id").cast("string")
+    clean = F.substring(
+        F.regexp_replace(F.col("text"), _META_CLEAN_RE, " "), 1, 80
+    )
+    empty = F.lit("")
+    html = F.concat(
+        F.lit('<html lang="'), F.col("lang"), F.lit('"><head>'),
+        F.lit("<title> Doc "), did, F.lit(" &amp; "), F.col("source"),
+        F.lit(" </title>"),
+        F.when(
+            F.col("doc_id") % 7 != 0,
+            F.when(
+                F.col("doc_id") % 2 == 1,
+                F.concat(
+                    F.lit('<meta name="description" content="'),
+                    clean,
+                    F.lit('">'),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit('<meta content="'),
+                    clean,
+                    F.lit('" name="description">'),
+                )
+            ),
+        ).otherwise(empty),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('<meta property="og:title" content="OG '), did, F.lit('">')),
+        ).otherwise(empty),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<meta property="article:published_time" content="2024-01-0'),
+                (F.col("doc_id") % 9 + 1).cast("string"),
+                F.lit('T00:00:00Z">'),
+            ),
+        ).otherwise(empty),
+        F.lit("<meta charset=utf-8>"),
+        F.when(
+            F.col("doc_id") % 5 != 0,
+            F.concat(
+                F.lit("<link rel=canonical href=https://"),
+                F.col("source"),
+                F.lit("/d/"),
+                did,
+                F.lit(">"),
+            ),
+        ).otherwise(empty),
+        F.lit("</head><body></body></html>"),
+    )
+    return d.select("doc_id", html.alias("html"))
+
+
+def q_html_metadata(spark, sf_dir):
+    """Trafilatura-style <head> metadata extraction: title / meta
+    description / og:title / canonical / lang / charset / published
+    time as ONE zero-shuffle regexp projection (functions/
+    html_meta.py; patterns shared verbatim with the twin)."""
+    from deepseek_ocr_spark.functions import html_meta as HM
+
+    pages = _synth_html_spark(_t(spark, sf_dir, "documents"))
+    return HM.extract_metadata(pages, keep=("doc_id",))
+
+
+def _html_metadata_sql() -> str:
+    from deepseek_ocr_spark.functions import html_meta as HM
+
+    pat = _META_CLEAN_RE.replace("'", "''")
+    clean = f"substr(regexp_replace(text, '{pat}', ' ', 'g'), 1, 80)"
+    synth = f"""
+'<html lang="' || lang || '"><head>'
+|| '<title> Doc ' || doc_id::VARCHAR || ' &amp; ' || source || ' </title>'
+|| CASE WHEN doc_id % 7 <> 0 THEN
+     CASE WHEN doc_id % 2 = 1
+       THEN '<meta name="description" content="' || {clean} || '">'
+       ELSE '<meta content="' || {clean} || '" name="description">'
+     END ELSE '' END
+|| CASE WHEN doc_id % 3 = 0
+     THEN '<meta property="og:title" content="OG ' || doc_id::VARCHAR || '">'
+     ELSE '' END
+|| CASE WHEN doc_id % 4 = 0
+     THEN '<meta property="article:published_time" content="2024-01-0'
+          || (doc_id % 9 + 1)::VARCHAR || 'T00:00:00Z">'
+     ELSE '' END
+|| '<meta charset=utf-8>'
+|| CASE WHEN doc_id % 5 <> 0
+     THEN '<link rel=canonical href=https://' || source || '/d/'
+          || doc_id::VARCHAR || '>'
+     ELSE '' END
+|| '</head><body></body></html>'
+"""
+    fields = HM.sql_field_exprs("html")
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in fields.items())
+    return (
+        f"WITH h AS (SELECT doc_id, {synth} AS html FROM documents) "
+        f"SELECT doc_id, {cols} FROM h"
+    )
+
+
+SQL_HTML_METADATA = _html_metadata_sql()
+
+
+# --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
 #
@@ -2918,6 +2996,7 @@ SQL_BM25_TOPK = _bm25_sql()
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
+    "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
@@ -2954,7 +3033,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "url_signals": (q_url_signals, SQL_URL_SIGNALS),
     # --- round-2 queries displaced from the r3 window ----------------
     "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),
-    "b64_roundtrip": (q_b64_roundtrip, SQL_B64_ROUNDTRIP),
     "repetition_clamp": (q_repetition_clamp, None),
     "formula_clean": (q_formula_clean, None),
     # --- dedup family (bucketed-join shapes) -------------------------
@@ -2985,6 +3063,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # fixes.py pins the count so the policy can't silently drift.)
     # ------------------------------------------------------------------
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "b64_roundtrip": (q_b64_roundtrip, SQL_B64_ROUNDTRIP),
     "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "crossmodal_neardup": (q_crossmodal_neardup, SQL_CROSSMODAL_NEARDUP),
@@ -3023,6 +3102,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "gopher_flags": (q_gopher_flags, SQL_GOPHER_FLAGS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "lang_id": (q_lang_id, SQL_LANG_ID),
 }

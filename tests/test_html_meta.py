@@ -1,0 +1,119 @@
+"""HTML <head> metadata extraction: field coverage, attribute-order
+tolerance, entity decoding, absent-field NULLs, and the zero-shuffle
+plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions import html_meta as HM
+
+PAGES = [
+    # 0: everything present, name-first orderings, messy whitespace
+    (
+        "https://a.example/x",
+        b'<html lang="EN"><head>\n'
+        b"<title>\n  Hello   &amp; Goodbye &lt;3 </title>\n"
+        b'<meta name="description" content="A  fine\npage">\n'
+        b'<meta property="og:title" content="OG Hello">\n'
+        b'<meta property="article:published_time" content="2024-03-01T09:00:00Z">\n'
+        b'<meta charset="UTF-8">\n'
+        b'<link rel="canonical" href="https://a.example/x">\n'
+        b"</head><body><p>hi</p></body></html>",
+    ),
+    # 1: content-before-name / href-before-rel orderings, unquoted attrs
+    (
+        "https://b.example/y",
+        b"<html lang=fr><head>"
+        b"<title>Deuxi&#39;me</title>"
+        b'<meta content="ordre invers&quot;" name="description">'
+        b'<meta content="OG2" property="og:title">'
+        b'<link href="https://b.example/canon" rel="canonical">'
+        b"<meta charset=utf-8>"
+        b"</head><body></body></html>",
+    ),
+    # 2: nothing but a body — every field NULL
+    ("https://c.example/z", b"<html><body><p>plain</p></body></html>"),
+]
+
+
+@pytest.fixture(scope="module")
+def meta_rows(spark):
+    df = spark.createDataFrame(PAGES, "url string, html binary")
+    out = HM.extract_metadata(df).orderBy("url").collect()
+    return {r["url"]: r for r in out}
+
+
+def test_full_page_fields(meta_rows):
+    r = meta_rows["https://a.example/x"]
+    assert r["title"] == "Hello & Goodbye <3"
+    assert r["meta_description"] == "A fine page"
+    assert r["og_title"] == "OG Hello"
+    assert r["canonical_url"] == "https://a.example/x"
+    assert r["html_lang"] == "en"
+    assert r["charset"] == "utf-8"
+    assert r["published_time"] == "2024-03-01T09:00:00Z"
+
+
+def test_reversed_attribute_order_and_unquoted(meta_rows):
+    r = meta_rows["https://b.example/y"]
+    assert r["title"] == "Deuxi'me"
+    assert r["meta_description"] == 'ordre invers"'
+    assert r["og_title"] == "OG2"
+    assert r["canonical_url"] == "https://b.example/canon"
+    assert r["html_lang"] == "fr"
+    assert r["charset"] == "utf-8"
+    assert r["published_time"] is None
+
+
+def test_absent_fields_are_null(meta_rows):
+    r = meta_rows["https://c.example/z"]
+    for f_ in (
+        "title",
+        "meta_description",
+        "og_title",
+        "canonical_url",
+        "html_lang",
+        "charset",
+        "published_time",
+    ):
+        assert r[f_] is None, f_
+
+
+def test_amp_entity_decodes_last(spark):
+    # &amp;lt; is the TEXT "&lt;" — the decode chain must not turn it
+    # into "<" (single-pass order: &amp; last).
+    df = spark.createDataFrame(
+        [("u", b"<title>a &amp;lt; b</title>")], "url string, html binary"
+    )
+    row = HM.extract_metadata(df).collect()[0]
+    assert row["title"] == "a &lt; b"
+
+
+def test_plan_is_single_projection_no_exchange(spark):
+    df = spark.createDataFrame(PAGES, "url string, html binary")
+    plan = HM.extract_metadata(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_duckdb_twin_matches_spark(spark):
+    """The exported SQL field expressions produce identical values in
+    DuckDB over the same html strings."""
+    duckdb = pytest.importorskip("duckdb")
+    df = spark.createDataFrame(PAGES, "url string, html binary")
+    spark_rows = [
+        tuple(r)
+        for r in HM.extract_metadata(df).orderBy("url").collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pages AS SELECT * FROM (VALUES "
+        + ", ".join("(?, ?)" for _ in PAGES)
+        + ") t(url, html)",
+        [x for p in PAGES for x in (p[0], p[1].decode())],
+    )
+    exprs = HM.sql_field_exprs("html")
+    sql = "SELECT url, " + ", ".join(
+        f"{e} AS {n}" for n, e in exprs.items()
+    ) + " FROM pages ORDER BY url"
+    duck_rows = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert duck_rows == spark_rows
