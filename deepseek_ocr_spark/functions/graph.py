@@ -118,6 +118,90 @@ def outlink_edges(
     )
 
 
+# href AND direct anchor text in ONE pattern: group 1 = link target,
+# group 2 = the <a> element's immediate text (nested markup stops the
+# capture — documented: anchor-text corpora conventionally take the
+# flat text; a [^<]* capture keeps the pattern backtracking-free and
+# engine-identical). Same _WS discipline as OUTLINK_HREF_RE.
+ANCHOR_PAIR_RE = (
+    f"(?i)<a[{_WS}][^>]*?href[{_WS}]*=[{_WS}]*[\"']?([^\"'#>{_WS}]+)"
+    f"[\"']?[^>]*>([^<]*)</a>"
+)
+
+
+def anchor_texts(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    k: int = 3,
+) -> DataFrame:
+    """Per-target-host top-k anchor texts: (dst, anchor, n_links, rank).
+
+    Anchor text is the web's labeled description of the TARGET page —
+    the classic relevance/topic signal for search indexes and LLM
+    pretraining corpora (anchor-text datasets are built exactly this
+    way from Common Crawl). No reference analog (the reference never
+    sees HTML); north_rule DOM-heuristics surface.
+
+    Plan shape for 100 TB: both capture groups come from TWO
+    ``regexp_extract_all`` calls over the SAME pattern (identical match
+    sequence, so ``arrays_zip`` pairs them positionally) in one scan of
+    the pages table — no second pass, no join between href and text.
+    After the explode, rows are (host, short-string): the groupBy
+    shuffles a tiny fraction of the input bytes, and the top-k window
+    runs per-host after that aggregation. Anchors are lowercased and
+    whitespace-collapsed; empties and intra-host self-links drop.
+    Ties rank deterministically by (count desc, anchor asc).
+    """
+    from pyspark.sql.window import Window
+
+    from deepseek_ocr_spark.functions.urls import domain_col
+
+    html = F.col(html_col).cast("string")
+    pairs = pages.select(
+        domain_col(F.col(url_col)).alias("src"),
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(html, F.lit(ANCHOR_PAIR_RE), 1).alias(
+                    "href"
+                ),
+                F.regexp_extract_all(html, F.lit(ANCHOR_PAIR_RE), 2).alias(
+                    "anchor"
+                ),
+            )
+        ).alias("z"),
+    ).select("src", F.col("z.href").alias("href"), F.col("z.anchor").alias("anchor"))
+    dst = (
+        F.when(F.col("href").rlike(_SCHEME_RE), domain_col(F.col("href")))
+        .when(
+            F.col("href").startswith("//"),
+            domain_col(F.concat(F.lit("http:"), F.col("href"))),
+        )
+        .otherwise(F.col("src"))
+    )
+    anchor = F.lower(
+        F.trim(F.regexp_replace(F.col("anchor"), f"[{_WS}]+", " "))
+    )
+    counts = (
+        pairs.select(dst.alias("dst"), anchor.alias("anchor"), "src")
+        .filter(
+            (F.col("dst") != "")
+            & (F.col("anchor") != "")
+            & (F.col("dst") != F.col("src"))
+        )
+        .groupBy("dst", "anchor")
+        .agg(F.count("*").alias("n_links"))
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n_links").desc(), F.col("anchor")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("dst", "anchor", "n_links", "rank")
+    )
+
+
 def degree_stats(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     """Per-host (node, out_degree, in_degree) over a DISTINCT edge
     list — two host-keyed partial aggs and one outer join."""

@@ -2973,6 +2973,94 @@ SQL_HTML_METADATA = _html_metadata_sql()
 
 
 # --------------------------------------------------------------------
+# anchor-text aggregation (functions/graph.py anchor_texts)
+# --------------------------------------------------------------------
+#
+# Fixture synthesis: each doc links to two md5-derived hosts — one
+# anchor from the doc's own text (mostly unique) and one shared
+# template anchor ("More Info N", upper-cased to exercise the case
+# fold) so per-host counts and rank ties are both non-trivial.
+
+_ANCHOR_CLEAN_RE = "[\"'<>&]"
+
+
+def q_anchor_texts(spark, sf_dir):
+    """Per-target-host top-3 anchor texts over synthesized pages
+    (functions/graph.py anchor_texts: one regexp scan, positional
+    arrays_zip of href+text groups, host-keyed agg + top-k window)."""
+    from deepseek_ocr_spark.functions import graph as GR
+    from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    h1 = (md5_prefix_int(did, 8) % 20).cast("string")
+    h2 = (md5_prefix_int(did, 8) % 10).cast("string")
+    a1 = F.substring(
+        F.regexp_replace(F.col("text"), _ANCHOR_CLEAN_RE, " "), 1, 16
+    )
+    pages = d.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/d/"), did).alias(
+            "url"
+        ),
+        F.concat(
+            F.lit("<html><body><a href=https://h"),
+            h1,
+            F.lit("/p>"),
+            a1,
+            F.lit('</a><a href="https://h'),
+            h2,
+            F.lit('/q">More Info '),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("</a></body></html>"),
+        ).alias("html"),
+    )
+    return GR.anchor_texts(pages, k=3)
+
+
+def _anchor_texts_sql() -> str:
+    from deepseek_ocr_spark.functions import graph as GR
+
+    pat = GR.ANCHOR_PAIR_RE.replace("'", "''")
+    clean = _ANCHOR_CLEAN_RE.replace("'", "''")
+    return f"""
+WITH p AS (
+  SELECT '<html><body><a href=https://h'
+         || (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 20)::VARCHAR
+         || '/p>' || substr(regexp_replace(text, '{clean}', ' ', 'g'), 1, 16)
+         || '</a><a href="https://h'
+         || (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10)::VARCHAR
+         || '/q">More Info ' || (doc_id % 5)::VARCHAR
+         || '</a></body></html>' AS html
+  FROM documents
+), z AS (
+  SELECT u.z[1] AS href, u.z[2] AS anchor0
+  FROM (SELECT regexp_extract_all(html, '{pat}', 1) AS l1,
+               regexp_extract_all(html, '{pat}', 2) AS l2 FROM p),
+       unnest(list_zip(l1, l2)) AS u(z)
+), a AS (
+  SELECT lower(regexp_extract(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
+           AS dst,
+         lower(trim(regexp_replace(anchor0, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
+           AS anchor
+  FROM z
+), c AS (
+  SELECT dst, anchor, count(*)::BIGINT AS n_links
+  FROM a WHERE dst != '' AND anchor != ''
+  GROUP BY dst, anchor
+)
+SELECT dst, anchor, n_links, rank FROM (
+  SELECT dst, anchor, n_links,
+         row_number() OVER (PARTITION BY dst
+                            ORDER BY n_links DESC, anchor)::BIGINT AS rank
+  FROM c
+) WHERE rank <= 3
+"""
+
+
+SQL_ANCHOR_TEXTS = _anchor_texts_sql()
+
+
+# --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
 #
@@ -2997,6 +3085,7 @@ SQL_HTML_METADATA = _html_metadata_sql()
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
     "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
+    "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
@@ -3032,7 +3121,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "format_signals": (q_format_signals, SQL_FORMAT_SIGNALS),
     "url_signals": (q_url_signals, SQL_URL_SIGNALS),
     # --- round-2 queries displaced from the r3 window ----------------
-    "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),
     "repetition_clamp": (q_repetition_clamp, None),
     "formula_clean": (q_formula_clean, None),
     # --- dedup family (bucketed-join shapes) -------------------------
@@ -3063,6 +3151,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # fixes.py pins the count so the policy can't silently drift.)
     # ------------------------------------------------------------------
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),
     "b64_roundtrip": (q_b64_roundtrip, SQL_B64_ROUNDTRIP),
     "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),

@@ -502,3 +502,28 @@ def test_pack_sequences_scales_without_single_task_funnel(spark):
     assert full == 0
     elapsed = time.monotonic() - t0
     assert elapsed < 120, f"pack did not stay bounded: {elapsed:.0f}s"
+
+
+def test_anchor_texts(spark):
+    """href+text pairs zip positionally from one pattern; anchors
+    lowercase + whitespace-collapse; counts aggregate per target host;
+    self-links and empty anchors drop; ties rank by (count desc,
+    anchor asc); k bounds the per-host output."""
+    from deepseek_ocr_spark.functions import graph as GR
+
+    html_a = (b'<a href="https://t.example/1">Click  HERE</a> '
+              b'<a href="https://t.example/2">click\nhere</a> '
+              b'<a href="https://t.example/3">aaa</a> '
+              b'<a href="https://t.example/4">bbb</a> '
+              b'<a href="https://me.example/self">self link</a> '
+              b'<a href="https://t.example/5"></a>')
+    html_b = b'<a href=https://t.example/6>click here</a>'
+    pages = spark.createDataFrame(
+        [("https://me.example/a", html_a), ("https://you.example/b", html_b)],
+        "url string, html binary",
+    )
+    got = [(r["dst"], r["anchor"], r["n_links"], r["rank"])
+           for r in GR.anchor_texts(pages, k=2)
+           .orderBy("dst", "rank").collect()]
+    assert got == [("t.example", "click here", 3, 1),
+                   ("t.example", "aaa", 1, 2)]
