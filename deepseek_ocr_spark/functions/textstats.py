@@ -175,6 +175,73 @@ def lang_guess(col: Column) -> Column:
     )
 
 
+def lang_segments(
+    df, doc_col: str = "doc_id", text_col: str = "text"
+):
+    """CCNet-style per-line language segmentation: one row per maximal
+    run of consecutive same-language lines — (doc, seg_id, lang_seg,
+    start_line, end_line, n_lines).
+
+    Multilingual crawl pages routinely interleave languages (nav
+    chrome vs body, quoted passages, code-switching); CCNet therefore
+    scores language per paragraph, not per document, and routes each
+    segment to its own language pipeline (Wenzek 2019 §3.2). This is
+    that split as a relational operator.
+
+    Plan for 100 TB: one line explode (rows stay (doc, pos, 20-ish
+    chars of lang label) — the text itself is dropped before the
+    shuffle), ONE doc-keyed window pass for the run-length ids
+    (lag + cumulative sum over the same window frame — a single
+    Exchange on doc_col), then a doc+seg agg that rides the window's
+    partitioning. Empty lines are skipped but keep their positions, so
+    start/end_line index the ORIGINAL line numbering.
+
+    The run-length trick: a line opens a new segment iff
+    ``line_lang = lag(line_lang)`` is not TRUE (NULL on the first
+    line — both engines' CASE treats it as a boundary), and seg_id is
+    the cumulative boundary count minus 1. Shared verbatim with the
+    SQL twin.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        doc_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).filter(F.trim(F.col("line")) != "")
+    tagged = lines.select(
+        doc_col,
+        "pos",
+        lang_guess(F.col("line")).alias("line_lang"),
+    )
+    w = Window.partitionBy(doc_col).orderBy("pos")
+    # two window steps (lag, then cumulative sum) — window expressions
+    # can't nest in either engine, and both ride ONE doc-keyed Exchange
+    # because the partitioning is identical
+    bounded = tagged.withColumn(
+        "boundary",
+        F.when(
+            F.col("line_lang") == F.lag("line_lang").over(w), F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    seg = bounded.withColumn(
+        "seg_id",
+        (
+            F.sum("boundary").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - 1
+        ).cast("bigint"),
+    )
+    return (
+        seg.groupBy(doc_col, "seg_id", F.col("line_lang").alias("lang_seg"))
+        .agg(
+            F.min("pos").cast("bigint").alias("start_line"),
+            F.max("pos").cast("bigint").alias("end_line"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 # ---- Gopher-family repetition/format signals ----------------------------
 # (Rae et al., Gopher appendix A: symbol-to-word ratio, bullet/ellipsis
 # line fractions — the shallow format filters every corpus pipeline

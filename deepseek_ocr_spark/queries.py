@@ -3061,6 +3061,92 @@ SQL_ANCHOR_TEXTS = _anchor_texts_sql()
 
 
 # --------------------------------------------------------------------
+# per-line language segmentation (textstats.lang_segments)
+# --------------------------------------------------------------------
+#
+# Fixture synthesis: multi-line docs built from two slices of the
+# doc's own text plus fixed French/German (and every-third-doc
+# Spanish) stopword lines, so runs merge, boundaries split, and every
+# lang_guess branch fires.
+
+
+def q_lang_segments(spark, sf_dir):
+    """CCNet-style per-line language segmentation: maximal runs of
+    consecutive same-language lines (textstats.lang_segments — one
+    explode, one doc-keyed window pass, one agg)."""
+    d = _t(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    mtext = F.concat(
+        F.substring(F.col("text"), 1, 60),
+        nl,
+        F.substring(F.col("text"), 61, 60),
+        nl,
+        F.lit("le et la les de est un"),
+        nl,
+        F.lit("der und die das ist ein"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(nl, F.lit("el los las y es un")),
+        ).otherwise(F.lit("")),
+    )
+    return TS.lang_segments(d.select("doc_id", mtext.alias("text")))
+
+
+def _lang_segments_sql() -> str:
+    hits = {
+        lang: f"len(regexp_extract_all(lower(line), '{pat}', 0))"
+        for lang, pat in TS.LANG_STOPWORD_RE.items()
+    }
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         substr(text, 1, 60) || chr(10) || substr(text, 61, 60)
+         || chr(10) || 'le et la les de est un'
+         || chr(10) || 'der und die das ist ein'
+         || CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'el los las y es un' ELSE '' END AS mtext
+  FROM documents
+), s AS (SELECT doc_id, string_split(mtext, chr(10)) AS l FROM d),
+p AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS pos1, l FROM s),
+lines AS (
+  SELECT doc_id, pos1 - 1 AS pos, l[pos1] AS line
+  FROM p WHERE trim(l[pos1]) != ''
+), hits AS (
+  SELECT doc_id, pos, {hits['en']} AS en, {hits['de']} AS de,
+         {hits['fr']} AS fr, {hits['es']} AS es
+  FROM lines
+), tag AS (
+  SELECT doc_id, pos,
+    CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+         WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+         WHEN fr > 0 AND fr >= es THEN 'fr'
+         WHEN es > 0 THEN 'es'
+         ELSE 'und' END AS line_lang
+  FROM hits
+), b AS (
+  SELECT doc_id, pos, line_lang,
+         CASE WHEN line_lang = lag(line_lang)
+                OVER (PARTITION BY doc_id ORDER BY pos)
+              THEN 0 ELSE 1 END AS boundary
+  FROM tag
+), seg AS (
+  SELECT doc_id, pos, line_lang,
+         (sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - 1)::BIGINT AS seg_id
+  FROM b
+)
+SELECT doc_id, seg_id, line_lang AS lang_seg,
+       min(pos)::BIGINT AS start_line, max(pos)::BIGINT AS end_line,
+       count(*)::BIGINT AS n_lines
+FROM seg GROUP BY doc_id, seg_id, line_lang
+"""
+
+
+SQL_LANG_SEGMENTS = _lang_segments_sql()
+
+
+# --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
 #
@@ -3086,6 +3172,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # --- round-4 queries ---------------------------------------------
     "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
+    "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
@@ -3117,7 +3204,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_INCREMENTAL_LSH_PAIRS,
     ),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
-    "dsir_topk": (q_dsir_topk, SQL_DSIR_TOPK),
     "format_signals": (q_format_signals, SQL_FORMAT_SIGNALS),
     "url_signals": (q_url_signals, SQL_URL_SIGNALS),
     # --- round-2 queries displaced from the r3 window ----------------
@@ -3151,6 +3237,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # fixes.py pins the count so the policy can't silently drift.)
     # ------------------------------------------------------------------
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "dsir_topk": (q_dsir_topk, SQL_DSIR_TOPK),
     "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),
     "b64_roundtrip": (q_b64_roundtrip, SQL_B64_ROUNDTRIP),
     "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),

@@ -224,3 +224,46 @@ def test_hyperball_small_range_correction(spark):
     rows = GR.hyperball_harmonic(df, "src", "dst").collect()
     assert rows and all(r["hb_harmonic_fp"] >= 0 for r in rows)
     assert all(r["ball_est"] >= 1 for r in rows)
+
+
+def test_lang_segments_runs_merge_and_positions_survive(spark):
+    """Consecutive same-lang lines merge into one segment; empty lines
+    are skipped but original line numbering is preserved; a lang flip
+    opens a new segment; stopword-free lines tag 'und'."""
+    from deepseek_ocr_spark.functions import textstats as TS
+
+    text = "\n".join([
+        "the cat and the dog",      # 0 en
+        "a walk in the park",       # 1 en (merges with 0)
+        "",                         # 2 skipped
+        "le chat et la ville",      # 3 fr
+        "der hund und die katze",   # 4 de
+        "zzz qqq",                  # 5 und
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [
+        (r["seg_id"], r["lang_seg"], r["start_line"], r["end_line"], r["n_lines"])
+        for r in TS.lang_segments(df).orderBy("seg_id").collect()
+    ]
+    assert got == [
+        (0, "en", 0, 1, 2),
+        (1, "fr", 3, 3, 1),
+        (2, "de", 4, 4, 1),
+        (3, "und", 5, 5, 1),
+    ]
+
+
+def test_lang_segments_partitioning_independent(spark):
+    """Same segments at 1 and 7 input partitions (window partitioning
+    owns the layout, not the scan)."""
+    from deepseek_ocr_spark.functions import textstats as TS
+
+    rows = [
+        (i, "the and of to\nle la et est\nder die und ist") for i in range(20)
+    ]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    df7 = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    key = lambda r: (r["doc_id"], r["seg_id"], r["lang_seg"],
+                     r["start_line"], r["end_line"], r["n_lines"])
+    assert sorted(map(key, TS.lang_segments(df1).collect())) == \
+           sorted(map(key, TS.lang_segments(df7).collect()))
