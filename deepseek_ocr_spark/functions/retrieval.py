@@ -149,3 +149,73 @@ def bm25_topk(
         .agg(F.sum(F.expr(CONTRIB_SQL)).cast("bigint").alias("score_fp"))
     )
     return scored.orderBy(F.desc("score_fp"), F.col(id_col)).limit(k)
+
+
+def tfidf_topk_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords over the WHOLE corpus
+    vocabulary: (id, term, tf, score_fp, rank). The keyword-extraction
+    twin of ``bm25_topk`` — there the terms are known at plan time and
+    the corpus is never exploded; here the vocabulary IS the unknown,
+    so the plan is the classic two-aggregate shape:
+
+    * one token explode → (id, term) counts (the only corpus-keyed
+      shuffle on a composite key);
+    * document frequencies aggregate FROM the tf frame (vocab-keyed,
+      map-side partial — never a second corpus scan);
+    * ``idf = ln((N+1)/(df+1))`` in 1e-6 fixed point via the shared
+      range-reduced atanh series (functions/lm.py — ratios span
+      1..corpus_size, so the exact power-of-two reduction is
+      required, not the raw importance.py series);
+    * score = ``tf * idf_fp`` — exact BIGINT products, immune to
+      summation/ordering drift;
+    * per-doc top-k by (score desc, term asc) — one window pass.
+
+    Scale notes: the idf frame is vocab-sized, NOT broadcast — the
+    scoring join shuffles on the term key (AQE handles stopword skew;
+    at 10^12 docs pre-hash the vocabulary into buckets like
+    importance.py if term cardinality itself explodes). ln((N+1)/
+    (df+1)) is 0 for terms present in every doc — corpus-wide
+    boilerplate scores itself out.
+    """
+    from pyspark.sql.window import Window
+
+    from deepseek_ocr_spark.functions.lm import (
+        K_SQL,
+        NLL_FP_SQL,
+        Z2_SQL,
+        Z_SQL,
+        r2_sql,
+    )
+
+    toks = df.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = df.agg(F.count("*").alias("n_docs"))
+    shift = lambda x, amt: f"shiftleft(cast({x} as bigint), {amt})"  # noqa: E731
+    idf = (
+        dfreq.crossJoin(F.broadcast(ndocs))
+        .withColumn("__num", (F.col("n_docs") + 1).cast("bigint"))
+        .withColumn("__den", (F.col("df") + 1).cast("bigint"))
+        .withColumn("__k", F.expr(K_SQL))
+        .withColumn("__r2", F.expr(r2_sql(shift)))
+        .withColumn("__z", F.expr(Z_SQL))
+        .withColumn("__z2", F.expr(Z2_SQL))
+        .select("term", F.expr(NLL_FP_SQL).alias("idf_fp"))
+    )
+    scored = tf.join(idf, "term").select(
+        id_col,
+        "term",
+        "tf",
+        (F.col("tf") * F.col("idf_fp")).cast("bigint").alias("score_fp"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_fp"), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

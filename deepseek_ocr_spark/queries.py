@@ -3147,6 +3147,68 @@ SQL_LANG_SEGMENTS = _lang_segments_sql()
 
 
 # --------------------------------------------------------------------
+# per-document TF-IDF keyword extraction (retrieval.tfidf_topk_terms)
+# --------------------------------------------------------------------
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-doc top-5 TF-IDF keywords over the whole corpus vocabulary
+    (functions/retrieval.py tfidf_topk_terms): one token explode,
+    vocab-keyed df agg FROM the tf frame, range-reduced fixed-point
+    ln((N+1)/(df+1)) idf, exact integer tf x idf products, window
+    top-k. The unknown-vocabulary complement of bm25_topk."""
+    from deepseek_ocr_spark.functions import retrieval as RT
+
+    d = _t(spark, sf_dir, "documents")
+    return RT.tfidf_topk_terms(d, "doc_id", "text", k=5).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def _tfidf_sql() -> str:
+    from deepseek_ocr_spark.functions import lm as LM
+
+    shift = lambda x, amt: f"({x}::BIGINT << ({amt}))"  # noqa: E731
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)),
+                                   '[ \\t\\n\\x0B\\f\\r]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+j AS (
+  SELECT term, (n_docs + 1)::BIGINT AS __num, (df + 1)::BIGINT AS __den
+  FROM dfreq, nd
+), k1 AS (
+  SELECT term, __num, __den, {LM.K_SQL} AS __k FROM j
+), r1 AS (
+  SELECT term, __k, {LM.r2_sql(shift)} AS __r2 FROM k1
+), z1 AS (SELECT term, __k, {LM.Z_SQL} AS __z FROM r1),
+z2t AS (SELECT term, __k, __z, {LM.Z2_SQL} AS __z2 FROM z1),
+i AS (SELECT term, {LM.NLL_FP_SQL} AS idf_fp FROM z2t),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         (tf.tf * i.idf_fp)::BIGINT AS score_fp
+  FROM tf JOIN i USING (term)
+)
+SELECT doc_id, term, tf, score_fp, rank FROM (
+  SELECT doc_id, term, tf, score_fp,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_fp DESC, term)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+SQL_TFIDF_KEYWORDS = _tfidf_sql()
+
+
+# --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
 #
@@ -3170,6 +3232,7 @@ SQL_LANG_SEGMENTS = _lang_segments_sql()
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
+    "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
@@ -3183,7 +3246,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "semdedup_keep": (q_semdedup_keep, SQL_SEMDEDUP_KEEP),
     # --- round-3 operator families -----------------------------------
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
-    "asof_join_left_tol": (q_asof_join_left_tol, SQL_ASOF_JOIN_LEFT_TOL),
     "range_join_events": (q_range_join_events, SQL_RANGE_JOIN_EVENTS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
@@ -3236,6 +3298,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # (Exactly 50 entries sit above this banner — tests/test_review_
     # fixes.py pins the count so the policy can't silently drift.)
     # ------------------------------------------------------------------
+    "asof_join_left_tol": (q_asof_join_left_tol, SQL_ASOF_JOIN_LEFT_TOL),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "dsir_topk": (q_dsir_topk, SQL_DSIR_TOPK),
     "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),

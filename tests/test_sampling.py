@@ -212,3 +212,37 @@ def test_format_signals_code_vs_prose(spark):
     cs, ckw, ci, cf = got["code"]
     assert cs >= 8 and ckw >= 3 and ci == 2 and cf == 0
     assert got["fenced"][3] == 2
+
+
+def test_tfidf_topk_terms(spark):
+    """Corpus-wide boilerplate (a term in EVERY doc) scores exactly 0;
+    a rarer term outranks a commoner one at equal tf; higher tf
+    outranks at equal df; rank is contiguous from 1 per doc."""
+    from deepseek_ocr_spark.functions.retrieval import tfidf_topk_terms
+
+    rows = [
+        ("a", "common zebra zebra otter"),
+        ("b", "common otter"),
+        ("c", "common filler"),
+        ("d", "common filler"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_topk_terms(df, "doc_id", "text", k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["term"]] = (
+            r["score_fp"], r["rank"]
+        )
+    # 'common' is in all 4 docs -> idf = ln(5/5) = 0 -> score 0
+    assert by_doc["a"]["common"][0] == 0
+    a = by_doc["a"]
+    # zebra: tf=2 df=1; otter: tf=1 df=2; both beat common's 0
+    assert a["zebra"][0] > a["otter"][0] > a["common"][0]
+    assert [a[t][1] for t in ("zebra", "otter", "common")] == [1, 2, 3]
+    # equal tf, rarer term wins: doc b has otter (df=2) vs common (df=4)
+    b = by_doc["b"]
+    assert b["otter"][0] > b["common"][0]
+    # every doc's ranks are 1..n with n <= k
+    for d, terms in by_doc.items():
+        ranks = sorted(r for _, r in terms.values())
+        assert ranks == list(range(1, len(ranks) + 1))
