@@ -190,3 +190,50 @@ def hash_split(
     return docs.withColumn(
         "split", last if expr is None else expr.otherwise(last)
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    splits: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "split",
+    denom: int = SPLIT_DENOM,
+) -> DataFrame:
+    """Near-dup-safe train/val/test assignment: (id, rep, split) where
+    the split hash is taken over the document's near-duplicate CLUSTER
+    representative (min id reachable through the LSH candidate-pair
+    graph), not the document id. A plain per-doc ``hash_split`` leaks
+    test content into train whenever a test doc has a near-copy — the
+    contamination channel Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better") measure; hashing the cluster
+    label closes it: two docs that near-duplicate each other CANNOT
+    straddle a split boundary, because they hash the same value.
+
+    Scale shape: the cluster frame only contains docs that appear in
+    at least one candidate pair (a small fraction of any real corpus),
+    so the join back is corpus x small; singleton docs coalesce to
+    their own id and never enter the pair machinery. Everything
+    downstream of the LSH pass is the zero-shuffle ``hash_split``
+    projection on the rep column."""
+    from deepseek_ocr_spark.functions.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    sig = minhash_signature(docs, id_col, text_col)
+    pairs = lsh_candidate_pairs(sig, id_col)
+    clusters = connected_components(pairs)  # (node, cluster)
+    tagged = (
+        docs.join(
+            clusters.withColumnRenamed("node", id_col).select(
+                id_col, "cluster"
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn("rep", F.coalesce(F.col("cluster"), F.col(id_col)))
+        .drop("cluster")
+    )
+    return hash_split(tagged, splits, id_col="rep", salt=salt, denom=denom)

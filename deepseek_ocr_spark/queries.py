@@ -3209,6 +3209,61 @@ SQL_TFIDF_KEYWORDS = _tfidf_sql()
 
 
 # --------------------------------------------------------------------
+# near-dup-safe dataset split (packing.cluster_safe_split)
+# --------------------------------------------------------------------
+
+
+def q_cluster_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: the hash runs over each
+    doc's near-dup cluster representative (min id reachable through
+    the LSH pair graph), so near-duplicates can never straddle a
+    split boundary (the Lee-2021 contamination channel). Singletons
+    hash their own id — identical to hash_split for them."""
+    from deepseek_ocr_spark.functions.packing import cluster_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        cluster_safe_split(d, {"train": 9800, "val": 100, "test": 100})
+        .select("doc_id", "rep", "split")
+        .orderBy("doc_id")
+    )
+
+
+SQL_CLUSTER_SAFE_SPLIT = (
+    _SHINGLES_SQL.replace("WITH w AS", "WITH RECURSIVE w AS", 1)
+    + ","
+    + _PAIRS_CORE
+    + """,
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk AS (
+  SELECT src AS node, dst AS reach FROM edges
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+),
+clusters AS (
+  SELECT node, least(node, min(reach)) AS cluster FROM walk GROUP BY node
+),
+tagged AS (
+  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS rep
+  FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id
+),
+h AS (
+  SELECT doc_id, rep,
+         ('0x' || substr(md5('split:' || rep::VARCHAR), 1, 13))::BIGINT
+           % 10000 AS hv
+  FROM tagged
+)
+SELECT doc_id, rep,
+       CASE WHEN hv < 9800 THEN 'train'
+            WHEN hv < 9900 THEN 'val'
+            ELSE 'test' END AS split
+FROM h ORDER BY doc_id
+"""
+)
+
+
+# --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
 #
@@ -3233,6 +3288,7 @@ SQL_TFIDF_KEYWORDS = _tfidf_sql()
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
+    "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
     "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
@@ -3250,7 +3306,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
     "kgram_dup_stats": (q_kgram_dup_stats, SQL_KGRAM_DUP_STATS),
     "kgram_dedup_rewrite": (q_kgram_dedup_rewrite, SQL_KGRAM_DEDUP_REWRITE),
     "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),
@@ -3299,6 +3354,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # fixes.py pins the count so the policy can't silently drift.)
     # ------------------------------------------------------------------
     "asof_join_left_tol": (q_asof_join_left_tol, SQL_ASOF_JOIN_LEFT_TOL),
+    "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "dsir_topk": (q_dsir_topk, SQL_DSIR_TOPK),
     "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),

@@ -108,3 +108,41 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert abs(got.get("test", 0) - 200) < 100
     with pytest.raises(ValueError):
         PK.hash_split(docs, {"train": 9000, "val": 100})
+
+
+def test_cluster_safe_split_keeps_neardups_together(spark):
+    """Near-duplicate docs (shared shingles -> LSH pair) always land in
+    the SAME split; singletons match plain hash_split exactly; the
+    assignment is partitioning-independent."""
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the miller watches the river run through the old town"
+    )
+    rows = [
+        (1, base),
+        (2, base + " extra tail"),          # near-dup of 1
+        (3, base.replace("fox", "cat")),     # near-dup of 1 (one edit)
+        (100, "completely different words about astronomy and orbits "
+              "telescopes planets moons comets asteroids and the sun"),
+        (200, "unrelated gardening text covering soil seeds compost "
+              "watering pruning harvest tomatoes beans peas and corn"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    splits = {"train": 5000, "val": 2500, "test": 2500}
+    got = {r["doc_id"]: (r["rep"], r["split"])
+           for r in PK.cluster_safe_split(docs, splits).collect()}
+    assert len(got) == 5
+    # the near-dup trio shares one rep (=min id) and one split
+    reps = {got[i][0] for i in (1, 2, 3)}
+    assert reps == {1}, got
+    assert len({got[i][1] for i in (1, 2, 3)}) == 1
+    # singletons: rep == own id, split == plain hash_split's answer
+    plain = {r["doc_id"]: r["split"]
+             for r in PK.hash_split(docs, splits).collect()}
+    for i in (100, 200):
+        assert got[i][0] == i and got[i][1] == plain[i]
+    # partitioning-independent
+    again = {r["doc_id"]: (r["rep"], r["split"])
+             for r in PK.cluster_safe_split(
+                 docs.repartition(7), splits).collect()}
+    assert again == got
