@@ -1,0 +1,80 @@
+"""Byte-pair-encoding merge statistics over a document corpus.
+
+The count-the-adjacent-pairs step that dominates BPE tokenizer
+training (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units"): every training round scans the corpus for
+the most frequent adjacent symbol pair and merges it. At web scale
+the scan IS the job — a 100 TB corpus per round — while the argmax
+and the merge-table update are driver-trivial. This module
+distributes the scan; a tokenizer-training driver loops it, feeding
+each round's winner back in via ``merges`` (symbols are re-split on
+the updated vocabulary before re-counting, exactly the reference
+algorithm's structure).
+
+The reference repo ships a PRE-TRAINED tokenizer
+(DeepSeek-OCR-master/DeepSeek-OCR-vllm config) and never trains one;
+this operator belongs to the training-data-pipeline surface the
+engine adds (SURVEY.md "beyond the reference").
+
+Scale shape: one token explode (words), per-word adjacent pairs via
+``transform(sequence(...))`` over character offsets — the pair stream
+never exceeds total corpus characters; the count is a map-side-
+partial hash aggregate on the pair string; top-k is
+``ORDER BY .. LIMIT k`` (TakeOrderedAndProject — per-partition heaps,
+never a full sort). Nothing collects, nothing is quadratic.
+
+Determinism: counts are exact integers; ties break by the pair string
+ascending, so the top-k set is a pure function of the corpus across
+engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.dedup import words_col
+
+
+def char_pair_counts(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(pair, n) — corpus-wide counts of adjacent character pairs
+    inside whitespace words (each occurrence counts, so frequent words
+    weight their pairs, per the BPE training objective). Words shorter
+    than 2 characters contribute nothing — guarded explicitly because
+    ``sequence(1, 0)`` DESCENDS in Spark (the _word_chunk_lines
+    lesson), while the DuckDB twin's ``range(1, 1)`` is empty."""
+    toks = df.select(
+        F.explode(words_col(F.col(text_col))).alias("__w")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.length("__w") >= 2,
+                F.expr(
+                    "transform(sequence(1, length(__w) - 1),"
+                    " i -> substring(__w, i, 2))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    return pairs.groupBy("pair").agg(F.count("*").cast("bigint").alias("n"))
+
+
+def top_merge_candidates(
+    df: DataFrame, id_col: str, text_col: str, k: int = 20
+) -> DataFrame:
+    """The k most frequent adjacent pairs — round-1 BPE merge
+    candidates: (pair, n, rank), ties by pair ascending. One corpus
+    scan + one bounded top-k; the tokenizer-training driver merges
+    rank 1 and re-runs."""
+    counts = char_pair_counts(df, id_col, text_col)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n"), F.col("pair"))
+    return (
+        counts.orderBy(F.desc("n"), F.col("pair"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )

@@ -1,0 +1,121 @@
+"""HTML ``<table>`` extraction into relational (cell-per-row) form.
+
+Tables are where crawled pages keep their structured data; a
+training-data pipeline wants them BOTH as text (the main-content
+extractor linearizes them) and as structure (per-cell rows feed
+table-QA / table-to-text training sets and layout-aware filtering).
+The reference analog is the PDF side's layout parse (region
+segmentation + reading order); for HTML the grid is explicit, so the
+operator is pure declarative regexp algebra — no parser state, no
+Python.
+
+Output grain: one row per cell — (url, table_idx, row_idx, col_idx,
+is_header, cell) — indices 0-based in document order, ``is_header``
+from the cell's own tag (``<th>`` vs ``<td>``), cell text
+tag-stripped, whitespace-collapsed and entity-decoded with the
+html_meta chain.
+
+Design for 100 TB: three nested ``posexplode(regexp_extract_all(...))``
+projections (tables → rows → cells). Each explode multiplies rows but
+the payload SHRINKS at every level (table html → row html → cell
+text), so the widest intermediate is bounded by the input bytes; there
+is no shuffle anywhere — the whole operator is map-side and
+whole-stage-codegen'd. Tag/content are captured by TWO parallel
+``regexp_extract_all`` calls over the same pattern zipped positionally
+(``arrays_zip``) — the anchor_texts trick — because a single call can
+only return one capture group.
+
+Patterns live in the Java∩RE2 subset ((?is) inline flags, non-greedy
+``.*?``, no lookarounds) and are exported as constants the DuckDB twin
+interpolates verbatim. A malformed table (unclosed ``</table>``)
+simply fails the non-greedy match and contributes nothing — identical
+behavior in both engines, never an error row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.html_meta import (
+    ENTITY_CHAIN,
+    WS_COLLAPSE_RE,
+)
+
+TABLE_RE = "(?is)<table[^>]*>(.*?)</table>"
+ROW_RE = "(?is)<tr[^>]*>(.*?)</tr>"
+# group 1 = tag name (td|th), group 2 = inner content
+CELL_RE = "(?is)<(td|th)[^>]*>(.*?)</t[dh]>"
+TAG_STRIP_RE = "<[^>]*>"
+
+
+def _clean_cell(col: Column) -> Column:
+    """Tag-strip → whitespace-collapse → trim → entity-decode.
+    Empty cells stay '' (a real cell that held nothing is data —
+    unlike html_meta's absent-field NULLs)."""
+    out = F.regexp_replace(col, TAG_STRIP_RE, " ")
+    out = F.trim(F.regexp_replace(out, WS_COLLAPSE_RE, " "))
+    for needle, repl in ENTITY_CHAIN:
+        out = F.replace(out, F.lit(needle), F.lit(repl))
+    return out
+
+
+def extract_tables(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, table_idx, row_idx, col_idx, is_header, cell) — one row
+    per table cell in document order; pages without tables contribute
+    nothing. ``html_col`` may be binary (cast) or string."""
+    html = F.col(html_col).cast("string")
+    t = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.regexp_extract_all(html, F.lit(TABLE_RE), 1)).alias(
+            "table_idx", "__t"
+        ),
+    )
+    r = t.select(
+        "url",
+        F.col("table_idx").cast("bigint"),
+        F.posexplode(
+            F.regexp_extract_all(F.col("__t"), F.lit(ROW_RE), 1)
+        ).alias("row_idx", "__r"),
+    )
+    zipped = r.select(
+        "url",
+        "table_idx",
+        F.col("row_idx").cast("bigint"),
+        F.posexplode(
+            F.arrays_zip(
+                F.regexp_extract_all(F.col("__r"), F.lit(CELL_RE), 1).alias(
+                    "tag"
+                ),
+                F.regexp_extract_all(F.col("__r"), F.lit(CELL_RE), 2).alias(
+                    "raw"
+                ),
+            )
+        ).alias("col_idx", "__c"),
+    )
+    return zipped.select(
+        "url",
+        "table_idx",
+        "row_idx",
+        F.col("col_idx").cast("bigint"),
+        (F.lower(F.col("__c.tag")) == "th").alias("is_header"),
+        _clean_cell(F.col("__c.raw")).alias("cell"),
+    )
+
+
+def table_shapes(cells: DataFrame) -> DataFrame:
+    """Per-table shape summary over ``extract_tables`` output:
+    (url, table_idx, n_rows, n_cols, n_cells, n_header_cells). The
+    filter signal for "is this a data table or layout scaffolding"
+    (layout tables are ragged and header-free; data tables are
+    rectangular: n_cells == n_rows * n_cols)."""
+    return cells.groupBy("url", "table_idx").agg(
+        (F.max("row_idx") + 1).cast("bigint").alias("n_rows"),
+        (F.max("col_idx") + 1).cast("bigint").alias("n_cols"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum(F.col("is_header").cast("bigint"))
+        .cast("bigint")
+        .alias("n_header_cells"),
+    )

@@ -3209,6 +3209,151 @@ SQL_TFIDF_KEYWORDS = _tfidf_sql()
 
 
 # --------------------------------------------------------------------
+# HTML table extraction (functions/html_tables.py)
+# --------------------------------------------------------------------
+#
+# Fixture synthesis: every doc gets a 2x2 table (header row with an
+# entity, data row with a nested tag + doc-derived values); every
+# third doc a second single-cell table — so table/row/cell indexing,
+# is_header, tag stripping, entity decoding and multi-table pages all
+# exercise both engines.
+
+
+def q_html_tables(spark, sf_dir):
+    """HTML <table> cells as relational rows (functions/
+    html_tables.py): three nested posexplode(regexp_extract_all)
+    projections, zero shuffles, tag/content zipped positionally.
+    The HTML twin of the PDF layout parse."""
+    from deepseek_ocr_spark.functions import html_tables as HT
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    pages = d.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/d/"), did).alias(
+            "url"
+        ),
+        F.concat(
+            F.lit(
+                "<html><body><h1>x</h1><table id=t1>"
+                "<tr><th>Name</th><th>V&amp;L</th></tr><tr><td><b>"
+            ),
+            F.substring(F.col("text"), 1, 12),
+            F.lit("</b></td><td> "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\n</td></tr></table><p>noise</p>"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("<table><tr><td>only</td></tr></table>"),
+            ).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return HT.extract_tables(pages)
+
+
+def _html_tables_sql() -> str:
+    from deepseek_ocr_spark.functions import html_tables as HT
+
+    def q(pat: str) -> str:
+        return "'" + pat.replace("'", "''") + "'"
+
+    clean = (
+        f"trim(regexp_replace(regexp_replace(e.raw, {q(HT.TAG_STRIP_RE)},"
+        f" ' ', 'g'), '{HT.WS_COLLAPSE_RE}', ' ', 'g'))"
+    )
+    from deepseek_ocr_spark.functions.html_meta import ENTITY_CHAIN
+
+    for needle, repl in ENTITY_CHAIN:
+        nd = needle.replace("'", "''")
+        rp = repl.replace("'", "''")
+        clean = f"replace({clean}, '{nd}', '{rp}')"
+    return f"""
+WITH p AS (
+  SELECT 'https://' || source || '/d/' || doc_id::VARCHAR AS url,
+         '<html><body><h1>x</h1><table id=t1>'
+         || '<tr><th>Name</th><th>V&amp;L</th></tr><tr><td><b>'
+         || substr(text, 1, 12) || '</b></td><td> '
+         || (doc_id % 7)::VARCHAR || chr(10)
+         || '</td></tr></table><p>noise</p>'
+         || CASE WHEN doc_id % 3 = 0
+              THEN '<table><tr><td>only</td></tr></table>' ELSE '' END
+         || '</body></html>' AS html
+  FROM documents
+), t0 AS (
+  SELECT url, regexp_extract_all(html, {q(HT.TABLE_RE)}, 1) AS ts FROM p
+), t AS (
+  SELECT url, e.idx AS table_idx, e.v AS th FROM (
+    SELECT url, unnest(list_transform(range(1, len(ts) + 1),
+      i -> struct_pack(idx := (i - 1)::BIGINT, v := ts[i]))) AS e
+    FROM t0)
+), r0 AS (
+  SELECT url, table_idx, regexp_extract_all(th, {q(HT.ROW_RE)}, 1) AS rs
+  FROM t
+), r AS (
+  SELECT url, table_idx, e.idx AS row_idx, e.v AS rh FROM (
+    SELECT url, table_idx, unnest(list_transform(range(1, len(rs) + 1),
+      i -> struct_pack(idx := (i - 1)::BIGINT, v := rs[i]))) AS e
+    FROM r0)
+), c0 AS (
+  SELECT url, table_idx, row_idx,
+         regexp_extract_all(rh, {q(HT.CELL_RE)}, 1) AS tags,
+         regexp_extract_all(rh, {q(HT.CELL_RE)}, 2) AS raws
+  FROM r
+), c AS (
+  SELECT url, table_idx, row_idx, e.idx AS col_idx, e.tag, e.raw FROM (
+    SELECT url, table_idx, row_idx,
+           unnest(list_transform(range(1, len(tags) + 1),
+             i -> struct_pack(idx := (i - 1)::BIGINT,
+                              tag := tags[i], raw := raws[i]))) AS e
+    FROM c0)
+)
+SELECT url, table_idx, row_idx, col_idx,
+       lower(e.tag) = 'th' AS is_header,
+       {clean} AS cell
+FROM c AS e
+"""
+
+
+SQL_HTML_TABLES = _html_tables_sql()
+
+
+# --------------------------------------------------------------------
+# BPE merge-candidate counts (functions/bpe.py)
+# --------------------------------------------------------------------
+
+
+def q_bpe_merge_pairs(spark, sf_dir):
+    """Round-1 BPE tokenizer-training statistics (functions/bpe.py):
+    corpus-wide adjacent character-pair counts inside words, top-20
+    merge candidates with deterministic tiebreak (n desc, pair asc).
+    The distributed scan that dominates each BPE training round."""
+    from deepseek_ocr_spark.functions import bpe as BP
+
+    d = _t(spark, sf_dir, "documents")
+    return BP.top_merge_candidates(d, "doc_id", "text", k=20)
+
+
+SQL_BPE_MERGE_PAIRS = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)),
+                                   '[ \\t\\n\\x0B\\f\\r]+')) AS w
+  FROM documents
+), pairs AS (
+  SELECT unnest(CASE WHEN length(w) >= 2
+                THEN list_transform(range(1, length(w)),
+                                    i -> substr(w, i, 2))
+                ELSE []::VARCHAR[] END) AS pair
+  FROM toks
+), c AS (
+  SELECT pair, count(*)::BIGINT AS n FROM pairs GROUP BY pair
+)
+SELECT pair, n,
+       row_number() OVER (ORDER BY n DESC, pair)::BIGINT AS rank
+FROM c ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------
 # near-dup-safe dataset split (packing.cluster_safe_split)
 # --------------------------------------------------------------------
 
@@ -3289,6 +3434,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # --- round-4 queries ---------------------------------------------
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
+    "bpe_merge_pairs": (q_bpe_merge_pairs, SQL_BPE_MERGE_PAIRS),
+    "html_tables": (q_html_tables, SQL_HTML_TABLES),
     "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
@@ -3308,14 +3455,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "kgram_dup_stats": (q_kgram_dup_stats, SQL_KGRAM_DUP_STATS),
     "kgram_dedup_rewrite": (q_kgram_dedup_rewrite, SQL_KGRAM_DEDUP_REWRITE),
-    "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),
     "domain_rebalance": (q_domain_rebalance, SQL_DOMAIN_REBALANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "host_graph_degrees": (q_host_graph_degrees, SQL_HOST_GRAPH_DEGREES),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     "host_harmonic": (q_host_harmonic, SQL_HOST_HARMONIC),
-    "incremental_new_docs": (q_incremental_new_docs, SQL_INCREMENTAL_NEW_DOCS),
     "incremental_lsh_pairs": (
         q_incremental_lsh_pairs,
         SQL_INCREMENTAL_LSH_PAIRS,
@@ -3355,6 +3500,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # ------------------------------------------------------------------
     "asof_join_left_tol": (q_asof_join_left_tol, SQL_ASOF_JOIN_LEFT_TOL),
     "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
+    "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),
+    "incremental_new_docs": (q_incremental_new_docs, SQL_INCREMENTAL_NEW_DOCS),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "dsir_topk": (q_dsir_topk, SQL_DSIR_TOPK),
     "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),

@@ -117,3 +117,42 @@ def test_duckdb_twin_matches_spark(spark):
     ) + " FROM pages ORDER BY url"
     duck_rows = [tuple(r) for r in con.execute(sql).fetchall()]
     assert duck_rows == spark_rows
+
+
+def test_extract_tables_cells_and_shapes(spark):
+    """Cell grain, 0-based indexing, th/td flags, tag strip + entity
+    decode, multi-table pages, malformed tables contribute nothing."""
+    from deepseek_ocr_spark.functions import html_tables as HT
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "u1",
+                "<table><TR><th>A&amp;B</th><td> x </td></TR>"
+                "<tr><td><b>bold</b>\n  text</td></tr></table>"
+                "<table border=1><tr><td>second</td></tr></table>",
+            ),
+            ("u2", "<p>no tables here</p>"),
+            ("u3", "<table><tr><td>unclosed row"),  # malformed: no match
+        ],
+        ["url", "html"],
+    )
+    got = {
+        (r["url"], r["table_idx"], r["row_idx"], r["col_idx"]): (
+            r["is_header"], r["cell"]
+        )
+        for r in HT.extract_tables(pages).collect()
+    }
+    assert got == {
+        ("u1", 0, 0, 0): (True, "A&B"),
+        ("u1", 0, 0, 1): (False, "x"),
+        ("u1", 0, 1, 0): (False, "bold text"),
+        ("u1", 1, 0, 0): (False, "second"),
+    }
+    shapes = {
+        (r["url"], r["table_idx"]): (
+            r["n_rows"], r["n_cols"], r["n_cells"], r["n_header_cells"]
+        )
+        for r in HT.table_shapes(HT.extract_tables(pages)).collect()
+    }
+    assert shapes == {("u1", 0): (2, 2, 3, 1), ("u1", 1): (1, 1, 1, 0)}

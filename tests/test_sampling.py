@@ -246,3 +246,19 @@ def test_tfidf_topk_terms(spark):
     for d, terms in by_doc.items():
         ranks = sorted(r for _, r in terms.values())
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_bpe_merge_pair_counts(spark):
+    """Exact pair counts, word-frequency weighting, <2-char words
+    contribute nothing, deterministic tiebreak."""
+    from deepseek_ocr_spark.functions import bpe as BP
+
+    rows = [(1, "ab ab abc a"), (2, "abc x yz")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    counts = {r["pair"]: r["n"]
+              for r in BP.char_pair_counts(df, "doc_id", "text").collect()}
+    # "ab": 2x from doc1 'ab', 1x each from the two 'abc' = 4
+    assert counts == {"ab": 4, "bc": 2, "yz": 1}
+    top = BP.top_merge_candidates(df, "doc_id", "text", k=2).collect()
+    assert [(r["pair"], r["n"], r["rank"]) for r in top] == [
+        ("ab", 4, 1), ("bc", 2, 2)]
