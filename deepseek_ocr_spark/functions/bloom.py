@@ -1,0 +1,99 @@
+"""Bloom-filter membership summaries for crawl-frontier dedup.
+
+The incremental-crawl problem: given last month's 10^12-url seen-set,
+which of this month's candidate urls are new? The EXACT answer is the
+left-anti fingerprint join (functions/dedup.py incremental_new_docs) —
+but it reshuffles the full seen-set every run. A Bloom filter trades a
+deterministic, tunable false-positive rate for a summary that is a
+BOUNDED dimension (m bits regardless of key count): build once, then
+every probe run is [explode k positions -> broadcast join -> key agg]
+with no seen-set scan at all. False positives only ever DROP a url
+that would have been re-crawled — the safe direction for frontier
+dedup; false negatives are impossible (a seen url always probes true).
+
+Representation: the filter is a DataFrame of DISTINCT set bit
+positions (<= m rows) rather than packed words — the relational
+encoding joins directly, ships as parquet, and unions incrementally
+(adding a snapshot = union + distinct). Positions come from k
+independently-salted md5 prefixes (the repo-wide portable hash), so
+the DuckDB twin computes the identical filter bit-for-bit and
+``maybe_contains`` is hash-verifiable — an approximate operator with
+an exact cross-engine contract, like ivf_topk_exhaustive.
+
+Scale shape: build = one linear scan, k-fold explode, distinct on a
+bounded key space (the shuffle carries <= m distinct values thanks to
+partial aggregation). Probe = zero-shuffle position projection +
+broadcast join against the <= m-row filter + key-grouped bool_and.
+At 10^12 keys pick m ~ 2^33 and shard the filter on a key-hash prefix
+(one bounded filter per shard, probes partition-pruned to their
+shard) — the code is shard-agnostic because the filter is just rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+
+BLOOM_M_BITS = 4096
+BLOOM_K = 4
+
+
+def bloom_positions(
+    key: Column, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> Column:
+    """array<bigint> of the key's k bit positions — k independently
+    salted md5 prefixes mod m. Both engines compute it identically."""
+    return F.array(
+        *[
+            md5_prefix_int(
+                F.concat(F.lit(f"bf{i}:"), key.cast("string")), 15
+            )
+            % m_bits
+            for i in range(k)
+        ]
+    )
+
+
+def build_bloom(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(pos) — the filter's distinct set bit positions; <= m_bits rows
+    no matter how many keys went in. Union two filters (same m, k) to
+    merge snapshots."""
+    return (
+        df.select(
+            F.explode(
+                bloom_positions(F.col(key_col), m_bits, k)
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_maybe_contains(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(key, maybe_seen) per candidate row: true iff ALL k of the
+    key's positions are set in ``bloom`` (built with the same m, k —
+    the caller owns that contract; mismatched parameters give
+    garbage, not errors). No false negatives; false-positive odds
+    fall out of m, k, and the build cardinality."""
+    pos = candidates.select(
+        F.col(key_col).alias("key"),
+        F.explode(bloom_positions(F.col(key_col), m_bits, k)).alias("pos"),
+    )
+    hit = pos.join(
+        F.broadcast(bloom.withColumn("__set", F.lit(True))), "pos", "left"
+    )
+    return hit.groupBy("key").agg(
+        F.expr("bool_and(coalesce(__set, false))").alias("maybe_seen")
+    ).withColumnRenamed("key", key_col)

@@ -426,3 +426,107 @@ def label_centroids(
             "n",
         )
     )
+
+
+def bitext_margin_pairs(
+    df: DataFrame,
+    lang_a,
+    lang_b,
+    k: int = 4,
+    min_margin_fp: int = 1_050_000,
+    id_col: str = "vec_id",
+    lang_col: str = "label",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER recipe): mine parallel-document pairs across two
+    language slices of an embedding table by RATIO MARGIN, not raw
+    cosine — a pair only survives if it is much closer than either
+    side's other neighbors, which kills the hub vectors that raw
+    cosine thresholds mis-mine. Returns (src_id, dst_id, sim_fp,
+    margin_fp): the best B-side partner per A-side doc with
+    margin >= ``min_margin_fp`` (1e-6 fixed point; the published
+    operating point is ~1.05-1.06).
+
+        margin(x,y) = cos(x,y) / ((avgTopK_B(x) + avgTopK_A(y)) / 2)
+
+    Determinism across engines: cosine folds in array order (the
+    dot_col contract), floors into 1e-6 fixed point BEFORE any
+    aggregation, and the margin is evaluated in pure BIGINT
+    arithmetic — margin_fp = (2e6 * sim * na * nb) div
+    (sa*nb + sb*na) with every operand positive (non-positive
+    cosines are dropped first: they are never bitext and keeping
+    the math positive makes trunc-div == floor-div in both
+    engines). Ties break by partner id.
+
+    Scale shape: the A x B candidate frame here is the exhaustive
+    twin (both slices scanned once, one shuffle to the window keys);
+    at 10^12 docs restrict candidates with ann_lsh_buckets /
+    ivf_assign first — the margin algebra is identical over any
+    candidate subset, this function only assumes the pair frame
+    contains each doc's true neighborhood."""
+    from pyspark.sql.window import Window
+
+    d = emb_double(df, emb_col)
+    a = d.filter(F.col(lang_col) == lang_a).select(
+        F.col(id_col).alias("src_id"), F.col("emb").alias("ea")
+    )
+    b = d.filter(F.col(lang_col) == lang_b).select(
+        F.col(id_col).alias("dst_id"), F.col("emb").alias("eb")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .select(
+            "src_id",
+            "dst_id",
+            F.floor(
+                cosine_col(F.col("ea"), F.col("eb")) * F.lit(1_000_000.0)
+            )
+            .cast("bigint")
+            .alias("sim_fp"),
+        )
+        .filter(F.col("sim_fp") > 0)
+    )
+    wa = Window.partitionBy("src_id").orderBy(
+        F.desc("sim_fp"), F.col("dst_id")
+    )
+    wb = Window.partitionBy("dst_id").orderBy(
+        F.desc("sim_fp"), F.col("src_id")
+    )
+    ranked = pairs.withColumn(
+        "__ra", F.row_number().over(wa)
+    ).withColumn("__rb", F.row_number().over(wb))
+    stats_a = (
+        ranked.filter(F.col("__ra") <= k)
+        .groupBy("src_id")
+        .agg(
+            F.sum("sim_fp").cast("bigint").alias("sa"),
+            F.count("*").cast("bigint").alias("na"),
+        )
+    )
+    stats_b = (
+        ranked.filter(F.col("__rb") <= k)
+        .groupBy("dst_id")
+        .agg(
+            F.sum("sim_fp").cast("bigint").alias("sb"),
+            F.count("*").cast("bigint").alias("nb"),
+        )
+    )
+    scored = (
+        pairs.join(stats_a, "src_id")
+        .join(stats_b, "dst_id")
+        .withColumn(
+            "margin_fp",
+            F.expr(
+                "(2000000 * sim_fp * na * nb) DIV (sa * nb + sb * na)"
+            ).cast("bigint"),
+        )
+    )
+    best = Window.partitionBy("src_id").orderBy(
+        F.desc("margin_fp"), F.col("dst_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(best))
+        .filter((F.col("__rn") == 1) & (F.col("margin_fp") >= min_margin_fp))
+        .select("src_id", "dst_id", "sim_fp", "margin_fp")
+    )

@@ -3209,6 +3209,125 @@ SQL_TFIDF_KEYWORDS = _tfidf_sql()
 
 
 # --------------------------------------------------------------------
+# margin-based bitext mining (similarity.bitext_margin_pairs)
+# --------------------------------------------------------------------
+
+
+def q_bitext_mine(spark, sf_dir):
+    """CCMatrix-style margin-based bitext mining across two 'language'
+    slices (labels 0 and 1) of the embeddings table: best B-side
+    partner per A-side doc by RATIO margin (cos / mean-of-top-4
+    neighborhood), pure-BIGINT margin algebra, margin >= 1.05.
+    The cross-lingual parallel-corpus miner of a training pipeline."""
+    from deepseek_ocr_spark.functions import similarity as SM
+
+    e = _t(spark, sf_dir, "embeddings")
+    return SM.bitext_margin_pairs(e, 0, 1, k=4).orderBy("src_id")
+
+
+_BITEXT_COS_FP = (
+    "CAST(FLOOR(list_inner_product(ea, eb) /"
+    " (sqrt(list_inner_product(ea, ea)) *"
+    " sqrt(list_inner_product(eb, eb))) * 1000000) AS BIGINT)"
+)
+
+SQL_BITEXT_MINE = f"""
+WITH a AS (
+  SELECT vec_id AS src_id, embedding::DOUBLE[] AS ea
+  FROM embeddings WHERE label = 0
+), b AS (
+  SELECT vec_id AS dst_id, embedding::DOUBLE[] AS eb
+  FROM embeddings WHERE label = 1
+), pairs0 AS (
+  SELECT src_id, dst_id, {_BITEXT_COS_FP} AS sim_fp FROM a, b
+), pp AS (
+  SELECT * FROM pairs0 WHERE sim_fp > 0
+), ranked AS (
+  SELECT src_id, dst_id, sim_fp,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY sim_fp DESC, dst_id) AS ra,
+         row_number() OVER (PARTITION BY dst_id
+                            ORDER BY sim_fp DESC, src_id) AS rb
+  FROM pp
+), sta AS (
+  SELECT src_id, sum(sim_fp)::BIGINT AS sa, count(*)::BIGINT AS na
+  FROM ranked WHERE ra <= 4 GROUP BY src_id
+), stb AS (
+  SELECT dst_id, sum(sim_fp)::BIGINT AS sb, count(*)::BIGINT AS nb
+  FROM ranked WHERE rb <= 4 GROUP BY dst_id
+), scored AS (
+  SELECT p.src_id, p.dst_id, p.sim_fp,
+         ((2000000 * p.sim_fp * na * nb)
+          // (sa * nb + sb * na))::BIGINT AS margin_fp
+  FROM pp p JOIN sta USING (src_id) JOIN stb USING (dst_id)
+)
+SELECT src_id, dst_id, sim_fp, margin_fp FROM (
+  SELECT src_id, dst_id, sim_fp, margin_fp,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY margin_fp DESC, dst_id) AS rn
+  FROM scored
+) WHERE rn = 1 AND margin_fp >= 1050000
+ORDER BY src_id
+"""
+
+
+# --------------------------------------------------------------------
+# Bloom-filter crawl-frontier membership (functions/bloom.py)
+# --------------------------------------------------------------------
+
+
+def q_bloom_seen_urls(spark, sf_dir):
+    """Bloom-filter frontier dedup (functions/bloom.py): build the
+    filter over the even-doc urls (the 'seen' crawl), probe EVERY url
+    — evens must all report maybe_seen (no false negatives); odds are
+    the measured false-positive surface. The filter is <= m rows
+    (a broadcast dimension at any corpus size); deterministic md5
+    positions make this approximate operator hash-verifiable."""
+    from deepseek_ocr_spark.functions import bloom as BL
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    seen = d.filter(F.col("doc_id") % 2 == 0).select(url.alias("url"))
+    cand = d.select(url.alias("url"))
+    filt = BL.build_bloom(seen, "url")
+    return BL.bloom_maybe_contains(cand, filt, "url").orderBy("url")
+
+
+def _bloom_sql() -> str:
+    from deepseek_ocr_spark.functions import bloom as BL
+
+    m, k = BL.BLOOM_M_BITS, BL.BLOOM_K
+    pos = ", ".join(
+        f"('0x' || substr(md5('bf{i}:' || url), 1, 15))::BIGINT % {m}"
+        for i in range(k)
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '/d/' || doc_id::VARCHAR AS url
+  FROM documents
+), bloom AS (
+  SELECT DISTINCT unnest([{pos}]) AS pos FROM u WHERE doc_id % 2 = 0
+), cpos AS (
+  SELECT url, unnest([{pos}]) AS pos FROM u
+), j AS (
+  SELECT c.url, b.pos IS NOT NULL AS hit
+  FROM cpos c LEFT JOIN bloom b USING (pos)
+)
+SELECT url, bool_and(hit) AS maybe_seen
+FROM j GROUP BY url ORDER BY url
+"""
+
+
+SQL_BLOOM_SEEN_URLS = _bloom_sql()
+
+
+# --------------------------------------------------------------------
 # HTML table extraction (functions/html_tables.py)
 # --------------------------------------------------------------------
 #
@@ -3436,6 +3555,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
     "bpe_merge_pairs": (q_bpe_merge_pairs, SQL_BPE_MERGE_PAIRS),
     "html_tables": (q_html_tables, SQL_HTML_TABLES),
+    "bloom_seen_urls": (q_bloom_seen_urls, SQL_BLOOM_SEEN_URLS),
+    "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
     "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
@@ -3466,8 +3587,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_INCREMENTAL_LSH_PAIRS,
     ),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
-    "format_signals": (q_format_signals, SQL_FORMAT_SIGNALS),
-    "url_signals": (q_url_signals, SQL_URL_SIGNALS),
     # --- round-2 queries displaced from the r3 window ----------------
     "repetition_clamp": (q_repetition_clamp, None),
     "formula_clean": (q_formula_clean, None),
@@ -3502,6 +3621,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
     "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),
     "incremental_new_docs": (q_incremental_new_docs, SQL_INCREMENTAL_NEW_DOCS),
+    "format_signals": (q_format_signals, SQL_FORMAT_SIGNALS),
+    "url_signals": (q_url_signals, SQL_URL_SIGNALS),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "dsir_topk": (q_dsir_topk, SQL_DSIR_TOPK),
     "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),

@@ -99,3 +99,43 @@ def test_recall_queries_deterministic_and_consistent(emb, cents):
              SIM.ivf_recall_at_k(emb, cents, max_query_id=5, k=10,
                                  n_probe=2).collect()}
     assert again == ivf
+
+
+def test_bitext_margin_mining(spark):
+    """A true parallel pair survives; a hub vector (high cosine to
+    EVERYTHING on the other side) is rejected by the ratio margin even
+    though its raw cosine clears any threshold a true pair does."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_spark.functions.similarity import bitext_margin_pairs
+
+    # lang 0 (src): x1 aligned with y1; x2 aligned with y2; hub h
+    # equally close to every target.
+    rows = [
+        (1, [1.0, 0.05, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 1.0, 0.05], 0),
+        (3, [0.5, 0.5, 0.5, 0.5], 0),     # hub: ~same cos to all
+        (11, [1.0, 0.0, 0.0, 0.1], 1),    # y1 ~ x1
+        (12, [0.1, 0.0, 1.0, 0.0], 1),    # y2 ~ x2
+        (13, [0.0, 1.0, 0.1, 0.0], 1),    # distractor
+        (14, [0.0, 0.1, 0.0, 1.0], 1),    # distractor
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    loose = {r["src_id"]: (r["dst_id"], r["margin_fp"])
+             for r in bitext_margin_pairs(df, 0, 1, k=3).collect()}
+    assert loose[1][0] == 11 and loose[2][0] == 12
+    # the hub's margin sits FAR below the true pairs' (its neighborhood
+    # mean matches its best) — the ratio ordering is what the operator
+    # guarantees; the threshold is the operating point
+    assert loose[3][1] < loose[1][1] - 500_000
+    assert loose[3][1] < loose[2][1] - 500_000
+    got = {r["src_id"]: (r["dst_id"], r["margin_fp"])
+           for r in bitext_margin_pairs(
+               df, 0, 1, k=3, min_margin_fp=1_600_000).collect()}
+    assert set(got) == {1, 2}, got  # hub rejected at the tight point
+    # determinism under partitioning
+    again = {r["src_id"]: (r["dst_id"], r["margin_fp"])
+             for r in bitext_margin_pairs(
+                 df.repartition(5), 0, 1, k=3,
+                 min_margin_fp=1_600_000).collect()}
+    assert again == got

@@ -262,3 +262,32 @@ def test_bpe_merge_pair_counts(spark):
     top = BP.top_merge_candidates(df, "doc_id", "text", k=2).collect()
     assert [(r["pair"], r["n"], r["rank"]) for r in top] == [
         ("ab", 4, 1), ("bc", 2, 2)]
+
+
+def test_bloom_no_false_negatives_and_some_false_positives(spark):
+    """Every built key probes true (no false negatives); unseen keys
+    mostly probe false at the default sizing; result is deterministic
+    and partitioning-independent."""
+    from deepseek_ocr_spark.functions import bloom as BL
+
+    seen = spark.range(0, 300).select(
+        F.concat(F.lit("https://h/"), F.col("id")).alias("url")
+    )
+    novel = spark.range(10_000, 10_300).select(
+        F.concat(F.lit("https://h/"), F.col("id")).alias("url")
+    )
+    filt = BL.build_bloom(seen, "url")
+    n_bits = filt.count()
+    assert n_bits <= BL.BLOOM_M_BITS
+    got_seen = BL.bloom_maybe_contains(seen, filt, "url")
+    assert got_seen.filter(~F.col("maybe_seen")).count() == 0
+    fp = BL.bloom_maybe_contains(novel, filt, "url").filter(
+        F.col("maybe_seen")
+    ).count()
+    # 300 keys x 4 hashes in 4096 bits -> ~29% fill -> FP ~ 0.7%
+    assert fp < 30
+    again = BL.bloom_maybe_contains(
+        novel.repartition(7), BL.build_bloom(seen.repartition(5), "url"),
+        "url",
+    ).filter(F.col("maybe_seen")).count()
+    assert again == fp
