@@ -115,6 +115,12 @@ HEADLINE = [
     "hyperball_harmonic",
     "kmeans_assign",
     "semdedup_keep",
+    # round 4, second wave
+    "tfidf_keywords",
+    "cluster_safe_split",
+    "html_tables",
+    "bitext_mine",
+    "bloom_seen_urls",
 ]
 
 

@@ -163,3 +163,51 @@ def bucketed_range_join(
         F.col(right_ts) <= F.col(left_ts) + window
     )
     return joined.filter(exact).drop("__bin")
+
+
+def snapshot_churn(
+    snaps: DataFrame,
+    key_col: str,
+    ts_col: str,
+    content_col: str,
+) -> DataFrame:
+    """Per-key content-change statistics across crawl snapshots —
+    the crawl-scheduling signal: a frontier allocates re-crawl budget
+    by how often a page actually changes (Cho & Garcia-Molina 2003's
+    change-frequency estimation, the freshness literature every
+    production crawler implements). Returns one row per key:
+
+      (key, n_snaps, n_changes, churn_fp, first_ts, last_ts)
+
+    where a "change" is snapshot i's content hash differing from
+    snapshot i-1's (ordered by ``ts_col``), and ``churn_fp`` is
+    n_changes / (n_snaps - 1) in 1e-6 fixed point (0 for single-
+    snapshot keys — no evidence is not evidence of change).
+
+    Content is compared by md5, so the full payload never rides the
+    shuffle: the projection reduces each snapshot to (key, ts, 32-hex)
+    before the ONE key-partitioned window pass + agg — the same
+    Exchange both consumers share. Integer fixed-point division keeps
+    the rate bit-identical across engines and partitionings."""
+    h = F.md5(F.col(content_col).cast("string"))
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    tagged = snaps.select(
+        F.col(key_col), F.col(ts_col), h.alias("__h")
+    ).withColumn(
+        "__chg",
+        (F.lag("__h").over(w).isNotNull() & (F.col("__h") != F.lag("__h").over(w)))
+        .cast("bigint"),
+    )
+    return tagged.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_snaps"),
+        F.sum("__chg").cast("bigint").alias("n_changes"),
+        F.expr(
+            "CASE WHEN count(*) > 1 THEN"
+            " (1000000 * sum(__chg)) DIV (count(*) - 1)"
+            " ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("churn_fp"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+    )

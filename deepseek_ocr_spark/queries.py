@@ -3209,6 +3209,82 @@ SQL_TFIDF_KEYWORDS = _tfidf_sql()
 
 
 # --------------------------------------------------------------------
+# recrawl churn (operators/temporal.py snapshot_churn)
+# --------------------------------------------------------------------
+#
+# Fixture synthesis: 3 snapshots per doc; every 4th doc changes at
+# both revisits (churn 1.0), docs == 1 mod 4 change once (0.5), the
+# rest never change (0.0) — all three rates and the md5 projection
+# exercised in both engines.
+
+
+def q_recrawl_churn(spark, sf_dir):
+    """Per-url content-change rate across crawl snapshots
+    (operators/temporal.py snapshot_churn): md5-reduce each snapshot,
+    ONE key-partitioned window pass + agg, integer fixed-point rate.
+    The change-frequency estimate a crawler's re-crawl scheduler
+    allocates budget by (Cho & Garcia-Molina 2003)."""
+    from deepseek_ocr_spark.operators import temporal as TP
+
+    d = _t(spark, sf_dir, "documents")
+    snap = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("snap"),
+    )
+    content = (
+        F.when(
+            (F.col("doc_id") % 4 == 0) & (F.col("snap") >= 1),
+            F.concat(
+                F.col("text"), F.lit(" rev"), F.col("snap").cast("string")
+            ),
+        )
+        .when(
+            (F.col("doc_id") % 4 == 1) & (F.col("snap") == 2),
+            F.concat(F.col("text"), F.lit(" rev2")),
+        )
+        .otherwise(F.col("text"))
+    )
+    snaps = snap.select(
+        "doc_id",
+        F.col("snap").cast("bigint").alias("warc_ts"),
+        content.alias("content"),
+    )
+    return TP.snapshot_churn(snaps, "doc_id", "warc_ts", "content").orderBy(
+        "doc_id"
+    )
+
+
+SQL_RECRAWL_CHURN = """
+WITH s AS (
+  SELECT doc_id, unnest(range(0, 3)) AS snap, text FROM documents
+), c AS (
+  SELECT doc_id, snap::BIGINT AS warc_ts,
+         md5(CASE WHEN doc_id % 4 = 0 AND snap >= 1
+                    THEN text || ' rev' || snap::VARCHAR
+                  WHEN doc_id % 4 = 1 AND snap = 2
+                    THEN text || ' rev2'
+                  ELSE text END) AS h
+  FROM s
+), w AS (
+  SELECT doc_id, warc_ts, h,
+         (CASE WHEN lag(h) OVER (PARTITION BY doc_id ORDER BY warc_ts)
+                      IS NOT NULL
+                   AND h != lag(h) OVER (PARTITION BY doc_id
+                                         ORDER BY warc_ts)
+               THEN 1 ELSE 0 END)::BIGINT AS chg
+  FROM c
+)
+SELECT doc_id, count(*)::BIGINT AS n_snaps, sum(chg)::BIGINT AS n_changes,
+       (CASE WHEN count(*) > 1
+             THEN (1000000 * sum(chg)) // (count(*) - 1)
+             ELSE 0 END)::BIGINT AS churn_fp,
+       min(warc_ts)::BIGINT AS first_ts, max(warc_ts)::BIGINT AS last_ts
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------
 # margin-based bitext mining (similarity.bitext_margin_pairs)
 # --------------------------------------------------------------------
 
@@ -3557,6 +3633,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "html_tables": (q_html_tables, SQL_HTML_TABLES),
     "bloom_seen_urls": (q_bloom_seen_urls, SQL_BLOOM_SEEN_URLS),
     "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
+    "recrawl_churn": (q_recrawl_churn, SQL_RECRAWL_CHURN),
     "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
@@ -3595,7 +3672,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "chunk_dup_stats": (q_chunk_dup_stats, SQL_CHUNK_DUP_STATS),
     "chunk_dedup_rewrite": (q_chunk_dedup_rewrite, SQL_CHUNK_DEDUP_REWRITE),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_neardup_pairs": (
@@ -3621,6 +3697,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
     "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),
     "incremental_new_docs": (q_incremental_new_docs, SQL_INCREMENTAL_NEW_DOCS),
+    "chunk_dup_stats": (q_chunk_dup_stats, SQL_CHUNK_DUP_STATS),
     "format_signals": (q_format_signals, SQL_FORMAT_SIGNALS),
     "url_signals": (q_url_signals, SQL_URL_SIGNALS),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),

@@ -281,3 +281,48 @@ def test_lm_perplexity_broadcasts_model(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_html_tables_is_pure_projection(spark):
+    """The table extractor must be explode/project only — ZERO
+    Exchanges: at 100 TB any shuffle here would move the full html
+    payload."""
+    from deepseek_ocr_spark.functions.html_tables import extract_tables
+
+    pages = spark.createDataFrame(
+        [("u", "<table><tr><td>x</td></tr></table>")], ["url", "html"]
+    )
+    plan = plan_of(extract_tables(pages))
+    assert "Exchange" not in plan, plan
+
+
+def test_tfidf_plan_bounded_explodes_and_broadcast_ndocs(spark):
+    """The doc-count scalar must broadcast onto the vocab frame (a
+    1-row dimension); the corpus token explode appears at most once
+    per consumer subtree (tf + the df recompute), never more."""
+    from deepseek_ocr_spark.functions.retrieval import tfidf_topk_terms
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], ["doc_id", "text"]
+    )
+    plan = plan_of(tfidf_topk_terms(docs, "doc_id", "text", k=3))
+    assert "BroadcastExchange" in plan, plan
+    # two token explodes total (tf subtree + the df frame's recompute —
+    # the measured-cheaper no-persist shape, see BENCH.md on the
+    # Jaccard confirm); "formatted" prints every node twice (tree +
+    # detail), so 2 explodes == 4 'Generate' strings. A third explode
+    # (e.g. the idf join re-deriving tokens) would push this to 6.
+    assert plan.count("Generate") <= 4, plan
+
+
+def test_bloom_probe_broadcasts_filter(spark):
+    """The bloom filter is a bounded dimension: the probe join must
+    be a BroadcastHashJoin, never a shuffle join."""
+    from deepseek_ocr_spark.functions import bloom as BL
+
+    seen = spark.range(0, 50).select(F.col("id").cast("string").alias("u"))
+    probe = spark.range(0, 99).select(F.col("id").cast("string").alias("u"))
+    plan = plan_of(
+        BL.bloom_maybe_contains(probe, BL.build_bloom(seen, "u"), "u")
+    )
+    assert "BroadcastHashJoin" in plan, plan

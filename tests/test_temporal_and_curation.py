@@ -411,3 +411,30 @@ def test_line_dedup_rewrite_order_within_doc(spark):
     assert (
         line_dedup_rewrite(df).collect()[0]["dedup_text"] == "a b c"
     )
+
+
+def test_snapshot_churn_rates(spark):
+    """Exact change counts and fixed-point rates; single-snapshot
+    keys rate 0; order comes from ts, not row order."""
+    from deepseek_ocr_spark.operators.temporal import snapshot_churn
+
+    rows = [
+        # volatile: changes at every revisit
+        ("a", 2, "v3"), ("a", 0, "v1"), ("a", 1, "v2"),
+        # half: one change
+        ("b", 0, "x"), ("b", 1, "x"), ("b", 2, "y"),
+        # stable
+        ("c", 0, "s"), ("c", 1, "s"), ("c", 2, "s"),
+        # single snapshot
+        ("d", 0, "only"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "content"])
+    got = {r["url"]: (r["n_snaps"], r["n_changes"], r["churn_fp"],
+                      r["first_ts"], r["last_ts"])
+           for r in snapshot_churn(df, "url", "warc_ts", "content").collect()}
+    assert got == {
+        "a": (3, 2, 1_000_000, 0, 2),
+        "b": (3, 1, 500_000, 0, 2),
+        "c": (3, 0, 0, 0, 2),
+        "d": (1, 0, 0, 0, 0),
+    }
