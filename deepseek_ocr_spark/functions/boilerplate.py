@@ -1,0 +1,132 @@
+"""Site-level boilerplate line removal — the host-frequency rule.
+
+Per-page boilerplate classifiers (the main-content extractor's
+text/link-density scoring, core/html_extract.py) can't see that a
+line is a SITE template: "(c) example.com — all rights reserved" looks
+like prose on one page and only reveals itself by appearing on every
+page of the host. The published crawl pipelines therefore add a
+site-scoped pass — mC4/CCNet drop lines frequent within a host,
+trafilatura keeps a per-site LRU of seen paragraphs — and that is
+what this module does, batch-wide and exactly:
+
+    a line is site-boilerplate iff it occurs on >= ``min_pages``
+    pages of its host AND on >= ``min_frac`` of the host's pages.
+
+Both clauses matter: the fraction alone mis-fires on two-page hosts
+(1 shared line = 50%), the count alone mis-fires on mega-hosts where
+even 0.1% of pages is thousands of hits.
+
+Scale shape: lines ride as (host, 60-bit md5 int, doc) rows — the
+text itself never shuffles for the decision; the per-(host,line)
+occurrence agg and the per-host page count are both map-side-partial
+over one explode; the boilerplate SET (host, line-hash) is usually
+tiny (templates per host) and joins back LEFT ANTI onto the line
+stream; reassembly is the array_sort(collect_list(struct(pos, line)))
+pattern shared with line_dedup_rewrite — per-doc, never a global
+sort. Nothing is quadratic; the only corpus-keyed shuffles are the
+line-hash agg and the final per-doc agg.
+
+Determinism: line identity is the exact string (no normalization —
+WYSIWYG template matching); thresholds compare in integer arithmetic
+(n_docs * 1e6 >= min_frac_fp * n_pages); reassembly order is (pos).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+
+MIN_PAGES = 2
+MIN_FRAC_FP = 500_000  # 50% of the host's pages, 1e-6 units
+
+
+def doc_lines(
+    docs: DataFrame, host_col: str, id_col: str, text_col: str
+) -> DataFrame:
+    """(host, id, pos, line) — one row per newline-split line."""
+    return docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+
+
+def site_boilerplate_lines(
+    lines: DataFrame,
+    id_col: str,
+    min_pages: int = MIN_PAGES,
+    min_frac_fp: int = MIN_FRAC_FP,
+) -> DataFrame:
+    """(host, lh) — the boilerplate set over a ``doc_lines`` frame:
+    line-hashes on >= min_pages AND >= min_frac of the host's pages.
+    Bounded by the number of distinct templated lines per host."""
+    with_h = lines.select(
+        "host", F.col(id_col), md5_prefix_int(F.col("line"), 15).alias("lh")
+    )
+    occ = (
+        with_h.distinct()
+        .groupBy("host", "lh")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    pages = (
+        with_h.select("host", id_col)
+        .distinct()
+        .groupBy("host")
+        .agg(F.count("*").cast("bigint").alias("n_pages"))
+    )
+    return (
+        occ.join(pages, "host")
+        .filter(
+            (F.col("n_docs") >= min_pages)
+            & (F.col("n_docs") * 1_000_000 >= min_frac_fp * F.col("n_pages"))
+        )
+        .select("host", "lh")
+    )
+
+
+def site_boilerplate_rewrite(
+    docs: DataFrame,
+    host_col: str,
+    id_col: str,
+    text_col: str,
+    min_pages: int = MIN_PAGES,
+    min_frac_fp: int = MIN_FRAC_FP,
+) -> DataFrame:
+    """(id, host, clean_text, n_lines, n_dropped) — documents with
+    their host's template lines removed. Docs whose every line was
+    boilerplate come back with clean_text '' (they are the signal a
+    downstream length gate then drops — never silently deleted
+    here)."""
+    lines = doc_lines(docs, host_col, id_col, text_col)
+    bp = site_boilerplate_lines(lines, id_col, min_pages, min_frac_fp)
+    tagged = lines.withColumn(
+        "lh", md5_prefix_int(F.col("line"), 15)
+    )
+    kept = tagged.join(bp, ["host", "lh"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").cast("bigint").alias("n_kept"),
+    )
+    totals = tagged.groupBy(id_col, "host").agg(
+        F.count("*").cast("bigint").alias("n_lines")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "host",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )

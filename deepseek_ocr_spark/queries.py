@@ -3209,6 +3209,98 @@ SQL_TFIDF_KEYWORDS = _tfidf_sql()
 
 
 # --------------------------------------------------------------------
+# site-level boilerplate removal (functions/boilerplate.py)
+# --------------------------------------------------------------------
+#
+# Fixture synthesis: host = source (20 hosts x 25 docs at sf0.001);
+# every page carries a global nav line and a per-host footer (both
+# 100% of the host -> dropped), every 5th page a shared banner (20%
+# of the host -> kept by the fraction rule), plus two unique text
+# slices (always kept).
+
+
+def q_site_boilerplate(spark, sf_dir):
+    """Site-scoped boilerplate line removal (functions/
+    boilerplate.py): a line is template iff it appears on >=2 pages
+    AND >=50% of its host's pages — the mC4/CCNet host-frequency rule
+    that catches what per-page extraction can't (footers/navs that
+    read as prose on any single page)."""
+    from deepseek_ocr_spark.functions import boilerplate as BO
+
+    d = _t(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    mtext = F.concat(
+        F.substring(F.col("text"), 1, 50),
+        nl,
+        F.lit("Home | About | Contact"),
+        nl,
+        F.lit("(c) "),
+        F.col("source"),
+        F.lit(" all rights reserved"),
+        nl,
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("SALE today only\n")
+        ).otherwise(F.lit("")),
+        F.substring(F.col("text"), 51, 40),
+    )
+    pages = d.select("doc_id", "source", mtext.alias("text"))
+    return BO.site_boilerplate_rewrite(
+        pages, "source", "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+SQL_SITE_BOILERPLATE = """
+WITH p AS (
+  SELECT doc_id, source AS host,
+         substr(text, 1, 50) || chr(10) || 'Home | About | Contact'
+         || chr(10) || '(c) ' || source || ' all rights reserved'
+         || chr(10)
+         || CASE WHEN doc_id % 5 = 0
+              THEN 'SALE today only' || chr(10) ELSE '' END
+         || substr(text, 51, 40) AS text
+  FROM documents
+), ls AS (
+  SELECT host, doc_id, string_split(text, chr(10)) AS l FROM p
+), lines AS (
+  SELECT host, doc_id, e.idx AS pos, e.v AS line FROM (
+    SELECT host, doc_id,
+           unnest(list_transform(range(1, len(l) + 1),
+             i -> struct_pack(idx := (i - 1)::BIGINT, v := l[i]))) AS e
+    FROM ls)
+), lh AS (
+  SELECT host, doc_id, pos, line,
+         ('0x' || substr(md5(line), 1, 15))::BIGINT AS lh
+  FROM lines
+), occ AS (
+  SELECT host, lh, count(*)::BIGINT AS n_docs
+  FROM (SELECT DISTINCT host, doc_id, lh FROM lh) GROUP BY host, lh
+), pages AS (
+  SELECT host, count(*)::BIGINT AS n_pages
+  FROM (SELECT DISTINCT host, doc_id FROM lh) GROUP BY host
+), bp AS (
+  SELECT host, lh FROM occ JOIN pages USING (host)
+  WHERE n_docs >= 2 AND n_docs * 1000000 >= 500000 * n_pages
+), kept AS (
+  SELECT l.host, l.doc_id, l.pos, l.line
+  FROM lh l LEFT JOIN bp b ON b.host = l.host AND b.lh = l.lh
+  WHERE b.lh IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, host, count(*)::BIGINT AS n_lines
+  FROM lh GROUP BY doc_id, host
+)
+SELECT t.doc_id, t.host, coalesce(r.clean_text, '') AS clean_text,
+       t.n_lines,
+       (t.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_dropped
+FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+# --------------------------------------------------------------------
 # recrawl churn (operators/temporal.py snapshot_churn)
 # --------------------------------------------------------------------
 #
@@ -3634,6 +3726,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bloom_seen_urls": (q_bloom_seen_urls, SQL_BLOOM_SEEN_URLS),
     "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
     "recrawl_churn": (q_recrawl_churn, SQL_RECRAWL_CHURN),
+    "site_boilerplate": (q_site_boilerplate, SQL_SITE_BOILERPLATE),
     "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
@@ -3649,7 +3742,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join_events": (q_range_join_events, SQL_RANGE_JOIN_EVENTS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
-    "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "kgram_dup_stats": (q_kgram_dup_stats, SQL_KGRAM_DUP_STATS),
     "kgram_dedup_rewrite": (q_kgram_dedup_rewrite, SQL_KGRAM_DEDUP_REWRITE),
@@ -3698,6 +3790,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),
     "incremental_new_docs": (q_incremental_new_docs, SQL_INCREMENTAL_NEW_DOCS),
     "chunk_dup_stats": (q_chunk_dup_stats, SQL_CHUNK_DUP_STATS),
+    "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
     "format_signals": (q_format_signals, SQL_FORMAT_SIGNALS),
     "url_signals": (q_url_signals, SQL_URL_SIGNALS),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),

@@ -1,0 +1,120 @@
+"""Site-level boilerplate removal (functions/boilerplate.py).
+
+Pins the host-frequency rule's edge cases: BOTH clauses (min_pages
+AND min_frac) must hold; within-doc repeats count once toward the
+occurrence count but every copy is removed; all-boilerplate docs come
+back empty (never silently deleted); reassembly order and
+partitioning-independence.
+"""
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.boilerplate import (
+    site_boilerplate_lines,
+    site_boilerplate_rewrite,
+    doc_lines,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "host string, doc_id int, text string")
+
+
+def _rewrite(docs):
+    return {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_dropped"])
+        for r in site_boilerplate_rewrite(
+            docs, "host", "doc_id", "text"
+        ).collect()
+    }
+
+
+def test_template_dropped_unique_kept_order_preserved(spark):
+    docs = _docs(
+        spark,
+        [
+            ("h", 1, "alpha\nnav bar\nbravo"),
+            ("h", 2, "nav bar\ncharlie"),
+            ("h", 3, "delta\nnav bar"),
+        ],
+    )
+    got = _rewrite(docs)
+    # "nav bar" is on 3/3 pages -> boilerplate; uniques keep their order.
+    assert got == {
+        1: ("alpha\nbravo", 3, 1),
+        2: ("charlie", 2, 1),
+        3: ("delta", 2, 1),
+    }
+
+
+def test_both_clauses_required(spark):
+    # Host hA has 10 pages; "promo" is on 2 of them (meets min_pages=2
+    # but 20% < 50%) -> KEPT. Host hB has 2 pages sharing "footer"
+    # (2 pages, 100%) -> DROPPED. A line on 1 page of a 2-page host
+    # (50% frac but n_docs=1 < min_pages) -> KEPT.
+    rows = [("hA", i, f"body {i}" + ("\npromo" if i < 2 else "")) for i in range(10)]
+    rows += [("hB", 100, "x\nfooter"), ("hB", 101, "footer\ny")]
+    got = _rewrite(_docs(spark, rows))
+    assert got[0] == ("body 0\npromo", 2, 0)
+    assert got[1] == ("body 1\npromo", 2, 0)
+    assert got[100] == ("x", 2, 1)
+    assert got[101] == ("y", 2, 1)
+
+
+def test_host_scoping(spark):
+    # The same line on every page of hA but only one page of hB is
+    # boilerplate ONLY within hA.
+    docs = _docs(
+        spark,
+        [
+            ("hA", 1, "shared\na1"),
+            ("hA", 2, "shared\na2"),
+            ("hB", 3, "shared\nb1"),
+            ("hB", 4, "b2"),
+        ],
+    )
+    got = _rewrite(docs)
+    assert got[1] == ("a1", 2, 1)
+    assert got[3] == ("shared\nb1", 2, 0)
+
+
+def test_within_doc_repeats_count_once_but_all_copies_removed(spark):
+    # "dup" appears twice in doc 1 and once in doc 2: occurrence count
+    # is 2 DOCS (>=min_pages, 100% of the host) -> boilerplate; both
+    # copies in doc 1 are removed.
+    docs = _docs(
+        spark,
+        [("h", 1, "dup\nkeep\ndup"), ("h", 2, "dup\nonly")],
+    )
+    got = _rewrite(docs)
+    assert got == {1: ("keep", 3, 2), 2: ("only", 2, 1)}
+
+
+def test_all_boilerplate_doc_comes_back_empty(spark):
+    docs = _docs(
+        spark,
+        [("h", 1, "nav"), ("h", 2, "nav"), ("h", 3, "nav\nbody")],
+    )
+    got = _rewrite(docs)
+    assert got[1] == ("", 1, 1)
+    assert got[2] == ("", 1, 1)
+    assert got[3] == ("body", 2, 1)
+
+
+def test_boilerplate_set_bounded_and_partitioning_independent(spark):
+    rows = [
+        ("h%d" % (i % 3), i, "nav %d\nbody %d" % (i % 3, i))
+        for i in range(30)
+    ]
+    docs = _docs(spark, rows)
+    lines = doc_lines(docs, "host", "doc_id", "text")
+    bp = site_boilerplate_lines(lines, "doc_id")
+    # exactly one template line per host
+    assert bp.count() == 3
+    one = site_boilerplate_rewrite(docs, "host", "doc_id", "text")
+    other = site_boilerplate_rewrite(
+        docs.repartition(7, F.col("doc_id")), "host", "doc_id", "text"
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, other.collect())
+    )
