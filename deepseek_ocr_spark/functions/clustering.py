@@ -139,6 +139,51 @@ def _assign(x: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def prototype_prune(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    drop_frac_fp: int,
+    mode: str = "easy",
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    scale: int = EMB_SCALE,
+) -> DataFrame:
+    """(id, cluster, dist_fp2) survivors of prototypicality pruning
+    (Sorscher 2022 "Beyond neural scaling laws"): per k-means cluster,
+    drop floor(drop_frac * n) examples ranked by distance to their own
+    centroid — ``mode='easy'`` drops the CLOSEST (most prototypical /
+    redundant; the right choice when data is abundant), ``mode='hard'``
+    drops the FARTHEST (outliers / noise; the right choice when data
+    is scarce). ``drop_frac_fp`` is in 1e-6 units so the cutoff is
+    exact integer arithmetic in both engines.
+
+    Determinism: ranking ties break on id; the drop count is
+    floor(n * frac_fp / 1e6). Scale shape: one cluster-keyed window
+    sort over the assignment frame (id + two ints per row — the
+    embeddings themselves never enter the window), centroids are the
+    broadcast k-row frame from kmeans_assign. Never quadratic."""
+    if mode not in ("easy", "hard"):
+        raise ValueError(f"mode must be 'easy' or 'hard', got {mode!r}")
+    a = kmeans_assign(df, id_col, emb_col, k, iters, scale)
+    order = (
+        [F.col("dist_fp2").asc(), F.col(id_col).asc()]
+        if mode == "easy"
+        else [F.col("dist_fp2").desc(), F.col(id_col).desc()]
+    )
+    w = Window.partitionBy("cluster").orderBy(*order)
+    wn = Window.partitionBy("cluster")
+    return (
+        a.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .filter(
+            F.col("rk")
+            > F.floor(F.col("n") * F.lit(drop_frac_fp) / F.lit(1_000_000))
+        )
+        .select(id_col, "cluster", "dist_fp2")
+    )
+
+
 def semdedup_keep(
     df: DataFrame,
     id_col: str,

@@ -436,6 +436,30 @@ def ngram_jaccard_from_shingles(
     confirm-persist won 3.8-4.3 vs 4.7-5.8.) Flip it ON when the
     restricted frame is large AND rescanning the corpus text is the
     dominant cost (remote object store)."""
+    return pair_overlap_counts(
+        sh, pairs, id_col, distinct_input, persist_confirm
+    ).select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            4,
+        ).alias("jaccard"),
+    )
+
+
+def pair_overlap_counts(
+    sh: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    distinct_input: bool = True,
+    persist_confirm: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, n_inter, n_a, n_b) — exact shingle-set overlap
+    counts for the candidate pairs. The shared confirm core behind
+    Jaccard (resemblance) and containment: every stage semi-joined to
+    the candidate-id set first, so the shuffle is candidate-sized."""
     cand_ids = pairs.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()
@@ -455,19 +479,7 @@ def ngram_jaccard_from_shingles(
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                4,
-            ).alias("jaccard"),
-        )
-    )
+    return inter.join(na, "id_a").join(nb, "id_b")
 
 
 def ngram_jaccard(
@@ -477,6 +489,34 @@ def ngram_jaccard(
     builds its own distinct shingle frame)."""
     return ngram_jaccard_from_shingles(
         shingle_frame(df, id_col, text_col), pairs, id_col
+    )
+
+
+def ngram_containment(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id_a, id_b, cont_a, cont_b) — Broder CONTAINMENT for candidate
+    pairs: cont_a = |S(A)∩S(B)| / |S(A)| (how much of A sits inside B)
+    and symmetrically cont_b. Catches the quote / partial-copy /
+    boilerplate-wrapper cases resemblance misses: a 100-word doc fully
+    embedded in a 10 000-word doc has Jaccard ≈ 0.01 but cont_a = 1.0.
+    Same candidate-restricted confirm core as ``ngram_jaccard`` (one
+    shared ``pair_overlap_counts`` plan), rounded to 4 decimals for
+    the oracle hash. At scale the pair set usually comes from an LSH
+    proposal tuned for resemblance; for containment-heavy workloads
+    feed pairs from a lower band threshold — the confirm cost stays
+    candidate-sized either way."""
+    counts = pair_overlap_counts(
+        shingle_frame(df, id_col, text_col), pairs, id_col
+    )
+    return counts.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("n_inter") / F.col("n_a"), 4).alias("cont_a"),
+        F.round(F.col("n_inter") / F.col("n_b"), 4).alias("cont_b"),
     )
 
 

@@ -316,3 +316,63 @@ def dup_ngram_fraction(col: Column, k: int = 3) -> Column:
     return F.round(
         F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh), 4
     )
+
+
+# C4 (Raffel 2020 §2.2) dropped any page containing a word from the
+# public "List of Dirty, Naughty, Obscene or Otherwise Bad Words"
+# blocklist. Tiny deterministic placeholder list — the operator's
+# point is the SHAPE; swap the real multi-language list at deploy
+# time. Matching is per-token after lowercasing and stripping
+# non-alphanumeric edges ("Casino!" hits), never substring (so
+# "scunthorpe" survives — the classic false-positive the word-level
+# rule exists to avoid).
+BADWORDS_EN = ("casino", "viagra", "jackpot", "obscene", "lottery")
+
+
+def badword_stats(
+    col: Column, badwords: tuple[str, ...] = BADWORDS_EN
+) -> tuple[Column, Column]:
+    """(n_words, n_bad) for the C4 bad-words gate (keep ⇔ n_bad = 0).
+
+    The word list is known at plan time, so membership compiles into
+    the projection (`filter(tokens, t -> t IN (...))`) — fully
+    codegen, zero shuffle, zero joins: the same project-don't-join
+    lesson as BM25's plan-time terms. For a list too large to inline
+    (say >10⁴ entries) the alternative shape is explode(words) +
+    broadcast-semi-join + per-doc count — one corpus-token-sized
+    pass; prefer the projection until the compiled predicate itself
+    becomes the bottleneck."""
+    toks = F.split(F.trim(F.lower(col)), TOKEN_SPLIT_RE)
+    clean = F.transform(
+        toks,
+        lambda t: F.regexp_replace(
+            F.regexp_replace(t, "^[^a-z0-9]+", ""), "[^a-z0-9]+$", ""
+        ),
+    )
+    n_bad = F.size(F.filter(clean, lambda t: t.isin(*badwords)))
+    return token_count(col), n_bad
+
+
+def corpus_rollup(docs, dims: list[str], text_col: str = "text"):
+    """Corpus accounting in ONE pass: doc counts, token and char sums
+    at every ROLLUP level of ``dims`` (e.g. (lang, source) → per
+    lang×source, per lang, grand total). ``gid`` is the engine-native
+    grouping bit-vector (verified identical Spark vs DuckDB) and
+    rolled-up dimension values surface as '(all)' so totals are
+    distinguishable from a literal NULL dimension.
+
+    This is the 100 TB corpus-report shape: multi-level totals that
+    would naively be L scans collapse into one scan + one partial-agg
+    shuffle (Spark expands rollup rows map-side before the exchange,
+    so the wire cost is L× the GROUPED row count, not L× the corpus).
+    """
+    aggs = [
+        F.grouping_id().alias("gid"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("bigint").alias("tokens"),
+        F.sum(F.length(F.col(text_col))).cast("bigint").alias("chars"),
+    ]
+    out = docs.rollup(*dims).agg(*aggs)
+    for d in dims:
+        out = out.withColumn(d, F.coalesce(F.col(d), F.lit("(all)")))
+    return out.select(*dims, "gid", "n_docs", "tokens", "chars")

@@ -99,3 +99,45 @@ def url_signals(url: Column) -> tuple[Column, Column, Column, Column]:
     is_media = F.regexp_count(url, F.lit(MEDIA_EXT_RE)) > 0
     n_spam = F.regexp_count(url, F.lit(URL_SPAM_TOKEN_RE))
     return depth, has_query, is_media, n_spam
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a hostname ('a.b.c' → ['a.b.c','b.c','c'])
+    — the bounded explode key for suffix-matched blocklists (blocking
+    'spam.example' must also block 'cdn.spam.example'). Array size =
+    label count (≤ ~10 for real hostnames), so the explode is a
+    constant-factor expansion, never corpus-quadratic."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(parts, i, n), ".")
+    )
+
+
+def blocklist_mark(docs, id_col: str, host_col: str, blocklist):
+    """docs + (blocked_suffix, is_blocked): suffix-match each host
+    against a blocklist frame with a ``domain`` column — the C4/
+    RefinedWeb URL-blocklist gate as a join, not a giant regex.
+
+    Shape: explode the ≤label-count suffix array, equi-join the
+    blocklist (broadcast by hint — blocklists are MBs, corpora are
+    TBs), min() the matched suffixes per doc (deterministic when a
+    host matches several entries, e.g. both 'b.example' and
+    'example'), left-join the marks back. The corpus-side cost is one
+    bounded explode + one broadcast probe; only matched ids reach the
+    tiny groupBy."""
+    sufs = docs.select(
+        F.col(id_col),
+        F.explode(host_suffixes(F.col(host_col))).alias("suf"),
+    )
+    hits = (
+        sufs.join(
+            F.broadcast(blocklist.select(F.col("domain").alias("suf"))),
+            "suf",
+        )
+        .groupBy(id_col)
+        .agg(F.min("suf").alias("blocked_suffix"))
+    )
+    return docs.join(hits, id_col, "left").withColumn(
+        "is_blocked", F.col("blocked_suffix").isNotNull()
+    )

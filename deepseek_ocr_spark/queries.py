@@ -1077,6 +1077,42 @@ FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
 )
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Broder containment over the LSH candidate pairs
+    (functions/dedup.py ngram_containment): cont_a = |A∩B|/|A| —
+    the asymmetric score that catches quotes / partial copies /
+    boilerplate-wrapped duplicates whose Jaccard is diluted by the
+    larger doc. Shares the candidate-restricted confirm core with
+    ngram_jaccard."""
+    d = _t(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(d, "doc_id", "text")
+    pairs = DD.lsh_candidate_pairs(sig, "doc_id")
+    return DD.ngram_containment(d, pairs, "doc_id", "text")
+
+
+SQL_NGRAM_CONTAINMENT = (
+    _SHINGLES_SQL
+    + ","
+    + _PAIRS_CORE
+    + """,
+dsh AS (SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh
+        FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+          FROM pairs p
+          JOIN dsh a ON a.doc_id = p.id_a
+          JOIN dsh b ON b.doc_id = p.id_b AND b.sh = a.sh
+          GROUP BY p.id_a, p.id_b)
+SELECT i.id_a, i.id_b,
+       round(n_inter / sa.n_sh, 4) AS cont_a,
+       round(n_inter / sb.n_sh, 4) AS cont_b
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+             JOIN sizes sb ON sb.doc_id = i.id_b
+"""
+)
+
+
 # Line-level dedup (CCNet/RefinedWeb): the testdata text is one long
 # word run, so the queries derive deterministic "lines" by chunking
 # every CHUNK_WORDS consecutive words — the operator itself takes any
@@ -3301,6 +3337,189 @@ ORDER BY t.doc_id
 
 
 # --------------------------------------------------------------------
+# C4 bad-words gate (functions/textstats.py badword_stats)
+# --------------------------------------------------------------------
+# Fixture salts every 11th doc with list hits ("Casino!" exercises the
+# case-fold + edge-strip path) so both branches of keep are populated.
+
+
+def q_badwords_filter(spark, sf_dir):
+    """C4 §2.2 bad-words page gate: per-token membership against the
+    (plan-time) word list after lowercase + non-alnum edge strip;
+    keep ⇔ zero hits. Word-level, never substring — 'scunthorpe'
+    survives."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.col("text"), F.lit(" Casino! jackpot")),
+    ).otherwise(F.col("text"))
+    n_words, n_bad = TS.badword_stats(text)
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_bad.cast("bigint").alias("n_bad"),
+        (n_bad == 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_BADWORDS_SQL_LIST = ", ".join(f"'{w}'" for w in TS.BADWORDS_EN)
+
+SQL_BADWORDS_FILTER = f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' Casino! jackpot'
+              ELSE text END AS text
+  FROM documents
+), tok AS (
+  SELECT doc_id, text,
+         list_transform(
+           string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+           t -> regexp_replace(regexp_replace(t, '^[^a-z0-9]+', ''),
+                               '[^a-z0-9]+$', '')) AS cl
+  FROM p
+)
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))
+       END::BIGINT AS n_words,
+       len(list_filter(cl, t -> list_contains([{_BADWORDS_SQL_LIST}], t)))
+         ::BIGINT AS n_bad,
+       len(list_filter(cl, t -> list_contains([{_BADWORDS_SQL_LIST}], t))) = 0
+         AS keep
+FROM tok ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------
+# domain-suffix blocklist (functions/urls.py blocklist_mark)
+# --------------------------------------------------------------------
+# Fixture synthesizes hosts from `source` (even docs apex, odd docs a
+# cdn. sub-host) so the suffix rule proves itself: blocking
+# srcN.example.com must catch cdn.srcN.example.com too.
+
+_BLOCKED_DOMAINS = ("src1.example.com", "src4.example.com", "bad.org")
+
+
+def q_domain_blocklist(spark, sf_dir):
+    """URL-blocklist gate as a suffix join (functions/urls.py
+    blocklist_mark): explode each host's ≤label-count dot-suffixes,
+    broadcast-join the blocklist, mark matches. The C4/RefinedWeb
+    domain gate without a giant regex."""
+    from deepseek_ocr_spark.functions import urls as U
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.col("source"), F.lit(".example.com")),
+    ).otherwise(F.concat(F.lit("cdn."), F.col("source"), F.lit(".example.com")))
+    docs = d.select("doc_id", host.alias("host"))
+    bl = spark.createDataFrame(
+        [(x,) for x in _BLOCKED_DOMAINS], "domain string"
+    )
+    return U.blocklist_mark(docs, "doc_id", "host", bl).orderBy("doc_id")
+
+
+_BLOCKED_SQL_ROWS = ", ".join(f"('{d}')" for d in _BLOCKED_DOMAINS)
+
+SQL_DOMAIN_BLOCKLIST = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN source || '.example.com'
+              ELSE 'cdn.' || source || '.example.com' END AS host
+  FROM documents
+), bl AS (
+  SELECT * FROM (VALUES {_BLOCKED_SQL_ROWS}) t(suf)
+), parts AS (
+  SELECT doc_id, host, string_split(host, '.') AS ps FROM d
+), sufs AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ps, i, len(ps)), '.') AS suf
+  FROM (SELECT doc_id, ps,
+               unnest(generate_series(1, len(ps))) AS i
+        FROM parts)
+), hits AS (
+  SELECT s.doc_id, min(s.suf) AS blocked_suffix
+  FROM sufs s JOIN bl ON bl.suf = s.suf GROUP BY s.doc_id
+)
+SELECT d.doc_id, d.host, h.blocked_suffix,
+       h.blocked_suffix IS NOT NULL AS is_blocked
+FROM d LEFT JOIN hits h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------
+# one-pass corpus accounting (functions/textstats.py corpus_rollup)
+# --------------------------------------------------------------------
+
+
+def q_corpus_rollup(spark, sf_dir):
+    """Corpus report via ROLLUP(lang, source): doc/token/char totals
+    at every level in ONE scan + one partial-agg shuffle (the grouped
+    row count, not the corpus, crosses the wire L times). gid is the
+    engine-native grouping bit-vector — verified identical Spark vs
+    DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    return TS.corpus_rollup(d, ["lang", "source"]).orderBy(
+        "gid", "lang", "source"
+    )
+
+
+SQL_CORPUS_ROLLUP = """
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       grouping(lang, source)::BIGINT AS gid,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text),
+                                            '[ \\t\\n\\x0B\\f\\r]+'))
+           END)::BIGINT AS tokens,
+       sum(length(text))::BIGINT AS chars
+FROM documents GROUP BY ROLLUP(lang, source)
+ORDER BY gid, lang, source
+"""
+
+
+# --------------------------------------------------------------------
+# prototypicality pruning (functions/clustering.py prototype_prune)
+# --------------------------------------------------------------------
+
+_PROTO_DROP_FP = 200_000  # drop the 20% most prototypical per cluster
+
+
+def q_prototype_prune(spark, sf_dir):
+    """Sorscher-2022 prototypicality pruning: per k-means cluster drop
+    the 20% of embeddings CLOSEST to their own centroid (redundant/
+    easy examples — the abundant-data rule). Survivors keep their
+    cluster + exact integer distance."""
+    from deepseek_ocr_spark.functions import clustering as CL
+
+    e = _t(spark, sf_dir, "embeddings")
+    return CL.prototype_prune(
+        e, "vec_id", "embedding", _PROTO_DROP_FP, mode="easy"
+    ).orderBy("vec_id")
+
+
+def _prototype_prune_sql() -> str:
+    return (
+        _kmeans_cte()
+        + f"""
+SELECT id AS vec_id, cluster, dist_fp2 FROM (
+  SELECT id, cluster, dist_fp2,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY dist_fp2, id) AS rk,
+         count(*) OVER (PARTITION BY cluster) AS n
+  FROM fin)
+WHERE rk > (n * {_PROTO_DROP_FP}) // 1000000
+ORDER BY vec_id
+"""
+    )
+
+
+SQL_PROTOTYPE_PRUNE = _prototype_prune_sql()
+
+
+# --------------------------------------------------------------------
 # recrawl churn (operators/temporal.py snapshot_churn)
 # --------------------------------------------------------------------
 #
@@ -3727,6 +3946,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
     "recrawl_churn": (q_recrawl_churn, SQL_RECRAWL_CHURN),
     "site_boilerplate": (q_site_boilerplate, SQL_SITE_BOILERPLATE),
+    "badwords_filter": (q_badwords_filter, SQL_BADWORDS_FILTER),
+    "domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
+    "corpus_rollup": (q_corpus_rollup, SQL_CORPUS_ROLLUP),
+    "prototype_prune": (q_prototype_prune, SQL_PROTOTYPE_PRUNE),
+    "ngram_containment": (q_ngram_containment, SQL_NGRAM_CONTAINMENT),
     "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
@@ -3760,12 +3984,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "repetition_clamp": (q_repetition_clamp, None),
     "formula_clean": (q_formula_clean, None),
     # --- dedup family (bucketed-join shapes) -------------------------
-    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
-    "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
-    "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
+    # (minhash_signatures / lsh_candidate_pairs / neardup_clusters /
+    #  chunk_dedup_rewrite / simhash were driver-verified green in
+    #  rounds 1-3 and are UNCHANGED — demoted below the cut to make
+    #  room for the round-4 queries; ngram_jaccard + the *_pairs
+    #  confirms stay, exercising the full explode→LSH→confirm path.)
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "chunk_dedup_rewrite": (q_chunk_dedup_rewrite, SQL_CHUNK_DEDUP_REWRITE),
-    "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_neardup_pairs": (
         q_simhash_neardup_pairs,
         SQL_SIMHASH_NEARDUP_PAIRS,
@@ -3785,6 +4009,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # (Exactly 50 entries sit above this banner — tests/test_review_
     # fixes.py pins the count so the policy can't silently drift.)
     # ------------------------------------------------------------------
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
+    "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
+    "chunk_dedup_rewrite": (q_chunk_dedup_rewrite, SQL_CHUNK_DEDUP_REWRITE),
+    "simhash": (q_simhash, SQL_SIMHASH),
     "asof_join_left_tol": (q_asof_join_left_tol, SQL_ASOF_JOIN_LEFT_TOL),
     "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
     "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),

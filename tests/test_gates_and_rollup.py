@@ -1,0 +1,173 @@
+"""Round-4 curation gates: C4 bad-words, domain-suffix blocklist,
+ROLLUP corpus accounting, n-gram containment, prototypicality pruning.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.textstats import (
+    badword_stats,
+    corpus_rollup,
+)
+from deepseek_ocr_spark.functions.urls import blocklist_mark, host_suffixes
+from deepseek_ocr_spark.functions.dedup import ngram_containment
+from deepseek_ocr_spark.functions.clustering import prototype_prune
+
+
+# -- bad-words gate ---------------------------------------------------
+
+def _bad(spark, text):
+    df = spark.createDataFrame([(text,)], "t string")
+    n_words, n_bad = badword_stats(F.col("t"))
+    return df.select(
+        n_words.alias("w"), n_bad.alias("b")
+    ).collect()[0]
+
+
+def test_badwords_case_fold_and_edge_strip(spark):
+    r = _bad(spark, "Visit the CASINO! (jackpot) today")
+    assert (r["w"], r["b"]) == (5, 2)
+
+
+def test_badwords_word_level_not_substring(spark):
+    # 'scunthorpe' must NOT hit; glued compounds don't either.
+    r = _bad(spark, "scunthorpe casinoroyale news")
+    assert (r["w"], r["b"]) == (3, 0)
+
+
+def test_badwords_empty_and_clean(spark):
+    assert tuple(_bad(spark, "")) == (0, 0)
+    assert tuple(_bad(spark, "perfectly clean prose")) == (3, 0)
+
+
+# -- domain blocklist -------------------------------------------------
+
+def test_host_suffixes(spark):
+    got = spark.range(1).select(
+        host_suffixes(F.lit("a.b.example.com")).alias("s")
+    ).collect()[0]["s"]
+    assert got == ["a.b.example.com", "b.example.com", "example.com", "com"]
+    assert spark.range(1).select(
+        host_suffixes(F.lit("localhost")).alias("s")
+    ).collect()[0]["s"] == ["localhost"]
+
+
+def test_blocklist_mark_suffix_and_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam.example"),
+            (2, "cdn.spam.example"),       # sub-host of a blocked domain
+            (3, "notspam.example"),        # label boundary: NOT blocked
+            (4, "clean.org"),
+        ],
+        "doc_id int, host string",
+    )
+    bl = spark.createDataFrame([("spam.example",)], "domain string")
+    got = {
+        r["doc_id"]: (r["blocked_suffix"], r["is_blocked"])
+        for r in blocklist_mark(docs, "doc_id", "host", bl).collect()
+    }
+    assert got == {
+        1: ("spam.example", True),
+        2: ("spam.example", True),
+        3: (None, False),
+        4: (None, False),
+    }
+
+
+def test_blocklist_mark_multiple_matches_min_suffix(spark):
+    docs = spark.createDataFrame([(1, "a.b.c")], "doc_id int, host string")
+    bl = spark.createDataFrame([("b.c",), ("c",)], "domain string")
+    row = blocklist_mark(docs, "doc_id", "host", bl).collect()[0]
+    assert row["blocked_suffix"] == "b.c" and row["is_blocked"]
+
+
+# -- corpus rollup ----------------------------------------------------
+
+def test_corpus_rollup_levels(spark):
+    docs = spark.createDataFrame(
+        [("en", "a", "one two"), ("en", "b", "three"), ("de", "a", "vier")],
+        "lang string, source string, text string",
+    )
+    got = {
+        (r["lang"], r["source"]): (r["gid"], r["n_docs"], r["tokens"])
+        for r in corpus_rollup(docs, ["lang", "source"]).collect()
+    }
+    assert got[("en", "a")] == (0, 1, 2)
+    assert got[("en", "(all)")] == (1, 2, 3)
+    assert got[("de", "(all)")] == (1, 1, 1)
+    assert got[("(all)", "(all)")] == (3, 3, 4)
+    assert len(got) == 6
+
+
+# -- n-gram containment ----------------------------------------------
+
+def test_containment_detects_embedded_quote(spark):
+    quote = " ".join(f"w{i}" for i in range(20))
+    big = "intro text here " + quote + " trailing remainder of a much longer doc " + \
+        " ".join(f"x{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, big)], "doc_id int, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    r = ngram_containment(docs, pairs, "doc_id", "text").collect()[0]
+    # every shingle of the quote is inside the big doc
+    assert r["cont_a"] == 1.0 and r["cont_b"] < 0.5
+
+
+# -- prototypicality pruning ------------------------------------------
+
+def _emb_df(spark):
+    rows = []
+    for c in range(2):
+        for i in range(10):
+            base = float(c * 100)
+            rows.append((c * 10 + i, [base + i * 0.01, base - i * 0.01]))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_prototype_prune_easy_drops_closest(spark):
+    df = _emb_df(spark)
+    kept = prototype_prune(df, "vec_id", "embedding", 300_000, mode="easy", k=2, iters=2)
+    rows = kept.collect()
+    # drop floor(n*0.3) per cluster, computed from the full assignment
+    a = prototype_prune(df, "vec_id", "embedding", 0, mode="easy", k=2, iters=2)
+    all_rows = a.collect()
+    sizes = {}
+    for r in all_rows:
+        sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + 1
+    expect_kept = sum(n - (n * 300_000) // 1_000_000 for n in sizes.values())
+    assert len(rows) == expect_kept and len(rows) < len(all_rows)
+    # survivors are the FARTHEST from their centroid: every survivor
+    # outranks all floor(n*0.3) dropped members of its cluster
+    all_d = {(r["cluster"], r["vec_id"]): r["dist_fp2"] for r in all_rows}
+    for r in rows:
+        closer = [
+            1 for (c, v), d in all_d.items()
+            if c == r["cluster"] and (d, v) < (r["dist_fp2"], r["vec_id"])
+        ]
+        n = sizes[r["cluster"]]
+        assert len(closer) >= (n * 300_000) // 1_000_000
+
+
+def test_prototype_prune_hard_drops_farthest(spark):
+    df = _emb_df(spark)
+    easy = {r["vec_id"] for r in prototype_prune(
+        df, "vec_id", "embedding", 300_000, mode="easy", k=2, iters=2).collect()}
+    hard = {r["vec_id"] for r in prototype_prune(
+        df, "vec_id", "embedding", 300_000, mode="hard", k=2, iters=2).collect()}
+    assert len(hard) == len(easy) and easy != hard
+
+
+def test_prototype_prune_partitioning_independent(spark):
+    df = _emb_df(spark)
+    one = prototype_prune(df, "vec_id", "embedding", 250_000, k=2, iters=2)
+    two = prototype_prune(
+        df.repartition(7), "vec_id", "embedding", 250_000, k=2, iters=2
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
+
+
+def test_prototype_prune_rejects_bad_mode(spark):
+    with pytest.raises(ValueError):
+        prototype_prune(_emb_df(spark), "vec_id", "embedding", 100, mode="mid")

@@ -405,6 +405,12 @@ def test_registry_window_holds_exactly_fifty_entries():
     )
     assert in_window == list(queries.REGISTRY)[:50]
     for name in (
+        "site_boilerplate",
+        "badwords_filter",
+        "domain_blocklist",
+        "corpus_rollup",
+        "prototype_prune",
+        "ngram_containment",
         "pack_sequences",
         "hash_split",
         "lm_perplexity",
