@@ -1,0 +1,127 @@
+"""robots.txt allow/deny evaluation — the crawl-frontier politeness
+gate (RFC 9309, the Robots Exclusion Protocol).
+
+A crawl pipeline holds a per-host ``robots.txt`` snapshot next to its
+frontier; before fetching (or when re-validating an old crawl) every
+candidate URL is checked against its host's rules. This module does
+that as a batch join, entirely in column expressions:
+
+parse (per host)
+    lines → strip comments/whitespace → ``key: value`` directives →
+    User-agent RUN grouping (consecutive UA lines share one group, a
+    rule belongs to the most recent run) → keep Allow/Disallow rules
+    of groups naming ``*``.
+evaluate (per url)
+    host-equi-join rules to URLs, prefix-match rule paths, pick the
+    winner by RFC 9309 §2.2.2: LONGEST matching rule wins, ties go to
+    Allow; no matching rule (or no robots entry for the host) means
+    allowed.
+
+Deliberate subset, documented: only ``User-agent: *`` groups are
+honored (a production crawler would first select the most-specific
+agent group — same machinery, one extra ranking); the ``*`` and ``$``
+wildcards inside rule paths are NOT interpreted (they appear in <2%
+of rules and would need per-rule regex compilation; a rule containing
+them is dropped with the parse, never silently prefix-matched).
+
+Scale shape: robots bodies are a per-host DIMENSION (one row per
+host, rules-per-host bounded by file size caps — RFC says parse at
+least 500 KiB). Parsing explodes lines per host — host-count-sized,
+not corpus-sized. Evaluation joins URLs to rules on host: the
+expansion factor is the host's star-rule count (typically tens), and
+the per-URL winner reduction is a groupBy on the URL key, so the only
+corpus-sized shuffle is that one aggregation. A mega-host's URLs meet
+only that host's rules — no cross-host blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def robots_rules(robots: DataFrame, host_col: str, txt_col: str) -> DataFrame:
+    """(host, rule, is_allow) — Allow/Disallow rules from the
+    ``User-agent: *`` groups of each host's robots.txt body."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    )
+    d = lines.select(
+        "host",
+        "pos",
+        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)[ \t]*:", 1)).alias("key"),
+        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+[ \t]*:(.*)$", 1)).alias(
+            "val"
+        ),
+    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("key") == "user-agent"
+    grouped = d.withColumn(
+        "grp",
+        F.sum(
+            F.when(
+                is_ua
+                & (F.lag("key").over(w).isNull()
+                   | (F.lag("key").over(w) != "user-agent")),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    star_groups = (
+        grouped.filter(is_ua & (F.col("val") == "*"))
+        .select("host", "grp")
+        .distinct()
+    )
+    return (
+        grouped.filter(
+            (~is_ua)
+            & (F.col("grp") > 0)
+            & (F.col("val") != "")
+            & ~F.col("val").contains("*")
+            & ~F.col("val").contains("$")
+        )
+        .join(star_groups, ["host", "grp"], "semi")
+        .select(
+            "host",
+            F.col("val").alias("rule"),
+            (F.col("key") == "allow").alias("is_allow"),
+        )
+        .distinct()
+    )
+
+
+def robots_check(
+    urls: DataFrame,
+    rules: DataFrame,
+    id_col: str,
+    host_col: str,
+    path_col: str,
+) -> DataFrame:
+    """urls + (allowed, rule, rule_is_allow): RFC 9309 evaluation of
+    each URL against its host's parsed ``*``-group rules. ``rule`` is
+    NULL when nothing matched (default allow). Winner = longest
+    matching rule, Allow beating Disallow at equal length (the struct
+    max encodes exactly that ordering)."""
+    matched = urls.join(
+        rules.withColumnRenamed("host", host_col), host_col
+    ).filter(F.col(path_col).startswith(F.col("rule")))
+    winners = matched.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.length("rule").alias("l"),
+                F.col("is_allow").alias("a"),
+                F.col("rule").alias("r"),
+            )
+        ).alias("w")
+    )
+    return urls.join(winners, id_col, "left").select(
+        *urls.columns,
+        F.coalesce(F.col("w.a"), F.lit(True)).alias("allowed"),
+        F.col("w.r").alias("rule"),
+    )

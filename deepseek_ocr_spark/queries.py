@@ -3520,6 +3520,135 @@ SQL_PROTOTYPE_PRUNE = _prototype_prune_sql()
 
 
 # --------------------------------------------------------------------
+# robots.txt gate (functions/robots.py)
+# --------------------------------------------------------------------
+# Fixture: one synthetic robots.txt per source host exercising every
+# parser path — comments, a non-star group (ignored), an orphan rule
+# before any group (ignored), a consecutive-UA run containing '*', a
+# wildcard rule (dropped), a non-rule directive (Crawl-delay), and a
+# per-host conditional rule. URL paths /p/<doc_id%20>/page hit the
+# prefix-semantics cases: '/p/1' blocks /p/1, /p/10..19 EXCEPT /p/12,
+# which a longer Allow rescues.
+
+_ROBOTS_LINES = [
+    "Disallow: /orphan",          # before any UA group: ignored
+    "# synthetic robots fixture",
+    "User-agent: badbot",
+    "Disallow: /",                # non-star group: ignored
+    "",
+    "User-agent: helper",
+    "User-agent: *",              # consecutive-UA run includes '*'
+    "Disallow: /p/1",
+    "Allow: /p/12",
+    "Disallow: /tmp/*",           # wildcard: dropped by the parser
+    "Crawl-delay: 10",            # non-rule directive: ignored
+]
+
+
+def q_robots_check(spark, sf_dir):
+    """robots.txt allow/deny per URL (functions/robots.py): RFC 9309
+    longest-match evaluation of User-agent-* rules — the
+    crawl-frontier politeness gate as one host-keyed join."""
+    from deepseek_ocr_spark.functions import robots as RB
+
+    d = _t(spark, sf_dir, "documents")
+    base = "\n".join(_ROBOTS_LINES)
+    rb = (
+        d.select(F.col("source").alias("host"))
+        .distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit(base),
+                F.when(
+                    F.substring("host", 4, 10).cast("int") % 3 == 0,
+                    F.lit("\nDisallow: /p/3"),
+                ).otherwise(F.lit("")),
+            ).alias("txt"),
+        )
+    )
+    rules = RB.robots_rules(rb, "host", "txt")
+    urls = d.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("/p/"), (F.col("doc_id") % 20).cast("string"), F.lit("/page")
+        ).alias("path"),
+    )
+    return RB.robots_check(urls, rules, "doc_id", "host", "path").orderBy(
+        "doc_id"
+    )
+
+
+_ROBOTS_SQL_BASE = " || chr(10) || ".join(
+    f"'{ln}'" if ln else "''" for ln in _ROBOTS_LINES
+)
+
+SQL_ROBOTS_CHECK = f"""
+WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+rb AS (
+  SELECT host,
+         {_ROBOTS_SQL_BASE}
+         || CASE WHEN CAST(substr(host, 4) AS INT) % 3 = 0
+              THEN chr(10) || 'Disallow: /p/3' ELSE '' END AS txt
+  FROM hosts
+), ls AS (
+  SELECT host, string_split(txt, chr(10)) AS l FROM rb
+), lines AS (
+  SELECT host, e.idx AS pos,
+         trim(regexp_replace(e.v, '#.*$', '')) AS line
+  FROM (SELECT host,
+               unnest(list_transform(range(1, len(l) + 1),
+                 i -> struct_pack(idx := (i - 1)::BIGINT, v := l[i]))) AS e
+        FROM ls)
+), d AS (
+  SELECT host, pos,
+         lower(regexp_extract(line, '^([A-Za-z-]+)[ \\t]*:', 1)) AS key,
+         trim(regexp_extract(line, '^[A-Za-z-]+[ \\t]*:(.*)$', 1)) AS val
+  FROM lines
+  WHERE lower(regexp_extract(line, '^([A-Za-z-]+)[ \\t]*:', 1))
+        IN ('user-agent', 'allow', 'disallow')
+), lagged AS (
+  SELECT host, pos, key, val,
+         lag(key) OVER (PARTITION BY host ORDER BY pos) AS pkey
+  FROM d
+), g AS (
+  SELECT host, pos, key, val,
+         sum(CASE WHEN key = 'user-agent'
+                   AND (pkey IS NULL OR pkey <> 'user-agent')
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY pos) AS grp
+  FROM lagged
+), sg AS (
+  SELECT DISTINCT host, grp FROM g
+  WHERE key = 'user-agent' AND val = '*'
+), rules AS (
+  SELECT DISTINCT g.host, g.val AS rule, g.key = 'allow' AS is_allow
+  FROM g JOIN sg ON sg.host = g.host AND sg.grp = g.grp
+  WHERE g.key IN ('allow', 'disallow') AND g.grp > 0 AND g.val <> ''
+    AND g.val NOT LIKE '%*%' AND g.val NOT LIKE '%$%'
+), u AS (
+  SELECT doc_id, source AS host,
+         '/p/' || (doc_id % 20)::VARCHAR || '/page' AS path
+  FROM documents
+), m AS (
+  SELECT u.doc_id, r.rule, r.is_allow
+  FROM u JOIN rules r ON r.host = u.host AND starts_with(u.path, r.rule)
+), win AS (
+  SELECT doc_id, rule, is_allow,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY length(rule) DESC, is_allow DESC,
+                                     rule DESC) AS rk
+  FROM m
+)
+SELECT u.doc_id, u.host, u.path,
+       coalesce(w.is_allow, TRUE) AS allowed, w.rule
+FROM u LEFT JOIN (SELECT * FROM win WHERE rk = 1) w ON w.doc_id = u.doc_id
+ORDER BY u.doc_id
+"""
+
+
+# --------------------------------------------------------------------
 # recrawl churn (operators/temporal.py snapshot_churn)
 # --------------------------------------------------------------------
 #
@@ -3951,6 +4080,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "corpus_rollup": (q_corpus_rollup, SQL_CORPUS_ROLLUP),
     "prototype_prune": (q_prototype_prune, SQL_PROTOTYPE_PRUNE),
     "ngram_containment": (q_ngram_containment, SQL_NGRAM_CONTAINMENT),
+    "robots_check": (q_robots_check, SQL_ROBOTS_CHECK),
     "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
@@ -3998,7 +4128,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ivf_topk": (q_ivf_topk, None),
     "ivf_topk_exhaustive": (q_ivf_topk_exhaustive, SQL_ANN_COSINE_TOPK),
-    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_lsh_recall": (q_ann_lsh_recall, SQL_ANN_LSH_RECALL),
     "ivf_recall": (q_ivf_recall, None),
@@ -4011,6 +4140,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # ------------------------------------------------------------------
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "chunk_dedup_rewrite": (q_chunk_dedup_rewrite, SQL_CHUNK_DEDUP_REWRITE),
     "simhash": (q_simhash, SQL_SIMHASH),

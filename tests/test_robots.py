@@ -1,0 +1,97 @@
+"""robots.txt parsing + RFC 9309 evaluation (functions/robots.py)."""
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.robots import robots_check, robots_rules
+
+ROBOTS = """# fixture
+Disallow: /orphan
+User-agent: badbot
+Disallow: /
+Allow: /ads
+
+User-agent: helper
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow: /tmp/*
+Disallow:
+Crawl-delay: 10
+"""
+
+
+def _rules(spark, txt=ROBOTS, host="h"):
+    rb = spark.createDataFrame([(host, txt)], "host string, txt string")
+    return robots_rules(rb, "host", "txt")
+
+
+def test_parse_star_group_only(spark):
+    got = {(r["rule"], r["is_allow"]) for r in _rules(spark).collect()}
+    # orphan rule, badbot group, wildcard rule, empty Disallow and
+    # Crawl-delay are all excluded; the consecutive-UA run counts as
+    # one group containing '*'.
+    assert got == {("/private", False), ("/private/ok", True)}
+
+
+def test_parse_case_and_whitespace(spark):
+    txt = "user-AGENT:*\n  DISALLOW :  /x  \nallow:/x/y"
+    # keys are case-folded; blanks around the colon and the value are
+    # tolerated ('[ \t]*:' between key and colon, values trimmed)
+    got = {(r["rule"], r["is_allow"]) for r in _rules(spark, txt).collect()}
+    assert got == {("/x", False), ("/x/y", True)}
+
+
+def _check(spark, paths, txt=ROBOTS):
+    rules = _rules(spark, txt)
+    urls = spark.createDataFrame(
+        [(i, "h", p) for i, p in enumerate(paths)],
+        "doc_id int, host string, path string",
+    )
+    out = robots_check(urls, rules, "doc_id", "host", "path")
+    return {r["path"]: (r["allowed"], r["rule"]) for r in out.collect()}
+
+
+def test_longest_match_wins_and_allow_breaks_ties(spark):
+    got = _check(
+        spark,
+        ["/private/x", "/private/ok/page", "/public", "/privateer"],
+    )
+    assert got["/private/x"] == (False, "/private")
+    # longer Allow beats shorter Disallow
+    assert got["/private/ok/page"] == (True, "/private/ok")
+    # no rule matches -> default allow, NULL rule
+    assert got["/public"] == (True, None)
+    # prefix semantics: '/private' matches '/privateer' (RFC 9309
+    # prefix match is byte-wise, not segment-wise)
+    assert got["/privateer"] == (False, "/private")
+
+
+def test_equal_length_tie_goes_to_allow(spark):
+    txt = "User-agent: *\nDisallow: /a/b\nAllow: /a/c"
+    got = _check(spark, ["/a/b/x", "/a/c/x"], txt)
+    assert got["/a/b/x"] == (False, "/a/b")
+    assert got["/a/c/x"] == (True, "/a/c")
+    txt2 = "User-agent: *\nDisallow: /dual\nAllow: /dual"
+    assert _check(spark, ["/dual/x"], txt2)["/dual/x"] == (True, "/dual")
+
+
+def test_host_without_robots_defaults_allow(spark):
+    rules = _rules(spark)  # rules only for host 'h'
+    urls = spark.createDataFrame(
+        [(1, "other", "/private/x")], "doc_id int, host string, path string"
+    )
+    r = robots_check(urls, rules, "doc_id", "host", "path").collect()[0]
+    assert r["allowed"] and r["rule"] is None
+
+
+def test_partitioning_independent(spark):
+    rules = _rules(spark)
+    urls = spark.createDataFrame(
+        [(i, "h", f"/private/{i}") for i in range(40)],
+        "doc_id int, host string, path string",
+    )
+    one = robots_check(urls, rules, "doc_id", "host", "path")
+    two = robots_check(
+        urls.repartition(7, F.col("doc_id")), rules, "doc_id", "host", "path"
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
