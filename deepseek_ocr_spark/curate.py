@@ -163,6 +163,63 @@ def lang_gate(docs: DataFrame, keep: tuple[str, ...] | None) -> DataFrame:
     return docs.filter(F.col("lang_guess").isin(list(keep)))
 
 
+def badwords_gate(
+    docs: DataFrame, badwords: tuple[str, ...] = TS.BADWORDS_EN
+) -> DataFrame:
+    """C4 bad-words page gate: drop any doc containing a listed word
+    (word-level after lowercase + edge strip, never substring —
+    textstats.badword_stats). A pure scan predicate — run it early,
+    before any content hashing touches the text."""
+    return docs.filter(TS.badword_stats(F.col("text"), badwords)[1] == 0)
+
+
+def blocklist_gate(docs: DataFrame, blocklist: DataFrame) -> DataFrame:
+    """Domain-suffix blocklist gate (urls.blocklist_mark): drop docs
+    whose url host — or any dot-suffix of it — appears in the
+    blocklist's ``domain`` column. URL-only predicate (broadcast
+    probe), so it runs before anything reads the text."""
+    from deepseek_ocr_spark.functions.urls import blocklist_mark, domain_col
+
+    marked = blocklist_mark(
+        docs.withColumn("_host", domain_col(F.col("url"))),
+        "url",
+        "_host",
+        blocklist,
+    )
+    return marked.filter(~F.col("is_blocked")).drop(
+        "_host", "blocked_suffix", "is_blocked"
+    )
+
+
+def boilerplate_rewrite(docs: DataFrame) -> DataFrame:
+    """Site-level boilerplate line removal (functions/boilerplate.py):
+    lines appearing on >=50% (and >=2) of a host's pages are excised,
+    text is replaced by the rewrite, and token/quality stats are
+    recomputed so downstream gates judge what ships. Row-preserving —
+    a doc whose every line was template comes back with empty text and
+    dies at the quality gate (never silently deleted here). The
+    fingerprint column keeps its pre-rewrite value: exact dedup has
+    already consumed it, and re-keying mid-funnel would decouple the
+    funnel from the dedup decisions already made."""
+    from deepseek_ocr_spark.functions.boilerplate import (
+        site_boilerplate_rewrite,
+    )
+    from deepseek_ocr_spark.functions.urls import domain_col
+
+    rw = site_boilerplate_rewrite(
+        docs.withColumn("_host", domain_col(F.col("url"))),
+        "_host",
+        "url",
+        "text",
+    ).select("url", F.col("clean_text").alias("text"))
+    return (
+        docs.drop("text", "n_tokens", "quality")
+        .join(rw, "url")
+        .withColumn("n_tokens", TS.token_count(F.col("text")))
+        .withColumn("quality", TS.quality_score(F.col("text")))
+    )
+
+
 def rebalance_gate(docs: DataFrame, token_budget: int) -> DataFrame:
     """UniMax-style per-domain token rebalancing on the curated frame:
     water-fill ``token_budget`` across registrable domains, then
@@ -206,11 +263,16 @@ def dsir_gate(
 
 
 def _funnel_head_counts(
-    docs: DataFrame, languages: tuple[str, ...] | None
+    docs: DataFrame,
+    languages: tuple[str, ...] | None,
+    badwords: tuple[str, ...] | None = None,
+    blocked_col: str | None = None,
 ) -> dict:
-    """The first four funnel boundaries (extracted_ok, lang gate,
-    url-canonical keep-first, fingerprint keep-first) from ONE
-    aggregation pass over the enriched frame — no stage is executed.
+    """The head funnel boundaries (extracted_ok, lang gate, optional
+    bad-words gate, optional blocklist gate, url-canonical keep-first,
+    fingerprint keep-first) from ONE aggregation pass over the
+    enriched frame — no stage is executed. ``blocked_col`` names a
+    boolean column already on ``docs`` (True = blocked).
 
     Keep-first semantics reproduce the stage operators exactly via the
     cumulative-flag trick: a row is the stage's survivor iff it passes
@@ -226,6 +288,15 @@ def _funnel_head_counts(
         if languages
         else F.lit(True)
     )
+    head_ok = lang_ok
+    if badwords is not None:
+        head_ok = head_ok & (
+            TS.badword_stats(F.col("text"), badwords)[1] == 0
+        )
+    bw_ok = head_ok
+    if blocked_col is not None:
+        head_ok = head_ok & ~F.col(blocked_col)
+    bl_ok = head_ok
     w_curl = (
         Window.partitionBy("_curl")
         .orderBy("url")
@@ -239,10 +310,12 @@ def _funnel_head_counts(
     flagged = (
         docs.withColumn("_curl", canonical_url(F.col("url")))
         .withColumn("_lang_ok", lang_ok)
+        .withColumn("_bw_ok", bw_ok)
+        .withColumn("_head_ok", bl_ok)
         .withColumn(
             "_url_keep",
-            F.col("_lang_ok")
-            & (F.sum(F.col("_lang_ok").cast("int")).over(w_curl) == 1),
+            F.col("_head_ok")
+            & (F.sum(F.col("_head_ok").cast("int")).over(w_curl) == 1),
         )
         .withColumn(
             "_fp_keep",
@@ -253,15 +326,22 @@ def _funnel_head_counts(
     row = flagged.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum(F.col("_lang_ok").cast("long")), F.lit(0)).alias("nl"),
+        F.coalesce(F.sum(F.col("_bw_ok").cast("long")), F.lit(0)).alias("nb"),
+        F.coalesce(F.sum(F.col("_head_ok").cast("long")), F.lit(0)).alias("nh"),
         F.coalesce(F.sum(F.col("_url_keep").cast("long")), F.lit(0)).alias("nu"),
         F.coalesce(F.sum(F.col("_fp_keep").cast("long")), F.lit(0)).alias("nf"),
     ).first()
-    return {
+    out = {
         "extracted_ok": row["n"],
         "after_lang_gate": row["nl"],
-        "after_url_dedup": row["nu"],
-        "after_exact_dedup": row["nf"],
     }
+    if badwords is not None:
+        out["after_badwords"] = row["nb"]
+    if blocked_col is not None:
+        out["after_blocklist"] = row["nh"]
+    out["after_url_dedup"] = row["nu"]
+    out["after_exact_dedup"] = row["nf"]
+    return out
 
 
 def model_quality_gate(
@@ -302,6 +382,9 @@ def curate(
     dsir_target_langs: tuple[str, ...] | None = None,
     normalize: bool = False,
     substring_dedup: bool = False,
+    badwords: tuple[str, ...] | None = None,
+    blocklist: DataFrame | None = None,
+    site_boilerplate: bool = False,
     funnel_mode: str = "observe",
     quality_model_weights: DataFrame | None = None,
     quality_model_min_pf: int = 0,
@@ -328,6 +411,13 @@ def curate(
     spans are excised from non-first occurrences, the doc's text is
     replaced by the rewrite, and token/quality stats are RECOMPUTED on
     the surviving text so the gate judges what will actually ship.
+    ``badwords`` applies the C4 bad-words page gate right after the
+    language gate (word-level membership, zero-shuffle predicate);
+    ``blocklist`` (a DataFrame with a ``domain`` column) applies the
+    domain-suffix URL blocklist gate next (broadcast probe, URL-only);
+    ``site_boilerplate=True`` excises host-template lines after exact
+    dedup (row-preserving rewrite — emptied docs die at the quality
+    gate; stats recomputed like substring_dedup).
 
     Funnel accounting (``funnel_mode``):
 
@@ -354,27 +444,56 @@ def curate(
         raise ValueError(f"unknown funnel_mode: {funnel_mode!r}")
     observe = funnel_mode == "observe"
     extracted = extract_pipeline(pages, parallelism=parallelism)
-    docs = enrich(extracted, normalize=normalize).persist()
+    docs = enrich(extracted, normalize=normalize)
+    blocked_col = None
+    if blocklist is not None:
+        # mark once, before the persist, so the funnel's one-pass
+        # aggregation and the gate share the same broadcast probe
+        from deepseek_ocr_spark.functions.urls import (
+            blocklist_mark,
+            domain_col,
+        )
+
+        docs = blocklist_mark(
+            docs.withColumn("_host", domain_col(F.col("url"))),
+            "url",
+            "_host",
+            blocklist,
+        ).drop("_host", "blocked_suffix")
+        blocked_col = "is_blocked"
+    docs = docs.persist()
     kept = lang_gate(docs, languages)
+    if badwords is not None:
+        kept = badwords_gate(kept, badwords)
+    if blocked_col is not None:
+        kept = kept.filter(~F.col(blocked_col)).drop(blocked_col)
     # cheapest dedup class first: re-crawl urls differing only by
     # case/port/fragment/tracking params collapse before any content
     # hashing or shingling touches the text
     canon = url_canonical_dedup(kept)
     exact = exact_dedup(canon)
+    if site_boilerplate:
+        exact = boilerplate_rewrite(exact)
     lsh_obs = Observation("lsh_bucket_cap")
     near = neardup_dedup(exact, observation=lsh_obs)
     if observe:
-        funnel = _funnel_head_counts(docs, languages)
+        funnel = _funnel_head_counts(docs, languages, badwords, blocked_col)
         near_obs = Observation("funnel_near")
         near = near.observe(near_obs, F.count(F.lit(1)).alias("n"))
     else:
         funnel = {
             "extracted_ok": docs.count(),
-            "after_lang_gate": kept.count(),
-            "after_url_dedup": canon.count(),
-            "after_exact_dedup": exact.count(),
-            "after_neardup": near.count(),
+            "after_lang_gate": lang_gate(docs, languages).count(),
         }
+        if badwords is not None:
+            funnel["after_badwords"] = badwords_gate(
+                lang_gate(docs, languages), badwords
+            ).count()
+        if blocked_col is not None:
+            funnel["after_blocklist"] = kept.count()
+        funnel["after_url_dedup"] = canon.count()
+        funnel["after_exact_dedup"] = exact.count()
+        funnel["after_neardup"] = near.count()
     if substring_dedup:
         rw = DD.kgram_dedup_rewrite(near, "url", "text").select(
             "url", F.col("dedup_text").alias("text")
@@ -417,7 +536,8 @@ def curate(
         # numbers were gathered (later-stage / metric keys keep their
         # insertion order after the core boundaries)
         order = [
-            "extracted_ok", "after_lang_gate", "after_url_dedup",
+            "extracted_ok", "after_lang_gate", "after_badwords",
+            "after_blocklist", "after_url_dedup",
             "after_exact_dedup", "after_neardup",
             "after_substring_dedup", "curated",
         ]

@@ -131,6 +131,27 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "punctuation-spacing-normalized",
     )
     p.add_argument(
+        "--badwords",
+        default=None,
+        help="curate mode: comma-separated word list for the C4 "
+        "bad-words page gate (word-level after lowercase + edge "
+        "strip; any hit drops the page)",
+    )
+    p.add_argument(
+        "--blocklist",
+        default=None,
+        help="curate mode: parquet path of a domain blocklist (one "
+        "'domain' column); pages whose url host or any dot-suffix of "
+        "it matches are dropped before any content processing",
+    )
+    p.add_argument(
+        "--site-boilerplate",
+        action="store_true",
+        help="curate mode: excise site-template lines (on >=2 pages "
+        "AND >=50%% of the host's pages) after exact dedup; stats are "
+        "recomputed on the rewritten text",
+    )
+    p.add_argument(
         "--normalize",
         action="store_true",
         help="curate mode: whitespace/control text normalization "
@@ -241,6 +262,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             dsir_target_langs=_parse_languages(args.dsir_target_langs),
             normalize=args.normalize,
             substring_dedup=args.substring_dedup,
+            badwords=(
+                tuple(w.strip().lower() for w in args.badwords.split(",") if w.strip())
+                or None
+                if args.badwords is not None
+                else None
+            ),
+            blocklist=(
+                spark.read.parquet(args.blocklist)
+                if args.blocklist
+                else None
+            ),
+            site_boilerplate=args.site_boilerplate,
             quality_model_weights=qm_weights,
             quality_model_min_pf=args.quality_model_min_pf,
             lm_model=lm_model,

@@ -402,3 +402,77 @@ def test_substring_dedup_stage(spark):
     assert "tectonic" in b and "w0" not in b.split() # head excised, tail kept
     toks = {r["url"]: r["n_tokens"] for r in rewritten.collect()}
     assert toks["https://b.example/2"] == len(b.split())  # stats recomputed
+
+
+def _mk_pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, None, h, None, None) for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def _page(body):
+    return f"<html><body><p>{body}</p></body></html>".encode()
+
+
+def test_badwords_gate_in_funnel(spark):
+    clean = ("perfectly ordinary prose about the migration patterns of "
+             "arctic terns across hemispheres every single year")
+    dirty = clean + " visit our CASINO! now"
+    pages = _mk_pages(
+        spark,
+        [("https://a.example/1", _page(clean)),
+         ("https://b.example/2", _page(dirty))],
+    )
+    final, funnel = curate(pages, parallelism=2, badwords=("casino",))
+    assert funnel["after_lang_gate"] == 2
+    assert funnel["after_badwords"] == 1
+    assert [r["url"] for r in final.collect()] == ["https://a.example/1"]
+    # counts mode agrees
+    _, f2 = curate(
+        pages, parallelism=2, badwords=("casino",), funnel_mode="counts"
+    )
+    assert f2["after_badwords"] == 1
+
+
+def test_blocklist_gate_in_funnel(spark):
+    body = ("a long enough paragraph of standard prose that clears the "
+            "token and quality thresholds without any trouble at all")
+    pages = _mk_pages(
+        spark,
+        [("https://keep.example/1", _page(body + " one")),
+         ("https://cdn.spam.example/2", _page(body + " two")),
+         ("https://spam.example/3", _page(body + " three"))],
+    )
+    bl = spark.createDataFrame([("spam.example",)], "domain string")
+    final, funnel = curate(pages, parallelism=2, blocklist=bl)
+    assert funnel["after_lang_gate"] == 3
+    assert funnel["after_blocklist"] == 1
+    assert [r["url"] for r in final.collect()] == ["https://keep.example/1"]
+    # the exported schema carries no gate scratch columns
+    assert "is_blocked" not in final.columns
+    _, f2 = curate(pages, parallelism=2, blocklist=bl, funnel_mode="counts")
+    assert f2["after_blocklist"] == 1
+
+
+def test_site_boilerplate_stage(spark):
+    nav = "Home About Contact Privacy Terms Careers Sitemap Help"
+    bodies = [
+        f"{nav}<br>unique article number {i} with plenty of ordinary "
+        "words describing a separate topic entirely on its own merits"
+        for i in range(4)
+    ]
+    pages = _mk_pages(
+        spark,
+        [(f"https://h.example/{i}", _page(b)) for i, b in enumerate(bodies)],
+    )
+    plain, _ = curate(pages, parallelism=2)
+    assert all(nav.split()[0] in r["text"] for r in plain.collect())
+
+    final, funnel = curate(pages, parallelism=2, site_boilerplate=True)
+    rows = final.collect()
+    assert len(rows) == 4
+    for r in rows:
+        # the shared nav line is gone, the unique body survives
+        assert "Careers" not in r["text"] and "unique article" in r["text"]
+        assert r["n_tokens"] == len(r["text"].split())  # stats recomputed

@@ -283,3 +283,25 @@ def test_cli_train_lm_and_curate_fluency_gate(spark, tmp_path, capsys):
     kept = [r["url"] for r in spark.read.parquet(out).collect()]
     assert kept == ["https://a.example/good"]
     spark.catalog.clearCache()
+
+
+def test_cli_curate_gates_flags(spark, pages_path, tmp_path, capsys):
+    """--badwords / --blocklist / --site-boilerplate reach curate():
+    the funnel JSON carries the new boundaries and shrinks."""
+    bl_path = str(tmp_path / "blocklist.parquet")
+    # block the fixture's most common host class: every example.com page
+    spark.createDataFrame(
+        [("example.com",)], "domain string"
+    ).write.parquet(bl_path)
+    out = str(tmp_path / "gated_corpus")
+    rc = main(
+        ["--mode", "curate", "--input", pages_path, "--output", out,
+         "--parallelism", "4", "--badwords", "Casino, viagra",
+         "--blocklist", bl_path, "--site-boilerplate"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "after_badwords" in summary and "after_blocklist" in summary
+    assert summary["after_blocklist"] <= summary["after_badwords"]
+    assert summary["curated"] >= 0
