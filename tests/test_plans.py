@@ -326,3 +326,46 @@ def test_bloom_probe_broadcasts_filter(spark):
         BL.bloom_maybe_contains(probe, BL.build_bloom(seen, "u"), "u")
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_blocklist_mark_broadcasts_and_rollup_single_expand(spark):
+    """The blocklist probe must BROADCAST (blocklists are MBs,
+    corpora TBs); corpus_rollup must compute every level through ONE
+    Expand + hash aggregate pair, never one scan per level."""
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["domain_blocklist"][0](spark, SF))
+    # the suffix->blocklist probe is broadcast by hint; the join-back
+    # of matched ids is left to AQE on purpose (at 100 TB the matched
+    # set can be corpus-scale, so a hard broadcast there would be
+    # wrong — statistics must decide)
+    assert "BroadcastHashJoin Inner" in plan, plan
+
+    plan = plan_of(REGISTRY["corpus_rollup"][0](spark, SF))
+    assert "Expand" in plan
+    # one scan of documents, not one per rollup level ("formatted"
+    # prints every node twice: tree line + detail section)
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_badwords_gate_is_pure_projection(spark):
+    """The bad-words membership test compiles into the projection —
+    zero joins, zero exchanges before the final sort."""
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["badwords_filter"][0](spark, SF))
+    assert "Join" not in plan and "HashAggregate" not in plan, plan
+    # the only exchange is the final sort's range partitioning
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_robots_rules_side_never_reshuffles_urls(spark):
+    """robots_check's URL-side cost must be one host-keyed join plus
+    one per-URL winner aggregation — no CartesianProduct, and the
+    rules dimension (host-count-sized) must not force a corpus
+    re-sort: the winner agg is a hash aggregate."""
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["robots_check"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
