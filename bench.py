@@ -121,6 +121,10 @@ HEADLINE = [
     "html_tables",
     "bitext_mine",
     "bloom_seen_urls",
+    # round 4, third wave
+    "site_boilerplate",
+    "robots_check",
+    "corpus_rollup",
 ]
 
 
