@@ -3520,6 +3520,60 @@ SQL_PROTOTYPE_PRUNE = _prototype_prune_sql()
 
 
 # --------------------------------------------------------------------
+# grouped HLL cardinality profile (functions/sketches.py)
+# --------------------------------------------------------------------
+
+
+def q_hll_token_profile(spark, sf_dir):
+    """Per-source distinct-token cardinality: the deterministic
+    16-register HLL estimate (functions/sketches.py — O(groups x 16)
+    state, one map-side-combining agg) next to the exact
+    count(DISTINCT) so the fixture doubles as an accuracy receipt. At
+    100 TB you ship the estimate alone — the exact column is the
+    corpus-sized-shuffle baseline the sketch exists to avoid."""
+    from deepseek_ocr_spark.functions import sketches as SK
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.col("text")), TS.TOKEN_SPLIT_RE)
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    est = SK.hll_distinct(toks, ["source"], F.col("tok"))
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "source").orderBy("source")
+
+
+def _hll_token_profile_sql() -> str:
+    from deepseek_ocr_spark.functions import sketches as SK
+
+    frag = SK.hll_distinct_sql("t2", ["source"], "tok")
+    return f"""
+WITH toks AS (
+  SELECT source,
+         unnest(string_split_regex(trim(text),
+                                   '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+  FROM documents
+), t2 AS (SELECT source, tok FROM toks WHERE tok <> ''),
+est AS ({frag}),
+exact AS (SELECT source, count(DISTINCT tok)::BIGINT AS exact_distinct
+          FROM t2 GROUP BY source)
+SELECT est.source, est.est_distinct, exact.exact_distinct
+FROM est JOIN exact ON exact.source = est.source
+ORDER BY est.source
+"""
+
+
+SQL_HLL_TOKEN_PROFILE = _hll_token_profile_sql()
+
+
+# --------------------------------------------------------------------
 # robots.txt gate (functions/robots.py)
 # --------------------------------------------------------------------
 # Fixture: one synthetic robots.txt per source host exercising every
@@ -4081,6 +4135,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "prototype_prune": (q_prototype_prune, SQL_PROTOTYPE_PRUNE),
     "ngram_containment": (q_ngram_containment, SQL_NGRAM_CONTAINMENT),
     "robots_check": (q_robots_check, SQL_ROBOTS_CHECK),
+    "hll_token_profile": (q_hll_token_profile, SQL_HLL_TOKEN_PROFILE),
     "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
@@ -4125,7 +4180,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_SIMHASH_NEARDUP_PAIRS,
     ),
     # --- ANN / embedding family --------------------------------------
-    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    # (ann_cosine_topk demoted below the cut: driver-verified green in
+    #  r1-r3 and unchanged; ivf_topk_exhaustive shares its SQL twin
+    #  and stays, so the brute-force path remains driver-checked.)
     "ivf_topk": (q_ivf_topk, None),
     "ivf_topk_exhaustive": (q_ivf_topk_exhaustive, SQL_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
@@ -4141,6 +4198,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "chunk_dedup_rewrite": (q_chunk_dedup_rewrite, SQL_CHUNK_DEDUP_REWRITE),
     "simhash": (q_simhash, SQL_SIMHASH),

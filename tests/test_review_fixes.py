@@ -406,6 +406,8 @@ def test_registry_window_holds_exactly_fifty_entries():
     assert in_window == list(queries.REGISTRY)[:50]
     for name in (
         "site_boilerplate",
+        "hll_token_profile",
+        "robots_check",
         "badwords_filter",
         "domain_blocklist",
         "corpus_rollup",

@@ -1,0 +1,53 @@
+"""Grouped HLL distinct-count sketches (functions/sketches.py)."""
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.sketches import hll_distinct
+
+
+def _est(spark, rows):
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = hll_distinct(df, ["g"], F.col("v"))
+    return {r["g"]: r["est_distinct"] for r in out.collect()}
+
+
+def test_small_groups_near_exact_via_linear_counting(spark):
+    rows = [("one", "only")] * 5 + [("three", f"t{i}") for i in range(3)]
+    got = _est(spark, rows)
+    assert got["one"] == 1
+    assert 2 <= got["three"] <= 4
+
+
+def test_duplicates_do_not_move_the_estimate(spark):
+    base = [("g", f"v{i}") for i in range(200)]
+    once = _est(spark, base)["g"]
+    thrice = _est(spark, base * 3)["g"]
+    assert once == thrice
+    # standard 16-register error: ~26%; allow 2 sigma
+    assert 200 * 0.4 <= once <= 200 * 1.9
+
+
+def test_partitioning_independent(spark):
+    df = spark.createDataFrame(
+        [(f"g{i % 4}", f"v{i % 97}") for i in range(500)], "g string, v string"
+    )
+    one = hll_distinct(df, ["g"], F.col("v"))
+    two = hll_distinct(df.repartition(11, "v"), ["g"], F.col("v"))
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
+
+
+def test_single_aggregation_plan(spark):
+    """The sketch must be ONE map-side-combining aggregation: the
+    wire carries groups x 16 ints, never per-value distinct state —
+    no Expand, no second corpus-keyed Exchange, no distinct."""
+    df = spark.createDataFrame([("g", "v")], "g string, v string")
+    out = hll_distinct(df, ["g"], F.col("v"))
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Expand" not in plan
+    # tree section lists each node once; exactly one Exchange pair of
+    # partial/final HashAggregate
+    tree = plan.split("(1)")[0]
+    assert tree.count("Exchange") == 1, plan
+    assert tree.count("HashAggregate") == 2, plan
