@@ -95,11 +95,44 @@ def neardup_dedup(
     join), the cheap-and-coarser near-dup class for corpora where the
     Jaccard pass is the budget item; duplicate groups collapse via
     connected components like ``clusters``.
+    ``strategy='containment'``: confirm with Broder CONTAINMENT
+    instead of resemblance — a doc is dropped when >= ``jaccard_drop``
+    of ITS OWN shingles sit inside a candidate partner (the quote /
+    copy-with-added-boilerplate case Jaccard dilutes); the CONTAINED
+    side is dropped (it carries no content its container lacks), ties
+    broken toward keeping the smaller url.
 
     ``observation`` (a ``pyspark.sql.Observation``) receives the LSH
     mega-bucket-cap metrics (rows_in_dropped_buckets /
     max_bucket_seen) so truncation is never silent — curate() logs
     them with the funnel."""
+    if strategy == "containment":
+        sig = DD.minhash_signature(docs, "url", "text")
+        # single-hash bands: a contained doc's resemblance to its
+        # container is |A|/|B|, far below what the 2-row bands
+        # propose — size-1 bands collide per-band at J, not J^2
+        pairs = DD.lsh_candidate_pairs(
+            sig,
+            "url",
+            observation=observation,
+            bands_col=DD.single_hash_bands_col(),
+        )
+        scored = DD.ngram_containment(docs, pairs, "url", "text")
+        # drop the CONTAINED side; a mutual-containment tie (near-
+        # identical docs) keeps the smaller url
+        losers = scored.select(
+            F.when(
+                (F.col("cont_a") >= jaccard_drop)
+                & (
+                    (F.col("cont_b") < jaccard_drop)
+                    | (F.col("id_a") > F.col("id_b"))
+                ),
+                F.col("id_a"),
+            )
+            .when(F.col("cont_b") >= jaccard_drop, F.col("id_b"))
+            .alias("url")
+        ).filter(F.col("url").isNotNull()).distinct()
+        return docs.join(losers, "url", "left_anti")
     if strategy == "simhash":
         sig = DD.simhash(docs, "url", "text")
         pairs = DD.simhash_hamming_pairs(

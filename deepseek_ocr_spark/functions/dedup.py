@@ -135,6 +135,21 @@ def band_hashes_col() -> Column:
     )
 
 
+def single_hash_bands_col() -> Column:
+    """Band keys of size ONE row (each minhash value its own bucket):
+    per-band collision probability is the full resemblance J instead
+    of J^2, so 8 bands propose at 1-(1-J)^8 — the recall-boosted
+    proposal for CONTAINMENT workloads, where A ⊆ B gives
+    J = |A|/|B| (often far below the resemblance bands' threshold but
+    well above zero). Costs more candidate pairs at a given J; the
+    bucket cap still bounds the expansion. A true asymmetric
+    containment-LSH (Shrivastava-Li ALSH / containment MinHash) is
+    the upgrade path if single-hash recall is insufficient."""
+    return F.array(
+        *[F.col(f"h{i}").cast("string") for i in range(N_HASHES)]
+    )
+
+
 def shingle_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, sh) DISTINCT exploded shingles — the dominant intermediate
     of the near-dup family. Compute (and persist) it ONCE when both
@@ -197,6 +212,7 @@ def lsh_candidate_pairs(
     id_col: str,
     max_bucket_size: int | None = LSH_MAX_BUCKET,
     observation=None,
+    bands_col: Column | None = None,
 ) -> DataFrame:
     """Bucket signatures on band hashes → candidate pairs (a < b).
 
@@ -227,7 +243,7 @@ def lsh_candidate_pairs(
     (curate() does). Any surviving bucket, or AQE off, and the metrics
     arrive normally.
     """
-    bands = band_hashes_col()
+    bands = band_hashes_col() if bands_col is None else bands_col
     banded = sig.select(
         F.col(id_col), F.posexplode(bands).alias("band_idx", "band")
     )

@@ -3574,6 +3574,70 @@ SQL_HLL_TOKEN_PROFILE = _hll_token_profile_sql()
 
 
 # --------------------------------------------------------------------
+# tokenizer fertility per language
+# --------------------------------------------------------------------
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility: chars per BPE-ish token and
+    BPE tokens per whitespace word, in 1e-6 fixed point (exact integer
+    division — bit-identical across engines). THE metric for judging
+    how a tokenizer's vocabulary taxes each language (low chars/token
+    = efficient encoding; fertility >> 1 token/word = heavy subword
+    splitting). One scan, one partial-agg shuffle of language-keyed
+    sums."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        F.length("text").cast("bigint").alias("ch"),
+        TS.token_count_bpe(F.col("text")).cast("bigint").alias("bp"),
+        TS.token_count(F.col("text")).cast("bigint").alias("wd"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.sum("ch").alias("chars"),
+        F.sum("bp").alias("bpe_tokens"),
+        F.sum("wd").alias("words"),
+    )
+    div = lambda n, d_: F.when(  # noqa: E731
+        F.col(d_) > 0, F.expr(f"({n} * 1000000) DIV {d_}")
+    ).otherwise(F.lit(0)).cast("bigint")
+    return agg.select(
+        "lang",
+        "chars",
+        "bpe_tokens",
+        "words",
+        div("chars", "bpe_tokens").alias("chars_per_tok_fp"),
+        div("bpe_tokens", "words").alias("toks_per_word_fp"),
+    ).orderBy("lang")
+
+
+SQL_TOKENIZER_FERTILITY = f"""
+WITH per AS (
+  SELECT lang,
+         length(text)::BIGINT AS ch,
+         len(regexp_extract_all(text, '{_BPE_SQL}'))::BIGINT AS bp,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text),
+                                          '[ \\t\\n\\x0B\\f\\r]+'))
+         END::BIGINT AS wd
+  FROM documents
+), agg AS (
+  SELECT lang, sum(ch)::BIGINT AS chars, sum(bp)::BIGINT AS bpe_tokens,
+         sum(wd)::BIGINT AS words
+  FROM per GROUP BY lang
+)
+SELECT lang, chars, bpe_tokens, words,
+       (CASE WHEN bpe_tokens > 0
+             THEN (chars * 1000000) // bpe_tokens ELSE 0 END)::BIGINT
+         AS chars_per_tok_fp,
+       (CASE WHEN words > 0
+             THEN (bpe_tokens * 1000000) // words ELSE 0 END)::BIGINT
+         AS toks_per_word_fp
+FROM agg ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------
 # robots.txt gate (functions/robots.py)
 # --------------------------------------------------------------------
 # Fixture: one synthetic robots.txt per source host exercising every
@@ -4136,6 +4200,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ngram_containment": (q_ngram_containment, SQL_NGRAM_CONTAINMENT),
     "robots_check": (q_robots_check, SQL_ROBOTS_CHECK),
     "hll_token_profile": (q_hll_token_profile, SQL_HLL_TOKEN_PROFILE),
+    "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
     "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
@@ -4185,7 +4250,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     #  and stays, so the brute-force path remains driver-checked.)
     "ivf_topk": (q_ivf_topk, None),
     "ivf_topk_exhaustive": (q_ivf_topk_exhaustive, SQL_ANN_COSINE_TOPK),
-    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_lsh_recall": (q_ann_lsh_recall, SQL_ANN_LSH_RECALL),
     "ivf_recall": (q_ivf_recall, None),
     "emb_norm_by_label": (q_emb_norm_by_label, SQL_EMB_NORM_BY_LABEL),
@@ -4199,6 +4263,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "chunk_dedup_rewrite": (q_chunk_dedup_rewrite, SQL_CHUNK_DEDUP_REWRITE),
     "simhash": (q_simhash, SQL_SIMHASH),

@@ -476,3 +476,39 @@ def test_site_boilerplate_stage(spark):
         # the shared nav line is gone, the unique body survives
         assert "Careers" not in r["text"] and "unique article" in r["text"]
         assert r["n_tokens"] == len(r["text"].split())  # stats recomputed
+
+
+def test_neardup_containment_strategy_drops_contained_doc(spark):
+    quote = " ".join(f"q{i}" for i in range(30))
+    container = (quote + " plus a long original continuation " +
+                 " ".join(f"c{i}" for i in range(120)))
+    other = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [("a", quote), ("b", container), ("c", other)],
+        "url string, text string",
+    )
+    # resemblance misses the pair: Jaccard(quote, container) ~ 28/148
+    plain = {r["url"] for r in neardup_dedup(df, jaccard_drop=0.8).collect()}
+    assert plain == {"a", "b", "c"}
+    # containment catches it and drops the CONTAINED doc, not the container
+    kept = {
+        r["url"]
+        for r in neardup_dedup(
+            df, jaccard_drop=0.8, strategy="containment"
+        ).collect()
+    }
+    assert kept == {"b", "c"}
+
+
+def test_neardup_containment_mutual_keeps_smaller_url(spark):
+    text = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [("a", text), ("b", text)], "url string, text string"
+    )
+    kept = {
+        r["url"]
+        for r in neardup_dedup(
+            df, jaccard_drop=0.9, strategy="containment"
+        ).collect()
+    }
+    assert kept == {"a"}

@@ -407,6 +407,7 @@ def test_registry_window_holds_exactly_fifty_entries():
     for name in (
         "site_boilerplate",
         "hll_token_profile",
+        "tokenizer_fertility",
         "robots_check",
         "badwords_filter",
         "domain_blocklist",
