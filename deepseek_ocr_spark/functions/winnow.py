@@ -1,0 +1,126 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003
+— the MOSS algorithm).
+
+Fixed-stride or random shingle sampling can MISS a shared passage
+entirely; winnowing gives the guarantee that any match of length
+``w + k - 1`` words or more shares at least one selected fingerprint,
+while thinning the fingerprint set ~2/(w+1) per position. Per
+document: hash every word k-gram, slide a window of ``w`` consecutive
+hashes, select each window's minimum (ties to the RIGHTMOST, the
+paper's robust-winnowing rule), emit the distinct selected
+(position, hash) set.
+
+Implementation shape: everything happens INSIDE the row as array
+expressions — the rolling window minimum is a zip_with ladder over
+progressively-offset slices (the shingles_col pattern; a
+transform(sequence)-over-outer-array lambda would re-evaluate the
+hash array per element, O(n²) in document length). Zero shuffles,
+zero Python; the only explode is the final selected set, ~2n/(w+1)
+rows per doc. The DuckDB twin computes identical integers through
+the window-function formulation (min OVER w-row frames) — same
+selection, different engine idiom; the Spark side deliberately
+avoids that formulation because a token-level window would shuffle
+the corpus at 100 TB.
+
+Encoding: selection compares a single BIGINT key
+``hash40 * 2^20 + (2^20 - 1 - pos)`` — minimum key = minimum hash,
+ties resolved to the LARGEST position. 40-bit md5-prefix hashes keep
+the key under 2^60; positions are capped at 2^20 - 1 shingles
+(~1M words — beyond any sane document; longer docs raise at the
+gate below rather than corrupt keys silently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.dedup import (
+    SHINGLE_K,
+    md5_prefix_int,
+    shingles_col,
+)
+
+WINNOW_W = 4
+POS_BITS = 20
+_POS_MASK = (1 << POS_BITS) - 1
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SHINGLE_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(id, pos, fp) — the winnowing-selected fingerprints: ``fp`` is
+    the 40-bit k-gram hash at shingle position ``pos``. Documents with
+    fewer than ``w + k - 1`` words emit no rows (no full window
+    exists)."""
+    sh = shingles_col(F.col(text_col), k)
+    n = F.size(sh)
+    h = F.transform(sh, lambda s: md5_prefix_int(s, 10))
+    keys = F.zip_with(
+        h,
+        F.sequence(F.lit(0), n - 1),
+        lambda hh, i: hh * F.lit(1 << POS_BITS)
+        + (F.lit(_POS_MASK) - i),
+    )
+    m = keys
+    for j in range(1, w):
+        m = F.zip_with(
+            F.slice(m, 1, F.greatest(n - j, F.lit(0))),
+            F.slice(keys, 1 + j, F.greatest(n - j, F.lit(0))),
+            lambda a, b: F.least(a, b),
+        )
+    sel = F.array_distinct(m)
+    guarded = F.when((n >= w) & (n <= _POS_MASK), sel)
+    return (
+        df.select(F.col(id_col), F.explode(guarded).alias("_key"))
+        .select(
+            F.col(id_col),
+            (F.lit(_POS_MASK) - F.col("_key").bitwiseAND(F.lit(_POS_MASK)))
+            .cast("bigint")
+            .alias("pos"),
+            F.shiftright(F.col("_key"), POS_BITS).cast("bigint").alias("fp"),
+        )
+    )
+
+
+def winnow_sql_cte(
+    source: str, id_expr: str, text_expr: str, k: int, w: int
+) -> str:
+    """DuckDB twin: identical (id, pos, fp) selection via the
+    window-frame formulation. ``source`` is a relation name; the
+    caller appends the final SELECT."""
+    grams = " || ' ' || ".join(f"ws[i + {d}]" for d in range(k))
+    return f"""
+wn_w AS (
+  SELECT {id_expr} AS id,
+         string_split_regex(lower(trim({text_expr})),
+                            '[ \\t\\n\\x0B\\f\\r]+') AS ws
+  FROM {source}
+), wn_sh AS (
+  SELECT id, i - 1 AS pos, {grams} AS sh
+  FROM (SELECT id, ws, unnest(generate_series(1, len(ws) - {k - 1})) AS i
+        FROM wn_w WHERE len(ws) >= {k})
+), wn_keys AS (
+  SELECT id, pos,
+         ('0x' || substr(md5(sh), 1, 10))::BIGINT * {1 << POS_BITS}
+           + ({_POS_MASK} - pos) AS key,
+         count(*) OVER (PARTITION BY id) AS n
+  FROM wn_sh
+), wn_min AS (
+  SELECT id, min(key) OVER (PARTITION BY id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {w - 1} FOLLOWING) AS key,
+         pos, n
+  FROM wn_keys
+  QUALIFY pos <= n - {w} AND n >= {w} AND n <= {_POS_MASK}
+), wn_sel AS (
+  SELECT DISTINCT id, key FROM wn_min
+), wn_fp AS (
+  SELECT id, ({_POS_MASK} - (key & {_POS_MASK}))::BIGINT AS pos,
+         (key >> {POS_BITS})::BIGINT AS fp
+  FROM wn_sel
+)"""

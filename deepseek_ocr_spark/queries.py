@@ -3574,6 +3574,44 @@ SQL_HLL_TOKEN_PROFILE = _hll_token_profile_sql()
 
 
 # --------------------------------------------------------------------
+# winnowing fingerprints (functions/winnow.py)
+# --------------------------------------------------------------------
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """MOSS winnowing (Schleimer 2003): per document the selected
+    (position, 40-bit k-gram hash) fingerprint set — window-min with
+    rightmost ties, guaranteeing any >= w+k-1-word shared passage
+    shares a fingerprint. All selection happens inside the row (array
+    zip_with ladder, zero shuffles); the twin computes identical
+    integers via window frames."""
+    from deepseek_ocr_spark.functions import winnow as WN
+
+    d = _t(spark, sf_dir, "documents")
+    return WN.winnow_fingerprints(d, "doc_id", "text").orderBy(
+        "doc_id", "pos"
+    )
+
+
+def _winnow_sql() -> str:
+    from deepseek_ocr_spark.functions import dedup as _DD
+    from deepseek_ocr_spark.functions import winnow as WN
+
+    return (
+        "WITH "
+        + WN.winnow_sql_cte(
+            "documents", "doc_id", "text", _DD.SHINGLE_K, WN.WINNOW_W
+        ).lstrip()
+        + """
+SELECT id AS doc_id, pos, fp FROM wn_fp ORDER BY doc_id, pos
+"""
+    )
+
+
+SQL_WINNOW_FINGERPRINTS = _winnow_sql()
+
+
+# --------------------------------------------------------------------
 # tokenizer fertility per language
 # --------------------------------------------------------------------
 
@@ -4201,6 +4239,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "robots_check": (q_robots_check, SQL_ROBOTS_CHECK),
     "hll_token_profile": (q_hll_token_profile, SQL_HLL_TOKEN_PROFILE),
     "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
@@ -4217,7 +4256,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "range_join_events": (q_range_join_events, SQL_RANGE_JOIN_EVENTS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    "kgram_dup_stats": (q_kgram_dup_stats, SQL_KGRAM_DUP_STATS),
     "kgram_dedup_rewrite": (q_kgram_dedup_rewrite, SQL_KGRAM_DEDUP_REWRITE),
     "domain_rebalance": (q_domain_rebalance, SQL_DOMAIN_REBALANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
@@ -4267,6 +4305,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "chunk_dedup_rewrite": (q_chunk_dedup_rewrite, SQL_CHUNK_DEDUP_REWRITE),
     "simhash": (q_simhash, SQL_SIMHASH),
+    "kgram_dup_stats": (q_kgram_dup_stats, SQL_KGRAM_DUP_STATS),
     "asof_join_left_tol": (q_asof_join_left_tol, SQL_ASOF_JOIN_LEFT_TOL),
     "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
     "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),

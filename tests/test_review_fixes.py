@@ -408,6 +408,7 @@ def test_registry_window_holds_exactly_fifty_entries():
         "site_boilerplate",
         "hll_token_profile",
         "tokenizer_fertility",
+        "winnow_fingerprints",
         "robots_check",
         "badwords_filter",
         "domain_blocklist",

@@ -1,0 +1,60 @@
+"""Winnowing fingerprints (functions/winnow.py) — the paper's
+guarantees as properties: window coverage, shared-passage detection,
+rightmost tie-breaking."""
+
+from deepseek_ocr_spark.functions.winnow import WINNOW_W, winnow_fingerprints
+from deepseek_ocr_spark.functions.dedup import SHINGLE_K
+
+
+def _fps(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = winnow_fingerprints(df, "doc_id", "text")
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["fp"]))
+    return by_doc
+
+
+def test_every_window_is_covered(spark):
+    text = " ".join(f"tok{i * 7 % 23}" for i in range(60))
+    sel = _fps(spark, [(1, text)])[1]
+    positions = sorted(p for p, _ in sel)
+    n_sh = 60 - (SHINGLE_K - 1)
+    # guarantee: each window [j, j+w-1] contains a selected position
+    for j in range(n_sh - WINNOW_W + 1):
+        assert any(j <= p <= j + WINNOW_W - 1 for p in positions), j
+    # density: winnowing thins to far fewer than one per position
+    assert len(positions) < n_sh
+
+
+def test_shared_passage_shares_a_fingerprint(spark):
+    passage = " ".join(f"shared{i}" for i in range(WINNOW_W + SHINGLE_K - 1))
+    a = "alpha opening words before anything else " + passage
+    b = passage + " omega closing words after everything done"
+    fps = _fps(spark, [(1, a), (2, b)])
+    assert {f for _, f in fps[1]} & {f for _, f in fps[2]}
+
+
+def test_disjoint_docs_share_nothing(spark):
+    a = " ".join(f"left{i}" for i in range(30))
+    b = " ".join(f"right{i}" for i in range(30))
+    fps = _fps(spark, [(1, a), (2, b)])
+    assert not {f for _, f in fps[1]} & {f for _, f in fps[2]}
+
+
+def test_rightmost_tie_rule_on_uniform_text(spark):
+    n_words = 12
+    text = " ".join(["same"] * n_words)
+    sel = _fps(spark, [(1, text)])[1]
+    n_sh = n_words - (SHINGLE_K - 1)
+    # all shingles identical -> every window's min ties -> rightmost
+    # of each window is selected: positions {w-1 .. n_sh-1}
+    assert sorted(p for p, _ in sel) == list(range(WINNOW_W - 1, n_sh))
+    assert len({f for _, f in sel}) == 1
+
+
+def test_short_docs_emit_no_rows(spark):
+    too_short = " ".join(["w"] * (WINNOW_W + SHINGLE_K - 2))
+    fps = _fps(spark, [(1, too_short), (2, "tiny"), (3, "")])
+    assert fps == {} or all(not v for v in fps.values())
