@@ -138,3 +138,103 @@ def hash_budget_sample(
         * F.lit(HASH_SCALE).cast("decimal(38,0)")
     )
     return joined.filter(keep)
+
+
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    ntok_col: str,
+    weights: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """(group, t_tokens, target_tokens, k_full, frac_tokens) — the
+    epoch plan that hits a target mixture by REPEATING scarce groups
+    (the up-sampling side of UniMax/DoReMi-style mixing; the water-fill
+    in ``budget_allocations`` only ever down-samples).
+
+    ``weights`` is a (group, weight_fp) frame in 1e-6 units; group g's
+    target is ``budget * weight_fp DIV 1e6`` tokens, capped at
+    ``max_epochs`` passes over what the group actually has (the
+    published guard against cooking a tiny source into memorization).
+    ``k_full`` full epochs plus a ``frac_tokens``-sized partial epoch
+    realize the target: target = k_full·t + frac, frac < t. Groups
+    without a weight row (or with no tokens) plan to zero. All integer
+    arithmetic; the frame is dimension-sized."""
+    tot = df.groupBy(group_col).agg(
+        F.sum(ntok_col).cast("bigint").alias("t_tokens")
+    )
+    planned = (
+        tot.join(F.broadcast(weights), group_col, "left")
+        .withColumn(
+            "target_tokens",
+            F.expr(
+                f"CAST({int(budget)} AS BIGINT) * "
+                "coalesce(weight_fp, 0) DIV 1000000"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "__eff",
+            F.least(
+                F.col("target_tokens"),
+                F.lit(int(max_epochs)).cast("bigint") * F.col("t_tokens"),
+            ),
+        )
+        .withColumn(
+            "k_full",
+            F.when(
+                F.col("t_tokens") > 0, F.expr("__eff DIV t_tokens")
+            ).otherwise(F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "frac_tokens",
+            (F.col("__eff") - F.col("k_full") * F.col("t_tokens"))
+            .cast("bigint"),
+        )
+    )
+    return planned.select(
+        group_col, "t_tokens", "target_tokens", "k_full", "frac_tokens"
+    )
+
+
+def epoch_expand(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    ntok_col: str,
+    weights: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """df rows repeated per the ``mixture_plan``: one output row per
+    (doc, epoch) with ``epoch`` in 0..k_full — full epochs keep every
+    doc, the top fractional epoch keeps a ``frac_tokens``-sized
+    hash-sampled subset (same exact cross-multiplied integer test as
+    ``hash_budget_sample``, salted with the epoch so the partial
+    epoch's subset is independent of every other sampling stage).
+    Expansion factor per row is k_full+1 ≤ max_epochs+1 — a bounded
+    map-side explode over a broadcast plan join; zero extra
+    shuffles."""
+    plan = mixture_plan(df, group_col, ntok_col, weights, budget, max_epochs)
+    from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+
+    joined = df.join(F.broadcast(plan), group_col).filter(
+        (F.col("k_full") > 0) | (F.col("frac_tokens") > 0)
+    )
+    h = md5_prefix_int(
+        F.concat(F.lit("epoch:"), F.col(id_col).cast("string")), 13
+    )
+    expanded = joined.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("k_full"))).alias("epoch")
+    )
+    keep = (F.col("epoch") < F.col("k_full")) | (
+        (F.col("frac_tokens") > 0)
+        & (
+            h.cast("decimal(38,0)") * F.col("t_tokens").cast("decimal(38,0)")
+            < F.col("frac_tokens").cast("decimal(38,0)")
+            * F.lit(HASH_SCALE).cast("decimal(38,0)")
+        )
+    )
+    return expanded.filter(keep).drop(
+        "t_tokens", "target_tokens", "k_full", "frac_tokens"
+    )

@@ -3574,6 +3574,104 @@ SQL_HLL_TOKEN_PROFILE = _hll_token_profile_sql()
 
 
 # --------------------------------------------------------------------
+# epoch mixture planning (functions/sampling.py up-sampling side)
+# --------------------------------------------------------------------
+
+_MIX_WEIGHTS = (("en", 600000), ("de", 250000), ("fr", 150000))
+_MIX_BUDGET = 2_500_000
+_MIX_MAX_EPOCHS = 3
+
+_MIX_W_SQL = ", ".join(f"('{g}', {w})" for g, w in _MIX_WEIGHTS)
+_MIX_PLAN_CTES = f"""
+w(lang, weight_fp) AS (VALUES {_MIX_W_SQL}),
+tot AS (SELECT lang, sum(n_chars)::BIGINT AS t_tokens
+        FROM documents GROUP BY lang),
+p AS (SELECT tot.lang, t_tokens,
+             ({_MIX_BUDGET}::BIGINT * coalesce(w.weight_fp, 0)) // 1000000
+               AS target_tokens
+      FROM tot LEFT JOIN w ON w.lang = tot.lang),
+e AS (SELECT lang, t_tokens, target_tokens,
+             least(target_tokens, {_MIX_MAX_EPOCHS} * t_tokens) AS eff
+      FROM p),
+plan AS (
+  SELECT lang, t_tokens, target_tokens,
+         (CASE WHEN t_tokens > 0 THEN eff // t_tokens
+               ELSE 0 END)::BIGINT AS k_full,
+         (eff - (CASE WHEN t_tokens > 0 THEN eff // t_tokens ELSE 0 END)
+                * t_tokens)::BIGINT AS frac_tokens
+  FROM e
+)"""
+
+
+def _mix_weights_df(spark):
+    return spark.createDataFrame(
+        list(_MIX_WEIGHTS), "lang string, weight_fp bigint"
+    )
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Epoch mixture plan (sampling.mixture_plan): per-language target
+    = budget x weight, capped at max_epochs passes over the available
+    tokens; realized as k_full full epochs + a frac_tokens partial
+    epoch. The up-sampling twin of the UniMax water-fill — all integer
+    arithmetic on a dimension-sized frame."""
+    from deepseek_ocr_spark.functions import sampling as SMP
+
+    d = _t(spark, sf_dir, "documents")
+    return SMP.mixture_plan(
+        d, "lang", "n_chars", _mix_weights_df(spark),
+        _MIX_BUDGET, _MIX_MAX_EPOCHS,
+    ).orderBy("lang")
+
+
+SQL_MIXTURE_PLAN = (
+    "WITH " + _MIX_PLAN_CTES + """
+SELECT lang, t_tokens, target_tokens, k_full, frac_tokens
+FROM plan ORDER BY lang
+"""
+)
+
+
+def q_epoch_mixture(spark, sf_dir):
+    """Epoch-expanded corpus (sampling.epoch_expand): one row per
+    (doc, epoch) realizing the mixture plan — full epochs keep every
+    doc, the top partial epoch keeps an exact hash-sampled
+    frac_tokens-sized subset (epoch-salted hash, independent of other
+    sampling stages). Bounded map-side explode over a broadcast plan;
+    zero extra shuffles."""
+    from deepseek_ocr_spark.functions import sampling as SMP
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = SMP.epoch_expand(
+        d, "lang", "doc_id", "n_chars", _mix_weights_df(spark),
+        _MIX_BUDGET, _MIX_MAX_EPOCHS,
+    )
+    return out.select("doc_id", "lang", "epoch").orderBy("doc_id", "epoch")
+
+
+SQL_EPOCH_MIXTURE = (
+    "WITH " + _MIX_PLAN_CTES + """,
+j AS (
+  SELECT d.doc_id, d.lang, p.t_tokens, p.k_full, p.frac_tokens
+  FROM documents d JOIN plan p ON p.lang = d.lang
+  WHERE p.k_full > 0 OR p.frac_tokens > 0
+), x AS (
+  SELECT doc_id, lang, t_tokens, k_full, frac_tokens,
+         unnest(generate_series(0, k_full)) AS epoch
+  FROM j
+)
+SELECT doc_id, lang, epoch FROM x
+WHERE epoch < k_full
+   OR (frac_tokens > 0
+       AND ('0x' || substr(md5('epoch:' || doc_id::VARCHAR), 1, 13))
+             ::BIGINT::HUGEINT * t_tokens
+           < frac_tokens::HUGEINT * 4503599627370496)
+ORDER BY doc_id, epoch
+"""
+)
+
+
+# --------------------------------------------------------------------
 # winnowing fingerprints (functions/winnow.py)
 # --------------------------------------------------------------------
 
@@ -4240,6 +4338,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hll_token_profile": (q_hll_token_profile, SQL_HLL_TOKEN_PROFILE),
     "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
+    "mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
+    "epoch_mixture": (q_epoch_mixture, SQL_EPOCH_MIXTURE),
     "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
@@ -4278,16 +4378,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     #  room for the round-4 queries; ngram_jaccard + the *_pairs
     #  confirms stay, exercising the full explode→LSH→confirm path.)
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "simhash_neardup_pairs": (
-        q_simhash_neardup_pairs,
-        SQL_SIMHASH_NEARDUP_PAIRS,
-    ),
     # --- ANN / embedding family --------------------------------------
     # (ann_cosine_topk demoted below the cut: driver-verified green in
     #  r1-r3 and unchanged; ivf_topk_exhaustive shares its SQL twin
     #  and stays, so the brute-force path remains driver-checked.)
     "ivf_topk": (q_ivf_topk, None),
-    "ivf_topk_exhaustive": (q_ivf_topk_exhaustive, SQL_ANN_COSINE_TOPK),
     "ann_lsh_recall": (q_ann_lsh_recall, SQL_ANN_LSH_RECALL),
     "ivf_recall": (q_ivf_recall, None),
     "emb_norm_by_label": (q_emb_norm_by_label, SQL_EMB_NORM_BY_LABEL),
@@ -4306,6 +4401,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chunk_dedup_rewrite": (q_chunk_dedup_rewrite, SQL_CHUNK_DEDUP_REWRITE),
     "simhash": (q_simhash, SQL_SIMHASH),
     "kgram_dup_stats": (q_kgram_dup_stats, SQL_KGRAM_DUP_STATS),
+    "simhash_neardup_pairs": (
+        q_simhash_neardup_pairs,
+        SQL_SIMHASH_NEARDUP_PAIRS,
+    ),
+    "ivf_topk_exhaustive": (q_ivf_topk_exhaustive, SQL_ANN_COSINE_TOPK),
     "asof_join_left_tol": (q_asof_join_left_tol, SQL_ASOF_JOIN_LEFT_TOL),
     "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
     "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),

@@ -409,6 +409,8 @@ def test_registry_window_holds_exactly_fifty_entries():
         "hll_token_profile",
         "tokenizer_fertility",
         "winnow_fingerprints",
+        "mixture_plan",
+        "epoch_mixture",
         "robots_check",
         "badwords_filter",
         "domain_blocklist",

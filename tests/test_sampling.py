@@ -291,3 +291,73 @@ def test_bloom_no_false_negatives_and_some_false_positives(spark):
         "url",
     ).filter(F.col("maybe_seen")).count()
     assert again == fp
+
+
+# -- epoch mixture (up-sampling side) ---------------------------------
+
+def _mix_docs(spark):
+    rows = [("en", i, 100) for i in range(10)]          # 1000 tokens
+    rows += [("de", 100 + i, 100) for i in range(2)]    # 200 tokens
+    rows += [("und", 200, 50)]                          # no weight row
+    return spark.createDataFrame(rows, "lang string, doc_id int, n int")
+
+
+def _mix_weights(spark):
+    return spark.createDataFrame(
+        [("en", 500000), ("de", 400000), ("xx", 100000)],
+        "lang string, weight_fp bigint",
+    )
+
+
+def test_mixture_plan_exact_arithmetic(spark):
+    from deepseek_ocr_spark.functions.sampling import mixture_plan
+
+    plan = {
+        r["lang"]: (r["t_tokens"], r["target_tokens"], r["k_full"],
+                    r["frac_tokens"])
+        for r in mixture_plan(
+            _mix_docs(spark), "lang", "n", _mix_weights(spark),
+            budget=3000, max_epochs=3,
+        ).collect()
+    }
+    # en: target 1500 of 1000 available -> 1 full epoch + 500 partial
+    assert plan["en"] == (1000, 1500, 1, 500)
+    # de: target 1200 capped at 3 x 200 = 600 -> 3 full epochs exactly
+    assert plan["de"] == (200, 1200, 3, 0)
+    # und has no weight row -> target 0
+    assert plan["und"] == (50, 0, 0, 0)
+
+
+def test_epoch_expand_counts_and_subset(spark):
+    from deepseek_ocr_spark.functions.sampling import epoch_expand
+
+    out = epoch_expand(
+        _mix_docs(spark), "lang", "doc_id", "n", _mix_weights(spark),
+        budget=3000, max_epochs=3,
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append((r["doc_id"], r["epoch"]))
+    # de: 3 full epochs, every doc in each
+    de = by_lang["de"]
+    assert sorted(de) == sorted(
+        (d, e) for d in (100, 101) for e in (0, 1, 2)
+    )
+    # en: epoch 0 complete; epoch 1 a strict hash-sampled subset
+    en0 = {d for d, e in by_lang["en"] if e == 0}
+    en1 = {d for d, e in by_lang["en"] if e == 1}
+    assert en0 == set(range(10))
+    assert en1 < en0 and max(e for _, e in by_lang["en"]) == 1
+    # und never appears
+    assert "und" not in by_lang
+
+
+def test_epoch_expand_partitioning_independent(spark):
+    from deepseek_ocr_spark.functions.sampling import epoch_expand
+
+    docs = _mix_docs(spark)
+    a = epoch_expand(docs, "lang", "doc_id", "n", _mix_weights(spark),
+                     budget=3000, max_epochs=3)
+    b = epoch_expand(docs.repartition(7), "lang", "doc_id", "n",
+                     _mix_weights(spark), budget=3000, max_epochs=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
