@@ -48,6 +48,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             "host-graph",
             "train-quality-model",
             "train-lm",
+            "mixture",
         ),
         default="extract",
         help="extract: pages -> extracted table; curate: pages -> "
@@ -129,6 +130,29 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "documents are REBUILT from the lowercased whitespace-"
         "tokenized word stream, so shipped text is case-folded and "
         "punctuation-spacing-normalized",
+    )
+    p.add_argument(
+        "--mix-weights",
+        default=None,
+        help="mixture mode: parquet path of (group, weight_fp) target "
+        "shares in 1e-6 units",
+    )
+    p.add_argument(
+        "--mix-group",
+        default="lang",
+        help="mixture mode: grouping column of the curated corpus",
+    )
+    p.add_argument(
+        "--mix-budget",
+        type=int,
+        default=1_000_000,
+        help="mixture mode: total token budget the targets apportion",
+    )
+    p.add_argument(
+        "--mix-max-epochs",
+        type=int,
+        default=4,
+        help="mixture mode: cap on full passes over any one group",
     )
     p.add_argument(
         "--badwords",
@@ -354,6 +378,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         model.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"mode": "train-quality-model", "buckets": n}))
+    elif args.mode == "mixture":
+        from deepseek_ocr_spark.functions import sampling as SMP
+
+        if not args.mix_weights:
+            print("--mix-weights is required", file=sys.stderr)
+            if own_session:
+                spark.stop()
+            return 2
+        docs = spark.read.parquet(args.input)
+        weights = spark.read.parquet(args.mix_weights)
+        group = args.mix_group
+        out = SMP.epoch_expand(
+            docs, group, "url" if "url" in docs.columns else "doc_id",
+            "n_tokens", weights, args.mix_budget, args.mix_max_epochs,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        expanded = spark.read.parquet(args.output)
+        print(json.dumps({
+            "mode": "mixture",
+            "rows": expanded.count(),
+            "epochs_max": expanded.agg(
+                {"epoch": "max"}
+            ).first()[0],
+        }))
     elif args.mode == "train-lm":
         from deepseek_ocr_spark.functions import lm as LM
 

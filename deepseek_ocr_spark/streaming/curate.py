@@ -72,6 +72,9 @@ def curate_stream(docs: DataFrame, eval_df: DataFrame | None = None,
         TS.quality_score(F.col("text")).alias("quality"),
         # dup_ngram_fraction already rounds to 4 decimals
         TS.dup_ngram_fraction(F.col("text")).alias("dup3_frac"),
+        # C4 bad-words signal (batch parity: curate.badwords_gate
+        # keeps n_badwords == 0) — stateless projection like the rest
+        TS.badword_stats(F.col("text"))[1].alias("n_badwords"),
     ]
     base = docs
     if eval_df is not None:

@@ -305,3 +305,32 @@ def test_cli_curate_gates_flags(spark, pages_path, tmp_path, capsys):
     assert "after_badwords" in summary and "after_blocklist" in summary
     assert summary["after_blocklist"] <= summary["after_badwords"]
     assert summary["curated"] >= 0
+
+
+def test_cli_mixture_mode(spark, tmp_path, capsys):
+    """--mode mixture expands a curated corpus to the target epoch
+    plan and reports row counts."""
+    corpus = str(tmp_path / "curated.parquet")
+    spark.createDataFrame(
+        [(f"u{i}", "en", 100) for i in range(10)]
+        + [(f"d{i}", "de", 100) for i in range(2)],
+        "url string, lang string, n_tokens long",
+    ).write.parquet(corpus)
+    weights = str(tmp_path / "weights.parquet")
+    spark.createDataFrame(
+        [("en", 500000), ("de", 400000)], "lang string, weight_fp long"
+    ).write.parquet(weights)
+    out = str(tmp_path / "mixture_out")
+    rc = main(
+        ["--mode", "mixture", "--input", corpus, "--output", out,
+         "--mix-weights", weights, "--mix-budget", "3000",
+         "--mix-max-epochs", "3"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # en: 1 full epoch (10 docs) + partial; de: 3 full epochs (6 rows)
+    assert summary["mode"] == "mixture"
+    assert summary["rows"] > 16 and summary["epochs_max"] == 2
+    got = spark.read.parquet(out)
+    assert {"url", "lang", "epoch"} <= set(got.columns)

@@ -547,3 +547,16 @@ def test_corpus_band_table_build_cap_observed(spark, tmp_path):
         assert m["max_bucket_seen"] == 40
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_curate_stream_badwords_signal_matches_batch_gate(spark):
+    from deepseek_ocr_spark.streaming.curate import curate_stream
+
+    docs = spark.createDataFrame(
+        [(1, "ordinary prose here", "en", "s", 19),
+         (2, "win the JACKPOT! now", "en", "s", 20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r["n_badwords"] for r in curate_stream(docs).collect()}
+    # batch parity: curate.badwords_gate keeps n_badwords == 0
+    assert rows == {1: 0, 2: 1}
