@@ -118,15 +118,13 @@ def neardup_dedup(
             bands_col=DD.single_hash_bands_col(),
         )
         scored = DD.ngram_containment(docs, pairs, "url", "text")
-        # drop the CONTAINED side; a mutual-containment tie (near-
-        # identical docs) keeps the smaller url
+        # drop the CONTAINED side. Pairs arrive ordered id_a < id_b
+        # (the lsh_candidate_pairs contract), so on MUTUAL containment
+        # (near-identical docs) dropping id_b keeps the smaller url.
         losers = scored.select(
             F.when(
                 (F.col("cont_a") >= jaccard_drop)
-                & (
-                    (F.col("cont_b") < jaccard_drop)
-                    | (F.col("id_a") > F.col("id_b"))
-                ),
+                & (F.col("cont_b") < jaccard_drop),
                 F.col("id_a"),
             )
             .when(F.col("cont_b") >= jaccard_drop, F.col("id_b"))
@@ -204,24 +202,6 @@ def badwords_gate(
     textstats.badword_stats). A pure scan predicate — run it early,
     before any content hashing touches the text."""
     return docs.filter(TS.badword_stats(F.col("text"), badwords)[1] == 0)
-
-
-def blocklist_gate(docs: DataFrame, blocklist: DataFrame) -> DataFrame:
-    """Domain-suffix blocklist gate (urls.blocklist_mark): drop docs
-    whose url host — or any dot-suffix of it — appears in the
-    blocklist's ``domain`` column. URL-only predicate (broadcast
-    probe), so it runs before anything reads the text."""
-    from deepseek_ocr_spark.functions.urls import blocklist_mark, domain_col
-
-    marked = blocklist_mark(
-        docs.withColumn("_host", domain_col(F.col("url"))),
-        "url",
-        "_host",
-        blocklist,
-    )
-    return marked.filter(~F.col("is_blocked")).drop(
-        "_host", "blocked_suffix", "is_blocked"
-    )
 
 
 def boilerplate_rewrite(docs: DataFrame) -> DataFrame:
@@ -506,7 +486,12 @@ def curate(
     canon = url_canonical_dedup(kept)
     exact = exact_dedup(canon)
     if site_boilerplate:
-        exact = boilerplate_rewrite(exact)
+        # persist the rewrite's input: site_boilerplate_rewrite scans
+        # its line explode four times (occurrence agg, page counts,
+        # kept lines, totals) plus the join-back — unpersisted, each
+        # consumer would replay the url-canonical and fingerprint
+        # window shuffles (same release discipline as `docs` above)
+        exact = boilerplate_rewrite(exact.persist())
     lsh_obs = Observation("lsh_bucket_cap")
     near = neardup_dedup(exact, observation=lsh_obs)
     if observe:

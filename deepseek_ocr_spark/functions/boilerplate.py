@@ -29,6 +29,11 @@ line-hash agg and the final per-doc agg.
 Determinism: line identity is the exact string (no normalization —
 WYSIWYG template matching); thresholds compare in integer arithmetic
 (n_docs * 1e6 >= min_frac_fp * n_pages); reassembly order is (pos).
+Blank (whitespace-only) lines are never boilerplate CANDIDATES: the
+empty line is the paragraph separator on virtually every extracted
+page, and letting it qualify would strip paragraph structure
+host-wide. They still count toward page totals and always survive
+the rewrite.
 """
 
 from __future__ import annotations
@@ -63,10 +68,21 @@ def site_boilerplate_lines(
     line-hashes on >= min_pages AND >= min_frac of the host's pages.
     Bounded by the number of distinct templated lines per host."""
     with_h = lines.select(
-        "host", F.col(id_col), md5_prefix_int(F.col("line"), 15).alias("lh")
+        "host",
+        F.col(id_col),
+        F.col("line"),
+        md5_prefix_int(F.col("line"), 15).alias("lh"),
     )
+    # Page counts come from ALL lines; the boilerplate CANDIDATE set
+    # only from non-blank ones. Without the guard, the empty line —
+    # present on virtually every extracted page as the paragraph
+    # separator — trivially clears both thresholds on any 2+-page
+    # host and the "template removal" strips all paragraph structure.
+    # Blank lines are document STRUCTURE, not site template.
     occ = (
-        with_h.distinct()
+        with_h.filter(F.trim(F.col("line")) != "")
+        .select("host", id_col, "lh")
+        .distinct()
         .groupBy("host", "lh")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )

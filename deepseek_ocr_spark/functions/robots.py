@@ -20,9 +20,11 @@ evaluate (per url)
 Deliberate subset, documented: only ``User-agent: *`` groups are
 honored (a production crawler would first select the most-specific
 agent group — same machinery, one extra ranking); the ``*`` and ``$``
-wildcards inside rule paths are NOT interpreted (they appear in <2%
-of rules and would need per-rule regex compilation; a rule containing
-them is dropped with the parse, never silently prefix-matched).
+wildcards inside rule paths are NOT interpreted — instead the parse
+fails CLOSED: a Disallow containing a metacharacter is truncated to
+its literal prefix (a broader deny — ``Disallow: /private*`` still
+denies ``/private…``), and an Allow containing one is dropped
+(truncation would broaden the allow, the unsafe direction).
 
 Scale shape: robots bodies are a per-host DIMENSION (one row per
 host, rules-per-host bounded by file size caps — RFC says parse at
@@ -78,19 +80,30 @@ def robots_rules(robots: DataFrame, host_col: str, txt_col: str) -> DataFrame:
         .select("host", "grp")
         .distinct()
     )
+    # Wildcard handling fails CLOSED: a Disallow containing * or $ is
+    # truncated to its literal prefix before the first metacharacter
+    # (a broader deny than the rule — conservative for a politeness
+    # gate; 'Disallow: /private*' still denies /private...), while an
+    # Allow containing metacharacters is DROPPED (truncating would
+    # broaden the allow — the unsafe direction). The earlier behavior
+    # (drop both) silently flipped wildcard denies into allows.
+    is_allow = F.col("key") == "allow"
+    literal = F.regexp_replace(F.col("val"), r"[*$].*", "")
+    rule = F.when(is_allow, F.col("val")).otherwise(literal)
+    keep_rule = F.when(
+        is_allow,
+        ~F.col("val").contains("*") & ~F.col("val").contains("$"),
+    ).otherwise(literal != "")
     return (
         grouped.filter(
-            (~is_ua)
-            & (F.col("grp") > 0)
-            & (F.col("val") != "")
-            & ~F.col("val").contains("*")
-            & ~F.col("val").contains("$")
+            (~is_ua) & (F.col("grp") > 0) & (F.col("val") != "")
         )
+        .filter(keep_rule)
         .join(star_groups, ["host", "grp"], "semi")
         .select(
             "host",
-            F.col("val").alias("rule"),
-            (F.col("key") == "allow").alias("is_allow"),
+            rule.alias("rule"),
+            is_allow.alias("is_allow"),
         )
         .distinct()
     )

@@ -25,9 +25,13 @@ the corpus at 100 TB.
 Encoding: selection compares a single BIGINT key
 ``hash40 * 2^20 + (2^20 - 1 - pos)`` — minimum key = minimum hash,
 ties resolved to the LARGEST position. 40-bit md5-prefix hashes keep
-the key under 2^60; positions are capped at 2^20 - 1 shingles
-(~1M words — beyond any sane document; longer docs raise at the
-gate below rather than corrupt keys silently).
+the key under 2^60; positions are capped at 2^20 - 1 shingles.
+A doc beyond the cap (~1M words, ~6 MB of text — the extraction
+pipeline's size gate rejects payloads far smaller) emits ZERO
+fingerprint rows rather than corrupted keys: the guard is the same
+emit-nothing contract as the under-w short-doc case, and callers
+that must be loud about it can pre-filter on token count (the cap is
+a plain column predicate, ``token_count(text) >= 2^20 + k - 1``).
 """
 
 from __future__ import annotations

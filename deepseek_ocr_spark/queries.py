@@ -3309,7 +3309,8 @@ WITH p AS (
   FROM lines
 ), occ AS (
   SELECT host, lh, count(*)::BIGINT AS n_docs
-  FROM (SELECT DISTINCT host, doc_id, lh FROM lh) GROUP BY host, lh
+  FROM (SELECT DISTINCT host, doc_id, lh FROM lh
+        WHERE trim(line) <> '') GROUP BY host, lh
 ), pages AS (
   SELECT host, count(*)::BIGINT AS n_pages
   FROM (SELECT DISTINCT host, doc_id FROM lh) GROUP BY host
@@ -3735,7 +3736,7 @@ def q_tokenizer_fertility(spark, sf_dir):
         F.sum("wd").alias("words"),
     )
     div = lambda n, d_: F.when(  # noqa: E731
-        F.col(d_) > 0, F.expr(f"({n} * 1000000) DIV {d_}")
+        F.col(d_) > 0, F.expr(_fp_div6(n, d_, "DIV"))
     ).otherwise(F.lit(0)).cast("bigint")
     return agg.select(
         "lang",
@@ -3745,6 +3746,20 @@ def q_tokenizer_fertility(spark, sf_dir):
         div("chars", "bpe_tokens").alias("chars_per_tok_fp"),
         div("bpe_tokens", "words").alias("toks_per_word_fp"),
     ).orderBy("lang")
+
+
+def _fp_div6(n: str, d: str, idiv: str) -> str:
+    """floor(n * 1e6 / d) WITHOUT the n*1e6 intermediate: split the
+    scale into 1e3 x 1e3 stages so every intermediate stays under
+    d * 1000 — overflow-safe to d ~ 9e15 (a naive chars*1_000_000
+    wraps int64 past ~9 TB of text per group, silently in Spark's
+    non-ANSI mode and as an error in DuckDB). ``idiv`` is 'DIV'
+    (Spark) or '//' (DuckDB); operands must be non-negative (both
+    engines then floor identically)."""
+    q0, r0 = f"({n} {idiv} {d})", f"({n} % {d})"
+    q1 = f"(({r0} * 1000) {idiv} {d})"
+    r1 = f"(({r0} * 1000) % {d})"
+    return f"({q0} * 1000000 + {q1} * 1000 + ({r1} * 1000) {idiv} {d})"
 
 
 SQL_TOKENIZER_FERTILITY = f"""
@@ -3764,11 +3779,11 @@ WITH per AS (
 )
 SELECT lang, chars, bpe_tokens, words,
        (CASE WHEN bpe_tokens > 0
-             THEN (chars * 1000000) // bpe_tokens ELSE 0 END)::BIGINT
-         AS chars_per_tok_fp,
+             THEN {_fp_div6("chars", "bpe_tokens", "//")}
+             ELSE 0 END)::BIGINT AS chars_per_tok_fp,
        (CASE WHEN words > 0
-             THEN (bpe_tokens * 1000000) // words ELSE 0 END)::BIGINT
-         AS toks_per_word_fp
+             THEN {_fp_div6("bpe_tokens", "words", "//")}
+             ELSE 0 END)::BIGINT AS toks_per_word_fp
 FROM agg ORDER BY lang
 """
 
@@ -3877,10 +3892,15 @@ rb AS (
   SELECT DISTINCT host, grp FROM g
   WHERE key = 'user-agent' AND val = '*'
 ), rules AS (
-  SELECT DISTINCT g.host, g.val AS rule, g.key = 'allow' AS is_allow
+  SELECT DISTINCT g.host,
+         CASE WHEN g.key = 'allow' THEN g.val
+              ELSE regexp_replace(g.val, '[*$].*', '') END AS rule,
+         g.key = 'allow' AS is_allow
   FROM g JOIN sg ON sg.host = g.host AND sg.grp = g.grp
   WHERE g.key IN ('allow', 'disallow') AND g.grp > 0 AND g.val <> ''
-    AND g.val NOT LIKE '%*%' AND g.val NOT LIKE '%$%'
+    AND (CASE WHEN g.key = 'allow'
+              THEN g.val NOT LIKE '%*%' AND g.val NOT LIKE '%$%'
+              ELSE regexp_replace(g.val, '[*$].*', '') <> '' END)
 ), u AS (
   SELECT doc_id, source AS host,
          '/p/' || (doc_id % 20)::VARCHAR || '/page' AS path

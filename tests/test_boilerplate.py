@@ -118,3 +118,33 @@ def test_boilerplate_set_bounded_and_partitioning_independent(spark):
     assert sorted(map(tuple, one.collect())) == sorted(
         map(tuple, other.collect())
     )
+
+
+def test_blank_lines_never_boilerplate(spark):
+    # the empty line is the paragraph separator on virtually every
+    # extracted page — it must survive even though it appears on 100%
+    # of the host's pages (confirmed regression: pre-guard, all
+    # paragraph structure was stripped host-wide)
+    docs = _docs(
+        spark,
+        [
+            ("h", 1, "para one alpha\n\npara two bravo"),
+            ("h", 2, "para three charlie\n\npara four delta"),
+        ],
+    )
+    got = _rewrite(docs)
+    assert got[1] == ("para one alpha\n\npara two bravo", 3, 0)
+    assert got[2][0].count("\n\n") == 1
+
+
+def test_whitespace_only_lines_protected_but_template_still_dropped(spark):
+    docs = _docs(
+        spark,
+        [
+            ("h", 1, "nav bar\n  \nbody one"),
+            ("h", 2, "nav bar\n  \nbody two"),
+        ],
+    )
+    got = _rewrite(docs)
+    # 'nav bar' (on 2/2 pages) dropped; the whitespace-only line kept
+    assert got[1] == ("  \nbody one", 3, 1)

@@ -27,10 +27,15 @@ def _rules(spark, txt=ROBOTS, host="h"):
 
 def test_parse_star_group_only(spark):
     got = {(r["rule"], r["is_allow"]) for r in _rules(spark).collect()}
-    # orphan rule, badbot group, wildcard rule, empty Disallow and
-    # Crawl-delay are all excluded; the consecutive-UA run counts as
-    # one group containing '*'.
-    assert got == {("/private", False), ("/private/ok", True)}
+    # orphan rule, badbot group, empty Disallow and Crawl-delay are
+    # all excluded; the consecutive-UA run counts as one group
+    # containing '*'; the wildcard Disallow fails CLOSED (truncated
+    # to its literal prefix).
+    assert got == {
+        ("/private", False),
+        ("/private/ok", True),
+        ("/tmp/", False),
+    }
 
 
 def test_parse_case_and_whitespace(spark):
@@ -95,3 +100,17 @@ def test_partitioning_independent(spark):
         urls.repartition(7, F.col("doc_id")), rules, "doc_id", "host", "path"
     )
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
+
+
+def test_wildcard_disallow_fails_closed(spark):
+    txt = ("User-agent: *\nDisallow: /private*\nAllow: /pub*lic\n"
+           "Disallow: /exact$\nDisallow: *")
+    rules = {(r["rule"], r["is_allow"]) for r in _rules(spark, txt).collect()}
+    # wildcard Disallows truncate to their literal prefix (broader
+    # deny); wildcard Allows are dropped (truncation would broaden);
+    # a bare '*' truncates to '' and is dropped
+    assert rules == {("/private", False), ("/exact", False)}
+    got = _check(spark, ["/private/x", "/exactly", "/public/y"], txt)
+    assert got["/private/x"] == (False, "/private")
+    assert got["/exactly"] == (False, "/exact")
+    assert got["/public/y"] == (True, None)
