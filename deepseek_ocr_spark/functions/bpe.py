@@ -78,3 +78,103 @@ def top_merge_candidates(
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
     )
+
+
+BPE_ROUNDS = 3
+
+
+def _fold_case(l_ref: str, r_ref: str) -> str:
+    """The merge-application fold body, shared verbatim (modulo the
+    pair references) between Spark's ``aggregate`` and DuckDB's
+    ``list_reduce``: left-fold the token array into a space-joined
+    string, merging ``x`` into the previous token whenever the
+    previous token equals the winning left symbol and ``x`` the right
+    — exactly leftmost-non-overlapping merge application (a token
+    produced by a merge this round never re-merges, because it no
+    longer EQUALS the left symbol). Space-joining is safe: tokens
+    descend from whitespace-split words, so none contains a space."""
+    return (
+        "CASE WHEN acc = '' THEN x "
+        f"WHEN (acc = {l_ref} OR (length(acc) > length({l_ref}) "
+        f"AND substr(acc, length(acc) - length({l_ref}), "
+        f"length({l_ref}) + 1) = (' ' || {l_ref}))) AND x = {r_ref} "
+        f"THEN substr(acc, 1, length(acc) - length({l_ref})) "
+        f"|| {l_ref} || {r_ref} "
+        "ELSE acc || ' ' || x END"
+    )
+
+
+def bpe_train(
+    df: DataFrame, id_col: str, text_col: str, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """(merge_round, lhs, rhs, n) — the first ``rounds`` BPE merges
+    learned from the corpus (Sennrich 2016), fully distributed and
+    deterministic: per round, count adjacent token pairs weighted by
+    word frequency, take the (count DESC, lhs, rhs) argmax, apply it
+    corpus-wide, repeat. The iterative operator itself — not just the
+    one-round statistics of ``char_pair_counts``.
+
+    Scale shape per round: pair counting is one explode over the
+    DISTINCT-WORD frame (vocabulary-sized, not corpus-sized — the
+    standard BPE trick; word counts weight the pairs), the argmax is
+    a 1-row TakeOrderedAndProject, and merge application is a
+    broadcast of that single row + a per-row fold (zero shuffles).
+    ``rounds`` is a plan-unroll constant like the k-means iterations;
+    production tokenizers run thousands of rounds with a driver loop
+    feeding winners back — same per-round DAG.
+
+    Words shorter than 2 chars can never contribute a pair in any
+    round (merges only shorten token arrays), so they are dropped at
+    the start rather than folded ``rounds`` times."""
+    words = (
+        df.select(F.explode(words_col(F.col(text_col))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("wn"))
+    )
+    toks = words.select("wn", F.split("w", "").alias("t"))
+    merges = None
+    for rnd in range(1, rounds + 1):
+        n = F.size("t")
+        pairs = toks.select(
+            "wn",
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.greatest(n - 1, F.lit(0))),
+                    F.slice("t", 2, F.greatest(n - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+                )
+            ).alias("p"),
+        )
+        counts = pairs.groupBy("p.lhs", "p.rhs").agg(
+            F.sum("wn").cast("bigint").alias("n")
+        )
+        best = (
+            counts.orderBy(F.desc("n"), "lhs", "rhs")
+            .limit(1)
+            .select(
+                F.lit(rnd).cast("bigint").alias("merge_round"),
+                "lhs",
+                "rhs",
+                "n",
+            )
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        if rnd < rounds:
+            folded = F.expr(
+                "aggregate(t, '', (acc, x) -> "
+                + _fold_case("__l", "__r")
+                + ")"
+            )
+            toks = (
+                toks.crossJoin(
+                    F.broadcast(
+                        best.select(
+                            F.col("lhs").alias("__l"),
+                            F.col("rhs").alias("__r"),
+                        )
+                    )
+                )
+                .select("wn", F.split(folded, " ").alias("t"))
+            )
+    return merges.orderBy("merge_round")

@@ -4262,6 +4262,62 @@ FROM c ORDER BY n DESC, pair LIMIT 20
 """
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE training, 3 unrolled merge rounds
+    (functions/bpe.py bpe_train): per round count adjacent token
+    pairs over the vocabulary frame (word-frequency weighted), take
+    the deterministic argmax, apply it corpus-wide with the shared
+    fold, repeat. The iterative tokenizer-training DAG itself."""
+    from deepseek_ocr_spark.functions import bpe as BP
+
+    d = _t(spark, sf_dir, "documents")
+    return BP.bpe_train(d, "doc_id", "text")
+
+
+def _bpe_train_sql() -> str:
+    from deepseek_ocr_spark.functions import bpe as BP
+
+    fold = (
+        "list_reduce(list_prepend('', t), (acc, x) -> "
+        + BP._fold_case("b.lhs", "b.rhs")
+        + ")"
+    )
+    parts = [
+        """
+WITH w0 AS (
+  SELECT w, count(*)::BIGINT AS wn FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)),
+                                     '[ \\t\\n\\x0B\\f\\r]+')) AS w
+    FROM documents)
+  WHERE length(w) >= 2 GROUP BY w
+), t_1 AS (SELECT wn, string_split(w, '') AS t FROM w0)"""
+    ]
+    for r in range(1, BP.BPE_ROUNDS + 1):
+        parts.append(
+            f""",
+x_{r} AS (SELECT wn, t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM t_{r}),
+p_{r} AS (SELECT t[i] AS lhs, t[i + 1] AS rhs, sum(wn)::BIGINT AS n
+          FROM x_{r} GROUP BY 1, 2),
+b_{r} AS (SELECT {r}::BIGINT AS merge_round, lhs, rhs, n FROM p_{r}
+          ORDER BY n DESC, lhs, rhs LIMIT 1)"""
+        )
+        if r < BP.BPE_ROUNDS:
+            parts.append(
+                f""",
+t_{r + 1} AS (SELECT wn, string_split({fold}, ' ') AS t
+              FROM t_{r}, b_{r} b)"""
+            )
+    union = "\nUNION ALL ".join(
+        f"SELECT * FROM b_{r}" for r in range(1, BP.BPE_ROUNDS + 1)
+    )
+    parts.append(f"\n{union}\nORDER BY merge_round")
+    return "".join(parts)
+
+
+SQL_BPE_TRAIN = _bpe_train_sql()
+
+
 # --------------------------------------------------------------------
 # near-dup-safe dataset split (packing.cluster_safe_split)
 # --------------------------------------------------------------------
@@ -4343,7 +4399,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # --- round-4 queries ---------------------------------------------
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
-    "bpe_merge_pairs": (q_bpe_merge_pairs, SQL_BPE_MERGE_PAIRS),
     "html_tables": (q_html_tables, SQL_HTML_TABLES),
     "bloom_seen_urls": (q_bloom_seen_urls, SQL_BLOOM_SEEN_URLS),
     "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
@@ -4360,6 +4415,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
     "epoch_mixture": (q_epoch_mixture, SQL_EPOCH_MIXTURE),
+    "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
     "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
@@ -4426,6 +4482,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_SIMHASH_NEARDUP_PAIRS,
     ),
     "ivf_topk_exhaustive": (q_ivf_topk_exhaustive, SQL_ANN_COSINE_TOPK),
+    # bpe_merge_pairs: demoted without a prior driver row — its
+    # pair-counting core is exactly bpe_train's round-1 stage, which
+    # sits in-window; the all-entries local gate still checks it.
+    "bpe_merge_pairs": (q_bpe_merge_pairs, SQL_BPE_MERGE_PAIRS),
     "asof_join_left_tol": (q_asof_join_left_tol, SQL_ASOF_JOIN_LEFT_TOL),
     "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
     "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),

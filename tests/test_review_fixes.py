@@ -411,6 +411,7 @@ def test_registry_window_holds_exactly_fifty_entries():
         "winnow_fingerprints",
         "mixture_plan",
         "epoch_mixture",
+        "bpe_train",
         "robots_check",
         "badwords_filter",
         "domain_blocklist",

@@ -361,3 +361,35 @@ def test_epoch_expand_partitioning_independent(spark):
     b = epoch_expand(docs.repartition(7), "lang", "doc_id", "n",
                      _mix_weights(spark), budget=3000, max_epochs=3)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# -- full BPE training loop ------------------------------------------
+
+def test_bpe_train_crafted_merges(spark):
+    """Hand-computed 3-round trace: word freqs weight pair counts,
+    ties break (count DESC, lhs, rhs), merges apply leftmost-non-
+    overlapping, and round-2 counts see round-1's merged tokens."""
+    from deepseek_ocr_spark.functions.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aab")], "doc_id int, text string"
+    )
+    got = [
+        (r["merge_round"], r["lhs"], r["rhs"], r["n"])
+        for r in bpe_train(docs, "doc_id", "text").collect()
+    ]
+    # r1: (a,a) 2*2+1=5 beats (a,b) 3; apply: aaab->[aa,a,b], aab->[aa,b]
+    # r2: (aa,a)=2 ties (a,b)=2 -> lhs 'a' < 'aa' wins; apply: [aa,ab]
+    # r3: (aa,ab)=2 beats (aa,b)=1
+    assert got == [(1, "a", "a", 5), (2, "a", "b", 2), (3, "aa", "ab", 2)]
+
+
+def test_bpe_train_partitioning_independent(spark):
+    from deepseek_ocr_spark.functions.bpe import bpe_train
+
+    rows = [(i, "the quick brown fox " * 3 + f"tail{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    a = bpe_train(docs, "doc_id", "text").collect()
+    b = bpe_train(docs.repartition(7), "doc_id", "text").collect()
+    assert list(map(tuple, a)) == list(map(tuple, b))
+    assert len(a) == 3 and all(r["n"] > 0 for r in a)
