@@ -535,3 +535,58 @@ def pagerank(
             )
         )
     return rank
+
+
+LP_ROUNDS = 3
+
+
+def label_propagation(
+    edges: DataFrame, src_col: str, dst_col: str, rounds: int = LP_ROUNDS
+) -> DataFrame:
+    """(node, label) — synchronous label propagation communities
+    (Raghavan 2007) after ``rounds`` unrolled updates: labels start as
+    the node's own id; each round every node adopts the most frequent
+    label among its (symmetrized) neighbors, ties to the smallest
+    label. Mirror-site / link-farm clusters collapse onto one label.
+
+    Determinism: the update is a pure function of the previous
+    labeling (count DESC, label ASC argmax via one struct min), so a
+    fixed round count is bit-identical across engines and
+    partitionings — synchronous LPA can oscillate on bipartite
+    structures, and a FIXED horizon turns that from nondeterminism
+    into a documented property (the async variant would be
+    order-dependent, unverifiable). Per round: one label join onto
+    the edge list + two node-keyed aggs — O(V + E) state, same
+    per-round shape as pagerank; no component ever materializes as a
+    pair set."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(rounds):
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        counted = nbr.groupBy("node", "label").agg(
+            F.count("*").cast("bigint").alias("n")
+        )
+        labels = (
+            counted.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n")).alias("neg_n"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.label").alias("label"))
+        )
+    return labels

@@ -2633,6 +2633,49 @@ FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
 )
 
 
+def q_host_communities(spark, sf_dir):
+    """Label-propagation communities over the host link graph
+    (functions/graph.py label_propagation): 3 unrolled synchronous
+    updates, ties to the smallest label — mirror/link-farm clusters
+    collapse onto one label. Same O(V+E)-per-round shape as
+    pagerank."""
+    from deepseek_ocr_spark.functions import graph as GR
+
+    return GR.label_propagation(
+        _host_edges(spark, sf_dir), "src", "dst"
+    ).orderBy("node")
+
+
+def _host_communities_sql() -> str:
+    from deepseek_ocr_spark.functions import graph as GR
+
+    parts = [
+        "WITH "
+        + _HOST_EDGES_SQL
+        + """,
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+l_0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)"""
+    ]
+    for k in range(1, GR.LP_ROUNDS + 1):
+        parts.append(
+            f""",
+nb_{k} AS (SELECT s.dst AS node, l.label
+           FROM sym s JOIN l_{k - 1} l ON l.node = s.src),
+c_{k} AS (SELECT node, label, count(*)::BIGINT AS n
+          FROM nb_{k} GROUP BY node, label),
+l_{k} AS (SELECT node, label FROM c_{k}
+          QUALIFY row_number() OVER (PARTITION BY node
+                                     ORDER BY n DESC, label) = 1)"""
+        )
+    parts.append(
+        f"\nSELECT node, label FROM l_{GR.LP_ROUNDS} ORDER BY node"
+    )
+    return "".join(parts)
+
+
+SQL_HOST_COMMUNITIES = _host_communities_sql()
+
+
 def q_host_pagerank(spark, sf_dir):
     """Fixed-point integer PageRank (functions/graph.py), 5 unrolled
     damped updates with dangling-mass redistribution — bit-identical
@@ -3334,6 +3377,101 @@ SELECT t.doc_id, t.host, coalesce(r.clean_text, '') AS clean_text,
        (t.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_dropped
 FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
 ORDER BY t.doc_id
+"""
+
+
+def q_site_template_ratio(spark, sf_dir):
+    """Per-host template saturation (functions/boilerplate.py): what
+    fraction of a host's line INSTANCES are site-template lines —
+    parked domains / auto-generated mirrors score near 1.0 and the
+    whole host can be gated before any per-doc work. Same synthetic
+    host fixture as site_boilerplate."""
+    from deepseek_ocr_spark.functions import boilerplate as BO
+
+    d = _t(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    mtext = F.concat(
+        F.substring(F.col("text"), 1, 50),
+        nl,
+        F.lit("Home | About | Contact"),
+        nl,
+        F.lit("(c) "),
+        F.col("source"),
+        F.lit(" all rights reserved"),
+        nl,
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("SALE today only\n")
+        ).otherwise(F.lit("")),
+        F.substring(F.col("text"), 51, 40),
+    )
+    pages = d.select("doc_id", "source", mtext.alias("text"))
+    lines = BO.doc_lines(pages, "source", "doc_id", "text")
+    bp = BO.site_boilerplate_lines(lines, "doc_id")
+    from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+
+    tagged = lines.withColumn("lh", md5_prefix_int(F.col("line"), 15))
+    flagged = tagged.join(
+        bp.withColumn("__bp", F.lit(1)), ["host", "lh"], "left"
+    )
+    return (
+        flagged.groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_line_instances"),
+            F.sum(F.coalesce("__bp", F.lit(0)))
+            .cast("bigint")
+            .alias("n_template_instances"),
+        )
+        .withColumn(
+            "template_ratio_fp",
+            F.expr(
+                "(n_template_instances * 1000000) DIV n_line_instances"
+            ).cast("bigint"),
+        )
+        .orderBy("host")
+    )
+
+
+SQL_SITE_TEMPLATE_RATIO = """
+WITH p AS (
+  SELECT doc_id, source AS host,
+         substr(text, 1, 50) || chr(10) || 'Home | About | Contact'
+         || chr(10) || '(c) ' || source || ' all rights reserved'
+         || chr(10)
+         || CASE WHEN doc_id % 5 = 0
+              THEN 'SALE today only' || chr(10) ELSE '' END
+         || substr(text, 51, 40) AS text
+  FROM documents
+), ls AS (
+  SELECT host, doc_id, string_split(text, chr(10)) AS l FROM p
+), lines AS (
+  SELECT host, doc_id, e.idx AS pos, e.v AS line FROM (
+    SELECT host, doc_id,
+           unnest(list_transform(range(1, len(l) + 1),
+             i -> struct_pack(idx := (i - 1)::BIGINT, v := l[i]))) AS e
+    FROM ls)
+), lh AS (
+  SELECT host, doc_id, pos, line,
+         ('0x' || substr(md5(line), 1, 15))::BIGINT AS lh
+  FROM lines
+), occ AS (
+  SELECT host, lh, count(*)::BIGINT AS n_docs
+  FROM (SELECT DISTINCT host, doc_id, lh FROM lh
+        WHERE trim(line) <> '') GROUP BY host, lh
+), pages AS (
+  SELECT host, count(*)::BIGINT AS n_pages
+  FROM (SELECT DISTINCT host, doc_id FROM lh) GROUP BY host
+), bp AS (
+  SELECT host, lh FROM occ JOIN pages USING (host)
+  WHERE n_docs >= 2 AND n_docs * 1000000 >= 500000 * n_pages
+)
+SELECT l.host,
+       count(*)::BIGINT AS n_line_instances,
+       sum(CASE WHEN b.lh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_template_instances,
+       ((sum(CASE WHEN b.lh IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+        // count(*))::BIGINT AS template_ratio_fp
+FROM lh l LEFT JOIN bp b ON b.host = l.host AND b.lh = l.lh
+GROUP BY l.host ORDER BY l.host
 """
 
 
@@ -4416,6 +4554,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
     "epoch_mixture": (q_epoch_mixture, SQL_EPOCH_MIXTURE),
     "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
+    "host_communities": (q_host_communities, SQL_HOST_COMMUNITIES),
     "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
@@ -4436,7 +4575,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "domain_rebalance": (q_domain_rebalance, SQL_DOMAIN_REBALANCE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
-    "host_graph_degrees": (q_host_graph_degrees, SQL_HOST_GRAPH_DEGREES),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     "host_harmonic": (q_host_harmonic, SQL_HOST_HARMONIC),
     "incremental_lsh_pairs": (
@@ -4468,6 +4606,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # (Exactly 50 entries sit above this banner — tests/test_review_
     # fixes.py pins the count so the policy can't silently drift.)
     # ------------------------------------------------------------------
+    # site_template_ratio: a composition over the site_boilerplate
+    # machinery whose core query IS in-window — below-cut by design.
+    "site_template_ratio": (q_site_template_ratio, SQL_SITE_TEMPLATE_RATIO),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
@@ -4486,6 +4627,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # pair-counting core is exactly bpe_train's round-1 stage, which
     # sits in-window; the all-entries local gate still checks it.
     "bpe_merge_pairs": (q_bpe_merge_pairs, SQL_BPE_MERGE_PAIRS),
+    "host_graph_degrees": (q_host_graph_degrees, SQL_HOST_GRAPH_DEGREES),
     "asof_join_left_tol": (q_asof_join_left_tol, SQL_ASOF_JOIN_LEFT_TOL),
     "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
     "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),

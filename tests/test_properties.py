@@ -267,3 +267,26 @@ def test_lang_segments_partitioning_independent(spark):
                      r["start_line"], r["end_line"], r["n_lines"])
     assert sorted(map(key, TS.lang_segments(df1).collect())) == \
            sorted(map(key, TS.lang_segments(df7).collect()))
+
+
+def test_label_propagation_two_triangles_with_bridge(spark):
+    """Hand-traced 3-round synchronous LPA on two triangles joined by
+    one bridge edge: each triangle collapses onto one label and the
+    bridge does not merge them."""
+    from deepseek_ocr_spark.functions import graph as GR
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("d", "e"), ("e", "f"), ("d", "f"),
+         ("c", "d")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["label"]
+           for r in GR.label_propagation(edges, "src", "dst").collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "d": "c", "e": "c", "f": "c"}
+    # partitioning independence
+    got2 = {r["node"]: r["label"]
+            for r in GR.label_propagation(
+                edges.repartition(5), "src", "dst").collect()}
+    assert got2 == got

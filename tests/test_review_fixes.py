@@ -412,6 +412,7 @@ def test_registry_window_holds_exactly_fifty_entries():
         "mixture_plan",
         "epoch_mixture",
         "bpe_train",
+        "host_communities",
         "robots_check",
         "badwords_filter",
         "domain_blocklist",
