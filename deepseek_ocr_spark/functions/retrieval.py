@@ -219,3 +219,58 @@ def tfidf_topk_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def inverted_postings(
+    df: DataFrame, id_col: str, text_col: str, min_df: int = 1
+) -> DataFrame:
+    """(term, df_count, postings) — the inverted index as a table:
+    per term its document frequency and a gap-encoded postings string
+    "gap:tf,gap:tf,..." where gaps are deltas between ascending doc
+    ids (the standard index compression layout — gaps are small and
+    delta-encode well; the first entry carries the absolute id).
+
+    Scale shape: one token explode + ONE term-keyed shuffle (the
+    window sort and the groupBy share the term partitioning, so
+    Spark plans a single Exchange); postings assemble per term with
+    the array_sort(collect_list) pattern — no global sort. At index
+    scale you'd additionally shard the output BY TERM RANGE (writer
+    partitioning), which is a write option, not a plan change.
+    ``min_df`` drops hapax terms (df < min_df) AFTER counting —
+    typically 50%+ of the vocabulary in web text."""
+    from pyspark.sql.window import Window
+
+    from deepseek_ocr_spark.functions.dedup import words_col
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(words_col(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy("doc")
+    gapped = tf.withColumn(
+        "gap", F.col("doc") - F.coalesce(F.lag("doc").over(w), F.lit(0))
+    ).withColumn(
+        "entry",
+        F.concat_ws(":", F.col("gap").cast("string"), F.col("tf").cast("string")),
+    )
+    return (
+        gapped.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("df_count"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc", "entry"))
+                    ),
+                    lambda s: s["entry"],
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df_count") >= min_df)
+    )

@@ -141,3 +141,25 @@ def blocklist_mark(docs, id_col: str, host_col: str, blocklist):
     return docs.join(hits, id_col, "left").withColumn(
         "is_blocked", F.col("blocked_suffix").isNotNull()
     )
+
+
+def frontier_schedule(
+    frontier, host_col: str, url_col: str, score_col: str
+):
+    """frontier + ``wave``: politeness scheduling for a fetch
+    frontier — within each host, URLs rank by (score DESC, url) and
+    the rank IS the wave number: wave w contains at most ONE url per
+    host, so fetching wave-by-wave never hits a host twice in a pass
+    regardless of how skewed the frontier is (the mega-host simply
+    spans more waves). Consumers order by (wave, score) per executor
+    batch; a GLOBAL total order would be a single-partition sort and
+    is deliberately not produced. One host-keyed window — the same
+    shuffle any per-host politeness decision needs."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(score_col).desc(), F.col(url_col)
+    )
+    return frontier.withColumn(
+        "wave", F.row_number().over(w).cast("bigint")
+    )

@@ -3658,6 +3658,78 @@ ORDER BY vec_id
 SQL_PROTOTYPE_PRUNE = _prototype_prune_sql()
 
 
+def q_inverted_postings(spark, sf_dir):
+    """Inverted index build (functions/retrieval.py
+    inverted_postings): term -> document frequency + gap-encoded
+    "gap:tf" postings string, min_df=2. One token explode + one
+    term-keyed shuffle; the offline index artifact behind BM25-style
+    serving."""
+    from deepseek_ocr_spark.functions import retrieval as RT
+
+    d = _t(spark, sf_dir, "documents")
+    return RT.inverted_postings(d, "doc_id", "text", min_df=2).orderBy(
+        "term"
+    )
+
+
+SQL_INVERTED_POSTINGS = """
+WITH toks AS (
+  SELECT doc_id AS doc,
+         unnest(string_split_regex(lower(trim(text)),
+                                   '[ \\t\\n\\x0B\\f\\r]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, doc, count(*)::BIGINT AS tf
+  FROM toks WHERE term <> '' GROUP BY term, doc
+), g AS (
+  SELECT term, doc, tf,
+         doc - coalesce(lag(doc) OVER (PARTITION BY term ORDER BY doc), 0)
+           AS gap
+  FROM tf
+)
+SELECT term, count(*)::BIGINT AS df_count,
+       string_agg(gap::VARCHAR || ':' || tf::VARCHAR, ','
+                  ORDER BY doc) AS postings
+FROM g GROUP BY term HAVING count(*) >= 2 ORDER BY term
+"""
+
+
+def q_frontier_schedule(spark, sf_dir):
+    """Politeness-scheduled fetch frontier (functions/urls.py
+    frontier_schedule): within-host rank by (score DESC, url) = wave
+    number, so each wave touches a host at most once. Frontier
+    synthesized from the documents table (score = n_chars)."""
+    from deepseek_ocr_spark.functions import urls as U
+
+    d = _t(spark, sf_dir, "documents")
+    frontier = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("source").alias("host"),
+        F.col("n_chars").cast("bigint").alias("score"),
+    )
+    return U.frontier_schedule(frontier, "host", "url", "score").orderBy(
+        "host", "wave"
+    )
+
+
+SQL_FRONTIER_SCHEDULE = """
+WITH f AS (
+  SELECT 'https://' || source || '/' || doc_id::VARCHAR AS url,
+         source AS host, n_chars::BIGINT AS score
+  FROM documents
+)
+SELECT url, host, score,
+       row_number() OVER (PARTITION BY host
+                          ORDER BY score DESC, url)::BIGINT AS wave
+FROM f ORDER BY host, wave
+"""
+
+
 # --------------------------------------------------------------------
 # grouped HLL cardinality profile (functions/sketches.py)
 # --------------------------------------------------------------------
@@ -4555,8 +4627,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "epoch_mixture": (q_epoch_mixture, SQL_EPOCH_MIXTURE),
     "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
     "host_communities": (q_host_communities, SQL_HOST_COMMUNITIES),
-    "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
-    "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
+    "inverted_postings": (q_inverted_postings, SQL_INVERTED_POSTINGS),
+    "frontier_schedule": (q_frontier_schedule, SQL_FRONTIER_SCHEDULE),
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
@@ -4628,6 +4700,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # sits in-window; the all-entries local gate still checks it.
     "bpe_merge_pairs": (q_bpe_merge_pairs, SQL_BPE_MERGE_PAIRS),
     "host_graph_degrees": (q_host_graph_degrees, SQL_HOST_GRAPH_DEGREES),
+    "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
+    "html_metadata": (q_html_metadata, SQL_HTML_METADATA),
     "asof_join_left_tol": (q_asof_join_left_tol, SQL_ASOF_JOIN_LEFT_TOL),
     "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
     "domain_profile": (q_domain_profile, SQL_DOMAIN_PROFILE),

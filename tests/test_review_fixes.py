@@ -413,6 +413,8 @@ def test_registry_window_holds_exactly_fifty_entries():
         "epoch_mixture",
         "bpe_train",
         "host_communities",
+        "inverted_postings",
+        "frontier_schedule",
         "robots_check",
         "badwords_filter",
         "domain_blocklist",

@@ -393,3 +393,59 @@ def test_bpe_train_partitioning_independent(spark):
     b = bpe_train(docs.repartition(7), "doc_id", "text").collect()
     assert list(map(tuple, a)) == list(map(tuple, b))
     assert len(a) == 3 and all(r["n"] > 0 for r in a)
+
+
+# -- inverted index + frontier scheduling -----------------------------
+
+def test_inverted_postings_gap_encoding(spark):
+    from deepseek_ocr_spark.functions.retrieval import inverted_postings
+
+    docs = spark.createDataFrame(
+        [(3, "apple banana apple"), (7, "apple cherry"), (9, "banana")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["term"]: (r["df_count"], r["postings"])
+        for r in inverted_postings(docs, "doc_id", "text").collect()
+    }
+    # gaps: first absolute, then deltas between ascending doc ids
+    assert got["apple"] == (2, "3:2,4:1")
+    assert got["banana"] == (2, "3:1,6:1")
+    assert got["cherry"] == (1, "7:1")
+
+
+def test_inverted_postings_min_df_and_partitioning(spark):
+    from deepseek_ocr_spark.functions.retrieval import inverted_postings
+
+    docs = spark.createDataFrame(
+        [(i, f"common word{i % 3} unique{i}") for i in range(12)],
+        "doc_id int, text string",
+    )
+    out = inverted_postings(docs, "doc_id", "text", min_df=2)
+    terms = {r["term"] for r in out.collect()}
+    assert "common" in terms and not any(t.startswith("unique") for t in terms)
+    out2 = inverted_postings(
+        docs.repartition(5), "doc_id", "text", min_df=2
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_frontier_schedule_one_url_per_host_per_wave(spark):
+    from deepseek_ocr_spark.functions.urls import frontier_schedule
+
+    rows = [(f"u{h}{i}", f"h{h}", 100 - i) for h in range(3) for i in range(h + 2)]
+    f = spark.createDataFrame(rows, "url string, host string, score int")
+    out = frontier_schedule(f, "host", "url", "score").collect()
+    seen = set()
+    for r in out:
+        key = (r["host"], r["wave"])
+        assert key not in seen  # politeness: one url per host per wave
+        seen.add(key)
+    # within a host, higher score fetches in an earlier wave
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append((r["wave"], r["score"]))
+    for entries in by_host.values():
+        entries.sort()
+        scores = [s for _, s in entries]
+        assert scores == sorted(scores, reverse=True)
