@@ -3443,16 +3443,11 @@ WITH p AS (
   FROM documents
 ), ls AS (
   SELECT host, doc_id, string_split(text, chr(10)) AS l FROM p
-), lines AS (
-  SELECT host, doc_id, e.idx AS pos, e.v AS line FROM (
-    SELECT host, doc_id,
-           unnest(list_transform(range(1, len(l) + 1),
-             i -> struct_pack(idx := (i - 1)::BIGINT, v := l[i]))) AS e
-    FROM ls)
 ), lh AS (
-  SELECT host, doc_id, pos, line,
+  -- position is irrelevant here (no reassembly): plain unnest
+  SELECT host, doc_id, line,
          ('0x' || substr(md5(line), 1, 15))::BIGINT AS lh
-  FROM lines
+  FROM (SELECT host, doc_id, unnest(l) AS line FROM ls)
 ), occ AS (
   SELECT host, lh, count(*)::BIGINT AS n_docs
   FROM (SELECT DISTINCT host, doc_id, lh FROM lh
@@ -4673,13 +4668,24 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ivf_recall": (q_ivf_recall, None),
     "emb_norm_by_label": (q_emb_norm_by_label, SQL_EMB_NORM_BY_LABEL),
     # ------------------------------------------------------------------
-    # BELOW THE DRIVER'S 50-SLOT CUT: stable shapes driver-verified in
-    # rounds 1-3 and UNCHANGED since, re-verified locally every round.
+    # BELOW THE DRIVER'S 50-SLOT CUT — two classes, both re-verified
+    # locally by the all-entries gate (scripts/check_oracle.py) every
+    # round:
+    #   (a) stable shapes driver-verified in rounds 1-3 and UNCHANGED
+    #       since (the bulk of this section);
+    #   (b) four round-4 queries the 50-slot budget could not hold
+    #       once every flagship was pinned: site_template_ratio,
+    #       bpe_merge_pairs, anchor_texts, html_metadata. Each is the
+    #       LESSER sibling of an in-window query exercising the same
+    #       machinery — boilerplate line-hash aggs (site_boilerplate),
+    #       BPE pair counting (bpe_train round 1), the host-graph
+    #       outlink regex (host_communities/pagerank), and the
+    #       html_tables projection family. Driver evidence for them is
+    #       deliberately traded for windowing the flagships; they ride
+    #       local hash-verification only.
     # (Exactly 50 entries sit above this banner — tests/test_review_
     # fixes.py pins the count so the policy can't silently drift.)
     # ------------------------------------------------------------------
-    # site_template_ratio: a composition over the site_boilerplate
-    # machinery whose core query IS in-window — below-cut by design.
     "site_template_ratio": (q_site_template_ratio, SQL_SITE_TEMPLATE_RATIO),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),

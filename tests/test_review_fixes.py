@@ -387,9 +387,11 @@ def test_budget_disables_after_too_many_written_off_threads():
 
 def test_registry_window_holds_exactly_fifty_entries():
     """The driver's correctness gate checks the FIRST 50 registry
-    entries; the ordering-policy comment promises the round-4 queries
-    and the whole ANN/embedding family sit inside that window. Pin the
-    banner position so an insertion can't silently push entries out."""
+    entries; the ordering policy windows every flagship (the pinned
+    names below) while four deliberately-demoted round-4 composition
+    queries ride local-only evidence (see the below-cut banner). Pin
+    the banner position so an insertion can't silently push pinned
+    entries out."""
     import inspect
     import re
 
