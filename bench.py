@@ -125,6 +125,13 @@ HEADLINE = [
     "site_boilerplate",
     "robots_check",
     "corpus_rollup",
+    # round 4, final wave
+    "winnow_fingerprints",
+    "epoch_mixture",
+    "bpe_train",
+    "host_communities",
+    "inverted_postings",
+    "hll_token_profile",
 ]
 
 
