@@ -590,3 +590,94 @@ def label_propagation(
             .select("node", F.col("m.label").alias("label"))
         )
     return labels
+
+
+HITS_ITERS = 3
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iters: int = HITS_ITERS,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """(node, auth, hub) after ``iters`` fixed-point HITS updates
+    (Kleinberg 1999) — the hub/authority split PageRank flattens:
+    directories and aggregator hosts (link OUT to good content) score
+    as hubs, canonical content hosts (linked TO by good hubs) as
+    authorities. At crawl scale hub scores seed frontier expansion
+    (crawl good hubs' outlinks first) while authority scores feed the
+    quality prior, so the pair is worth having next to ``pagerank``.
+
+    Determinism: scores live in ``scale`` fixed point as BIGINTs.
+    The textbook L2 normalization cannot be oracle-verified (sqrt +
+    float sums drift), so each half-step normalizes by the MAX
+    (L-infinity) instead: ``x' = raw * scale DIV max(raw)`` with the
+    multiply carried in DECIMAL(38,0)/HUGEINT (raw can reach
+    V * scale; the widened multiply never overflows, and both engines
+    floor identically — verified expression-for-expression by the
+    unrolled DuckDB twin). L-inf-normalized HITS converges to the
+    same principal eigenvectors as L2 up to a constant factor, and
+    rankings — the consumed signal — are unaffected.
+
+    Update per iteration (auth half-step, then hub half-step):
+        auth_raw(v) = sum of hub(u) over edges u -> v
+        auth(v)     = auth_raw(v) * scale DIV max_v(auth_raw)
+        hub_raw(u)  = sum of auth(v) over edges u -> v
+        hub(u)      = hub_raw(u) * scale DIV max_u(hub_raw)
+    Nodes with no in-edges hold auth 0; no out-edges, hub 0.
+
+    Scale shape: per iteration, two hash joins of the score frame onto
+    the edge list + two node-keyed partial-agg sums (same O(V + E)
+    state and host-keyed shuffles as ``pagerank``), plus two 1-row max
+    scalars broadcast back. No pair set ever materializes.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.withColumn("hub", F.lit(scale).cast("bigint"))
+    auth = nodes.withColumn("auth", F.lit(scale).cast("bigint"))
+    norm = (
+        f"CAST(CAST(raw AS DECIMAL(38,0)) * {scale} DIV "
+        "greatest(mx, CAST(1 AS BIGINT)) AS BIGINT)"
+    )
+    for _ in range(iters):
+        araw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("raw"))
+        )
+        amx = araw.agg(F.coalesce(F.max("raw"), F.lit(0)).alias("mx"))
+        auth = (
+            nodes.join(araw, "node", "left")
+            .crossJoin(F.broadcast(amx))
+            .select(
+                "node",
+                F.coalesce(F.expr(norm), F.lit(0).cast("bigint")).alias(
+                    "auth"
+                ),
+            )
+        )
+        hraw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("raw"))
+        )
+        hmx = hraw.agg(F.coalesce(F.max("raw"), F.lit(0)).alias("mx"))
+        hub = (
+            nodes.join(hraw, "node", "left")
+            .crossJoin(F.broadcast(hmx))
+            .select(
+                "node",
+                F.coalesce(F.expr(norm), F.lit(0).cast("bigint")).alias(
+                    "hub"
+                ),
+            )
+        )
+    return auth.join(hub, "node").select("node", "auth", "hub")

@@ -2720,6 +2720,57 @@ r{k} AS (SELECT n.node,
 SQL_HOST_PAGERANK = _pagerank_sql()
 
 
+def q_host_hits(spark, sf_dir):
+    """Fixed-point HITS hubs/authorities over the host link graph
+    (functions/graph.py hits): 3 unrolled auth/hub half-steps,
+    L-infinity normalization via widened integer multiply + DIV so
+    every score is bit-identical across engines. Hub scores seed
+    frontier expansion; authority scores feed the quality prior."""
+    from deepseek_ocr_spark.functions import graph as GR
+
+    return GR.hits(_host_edges(spark, sf_dir), "src", "dst")
+
+
+def _hits_sql() -> str:
+    from deepseek_ocr_spark.functions import graph as GR
+
+    s, iters = GR.PR_SCALE, GR.HITS_ITERS
+    parts = [
+        "WITH "
+        + _HOST_EDGES_SQL
+        + f""",
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h_0 AS (SELECT node, {s}::BIGINT AS hub FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+ar_{k} AS (SELECT e.dst AS node, sum(h.hub)::BIGINT AS raw
+           FROM e JOIN h_{k - 1} h ON h.node = e.src GROUP BY e.dst),
+am_{k} AS (SELECT coalesce(max(raw), 0)::BIGINT AS mx FROM ar_{k}),
+a_{k} AS (SELECT n.node,
+                 coalesce((r.raw::HUGEINT * {s}
+                           // greatest(m.mx, 1))::BIGINT, 0) AS auth
+          FROM nodes n LEFT JOIN ar_{k} r ON r.node = n.node, am_{k} m),
+hr_{k} AS (SELECT e.src AS node, sum(a.auth)::BIGINT AS raw
+           FROM e JOIN a_{k} a ON a.node = e.dst GROUP BY e.src),
+hm_{k} AS (SELECT coalesce(max(raw), 0)::BIGINT AS mx FROM hr_{k}),
+h_{k} AS (SELECT n.node,
+                 coalesce((r.raw::HUGEINT * {s}
+                           // greatest(m.mx, 1))::BIGINT, 0) AS hub
+          FROM nodes n LEFT JOIN hr_{k} r ON r.node = n.node, hm_{k} m)"""
+        )
+    parts.append(
+        f"""
+SELECT a.node, a.auth, h.hub
+FROM a_{iters} a JOIN h_{iters} h ON h.node = a.node"""
+    )
+    return "".join(parts)
+
+
+SQL_HOST_HITS = _hits_sql()
+
+
 def q_host_harmonic(spark, sf_dir):
     """Truncated (K=3) in-harmonic centrality — CC's published host
     ranking signal — exact level-synchronous BFS over distinct (u, v)
@@ -4602,6 +4653,7 @@ FROM h ORDER BY doc_id
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
+    "host_hits": (q_host_hits, SQL_HOST_HITS),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
     "html_tables": (q_html_tables, SQL_HTML_TABLES),
@@ -4666,7 +4718,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ivf_topk": (q_ivf_topk, None),
     "ann_lsh_recall": (q_ann_lsh_recall, SQL_ANN_LSH_RECALL),
     "ivf_recall": (q_ivf_recall, None),
-    "emb_norm_by_label": (q_emb_norm_by_label, SQL_EMB_NORM_BY_LABEL),
     # ------------------------------------------------------------------
     # BELOW THE DRIVER'S 50-SLOT CUT — two classes, both re-verified
     # locally by the all-entries gate (scripts/check_oracle.py) every
@@ -4675,7 +4726,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     #       since (the bulk of this section);
     #   (b) four round-4 queries the 50-slot budget could not hold
     #       once every flagship was pinned: site_template_ratio,
-    #       bpe_merge_pairs, anchor_texts, html_metadata. Each is the
+    #       bpe_merge_pairs, anchor_texts, html_metadata — plus
+    #       emb_norm_by_label, demoted when host_hits entered the
+    #       window (driver-green r1-r3, unchanged; kmeans_assign /
+    #       semdedup_keep / prototype_prune keep the embedding
+    #       fixed-point machinery driver-checked). Each is the
     #       LESSER sibling of an in-window query exercising the same
     #       machinery — boilerplate line-hash aggs (site_boilerplate),
     #       BPE pair counting (bpe_train round 1), the host-graph
@@ -4687,6 +4742,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # fixes.py pins the count so the policy can't silently drift.)
     # ------------------------------------------------------------------
     "site_template_ratio": (q_site_template_ratio, SQL_SITE_TEMPLATE_RATIO),
+    "emb_norm_by_label": (q_emb_norm_by_label, SQL_EMB_NORM_BY_LABEL),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),

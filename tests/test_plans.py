@@ -369,3 +369,14 @@ def test_robots_rules_side_never_reshuffles_urls(spark):
     plan = plan_of(REGISTRY["robots_check"][0](spark, SF))
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_host_hits_plan_is_join_clean(spark):
+    """Three unrolled HITS iterations (two joins + two aggs each) must
+    stay hash/broadcast joins; the only nested loops allowed are the
+    1-row L-inf max scalars broadcast back onto the node frame."""
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["host_hits"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan.replace("BroadcastNestedLoopJoin", "")

@@ -436,6 +436,6 @@ def test_registry_window_holds_exactly_fifty_entries():
         "host_harmonic",
         "ann_lsh_recall",
         "ivf_recall",
-        "emb_norm_by_label",
+        "host_hits",
     ):
         assert name in in_window, f"{name} fell below the driver cut"

@@ -527,3 +527,28 @@ def test_anchor_texts(spark):
            .orderBy("dst", "rank").collect()]
     assert got == [("t.example", "click here", 3, 1),
                    ("t.example", "aaa", 1, 2)]
+
+
+def test_hits_bipartite_hubs_and_authorities(spark):
+    """Hand-shaped hub/authority split: two hubs pointing at shared
+    authorities — the better hub (one extra outlink to a lesser
+    authority) tops the hub score, the shared authorities tie at the
+    L-inf ceiling, pure hubs score 0 authority and pure authorities
+    0 hub. Deterministic across partitionings."""
+    from deepseek_ocr_spark.functions import graph as GR
+
+    edges = [("h1", "x"), ("h1", "y"), ("h1", "z"),
+             ("h2", "x"), ("h2", "y")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: (r["auth"], r["hub"])
+           for r in GR.hits(df, "src", "dst").collect()}
+    S = GR.PR_SCALE
+    assert set(got) == {"h1", "h2", "x", "y", "z"}
+    assert got["x"] == got["y"] == (S, 0)      # shared authorities tie
+    assert 0 < got["z"][0] < S                 # lesser authority
+    assert got["h1"][1] == S                   # best hub at ceiling
+    assert 0 < got["h2"][1] < S                # second hub below it
+    assert got["h1"][0] == got["h2"][0] == 0   # hubs have no in-links
+    again = {r["node"]: (r["auth"], r["hub"])
+             for r in GR.hits(df.repartition(7), "src", "dst").collect()}
+    assert again == got
