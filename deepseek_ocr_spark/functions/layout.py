@@ -1,0 +1,90 @@
+"""Z-order (Morton) interleave keys for multi-dimensional data layout.
+
+At 100 TB the cheapest query is the one that never reads the file:
+sorting output files by a SINGLE column gives min/max file-skipping on
+that column only, while bit-interleaving two dimensions into one
+Morton key before a range-partitioned write gives useful min/max
+bounds on BOTH (the standard Iceberg/Delta OPTIMIZE ZORDER layout
+recipe — each file covers a small axis-aligned tile of the 2-D space,
+so a predicate on either dimension prunes most files). The engine-side
+cost is one zero-shuffle projection plus the range exchange the write
+was going to pay anyway.
+
+Determinism: the key is pure integer arithmetic on two pre-bucketed
+non-negative ints (``(x DIV 2^i % 2) * 2^(2i)`` summed per bit), so
+the DuckDB twin computes identical keys from the same expression terms
+(only the integer-division token differs: Spark ``DIV``, DuckDB
+``//`` — both truncate toward zero, identical on the non-negative
+domain enforced here). No floats, no hash seeds, no partitioning
+sensitivity.
+
+Bit budget: ``bits`` per dimension, key < 2^(2*bits); the default 16
+bits/dim keeps the key in 32 bits with 65 536 buckets per axis — far
+past the file-count granularity min/max pruning can exploit. Inputs
+are clamped into range with ``least(greatest(x, 0), 2^bits - 1)`` so a
+stray outlier saturates the top bucket instead of corrupting the
+interleave.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ZORDER_BITS = 16
+
+
+def zorder_terms(a_expr: str, b_expr: str, bits: int, div: str) -> str:
+    """The shared interleave expression: dimension ``a`` occupies even
+    bits, ``b`` odd bits. ``div`` is the engine's integer-division
+    token (Spark ``DIV``, DuckDB ``//``) — the only difference between
+    the two engines' expressions; every literal and paren is otherwise
+    identical."""
+    hi = (1 << bits) - 1
+    a = f"least(greatest({a_expr}, 0), {hi})"
+    b = f"least(greatest({b_expr}, 0), {hi})"
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a}) {div} {1 << i} % 2) * {1 << (2 * i)}")
+        terms.append(f"(({b}) {div} {1 << i} % 2) * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_key(
+    a_expr: str, b_expr: str, bits: int = ZORDER_BITS
+) -> Column:
+    """Morton key column from two SQL expression strings yielding
+    non-negative ints (clamped to ``bits`` bits each)."""
+    return F.expr(zorder_terms(a_expr, b_expr, bits, "DIV"))
+
+
+def zorder_key_sql(a_expr: str, b_expr: str, bits: int = ZORDER_BITS) -> str:
+    """The DuckDB-side twin of :func:`zorder_key` — same terms, ``//``
+    division."""
+    return zorder_terms(a_expr, b_expr, bits, "//")
+
+
+def zorder_layout(
+    df: DataFrame,
+    a_expr: str,
+    b_expr: str,
+    n_files: int,
+    bits: int = ZORDER_BITS,
+    key_col: str = "zorder_key",
+) -> DataFrame:
+    """Range-partition ``df`` on the Morton key into ``n_files``
+    write-side partitions — each output file then covers a contiguous
+    Morton range, i.e. a small tile of the (a, b) plane, and carries
+    tight min/max footer stats on BOTH source dimensions.
+
+    Shape: ONE projection + ONE RangePartitioning exchange (the
+    sampled-boundaries kind — no global sort, no single-partition
+    funnel); the per-partition ``sortWithinPartitions`` is a local
+    sort feeding parquet's page-index stats, no extra shuffle. This is
+    the write-side layout step; readers get the pruning for free from
+    footer min/max on the original columns.
+    """
+    keyed = df.withColumn(key_col, zorder_key(a_expr, b_expr, bits))
+    return keyed.repartitionByRange(n_files, key_col).sortWithinPartitions(
+        key_col
+    )

@@ -2771,6 +2771,36 @@ FROM a_{iters} a JOIN h_{iters} h ON h.node = a.node"""
 SQL_HOST_HITS = _hits_sql()
 
 
+def q_zorder_key(spark, sf_dir):
+    """Morton (z-order) layout keys over documents (functions/
+    layout.py): dimension a = n_chars (clamped to 16 bits), dimension
+    b = a 16-bit md5 bucket of source — the write-side interleave that
+    buys min/max file pruning on BOTH columns at 100 TB. Zero-shuffle
+    projection; the range-partitioned write shape is exercised by
+    tests/test_layout.py."""
+    from deepseek_ocr_spark.functions import layout as LY
+
+    d = _t(spark, sf_dir, "documents")
+    b = "CAST(conv(substring(md5(source), 1, 4), 16, 10) AS BIGINT)"
+    return d.select(
+        "doc_id",
+        LY.zorder_key("n_chars", b).alias("zkey"),
+    )
+
+
+def _zorder_key_sql() -> str:
+    from deepseek_ocr_spark.functions import layout as LY
+
+    b = "('0x' || substr(md5(source), 1, 4))::BIGINT"
+    return f"""
+SELECT doc_id, {LY.zorder_key_sql("n_chars", b)} AS zkey
+FROM documents
+"""
+
+
+SQL_ZORDER_KEY = _zorder_key_sql()
+
+
 def q_host_harmonic(spark, sf_dir):
     """Truncated (K=3) in-harmonic centrality — CC's published host
     ranking signal — exact level-synchronous BFS over distinct (u, v)
@@ -4654,6 +4684,7 @@ FROM h ORDER BY doc_id
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
     "host_hits": (q_host_hits, SQL_HOST_HITS),
+    "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
     "html_tables": (q_html_tables, SQL_HTML_TABLES),
@@ -4716,7 +4747,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     #  r1-r3 and unchanged; ivf_topk_exhaustive shares its SQL twin
     #  and stays, so the brute-force path remains driver-checked.)
     "ivf_topk": (q_ivf_topk, None),
-    "ann_lsh_recall": (q_ann_lsh_recall, SQL_ANN_LSH_RECALL),
     "ivf_recall": (q_ivf_recall, None),
     # ------------------------------------------------------------------
     # BELOW THE DRIVER'S 50-SLOT CUT — two classes, both re-verified
@@ -4743,6 +4773,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # ------------------------------------------------------------------
     "site_template_ratio": (q_site_template_ratio, SQL_SITE_TEMPLATE_RATIO),
     "emb_norm_by_label": (q_emb_norm_by_label, SQL_EMB_NORM_BY_LABEL),
+    "ann_lsh_recall": (q_ann_lsh_recall, SQL_ANN_LSH_RECALL),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),

@@ -1,0 +1,85 @@
+"""Z-order layout keys: interleave correctness vs a Python reference,
+clamping, and the range-partitioned write shape that buys two-column
+file pruning."""
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions import layout as LY
+
+
+def _morton_ref(a: int, b: int, bits: int) -> int:
+    hi = (1 << bits) - 1
+    a = min(max(a, 0), hi)
+    b = min(max(b, 0), hi)
+    out = 0
+    for i in range(bits):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_zorder_matches_python_reference(spark):
+    rows = [
+        (0, 0), (1, 0), (0, 1), (1, 1), (65535, 65535),
+        (12345, 54321), (7, 65535), (-3, 5), (70000, 2),
+    ]
+    df = spark.createDataFrame(rows, "a long, b long").select(
+        "a", "b", LY.zorder_key("a", "b").alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == _morton_ref(r["a"], r["b"], LY.ZORDER_BITS), r
+    # clamping: negatives floor to 0, overflow saturates the top bucket
+    got = {(r["a"], r["b"]): r["z"] for r in df.collect()}
+    assert got[(-3, 5)] == _morton_ref(0, 5, LY.ZORDER_BITS)
+    assert got[(70000, 2)] == _morton_ref(65535, 2, LY.ZORDER_BITS)
+
+
+def test_zorder_locality_beats_single_axis_order(spark):
+    """The point of the interleave: on a uniform 2-D grid split into k
+    contiguous key ranges (what the range-partitioned write produces),
+    Morton tiles bound BOTH axes, while sorting by one axis leaves the
+    other axis's per-file span at the full domain."""
+    n = 32
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    keyed = df.withColumn("z", LY.zorder_key("a", "b", bits=8))
+    parts = 16
+    ranged = keyed.repartitionByRange(parts, "z").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    spans = (
+        ranged.groupBy("pid")
+        .agg(
+            (F.max("a") - F.min("a")).alias("sa"),
+            (F.max("b") - F.min("b")).alias("sb"),
+            F.max("z").alias("zmax"),
+            F.min("z").alias("zmin"),
+            F.count("*").alias("cnt"),
+        )
+        .collect()
+    )
+    assert sum(r["cnt"] for r in spans) == n * n
+    # per-partition Morton ranges are disjoint (the file-skipping
+    # contract: each file covers one contiguous key range)
+    ivals = sorted((r["zmin"], r["zmax"]) for r in spans)
+    for (lo1, hi1), (lo2, hi2) in zip(ivals, ivals[1:]):
+        assert hi1 < lo2
+    # both axes bounded well under the full domain in every partition
+    # (a single-axis sort would leave one axis at span n-1 everywhere)
+    assert max(r["sa"] for r in spans) < n - 1
+    assert max(r["sb"] for r in spans) < n - 1
+
+
+def test_zorder_layout_plan_is_one_range_exchange(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 997).alias("b")
+    )
+    out = LY.zorder_layout(df, "a", "b", n_files=8)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "rangepartitioning" in plan.lower(), plan
+    # exactly one exchange node in the plan tree: the range partition
+    # itself; the local sort must not add a second shuffle
+    assert plan.count("- Exchange") == 1, plan
+    assert "hashpartitioning" not in plan.lower(), plan

@@ -434,8 +434,8 @@ def test_registry_window_holds_exactly_fifty_entries():
         "pii_scrub",
         "ngram_jaccard",
         "host_harmonic",
-        "ann_lsh_recall",
         "ivf_recall",
         "host_hits",
+        "zorder_key",
     ):
         assert name in in_window, f"{name} fell below the driver cut"
