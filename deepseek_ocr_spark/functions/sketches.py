@@ -98,3 +98,141 @@ WITH regs AS (
 )
 SELECT {gs}, {duck_est} AS est_distinct FROM regs
 """
+
+
+# --- Count-Min heavy hitters ------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_tokens(df: DataFrame, text_col: str) -> DataFrame:
+    from deepseek_ocr_spark.functions.textstats import TOKEN_SPLIT_RE
+
+    return df.select(
+        F.explode(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
+def _cms_bucket(j: int, tok: Column, width: int) -> Column:
+    return (
+        md5_prefix_int(F.concat(F.lit(f"{j}:"), tok), 15) % width
+    ).cast("bigint")
+
+
+def cms_counts(
+    df: DataFrame,
+    text_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(j, bucket, c) — a Count-Min sketch (Cormode-Muthukrishnan
+    2005) of the token frequency stream: ``depth`` independent hash
+    rows x ``width`` buckets, each cell the exact count of tokens
+    hashing into it. The sketch IS the bounded state: no matter the
+    corpus size, at most depth x width rows come out of the one
+    map-side-combining aggregation, and any term's frequency is
+    upper-bounded by the min over its ``depth`` cells (overestimate
+    only — collisions add, never subtract). Hash j of a token is the
+    shared portable md5 prefix of ``"j:token"`` so the DuckDB twin
+    builds the identical sketch."""
+    toks = _cms_tokens(df, text_col)
+    rows = toks.select(
+        F.explode(
+            F.array(*[F.lit(j) for j in range(depth)])
+        ).alias("j"),
+        "tok",
+    )
+    bucket = (
+        md5_prefix_int(
+            F.concat(F.col("j").cast("string"), F.lit(":"), F.col("tok")),
+            15,
+        )
+        % width
+    ).cast("bigint")
+    return (
+        rows.select("j", bucket.alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def cms_topk(
+    df: DataFrame,
+    text_col: str,
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(tok, est, exact) — top-``k`` heavy hitters by Count-Min
+    estimate (ties broken by token; est >= exact always, the CMS
+    one-sided-error guarantee), with the exact count carried next to
+    the estimate as the accuracy receipt (the hll_token_profile
+    pattern). Probe shape: the sketch's ``depth`` slices (<= width
+    rows each) BROADCAST onto the candidate stream — the corpus-sized
+    side never re-shuffles for the probe. At 100 TB the candidate set
+    comes from a sampled pre-pass rather than a full distinct (and
+    the exact column is dropped); the sketch build itself is the
+    scale path: one shuffle whose reduce side is depth x width cells
+    regardless of corpus size."""
+    sk = cms_counts(df, text_col, depth, width)
+    toks = _cms_tokens(df, text_col)
+    out = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("exact"))
+    for j in range(depth):
+        skj = sk.filter(F.col("j") == j).select(
+            F.col("bucket").alias(f"b{j}"), F.col("c").alias(f"c{j}")
+        )
+        out = out.withColumn(
+            f"b{j}", _cms_bucket(j, F.col("tok"), width)
+        ).join(F.broadcast(skj), f"b{j}")
+    est = F.least(*[F.col(f"c{j}") for j in range(depth)])
+    return (
+        out.select("tok", est.alias("est"), "exact")
+        .orderBy(F.desc("est"), "tok")
+        .limit(k)
+    )
+
+
+def cms_topk_sql(
+    source_cte: str,
+    text_expr: str,
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB twin of :func:`cms_topk` over ``source_cte`` — identical
+    tokenization, identical per-row md5 bucket hashes, identical
+    (est DESC, tok) cut."""
+    from deepseek_ocr_spark.functions.textstats import TOKEN_SPLIT_RE
+
+    bucket = (
+        lambda j: f"(('0x' || substr(md5('{j}:' || tok), 1, 15))::BIGINT)"
+        f" % {width}"
+    )
+    joins = "\n".join(
+        f"JOIN sk s{j} ON s{j}.j = {j} AND s{j}.bucket = ({bucket(j)})"
+        for j in range(depth)
+    )
+    least = "least(" + ", ".join(f"s{j}.c" for j in range(depth)) + ")"
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower({text_expr}), '{TOKEN_SPLIT_RE}'))
+         AS tok
+  FROM {source_cte}
+), t AS (SELECT tok FROM toks WHERE tok != ''),
+rows_ AS (
+  SELECT j, (('0x' || substr(md5(j::VARCHAR || ':' || tok), 1, 15))::BIGINT)
+            % {width} AS bucket
+  FROM t, (SELECT unnest(range({depth})) AS j)
+),
+sk AS (SELECT j, bucket, count(*)::BIGINT AS c
+       FROM rows_ GROUP BY j, bucket),
+cand AS (SELECT tok, count(*)::BIGINT AS exact FROM t GROUP BY tok)
+SELECT cand.tok, {least}::BIGINT AS est, cand.exact
+FROM cand
+{joins}
+ORDER BY est DESC, cand.tok
+LIMIT {k}
+"""

@@ -1,0 +1,110 @@
+"""Burst detection over event streams — the crawl-scheduling signal.
+
+A recrawl scheduler wants to know WHEN a source spikes (breaking-news
+hosts, trending queries, scraper attacks) so it can shift crawl budget
+toward the burst and rate-limits toward the abuse. The standard cheap
+detector is a trailing-mean comparison per (group, time bucket):
+bucket the stream, then flag buckets whose count exceeds R x the mean
+of the previous W buckets.
+
+Scale shape: the corpus-sized event stream reduces FIRST through one
+(group, bucket) partial-agg — everything after runs on the bucket
+series, which is tiny (groups x active buckets) regardless of event
+volume. The trailing statistics are one group-keyed window (no global
+sort, no single-partition funnel), and the burst predicate is an
+integer cross-multiply (``n * W * den > trail_sum * num``) — no
+division, no floats, bit-identical across engines.
+
+Semantics pinned for the oracle twin: the trailing frame is
+ROWS-based over the group's OBSERVED buckets (``W PRECEDING .. 1
+PRECEDING``) — empty buckets are skipped, so after a gap the baseline
+is the last W active buckets, not the last W wall-clock hours. That is
+the deterministic choice (a dense spine would need a generated
+calendar join; named as the variant for gap-sensitive alerting) and
+the right default for crawl scheduling, where an idle host's first
+bucket back should not auto-flag against a zero baseline: buckets
+with fewer than W predecessors are never flagged (``trail_n == W``
+gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BURST_WINDOW = 6
+BURST_NUM = 3
+BURST_DEN = 1
+
+
+def burst_detect(
+    events: DataFrame,
+    group_col: str,
+    ts_col: str,
+    bucket: str = "hour",
+    window: int = BURST_WINDOW,
+    num: int = BURST_NUM,
+    den: int = BURST_DEN,
+) -> DataFrame:
+    """(group, bucket, n, trail_sum, trail_n, is_burst) — per-group
+    time-bucketed counts with the trailing-W baseline and the
+    cross-multiplied burst flag (``n > (num/den) x trailing mean``,
+    evaluated as integers)."""
+    counts = (
+        events.groupBy(
+            F.col(group_col).alias("grp"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(-window, -1)
+    )
+    out = counts.withColumn(
+        "trail_n", F.count("*").over(w).cast("bigint")
+    ).withColumn(
+        "trail_sum",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("bigint"),
+    )
+    is_burst = (F.col("trail_n") == window) & (
+        F.col("n") * (window * den) > F.col("trail_sum") * num
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        "bucket",
+        "n",
+        "trail_sum",
+        "trail_n",
+        is_burst.alias("is_burst"),
+    )
+
+
+def burst_detect_sql(
+    source_cte: str,
+    group_expr: str,
+    ts_expr: str,
+    bucket: str = "hour",
+    window: int = BURST_WINDOW,
+    num: int = BURST_NUM,
+    den: int = BURST_DEN,
+) -> str:
+    """DuckDB twin of :func:`burst_detect` — identical bucketing,
+    frame, and integer burst predicate."""
+    return f"""
+WITH c AS (
+  SELECT {group_expr} AS grp, date_trunc('{bucket}', {ts_expr}) AS bucket,
+         count(*)::BIGINT AS n
+  FROM {source_cte} GROUP BY 1, 2
+)
+SELECT grp AS {group_expr}, bucket, n,
+       coalesce(sum(n) OVER w, 0)::BIGINT AS trail_sum,
+       (count(*) OVER w)::BIGINT AS trail_n,
+       (count(*) OVER w = {window}
+        AND n * {window * den} > coalesce(sum(n) OVER w, 0) * {num})
+         AS is_burst
+FROM c
+WINDOW w AS (PARTITION BY grp ORDER BY bucket
+             ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)
+"""

@@ -163,3 +163,69 @@ def frontier_schedule(
     return frontier.withColumn(
         "wave", F.row_number().over(w).cast("bigint")
     )
+
+
+_ABS_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://"
+
+
+def resolve_canonical(url: Column, canon: Column) -> Column:
+    """Resolve a page's declared ``<link rel=canonical>`` target
+    against its own URL: absolute targets pass through, protocol-
+    relative (``//host/p``) take the page's scheme, root-relative
+    (``/p``) take the page's scheme+host origin; anything else —
+    empty, relative-path (RFC 3986 merges these against the page
+    path's directory, which boilerplate templates routinely get
+    wrong, so crawlers treat them as unreliable), or garbage — yields
+    NULL so the caller falls back to the page URL itself."""
+    c = F.trim(canon)
+    scheme = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    origin = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    return (
+        F.when(c.rlike(_ABS_SCHEME_RE), c)
+        .when(
+            c.startswith("//") & (scheme != ""),
+            F.concat(scheme, F.lit(":"), c),
+        )
+        .when(
+            c.startswith("/") & ~c.startswith("//") & (origin != ""),
+            F.concat(origin, c),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def canonical_link_dedup(
+    docs, id_col: str, url_col: str, canon_col: str
+):
+    """One survivor per DECLARED canonical target — the cross-URL dedup
+    class string canonicalization (:func:`canonical_url`) cannot see:
+    ``example.com/page?sessionid=...`` pages all declaring
+    ``<link rel=canonical href="/page">`` collapse onto one row even
+    though their URLs share no normalizable structure. Common Crawl
+    publishes exactly this signal per capture; using it is the
+    cheapest large-recall dedup stage after exact URL matching.
+
+    Key = resolved canonical target, falling back to the page's own
+    normalized URL when the declaration is absent/unresolvable. The
+    survivor is the target page itself when it is in the corpus
+    (url == key), else the smallest ``id_col`` — deterministic,
+    mirrored by the twin's QUALIFY. Shape: one projection + one
+    key-grouped window (single hash shuffle on the dedup key); text
+    never moves for the decision when callers project it out first.
+    """
+    from pyspark.sql import Window
+
+    key = F.coalesce(
+        resolve_canonical(F.col(url_col), F.col(canon_col)),
+        canonical_url(F.col(url_col)),
+    )
+    keyed = docs.withColumn("canon_key", key)
+    w = Window.partitionBy("canon_key").orderBy(
+        F.when(F.col(url_col) == F.col("canon_key"), 0).otherwise(1),
+        F.col(id_col),
+    )
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

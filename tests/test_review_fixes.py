@@ -434,8 +434,10 @@ def test_registry_window_holds_exactly_fifty_entries():
         "pii_scrub",
         "ngram_jaccard",
         "host_harmonic",
-        "ivf_recall",
         "host_hits",
         "zorder_key",
+        "cms_topk",
+        "burst_detect",
+        "canonical_dedup",
     ):
         assert name in in_window, f"{name} fell below the driver cut"

@@ -51,3 +51,40 @@ def test_single_aggregation_plan(spark):
     tree = plan.split("(1)")[0]
     assert tree.count("Exchange") == 1, plan
     assert tree.count("HashAggregate") == 2, plan
+
+
+def test_cms_one_sided_error_and_ranking(spark):
+    """CMS estimates never undercount (collisions only add); the true
+    heavy hitter tops the (est DESC, tok) cut; sketch state is bounded
+    at depth x width rows; results are partitioning-independent."""
+    from deepseek_ocr_spark.functions import sketches as SK
+
+    rows = [(i, "alpha " * 50 + "beta " * 10 + f"rare{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = SK.cms_topk(df, "text", k=5).collect()
+    assert all(r["est"] >= r["exact"] for r in top)
+    assert top[0]["tok"] == "alpha" and top[0]["exact"] == 2000
+    assert top[1]["tok"] == "beta" and top[1]["exact"] == 400
+    sk = SK.cms_counts(df, "text")
+    assert sk.count() <= SK.CMS_DEPTH * SK.CMS_WIDTH
+    # every cell holds at least one token occurrence; column j is dense
+    assert sk.groupBy("j").count().count() == SK.CMS_DEPTH
+    again = SK.cms_topk(df.repartition(7), "text", k=5).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in top]
+
+
+def test_cms_probe_broadcasts_sketch(spark):
+    """The probe side must broadcast the <=width-row sketch slices
+    onto the candidate stream — a shuffled probe join would re-key the
+    candidate set depth times at corpus scale."""
+    from deepseek_ocr_spark.functions import sketches as SK
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b")], "doc_id long, text string"
+    )
+    out = SK.cms_topk(df, "text", k=3)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("BroadcastHashJoin") >= SK.CMS_DEPTH, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -438,3 +438,60 @@ def test_snapshot_churn_rates(spark):
         "c": (3, 0, 0, 0, 2),
         "d": (1, 0, 0, 0, 0),
     }
+
+
+def test_burst_detect_flags_spike_only_with_full_history(spark):
+    """Hand-built hourly series: flat baseline then a 10x spike — only
+    the spike flags, and only once W=6 trailing buckets exist; the
+    first W buckets are never flagged regardless of count."""
+    import datetime as dt
+
+    from deepseek_ocr_spark.functions import trends as TR
+
+    rows = []
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    counts = [10, 10, 10, 10, 10, 10, 100, 10]
+    for h, c in enumerate(counts):
+        for i in range(c):
+            rows.append((f"e{h}_{i}", base + dt.timedelta(hours=h), "click"))
+    # a second type with a huge FIRST bucket: no history, never flags
+    rows += [(f"x{i}", base, "view") for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id string, ts timestamp, event_type string")
+    got = {
+        (r["event_type"], r["bucket"].hour): (r["n"], r["trail_sum"], r["is_burst"])
+        for r in TR.burst_detect(df, "event_type", "ts").collect()
+        if r["bucket"].day == 1
+    }
+    assert got[("click", 6)] == (100, 60, True)        # 100 > 3*10 mean
+    assert got[("click", 7)][2] is False               # 10 < 3x inflated mean
+    for h in range(6):                                 # warm-up never flags
+        assert got[("click", h)][2] is False
+    assert got[("view", 0)] == (500, 0, False)         # no-history gate
+    again = {
+        (r["event_type"], r["bucket"].hour): (r["n"], r["trail_sum"], r["is_burst"])
+        for r in TR.burst_detect(df.repartition(7), "event_type", "ts").collect()
+        if r["bucket"].day == 1
+    }
+    assert again == got
+
+
+def test_burst_detect_reduces_before_window(spark):
+    """The window must run on the bucket series, not the raw stream:
+    plan shows the (group, bucket) aggregate BELOW the window, and the
+    only exchanges are the agg's hash partitioning (reused by the
+    window — both key on the group)."""
+    import datetime as dt
+
+    from deepseek_ocr_spark.functions import trends as TR
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, h), "t") for h in range(8)],
+        "event_id string, ts timestamp, event_type string",
+    )
+    out = TR.burst_detect(df, "event_type", "ts")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    tree = plan.split("(1)")[0]
+    assert tree.index("Window") < tree.index("HashAggregate"), plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

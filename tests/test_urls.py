@@ -97,3 +97,61 @@ def test_url_signals_features(spark):
     ).collect()}
     for k, _, want in cases:
         assert got[k] == want, (k, got[k], want)
+
+
+def test_resolve_canonical_branches(spark):
+    from deepseek_ocr_spark.functions.urls import resolve_canonical
+
+    rows = [
+        ("https://a.example/x", "https://b.example/y"),   # absolute
+        ("https://a.example/x", "//b.example/y"),         # proto-relative
+        ("https://a.example/x", "/y"),                    # root-relative
+        ("https://a.example/x", "  /y  "),                # trimmed
+        ("https://a.example/x", "y/rel"),                 # relative -> NULL
+        ("https://a.example/x", ""),                      # empty -> NULL
+        ("https://a.example/x", None),                    # absent -> NULL
+        ("no-scheme-page", "/y"),                         # no origin -> NULL
+        ("no-scheme-page", "//b.example/y"),              # no scheme -> NULL
+    ]
+    df = spark.createDataFrame(rows, "url string, canon string")
+    got = [
+        r["k"]
+        for r in df.select(
+            resolve_canonical(F.col("url"), F.col("canon")).alias("k")
+        ).collect()
+    ]
+    assert got == [
+        "https://b.example/y",
+        "https://b.example/y",
+        "https://a.example/y",
+        "https://a.example/y",
+        None, None, None, None, None,
+    ]
+
+
+def test_canonical_link_dedup_prefers_target_page(spark):
+    """Session-id variants declaring the same canonical collapse onto
+    the target page itself when present (not the smallest id), and the
+    survivor set is partitioning-independent."""
+    from deepseek_ocr_spark.functions.urls import canonical_link_dedup
+
+    rows = [
+        (1, "https://a.example/p?sid=1", "/p"),
+        (2, "https://a.example/p?sid=2", "/p"),
+        (3, "https://a.example/p", None),       # the target page itself
+        (4, "https://a.example/q", "/p"),       # cross-page declaration
+        (5, "https://b.example/z", None),       # unrelated survivor
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, canonical string")
+    kept = sorted(
+        r["doc_id"]
+        for r in canonical_link_dedup(df, "doc_id", "url", "canonical").collect()
+    )
+    assert kept == [3, 5]
+    again = sorted(
+        r["doc_id"]
+        for r in canonical_link_dedup(
+            df.repartition(4), "doc_id", "url", "canonical"
+        ).collect()
+    )
+    assert again == kept
