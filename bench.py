@@ -132,6 +132,12 @@ HEADLINE = [
     "host_communities",
     "inverted_postings",
     "hll_token_profile",
+    # round 4, sixth wave
+    "host_hits",
+    "zorder_key",
+    "cms_topk",
+    "burst_detect",
+    "canonical_dedup",
 ]
 
 

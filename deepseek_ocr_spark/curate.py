@@ -154,6 +154,33 @@ def neardup_dedup(
     return docs.join(losers, "url", "left_anti")
 
 
+def canonical_page_dedup(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Declared-canonical dedup BEFORE extraction: pages whose
+    ``<link rel=canonical>`` resolves to the same target collapse to
+    one survivor (the target page itself when present). At 10^12
+    pages the win is not the rows — it's never paying the extract UDF
+    for session-id/mirror duplicates the site itself declared. One
+    zero-shuffle regexp projection on the raw bytes + one key-grouped
+    window (functions/urls.canonical_link_dedup); relative-path
+    declarations are distrusted (NULL → the page's own canonical_url
+    key), so this can only merge what the site explicitly tied
+    together."""
+    from deepseek_ocr_spark.functions import html_meta as HM
+    from deepseek_ocr_spark.functions.urls import canonical_link_dedup
+
+    h = F.col(html_col).cast("string")
+    declared = F.coalesce(
+        F.nullif(F.regexp_extract(h, HM.CANONICAL_REL_RE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(h, HM.CANONICAL_HREF_RE, 1), F.lit("")),
+    )
+    keyed = pages.withColumn("_declared", declared)
+    return canonical_link_dedup(keyed, url_col, url_col, "_declared").drop(
+        "_declared", "canon_key"
+    )
+
+
 def url_canonical_dedup(docs: DataFrame) -> DataFrame:
     """Collapse re-crawl duplicates whose urls differ only by
     case/port/fragment/tracking params: keep-first per canonical url
@@ -398,6 +425,7 @@ def curate(
     badwords: tuple[str, ...] | None = None,
     blocklist: DataFrame | None = None,
     site_boilerplate: bool = False,
+    declared_canonical: bool = False,
     funnel_mode: str = "observe",
     quality_model_weights: DataFrame | None = None,
     quality_model_min_pf: int = 0,
@@ -430,7 +458,13 @@ def curate(
     domain-suffix URL blocklist gate next (broadcast probe, URL-only);
     ``site_boilerplate=True`` excises host-template lines after exact
     dedup (row-preserving rewrite — emptied docs die at the quality
-    gate; stats recomputed like substring_dedup).
+    gate; stats recomputed like substring_dedup);
+    ``declared_canonical=True`` collapses pages declaring the same
+    ``<link rel=canonical>`` target BEFORE extraction — the one stage
+    that runs on raw pages, because its payoff is skipping the extract
+    UDF for site-declared duplicates (funnel key
+    ``after_canonical_pages`` = pages surviving it — observed on the
+    extract output, one row per surviving page).
 
     Funnel accounting (``funnel_mode``):
 
@@ -456,7 +490,21 @@ def curate(
     if funnel_mode not in ("observe", "counts"):
         raise ValueError(f"unknown funnel_mode: {funnel_mode!r}")
     observe = funnel_mode == "observe"
+    canon_pages_obs = None
+    if declared_canonical:
+        pages = canonical_page_dedup(pages)
     extracted = extract_pipeline(pages, parallelism=parallelism)
+    if declared_canonical and observe:
+        # observe the extract UNION output (one row per surviving
+        # page, ok + rejected + error markers alike) rather than the
+        # pages frame itself: extract_pipeline consumes pages in two
+        # branches (JVM reject + extract), and an Observation below a
+        # branch point executes once per branch, tripping its
+        # single-result assertion
+        canon_pages_obs = Observation("funnel_canonical_pages")
+        extracted = extracted.observe(
+            canon_pages_obs, F.count(F.lit(1)).alias("n")
+        )
     docs = enrich(extracted, normalize=normalize)
     blocked_col = None
     if blocklist is not None:
@@ -475,6 +523,21 @@ def curate(
         ).drop("_host", "blocked_suffix")
         blocked_col = "is_blocked"
     docs = docs.persist()
+    if observe:
+        # run the one-pass head aggregation FIRST: it is the action
+        # that materializes the docs cache, and it must be a plain SQL
+        # action so the canonical-pages Observation's first firing is
+        # a clean metrics row — connected_components' fixpoint probes
+        # (inside neardup_dedup construction below) would otherwise be
+        # the first execution of the observed node and corrupt it
+        funnel = _funnel_head_counts(docs, languages, badwords, blocked_col)
+        if canon_pages_obs is not None:
+            try:
+                funnel["after_canonical_pages"] = int(
+                    canon_pages_obs.get["n"]
+                )
+            except Exception:
+                pass  # observation never fired (empty pages input)
     kept = lang_gate(docs, languages)
     if badwords is not None:
         kept = badwords_gate(kept, badwords)
@@ -495,7 +558,6 @@ def curate(
     lsh_obs = Observation("lsh_bucket_cap")
     near = neardup_dedup(exact, observation=lsh_obs)
     if observe:
-        funnel = _funnel_head_counts(docs, languages, badwords, blocked_col)
         near_obs = Observation("funnel_near")
         near = near.observe(near_obs, F.count(F.lit(1)).alias("n"))
     else:
@@ -503,6 +565,8 @@ def curate(
             "extracted_ok": docs.count(),
             "after_lang_gate": lang_gate(docs, languages).count(),
         }
+        if declared_canonical:
+            funnel["after_canonical_pages"] = extracted.count()
         if badwords is not None:
             funnel["after_badwords"] = badwords_gate(
                 lang_gate(docs, languages), badwords
@@ -554,6 +618,7 @@ def curate(
         # numbers were gathered (later-stage / metric keys keep their
         # insertion order after the core boundaries)
         order = [
+            "after_canonical_pages",
             "extracted_ok", "after_lang_gate", "after_badwords",
             "after_blocklist", "after_url_dedup",
             "after_exact_dedup", "after_neardup",

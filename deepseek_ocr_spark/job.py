@@ -176,6 +176,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "recomputed on the rewritten text",
     )
     p.add_argument(
+        "--declared-canonical",
+        action="store_true",
+        help="curate mode: collapse pages declaring the same <link "
+        "rel=canonical> target BEFORE extraction (the survivor is the "
+        "target page itself when crawled); session-id and mirror "
+        "duplicates never reach the extract UDF",
+    )
+    p.add_argument(
         "--normalize",
         action="store_true",
         help="curate mode: whitespace/control text normalization "
@@ -298,6 +306,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 else None
             ),
             site_boilerplate=args.site_boilerplate,
+            declared_canonical=args.declared_canonical,
             quality_model_weights=qm_weights,
             quality_model_min_pf=args.quality_model_min_pf,
             lm_model=lm_model,

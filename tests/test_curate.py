@@ -522,3 +522,40 @@ def test_neardup_containment_mutual_keeps_smaller_url(spark):
         ).collect()
     }
     assert kept == {"a"}
+
+
+def test_declared_canonical_collapses_before_extraction(spark):
+    """Pages declaring the same rel=canonical target collapse BEFORE
+    the extract UDF: the survivor is the target page itself, the
+    funnel reports the pages-side boundary, and both funnel modes
+    agree on it."""
+    body = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+            "do eiusmod tempor incididunt ut labore et dolore magna")
+    canon = b'<link rel="canonical" href="/a">'
+    rows = [
+        ("https://x.example/a?sid=1",
+         b"<html><head>" + canon + f"</head><body><p>{body} v1</p></body></html>".encode()),
+        ("https://x.example/a?sid=2",
+         b"<html><head>" + canon + f"</head><body><p>{body} v2</p></body></html>".encode()),
+        ("https://x.example/a",
+         f"<html><body><p>{body} target</p></body></html>".encode()),
+        ("https://y.example/b",
+         b"<html><body><p>entirely unrelated page about oceanic plate "
+         b"tectonics and the subduction of dense lithosphere beneath "
+         b"continental margins over geologic time scales</p></body></html>"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, h, None, None) for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    final, funnel = curate(pages, parallelism=2, declared_canonical=True)
+    assert funnel["after_canonical_pages"] == 2
+    assert funnel["extracted_ok"] == 2
+    urls = sorted(r["url"] for r in final.select("url").collect())
+    assert urls == ["https://x.example/a", "https://y.example/b"]
+    # funnel-mode parity on the new boundary
+    _, counted = curate(
+        pages, parallelism=2, declared_canonical=True, funnel_mode="counts"
+    )
+    assert counted["after_canonical_pages"] == 2
+    assert counted["extracted_ok"] == 2
