@@ -57,8 +57,11 @@ def extract_document(
     payload: bytes,
     max_bytes: int = MAX_FILE_SIZE_BYTES,
     html_engine: str = "fast",
+    pdf_passwords: tuple = (),
 ) -> dict:
     """Extract one document. Pure, deterministic, never raises.
+    ``pdf_passwords``: candidate passwords for encrypted PDFs, tried
+    as user and owner passwords after the empty user password.
 
     Returns dict with keys:
         url, doc_type, status, extracted_text, spans (list of dicts),
@@ -106,7 +109,7 @@ def extract_document(
     # PDF / image: grounded raw pages → shared reference merge loop.
     if doc_type == DOC_PDF:
         try:
-            raw_pages = pdf_to_raw_pages(payload)
+            raw_pages = pdf_to_raw_pages(payload, pdf_passwords)
         except PdfTooManyPages:
             return {**base, "status": ST_REJECTED, "extracted_text": ""}
         except PdfParseError:

@@ -5,8 +5,13 @@ text-first crawl extractor meets encrypted PDFs constantly — almost
 always *owner*-locked documents with an EMPTY user password (printing
 restrictions etc.), which any viewer opens silently. This module does
 the same: it verifies the empty user password and derives the file
-key; documents with a real (non-empty) user password stay unreadable
-by design and yield no text.
+key; callers may additionally supply CANDIDATE passwords (a crawl
+job's known archive passwords), each tried as the user password and —
+for the Standard handler's owner path — as the owner password
+(Algorithm 7 recovers the user password from /O; for /R 5-6 the /O
+hash is checked with the /U string as extra salt and the file key
+unwrapped from /OE). Documents none of the candidates open stay
+unreadable and yield no text.
 
 Everything implements public specifications:
 
@@ -316,9 +321,11 @@ def _name(v) -> str:
 
 
 class StdSecurityHandler:
-    """File-key holder + per-object decryptor for /Filter /Standard
-    with an EMPTY user password. ``from_encrypt`` returns None for
-    other handlers, unsupported /V, or a real user password."""
+    """File-key holder + per-object decryptor for /Filter /Standard.
+    ``from_encrypt`` tries the EMPTY user password first, then each
+    supplied candidate as user and owner password; returns None for
+    other handlers, unsupported /V, or when no candidate opens the
+    file."""
 
     def __init__(
         self, file_key: bytes, v: int, stm_aes: bool,
@@ -335,7 +342,11 @@ class StdSecurityHandler:
     # -- construction ------------------------------------------------------
 
     @staticmethod
-    def from_encrypt(enc: dict, id0: bytes) -> "StdSecurityHandler | None":
+    def from_encrypt(
+        enc: dict,
+        id0: bytes,
+        passwords: tuple = (),
+    ) -> "StdSecurityHandler | None":
         if _name(enc.get("Filter")) != "Standard":
             return None
         v = _num(enc.get("V"), 0)
@@ -343,6 +354,19 @@ class StdSecurityHandler:
         o = _sval(enc.get("O"))
         u = _sval(enc.get("U"))
         p = _num(enc.get("P"), -1)
+        # candidate user passwords: empty first (the owner-locked
+        # class that dominates crawls), then the caller's list. Legacy
+        # handlers take latin-1 bytes (PDFDocEncoding superset for the
+        # printable range), /V 5 takes UTF-8 (§7.6.4.3.2; full
+        # SASLprep is not applied — ASCII passwords, the practical
+        # archive case, are unaffected).
+        enc_name = "utf-8" if v == 5 else "latin-1"
+        cands = [b""] + [
+            pw if isinstance(pw, bytes) else str(pw).encode(
+                enc_name, "replace"
+            )
+            for pw in passwords
+        ]
         if v in (1, 2) or (v == 4):
             length_bits = _num(enc.get("Length"), 40)
             if v == 1:
@@ -373,11 +397,24 @@ class StdSecurityHandler:
                 else:
                     return None  # unknown crypt filter
             encrypt_metadata = enc.get("EncryptMetadata") != ("bool", False)
-            key = _alg2_key(b"", o, p, id0, length_bits // 8, r,
-                            encrypt_metadata)
-            if not _check_user_r234(key, u, id0, r):
-                return None  # non-empty user password
-            return StdSecurityHandler(key, v, stm_aes, stm_identity)
+            keylen = length_bits // 8
+            for pw in cands:
+                key = _alg2_key(pw, o, p, id0, keylen, r,
+                                encrypt_metadata)
+                if _check_user_r234(key, u, id0, r):
+                    return StdSecurityHandler(key, v, stm_aes,
+                                              stm_identity)
+            for pw in cands[1:]:
+                # Algorithm 7: the candidate as OWNER password — /O
+                # decrypts to the (padded) user password, which then
+                # derives and verifies the file key as above
+                upw = _owner_to_user_r234(pw, o, keylen, r)
+                key = _alg2_key(upw, o, p, id0, keylen, r,
+                                encrypt_metadata)
+                if _check_user_r234(key, u, id0, r):
+                    return StdSecurityHandler(key, v, stm_aes,
+                                              stm_identity)
+            return None  # no candidate opens the file
         if v == 5 and r in (5, 6):
             # /StmF defaults to Identity for V 4-5 alike (Table 20);
             # an Identity stream filter means PLAINTEXT streams — the
@@ -395,10 +432,15 @@ class StdSecurityHandler:
                         cfm = _name(f[1].get("CFM"))
                 if cfm != "AESV3":
                     return None  # unknown crypt filter
-            key = _retrieve_key_r56(b"", enc)
-            if key is None:
-                return None
-            return StdSecurityHandler(key, 5, True, stm_identity)
+            for pw in cands:
+                key = _retrieve_key_r56(pw, enc)
+                if key is not None:
+                    return StdSecurityHandler(key, 5, True, stm_identity)
+            for pw in cands[1:]:
+                key = _retrieve_key_r56_owner(pw, enc)
+                if key is not None:
+                    return StdSecurityHandler(key, 5, True, stm_identity)
+            return None  # no candidate opens the file
         return None
 
     # -- per-object decryption (§7.6.3.1 Algorithm 1 / 1.A) ----------------
@@ -460,6 +502,24 @@ def _check_user_r234(key: bytes, u: bytes, id0: bytes, r: int) -> bool:
     return out == u[:16]
 
 
+def _owner_to_user_r234(pw: bytes, o: bytes, keylen: int, r: int) -> bytes:
+    """Algorithm 7 (/R 2-4): decrypt /O with the owner-password RC4
+    key (Algorithm 3 steps a-d) to recover the PADDED user password —
+    already 32 bytes, so Algorithm 2's ``(pw + PAD)[:32]`` passes it
+    through unchanged."""
+    digest = hashlib.md5((pw + _PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest[:keylen]).digest()
+    key = digest[:keylen]
+    if r == 2:
+        return rc4(key, o[:32])
+    out = o[:32]
+    for i in range(19, -1, -1):
+        out = rc4(bytes(b ^ i for b in key), out)
+    return out
+
+
 def _hash_r6(pw: bytes, salt: bytes, udata: bytes) -> bytes:
     """Algorithm 2.B (R6 hardened hash); for R5 the caller uses plain
     SHA-256."""
@@ -501,3 +561,27 @@ def _retrieve_key_r56(pw: bytes, enc: dict) -> bytes | None:
         else hashlib.sha256(pw + ksalt).digest()
     )
     return aes_cbc_decrypt_nopad(ikey, b"\x00" * 16, ue[:32])
+
+
+def _retrieve_key_r56_owner(pw: bytes, enc: dict) -> bytes | None:
+    """Algorithm 2.A owner path: the /O hash salts with the full
+    48-byte /U string; a match unwraps the file key from /OE."""
+    r = _num(enc.get("R"), 5)
+    o = _sval(enc.get("O"))
+    oe = _sval(enc.get("OE"))
+    u = _sval(enc.get("U"))
+    if len(o) < 48 or len(oe) < 32 or len(u) < 48:
+        return None
+    ohash, ovsalt, oksalt = o[:32], o[32:40], o[40:48]
+    udata = u[:48]
+    if r == 6:
+        got = _hash_r6(pw, ovsalt, udata)
+    else:
+        got = hashlib.sha256(pw + ovsalt + udata).digest()
+    if got != ohash:
+        return None
+    ikey = (
+        _hash_r6(pw, oksalt, udata) if r == 6
+        else hashlib.sha256(pw + oksalt + udata).digest()
+    )
+    return aes_cbc_decrypt_nopad(ikey, b"\x00" * 16, oe[:32])

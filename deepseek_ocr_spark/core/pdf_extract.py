@@ -109,7 +109,7 @@ def page_to_raw(blocks) -> str:
     return "\n".join(parts) + EOS
 
 
-def pdf_to_raw_pages(payload: bytes) -> list[str]:
+def pdf_to_raw_pages(payload: bytes, passwords: tuple = ()) -> list[str]:
     """Full PDF front-end: parse + segment + order → raw pages.
 
     Mini-PDF fixtures take the deterministic layout parser above; any
@@ -129,7 +129,7 @@ def pdf_to_raw_pages(payload: bytes) -> list[str]:
     from deepseek_ocr_spark.core.pdf_text import real_pdf_to_raw_pages
 
     try:
-        pages = real_pdf_to_raw_pages(payload)
+        pages = real_pdf_to_raw_pages(payload, passwords)
     except Exception as e:  # malformed object graph: error row
         raise PdfParseError(f"unparseable pdf: {e}") from e
     if not pages:

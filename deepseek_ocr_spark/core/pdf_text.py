@@ -1105,13 +1105,15 @@ def _find_encrypt(payload: bytes, objs: dict[int, _Obj]):
     return None
 
 
-def _maybe_decrypt(payload: bytes, objs: dict[int, _Obj]) -> bool:
+def _maybe_decrypt(
+    payload: bytes, objs: dict[int, _Obj], passwords: tuple = ()
+) -> bool:
     """Decrypt all stream payloads in place when the file carries a
-    standard security handler openable with the EMPTY user password
-    (the owner-locked class — §7.6.3; XRef streams and the /Encrypt
-    object are exempt per §7.5.8.2). Returns False when the file is
-    encrypted but unreadable (real user password / unsupported
-    handler): the caller yields zero pages rather than latin-1
+    standard security handler openable with the EMPTY user password or
+    one of the caller's candidate passwords (tried as user AND owner —
+    §7.6.3; XRef streams and the /Encrypt object are exempt per
+    §7.5.8.2). Returns False when the file is encrypted but unreadable
+    (no candidate opens it / unsupported handler): the caller yields zero pages rather than latin-1
     ciphertext garbage."""
     found = _find_encrypt(payload, objs)
     if found is None:
@@ -1119,7 +1121,7 @@ def _maybe_decrypt(payload: bytes, objs: dict[int, _Obj]) -> bool:
     enc_num, enc_dict, id0 = found
     from deepseek_ocr_spark.core.pdf_crypt import StdSecurityHandler
 
-    handler = StdSecurityHandler.from_encrypt(enc_dict, id0)
+    handler = StdSecurityHandler.from_encrypt(enc_dict, id0, passwords)
     if handler is None:
         return False
     for num, o in objs.items():
@@ -1133,12 +1135,14 @@ def _maybe_decrypt(payload: bytes, objs: dict[int, _Obj]) -> bool:
 
 # ---- entry point ----------------------------------------------------------
 
-def real_pdf_to_raw_pages(payload: bytes) -> list[str]:
+def real_pdf_to_raw_pages(
+    payload: bytes, passwords: tuple = ()
+) -> list[str]:
     """Standard PDF bytes → raw pages (text + EOS) for the shared merge
     loop. Raises nothing by itself; callers treat zero pages as a parse
     failure."""
     objs = _scan_objects(payload)
-    if not _maybe_decrypt(payload, objs):
+    if not _maybe_decrypt(payload, objs, passwords):
         return []  # encrypted with a real user password: no text
     _expand_object_streams(objs)
     pages = _page_objects(payload, objs)

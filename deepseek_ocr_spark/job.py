@@ -102,6 +102,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "stdlib-HTMLParser twin (byte-identical outputs)",
     )
     p.add_argument(
+        "--pdf-password",
+        action="append",
+        default=[],
+        metavar="PW",
+        help="candidate password for encrypted PDFs (repeatable); "
+        "each is tried as the user and the owner password after the "
+        "empty user password — the crawl job's known archive passwords",
+    )
+    p.add_argument(
         "--time-budget-secs",
         type=float,
         default=None,
@@ -448,6 +457,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             input_format=args.input_format,
             time_budget_secs=args.time_budget_secs,
             html_engine=args.html_engine,
+            pdf_passwords=tuple(args.pdf_password),
         )
         print(json.dumps(summary))
     if own_session:

@@ -147,6 +147,7 @@ def _extract_iter(
     max_bytes: int,
     time_budget_secs: float | None = None,
     html_engine: str = "fast",
+    pdf_passwords: tuple = (),
 ) -> Iterator[pd.DataFrame]:
     from pyspark import TaskContext
 
@@ -154,7 +155,8 @@ def _extract_iter(
     pid = ctx.partitionId() if ctx is not None else -1
 
     def base(url, payload, mb):
-        return extract_document(url, payload, mb, html_engine)
+        return extract_document(url, payload, mb, html_engine,
+                                pdf_passwords)
 
     one = (
         _BudgetedExtractor(time_budget_secs, base)
@@ -179,6 +181,7 @@ def extract_pages(
     max_bytes: int = MAX_FILE_SIZE_BYTES,
     time_budget_secs: float | None = None,
     html_engine: str = "fast",
+    pdf_passwords: tuple = (),
 ):
     """pages(url, html, ...) → extracted rows.
 
@@ -196,9 +199,15 @@ def extract_pages(
     byte-identical (differential suite), the knob exists for
     cross-checking in production exactly as the reference can fall
     back from vllm to transformers.
+
+    ``pdf_passwords``: candidate passwords for encrypted PDFs (a
+    crawl job's known archive passwords), tried as user and owner
+    passwords after the empty user password; shipped to executors in
+    the UDF closure — a tuple of short strings, not per-row state.
     """
 
     def it(batches):
-        return _extract_iter(batches, max_bytes, time_budget_secs, html_engine)
+        return _extract_iter(batches, max_bytes, time_budget_secs,
+                             html_engine, tuple(pdf_passwords))
 
     return df.select("url", "html").mapInPandas(it, schema=EXTRACT_SCHEMA)

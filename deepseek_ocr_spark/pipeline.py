@@ -101,11 +101,13 @@ def extract_pipeline(
     max_bytes: int = MAX_FILE_SIZE_BYTES,
     time_budget_secs: float | None = None,
     html_engine: str = "fast",
+    pdf_passwords: tuple = (),
 ) -> DataFrame:
     """pages DataFrame → extracted DataFrame (lazy).
 
-    ``time_budget_secs`` / ``html_engine``: see
-    operators.extract.extract_pages (O4 budget, R4 engine dispatch)."""
+    ``time_budget_secs`` / ``html_engine`` / ``pdf_passwords``: see
+    operators.extract.extract_pages (O4 budget, R4 engine dispatch,
+    encrypted-PDF candidate passwords)."""
     spark = df.sparkSession
     if parallelism is None:
         parallelism = spark.sparkContext.defaultParallelism
@@ -115,13 +117,15 @@ def extract_pipeline(
     ok = df.filter(n <= max_bytes)
     small, big = split_by_size(ok, big_bytes=big_bytes)
     # small docs: scan partitioning already byte-balances; zero shuffle.
-    small_out = extract_pages(small, max_bytes, time_budget_secs, html_engine)
+    small_out = extract_pages(small, max_bytes, time_budget_secs,
+                              html_engine, pdf_passwords)
     # big docs: few rows, heavy each — spread thin, ~2 partitions/core.
     big_out = extract_pages(
         salted_repartition(big, parallelism * 2),
         max_bytes,
         time_budget_secs,
         html_engine,
+        pdf_passwords,
     )
     return small_out.unionByName(big_out).unionByName(rejected).unionByName(nulls)
 
@@ -138,6 +142,7 @@ def run_job(
     input_format: str = "parquet",
     time_budget_secs: float | None = None,
     html_engine: str = "fast",
+    pdf_passwords: tuple = (),
 ) -> dict:
     """Run (or resume) the extraction job. Returns summary counts.
 
@@ -179,6 +184,7 @@ def run_job(
         return _run_job_body(
             spark, rid, input_path, output_path, metrics_path, resume,
             parallelism, input_format, time_budget_secs, html_engine,
+            pdf_passwords,
         )
     finally:
         if restore_batch_conf is not None:
@@ -196,6 +202,7 @@ def run_job(
 def _run_job_body(
     spark, rid, input_path, output_path, metrics_path, resume,
     parallelism, input_format, time_budget_secs, html_engine,
+    pdf_passwords=(),
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -211,6 +218,7 @@ def _run_job_body(
         parallelism=parallelism,
         time_budget_secs=time_budget_secs,
         html_engine=html_engine,
+        pdf_passwords=pdf_passwords,
     ).withColumn("run_id", F.lit(rid))
     # Observation: run totals collected DURING the write — no second
     # pass over the data (the Spark analog of the reference's per-task

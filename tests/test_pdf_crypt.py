@@ -311,3 +311,102 @@ def test_object_key_masks_huge_object_numbers():
     # a scanned (bogus) object number >= 2^32 must not struct.error
     h = StdSecurityHandler(bytes(16), 2, False)
     assert len(h.decrypt((1 << 40) + 7, 0, b"abc")) == 3
+
+
+# ---- candidate passwords (user + owner paths) ------------------------------
+
+def _pw_pages(pdf: bytes, *pws) -> list[str]:
+    return [
+        p.removesuffix(EOS)
+        for p in real_pdf_to_raw_pages(pdf, passwords=tuple(pws))
+    ]
+
+
+def test_user_password_candidate_opens_r3():
+    pdf = _rc4_r3_pdf(user_pw=b"hunter2")
+    assert _pw_pages(pdf) == []                      # empty pw fails
+    assert _pw_pages(pdf, "wrong", "hunter2") == [
+        "secret but owner-locked"
+    ]                                                # list order-robust
+    assert _pw_pages(pdf, "HUNTER2") == []           # case matters
+
+
+def test_owner_password_candidate_opens_r3():
+    """Algorithm 7: the owner password recovers the padded user
+    password from /O and opens a file whose user password is unknown."""
+    pdf = _rc4_r3_pdf(user_pw=b"real-user-secret")
+    assert _pw_pages(pdf, "ownerpw") == ["secret but owner-locked"]
+
+
+def test_user_password_candidate_opens_r6():
+    pdf = _v5_r6_pdf(user_pw=b"hunter2")
+    assert _pw_pages(pdf) == []
+    assert _pw_pages(pdf, "hunter2") == ["secret but owner-locked"]
+
+
+def _v5_r6_pdf_with_owner(user_pw: bytes, owner_pw: bytes) -> bytes:
+    """R6 fixture with REAL /O + /OE entries (the stock fixture stuffs
+    dummies): the owner hash salts with the 48-byte /U string."""
+    file_key = bytes(range(200, 232))
+    vsalt, ksalt = b"VSALT#01", b"KSALT#02"
+    uhash = _hash_r6(user_pw, vsalt, b"")
+    ue = aes_cbc_encrypt_nopad(
+        _hash_r6(user_pw, ksalt, b""), b"\x00" * 16, file_key
+    )
+    u = uhash + vsalt + ksalt
+    ovsalt, oksalt = b"OVSALT#1", b"OKSALT#2"
+    ohash = _hash_r6(owner_pw, ovsalt, u)
+    oe = aes_cbc_encrypt_nopad(
+        _hash_r6(owner_pw, oksalt, u), b"\x00" * 16, file_key
+    )
+    o = ohash + ovsalt + oksalt
+    enc_dict = (
+        b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P " + str(P).encode()
+        + b" /O <" + o.hex().encode()
+        + b"> /U <" + u.hex().encode()
+        + b"> /OE <" + oe.hex().encode()
+        + b"> /UE <" + ue.hex().encode()
+        + b"> /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+        b"/StmF /StdCF /StrF /StdCF >>"
+    )
+    content_enc = _aes_stream_encrypt(
+        file_key, CONTENT, iv=bytes(range(32, 48))
+    )
+    return _pdf_shell(content_enc, enc_dict, ID0)
+
+
+def test_owner_password_candidate_opens_r6():
+    pdf = _v5_r6_pdf_with_owner(b"real-user-secret", b"boss-pw")
+    assert _pw_pages(pdf) == []
+    assert _pw_pages(pdf, "boss-pw") == ["secret but owner-locked"]
+    assert _pw_pages(pdf, "wrong") == []
+
+
+def test_extract_document_passes_pdf_passwords():
+    from deepseek_ocr_spark.core.oracle import extract_document
+
+    pdf = _rc4_r3_pdf(user_pw=b"hunter2")
+    locked = extract_document("https://e.example/a.pdf", pdf)
+    assert locked["status"] == "error"
+    opened = extract_document(
+        "https://e.example/a.pdf", pdf, pdf_passwords=("hunter2",)
+    )
+    assert opened["status"] == "ok"
+    assert "secret but owner-locked" in opened["extracted_text"]
+
+
+def test_extract_pipeline_ships_pdf_passwords_to_executors(spark):
+    from deepseek_ocr_spark.pipeline import extract_pipeline
+
+    pdf = _rc4_r3_pdf(user_pw=b"hunter2")
+    pages = spark.createDataFrame(
+        [("https://e.example/a.pdf", None, pdf, None, None)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    locked = extract_pipeline(pages, parallelism=2).collect()[0]
+    assert locked["status"] == "error"
+    opened = extract_pipeline(
+        pages, parallelism=2, pdf_passwords=("hunter2",)
+    ).collect()[0]
+    assert opened["status"] == "ok"
+    assert "secret but owner-locked" in opened["extracted_text"]
