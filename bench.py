@@ -138,6 +138,7 @@ HEADLINE = [
     "cms_topk",
     "burst_detect",
     "canonical_dedup",
+    "mixture_kl",
 ]
 
 

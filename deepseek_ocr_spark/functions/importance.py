@@ -150,3 +150,91 @@ def importance_weights(
             F.sum("lr_fp").cast("bigint").alias("w_fp"),
         )
     )
+
+
+def unigram_kl(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(group, n_tokens, kl_fp) — per-group KL divergence (1e-6 fixed
+    point) of the group's hashed-unigram distribution against the
+    whole corpus's: the standard data-mixture diagnostic ("how far
+    does this source/language/snapshot drift from the blend?") that
+    ranks sources for re-weighting and flags template-saturated or
+    off-domain slices before they skew training.
+
+    Both distributions are Laplace-smoothed over the full bucket
+    spine, so KL is the exact Gibbs-nonnegative quantity
+    ``sum_b p_b ln(p_b / q_b)`` with ``p_b = (n_gb + 1) / (N_g + B)``
+    and ``q_b = (n_b + 1) / (N + B)``; the two logs run through
+    lm.py's exact-range-reduction fixed-point ``ln`` (smoothed ratios
+    span 1..corpus_size — importance.py's bare atanh series saturates
+    near |ln| ~ 3.57), and the weighted sum is carried in
+    DECIMAL(38,0)/HUGEINT so the DuckDB twin hash-matches. Per-bucket
+    fixed-point truncation can dip a boundary group a few 1e-6 units
+    below zero; the signal consumed is the ranking.
+
+    Scale shape: ONE (group, bucket) shuffle over the token stream
+    with map-side combine; corpus bucket counts and totals derive from
+    that frame (never a second corpus scan); the spine explode and
+    both ln chains run on groups x B rows — a dimension, not data.
+    """
+    from deepseek_ocr_spark.functions.lm import (
+        K_SQL,
+        NLL_FP_SQL,
+        Z2_SQL,
+        Z_SQL,
+        r2_sql,
+    )
+
+    shift = lambda x, amt: f"shiftleft(cast({x} as bigint), {amt})"  # noqa: E731
+
+    def lnfp(frame: DataFrame, num, den, out: str) -> DataFrame:
+        return (
+            frame.withColumn("__num", num.cast("bigint"))
+            .withColumn("__den", den.cast("bigint"))
+            .withColumn("__k", F.expr(K_SQL))
+            .withColumn("__r2", F.expr(r2_sql(shift)))
+            .withColumn("__z", F.expr(Z_SQL))
+            .withColumn("__z2", F.expr(Z2_SQL))
+            .withColumn(out, F.expr(NLL_FP_SQL))
+            .drop("__num", "__den", "__k", "__r2", "__z", "__z2")
+        )
+
+    toks = hashed_tokens(df, group_col, text_col, n_buckets=n_buckets)
+    gb = toks.groupBy(group_col, "b").agg(F.count("*").alias("n"))
+    gt = gb.groupBy(group_col).agg(F.sum("n").alias("ng"))
+    cb = gb.groupBy("b").agg(F.sum("n").alias("nb"))
+    tot = gb.agg(F.sum("n").alias("nn"))
+    spine = gt.select(
+        group_col,
+        "ng",
+        F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("__b"),
+    ).select(group_col, "ng", F.col("__b").cast("bigint").alias("b"))
+    full = (
+        spine.join(gb, [group_col, "b"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)).cast("bigint"))
+        .join(F.broadcast(cb), "b", "left")
+        .withColumn("nb", F.coalesce("nb", F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+    )
+    scored = lnfp(
+        full, F.col("n") + 1, F.col("ng") + n_buckets, "lnp"
+    )
+    scored = lnfp(
+        scored, F.col("nb") + 1, F.col("nn") + n_buckets, "lnq"
+    )
+    term = F.expr("CAST(n + 1 AS DECIMAL(38,0)) * (lnp - lnq)")
+    return (
+        scored.groupBy(group_col, "ng")
+        .agg(F.sum(term).alias("__s"))
+        .select(
+            group_col,
+            F.col("ng").alias("n_tokens"),
+            F.expr(f"CAST(__s DIV (ng + {n_buckets}) AS BIGINT)").alias(
+                "kl_fp"
+            ),
+        )
+    )

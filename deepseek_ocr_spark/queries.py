@@ -2883,6 +2883,72 @@ def q_canonical_dedup(spark, sf_dir):
     )
 
 
+def q_mixture_kl(spark, sf_dir):
+    """Per-source unigram KL divergence against the corpus blend
+    (functions/importance.py unigram_kl): Laplace-smoothed hashed
+    distributions over the full 4096-bucket spine, exact-range-
+    reduction fixed-point ln (lm.py machinery), DECIMAL(38,0) weighted
+    sum — the data-mixture drift diagnostic, hash-verified."""
+    from deepseek_ocr_spark.functions import importance as IM
+
+    return IM.unigram_kl(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+def _mixture_kl_sql() -> str:
+    from deepseek_ocr_spark.functions import importance as IM
+    from deepseek_ocr_spark.functions import lm as LM
+
+    b = IM.N_BUCKETS
+    shift = lambda x, amt: f"({x}::BIGINT << ({amt}))"  # noqa: E731
+    ln_chain = (
+        lambda tag, keep: f"""
+k_{tag} AS (SELECT *, {LM.K_SQL} AS __k FROM n_{tag}),
+r_{tag} AS (SELECT *, {LM.r2_sql(shift)} AS __r2 FROM k_{tag}),
+z_{tag} AS (SELECT *, {LM.Z_SQL} AS __z FROM r_{tag}),
+w_{tag} AS (SELECT *, {LM.Z2_SQL} AS __z2 FROM z_{tag}),
+o_{tag} AS (SELECT {keep}, {LM.NLL_FP_SQL} AS ln_{tag} FROM w_{tag})"""
+    )
+    return f"""
+WITH toks AS (
+  SELECT source,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % {b} AS b
+  FROM (SELECT source,
+               unnest(string_split_regex(lower(trim(text)),
+                                         '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+        FROM documents)
+), gb AS (
+  SELECT source, b, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2
+), gt AS (SELECT source, sum(n)::BIGINT AS ng FROM gb GROUP BY 1),
+cb AS (SELECT b, sum(n)::BIGINT AS nb FROM gb GROUP BY 1),
+tot AS (SELECT sum(n)::BIGINT AS nn FROM gb),
+spine AS (SELECT source, ng, unnest(range({b}))::BIGINT AS b FROM gt),
+full_ AS (
+  SELECT s.source, s.ng, s.b,
+         coalesce(g.n, 0)::BIGINT AS n,
+         coalesce(c.nb, 0)::BIGINT AS nb, t.nn
+  FROM spine s
+  LEFT JOIN gb g ON g.source = s.source AND g.b = s.b
+  LEFT JOIN cb c ON c.b = s.b, tot t
+), n_p AS (
+  SELECT source, ng, b, n, nb, nn,
+         (n + 1)::BIGINT AS __num, (ng + {b})::BIGINT AS __den
+  FROM full_
+),{ln_chain("p", "source, ng, n, nb, nn")},
+n_q AS (
+  SELECT source, ng, n, ln_p,
+         (nb + 1)::BIGINT AS __num, (nn + {b})::BIGINT AS __den
+  FROM o_p
+),{ln_chain("q", "source, ng, n, ln_p")}
+SELECT source, ng AS n_tokens,
+       (sum((n + 1)::HUGEINT * (ln_p - ln_q)) // (ng + {b}))::BIGINT
+         AS kl_fp
+FROM o_q GROUP BY source, ng
+"""
+
+
+SQL_MIXTURE_KL = _mixture_kl_sql()
+
+
 SQL_CANONICAL_DEDUP = """
 WITH u AS (
   SELECT doc_id, source,
@@ -4818,6 +4884,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
     "burst_detect": (q_burst_detect, SQL_BURST_DETECT),
     "canonical_dedup": (q_canonical_dedup, SQL_CANONICAL_DEDUP),
+    "mixture_kl": (q_mixture_kl, SQL_MIXTURE_KL),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
     "html_tables": (q_html_tables, SQL_HTML_TABLES),
@@ -4866,7 +4933,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     # --- round-2 queries displaced from the r3 window ----------------
-    "formula_clean": (q_formula_clean, None),
     # --- dedup family (bucketed-join shapes) -------------------------
     # (minhash_signatures / lsh_candidate_pairs / neardup_clusters /
     #  chunk_dedup_rewrite / simhash were driver-verified green in
@@ -4907,6 +4973,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ivf_topk": (q_ivf_topk, None),
     "ivf_recall": (q_ivf_recall, None),
     "repetition_clamp": (q_repetition_clamp, None),
+    "formula_clean": (q_formula_clean, None),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),

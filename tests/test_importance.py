@@ -117,3 +117,59 @@ def test_dsir_plan_is_broadcast_and_bounded(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 1
+
+
+def test_unigram_kl_ranks_drift_and_matches_float_reference(spark):
+    """A source identical to the majority blend scores near zero; an
+    off-vocabulary source scores clearly higher; the fixed-point value
+    tracks a float reference of the same smoothed definition within
+    the series + truncation budget; partitioning-independent."""
+    import math
+    from collections import Counter
+
+    from deepseek_ocr_spark.functions.dedup import md5_prefix_int  # noqa: F401
+    from deepseek_ocr_spark.functions import importance as IM
+
+    rows = (
+        [(i, "the quick brown fox jumps over the lazy dog", "blend")
+         for i in range(30)]
+        + [(100 + i, "the quick brown fox jumps over the lazy dog", "same")
+           for i in range(10)]
+        + [(200 + i, "zzz qqq www eee rrr ttt yyy uuu", "drift")
+           for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in IM.unigram_kl(df, "source", "text").collect()}
+    # invariants: the off-vocabulary source out-diverges the blend-like
+    # one (both > 0 — the corpus q is the BLEND, so even "same" pays
+    # for the drift mass it lacks), Gibbs nonnegativity up to fp
+    # truncation, and exact agreement with the float reference below
+    assert got["drift"]["kl_fp"] > got["same"]["kl_fp"] >= -10
+
+    # float reference with identical hashing/smoothing
+    B = IM.N_BUCKETS
+    import hashlib
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    per_group, corpus = {}, Counter()
+    for _, text, src in rows:
+        toks = text.lower().strip().split()
+        per_group.setdefault(src, Counter())
+        for t in toks:
+            per_group[src][bucket(t)] += 1
+            corpus[bucket(t)] += 1
+    nn = sum(corpus.values())
+    for src_name, cnt in per_group.items():
+        ng = sum(cnt.values())
+        kl = sum(
+            (cnt[b] + 1) / (ng + B)
+            * math.log(((cnt[b] + 1) * (nn + B)) / ((ng + B) * (corpus[b] + 1)))
+            for b in range(B)
+        )
+        assert abs(got[src_name]["kl_fp"] / 1e6 - kl) < 2e-3, src_name
+        assert got[src_name]["n_tokens"] == ng
+    again = {r["source"]: r["kl_fp"]
+             for r in IM.unigram_kl(df.repartition(7), "source", "text").collect()}
+    assert again == {k: v["kl_fp"] for k, v in got.items()}

@@ -439,5 +439,6 @@ def test_registry_window_holds_exactly_fifty_entries():
         "cms_topk",
         "burst_detect",
         "canonical_dedup",
+        "mixture_kl",
     ):
         assert name in in_window, f"{name} fell below the driver cut"
