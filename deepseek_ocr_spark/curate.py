@@ -38,7 +38,11 @@ MIN_QUALITY = 0.3
 JACCARD_DROP = 0.85
 
 
-def enrich(extracted: DataFrame, normalize: bool = False) -> DataFrame:
+def enrich(
+    extracted: DataFrame,
+    normalize: bool = False,
+    c4_lines: bool = False,
+) -> DataFrame:
     """status=ok rows → text-stat columns (all codegen expressions).
 
     ``normalize=True`` runs functions/normalize.py's whitespace/control
@@ -46,15 +50,28 @@ def enrich(extracted: DataFrame, normalize: bool = False) -> DataFrame:
     docs differing only by NBSP/zero-width/control bytes collapse at
     the exact-dedup stage. Off by default: the byte-identity contract
     of the EXTRACTION output is per raw extracted text, and normalizing
-    is a curation-policy choice."""
+    is a curation-policy choice.
+
+    ``c4_lines=True`` applies the C4 line+page cleaning pass
+    (functions/c4.py: keep terminal-punctuated >=5-word lines without
+    'javascript'; drop pages with <3 surviving sentences, 'lorem
+    ipsum', or a curly brace) AFTER normalization and BEFORE stats/
+    fingerprinting — so dedup fingerprints, token counts, and quality
+    scores judge the text that will actually ship. Zero-shuffle: both
+    rewrites stay inside the same codegen projection."""
     t = F.col("extracted_text")
     if normalize:
         from deepseek_ocr_spark.functions.normalize import normalize_text
 
         t = normalize_text(t)
-    return extracted.filter(
-        (F.col("status") == "ok") & (F.length(t) > 0)
-    ).select(
+    keep = (F.col("status") == "ok") & (F.length(t) > 0)
+    if c4_lines:
+        from deepseek_ocr_spark.functions import c4 as C4
+
+        raw = t
+        t = C4.c4_clean_text(raw)
+        keep = keep & C4.c4_page_keep(t, raw) & (F.length(t) > 0)
+    return extracted.filter(keep).select(
         "url",
         "doc_type",
         t.alias("text"),
@@ -421,6 +438,7 @@ def curate(
     domain_token_budget: int | None = None,
     dsir_target_langs: tuple[str, ...] | None = None,
     normalize: bool = False,
+    c4_lines: bool = False,
     substring_dedup: bool = False,
     badwords: tuple[str, ...] | None = None,
     blocklist: DataFrame | None = None,
@@ -446,7 +464,13 @@ def curate(
     (water-fill + hash sampling), ``dsir_target_langs`` keeps only
     docs with positive DSIR importance toward those languages.
     ``normalize=True`` applies whitespace/control normalization before
-    stats/fingerprints (see ``enrich``). ``substring_dedup=True`` runs
+    stats/fingerprints (see ``enrich``). ``c4_lines=True`` applies the
+    C4 line+page cleaning pass inside ``enrich`` (before stats and
+    fingerprints), so with it on, ``extracted_ok`` counts pages that
+    survived extraction AND the C4 page gate — the pre-gate page count
+    is the extraction job's own row metric, not a funnel boundary
+    (counting it separately would cost a second scan for a number the
+    extract sink already records). ``substring_dedup=True`` runs
     the Lee-2021 exact-substring REWRITE (dedup.kgram_dedup_rewrite)
     between near-dup dedup and the quality gate: duplicated 16-gram
     spans are excised from non-first occurrences, the doc's text is
@@ -505,7 +529,7 @@ def curate(
         extracted = extracted.observe(
             canon_pages_obs, F.count(F.lit(1)).alias("n")
         )
-    docs = enrich(extracted, normalize=normalize)
+    docs = enrich(extracted, normalize=normalize, c4_lines=c4_lines)
     blocked_col = None
     if blocklist is not None:
         # mark once, before the persist, so the funnel's one-pass

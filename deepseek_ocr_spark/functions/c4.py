@@ -1,0 +1,125 @@
+"""C4 line-level cleaning (Raffel 2020, §2.2) — the canonical
+sentence-hygiene pass that precedes every other quality gate in the
+published C4 recipe.
+
+The reference serving loop (`DeepSeek-OCR-master/run_dpsk_ocr.py`)
+emits raw extracted text per request and leaves corpus hygiene to the
+consumer; a 100 TB curation engine has to do it in-plan. The C4 paper
+keeps a line iff it
+
+  * ends in terminal punctuation (``.``, ``!``, ``?``, or a closing
+    quote after one of those), and
+  * has at least ``min_words`` words (paper: 5), and
+  * does not contain the word "javascript" (the enable-JS nag), and
+  * is not a cookie/policy boilerplate line (``lorem ipsum`` handled
+    at page level below).
+
+and keeps a PAGE iff the cleaned text still has >= ``min_sentences``
+sentences (paper: 3), does not contain ``lorem ipsum``, and does not
+contain a curly brace (code leakage).
+
+Scale shape: the whole pass is a single zero-shuffle projection —
+``split → filter(lambda) → array_join`` runs inside whole-stage
+codegen, the line stream never explodes into rows, and nothing joins.
+At 10^12 pages this adds no exchange to the curation funnel; it
+composes with the host-frequency site-boilerplate pass (which DOES
+need a shuffle) as the cheap first stage.
+
+Determinism: the keep predicate is pure string algebra; word counting
+uses the repo-wide TOKEN_SPLIT_RE (see textstats.py for the
+Java-vs-RE2 ``\\s`` divergence note); the DuckDB twin in queries.py
+evaluates the identical predicate via ``list_filter``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.textstats import TOKEN_SPLIT_RE
+
+MIN_WORDS = 5
+MIN_SENTENCES = 3
+
+# Terminal punctuation per the C4 paper: . ! ? or a closing double
+# quote following one of those. Trailing [ \t] tolerated (trailing
+# whitespace on a line is an extraction artifact, not prose).
+_TERMINAL_RE = r'[.!?]"?[ \t]*$'
+# "javascript" as a word, any case — the enable-JS nag line. \b is
+# identical in Java and RE2 for ASCII neighbors.
+_JS_RE = r"(?i)\bjavascript\b"
+# Sentence counter for the page gate: terminal punct occurrences.
+_SENT_RE = r"[.!?]"
+
+
+def c4_keep_line(line: Column) -> Column:
+    """Boolean: the C4 line-keep predicate on one line."""
+    words = F.size(
+        F.filter(
+            F.split(F.trim(line), TOKEN_SPLIT_RE), lambda t: t != ""
+        )
+    )
+    return (
+        (F.regexp_count(line, F.lit(_TERMINAL_RE)) > 0)
+        & (words >= MIN_WORDS)
+        & (F.regexp_count(line, F.lit(_JS_RE)) == 0)
+    )
+
+
+def c4_clean_text(text: Column) -> Column:
+    """Text rebuilt from only the C4-kept lines — one codegen
+    projection, the line stream never leaves the row."""
+    return F.array_join(
+        F.filter(F.split(text, "\n"), c4_keep_line), "\n"
+    )
+
+
+def c4_line_stats(text: Column) -> tuple[Column, Column]:
+    """(n_lines, n_kept) for funnel accounting."""
+    lines = F.split(text, "\n")
+    return (
+        F.size(lines).cast("bigint"),
+        F.size(F.filter(lines, c4_keep_line)).cast("bigint"),
+    )
+
+
+def c4_page_keep(clean_text: Column, raw_text: Column) -> Column:
+    """Boolean: the C4 page gate over the line-cleaned text — still
+    >= MIN_SENTENCES sentences, no 'lorem ipsum', no curly brace.
+    The lorem/brace checks run on the RAW text (the paper drops the
+    page if the phrase appears anywhere, kept lines or not)."""
+    n_sent = F.regexp_count(clean_text, F.lit(_SENT_RE))
+    lower = F.lower(raw_text)
+    return (
+        (n_sent >= MIN_SENTENCES)
+        & ~lower.contains("lorem ipsum")
+        & ~lower.contains("{")
+    )
+
+
+def c4_clean(
+    docs,
+    id_col: str,
+    text_col: str,
+    keep_pages_only: bool = False,
+):
+    """(id, clean_text, n_lines, n_kept, page_keep) — the full C4
+    line+page pass as one projection. With ``keep_pages_only`` the
+    failing pages are filtered out (the funnel stage shape); default
+    returns every page with its verdict so callers can count drops
+    without a second scan."""
+    n_lines, n_kept = c4_line_stats(F.col(text_col))
+    # page gate needs the raw text for lorem/brace — derive clean and
+    # verdict in ONE select (no self-join, no second scan):
+    out = docs.select(
+        F.col(id_col),
+        c4_clean_text(F.col(text_col)).alias("clean_text"),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept"),
+        c4_page_keep(
+            c4_clean_text(F.col(text_col)), F.col(text_col)
+        ).alias("page_keep"),
+    )
+    if keep_pages_only:
+        out = out.filter(F.col("page_keep")).drop("page_keep")
+    return out

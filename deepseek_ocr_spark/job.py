@@ -200,6 +200,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "collapse at exact dedup)",
     )
     p.add_argument(
+        "--c4-lines",
+        action="store_true",
+        help="curate mode: C4 line+page cleaning (Raffel 2020) before "
+        "stats and fingerprints — keep lines ending in terminal "
+        "punctuation with >=5 words and no 'javascript'; drop pages "
+        "with <3 surviving sentences, 'lorem ipsum', or a curly brace",
+    )
+    p.add_argument(
         "--output-format",
         choices=("parquet", "jsonl"),
         default="parquet",
@@ -302,6 +310,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             domain_token_budget=args.domain_token_budget,
             dsir_target_langs=_parse_languages(args.dsir_target_langs),
             normalize=args.normalize,
+            c4_lines=args.c4_lines,
             substring_dedup=args.substring_dedup,
             badwords=(
                 tuple(w.strip().lower() for w in args.badwords.split(",") if w.strip())

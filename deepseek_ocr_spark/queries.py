@@ -4858,6 +4858,100 @@ FROM h ORDER BY doc_id
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
+# C4 line-level cleaning (Raffel 2020 §2.2)
+# --------------------------------------------------------------------
+#
+# Fixture synthesis: documents.text is single-line word soup, so the
+# query builds a 6-line page per doc exercising every branch of the
+# predicate: a kept sentence, a no-terminal drop, the enable-JS nag,
+# a <5-word drop, a conditional lorem-ipsum page poison (doc_id%7),
+# a conditional curly-brace page poison (doc_id%11), and a second/
+# third kept sentence whose presence depends on the doc's length
+# (substr past EOL → too-short line → the 3-sentence page gate
+# flips), so page_keep varies across the fixture.
+
+_C4_NL = "\n"
+
+
+def _c4_fixture_text_spark(d):
+    nl = F.lit(_C4_NL)
+    return F.concat(
+        F.substring(F.col("text"), 1, 40), F.lit("."), nl,
+        F.substring(F.col("text"), 41, 20), nl,
+        F.lit("Please enable JavaScript to view this page."), nl,
+        F.lit("Tiny line."), nl,
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("Lorem ipsum dolor sit amet sits here.\n"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit("Inline code { return 1; } leaked into prose.\n"))
+        .otherwise(F.lit("")),
+        F.substring(F.col("text"), 61, 40), F.lit("!"), nl,
+        F.substring(F.col("text"), 201, 40), F.lit("?"),
+    )
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4 line+page cleaning (functions/c4.py): keep lines ending in
+    terminal punctuation with >=5 words and no 'javascript'; keep
+    pages with >=3 surviving sentences, no 'lorem ipsum', no curly
+    brace. One zero-shuffle codegen projection — the cheapest stage
+    of the published C4 funnel, and the one the reference's serving
+    loop leaves to the consumer."""
+    from deepseek_ocr_spark.functions import c4 as C4
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id", _c4_fixture_text_spark(d).alias("text")
+    )
+    return C4.c4_clean(pages, "doc_id", "text").orderBy("doc_id")
+
+
+SQL_C4_LINE_FILTER = """
+WITH p AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || '.' || chr(10)
+         || substr(text, 41, 20) || chr(10)
+         || 'Please enable JavaScript to view this page.' || chr(10)
+         || 'Tiny line.' || chr(10)
+         || CASE WHEN doc_id % 7 = 0
+              THEN 'Lorem ipsum dolor sit amet sits here.' || chr(10)
+              ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN 'Inline code { return 1; } leaked into prose.'
+                   || chr(10)
+              ELSE '' END
+         || substr(text, 61, 40) || '!' || chr(10)
+         || substr(text, 201, 40) || '?' AS text
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, text,
+         list_filter(
+           string_split(text, chr(10)),
+           l -> regexp_matches(l, '[.!?]"?[ \\t]*$')
+                AND len(list_filter(
+                      regexp_split_to_array(trim(l),
+                                            '[ \\t\\n\\x0B\\f\\r]+'),
+                      t -> t <> '')) >= 5
+                AND NOT regexp_matches(l, '(?i)\\bjavascript\\b')
+         ) AS kept,
+         len(string_split(text, chr(10)))::BIGINT AS n_lines
+  FROM p
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS clean_text,
+       n_lines,
+       len(kept)::BIGINT AS n_kept,
+       (len(regexp_extract_all(array_to_string(kept, chr(10)),
+                               '[.!?]')) >= 3
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(lower(text), '{')) AS page_keep
+FROM cleaned
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------
 #
 # ORDERING POLICY (the driver's correctness gate checks the FIRST 50
 # entries of this dict, in order): newest / highest-risk operators
@@ -4879,6 +4973,7 @@ FROM h ORDER BY doc_id
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
+    "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "host_hits": (q_host_hits, SQL_HOST_HITS),
     "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
@@ -4887,7 +4982,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mixture_kl": (q_mixture_kl, SQL_MIXTURE_KL),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
-    "html_tables": (q_html_tables, SQL_HTML_TABLES),
     "bloom_seen_urls": (q_bloom_seen_urls, SQL_BLOOM_SEEN_URLS),
     "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
     "recrawl_churn": (q_recrawl_churn, SQL_RECRAWL_CHURN),
@@ -4956,7 +5050,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     #       emb_norm_by_label, demoted when host_hits entered the
     #       window (driver-green r1-r3, unchanged; kmeans_assign /
     #       semdedup_keep / prototype_prune keep the embedding
-    #       fixed-point machinery driver-checked). Each is the
+    #       fixed-point machinery driver-checked), plus html_tables,
+    #       demoted when c4_line_filter entered (a zero-shuffle
+    #       regexp projection of the same class as the in-window
+    #       html-derived queries; locally hash-verified every round
+    #       since it shipped). Each is the
     #       LESSER sibling of an in-window query exercising the same
     #       machinery — boilerplate line-hash aggs (site_boilerplate),
     #       BPE pair counting (bpe_train round 1), the host-graph
@@ -4967,6 +5065,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # (Exactly 50 entries sit above this banner — tests/test_review_
     # fixes.py pins the count so the policy can't silently drift.)
     # ------------------------------------------------------------------
+    "html_tables": (q_html_tables, SQL_HTML_TABLES),
     "site_template_ratio": (q_site_template_ratio, SQL_SITE_TEMPLATE_RATIO),
     "emb_norm_by_label": (q_emb_norm_by_label, SQL_EMB_NORM_BY_LABEL),
     "ann_lsh_recall": (q_ann_lsh_recall, SQL_ANN_LSH_RECALL),

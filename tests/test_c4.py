@@ -1,0 +1,124 @@
+"""C4 line-level cleaning (functions/c4.py): every predicate branch,
+the page gate, curate() integration, and the zero-shuffle plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.curate import curate, enrich
+from deepseek_ocr_spark.functions import c4 as C4
+
+GOOD = "This line has enough words and ends well."
+GOOD2 = "Another perfectly fine sentence sits right here!"
+GOOD3 = "A third proper sentence closes out the page?"
+
+
+def _clean(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    return C4.c4_clean(df, "doc_id", "text").first()
+
+
+def test_line_predicates(spark):
+    r = _clean(
+        spark,
+        "\n".join(
+            [
+                GOOD,
+                "no terminal punctuation on this line at all",
+                "Tiny line.",
+                "Please enable JavaScript to continue reading.",
+                GOOD2,
+                GOOD3,
+            ]
+        ),
+    )
+    assert r["n_lines"] == 6
+    assert r["n_kept"] == 3
+    assert r["clean_text"] == "\n".join([GOOD, GOOD2, GOOD3])
+    assert r["page_keep"] is True
+
+
+def test_terminal_quote_allowed(spark):
+    r = _clean(spark, 'He said the words "it is finished today."\n' + GOOD
+               + "\n" + GOOD2)
+    assert r["n_kept"] == 3
+
+
+def test_page_gate_sentence_floor(spark):
+    # only two surviving sentences -> page dropped
+    r = _clean(spark, GOOD + "\n" + GOOD2)
+    assert r["n_kept"] == 2 and r["page_keep"] is False
+
+
+def test_page_gate_lorem_and_brace(spark):
+    base = "\n".join([GOOD, GOOD2, GOOD3])
+    assert _clean(spark, base)["page_keep"] is True
+    # lorem ipsum anywhere on the RAW page kills it, kept or not
+    assert _clean(spark, base + "\nlorem ipsum")["page_keep"] is False
+    assert _clean(spark, base + "\nif (x) { y(); }")["page_keep"] is False
+    # case-insensitive
+    assert _clean(spark, base + "\nLorem Ipsum dolor.")["page_keep"] is False
+
+
+def test_javascript_word_not_substring(spark):
+    # 'javascripted' is NOT the word javascript — the line survives
+    r = _clean(
+        spark,
+        "The page was javascripted beyond all recognition today.\n"
+        + GOOD + "\n" + GOOD2,
+    )
+    assert r["n_kept"] == 3
+
+
+def test_enrich_c4_lines_gate(spark):
+    extracted = spark.createDataFrame(
+        [
+            ("u1", "html", "ok", "\n".join([GOOD, "junk menu line", GOOD2, GOOD3])),
+            ("u2", "html", "ok", "lorem ipsum dolor sit amet today.\n" + GOOD),
+            ("u3", "html", "ok", "short.\nalso short.\nno terminals here"),
+            ("u4", "html", "error", GOOD),
+        ],
+        "url string, doc_type string, status string, extracted_text string",
+    )
+    out = enrich(extracted, c4_lines=True)
+    rows = {r["url"]: r for r in out.collect()}
+    assert set(rows) == {"u1"}
+    # stats computed on the CLEANED text (junk line gone)
+    assert rows["u1"]["text"] == "\n".join([GOOD, GOOD2, GOOD3])
+    assert rows["u1"]["fp"] is not None
+
+
+def test_enrich_c4_zero_shuffle_plan(spark):
+    extracted = spark.createDataFrame(
+        [("u1", "html", "ok", GOOD)],
+        "url string, doc_type string, status string, extracted_text string",
+    )
+    plan = enrich(extracted, c4_lines=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_curate_c4_lines_end_to_end(spark):
+    body_ok = (
+        "<html><body><p>Alpha beta gamma delta epsilon words flow here today.</p>"
+        "<p>Second sentence also carries plenty of words along!</p>"
+        "<p>Third sentence closes the page with room to spare.</p>"
+        "<p>Fourth filler sentence keeps the token count high enough.</p>"
+        "</body></html>"
+    )
+    body_js = (
+        "<html><body><p>Please enable JavaScript to view this content.</p>"
+        "<p>Nothing else on this page ends with punctuation</p></body></html>"
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/ok", None, body_ok.encode(), None, None),
+            ("https://b.example/js", None, body_js.encode(), None, None),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    final, funnel = curate(pages, parallelism=2, c4_lines=True)
+    urls = [r["url"] for r in final.collect()]
+    assert urls == ["https://a.example/ok"]
+    # with c4_lines on, extracted_ok already includes the page gate
+    assert funnel["extracted_ok"] == 1
