@@ -537,6 +537,98 @@ def pagerank(
     return rank
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """(node, trust) — TrustRank (Gyöngyi 2004): PageRank whose
+    teleport (and dangling redistribution) mass goes ONLY to a
+    hand-vetted seed set of trusted hosts, so trust decays with link
+    distance from the seeds and link-farm clusters — which acquire
+    PageRank from their own internal edges — get next to none. The
+    standard spam-demotion prior next to ``pagerank``'s popularity
+    prior; CC-scale curation uses both as host-level features.
+
+    ``seeds`` is a 1-column DataFrame of node ids; ids not present in
+    the graph are ignored (a seed nobody links to or from carries no
+    propagatable mass). Same fixed-point discipline as ``pagerank``
+    (1e-9 BIGINT units, integer DIV only — bit-identical across
+    engines; the DuckDB twin unrolls the same updates), same per-
+    iteration shape: one rank-onto-edges hash join + one dst-keyed
+    partial agg + a broadcast 1-row dangling scalar. The seed set is
+    dimension-sized (hundreds of hosts) and broadcasts.
+
+        trust'(v) = [v∈S] * ( SCALE*3 DIV (20*|S|)
+                              + (17*dangling) DIV (20*|S|) )
+                  + (17 * Σ_{(u,v)∈E} trust(u) DIV outdeg(u)) DIV 20
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_col = seeds.columns[0]
+    s = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+    )
+    flagged = nodes.join(
+        F.broadcast(s.withColumn("_is_seed", F.lit(True))), "node", "left"
+    ).select("node", F.coalesce("_is_seed", F.lit(False)).alias("is_seed"))
+    outd = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n_seeds = s.agg(F.count("*").alias("ns"))
+    rank = flagged.crossJoin(F.broadcast(n_seeds)).select(
+        "node",
+        "is_seed",
+        F.when(F.col("is_seed"), F.expr(f"{scale} DIV ns"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("trust"),
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(outd, "src")
+            .join(
+                rank.select(F.col("node").alias("src"), "trust"), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("trust DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inc"))
+        )
+        dangling = rank.join(
+            outd.withColumnRenamed("src", "node"), "node", "left_anti"
+        ).agg(F.coalesce(F.sum("trust"), F.lit(0)).alias("dm"))
+        rank = (
+            flagged.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_seeds))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "is_seed",
+                F.expr(
+                    "CASE WHEN is_seed THEN"
+                    f" {scale * 3} DIV (20 * ns) + (17 * dm) DIV (20 * ns)"
+                    " ELSE 0 END"
+                    " + (17 * coalesce(inc, 0)) DIV 20"
+                )
+                .cast("bigint")
+                .alias("trust"),
+            )
+        )
+    return rank.select("node", "trust")
+
+
 LP_ROUNDS = 3
 
 

@@ -2719,6 +2719,66 @@ r{k} AS (SELECT n.node,
 
 SQL_HOST_PAGERANK = _pagerank_sql()
 
+_TRUST_SEEDS = ("src1", "src4", "src9")
+
+
+def q_host_trustrank(spark, sf_dir):
+    """TrustRank (functions/graph.py trustrank, Gyöngyi 2004):
+    PageRank whose teleport + dangling mass go only to a vetted seed
+    set, so trust decays with link distance from the seeds — the
+    host-level spam-demotion prior next to pagerank's popularity
+    prior. Same fixed-point integer discipline, bit-identical to the
+    unrolled DuckDB twin."""
+    from deepseek_ocr_spark.functions import graph as GR
+
+    seeds = spark.createDataFrame(
+        [(s,) for s in _TRUST_SEEDS], "node string"
+    )
+    return GR.trustrank(_host_edges(spark, sf_dir), seeds, "src", "dst")
+
+
+def _trustrank_sql() -> str:
+    from deepseek_ocr_spark.functions import graph as GR
+
+    scale, iters = GR.PR_SCALE, GR.PR_ITERS
+    seed_list = ", ".join(f"'{s}'" for s in _TRUST_SEEDS)
+    parts = [
+        "WITH "
+        + _HOST_EDGES_SQL
+        + f""",
+outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+seeds AS (SELECT node FROM nodes WHERE node IN ({seed_list})),
+nsd AS (SELECT count(*) AS ns FROM seeds),
+t0 AS (SELECT n.node,
+              (CASE WHEN s.node IS NOT NULL THEN {scale} // d.ns
+                    ELSE 0 END)::BIGINT AS trust
+       FROM nodes n LEFT JOIN seeds s ON s.node = n.node, nsd d)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+inc{k} AS (SELECT e.dst AS node, sum(t.trust // o.outdeg)::BIGINT AS inc
+           FROM e JOIN outd o ON o.src = e.src
+                  JOIN t{k - 1} t ON t.node = e.src
+           GROUP BY e.dst),
+dgl{k} AS (SELECT coalesce(sum(trust), 0)::BIGINT AS dm FROM t{k - 1}
+           WHERE node NOT IN (SELECT src FROM outd)),
+t{k} AS (SELECT n.node,
+                (CASE WHEN s.node IS NOT NULL
+                      THEN {scale * 3} // (20 * d.ns)
+                           + (17 * g.dm) // (20 * d.ns)
+                      ELSE 0 END
+                 + (17 * coalesce(i.inc, 0)) // 20)::BIGINT AS trust
+         FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+              LEFT JOIN inc{k} i ON i.node = n.node, nsd d, dgl{k} g)"""
+        )
+    parts.append(f"\nSELECT node, trust FROM t{iters}")
+    return "".join(parts)
+
+
+SQL_HOST_TRUSTRANK = _trustrank_sql()
+
 
 def q_host_hits(spark, sf_dir):
     """Fixed-point HITS hubs/authorities over the host link graph
@@ -4974,6 +5034,7 @@ ORDER BY doc_id
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
     "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
+    "host_trustrank": (q_host_trustrank, SQL_HOST_TRUSTRANK),
     "host_hits": (q_host_hits, SQL_HOST_HITS),
     "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
@@ -4982,7 +5043,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mixture_kl": (q_mixture_kl, SQL_MIXTURE_KL),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
-    "bloom_seen_urls": (q_bloom_seen_urls, SQL_BLOOM_SEEN_URLS),
     "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
     "recrawl_churn": (q_recrawl_churn, SQL_RECRAWL_CHURN),
     "site_boilerplate": (q_site_boilerplate, SQL_SITE_BOILERPLATE),
@@ -5065,6 +5125,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # (Exactly 50 entries sit above this banner — tests/test_review_
     # fixes.py pins the count so the policy can't silently drift.)
     # ------------------------------------------------------------------
+    "bloom_seen_urls": (q_bloom_seen_urls, SQL_BLOOM_SEEN_URLS),
     "html_tables": (q_html_tables, SQL_HTML_TABLES),
     "site_template_ratio": (q_site_template_ratio, SQL_SITE_TEMPLATE_RATIO),
     "emb_norm_by_label": (q_emb_norm_by_label, SQL_EMB_NORM_BY_LABEL),

@@ -408,6 +408,7 @@ def test_registry_window_holds_exactly_fifty_entries():
     assert in_window == list(queries.REGISTRY)[:50]
     for name in (
         "c4_line_filter",
+        "host_trustrank",
         "site_boilerplate",
         "hll_token_profile",
         "tokenizer_fertility",

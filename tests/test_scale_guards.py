@@ -233,6 +233,54 @@ def test_pagerank_fixed_point(spark):
     assert again == got
 
 
+def test_trustrank_decays_from_seeds(spark):
+    """Two clusters: trusted seed -> t1 -> t2 chain, and a spam
+    link-farm (s1<->s2<->s3 densely inter-linked, no path from the
+    seed). TrustRank gives the farm zero trust even though its
+    internal edges would earn it PageRank; the seed chain keeps all
+    the mass (within flooring loss of the scale). Note rank VALUES
+    along a chain are not monotone — the seed forwards its whole
+    mass each round and the dangling end recycles to the seed — the
+    invariant is reachable-from-seeds > 0, unreachable = 0."""
+    from deepseek_ocr_spark.functions import graph as GR
+
+    edges = [("seed", "t1"), ("t1", "t2"),
+             ("s1", "s2"), ("s2", "s3"), ("s3", "s1"),
+             ("s1", "s3"), ("s2", "s1"), ("s3", "s2")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([("seed",)], ["node"])
+    got = {r["node"]: r["trust"]
+           for r in GR.trustrank(df, seeds, "src", "dst").collect()}
+    assert set(got) == {"seed", "t1", "t2", "s1", "s2", "s3"}
+    assert got["s1"] == got["s2"] == got["s3"] == 0
+    assert got["seed"] > 0 and got["t1"] > 0 and got["t2"] > 0
+    # the farm's PageRank would be nonzero — the contrast IS the signal
+    pr = {r["node"]: r["rank"]
+          for r in GR.pagerank(df, "src", "dst").collect()}
+    assert pr["s1"] > 0
+    # mass conservation up to integer flooring
+    assert 0 <= GR.PR_SCALE - sum(got.values()) < 1000
+    # determinism across partitionings
+    again = {r["node"]: r["trust"]
+             for r in GR.trustrank(df.repartition(7), seeds,
+                                   "src", "dst").collect()}
+    assert again == got
+
+
+def test_trustrank_ignores_off_graph_seeds(spark):
+    """A seed id absent from the edge list carries no mass — |S|
+    counts only seeds present in the graph, so the in-graph seed gets
+    the full teleport share."""
+    from deepseek_ocr_spark.functions import graph as GR
+
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("ghost",)], ["node"])
+    got = {r["node"]: r["trust"]
+           for r in GR.trustrank(df, seeds, "src", "dst").collect()}
+    assert set(got) == {"a", "b"}
+    assert 0 <= GR.PR_SCALE - sum(got.values()) < 1000
+
+
 def test_degree_stats(spark):
     from deepseek_ocr_spark.functions import graph as GR
 
