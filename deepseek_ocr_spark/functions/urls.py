@@ -101,6 +101,86 @@ def url_signals(url: Column) -> tuple[Column, Column, Column, Column]:
     return depth, has_query, is_media, n_spam
 
 
+# Crawler-trap template mining: calendar pages, session-id paths,
+# pagination, and faceted-search explosions all share a PATH SHAPE
+# with volatile segments (/2024/05/17/, /page/4917/, /s/a8f3d29c41b7)
+# — at crawl scale a single such template can emit millions of URLs
+# of near-zero marginal content. Collapsing volatile segments to
+# placeholders and counting URLs per (host, template) surfaces them
+# before a single page is fetched. Per-segment classes (checked in
+# order; pure RE2∩Java regex — no lookahead, so the DuckDB twin runs
+# the identical strings):
+#   {n} all digits            (ids, years, page numbers)
+#   {h} hex, >= 8 chars       (session ids, content hashes)
+#   {m} digits mixed with text (slugs like 'item-4917')
+_SEG_NUM_RE = r"^[0-9]+$"
+_SEG_HEX_RE = r"^[0-9a-fA-F]{8,}$"
+_SEG_MIX_RE = r"[0-9]"
+
+
+def path_template(url: Column) -> Column:
+    """The URL's path with volatile segments collapsed to {n}/{h}/{m}
+    placeholders — the grouping key for trap mining. Query strings and
+    fragments are dropped (their churn is the tracking-param problem,
+    handled by canonical_url); '' for pathless URLs."""
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1),
+        r"[?#].*$",
+        "",
+    )
+    segs = F.split(path, "/")
+    collapsed = F.transform(
+        segs,
+        lambda s: F.when(s.rlike(_SEG_NUM_RE), F.lit("{n}"))
+        .when(s.rlike(_SEG_HEX_RE), F.lit("{h}"))
+        .when(s.rlike(_SEG_MIX_RE), F.lit("{m}"))
+        .otherwise(s),
+    )
+    return F.array_join(collapsed, "/")
+
+
+# A template is flagged as a trap when it has >= TRAP_MIN_URLS urls
+# AND covers >= TRAP_MIN_FRAC of its host's crawled urls — the same
+# two-clause shape as site-boilerplate (the count alone mis-fires on
+# mega-hosts, the fraction alone on tiny ones). 1e-6 fixed point.
+TRAP_MIN_URLS = 100
+TRAP_MIN_FRAC_FP = 200_000  # 20%
+
+
+def url_template_stats(
+    urls,
+    url_col: str = "url",
+    min_urls: int = TRAP_MIN_URLS,
+    min_frac_fp: int = TRAP_MIN_FRAC_FP,
+):
+    """(host, template, n_urls, host_urls, is_trap) per (host,
+    path-template) — the crawl-frontier trap report. One projection +
+    two host-keyed partial aggs (template counts, host totals) joined
+    on host; the url strings never shuffle, only (host, template)
+    keys. Thresholds compare in integer arithmetic so the DuckDB twin
+    is bit-identical."""
+    keyed = urls.select(
+        domain_col(F.col(url_col)).alias("host"),
+        path_template(F.col(url_col)).alias("template"),
+    )
+    per_t = keyed.groupBy("host", "template").agg(
+        F.count("*").cast("bigint").alias("n_urls")
+    )
+    per_h = keyed.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("host_urls")
+    )
+    return per_t.join(per_h, "host").select(
+        "host",
+        "template",
+        "n_urls",
+        "host_urls",
+        (
+            (F.col("n_urls") >= min_urls)
+            & (F.col("n_urls") * 1_000_000 >= min_frac_fp * F.col("host_urls"))
+        ).alias("is_trap"),
+    )
+
+
 def host_suffixes(host: Column) -> Column:
     """All dot-suffixes of a hostname ('a.b.c' → ['a.b.c','b.c','c'])
     — the bounded explode key for suffix-matched blocklists (blocking

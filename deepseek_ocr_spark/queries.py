@@ -2780,6 +2780,104 @@ t{k} AS (SELECT n.node,
 SQL_HOST_TRUSTRANK = _trustrank_sql()
 
 
+def q_url_templates(spark, sf_dir):
+    """Crawler-trap template mining (functions/urls.py
+    path_template / url_template_stats): volatile path segments
+    collapse to {n}/{h}/{m} placeholders and URLs are counted per
+    (host, template) — calendar archives, session-id paths, and
+    pagination explosions surface as traps BEFORE any page is
+    fetched. Fixture synthesizes four template classes per host from
+    documents (digit archive paths, hex session ids, mixed slugs, a
+    static path); thresholds scaled to fixture size."""
+    from deepseek_ocr_spark.functions import urls as U
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/"),
+        F.when(
+            F.expr("(doc_id DIV 20) % 4") == 0,
+            F.concat(
+                F.lit("archive/"),
+                (F.lit(2000) + F.col("doc_id") % 25).cast("string"),
+                F.lit("/"),
+                (F.col("doc_id") % 12 + 1).cast("string"),
+                F.lit("/post.html"),
+            ),
+        )
+        .when(
+            F.expr("(doc_id DIV 20) % 4") == 1,
+            F.concat(
+                F.lit("s/"),
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 16),
+            ),
+        )
+        .when(
+            F.expr("(doc_id DIV 20) % 4") == 2,
+            F.concat(
+                F.lit("item-"), F.col("doc_id").cast("string"), F.lit("/view")
+            ),
+        )
+        .otherwise(F.lit("about/team")),
+    )
+    return (
+        U.url_template_stats(
+            d.select(url.alias("url")), min_urls=7, min_frac_fp=250_000
+        )
+        .orderBy("host", "template")
+    )
+
+
+SQL_URL_TEMPLATES = """
+WITH u AS (
+  SELECT 'https://' || source || '.example/' ||
+         CASE
+           WHEN (doc_id // 20) % 4 = 0 THEN
+             'archive/' || (2000 + doc_id % 25)::VARCHAR || '/'
+             || (doc_id % 12 + 1)::VARCHAR || '/post.html'
+           WHEN (doc_id // 20) % 4 = 1 THEN
+             's/' || substr(md5(doc_id::VARCHAR), 1, 16)
+           WHEN (doc_id // 20) % 4 = 2 THEN
+             'item-' || doc_id::VARCHAR || '/view'
+           ELSE 'about/team'
+         END AS url
+  FROM documents
+), keyed AS (
+  SELECT regexp_replace(
+           regexp_replace(
+             lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+             '^[^@]*@', ''),
+           ':[0-9]+$', '') AS host,
+         array_to_string(
+           list_transform(
+             string_split(
+               regexp_replace(
+                 regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1),
+                 '[?#].*$', ''),
+               '/'),
+             s -> CASE
+                    WHEN regexp_matches(s, '^[0-9]+$') THEN '{n}'
+                    WHEN regexp_matches(s, '^[0-9a-fA-F]{8,}$') THEN '{h}'
+                    WHEN regexp_matches(s, '[0-9]') THEN '{m}'
+                    ELSE s
+                  END),
+           '/') AS template
+  FROM u
+), per_t AS (
+  SELECT host, template, count(*)::BIGINT AS n_urls
+  FROM keyed GROUP BY host, template
+), per_h AS (
+  SELECT host, count(*)::BIGINT AS host_urls FROM keyed GROUP BY host
+)
+SELECT t.host, t.template, t.n_urls, h.host_urls,
+       (t.n_urls >= 7
+        AND t.n_urls * 1000000 >= 250000 * h.host_urls) AS is_trap
+FROM per_t t JOIN per_h h ON h.host = t.host
+ORDER BY t.host, t.template
+"""
+
+
 def q_host_hits(spark, sf_dir):
     """Fixed-point HITS hubs/authorities over the host link graph
     (functions/graph.py hits): 3 unrolled auth/hub half-steps,
@@ -5035,6 +5133,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # --- round-4 queries ---------------------------------------------
     "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "host_trustrank": (q_host_trustrank, SQL_HOST_TRUSTRANK),
+    "url_templates": (q_url_templates, SQL_URL_TEMPLATES),
     "host_hits": (q_host_hits, SQL_HOST_HITS),
     "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
@@ -5044,7 +5143,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
     "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
-    "recrawl_churn": (q_recrawl_churn, SQL_RECRAWL_CHURN),
     "site_boilerplate": (q_site_boilerplate, SQL_SITE_BOILERPLATE),
     "badwords_filter": (q_badwords_filter, SQL_BADWORDS_FILTER),
     "domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
@@ -5125,6 +5223,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # (Exactly 50 entries sit above this banner — tests/test_review_
     # fixes.py pins the count so the policy can't silently drift.)
     # ------------------------------------------------------------------
+    "recrawl_churn": (q_recrawl_churn, SQL_RECRAWL_CHURN),
     "bloom_seen_urls": (q_bloom_seen_urls, SQL_BLOOM_SEEN_URLS),
     "html_tables": (q_html_tables, SQL_HTML_TABLES),
     "site_template_ratio": (q_site_template_ratio, SQL_SITE_TEMPLATE_RATIO),

@@ -409,6 +409,7 @@ def test_registry_window_holds_exactly_fifty_entries():
     for name in (
         "c4_line_filter",
         "host_trustrank",
+        "url_templates",
         "site_boilerplate",
         "hll_token_profile",
         "tokenizer_fertility",

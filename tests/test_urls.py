@@ -155,3 +155,53 @@ def test_canonical_link_dedup_prefers_target_page(spark):
         ).collect()
     )
     assert again == kept
+
+
+def test_path_template_segment_classes(spark):
+    """Each volatile segment class collapses to its placeholder;
+    static segments, query strings, and pathless URLs behave."""
+    from deepseek_ocr_spark.functions.urls import path_template
+
+    cases = [
+        ("https://a.example/archive/2024/05/post.html",
+         "/archive/{n}/{n}/post.html"),
+        ("https://a.example/s/deadbeefcafe1234", "/s/{h}"),
+        ("https://a.example/item-4917/view", "/{m}/view"),
+        ("https://a.example/about/team", "/about/team"),
+        ("https://a.example/p?page=9#frag", "/p"),
+        ("https://a.example", ""),
+        # short hex is NOT a session id ('abc' stays literal); an
+        # all-digit run shorter than 8 is still {n} (years, pages)
+        ("https://a.example/abc/2024", "/abc/{n}"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["t"] for r in
+           df.select(path_template(F.col("url")).alias("t")).collect()]
+    assert got == [t for _, t in cases]
+
+
+def test_url_template_stats_two_clause_trap(spark):
+    """Both trap clauses matter: high count + high share flags; high
+    count on a mega-host (low share) does not; high share on a tiny
+    host (low count) does not."""
+    from deepseek_ocr_spark.functions.urls import url_template_stats
+
+    rows = (
+        # trap.example: 10 calendar urls out of 12 (count+share pass)
+        [(f"https://trap.example/cal/{i}/d",) for i in range(10)]
+        + [("https://trap.example/about",), ("https://trap.example/faq",)]
+        # mega.example: 10 calendar urls out of 100 (share fails)
+        + [(f"https://mega.example/cal/{i}/d",) for i in range(10)]
+        + [(f"https://mega.example/page{i}x/v",) for i in range(90)]
+        # tiny.example: 2 of 2 (count fails)
+        + [(f"https://tiny.example/cal/{i}/d",) for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "url string")
+    got = {
+        (r["host"], r["template"]): r["is_trap"]
+        for r in url_template_stats(df, min_urls=10,
+                                    min_frac_fp=500_000).collect()
+    }
+    assert got[("trap.example", "/cal/{n}/d")] is True
+    assert got[("mega.example", "/cal/{n}/d")] is False
+    assert got[("tiny.example", "/cal/{n}/d")] is False
