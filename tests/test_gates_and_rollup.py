@@ -171,3 +171,47 @@ def test_prototype_prune_partitioning_independent(spark):
 def test_prototype_prune_rejects_bad_mode(spark):
     with pytest.raises(ValueError):
         prototype_prune(_emb_df(spark), "vec_id", "embedding", 100, mode="mid")
+
+
+def test_script_profile_counts_and_dominant(spark):
+    from deepseek_ocr_spark.functions import textstats as TS
+
+    rows = [
+        (1, "pure latin words only"),
+        (2, "текст на кириллице"),
+        (3, "汉字"),
+        (4, "نص"),
+        (5, "1234 !? ..."),          # no script chars at all
+        (6, "latin with смесь"),     # mixed, latin dominant
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    prof = TS.script_profile(F.col("t"))
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id", *[prof[k].alias(k) for k in prof]
+        ).collect()
+    }
+    assert got[1]["dominant"] == "latin" and got[1]["is_mixed"] is False
+    assert got[2]["dominant"] == "cyrillic" and got[2]["n_cyrillic"] > 0
+    assert got[3]["dominant"] == "han" and got[3]["n_han"] == 2
+    assert got[4]["dominant"] == "arabic"
+    assert got[5]["dominant"] == "none" and got[5]["n_script"] == 0
+    assert got[5]["is_mixed"] is False
+    assert got[6]["dominant"] == "latin" and got[6]["is_mixed"] is True
+
+
+def test_script_profile_mix_threshold(spark):
+    """One stray homoglyph in a long doc stays below the 5% mixed
+    floor; a 10% injection trips it."""
+    from deepseek_ocr_spark.functions import textstats as TS
+
+    rows = [
+        (1, "a" * 100 + "с"),   # 1 Cyrillic of 101 -> ~1%, not mixed
+        (2, "a" * 90 + "с" * 10),  # 10% -> mixed
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    prof = TS.script_profile(F.col("t"))
+    got = {r["id"]: r["is_mixed"]
+           for r in df.select("id", prof["is_mixed"].alias("is_mixed")).collect()}
+    assert got == {1: False, 2: True}

@@ -410,6 +410,7 @@ def test_registry_window_holds_exactly_fifty_entries():
         "c4_line_filter",
         "host_trustrank",
         "url_templates",
+        "script_mix",
         "site_boilerplate",
         "hll_token_profile",
         "tokenizer_fertility",
