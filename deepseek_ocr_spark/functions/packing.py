@@ -148,6 +148,55 @@ def pack_sequences(
     )
 
 
+def shard_assign_uniform(
+    seqs: DataFrame, n_shards: int, seq_col: str = "seq_id"
+) -> DataFrame:
+    """``shard`` column by plain modulo — the right assignment for
+    PACKED sequences, which are uniform by construction (every one
+    except the tail is exactly ``budget`` tokens), so modulo already
+    balances token totals to within one sequence per shard. Zero
+    shuffles at any corpus size; writers then partition the output by
+    ``shard``."""
+    return seqs.withColumn(
+        "shard", (F.col(seq_col) % n_shards).cast("bigint")
+    )
+
+
+def shard_plan_balanced(
+    items: DataFrame,
+    n_shards: int,
+    id_col: str = "id",
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """(id, weight, shard) — deterministic snake (boustrophedon)
+    assignment over items sorted by (weight DESC, id): rank r goes to
+    shard r%N on even passes and N-1-r%N on odd passes, so each pass
+    hands every shard one item and alternating direction cancels the
+    within-pass monotone drift. For items sorted descending this
+    tracks greedy LPT closely with a total order instead of a
+    sequential heap — reproducible across engines and partitionings.
+
+    Scope: MANIFEST-sized inputs (output files, sequence groups,
+    domain buckets — 10^4..10^6 rows), where variable item sizes make
+    modulo unbalanced. The global row_number is one ordered Exchange
+    on a frame that small; for corpus-sized UNIFORM sequences use
+    ``shard_assign_uniform`` (zero shuffles) instead — this function
+    is deliberately not the two-level-scan shape because a shard plan
+    is a dimension artifact, not a corpus scan."""
+    w = Window.orderBy(F.col(weight_col).desc(), F.col(id_col))
+    r = F.row_number().over(w) - 1
+    pos = r % n_shards
+    # pass parity without division: r div N is even  <=>  r mod 2N < N
+    snake = F.when(r % (2 * n_shards) < n_shards, pos).otherwise(
+        n_shards - 1 - pos
+    )
+    return items.select(
+        F.col(id_col),
+        F.col(weight_col),
+        snake.cast("bigint").alias("shard"),
+    )
+
+
 SPLIT_DENOM = 10_000
 
 

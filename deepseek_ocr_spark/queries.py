@@ -2780,6 +2780,44 @@ t{k} AS (SELECT n.node,
 SQL_HOST_TRUSTRANK = _trustrank_sql()
 
 
+def q_shard_plan(spark, sf_dir):
+    """Balanced output-shard planning (functions/packing.py
+    shard_plan_balanced): deterministic snake assignment over items
+    sorted by (tokens DESC, id) — the corpus-to-trainer handoff's
+    last step, balancing per-shard token totals across variable-size
+    items where plain modulo skews. Manifest-sized input by contract
+    (one ordered Exchange over a dimension frame); packed uniform
+    sequences use the zero-shuffle modulo variant instead."""
+    from deepseek_ocr_spark.functions import packing as PK
+
+    d = _t(spark, sf_dir, "documents")
+    items = d.select(
+        F.col("doc_id").alias("id"),
+        TS.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    return PK.shard_plan_balanced(items, 8, "id", "n_tokens").orderBy("id")
+
+
+SQL_SHARD_PLAN = """
+WITH items AS (
+  SELECT doc_id AS id,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text),
+                        '[ \\t\\n\\x0B\\f\\r]+')) END)::BIGINT AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, id) - 1 AS r
+  FROM items
+)
+SELECT id, n_tokens,
+       (CASE WHEN r % 16 < 8 THEN r % 8
+             ELSE 7 - (r % 8) END)::BIGINT AS shard
+FROM ranked
+ORDER BY id
+"""
+
+
 def q_script_mix(spark, sf_dir):
     """Unicode-script profiling (functions/textstats.script_profile):
     per-doc Latin/Cyrillic/Han/Arabic char counts, dominant script,
@@ -5192,13 +5230,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "host_trustrank": (q_host_trustrank, SQL_HOST_TRUSTRANK),
     "url_templates": (q_url_templates, SQL_URL_TEMPLATES),
     "script_mix": (q_script_mix, SQL_SCRIPT_MIX),
+    "shard_plan": (q_shard_plan, SQL_SHARD_PLAN),
     "host_hits": (q_host_hits, SQL_HOST_HITS),
     "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
     "burst_detect": (q_burst_detect, SQL_BURST_DETECT),
     "canonical_dedup": (q_canonical_dedup, SQL_CANONICAL_DEDUP),
     "mixture_kl": (q_mixture_kl, SQL_MIXTURE_KL),
-    "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
     "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
     "site_boilerplate": (q_site_boilerplate, SQL_SITE_BOILERPLATE),
     "badwords_filter": (q_badwords_filter, SQL_BADWORDS_FILTER),
@@ -5280,6 +5318,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # (Exactly 50 entries sit above this banner — tests/test_review_
     # fixes.py pins the count so the policy can't silently drift.)
     # ------------------------------------------------------------------
+    "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "recrawl_churn": (q_recrawl_churn, SQL_RECRAWL_CHURN),
     "bloom_seen_urls": (q_bloom_seen_urls, SQL_BLOOM_SEEN_URLS),

@@ -146,3 +146,54 @@ def test_cluster_safe_split_keeps_neardups_together(spark):
              for r in PK.cluster_safe_split(
                  docs.repartition(7), splits).collect()}
     assert again == got
+
+
+def test_shard_assign_uniform_modulo(spark):
+    from deepseek_ocr_spark.functions import packing as PK
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "seq_id long")
+    got = {r["seq_id"]: r["shard"]
+           for r in PK.shard_assign_uniform(df, 4, "seq_id").collect()}
+    assert got == {i: i % 4 for i in range(10)}
+
+
+def test_shard_plan_balanced_token_totals(spark):
+    """Snake assignment over desc-sorted variable weights lands every
+    shard within one max-item of the mean; plain modulo on the same
+    input would not. Deterministic across partitionings."""
+    from deepseek_ocr_spark.functions import packing as PK
+
+    # strongly skewed weights: 1..40 squared
+    rows = [(i, (i + 1) ** 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, n_tokens long")
+    plan = PK.shard_plan_balanced(df, 4, "id", "n_tokens")
+    totals = {
+        r["shard"]: r["s"]
+        for r in plan.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    assert set(totals) == {0, 1, 2, 3}
+    assert max(totals.values()) - min(totals.values()) <= 40 ** 2
+    # every item assigned exactly once
+    assert plan.count() == 40
+    again = {
+        (r["id"], r["shard"])
+        for r in PK.shard_plan_balanced(
+            df.repartition(7), 4, "id", "n_tokens"
+        ).collect()
+    }
+    assert again == {(r["id"], r["shard"]) for r in plan.collect()}
+
+
+def test_shard_plan_snake_direction(spark):
+    """First pass ascends shards 0..N-1, second pass descends — the
+    two heaviest items never share a shard."""
+    from deepseek_ocr_spark.functions import packing as PK
+
+    rows = [(i, 100 - i) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, n_tokens long")
+    got = {r["id"]: r["shard"]
+           for r in PK.shard_plan_balanced(df, 3, "id", "n_tokens").collect()}
+    # ids in weight-desc order are 0..5; snake over 3 shards:
+    assert [got[i] for i in range(6)] == [0, 1, 2, 2, 1, 0]

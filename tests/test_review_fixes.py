@@ -411,6 +411,7 @@ def test_registry_window_holds_exactly_fifty_entries():
         "host_trustrank",
         "url_templates",
         "script_mix",
+        "shard_plan",
         "site_boilerplate",
         "hll_token_profile",
         "tokenizer_fertility",
