@@ -139,6 +139,12 @@ HEADLINE = [
     "burst_detect",
     "canonical_dedup",
     "mixture_kl",
+    # round 4, seventh wave
+    "c4_line_filter",
+    "host_trustrank",
+    "url_templates",
+    "script_mix",
+    "shard_plan",
 ]
 
 

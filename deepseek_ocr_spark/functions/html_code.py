@@ -1,0 +1,89 @@
+"""HTML ``<pre>`` code-block extraction — the code-data pipeline's
+front door.
+
+Code corpora (The Stack, StarCoder-style) mine crawled pages for
+verbatim code: documentation sites, blogs, and forums ship it inside
+``<pre>`` (optionally wrapping ``<code>``), with the highlighter's
+``language-*`` / ``lang-*`` class as a free language label. The main-
+content extractor deliberately linearizes these blocks as prose; this
+operator recovers them as STRUCTURE — one row per block with the
+original whitespace intact (indentation is syntax in code; the one
+text class where whitespace-collapsing destroys data).
+
+Output grain: (url, block_idx, lang_hint, code, n_lines, n_chars) —
+``block_idx`` 0-based in document order, ``lang_hint`` the lowercased
+``language-``/``lang-`` class token from the pre tag's attributes or
+the nested code tag ('' when unlabeled), ``code`` tag-stripped and
+entity-decoded but NEVER whitespace-collapsed.
+
+Design for 100 TB: one ``posexplode`` over two positionally-zipped
+``regexp_extract_all`` calls (attrs + content captured by the same
+pattern — the anchor_texts/html_tables trick), then pure projections.
+Map-side only, no shuffle; the exploded payload is bounded by the
+input bytes. Patterns live in the Java∩RE2 subset and are exported
+for the DuckDB twin to interpolate verbatim.
+
+The reference serves OCR'd text only (`DeepSeek-OCR-master/
+run_dpsk_ocr.py` emits flat text per request); block recovery is part
+of the corpus-pipeline surface this engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.html_meta import ENTITY_CHAIN
+
+# group 1 = pre-tag attributes, group 2 = inner content
+PRE_RE = "(?is)<pre([^>]*)>(.*?)</pre>"
+# the highlighter class convention: language-py / lang-c++ / ...
+LANG_CLASS_RE = "(?i)(?:language|lang)-([a-zA-Z0-9+#._-]+)"
+TAG_STRIP_RE = "<[^>]*>"
+
+
+def _clean_code(col: Column) -> Column:
+    """Tag-strip (highlight spans vanish, their text stays) and
+    entity-decode. No whitespace collapse, no trim: code layout is
+    payload."""
+    out = F.regexp_replace(col, TAG_STRIP_RE, "")
+    for needle, repl in ENTITY_CHAIN:
+        out = F.replace(out, F.lit(needle), F.lit(repl))
+    return out
+
+
+def extract_code_blocks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, block_idx, lang_hint, code, n_lines, n_chars) — one row
+    per ``<pre>`` block in document order. ``lang_hint`` searches the
+    pre tag's own attributes first, then the block's inner HTML (the
+    ``<pre><code class="language-x">`` convention); '' if neither
+    labels it."""
+    h = F.col(html_col).cast("string")
+    attrs = F.regexp_extract_all(h, F.lit(PRE_RE), F.lit(1))
+    inner = F.regexp_extract_all(h, F.lit(PRE_RE), F.lit(2))
+    exploded = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.arrays_zip(attrs.alias("a"), inner.alias("i"))),
+    ).select(
+        "url",
+        F.col("pos").alias("block_idx"),
+        F.col("col.a").alias("_attrs"),
+        F.col("col.i").alias("_inner"),
+    )
+    lang = F.lower(
+        F.when(
+            F.regexp_extract("_attrs", LANG_CLASS_RE, 1) != "",
+            F.regexp_extract("_attrs", LANG_CLASS_RE, 1),
+        ).otherwise(F.regexp_extract("_inner", LANG_CLASS_RE, 1))
+    )
+    code = _clean_code(F.col("_inner"))
+    return exploded.select(
+        "url",
+        F.col("block_idx").cast("bigint"),
+        lang.alias("lang_hint"),
+        code.alias("code"),
+        (F.size(F.split(code, "\n"))).cast("bigint").alias("n_lines"),
+        F.length(code).cast("bigint").alias("n_chars"),
+    )

@@ -4962,6 +4962,115 @@ SQL_HTML_TABLES = _html_tables_sql()
 
 
 # --------------------------------------------------------------------
+# HTML <pre> code-block extraction (functions/html_code.py)
+# --------------------------------------------------------------------
+#
+# Fixture synthesis: every page carries a language-labeled <pre>
+# (class on the pre tag) whose body spans two lines and an entity;
+# every third doc adds a <pre><code class="lang-c++"> block (label on
+# the NESTED code tag — the other convention) with highlight spans
+# that must strip; every fourth adds an unlabeled tab-indented block
+# (lang_hint = ''), so both label paths, the unlabeled branch,
+# whitespace preservation, and block_idx ordering all exercise.
+
+
+def q_html_code_blocks(spark, sf_dir):
+    """Code-block recovery for code-corpus mining (functions/
+    html_code.py): one posexplode over positionally-zipped
+    regexp_extract_all groups (attrs + content from the same
+    pattern), tag-strip + entity-decode WITHOUT whitespace collapse
+    — indentation is syntax. Zero shuffles."""
+    from deepseek_ocr_spark.functions import html_code as HC
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    pages = d.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/d/"), did).alias(
+            "url"
+        ),
+        F.concat(
+            F.lit(
+                '<html><body><p>prose</p><pre class="language-Python">'
+                "def f():\n    return "
+            ),
+            F.substring(F.col("text"), 1, 8),
+            F.lit(" &amp; 1</pre>"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(
+                        '<pre><code class="lang-c++">'
+                        '<span class="k">x</span> &lt;&lt; 2;\n// '
+                    ),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit("</code></pre>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("<pre>plain\n\ttabbed</pre>"),
+            ).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return HC.extract_code_blocks(pages)
+
+
+def _html_code_sql() -> str:
+    from deepseek_ocr_spark.functions import html_code as HC
+    from deepseek_ocr_spark.functions.html_meta import ENTITY_CHAIN
+
+    def q(pat: str) -> str:
+        return "'" + pat.replace("'", "''") + "'"
+
+    code = f"regexp_replace(e.body, {q(HC.TAG_STRIP_RE)}, '', 'g')"
+    for needle, repl in ENTITY_CHAIN:
+        nd = needle.replace("'", "''")
+        rp = repl.replace("'", "''")
+        code = f"replace({code}, '{nd}', '{rp}')"
+    lang = (
+        f"lower(CASE WHEN regexp_extract(e.attrs, {q(HC.LANG_CLASS_RE)}, 1)"
+        f" != '' THEN regexp_extract(e.attrs, {q(HC.LANG_CLASS_RE)}, 1)"
+        f" ELSE regexp_extract(e.body, {q(HC.LANG_CLASS_RE)}, 1) END)"
+    )
+    return f"""
+WITH p AS (
+  SELECT 'https://' || source || '/d/' || doc_id::VARCHAR AS url,
+         '<html><body><p>prose</p><pre class="language-Python">'
+         || 'def f():' || chr(10) || '    return '
+         || substr(text, 1, 8) || ' &amp; 1</pre>'
+         || CASE WHEN doc_id % 3 = 0
+              THEN '<pre><code class="lang-c++">'
+                   || '<span class="k">x</span> &lt;&lt; 2;' || chr(10)
+                   || '// ' || (doc_id % 7)::VARCHAR || '</code></pre>'
+              ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+              THEN '<pre>plain' || chr(10) || chr(9) || 'tabbed</pre>'
+              ELSE '' END
+         || '</body></html>' AS html
+  FROM documents
+), x AS (
+  SELECT url, regexp_extract_all(html, {q(HC.PRE_RE)}, 1) AS la,
+         regexp_extract_all(html, {q(HC.PRE_RE)}, 2) AS li
+  FROM p
+), e0 AS (
+  SELECT url, unnest(list_transform(range(1, len(la) + 1),
+    i -> struct_pack(idx := (i - 1)::BIGINT,
+                     attrs := la[i], body := li[i]))) AS e
+  FROM x
+)
+SELECT url, e.idx AS block_idx, {lang} AS lang_hint,
+       {code} AS code,
+       len(str_split({code}, chr(10)))::BIGINT AS n_lines,
+       length({code})::BIGINT AS n_chars
+FROM e0
+"""
+
+
+SQL_HTML_CODE_BLOCKS = _html_code_sql()
+
+
+# --------------------------------------------------------------------
 # BPE merge-candidate counts (functions/bpe.py)
 # --------------------------------------------------------------------
 
@@ -5323,6 +5432,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "recrawl_churn": (q_recrawl_churn, SQL_RECRAWL_CHURN),
     "bloom_seen_urls": (q_bloom_seen_urls, SQL_BLOOM_SEEN_URLS),
     "html_tables": (q_html_tables, SQL_HTML_TABLES),
+    # html_code_blocks: registered below-cut alongside its family —
+    # the zero-shuffle html regexp projections (html_tables,
+    # anchor_texts, html_metadata); c4_line_filter keeps the class
+    # driver-checked in-window. Locally hash-verified by the
+    # all-entries gate.
+    "html_code_blocks": (q_html_code_blocks, SQL_HTML_CODE_BLOCKS),
     "site_template_ratio": (q_site_template_ratio, SQL_SITE_TEMPLATE_RATIO),
     "emb_norm_by_label": (q_emb_norm_by_label, SQL_EMB_NORM_BY_LABEL),
     "ann_lsh_recall": (q_ann_lsh_recall, SQL_ANN_LSH_RECALL),

@@ -1,0 +1,82 @@
+"""HTML <pre> code-block extraction: both language-label conventions,
+whitespace preservation (no collapse, no trim), highlight-span
+stripping, entity decode, block ordering, and the zero-shuffle plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions import html_code as HC
+
+PAGES = [
+    # 0: label on the pre tag; indentation + blank line must survive
+    (
+        "https://a.example/doc",
+        b'<html><body><p>prose to ignore</p>\n'
+        b'<pre class="language-Python">def f(x):\n'
+        b"\n"
+        b"    return x &amp; 1</pre>\n"
+        b'<pre><code class="lang-c++"><span class="k">x</span>'
+        b" &lt;&lt; 2;\n// tail</code></pre>"
+        b"<pre>plain\n\ttabbed</pre></body></html>",
+    ),
+    # 1: no pre blocks at all
+    ("https://b.example/none", b"<html><body><p>just prose</p></body></html>"),
+    # 2: attrs label wins over a nested code label
+    (
+        "https://c.example/both",
+        b'<pre class="language-rust"><code class="lang-go">fn main() {}'
+        b"</code></pre>",
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def blocks(spark):
+    df = spark.createDataFrame(PAGES, "url string, html binary")
+    rows = HC.extract_code_blocks(df).orderBy("url", "block_idx").collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["url"], []).append(r)
+    return out
+
+
+def test_pre_class_label_and_whitespace(blocks):
+    b = blocks["https://a.example/doc"][0]
+    assert b["block_idx"] == 0
+    assert b["lang_hint"] == "python"
+    # indentation, interior blank line, and entity decode all intact
+    assert b["code"] == "def f(x):\n\n    return x & 1"
+    assert b["n_lines"] == 3
+    assert b["n_chars"] == len(b["code"])
+
+
+def test_nested_code_label_and_span_strip(blocks):
+    b = blocks["https://a.example/doc"][1]
+    assert b["block_idx"] == 1
+    assert b["lang_hint"] == "c++"
+    # highlighter spans vanish, their text stays; entities decode
+    assert b["code"] == "x << 2;\n// tail"
+
+
+def test_unlabeled_block_keeps_tabs(blocks):
+    b = blocks["https://a.example/doc"][2]
+    assert b["block_idx"] == 2
+    assert b["lang_hint"] == ""
+    assert b["code"] == "plain\n\ttabbed"
+    assert b["n_lines"] == 2
+
+
+def test_page_without_pre_yields_no_rows(blocks):
+    assert "https://b.example/none" not in blocks
+
+
+def test_pre_attr_label_beats_nested_code_label(blocks):
+    b = blocks["https://c.example/both"][0]
+    assert b["lang_hint"] == "rust"
+    assert b["code"] == "fn main() {}"
+
+
+def test_zero_shuffle_plan(spark):
+    df = spark.createDataFrame(PAGES, "url string, html binary")
+    plan = HC.extract_code_blocks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
