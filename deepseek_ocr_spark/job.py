@@ -49,6 +49,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             "train-quality-model",
             "train-lm",
             "mixture",
+            "code-blocks",
         ),
         default="extract",
         help="extract: pages -> extracted table; curate: pages -> "
@@ -437,6 +438,29 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         model.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"mode": "train-lm", "bigrams": n}))
+    elif args.mode == "code-blocks":
+        # Code-corpus mining: recover <pre> blocks (language hint +
+        # verbatim whitespace) from raw pages as their own table.
+        from pyspark.sql import functions as F
+
+        from deepseek_ocr_spark.functions.html_code import extract_code_blocks
+
+        if args.input_format == "warc":
+            from deepseek_ocr_spark.sources.warc import read_warc_dir
+
+            pages = read_warc_dir(spark, args.input)
+        else:
+            pages = spark.read.parquet(args.input)
+        blocks = extract_code_blocks(pages)
+        blocks.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        n = out.count()
+        n_labeled = out.filter(F.col("lang_hint") != "").count()
+        print(
+            json.dumps(
+                {"mode": "code-blocks", "blocks": n, "labeled": n_labeled}
+            )
+        )
     elif args.mode == "extract-pdf-exploded":
         from deepseek_ocr_spark.operators.pdf_pages import extract_pdf_distributed
 

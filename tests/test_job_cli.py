@@ -334,3 +334,27 @@ def test_cli_mixture_mode(spark, tmp_path, capsys):
     assert summary["rows"] > 16 and summary["epochs_max"] == 2
     got = spark.read.parquet(out)
     assert {"url", "lang", "epoch"} <= set(got.columns)
+
+
+def test_cli_code_blocks_mode(spark, tmp_path, capsys):
+    """--mode code-blocks mines <pre> blocks into their own table
+    with verbatim whitespace and the highlighter language label."""
+    rows = [
+        ("https://a.example/p",
+         b'<html><body><pre class="language-py">a = 1\n    b = 2</pre>'
+         b"<pre>x</pre></body></html>"),
+        ("https://b.example/q", b"<html><body><p>no code</p></body></html>"),
+    ]
+    inp = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(inp)
+    out = str(tmp_path / "blocks")
+    rc = main(["--mode", "code-blocks", "--input", inp, "--output", out],
+              spark=spark)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"mode": "code-blocks", "blocks": 2, "labeled": 1}
+    got = {(r["url"], r["block_idx"]): r
+           for r in spark.read.parquet(out).collect()}
+    r0 = got[("https://a.example/p", 0)]
+    assert r0["lang_hint"] == "py" and r0["code"] == "a = 1\n    b = 2"
+    assert got[("https://a.example/p", 1)]["lang_hint"] == ""
