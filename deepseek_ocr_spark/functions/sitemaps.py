@@ -1,0 +1,186 @@
+"""Crawl-frontier seeding: sitemap.xml entries and hreflang
+alternate links.
+
+A 10^12-page crawl doesn't discover URLs by chance — sitemaps
+(sitemaps.org protocol) are the site-declared frontier, and
+``<link rel="alternate" hreflang=..>`` ties language editions of the
+same page together (the free supervision signal bitext mining starts
+from). Both are pure text-shape problems over the raw payload column,
+so both operators are zero-shuffle codegen projections: one
+``regexp_extract_all`` pass per field, positionally zipped, exploded.
+At scale the only cost is the linear scan Parquet already pays;
+column pruning keeps everything except (url, xml/html) out of the
+read.
+
+``sitemap_entries`` handles BOTH document kinds in one pass:
+``<urlset><url>...`` page entries and ``<sitemapindex><sitemap>...``
+child-sitemap pointers (``is_index`` distinguishes them), because a
+crawler fetches them through the same pipe. Fields it does not find
+are NULL, never '' — the sitemaps protocol makes everything but
+``<loc>`` optional.
+
+``hreflang_alternates`` matches the two attribute orderings
+(hreflang-then-href, href-then-hreflang) the way html_meta.py treats
+rel=canonical; per the HTML spec ``hreflang`` on ``<link>`` is only
+meaningful with rel=alternate, so the attribute itself is the signal
+and the third-attribute ordering combinatorics stay out of the
+pattern.
+
+The reference serves per-request OCR (DeepSeek-OCR-master/
+run_dpsk_ocr.py) and has no crawl tier; this is part of the
+corpus-pipeline surface the engine adds. Patterns live in the
+Java∩RE2 subset ([ \\t\\n\\r] spelled out, never ``\\s``) and are
+exported for the DuckDB twin to interpolate verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.html_meta import _EQ, ENTITY_CHAIN
+
+# block-level: one match per <url>/<sitemap> element, lazy body.
+# The bare-tag form is the protocol's (these elements carry no
+# attributes), and it correctly rejects <urlset>/<sitemapindex>.
+URL_BLOCK_RE = "(?is)<url[ \\t]*>(.*?)</url>"
+INDEX_BLOCK_RE = "(?is)<sitemap[ \\t]*>(.*?)</sitemap>"
+# field-level, evaluated on a block body; loc is entity-decoded
+LOC_RE = "(?is)<loc>[ \\t\\n\\r]*([^<]*?)[ \\t\\n\\r]*</loc>"
+LASTMOD_RE = "(?is)<lastmod>[ \\t\\n\\r]*([^<]*?)[ \\t\\n\\r]*</lastmod>"
+CHANGEFREQ_RE = (
+    "(?is)<changefreq>[ \\t\\n\\r]*([^<]*?)[ \\t\\n\\r]*</changefreq>"
+)
+PRIORITY_RE = "(?is)<priority>[ \\t\\n\\r]*([^<]*?)[ \\t\\n\\r]*</priority>"
+
+_LANG_V = "[\"']?([a-zA-Z_-]+)"
+_HREF_V = "[\"']?([^\"' \\t>]+)"
+# hreflang before href / href before hreflang — groups are
+# (lang, href) and (href, lang) respectively.
+HREFLANG_FIRST_RE = (
+    f"(?i)<link[^>]+hreflang{_EQ}{_LANG_V}[\"' \\t>][^>]*href{_EQ}{_HREF_V}"
+)
+HREF_FIRST_RE = (
+    f"(?i)<link[^>]+href{_EQ}{_HREF_V}[\"']?[^>]*hreflang{_EQ}{_LANG_V}"
+)
+
+
+def _decode(col: Column) -> Column:
+    for needle, repl in ENTITY_CHAIN:
+        col = F.replace(col, F.lit(needle), F.lit(repl))
+    return col
+
+
+def _explode_blocks(
+    df: DataFrame, xml: Column, block_re: str, is_index: bool
+) -> DataFrame:
+    blocks = F.regexp_extract_all(xml, F.lit(block_re), F.lit(1))
+    out = df.select(
+        F.col("url"), F.posexplode(blocks).alias("entry_idx", "_body")
+    )
+    field = lambda pat: F.nullif(  # noqa: E731 — absent field -> NULL
+        F.regexp_extract("_body", pat, 1), F.lit("")
+    )
+    return out.select(
+        "url",
+        F.lit(is_index).alias("is_index"),
+        F.col("entry_idx").cast("bigint"),
+        _decode(field(LOC_RE)).alias("loc"),
+        field(LASTMOD_RE).alias("lastmod"),
+        F.lower(field(CHANGEFREQ_RE)).alias("changefreq"),
+        field(PRIORITY_RE).alias("priority"),
+    )
+
+
+def sitemap_entries(
+    sitemaps: DataFrame, url_col: str = "url", xml_col: str = "html"
+) -> DataFrame:
+    """(url, is_index, entry_idx, loc, lastmod, changefreq, priority)
+    — one row per ``<url>`` (is_index=false) or ``<sitemap>``
+    (is_index=true) element, ``entry_idx`` 0-based in document order
+    per kind. ``loc`` is entity-decoded and whitespace-trimmed; rows
+    whose block carried no ``<loc>`` are dropped (unfetchable);
+    optional fields stay NULL. Zero shuffles."""
+    base = sitemaps.select(
+        F.col(url_col).alias("url"), F.col(xml_col).cast("string").alias("_x")
+    )
+    xml = F.col("_x")
+    pages = _explode_blocks(base, xml, URL_BLOCK_RE, False)
+    kids = _explode_blocks(base, xml, INDEX_BLOCK_RE, True)
+    return pages.unionByName(kids).filter(F.col("loc").isNotNull())
+
+
+def hreflang_alternates(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, hreflang, href) — one row per declared language
+    alternate, both attribute orderings, ``hreflang`` lowercased
+    (BCP 47 is case-insensitive), href entity-decoded. Self-
+    references (href == the page's own url) survive: x-default and
+    self-alternates are real declarations the consumer may want.
+    Zero shuffles."""
+    h = F.col(html_col).cast("string")
+    base = pages.select(F.col(url_col).alias("url"), h.alias("_h"))
+    lf = F.arrays_zip(
+        F.regexp_extract_all("_h", F.lit(HREFLANG_FIRST_RE), F.lit(1)).alias(
+            "lang"
+        ),
+        F.regexp_extract_all("_h", F.lit(HREFLANG_FIRST_RE), F.lit(2)).alias(
+            "href"
+        ),
+    )
+    hf = F.arrays_zip(
+        F.regexp_extract_all("_h", F.lit(HREF_FIRST_RE), F.lit(2)).alias(
+            "lang"
+        ),
+        F.regexp_extract_all("_h", F.lit(HREF_FIRST_RE), F.lit(1)).alias(
+            "href"
+        ),
+    )
+    out = base.select(
+        "url", F.explode(F.concat(lf, hf)).alias("e")
+    ).select(
+        "url",
+        F.lower(F.col("e.lang")).alias("hreflang"),
+        _decode(F.col("e.href")).alias("href"),
+    )
+    return out.filter((F.col("hreflang") != "") & (F.col("href") != ""))
+
+
+def bitext_page_pairs(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url_a, lang_a, url_b, lang_b) — in-corpus page pairs where A
+    declares B as an hreflang alternate, A also declares its own
+    language (self-alternate or x-default excluded), and B exists in
+    the corpus. The candidate generator bitext mining starts from:
+    site-declared translation pairs, no content comparison yet.
+
+    Shape: alternates are a bounded explode of the link tags; the
+    only shuffle is the semi-join of declared hrefs against the
+    corpus url set (url-keyed, AQE-broadcastable when the declared
+    set is small)."""
+    alts = hreflang_alternates(pages, url_col, html_col)
+    # A's own language: the self-referencing declaration, if any
+    self_lang = (
+        alts.filter(F.col("href") == F.col("url"))
+        .groupBy("url")
+        .agg(F.min("hreflang").alias("lang_a"))
+    )
+    cand = (
+        alts.filter(
+            (F.col("href") != F.col("url"))
+            & (F.col("hreflang") != "x-default")
+        )
+        .join(self_lang, "url")
+        .select(
+            F.col("url").alias("url_a"),
+            "lang_a",
+            F.col("href").alias("url_b"),
+            F.col("hreflang").alias("lang_b"),
+        )
+    )
+    corpus = pages.select(F.col(url_col).alias("url_b")).distinct()
+    return cand.join(corpus, "url_b", "left_semi").select(
+        "url_a", "lang_a", "url_b", "lang_b"
+    )

@@ -5071,6 +5071,290 @@ SQL_HTML_CODE_BLOCKS = _html_code_sql()
 
 
 # --------------------------------------------------------------------
+# sitemap entries + hreflang bitext candidates (functions/sitemaps.py)
+# --------------------------------------------------------------------
+#
+# sitemap fixture: one synthetic sitemap per doc — a full-field <url>
+# entry (entities + surrounding whitespace in <loc>, uppercase
+# changefreq), a loc-only entry, every sixth doc a loc-less entry
+# (must drop), every fifth doc a <sitemap> index pointer — so both
+# kinds, optional-field NULLs, trimming, decoding, and the drop rule
+# all exercise.
+
+
+def q_sitemap_entries(spark, sf_dir):
+    """Crawl-frontier seeding (functions/sitemaps.py): <urlset> page
+    entries and <sitemapindex> child pointers from one zero-shuffle
+    regexp projection per kind, unioned; optional fields NULL,
+    loc-less blocks dropped."""
+    from deepseek_ocr_spark.functions import sitemaps as SM
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("s"), (F.col("doc_id") % 20).cast("string"))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>\n  https://'),
+        host,
+        F.lit(".example/p/"),
+        did,
+        F.lit("?a=1&amp;b=2 </loc><lastmod>2024-01-"),
+        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><changefreq>"),
+        F.element_at(
+            F.array(F.lit("DAILY"), F.lit("weekly"), F.lit("Monthly")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+        F.lit("</changefreq><priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url><url><loc>https://"),
+        host,
+        F.lit(".example/q/"),
+        did,
+        F.lit("</loc></url>"),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.lit("<url><lastmod>2024-01-31</lastmod></url>"),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("<sitemapindex><sitemap><loc>https://"),
+                host,
+                F.lit(".example/child-"),
+                did,
+                F.lit(".xml</loc></sitemap></sitemapindex>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    maps = d.select(
+        F.concat(
+            F.lit("https://"), host, F.lit(".example/sitemap/"), did
+        ).alias("url"),
+        xml.alias("html"),
+    )
+    return SM.sitemap_entries(maps)
+
+
+def _sitemap_sql() -> str:
+    from deepseek_ocr_spark.functions import sitemaps as SM
+    from deepseek_ocr_spark.functions.html_meta import ENTITY_CHAIN
+
+    def q(pat: str) -> str:
+        return "'" + pat.replace("'", "''") + "'"
+
+    def field(pat: str) -> str:
+        return f"nullif(regexp_extract(e.body, {q(pat)}, 1), '')"
+
+    loc = field(SM.LOC_RE)
+    for needle, repl in ENTITY_CHAIN:
+        nd = needle.replace("'", "''")
+        rp = repl.replace("'", "''")
+        loc = f"replace({loc}, '{nd}', '{rp}')"
+    fields = (
+        f"{loc} AS loc, {field(SM.LASTMOD_RE)} AS lastmod,"
+        f" lower({field(SM.CHANGEFREQ_RE)}) AS changefreq,"
+        f" {field(SM.PRIORITY_RE)} AS priority"
+    )
+
+    def blocks(pat: str, is_index: str) -> str:
+        return f"""
+  SELECT url, {is_index} AS is_index, e.idx AS entry_idx, {fields}
+  FROM (
+    SELECT url, unnest(list_transform(range(1, len(bs) + 1),
+      i -> struct_pack(idx := (i - 1)::BIGINT, body := bs[i]))) AS e
+    FROM (SELECT url, regexp_extract_all(html, {q(pat)}, 1) AS bs FROM p)
+  )"""
+
+    return f"""
+WITH p AS (
+  SELECT 'https://s' || (doc_id % 20)::VARCHAR || '.example/sitemap/'
+           || doc_id::VARCHAR AS url,
+         '<?xml version="1.0"?><urlset><url><loc>' || chr(10)
+         || '  https://s' || (doc_id % 20)::VARCHAR || '.example/p/'
+         || doc_id::VARCHAR || '?a=1&amp;b=2 </loc><lastmod>2024-01-'
+         || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+         || '</lastmod><changefreq>'
+         || (['DAILY', 'weekly', 'Monthly'])[(doc_id % 3) + 1]
+         || '</changefreq><priority>0.' || (doc_id % 10)::VARCHAR
+         || '</priority></url><url><loc>https://s'
+         || (doc_id % 20)::VARCHAR || '.example/q/' || doc_id::VARCHAR
+         || '</loc></url>'
+         || CASE WHEN doc_id % 6 = 0
+              THEN '<url><lastmod>2024-01-31</lastmod></url>' ELSE '' END
+         || '</urlset>'
+         || CASE WHEN doc_id % 5 = 0
+              THEN '<sitemapindex><sitemap><loc>https://s'
+                   || (doc_id % 20)::VARCHAR || '.example/child-'
+                   || doc_id::VARCHAR || '.xml</loc></sitemap>'
+                   || '</sitemapindex>'
+              ELSE '' END AS html
+  FROM documents
+), u AS ({blocks(SM.URL_BLOCK_RE, "FALSE")}
+), s AS ({blocks(SM.INDEX_BLOCK_RE, "TRUE")}
+)
+SELECT * FROM u WHERE loc IS NOT NULL
+UNION ALL
+SELECT * FROM s WHERE loc IS NOT NULL
+"""
+
+
+SQL_SITEMAP_ENTRIES = _sitemap_sql()
+
+
+# hreflang fixture: docs pair up (even<->odd neighbor); every page
+# self-declares its own lang, declares its partner (href-first
+# attribute ordering on every third doc), every fourth adds an
+# x-default pointer to a fixed non-corpus default, every seventh
+# declares an out-of-corpus alternate — so both orderings, the
+# x-default/self exclusions, and the corpus-membership semi-join all
+# do real work.
+
+
+def q_hreflang_bitext(spark, sf_dir):
+    """Site-declared translation pairs (functions/sitemaps.py
+    bitext_page_pairs): hreflang alternates from both attribute
+    orderings, self/x-default excluded, declared hrefs semi-joined
+    against the corpus url set — the candidate generator bitext
+    mining starts from."""
+    from deepseek_ocr_spark.functions import sitemaps as SM
+
+    d = _t(spark, sf_dir, "documents")
+
+    def page_url(idc):
+        return F.concat(
+            F.lit("https://h"),
+            (idc % 20).cast("string"),
+            F.lit(".example/d/"),
+            idc.cast("string"),
+        )
+
+    me = F.col("doc_id")
+    partner = me + 1 - 2 * (me % 2)
+    self_link = F.concat(
+        F.lit('<link rel="alternate" hreflang="'),
+        F.col("lang"),
+        F.lit('" href="'),
+        page_url(me),
+        F.lit('">'),
+    )
+    partner_lang = F.concat(F.lit("l"), (partner % 3).cast("string"))
+    partner_link = F.when(
+        me % 3 == 0,
+        F.concat(
+            F.lit('<link href="'),
+            page_url(partner),
+            F.lit('" rel="alternate" hreflang="'),
+            partner_lang,
+            F.lit('">'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<link rel="alternate" hreflang="'),
+            partner_lang,
+            F.lit('" href="'),
+            page_url(partner),
+            F.lit('">'),
+        )
+    )
+    extras = F.concat(
+        F.when(
+            me % 4 == 0,
+            F.lit(
+                '<link rel="alternate" hreflang="x-default"'
+                ' href="https://h0.example/d/none">'
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            me % 7 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="fr" href='),
+                F.lit("https://gone.example/"),
+                me.cast("string"),
+                F.lit(">"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pages = d.select(
+        page_url(me).alias("url"),
+        F.concat(
+            F.lit("<html><head>"),
+            self_link,
+            partner_link,
+            extras,
+            F.lit("</head><body>x</body></html>"),
+        ).alias("html"),
+    )
+    return SM.bitext_page_pairs(pages)
+
+
+def _hreflang_bitext_sql() -> str:
+    from deepseek_ocr_spark.functions import sitemaps as SM
+
+    def q(pat: str) -> str:
+        return "'" + pat.replace("'", "''") + "'"
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         doc_id + 1 - 2 * (doc_id % 2) AS partner,
+         'https://h' || (doc_id % 20)::VARCHAR || '.example/d/'
+           || doc_id::VARCHAR AS url
+  FROM documents
+), p AS (
+  SELECT url,
+         '<html><head><link rel="alternate" hreflang="' || lang
+         || '" href="' || url || '">'
+         || CASE WHEN doc_id % 3 = 0
+              THEN '<link href="https://h' || (partner % 20)::VARCHAR
+                   || '.example/d/' || partner::VARCHAR
+                   || '" rel="alternate" hreflang="l'
+                   || (partner % 3)::VARCHAR || '">'
+              ELSE '<link rel="alternate" hreflang="l'
+                   || (partner % 3)::VARCHAR
+                   || '" href="https://h' || (partner % 20)::VARCHAR
+                   || '.example/d/' || partner::VARCHAR || '">' END
+         || CASE WHEN doc_id % 4 = 0
+              THEN '<link rel="alternate" hreflang="x-default"'
+                   || ' href="https://h0.example/d/none">' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+              THEN '<link rel="alternate" hreflang="fr"'
+                   || ' href=https://gone.example/' || doc_id::VARCHAR
+                   || '>' ELSE '' END
+         || '</head><body>x</body></html>' AS html
+  FROM d
+), a AS (
+  SELECT url, lower(z.z[1]) AS hreflang, z.z[2] AS href
+  FROM (SELECT url,
+               regexp_extract_all(html, {q(SM.HREFLANG_FIRST_RE)}, 1) AS l1,
+               regexp_extract_all(html, {q(SM.HREFLANG_FIRST_RE)}, 2) AS l2
+        FROM p), unnest(list_zip(l1, l2)) AS z(z)
+  UNION ALL
+  SELECT url, lower(z.z[2]) AS hreflang, z.z[1] AS href
+  FROM (SELECT url,
+               regexp_extract_all(html, {q(SM.HREF_FIRST_RE)}, 1) AS l1,
+               regexp_extract_all(html, {q(SM.HREF_FIRST_RE)}, 2) AS l2
+        FROM p), unnest(list_zip(l1, l2)) AS z(z)
+), alts AS (
+  SELECT * FROM a WHERE hreflang != '' AND href != ''
+), self_lang AS (
+  SELECT url, min(hreflang) AS lang_a FROM alts
+  WHERE href = url GROUP BY url
+), cand AS (
+  SELECT alts.url AS url_a, s.lang_a, alts.href AS url_b,
+         alts.hreflang AS lang_b
+  FROM alts JOIN self_lang s ON alts.url = s.url
+  WHERE alts.href != alts.url AND alts.hreflang != 'x-default'
+)
+SELECT url_a, lang_a, url_b, lang_b
+FROM cand WHERE url_b IN (SELECT url FROM p)
+"""
+
+
+SQL_HREFLANG_BITEXT = _hreflang_bitext_sql()
+
+
+# --------------------------------------------------------------------
 # BPE merge-candidate counts (functions/bpe.py)
 # --------------------------------------------------------------------
 
@@ -5364,7 +5648,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "inverted_postings": (q_inverted_postings, SQL_INVERTED_POSTINGS),
     "frontier_schedule": (q_frontier_schedule, SQL_FRONTIER_SCHEDULE),
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    # hreflang_bitext took pack_sequences' slot (eighth wave):
+    # pack_sequences is driver-green in CORRECTNESS_r03 and its code
+    # path is untouched since (round-4 packing.py additions are
+    # separate functions; shard_plan keeps the module in-window).
+    "hreflang_bitext": (q_hreflang_bitext, SQL_HREFLANG_BITEXT),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
@@ -5438,6 +5726,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # driver-checked in-window. Locally hash-verified by the
     # all-entries gate.
     "html_code_blocks": (q_html_code_blocks, SQL_HTML_CODE_BLOCKS),
+    # sitemap_entries: same below-cut class (zero-shuffle regexp
+    # projection over the payload column; c4_line_filter keeps the
+    # class in-window). pack_sequences: driver-green in r03,
+    # path untouched since — demoted for hreflang_bitext.
+    "sitemap_entries": (q_sitemap_entries, SQL_SITEMAP_ENTRIES),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "site_template_ratio": (q_site_template_ratio, SQL_SITE_TEMPLATE_RATIO),
     "emb_norm_by_label": (q_emb_norm_by_label, SQL_EMB_NORM_BY_LABEL),
     "ann_lsh_recall": (q_ann_lsh_recall, SQL_ANN_LSH_RECALL),

@@ -428,7 +428,9 @@ def test_registry_window_holds_exactly_fifty_entries():
         "corpus_rollup",
         "prototype_prune",
         "ngram_containment",
-        "pack_sequences",
+        # pack_sequences: demoted for hreflang_bitext (eighth wave) —
+        # driver-green in r03, code path untouched since.
+        "hreflang_bitext",
         "hash_split",
         "lm_perplexity",
         "ccnet_buckets",

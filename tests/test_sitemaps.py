@@ -1,0 +1,139 @@
+"""Sitemap entry extraction and hreflang alternates: urlset vs
+sitemapindex kinds, optional-field NULLs, entity decode, attribute
+orderings, bitext candidate pairing, and the zero-shuffle plans."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions import sitemaps as SM
+
+SITEMAPS = [
+    (
+        "https://a.example/sitemap.xml",
+        b'<?xml version="1.0"?>\n'
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        b"<url><loc>\n  https://a.example/p?x=1&amp;y=2 </loc>"
+        b"<lastmod>2024-01-05</lastmod><changefreq>DAILY</changefreq>"
+        b"<priority>0.8</priority></url>\n"
+        b"<url><loc>https://a.example/q</loc></url>\n"
+        b"<url><lastmod>2024-01-06</lastmod></url>\n"  # no loc -> dropped
+        b"</urlset>",
+    ),
+    (
+        "https://b.example/sitemap_index.xml",
+        b"<sitemapindex>"
+        b"<sitemap><loc>https://b.example/s1.xml</loc>"
+        b"<lastmod>2024-02-01</lastmod></sitemap>"
+        b"<sitemap ><loc>https://b.example/s2.xml</loc></sitemap>"
+        b"</sitemapindex>",
+    ),
+    ("https://c.example/empty.xml", b"<urlset></urlset>"),
+]
+
+PAGES = [
+    (
+        "https://a.example/en",
+        b'<html><head>'
+        b'<link rel="alternate" hreflang="en" href="https://a.example/en">'
+        b'<link rel="alternate" hreflang="DE" href="https://a.example/de">'
+        b'<link href="https://a.example/fr" hreflang=fr rel=alternate>'
+        b'<link rel="alternate" hreflang="x-default"'
+        b' href="https://a.example/en">'
+        b"</head><body>x</body></html>",
+    ),
+    (
+        "https://a.example/de",
+        b'<html><head>'
+        b'<link rel="alternate" hreflang="de" href="https://a.example/de">'
+        b'<link rel="alternate" hreflang="en" href="https://a.example/en">'
+        b"</head><body>x</body></html>",
+    ),
+    # declares an alternate that is NOT in the corpus
+    (
+        "https://solo.example/p",
+        b'<html><head>'
+        b'<link rel="alternate" hreflang="en" href="https://solo.example/p">'
+        b'<link rel="alternate" hreflang="fr" href="https://gone.example/q">'
+        b"</head></html>",
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def entries(spark):
+    df = spark.createDataFrame(SITEMAPS, "url string, html binary")
+    return SM.sitemap_entries(df).collect()
+
+
+def test_urlset_fields_and_trim(entries):
+    by = {(r["url"], r["is_index"], r["entry_idx"]): r for r in entries}
+    r = by[("https://a.example/sitemap.xml", False, 0)]
+    assert r["loc"] == "https://a.example/p?x=1&y=2"  # trimmed + decoded
+    assert r["lastmod"] == "2024-01-05"
+    assert r["changefreq"] == "daily"
+    assert r["priority"] == "0.8"
+    r2 = by[("https://a.example/sitemap.xml", False, 1)]
+    assert r2["loc"] == "https://a.example/q"
+    assert r2["lastmod"] is None and r2["priority"] is None
+
+
+def test_locless_entry_dropped_and_index_kind(entries):
+    a = [r for r in entries if r["url"] == "https://a.example/sitemap.xml"]
+    assert len(a) == 2  # third <url> had no <loc>
+    idx = [r for r in entries if r["is_index"]]
+    assert {r["loc"] for r in idx} == {
+        "https://b.example/s1.xml",
+        "https://b.example/s2.xml",
+    }
+    assert all(r["url"] == "https://b.example/sitemap_index.xml" for r in idx)
+
+
+def test_empty_sitemap_no_rows(entries):
+    assert not [r for r in entries if r["url"].startswith("https://c.")]
+
+
+@pytest.fixture(scope="module")
+def alts(spark):
+    df = spark.createDataFrame(PAGES, "url string, html binary")
+    return SM.hreflang_alternates(df).collect()
+
+
+def test_both_orderings_and_lowercase(alts):
+    en = {(r["hreflang"], r["href"]) for r in alts
+          if r["url"] == "https://a.example/en"}
+    assert en == {
+        ("en", "https://a.example/en"),
+        ("de", "https://a.example/de"),       # DE lowercased
+        ("fr", "https://a.example/fr"),       # href-first ordering
+        ("x-default", "https://a.example/en"),
+    }
+
+
+def test_bitext_pairs_require_corpus_membership(spark):
+    df = spark.createDataFrame(PAGES, "url string, html binary")
+    pairs = {
+        (r["url_a"], r["lang_a"], r["url_b"], r["lang_b"])
+        for r in SM.bitext_page_pairs(df).collect()
+    }
+    # x-default and self links excluded; a.example/fr and
+    # gone.example/q are declared but not in the corpus
+    assert pairs == {
+        ("https://a.example/en", "en", "https://a.example/de", "de"),
+        ("https://a.example/de", "de", "https://a.example/en", "en"),
+    }
+
+
+def test_zero_shuffle_plans(spark):
+    df = spark.createDataFrame(SITEMAPS, "url string, html binary")
+    plan = (
+        SM.sitemap_entries(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    df2 = spark.createDataFrame(PAGES, "url string, html binary")
+    plan2 = (
+        SM.hreflang_alternates(df2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan2
