@@ -96,6 +96,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "toward it; default off",
     )
     p.add_argument(
+        "--table-format",
+        choices=("parquet", "snapshot"),
+        default="parquet",
+        help="extract mode output: plain parquet append dir, or a "
+        "snapshot-committed table (atomic manifest commits, "
+        "snapshot-isolated resume, time travel; "
+        "operators/snapshot_table)",
+    )
+    p.add_argument(
         "--html-engine",
         choices=("fast", "reference"),
         default="fast",
@@ -491,6 +500,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             time_budget_secs=args.time_budget_secs,
             html_engine=args.html_engine,
             pdf_passwords=tuple(args.pdf_password),
+            table_format=args.table_format,
         )
         print(json.dumps(summary))
     if own_session:

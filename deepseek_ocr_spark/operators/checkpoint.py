@@ -9,7 +9,10 @@ idempotent, and each run writes per-partition metrics rows
 
 At real scale both tables are Iceberg (snapshot-atomic appends, MERGE
 for exactly-once); in this sandbox they are parquet directories with
-the same access pattern.
+the same access pattern — or, with ``run_job(table_format=
+"snapshot")``, snapshot-committed tables (operators/snapshot_table)
+that provide the atomic-commit / snapshot-isolated-resume semantics
+themselves.
 """
 
 from __future__ import annotations
@@ -37,7 +40,21 @@ def new_run_id() -> str:
 
 
 def read_done_urls(spark: SparkSession, output_path: str) -> DataFrame | None:
-    """Urls already present in the output table, or None if no output."""
+    """Urls already present in the output table, or None if no output.
+    Snapshot-committed tables (operators/snapshot_table) are detected
+    by their ``_snapshots/`` log and read through their manifest, so
+    resume sees exactly the committed rows — never a crashed run's
+    orphan files."""
+    import os
+
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    local = output_path.removeprefix("file://")
+    if os.path.isdir(os.path.join(local, ST._SNAPDIR)):
+        try:
+            return ST.snapshot_read(spark, local).select("url")
+        except FileNotFoundError:
+            return None  # dir exists but no committed snapshot yet
     try:
         return spark.read.parquet(output_path).select("url")
     except AnalysisException:

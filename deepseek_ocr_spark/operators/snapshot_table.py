@@ -1,0 +1,325 @@
+"""Snapshot-committed parquet tables — the Iceberg access pattern
+without the jars.
+
+The north-star deployment reads and writes Iceberg tables: atomic
+snapshot commits, time travel, MERGE, snapshot expiry. The sandbox
+has no Iceberg runtime (checked every round), so since round 1 the
+output tables have been "parquet with the Iceberg access pattern"
+and the ZIP sink proved the atomic-manifest-pointer commit. This
+module makes that pattern a first-class table format:
+
+* a table is a directory of immutable parquet data files plus a
+  ``_snapshots/`` log of JSON manifests (``v00000001.json``, ...);
+  a data file exists for readers ONLY if a manifest references it —
+  a crash mid-write leaves orphan files that no reader ever sees
+  (exactly Iceberg's correctness core, and Delta Lake's
+  ``_delta_log`` shape);
+* commit is ``open(..., "x")`` — atomic create-if-absent of the next
+  version file. Two racing writers cannot both create ``vN``; the
+  loser re-reads the new base and retries (append) or surfaces
+  :class:`CommitConflict` (merge/overwrite, where the written data
+  was DERIVED from the base and a blind retry could resurrect or
+  drop rows). O_EXCL-create is atomic on local filesystems and
+  NFSv4; object-store deployments swap in a CAS/lock service here,
+  which is precisely what Iceberg catalogs do;
+* MERGE is copy-on-write at FILE granularity: only data files that
+  actually contain a matching key are rewritten (found via the
+  ``_metadata.file_path`` hidden column — one scan of the key
+  column, parquet column pruning keeps payloads on disk), untouched
+  files carry over into the new manifest by reference. At 100 TB an
+  update touching 0.1% of keys rewrites ~0.1% of files;
+* every snapshot keeps its full file list, so ``snapshot_read(...,
+  version=N)`` is time travel, and ``vacuum`` = snapshot expiry +
+  orphan sweep (age-gated so a live writer's staged files survive).
+
+Scale notes: manifests list file PATHS — metadata proportional to
+file count, never to rows (the round-1 reason output writes are
+size-capped per task). The driver-side work in merge is collecting
+the HIT file list (bounded by file count); everything row-sized
+stays in executors.
+
+Reference analog: the serving loop's results dict with TTL cleanup
+(DeepSeek-OCR-master/api/services/task_queue.py:20-203) — replaced
+wholesale by table snapshots, per SURVEY.md §4.2.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SNAPDIR = "_snapshots"
+_RETRIES = 20
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version this write was based on.
+    Appends retry internally; merge/overwrite callers must re-derive
+    from the new base."""
+
+
+def _snap_path(table: str, version: int) -> str:
+    return os.path.join(table, _SNAPDIR, f"v{version:08d}.json")
+
+
+def current_version(table: str) -> int | None:
+    """Highest committed version, or None for an empty/new table.
+    The snapshot LOG is the source of truth (no mutable pointer to
+    go stale); listing a directory of small files is metadata-cheap."""
+    try:
+        names = os.listdir(os.path.join(table, _SNAPDIR))
+    except FileNotFoundError:
+        return None
+    vs = [
+        int(n[1:9])
+        for n in names
+        if n.startswith("v") and n.endswith(".json") and n[1:9].isdigit()
+    ]
+    return max(vs) if vs else None
+
+
+def _load_manifest(table: str, version: int) -> dict:
+    with open(_snap_path(table, version)) as fh:
+        return json.load(fh)
+
+
+def _commit(table: str, manifest: dict) -> None:
+    """Atomically install ``manifest`` as its version — O_EXCL create
+    so exactly one writer wins each version number."""
+    os.makedirs(os.path.join(table, _SNAPDIR), exist_ok=True)
+    path = _snap_path(table, manifest["version"])
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+    except FileExistsError as e:
+        raise CommitConflict(
+            f"version {manifest['version']} already committed"
+        ) from e
+    try:
+        data = json.dumps(manifest).encode()
+        os.write(fd, data)
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _write_data_files(df: DataFrame, table: str) -> tuple[list[str], str]:
+    """Write ``df`` into a fresh uncommitted data dir; return the
+    RELATIVE parquet file paths and the schema json. Files are
+    invisible to readers until a manifest references them."""
+    nonce = f"data-{uuid.uuid4().hex[:12]}"
+    out = os.path.join(table, nonce)
+    df.write.parquet(out)  # errorifexists: the nonce dir is ours alone
+    files = sorted(
+        os.path.join(nonce, f)
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    return files, df.schema.json()
+
+
+def snapshot_write(
+    df: DataFrame, table: str, mode: str = "append"
+) -> dict:
+    """Commit ``df`` as a new table snapshot. ``append`` keeps the
+    base snapshot's files by reference and retries transparently on
+    commit races (appends commute); ``overwrite`` replaces the file
+    list and raises :class:`CommitConflict` if the table moved under
+    it. Returns the committed manifest."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"snapshot_write: unknown mode {mode!r}")
+    os.makedirs(table, exist_ok=True)
+    new_files, schema = _write_data_files(df, table)
+    base_at_write = current_version(table)
+    for _ in range(_RETRIES):
+        base = current_version(table)
+        carried = (
+            _load_manifest(table, base)["files"]
+            if (mode == "append" and base is not None)
+            else []
+        )
+        manifest = {
+            "version": (base or 0) + 1,
+            "parent": base,
+            "op": mode,
+            "files": carried + new_files,
+            "schema": schema,
+            "ts": time.time(),
+        }
+        try:
+            _commit(table, manifest)
+            return manifest
+        except CommitConflict:
+            if mode == "overwrite" and current_version(table) != base_at_write:
+                raise  # the table moved: caller must re-decide
+            continue  # append: new base, same new files — retry
+    raise CommitConflict(f"gave up after {_RETRIES} commit races")
+
+
+def _abs_files(table: str, manifest: dict) -> list[str]:
+    return [os.path.join(table, f) for f in manifest["files"]]
+
+
+def snapshot_read(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """The table as of ``version`` (default: latest). Reads EXACTLY
+    the manifest's files — concurrent writers' uncommitted or
+    later-committed data is invisible (snapshot isolation). An empty
+    snapshot reconstructs its schema from the manifest."""
+    v = current_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    m = _load_manifest(table, v)
+    files = _abs_files(table, m)
+    if not files:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
+    return spark.read.parquet(*files)
+
+
+def _to_rel(table: str, uri: str) -> str:
+    """A ``_metadata.file_path`` URI back to a manifest-relative
+    path."""
+    from urllib.parse import unquote, urlparse
+
+    p = uri
+    if "://" in p or p.startswith("file:"):
+        p = unquote(urlparse(p).path)
+    return os.path.relpath(os.path.realpath(p), os.path.realpath(table))
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    updates: DataFrame,
+    table: str,
+    key: str = "url",
+) -> dict:
+    """MERGE (upsert on ``key``): rows of ``updates`` replace
+    same-key rows; new keys insert. Copy-on-write at file
+    granularity — only files CONTAINING a hit key are rewritten
+    (detected via ``_metadata.file_path`` on a key-column-pruned
+    scan); every other file carries into the new manifest untouched.
+
+    Raises :class:`CommitConflict` if any snapshot committed after
+    the base this merge read from — the rewritten rows were derived
+    from that base, so the caller must re-run the merge (Iceberg's
+    optimistic-concurrency contract)."""
+    base = current_version(table)
+    if base is None:
+        return snapshot_write(updates, table, mode="append") | {"op": "merge"}
+    m = _load_manifest(table, base)
+    files = _abs_files(table, m)
+    keys = updates.select(key).distinct()
+    cur = spark.read.parquet(*files).withColumn(
+        "__f", F.col("_metadata.file_path")
+    )
+    hit_abs = [
+        r["__f"]
+        for r in cur.join(keys, key, "left_semi").select("__f").distinct().collect()
+    ]
+    hit_rel = {_to_rel(table, u) for u in hit_abs}
+    survivors = (
+        cur.filter(F.col("__f").isin(list(hit_abs)))
+        .join(keys, key, "left_anti")
+        .drop("__f")
+    )
+    new_files, schema = _write_data_files(
+        survivors.unionByName(updates), table
+    )
+    manifest = {
+        "version": base + 1,
+        "parent": base,
+        "op": "merge",
+        "files": [f for f in m["files"] if f not in hit_rel] + new_files,
+        "schema": schema,
+        "ts": time.time(),
+        "rewrote_files": len(hit_rel),
+        "carried_files": len(m["files"]) - len(hit_rel),
+    }
+    _commit(table, manifest)  # CommitConflict propagates by design
+    return manifest
+
+
+def snapshot_history(table: str) -> list[dict]:
+    """(version, parent, op, n_files, ts) per snapshot, oldest
+    first."""
+    v = current_version(table)
+    out = []
+    for i in range(1, (v or 0) + 1):
+        try:
+            m = _load_manifest(table, i)
+        except FileNotFoundError:
+            continue  # expired by vacuum
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m["parent"],
+                "op": m["op"],
+                "n_files": len(m["files"]),
+                "ts": m["ts"],
+            }
+        )
+    return out
+
+
+def vacuum(
+    table: str, keep_last: int = 1, orphan_age_secs: float = 86400.0
+) -> dict:
+    """Snapshot expiry + orphan sweep. Keeps the newest ``keep_last``
+    snapshots (time travel window), deletes older manifests, then
+    deletes data files referenced by NO surviving snapshot — but only
+    files older than ``orphan_age_secs``, so a concurrent writer's
+    staged-but-not-yet-committed files survive (the zip_sink age-out
+    contract). Returns counts."""
+    v = current_version(table)
+    if v is None:
+        return {"kept_snapshots": 0, "deleted_files": 0}
+    keep_from = max(1, v - keep_last + 1)
+    referenced: set[str] = set()
+    kept = 0
+    for i in range(keep_from, v + 1):
+        try:
+            referenced.update(_load_manifest(table, i)["files"])
+            kept += 1
+        except FileNotFoundError:
+            continue
+    dropped_snaps = 0
+    for i in range(1, keep_from):
+        try:
+            os.remove(_snap_path(table, i))
+            dropped_snaps += 1
+        except FileNotFoundError:
+            pass
+    deleted = 0
+    now = time.time()
+    for d in os.listdir(table):
+        if not d.startswith("data-"):
+            continue
+        ddir = os.path.join(table, d)
+        for f in os.listdir(ddir):
+            rel = os.path.join(d, f)
+            full = os.path.join(ddir, f)
+            if rel in referenced:
+                continue
+            try:
+                if now - os.path.getmtime(full) < orphan_age_secs:
+                    continue
+                os.remove(full)
+                deleted += 1
+            except OSError:
+                continue  # vanished under us
+        try:
+            os.rmdir(ddir)  # only succeeds when fully empty
+        except OSError:
+            pass
+    return {
+        "kept_snapshots": kept,
+        "dropped_snapshots": dropped_snaps,
+        "deleted_files": deleted,
+    }

@@ -143,6 +143,7 @@ def run_job(
     time_budget_secs: float | None = None,
     html_engine: str = "fast",
     pdf_passwords: tuple = (),
+    table_format: str = "parquet",
 ) -> dict:
     """Run (or resume) the extraction job. Returns summary counts.
 
@@ -154,6 +155,11 @@ def run_job(
 
     ``input_format``: "parquet" (pages table) or "warc" (directory of
     WARC/.warc.gz files read via sources.warc.read_warc_dir).
+
+    ``table_format``: "parquet" (plain append directory) or
+    "snapshot" (operators/snapshot_table — atomic manifest commits,
+    snapshot-isolated resume, time travel, vacuum). Resume
+    auto-detects the output's format either way.
     """
     rid = run_id or new_run_id()
     restore_batch_conf = None
@@ -184,7 +190,7 @@ def run_job(
         return _run_job_body(
             spark, rid, input_path, output_path, metrics_path, resume,
             parallelism, input_format, time_budget_secs, html_engine,
-            pdf_passwords,
+            pdf_passwords, table_format,
         )
     finally:
         if restore_batch_conf is not None:
@@ -202,7 +208,7 @@ def run_job(
 def _run_job_body(
     spark, rid, input_path, output_path, metrics_path, resume,
     parallelism, input_format, time_budget_secs, html_engine,
-    pdf_passwords=(),
+    pdf_passwords=(), table_format="parquet",
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -231,12 +237,25 @@ def _run_job_body(
             "error_rows"
         ),
     )
-    extracted.write.mode("append").parquet(output_path)
-    run_stats = obs.get
+    if table_format == "snapshot":
+        # Atomic manifest commit (operators/snapshot_table): a driver
+        # crash mid-write leaves the previous snapshot fully live and
+        # this run's files orphaned-invisible; the resume anti-join
+        # then redoes exactly this run's work. The Iceberg semantics
+        # the parquet-append path only approximates.
+        from deepseek_ocr_spark.operators import snapshot_table as ST
 
-    # mergeSchema: tolerate pre-run_id files (e.g. seeded by an older
-    # writer) living in the same output directory
-    out = spark.read.option("mergeSchema", "true").parquet(output_path)
+        local_out = output_path.removeprefix("file://")
+        ST.snapshot_write(extracted, local_out, mode="append")
+        run_stats = obs.get
+        out = ST.snapshot_read(spark, local_out)
+    else:
+        extracted.write.mode("append").parquet(output_path)
+        run_stats = obs.get
+
+        # mergeSchema: tolerate pre-run_id files (e.g. seeded by an
+        # older writer) living in the same output directory
+        out = spark.read.option("mergeSchema", "true").parquet(output_path)
     if metrics_path is not None:
         # Per-partition metrics for THIS run only: the run_id filter is
         # a constant per file, so parquet min/max stats prune every
