@@ -145,6 +145,10 @@ HEADLINE = [
     "url_templates",
     "script_mix",
     "shard_plan",
+    # round 4, eighth wave
+    "html_code_blocks",
+    "sitemap_entries",
+    "hreflang_bitext",
 ]
 
 

@@ -33,7 +33,11 @@ join back to the node set. Iterations are a fixed small constant
 (graphs converge in ~10-20 rounds; CC's host graph uses ~5 for filter
 features). For large ``iters`` add a ``localCheckpoint`` per round
 (see ``dedup.connected_components``) to truncate lineage; at the
-default 5 the pure DAG is cheaper.
+default 5 the pure DAG is cheaper. Persist-pinning the loop-carried
+frames was A/B-tested and REJECTED on measurement (BENCH.md round-4:
+pinned hits 27 s vs unpinned 4 s at sf0.1) — at host-graph scale the
+recompute is a few cheap shuffles over tiny frames, while persist
+adds materialization barriers and unbounded cache growth.
 """
 
 from __future__ import annotations

@@ -62,14 +62,22 @@ def winnow_fingerprints(
     fewer than ``w + k - 1`` words emit no rows (no full window
     exists)."""
     sh = shingles_col(F.col(text_col), k)
-    n = F.size(sh)
+    n0 = F.size(sh)
     h = F.transform(sh, lambda s: md5_prefix_int(s, 10))
-    keys = F.zip_with(
+    keys0 = F.zip_with(
         h,
-        F.sequence(F.lit(0), n - 1),
+        F.sequence(F.lit(0), n0 - 1),
         lambda hh, i: hh * F.lit(1 << POS_BITS)
         + (F.lit(_POS_MASK) - i),
     )
+    # Projection boundary: the ladder below references ``keys`` w
+    # times, and Spark re-evaluates a duplicated expression subtree
+    # per reference — WITH the md5 transform inside it, that is w
+    # full re-hashes of every shingle (measured 18-20 s -> ~2 s at
+    # sf0.1). Materializing keys as a column first makes each ladder
+    # reference a cheap bound read.
+    pre = df.select(F.col(id_col), keys0.alias("_keys"), n0.alias("_n"))
+    keys, n = F.col("_keys"), F.col("_n")
     m = keys
     for j in range(1, w):
         m = F.zip_with(
@@ -80,7 +88,7 @@ def winnow_fingerprints(
     sel = F.array_distinct(m)
     guarded = F.when((n >= w) & (n <= _POS_MASK), sel)
     return (
-        df.select(F.col(id_col), F.explode(guarded).alias("_key"))
+        pre.select(F.col(id_col), F.explode(guarded).alias("_key"))
         .select(
             F.col(id_col),
             (F.lit(_POS_MASK) - F.col("_key").bitwiseAND(F.lit(_POS_MASK)))
