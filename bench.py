@@ -149,6 +149,9 @@ HEADLINE = [
     "html_code_blocks",
     "sitemap_entries",
     "hreflang_bitext",
+    # round 4, tenth wave
+    "readability",
+    "ccnet_buckets_sampled",
 ]
 
 

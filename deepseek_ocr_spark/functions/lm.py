@@ -232,3 +232,73 @@ def ppl_tertiles(
         )
         .drop("__rn", "__n")
     )
+
+
+def ppl_buckets_sampled(
+    scored: DataFrame,
+    sample_mod: int = 8,
+    lang_col: str = "lang",
+    nll_col: str = "nll_ptok_fp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The 100 TB variant of ``ppl_tertiles`` — CCNet's own approach:
+    compute the two per-language tertile cutoffs EXACTLY on a
+    deterministic hash sample (``md5(id) % sample_mod == 0``), then
+    bucket the full corpus by broadcast comparison against the
+    cutoffs. The corpus is never globally ranked: only the ~1/mod
+    sample pays the per-language sort, and the full pass is one scan
+    plus a languages-sized broadcast join — no corpus Exchange.
+
+    Deterministic end to end: the sample membership is a hash
+    predicate, cutoffs are the exact rank-ceil(ns/3) / ceil(2ns/3)
+    sample rows (id tiebreak), and bucketing compares the
+    (nll, id) tuple against the cutoff tuple — so both engines agree
+    bit-for-bit even through ties. Languages with NO sampled docs
+    bucket as 'unsampled' (surfaced, not silently defaulted; at real
+    scale every language with enough docs to matter has sample rows).
+    Bucket boundaries differ from the exact ``ppl_tertiles`` split by
+    the usual sampling error; determinism is what makes the variant
+    testable against its twin.
+    """
+    from pyspark.sql.window import Window
+
+    from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+
+    in_sample = (
+        md5_prefix_int(F.col(id_col).cast("string"), 8) % sample_mod == 0
+    )
+    w = Window.partitionBy(lang_col).orderBy(nll_col, id_col)
+    wn = Window.partitionBy(lang_col)
+    ranked = (
+        scored.where(in_sample)
+        .select(lang_col, nll_col, id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wn))
+    )
+    cut = lambda r: F.max(  # noqa: E731 — exactly one row matches r
+        F.when(
+            F.col("__rn") == F.expr(r),
+            F.struct(
+                F.col(nll_col).alias("v"), F.col(id_col).alias("i")
+            ),
+        )
+    )
+    cuts = ranked.groupBy(lang_col).agg(
+        cut("(__n + 2) DIV 3").alias("__c1"),
+        cut("(2 * __n + 2) DIV 3").alias("__c2"),
+    )
+    le = lambda c: (F.col(nll_col) < F.col(f"{c}.v")) | (  # noqa: E731
+        (F.col(nll_col) == F.col(f"{c}.v"))
+        & (F.col(id_col) <= F.col(f"{c}.i"))
+    )
+    return (
+        scored.join(F.broadcast(cuts), lang_col, "left")
+        .withColumn(
+            "ppl_bucket",
+            F.when(F.col("__c1").isNull(), F.lit("unsampled"))
+            .when(le("__c1"), F.lit("head"))
+            .when(le("__c2"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("__c1", "__c2")
+    )

@@ -420,3 +420,90 @@ def corpus_rollup(docs, dims: list[str], text_col: str = "text"):
     for d in dims:
         out = out.withColumn(d, F.coalesce(F.col(d), F.lit("(all)")))
     return out.select(*dims, "gid", "n_docs", "tokens", "chars")
+
+
+# --------------------------------------------------------------------
+# Flesch / Flesch-Kincaid readability
+# --------------------------------------------------------------------
+#
+# The classic shallow-parse readability pair (Flesch 1948, Kincaid
+# 1975) — a standard webtext quality axis next to the Gopher signals:
+# SEO keyword-stuffed pages and machine-generated word salad score
+# far outside the human prose band. Counting rules, pinned so both
+# engines agree bit-for-bit:
+#   * sentences = maximal runs of [.!?] (abbreviation dots merge with
+#     the sentence end they precede — the standard cheap rule),
+#   * words     = repo-wide TOKEN_SPLIT_RE whitespace tokens,
+#   * syllables = vowel-group count ([aeiouy]+ runs in the lowercased
+#     text; runs can't span tokens because the delimiter is
+#     whitespace) plus 1 for each vowel-less word (per-word minimum
+#     of one syllable without a per-word loop).
+# Scores are 1e-3 fixed point computed with integer multiply/divide
+# only — floats would drift the low bits across engines. Denominators
+# clamp at 1 inside the score (blank docs score the constant terms);
+# the emitted n_words / n_sent / n_syll columns are the RAW counts.
+
+SENT_RUN_RE = r"[.!?]+"
+VOWEL_RUN_RE = r"[aeiouy]+"
+VOWEL_CHAR_RE = r"[aeiouy]"
+
+
+def readability_exprs(idiv: str) -> dict[str, str]:
+    """Fixed-point score expressions over integer columns ``n_words``
+    / ``n_sent`` / ``n_syll``; ``idiv`` is 'DIV' (Spark) or '//'
+    (DuckDB). Flesch reading ease = 206.835 - 1.015*(W/S) -
+    84.6*(Syll/W); FK grade = 0.39*(W/S) + 11.8*(Syll/W) - 15.59,
+    both scaled 1e3. Per-doc counts keep every intermediate far from
+    int64 range (1015 * words-in-one-document)."""
+    w = "greatest(n_words, 1)"
+    s = "greatest(n_sent, 1)"
+    return {
+        "flesch_fp": (
+            f"(206835 - ((1015 * n_words) {idiv} {s})"
+            f" - ((84600 * n_syll) {idiv} {w}))"
+        ),
+        "fk_grade_fp": (
+            f"(((390 * n_words) {idiv} {s})"
+            f" + ((11800 * n_syll) {idiv} {w}) - 15590)"
+        ),
+    }
+
+
+def readability(
+    df, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Per-doc readability frame: (id, n_words, n_sent, n_syll,
+    flesch_fp, fk_grade_fp). Zero-shuffle codegen projection — three
+    regexp counts plus one array filter per row, no joins, no
+    explode; at 100 TB this rides the same single scan as the other
+    quality signals."""
+    t = F.col(text_col)
+    low = F.lower(F.trim(t))
+    words_arr = F.split(low, TOKEN_SPLIT_RE)
+    novowel = F.size(
+        F.filter(
+            words_arr,
+            lambda w: (w != F.lit("")) & (~w.rlike(VOWEL_CHAR_RE)),
+        )
+    )
+    ex = readability_exprs("DIV")
+    return (
+        df.select(
+            F.col(id_col),
+            token_count(t).cast("bigint").alias("n_words"),
+            F.regexp_count(t, F.lit(SENT_RUN_RE))
+            .cast("bigint")
+            .alias("n_sent"),
+            (F.regexp_count(low, F.lit(VOWEL_RUN_RE)) + novowel)
+            .cast("bigint")
+            .alias("n_syll"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_sent",
+            "n_syll",
+            F.expr(ex["flesch_fp"]).cast("bigint").alias("flesch_fp"),
+            F.expr(ex["fk_grade_fp"]).cast("bigint").alias("fk_grade_fp"),
+        )
+    )

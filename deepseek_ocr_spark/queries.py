@@ -2356,6 +2356,76 @@ FROM r ORDER BY doc_id
 SQL_CCNET_BUCKETS = _ccnet_buckets_sql()
 
 
+_SAMPLED_MOD = 4  # fixture-sized corpus: 1/4 sample keeps >=30 docs/lang
+
+
+def q_ccnet_buckets_sampled(spark, sf_dir):
+    """CCNet bucketing the way CCNet actually runs it at scale
+    (lm.ppl_buckets_sampled): exact per-language tertile cutoffs on a
+    deterministic md5 %-mod sample, full corpus bucketed by broadcast
+    (nll, id)-tuple comparison — no corpus-wide ranking Exchange.
+    Deterministic through ties, so the approximate-by-sampling
+    operator is still hash-verified."""
+    from deepseek_ocr_spark.functions import lm as LM
+
+    d = _t(spark, sf_dir, "documents")
+    model = LM.train_bigram_lm(
+        d.filter(F.col("lang") == "en"), "doc_id", "text"
+    )
+    scored = LM.perplexity(d, model, "doc_id", "text").join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        LM.ppl_buckets_sampled(scored, sample_mod=_SAMPLED_MOD)
+        .select("doc_id", "lang", "nll_ptok_fp", "ppl_bucket")
+        .orderBy("doc_id")
+    )
+
+
+def _ccnet_buckets_sampled_sql() -> str:
+    return f"""
+WITH base AS ({_lm_sql()}),
+l AS (
+  SELECT base.doc_id, d.lang, base.nll_ptok_fp
+  FROM base JOIN documents d USING (doc_id)
+),
+samp AS (
+  SELECT lang, nll_ptok_fp, doc_id FROM l
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        % {_SAMPLED_MOD} = 0
+),
+r AS (
+  SELECT lang, nll_ptok_fp, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY nll_ptok_fp, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM samp
+),
+cuts AS (
+  SELECT lang,
+         max(CASE WHEN rn = (n + 2) // 3
+             THEN struct_pack(v := nll_ptok_fp, i := doc_id) END) AS c1,
+         max(CASE WHEN rn = (2 * n + 2) // 3
+             THEN struct_pack(v := nll_ptok_fp, i := doc_id) END) AS c2
+  FROM r GROUP BY lang
+)
+SELECT l.doc_id, l.lang, l.nll_ptok_fp,
+       CASE WHEN c1 IS NULL THEN 'unsampled'
+            WHEN l.nll_ptok_fp < c1.v
+                 OR (l.nll_ptok_fp = c1.v AND l.doc_id <= c1.i)
+              THEN 'head'
+            WHEN l.nll_ptok_fp < c2.v
+                 OR (l.nll_ptok_fp = c2.v AND l.doc_id <= c2.i)
+              THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM l LEFT JOIN cuts USING (lang)
+ORDER BY doc_id
+"""
+
+
+SQL_CCNET_BUCKETS_SAMPLED = _ccnet_buckets_sampled_sql()
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style sequence packing (functions/packing.py): concatenate
     the corpus token stream in doc_id order and chunk it into 256-token
@@ -5597,6 +5667,48 @@ ORDER BY doc_id
 """
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease + Flesch-Kincaid grade
+    (functions/textstats.readability): sentence/word/vowel-group
+    counts and the two classic scores in 1e-3 fixed point — the
+    human-prose-band quality axis (keyword-stuffed SEO pages and
+    word salad land far outside it). Zero-shuffle codegen; the score
+    expressions are ONE string shared verbatim with the twin
+    (readability_exprs)."""
+    d = _t(spark, sf_dir, "documents")
+    return TS.readability(d, "text", "doc_id").orderBy("doc_id")
+
+
+def _readability_sql() -> str:
+    from deepseek_ocr_spark.functions.textstats import readability_exprs
+
+    ws = "'[ \\t\\n\\x0B\\f\\r]+'"
+    ex = readability_exprs("//")
+    return f"""
+WITH per AS (
+  SELECT doc_id,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), {ws}))
+          END)::BIGINT AS n_words,
+         len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sent,
+         (len(regexp_extract_all(lower(trim(text)), '[aeiouy]+'))
+          + len(list_filter(
+                  string_split_regex(lower(trim(text)), {ws}),
+                  w -> w <> '' AND NOT regexp_matches(w, '[aeiouy]')))
+         )::BIGINT AS n_syll
+  FROM documents
+)
+SELECT doc_id, n_words, n_sent, n_syll,
+       ({ex["flesch_fp"]})::BIGINT AS flesch_fp,
+       ({ex["fk_grade_fp"]})::BIGINT AS fk_grade_fp
+FROM per
+ORDER BY doc_id
+"""
+
+
+SQL_READABILITY = _readability_sql()
+
+
 # --------------------------------------------------------------------
 #
 # ORDERING POLICY (the driver's correctness gate checks the FIRST 50
@@ -5619,6 +5731,11 @@ ORDER BY doc_id
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
+    "readability": (q_readability, SQL_READABILITY),
+    "ccnet_buckets_sampled": (
+        q_ccnet_buckets_sampled,
+        SQL_CCNET_BUCKETS_SAMPLED,
+    ),
     "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "host_trustrank": (q_host_trustrank, SQL_HOST_TRUSTRANK),
     "url_templates": (q_url_templates, SQL_URL_TEMPLATES),
@@ -5642,7 +5759,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
-    "epoch_mixture": (q_epoch_mixture, SQL_EPOCH_MIXTURE),
+    # (epoch_mixture demoted below the cut for ccnet_buckets_sampled
+    #  (tenth wave): mixture_plan stays in-window and exercises the
+    #  same sampling/allocation machinery (budget water-fill + salted
+    #  hash sampling) end-to-end; local gate covers both every round.)
     "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
     "host_communities": (q_host_communities, SQL_HOST_COMMUNITIES),
     "inverted_postings": (q_inverted_postings, SQL_INVERTED_POSTINGS),
@@ -5653,7 +5773,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # path is untouched since (round-4 packing.py additions are
     # separate functions; shard_plan keeps the module in-window).
     "hreflang_bitext": (q_hreflang_bitext, SQL_HREFLANG_BITEXT),
-    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "quality_model_score": (q_quality_model_score, SQL_QUALITY_MODEL_SCORE),
@@ -5715,6 +5834,17 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # (Exactly 50 entries sit above this banner — tests/test_review_
     # fixes.py pins the count so the policy can't silently drift.)
     # ------------------------------------------------------------------
+    # (hash_split demoted for readability, epoch_mixture for
+    #  ccnet_buckets_sampled (tenth wave): hash_split is the
+    #  structurally simplest former window entry — a zero-shuffle
+    #  md5-prefix-vs-threshold projection whose machinery several
+    #  in-window queries exercise (winnow, mixture_plan's salted
+    #  sampling); mixture_plan stays in-window and covers
+    #  epoch_mixture's water-fill + epoch-salted-sample machinery
+    #  end-to-end. Neither was ever driver-verified; the local gate
+    #  covers both every round.)
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "epoch_mixture": (q_epoch_mixture, SQL_EPOCH_MIXTURE),
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "recrawl_churn": (q_recrawl_churn, SQL_RECRAWL_CHURN),

@@ -171,3 +171,60 @@ def test_ppl_tertiles_exact_and_ordered(spark):
             assert max(nlls["head"]) <= min(nlls["middle"])
         if nlls["middle"] and nlls["tail"]:
             assert max(nlls["middle"]) <= min(nlls["tail"])
+
+
+def test_ppl_buckets_sampled_semantics(spark):
+    """Sampled-threshold bucketing: (1) bucket order is consistent —
+    within a language every head (nll, id) tuple precedes every
+    middle tuple precedes every tail tuple; (2) the SAMPLED docs
+    split into exact tertiles of the sample; (3) a language with no
+    sampled docs buckets as 'unsampled'; (4) the assignment is
+    independent of input partitioning."""
+    import hashlib as _h
+
+    model = _train(spark)
+    rows = [(i, "en", REF[0][1] + " pad" * (i % 7)) for i in range(40)]
+    # doc_ids whose md5 % 4 != 0 for every id -> all 'unsampled':
+    zz = [(1000 + i, "zz", REF[0][1]) for i in range(8)]
+    zz = [r for r in zz
+          if int(_h.md5(str(r[0]).encode()).hexdigest()[:8], 16) % 4 != 0][:3]
+    docs = spark.createDataFrame(
+        rows + zz, "doc_id bigint, lang string, text string"
+    )
+    scored = LM.perplexity(docs, model, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    out = LM.ppl_buckets_sampled(scored, sample_mod=4).collect()
+    assert len(out) == 40 + len(zz)
+    assert {r["ppl_bucket"] for r in out if r["lang"] == "zz"} == {
+        "unsampled"
+    }
+
+    en = [r for r in out if r["lang"] == "en"]
+    order = {"head": 0, "middle": 1, "tail": 2}
+    keyed = sorted((r["nll_ptok_fp"], r["doc_id"]) for r in en)
+    byk = {
+        (r["nll_ptok_fp"], r["doc_id"]): order[r["ppl_bucket"]] for r in en
+    }
+    seq = [byk[k] for k in keyed]
+    assert seq == sorted(seq), "buckets must be monotone in (nll, id)"
+
+    sampled = [
+        r for r in en
+        if int(_h.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 4
+        == 0
+    ]
+    sizes = {"head": 0, "middle": 0, "tail": 0}
+    for r in sampled:
+        sizes[r["ppl_bucket"]] += 1
+    ns = len(sampled)
+    assert ns >= 6
+    r1, r2 = (ns + 2) // 3, (2 * ns + 2) // 3
+    assert (sizes["head"], sizes["middle"]) == (r1, r2 - r1)
+
+    re40 = LM.ppl_buckets_sampled(
+        scored.repartition(7, "doc_id"), sample_mod=4
+    ).collect()
+    assert {(r["doc_id"], r["ppl_bucket"]) for r in re40} == {
+        (r["doc_id"], r["ppl_bucket"]) for r in out
+    }

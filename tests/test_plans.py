@@ -380,3 +380,31 @@ def test_host_hits_plan_is_join_clean(spark):
     plan = plan_of(REGISTRY["host_hits"][0](spark, SF))
     assert "CartesianProduct" not in plan
     assert "NestedLoopJoin" not in plan.replace("BroadcastNestedLoopJoin", "")
+
+
+def test_ppl_buckets_sampled_never_ranks_the_corpus(spark):
+    """The sampled-threshold CCNet bucketing must sort only the hash
+    sample: the full-corpus side takes a BroadcastHashJoin against
+    the languages-sized cutoff frame, and every Window (the sample's
+    per-language ranking) sits BELOW the sample filter — never over
+    the full scan."""
+    from deepseek_ocr_spark.functions.lm import ppl_buckets_sampled
+
+    scored = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .selectExpr(
+            "doc_id", "lang", "(n_chars * 1000) AS nll_ptok_fp"
+        )
+    )
+    plan = plan_of(ppl_buckets_sampled(scored, sample_mod=4))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # Both Window nodes (row_number + per-lang count) rank the SAMPLE:
+    # the md5 % mod filter sits below them, and the only shuffle
+    # Exchange in the whole plan is the sample's lang repartition —
+    # the corpus branch feeds the join straight from its scan.
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange\b", plan)) == 1, plan
+    assert re.search(r"% 4\) = 0", plan), plan

@@ -1,0 +1,66 @@
+"""Flesch / Flesch-Kincaid readability: counting rules and the
+fixed-point score arithmetic pinned on hand-computed fixtures."""
+
+from deepseek_ocr_spark.functions.textstats import readability
+
+
+def _score(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    return readability(df, "text", "doc_id").collect()[0]
+
+
+def test_hand_computed_counts(spark):
+    # Words: the/cat/sat./it/sat! = 5. Sentence runs: '.' and '!' = 2.
+    # Vowel groups: the(1 'e') cat(1 'a') sat(1) it(1) sat(1) = 5.
+    r = _score(spark, "the cat sat. it sat!")
+    assert (r["n_words"], r["n_sent"], r["n_syll"]) == (5, 2, 5)
+    # flesch_fp = 206835 - (1015*5)//2 - (84600*5)//5
+    assert r["flesch_fp"] == 206835 - (1015 * 5) // 2 - 84600
+    # fk_grade_fp = (390*5)//2 + (11800*5)//5 - 15590
+    assert r["fk_grade_fp"] == (390 * 5) // 2 + 11800 - 15590
+
+
+def test_vowel_group_rules(spark):
+    # 'queueing' = one vowel run (ueuei) -> 1 syllable by the rule;
+    # 'beautiful' = eau + i + u = 3; y counts as a vowel: 'rhythm' = 1.
+    r = _score(spark, "queueing beautiful rhythm.")
+    assert (r["n_words"], r["n_sent"], r["n_syll"]) == (3, 1, 5)
+
+
+def test_vowelless_words_count_one_syllable(spark):
+    # 'hmm' and '123' have no vowel runs -> 1 syllable each.
+    r = _score(spark, "hmm 123 ok.")
+    assert (r["n_words"], r["n_syll"]) == (3, 3)
+
+
+def test_abbreviation_runs_merge(spark):
+    # '...' is ONE sentence run; 'e.g.' contributes runs of its own
+    # ('.'+'.') -- the documented cheap rule, deterministic not smart.
+    r = _score(spark, "Wait... what")
+    assert r["n_sent"] == 1
+
+
+def test_blank_text_scores_constant_terms(spark):
+    r = _score(spark, "   ")
+    assert (r["n_words"], r["n_sent"], r["n_syll"]) == (0, 0, 0)
+    # Clamped denominators: flesch = 206835 - 0 - 0.
+    assert r["flesch_fp"] == 206835
+    assert r["fk_grade_fp"] == -15590
+
+
+def test_prose_band_separation(spark):
+    prose = (
+        "The quick brown fox jumps over the lazy dog. "
+        "It runs home at night. The dog sleeps well."
+    )
+    salad = (
+        "synergistically orchestrate revolutionary methodologies "
+        "holistically incentivize extensible infrastructures "
+        "professionally myocardinate equity invested architectures"
+    )
+    p = _score(spark, prose)
+    s = _score(spark, salad)
+    # Human prose scores high (easy); polysyllabic salad scores low.
+    assert p["flesch_fp"] > 60_000
+    assert s["flesch_fp"] < 0
+    assert s["fk_grade_fp"] > p["fk_grade_fp"]

@@ -417,7 +417,10 @@ def test_registry_window_holds_exactly_fifty_entries():
         "tokenizer_fertility",
         "winnow_fingerprints",
         "mixture_plan",
-        "epoch_mixture",
+        # epoch_mixture: demoted for ccnet_buckets_sampled (tenth
+        # wave) — mixture_plan stays in-window covering the same
+        # water-fill + salted-sampling machinery.
+        "ccnet_buckets_sampled",
         "bpe_train",
         "host_communities",
         "inverted_postings",
@@ -431,7 +434,10 @@ def test_registry_window_holds_exactly_fifty_entries():
         # pack_sequences: demoted for hreflang_bitext (eighth wave) —
         # driver-green in r03, code path untouched since.
         "hreflang_bitext",
-        "hash_split",
+        # hash_split: demoted for readability (tenth wave) — the
+        # simplest former window entry; its md5-threshold machinery
+        # is exercised by several in-window queries.
+        "readability",
         "lm_perplexity",
         "ccnet_buckets",
         "quality_model_score",
