@@ -152,6 +152,9 @@ HEADLINE = [
     # round 4, tenth wave
     "readability",
     "ccnet_buckets_sampled",
+    # round 4, eleventh wave
+    "html_markdown",
+    "heading_outline",
 ]
 
 

@@ -1,0 +1,234 @@
+"""HTML → Markdown conversion — structure-preserving extraction.
+
+The main-content extractor (core/html_extract.py) emits FLAT text:
+boilerplate-stripped prose with block structure reduced to newlines.
+Modern pretraining pipelines keep more: FineWeb-Edu, Dolma, and the
+olmOCR family all ship *markdown-shaped* documents because heading
+hierarchy, list structure, emphasis, hyperlinks, and code fences are
+signal the model can learn from (and the downstream quality filters
+key on). This operator is that upgrade: a deterministic HTML →
+Markdown rewrite of the page payload.
+
+Scope (deliberate, documented): this is a REGEX-CHAIN converter, not
+a DOM renderer — the same design point as the rest of the html-
+projection family (html_meta/html_tables/html_code). It handles the
+constructs that dominate crawled prose:
+
+  - ``<script>/<style>/<head>`` subtrees and comments drop whole
+  - ``<h1>..<h6>`` → ATX headings (``#``..``######``)
+  - ``<a href>`` → ``[text](url)`` (href-less anchors unwrap)
+  - ``<img alt src>`` → ``![alt](src)`` — both attribute orders;
+    alt-less images vanish (no signal to keep)
+  - ``<pre>``(``<code>``) → fenced blocks, inline ``<code>`` → `` ` ``
+  - ``<b>/<strong>`` → ``**``, ``<i>/<em>`` → ``*``
+  - ``<li>`` → ``- `` (ordered lists become dashes too: counters are
+    not expressible in a replacement; documented flattening)
+  - ``<blockquote>`` → one ``> `` marker (multi-paragraph quotes
+    collapse to a single marker — documented)
+  - ``<br>`` → newline; ``<p>/<div>/<section>/...`` → blank line;
+    table cells space-separate, rows newline-separate
+  - every remaining tag strips; entities decode AFTER the strip (so
+    ``&lt;script&gt;`` in prose survives as literal text); trailing
+    whitespace, 3+ blank lines, and document edges trim
+
+Unbalanced markup degrades gracefully (a lone ``</b>`` emits a lone
+``**``): the rewrite is a pure function of the byte stream, identical
+across engines, never an error.
+
+Design for 100 TB: the whole conversion is ONE zero-shuffle
+whole-stage-codegen projection — a pinned-order ``regexp_replace``
+chain. Every pattern lives in the Java∩RE2 subset (no lookarounds, no
+pattern backrefs, ``[ \\t\\n\\r]`` spelled out — never ``\\s``;
+``\\A``/``\\z`` anchors, NOT ``^``/``$`` whose end-of-input semantics
+diverge between Java and RE2); group references use ``$n`` on the
+Spark side and are mechanically translated to RE2's ``\\n`` for the
+DuckDB twin (``markdown_sql``), so the SAME chain runs verbatim in
+both engines and the operator is hash-verified.
+
+``heading_outline`` additionally recovers the heading HIERARCHY as
+rows — (url, idx, level, heading) in document order via the
+positionally-zipped ``regexp_extract_all`` idiom (html_code.py) —
+the document-structure table used for section-aware chunking and
+outline-based quality signals.
+
+Reference analog: none — the reference (FastAPI OCR loop,
+``DeepSeek-OCR-master/run_dpsk_ocr.py``) emits flat text per request
+and never sees HTML. This is north_rule surface ("HTML boilerplate
+strip ... DOM heuristics") generalized to structure-preserving output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.html_meta import ENTITY_CHAIN
+
+_WS = "[ \\t\\n\\r]"
+_ATTR_ALT = '[ \\t]alt[ \\t]*=[ \\t]*"([^"]*)"'
+_ATTR_SRC = '[ \\t]src[ \\t]*=[ \\t]*"([^"]*)"'
+_ATTR_HREF = '[ \\t]href[ \\t]*=[ \\t]*"([^"]*)"'
+
+# (pattern, replacement) — replacement uses Java's $n group syntax;
+# markdown_sql() translates $n → RE2's \n for the DuckDB twin. ORDER
+# IS THE ALGORITHM: attribute-bearing rewrites (img/a) run before any
+# tag is stripped; fences before inline code (so <pre><code> opens a
+# fence, not a stray backtick); blockquote before <b\b> (disjoint
+# anyway — \b stops <b from eating <blockquote — but the reader
+# shouldn't have to prove it); the bare-tag strip LAST among tag
+# rules; entities and whitespace cleanup after all tags are gone.
+MD_STRUCT_CHAIN: tuple[tuple[str, str], ...] = (
+    # 1. non-content subtrees + comments drop whole
+    ("(?is)<script\\b[^>]*>.*?</script>", ""),
+    ("(?is)<style\\b[^>]*>.*?</style>", ""),
+    ("(?is)<head\\b[^>]*>.*?</head>", ""),
+    ("(?s)<!--.*?-->", ""),
+    # 2. images: both attribute orders; alt-less images vanish
+    (f"(?i)<img\\b[^>]*{_ATTR_ALT}[^>]*{_ATTR_SRC}[^>]*>", "![$1]($2)"),
+    (f"(?i)<img\\b[^>]*{_ATTR_SRC}[^>]*{_ATTR_ALT}[^>]*>", "![$2]($1)"),
+    ("(?i)<img\\b[^>]*>", ""),
+    # 3. links (inner markup converts later, inside the brackets)
+    (f"(?is)<a\\b[^>]*{_ATTR_HREF}[^>]*>(.*?)</a>", "[$2]($1)"),
+    ("(?is)<a\\b[^>]*>(.*?)</a>", "$1"),
+    # 4. code fences, then inline code
+    (f"(?i)<pre\\b[^>]*>{_WS}*(<code\\b[^>]*>)?", "\n\n```\n"),
+    (f"(?i)(</code>{_WS}*)?</pre>", "\n```\n\n"),
+    ("(?i)<code\\b[^>]*>", "`"),
+    ("(?i)</code>", "`"),
+    # 5. headings
+    ("(?i)<h1\\b[^>]*>", "\n\n# "),
+    ("(?i)<h2\\b[^>]*>", "\n\n## "),
+    ("(?i)<h3\\b[^>]*>", "\n\n### "),
+    ("(?i)<h4\\b[^>]*>", "\n\n#### "),
+    ("(?i)<h5\\b[^>]*>", "\n\n##### "),
+    ("(?i)<h6\\b[^>]*>", "\n\n###### "),
+    ("(?i)</h[1-6]>", "\n\n"),
+    # 6. lists
+    ("(?i)<li\\b[^>]*>", "\n- "),
+    ("(?i)</li>", ""),
+    ("(?i)</?[ou]l\\b[^>]*>", "\n"),
+    # 7. blockquote / hr
+    ("(?i)<blockquote\\b[^>]*>", "\n\n> "),
+    ("(?i)</blockquote>", "\n\n"),
+    ("(?i)<hr\\b[^>]*>", "\n\n---\n\n"),
+    # 8. emphasis
+    ("(?i)</?strong\\b[^>]*>", "**"),
+    ("(?i)</?b\\b[^>]*>", "**"),
+    ("(?i)</?em\\b[^>]*>", "*"),
+    ("(?i)</?i\\b[^>]*>", "*"),
+    # 9. block boundaries
+    ("(?i)<br\\b[^>]*>", "\n"),
+    ("(?i)</?p\\b[^>]*>", "\n\n"),
+    ("(?i)</?(div|section|article|main|table)\\b[^>]*>", "\n\n"),
+    ("(?i)</?tr\\b[^>]*>", "\n"),
+    ("(?i)</?t[dh]\\b[^>]*>", " "),
+    # 10. strip whatever tag remains (real tags start with a letter
+    # or '/'; a stray '<' in prose survives to entity-decode intact)
+    ("(?s)</?[a-zA-Z][^>]*>", ""),
+)
+
+# &nbsp; first (layout space → plain space), then the shared bounded
+# chain (&amp; last — the single-pass-correct order, html_meta).
+MD_ENTITY_CHAIN: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+) + ENTITY_CHAIN
+
+MD_WS_CHAIN: tuple[tuple[str, str], ...] = (
+    ("\\r", ""),
+    ("[ \\t]+\\n", "\n"),  # trailing blanks; space-only lines empty
+    ("\\n\\n\\n+", "\n\n"),  # ≥2 blank lines collapse to one
+    ("\\A" + _WS + "+", ""),
+    (_WS + "+\\z", ""),
+)
+
+
+def html_to_markdown(col: Column) -> Column:
+    """Markdown rendering of an HTML payload column. One zero-shuffle
+    codegen projection; NULL in → NULL out; '' in → '' out."""
+    out = col.cast("string")
+    for pat, repl in MD_STRUCT_CHAIN:
+        out = F.regexp_replace(out, pat, repl)
+    for needle, repl in MD_ENTITY_CHAIN:
+        out = F.replace(out, F.lit(needle), F.lit(repl))
+    for pat, repl in MD_WS_CHAIN:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_repl(repl: str) -> str:
+    """Java replacement → RE2 replacement ($n → \\n), as a SQL
+    literal. Newlines embed verbatim (DuckDB string literals span
+    lines)."""
+    out = repl
+    for g in range(1, 10):
+        out = out.replace(f"${g}", f"\\{g}")
+    return _sql_quote(out)
+
+
+def markdown_sql(expr: str) -> str:
+    """DuckDB expression computing the SAME markdown rendering of
+    ``expr`` — the chain constants interpolated verbatim, replacements
+    mechanically translated ($n → \\n)."""
+    out = expr
+    for pat, repl in MD_STRUCT_CHAIN:
+        out = f"regexp_replace({out}, {_sql_quote(pat)}, {_sql_repl(repl)}, 'g')"
+    for needle, repl in MD_ENTITY_CHAIN:
+        out = f"replace({out}, {_sql_quote(needle)}, {_sql_quote(repl)})"
+    for pat, repl in MD_WS_CHAIN:
+        out = f"regexp_replace({out}, {_sql_quote(pat)}, {_sql_repl(repl)}, 'g')"
+    return out
+
+
+# --------------------------------------------------------------------
+# heading outline
+# --------------------------------------------------------------------
+
+# group 1 = level digit, group 2 = inner HTML. The close tag matches
+# any level (RE2 has no pattern backrefs); mismatched-level nesting is
+# pathological HTML and resolves deterministically (lazy inner match).
+HEADING_RE = "(?is)<h([1-6])\\b[^>]*>(.*?)</h[1-6]>"
+TAG_STRIP_RE = "(?s)</?[a-zA-Z][^>]*>"
+WS_COLLAPSE_RE = "[ \\t\\n\\r]+"
+
+
+def _clean_heading(col: Column) -> Column:
+    out = F.regexp_replace(col, TAG_STRIP_RE, "")
+    for needle, repl in MD_ENTITY_CHAIN:
+        out = F.replace(out, F.lit(needle), F.lit(repl))
+    return F.trim(F.regexp_replace(out, WS_COLLAPSE_RE, " "))
+
+
+def heading_outline(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, idx, level, heading) — one row per ``<h1>``..``<h6>`` in
+    document order; ``idx`` 0-based, ``heading`` tag-stripped +
+    entity-decoded + whitespace-collapsed. Zero shuffles (posexplode
+    over positionally-zipped regexp_extract_all — html_code idiom)."""
+    h = F.col(html_col).cast("string")
+    levels = F.regexp_extract_all(h, F.lit(HEADING_RE), F.lit(1))
+    bodies = F.regexp_extract_all(h, F.lit(HEADING_RE), F.lit(2))
+    return (
+        pages.select(
+            F.col(url_col).alias("url"),
+            F.posexplode(F.arrays_zip(levels.alias("l"), bodies.alias("b"))),
+        )
+        .select(
+            "url",
+            F.col("pos").cast("bigint").alias("idx"),
+            F.col("col.l").cast("bigint").alias("level"),
+            _clean_heading(F.col("col.b")).alias("heading"),
+        )
+    )
+
+
+def heading_clean_sql(expr: str) -> str:
+    """DuckDB twin of _clean_heading for an inner-HTML expression."""
+    out = f"regexp_replace({expr}, {_sql_quote(TAG_STRIP_RE)}, '', 'g')"
+    for needle, repl in MD_ENTITY_CHAIN:
+        out = f"replace({out}, {_sql_quote(needle)}, {_sql_quote(repl)})"
+    return f"trim(regexp_replace({out}, {_sql_quote(WS_COLLAPSE_RE)}, ' ', 'g'))"

@@ -5710,6 +5710,185 @@ SQL_READABILITY = _readability_sql()
 
 
 # --------------------------------------------------------------------
+# HTML → Markdown + heading outline (functions/html_markdown.py)
+# --------------------------------------------------------------------
+#
+# markdown fixture: one synthetic page per doc exercising every chain
+# rule — head/style/script/comment drops, h1+h2 with inline markup,
+# bold/italic/entities/nbsp, a link with dynamic href, and doc_id-mod
+# branches for lists, blockquote+hr, both img attribute orders, and a
+# fenced code block with a literal newline; a stray '< 2' in prose
+# pins the tags-start-with-a-letter strip rule.
+
+
+def _md_pages(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+
+    def mod(n):
+        return (F.col("doc_id") % n).cast("string")
+
+    html = F.concat(
+        F.lit(
+            "<html><head><title>skip</title>"
+            "<style>p{color:red}</style></head><body><h1>Doc "
+        ),
+        did,
+        F.lit("</h1><p>Intro <b>"),
+        F.substring("text", 1, 6),
+        F.lit('</b> &amp; <i>more</i>, see <a href="https://'),
+        F.col("source"),
+        F.lit("/d/"),
+        did,
+        F.lit('">page '),
+        mod(7),
+        F.lit("</a>.</p>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<ul><li>alpha</li><li>"),
+                F.substring("text", 8, 5),
+                F.lit("</li></ul>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("<blockquote>note&nbsp;"),
+                mod(5),
+                F.lit("</blockquote><hr>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit('<img alt="fig '),
+                mod(2),
+                F.lit('" src="f.png"><img src="g.png" alt="back">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit('<pre><code class="language-py">x &lt; '),
+                mod(9),
+                F.lit("\n  y</code></pre>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<h2>End <em>"),
+        F.substring("text", 3, 4),
+        F.lit("</em></h2><script>if(1<2){}</script><!-- hidden -->"
+              "<p>tail <code>t="),
+        mod(5),
+        F.lit("</code> 1 < 2</p></body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/d/"), did).alias(
+            "url"
+        ),
+        html.alias("html"),
+    )
+
+
+_MD_PAGES_CTE = """
+  SELECT 'https://' || source || '/d/' || doc_id::VARCHAR AS url,
+         '<html><head><title>skip</title>'
+         || '<style>p{color:red}</style></head><body><h1>Doc '
+         || doc_id::VARCHAR || '</h1><p>Intro <b>' || substr(text, 1, 6)
+         || '</b> &amp; <i>more</i>, see <a href="https://' || source
+         || '/d/' || doc_id::VARCHAR || '">page ' || (doc_id % 7)::VARCHAR
+         || '</a>.</p>'
+         || CASE WHEN doc_id % 3 = 0
+              THEN '<ul><li>alpha</li><li>' || substr(text, 8, 5)
+                   || '</li></ul>' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+              THEN '<blockquote>note&nbsp;' || (doc_id % 5)::VARCHAR
+                   || '</blockquote><hr>' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+              THEN '<img alt="fig ' || (doc_id % 2)::VARCHAR
+                   || '" src="f.png"><img src="g.png" alt="back">'
+              ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+              THEN '<pre><code class="language-py">x &lt; '
+                   || (doc_id % 9)::VARCHAR || chr(10) || '  y</code></pre>'
+              ELSE '' END
+         || '<h2>End <em>' || substr(text, 3, 4) || '</em></h2>'
+         || '<script>if(1<2){}</script><!-- hidden -->'
+         || '<p>tail <code>t=' || (doc_id % 5)::VARCHAR
+         || '</code> 1 < 2</p></body></html>' AS html
+  FROM documents
+"""
+
+
+def q_html_markdown(spark, sf_dir):
+    """Structure-preserving extraction (functions/html_markdown.py):
+    the FineWeb/Dolma-style HTML → Markdown rewrite — headings, lists,
+    links, emphasis, images, code fences — as ONE zero-shuffle
+    pinned-order regexp chain whose pattern+replacement table the
+    DuckDB twin interpolates verbatim ($n mechanically translated to
+    RE2's \\n). Byte-identical across engines on every chain rule."""
+    from deepseek_ocr_spark.functions import html_markdown as HM
+
+    p = _md_pages(spark, sf_dir)
+    m = HM.html_to_markdown(F.col("html"))
+    return p.select(
+        "url",
+        m.alias("markdown"),
+        F.length(m).cast("bigint").alias("n_chars"),
+    )
+
+
+def _html_markdown_sql() -> str:
+    from deepseek_ocr_spark.functions import html_markdown as HM
+
+    md = HM.markdown_sql("html")
+    return f"""
+WITH p AS ({_MD_PAGES_CTE})
+SELECT url, {md} AS markdown, length({md})::BIGINT AS n_chars
+FROM p
+"""
+
+
+SQL_HTML_MARKDOWN = _html_markdown_sql()
+
+
+def q_heading_outline(spark, sf_dir):
+    """Document-structure table (functions/html_markdown.py): one row
+    per <h1>..<h6> in document order — (url, idx, level, heading) via
+    the positionally-zipped regexp_extract_all idiom. Section-aware
+    chunking and outline-based quality signals key on this."""
+    from deepseek_ocr_spark.functions import html_markdown as HM
+
+    return HM.heading_outline(_md_pages(spark, sf_dir))
+
+
+def _heading_outline_sql() -> str:
+    from deepseek_ocr_spark.functions import html_markdown as HM
+
+    def q(pat: str) -> str:
+        return "'" + pat.replace("'", "''") + "'"
+
+    clean = HM.heading_clean_sql("s.bd")
+    return f"""
+WITH p AS ({_MD_PAGES_CTE}), x AS (
+  SELECT url, regexp_extract_all(html, {q(HM.HEADING_RE)}, 1) AS lv,
+         regexp_extract_all(html, {q(HM.HEADING_RE)}, 2) AS bd
+  FROM p
+), e AS (
+  SELECT url, unnest(list_transform(range(1, len(lv) + 1),
+    i -> struct_pack(idx := (i - 1)::BIGINT,
+                     lv := lv[i], bd := bd[i]))) AS s
+  FROM x
+)
+SELECT url, s.idx AS idx, s.lv::BIGINT AS level, {clean} AS heading
+FROM e
+"""
+
+
+SQL_HEADING_OUTLINE = _heading_outline_sql()
+
+
+# --------------------------------------------------------------------
 #
 # ORDERING POLICY (the driver's correctness gate checks the FIRST 50
 # entries of this dict, in order): newest / highest-risk operators
@@ -5731,6 +5910,8 @@ SQL_READABILITY = _readability_sql()
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
+    "html_markdown": (q_html_markdown, SQL_HTML_MARKDOWN),
+    "heading_outline": (q_heading_outline, SQL_HEADING_OUTLINE),
     "readability": (q_readability, SQL_READABILITY),
     "ccnet_buckets_sampled": (
         q_ccnet_buckets_sampled,
@@ -5774,7 +5955,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # separate functions; shard_plan keeps the module in-window).
     "hreflang_bitext": (q_hreflang_bitext, SQL_HREFLANG_BITEXT),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
-    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    # (ccnet_buckets demoted below the cut for html_markdown
+    #  (eleventh wave): ccnet_buckets_sampled — the 100 TB selection
+    #  path — stays in-window and exercises the same LM-score +
+    #  per-language bucketing machinery end-to-end; the exact-tertile
+    #  sibling rides the all-entries local gate.)
     "quality_model_score": (q_quality_model_score, SQL_QUALITY_MODEL_SCORE),
     "hyperball_harmonic": (q_hyperball_harmonic, SQL_HYPERBALL_HARMONIC),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
@@ -5789,7 +5974,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
-    "host_harmonic": (q_host_harmonic, SQL_HOST_HARMONIC),
+    # (host_harmonic demoted below the cut for heading_outline
+    #  (eleventh wave): hyperball_harmonic — the sketch variant the
+    #  round-3 verdict graded as the 100 TB path — stays in-window,
+    #  as do pagerank/trustrank/hits for the fixed-point graph
+    #  machinery; the exact capped-BFS sibling rides the all-entries
+    #  local gate.)
     "incremental_lsh_pairs": (
         q_incremental_lsh_pairs,
         SQL_INCREMENTAL_LSH_PAIRS,
@@ -5845,6 +6035,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     #  covers both every round.)
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "epoch_mixture": (q_epoch_mixture, SQL_EPOCH_MIXTURE),
+    # (ccnet_buckets / host_harmonic demoted in the eleventh wave for
+    #  html_markdown / heading_outline — each has its 100 TB-path
+    #  sibling in-window: ccnet_buckets_sampled and hyperball_harmonic
+    #  respectively. Locally hash-verified every round.)
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    "host_harmonic": (q_host_harmonic, SQL_HOST_HARMONIC),
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "recrawl_churn": (q_recrawl_churn, SQL_RECRAWL_CHURN),

@@ -1,0 +1,155 @@
+"""HTML → Markdown conversion (functions/html_markdown.py):
+structure preservation, graceful degradation, and the cross-engine
+chain contract (Spark result == DuckDB twin on adversarial payloads).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions import html_markdown as HM
+
+
+def md(spark, html):
+    return (
+        spark.range(1)
+        .select(HM.html_to_markdown(F.lit(html)).alias("m"))
+        .collect()[0]
+        .m
+    )
+
+
+def md_duck(html):
+    con = duckdb.connect()
+    try:
+        return con.execute(
+            "select " + HM.markdown_sql("?::VARCHAR"), [html]
+        ).fetchone()[0]
+    finally:
+        con.close()
+
+
+CASES = {
+    "headings": (
+        "<h1>A</h1><h2>B</h2><h3>C</h3><h4>D</h4><h5>E</h5><h6>F</h6>",
+        "# A\n\n## B\n\n### C\n\n#### D\n\n##### E\n\n###### F",
+    ),
+    "inline_markup_in_heading": (
+        "<h2>Big <em>deal</em> here</h2>",
+        "## Big *deal* here",
+    ),
+    "emphasis": (
+        "<p>a <b>b</b> <strong>s</strong> <i>i</i> <em>e</em></p>",
+        "a **b** **s** *i* *e*",
+    ),
+    "links": (
+        '<p><a href="https://x.y/z">text <b>bold</b></a> '
+        "and <a>no href</a></p>",
+        "[text **bold**](https://x.y/z) and no href",
+    ),
+    "images_both_orders": (
+        '<p><img alt="one" src="1.png"> <img src="2.png" alt="two"> '
+        '<img src="3.png"></p>',
+        "![one](1.png) ![two](2.png)",
+    ),
+    "list": (
+        "<ul><li>a</li><li>b</li></ul><ol><li>c</li></ol>",
+        "- a\n- b\n\n- c",
+    ),
+    "blockquote_hr": (
+        "<blockquote>wise words</blockquote><hr><p>after</p>",
+        "> wise words\n\n---\n\nafter",
+    ),
+    "code_fence": (
+        '<pre><code class="language-py">def f():\n    return 1 &lt; 2'
+        "</code></pre>",
+        "```\ndef f():\n    return 1 < 2\n```",
+    ),
+    "pre_without_code": (
+        "<pre>plain\n\tblock</pre>",
+        "```\nplain\n\tblock\n```",
+    ),
+    "inline_code": (
+        "<p>run <code>x = 1</code> now</p>",
+        "run `x = 1` now",
+    ),
+    "script_style_head_comment_drop": (
+        "<head><title>T</title></head><style>p{}</style>"
+        "<script>if(a<b){}</script><!-- note --><p>kept</p>",
+        "kept",
+    ),
+    "entities_after_strip": (
+        "<p>a &lt;script&gt; tag &amp;&nbsp;more</p>",
+        "a <script> tag & more",
+    ),
+    "stray_lt_survives": ("<p>1 < 2 and 3 > 2</p>", "1 < 2 and 3 > 2"),
+    "br_and_blocks": (
+        "<div>x<br>y</div><section>z</section>",
+        "x\ny\n\nz",
+    ),
+    "table_cells": (
+        "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td></tr></table>",
+        "a  b\n\n c",
+    ),
+    "unbalanced_markup": ("<p>lonely</b> tail", "lonely** tail"),
+    "empty": ("", ""),
+    "whitespace_only": ("  \n\t ", ""),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_markdown_cases(spark, name):
+    html, want = CASES[name]
+    assert md(spark, html) == want, name
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_markdown_twin_parity(spark, name):
+    """The DuckDB twin computes byte-identical markdown — the
+    hash-verification contract, exercised per-case for diagnosis."""
+    html, _ = CASES[name]
+    assert md(spark, html) == md_duck(html), name
+
+
+def test_null_propagates(spark):
+    row = (
+        spark.range(1)
+        .select(HM.html_to_markdown(F.lit(None).cast("string")).alias("m"))
+        .collect()[0]
+    )
+    assert row.m is None
+
+
+def test_heading_outline(spark):
+    html = (
+        "<h1>Top</h1><p>x</p><h2>Sec <em>one</em></h2>"
+        "<h3>Deep &amp; down</h3><h2>Sec two</h2>"
+    )
+    pages = spark.createDataFrame(
+        [("u1", html), ("u2", "<p>no headings</p>")], "url string, html string"
+    )
+    rows = [
+        tuple(r)
+        for r in HM.heading_outline(pages).orderBy("url", "idx").collect()
+    ]
+    assert rows == [
+        ("u1", 0, 1, "Top"),
+        ("u1", 1, 2, "Sec one"),
+        ("u1", 2, 3, "Deep & down"),
+        ("u1", 3, 2, "Sec two"),
+    ]
+
+
+def test_markdown_zero_shuffle_plan(spark):
+    """The conversion must stay a scan-side projection: no Exchange
+    in the plan (the 100 TB contract for this operator class)."""
+    pages = spark.createDataFrame(
+        [("u", "<p>x</p>")], "url string, html string"
+    )
+    plan = (
+        pages.select(HM.html_to_markdown(F.col("html")).alias("m"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -439,14 +439,17 @@ def test_registry_window_holds_exactly_fifty_entries():
         # is exercised by several in-window queries.
         "readability",
         "lm_perplexity",
-        "ccnet_buckets",
+        # ccnet_buckets / host_harmonic: demoted for html_markdown /
+        # heading_outline (eleventh wave) — each has its 100 TB-path
+        # sibling in-window (ccnet_buckets_sampled, hyperball_harmonic).
+        "html_markdown",
+        "heading_outline",
         "quality_model_score",
         "hyperball_harmonic",
         "kmeans_assign",
         "semdedup_keep",
         "pii_scrub",
         "ngram_jaccard",
-        "host_harmonic",
         "host_hits",
         "zorder_key",
         "cms_topk",
