@@ -286,3 +286,68 @@ def cluster_safe_split(
         .drop("cluster")
     )
     return hash_split(tagged, splits, id_col="rep", salt=salt, denom=denom)
+
+
+def window_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """(id, chunk_idx, start_word, chunk, n_words) — RAG-style
+    sliding word windows: fixed ``width`` words per chunk, window
+    starts every ``stride`` words (overlap = width − stride), so a
+    retrieval hit near a chunk boundary still sees its context in the
+    neighboring chunk. Docs of ≤ width words yield exactly one chunk;
+    empty/NULL docs none; the tail chunk may be short but never
+    empty. Case is PRESERVED (unlike the dedup family's words_col —
+    chunks are payload, not fingerprints); the split is the pinned
+    repo-wide TOKEN_SPLIT_RE.
+
+    Scale shape: one zero-shuffle projection + map-side posexplode,
+    output bounded by ``ceil(width/stride) ×`` input words. The word
+    array is bound through a projection boundary first (the winnow
+    lesson: a transform() lambda over the raw split expression
+    re-evaluates the split per element — O(n²) in doc length)."""
+    from deepseek_ocr_spark.functions.textstats import TOKEN_SPLIT_RE
+
+    if not 0 < stride <= width:
+        raise ValueError("require 0 < stride <= width")
+    words = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE))
+    bound = df.select(F.col(id_col), words.alias("__w"))
+    n = F.size("__w")
+    # exact integer ceil((n - width)+ / stride): index of the last
+    # window start; sequence() is ASCENDING because k >= 0 always
+    # (the guarded empty case never reaches it)
+    k = F.expr(
+        f"(greatest(size(__w) - {width}, 0) + {stride} - 1) div {stride}"
+    )
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), k),
+            lambda i: F.array_join(
+                F.slice(F.col("__w"), i * stride + 1, width), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        bound.select(
+            F.col(id_col),
+            n.alias("__n"),
+            F.posexplode(chunks).alias("chunk_idx", "chunk"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint"),
+            (F.col("chunk_idx") * stride).cast("bigint").alias("start_word"),
+            "chunk",
+            F.least(
+                F.lit(width).cast("bigint"),
+                (F.col("__n") - F.col("chunk_idx") * stride).cast("bigint"),
+            ).alias("n_words"),
+        )
+    )

@@ -138,3 +138,98 @@ def robots_check(
         F.coalesce(F.col("w.a"), F.lit(True)).alias("allowed"),
         F.col("w.r").alias("rule"),
     )
+
+
+def robots_directives(
+    robots: DataFrame, host_col: str, txt_col: str
+) -> DataFrame:
+    """(host, crawl_delay, n_sitemaps, sitemaps) — the non-rule
+    directives a polite crawler consumes alongside allow/deny:
+
+    * ``Crawl-delay`` (the de-facto Bing/Yandex extension): integer
+      seconds from the ``User-agent: *`` groups; non-integer values
+      are ignored (fail-open to NULL — a delay is advisory, unlike a
+      deny); multiple star-group delays take the MAX (the most polite
+      reading). NULL when absent.
+    * ``Sitemap`` (sitemaps.org protocol): group-INDEPENDENT by spec —
+      collected from anywhere in the file, deduplicated, sorted, and
+      newline-joined (deterministic for the hash check);
+      ``n_sitemaps`` counts them. Feeds sitemaps.sitemap_entries →
+      frontier_schedule: robots hands the crawler both its budget
+      (delay) and its seed list (sitemaps).
+
+    UA-run grouping matches robots_rules (a directive line ends a UA
+    run — the common-parser behavior); the parse is host-dimension
+    sized like everything else in this module."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    )
+    d = lines.select(
+        "host",
+        "pos",
+        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)[ \t]*:", 1)).alias(
+            "key"
+        ),
+        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+[ \t]*:(.*)$", 1)).alias(
+            "val"
+        ),
+    ).filter(
+        F.col("key").isin(
+            "user-agent", "allow", "disallow", "crawl-delay", "sitemap"
+        )
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("key") == "user-agent"
+    grouped = d.withColumn(
+        "grp",
+        F.sum(
+            F.when(
+                is_ua
+                & (F.lag("key").over(w).isNull()
+                   | (F.lag("key").over(w) != "user-agent")),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    star_groups = (
+        grouped.filter(is_ua & (F.col("val") == "*"))
+        .select("host", "grp")
+        .distinct()
+    )
+    delays = (
+        grouped.filter(
+            (F.col("key") == "crawl-delay")
+            & F.col("val").rlike("^[0-9]+$")
+        )
+        .join(star_groups, ["host", "grp"], "semi")
+        .groupBy("host")
+        .agg(F.max(F.col("val").cast("bigint")).alias("crawl_delay"))
+    )
+    maps = (
+        grouped.filter((F.col("key") == "sitemap") & (F.col("val") != ""))
+        .groupBy("host")
+        .agg(F.array_sort(F.collect_set("val")).alias("sm"))
+        .select(
+            "host",
+            F.size("sm").cast("bigint").alias("n_sitemaps"),
+            F.concat_ws("\n", "sm").alias("sitemaps"),
+        )
+    )
+    hosts = robots.select(F.col(host_col).alias("host")).distinct()
+    return (
+        hosts.join(delays, "host", "left")
+        .join(maps, "host", "left")
+        .select(
+            "host",
+            "crawl_delay",
+            F.coalesce("n_sitemaps", F.lit(0).cast("bigint")).alias(
+                "n_sitemaps"
+            ),
+            F.coalesce("sitemaps", F.lit("")).alias("sitemaps"),
+        )
+    )

@@ -5889,6 +5889,176 @@ SQL_HEADING_OUTLINE = _heading_outline_sql()
 
 
 # --------------------------------------------------------------------
+# robots.txt non-rule directives (functions/robots.py)
+# --------------------------------------------------------------------
+#
+# fixture: per-host robots body with a pre-group Sitemap (still
+# taken — group-independent by spec), a badbot group with a 99s delay
+# (ignored), a star group whose delay is h%7 on even hosts only, an
+# invalid 'Crawl-delay: fast' on h%3 hosts (fails open to NULL), and
+# a duplicated extra Sitemap pair on h%4 hosts (deduped + sorted).
+
+
+def q_robots_directives(spark, sf_dir):
+    """Crawl-delay + Sitemap extraction (functions/robots.py
+    robots_directives): the politeness budget and the site-declared
+    seed list a crawler consumes next to allow/deny — star-group
+    integer delays (max = most polite; non-integers fail open to
+    NULL), sitemaps group-independent, deduped, sorted. Host-dimension
+    sized parse, same as robots_check."""
+    from deepseek_ocr_spark.functions import robots as RB
+
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    n = F.substring("host", 4, 10).cast("int")
+    txt = F.concat(
+        F.lit("Sitemap: https://"),
+        F.col("host"),
+        F.lit("/s0.xml\nUser-agent: badbot\nCrawl-delay: 99\n"
+              "User-agent: *\nDisallow: /x"),
+        F.when(
+            n % 2 == 0,
+            F.concat(F.lit("\nCrawl-delay: "), (n % 7).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(n % 3 == 0, F.lit("\nCrawl-delay: fast")).otherwise(F.lit("")),
+        F.when(
+            n % 4 == 0,
+            F.concat(
+                F.lit("\nSitemap: https://"),
+                F.col("host"),
+                F.lit("/s1.xml\nSitemap: https://"),
+                F.col("host"),
+                F.lit("/s0.xml"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    rb = hosts.select("host", txt.alias("txt"))
+    return RB.robots_directives(rb, "host", "txt").orderBy("host")
+
+
+SQL_ROBOTS_DIRECTIVES = """
+WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+rb AS (
+  SELECT host,
+         'Sitemap: https://' || host || '/s0.xml' || chr(10)
+         || 'User-agent: badbot' || chr(10) || 'Crawl-delay: 99'
+         || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /x'
+         || CASE WHEN CAST(substr(host, 4) AS INT) % 2 = 0
+              THEN chr(10) || 'Crawl-delay: '
+                   || (CAST(substr(host, 4) AS INT) % 7)::VARCHAR
+              ELSE '' END
+         || CASE WHEN CAST(substr(host, 4) AS INT) % 3 = 0
+              THEN chr(10) || 'Crawl-delay: fast' ELSE '' END
+         || CASE WHEN CAST(substr(host, 4) AS INT) % 4 = 0
+              THEN chr(10) || 'Sitemap: https://' || host || '/s1.xml'
+                   || chr(10) || 'Sitemap: https://' || host || '/s0.xml'
+              ELSE '' END AS txt
+  FROM hosts
+), ls AS (
+  SELECT host, string_split(txt, chr(10)) AS l FROM rb
+), lines AS (
+  SELECT host, e.idx AS pos,
+         trim(regexp_replace(e.v, '#.*$', '')) AS line
+  FROM (SELECT host,
+               unnest(list_transform(range(1, len(l) + 1),
+                 i -> struct_pack(idx := (i - 1)::BIGINT, v := l[i]))) AS e
+        FROM ls)
+), d AS (
+  SELECT host, pos,
+         lower(regexp_extract(line, '^([A-Za-z-]+)[ \\t]*:', 1)) AS key,
+         trim(regexp_extract(line, '^[A-Za-z-]+[ \\t]*:(.*)$', 1)) AS val
+  FROM lines
+  WHERE lower(regexp_extract(line, '^([A-Za-z-]+)[ \\t]*:', 1))
+        IN ('user-agent', 'allow', 'disallow', 'crawl-delay', 'sitemap')
+), lagged AS (
+  SELECT host, pos, key, val,
+         lag(key) OVER (PARTITION BY host ORDER BY pos) AS pkey
+  FROM d
+), g AS (
+  SELECT host, pos, key, val,
+         sum(CASE WHEN key = 'user-agent'
+                   AND (pkey IS NULL OR pkey <> 'user-agent')
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY pos) AS grp
+  FROM lagged
+), sg AS (
+  SELECT DISTINCT host, grp FROM g
+  WHERE key = 'user-agent' AND val = '*'
+), delays AS (
+  SELECT g.host, max(CAST(g.val AS BIGINT)) AS crawl_delay
+  FROM g JOIN sg ON sg.host = g.host AND sg.grp = g.grp
+  WHERE g.key = 'crawl-delay' AND regexp_matches(g.val, '^[0-9]+$')
+  GROUP BY g.host
+), maps AS (
+  SELECT host,
+         len(list_sort(list(DISTINCT val)))::BIGINT AS n_sitemaps,
+         array_to_string(list_sort(list(DISTINCT val)), chr(10)) AS sitemaps
+  FROM g
+  WHERE key = 'sitemap' AND val <> ''
+  GROUP BY host
+)
+SELECT h.host, d.crawl_delay,
+       coalesce(m.n_sitemaps, 0)::BIGINT AS n_sitemaps,
+       coalesce(m.sitemaps, '') AS sitemaps
+FROM hosts h
+LEFT JOIN delays d ON d.host = h.host
+LEFT JOIN maps m ON m.host = h.host
+ORDER BY h.host
+"""
+
+
+# --------------------------------------------------------------------
+# RAG sliding-window chunker (functions/packing.py window_chunks)
+# --------------------------------------------------------------------
+
+_WC_WIDTH, _WC_STRIDE = 40, 30
+
+
+def q_window_chunks(spark, sf_dir):
+    """Overlapping retrieval chunks (functions/packing.py
+    window_chunks): fixed-width word windows starting every stride
+    words — the RAG corpus-prep operator. Case-preserving pinned
+    tokenizer split, projection-boundary-bound word array, map-side
+    posexplode; zero shuffles."""
+    from deepseek_ocr_spark.functions import packing as PK
+
+    d = _t(spark, sf_dir, "documents")
+    return PK.window_chunks(
+        d, "doc_id", "text", width=_WC_WIDTH, stride=_WC_STRIDE
+    ).orderBy("doc_id", "chunk_idx")
+
+
+SQL_WINDOW_CHUNKS = f"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text),
+                                      '[ \\t\\n\\x0B\\f\\r]+') END AS ws
+  FROM documents
+), c AS (
+  SELECT doc_id, len(ws)::BIGINT AS n,
+         [struct_pack(idx := i::BIGINT,
+                      chunk := array_to_string(
+                        ws[(i*{_WC_STRIDE}+1):(i*{_WC_STRIDE}+{_WC_WIDTH})],
+                        ' '))
+          for i in generate_series(
+            0, (greatest(len(ws) - {_WC_WIDTH}, 0) + {_WC_STRIDE} - 1)
+               // {_WC_STRIDE})] AS chunks
+  FROM w
+  WHERE len(ws) > 0
+), e AS (
+  SELECT doc_id, n, unnest(chunks) AS s FROM c
+)
+SELECT doc_id, s.idx AS chunk_idx,
+       (s.idx * {_WC_STRIDE})::BIGINT AS start_word,
+       s.chunk AS chunk,
+       least({_WC_WIDTH}, n - s.idx * {_WC_STRIDE})::BIGINT AS n_words
+FROM e
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# --------------------------------------------------------------------
 #
 # ORDERING POLICY (the driver's correctness gate checks the FIRST 50
 # entries of this dict, in order): newest / highest-risk operators
@@ -5912,6 +6082,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # --- round-4 queries ---------------------------------------------
     "html_markdown": (q_html_markdown, SQL_HTML_MARKDOWN),
     "heading_outline": (q_heading_outline, SQL_HEADING_OUTLINE),
+    "robots_directives": (q_robots_directives, SQL_ROBOTS_DIRECTIVES),
     "readability": (q_readability, SQL_READABILITY),
     "ccnet_buckets_sampled": (
         q_ccnet_buckets_sampled,
@@ -5966,7 +6137,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "semdedup_keep": (q_semdedup_keep, SQL_SEMDEDUP_KEEP),
     # --- round-3 operator families -----------------------------------
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
-    "range_join_events": (q_range_join_events, SQL_RANGE_JOIN_EVENTS),
+    # (range_join_events demoted below the cut for robots_directives
+    #  (eleventh wave): asof_join stays in-window covering
+    #  operators/temporal.py's union-window/bucketed-join machinery;
+    #  the range variant re-checks an exact predicate after the same
+    #  bucket join and rides the all-entries local gate.)
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "kgram_dedup_rewrite": (q_kgram_dedup_rewrite, SQL_KGRAM_DEDUP_REWRITE),
@@ -6041,6 +6216,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     #  respectively. Locally hash-verified every round.)
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "host_harmonic": (q_host_harmonic, SQL_HOST_HARMONIC),
+    "range_join_events": (q_range_join_events, SQL_RANGE_JOIN_EVENTS),
+    # window_chunks: registered below-cut as the lesser sibling of the
+    # in-window word-array machinery (kgram_dedup_rewrite's slicing,
+    # winnow's projection-boundary idiom, pack_sequences' token
+    # accounting); locally hash-verified by the all-entries gate.
+    "window_chunks": (q_window_chunks, SQL_WINDOW_CHUNKS),
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "recrawl_churn": (q_recrawl_churn, SQL_RECRAWL_CHURN),

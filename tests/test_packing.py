@@ -197,3 +197,61 @@ def test_shard_plan_snake_direction(spark):
            for r in PK.shard_plan_balanced(df, 3, "id", "n_tokens").collect()}
     # ids in weight-desc order are 0..5; snake over 3 shards:
     assert [got[i] for i in range(6)] == [0, 1, 2, 2, 1, 0]
+
+
+# ---- window_chunks (RAG sliding windows) ----------------------------
+
+
+def _chunks(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    return {
+        (r.id, r.chunk_idx): (r.start_word, r.chunk, r.n_words)
+        for r in PK.window_chunks(df, "id", "text", **kw).collect()
+    }
+
+
+def test_window_chunks_overlap_and_tail(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    got = _chunks(spark, [(1, text)], width=4, stride=3)
+    assert got == {
+        (1, 0): (0, "w0 w1 w2 w3", 4),
+        (1, 1): (3, "w3 w4 w5 w6", 4),
+        (1, 2): (6, "w6 w7 w8 w9", 4),
+    }
+
+
+def test_window_chunks_short_tail_and_single(spark):
+    got = _chunks(spark, [(1, "a b c d e"), (2, "x y")], width=4, stride=3)
+    assert got[(1, 0)] == (0, "a b c d", 4)
+    assert got[(1, 1)] == (3, "d e", 2)  # tail short, never empty
+    assert got[(2, 0)] == (0, "x y", 2)  # doc <= width: one chunk
+    assert len(got) == 3
+
+
+def test_window_chunks_empty_and_case_preserved(spark):
+    got = _chunks(spark, [(1, ""), (2, "   "), (3, "Mixed CASE Kept")],
+                  width=2, stride=2)
+    # empty/whitespace docs emit zero chunks (both-engines contract)
+    assert set(got) == {(3, 0), (3, 1)}
+    assert got[(3, 0)] == (0, "Mixed CASE", 2)
+    assert got[(3, 1)] == (2, "Kept", 1)
+
+
+def test_window_chunks_coverage_property(spark):
+    # every word index appears in at least one chunk, in order
+    text = " ".join(f"t{i}" for i in range(57))
+    got = _chunks(spark, [(1, text)], width=8, stride=5)
+    seen = set()
+    for (_, idx), (start, chunk, n) in sorted(got.items()):
+        ws = chunk.split(" ")
+        assert ws == [f"t{j}" for j in range(start, start + n)]
+        seen.update(range(start, start + n))
+    assert seen == set(range(57))
+
+
+def test_window_chunks_rejects_bad_stride(spark):
+    df = spark.createDataFrame([(1, "a")], "id bigint, text string")
+    with pytest.raises(ValueError):
+        PK.window_chunks(df, "id", "text", width=4, stride=5)
+    with pytest.raises(ValueError):
+        PK.window_chunks(df, "id", "text", width=4, stride=0)

@@ -114,3 +114,46 @@ def test_wildcard_disallow_fails_closed(spark):
     assert got["/private/x"] == (False, "/private")
     assert got["/exactly"] == (False, "/exact")
     assert got["/public/y"] == (True, None)
+
+
+def test_directives_star_delay_and_sitemaps(spark):
+    from deepseek_ocr_spark.functions.robots import robots_directives
+
+    txt = (
+        "Sitemap: https://h/a.xml\n"      # before any group: still taken
+        "User-agent: badbot\n"
+        "Crawl-delay: 99\n"               # non-star group: ignored
+        "User-agent: *\n"
+        "Disallow: /x\n"
+        "Crawl-delay: 7\n"
+        "Sitemap: https://h/b.xml\n"
+        "Sitemap: https://h/a.xml\n"      # duplicate: deduped
+    )
+    rb = spark.createDataFrame([("h", txt)], "host string, txt string")
+    row = robots_directives(rb, "host", "txt").collect()[0]
+    assert row.crawl_delay == 7
+    assert row.n_sitemaps == 2
+    assert row.sitemaps == "https://h/a.xml\nhttps://h/b.xml"
+
+
+def test_directives_invalid_delay_and_absent(spark):
+    from deepseek_ocr_spark.functions.robots import robots_directives
+
+    rows = [
+        ("bad", "User-agent: *\nCrawl-delay: fast\nDisallow: /x"),
+        ("none", "User-agent: *\nDisallow: /y"),
+        ("multi", "User-agent: *\nCrawl-delay: 2\n\nUser-agent: *\n"
+                  "Crawl-delay: 5"),
+    ]
+    rb = spark.createDataFrame(rows, "host string, txt string")
+    got = {
+        r.host: (r.crawl_delay, r.n_sitemaps, r.sitemaps)
+        for r in robots_directives(rb, "host", "txt").collect()
+    }
+    # non-integer delay fails open to NULL; absent is NULL; multiple
+    # star-group delays take the max (most polite)
+    assert got == {
+        "bad": (None, 0, ""),
+        "none": (None, 0, ""),
+        "multi": (5, 0, ""),
+    }
