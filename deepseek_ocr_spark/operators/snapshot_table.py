@@ -30,7 +30,16 @@ module makes that pattern a first-class table format:
   update touching 0.1% of keys rewrites ~0.1% of files;
 * every snapshot keeps its full file list, so ``snapshot_read(...,
   version=N)`` is time travel, and ``vacuum`` = snapshot expiry +
-  orphan sweep (age-gated so a live writer's staged files survive).
+  orphan sweep (age-gated so a live writer's staged files survive);
+* manifests carry per-file min/max COLUMN STATS (harvested from the
+  parquet footers at commit — O(files) metadata reads, never rows),
+  and ``snapshot_read(..., prune={col: (lo, hi)})`` skips files that
+  provably miss the range before Spark ever plans the scan — the
+  Iceberg/Delta data-skipping layer. Combined with a range- or
+  z-order-sorted write (functions/layout.py), a selective predicate
+  reads a small fraction of the files of a 100 TB table; stats-less
+  files always survive pruning (superset guarantee), and the caller
+  re-applies the real predicate on the returned frame.
 
 Scale notes: manifests list file PATHS — metadata proportional to
 file count, never to rows (the round-1 reason output writes are
@@ -107,6 +116,106 @@ def _commit(table: str, manifest: dict) -> None:
         os.close(fd)
 
 
+_STATS_MAX_COLS = 8
+_STATS_TYPES = {"byte", "short", "integer", "long", "float", "double",
+                "string"}
+
+
+def _pick_stats_cols(df: DataFrame, stats_cols) -> list[str]:
+    """Columns to record min/max for: the caller's list, or (None =
+    auto) the first ``_STATS_MAX_COLS`` top-level primitive columns
+    whose stats are JSON-representable and range-comparable. An empty
+    tuple disables stats."""
+    if stats_cols is not None:
+        return list(stats_cols)
+    out = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in _STATS_TYPES
+    ]
+    return out[:_STATS_MAX_COLS]
+
+
+def _collect_file_stats(
+    table: str, files: list[str], cols: list[str]
+) -> dict:
+    """{relpath: {col: [min, max]}} from the parquet footers of
+    just-written files — the metadata Iceberg/Delta keep per data
+    file for scan-time skipping. Footer-only reads: O(files) driver
+    work at commit time, never row-sized. A column missing stats in
+    ANY row group of a file is omitted for that file (readers keep
+    stats-less files — skipping must be a superset guarantee).
+    Truncated string maxes are safe: parquet writers that truncate
+    increment the max so it stays a valid upper bound."""
+    if not cols or not files:
+        return {}
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for rel in files:
+        md = pq.ParquetFile(os.path.join(table, rel)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats = {}
+        for c in cols:
+            ci = idx.get(c)
+            if ci is None:
+                continue
+            lo = hi = None
+            ok = md.num_row_groups > 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = st.min, st.max
+                if not isinstance(mn, (int, float, str)) or isinstance(
+                    mn, bool
+                ):
+                    ok = False
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if ok:
+                stats[c] = [lo, hi]
+        if stats:
+            out[rel] = stats
+    return out
+
+
+def _carried_stats(base_manifest: dict, carried_files: list[str]) -> dict:
+    base = base_manifest.get("stats", {})
+    return {f: base[f] for f in carried_files if f in base}
+
+
+def _prune_files(manifest: dict, prune: dict | None) -> list[str]:
+    """Manifest files that can contain rows satisfying ``prune``
+    ({col: (lo, hi)}, inclusive, either bound None). A file is
+    skipped only when its recorded [min, max] PROVABLY misses the
+    range; files without stats for a column always survive — pruning
+    returns a superset of the matching rows, the caller still applies
+    the real predicate (exactly Iceberg/Delta data-skipping
+    semantics)."""
+    if not prune:
+        return list(manifest["files"])
+    stats = manifest.get("stats", {})
+    kept = []
+    for f in manifest["files"]:
+        s = stats.get(f, {})
+        drop = False
+        for col, (lo, hi) in prune.items():
+            if col not in s:
+                continue
+            fmin, fmax = s[col]
+            if (lo is not None and fmax < lo) or (
+                hi is not None and fmin > hi
+            ):
+                drop = True
+                break
+        if not drop:
+            kept.append(f)
+    return kept
+
+
 def _write_data_files(df: DataFrame, table: str) -> tuple[list[str], str]:
     """Write ``df`` into a fresh uncommitted data dir; return the
     RELATIVE parquet file paths and the schema json. Files are
@@ -123,30 +232,40 @@ def _write_data_files(df: DataFrame, table: str) -> tuple[list[str], str]:
 
 
 def snapshot_write(
-    df: DataFrame, table: str, mode: str = "append"
+    df: DataFrame, table: str, mode: str = "append", stats_cols=None
 ) -> dict:
     """Commit ``df`` as a new table snapshot. ``append`` keeps the
     base snapshot's files by reference and retries transparently on
     commit races (appends commute); ``overwrite`` replaces the file
     list and raises :class:`CommitConflict` if the table moved under
-    it. Returns the committed manifest."""
+    it. Per-file min/max column stats are recorded in the manifest
+    for data skipping (``stats_cols``: None = auto-pick primitive
+    columns, () = disable). Returns the committed manifest."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_write: unknown mode {mode!r}")
     os.makedirs(table, exist_ok=True)
     new_files, schema = _write_data_files(df, table)
+    new_stats = _collect_file_stats(
+        table, new_files, _pick_stats_cols(df, stats_cols)
+    )
     base_at_write = current_version(table)
     for _ in range(_RETRIES):
         base = current_version(table)
-        carried = (
-            _load_manifest(table, base)["files"]
+        base_m = (
+            _load_manifest(table, base)
             if (mode == "append" and base is not None)
-            else []
+            else None
         )
+        carried = base_m["files"] if base_m else []
         manifest = {
             "version": (base or 0) + 1,
             "parent": base,
             "op": mode,
             "files": carried + new_files,
+            "stats": (
+                (_carried_stats(base_m, carried) if base_m else {})
+                | new_stats
+            ),
             "schema": schema,
             "ts": time.time(),
         }
@@ -165,17 +284,27 @@ def _abs_files(table: str, manifest: dict) -> list[str]:
 
 
 def snapshot_read(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    prune: dict | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest). Reads EXACTLY
     the manifest's files — concurrent writers' uncommitted or
     later-committed data is invisible (snapshot isolation). An empty
-    snapshot reconstructs its schema from the manifest."""
+    snapshot reconstructs its schema from the manifest.
+
+    ``prune`` ({col: (lo, hi)}, inclusive, either bound None) skips
+    data files whose manifest min/max stats provably miss the range —
+    file-level data skipping BEFORE Spark plans the scan, on top of
+    parquet row-group pruning inside the surviving files. The result
+    is a SUPERSET of the matching rows: apply the real filter on the
+    returned frame (Catalyst pushes it into the pruned scan)."""
     v = current_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots at {table}")
     m = _load_manifest(table, v)
-    files = _abs_files(table, m)
+    files = [os.path.join(table, f) for f in _prune_files(m, prune)]
     if not files:
         from pyspark.sql.types import StructType
 
@@ -229,14 +358,18 @@ def snapshot_merge(
         .join(keys, key, "left_anti")
         .drop("__f")
     )
-    new_files, schema = _write_data_files(
-        survivors.unionByName(updates), table
-    )
+    merged = survivors.unionByName(updates)
+    new_files, schema = _write_data_files(merged, table)
+    carried_files = [f for f in m["files"] if f not in hit_rel]
     manifest = {
         "version": base + 1,
         "parent": base,
         "op": "merge",
-        "files": [f for f in m["files"] if f not in hit_rel] + new_files,
+        "files": carried_files + new_files,
+        "stats": _carried_stats(m, carried_files)
+        | _collect_file_stats(
+            table, new_files, _pick_stats_cols(merged, None)
+        ),
         "schema": schema,
         "ts": time.time(),
         "rewrote_files": len(hit_rel),

@@ -180,3 +180,70 @@ def test_run_job_snapshot_format_resume_and_crash_window(
     # crash window: a dead writer's uncommitted files stay invisible
     _df(spark, [("ghost", 1)]).write.parquet(os.path.join(out, "data-x"))
     assert ST.snapshot_read(spark, out).count() == 200
+
+
+# ---- manifest column stats + file-level data skipping ----------------
+
+
+def test_stats_recorded_and_pruned_read(spark, tmp_path):
+    t = str(tmp_path / "stats")
+    # range-partitioned write → disjoint per-file v ranges
+    df = spark.range(0, 400).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.col("id").alias("v"),
+    ).repartitionByRange(8, "v")
+    m = ST.snapshot_write(df, t)
+    assert len(m["files"]) == 8
+    # every file carries min/max for both auto-picked columns
+    assert set(m["stats"]) == set(m["files"])
+    assert all(set(s) == {"url", "v"} for s in m["stats"].values())
+    # a selective range prunes most files but returns a superset
+    pruned = ST.snapshot_read(spark, t, prune={"v": (100, 120)})
+    n_in = len(pruned.inputFiles())
+    assert 0 < n_in < 8
+    got = {r.v for r in pruned.filter(F.col("v").between(100, 120)).collect()}
+    assert got == set(range(100, 121))
+    # half-open bounds work
+    lo_only = ST.snapshot_read(spark, t, prune={"v": (350, None)})
+    assert 0 < len(lo_only.inputFiles()) < 8
+    assert {r.v for r in lo_only.filter("v >= 350").collect()} == set(
+        range(350, 400)
+    )
+
+
+def test_prune_keeps_statless_files(spark, tmp_path):
+    t = str(tmp_path / "mixed")
+    ST.snapshot_write(_df(spark, [("a", 1)]), t, stats_cols=())
+    m2 = ST.snapshot_write(
+        _df(spark, [("b", 1000)]).coalesce(1), t
+    )
+    # first file has no stats → must survive any prune; second file
+    # provably misses the range → skipped
+    pruned = ST.snapshot_read(spark, t, prune={"v": (0, 5)})
+    assert len(pruned.inputFiles()) < len(m2["files"])
+    assert _rows(pruned.filter("v <= 5")) == {("a", 1)}
+
+
+def test_merge_carries_and_recomputes_stats(spark, tmp_path):
+    t = str(tmp_path / "mstats")
+    df = spark.range(0, 100).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.col("id").alias("v"),
+    ).repartitionByRange(4, "v")
+    ST.snapshot_write(df, t)
+    m = ST.snapshot_merge(
+        spark, _df(spark, [("u5", 500)]), t, key="url"
+    )
+    # every live file (carried + rewritten) has stats in the manifest
+    assert set(m["stats"]) == set(m["files"])
+    # the rewritten row is found through a stats-pruned read
+    pruned = ST.snapshot_read(spark, t, prune={"v": (500, 500)})
+    assert ("u5", 500) in _rows(pruned)
+
+
+def test_append_carries_base_stats(spark, tmp_path):
+    t = str(tmp_path / "carry")
+    m1 = ST.snapshot_write(_df(spark, [("a", 1)]).coalesce(1), t)
+    m2 = ST.snapshot_write(_df(spark, [("b", 2)]).coalesce(1), t)
+    for f in m1["files"]:
+        assert m2["stats"][f] == m1["stats"][f]
