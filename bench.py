@@ -155,6 +155,9 @@ HEADLINE = [
     # round 4, eleventh wave
     "html_markdown",
     "heading_outline",
+    "robots_directives",
+    "window_chunks",
+    "bpe_encode",
 ]
 
 

@@ -178,3 +178,69 @@ def bpe_train(
                 .select("wn", F.split(folded, " ").alias("t"))
             )
     return merges.orderBy("merge_round")
+
+
+def _sql_lit(s: str) -> str:
+    """A token as a Spark-SQL string literal (backslash escaping —
+    Spark SQL strings are NOT ''-doubled like ANSI)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def bpe_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: DataFrame,
+) -> DataFrame:
+    """(id, n_words, n_tokens, tokens) — tokenize the corpus with a
+    trained merge table (the output of :func:`bpe_train`): words
+    re-split to characters, each merge applied in rank order via the
+    shared fold (same leftmost-non-overlapping semantics as
+    training), the per-word token streams reassembled in word order.
+    ``tokens`` is the space-joined BPE token stream; words_col's
+    lowercasing applies (the tokenizer sees what training saw).
+
+    The merge table is collected to the driver and applied as
+    literals — model state, not data (k rows for k merge rounds; the
+    MLlib broadcast-model pattern, same as IVF centroids). The fold
+    then runs on the DISTINCT-WORD frame (vocabulary-sized, the
+    standard BPE trick), so corpus-sized work is one word explode,
+    one word-keyed join, and one doc-keyed reassembly agg."""
+    ms = [
+        (r["lhs"], r["rhs"])
+        for r in merges.orderBy("merge_round").collect()
+    ]
+    dw = df.select(
+        F.col(id_col),
+        F.posexplode(words_col(F.col(text_col))).alias("wpos", "w"),
+    ).filter(F.col("w") != "")
+    vocab = dw.select("w").distinct().select("w", F.split("w", "").alias("t"))
+    for lhs, rhs in ms:
+        fold = F.expr(
+            "aggregate(t, '', (acc, x) -> "
+            + _fold_case(_sql_lit(lhs), _sql_lit(rhs))
+            + ")"
+        )
+        vocab = vocab.select("w", F.split(fold, " ").alias("t"))
+    vtok = vocab.select(
+        "w",
+        F.concat_ws(" ", "t").alias("__toks"),
+        F.size("t").cast("bigint").alias("__ntk"),
+    )
+    return (
+        dw.join(vtok, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("__ntk").cast("bigint").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("wpos", "__toks"))
+                    ),
+                    lambda s: s["__toks"],
+                ),
+                " ",
+            ).alias("tokens"),
+        )
+    )

@@ -5472,14 +5472,22 @@ def q_bpe_train(spark, sf_dir):
     return BP.bpe_train(d, "doc_id", "text")
 
 
-def _bpe_train_sql() -> str:
+def _bpe_fold_sql() -> str:
     from deepseek_ocr_spark.functions import bpe as BP
 
-    fold = (
+    return (
         "list_reduce(list_prepend('', t), (acc, x) -> "
         + BP._fold_case("b.lhs", "b.rhs")
         + ")"
     )
+
+
+def _bpe_train_ctes() -> list[str]:
+    """The shared WITH-chain learning BPE_ROUNDS merges (b_1..b_R) —
+    prefix of both the train twin and the encode twin."""
+    from deepseek_ocr_spark.functions import bpe as BP
+
+    fold = _bpe_fold_sql()
     parts = [
         """
 WITH w0 AS (
@@ -5506,6 +5514,13 @@ b_{r} AS (SELECT {r}::BIGINT AS merge_round, lhs, rhs, n FROM p_{r}
 t_{r + 1} AS (SELECT wn, string_split({fold}, ' ') AS t
               FROM t_{r}, b_{r} b)"""
             )
+    return parts
+
+
+def _bpe_train_sql() -> str:
+    from deepseek_ocr_spark.functions import bpe as BP
+
+    parts = _bpe_train_ctes()
     union = "\nUNION ALL ".join(
         f"SELECT * FROM b_{r}" for r in range(1, BP.BPE_ROUNDS + 1)
     )
@@ -5514,6 +5529,63 @@ t_{r + 1} AS (SELECT wn, string_split({fold}, ' ') AS t
 
 
 SQL_BPE_TRAIN = _bpe_train_sql()
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLICATION (functions/bpe.py bpe_apply): train the
+    3-round merge table on the corpus, then tokenize every document
+    with it — the trained-merge fold runs on the vocabulary frame
+    (distinct words), corpus-sized work is one word-keyed join + one
+    doc-keyed ordered reassembly. Completes the tokenizer loop:
+    bpe_train → bpe_apply → pack_sequences."""
+    from deepseek_ocr_spark.functions import bpe as BP
+
+    d = _t(spark, sf_dir, "documents")
+    m = BP.bpe_train(d, "doc_id", "text")
+    return BP.bpe_apply(d, "doc_id", "text", m).orderBy("doc_id")
+
+
+def _bpe_encode_sql() -> str:
+    from deepseek_ocr_spark.functions import bpe as BP
+
+    fold = _bpe_fold_sql()
+    parts = _bpe_train_ctes()
+    parts.append(
+        """,
+dwx AS (
+  SELECT doc_id, e.idx AS wpos, e.w FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+      i -> struct_pack(idx := i::BIGINT, w := ws[i]))) AS e
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)),
+                                    '[ \\t\\n\\x0B\\f\\r]+') AS ws
+          FROM documents))
+  WHERE e.w <> ''
+), v_1 AS (
+  SELECT w, string_split(w, '') AS t FROM (SELECT DISTINCT w FROM dwx)
+)"""
+    )
+    for r in range(1, BP.BPE_ROUNDS + 1):
+        parts.append(
+            f""",
+v_{r + 1} AS (SELECT w, string_split({fold}, ' ') AS t
+              FROM v_{r}, b_{r} b)"""
+        )
+    parts.append(
+        f""",
+vt AS (SELECT w, array_to_string(t, ' ') AS toks, len(t)::BIGINT AS ntk
+       FROM v_{BP.BPE_ROUNDS + 1})
+SELECT d.doc_id, count(*)::BIGINT AS n_words, sum(v.ntk)::BIGINT AS n_tokens,
+       string_agg(v.toks, ' ' ORDER BY d.wpos) AS tokens
+FROM dwx d JOIN vt v ON v.w = d.w
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+    )
+    return "".join(parts)
+
+
+SQL_BPE_ENCODE = _bpe_encode_sql()
 
 
 # --------------------------------------------------------------------
@@ -6116,7 +6188,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     #  same sampling/allocation machinery (budget water-fill + salted
     #  hash sampling) end-to-end; local gate covers both every round.)
     "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
-    "host_communities": (q_host_communities, SQL_HOST_COMMUNITIES),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    # (host_communities demoted below the cut for bpe_encode
+    #  (eleventh wave): the fixed-point unrolled-graph-iteration
+    #  machinery keeps FOUR in-window representatives — host_pagerank,
+    #  host_trustrank, host_hits, hyperball_harmonic; LPA rides the
+    #  all-entries local gate.)
     "inverted_postings": (q_inverted_postings, SQL_INVERTED_POSTINGS),
     "frontier_schedule": (q_frontier_schedule, SQL_FRONTIER_SCHEDULE),
     "lang_segments": (q_lang_segments, SQL_LANG_SEGMENTS),
@@ -6222,6 +6299,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # winnow's projection-boundary idiom, pack_sequences' token
     # accounting); locally hash-verified by the all-entries gate.
     "window_chunks": (q_window_chunks, SQL_WINDOW_CHUNKS),
+    "host_communities": (q_host_communities, SQL_HOST_COMMUNITIES),
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "recrawl_churn": (q_recrawl_churn, SQL_RECRAWL_CHURN),

@@ -422,7 +422,9 @@ def test_registry_window_holds_exactly_fifty_entries():
         # water-fill + salted-sampling machinery.
         "ccnet_buckets_sampled",
         "bpe_train",
-        "host_communities",
+        # host_communities: demoted for bpe_encode (eleventh wave) —
+        # four fixed-point graph siblings stay in-window.
+        "bpe_encode",
         "inverted_postings",
         "frontier_schedule",
         "robots_check",

@@ -395,6 +395,51 @@ def test_bpe_train_partitioning_independent(spark):
     assert len(a) == 3 and all(r["n"] > 0 for r in a)
 
 
+def test_bpe_apply_round_trip(spark):
+    """Tokenization with the crafted merge table: every word's token
+    stream concatenates back to the word (lossless), merged tokens
+    match the hand trace, and case folds like training."""
+    from deepseek_ocr_spark.functions.bpe import bpe_apply, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aab")], "doc_id int, text string"
+    )
+    m = bpe_train(docs, "doc_id", "text")
+    apply_to = spark.createDataFrame(
+        [(1, "aaab aab"), (2, "AAAB x ab"), (3, "")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["tokens"])
+        for r in bpe_apply(apply_to, "doc_id", "text", m).collect()
+    }
+    # merges: (a,a), (a,b), (aa,ab) -> aaab=[aaab]... trace:
+    # aaab: chars a,a,a,b -> r1 [aa,a,b] -> r2 [aa,ab] -> r3 [aaab]
+    # aab: [aa,b] -> [aa,b] -> [aa,b]
+    assert got[1] == (2, 3, "aaab aa b")
+    # case folds (AAAB == aaab); unseen words split by the same rules
+    assert got[2] == (3, 3, "aaab x ab")
+    # empty docs produce no words -> no row (documented)
+    assert 3 not in got
+    for t, orig in [(got[1][2], "aaab aab"), (got[2][2], "aaab x ab")]:
+        assert t.replace(" ", "") == orig.lower().replace(" ", "")
+
+
+def test_bpe_apply_partitioning_independent(spark):
+    from deepseek_ocr_spark.functions.bpe import bpe_apply, bpe_train
+
+    rows = [(i, "the quick brown fox jumps " * 2) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    m = bpe_train(docs, "doc_id", "text")
+    a = bpe_apply(docs, "doc_id", "text", m).orderBy("doc_id").collect()
+    b = (
+        bpe_apply(docs.repartition(7), "doc_id", "text", m)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert list(map(tuple, a)) == list(map(tuple, b))
+
+
 # -- inverted index + frontier scheduling -----------------------------
 
 def test_inverted_postings_gap_encoding(spark):
