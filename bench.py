@@ -158,6 +158,7 @@ HEADLINE = [
     "robots_directives",
     "window_chunks",
     "bpe_encode",
+    "markdown_sections",
 ]
 
 

@@ -232,3 +232,76 @@ def heading_clean_sql(expr: str) -> str:
     for needle, repl in MD_ENTITY_CHAIN:
         out = f"replace({out}, {_sql_quote(needle)}, {_sql_quote(repl)})"
     return f"trim(regexp_replace({out}, {_sql_quote(WS_COLLAPSE_RE)}, ' ', 'g'))"
+
+
+# --------------------------------------------------------------------
+# section segmentation
+# --------------------------------------------------------------------
+
+# Inserted before every heading line, then split on. U+0001 never
+# survives real text extraction (the entity chain can't produce it and
+# crawled prose containing raw control bytes is encoding damage the
+# quality gates drop); a stray occurrence in the input would add a
+# spurious split — documented, deterministic, engine-identical.
+SECTION_SENTINEL = "\x01"
+HEADING_LINE_RE = "(?m)^(#{1,6} )"
+HEADING_HASHES_RE = "^(#+) "
+
+
+def markdown_sections(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, section_idx, level, heading, body) — the document cut at
+    its headings: section 0 is the preamble (level 0, '' heading;
+    whatever precedes the first heading, often empty), every further
+    section is one heading plus the text under it until the next
+    heading. Section-aware chunking and outline-scoped retrieval key
+    on this (a chunk that knows its heading path embeds and retrieves
+    better than a blind window).
+
+    Zero shuffles: markdown render → sentinel insertion before each
+    heading line ((?m) line anchors, Java∩RE2) → split + posexplode →
+    per-section projections."""
+    md = html_to_markdown(F.col(html_col))
+    marked = F.regexp_replace(md, HEADING_LINE_RE, SECTION_SENTINEL + "$1")
+    secs = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.split(marked, SECTION_SENTINEL)).alias("pos", "sec"),
+    )
+    first_nl = F.instr("sec", "\n")
+    head_line = F.when(F.col("pos") == 0, F.lit("")).otherwise(
+        F.when(first_nl > 0, F.substring_index("sec", "\n", 1)).otherwise(
+            F.col("sec")
+        )
+    )
+    body = F.when(F.col("pos") == 0, F.col("sec")).otherwise(
+        F.when(
+            first_nl > 0,
+            F.expr("substring(sec, instr(sec, '\\n') + 1)"),
+        ).otherwise(F.lit(""))
+    )
+    # the render separates blocks with blank lines; section edges
+    # shed them (same \A/\z anchors as the markdown WS chain)
+    body = F.regexp_replace(
+        F.regexp_replace(body, "\\A" + _WS + "+", ""), _WS + "+\\z", ""
+    )
+    level = F.length(F.regexp_extract(head_line, HEADING_HASHES_RE, 1))
+    heading = F.regexp_replace(head_line, "^#+ ", "")
+    return secs.select(
+        "url",
+        F.col("pos").cast("bigint").alias("section_idx"),
+        level.cast("bigint").alias("level"),
+        heading.alias("heading"),
+        body.alias("body"),
+    )
+
+
+def marked_markdown_sql(html_expr: str) -> str:
+    """DuckDB expression: the markdown rendering of ``html_expr``
+    with the section sentinel inserted before every heading line —
+    the input to the twin's split+unnest (list syntax is
+    engine-specific, so queries.py owns that half)."""
+    return (
+        f"regexp_replace({markdown_sql(html_expr)}, "
+        f"{_sql_quote(HEADING_LINE_RE)}, chr(1) || '\\1', 'g')"
+    )

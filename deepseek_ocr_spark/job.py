@@ -50,6 +50,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             "train-lm",
             "mixture",
             "code-blocks",
+            "markdown",
         ),
         default="extract",
         help="extract: pages -> extracted table; curate: pages -> "
@@ -468,6 +469,40 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         print(
             json.dumps(
                 {"mode": "code-blocks", "blocks": n, "labeled": n_labeled}
+            )
+        )
+    elif args.mode == "markdown":
+        # Structure-preserving extraction: render raw pages to
+        # markdown (headings/lists/links/emphasis/fences) as their
+        # own (url, markdown, n_chars) table — the FineWeb/Dolma
+        # document shape, next to the byte-identity extract mode.
+        from pyspark.sql import functions as F
+
+        from deepseek_ocr_spark.functions.html_markdown import (
+            html_to_markdown,
+        )
+
+        if args.input_format == "warc":
+            from deepseek_ocr_spark.sources.warc import read_warc_dir
+
+            pages = read_warc_dir(spark, args.input)
+        else:
+            pages = spark.read.parquet(args.input)
+        m = html_to_markdown(F.col("html"))
+        out_df = pages.select(
+            "url",
+            m.alias("markdown"),
+            F.length(m).cast("bigint").alias("n_chars"),
+        )
+        out_df.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        print(
+            json.dumps(
+                {
+                    "mode": "markdown",
+                    "rows": out.count(),
+                    "nonempty": out.filter(F.col("n_chars") > 0).count(),
+                }
             )
         )
     elif args.mode == "extract-pdf-exploded":

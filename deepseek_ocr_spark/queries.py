@@ -5960,6 +5960,55 @@ FROM e
 SQL_HEADING_OUTLINE = _heading_outline_sql()
 
 
+def q_markdown_sections(spark, sf_dir):
+    """Section segmentation (functions/html_markdown.py
+    markdown_sections): the rendered markdown cut at its headings —
+    (url, section_idx, level, heading, body), section 0 the preamble.
+    Section-aware chunking / outline-scoped retrieval grain. Zero
+    shuffles (sentinel insert + split + posexplode)."""
+    from deepseek_ocr_spark.functions import html_markdown as HM
+
+    return HM.markdown_sections(_md_pages(spark, sf_dir))
+
+
+def _markdown_sections_sql() -> str:
+    from deepseek_ocr_spark.functions import html_markdown as HM
+
+    marked = HM.marked_markdown_sql("html")
+    ws = "[ \\t\\n\\r]"
+    return f"""
+WITH p AS ({_MD_PAGES_CTE}), m AS (
+  SELECT url, {marked} AS mk FROM p
+), e AS (
+  SELECT url, unnest(list_transform(range(1, len(ss) + 1),
+    i -> struct_pack(pos := (i - 1)::BIGINT, sec := ss[i]))) AS s
+  FROM (SELECT url, string_split(mk, chr(1)) AS ss FROM m)
+), base AS (
+  SELECT url, s.pos AS section_idx, s.sec AS sec,
+         strpos(s.sec, chr(10)) AS fnl
+  FROM e
+), parts AS (
+  SELECT url, section_idx,
+         CASE WHEN section_idx = 0 THEN ''
+              WHEN fnl > 0 THEN substr(sec, 1, fnl - 1)
+              ELSE sec END AS head_line,
+         CASE WHEN section_idx = 0 THEN sec
+              WHEN fnl > 0 THEN substr(sec, fnl + 1)
+              ELSE '' END AS body0
+  FROM base
+)
+SELECT url, section_idx,
+       length(regexp_extract(head_line, '^(#+) ', 1))::BIGINT AS level,
+       regexp_replace(head_line, '^#+ ', '') AS heading,
+       regexp_replace(regexp_replace(body0, '\\A{ws}+', ''),
+                      '{ws}+\\z', '') AS body
+FROM parts
+"""
+
+
+SQL_MARKDOWN_SECTIONS = _markdown_sections_sql()
+
+
 # --------------------------------------------------------------------
 # robots.txt non-rule directives (functions/robots.py)
 # --------------------------------------------------------------------
@@ -6299,6 +6348,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # winnow's projection-boundary idiom, pack_sequences' token
     # accounting); locally hash-verified by the all-entries gate.
     "window_chunks": (q_window_chunks, SQL_WINDOW_CHUNKS),
+    # markdown_sections: below-cut with its html-projection family —
+    # the in-window html_markdown covers the full rendering chain the
+    # sectioner builds on; the split/unnest mechanics are the
+    # html_code/sitemap class. Locally hash-verified every round.
+    "markdown_sections": (q_markdown_sections, SQL_MARKDOWN_SECTIONS),
     "host_communities": (q_host_communities, SQL_HOST_COMMUNITIES),
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),

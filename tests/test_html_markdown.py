@@ -153,3 +153,40 @@ def test_markdown_zero_shuffle_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_markdown_sections(spark):
+    html = (
+        "<p>preamble text</p><h1>Top</h1><p>intro</p>"
+        "<h2>Sub A</h2><p>body a</p><p>more a</p>"
+        "<h2>Sub B</h2><p>body b</p>"
+    )
+    pages = spark.createDataFrame(
+        [("u1", html), ("u2", "<p>only preamble</p>"), ("u3", "")],
+        "url string, html string",
+    )
+    rows = {
+        (r.url, r.section_idx): (r.level, r.heading, r.body)
+        for r in HM.markdown_sections(pages).collect()
+    }
+    assert rows[("u1", 0)] == (0, "", "preamble text")
+    assert rows[("u1", 1)] == (1, "Top", "intro")
+    assert rows[("u1", 2)] == (2, "Sub A", "body a\n\nmore a")
+    assert rows[("u1", 3)] == (2, "Sub B", "body b")
+    # heading-less page: one preamble section holding everything
+    assert rows[("u2", 0)] == (0, "", "only preamble")
+    # empty page: a single empty preamble row (deterministic)
+    assert rows[("u3", 0)] == (0, "", "")
+    assert len(rows) == 6
+
+
+def test_markdown_sections_heading_at_start_and_end(spark):
+    pages = spark.createDataFrame(
+        [("u", "<h3>Solo</h3>")], "url string, html string"
+    )
+    rows = {
+        r.section_idx: (r.level, r.heading, r.body)
+        for r in HM.markdown_sections(pages).collect()
+    }
+    # preamble empty, heading section with empty body
+    assert rows == {0: (0, "", ""), 1: (3, "Solo", "")}

@@ -358,3 +358,33 @@ def test_cli_code_blocks_mode(spark, tmp_path, capsys):
     r0 = got[("https://a.example/p", 0)]
     assert r0["lang_hint"] == "py" and r0["code"] == "a = 1\n    b = 2"
     assert got[("https://a.example/p", 1)]["lang_hint"] == ""
+
+
+def test_cli_markdown_mode(spark, tmp_path, capsys):
+    """--mode markdown renders raw pages to the structure-preserving
+    (url, markdown, n_chars) table."""
+    import json
+
+    from deepseek_ocr_spark.job import main
+
+    rows = [
+        ("https://a.example/p",
+         b"<html><body><h1>Title</h1><p>Hello <b>world</b>, see "
+         b'<a href="https://x/y">link</a>.</p><ul><li>one</li></ul>'
+         b"</body></html>"),
+        ("https://b.example/q", b"<html><head></head><body></body></html>"),
+    ]
+    inp = str(tmp_path / "mdpages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(inp)
+    out = str(tmp_path / "md")
+    rc = main(["--mode", "markdown", "--input", inp, "--output", out],
+              spark=spark)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"mode": "markdown", "rows": 2, "nonempty": 1}
+    got = {r["url"]: r["markdown"]
+           for r in spark.read.parquet(out).collect()}
+    assert got["https://a.example/p"] == (
+        "# Title\n\nHello **world**, see [link](https://x/y).\n\n- one"
+    )
+    assert got["https://b.example/q"] == ""
