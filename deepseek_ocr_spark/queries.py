@@ -6009,6 +6009,48 @@ FROM parts
 SQL_MARKDOWN_SECTIONS = _markdown_sections_sql()
 
 
+def q_lang_mismatch(spark, sf_dir):
+    """Declared-vs-detected language disagreement — the CCNet routing
+    check: a page whose <html lang>/metadata declaration disagrees
+    with content-based ID is mislabeled chrome, machine translation,
+    or spam, and must not be routed to the declared language's
+    pipeline. Zero-shuffle projection composing the stopword-ratio
+    detector with the declared column; 'und' detections never flag
+    (no evidence either way)."""
+    d = _t(spark, sf_dir, "documents")
+    det = TS.lang_guess(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("declared"),
+        det.alias("detected"),
+        ((F.col("lang") != det) & (det != F.lit("und"))).alias("mismatch"),
+    )
+
+
+SQL_LANG_MISMATCH = f"""
+SELECT doc_id, lang AS declared,
+  CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+       WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+       WHEN fr > 0 AND fr >= es THEN 'fr'
+       WHEN es > 0 THEN 'es'
+       ELSE 'und' END AS detected,
+  (lang <> (CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+       WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+       WHEN fr > 0 AND fr >= es THEN 'fr'
+       WHEN es > 0 THEN 'es'
+       ELSE 'und' END)
+   AND (CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+       WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+       WHEN fr > 0 AND fr >= es THEN 'fr'
+       WHEN es > 0 THEN 'es'
+       ELSE 'und' END) <> 'und') AS mismatch
+FROM (SELECT doc_id, lang, text, {_HITS_SQL['en']} AS en,
+             {_HITS_SQL['de']} AS de, {_HITS_SQL['fr']} AS fr,
+             {_HITS_SQL['es']} AS es
+      FROM documents)
+"""
+
+
 # --------------------------------------------------------------------
 # robots.txt non-rule directives (functions/robots.py)
 # --------------------------------------------------------------------
@@ -6353,6 +6395,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # sectioner builds on; the split/unnest mechanics are the
     # html_code/sitemap class. Locally hash-verified every round.
     "markdown_sections": (q_markdown_sections, SQL_MARKDOWN_SECTIONS),
+    # lang_mismatch: below-cut with the lang family (lang_segments
+    # keeps the stopword detector in-window); a two-column zero-
+    # shuffle composition. Locally hash-verified every round.
+    "lang_mismatch": (q_lang_mismatch, SQL_LANG_MISMATCH),
     "host_communities": (q_host_communities, SQL_HOST_COMMUNITIES),
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
