@@ -274,3 +274,61 @@ def inverted_postings(
         )
         .filter(F.col("df_count") >= min_df)
     )
+
+
+# ---- Reciprocal-rank fusion (hybrid lexical + dense retrieval) -----------
+
+RRF_K = 60  # the constant from Cormack/Clarke/Buettcher 2009; Elastic's default
+RRF_SCALE = 1_000_000_000  # fixed-point numerator: 1e9 div (k + rank)
+
+
+def rrf_fuse(
+    ranked: list,
+    k: int = 10,
+    k_rrf: int = RRF_K,
+    out_id_col: str = "id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of retrieval lists (Cormack/Clarke/
+    Buettcher 2009): score(d) = sum over lists of 1/(k_rrf + rank_d).
+    The standard hybrid-retrieval combiner — fuse BM25's lexical
+    top-k with an ANN embedding top-k without score calibration
+    (ranks are comparable where raw scores never are).
+
+    ``ranked``: (df, id_col, score_col) triples; each df is a TOP-K
+    RETRIEVAL OUTPUT — dimension-sized by contract (bm25_topk /
+    similarity.brute_force_topk / ann outputs: at most a few hundred
+    rows per query), so the per-list rank window is one tiny
+    partition and the fusion never touches the corpus. The expensive
+    work is the upstream retrievals, each already priced with its own
+    scale shape.
+
+    Determinism across engines: rank = row_number over
+    (score DESC, id ASC) — both inputs carry engine-portable scores
+    (fixed-point BM25, 4-dp-rounded cosine) so the order hashes
+    identically; the contribution is RRF_SCALE div (k_rrf + rank) —
+    EXACT integer division (Spark ``DIV`` ≡ DuckDB ``//``), so the
+    fused ``rrf_fp`` is a BIGINT no float summation can drift.
+    ``n_lists`` counts how many lists surfaced the id (consensus
+    signal, and the disambiguator between one-good-rank and
+    two-mediocre-ranks ties)."""
+    from pyspark.sql.window import Window
+
+    parts = []
+    for df, id_col, score_col in ranked:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        parts.append(
+            df.select(
+                F.col(id_col).cast("bigint").alias(out_id_col),
+                F.row_number().over(w).alias("rank"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(out_id_col).agg(
+        F.sum(F.expr(f"{RRF_SCALE} DIV ({k_rrf} + rank)"))
+        .cast("bigint")
+        .alias("rrf_fp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    return fused.orderBy(F.desc("rrf_fp"), F.col(out_id_col)).limit(k)

@@ -3533,6 +3533,67 @@ ORDER BY score_fp DESC, doc_id LIMIT {_BM25_K}
 SQL_BM25_TOPK = _bm25_sql()
 
 
+_RRF_LIST_K = 25  # per-list depth fed into the fusion
+_RRF_OUT_K = 20
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (retrieval.rrf_fuse,
+    Cormack 2009): BM25's lexical top-25 over documents fused with the
+    brute-force cosine top-25 over embeddings (vec_id ≡ doc_id in the
+    fixture) — score(d) = Σ 1e9 div (60 + rank), exact integer
+    division, so the fused score is engine-portable. Both upstream
+    lists are dimension-sized; the fusion never touches the corpus."""
+    from deepseek_ocr_spark.functions import retrieval as RET
+
+    lex = RET.bm25_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        _BM25_QUERY, k=_RRF_LIST_K,
+    )
+    den = SIM.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=_RRF_LIST_K
+    )
+    return RET.rrf_fuse(
+        [(lex, "doc_id", "score_fp"), (den, "vec_id", "sim")],
+        k=_RRF_OUT_K,
+        out_id_col="doc_id",
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from deepseek_ocr_spark.functions.retrieval import RRF_K, RRF_SCALE
+
+    bm25_k25 = _bm25_sql().replace(
+        f"LIMIT {_BM25_K}", f"LIMIT {_RRF_LIST_K}"
+    )
+    return f"""
+WITH lex AS (SELECT * FROM ({bm25_k25})),
+den AS (
+  SELECT vec_id, {_COS_SQL} AS sim
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) d,
+       (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings
+        WHERE vec_id = 0) q
+  WHERE vec_id != 0
+  ORDER BY sim DESC, vec_id LIMIT {_RRF_LIST_K}
+),
+lexr AS (SELECT doc_id,
+                row_number() OVER (ORDER BY score_fp DESC, doc_id)
+                  AS rank FROM lex),
+denr AS (SELECT vec_id AS doc_id,
+                row_number() OVER (ORDER BY sim DESC, vec_id)
+                  AS rank FROM den),
+u AS (SELECT * FROM lexr UNION ALL SELECT * FROM denr)
+SELECT doc_id,
+       (sum({RRF_SCALE} // ({RRF_K} + rank)))::BIGINT AS rrf_fp,
+       count(*)::BIGINT AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_fp DESC, doc_id LIMIT {_RRF_OUT_K}
+"""
+
+
+SQL_HYBRID_RRF = _hybrid_rrf_sql()
+
+
 # --------------------------------------------------------------------
 # html <head> metadata extraction (functions/html_meta.py)
 # --------------------------------------------------------------------
@@ -6428,6 +6489,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    # hybrid_rrf: below-cut class (b) — a dimension-frame rank fusion
+    # whose BOTH upstream retrievals are driver-checked in-window
+    # (bm25_topk directly; the brute-force cosine path via
+    # ivf_topk_exhaustive, which shares SQL_ANN_COSINE_TOPK); the
+    # fusion itself is ~50 rows of exact integer arithmetic, locally
+    # hash-verified every round by the all-entries gate.
+    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "chunk_dedup_rewrite": (q_chunk_dedup_rewrite, SQL_CHUNK_DEDUP_REWRITE),

@@ -494,3 +494,52 @@ def test_frontier_schedule_one_url_per_host_per_wave(spark):
         entries.sort()
         scores = [s for _, s in entries]
         assert scores == sorted(scores, reverse=True)
+
+
+# ---- reciprocal-rank fusion ----------------------------------------------
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Two 3-item lists; fused scores match the hand-computed
+    1e9 div (60+rank) sums, consensus ids outrank single-list ids."""
+    from deepseek_ocr_spark.functions.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 900), (20, 800), (30, 700)], "id long, score_fp long"
+    )
+    den = spark.createDataFrame(
+        [(20, 0.99), (40, 0.95), (10, 0.90)], "id long, sim double"
+    )
+    out = {
+        r["doc_id"]: (r["rrf_fp"], r["n_lists"])
+        for r in rrf_fuse(
+            [(lex, "id", "score_fp"), (den, "id", "sim")],
+            k=10,
+            out_id_col="doc_id",
+        ).collect()
+    }
+    c = lambda rank: 1_000_000_000 // (60 + rank)
+    # lex ranks: 10->1, 20->2, 30->3; den ranks: 20->1, 40->2, 10->3
+    assert out[10] == (c(1) + c(3), 2)
+    assert out[20] == (c(2) + c(1), 2)
+    assert out[30] == (c(3), 1)
+    assert out[40] == (c(2), 1)
+    # consensus beats any single-list appearance here
+    assert out[10][0] > out[30][0] and out[20][0] > out[40][0]
+
+
+def test_rrf_fuse_rank_ties_break_by_id_and_k_cuts(spark):
+    """Equal scores rank by ascending id (deterministic), and the
+    output honors k with (rrf_fp desc, id asc) ordering."""
+    from deepseek_ocr_spark.functions.retrieval import rrf_fuse
+
+    lst = spark.createDataFrame(
+        [(5, 100), (3, 100), (9, 50)], "id long, s long"
+    )
+    rows = rrf_fuse([(lst, "id", "s")], k=2).collect()
+    c = lambda rank: 1_000_000_000 // (60 + rank)
+    # tie on s=100: id 3 ranks 1, id 5 ranks 2; k=2 drops id 9
+    assert [(r["id"], r["rrf_fp"]) for r in rows] == [
+        (3, c(1)),
+        (5, c(2)),
+    ]
