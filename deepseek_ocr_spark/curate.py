@@ -449,6 +449,7 @@ def curate(
     quality_model_min_pf: int = 0,
     lm_model: DataFrame | None = None,
     lm_max_nll_ptok_fp: int = 0,
+    pii_scrub: bool = False,
 ) -> tuple[DataFrame, dict]:
     """pages → (curated corpus DataFrame, funnel counts).
 
@@ -488,7 +489,14 @@ def curate(
     that runs on raw pages, because its payoff is skipping the extract
     UDF for site-declared duplicates (funnel key
     ``after_canonical_pages`` = pages surviving it — observed on the
-    extract output, one row per surviving page).
+    extract output, one row per surviving page);
+    ``pii_scrub=True`` redacts emails/credentials/IPs/phones to typed
+    tokens (functions/pii.py) as the LAST stage — after every gate and
+    after dedup, so fingerprints and near-dup shingles judged the
+    organic text (two docs differing only in which email they leak
+    must not collapse as dups of each other's redacted form).
+    Row-preserving (no funnel boundary); n_tokens/quality recomputed
+    on the redacted text. Zero-shuffle codegen rewrite.
 
     Funnel accounting (``funnel_mode``):
 
@@ -685,4 +693,17 @@ def curate(
             "near-identical boilerplate should be handled by exact/URL "
             "dedup upstream."
         )
+    if pii_scrub:
+        # ship-side redaction rewrite, LAST so the gates judged and
+        # the dedup stages fingerprinted the organic text (two docs
+        # differing only in which email they leak must not collapse
+        # as exact dups of each other's redacted form). Row-preserving
+        # by construction — no funnel boundary; stats recomputed so
+        # n_tokens/quality describe the text that ships.
+        from deepseek_ocr_spark.functions.pii import scrub_pii
+
+        scrubbed = scrub_pii(F.col("text"))
+        final = final.withColumn("text", scrubbed).withColumn(
+            "n_tokens", TS.token_count(F.col("text"))
+        ).withColumn("quality", TS.quality_score(F.col("text")))
     return final, funnel

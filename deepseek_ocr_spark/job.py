@@ -196,6 +196,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "recomputed on the rewritten text",
     )
     p.add_argument(
+        "--pii-scrub",
+        action="store_true",
+        help="curate mode: redact emails/credentials/IPs/phones to "
+        "typed tokens in the SHIPPED text (last stage, after all "
+        "gates and dedup fingerprinting; stats recomputed)",
+    )
+    p.add_argument(
         "--declared-canonical",
         action="store_true",
         help="curate mode: collapse pages declaring the same <link "
@@ -340,6 +347,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             quality_model_min_pf=args.quality_model_min_pf,
             lm_model=lm_model,
             lm_max_nll_ptok_fp=args.lm_max_nll_ptok,
+            pii_scrub=args.pii_scrub,
         )
         if args.output_format == "jsonl":
             # one gzipped JSON-lines shard per partition — Spark's

@@ -559,3 +559,52 @@ def test_declared_canonical_collapses_before_extraction(spark):
     )
     assert counted["after_canonical_pages"] == 2
     assert counted["extracted_ok"] == 2
+
+
+def test_curate_pii_scrub_redacts_shipped_text_only(spark):
+    """pii_scrub=True redacts the SHIPPED text (typed tokens, stats
+    recomputed) without changing which docs survive: scrubbing runs
+    after every gate and after fingerprinting, so two docs differing
+    only by which email they leak stay distinct through exact dedup."""
+    base = ("lorem ipsum dolor sit amet consectetur adipiscing elit "
+            "sed do eiusmod tempor incididunt ut labore et dolore")
+    rows = [
+        ("https://a.example/1",
+         f"<html><body><p>{base} contact alice@example.com now"
+         "</p></body></html>".encode()),
+        ("https://a.example/2",
+         f"<html><body><p>{base} contact bob@example.org now"
+         "</p></body></html>".encode()),
+        ("https://b.example/3",
+         f"<html><body><p>{base} no personal data here at all"
+         "</p></body></html>".encode()),
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, h, None, None) for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    )
+    plain, f_plain = curate(pages, parallelism=2)
+    scrubbed, f_scrub = curate(pages, parallelism=2, pii_scrub=True)
+    # row-preserving: same survivors, same funnel
+    assert f_plain == f_scrub
+    ptexts = {r["url"]: r["text"] for r in plain.collect()}
+    srows = {r["url"]: r for r in scrubbed.collect()}
+    assert set(ptexts) == set(srows)
+    # the two email-leaking docs both survive (they did NOT collapse
+    # into one post-redaction form) and ship redacted
+    for u in ("https://a.example/1", "https://a.example/2"):
+        assert "@" in ptexts[u]
+        assert "<EMAIL>" in srows[u]["text"] and "@" not in srows[u]["text"]
+    # clean doc ships unchanged
+    clean = "https://b.example/3"
+    assert srows[clean]["text"] == ptexts[clean]
+    # stats describe the shipped text
+    from deepseek_ocr_spark.functions import textstats as TS
+
+    recomputed = scrubbed.select(
+        "url", TS.token_count(F.col("text")).alias("nt")
+    ).collect()
+    assert all(
+        r["nt"] == srows[r["url"]]["n_tokens"] for r in recomputed
+    )

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from deepseek_ocr_spark.core.oracle import extract_document
 from deepseek_ocr_spark.core.sniff import sniff_bytes
 from deepseek_ocr_spark.fixtures.pages_gen import gen_row
@@ -297,7 +299,7 @@ def test_cli_curate_gates_flags(spark, pages_path, tmp_path, capsys):
     rc = main(
         ["--mode", "curate", "--input", pages_path, "--output", out,
          "--parallelism", "4", "--badwords", "Casino, viagra",
-         "--blocklist", bl_path, "--site-boilerplate"],
+         "--blocklist", bl_path, "--site-boilerplate", "--pii-scrub"],
         spark=spark,
     )
     assert rc == 0
@@ -305,6 +307,11 @@ def test_cli_curate_gates_flags(spark, pages_path, tmp_path, capsys):
     assert "after_badwords" in summary and "after_blocklist" in summary
     assert summary["after_blocklist"] <= summary["after_badwords"]
     assert summary["curated"] >= 0
+    # --pii-scrub is row-preserving and the shipped text is redacted:
+    # no raw email survives in the written corpus
+    shipped = spark.read.parquet(out)
+    assert shipped.count() == summary["curated"]
+    assert shipped.filter(F.col("text").rlike("@[A-Za-z0-9.-]+\\.")).count() == 0
 
 
 def test_cli_mixture_mode(spark, tmp_path, capsys):
