@@ -431,6 +431,39 @@ def lm_fluency_gate(
     return LM.perplexity_gate(docs, lm_model, max_nll_ptok_fp, "url", "text")
 
 
+def host_quality_gate(
+    docs: DataFrame, min_mean_quality_fp: int, min_docs: int = 3
+) -> DataFrame:
+    """Whole-domain selection (the RefinedWeb/Gopher host-level cut):
+    drop EVERY doc of a host whose surviving docs number at least
+    ``min_docs`` and average quality strictly below
+    ``min_mean_quality_fp`` (1e-6 fixed point — a content farm is a
+    property of the domain, not of any one page). Hosts under the doc
+    floor pass (not enough evidence to damn the domain).
+
+    Scale shape: the reputation rollup is one (host, 2 ints)
+    partial-agg shuffle (textstats.host_reputation); the flagged set
+    is a small subset of the host dimension and BROADCASTS into the
+    anti-join — the corpus is scanned, never reshuffled."""
+    from deepseek_ocr_spark.functions.urls import domain_col
+
+    rep = TS.host_reputation(
+        docs.select(
+            domain_col(F.col("url")).alias("host"), "n_tokens", "quality"
+        ),
+        "host",
+    )
+    flagged = rep.filter(
+        (F.col("n_docs") >= min_docs)
+        & (F.col("mean_quality_fp") < min_mean_quality_fp)
+    ).select("host")
+    return docs.join(
+        F.broadcast(flagged),
+        domain_col(F.col("url")) == F.col("host"),
+        "left_anti",
+    )
+
+
 def curate(
     pages: DataFrame,
     parallelism: int | None = None,
@@ -449,6 +482,8 @@ def curate(
     quality_model_min_pf: int = 0,
     lm_model: DataFrame | None = None,
     lm_max_nll_ptok_fp: int = 0,
+    host_min_quality_fp: int = 0,
+    host_min_docs: int = 3,
     pii_scrub: bool = False,
 ) -> tuple[DataFrame, dict]:
     """pages → (curated corpus DataFrame, funnel counts).
@@ -490,6 +525,11 @@ def curate(
     UDF for site-declared duplicates (funnel key
     ``after_canonical_pages`` = pages surviving it — observed on the
     extract output, one row per surviving page);
+    ``host_min_quality_fp`` > 0 applies the whole-domain cut
+    (``host_quality_gate``) after the doc-level selection gates: every
+    doc of a host with >= ``host_min_docs`` survivors averaging
+    quality below the threshold is dropped (funnel key
+    ``after_host_quality``);
     ``pii_scrub=True`` redacts emails/credentials/IPs/phones to typed
     tokens (functions/pii.py) as the LAST stage — after every gate and
     after dedup, so fingerprints and near-dup shingles judged the
@@ -633,6 +673,11 @@ def curate(
     if lm_model is not None:
         final = lm_fluency_gate(final, lm_model, lm_max_nll_ptok_fp)
         funnel["after_lm_gate"] = final.count()
+    if host_min_quality_fp > 0:
+        final = host_quality_gate(
+            final, host_min_quality_fp, min_docs=host_min_docs
+        )
+        funnel["after_host_quality"] = final.count()
     if observe:
         # AQE's empty-relation propagation can elide an observed node
         # whose subtree came out empty (see lsh_candidate_pairs) —

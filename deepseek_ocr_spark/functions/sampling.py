@@ -238,3 +238,47 @@ def epoch_expand(
     return expanded.filter(keep).drop(
         "t_tokens", "target_tokens", "k_full", "frac_tokens"
     )
+
+
+# ---- stratified fixed-size sampling ---------------------------------------
+
+
+def stratified_sample(
+    docs: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic n-per-group sample: within each group keep the
+    ``n_per_group`` docs with the smallest salted 52-bit md5-prefix
+    hash (ties by id). The eval-holdout / human-audit constructor —
+    per-language eval sets, per-source QA samples — with the same
+    membership guarantees as ``hash_split``: a pure function of
+    (salt, group, id), stable across reruns, snapshots, and input
+    partitioning; changing ``salt`` redraws.
+
+    Scale shape: the rank decision runs on an (id, group, hash)
+    PROJECTION — only 3 slim columns cross the group-keyed shuffle,
+    never the text — and the winner set (n_per_group × n_groups rows,
+    dimension-sized by construction) broadcast-joins back onto the
+    corpus. Unlike rank-free hash thresholding
+    (``hash_budget_sample``) this yields EXACT group sizes
+    (min(n, |group|)), which is what eval sets need. Output keeps all
+    input columns plus ``samp_rank`` (1-based within group).
+    """
+    from pyspark.sql.window import Window
+
+    from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+
+    h = md5_prefix_int(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")), 13
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    winners = (
+        docs.select(F.col(id_col), F.col(group_col), h.alias("__h"))
+        .withColumn("samp_rank", F.row_number().over(w))
+        .filter(F.col("samp_rank") <= n_per_group)
+        .select(F.col(id_col), F.col("samp_rank").cast("bigint").alias("samp_rank"))
+    )
+    return docs.join(F.broadcast(winners), id_col)

@@ -507,3 +507,48 @@ def readability(
             F.expr(ex["fk_grade_fp"]).cast("bigint").alias("fk_grade_fp"),
         )
     )
+
+
+# ---- host-level reputation rollup ------------------------------------------
+
+
+def host_reputation(
+    docs,
+    host_col: str,
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+):
+    """Per-host quality reputation: (host, n_docs, total_tokens,
+    mean_quality_fp) where mean_quality_fp = Σ floor(quality·1e6) DIV
+    n_docs — exact integer fixed point, engine-portable.
+
+    The host-level selection prior of the published pipelines
+    (RefinedWeb/Gopher filter whole domains, not just documents): a
+    host whose surviving docs average poor quality is a content farm,
+    and its remaining docs should be judged as a group. Scale shape:
+    ONE partial-agg shuffle of a (host, 2 ints) projection — the host
+    dimension frame (~10^7 hosts at web scale), which downstream
+    gates semi-join back (the flagged subset is smaller still and
+    broadcasts).
+
+    Fixed point: quality is a 4-dp double, so ``floor(q·1e6 + 0.5)``
+    (round-half-up via two correctly-rounded IEEE ops — portable,
+    unlike engine ``round`` on doubles) recovers the exact 1e-6
+    integer; the mean is integer DIV."""
+    q_fp = F.floor(F.col(quality_col) * 1_000_000 + 0.5).cast("bigint")
+    return (
+        docs.groupBy(F.col(host_col).alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col(tokens_col)).cast("bigint").alias("total_tokens"),
+            F.sum(q_fp).cast("bigint").alias("sum_q_fp"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "total_tokens",
+            F.expr("sum_q_fp DIV n_docs").cast("bigint").alias(
+                "mean_quality_fp"
+            ),
+        )
+    )

@@ -196,6 +196,21 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "recomputed on the rewritten text",
     )
     p.add_argument(
+        "--host-min-quality",
+        type=int,
+        default=0,
+        help="curate mode: drop ALL docs of hosts with >= "
+        "--host-min-docs surviving docs and mean quality below this "
+        "1e-6 fixed-point threshold (whole-domain content-farm cut)",
+    )
+    p.add_argument(
+        "--host-min-docs",
+        type=int,
+        default=3,
+        help="curate mode: evidence floor for --host-min-quality "
+        "(hosts with fewer surviving docs always pass)",
+    )
+    p.add_argument(
         "--pii-scrub",
         action="store_true",
         help="curate mode: redact emails/credentials/IPs/phones to "
@@ -347,6 +362,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             quality_model_min_pf=args.quality_model_min_pf,
             lm_model=lm_model,
             lm_max_nll_ptok_fp=args.lm_max_nll_ptok,
+            host_min_quality_fp=args.host_min_quality,
+            host_min_docs=args.host_min_docs,
             pii_scrub=args.pii_scrub,
         )
         if args.output_format == "jsonl":

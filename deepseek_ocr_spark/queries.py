@@ -2101,6 +2101,79 @@ ORDER BY al.source
 """
 
 
+_STRAT_N = 20
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic n-per-group sampling (sampling.stratified_sample):
+    within each language keep the 20 docs with the smallest salted
+    md5-prefix hash (ties by id) — the eval-holdout constructor with
+    EXACT group sizes. The rank decision runs on a 3-column
+    projection; the winner set broadcast-joins back."""
+    from deepseek_ocr_spark.functions.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(d, "lang", _STRAT_N)
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 13))::BIGINT
+           AS hv
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+           AS samp_rank
+  FROM h
+)
+SELECT doc_id, lang, samp_rank::BIGINT AS samp_rank
+FROM r WHERE samp_rank <= {_STRAT_N}
+"""
+
+
+def q_host_reputation(spark, sf_dir):
+    """Host-level reputation rollup (textstats.host_reputation): per
+    host (the fixture's ``source``) doc count, token total, and mean
+    quality in exact 1e-6 fixed point — the whole-domain selection
+    prior (RefinedWeb/Gopher filter content farms as domains, not
+    docs). One (host, 2 ints) partial-agg shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    enriched = d.select(
+        "source",
+        TS.token_count(F.col("text")).alias("n_tokens"),
+        TS.quality_score(F.col("text")).alias("quality"),
+    )
+    return TS.host_reputation(enriched, "source")
+
+
+SQL_HOST_REPUTATION = """
+WITH s AS (
+  SELECT source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))
+         END AS toks,
+         length(text) AS chars,
+         len(regexp_extract_all(text, '[.,;:!?]', 0)) AS n_punct
+  FROM documents
+), q AS (
+  SELECT source, toks,
+         round((CASE WHEN toks BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END) +
+               (CASE WHEN n_punct > 0 THEN 0.2 ELSE 0.0 END) +
+               (CASE WHEN toks > 0 AND chars::DOUBLE / toks
+                          BETWEEN 3.0 AND 12.0
+                     THEN 0.4 ELSE 0.0 END), 4) AS quality
+  FROM s
+)
+SELECT source AS host, count(*)::BIGINT AS n_docs,
+       sum(toks)::BIGINT AS total_tokens,
+       (sum(CAST(FLOOR(quality * 1000000 + 0.5) AS BIGINT))
+          // count(*))::BIGINT AS mean_quality_fp
+FROM q GROUP BY source
+"""
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (functions/importance.py): per-doc
     summed log-likelihood ratio of hashed tokens under the target
@@ -6489,6 +6562,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    # stratified_sample: below-cut class (b) — its salted-md5-prefix
+    # and per-group-window machinery are exercised in-window by
+    # mixture_plan / frontier_schedule; locally hash-verified.
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    # host_reputation: below-cut class (b) — a fixed-point groupBy
+    # rollup of the same class as in-window corpus_rollup /
+    # tokenizer_fertility; locally hash-verified.
+    "host_reputation": (q_host_reputation, SQL_HOST_REPUTATION),
     # hybrid_rrf: below-cut class (b) — a dimension-frame rank fusion
     # whose BOTH upstream retrievals are driver-checked in-window
     # (bm25_topk directly; the brute-force cosine path via

@@ -608,3 +608,35 @@ def test_curate_pii_scrub_redacts_shipped_text_only(spark):
     assert all(
         r["nt"] == srows[r["url"]]["n_tokens"] for r in recomputed
     )
+
+
+def test_host_quality_gate_drops_whole_domain(spark):
+    """A content-farm host (every page low quality) is dropped as a
+    DOMAIN once it has >= min_docs survivors; a good host with one
+    weak page keeps all pages (the gate is host-level, not doc-level);
+    hosts under the evidence floor pass regardless."""
+    from deepseek_ocr_spark.curate import host_quality_gate
+
+    rows = [
+        # farm.example: 3 docs, all quality 0.2 -> mean 200000, flagged
+        ("https://farm.example/1", 50, 0.2),
+        ("https://farm.example/2", 50, 0.2),
+        ("https://farm.example/3", 50, 0.2),
+        # good.example: mean (0.8+0.8+0.2)/3 = 0.6 -> 600000, passes
+        ("https://good.example/1", 50, 0.8),
+        ("https://good.example/2", 50, 0.8),
+        ("https://good.example/3", 50, 0.2),
+        # tiny.example: 2 low-quality docs, under the 3-doc floor
+        ("https://tiny.example/1", 50, 0.2),
+        ("https://tiny.example/2", 50, 0.2),
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, n_tokens long, quality double"
+    )
+    kept = {
+        r["url"]
+        for r in host_quality_gate(docs, 300000, min_docs=3).collect()
+    }
+    assert not any("farm.example" in u for u in kept)
+    assert sum("good.example" in u for u in kept) == 3
+    assert sum("tiny.example" in u for u in kept) == 2

@@ -543,3 +543,38 @@ def test_rrf_fuse_rank_ties_break_by_id_and_k_cuts(spark):
         (3, c(1)),
         (5, c(2)),
     ]
+
+
+def test_stratified_sample_exact_sizes_and_determinism(spark):
+    """Exact min(n, |group|) per group; membership is a pure function
+    of (salt, id) — stable under repartitioning, redrawn by salt."""
+    from deepseek_ocr_spark.functions.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "de", f"t{i}") for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, txt string")
+    out = stratified_sample(d, "lang", 5)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {"en": 5, "de": 5}
+    # all input columns survive, plus samp_rank 1..n within each group
+    assert set(out.columns) == {"doc_id", "lang", "txt", "samp_rank"}
+    ranks = {(r["lang"], r["samp_rank"]) for r in out.collect()}
+    assert ranks == {(g, i) for g in ("en", "de") for i in range(1, 6)}
+    # partitioning-independent
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(
+        tuple(r) for r in stratified_sample(
+            d.repartition(7), "lang", 5
+        ).collect()
+    )
+    assert a == b
+    # a different salt redraws; a group smaller than n keeps all
+    c = sorted(
+        tuple(r)
+        for r in stratified_sample(d, "lang", 5, salt="other").collect()
+    )
+    assert c != a
+    small = stratified_sample(d.filter("doc_id < 4"), "lang", 5)
+    assert small.count() == 4
