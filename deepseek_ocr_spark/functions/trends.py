@@ -108,3 +108,87 @@ FROM c
 WINDOW w AS (PARTITION BY grp ORDER BY bucket
              ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)
 """
+
+
+# ---- recrawl change detection (the CDX revisit-dedup rule) ----------------
+
+
+def recrawl_changes(
+    fetches: DataFrame,
+    url_col: str,
+    ts_col: str,
+    digest_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Collapse a fetch log to its CHANGES: per url (ordered by fetch
+    time, ties by id) keep the first capture and every fetch whose
+    content digest differs from the immediately-previous fetch — the
+    CDX revisit-record elimination every crawl archive applies (an
+    unchanged recrawl stores a pointer, not a copy; a training corpus
+    ingests only the changed versions, or monthly snapshots collapse
+    per url before dedup ever sees the text).
+
+    Scale shape: ONE url-keyed window over (url, ts, id, digest) —
+    the digest is a fixed-width hash, so only slim columns need to
+    cross the shuffle when callers project before the call; per-url
+    fetch histories are short (bounded by crawl frequency), so no
+    skew. Deterministic: ties on ts break by id, so interleaved
+    same-timestamp fetches collapse identically everywhere."""
+    w = Window.partitionBy(url_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    prev = F.lag(F.col(digest_col)).over(w)
+    return (
+        fetches.withColumn("__prev", prev)
+        .filter(F.col("__prev").isNull() | (F.col(digest_col) != F.col("__prev")))
+        .drop("__prev")
+    )
+
+
+def url_change_rate(
+    fetches: DataFrame,
+    url_col: str,
+    ts_col: str,
+    digest_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-url change-rate estimate from the fetch log: (url,
+    n_fetches, n_changes, change_rate_fp) where a CHANGE is a fetch
+    whose digest differs from its predecessor (the first capture is a
+    capture, not a change) and change_rate_fp = n_changes·1e6 DIV
+    (n_fetches − 1) — exact fixed point over the revisit count, 0 for
+    single-fetch urls. This is the recrawl-frequency prior (Cho &
+    Garcia-Molina's change-rate estimator in its simplest form): a
+    url that changed on 9 of 10 revisits earns daily recrawl; one
+    that never changed drops to monthly — feeding the same frontier
+    scheduler as ``frontier_schedule``.
+
+    Same single url-keyed window as ``recrawl_changes`` plus one
+    partial-agg; only (url, 2 ints) leave the shuffle."""
+    w = Window.partitionBy(url_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    prev = F.lag(F.col(digest_col)).over(w)
+    marked = fetches.select(
+        F.col(url_col),
+        F.when(prev.isNull(), F.lit(0))
+        .when(F.col(digest_col) != prev, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__chg"),
+    )
+    return (
+        marked.groupBy(url_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
+            F.sum("__chg").cast("bigint").alias("n_changes"),
+        )
+        .withColumn(
+            "change_rate_fp",
+            F.when(
+                F.col("n_fetches") > 1,
+                F.expr("(n_changes * 1000000) DIV (n_fetches - 1)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+    )

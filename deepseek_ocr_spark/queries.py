@@ -3238,6 +3238,72 @@ def _burst_detect_sql() -> str:
 SQL_BURST_DETECT = _burst_detect_sql()
 
 
+def q_recrawl_changes(spark, sf_dir):
+    """CDX revisit-record elimination (trends.recrawl_changes): the
+    events table read as a fetch log (user_id = url id, event_type =
+    content digest) collapses to first-capture + changed fetches via
+    ONE url-keyed lag window — the crawl-archive dedup rule applied
+    before any content processing."""
+    from deepseek_ocr_spark.functions import trends as TR
+
+    fetches = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("url_id"),
+        "event_id",
+        "ts",
+        F.col("event_type").alias("digest"),
+    )
+    return TR.recrawl_changes(fetches, "url_id", "ts", "digest", "event_id")
+
+
+SQL_RECRAWL_CHANGES = """
+WITH o AS (
+  SELECT user_id AS url_id, event_id, ts, event_type AS digest,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT url_id, event_id, ts, digest
+FROM o WHERE prev IS NULL OR digest <> prev
+"""
+
+
+def q_url_change_rate(spark, sf_dir):
+    """Per-url change-rate prior (trends.url_change_rate, the Cho &
+    Garcia-Molina recrawl estimator): changes over revisits in exact
+    1e-6 fixed point — the signal that moves a url between daily and
+    monthly recrawl in the frontier scheduler."""
+    from deepseek_ocr_spark.functions import trends as TR
+
+    fetches = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("url_id"),
+        "event_id",
+        "ts",
+        F.col("event_type").alias("digest"),
+    )
+    return TR.url_change_rate(fetches, "url_id", "ts", "digest", "event_id")
+
+
+SQL_URL_CHANGE_RATE = """
+WITH o AS (
+  SELECT user_id AS url_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                   IS NULL THEN 0
+              WHEN event_type <> lag(event_type)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   THEN 1
+              ELSE 0 END AS chg
+  FROM events
+)
+SELECT url_id, count(*)::BIGINT AS n_fetches,
+       sum(chg)::BIGINT AS n_changes,
+       (CASE WHEN count(*) > 1
+             THEN (sum(chg) * 1000000) // (count(*) - 1)
+             ELSE 0 END)::BIGINT AS change_rate_fp
+FROM o GROUP BY url_id
+"""
+
+
 def q_canonical_dedup(spark, sf_dir):
     """Declared-canonical cross-URL dedup (functions/urls.py
     canonical_link_dedup): rel=canonical targets resolved against the
@@ -6562,6 +6628,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    # recrawl_changes / url_change_rate: below-cut class (b) — one
+    # url-keyed lag window each, the same machinery as in-window
+    # asof_join / frontier_schedule; locally hash-verified.
+    "recrawl_changes": (q_recrawl_changes, SQL_RECRAWL_CHANGES),
+    "url_change_rate": (q_url_change_rate, SQL_URL_CHANGE_RATE),
     # stratified_sample: below-cut class (b) — its salted-md5-prefix
     # and per-group-window machinery are exercised in-window by
     # mixture_plan / frontier_schedule; locally hash-verified.

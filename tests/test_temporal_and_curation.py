@@ -495,3 +495,84 @@ def test_burst_detect_reduces_before_window(spark):
     tree = plan.split("(1)")[0]
     assert tree.index("Window") < tree.index("HashAggregate"), plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+# ---- recrawl change detection ---------------------------------------------
+
+
+def test_recrawl_changes_semantics(spark):
+    """First capture always kept; unchanged revisits dropped; a digest
+    that reverts to an OLD value still counts as a change (lag is
+    against the immediate predecessor, not the history)."""
+    from datetime import datetime
+
+    from deepseek_ocr_spark.functions.trends import recrawl_changes
+
+    t = lambda h: datetime(2024, 1, 1, h)
+    rows = [
+        (1, 0, t(0), "A"),
+        (1, 1, t(1), "A"),   # unchanged -> dropped
+        (1, 2, t(2), "B"),   # changed -> kept
+        (1, 3, t(3), "A"),   # reverted -> still a change, kept
+        (2, 4, t(0), "X"),   # single fetch -> kept
+    ]
+    d = spark.createDataFrame(
+        rows, "url_id long, event_id long, ts timestamp, digest string"
+    )
+    kept = sorted(
+        r["event_id"]
+        for r in recrawl_changes(d, "url_id", "ts", "digest", "event_id").collect()
+    )
+    assert kept == [0, 2, 3, 4]
+
+
+def test_recrawl_changes_ts_ties_break_by_id(spark):
+    """Same-timestamp fetches order by id, so the collapse is
+    deterministic under any input partitioning."""
+    from datetime import datetime
+
+    from deepseek_ocr_spark.functions.trends import recrawl_changes
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, 1, t0, "B"), (1, 0, t0, "A"), (1, 2, t0, "B")]
+    d = spark.createDataFrame(
+        rows, "url_id long, event_id long, ts timestamp, digest string"
+    )
+    for dd in (d, d.repartition(5)):
+        kept = sorted(
+            r["event_id"]
+            for r in recrawl_changes(
+                dd, "url_id", "ts", "digest", "event_id"
+            ).collect()
+        )
+        # order by id: A(0) kept, B(1) change, B(2) unchanged
+        assert kept == [0, 1]
+
+
+def test_url_change_rate_fixed_point(spark):
+    """change_rate_fp = changes·1e6 DIV revisits; single-fetch urls
+    rate 0; the first capture is never a change."""
+    from datetime import datetime
+
+    from deepseek_ocr_spark.functions.trends import url_change_rate
+
+    t = lambda h: datetime(2024, 1, 1, h)
+    rows = [
+        # url 1: fetches A A B A -> 3 revisits, 2 changes
+        (1, 0, t(0), "A"), (1, 1, t(1), "A"),
+        (1, 2, t(2), "B"), (1, 3, t(3), "A"),
+        # url 2: one fetch
+        (2, 4, t(0), "X"),
+        # url 3: never changes across 3 fetches
+        (3, 5, t(0), "Z"), (3, 6, t(1), "Z"), (3, 7, t(2), "Z"),
+    ]
+    d = spark.createDataFrame(
+        rows, "url_id long, event_id long, ts timestamp, digest string"
+    )
+    out = {
+        r["url_id"]: (r["n_fetches"], r["n_changes"], r["change_rate_fp"])
+        for r in url_change_rate(d, "url_id", "ts", "digest", "event_id").collect()
+    }
+    assert out[1] == (4, 2, 2_000_000 // 3)
+    assert out[2] == (1, 0, 0)
+    assert out[3] == (3, 0, 0)
