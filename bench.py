@@ -159,6 +159,12 @@ HEADLINE = [
     "window_chunks",
     "bpe_encode",
     "markdown_sections",
+    # round 4, twelfth wave
+    "hybrid_rrf",
+    "stratified_sample",
+    "host_reputation",
+    "recrawl_changes",
+    "url_change_rate",
 ]
 
 

@@ -39,7 +39,12 @@ module makes that pattern a first-class table format:
   z-order-sorted write (functions/layout.py), a selective predicate
   reads a small fraction of the files of a 100 TB table; stats-less
   files always survive pruning (superset guarantee), and the caller
-  re-applies the real predicate on the returned frame.
+  re-applies the real predicate on the returned frame;
+* ``snapshot_diff`` derives a row-level CHANGE FEED between any two
+  versions from the manifests alone (the Delta CDF / Iceberg
+  changelog shape, with no stored change log): data files are
+  immutable, so only the added/removed file sets can hold changed
+  rows — an incremental consumer pays O(changed data), not O(table).
 
 Scale notes: manifests list file PATHS — metadata proportional to
 file count, never to rows (the round-1 reason output writes are
@@ -456,3 +461,91 @@ def vacuum(
         "dropped_snapshots": dropped_snaps,
         "deleted_files": deleted,
     }
+
+
+def diff_files(table: str, v_from: int, v_to: int) -> tuple[list, list]:
+    """(added, removed) manifest-relative data files between two
+    snapshot versions. Data files are immutable once committed, so a
+    file in both manifests holds byte-identical rows in both versions
+    — only the two set differences can contain changed rows. This is
+    the metadata-only half of :func:`snapshot_diff` (exposed for
+    metrics/tests: ``len(added)+len(removed)`` bounds the diff's I/O)."""
+    f_from = set(_load_manifest(table, v_from)["files"])
+    f_to = set(_load_manifest(table, v_to)["files"])
+    return sorted(f_to - f_from), sorted(f_from - f_to)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table: str,
+    v_from: int,
+    v_to: int,
+    key: str | None = None,
+) -> DataFrame:
+    """Row-level change feed between two snapshots (the Delta CDF /
+    Iceberg changelog shape, computed from the manifests — no change
+    log is stored): every output row carries ``_change_type``.
+    Without ``key``: ``insert`` / ``delete`` by multiset row content.
+    With ``key``: content-changed rows whose key exists on both sides
+    classify as ``update_preimage`` / ``update_postimage`` instead.
+
+    Scale shape — the reason this belongs on the manifest format:
+    rows are compared ONLY inside the added/removed file sets
+    (:func:`diff_files`); files carried between versions are never
+    read, so an incremental consumer pays O(changed data), not
+    O(table) — a merge that rewrote 0.1% of files diffs by reading
+    ~0.2% of the table. Copy-on-write noise (unchanged survivor rows
+    that moved files because a neighbor changed) cancels in the
+    ``exceptAll`` before any classification join.
+
+    Both snapshots must share a schema (schema-evolution diffing is
+    the named upgrade; raises ``ValueError`` otherwise)."""
+    m_from = _load_manifest(table, v_from)
+    m_to = _load_manifest(table, v_to)
+    if m_from["schema"] != m_to["schema"]:
+        raise ValueError(
+            "snapshot_diff: schema changed between versions "
+            f"{v_from} and {v_to}; diff per same-schema range"
+        )
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(m_to["schema"]))
+
+    def _read(rel_files):
+        if not rel_files:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(
+            *[os.path.join(table, f) for f in rel_files]
+        )
+
+    added_f, removed_f = diff_files(table, v_from, v_to)
+    add, rem = _read(added_f), _read(removed_f)
+    # cancel copy-on-write carry-over: a survivor row appears
+    # identically in one removed and one added file
+    ins_rows = add.exceptAll(rem)
+    del_rows = rem.exceptAll(add)
+    ct = "_change_type"
+    if key is None:
+        return ins_rows.withColumn(ct, F.lit("insert")).unionByName(
+            del_rows.withColumn(ct, F.lit("delete"))
+        )
+    upd_keys = ins_rows.select(key).intersect(del_rows.select(key))
+    return (
+        ins_rows.join(upd_keys, key, "left_anti")
+        .withColumn(ct, F.lit("insert"))
+        .unionByName(
+            ins_rows.join(upd_keys, key, "left_semi").withColumn(
+                ct, F.lit("update_postimage")
+            )
+        )
+        .unionByName(
+            del_rows.join(upd_keys, key, "left_anti").withColumn(
+                ct, F.lit("delete")
+            )
+        )
+        .unionByName(
+            del_rows.join(upd_keys, key, "left_semi").withColumn(
+                ct, F.lit("update_preimage")
+            )
+        )
+    )

@@ -408,3 +408,23 @@ def test_ppl_buckets_sampled_never_ranks_the_corpus(spark):
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) BroadcastExchange\b", plan)) == 1, plan
     assert re.search(r"% 4\) = 0", plan), plan
+
+
+def test_stratified_sample_slim_shuffle_and_broadcast_joinback(spark):
+    """stratified_sample's rank decision must shuffle only the
+    (id, group, hash) projection — the corpus text stays put — and
+    the dimension-sized winner set must broadcast back."""
+    from deepseek_ocr_spark.functions.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(stratified_sample(d, "lang", 20))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the window's exchange carries no text column: hashpartitioning
+    # runs on lang, and the only scan feeding a Window-side Exchange
+    # must read just (doc_id, lang)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    slim = [s for s in schemas if "text" not in s]
+    assert slim, plan  # at least one scan is the 2-column projection
+    win = re.search(r"Window.*", plan)
+    assert win, plan

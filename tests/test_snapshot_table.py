@@ -247,3 +247,94 @@ def test_append_carries_base_stats(spark, tmp_path):
     m2 = ST.snapshot_write(_df(spark, [("b", 2)]).coalesce(1), t)
     for f in m1["files"]:
         assert m2["stats"][f] == m1["stats"][f]
+
+
+# ---- change-data-feed (snapshot_diff) --------------------------------------
+
+
+def _changes(df):
+    return {
+        (r["url"], r["v"], r["_change_type"]) for r in df.collect()
+    }
+
+
+def test_diff_append_is_pure_inserts(spark, tmp_path):
+    t = str(tmp_path / "t")
+    ST.snapshot_write(_df(spark, [("a", 1), ("b", 2)]), t)
+    ST.snapshot_write(_df(spark, [("c", 3)]), t)
+    assert _changes(ST.snapshot_diff(spark, t, 1, 2)) == {
+        ("c", 3, "insert")
+    }
+    # metadata half: an append removes nothing
+    added, removed = ST.diff_files(t, 1, 2)
+    assert added and not removed
+
+
+def test_diff_merge_cancels_copy_on_write_noise(spark, tmp_path):
+    """A merge rewrites whole files; survivor rows that moved files
+    must NOT surface in the diff — only the truly-updated key (as
+    pre/post images) and true inserts do."""
+    t = str(tmp_path / "t")
+    ST.snapshot_write(
+        _df(spark, [("a", 1), ("b", 2), ("c", 3)]).coalesce(1), t
+    )
+    ST.snapshot_merge(spark, _df(spark, [("a", 10), ("new", 99)]), t, key="url")
+    assert _changes(ST.snapshot_diff(spark, t, 1, 2, key="url")) == {
+        ("a", 1, "update_preimage"),
+        ("a", 10, "update_postimage"),
+        ("new", 99, "insert"),
+    }
+    # keyless view of the same change: content-level insert/delete
+    assert _changes(ST.snapshot_diff(spark, t, 1, 2)) == {
+        ("a", 1, "delete"),
+        ("a", 10, "insert"),
+        ("new", 99, "insert"),
+    }
+
+
+def test_diff_reads_only_touched_files(spark, tmp_path):
+    """Carried files never enter the diff: with two disjoint data
+    files and a merge touching one, diff_files bounds the I/O to the
+    rewritten file + its replacements."""
+    t = str(tmp_path / "t")
+    ST.snapshot_write(_df(spark, [("a", 1), ("b", 2)]).coalesce(1), t)
+    ST.snapshot_write(_df(spark, [("c", 3), ("d", 4)]).coalesce(1), t)
+    m = ST.snapshot_merge(spark, _df(spark, [("a", 10)]), t, key="url")
+    added, removed = ST.diff_files(t, 2, 3)
+    assert len(removed) == 1  # only the file holding 'a'
+    assert set(added).isdisjoint(set(removed))
+    base2 = ST._load_manifest(t, 2)
+    # c/d's carried file is in NEITHER side of the diff
+    carried = set(base2["files"]) & set(m["files"])
+    assert carried and carried.isdisjoint(set(added) | set(removed))
+    assert _changes(ST.snapshot_diff(spark, t, 2, 3, key="url")) == {
+        ("a", 1, "update_preimage"),
+        ("a", 10, "update_postimage"),
+    }
+
+
+def test_diff_overwrite_and_reverse_direction(spark, tmp_path):
+    t = str(tmp_path / "t")
+    ST.snapshot_write(_df(spark, [("a", 1)]), t)
+    ST.snapshot_write(_df(spark, [("z", 9)]), t, mode="overwrite")
+    assert _changes(ST.snapshot_diff(spark, t, 1, 2)) == {
+        ("a", 1, "delete"),
+        ("z", 9, "insert"),
+    }
+    # reading the feed backwards inverts it
+    assert _changes(ST.snapshot_diff(spark, t, 2, 1)) == {
+        ("a", 1, "insert"),
+        ("z", 9, "delete"),
+    }
+
+
+def test_diff_schema_change_raises(spark, tmp_path):
+    t = str(tmp_path / "t")
+    ST.snapshot_write(_df(spark, [("a", 1)]), t)
+    ST.snapshot_write(
+        spark.createDataFrame([("b", 2, "x")], "url string, v bigint, extra string"),
+        t,
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="schema changed"):
+        ST.snapshot_diff(spark, t, 1, 2)
