@@ -752,3 +752,113 @@ def curate(
             "n_tokens", TS.token_count(F.col("text"))
         ).withColumn("quality", TS.quality_score(F.col("text")))
     return final, funnel
+
+
+def curate_increment(
+    spark,
+    pages_table: str,
+    curated_table: str,
+    languages: tuple[str, ...] | None = None,
+    parallelism: int | None = None,
+) -> dict:
+    """Incremental curation over snapshot tables: extract and gate
+    ONLY the pages appended to ``pages_table`` since the last
+    increment, dedup the survivors against the existing curated
+    corpus, and append them atomically — the monthly-crawl shape
+    (each crawl lands as one pages snapshot; each increment pays
+    O(new crawl), never O(all crawls)).
+
+    Mechanics:
+
+    * the last consumed source version rides the curated table's
+      manifest (``props.source_version`` — the Iceberg
+      summary-metadata slot), so the increment is self-describing and
+      idempotent: re-running with no new source snapshot is a no-op;
+    * new pages come from ``snapshot_diff`` (insert/update_postimage
+      rows only) — file-granular, so only the new crawl's data files
+      are read;
+    * within the batch: language gate → url-canonical dedup → exact
+      dedup → quality gate (the stateless core of :func:`curate`);
+    * across the corpus: one left-anti join against the curated
+      table's (fp) and one against its canonical urls — the
+      ``incremental_new_docs`` pattern; only those two slim columns
+      of the existing corpus are ever scanned (parquet column
+      pruning). Cross-batch NEAR-dup is deliberately out of the
+      increment's default path — compose
+      ``dedup.incremental_lsh_pairs`` against the corpus signature
+      table when the crawl warrants it.
+
+    Returns {"status", "source_version", "appended", "version"}.
+    """
+    from deepseek_ocr_spark.functions.urls import canonical_url
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    src_v = ST.current_version(pages_table)
+    if src_v is None:
+        raise FileNotFoundError(f"no snapshots at {pages_table}")
+    last_src = 0
+    cur_v = ST.current_version(curated_table)
+    for v in range((cur_v or 0), 0, -1):
+        try:
+            m = ST._load_manifest(curated_table, v)
+        except FileNotFoundError:
+            continue  # expired by vacuum
+        sv = (m.get("props") or {}).get("source_version")
+        if sv:
+            last_src = int(sv)
+            break
+    if last_src >= src_v:
+        return {
+            "status": "up_to_date",
+            "source_version": src_v,
+            "appended": 0,
+            "version": cur_v,
+        }
+    if last_src == 0:
+        new_pages = ST.snapshot_read(spark, pages_table, version=src_v)
+    else:
+        changes = ST.snapshot_diff(spark, pages_table, last_src, src_v)
+        new_pages = changes.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type")
+    extracted = extract_pipeline(new_pages, parallelism=parallelism)
+    docs = enrich(extracted)
+    batch = quality_gate(
+        exact_dedup(url_canonical_dedup(lang_gate(docs, languages)))
+    )
+    if cur_v is not None:
+        seen = ST.snapshot_read(spark, curated_table, version=cur_v)
+        batch = batch.join(
+            seen.select("fp").distinct(), "fp", "left_anti"
+        )
+        batch = batch.withColumn(
+            "_curl", canonical_url(F.col("url"))
+        ).join(
+            seen.select(
+                canonical_url(F.col("url")).alias("_curl")
+            ).distinct(),
+            "_curl",
+            "left_anti",
+        ).drop("_curl")
+    manifest = ST.snapshot_write(
+        batch, curated_table, props={"source_version": src_v}
+    )
+    # count only the increment's own data files — O(new data), the
+    # same discipline as the diff itself
+    if cur_v is None:
+        new_files = manifest["files"]
+    else:
+        new_files, _ = ST.diff_files(curated_table, cur_v, manifest["version"])
+    appended = (
+        spark.read.parquet(
+            *[f"{curated_table}/{f}" for f in new_files]
+        ).count()
+        if new_files
+        else 0
+    )
+    return {
+        "status": "appended",
+        "source_version": src_v,
+        "appended": appended,
+        "version": manifest["version"],
+    }

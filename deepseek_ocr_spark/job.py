@@ -51,6 +51,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             "mixture",
             "code-blocks",
             "markdown",
+            "curate-increment",
         ),
         default="extract",
         help="extract: pages -> extracted table; curate: pages -> "
@@ -67,7 +68,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "table at --output (feed it back via --quality-model); "
         "train-lm: --input clean reference corpus ((url, text)) -> "
         "bounded (prev, cur, c_big, c_prev) hashed-bigram LM count "
-        "table at --output (feed it back via --lm-model)",
+        "table at --output (feed it back via --lm-model); "
+        "curate-increment: --input pages SNAPSHOT table -> extract + "
+        "gate + dedup ONLY the crawls appended since the last run, "
+        "append survivors to the --output curated snapshot table "
+        "(consumed source version recorded in the manifest; "
+        "idempotent no-op when up to date)",
     )
     p.add_argument(
         "--merge-variant",
@@ -318,6 +324,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     own_session = spark is None
     if own_session:
         spark = get_spark()
+    if args.mode == "curate-increment":
+        from deepseek_ocr_spark.curate import curate_increment
+
+        langs = _parse_languages(args.languages)
+        res = curate_increment(
+            spark,
+            args.input,
+            args.output,
+            languages=langs,
+            parallelism=args.parallelism,
+        )
+        print(json.dumps({"mode": "curate-increment", **res}))
+        if own_session:
+            spark.stop()
+        return 0
     if args.mode == "curate":
         from deepseek_ocr_spark.curate import curate
 

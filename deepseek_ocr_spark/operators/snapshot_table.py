@@ -237,7 +237,8 @@ def _write_data_files(df: DataFrame, table: str) -> tuple[list[str], str]:
 
 
 def snapshot_write(
-    df: DataFrame, table: str, mode: str = "append", stats_cols=None
+    df: DataFrame, table: str, mode: str = "append", stats_cols=None,
+    props: dict | None = None,
 ) -> dict:
     """Commit ``df`` as a new table snapshot. ``append`` keeps the
     base snapshot's files by reference and retries transparently on
@@ -245,7 +246,11 @@ def snapshot_write(
     list and raises :class:`CommitConflict` if the table moved under
     it. Per-file min/max column stats are recorded in the manifest
     for data skipping (``stats_cols``: None = auto-pick primitive
-    columns, () = disable). Returns the committed manifest."""
+    columns, () = disable). ``props`` (JSON-serializable dict) lands
+    in the manifest under ``"props"`` — snapshot properties, the
+    Iceberg summary-metadata slot (e.g. the incremental curator
+    records the source version it consumed). Returns the committed
+    manifest."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_write: unknown mode {mode!r}")
     os.makedirs(table, exist_ok=True)
@@ -273,6 +278,7 @@ def snapshot_write(
             ),
             "schema": schema,
             "ts": time.time(),
+            **({"props": props} if props else {}),
         }
         try:
             _commit(table, manifest)

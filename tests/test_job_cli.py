@@ -395,3 +395,39 @@ def test_cli_markdown_mode(spark, tmp_path, capsys):
         "# Title\n\nHello **world**, see [link](https://x/y).\n\n- one"
     )
     assert got["https://b.example/q"] == ""
+
+
+def test_cli_curate_increment_mode(spark, tmp_path, capsys):
+    """--mode curate-increment consumes a pages snapshot table
+    incrementally and appends to a curated snapshot table."""
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    base = ("lorem ipsum dolor sit amet consectetur adipiscing elit "
+            "sed do eiusmod tempor incididunt ut labore et dolore")
+    pages_t = str(tmp_path / "pages")
+    cur_t = str(tmp_path / "curated")
+    ST.snapshot_write(
+        spark.createDataFrame(
+            [("https://a.example/1",
+              f"<html><body><p>{base} one</p></body></html>".encode())],
+            "url string, html binary",
+        ),
+        pages_t,
+    )
+    rc = main(
+        ["--mode", "curate-increment", "--input", pages_t,
+         "--output", cur_t, "--parallelism", "2"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["status"] == "appended" and summary["appended"] == 1
+    # idempotent rerun
+    rc = main(
+        ["--mode", "curate-increment", "--input", pages_t,
+         "--output", cur_t],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["status"] == "up_to_date"

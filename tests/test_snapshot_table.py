@@ -338,3 +338,76 @@ def test_diff_schema_change_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="schema changed"):
         ST.snapshot_diff(spark, t, 1, 2)
+
+
+# ---- incremental curation over snapshot tables ------------------------------
+
+
+def _page(url, body):
+    html = f"<html><body><p>{body}</p></body></html>".encode()
+    return (url, html)
+
+
+def test_curate_increment_end_to_end(spark, tmp_path):
+    """Two crawl snapshots; each increment extracts only the NEW
+    crawl, dedups against the existing corpus (exact fp + canonical
+    url), appends atomically, and records the consumed source version;
+    a third run with no new crawl is a no-op."""
+    from deepseek_ocr_spark.curate import curate_increment
+
+    pages_t = str(tmp_path / "pages")
+    cur_t = str(tmp_path / "curated")
+    base = ("lorem ipsum dolor sit amet consectetur adipiscing elit "
+            "sed do eiusmod tempor incididunt ut labore et dolore")
+
+    def pages_df(rows):
+        return spark.createDataFrame(
+            [_page(u, b) for u, b in rows], "url string, html binary"
+        )
+
+    ST.snapshot_write(
+        pages_df([
+            ("https://a.example/1", base + " alpha document one"),
+            ("https://a.example/2", base + " beta document two"),
+        ]),
+        pages_t,
+    )
+    r1 = curate_increment(spark, pages_t, cur_t)
+    assert r1["status"] == "appended" and r1["source_version"] == 1
+    assert r1["appended"] == 2 and r1["version"] == 1
+    v1_urls = {
+        r["url"] for r in ST.snapshot_read(spark, cur_t).collect()
+    }
+    assert v1_urls == {"https://a.example/1", "https://a.example/2"}
+
+    # crawl 2: one genuinely new page, one exact dup of crawl 1's
+    # content under a new url, one re-crawl url variant of a corpus
+    # page with NEW content (canonical-url cross-corpus dedup)
+    ST.snapshot_write(
+        pages_df([
+            ("https://b.example/new", base + " gamma document three"),
+            ("https://c.example/copy", base + " alpha document one"),
+            ("https://a.example/2?utm_source=tw",
+             base + " changed content on recrawl"),
+        ]),
+        pages_t,
+    )
+    r2 = curate_increment(spark, pages_t, cur_t)
+    assert r2["status"] == "appended" and r2["source_version"] == 2
+    assert r2["appended"] == 1 and r2["version"] == 2
+    v2_urls = {
+        r["url"] for r in ST.snapshot_read(spark, cur_t).collect()
+    }
+    assert v2_urls == v1_urls | {"https://b.example/new"}
+    # manifest records the consumed source version
+    m = ST._load_manifest(cur_t, 2)
+    assert m["props"] == {"source_version": 2}
+
+    # no new crawl -> no-op, no new snapshot
+    r3 = curate_increment(spark, pages_t, cur_t)
+    assert r3 == {
+        "status": "up_to_date",
+        "source_version": 2,
+        "appended": 0,
+        "version": 2,
+    }
