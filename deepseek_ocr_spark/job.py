@@ -52,6 +52,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             "code-blocks",
             "markdown",
             "curate-increment",
+            "optimize-table",
         ),
         default="extract",
         help="extract: pages -> extracted table; curate: pages -> "
@@ -73,7 +74,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "gate + dedup ONLY the crawls appended since the last run, "
         "append survivors to the --output curated snapshot table "
         "(consumed source version recorded in the manifest; "
-        "idempotent no-op when up to date)",
+        "idempotent no-op when up to date); optimize-table: bin-pack "
+        "the --input snapshot table's small data files (< "
+        "--small-bytes) into a row-identical new snapshot",
+    )
+    p.add_argument(
+        "--small-bytes",
+        type=int,
+        default=32 << 20,
+        help="optimize-table: files under this size are compacted",
     )
     p.add_argument(
         "--merge-variant",
@@ -317,13 +326,32 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.make_zip:
         print(package_zip())
         return 0
-    if not args.input or not args.output:
+    if args.mode == "optimize-table":
+        if not args.input:
+            print("--input is required", file=sys.stderr)
+            return 2
+    elif not args.input or not args.output:
         print("--input and --output are required", file=sys.stderr)
         return 2
 
     own_session = spark is None
     if own_session:
         spark = get_spark()
+    if args.mode == "optimize-table":
+        from deepseek_ocr_spark.operators.snapshot_table import (
+            compact_table,
+        )
+
+        m = compact_table(spark, args.input, small_bytes=args.small_bytes)
+        print(json.dumps({
+            "mode": "optimize-table",
+            "op": m["op"],
+            "version": m["version"],
+            "rewrote_files": m["rewrote_files"],
+        }))
+        if own_session:
+            spark.stop()
+        return 0
     if args.mode == "curate-increment":
         from deepseek_ocr_spark.curate import curate_increment
 

@@ -44,7 +44,11 @@ module makes that pattern a first-class table format:
   versions from the manifests alone (the Delta CDF / Iceberg
   changelog shape, with no stored change log): data files are
   immutable, so only the added/removed file sets can hold changed
-  rows — an incremental consumer pays O(changed data), not O(table).
+  rows — an incremental consumer pays O(changed data), not O(table);
+* ``compact_table`` is OPTIMIZE (bin-packing small files into a
+  row-identical new snapshot, O(small data)); it rebases over racing
+  appends and aborts against overwrites/merges that removed its
+  inputs — the rewrite-files concurrency contract.
 
 Scale notes: manifests list file PATHS — metadata proportional to
 file count, never to rows (the round-1 reason output writes are
@@ -555,3 +559,76 @@ def snapshot_diff(
             )
         )
     )
+
+
+def compact_table(
+    spark: SparkSession,
+    table: str,
+    small_bytes: int = 32 << 20,
+    min_files: int = 2,
+) -> dict:
+    """OPTIMIZE / bin-packing compaction: rewrite data files smaller
+    than ``small_bytes`` into ~``small_bytes``-sized ones and commit
+    the row-identical result as a new snapshot (op ``compact``). The
+    small-files problem is the tax every incremental pipeline pays —
+    each ``curate_increment`` / micro-batch append lands a few small
+    files, and a year of increments makes every scan open thousands
+    of them; compaction is the standing repair job (Delta OPTIMIZE /
+    Iceberg rewrite_data_files).
+
+    Only small files are read or rewritten — large files carry by
+    reference with their stats, so the cost is O(small data).
+    Returns the manifest (or {"op": "noop"} when fewer than
+    ``min_files`` files qualify).
+
+    Concurrency: compaction COMMUTES with appends (it replaces only
+    the base's small files, which an append carries untouched), so a
+    commit race against an append rebases and retries; a race against
+    an overwrite/merge that removed any source file aborts with
+    :class:`CommitConflict` (the rewrite's inputs are gone — exactly
+    Iceberg's rewrite-files validation). Aborted or lost rewrites
+    leave orphan data files that ``vacuum`` sweeps and readers never
+    see."""
+    base = current_version(table)
+    if base is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    m = _load_manifest(table, base)
+    sizes = {
+        f: os.path.getsize(os.path.join(table, f)) for f in m["files"]
+    }
+    smalls = [f for f in m["files"] if sizes[f] < small_bytes]
+    if len(smalls) < min_files:
+        return {"op": "noop", "version": base, "rewrote_files": 0}
+    df = spark.read.parquet(*[os.path.join(table, f) for f in smalls])
+    n_out = max(1, -(-sum(sizes[f] for f in smalls) // small_bytes))
+    new_files, _ = _write_data_files(df.coalesce(n_out), table)
+    new_stats = _collect_file_stats(
+        table, new_files, _pick_stats_cols(df, None)
+    )
+    small_set = set(smalls)
+    for _ in range(_RETRIES):
+        cur = current_version(table)
+        cm = _load_manifest(table, cur)
+        if not small_set <= set(cm["files"]):
+            raise CommitConflict(
+                "compaction source files removed by a concurrent "
+                "overwrite/merge; re-run against the new base"
+            )
+        carried = [f for f in cm["files"] if f not in small_set]
+        manifest = {
+            "version": cur + 1,
+            "parent": cur,
+            "op": "compact",
+            "files": carried + new_files,
+            "stats": _carried_stats(cm, carried) | new_stats,
+            "schema": cm["schema"],
+            "ts": time.time(),
+            "rewrote_files": len(smalls),
+            "carried_files": len(carried),
+        }
+        try:
+            _commit(table, manifest)
+            return manifest
+        except CommitConflict:
+            continue  # rebase onto the newer snapshot and re-validate
+    raise CommitConflict(f"gave up after {_RETRIES} commit races")

@@ -431,3 +431,24 @@ def test_cli_curate_increment_mode(spark, tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["status"] == "up_to_date"
+
+
+def test_cli_optimize_table_mode(spark, tmp_path, capsys):
+    """--mode optimize-table bin-packs a snapshot table's small files
+    into a row-identical new snapshot."""
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    t = str(tmp_path / "snap")
+    for i in range(3):
+        ST.snapshot_write(
+            spark.createDataFrame([(f"u{i}", i)], "url string, v long")
+            .coalesce(1),
+            t,
+        )
+    pre = {(r["url"], r["v"]) for r in ST.snapshot_read(spark, t).collect()}
+    rc = main(["--mode", "optimize-table", "--input", t], spark=spark)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["op"] == "compact" and summary["rewrote_files"] == 3
+    assert {(r["url"], r["v"])
+            for r in ST.snapshot_read(spark, t).collect()} == pre

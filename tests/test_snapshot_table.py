@@ -411,3 +411,87 @@ def test_curate_increment_end_to_end(spark, tmp_path):
         "appended": 0,
         "version": 2,
     }
+
+
+# ---- compaction (OPTIMIZE) ---------------------------------------------------
+
+
+def test_compact_rewrites_smalls_carries_larges(spark, tmp_path):
+    """Three single-file appends compact to one file; rows identical;
+    a 'large' file (threshold excludes it) carries by reference with
+    its stats; pre-compaction snapshots still time-travel."""
+    t = str(tmp_path / "t")
+    for i in range(3):
+        ST.snapshot_write(_df(spark, [(f"u{i}", i)]).coalesce(1), t)
+    assert len(ST._load_manifest(t, 3)["files"]) == 3
+    pre = _rows(ST.snapshot_read(spark, t))
+    m = ST.compact_table(spark, t, small_bytes=1 << 20)
+    assert m["op"] == "compact" and m["version"] == 4
+    assert m["rewrote_files"] == 3 and m["carried_files"] == 0
+    assert len(m["files"]) == 1
+    assert _rows(ST.snapshot_read(spark, t)) == pre
+    # compacted file carries stats for skipping
+    assert m["stats"]
+    # time travel to the pre-compaction snapshot still works
+    assert _rows(ST.snapshot_read(spark, t, version=3)) == pre
+    # second compact: single file left -> noop
+    n = ST.compact_table(spark, t, small_bytes=1 << 30)
+    assert n["op"] == "noop" and n["rewrote_files"] == 0
+
+
+def test_compact_rebases_over_concurrent_append(spark, tmp_path):
+    """An append that wins the version race does NOT lose rows or
+    block compaction: compact rebases (appends commute) and the final
+    snapshot holds appended + compacted rows."""
+    t = str(tmp_path / "t")
+    ST.snapshot_write(_df(spark, [("a", 1)]).coalesce(1), t)
+    ST.snapshot_write(_df(spark, [("b", 2)]).coalesce(1), t)
+
+    orig_commit = ST._commit
+    fired = {"n": 0}
+
+    def racing_commit(table, manifest):
+        if fired["n"] == 0 and manifest.get("op") == "compact":
+            fired["n"] = 1
+            # a concurrent append lands first
+            ST.snapshot_write(_df(spark, [("c", 3)]).coalesce(1), t)
+        return orig_commit(table, manifest)
+
+    ST._commit = racing_commit
+    try:
+        m = ST.compact_table(spark, t, small_bytes=1 << 30)
+    finally:
+        ST._commit = orig_commit
+    assert m["op"] == "compact" and m["version"] == 4
+    assert _rows(ST.snapshot_read(spark, t)) == {
+        ("a", 1), ("b", 2), ("c", 3),
+    }
+    # the racing append's file survived the rebase
+    assert m["carried_files"] == 1
+
+
+def test_compact_aborts_when_overwrite_removes_sources(spark, tmp_path):
+    """A concurrent overwrite invalidates the rewrite's inputs; the
+    compaction must abort, and the overwrite's data must win."""
+    t = str(tmp_path / "t")
+    ST.snapshot_write(_df(spark, [("a", 1)]).coalesce(1), t)
+    ST.snapshot_write(_df(spark, [("b", 2)]).coalesce(1), t)
+
+    orig_commit = ST._commit
+    fired = {"n": 0}
+
+    def racing_commit(table, manifest):
+        if fired["n"] == 0 and manifest.get("op") == "compact":
+            fired["n"] = 1
+            ST.snapshot_write(
+                _df(spark, [("z", 9)]).coalesce(1), t, mode="overwrite"
+            )
+        return orig_commit(table, manifest)
+
+    ST._commit = racing_commit
+    try:
+        with pytest.raises(ST.CommitConflict, match="source files removed"):
+            ST.compact_table(spark, t, small_bytes=1 << 30)
+    finally:
+        ST._commit = orig_commit
+    assert _rows(ST.snapshot_read(spark, t)) == {("z", 9)}
