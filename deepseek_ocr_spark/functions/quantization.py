@@ -1,0 +1,284 @@
+"""Product quantization (PQ) for embeddings — codebook training,
+encoding, and asymmetric-distance (ADC) top-k search.
+
+PQ (Jégou et al. 2011, "Product quantization for nearest neighbor
+search") is how embedding search actually ships at corpus scale: a
+D-dim vector splits into M subvectors, each quantized to one of K
+per-subspace centroids, so the vector stores as M small codes
+(M=4, K=16 → 4 codes ≈ 2 bytes) instead of D floats — a 100 TB
+embedding column becomes a few hundred GB of codes, and a query
+scores candidates with table lookups instead of D-dim arithmetic.
+Composes with the IVF coarse quantizer (functions/similarity.py) as
+IVF-PQ, the FAISS default.
+
+Determinism (every operator here is hash-verified against DuckDB):
+
+* embeddings floor into 1e-6 fixed point ONCE (clustering.emb_fp);
+  all distances after that are exact integer arithmetic;
+* per-subspace codebooks train with the same fixed-point Lloyd
+  discipline as clustering.kmeans_assign — smallest-k-ids init,
+  integer squared-L2, ties to the smaller code, double-divide-floor
+  means, FIXED iteration count (the DuckDB twin unrolls the same
+  updates);
+* ADC = exact integer sums of (sub, code) table entries, so the
+  approximate-BY-QUANTIZATION operator still produces bit-identical
+  results in both engines (the ivf_topk_exhaustive pattern).
+
+Scale shape:
+
+* training: ALL subspaces train in one DAG — the slice frame is
+  (id, sub, d/M ints) long form, assignment joins the broadcast
+  M·K-row codebook frame, updates are one (sub, cluster, idx)
+  partial agg per Lloyd round. Nothing corpus-quadratic; the
+  codebook is model state exactly like IVF centroids (MLlib
+  pattern);
+* encoding: one broadcast join + one (id, sub)-keyed min-agg — the
+  write-side pass that persists codes next to (or instead of) the
+  raw vectors;
+* search: the query's distance table is M·K integers (broadcast);
+  candidates score by joining codes to the table and summing M
+  integers per row — no D-dim math touches the corpus at query time.
+
+The reference has no similarity surface (per-request OCR service);
+this extends the ANN family the engine adds for training-data work.
+
+Quality note: the fixture embeddings are uniform-random — the
+adversarial case for PQ (no cluster structure for codebooks to
+exploit), so the hash-verified recall receipt reads low there by
+construction (a parameter sweep at sf0.01 puts recall@10 in the 2-4
+range for every (M, K) combination; receipts in BENCH.md). Real text
+embeddings cluster, which is the regime PQ is built for; M and K are
+the size/recall knobs (codes cost M·log2(K) bits per vector).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deepseek_ocr_spark.functions.clustering import (
+    EMB_SCALE,
+    _sq_l2,
+    emb_fp,
+)
+
+PQ_M = 4
+PQ_K = 16
+PQ_ITERS = 2
+
+
+def _slice_frame(
+    df: DataFrame, id_col: str, emb_col: str, m: int, scale: int
+) -> DataFrame:
+    """(id, sub, sx): the corpus in per-subspace long form — the
+    explode is map-side (m rows of d/m ints per vector, same bytes as
+    the vector itself). Requires dim % m == 0 (checked via one probe
+    row, like similarity.ivf_fit's driver-side model state)."""
+    probe = df.select(F.size(F.col(emb_col)).alias("d")).first()
+    if probe is None:
+        raise ValueError("pq: empty input")
+    dim = probe["d"]
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    xf = emb_fp(F.col(emb_col), scale)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(
+                *[F.slice(xf, s * d_sub + 1, d_sub) for s in range(m)]
+            )
+        ).alias("sub", "sx"),
+    )
+
+
+def _assign_codes(s: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id, sub, sx, code, d): nearest per-subspace centroid — join
+    the broadcast M·K-row codebook on sub, exact integer distances,
+    ties to the smaller code."""
+    scored = s.join(F.broadcast(cent), "sub").select(
+        "id",
+        "sub",
+        "sx",
+        F.struct(
+            _sq_l2(F.col("sx"), F.col("cx")).alias("d"),
+            F.col("c").alias("c"),
+        ).alias("dc"),
+    )
+    return (
+        scored.groupBy("id", "sub")
+        .agg(F.min("dc").alias("m"), F.first("sx").alias("sx"))
+        .select(
+            "id",
+            "sub",
+            "sx",
+            F.col("m.c").alias("code"),
+            F.col("m.d").alias("d"),
+        )
+    )
+
+
+# mean of possibly-negative fixed-point sums: through DOUBLE, floored
+# (the repo-wide negative-value division rule; exact while |s| < 2^53)
+_MEAN_FP_SQL = "CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    scale: int = EMB_SCALE,
+) -> DataFrame:
+    """Train the codebooks: (sub, c, cx) — M·K rows of d/M fixed-point
+    components, the broadcastable model frame every other PQ operator
+    takes. All M subspaces run their Lloyd rounds in ONE DAG (the
+    slice frame partitions by sub inside the same aggregations)."""
+    s = _slice_frame(df, id_col, emb_col, m, scale)
+    w = Window.partitionBy("sub").orderBy("id")
+    cent = (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("sub", (F.col("rn") - 1).alias("c"), F.col("sx").alias("cx"))
+    )
+    for _ in range(iters):
+        assigned = _assign_codes(s, cent)
+        cent = (
+            assigned.select(
+                "sub",
+                F.col("code").alias("cluster"),
+                F.posexplode("sx").alias("idx", "v"),
+            )
+            .groupBy("sub", "cluster", "idx")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .withColumn("mv", F.expr(_MEAN_FP_SQL))
+            .groupBy("sub", "cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "mv"))),
+                    lambda st: st["mv"],
+                ).alias("cx")
+            )
+            .select("sub", F.col("cluster").alias("c"), "cx")
+        )
+    return cent
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    emb_col: str,
+    m: int = PQ_M,
+    scale: int = EMB_SCALE,
+) -> DataFrame:
+    """(id, sub, code): the corpus as PQ codes, long form — the
+    persisted representation (pivot/pack at write time as desired;
+    long form is what the ADC join consumes)."""
+    s = _slice_frame(df, id_col, emb_col, m, scale)
+    return _assign_codes(s, codebooks).select(
+        F.col("id").alias(id_col), "sub", "code"
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    emb_col: str,
+    query_id,
+    k: int = 10,
+    m: int = PQ_M,
+    scale: int = EMB_SCALE,
+) -> DataFrame:
+    """Asymmetric-distance top-``k``: (id, adist_fp2) by approximate
+    squared L2 to the query — the query stays UNQUANTIZED (its exact
+    per-(sub, code) distance table is M·K integers, broadcast), the
+    corpus contributes only codes. Ascending distance, ties by id.
+
+    At deployment the codes are a persisted column and this is one
+    broadcast lookup-join + a per-id M-integer sum — query-time work
+    is O(corpus codes), with IVF pruning (ivf_assign) in front when
+    the corpus is partitioned by coarse cell (IVF-PQ)."""
+    s = _slice_frame(df, id_col, emb_col, m, scale)
+    q = s.filter(F.col("id") == query_id).select(
+        "sub", F.col("sx").alias("qx")
+    )
+    table = (
+        codebooks.join(F.broadcast(q), "sub")
+        .select(
+            F.col("sub").alias("tsub"),
+            F.col("c").alias("tc"),
+            _sq_l2(F.col("cx"), F.col("qx")).alias("td"),
+        )
+    )
+    codes = pq_encode(df, codebooks, id_col, emb_col, m, scale)
+    return (
+        codes.filter(F.col(id_col) != query_id)
+        .join(
+            F.broadcast(table),
+            (F.col("sub") == F.col("tsub")) & (F.col("code") == F.col("tc")),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("td").cast("bigint").alias("adist_fp2"))
+        .orderBy(F.col("adist_fp2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def exact_l2_topk(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    query_id,
+    k: int = 10,
+    scale: int = EMB_SCALE,
+) -> DataFrame:
+    """Exact fixed-point squared-L2 top-``k`` — the same metric ADC
+    approximates, so ``pq_recall`` compares like with like (the
+    cosine brute force in similarity.py ranks a different metric)."""
+    x = df.select(
+        F.col(id_col).alias("id"), emb_fp(F.col(emb_col), scale).alias("x")
+    )
+    q = x.filter(F.col("id") == query_id).select(F.col("x").alias("qx"))
+    return (
+        x.crossJoin(F.broadcast(q))
+        .filter(F.col("id") != query_id)
+        .select(
+            F.col("id").alias(id_col),
+            _sq_l2(F.col("x"), F.col("qx")).alias("dist_fp2"),
+        )
+        .orderBy(F.col("dist_fp2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_recall_at_k(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    query_id,
+    k: int = 10,
+    m: int = PQ_M,
+    kk: int = PQ_K,
+    iters: int = PQ_ITERS,
+    scale: int = EMB_SCALE,
+) -> DataFrame:
+    """One row (k, hits): |ADC top-k ∩ exact-L2 top-k| — the standard
+    PQ quality receipt, deterministic (both sides are exact integer
+    rankings), so even the recall of the approximate operator is
+    hash-verifiable."""
+    cb = pq_train(df, id_col, emb_col, m, kk, iters, scale)
+    approx = pq_adc_topk(
+        df, cb, id_col, emb_col, query_id, k, m, scale
+    ).select(id_col)
+    exact = exact_l2_topk(df, id_col, emb_col, query_id, k, scale).select(
+        id_col
+    )
+    return approx.join(exact, id_col).agg(
+        F.lit(k).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("hits"),
+    )

@@ -1379,6 +1379,157 @@ def q_ivf_recall(spark, sf_dir):
     return SIM.ivf_recall_at_k(d, cents, max_query_id=10, k=10, n_probe=2)
 
 
+# --------------------------------------------------------------------
+# Product quantization (functions/quantization.py)
+# --------------------------------------------------------------------
+
+
+def q_pq_encode(spark, sf_dir):
+    """PQ encoding (quantization.pq_encode, Jégou 2011): the corpus as
+    (vec_id, sub, code) — M=4 subspaces × K=16 fixed-point Lloyd
+    codebooks trained in ONE DAG; every code assignment is exact
+    integer arithmetic, so the quantizer itself is hash-verified."""
+    from deepseek_ocr_spark.functions import quantization as PQZ
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb = PQZ.pq_train(e, "vec_id", "embedding")
+    return PQZ.pq_encode(e, cb, "vec_id", "embedding").select(
+        "vec_id",
+        F.col("sub").cast("bigint").alias("sub"),
+        F.col("code").cast("bigint").alias("code"),
+    )
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-10 for vec_id 0: the query's exact
+    M·K distance table broadcasts; the corpus contributes only codes
+    (one lookup join + an M-integer sum per row). Approximate by
+    quantization, still bit-identical across engines."""
+    from deepseek_ocr_spark.functions import quantization as PQZ
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb = PQZ.pq_train(e, "vec_id", "embedding")
+    return PQZ.pq_adc_topk(e, cb, "vec_id", "embedding", query_id=0, k=10)
+
+
+def q_pq_recall(spark, sf_dir):
+    """|ADC top-10 ∩ exact-L2 top-10| — the PQ quality receipt as one
+    deterministic hash-verified row (both rankings are exact integer
+    arithmetic)."""
+    from deepseek_ocr_spark.functions import quantization as PQZ
+
+    e = _t(spark, sf_dir, "embeddings")
+    return PQZ.pq_recall_at_k(e, "vec_id", "embedding", query_id=0, k=10)
+
+
+def _pq_cte() -> str:
+    from deepseek_ocr_spark.functions import quantization as PQZ
+    from deepseek_ocr_spark.functions.clustering import EMB_SCALE
+
+    m, k, iters = PQZ.PQ_M, PQZ.PQ_K, PQZ.PQ_ITERS
+    d_sub = SIM.EMB_DIM // m
+
+    def dist(sa: str, ca: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({sa}) + 1),"
+            f" j -> ({sa}[j] - {ca}[j]) * ({sa}[j] - {ca}[j])))"
+        )
+
+    parts = [
+        f"""
+WITH x AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+                        v -> CAST(FLOOR(CAST(v AS DOUBLE) * {EMB_SCALE})
+                                  AS BIGINT)) AS x
+  FROM embeddings
+), sl AS (
+  SELECT id, sub, x[(sub*{d_sub}+1):(sub*{d_sub}+{d_sub})] AS sx
+  FROM x, (SELECT unnest(range({m})) AS sub)
+), pc_0 AS (
+  SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY id) - 1 AS c,
+         sx AS cx
+  FROM sl QUALIFY row_number() OVER (PARTITION BY sub ORDER BY id) <= {k}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        d = dist("sl.sx", "c.cx")
+        parts.append(
+            f""", pa_{i} AS (
+  SELECT sl.id, sl.sub, sl.sx, c.c, {d} AS d
+  FROM sl JOIN pc_{i - 1} c ON sl.sub = c.sub
+  QUALIFY row_number() OVER (PARTITION BY sl.id, sl.sub
+                             ORDER BY {d}, c.c) = 1
+), pu_{i} AS (
+  SELECT sub, c AS cluster,
+         unnest(generate_series(0, len(sx) - 1)) AS idx, unnest(sx) AS v
+  FROM pa_{i}
+), pm_{i} AS (
+  SELECT sub, cluster, idx,
+         CAST(FLOOR(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+              AS BIGINT) AS mv
+  FROM pu_{i} GROUP BY sub, cluster, idx
+), pc_{i} AS (
+  SELECT sub, cluster AS c, list(mv ORDER BY idx) AS cx
+  FROM pm_{i} GROUP BY sub, cluster
+)"""
+        )
+    d_enc = dist("sl.sx", "c.cx")
+    parts.append(
+        f""", enc AS (
+  SELECT sl.id, sl.sub, sl.sx, c.c AS code
+  FROM sl JOIN pc_{iters} c ON sl.sub = c.sub
+  QUALIFY row_number() OVER (PARTITION BY sl.id, sl.sub
+                             ORDER BY {d_enc}, c.c) = 1
+)"""
+    )
+    return "".join(parts), iters, dist
+
+
+_PQ_CTE_SQL, _PQ_ITERS_N, _pq_dist = _pq_cte()
+
+SQL_PQ_ENCODE = (
+    _PQ_CTE_SQL + "\nSELECT id AS vec_id, sub, code FROM enc"
+)
+
+_PQ_ADC_TAIL = f"""
+, pq AS (SELECT sub, sx AS qx FROM sl WHERE id = 0),
+ptbl AS (
+  SELECT c.sub, c.c, {_pq_dist('c.cx', 'q.qx')} AS td
+  FROM pc_{_PQ_ITERS_N} c JOIN pq q ON c.sub = q.sub
+),
+adc AS (
+  SELECT e.id, sum(t.td)::BIGINT AS adist_fp2
+  FROM enc e JOIN ptbl t ON e.sub = t.sub AND e.code = t.c
+  WHERE e.id != 0 GROUP BY e.id
+)"""
+
+SQL_PQ_ADC_TOPK = (
+    _PQ_CTE_SQL
+    + _PQ_ADC_TAIL
+    + """
+SELECT id AS vec_id, adist_fp2 FROM adc
+ORDER BY adist_fp2, vec_id LIMIT 10
+"""
+)
+
+SQL_PQ_RECALL = (
+    _PQ_CTE_SQL
+    + _PQ_ADC_TAIL
+    + f"""
+, qf AS (SELECT x AS qx FROM x WHERE id = 0),
+ex AS (
+  SELECT id, {_pq_dist('x.x', 'qf.qx')} AS dist_fp2
+  FROM x, qf WHERE id != 0
+  ORDER BY dist_fp2, id LIMIT 10
+),
+ap AS (SELECT id FROM adc ORDER BY adist_fp2, id LIMIT 10)
+SELECT 10::BIGINT AS k, count(*)::BIGINT AS hits
+FROM ap JOIN ex USING (id)
+"""
+)
+
+
 def q_emb_norm_by_label(spark, sf_dir):
     """Vector-math agg: mean L2 norm per label."""
     d = SIM.emb_double(_t(spark, sf_dir, "embeddings"))
@@ -6628,6 +6779,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    # pq_encode / pq_adc_topk / pq_recall: below-cut class (b) — the
+    # fixed-point Lloyd machinery is driver-checked in-window by
+    # kmeans_assign; the ADC stage is a broadcast lookup join of the
+    # in-window decontaminate/preset class; locally hash-verified
+    # (even the recall: both rankings are exact integers).
+    "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
+    "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
+    "pq_recall": (q_pq_recall, SQL_PQ_RECALL),
     # recrawl_changes / url_change_rate: below-cut class (b) — one
     # url-keyed lag window each, the same machinery as in-window
     # asof_join / frontier_schedule; locally hash-verified.

@@ -1,0 +1,83 @@
+"""Product quantization (functions/quantization.py): codebook shape,
+reconstruction sanity, ADC vs exact agreement on separable data, and
+determinism. The oracle gate hash-verifies pq_encode / pq_adc_topk /
+pq_recall against the unrolled DuckDB twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions import quantization as PQZ
+
+
+def _embs(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(v) for v in vec]) for i, vec in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_codebook_shape_and_codes_range(spark):
+    # 12 vectors of dim 8, m=2 -> two 4-dim subspaces, k=4 codes
+    vecs = [[(i * 7 + j) % 5 * 0.1 for j in range(8)] for i in range(12)]
+    d = _embs(spark, vecs)
+    cb = PQZ.pq_train(d, "vec_id", "embedding", m=2, k=4, iters=2)
+    rows = cb.collect()
+    assert {r["sub"] for r in rows} == {0, 1}
+    for r in rows:
+        assert 0 <= r["c"] < 4 and len(r["cx"]) == 4
+    codes = PQZ.pq_encode(d, cb, "vec_id", "embedding", m=2).collect()
+    assert len(codes) == 12 * 2
+    assert all(0 <= r["code"] < 4 for r in codes)
+
+
+def test_adc_matches_exact_on_separated_clusters(spark):
+    """Two tight, far-apart clusters: quantization error is tiny next
+    to the gap, so ADC's top-k must equal the exact-L2 top-k."""
+    base_a = [0.0] * 8
+    base_b = [10.0] * 8
+    vecs = []
+    for i in range(6):
+        vecs.append([v + (i % 3) * 0.01 for v in base_a])
+    for i in range(6):
+        vecs.append([v + (i % 3) * 0.01 for v in base_b])
+    d = _embs(spark, vecs)
+    cb = PQZ.pq_train(d, "vec_id", "embedding", m=2, k=4, iters=2)
+    approx = [
+        r["vec_id"]
+        for r in PQZ.pq_adc_topk(
+            d, cb, "vec_id", "embedding", query_id=0, k=5, m=2
+        ).collect()
+    ]
+    # all 5 nearest to a cluster-A query are the other cluster-A members
+    assert set(approx) == {1, 2, 3, 4, 5}
+    exact = [
+        r["vec_id"]
+        for r in PQZ.exact_l2_topk(
+            d, "vec_id", "embedding", query_id=0, k=5
+        ).collect()
+    ]
+    assert set(exact) == set(approx)
+
+
+def test_recall_row_and_partitioning_independence(spark):
+    vecs = [
+        [((i * 13 + j * 5) % 17) * 0.05 for j in range(8)] for i in range(20)
+    ]
+    d = _embs(spark, vecs)
+    r = PQZ.pq_recall_at_k(
+        d, "vec_id", "embedding", query_id=0, k=5, m=2, kk=4, iters=2
+    ).collect()
+    assert len(r) == 1 and r[0]["k"] == 5 and 0 <= r[0]["hits"] <= 5
+    r2 = PQZ.pq_recall_at_k(
+        d.repartition(7), "vec_id", "embedding", query_id=0, k=5, m=2,
+        kk=4, iters=2,
+    ).collect()
+    assert [tuple(x) for x in r] == [tuple(x) for x in r2]
+
+
+def test_dim_not_divisible_raises(spark):
+    d = _embs(spark, [[0.1] * 7 for _ in range(4)])
+    with pytest.raises(ValueError, match="not divisible"):
+        PQZ.pq_train(d, "vec_id", "embedding", m=2, k=2, iters=1)
