@@ -777,3 +777,40 @@ def hits(
             )
         )
     return auth.join(hub, "node").select("node", "auth", "hub")
+
+
+def reciprocity(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Per-host link reciprocity: (node, out_degree, mutual,
+    recip_fp) where ``mutual`` counts out-edges whose reverse edge
+    also exists and ``recip_fp`` = mutual·1e6 DIV out_degree — the
+    classic link-farm signal (Gyöngyi's spam-mass family): organic
+    hosts link out far more than they are linked back by the same
+    hosts, while link rings approach reciprocity 1.0. Composes with
+    trustrank/pagerank as another quality prior on the host graph.
+
+    Scale shape: one self-join of the DISTINCT edge list on the
+    REVERSED key (both sides hash-partition on (src, dst) — an
+    equi-join, no expansion: each edge matches at most one reverse
+    edge) plus one src-keyed partial agg. Edge-list-sized end to
+    end; the corpus never appears."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.lit(1).alias("has_rev"),
+    )
+    return (
+        e.join(rev, ["src", "dst"], "left")
+        .groupBy(F.col("src").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("out_degree"),
+            F.sum(F.coalesce(F.col("has_rev"), F.lit(0)))
+            .cast("bigint")
+            .alias("mutual"),
+        )
+        .withColumn(
+            "recip_fp",
+            F.expr("(mutual * 1000000) DIV out_degree").cast("bigint"),
+        )
+    )

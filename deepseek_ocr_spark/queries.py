@@ -2905,6 +2905,31 @@ def _host_edges(spark, sf_dir):
     )
 
 
+def q_host_reciprocity(spark, sf_dir):
+    """Per-host link reciprocity (graph.reciprocity): mutual-edge
+    fraction of out-links in exact 1e-6 fixed point — the link-farm
+    signal (rings approach 1.0, organic hosts stay low). One reversed
+    self-join of the DISTINCT edge list + one src-keyed agg."""
+    from deepseek_ocr_spark.functions import graph as GR
+
+    return GR.reciprocity(_host_edges(spark, sf_dir), "src", "dst")
+
+
+SQL_HOST_RECIPROCITY = (
+    "WITH "
+    + _HOST_EDGES_SQL
+    + """
+SELECT e.src AS node, count(*)::BIGINT AS out_degree,
+       sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS mutual,
+       ((sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+          // count(*))::BIGINT AS recip_fp
+FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+GROUP BY e.src
+"""
+)
+
+
 def q_host_graph_degrees(spark, sf_dir):
     """Per-host in/out degree over the synthesized link graph
     (functions/graph.py degree_stats — two host-keyed partial aggs)."""
@@ -3387,6 +3412,104 @@ def _burst_detect_sql() -> str:
 
 
 SQL_BURST_DETECT = _burst_detect_sql()
+
+
+# --------------------------------------------------------------------
+# CDX index parsing (sources/cdx.py)
+# --------------------------------------------------------------------
+#
+# No CDX files ship in the fixture tree, so CDXJ LINES are synthesized
+# per document IDENTICALLY in both engines (the html_meta pattern) and
+# parsed: doc_id residues pick the optional-mime branch (absent ->
+# NULL), an escaped-quote filename (unescape path), and a malformed
+# line (must DROP).
+
+
+def q_cdx_entries(spark, sf_dir):
+    """CDX(J) index parsing (sources/cdx.py parse_cdx_lines): SURT key
+    + 14-digit timestamp + flat-JSON fields as one zero-shuffle
+    regexp projection — the plan-on-the-index front door that lets a
+    crawl job read 1% of the WARC bytes instead of all of them. The
+    (url, ts, digest) columns feed trends.recrawl_changes directly."""
+    from deepseek_ocr_spark.sources.cdx import parse_cdx_lines
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")
+    ts14 = F.concat(
+        F.lit("2024"), two(did % 12 + 1), two(did % 28 + 1),
+        two(did % 24), two(did % 60), two((did * 7) % 60),
+    )
+    fname = F.when(
+        did % 7 == 3, F.lit('cc/\\"x\\"/seg.warc.gz')
+    ).otherwise(
+        F.concat(F.lit("cc/seg-"), two(did % 10), F.lit(".warc.gz"))
+    )
+    mime_part = F.when(did % 5 == 0, F.lit("")).otherwise(
+        F.lit(' "mime": "text/html",')
+    )
+    line = F.when(
+        did % 53 == 0, F.lit("garbage line without json")
+    ).otherwise(
+        F.concat(
+            F.lit("com,example)/doc/"), did.cast("string"), F.lit(" "),
+            ts14,
+            F.lit(' {"url": "https://example.com/doc/'),
+            did.cast("string"), F.lit('",'), mime_part,
+            F.lit(' "status": "200", "digest": "'), F.md5(F.col("text")),
+            F.lit('", "length": "'), F.col("n_chars").cast("string"),
+            F.lit('", "offset": "'), (did * 1000).cast("string"),
+            F.lit('", "filename": "'), fname, F.lit('"}'),
+        )
+    )
+    return parse_cdx_lines(d.select(line.alias("value")))
+
+
+def _cdx_sql() -> str:
+    from deepseek_ocr_spark.sources.cdx import CDX_HEAD_RE, CDX_JSON_FIELDS, cdx_field_re
+
+    fields = []
+    for k in CDX_JSON_FIELDS:
+        raw = f"regexp_extract(value, '{cdx_field_re(k)}', 1)"
+        un = f"regexp_replace({raw}, '\\\\(.)', '\\1', 'g')"
+        e = f"CASE WHEN coalesce({raw}, '') = '' THEN NULL ELSE {un} END"
+        if k in ("length", "offset"):
+            e = f"CAST({e} AS BIGINT)"
+        fields.append(f"{e} AS {k}")
+    fsql = ",\n       ".join(fields)
+    return f"""
+WITH b AS (
+  SELECT doc_id AS did, md5(text) AS dg, n_chars AS ln FROM documents
+), lines AS (
+  SELECT CASE WHEN did % 53 = 0 THEN 'garbage line without json'
+    ELSE 'com,example)/doc/' || did || ' ' ||
+      '2024' || lpad((did % 12 + 1)::VARCHAR, 2, '0')
+             || lpad((did % 28 + 1)::VARCHAR, 2, '0')
+             || lpad((did % 24)::VARCHAR, 2, '0')
+             || lpad((did % 60)::VARCHAR, 2, '0')
+             || lpad(((did * 7) % 60)::VARCHAR, 2, '0') ||
+      ' {{"url": "https://example.com/doc/' || did || '",' ||
+      CASE WHEN did % 5 = 0 THEN '' ELSE ' "mime": "text/html",' END ||
+      ' "status": "200", "digest": "' || dg ||
+      '", "length": "' || ln || '", "offset": "' || (did * 1000) ||
+      '", "filename": "' ||
+      CASE WHEN did % 7 = 3 THEN 'cc/\\"x\\"/seg.warc.gz'
+           ELSE 'cc/seg-' || lpad((did % 10)::VARCHAR, 2, '0')
+                || '.warc.gz' END ||
+      '"}}'
+    END AS value
+  FROM b
+)
+SELECT regexp_extract(value, '{CDX_HEAD_RE}', 1) AS urlkey,
+       strptime(regexp_extract(value, '{CDX_HEAD_RE}', 2),
+                '%Y%m%d%H%M%S') AS ts,
+       {fsql}
+FROM lines
+WHERE coalesce(regexp_extract(value, '{CDX_HEAD_RE}', 1), '') <> ''
+"""
+
+
+SQL_CDX_ENTRIES = _cdx_sql()
 
 
 def q_recrawl_changes(spark, sf_dir):
@@ -6790,6 +6913,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # recrawl_changes / url_change_rate: below-cut class (b) — one
     # url-keyed lag window each, the same machinery as in-window
     # asof_join / frontier_schedule; locally hash-verified.
+    # host_reciprocity: below-cut class (b) — an edge-list self-join
+    # + partial agg of the in-window graph family's class; locally
+    # hash-verified.
+    "host_reciprocity": (q_host_reciprocity, SQL_HOST_RECIPROCITY),
+    # cdx_entries: below-cut class (b) — a zero-shuffle regexp
+    # projection of the same class as the in-window html/robots
+    # parsers; locally hash-verified (incl. the unescape and
+    # malformed-line-drop branches).
+    "cdx_entries": (q_cdx_entries, SQL_CDX_ENTRIES),
     "recrawl_changes": (q_recrawl_changes, SQL_RECRAWL_CHANGES),
     "url_change_rate": (q_url_change_rate, SQL_URL_CHANGE_RATE),
     # stratified_sample: below-cut class (b) — its salted-md5-prefix

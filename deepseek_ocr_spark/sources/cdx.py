@@ -1,0 +1,87 @@
+"""Common Crawl CDX(J) index reader — the crawl's metadata front door.
+
+Every Common Crawl release ships a CDXJ index (one line per capture:
+SURT url key, 14-digit timestamp, flat JSON of string fields) that is
+~1000× smaller than the WARC data it describes. The scale-correct
+workflow plans ON THE INDEX first — pick urls/status/mime/digest,
+dedup revisits (trends.recrawl_changes consumes exactly the (url, ts,
+digest) columns this reader emits), resolve (filename, offset,
+length) — and only then range-reads the selected WARC records
+(sources/warc.py). Reading 100 TB of WARC to discover 1% of it was
+wanted is the anti-pattern this source exists to prevent.
+
+Line shape (CDXJ, public format)::
+
+    org,example)/page 20240101000000 {"url": "https://...", \
+        "mime": "text/html", "status": "200", "digest": "SHA1...", \
+        "length": "1234", "offset": "456", "filename": "...warc.gz"}
+
+Parsing is a zero-shuffle codegen projection: the two space-delimited
+head fields split off, each JSON value extracts with a quoted-string
+regex that honors backslash escapes (CDXJ's value space is flat
+strings — no nesting, so a per-key regex is exact, engine-portable,
+and keeps the parse inside whole-stage codegen instead of a JSON UDF
+path). Fields absent from a line are NULL. The 14-digit timestamp
+parses to a real TIMESTAMP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# key order is the emitted column order
+CDX_JSON_FIELDS = (
+    "url",
+    "mime",
+    "status",
+    "digest",
+    "length",
+    "offset",
+    "filename",
+)
+
+# CDXJ head: SURT key, space, 14-digit ts, space, the JSON blob
+CDX_HEAD_RE = r"^(\S+) (\d{14}) (\{.*\})\s*$"
+
+
+def cdx_field_re(key: str) -> str:
+    """Regex for one flat-JSON string value, escape-aware
+    (``\\"`` inside values does not terminate the match). Shared
+    verbatim with the DuckDB twin."""
+    return f'"{key}":[ ]?"((?:[^"\\\\]|\\\\.)*)"'
+
+
+def parse_cdx_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """(urlkey, ts, url, mime, status, digest, length, offset,
+    filename) from a DataFrame of raw CDXJ lines. Malformed lines
+    (no head match) drop; missing JSON fields are NULL; ``length``/
+    ``offset`` cast to BIGINT, ``ts`` to TIMESTAMP."""
+    c = F.col(line_col)
+    head_key = F.regexp_extract(c, CDX_HEAD_RE, 1)
+    head_ts = F.regexp_extract(c, CDX_HEAD_RE, 2)
+    blob = F.regexp_extract(c, CDX_HEAD_RE, 3)
+
+    def field(key: str) -> Column:
+        got = F.regexp_extract(blob, cdx_field_re(key), 1)
+        # JSON string unescape (flat string values: \" \\ \/ — the
+        # escapes CDXJ writers actually emit)
+        unesc = F.regexp_replace(got, r"\\(.)", "$1")
+        return F.when(got == "", F.lit(None).cast("string")).otherwise(unesc)
+
+    out = lines.filter(head_key != "").select(
+        head_key.alias("urlkey"),
+        F.to_timestamp(head_ts, "yyyyMMddHHmmss").alias("ts"),
+        *[field(k).alias(k) for k in CDX_JSON_FIELDS],
+    )
+    return out.withColumn(
+        "length", F.col("length").cast("bigint")
+    ).withColumn("offset", F.col("offset").cast("bigint"))
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a directory/glob of CDX(J) files (Spark's text source
+    handles .gz transparently; CC ships them gzipped). The scan
+    parallelizes per file like any text read — at CC scale the index
+    is hundreds of shards, one task each."""
+    return parse_cdx_lines(spark.read.text(path))

@@ -215,3 +215,33 @@ def test_script_profile_mix_threshold(spark):
     got = {r["id"]: r["is_mixed"]
            for r in df.select("id", prof["is_mixed"].alias("is_mixed")).collect()}
     assert got == {1: False, 2: True}
+
+
+def test_reciprocity_link_ring_vs_organic(spark):
+    """A 3-host mutual ring scores 1e6; an organic host linking out
+    with no return links scores 0; self-loops and duplicate edges are
+    ignored."""
+    from deepseek_ocr_spark.functions.graph import reciprocity
+
+    edges = [
+        # ring: a<->b, b<->c, c<->a
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+        ("c", "a"), ("a", "c"),
+        # organic: o -> a, o -> b, nothing back
+        ("o", "a"), ("o", "b"),
+        # one back-link to m from a, m links a and c -> 1/2
+        ("m", "a"), ("m", "c"), ("a", "m"),
+        # noise: self-loop and duplicate edge must not count
+        ("o", "o"), ("o", "a"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {
+        r["node"]: (r["out_degree"], r["mutual"], r["recip_fp"])
+        for r in reciprocity(df, "src", "dst").collect()
+    }
+    assert out["b"] == (2, 2, 1_000_000)
+    assert out["c"] == (2, 2, 1_000_000)
+    assert out["o"] == (2, 0, 0)
+    assert out["m"] == (2, 1, 500_000)
+    # a: out-edges b, c, m — all reciprocated
+    assert out["a"] == (3, 3, 1_000_000)

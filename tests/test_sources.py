@@ -85,3 +85,64 @@ def test_plan_audit_helpers(spark, pages_path):
     fn, _ = REGISTRY["preset_broadcast_join"]
     a2 = audit(fn(spark, "/root/testdata/sf0.001"))
     assert a2["broadcast_join"] and not a2["python_eval"]
+
+
+# ---- CDX index reader -------------------------------------------------------
+
+
+def test_cdx_reader_parses_gzipped_shards(spark, tmp_path):
+    """read_cdx over a directory of .gz CDXJ shards: fields typed,
+    escapes unescaped, absent fields NULL, malformed lines dropped."""
+    import gzip
+
+    from deepseek_ocr_spark.sources.cdx import read_cdx
+
+    lines = [
+        'com,example)/a 20240102030405 {"url": "https://example.com/a",'
+        ' "mime": "text/html", "status": "200", "digest": "D1",'
+        ' "length": "120", "offset": "0", "filename": "cc/s1.warc.gz"}',
+        # no mime; escaped quote + escaped backslash in filename
+        'com,example)/b 20240102030406 {"url": "https://example.com/b",'
+        ' "status": "301", "digest": "D2", "length": "10",'
+        ' "offset": "120", "filename": "cc/\\"x\\"\\\\y.warc.gz"}',
+        "this line is not cdx",
+    ]
+    d = tmp_path / "cdx"
+    d.mkdir()
+    with gzip.open(d / "part-0.cdx.gz", "wt", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    rows = {r["urlkey"]: r for r in read_cdx(spark, str(d)).collect()}
+    assert set(rows) == {"com,example)/a", "com,example)/b"}
+    a = rows["com,example)/a"]
+    assert (a["mime"], a["status"], a["length"], a["offset"]) == (
+        "text/html", "200", 120, 0,
+    )
+    assert a["ts"].strftime("%Y%m%d%H%M%S") == "20240102030405"
+    b = rows["com,example)/b"]
+    assert b["mime"] is None
+    assert b["filename"] == 'cc/"x"\\y.warc.gz'
+
+
+def test_cdx_composes_with_recrawl_changes(spark, tmp_path):
+    """The index columns feed the CDX revisit-dedup rule directly:
+    three captures of one url, middle digest unchanged -> 2 changes."""
+    from deepseek_ocr_spark.functions.trends import recrawl_changes
+    from deepseek_ocr_spark.sources.cdx import parse_cdx_lines
+
+    def line(ts, dg):
+        return (
+            f'com,example)/p {ts} {{"url": "https://example.com/p",'
+            f' "digest": "{dg}", "filename": "f.warc.gz"}}'
+        )
+
+    lines = spark.createDataFrame(
+        [(line("20240101000000", "A"),),
+         (line("20240201000000", "A"),),
+         (line("20240301000000", "B"),)],
+        "value string",
+    )
+    parsed = parse_cdx_lines(lines).withColumn(
+        "eid", F.monotonically_increasing_id()
+    )
+    kept = recrawl_changes(parsed, "url", "ts", "digest", "eid").collect()
+    assert sorted(r["digest"] for r in kept) == ["A", "B"]
