@@ -48,7 +48,13 @@ module makes that pattern a first-class table format:
 * ``compact_table`` is OPTIMIZE (bin-packing small files into a
   row-identical new snapshot, O(small data)); it rebases over racing
   appends and aborts against overwrites/merges that removed its
-  inputs — the rewrite-files concurrency contract.
+  inputs — the rewrite-files concurrency contract;
+* ADDITIVE schema evolution: an append may introduce new columns —
+  the manifest schema merges (same-name type changes raise; widening
+  needs a rewrite, the Iceberg rule), reads always apply the
+  manifest schema so pre-evolution files surface added columns as
+  NULL, and compaction normalizes them physically. Time travel reads
+  each version under its own schema.
 
 Scale notes: manifests list file PATHS — metadata proportional to
 file count, never to rows (the round-1 reason output writes are
@@ -240,6 +246,30 @@ def _write_data_files(df: DataFrame, table: str) -> tuple[list[str], str]:
     return files, df.schema.json()
 
 
+def _merge_schemas(base_json: str, new_json: str) -> str:
+    """Additive schema evolution for appends: the merged schema is
+    base fields (in base order) plus any NEW columns the append
+    introduces (in append order). A same-name column with a different
+    type is a non-additive change and raises — type widening needs a
+    rewrite, not a manifest edit (the Iceberg rule)."""
+    if base_json == new_json:
+        return base_json
+    base = json.loads(base_json)
+    new = json.loads(new_json)
+    by_name = {f["name"]: f for f in base["fields"]}
+    for f in new["fields"]:
+        b = by_name.get(f["name"])
+        if b is None:
+            base["fields"].append(f)
+        elif b["type"] != f["type"]:
+            raise ValueError(
+                f"snapshot append changes type of column "
+                f"{f['name']!r} ({b['type']!r} -> {f['type']!r}); "
+                "additive evolution only — rewrite via overwrite/merge"
+            )
+    return json.dumps(base)
+
+
 def snapshot_write(
     df: DataFrame, table: str, mode: str = "append", stats_cols=None,
     props: dict | None = None,
@@ -271,6 +301,9 @@ def snapshot_write(
             else None
         )
         carried = base_m["files"] if base_m else []
+        out_schema = (
+            _merge_schemas(base_m["schema"], schema) if base_m else schema
+        )
         manifest = {
             "version": (base or 0) + 1,
             "parent": base,
@@ -280,7 +313,7 @@ def snapshot_write(
                 (_carried_stats(base_m, carried) if base_m else {})
                 | new_stats
             ),
-            "schema": schema,
+            "schema": out_schema,
             "ts": time.time(),
             **({"props": props} if props else {}),
         }
@@ -315,16 +348,20 @@ def snapshot_read(
     parquet row-group pruning inside the surviving files. The result
     is a SUPERSET of the matching rows: apply the real filter on the
     returned frame (Catalyst pushes it into the pruned scan)."""
+    from pyspark.sql.types import StructType
+
     v = current_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots at {table}")
     m = _load_manifest(table, v)
+    schema = StructType.fromJson(json.loads(m["schema"]))
     files = [os.path.join(table, f) for f in _prune_files(m, prune)]
     if not files:
-        from pyspark.sql.types import StructType
-
-        return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
-    return spark.read.parquet(*files)
+        return spark.createDataFrame([], schema)
+    # explicit manifest schema: no footer inference pass, and files
+    # written before an additive schema evolution surface the added
+    # columns as NULL (the Iceberg read contract)
+    return spark.read.schema(schema).parquet(*files)
 
 
 def _to_rel(table: str, uri: str) -> str:
@@ -354,13 +391,18 @@ def snapshot_merge(
     the base this merge read from — the rewritten rows were derived
     from that base, so the caller must re-run the merge (Iceberg's
     optimistic-concurrency contract)."""
+    from pyspark.sql.types import StructType
+
     base = current_version(table)
     if base is None:
         return snapshot_write(updates, table, mode="append") | {"op": "merge"}
     m = _load_manifest(table, base)
     files = _abs_files(table, m)
     keys = updates.select(key).distinct()
-    cur = spark.read.parquet(*files).withColumn(
+    # manifest schema: pre-evolution files surface added columns NULL
+    cur = spark.read.schema(
+        StructType.fromJson(json.loads(m["schema"]))
+    ).parquet(*files).withColumn(
         "__f", F.col("_metadata.file_path")
     )
     hit_abs = [
@@ -599,7 +641,14 @@ def compact_table(
     smalls = [f for f in m["files"] if sizes[f] < small_bytes]
     if len(smalls) < min_files:
         return {"op": "noop", "version": base, "rewrote_files": 0}
-    df = spark.read.parquet(*[os.path.join(table, f) for f in smalls])
+    from pyspark.sql.types import StructType
+
+    # manifest schema: compaction also NORMALIZES files written
+    # before an additive schema evolution (added columns materialize
+    # as NULL in the rewritten files)
+    df = spark.read.schema(
+        StructType.fromJson(json.loads(m["schema"]))
+    ).parquet(*[os.path.join(table, f) for f in smalls])
     n_out = max(1, -(-sum(sizes[f] for f in smalls) // small_bytes))
     new_files, _ = _write_data_files(df.coalesce(n_out), table)
     new_stats = _collect_file_stats(

@@ -495,3 +495,84 @@ def test_compact_aborts_when_overwrite_removes_sources(spark, tmp_path):
     finally:
         ST._commit = orig_commit
     assert _rows(ST.snapshot_read(spark, t)) == {("z", 9)}
+
+
+# ---- additive schema evolution ----------------------------------------------
+
+
+def test_append_adds_column_old_files_read_null(spark, tmp_path):
+    """An append may ADD columns: the manifest schema merges, readers
+    see pre-evolution rows with NULL in the new column, and time
+    travel to the old version keeps the old schema."""
+    t = str(tmp_path / "t")
+    ST.snapshot_write(_df(spark, [("a", 1)]), t)
+    ST.snapshot_write(
+        spark.createDataFrame(
+            [("b", 2, "en")], "url string, v bigint, lang string"
+        ),
+        t,
+    )
+    cur = ST.snapshot_read(spark, t)
+    assert cur.columns == ["url", "v", "lang"]
+    got = {(r["url"], r["v"], r["lang"]) for r in cur.collect()}
+    assert got == {("a", 1, None), ("b", 2, "en")}
+    old = ST.snapshot_read(spark, t, version=1)
+    assert old.columns == ["url", "v"]
+
+
+def test_append_type_change_raises_before_commit(spark, tmp_path):
+    t = str(tmp_path / "t")
+    ST.snapshot_write(_df(spark, [("a", 1)]), t)
+    with pytest.raises(ValueError, match="changes type of column"):
+        ST.snapshot_write(
+            spark.createDataFrame([("b", "oops")], "url string, v string"),
+            t,
+        )
+    # the failed append committed nothing
+    assert ST.current_version(t) == 1
+    assert _rows(ST.snapshot_read(spark, t)) == {("a", 1)}
+
+
+def test_compact_normalizes_evolved_files(spark, tmp_path):
+    """Compaction reads with the manifest schema, so pre-evolution
+    files rewrite with the added column materialized as NULL, and the
+    table stays row-identical."""
+    t = str(tmp_path / "t")
+    ST.snapshot_write(_df(spark, [("a", 1)]).coalesce(1), t)
+    ST.snapshot_write(
+        spark.createDataFrame(
+            [("b", 2, "en")], "url string, v bigint, lang string"
+        ).coalesce(1),
+        t,
+    )
+    pre = {(r["url"], r["v"], r["lang"])
+           for r in ST.snapshot_read(spark, t).collect()}
+    m = ST.compact_table(spark, t, small_bytes=1 << 20)
+    assert m["op"] == "compact" and len(m["files"]) == 1
+    assert {(r["url"], r["v"], r["lang"])
+            for r in ST.snapshot_read(spark, t).collect()} == pre
+
+
+def test_merge_against_evolved_table(spark, tmp_path):
+    """MERGE works across an additive evolution: updates carry the
+    full merged schema; a hit in a pre-evolution file rewrites with
+    NULL backfill for untouched survivor rows."""
+    t = str(tmp_path / "t")
+    ST.snapshot_write(_df(spark, [("a", 1), ("keep", 7)]).coalesce(1), t)
+    ST.snapshot_write(
+        spark.createDataFrame(
+            [("b", 2, "en")], "url string, v bigint, lang string"
+        ).coalesce(1),
+        t,
+    )
+    ST.snapshot_merge(
+        spark,
+        spark.createDataFrame(
+            [("a", 10, "de")], "url string, v bigint, lang string"
+        ),
+        t,
+        key="url",
+    )
+    got = {(r["url"], r["v"], r["lang"])
+           for r in ST.snapshot_read(spark, t).collect()}
+    assert got == {("a", 10, "de"), ("keep", 7, None), ("b", 2, "en")}
