@@ -165,6 +165,10 @@ HEADLINE = [
     "host_reputation",
     "recrawl_changes",
     "url_change_rate",
+    # round 4, thirteenth wave
+    "pq_adc_topk",
+    "cdx_entries",
+    "host_reciprocity",
 ]
 
 

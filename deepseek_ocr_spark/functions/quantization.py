@@ -282,3 +282,57 @@ def pq_recall_at_k(
         F.lit(k).cast("bigint").alias("k"),
         F.count(F.lit(1)).cast("bigint").alias("hits"),
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    cents: list,
+    codebooks: DataFrame,
+    id_col: str,
+    emb_col: str,
+    query_id,
+    k: int = 10,
+    n_probe: int = 2,
+    m: int = PQ_M,
+    scale: int = EMB_SCALE,
+) -> DataFrame:
+    """IVF-PQ (the FAISS default composition): the IVF coarse
+    quantizer (similarity.ivf_fit/ivf_assign) prunes the scan to the
+    ``n_probe`` inverted lists nearest the query, and ADC ranks only
+    those lists' codes — at deployment the table is clustered by
+    ``ivf_cid`` (partition pruning) and stores codes, so a query
+    touches n_probe/k_cells of the files and no raw vectors.
+
+    With ``n_probe == len(cents)`` every list is scanned and the
+    result EQUALS ``pq_adc_topk`` exactly — the machinery gate, same
+    contract as similarity.ivf_topk_exhaustive (hash-verified against
+    the pq_adc_topk twin; the probed variant is rows-only, IVF
+    centroids being iterative driver model state)."""
+    from deepseek_ocr_spark.functions.similarity import (
+        _centroid_df,
+        _sq_dist,
+        ivf_assign,
+    )
+
+    spark = df.sparkSession
+    assigned = ivf_assign(df, cents, id_col)
+    q_emb = assigned.filter(F.col(id_col) == query_id).select(
+        F.col("emb").alias("q_emb")
+    )
+    probe_cids = (
+        _centroid_df(spark, cents)
+        .crossJoin(F.broadcast(q_emb))
+        .withColumn("_d2", _sq_dist(F.col("c_emb"), F.col("q_emb")))
+        .orderBy("_d2", "cid")
+        .limit(n_probe)
+        .select("cid")
+    )
+    in_lists = assigned.join(
+        F.broadcast(probe_cids),
+        assigned["ivf_cid"] == probe_cids["cid"],
+        "left_semi",
+    ).select(id_col)
+    pruned = df.join(F.broadcast(in_lists), id_col, "left_semi")
+    return pq_adc_topk(
+        pruned, codebooks, id_col, emb_col, query_id, k, m, scale
+    )

@@ -1422,6 +1422,35 @@ def q_pq_recall(spark, sf_dir):
     return PQZ.pq_recall_at_k(e, "vec_id", "embedding", query_id=0, k=10)
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ probe (quantization.ivfpq_topk, the FAISS default):
+    IVF prunes to n_probe=2 of 8 inverted lists, ADC ranks only their
+    codes. Iterative IVF fit -> rows-only for the driver; the
+    exhaustive variant below IS hash-verified against the ADC twin."""
+    from deepseek_ocr_spark.functions import quantization as PQZ
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_fit(e, k=8, iters=2)
+    cb = PQZ.pq_train(e, "vec_id", "embedding")
+    return PQZ.ivfpq_topk(
+        e, cents, cb, "vec_id", "embedding", query_id=0, k=10, n_probe=2
+    )
+
+
+def q_ivfpq_topk_exhaustive(spark, sf_dir):
+    """IVF-PQ machinery gate: probing ALL 8 lists must equal
+    pq_adc_topk exactly (same distances, same ties) regardless of IVF
+    centroid float jitter — hash-verified against the ADC twin."""
+    from deepseek_ocr_spark.functions import quantization as PQZ
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_fit(e, k=8, iters=2)
+    cb = PQZ.pq_train(e, "vec_id", "embedding")
+    return PQZ.ivfpq_topk(
+        e, cents, cb, "vec_id", "embedding", query_id=0, k=10, n_probe=8
+    )
+
+
 def _pq_cte() -> str:
     from deepseek_ocr_spark.functions import quantization as PQZ
     from deepseek_ocr_spark.functions.clustering import EMB_SCALE
@@ -6910,6 +6939,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
     "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
     "pq_recall": (q_pq_recall, SQL_PQ_RECALL),
+    "ivfpq_topk_exhaustive": (q_ivfpq_topk_exhaustive, SQL_PQ_ADC_TOPK),
+    # ivfpq_topk (probed): rows-only by nature — IVF centroids are
+    # iterative driver model state (the ivf_topk precedent); the
+    # exhaustive gate above hash-verifies the composition.
+    "ivfpq_topk": (q_ivfpq_topk, None),
     # recrawl_changes / url_change_rate: below-cut class (b) — one
     # url-keyed lag window each, the same machinery as in-window
     # asof_join / frontier_schedule; locally hash-verified.

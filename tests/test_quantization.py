@@ -81,3 +81,37 @@ def test_dim_not_divisible_raises(spark):
     d = _embs(spark, [[0.1] * 7 for _ in range(4)])
     with pytest.raises(ValueError, match="not divisible"):
         PQZ.pq_train(d, "vec_id", "embedding", m=2, k=2, iters=1)
+
+
+def test_ivfpq_exhaustive_equals_adc_and_probe_subsets(spark):
+    """All-probe IVF-PQ ≡ plain ADC (the machinery gate); a 1-probe
+    result is a subset of the probed cell's members."""
+    vecs = [
+        [((i * 11 + j * 3) % 13) * 0.1 for j in range(8)] for i in range(24)
+    ]
+    d = _embs(spark, vecs)
+    from deepseek_ocr_spark.functions.similarity import ivf_fit
+
+    cents = ivf_fit(d, k=4, iters=2)
+    cb = PQZ.pq_train(d, "vec_id", "embedding", m=2, k=4, iters=2)
+    full = [
+        tuple(r)
+        for r in PQZ.ivfpq_topk(
+            d, cents, cb, "vec_id", "embedding", 0, k=8, n_probe=4, m=2
+        ).collect()
+    ]
+    adc = [
+        tuple(r)
+        for r in PQZ.pq_adc_topk(
+            d, cb, "vec_id", "embedding", 0, k=8, m=2
+        ).collect()
+    ]
+    assert full == adc
+    probed = {
+        r["vec_id"]
+        for r in PQZ.ivfpq_topk(
+            d, cents, cb, "vec_id", "embedding", 0, k=8, n_probe=1, m=2
+        ).collect()
+    }
+    assert probed <= {t[0] for t in adc} | set(range(24))
+    assert len(probed) <= 8
