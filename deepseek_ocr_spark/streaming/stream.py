@@ -135,3 +135,59 @@ def run_stream_drain(
     pages = read_pages_stream(spark, input_path)
     out = extract_stream(pages, parallelism=parallelism)
     return drain_to_parquet(out, output_path, checkpoint_path, timeout_secs)
+
+
+def commit_stream_batch(batch_df: DataFrame, batch_id: int, table: str) -> bool:
+    """Idempotent micro-batch commit onto a snapshot table: skip (and
+    return False) when some manifest already records this
+    ``stream_batch_id`` — the replayed-foreachBatch case. Single
+    streaming writer per table assumed (batch ids are unique per
+    CHECKPOINT — the standard Structured Streaming sink contract; two
+    independent streams need distinct tables or an id namespace in
+    props)."""
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    v = ST.current_version(table)
+    for i in range(1, (v or 0) + 1):
+        try:
+            m = ST._load_manifest(table, i)
+        except FileNotFoundError:
+            continue  # expired by vacuum
+        if (m.get("props") or {}).get("stream_batch_id") == batch_id:
+            return False  # replayed batch: already committed, skip
+    ST.snapshot_write(batch_df, table, props={"stream_batch_id": batch_id})
+    return True
+
+
+def drain_to_snapshot(
+    out: DataFrame,
+    table: str,
+    checkpoint_path: str,
+    timeout_secs: float | None = None,
+) -> bool:
+    """availableNow drain committing each micro-batch as an ATOMIC
+    snapshot append (operators/snapshot_table) — streaming ingestion
+    onto the table format, with exactly-once semantics the parquet
+    sink cannot give: every manifest records its ``stream_batch_id``
+    (props), and a REPLAYED batch (checkpoint wrote, commit-ack lost,
+    Spark re-runs foreachBatch) is detected by scanning the committed
+    batch ids and skipped — readers never see a doubled batch, and a
+    crash between data-file write and manifest commit leaves only
+    invisible orphans for vacuum.
+
+    Scale note: the replay check reads MANIFEST JSONs (file count,
+    never rows); at high batch counts a deployment caches the max
+    committed id, which the snapshot log supports by construction
+    (monotone versions)."""
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, bid: commit_stream_batch(df, bid, table)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    done = q.awaitTermination(timeout_secs)
+    if q.isActive:
+        q.stop()
+    return bool(done) if timeout_secs is not None else True

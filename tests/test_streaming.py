@@ -560,3 +560,83 @@ def test_curate_stream_badwords_signal_matches_batch_gate(spark):
     rows = {r["doc_id"]: r["n_badwords"] for r in curate_stream(docs).collect()}
     # batch parity: curate.badwords_gate keeps n_badwords == 0
     assert rows == {1: 0, 2: 1}
+
+
+def test_stream_drain_to_snapshot_exactly_once(spark, tmp_path):
+    """drain_to_snapshot commits each micro-batch as an atomic
+    snapshot append with its stream_batch_id in props; a replayed
+    batch id is skipped (no doubled rows), and incremental re-drains
+    append only the new files' batches."""
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+    from deepseek_ocr_spark.streaming.stream import (
+        drain_to_snapshot,
+        extract_stream,
+        read_pages_stream,
+    )
+
+    inp = tmp_path / "pages_in"
+    table = str(tmp_path / "snap_table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp)
+    write_pages_parquet(str(inp / "part-0.parquet"), 60, seed=42)
+
+    def drain():
+        out = extract_stream(read_pages_stream(spark, str(inp)),
+                             parallelism=2)
+        return drain_to_snapshot(out, table, ckpt, timeout_secs=180)
+
+    assert drain()
+    got = ST.snapshot_read(spark, table)
+    assert got.count() == 60
+    v1 = ST.current_version(table)
+    batch_ids = {
+        (ST._load_manifest(table, i).get("props") or {}).get(
+            "stream_batch_id"
+        )
+        for i in range(1, v1 + 1)
+    }
+    assert None not in batch_ids
+    # replayed batch id -> the REAL committer skips: no new version
+    from deepseek_ocr_spark.streaming.stream import commit_stream_batch
+
+    replay_id = next(iter(batch_ids))
+    dup = spark.createDataFrame([("https://dup.example/x",)], "url string")
+    assert commit_stream_batch(dup, replay_id, table) is False
+    assert ST.current_version(table) == v1
+    assert ST.snapshot_read(spark, table).count() == 60
+
+    # incremental drain: add a second file (disjoint url range),
+    # SAME checkpoint
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_spark.fixtures.pages_gen import gen_pages_pandas
+
+    pdf = gen_pages_pandas(60, 80, seed=42)
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        str(inp / "part-1.parquet"),
+    )
+    assert drain()
+    got2 = ST.snapshot_read(spark, table)
+    assert got2.count() == 80
+    assert got2.groupBy("url").count().filter("count > 1").count() == 0
+    v2 = ST.current_version(table)
+    assert v2 > v1
+    # all committed batch ids distinct (exactly-once across drains)
+    ids2 = [
+        (ST._load_manifest(table, i).get("props") or {}).get(
+            "stream_batch_id"
+        )
+        for i in range(1, v2 + 1)
+    ]
+    assert len(ids2) == len(set(ids2))
