@@ -828,9 +828,7 @@ def curate_increment(
     )
     if cur_v is not None:
         seen = ST.snapshot_read(spark, curated_table, version=cur_v)
-        batch = batch.join(
-            seen.select("fp").distinct(), "fp", "left_anti"
-        )
+        batch = DD.incremental_new_docs(batch, seen, "fp")
         batch = batch.withColumn(
             "_curl", canonical_url(F.col("url"))
         ).join(

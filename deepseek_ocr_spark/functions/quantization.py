@@ -315,7 +315,12 @@ def ivfpq_topk(
     )
 
     spark = df.sparkSession
-    assigned = ivf_assign(df, cents, id_col)
+    # ivf_assign/emb_double expect the column literally named
+    # 'embedding' (the similarity-module convention) — honor emb_col
+    ivf_in = df.select(
+        F.col(id_col), F.col(emb_col).alias("embedding")
+    )
+    assigned = ivf_assign(ivf_in, cents, id_col)
     q_emb = assigned.filter(F.col(id_col) == query_id).select(
         F.col("emb").alias("q_emb")
     )

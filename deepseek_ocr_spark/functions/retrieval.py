@@ -308,17 +308,21 @@ def rrf_fuse(
     identically; the contribution is RRF_SCALE div (k_rrf + rank) —
     EXACT integer division (Spark ``DIV`` ≡ DuckDB ``//``), so the
     fused ``rrf_fp`` is a BIGINT no float summation can drift.
-    ``n_lists`` counts how many lists surfaced the id (consensus
-    signal, and the disambiguator between one-good-rank and
-    two-mediocre-ranks ties)."""
+    ``n_lists`` counts how many lists surfaced the id (the consensus
+    signal, and the first tiebreak on equal ``rrf_fp`` — consensus
+    beats a single higher-id list hit; final ties by ascending id).
+    Ids keep their input type (lists with incompatible id types fail
+    loudly at the union, never by silent NULL-cast collapse)."""
     from pyspark.sql.window import Window
 
+    if not ranked:
+        raise ValueError("rrf_fuse: no ranked lists given")
     parts = []
     for df, id_col, score_col in ranked:
         w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
         parts.append(
             df.select(
-                F.col(id_col).cast("bigint").alias(out_id_col),
+                F.col(id_col).alias(out_id_col),
                 F.row_number().over(w).alias("rank"),
             )
         )
@@ -331,4 +335,6 @@ def rrf_fuse(
         .alias("rrf_fp"),
         F.count(F.lit(1)).cast("bigint").alias("n_lists"),
     )
-    return fused.orderBy(F.desc("rrf_fp"), F.col(out_id_col)).limit(k)
+    return fused.orderBy(
+        F.desc("rrf_fp"), F.desc("n_lists"), F.col(out_id_col)
+    ).limit(k)

@@ -267,7 +267,9 @@ def _merge_schemas(base_json: str, new_json: str) -> str:
                 f"{f['name']!r} ({b['type']!r} -> {f['type']!r}); "
                 "additive evolution only — rewrite via overwrite/merge"
             )
-    return json.dumps(base)
+    # compact separators: Spark's StructType.json() is compact, and
+    # schema comparisons must not differ on whitespace
+    return json.dumps(base, separators=(",", ":"))
 
 
 def snapshot_write(
@@ -554,7 +556,9 @@ def snapshot_diff(
     the named upgrade; raises ``ValueError`` otherwise)."""
     m_from = _load_manifest(table, v_from)
     m_to = _load_manifest(table, v_to)
-    if m_from["schema"] != m_to["schema"]:
+    # parsed comparison: manifest schema JSON may differ in
+    # whitespace/serializer while being the same schema
+    if json.loads(m_from["schema"]) != json.loads(m_to["schema"]):
         raise ValueError(
             "snapshot_diff: schema changed between versions "
             f"{v_from} and {v_to}; diff per same-schema range"
@@ -566,7 +570,11 @@ def snapshot_diff(
     def _read(rel_files):
         if not rel_files:
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(
+        # manifest schema, not footer inference: the removed/added
+        # sets can mix pre- and post-evolution files (added columns
+        # surface as NULL, and exceptAll compares by position under
+        # ONE schema)
+        return spark.read.schema(schema).parquet(
             *[os.path.join(table, f) for f in rel_files]
         )
 

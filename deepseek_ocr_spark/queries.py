@@ -1274,13 +1274,17 @@ def q_ann_cosine_topk(spark, sf_dir):
     return SIM.brute_force_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
-SQL_ANN_COSINE_TOPK = f"""
+def _ann_cosine_sql(k: int = 10) -> str:
+    return f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
 d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
 SELECT vec_id, {_COS_SQL} AS sim
 FROM d, q WHERE vec_id != 0
-ORDER BY sim DESC, vec_id LIMIT 10
+ORDER BY sim DESC, vec_id LIMIT {k}
 """
+
+
+SQL_ANN_COSINE_TOPK = _ann_cosine_sql()
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -3932,9 +3936,12 @@ def q_bm25_topk(spark, sf_dir):
     return RET.bm25_topk(d, "doc_id", "text", _BM25_QUERY, k=_BM25_K)
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(k: int = None) -> str:
     from deepseek_ocr_spark.functions import retrieval as RET
     from deepseek_ocr_spark.functions import importance as IMP
+
+    if k is None:
+        k = _BM25_K
 
     ws = "'[ \\t\\n\\x0B\\f\\r]+'"
     return f"""
@@ -3968,7 +3975,7 @@ WITH qt AS (
 )
 SELECT doc_id, sum(c_fp)::BIGINT AS score_fp
 FROM contrib GROUP BY doc_id
-ORDER BY score_fp DESC, doc_id LIMIT {_BM25_K}
+ORDER BY score_fp DESC, doc_id LIMIT {k}
 """
 
 
@@ -4005,19 +4012,9 @@ def q_hybrid_rrf(spark, sf_dir):
 def _hybrid_rrf_sql() -> str:
     from deepseek_ocr_spark.functions.retrieval import RRF_K, RRF_SCALE
 
-    bm25_k25 = _bm25_sql().replace(
-        f"LIMIT {_BM25_K}", f"LIMIT {_RRF_LIST_K}"
-    )
     return f"""
-WITH lex AS (SELECT * FROM ({bm25_k25})),
-den AS (
-  SELECT vec_id, {_COS_SQL} AS sim
-  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) d,
-       (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings
-        WHERE vec_id = 0) q
-  WHERE vec_id != 0
-  ORDER BY sim DESC, vec_id LIMIT {_RRF_LIST_K}
-),
+WITH lex AS (SELECT * FROM ({_bm25_sql(_RRF_LIST_K)})),
+den AS (SELECT * FROM ({_ann_cosine_sql(_RRF_LIST_K)})),
 lexr AS (SELECT doc_id,
                 row_number() OVER (ORDER BY score_fp DESC, doc_id)
                   AS rank FROM lex),
@@ -4029,7 +4026,7 @@ SELECT doc_id,
        (sum({RRF_SCALE} // ({RRF_K} + rank)))::BIGINT AS rrf_fp,
        count(*)::BIGINT AS n_lists
 FROM u GROUP BY doc_id
-ORDER BY rrf_fp DESC, doc_id LIMIT {_RRF_OUT_K}
+ORDER BY rrf_fp DESC, n_lists DESC, doc_id LIMIT {_RRF_OUT_K}
 """
 
 

@@ -1,0 +1,120 @@
+"""Retrieval fusion (functions/retrieval.py rrf_fuse): hand-computed
+fusion scores, deterministic tie rules, and the consensus tiebreak.
+BM25 ranking semantics are covered by the oracle gate (bm25_topk) and
+the plan assertions in test_plans.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401
+
+
+# ---- reciprocal-rank fusion ----------------------------------------------
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Two 3-item lists; fused scores match the hand-computed
+    1e9 div (60+rank) sums, consensus ids outrank single-list ids."""
+    from deepseek_ocr_spark.functions.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 900), (20, 800), (30, 700)], "id long, score_fp long"
+    )
+    den = spark.createDataFrame(
+        [(20, 0.99), (40, 0.95), (10, 0.90)], "id long, sim double"
+    )
+    out = {
+        r["doc_id"]: (r["rrf_fp"], r["n_lists"])
+        for r in rrf_fuse(
+            [(lex, "id", "score_fp"), (den, "id", "sim")],
+            k=10,
+            out_id_col="doc_id",
+        ).collect()
+    }
+    c = lambda rank: 1_000_000_000 // (60 + rank)
+    # lex ranks: 10->1, 20->2, 30->3; den ranks: 20->1, 40->2, 10->3
+    assert out[10] == (c(1) + c(3), 2)
+    assert out[20] == (c(2) + c(1), 2)
+    assert out[30] == (c(3), 1)
+    assert out[40] == (c(2), 1)
+    # consensus beats any single-list appearance here
+    assert out[10][0] > out[30][0] and out[20][0] > out[40][0]
+
+
+def test_rrf_fuse_rank_ties_break_by_id_and_k_cuts(spark):
+    """Equal scores rank by ascending id (deterministic), and the
+    output honors k with (rrf_fp desc, id asc) ordering."""
+    from deepseek_ocr_spark.functions.retrieval import rrf_fuse
+
+    lst = spark.createDataFrame(
+        [(5, 100), (3, 100), (9, 50)], "id long, s long"
+    )
+    rows = rrf_fuse([(lst, "id", "s")], k=2).collect()
+    c = lambda rank: 1_000_000_000 // (60 + rank)
+    # tie on s=100: id 3 ranks 1, id 5 ranks 2; k=2 drops id 9
+    assert [(r["id"], r["rrf_fp"]) for r in rows] == [
+        (3, c(1)),
+        (5, c(2)),
+    ]
+
+
+def test_stratified_sample_exact_sizes_and_determinism(spark):
+    """Exact min(n, |group|) per group; membership is a pure function
+    of (salt, id) — stable under repartitioning, redrawn by salt."""
+    from deepseek_ocr_spark.functions.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "de", f"t{i}") for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, txt string")
+    out = stratified_sample(d, "lang", 5)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {"en": 5, "de": 5}
+    # all input columns survive, plus samp_rank 1..n within each group
+    assert set(out.columns) == {"doc_id", "lang", "txt", "samp_rank"}
+    ranks = {(r["lang"], r["samp_rank"]) for r in out.collect()}
+    assert ranks == {(g, i) for g in ("en", "de") for i in range(1, 6)}
+    # partitioning-independent
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(
+        tuple(r) for r in stratified_sample(
+            d.repartition(7), "lang", 5
+        ).collect()
+    )
+    assert a == b
+    # a different salt redraws; a group smaller than n keeps all
+    c = sorted(
+        tuple(r)
+        for r in stratified_sample(d, "lang", 5, salt="other").collect()
+    )
+    assert c != a
+    small = stratified_sample(d.filter("doc_id < 4"), "lang", 5)
+    assert small.count() == 4
+
+
+def test_rrf_fuse_consensus_breaks_rrf_ties(spark):
+    """Exact rrf_fp tie with UNEQUAL n_lists: the two-list doc wins
+    even though its id is larger (consensus outranks the id
+    tiebreak). Uses the exact integer collision
+    c(30) + c(150) == c(3) == 15_873_015."""
+    from deepseek_ocr_spark.functions.retrieval import rrf_fuse
+
+    def listing(target_id, target_rank, base):
+        # target at `target_rank`: fillers (ids >= base) score higher
+        rows = [(base + i, 10_000 - i) for i in range(target_rank - 1)]
+        rows.append((target_id, 1))
+        return spark.createDataFrame(rows, "id long, s long")
+
+    a = listing(99, 30, 1000)       # 99 at rank 30
+    b = listing(99, 150, 10000)     # 99 at rank 150
+    c3 = listing(1, 3, 100000)      # 1 at rank 3
+    rows = rrf_fuse(
+        [(a, "id", "s"), (b, "id", "s"), (c3, "id", "s")], k=500
+    ).collect()
+    got = {r["id"]: (r["rrf_fp"], r["n_lists"]) for r in rows}
+    order = [r["id"] for r in rows]
+    # both fused scores are the same integer; 99 carries n_lists=2
+    assert got[99] == (15_873_015, 2) and got[1] == (15_873_015, 1)
+    # the two tied docs are adjacent, consensus first despite 99 > 1
+    i99, i1 = order.index(99), order.index(1)
+    assert i1 == i99 + 1

@@ -495,86 +495,3 @@ def test_frontier_schedule_one_url_per_host_per_wave(spark):
         scores = [s for _, s in entries]
         assert scores == sorted(scores, reverse=True)
 
-
-# ---- reciprocal-rank fusion ----------------------------------------------
-
-
-def test_rrf_fuse_hand_computed(spark):
-    """Two 3-item lists; fused scores match the hand-computed
-    1e9 div (60+rank) sums, consensus ids outrank single-list ids."""
-    from deepseek_ocr_spark.functions.retrieval import rrf_fuse
-
-    lex = spark.createDataFrame(
-        [(10, 900), (20, 800), (30, 700)], "id long, score_fp long"
-    )
-    den = spark.createDataFrame(
-        [(20, 0.99), (40, 0.95), (10, 0.90)], "id long, sim double"
-    )
-    out = {
-        r["doc_id"]: (r["rrf_fp"], r["n_lists"])
-        for r in rrf_fuse(
-            [(lex, "id", "score_fp"), (den, "id", "sim")],
-            k=10,
-            out_id_col="doc_id",
-        ).collect()
-    }
-    c = lambda rank: 1_000_000_000 // (60 + rank)
-    # lex ranks: 10->1, 20->2, 30->3; den ranks: 20->1, 40->2, 10->3
-    assert out[10] == (c(1) + c(3), 2)
-    assert out[20] == (c(2) + c(1), 2)
-    assert out[30] == (c(3), 1)
-    assert out[40] == (c(2), 1)
-    # consensus beats any single-list appearance here
-    assert out[10][0] > out[30][0] and out[20][0] > out[40][0]
-
-
-def test_rrf_fuse_rank_ties_break_by_id_and_k_cuts(spark):
-    """Equal scores rank by ascending id (deterministic), and the
-    output honors k with (rrf_fp desc, id asc) ordering."""
-    from deepseek_ocr_spark.functions.retrieval import rrf_fuse
-
-    lst = spark.createDataFrame(
-        [(5, 100), (3, 100), (9, 50)], "id long, s long"
-    )
-    rows = rrf_fuse([(lst, "id", "s")], k=2).collect()
-    c = lambda rank: 1_000_000_000 // (60 + rank)
-    # tie on s=100: id 3 ranks 1, id 5 ranks 2; k=2 drops id 9
-    assert [(r["id"], r["rrf_fp"]) for r in rows] == [
-        (3, c(1)),
-        (5, c(2)),
-    ]
-
-
-def test_stratified_sample_exact_sizes_and_determinism(spark):
-    """Exact min(n, |group|) per group; membership is a pure function
-    of (salt, id) — stable under repartitioning, redrawn by salt."""
-    from deepseek_ocr_spark.functions.sampling import stratified_sample
-
-    rows = [(i, "en" if i % 3 else "de", f"t{i}") for i in range(60)]
-    d = spark.createDataFrame(rows, "doc_id long, lang string, txt string")
-    out = stratified_sample(d, "lang", 5)
-    sizes = {
-        r["lang"]: r["n"]
-        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
-    }
-    assert sizes == {"en": 5, "de": 5}
-    # all input columns survive, plus samp_rank 1..n within each group
-    assert set(out.columns) == {"doc_id", "lang", "txt", "samp_rank"}
-    ranks = {(r["lang"], r["samp_rank"]) for r in out.collect()}
-    assert ranks == {(g, i) for g in ("en", "de") for i in range(1, 6)}
-    # partitioning-independent
-    a = sorted(tuple(r) for r in out.collect())
-    b = sorted(
-        tuple(r) for r in stratified_sample(
-            d.repartition(7), "lang", 5
-        ).collect()
-    )
-    assert a == b
-    # a different salt redraws; a group smaller than n keeps all
-    c = sorted(
-        tuple(r)
-        for r in stratified_sample(d, "lang", 5, salt="other").collect()
-    )
-    assert c != a
-    small = stratified_sample(d.filter("doc_id < 4"), "lang", 5)
-    assert small.count() == 4

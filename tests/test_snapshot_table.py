@@ -576,3 +576,40 @@ def test_merge_against_evolved_table(spark, tmp_path):
     got = {(r["url"], r["v"], r["lang"])
            for r in ST.snapshot_read(spark, t).collect()}
     assert got == {("a", 10, "de"), ("keep", 7, None), ("b", 2, "en")}
+
+
+def test_diff_across_evolution_and_compaction(spark, tmp_path):
+    """Review regression: snapshot_diff must read BOTH file sets under
+    the manifest schema (mixed pre-/post-evolution files), and the
+    schema-equality check must compare PARSED schemas (the evolution
+    merge and Spark serialize JSON differently)."""
+    t = str(tmp_path / "t")
+    ST.snapshot_write(_df(spark, [("a", 1)]).coalesce(1), t)
+    ST.snapshot_write(
+        spark.createDataFrame(
+            [("b", 2, "en")], "url string, v bigint, lang string"
+        ).coalesce(1),
+        t,
+    )
+    ST.compact_table(spark, t, small_bytes=1 << 20)  # v3
+    # v2 -> v3: row-identical compaction, mixed-schema file sets
+    changes = ST.snapshot_diff(spark, t, 2, 3).collect()
+    assert changes == []  # copy-on-write noise fully cancels
+    # a merge after the evolution serializes the schema compactly;
+    # diffing across the evolution-append boundary must still work
+    ST.snapshot_merge(
+        spark,
+        spark.createDataFrame(
+            [("a", 10, "de")], "url string, v bigint, lang string"
+        ),
+        t,
+        key="url",
+    )  # v4
+    got = {
+        (r["url"], r["v"], r["lang"], r["_change_type"])
+        for r in ST.snapshot_diff(spark, t, 2, 4, key="url").collect()
+    }
+    assert got == {
+        ("a", 1, None, "update_preimage"),
+        ("a", 10, "de", "update_postimage"),
+    }
