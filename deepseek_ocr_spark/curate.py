@@ -472,6 +472,7 @@ def curate(
     dsir_target_langs: tuple[str, ...] | None = None,
     normalize: bool = False,
     c4_lines: bool = False,
+    intradoc_dedup: bool = False,
     substring_dedup: bool = False,
     badwords: tuple[str, ...] | None = None,
     blocklist: DataFrame | None = None,
@@ -506,7 +507,11 @@ def curate(
     survived extraction AND the C4 page gate — the pre-gate page count
     is the extraction job's own row metric, not a funnel boundary
     (counting it separately would cost a second scan for a number the
-    extract sink already records). ``substring_dedup=True`` runs
+    extract sink already records). ``intradoc_dedup=True`` removes
+    WITHIN-document repeated lines (first occurrence survives, blanks
+    kept verbatim — dedup.intradoc_line_dedup) before enrich, so
+    stats/fingerprints judge the shipped text; row-preserving, no
+    funnel boundary. ``substring_dedup=True`` runs
     the Lee-2021 exact-substring REWRITE (dedup.kgram_dedup_rewrite)
     between near-dup dedup and the quality gate: duplicated 16-gram
     spans are excised from non-first occurrences, the doc's text is
@@ -566,6 +571,33 @@ def curate(
     if declared_canonical:
         pages = canonical_page_dedup(pages)
     extracted = extract_pipeline(pages, parallelism=parallelism)
+    if intradoc_dedup:
+        # within-document duplicate-line removal (Dolma/Gopher), BEFORE
+        # enrich so fingerprints, token counts, and near-dup shingles
+        # judge the text that will actually ship (the c4_lines
+        # placement rule), and BEFORE the canonical-pages Observation
+        # is attached — the rewrite consumes `extracted` in two
+        # branches (main + rewrite subtree), and an Observation below
+        # a branch point executes once per branch. Row-preserving by
+        # construction: the first occurrence of every non-blank line
+        # survives, so a non-empty text can never rewrite to empty;
+        # the join back is unique-keyed (one rewrite row per url).
+        # Only status=ok rows carry the rewrite; reject/error marker
+        # rows pass through untouched.
+        ok = extracted.filter(
+            (F.col("status") == "ok") & (F.length("extracted_text") > 0)
+        )
+        rw = DD.intradoc_line_dedup(ok, "url", "extracted_text").select(
+            "url", F.col("text").alias("__rw_text")
+        )
+        extracted = (
+            extracted.join(rw, "url", "left")
+            .withColumn(
+                "extracted_text",
+                F.coalesce(F.col("__rw_text"), F.col("extracted_text")),
+            )
+            .drop("__rw_text")
+        )
     if declared_canonical and observe:
         # observe the extract UNION output (one row per surviving
         # page, ok + rejected + error markers alike) rather than the

@@ -1090,3 +1090,79 @@ def line_dedup_rewrite(
             ).alias("dedup_text"),
         )
     )
+
+
+# blank = whitespace-only line. Kept verbatim (never counted as a
+# duplicate): collapsing repeated blanks would destroy paragraph
+# structure host-wide — the exact failure mode the site-boilerplate
+# review pass found and fixed; the guard is shared policy now.
+BLANK_LINE_RE = "^[ \\t\\r]*$"
+
+
+def intradoc_line_dedup(
+    docs: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document duplicate-line removal: each doc keeps the
+    first occurrence of every non-blank line (document order), blank
+    lines survive verbatim. Returns (id, text, n_lines, n_dup_lines)
+    with ``text`` rebuilt by '\\n' join — byte-identical to the input
+    when the doc has no repeated lines (split/join on '\\n' is
+    lossless).
+
+    The Dolma/Gopher within-document repetition pass — scrapers that
+    render the same nav fragment, share widget, or legal footer
+    several times INSIDE one page inflate token counts and poison
+    within-doc repetition stats; corpus-level passes
+    (``line_dedup_stats`` / ``site_boilerplate``) deliberately do not
+    touch this case because a line repeated only within one doc is
+    invisible to cross-doc frequency. ``dup_ngram_fraction`` is the
+    read-only signal; this is the rewrite.
+
+    Scale shape: first-occurrence runs as one window partitioned by
+    (id, line) — EXACT line identity, no hash-collision wrongful
+    drops; the partition key is per-doc so skew is bounded by the
+    largest single document, and the sort key per partition is tiny
+    (positions of one line within one doc). Reassembly is the shared
+    array_sort(collect_list) rebuild on the doc key. Two shuffles,
+    both carrying the doc's own lines — same volume the rebuild alone
+    would move. The reference (per-request OCR serving,
+    DeepSeek-OCR-master/run_dpsk_ocr.py) has no corpus tier; this is
+    pipeline surface the engine adds."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "__pos", "__line"
+        ),
+    )
+    is_blank = F.col("__line").rlike(BLANK_LINE_RE)
+    win = Window.partitionBy(id_col, "__line").orderBy("__pos")
+    kept = (
+        lines.withColumn("__rn", F.row_number().over(win))
+        .withColumn("__keep", is_blank | (F.col("__rn") == 1))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((~F.col("__keep")).cast("bigint")).alias("n_dup_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(
+                                    F.col("__pos").alias("p"),
+                                    F.col("__line").alias("l"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["l"],
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )

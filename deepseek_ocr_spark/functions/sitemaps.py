@@ -184,3 +184,111 @@ def bitext_page_pairs(
     return cand.join(corpus, "url_b", "left_semi").select(
         "url_a", "lang_a", "url_b", "lang_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# RSS / Atom feeds — the OTHER site-declared frontier. Blogs/news sites
+# that never publish a sitemap almost always publish a feed, and feeds
+# carry the freshness signal (pubDate/updated) recrawl scheduling wants.
+# Same construction discipline as sitemap_entries: one regexp pass per
+# block kind, field extraction on the block body, zero shuffles, all
+# patterns in the Java∩RE2 subset and exported for the DuckDB twin.
+ITEM_BLOCK_RE = "(?is)<item(?:[ \\t][^>]*)?>(.*?)</item>"
+ENTRY_BLOCK_RE = "(?is)<entry(?:[ \\t][^>]*)?>(.*?)</entry>"
+# RSS <link> is a bare text element; the pattern requires the bare
+# open tag so it can never eat an Atom-style <link href=...>.
+RSS_LINK_RE = "(?is)<link>[ \\t\\n\\r]*([^<]*?)[ \\t\\n\\r]*</link>"
+# Atom links are attribute-carried; rel="alternate" is the page link
+# per RFC 4287 §4.2.7.2 (and the default when rel is absent). Both
+# attribute orderings are matched (the hreflang_alternates precedent),
+# falling back to the first href-carrying link of the entry.
+ATOM_ALT_LINK_REL_FIRST_RE = (
+    f"(?i)<link[^>]+rel{_EQ}[\"']?alternate[\"' \\t/>][^>]*href{_EQ}{_HREF_V}"
+)
+ATOM_ALT_LINK_HREF_FIRST_RE = (
+    f"(?i)<link[^>]+href{_EQ}{_HREF_V}[\"']?[^>]*rel{_EQ}[\"']?alternate"
+)
+ATOM_ANY_LINK_RE = f"(?i)<link[^>]*href{_EQ}{_HREF_V}"
+# Title bodies may be CDATA-wrapped, so the capture is (.*?), not
+# [^<]*?; CDATA markers are stripped as literals after extraction.
+TITLE_BODY_RE = "(?is)<title[^>]*>[ \\t\\n\\r]*(.*?)[ \\t\\n\\r]*</title>"
+PUBDATE_RE = "(?is)<pubdate>[ \\t\\n\\r]*([^<]*?)[ \\t\\n\\r]*</pubdate>"
+PUBLISHED_RE = (
+    "(?is)<published>[ \\t\\n\\r]*([^<]*?)[ \\t\\n\\r]*</published>"
+)
+UPDATED_RE = "(?is)<updated>[ \\t\\n\\r]*([^<]*?)[ \\t\\n\\r]*</updated>"
+GUID_RE = "(?is)<guid[^>]*>[ \\t\\n\\r]*([^<]*?)[ \\t\\n\\r]*</guid>"
+ATOM_ID_RE = "(?is)<id[ \\t]*>[ \\t\\n\\r]*([^<]*?)[ \\t\\n\\r]*</id>"
+
+CDATA_OPEN = "<![CDATA["
+CDATA_CLOSE = "]]>"
+
+
+def _strip_cdata(col: Column) -> Column:
+    col = F.replace(col, F.lit(CDATA_OPEN), F.lit(""))
+    return F.replace(col, F.lit(CDATA_CLOSE), F.lit(""))
+
+
+def _feed_field(pat: str) -> Column:
+    return F.nullif(F.regexp_extract("_body", pat, 1), F.lit(""))
+
+
+def feed_entries(
+    feeds: DataFrame, url_col: str = "url", xml_col: str = "html"
+) -> DataFrame:
+    """(url, kind, entry_idx, link, title, published, guid) — one row
+    per RSS 2.0 ``<item>`` (kind='rss') or Atom ``<entry>``
+    (kind='atom'), ``entry_idx`` 0-based in document order per kind.
+
+    ``link`` is required (link-less blocks are unfetchable and drop);
+    for Atom it is the rel="alternate" href when one is declared
+    (either attribute ordering), else the entry's first href-carrying
+    ``<link>``. ``title`` is CDATA-stripped, entity-decoded, and
+    NULL when absent or empty. ``published`` is RSS ``<pubDate>`` /
+    Atom ``<published>`` falling back to ``<updated>`` — kept as the
+    raw declared string (RFC 822 vs RFC 3339 parsing is a consumer
+    policy, and malformed dates must not drop the URL). ``guid`` is
+    RSS ``<guid>`` / Atom ``<id>``.
+
+    Zero shuffles: the only cost is the linear payload scan, like
+    sitemap_entries. The reference serves per-request OCR and has no
+    crawl tier; this is corpus-pipeline surface the engine adds."""
+    base = feeds.select(
+        F.col(url_col).alias("url"), F.col(xml_col).cast("string").alias("_x")
+    )
+
+    def blocks(block_re: str, kind: str, link: Column) -> DataFrame:
+        out = base.select(
+            "url",
+            F.posexplode(
+                F.regexp_extract_all(F.col("_x"), F.lit(block_re), F.lit(1))
+            ).alias("entry_idx", "_body"),
+        )
+        if kind == "rss":
+            published = _feed_field(PUBDATE_RE)
+            guid = _feed_field(GUID_RE)
+        else:
+            published = F.coalesce(
+                _feed_field(PUBLISHED_RE), _feed_field(UPDATED_RE)
+            )
+            guid = _feed_field(ATOM_ID_RE)
+        return out.select(
+            "url",
+            F.lit(kind).alias("kind"),
+            F.col("entry_idx").cast("bigint"),
+            _decode(link).alias("link"),
+            F.nullif(
+                _decode(_strip_cdata(_feed_field(TITLE_BODY_RE))), F.lit("")
+            ).alias("title"),
+            published.alias("published"),
+            guid.alias("guid"),
+        )
+
+    rss = blocks(ITEM_BLOCK_RE, "rss", _feed_field(RSS_LINK_RE))
+    atom_link = F.coalesce(
+        _feed_field(ATOM_ALT_LINK_REL_FIRST_RE),
+        _feed_field(ATOM_ALT_LINK_HREF_FIRST_RE),
+        _feed_field(ATOM_ANY_LINK_RE),
+    )
+    atom = blocks(ENTRY_BLOCK_RE, "atom", atom_link)
+    return rss.unionByName(atom).filter(F.col("link").isNotNull())

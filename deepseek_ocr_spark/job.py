@@ -256,6 +256,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "with <3 surviving sentences, 'lorem ipsum', or a curly brace",
     )
     p.add_argument(
+        "--intradoc-dedup",
+        action="store_true",
+        help="curate mode: remove WITHIN-document repeated lines "
+        "(first occurrence survives, blank lines kept verbatim) "
+        "before stats and fingerprints — the Dolma/Gopher within-doc "
+        "repetition rewrite",
+    )
+    p.add_argument(
         "--output-format",
         choices=("parquet", "jsonl"),
         default="parquet",
@@ -393,6 +401,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             dsir_target_langs=_parse_languages(args.dsir_target_langs),
             normalize=args.normalize,
             c4_lines=args.c4_lines,
+            intradoc_dedup=args.intradoc_dedup,
             substring_dedup=args.substring_dedup,
             badwords=(
                 tuple(w.strip().lower() for w in args.badwords.split(",") if w.strip())

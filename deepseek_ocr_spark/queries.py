@@ -6721,6 +6721,252 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+# RSS/Atom feed parsing (functions/sitemaps.py feed_entries). Fixture:
+# even doc_ids publish an RSS 2.0 channel (CDATA + entity title, a
+# minimal item, and every 6th feed a link-less item that must drop),
+# odd doc_ids an Atom feed (rel=self decoy before rel=alternate, the
+# href-before-rel ordering, a bare-href fallback entry with a
+# whitespace-only title that must NULL, and every 5th feed a link-less
+# entry that must drop).
+def q_feed_entries(spark, sf_dir):
+    """Crawl-frontier seeding from RSS/Atom feeds
+    (functions/sitemaps.py feed_entries): one zero-shuffle regexp
+    projection per block kind, unioned; link required, rel=alternate
+    preferred for Atom, optional fields NULL."""
+    from deepseek_ocr_spark.functions import sitemaps as SM
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("f"), (F.col("doc_id") % 20).cast("string"))
+    base = F.concat(F.lit("https://"), host, F.lit(".example"))
+    rss = F.concat(
+        F.lit("<rss><channel><item><title><![CDATA[Post &amp; "),
+        did,
+        F.lit("]]></title><link>\n  "),
+        base,
+        F.lit("/post/"),
+        did,
+        F.lit("?x=1&amp;y=2 </link><pubDate>Mon, 0"),
+        ((F.col("doc_id") % 7) + 1).cast("string"),
+        F.lit(' Jan 2024</pubDate><guid isPermaLink="false">guid-'),
+        did,
+        F.lit("</guid></item><item><link>"),
+        base,
+        F.lit("/post/"),
+        did,
+        F.lit("-b</link></item>"),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.lit("<item><title>orphan</title></item>"),
+        ).otherwise(F.lit("")),
+        F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit("<feed><entry><title>A"),
+        did,
+        F.lit('</title><link rel="self" href="'),
+        base,
+        F.lit("/self/"),
+        did,
+        F.lit('"/><link rel="alternate" href="'),
+        base,
+        F.lit("/entry/"),
+        did,
+        F.lit('"/><published>2024-01-02T00:00:00Z</published>'),
+        F.lit("<updated>2024-01-03T00:00:00Z</updated><id>tag:"),
+        did,
+        F.lit('</id></entry><entry><link href="'),
+        base,
+        F.lit("/entry/"),
+        did,
+        F.lit('-b" rel="alternate"/><updated>2024-02-0'),
+        ((F.col("doc_id") % 9) + 1).cast("string"),
+        F.lit('T00:00:00Z</updated></entry><entry><link href="'),
+        base,
+        F.lit("/entry/"),
+        did,
+        F.lit('-c"/><title>  </title></entry>'),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("<entry><title>nolink</title></entry>"),
+        ).otherwise(F.lit("")),
+        F.lit("</feed>"),
+    )
+    feeds = d.select(
+        F.concat(base, F.lit("/feed/"), did).alias("url"),
+        F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom).alias("html"),
+    )
+    return SM.feed_entries(feeds)
+
+
+def _feed_entries_sql() -> str:
+    from deepseek_ocr_spark.functions import sitemaps as SM
+    from deepseek_ocr_spark.functions.html_meta import ENTITY_CHAIN
+
+    def q(pat: str) -> str:
+        return "'" + pat.replace("'", "''") + "'"
+
+    def field(pat: str) -> str:
+        return f"nullif(regexp_extract(e.body, {q(pat)}, 1), '')"
+
+    def decode(expr: str) -> str:
+        for needle, repl in ENTITY_CHAIN:
+            nd = needle.replace("'", "''")
+            rp = repl.replace("'", "''")
+            expr = f"replace({expr}, '{nd}', '{rp}')"
+        return expr
+
+    title = decode(
+        f"replace(replace({field(SM.TITLE_BODY_RE)},"
+        f" '{SM.CDATA_OPEN}', ''), '{SM.CDATA_CLOSE}', '')"
+    )
+    title = f"nullif({title}, '')"
+    rss_link = decode(field(SM.RSS_LINK_RE))
+    atom_link = decode(
+        f"coalesce({field(SM.ATOM_ALT_LINK_REL_FIRST_RE)},"
+        f" {field(SM.ATOM_ALT_LINK_HREF_FIRST_RE)},"
+        f" {field(SM.ATOM_ANY_LINK_RE)})"
+    )
+
+    def blocks(pat: str, kind: str, link: str, published: str, guid: str):
+        return f"""
+  SELECT url, '{kind}' AS kind, e.idx AS entry_idx, {link} AS link,
+         {title} AS title, {published} AS published, {guid} AS guid
+  FROM (
+    SELECT url, unnest(list_transform(range(1, len(bs) + 1),
+      i -> struct_pack(idx := (i - 1)::BIGINT, body := bs[i]))) AS e
+    FROM (SELECT url, regexp_extract_all(html, {q(pat)}, 1) AS bs FROM p)
+  )"""
+
+    rss = blocks(
+        SM.ITEM_BLOCK_RE,
+        "rss",
+        rss_link,
+        field(SM.PUBDATE_RE),
+        field(SM.GUID_RE),
+    )
+    atom = blocks(
+        SM.ENTRY_BLOCK_RE,
+        "atom",
+        atom_link,
+        f"coalesce({field(SM.PUBLISHED_RE)}, {field(SM.UPDATED_RE)})",
+        field(SM.ATOM_ID_RE),
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, 'https://f' || (doc_id % 20)::VARCHAR || '.example' AS base
+  FROM documents
+), p AS (
+  SELECT base || '/feed/' || doc_id::VARCHAR AS url,
+         CASE WHEN doc_id % 2 = 0 THEN
+           '<rss><channel><item><title><![CDATA[Post &amp; '
+           || doc_id::VARCHAR || ']]></title><link>' || chr(10)
+           || '  ' || base || '/post/' || doc_id::VARCHAR
+           || '?x=1&amp;y=2 </link><pubDate>Mon, 0'
+           || ((doc_id % 7) + 1)::VARCHAR
+           || ' Jan 2024</pubDate><guid isPermaLink="false">guid-'
+           || doc_id::VARCHAR || '</guid></item><item><link>'
+           || base || '/post/' || doc_id::VARCHAR || '-b</link></item>'
+           || CASE WHEN doc_id % 6 = 0
+                THEN '<item><title>orphan</title></item>' ELSE '' END
+           || '</channel></rss>'
+         ELSE
+           '<feed><entry><title>A' || doc_id::VARCHAR
+           || '</title><link rel="self" href="' || base || '/self/'
+           || doc_id::VARCHAR || '"/><link rel="alternate" href="'
+           || base || '/entry/' || doc_id::VARCHAR
+           || '"/><published>2024-01-02T00:00:00Z</published>'
+           || '<updated>2024-01-03T00:00:00Z</updated><id>tag:'
+           || doc_id::VARCHAR || '</id></entry><entry><link href="'
+           || base || '/entry/' || doc_id::VARCHAR
+           || '-b" rel="alternate"/><updated>2024-02-0'
+           || ((doc_id % 9) + 1)::VARCHAR
+           || 'T00:00:00Z</updated></entry><entry><link href="'
+           || base || '/entry/' || doc_id::VARCHAR
+           || '-c"/><title>  </title></entry>'
+           || CASE WHEN doc_id % 5 = 0
+                THEN '<entry><title>nolink</title></entry>' ELSE '' END
+           || '</feed>'
+         END AS html
+  FROM b
+), r AS ({rss}
+), a AS ({atom}
+)
+SELECT * FROM r WHERE link IS NOT NULL
+UNION ALL
+SELECT * FROM a WHERE link IS NOT NULL
+"""
+
+
+SQL_FEED_ENTRIES = _feed_entries_sql()
+
+
+# Within-document duplicate-line removal (functions/dedup.py
+# intradoc_line_dedup). Fixture: every doc renders a nav line twice,
+# its lead text twice, and keeps two blank separator lines — the
+# rewrite must drop exactly the two repeats and keep blanks verbatim.
+def q_intradoc_dedup(spark, sf_dir):
+    """Dolma/Gopher within-doc repetition rewrite: first occurrence of
+    each non-blank line survives, blank lines kept verbatim; one
+    (id, line)-keyed window + the shared array_sort rebuild."""
+    from deepseek_ocr_spark.functions import dedup as DD
+
+    d = _t(spark, sf_dir, "documents")
+    lead = F.substring(F.col("text"), 1, 40)
+    txt = F.concat_ws(
+        "\n",
+        F.lit("Nav Home About"),
+        lead,
+        F.lit(""),
+        F.lit("Nav Home About"),
+        F.substring(F.col("text"), 41, 40),
+        F.lit(""),
+        lead,
+        F.lit("Footer (c) 2024"),
+    )
+    docs = d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("url"),
+        txt.alias("text"),
+    )
+    return DD.intradoc_line_dedup(docs)
+
+
+def _intradoc_dedup_sql() -> str:
+    from deepseek_ocr_spark.functions.dedup import BLANK_LINE_RE
+
+    blank = BLANK_LINE_RE.replace("'", "''")
+    return f"""
+WITH d AS (
+  SELECT 'doc-' || doc_id::VARCHAR AS url,
+         'Nav Home About' || chr(10) || substr(text, 1, 40) || chr(10)
+         || chr(10) || 'Nav Home About' || chr(10)
+         || substr(text, 41, 40) || chr(10) || chr(10)
+         || substr(text, 1, 40) || chr(10) || 'Footer (c) 2024' AS text
+  FROM documents
+), l AS (
+  SELECT url, e.pos, e.line FROM (
+    SELECT url, unnest(list_transform(range(1, len(ls) + 1),
+      i -> struct_pack(pos := (i - 1)::BIGINT, line := ls[i]))) AS e
+    FROM (SELECT url, split(text, chr(10)) AS ls FROM d)
+  )
+), k AS (
+  SELECT url, pos, line,
+         regexp_matches(line, '{blank}')
+         OR row_number() OVER (PARTITION BY url, line ORDER BY pos) = 1
+           AS keep
+  FROM l
+)
+SELECT url, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dup_lines,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                           ORDER BY pos), '') AS text
+FROM k GROUP BY url
+"""
+
+
+SQL_INTRADOC_DEDUP = _intradoc_dedup_sql()
+
+
 # --------------------------------------------------------------------
 #
 # ORDERING POLICY (the driver's correctness gate checks the FIRST 50
@@ -7038,4 +7284,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "gopher_flags": (q_gopher_flags, SQL_GOPHER_FLAGS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
+    # feed_entries / intradoc_dedup: below-cut class (b) — zero-/
+    # doc-local-shuffle projections whose machinery (regexp block
+    # explode, (id,line) first-occurrence window + array_sort rebuild)
+    # is exercised end-to-end by in-window siblings (sitemap_entries'
+    # family, chunk_dedup_rewrite); hash-verified by the all-entries
+    # local gate every run.
+    "feed_entries": (q_feed_entries, SQL_FEED_ENTRIES),
+    "intradoc_dedup": (q_intradoc_dedup, SQL_INTRADOC_DEDUP),
 }

@@ -640,3 +640,25 @@ def test_host_quality_gate_drops_whole_domain(spark):
     assert not any("farm.example" in u for u in kept)
     assert sum("good.example" in u for u in kept) == 3
     assert sum("tiny.example" in u for u in kept) == 2
+
+
+def test_curate_intradoc_dedup_flag(spark, pages_path):
+    """--intradoc-dedup: within-doc repeated lines are gone from every
+    shipped doc, the stage is row-preserving (no funnel boundary), and
+    stats/fingerprints were computed on the rewritten text."""
+    pages = spark.read.parquet(pages_path)
+    final, funnel = curate(
+        pages, parallelism=2, intradoc_dedup=True, funnel_mode="counts"
+    )
+    rows = final.select("url", "text", "n_tokens").collect()
+    assert rows
+    from deepseek_ocr_spark.functions.textstats import token_count
+
+    for r in rows:
+        lines = [ln for ln in r.text.split("\n") if ln.strip()]
+        assert len(lines) == len(set(lines)), r.url
+    # n_tokens matches the shipped (rewritten) text, not the original
+    chk = final.select(
+        "url", (token_count(F.col("text")) == F.col("n_tokens")).alias("ok")
+    )
+    assert all(x.ok for x in chk.collect())

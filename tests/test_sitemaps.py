@@ -137,3 +137,97 @@ def test_zero_shuffle_plans(spark):
         .toString()
     )
     assert "Exchange" not in plan2
+
+
+# ---------------------------------------------------------------- feeds
+
+FEEDS = [
+    (
+        "https://r.example/feed.xml",
+        b"<rss><channel>\n"
+        b"<item><title><![CDATA[Hello &amp; Co]]></title>"
+        b"<link>\n  https://r.example/p1?a=1&amp;b=2 </link>"
+        b"<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>"
+        b'<guid isPermaLink="false">g1</guid></item>\n'
+        b"<item><link>https://r.example/p2</link></item>\n"
+        b"<item><title>no link: dropped</title></item>\n"
+        b"</channel></rss>",
+    ),
+    (
+        "https://a.example/atom.xml",
+        b'<feed xmlns="http://www.w3.org/2005/Atom">\n'
+        b"<entry><title>T1</title>"
+        b'<link rel="self" href="https://a.example/self"/>'
+        b'<link rel="alternate" href="https://a.example/e1"/>'
+        b"<updated>2024-01-02T00:00:00Z</updated>"
+        b"<id>tag:a,1</id></entry>\n"
+        b'<entry><link href="https://a.example/e2" rel="alternate"/>'
+        b"<published>2024-01-03T00:00:00Z</published>"
+        b"<updated>2024-01-04T00:00:00Z</updated></entry>\n"
+        b'<entry><link href="https://a.example/e3"/>'
+        b"<title>  </title></entry>\n"
+        b"<entry><title>no link: dropped</title></entry>\n"
+        b"</feed>",
+    ),
+    ("https://e.example/empty.xml", b"<rss><channel></channel></rss>"),
+]
+
+
+@pytest.fixture(scope="module")
+def feed_rows(spark):
+    df = spark.createDataFrame(FEEDS, "url string, html binary")
+    return SM.feed_entries(df).collect()
+
+
+def test_rss_fields_cdata_and_entities(feed_rows):
+    rows = {
+        (r.url, r.entry_idx): r for r in feed_rows if r.kind == "rss"
+    }
+    r0 = rows[("https://r.example/feed.xml", 0)]
+    # link whitespace-trimmed + entity-decoded; CDATA-stripped title
+    assert r0.link == "https://r.example/p1?a=1&b=2"
+    assert r0.title == "Hello & Co"
+    assert r0.published == "Mon, 01 Jan 2024 00:00:00 GMT"
+    assert r0.guid == "g1"
+    r1 = rows[("https://r.example/feed.xml", 1)]
+    assert r1.link == "https://r.example/p2"
+    assert r1.title is None and r1.published is None and r1.guid is None
+
+
+def test_atom_alternate_preferred_and_fallback(feed_rows):
+    rows = {
+        (r.url, r.entry_idx): r for r in feed_rows if r.kind == "atom"
+    }
+    # rel=self decoy first: alternate must win
+    r0 = rows[("https://a.example/atom.xml", 0)]
+    assert r0.link == "https://a.example/e1"
+    assert r0.title == "T1"
+    assert r0.published == "2024-01-02T00:00:00Z"  # published > updated
+    assert r0.guid == "tag:a,1"
+    # href-before-rel ordering; published absent -> updated
+    r1 = rows[("https://a.example/atom.xml", 1)]
+    assert r1.link == "https://a.example/e2"
+    assert r1.published == "2024-01-03T00:00:00Z"
+    # bare-href fallback; whitespace-only title -> NULL
+    r2 = rows[("https://a.example/atom.xml", 2)]
+    assert r2.link == "https://a.example/e3"
+    assert r2.title is None
+
+
+def test_feed_linkless_dropped_and_empty_feed(feed_rows):
+    # the link-less rss item (idx 2) and atom entry (idx 3) drop;
+    # their indices stay document-order (no renumber after drop)
+    idxs = sorted(
+        (r.kind, r.entry_idx) for r in feed_rows
+    )
+    assert idxs == [("atom", 0), ("atom", 1), ("atom", 2),
+                    ("rss", 0), ("rss", 1)]
+    assert not [r for r in feed_rows if r.url.startswith("https://e.")]
+
+
+def test_feed_zero_shuffle_plan(spark):
+    df = spark.createDataFrame(FEEDS, "url string, html binary")
+    plan = (
+        SM.feed_entries(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

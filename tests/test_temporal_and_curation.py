@@ -576,3 +576,63 @@ def test_url_change_rate_fixed_point(spark):
     assert out[1] == (4, 2, 2_000_000 // 3)
     assert out[2] == (1, 0, 0)
     assert out[3] == (3, 0, 0)
+
+
+# ------------------------------------------- within-doc line dedup
+
+
+def test_intradoc_dedup_drops_repeats_keeps_blanks(spark):
+    from deepseek_ocr_spark.functions.dedup import intradoc_line_dedup
+
+    df = spark.createDataFrame(
+        [("d1", "a\nb\n\na\nc\n\nb")], "url string, text string"
+    )
+    r = intradoc_line_dedup(df).collect()[0]
+    # both blank separators survive; second a and second b drop
+    assert r.text == "a\nb\n\nc\n"
+    assert r.n_lines == 7 and r.n_dup_lines == 2
+
+
+def test_intradoc_dedup_roundtrip_when_no_repeats(spark):
+    from deepseek_ocr_spark.functions.dedup import intradoc_line_dedup
+
+    texts = ["x\ny\nz", "", "  \n\t\nq", "single", "a\n\n\nb"]
+    df = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(texts)],
+        "url string, text string",
+    )
+    got = {r.url: r for r in intradoc_line_dedup(df).collect()}
+    # split/join on \n is lossless: byte-identical text, zero dups
+    for i, t in enumerate(texts):
+        assert got[f"d{i}"].text == t, (i, got[f"d{i}"].text)
+        assert got[f"d{i}"].n_dup_lines == 0
+    # repeated BLANK lines are never deduped (a\n\n\nb keeps both)
+    assert got["d4"].n_lines == 4
+
+
+def test_intradoc_dedup_is_per_document(spark):
+    from deepseek_ocr_spark.functions.dedup import intradoc_line_dedup
+
+    # the same line in two docs survives in BOTH (cross-doc dedup is
+    # line_dedup_rewrite's job, not this operator's)
+    df = spark.createDataFrame(
+        [("d1", "shared\nown1"), ("d2", "shared\nown2")],
+        "url string, text string",
+    )
+    got = {r.url: r.text for r in intradoc_line_dedup(df).collect()}
+    assert got == {"d1": "shared\nown1", "d2": "shared\nown2"}
+
+
+def test_intradoc_dedup_partitioning_independent(spark):
+    from deepseek_ocr_spark.functions.dedup import intradoc_line_dedup
+
+    rows = [
+        (f"d{i}", "\n".join(["nav", f"body {i}", "nav", f"tail {i % 3}"]))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    a = sorted(map(tuple, intradoc_line_dedup(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, intradoc_line_dedup(df.repartition(7)).collect()))
+    assert a == b
+    assert all(r[3] == f"nav\nbody {r[0][1:]}\ntail {int(r[0][1:]) % 3}"
+               for r in a)
