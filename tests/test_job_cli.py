@@ -314,6 +314,23 @@ def test_cli_curate_gates_flags(spark, pages_path, tmp_path, capsys):
     assert shipped.filter(F.col("text").rlike("@[A-Za-z0-9.-]+\\.")).count() == 0
 
 
+def test_cli_intradoc_dedup_flag(spark, pages_path, tmp_path, capsys):
+    """--intradoc-dedup reaches curate(): every shipped doc is free of
+    within-document repeated non-blank lines."""
+    out = str(tmp_path / "intradoc_corpus")
+    rc = main(
+        ["--mode", "curate", "--input", pages_path, "--output", out,
+         "--parallelism", "4", "--intradoc-dedup"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["curated"] > 0
+    for r in spark.read.parquet(out).select("text").collect():
+        lines = [ln for ln in r.text.split("\n") if ln.strip()]
+        assert len(lines) == len(set(lines))
+
+
 def test_cli_mixture_mode(spark, tmp_path, capsys):
     """--mode mixture expands a curated corpus to the target epoch
     plan and reports row counts."""
