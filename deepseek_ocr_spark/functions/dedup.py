@@ -1127,7 +1127,9 @@ def intradoc_line_dedup(
     (positions of one line within one doc). Reassembly is the shared
     array_sort(collect_list) rebuild on the doc key. Two shuffles,
     both carrying the doc's own lines — same volume the rebuild alone
-    would move. The reference (per-request OCR serving,
+    would move. NULL-text docs produce no output row (split(NULL)
+    explodes to nothing) — callers keeping such rows filter first,
+    as curate() does. The reference (per-request OCR serving,
     DeepSeek-OCR-master/run_dpsk_ocr.py) has no corpus tier; this is
     pipeline surface the engine adds."""
     lines = docs.select(
