@@ -169,6 +169,9 @@ HEADLINE = [
     "pq_adc_topk",
     "cdx_entries",
     "host_reciprocity",
+    # round 4, fifteenth wave
+    "feed_entries",
+    "intradoc_dedup",
 ]
 
 

@@ -309,3 +309,120 @@ def canonical_link_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def registered_domain(
+    hosts: DataFrame,
+    psl: DataFrame,
+    host_col: str = "host",
+    rule_col: str = "rule",
+) -> DataFrame:
+    """Mozilla Public-Suffix-List resolution: (host, public_suffix,
+    reg_domain) for every input host, under the PSL algorithm
+    (publicsuffix.org/list) — plain rules ('co.uk'), wildcard rules
+    ('*.ck': any single label under ck is public), and exception
+    rules ('!www.ck': overrides a wildcard; the exception itself is
+    registrable). Unmatched hosts fall to the implicit '*' default
+    rule (public suffix = the last label). ``reg_domain`` is the
+    public suffix plus one label (eTLD+1) — NULL when the host IS a
+    public suffix (nothing registrable).
+
+    This is the grouping key host-level signals actually need:
+    grouping by raw host splits a site across subdomains, while
+    grouping by last-2-labels merges every '.co.uk' site into one
+    (the classic bug the PSL exists to fix). ``domain_col`` stays the
+    cheap zero-join host extractor; this resolves hosts → registrable
+    domains when a PSL table is supplied (caller loads the published
+    list — not bundled, it changes monthly).
+
+    Shape: ``hosts`` is a DISTINCT host frame (dimension-sized by
+    contract — resolve once, broadcast the mapping back to the
+    corpus). Each host explodes into its ≤label-count dot-suffixes,
+    each suffix contributes its literal key and its wildcard form
+    ('a.b.c' → '*.b.c'), and the keys broadcast-join the
+    ~10k-row rule table. The prevailing rule follows the spec:
+    exceptions win outright, else the match with the most labels;
+    everything after the join runs on (host, suffix) rows — the
+    payload never appears."""
+    parts = F.split(F.col(host_col), r"\.")
+    n = F.size(parts)
+    sufs = hosts.select(
+        F.col(host_col),
+        n.alias("__n"),
+        F.explode(host_suffixes(F.col(host_col))).alias("suf"),
+    )
+    # candidate match keys: the suffix itself, plus its wildcard form
+    # when it has >= 2 labels (a '*.x' rule needs one label to bind)
+    wild = F.when(
+        F.col("suf").contains("."),
+        F.concat(F.lit("*."), F.regexp_replace("suf", "^[^.]+\\.", "")),
+    )
+    cand = sufs.select(
+        host_col,
+        "__n",
+        "suf",
+        F.size(F.split(F.col("suf"), r"\.")).alias("__suf_n"),
+        F.explode(F.array_compact(F.array(F.col("suf"), wild))).alias(
+            "__key"
+        ),
+    )
+    rules = psl.select(
+        F.when(
+            F.col(rule_col).startswith("!"),
+            F.expr(f"substring({rule_col}, 2)"),
+        )
+        .otherwise(F.col(rule_col))
+        .alias("__key"),
+        F.col(rule_col).startswith("!").alias("__exc"),
+    ).distinct()
+    from pyspark.sql.functions import broadcast
+
+    m = cand.join(broadcast(rules), "__key")
+    resolved = m.groupBy(host_col).agg(
+        F.first("__n").alias("__n"),
+        # exception rules win outright: their public suffix is the
+        # matched suffix minus its leftmost label
+        F.min(F.when(F.col("__exc"), F.col("suf"))).alias("__exc_suf"),
+        # else: the match with the most labels prevails (suffixes of
+        # one host are unique per label count, so max(struct) is
+        # deterministic)
+        F.max(
+            F.when(
+                ~F.col("__exc"),
+                F.struct(F.col("__suf_n").alias("n"), F.col("suf").alias("s")),
+            )
+        ).alias("__best"),
+    )
+    joined = hosts.join(resolved, host_col, "left")
+    ps = F.when(
+        F.col("__exc_suf").isNotNull(),
+        F.regexp_replace("__exc_suf", "^[^.]+\\.", ""),
+    ).otherwise(
+        F.coalesce(
+            F.col("__best.s"),
+            # implicit '*' default rule: the last label is public
+            F.element_at(F.split(F.col(host_col), r"\."), -1),
+        )
+    )
+    out = joined.select(
+        F.col(host_col),
+        ps.alias("public_suffix"),
+        F.coalesce(F.col("__n"), F.size(F.split(F.col(host_col), r"\."))).alias(
+            "__n"
+        ),
+    )
+    ps_n = F.size(F.split(F.col("public_suffix"), r"\."))
+    reg = F.when(
+        F.col("__n") > ps_n,
+        F.array_join(
+            F.slice(
+                F.split(F.col(host_col), r"\."),
+                F.col("__n") - ps_n,
+                ps_n + F.lit(1),
+            ),
+            ".",
+        ),
+    )
+    return out.select(
+        host_col, "public_suffix", reg.alias("reg_domain")
+    )

@@ -6967,6 +6967,129 @@ FROM k GROUP BY url
 SQL_INTRADOC_DEDUP = _intradoc_dedup_sql()
 
 
+# Public-Suffix-List registered-domain resolution
+# (functions/urls.py registered_domain). Fixture: hosts synthesized
+# from doc_id across six shapes (deep co.uk subdomain, plain .com,
+# github.io user sites, the *.ck wildcard with its !www.ck exception,
+# a bare public suffix, an unlisted TLD hitting the implicit '*'
+# default rule) against a 7-rule PSL slice.
+def q_registered_domain(spark, sf_dir):
+    """PSL algorithm: plain/wildcard/exception rules, longest match
+    prevails, exceptions win outright; eTLD+1 NULL when the host IS a
+    public suffix. Bounded suffix explode + broadcast rule join."""
+    from deepseek_ocr_spark.functions.urls import registered_domain
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    host = (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit("www.site"), did, F.lit(".co.uk")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(F.lit("blog.site"), did, F.lit(".com")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(F.lit("user"), did, F.lit(".github.io")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.when(F.col("doc_id") % 12 == 3, F.lit("www.ck")).otherwise(
+                F.concat(F.lit("shop"), did, F.lit(".foo.ck"))
+            ),
+        )
+        .when(F.col("doc_id") % 6 == 4, F.lit("github.io"))
+        .otherwise(F.concat(F.lit("x"), did, F.lit(".unknown-tld")))
+    )
+    hosts = d.select(host.alias("host")).distinct()
+    psl = spark.createDataFrame(
+        [(r,) for r in PSL_FIXTURE_RULES], "rule string"
+    )
+    return registered_domain(hosts, psl)
+
+
+PSL_FIXTURE_RULES = (
+    "com",
+    "uk",
+    "co.uk",
+    "github.io",
+    "io",
+    "*.ck",
+    "!www.ck",
+)
+
+
+def _registered_domain_sql() -> str:
+    rules = ", ".join(f"('{r}')" for r in PSL_FIXTURE_RULES)
+    return f"""
+WITH d AS (
+  SELECT DISTINCT CASE
+    WHEN doc_id % 6 = 0 THEN 'www.site' || doc_id::VARCHAR || '.co.uk'
+    WHEN doc_id % 6 = 1 THEN 'blog.site' || doc_id::VARCHAR || '.com'
+    WHEN doc_id % 6 = 2 THEN 'user' || doc_id::VARCHAR || '.github.io'
+    WHEN doc_id % 6 = 3 THEN CASE WHEN doc_id % 12 = 3 THEN 'www.ck'
+      ELSE 'shop' || doc_id::VARCHAR || '.foo.ck' END
+    WHEN doc_id % 6 = 4 THEN 'github.io'
+    ELSE 'x' || doc_id::VARCHAR || '.unknown-tld' END AS host
+  FROM documents
+), psl AS (
+  SELECT * FROM (VALUES {rules}) AS t(rule)
+), s AS (
+  SELECT host, len(ps)::BIGINT AS n,
+         unnest([array_to_string(ps[i:], '.')
+                 for i in generate_series(1, len(ps))]) AS suf
+  FROM (SELECT host, string_split(host, '.') AS ps FROM d)
+), suf AS (
+  SELECT host, n, suf,
+         len(string_split(suf, '.'))::BIGINT AS suf_n
+  FROM s
+), cand AS (
+  SELECT host, n, suf, suf_n, suf AS key FROM suf
+  UNION ALL
+  SELECT host, n, suf, suf_n,
+         '*.' || regexp_replace(suf, '^[^.]+\\.', '') AS key
+  FROM suf WHERE contains(suf, '.')
+), rules AS (
+  SELECT DISTINCT
+    CASE WHEN rule LIKE '!%' THEN substr(rule, 2) ELSE rule END AS key,
+    rule LIKE '!%' AS exc
+  FROM psl
+), m AS (
+  SELECT c.host, c.n, c.suf, c.suf_n, r.exc
+  FROM cand c JOIN rules r USING (key)
+), res AS (
+  SELECT host, any_value(n) AS n,
+         min(CASE WHEN exc THEN suf END) AS exc_suf,
+         max(CASE WHEN NOT exc
+               THEN struct_pack(n := suf_n, s := suf) END) AS best
+  FROM m GROUP BY host
+), j AS (
+  SELECT d.host,
+         CASE WHEN exc_suf IS NOT NULL
+              THEN regexp_replace(exc_suf, '^[^.]+\\.', '')
+              ELSE coalesce(best.s,
+                            string_split(d.host, '.')[
+                              len(string_split(d.host, '.'))]) END
+           AS public_suffix,
+         coalesce(res.n,
+                  len(string_split(d.host, '.'))::BIGINT) AS n
+  FROM d LEFT JOIN res ON d.host = res.host
+)
+SELECT host, public_suffix,
+       CASE WHEN n > len(string_split(public_suffix, '.'))
+            THEN array_to_string(
+                   string_split(host, '.')[
+                     (n - len(string_split(public_suffix, '.'))) : n],
+                   '.') END AS reg_domain
+FROM j
+"""
+
+
+SQL_REGISTERED_DOMAIN = _registered_domain_sql()
+
+
 # --------------------------------------------------------------------
 #
 # ORDERING POLICY (the driver's correctness gate checks the FIRST 50
@@ -7292,4 +7415,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # local gate every run.
     "feed_entries": (q_feed_entries, SQL_FEED_ENTRIES),
     "intradoc_dedup": (q_intradoc_dedup, SQL_INTRADOC_DEDUP),
+    # registered_domain: below-cut class (b) — dimension-sized
+    # bounded explode + broadcast rule join; the PSL algorithm's
+    # rule-precedence logic is pinned by tests/test_urls.py fixtures
+    # and the hash-verified twin here.
+    "registered_domain": (q_registered_domain, SQL_REGISTERED_DOMAIN),
 }

@@ -205,3 +205,69 @@ def test_url_template_stats_two_clause_trap(spark):
     assert got[("trap.example", "/cal/{n}/d")] is True
     assert got[("mega.example", "/cal/{n}/d")] is False
     assert got[("tiny.example", "/cal/{n}/d")] is False
+
+
+# ----------------------------------------------- PSL registered domain
+
+PSL_RULES = ["com", "uk", "co.uk", "github.io", "io", "*.ck", "!www.ck"]
+
+
+def _resolve(spark, hosts):
+    from deepseek_ocr_spark.functions.urls import registered_domain
+
+    h = spark.createDataFrame([(x,) for x in hosts], "host string")
+    p = spark.createDataFrame([(r,) for r in PSL_RULES], "rule string")
+    return {
+        r.host: (r.public_suffix, r.reg_domain)
+        for r in registered_domain(h, p).collect()
+    }
+
+
+def test_psl_longest_match_and_etld1(spark):
+    got = _resolve(spark, [
+        "www.example.co.uk", "example.co.uk", "a.b.example.com",
+        "user.github.io",
+    ])
+    # co.uk (2 labels) beats uk (1 label); eTLD+1 strips subdomains
+    assert got["www.example.co.uk"] == ("co.uk", "example.co.uk")
+    assert got["example.co.uk"] == ("co.uk", "example.co.uk")
+    assert got["a.b.example.com"] == ("com", "example.com")
+    # github.io beats io: user sites are separate registrable domains
+    assert got["user.github.io"] == ("github.io", "user.github.io")
+
+
+def test_psl_wildcard_and_exception(spark):
+    got = _resolve(spark, ["shop.foo.ck", "foo.ck", "www.ck", "a.www.ck"])
+    # *.ck: every single label under ck is itself a public suffix
+    assert got["shop.foo.ck"] == ("foo.ck", "shop.foo.ck")
+    assert got["foo.ck"] == ("foo.ck", None)
+    # !www.ck: the exception IS registrable (public suffix = ck)
+    assert got["www.ck"] == ("ck", "www.ck")
+    assert got["a.www.ck"] == ("ck", "www.ck")
+
+
+def test_psl_bare_suffix_and_default_rule(spark):
+    got = _resolve(spark, ["github.io", "com", "localhost",
+                           "x.y.unknown-tld"])
+    # a host that IS a public suffix has nothing registrable
+    assert got["github.io"] == ("github.io", None)
+    assert got["com"] == ("com", None)
+    # implicit '*' default rule: last label is the public suffix
+    assert got["localhost"] == ("localhost", None)
+    assert got["x.y.unknown-tld"] == ("unknown-tld", "y.unknown-tld")
+
+
+def test_psl_rule_table_broadcast(spark):
+    from deepseek_ocr_spark.functions.urls import registered_domain
+
+    h = spark.createDataFrame(
+        [(f"s{i}.example.com",) for i in range(50)], "host string"
+    )
+    p = spark.createDataFrame([(r,) for r in PSL_RULES], "rule string")
+    plan = (
+        registered_domain(h, p)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
