@@ -7090,6 +7090,42 @@ FROM j
 SQL_REGISTERED_DOMAIN = _registered_domain_sql()
 
 
+def q_edit_confirm(spark, sf_dir):
+    """Levenshtein confirm over the LSH candidate pairs — the fuzzy-
+    dedup rung between shingle-Jaccard and embedding cosine. Prefixes
+    are ASCII-projected (Spark counts codepoints, DuckDB counts UTF-8
+    bytes — the hash only holds on ASCII) and dist_ppm is exact
+    integer parts-per-million (functions/dedup.py
+    edit_distance_confirm)."""
+    d = _t(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(d, "doc_id", "text")
+    pairs = DD.lsh_candidate_pairs(sig, "doc_id")
+    return DD.edit_distance_confirm(d, pairs, "doc_id", "text")
+
+
+SQL_EDIT_CONFIRM = (
+    _SHINGLES_SQL
+    + ","
+    + _PAIRS_CORE
+    + f""",
+cand AS (SELECT id_a AS doc_id FROM pairs
+         UNION SELECT id_b FROM pairs),
+pfx AS (SELECT d.doc_id,
+               substr(regexp_replace(lower(trim(d.text)),
+                                     '[^ -~]', '', 'g'),
+                      1, {DD.EDIT_PREFIX_LEN}) AS pfx
+        FROM documents d JOIN cand c ON c.doc_id = d.doc_id)
+SELECT p.id_a, p.id_b,
+       levenshtein(a.pfx, b.pfx) AS lev,
+       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) * 1000000
+         // greatest(length(a.pfx), length(b.pfx), 1) AS dist_ppm
+FROM pairs p
+JOIN pfx a ON a.doc_id = p.id_a
+JOIN pfx b ON b.doc_id = p.id_b
+"""
+)
+
+
 # --------------------------------------------------------------------
 #
 # ORDERING POLICY (the driver's correctness gate checks the FIRST 50
@@ -7420,4 +7456,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # rule-precedence logic is pinned by tests/test_urls.py fixtures
     # and the hash-verified twin here.
     "registered_domain": (q_registered_domain, SQL_REGISTERED_DOMAIN),
+    # edit_confirm: below-cut class (b) — same candidate-restricted
+    # confirm plan as the in-window ngram_jaccard (semi-join to pair
+    # ids, candidate-sized joins); the new piece (levenshtein +
+    # integer ppm on ASCII-projected prefixes) is pinned by
+    # tests/test_gates_and_rollup.py fixtures and the twin here.
+    "edit_confirm": (q_edit_confirm, SQL_EDIT_CONFIRM),
 }

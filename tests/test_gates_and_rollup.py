@@ -245,3 +245,63 @@ def test_reciprocity_link_ring_vs_organic(spark):
     assert out["m"] == (2, 1, 500_000)
     # a: out-edges b, c, m — all reciprocated
     assert out["a"] == (3, 3, 1_000_000)
+
+
+# -- Levenshtein confirm ----------------------------------------------
+
+def test_edit_confirm_values_and_ppm(spark):
+    from deepseek_ocr_spark.functions.dedup import edit_distance_confirm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Release notes v1.0.3 for widget"),
+            (2, "Release notes v1.0.4 for widget"),
+            (3, "totally different content here"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a int, id_b int"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in edit_distance_confirm(docs, pairs, "doc_id", "text").collect()
+    }
+    # one substituted character between the version twins
+    assert got[(1, 2)]["lev"] == 1
+    # normalized prefix is lowercase("release notes v1.0.3 for widget")
+    # -> 31 chars; ppm = 1 * 1e6 DIV 31
+    assert got[(1, 2)]["dist_ppm"] == 1_000_000 // 31
+    assert got[(1, 3)]["lev"] > 10
+
+
+def test_edit_confirm_ascii_projection_and_prefix_cap(spark):
+    from deepseek_ocr_spark.functions.dedup import edit_distance_confirm
+
+    # non-ASCII strips BEFORE compare (cross-engine byte-vs-codepoint
+    # guard), and text beyond prefix_len never contributes
+    docs = spark.createDataFrame(
+        [
+            (1, "héllo wörld" + " tail" * 100),
+            (2, "hllo wrld" + " DIFFERENT-TAIL" * 100),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    r = edit_distance_confirm(
+        docs, pairs, "doc_id", "text", prefix_len=11
+    ).collect()[0]
+    # both prefixes normalize to "hllo wrld" + start of tail
+    assert r["lev"] <= 2
+
+
+def test_edit_confirm_empty_text_no_div_zero(spark):
+    from deepseek_ocr_spark.functions.dedup import edit_distance_confirm
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "…")],  # second is non-ASCII-only -> empty prefix
+        "doc_id int, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    r = edit_distance_confirm(docs, pairs, "doc_id", "text").collect()[0]
+    assert r["lev"] == 0 and r["dist_ppm"] == 0
