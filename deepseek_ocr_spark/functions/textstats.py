@@ -552,3 +552,66 @@ def host_reputation(
             ),
         )
     )
+
+
+# -- entity-candidate mining (NER-lite) -------------------------------
+#
+# Multi-word capitalized sequences with corpus counts — the
+# deterministic stand-in for NER over a crawl: "Acme Corp" / "New
+# York"-shaped spans surface as (entity, n_docs, n_mentions) rows for
+# knowledge-graph seeding, topic profiling, and anonymization review.
+# Requiring >= 2 capitalized words kills most sentence-initial noise;
+# the leading-stopword filter kills the rest ("The company announced"
+# must not mint an entity "The"-led candidate). Heuristic by design —
+# the point is the OPERATOR shape (zero-shuffle extraction, one
+# entity-keyed agg with map-side combine, TakeOrderedAndProject
+# top-k); swap the regex for a model-backed tagger behind the same
+# frame contract.
+#
+# Both patterns live in the Java-regex ∩ RE2 subset ((?:...), \b,
+# alternation — no backreferences/lookaround), so the DuckDB twin
+# runs the identical strings.
+ENTITY_RE = r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b"
+ENTITY_STOP_LEAD_RE = (
+    r"^(?:The|A|An|In|On|At|It|If|This|That|But|And|Or|For|To|By|"
+    r"We|He|She|They|You|I|As|So|Of|With|From|Not|No|All|Its) "
+)
+
+
+def entity_candidates(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    k: int = 50,
+):
+    """(entity, n_docs, n_mentions) — top-``k`` multi-word
+    capitalized-sequence candidates appearing in >= ``min_docs``
+    distinct documents, ordered (n_mentions DESC, n_docs DESC, entity)
+    so the cut is deterministic through ties.
+
+    Scale shape: regexp_extract_all + explode is doc-local (no
+    shuffle); the single entity-keyed aggregation combines map-side;
+    the final cut is TakeOrderedAndProject. The min_docs floor runs
+    AFTER the agg — cross-doc support can only be known there — but
+    the agg state is one (count, approx-distinct) pair per distinct
+    entity, bounded by vocabulary, not corpus size.
+    """
+    m = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(ENTITY_RE), 0)
+        ).alias("entity"),
+    ).filter(~F.col("entity").rlike(ENTITY_STOP_LEAD_RE))
+    return (
+        m.groupBy("entity")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_mentions"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(
+            F.col("n_mentions").desc(), F.col("n_docs").desc(), "entity"
+        )
+        .limit(k)
+    )

@@ -7090,6 +7090,64 @@ FROM j
 SQL_REGISTERED_DOMAIN = _registered_domain_sql()
 
 
+# Fixture entity synthesis (documents text is all-lowercase, so the
+# capitalized-sequence pattern needs injected mentions): expression
+# strings shared VERBATIM between the Spark query and the DuckDB twin.
+_ENT_A = (
+    "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'Acme Corp' "
+    "WHEN 1 THEN 'New York City' WHEN 2 THEN 'Alice Johnson' "
+    "WHEN 3 THEN 'Deep Research Lab' ELSE 'Rio Grande' END"
+)
+_ENT_B = (
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Acme Corp' "
+    "WHEN 1 THEN 'Quantum Widgets' ELSE 'Alice Johnson' END"
+)
+_ENT_TEXT = (
+    "concat('The Company announced results. ', "
+    f"{_ENT_A}, ' partners with ', {_ENT_B}, "
+    f"'. Contact ', {_ENT_A}, ' today. ', text)"
+)
+
+
+def q_entity_mining(spark, sf_dir):
+    """NER-lite: multi-word capitalized-sequence candidates with
+    corpus support counts (functions/textstats.py entity_candidates).
+    'The Company' is a sentence-initial decoy the leading-stopword
+    filter must drop."""
+    from deepseek_ocr_spark.functions.textstats import entity_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.expr(_ENT_TEXT).alias("text"))
+    return entity_candidates(docs, min_docs=2, k=20)
+
+
+def _entity_mining_sql() -> str:
+    from deepseek_ocr_spark.functions.textstats import (
+        ENTITY_RE,
+        ENTITY_STOP_LEAD_RE,
+    )
+
+    return f"""
+WITH docs AS (SELECT doc_id, {_ENT_TEXT} AS text FROM documents),
+m AS (SELECT doc_id,
+             unnest(regexp_extract_all(text, '{ENTITY_RE}')) AS entity
+      FROM docs),
+f AS (SELECT entity,
+             count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_mentions
+      FROM m
+      WHERE NOT regexp_matches(entity, '{ENTITY_STOP_LEAD_RE}')
+      GROUP BY entity)
+SELECT entity, n_docs, n_mentions FROM f
+WHERE n_docs >= 2
+ORDER BY n_mentions DESC, n_docs DESC, entity
+LIMIT 20
+"""
+
+
+SQL_ENTITY_MINING = _entity_mining_sql()
+
+
 def q_edit_confirm(spark, sf_dir):
     """Levenshtein confirm over the LSH candidate pairs — the fuzzy-
     dedup rung between shingle-Jaccard and embedding cosine. Prefixes
@@ -7462,4 +7520,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # integer ppm on ASCII-projected prefixes) is pinned by
     # tests/test_gates_and_rollup.py fixtures and the twin here.
     "edit_confirm": (q_edit_confirm, SQL_EDIT_CONFIRM),
+    # entity_mining: below-cut class (b) — zero-shuffle extraction +
+    # one entity-keyed agg + TakeOrderedAndProject, the same plan
+    # family as the in-window cms_topk/tfidf queries; the regex and
+    # stop-lead filter are pinned by tests/test_gates_and_rollup.py
+    # and the hash-verified twin here.
+    "entity_mining": (q_entity_mining, SQL_ENTITY_MINING),
 }

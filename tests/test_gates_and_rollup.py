@@ -305,3 +305,49 @@ def test_edit_confirm_empty_text_no_div_zero(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
     r = edit_distance_confirm(docs, pairs, "doc_id", "text").collect()[0]
     assert r["lev"] == 0 and r["dist_ppm"] == 0
+
+
+# -- entity-candidate mining ------------------------------------------
+
+def test_entity_candidates_counts_and_stop_lead(spark):
+    from deepseek_ocr_spark.functions.textstats import entity_candidates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Acme Corp shipped. Acme Corp grew. The Company did not."),
+            (2, "We met Acme Corp and Alice Johnson in town."),
+            (3, "Alice Johnson spoke. This Thing is sentence-initial."),
+            (4, "only lowercase words here, no entities at all"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["entity"]: (r["n_docs"], r["n_mentions"])
+        for r in entity_candidates(docs, min_docs=2, k=10).collect()
+    }
+    assert got == {"Acme Corp": (2, 3), "Alice Johnson": (2, 2)}
+    # "The Company" / "This Thing" filtered by the leading-stopword
+    # guard, single-doc entities filtered by min_docs
+
+
+def test_entity_candidates_single_word_never_matches(spark):
+    from deepseek_ocr_spark.functions.textstats import entity_candidates
+
+    docs = spark.createDataFrame(
+        [(1, "Paris is nice. Paris is big."), (2, "Paris again here.")],
+        "doc_id int, text string",
+    )
+    assert entity_candidates(docs, min_docs=1, k=10).count() == 0
+
+
+def test_entity_candidates_deterministic_topk_cut(spark):
+    from deepseek_ocr_spark.functions.textstats import entity_candidates
+
+    # two entities with IDENTICAL counts: the (mentions, docs, entity)
+    # tiebreak must make the k=1 cut deterministic
+    docs = spark.createDataFrame(
+        [(1, "Beta Corp and Alpha Corp."), (2, "Beta Corp and Alpha Corp.")],
+        "doc_id int, text string",
+    )
+    rows = entity_candidates(docs, min_docs=2, k=1).collect()
+    assert [r["entity"] for r in rows] == ["Alpha Corp"]
