@@ -40,6 +40,12 @@ module makes that pattern a first-class table format:
   reads a small fraction of the files of a 100 TB table; stats-less
   files always survive pruning (superset guarantee), and the caller
   re-applies the real predicate on the returned frame;
+* opt-in per-file BLOOM FILTERS (``snapshot_write(bloom_cols=...)``)
+  prune EQUALITY predicates (``snapshot_read(prune_eq={col: v})``) on
+  high-cardinality unsorted keys where min/max stats prune nothing —
+  a url point lookup on a 100 TB table reads ~1 file instead of all
+  of them. No false negatives by construction; merge and compaction
+  keep building filters for rewritten files (table property);
 * ``snapshot_diff`` derives a row-level CHANGE FEED between any two
   versions from the manifests alone (the Delta CDF / Iceberg
   changelog shape, with no stored change log): data files are
@@ -202,22 +208,35 @@ def _carried_stats(base_manifest: dict, carried_files: list[str]) -> dict:
     return {f: base[f] for f in carried_files if f in base}
 
 
-def _prune_files(manifest: dict, prune: dict | None) -> list[str]:
+def _prune_files(
+    manifest: dict,
+    prune: dict | None,
+    prune_eq: dict | None = None,
+) -> list[str]:
     """Manifest files that can contain rows satisfying ``prune``
-    ({col: (lo, hi)}, inclusive, either bound None). A file is
-    skipped only when its recorded [min, max] PROVABLY misses the
-    range; files without stats for a column always survive — pruning
+    ({col: (lo, hi)}, inclusive, either bound None) and ``prune_eq``
+    ({col: value} point lookups). A file is skipped only when its
+    recorded [min, max] PROVABLY misses the range, or (for equality
+    predicates) its per-file Bloom filter proves the key absent;
+    files without stats/blooms for a column always survive — pruning
     returns a superset of the matching rows, the caller still applies
     the real predicate (exactly Iceberg/Delta data-skipping
     semantics)."""
-    if not prune:
+    ranges = dict(prune or {})
+    for col, v in (prune_eq or {}).items():
+        # an equality predicate is also a degenerate range: min/max
+        # stats prune it even on files with no Bloom
+        ranges.setdefault(col, (v, v))
+    if not ranges and not prune_eq:
         return list(manifest["files"])
     stats = manifest.get("stats", {})
+    blooms = manifest.get("blooms", {})
+    conf = manifest.get("bloom_conf")
     kept = []
     for f in manifest["files"]:
         s = stats.get(f, {})
         drop = False
-        for col, (lo, hi) in prune.items():
+        for col, (lo, hi) in ranges.items():
             if col not in s:
                 continue
             fmin, fmax = s[col]
@@ -226,9 +245,147 @@ def _prune_files(manifest: dict, prune: dict | None) -> list[str]:
             ):
                 drop = True
                 break
+        if not drop and conf and prune_eq:
+            b = blooms.get(f, {})
+            for col, v in prune_eq.items():
+                bm = b.get(col)
+                if bm is None:
+                    continue  # no filter for this file/col: keep
+                if not _bloom_probe(bm, v, conf["m"], conf["k"]):
+                    drop = True
+                    break
         if not drop:
             kept.append(f)
     return kept
+
+
+# -- per-file Bloom filters (equality-predicate data skipping) --------
+#
+# min/max stats prune RANGE predicates but are useless for point
+# lookups on high-cardinality unsorted keys (every file's [min_url,
+# max_url] spans the alphabet). A per-file Bloom filter answers "can
+# this file contain key v?" with no false negatives — the caller
+# still applies the real filter, so a false positive only costs one
+# extra file read (the Iceberg puffin / parquet bloom_filter_enabled
+# idea, lifted to the manifest so pruning happens BEFORE Spark plans
+# the scan).
+#
+# Bit positions reuse functions/bloom.py's salted-md5 scheme, so the
+# filter built by executors (column expressions over the written
+# files) and the probe computed driver-side (hashlib) agree bit for
+# bit. Key columns must be STRING or INTEGER typed: the position hash
+# goes through CAST(col AS STRING), and Python's str() matches
+# Spark's cast for those types only (floats/timestamps format
+# differently — rejected at write).
+#
+# Sizing: m bits serve ~m/10 distinct keys per file at ~1% false
+# positives; beyond that the filter saturates and pruning power
+# decays gracefully toward "keep everything" (the superset guarantee
+# never breaks). The hex bitmap costs m/4 chars per file per column
+# in the manifest JSON — at very large file counts real systems move
+# the bitmaps to sidecar files (Iceberg puffin); the probe contract
+# here would not change.
+
+_BLOOM_M_FILE = 32768
+_BLOOM_K_FILE = 4
+_BLOOM_KEY_TYPES = {"string", "byte", "short", "integer", "long"}
+
+
+def _bloom_probe(hexmap: str, value, m: int, k: int) -> bool:
+    """True iff all k positions for ``value`` are set — the
+    driver-side twin of functions/bloom.bloom_positions."""
+    import hashlib
+
+    bm = bytes.fromhex(hexmap)
+    for i in range(k):
+        p = (
+            int(
+                hashlib.md5(f"bf{i}:{value}".encode()).hexdigest()[:15],
+                16,
+            )
+            % m
+        )
+        if not (bm[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
+def _resolve_bloom_conf(
+    bloom_cols, base_manifest: dict | None, m_bits: int, k: int
+) -> dict | None:
+    """None = inherit the table's existing config (bloom filters are
+    a TABLE property, like Iceberg write.metadata properties);
+    empty = disable from this commit on; a column list = (re)enable."""
+    if bloom_cols is None:
+        return (base_manifest or {}).get("bloom_conf")
+    if not bloom_cols:
+        return None
+    return {"cols": list(bloom_cols), "m": m_bits, "k": k}
+
+
+def _collect_file_blooms(
+    spark: SparkSession, table: str, files: list[str], conf: dict | None
+) -> dict:
+    """{relpath: {col: hex bitmap}} for just-written data files. One
+    distributed pass over the new files only (never the whole table):
+    positions are column expressions grouped by ``_metadata.file_path``;
+    the driver materializes <= files x cols x m (file, col, pos)
+    rows and packs the bitmaps."""
+    if not conf or not files:
+        return {}
+    from deepseek_ocr_spark.functions.bloom import bloom_positions
+
+    paths = [os.path.join(table, f) for f in files]
+    df = spark.read.parquet(*paths)
+    types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    cols = [c for c in conf["cols"] if c in types]
+    for c in cols:
+        if types[c] not in _BLOOM_KEY_TYPES:
+            raise ValueError(
+                f"bloom filter on column {c!r}: type {types[c]!r} not "
+                "supported (string/integer only — CAST-to-string must "
+                "match the driver-side probe's str())"
+            )
+    if not cols:
+        return {}
+    parts = [
+        df.select(
+            F.col("_metadata.file_path").alias("__f"),
+            F.lit(c).alias("__c"),
+            F.explode(
+                bloom_positions(F.col(c), conf["m"], conf["k"])
+            ).alias("__p"),
+        )
+        for c in cols
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    rows = u.filter(F.col("__p").isNotNull()).distinct().collect()
+    sets: dict = {}
+    for r in rows:
+        rel = _to_rel(table, r["__f"])
+        sets.setdefault(rel, {}).setdefault(r["__c"], set()).add(r["__p"])
+    out: dict = {}
+    for rel, bycol in sets.items():
+        out[rel] = {}
+        for c, ps in bycol.items():
+            bm = bytearray(conf["m"] >> 3)
+            for p in ps:
+                bm[p >> 3] |= 1 << (p & 7)
+            out[rel][c] = bytes(bm).hex()
+    # files whose key column was all-NULL still get an (all-zero)
+    # filter so point lookups can prove them key-free
+    empty = bytes(conf["m"] >> 3).hex()
+    for f in files:
+        for c in cols:
+            out.setdefault(f, {}).setdefault(c, empty)
+    return out
+
+
+def _carried_blooms(base_manifest: dict, carried_files: list[str]) -> dict:
+    base = base_manifest.get("blooms", {})
+    return {f: base[f] for f in carried_files if f in base}
 
 
 def _write_data_files(df: DataFrame, table: str) -> tuple[list[str], str]:
@@ -274,7 +431,8 @@ def _merge_schemas(base_json: str, new_json: str) -> str:
 
 def snapshot_write(
     df: DataFrame, table: str, mode: str = "append", stats_cols=None,
-    props: dict | None = None,
+    props: dict | None = None, bloom_cols=None,
+    bloom_m: int = _BLOOM_M_FILE,
 ) -> dict:
     """Commit ``df`` as a new table snapshot. ``append`` keeps the
     base snapshot's files by reference and retries transparently on
@@ -285,8 +443,15 @@ def snapshot_write(
     columns, () = disable). ``props`` (JSON-serializable dict) lands
     in the manifest under ``"props"`` — snapshot properties, the
     Iceberg summary-metadata slot (e.g. the incremental curator
-    records the source version it consumed). Returns the committed
-    manifest."""
+    records the source version it consumed).
+
+    ``bloom_cols`` enables per-file Bloom filters for equality-
+    predicate file skipping (``snapshot_read(prune_eq=...)``):
+    None = inherit the table's existing config, a column list =
+    (re)enable at ``bloom_m`` bits, () = disable from this commit on.
+    The config is a TABLE property — merge and compaction keep
+    building filters for rewritten files automatically. Returns the
+    committed manifest."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_write: unknown mode {mode!r}")
     os.makedirs(table, exist_ok=True)
@@ -295,6 +460,17 @@ def snapshot_write(
         table, new_files, _pick_stats_cols(df, stats_cols)
     )
     base_at_write = current_version(table)
+    conf = _resolve_bloom_conf(
+        bloom_cols,
+        _load_manifest(table, base_at_write)
+        if base_at_write is not None
+        else None,
+        bloom_m,
+        _BLOOM_K_FILE,
+    )
+    new_blooms = _collect_file_blooms(
+        df.sparkSession, table, new_files, conf
+    )
     for _ in range(_RETRIES):
         base = current_version(table)
         base_m = (
@@ -318,6 +494,17 @@ def snapshot_write(
             "schema": out_schema,
             "ts": time.time(),
             **({"props": props} if props else {}),
+            **(
+                {
+                    "bloom_conf": conf,
+                    "blooms": (
+                        (_carried_blooms(base_m, carried) if base_m else {})
+                        | new_blooms
+                    ),
+                }
+                if conf
+                else {}
+            ),
         }
         try:
             _commit(table, manifest)
@@ -338,6 +525,7 @@ def snapshot_read(
     table: str,
     version: int | None = None,
     prune: dict | None = None,
+    prune_eq: dict | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest). Reads EXACTLY
     the manifest's files — concurrent writers' uncommitted or
@@ -347,9 +535,13 @@ def snapshot_read(
     ``prune`` ({col: (lo, hi)}, inclusive, either bound None) skips
     data files whose manifest min/max stats provably miss the range —
     file-level data skipping BEFORE Spark plans the scan, on top of
-    parquet row-group pruning inside the surviving files. The result
-    is a SUPERSET of the matching rows: apply the real filter on the
-    returned frame (Catalyst pushes it into the pruned scan)."""
+    parquet row-group pruning inside the surviving files.
+    ``prune_eq`` ({col: value}) additionally consults per-file Bloom
+    filters (when the table was written with ``bloom_cols``) — the
+    point-lookup path where min/max stats on high-cardinality
+    unsorted keys prune nothing. The result is a SUPERSET of the
+    matching rows: apply the real filter on the returned frame
+    (Catalyst pushes it into the pruned scan)."""
     from pyspark.sql.types import StructType
 
     v = current_version(table) if version is None else version
@@ -357,7 +549,9 @@ def snapshot_read(
         raise FileNotFoundError(f"no snapshots at {table}")
     m = _load_manifest(table, v)
     schema = StructType.fromJson(json.loads(m["schema"]))
-    files = [os.path.join(table, f) for f in _prune_files(m, prune)]
+    files = [
+        os.path.join(table, f) for f in _prune_files(m, prune, prune_eq)
+    ]
     if not files:
         return spark.createDataFrame([], schema)
     # explicit manifest schema: no footer inference pass, and files
@@ -420,6 +614,7 @@ def snapshot_merge(
     merged = survivors.unionByName(updates)
     new_files, schema = _write_data_files(merged, table)
     carried_files = [f for f in m["files"] if f not in hit_rel]
+    conf = m.get("bloom_conf")
     manifest = {
         "version": base + 1,
         "parent": base,
@@ -433,6 +628,15 @@ def snapshot_merge(
         "ts": time.time(),
         "rewrote_files": len(hit_rel),
         "carried_files": len(m["files"]) - len(hit_rel),
+        **(
+            {
+                "bloom_conf": conf,
+                "blooms": _carried_blooms(m, carried_files)
+                | _collect_file_blooms(spark, table, new_files, conf),
+            }
+            if conf
+            else {}
+        ),
     }
     _commit(table, manifest)  # CommitConflict propagates by design
     return manifest
@@ -662,6 +866,9 @@ def compact_table(
     new_stats = _collect_file_stats(
         table, new_files, _pick_stats_cols(df, None)
     )
+    new_blooms = _collect_file_blooms(
+        spark, table, new_files, m.get("bloom_conf")
+    )
     small_set = set(smalls)
     for _ in range(_RETRIES):
         cur = current_version(table)
@@ -672,6 +879,7 @@ def compact_table(
                 "overwrite/merge; re-run against the new base"
             )
         carried = [f for f in cm["files"] if f not in small_set]
+        conf = cm.get("bloom_conf")
         manifest = {
             "version": cur + 1,
             "parent": cur,
@@ -682,6 +890,14 @@ def compact_table(
             "ts": time.time(),
             "rewrote_files": len(smalls),
             "carried_files": len(carried),
+            **(
+                {
+                    "bloom_conf": conf,
+                    "blooms": _carried_blooms(cm, carried) | new_blooms,
+                }
+                if conf
+                else {}
+            ),
         }
         try:
             _commit(table, manifest)

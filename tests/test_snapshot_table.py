@@ -613,3 +613,101 @@ def test_diff_across_evolution_and_compaction(spark, tmp_path):
         ("a", 1, None, "update_preimage"),
         ("a", 10, "de", "update_postimage"),
     }
+
+
+# -- per-file Bloom filters (equality-predicate skipping) --------------
+
+def _bloom_tbl(spark, tmp_path, name="bloom", n=400, parts=8):
+    t = str(tmp_path / name)
+    df = spark.range(0, n).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.col("id").alias("v"),
+    ).repartition(parts, "url")  # hash layout: min/max url useless
+    m = ST.snapshot_write(df, t, bloom_cols=["url"])
+    return t, m
+
+
+def test_bloom_point_lookup_prunes_and_never_false_negative(
+    spark, tmp_path
+):
+    t, m = _bloom_tbl(spark, tmp_path)
+    assert m["bloom_conf"]["cols"] == ["url"]
+    assert set(m["blooms"]) == set(m["files"])
+    # every committed key's own file must survive its probe (no false
+    # negatives), and a point lookup reads FEWER files than the table
+    for key in ("u0", "u17", "u399"):
+        pruned = ST.snapshot_read(spark, t, prune_eq={"url": key})
+        assert len(pruned.inputFiles()) < len(m["files"])
+        assert _rows(pruned.filter(F.col("url") == key)) == {
+            (key, int(key[1:]))
+        }
+    # an absent key prunes every file (with overwhelming probability
+    # at 400 keys / 8 files / 32k-bit filters)
+    gone = ST.snapshot_read(spark, t, prune_eq={"url": "never-there"})
+    assert gone.count() == 0
+
+
+def test_bloom_conf_inherited_and_carried_by_append(spark, tmp_path):
+    t, m1 = _bloom_tbl(spark, tmp_path, n=100, parts=2)
+    # plain append (bloom_cols=None) inherits the table config and
+    # builds filters for ITS files; base files' filters carry
+    m2 = ST.snapshot_write(
+        _df(spark, [("zz-new", 7)]).coalesce(1), t
+    )
+    assert m2["bloom_conf"] == m1["bloom_conf"]
+    assert set(m2["blooms"]) == set(m2["files"])
+    pruned = ST.snapshot_read(spark, t, prune_eq={"url": "zz-new"})
+    assert len(pruned.inputFiles()) < len(m2["files"])
+    assert _rows(pruned.filter("url = 'zz-new'")) == {("zz-new", 7)}
+    # disabling stops the filters from the next commit on
+    m3 = ST.snapshot_write(
+        _df(spark, [("after-off", 1)]), t, bloom_cols=()
+    )
+    assert "bloom_conf" not in m3
+
+
+def test_bloom_filterless_files_always_survive(spark, tmp_path):
+    t = str(tmp_path / "mixedbloom")
+    ST.snapshot_write(_df(spark, [("old-row", 1)]), t)  # no blooms yet
+    m2 = ST.snapshot_write(
+        _df(spark, [("new-row", 2)]).coalesce(1), t, bloom_cols=["url"]
+    )
+    # the pre-bloom file has no filter → must survive ANY probe
+    pruned = ST.snapshot_read(spark, t, prune_eq={"url": "old-row"})
+    assert _rows(pruned.filter("url = 'old-row'")) == {("old-row", 1)}
+    # and the bloomed file is pruned for a key it provably lacks
+    assert len(pruned.inputFiles()) < len(m2["files"])
+
+
+def test_bloom_survives_merge_and_compaction(spark, tmp_path):
+    t, m1 = _bloom_tbl(spark, tmp_path, n=200, parts=4)
+    ST.snapshot_merge(
+        spark, _df(spark, [("u7", 777), ("brand-new", 1)]), t, key="url"
+    )
+    got = ST.snapshot_read(spark, t, prune_eq={"url": "u7"})
+    assert _rows(got.filter("url = 'u7'")) == {("u7", 777)}
+    got2 = ST.snapshot_read(spark, t, prune_eq={"url": "brand-new"})
+    assert _rows(got2.filter("url = 'brand-new'")) == {("brand-new", 1)}
+    mc = ST.compact_table(spark, t, small_bytes=1 << 20)
+    assert mc["op"] == "compact"
+    assert set(mc["blooms"]) == set(mc["files"])
+    # post-compaction point lookups still correct
+    got3 = ST.snapshot_read(spark, t, prune_eq={"url": "u150"})
+    assert _rows(got3.filter("url = 'u150'")) == {("u150", 150)}
+
+
+def test_bloom_rejects_unsupported_key_type(spark, tmp_path):
+    t = str(tmp_path / "badtype")
+    df = spark.createDataFrame([("a", 1.5)], "url string, score double")
+    with pytest.raises(ValueError, match="not supported"):
+        ST.snapshot_write(df, t, bloom_cols=["score"])
+
+
+def test_bloom_all_null_key_file_is_prunable(spark, tmp_path):
+    t = str(tmp_path / "nullkey")
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2)], "url string, v bigint"
+    )
+    m = ST.snapshot_write(df.coalesce(1), t, bloom_cols=["url"])
+    # all-NULL key file gets an all-zero filter: every probe prunes it
+    assert ST._prune_files(m, None, {"url": "anything"}) == []
