@@ -530,3 +530,74 @@ def bitext_margin_pairs(
         .filter((F.col("__rn") == 1) & (F.col("margin_fp") >= min_margin_fp))
         .select("src_id", "dst_id", "sim_fp", "margin_fp")
     )
+
+
+def centroid_probe(
+    df: DataFrame,
+    pos_label,
+    neg_label,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Embedding-space linear probe gate (vec id, score_fp, keep): the
+    DataComp/LAION-style filter that scores EVERY vector by a linear
+    direction learned from two labeled slices — here the difference of
+    class centroids, the closed-form (whitened-identity) Fisher/
+    nearest-centroid direction. This completes the quality ladder's
+    embedding rung: Gopher signals -> hashed-text NB classifier
+    (quality_model.py) -> reference-LM fluency (lm.py) -> and now a
+    probe over the semantic embedding space, the shape CLIP-score /
+    fastText-embedding gates take in published multimodal pipelines.
+
+    score(e) = sum_i floor(e_i*scale) * (c_pos_i - c_neg_i), with the
+    centroids from ``label_centroids`` (floored-BIGINT sums, floored
+    double-division means — the established engine-portable
+    discipline). Every term is an exact BIGINT product (|v_fp| <= 1e6,
+    |w_fp| <= 2e6, dim 64 -> |score| < 2^48), summed in any order
+    without drift, so the DuckDB twin hash-matches. ``keep`` is
+    score_fp > 0 — the sign of the projection onto the class
+    direction; shift the boundary by passing a bias via thresholding
+    downstream.
+
+    Scale shape: the centroid pass is one posexplode + (label, idx)
+    partial agg over ONLY the labeled slices (training sets are
+    benchmark-sized); the weight frame is dim rows and BROADCASTS into
+    the scoring join; scoring is one posexplode + id-keyed partial agg
+    over the corpus — a single linear scan, no corpus-keyed join, the
+    same plan family as label_centroids itself."""
+    both = df.filter(F.col(label_col).isin(pos_label, neg_label))
+    cents = label_centroids(both, label_col, emb_col, scale)
+    w = (
+        cents.groupBy("idx")
+        .agg(
+            F.sum(
+                F.when(F.col("label") == pos_label, F.col("c_fp")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("c_pos"),
+            F.sum(
+                F.when(F.col("label") == neg_label, F.col("c_fp")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("c_neg"),
+        )
+        .select("idx", (F.col("c_pos") - F.col("c_neg")).alias("w_fp"))
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(emb_col)).alias("idx", "v")
+    ).withColumn(
+        "v_fp",
+        F.expr(f"CAST(FLOOR(CAST(v AS DOUBLE) * {scale}) AS BIGINT)"),
+    )
+    return (
+        ex.join(F.broadcast(w), "idx")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("v_fp") * F.col("w_fp")).alias("score_fp"))
+        .select(
+            id_col,
+            "score_fp",
+            (F.col("score_fp") > 0).alias("keep"),
+        )
+    )

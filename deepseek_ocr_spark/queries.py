@@ -809,32 +809,10 @@ FROM p
 SQL_URL_SIGNALS = _url_signals_sql()
 
 
-def q_stratified_sample(spark, sf_dir):
-    """Deterministic stratified sampling: the k lowest-md5 docs per
-    language — reproducible across engines, runs, and cluster sizes
-    (no RNG), the standard way to draw balanced eval/inspection sets
-    from a skewed corpus."""
-    d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("lang", "doc_id", "rn")
-        .orderBy("lang", "rn")
-    )
-
-
-SQL_STRATIFIED_SAMPLE = """
-WITH r AS (
-  SELECT lang, doc_id,
-         row_number() OVER (PARTITION BY lang
-                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
-  FROM documents
-)
-SELECT lang, doc_id, rn FROM r WHERE rn <= 5 ORDER BY lang, rn
-"""
+# (The round-1 5-per-group stratified sample was superseded by the
+#  round-4 sampling.stratified_sample query defined later in this
+#  module — the old def/SQL pair was shadowed dead code and a
+#  duplicate "stratified_sample" registry key; both removed.)
 
 
 def q_gopher_flags(spark, sf_dir):
@@ -7204,6 +7182,111 @@ JOIN pfx b ON b.doc_id = p.id_b
 # repetition_clamp/formula_clean) stay IN the window on purpose: the
 # driver should keep recording that they are rows-only by design.
 
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution (functions/graph.py
+    resolve_redirects): pointer-jumping transitive closure over a
+    synthesized redirect edge list — a halving chain converging on u0
+    (every url resolves, hops = chain length) plus a 5-node cycle
+    (never resolves; surfaced with resolved=false, not looped on).
+    5 doublings cover 32-hop chains; each round is one edge-list-sized
+    self-equi-join."""
+    from deepseek_ocr_spark.functions import graph as GR
+
+    d = _t(spark, sf_dir, "documents")
+    chain = d.filter(F.col("doc_id") >= 1).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(
+            F.lit("u"), F.expr("doc_id DIV 2").cast("string")
+        ).alias("dst"),
+    )
+    cyc = d.select(
+        F.concat(F.lit("c"), (F.col("doc_id") % 5).cast("string")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("c"), ((F.col("doc_id") % 5 + 1) % 5).cast("string")
+        ).alias("dst"),
+    )
+    return GR.resolve_redirects(
+        chain.unionByName(cyc), "src", "dst", doublings=5
+    )
+
+
+def _redirect_sql() -> str:
+    rounds = []
+    for i in range(5):
+        rounds.append(
+            f"f{i + 1} AS (SELECT a.src, coalesce(b.dst, a.dst) AS dst,\n"
+            f"       a.hops + coalesce(b.hops, 0) AS hops\n"
+            f"  FROM f{i} a LEFT JOIN f{i} b ON a.dst = b.src)"
+        )
+    return (
+        """
+WITH r0 AS (
+  SELECT 'u' || doc_id::VARCHAR AS src,
+         'u' || (doc_id // 2)::VARCHAR AS dst
+  FROM documents WHERE doc_id >= 1
+  UNION ALL
+  SELECT 'c' || (doc_id % 5)::VARCHAR,
+         'c' || ((doc_id % 5 + 1) % 5)::VARCHAR
+  FROM documents
+),
+e AS (SELECT src, min(dst) AS dst FROM r0 WHERE src != dst GROUP BY src),
+f0 AS (SELECT src, dst, 1::BIGINT AS hops FROM e),
+"""
+        + ",\n".join(rounds)
+        + """
+SELECT f.src AS url, f.dst AS target, f.hops,
+       (g.src IS NULL) AS resolved
+FROM f5 f LEFT JOIN e g ON f.dst = g.src
+"""
+    )
+
+
+SQL_REDIRECT_RESOLVE = _redirect_sql()
+
+
+def q_embedding_gate(spark, sf_dir):
+    """Embedding-space linear probe gate (functions/similarity.py
+    centroid_probe): every vector scored by the fixed-point
+    centroid-difference direction between labels 0 (pos) and 1 (neg)
+    — the DataComp/CLIP-filter shape. Weight frame is dim rows and
+    broadcasts; scoring is one posexplode + id-keyed partial agg."""
+    from deepseek_ocr_spark.functions import similarity as SIM2
+
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM2.centroid_probe(e, 0, 1)
+
+
+SQL_EMBEDDING_GATE = """
+WITH ex AS (
+  SELECT vec_id, label,
+         unnest(generate_series(0, len(embedding) - 1)) AS idx,
+         unnest(embedding) AS v
+  FROM embeddings
+), fp AS (
+  SELECT vec_id, label, idx,
+         CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS v_fp
+  FROM ex
+), c AS (
+  SELECT label, idx,
+         CAST(FLOOR(CAST(sum(v_fp) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+              AS BIGINT) AS c_fp
+  FROM fp WHERE label IN (0, 1) GROUP BY label, idx
+), w AS (
+  SELECT idx,
+         sum(CASE WHEN label = 0 THEN c_fp ELSE 0 END)
+         - sum(CASE WHEN label = 1 THEN c_fp ELSE 0 END) AS w_fp
+  FROM c GROUP BY idx
+)
+SELECT f.vec_id,
+       CAST(sum(f.v_fp * w.w_fp) AS BIGINT) AS score_fp,
+       CAST(sum(f.v_fp * w.w_fp) AS BIGINT) > 0 AS keep
+FROM fp f JOIN w ON f.idx = w.idx
+GROUP BY f.vec_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
     "html_markdown": (q_html_markdown, SQL_HTML_MARKDOWN),
@@ -7499,7 +7582,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "gopher_flags": (q_gopher_flags, SQL_GOPHER_FLAGS),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     # feed_entries / intradoc_dedup: below-cut class (b) — zero-/
     # doc-local-shuffle projections whose machinery (regexp block
@@ -7526,4 +7608,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # stop-lead filter are pinned by tests/test_gates_and_rollup.py
     # and the hash-verified twin here.
     "entity_mining": (q_entity_mining, SQL_ENTITY_MINING),
+    # redirect_resolve: below-cut class (b) — pointer-jumping closure
+    # whose per-round plan is the same edge-list self-equi-join shape
+    # as the in-window fixed-point graph family (pagerank/trustrank/
+    # hits unrolled iterations); cycle/chain semantics pinned by
+    # tests/test_graph_extras.py and the hash-verified unrolled twin.
+    "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
+    # embedding_gate: below-cut class (b) — label_centroids (in-window
+    # machinery via kmeans_assign/semdedup_keep's fixed-point embedding
+    # family) + one broadcast dim-frame join; probe algebra pinned by
+    # tests/test_similarity_probe.py and the hash-verified twin.
+    "embedding_gate": (q_embedding_gate, SQL_EMBEDDING_GATE),
 }

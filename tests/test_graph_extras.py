@@ -1,0 +1,71 @@
+"""resolve_redirects: pointer-jumping redirect-chain closure."""
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.graph import resolve_redirects
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def _result(df):
+    return {
+        r["url"]: (r["target"], r["hops"], r["resolved"])
+        for r in df.collect()
+    }
+
+
+def test_chain_resolves_with_exact_hops(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = _result(resolve_redirects(e))
+    assert got == {
+        "a": ("d", 3, True),
+        "b": ("d", 2, True),
+        "c": ("d", 1, True),
+    }
+
+
+def test_cycle_surfaces_unresolved(spark):
+    e = _edges(spark, [("x", "y"), ("y", "x"), ("in", "x")])
+    got = _result(resolve_redirects(e))
+    # every walk keeps moving on the 2-cycle: resolved stays False
+    assert not got["x"][2] and not got["y"][2] and not got["in"][2]
+    # the 2-cycle after 4 doublings: 16 hops land back where they
+    # started; the drain-in node's walk also doubles to the horizon
+    assert got["x"][0] == "x" and got["x"][1] == 16
+    assert got["y"][0] == "y" and got["y"][1] == 16
+    assert got["in"][1] == 16
+
+
+def test_conflicting_edges_pick_min_dst(spark):
+    # a crawl observed u redirecting to two places: min(dst) wins
+    e = _edges(spark, [("u", "z"), ("u", "a")])
+    got = _result(resolve_redirects(e))
+    assert got == {"u": ("a", 1, True)}
+
+
+def test_long_chain_within_horizon(spark):
+    # 16-hop chain: exactly covered by the default 4 doublings
+    rows = [(f"n{i}", f"n{i + 1}") for i in range(16)]
+    got = _result(resolve_redirects(_edges(spark, rows)))
+    assert got["n0"] == ("n16", 16, True)
+    assert got["n15"] == ("n16", 1, True)
+
+
+def test_partitioning_independence(spark):
+    rows = [(f"n{i}", f"n{i + 1}") for i in range(10)] + [
+        ("p", "q"),
+        ("q", "p"),
+    ]
+    e = _edges(spark, rows)
+    a = _result(resolve_redirects(e.repartition(1)))
+    b = _result(resolve_redirects(e.repartition(7, F.col("dst"))))
+    assert a == b
+
+
+def test_self_loop_dropped(spark):
+    # src == dst edges are noise, not chains
+    e = _edges(spark, [("s", "s"), ("s", "t")])
+    got = _result(resolve_redirects(e))
+    assert got == {"s": ("t", 1, True)}

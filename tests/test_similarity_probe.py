@@ -1,0 +1,66 @@
+"""centroid_probe: fixed-point embedding-space linear probe gate."""
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.similarity import centroid_probe
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+
+def test_probe_separates_classes(spark):
+    # label 0 sits at +x, label 1 at -x; unlabeled vectors score by
+    # their x component's sign
+    rows = [
+        (1, [0.9, 0.1], 0),
+        (2, [0.8, -0.1], 0),
+        (3, [-0.9, 0.2], 1),
+        (4, [-0.7, 0.0], 1),
+        (5, [0.5, 0.5], 9),
+        (6, [-0.5, 0.5], 9),
+    ]
+    got = {
+        r["vec_id"]: (r["score_fp"], r["keep"])
+        for r in centroid_probe(_emb(spark, rows), 0, 1).collect()
+    }
+    assert len(got) == 6  # every vector scored, labeled or not
+    for vid in (1, 2, 5):
+        assert got[vid][1], vid
+    for vid in (3, 4, 6):
+        assert not got[vid][1], vid
+
+
+def test_probe_exact_fixed_point_value(spark):
+    # hand computation: c_pos = floor-mean of {floor(1e6*1.0)} = 1e6,
+    # c_neg = floor(1e6*-1.0) = -1e6 -> w = 2e6 on dim 0, 0 on dim 1;
+    # probe of (0.5, 123.0) = floor(0.5e6)*2e6 = 1e12
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [-1.0, 0.0], 1),
+        (3, [0.5, 123.0], 7),
+    ]
+    got = {
+        r["vec_id"]: r["score_fp"]
+        for r in centroid_probe(_emb(spark, rows), 0, 1).collect()
+    }
+    assert got[3] == 500_000 * 2_000_000
+    assert got[1] == 2_000_000_000_000 and got[2] == -2_000_000_000_000
+
+
+def test_probe_partitioning_independence(spark):
+    rows = [
+        (i, [((i * 7 + j * 3) % 11 - 5) / 7.0 for j in range(8)], i % 3)
+        for i in range(60)
+    ]
+    d = _emb(spark, rows)
+    a = sorted(map(tuple, centroid_probe(d.repartition(1), 0, 1).collect()))
+    b = sorted(
+        map(
+            tuple,
+            centroid_probe(d.repartition(13, F.col("vec_id")), 0, 1).collect(),
+        )
+    )
+    assert a == b
