@@ -1242,3 +1242,100 @@ def edit_distance_confirm(
             ).alias("dist_ppm"),
         )
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    t_num: int = 7,
+    t_den: int = 10,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join via prefix filtering
+    (AllPairs, Bayardo et al. 2007; the candidate rule PPJoin builds
+    on): (id_a, id_b, n_inter, n_a, n_b, jaccard_ppm) for every pair
+    of docs whose word-SET Jaccard >= t_num/t_den — with NO false
+    negatives, the guarantee MinHash-LSH trades away. The two are
+    complementary: LSH's recall dips for docs whose every band lands
+    in a capped mega-bucket; prefix filtering is exact but needs a
+    corpus-wide token-frequency pass. Production dedup runs LSH for
+    resemblance sweeps and a prefix-filter join when misses are
+    unacceptable (eval decontamination, license pools).
+
+    The lemma: order every doc's token set by ONE global total order
+    (ascending document frequency, ties by token hash) and keep each
+    doc's first p = n - ceil(t*n) + 1 tokens. Two sets with
+    J >= t overlap in >= 1 prefix token — so the prefix-token
+    equi-join is a complete candidate generator, and an exact
+    overlap count confirms (the candidate-restricted
+    ``pair_overlap_counts`` core shared with ngram_jaccard).
+    ceil(t*n) = (t_num*n + t_den - 1) DIV t_den — exact integers,
+    and the final threshold is the exact rational compare
+    n_inter * t_den >= t_num * (n_a + n_b - n_inter); jaccard_ppm
+    is reporting only, never the decision.
+
+    Scale shape: rare-first ordering puts stopwords at the END of
+    every doc, so prefix join keys are the corpus's RAREST tokens —
+    candidate buckets are small BY CONSTRUCTION (the anti-skew
+    property that makes AllPairs practical; no LSH_MAX_BUCKET cap
+    needed). Costs: one token explode, one vocab-sized frequency
+    agg, one doc-keyed window, one rare-token equi-join,
+    candidate-sized confirm. At 10^12 docs partition the frequency
+    frame like importance.py if vocabulary cardinality explodes.
+
+    ``k`` picks the set elements: word ``k``-gram shingles (default
+    SHINGLE_K, the near-dup family's grain — word SETS (k=1) saturate on
+    small-vocabulary corpora where every doc shares most words).
+    Elements are 60-bit md5-prefix hashes in BOTH the global order and
+    the overlap count — never raw strings, so the total order is
+    collation-free across engines."""
+    from pyspark.sql.window import Window
+
+    elems = (
+        words_col(F.col(text_col))
+        if k == 1
+        else shingles_col(F.col(text_col), k)
+    )
+    tok = (
+        _spread(df.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.explode(elems).alias("w"))
+        .select(F.col(id_col), md5_prefix_int(F.col("w"), 15).alias("sh"))
+        .distinct()
+    )
+    dfreq = tok.groupBy("sh").agg(F.count("*").alias("dfc"))
+    w_rank = Window.partitionBy(id_col).orderBy("dfc", "sh")
+    w_size = Window.partitionBy(id_col)
+    ordered = (
+        tok.join(dfreq, "sh")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_size))
+    )
+    prefix_len = (
+        F.col("n")
+        - F.expr(f"({t_num} * n + {t_den - 1}) DIV {t_den}")
+        + 1
+    )
+    pre = ordered.filter(F.col("rn") <= prefix_len).select(id_col, "sh")
+    cand = (
+        pre.select(F.col(id_col).alias("id_a"), "sh")
+        .join(pre.select(F.col(id_col).alias("id_b"), "sh"), "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    counts = pair_overlap_counts(tok, cand, id_col)
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        counts.filter(F.col("n_inter") * t_den >= F.lit(t_num) * union_sz)
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr("(n_inter * 1000000) DIV (n_a + n_b - n_inter)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )

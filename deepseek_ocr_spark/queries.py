@@ -7287,6 +7287,46 @@ GROUP BY f.vec_id
 """
 
 
+def q_ppjoin_pairs(spark, sf_dir):
+    """Exact Jaccard similarity self-join via prefix filtering
+    (functions/dedup.py prefix_filter_pairs — AllPairs, Bayardo 2007):
+    every doc pair with 3-gram-shingle-set Jaccard >= 0.7, NO false
+    negatives. Rare-first global element order makes the candidate
+    join keys the corpus's rarest shingles, so buckets are small by
+    construction."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.prefix_filter_pairs(d, "doc_id", "text", 7, 10)
+
+
+SQL_PPJOIN_PAIRS = _SHINGLES_SQL + """,
+tok AS (SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh
+        FROM sh),
+dfq AS (SELECT sh, count(*) AS dfc FROM tok GROUP BY sh),
+o AS (SELECT t.doc_id, t.sh,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.dfc, t.sh) AS rn,
+             count(*) OVER (PARTITION BY t.doc_id) AS n
+      FROM tok t JOIN dfq d USING (sh)),
+pre AS (SELECT doc_id, sh FROM o
+        WHERE rn <= n - ((7 * n + 9) // 10) + 1),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM pre a JOIN pre b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+szs AS (SELECT doc_id, count(*) AS nsh FROM tok GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_inter
+          FROM cand c JOIN tok ta ON ta.doc_id = c.id_a
+               JOIN tok tb ON tb.doc_id = c.id_b AND tb.sh = ta.sh
+          GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b, i.n_inter,
+       sa.nsh::BIGINT AS n_a, sb.nsh::BIGINT AS n_b,
+       ((i.n_inter * 1000000)
+          // (sa.nsh + sb.nsh - i.n_inter))::BIGINT AS jaccard_ppm
+FROM inter i JOIN szs sa ON sa.doc_id = i.id_a
+             JOIN szs sb ON sb.doc_id = i.id_b
+WHERE i.n_inter * 10 >= 7 * (sa.nsh + sb.nsh - i.n_inter)
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
     "html_markdown": (q_html_markdown, SQL_HTML_MARKDOWN),
@@ -7619,4 +7659,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # family) + one broadcast dim-frame join; probe algebra pinned by
     # tests/test_similarity_probe.py and the hash-verified twin.
     "embedding_gate": (q_embedding_gate, SQL_EMBEDDING_GATE),
+    # ppjoin_pairs: below-cut class (b) — the exact-complement of the
+    # in-window LSH/confirm family: prefix-filter candidate generation
+    # (rare-token equi-join) + the SAME pair_overlap_counts confirm
+    # core as ngram_jaccard; the no-false-negatives lemma is pinned by
+    # a brute-force property test in tests/test_ppjoin.py and the
+    # hash-verified twin here.
+    "ppjoin_pairs": (q_ppjoin_pairs, SQL_PPJOIN_PAIRS),
 }

@@ -1,0 +1,95 @@
+"""prefix_filter_pairs: exact Jaccard join via AllPairs prefix
+filtering — the no-false-negatives lemma, threshold exactness, and
+partitioning independence."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.dedup import prefix_filter_pairs
+
+_WS = re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def _shingle_set(text: str, k: int) -> set:
+    w = _WS.split(text.strip().lower())
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+def _brute_pairs(rows, t_num, t_den, k):
+    out = set()
+    sets = {i: _shingle_set(t, k) for i, t in rows}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if union and inter * t_den >= t_num * union:
+                out.add((a, b))
+    return out
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+_CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "the quick brown fox jumps over the lazy dog tonight"),
+    (3, "the quick brown fox leaps over the lazy dog today"),
+    (4, "an entirely different document about spark engines"),
+    (5, "an entirely different document about spark clusters"),
+    (6, "one more unrelated page covering parquet file layouts"),
+    (7, "the quick brown fox jumps over the lazy dog today"),
+    (8, "spark engines document different entirely an about"),
+]
+
+
+def test_no_false_negatives_and_exact_threshold(spark):
+    for t_num, t_den in ((1, 2), (7, 10), (9, 10)):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in prefix_filter_pairs(
+                _docs(spark, _CORPUS), "doc_id", "text", t_num, t_den
+            ).collect()
+        }
+        want = _brute_pairs(_CORPUS, t_num, t_den, 3)
+        assert got == want, (t_num, t_den, got ^ want)
+
+
+def test_identical_docs_pair_at_full_jaccard(spark):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard_ppm"]
+        for r in prefix_filter_pairs(
+            _docs(spark, _CORPUS), "doc_id", "text", 9, 10
+        ).collect()
+    }
+    assert out[(1, 7)] == 1_000_000
+
+
+def test_overlap_counts_are_exact(spark):
+    rows = prefix_filter_pairs(
+        _docs(spark, _CORPUS), "doc_id", "text", 1, 2
+    ).collect()
+    sets = {i: _shingle_set(t, 3) for i, t in _CORPUS}
+    for r in rows:
+        sa, sb = sets[r["id_a"]], sets[r["id_b"]]
+        assert r["n_inter"] == len(sa & sb)
+        assert r["n_a"] == len(sa) and r["n_b"] == len(sb)
+
+
+def test_partitioning_independence(spark):
+    d = _docs(spark, _CORPUS)
+    a = sorted(
+        map(tuple, prefix_filter_pairs(d.repartition(1), "doc_id", "text").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            prefix_filter_pairs(
+                d.repartition(5, F.col("doc_id")), "doc_id", "text"
+            ).collect(),
+        )
+    )
+    assert a == b
