@@ -601,3 +601,95 @@ def centroid_probe(
             (F.col("score_fp") > 0).alias("keep"),
         )
     )
+
+
+def top_principal_component(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    iters: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Dominant principal direction of an embedding table by
+    FIXED-ITERATION, FIXED-POINT power iteration: (idx, dir_fp) — the
+    distributed linear-algebra primitive behind SIF common-component
+    removal (Arora et al. 2017: sentence embeddings improve when the
+    corpus-wide dominant direction is projected out), embedding-drift
+    monitoring, and cheap 1-d spectral ordering.
+
+    The loop is v <- normalize(A^T A v) unrolled ``iters`` times from
+    the all-ones direction (deterministic; generically non-orthogonal
+    to the top eigenvector, so convergence is the standard power-
+    iteration rate). Like pagerank/hits this ships the FIXED-HORIZON
+    operator — the result is the documented deterministic iterate, not
+    an eps-converged eigenvector — which is exactly what makes the
+    unrolled DuckDB twin hash-match.
+
+    Engine-portable arithmetic, round by round:
+
+    * dot_i = sum_j v_fp(i,j)*dir(j): exact BIGINT (|v_fp| <= 1e6,
+      |dir| <= 1e6, dim 64 -> |dot| <= 2^46);
+    * ds_i = floor(dot_i / 2^20): the double cast is EXACT (< 2^53)
+      and dividing by a power of two only shifts the exponent — no
+      rounding anywhere, floor deterministic. Truncation-toward-zero
+      vs floor on negatives never arises: FLOOR on the double is a
+      true floor in both engines;
+    * w_j = sum_i v_fp(i,j)*ds_i: exact BIGINT while
+      N < 2^63/(1e6*61e6) ~ 1.5e5 rows — beyond that shard the sum
+      in DECIMAL(38,0) (the importance.py pattern) before combining;
+    * renormalize by L-inf: dir'(j) = floor(w_j/max|w| * scale) via
+      correctly-rounded IEEE doubles — not exact math, but the SAME
+      two roundings in both engines (the SCORE_PF contract), and
+      |dir'| <= scale keeps round N+1's products bounded.
+
+    Scale shape per round: one broadcast of the dim-sized direction
+    frame + id-keyed partial agg (the projection pass), one id-keyed
+    join + idx-keyed partial agg (the back-projection), one 1-row
+    L-inf scalar broadcast. 2 linear corpus scans per round, pure DAG
+    (persist-pinning measured net-negative for the loop-carried graph
+    frames — BENCH.md round 4 — and the direction frame here is even
+    smaller)."""
+    fp = df.select(
+        F.col(id_col), F.posexplode(F.col(emb_col)).alias("idx", "v")
+    ).withColumn(
+        "v_fp",
+        F.expr(f"CAST(FLOOR(CAST(v AS DOUBLE) * {scale}) AS BIGINT)"),
+    ).select(id_col, "idx", "v_fp")
+    direction = (
+        fp.select("idx")
+        .distinct()
+        .select("idx", F.lit(scale).cast("bigint").alias("dir"))
+    )
+    for _ in range(iters):
+        dot = (
+            fp.join(F.broadcast(direction), "idx")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("v_fp") * F.col("dir")).alias("dot"))
+        )
+        ds = dot.select(
+            F.col(id_col),
+            F.expr(
+                "CAST(FLOOR(CAST(dot AS DOUBLE) / 1048576.0) AS BIGINT)"
+            ).alias("ds"),
+        )
+        w = (
+            fp.join(ds, id_col)
+            .groupBy("idx")
+            .agg(F.sum(F.col("v_fp") * F.col("ds")).alias("wv"))
+        )
+        m = w.agg(
+            F.greatest(F.max(F.abs(F.col("wv"))), F.lit(1).cast("bigint")).alias(
+                "m"
+            )
+        )
+        direction = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "idx",
+                F.expr(
+                    "CAST(FLOOR(CAST(wv AS DOUBLE) / CAST(m AS DOUBLE)"
+                    f" * {scale}) AS BIGINT)"
+                ).alias("dir"),
+            )
+        )
+    return direction.select("idx", F.col("dir").alias("dir_fp"))

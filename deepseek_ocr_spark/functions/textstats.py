@@ -615,3 +615,55 @@ def entity_candidates(
         )
         .limit(k)
     )
+
+
+def signal_correlation(df, x_col: str, y_col: str, group_col: str):
+    """Per-group Pearson correlation between two INTEGER signal
+    columns, with the moments kept exact: (group, n, sum_x, sum_y,
+    sum_xx, sum_yy, sum_xy, corr_fp). The pipeline-health diagnostic
+    that catches redundant or broken gates — two quality signals that
+    correlate at ~1.0 are one signal paying two scans, and a filter
+    whose score stops correlating with document length after a
+    tokenizer change is a regression alarm.
+
+    Determinism: the six moments are exact BIGINT sums (inputs are
+    integer signals; at n_chars<=10^6-grade magnitudes the xx/xy
+    products stay under 2^63 up to ~10^6-row groups — shard the sums
+    in DECIMAL(38,0), the importance.py pattern, beyond that).
+    ``corr_fp`` is then floor(1e6 * (n*sxy - sx*sy) /
+    sqrt((n*sxx - sx^2) * (n*syy - sy^2))) evaluated in doubles —
+    IEEE casts, one multiply, sqrt, and divide are all correctly
+    rounded, so both engines land the identical BIGINT (the SCORE_PF
+    contract); NULL when either variance is zero.
+
+    Scale shape: ONE group-keyed partial aggregation over a
+    six-expression projection — map-side combine does the corpus
+    work; the result frame is group-cardinality-sized."""
+    x = F.col(x_col).cast("bigint")
+    y = F.col(y_col).cast("bigint")
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).alias("sum_x"),
+        F.sum(y).alias("sum_y"),
+        F.sum(x * x).alias("sum_xx"),
+        F.sum(y * y).alias("sum_yy"),
+        F.sum(x * y).alias("sum_xy"),
+    )
+    corr = (
+        "CASE WHEN (n * sum_xx - sum_x * sum_x) > 0"
+        " AND (n * sum_yy - sum_y * sum_y) > 0 THEN"
+        " CAST(FLOOR(1000000 * CAST(n * sum_xy - sum_x * sum_y AS DOUBLE)"
+        " / SQRT(CAST(n * sum_xx - sum_x * sum_x AS DOUBLE)"
+        " * CAST(n * sum_yy - sum_y * sum_y AS DOUBLE))) AS BIGINT)"
+        " ELSE NULL END"
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n",
+        "sum_x",
+        "sum_y",
+        "sum_xx",
+        "sum_yy",
+        "sum_xy",
+        F.expr(corr).alias("corr_fp"),
+    )

@@ -7327,6 +7327,98 @@ WHERE i.n_inter * 10 >= 7 * (sa.nsh + sb.nsh - i.n_inter)
 """
 
 
+def q_emb_top_pc(spark, sf_dir):
+    """Dominant principal direction of the embeddings table
+    (functions/similarity.py top_principal_component): 3 unrolled
+    fixed-point power-iteration rounds from the all-ones start —
+    the SIF common-component / drift-monitoring primitive. 64-row
+    result; per round one broadcast projection pass + one
+    back-projection agg."""
+    from deepseek_ocr_spark.functions import similarity as SIM2
+
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM2.top_principal_component(e, "vec_id", "embedding", iters=3)
+
+
+def _emb_top_pc_sql(iters: int = 3) -> str:
+    parts = [
+        """
+WITH fp AS (
+  SELECT vec_id,
+         unnest(generate_series(0, len(embedding) - 1)) AS idx,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS v_fp
+  FROM embeddings
+),
+d0 AS (SELECT DISTINCT idx, 1000000::BIGINT AS dir FROM fp)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f""",
+dot{r} AS (SELECT f.vec_id, CAST(sum(f.v_fp * d.dir) AS BIGINT) AS dot
+           FROM fp f JOIN d{r - 1} d USING (idx) GROUP BY f.vec_id),
+ds{r} AS (SELECT vec_id,
+                 CAST(FLOOR(CAST(dot AS DOUBLE) / 1048576.0) AS BIGINT) AS ds
+          FROM dot{r}),
+w{r} AS (SELECT f.idx, CAST(sum(f.v_fp * s.ds) AS BIGINT) AS wv
+         FROM fp f JOIN ds{r} s USING (vec_id) GROUP BY f.idx),
+m{r} AS (SELECT greatest(max(abs(wv)), 1)::BIGINT AS m FROM w{r}),
+d{r} AS (SELECT idx,
+                CAST(FLOOR(CAST(wv AS DOUBLE) / CAST(m AS DOUBLE) * 1000000)
+                     AS BIGINT) AS dir
+         FROM w{r}, m{r})"""
+        )
+    parts.append(f"\nSELECT idx, dir AS dir_fp FROM d{iters}\n")
+    return "".join(parts)
+
+
+SQL_EMB_TOP_PC = _emb_top_pc_sql()
+
+
+def q_signal_corr(spark, sf_dir):
+    """Per-language Pearson correlation between document length and
+    whitespace token count (functions/textstats.py
+    signal_correlation): exact BIGINT moments + IEEE-deterministic
+    corr in 1e-6 fixed point — the redundant-signal / broken-gate
+    diagnostic, ONE group-keyed partial agg."""
+    d = _t(spark, sf_dir, "documents")
+    sig = d.select(
+        "lang",
+        F.col("n_chars"),
+        TS.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return TS.signal_correlation(sig, "n_chars", "n_tokens", "lang")
+
+
+SQL_SIGNAL_CORR = """
+WITH s AS (
+  SELECT lang, n_chars::BIGINT AS x,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text),
+                                           '[ \\t\\n\\x0B\\f\\r]+'))
+          END)::BIGINT AS y
+  FROM documents
+), m AS (
+  SELECT lang, count(*)::BIGINT AS n,
+         CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(sum(y) AS BIGINT) AS sum_y,
+         CAST(sum(x * x) AS BIGINT) AS sum_xx,
+         CAST(sum(y * y) AS BIGINT) AS sum_yy,
+         CAST(sum(x * y) AS BIGINT) AS sum_xy
+  FROM s GROUP BY lang
+)
+SELECT lang, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+       CASE WHEN (n * sum_xx - sum_x * sum_x) > 0
+             AND (n * sum_yy - sum_y * sum_y) > 0 THEN
+         CAST(FLOOR(1000000 * CAST(n * sum_xy - sum_x * sum_y AS DOUBLE)
+              / SQRT(CAST(n * sum_xx - sum_x * sum_x AS DOUBLE)
+                     * CAST(n * sum_yy - sum_y * sum_y AS DOUBLE)))
+              AS BIGINT)
+       ELSE NULL END AS corr_fp
+FROM m
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
     "html_markdown": (q_html_markdown, SQL_HTML_MARKDOWN),
@@ -7666,4 +7758,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # a brute-force property test in tests/test_ppjoin.py and the
     # hash-verified twin here.
     "ppjoin_pairs": (q_ppjoin_pairs, SQL_PPJOIN_PAIRS),
+    # emb_top_pc: below-cut class (b) — unrolled fixed-point iteration
+    # of the same discipline as the in-window graph family (pagerank/
+    # trustrank/hits) applied to the embedding frame; convergence
+    # sanity pinned by tests/test_similarity_probe.py and the
+    # hash-verified unrolled twin.
+    "emb_top_pc": (q_emb_top_pc, SQL_EMB_TOP_PC),
+    # signal_corr: below-cut class (b) — a single group-keyed
+    # fixed-point rollup of the same class as in-window corpus_rollup/
+    # host_reputation; moment exactness pinned by the hash-verified
+    # twin, corr sanity by tests/test_gates_and_rollup.py.
+    "signal_corr": (q_signal_corr, SQL_SIGNAL_CORR),
 }

@@ -351,3 +351,35 @@ def test_entity_candidates_deterministic_topk_cut(spark):
     )
     rows = entity_candidates(docs, min_docs=2, k=1).collect()
     assert [r["entity"] for r in rows] == ["Alpha Corp"]
+
+
+def test_signal_correlation_sanity(spark):
+    from deepseek_ocr_spark.functions.textstats import signal_correlation
+
+    rows = (
+        [("a", i, 2 * i + 1) for i in range(1, 30)]  # perfectly linear
+        + [("b", i, (i * 7) % 13) for i in range(1, 30)]  # scrambled
+        + [("c", 5, 5), ("c", 5, 9)]  # zero x-variance -> NULL
+    )
+    d = spark.createDataFrame(rows, "grp string, x int, y int")
+    got = {
+        r["grp"]: r["corr_fp"]
+        for r in signal_correlation(d, "x", "y", "grp").collect()
+    }
+    assert got["a"] in (999_999, 1_000_000)  # corr 1.0 up to fp floor
+    assert abs(got["b"]) < 400_000
+    assert got["c"] is None
+
+
+def test_signal_correlation_partitioning_independence(spark):
+    from pyspark.sql import functions as FN
+
+    from deepseek_ocr_spark.functions.textstats import signal_correlation
+
+    rows = [("g", (i * 13) % 97, (i * 29) % 83) for i in range(200)]
+    d = spark.createDataFrame(rows, "grp string, x int, y int")
+    a = signal_correlation(d.repartition(1), "x", "y", "grp").collect()
+    b = signal_correlation(
+        d.repartition(11, FN.col("x")), "x", "y", "grp"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -64,3 +64,58 @@ def test_probe_partitioning_independence(spark):
         )
     )
     assert a == b
+
+
+def test_top_pc_finds_dominant_axis(spark):
+    from deepseek_ocr_spark.functions.similarity import (
+        top_principal_component,
+    )
+
+    # variance concentrated on axis 2: +/-0.9 there, tiny noise
+    # elsewhere -> after 3 rounds the direction's L-inf winner is
+    # axis 2 at full scale
+    rows = [
+        (
+            i,
+            [
+                0.01 * ((i * 3 + j) % 5 - 2) if j != 2 else
+                (0.9 if i % 2 == 0 else -0.9)
+                for j in range(6)
+            ],
+            0,
+        )
+        for i in range(40)
+    ]
+    d = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {r["idx"]: r["dir_fp"] for r in top_principal_component(d).collect()}
+    assert abs(got[2]) == 1_000_000
+    for j in (0, 1, 3, 4, 5):
+        assert abs(got[j]) < 200_000, (j, got[j])
+
+
+def test_top_pc_partitioning_independence(spark):
+    from pyspark.sql import functions as FN
+
+    from deepseek_ocr_spark.functions.similarity import (
+        top_principal_component,
+    )
+
+    rows = [
+        (i, [((i * 7 + j * 3) % 11 - 5) / 7.0 for j in range(8)], 0)
+        for i in range(50)
+    ]
+    d = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    a = sorted(map(tuple, top_principal_component(d.repartition(1)).collect()))
+    b = sorted(
+        map(
+            tuple,
+            top_principal_component(
+                d.repartition(9, FN.col("vec_id"))
+            ).collect(),
+        )
+    )
+    assert a == b
