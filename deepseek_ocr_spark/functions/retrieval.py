@@ -338,3 +338,56 @@ def rrf_fuse(
     return fused.orderBy(
         F.desc("rrf_fp"), F.desc("n_lists"), F.col(out_id_col)
     ).limit(k)
+
+
+def phrase_search(
+    df: DataFrame, id_col: str, text_col: str, phrase: str, k: int = 10
+) -> DataFrame:
+    """Exact phrase search: (id, n_occurrences) for the top-``k`` docs
+    containing the whitespace-tokenized ``phrase`` as CONSECUTIVE
+    tokens — the positional-index query BM25's bag-of-words scoring
+    cannot answer (quote queries, boilerplate-sentence hunting, exact
+    quote attribution).
+
+    The anchor trick: token instance (pos, w) matching phrase term i
+    votes for anchor = pos - i; an anchor where ALL m distinct term
+    slots voted is a phrase occurrence. count(DISTINCT i) per
+    (doc, anchor) handles repeated-term phrases ("batch batch batch")
+    correctly — each slot must be independently witnessed.
+
+    Scale shape: one token posexplode immediately semi-reduced by the
+    broadcast m-row term frame (only matching tokens survive the
+    BroadcastHashJoin — the corpus-token stream never shuffles), one
+    (doc, anchor)-keyed partial agg over the matches, one doc-keyed
+    agg, TakeOrderedAndProject for the top-k. At index-serving scale
+    run this over ``inverted_postings`` with positions instead of the
+    raw text scan; this is the scan-side exact operator (the shape
+    Spark SQL's own LIKE pushdown takes, but token-exact)."""
+    import re
+
+    from deepseek_ocr_spark.functions.textstats import TOKEN_SPLIT_RE
+
+    terms = [
+        t for t in re.split(TOKEN_SPLIT_RE, phrase.strip().lower()) if t
+    ]
+    if not terms:
+        raise ValueError("phrase has no tokens")
+    m = len(terms)
+    tdim = df.sparkSession.createDataFrame(
+        [(i, t) for i, t in enumerate(terms)], "i int, term string"
+    )
+    toks = df.select(
+        F.col(id_col), F.posexplode(words_col(F.col(text_col))).alias("pos", "w")
+    )
+    anchored = toks.join(F.broadcast(tdim), toks["w"] == tdim["term"]).select(
+        F.col(id_col), (F.col("pos") - F.col("i")).alias("anchor"), "i"
+    )
+    return (
+        anchored.groupBy(id_col, "anchor")
+        .agg(F.countDistinct("i").alias("nt"))
+        .filter((F.col("nt") == m) & (F.col("anchor") >= 0))
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.col(id_col))
+        .limit(k)
+    )

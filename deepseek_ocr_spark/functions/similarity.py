@@ -693,3 +693,71 @@ def top_principal_component(
             )
         )
     return direction.select("idx", F.col("dir").alias("dir_fp"))
+
+
+def remove_top_component(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    iters: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """SIF common-component removal (Arora et al. 2017): project every
+    vector onto the corpus's dominant direction (``
+    top_principal_component``) and subtract — long-form residuals
+    (id, idx, r_fp). Sentence/document embeddings cluster around a
+    shared "syntax" direction; removing it is the published one-line
+    upgrade for retrieval and clustering quality, and the residual
+    norm doubles as an outlier score (documents FAR from the common
+    component are the distribution's tails).
+
+    r_fp(i,j) = v_fp(i,j) - floor(dot_i * dir_j / ndir), with
+    dot_i = sum_j v_fp*dir_j and ndir = sum_j dir_j^2 — the
+    projection coefficient dot/ndir is exactly (v.d)/|d|^2 in fixed
+    point. dot*dir can exceed 2^63, so the ratio is evaluated in
+    doubles: two correctly-rounded multiplies/divides + floor, the
+    SCORE_PF contract — identical BIGINTs in both engines.
+
+    Scale shape: the direction pass is ``top_principal_component``
+    (2 linear scans per round); the removal adds one broadcast of the
+    dim-sized direction frame, one id-keyed partial agg (the dots),
+    and one map-side join back — the corpus never shuffles on
+    anything but the id key."""
+    direction = top_principal_component(df, id_col, emb_col, iters, scale)
+    fp = (
+        df.select(
+            F.col(id_col), F.posexplode(F.col(emb_col)).alias("idx", "v")
+        )
+        .withColumn(
+            "v_fp",
+            F.expr(f"CAST(FLOOR(CAST(v AS DOUBLE) * {scale}) AS BIGINT)"),
+        )
+        .select(id_col, "idx", "v_fp")
+    )
+    ndir = direction.agg(
+        F.greatest(
+            F.sum(F.col("dir_fp") * F.col("dir_fp")),
+            F.lit(1).cast("bigint"),
+        ).alias("ndir")
+    )
+    dots = (
+        fp.join(F.broadcast(direction), "idx")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("v_fp") * F.col("dir_fp")).alias("dot"))
+    )
+    return (
+        fp.join(F.broadcast(direction), "idx")
+        .join(dots, id_col)
+        .crossJoin(F.broadcast(ndir))
+        .select(
+            id_col,
+            "idx",
+            (
+                F.col("v_fp")
+                - F.expr(
+                    "CAST(FLOOR(CAST(dot AS DOUBLE) * CAST(dir_fp AS DOUBLE)"
+                    " / CAST(ndir AS DOUBLE)) AS BIGINT)"
+                )
+            ).alias("r_fp"),
+        )
+    )

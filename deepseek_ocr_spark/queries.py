@@ -7298,7 +7298,10 @@ def q_ppjoin_pairs(spark, sf_dir):
     return DD.prefix_filter_pairs(d, "doc_id", "text", 7, 10)
 
 
-SQL_PPJOIN_PAIRS = _SHINGLES_SQL + """,
+# The prefix-filter chain from the shared ``sh`` shingle CTE to an
+# ``exact`` CTE carrying the confirmed pairs — reused verbatim by the
+# LSH-recall receipt below.
+_PPJOIN_CHAIN = """
 tok AS (SELECT DISTINCT doc_id,
                ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh
         FROM sh),
@@ -7316,15 +7319,23 @@ szs AS (SELECT doc_id, count(*) AS nsh FROM tok GROUP BY doc_id),
 inter AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_inter
           FROM cand c JOIN tok ta ON ta.doc_id = c.id_a
                JOIN tok tb ON tb.doc_id = c.id_b AND tb.sh = ta.sh
-          GROUP BY c.id_a, c.id_b)
-SELECT i.id_a, i.id_b, i.n_inter,
-       sa.nsh::BIGINT AS n_a, sb.nsh::BIGINT AS n_b,
-       ((i.n_inter * 1000000)
-          // (sa.nsh + sb.nsh - i.n_inter))::BIGINT AS jaccard_ppm
-FROM inter i JOIN szs sa ON sa.doc_id = i.id_a
-             JOIN szs sb ON sb.doc_id = i.id_b
-WHERE i.n_inter * 10 >= 7 * (sa.nsh + sb.nsh - i.n_inter)
-"""
+          GROUP BY c.id_a, c.id_b),
+exact AS (
+  SELECT i.id_a, i.id_b, i.n_inter,
+         sa.nsh::BIGINT AS n_a, sb.nsh::BIGINT AS n_b,
+         ((i.n_inter * 1000000)
+            // (sa.nsh + sb.nsh - i.n_inter))::BIGINT AS jaccard_ppm
+  FROM inter i JOIN szs sa ON sa.doc_id = i.id_a
+               JOIN szs sb ON sb.doc_id = i.id_b
+  WHERE i.n_inter * 10 >= 7 * (sa.nsh + sb.nsh - i.n_inter)
+)"""
+
+SQL_PPJOIN_PAIRS = (
+    _SHINGLES_SQL
+    + ","
+    + _PPJOIN_CHAIN
+    + "\nSELECT id_a, id_b, n_inter, n_a, n_b, jaccard_ppm FROM exact\n"
+)
 
 
 def q_emb_top_pc(spark, sf_dir):
@@ -7417,6 +7428,120 @@ SELECT lang, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
        ELSE NULL END AS corr_fp
 FROM m
 """
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact consecutive-token phrase search (functions/retrieval.py
+    phrase_search) for the repeated-term phrase "batch batch batch" —
+    the anchor-vote plan (token explode semi-reduced by a broadcast
+    term frame, (doc, anchor) agg with count(DISTINCT slot)), top-k
+    by occurrence count."""
+    from deepseek_ocr_spark.functions import retrieval as RT
+
+    d = _t(spark, sf_dir, "documents")
+    return RT.phrase_search(d, "doc_id", "text", "batch batch batch", k=10)
+
+
+SQL_PHRASE_SEARCH = """
+WITH w AS (SELECT doc_id,
+                  string_split_regex(lower(trim(text)),
+                                     '[ \\t\\n\\x0B\\f\\r]+') AS l
+           FROM documents),
+t AS (SELECT doc_id, unnest(l) AS w2,
+             generate_subscripts(l, 1) - 1 AS pos
+      FROM w),
+tdim AS (SELECT * FROM (VALUES (0, 'batch'), (1, 'batch'), (2, 'batch'))
+         AS v(i, term)),
+a AS (SELECT t.doc_id, t.pos - d.i AS anchor, d.i
+      FROM t JOIN tdim d ON t.w2 = d.term),
+o AS (SELECT doc_id, anchor, count(DISTINCT i) AS nt
+      FROM a GROUP BY doc_id, anchor),
+n AS (SELECT doc_id, count(*)::BIGINT AS n_occurrences
+      FROM o WHERE nt = 3 AND anchor >= 0 GROUP BY doc_id)
+SELECT doc_id, n_occurrences FROM n
+ORDER BY n_occurrences DESC, doc_id LIMIT 10
+"""
+
+
+def q_emb_residual_norms(spark, sf_dir):
+    """SIF common-component removal receipt (functions/similarity.py
+    remove_top_component): per-vector squared residual norm after
+    projecting out the corpus's dominant direction — the outlier
+    score. Exact BIGINT sum of the fixed-point residuals."""
+    from deepseek_ocr_spark.functions import similarity as SIM2
+
+    e = _t(spark, sf_dir, "embeddings")
+    res = SIM2.remove_top_component(e, "vec_id", "embedding", iters=3)
+    return res.groupBy("vec_id").agg(
+        F.sum(F.col("r_fp") * F.col("r_fp")).alias("res_sq")
+    )
+
+
+SQL_EMB_RESIDUAL_NORMS = (
+    _emb_top_pc_sql()
+    .replace("\nSELECT idx, dir AS dir_fp FROM d3\n", "")
+    + """,
+nd AS (SELECT greatest(CAST(sum(dir * dir) AS BIGINT), 1) AS ndir FROM d3),
+dt AS (SELECT f.vec_id, CAST(sum(f.v_fp * d.dir) AS BIGINT) AS dot
+       FROM fp f JOIN d3 d USING (idx) GROUP BY f.vec_id),
+res AS (SELECT f.vec_id, f.idx,
+               f.v_fp - CAST(FLOOR(CAST(t.dot AS DOUBLE)
+                                   * CAST(d.dir AS DOUBLE)
+                                   / CAST(n.ndir AS DOUBLE)) AS BIGINT)
+                 AS r_fp
+        FROM fp f JOIN d3 d USING (idx)
+                  JOIN dt t USING (vec_id), nd n)
+SELECT vec_id, CAST(sum(r_fp * r_fp) AS BIGINT) AS res_sq
+FROM res GROUP BY vec_id
+"""
+)
+
+
+def q_lsh_exact_recall(spark, sf_dir):
+    """Dedup-recall receipt: MinHash-LSH candidate recall measured
+    against the prefix-filter EXACT pair set at Jaccard >= 0.7 — the
+    quantified answer to "what does the LSH bucket cap cost" (the
+    ann_lsh_recall discipline applied to dedup). One row: exact pair
+    count, LSH candidate count, hits, recall in ppm."""
+    exact = q_ppjoin_pairs(spark, sf_dir).select("id_a", "id_b")
+    d = _t(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(d, "doc_id", "text")
+    cand = DD.lsh_candidate_pairs(sig, "doc_id").select("id_a", "id_b")
+    hit = exact.join(cand, ["id_a", "id_b"], "semi")
+    a = exact.agg(F.count("*").cast("bigint").alias("n_exact"))
+    b = cand.agg(F.count("*").cast("bigint").alias("n_lsh_candidates"))
+    c = hit.agg(F.count("*").cast("bigint").alias("n_hit"))
+    return (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .select(
+            "n_exact",
+            "n_lsh_candidates",
+            "n_hit",
+            F.expr("(n_hit * 1000000) DIV greatest(n_exact, 1)")
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+SQL_LSH_EXACT_RECALL = (
+    _SHINGLES_SQL
+    + ","
+    + _PAIRS_CORE
+    + ","
+    + _PPJOIN_CHAIN
+    + """,
+hit AS (SELECT e.id_a, e.id_b FROM exact e
+        JOIN pairs p ON p.id_a = e.id_a AND p.id_b = e.id_b)
+SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+       (SELECT count(*) FROM pairs)::BIGINT AS n_lsh_candidates,
+       (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+       (((SELECT count(*) FROM hit) * 1000000)
+          // greatest((SELECT count(*) FROM exact), 1))::BIGINT
+         AS recall_ppm
+"""
+)
 
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -7769,4 +7894,19 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # host_reputation; moment exactness pinned by the hash-verified
     # twin, corr sanity by tests/test_gates_and_rollup.py.
     "signal_corr": (q_signal_corr, SQL_SIGNAL_CORR),
+    # phrase_search: below-cut class (b) — broadcast term-frame
+    # semi-reduction + TakeOrderedAndProject, the plan family of
+    # in-window bm25_topk; anchor-vote correctness (incl. repeated
+    # terms) pinned by tests/test_retrieval.py and the twin.
+    "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
+    # emb_residual_norms: below-cut class (b) — composes emb_top_pc
+    # (itself hash-verified) with one broadcast projection join; the
+    # SIF-removal algebra is pinned by tests/test_similarity_probe.py
+    # and the hash-verified extended twin.
+    "emb_residual_norms": (q_emb_residual_norms, SQL_EMB_RESIDUAL_NORMS),
+    # lsh_exact_recall: below-cut class (b) — a pure composition
+    # receipt over two already-verified pair generators (the
+    # ann_lsh_recall discipline applied to dedup); both upstreams are
+    # hash-verified queries of their own.
+    "lsh_exact_recall": (q_lsh_exact_recall, SQL_LSH_EXACT_RECALL),
 }

@@ -118,3 +118,48 @@ def test_rrf_fuse_consensus_breaks_rrf_ties(spark):
     # the two tied docs are adjacent, consensus first despite 99 > 1
     i99, i1 = order.index(99), order.index(1)
     assert i1 == i99 + 1
+
+
+def test_phrase_search_consecutive_only(spark):
+    from deepseek_ocr_spark.functions.retrieval import phrase_search
+
+    rows = [
+        (1, "alpha beta gamma delta"),       # 1 occurrence
+        (2, "alpha beta x gamma"),           # broken run: none
+        (3, "alpha beta gamma alpha beta gamma"),  # 2 occurrences
+        (4, "gamma beta alpha"),             # wrong order: none
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(d, "doc_id", "text", "alpha beta gamma").collect()
+    }
+    assert got == {1: 1, 3: 2}
+
+
+def test_phrase_search_repeated_terms(spark):
+    from deepseek_ocr_spark.functions.retrieval import phrase_search
+
+    rows = [
+        (1, "go go go"),          # exactly one run of three
+        (2, "go go go go"),       # two overlapping runs
+        (3, "go stop go go"),     # no run of three
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(d, "doc_id", "text", "go go go").collect()
+    }
+    assert got == {1: 1, 2: 2}
+
+
+def test_phrase_search_whitespace_and_case(spark):
+    from deepseek_ocr_spark.functions.retrieval import phrase_search
+
+    rows = [(1, "Key\tValue\n store"), (2, "key  value store end")]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(d, "doc_id", "text", "KEY value STORE").collect()
+    }
+    assert got == {1: 1, 2: 1}

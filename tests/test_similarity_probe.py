@@ -119,3 +119,32 @@ def test_top_pc_partitioning_independence(spark):
         )
     )
     assert a == b
+
+
+def test_residual_orthogonal_to_direction(spark):
+    from deepseek_ocr_spark.functions.similarity import (
+        remove_top_component,
+        top_principal_component,
+    )
+
+    rows = [
+        (i, [((i * 7 + j * 3) % 11 - 5) / 7.0 for j in range(8)], 0)
+        for i in range(40)
+    ]
+    d = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    direction = {
+        r["idx"]: r["dir_fp"] for r in top_principal_component(d).collect()
+    }
+    res = remove_top_component(d).collect()
+    by_id = {}
+    for r in res:
+        by_id.setdefault(r["vec_id"], {})[r["idx"]] = r["r_fp"]
+    # each residual's projection onto the direction cancels up to the
+    # per-component floor (error < 1 fp unit per term => bound is
+    # sum|dir| <= dim * scale)
+    bound = sum(abs(v) for v in direction.values())
+    for vid, comp in by_id.items():
+        dot = sum(comp[j] * direction[j] for j in comp)
+        assert abs(dot) <= bound, (vid, dot, bound)
