@@ -172,6 +172,17 @@ HEADLINE = [
     # round 4, fifteenth wave
     "feed_entries",
     "intradoc_dedup",
+    # round 4, sixteenth wave
+    "redirect_resolve",
+    "embedding_gate",
+    "ppjoin_pairs",
+    "lsh_exact_recall",
+    "phrase_search",
+    "emb_top_pc",
+    "emb_residual_norms",
+    "signal_corr",
+    "web_gates",
+    "source_entropy",
 ]
 
 

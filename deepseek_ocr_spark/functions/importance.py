@@ -238,3 +238,76 @@ def unigram_kl(
             ),
         )
     )
+
+
+def unigram_entropy(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(group, n_tokens, n_buckets_used, entropy_fp) — per-group
+    Shannon entropy (nats, 1e-6 fixed point) of the hashed-unigram
+    distribution: the corpus DIVERSITY diagnostic next to
+    ``unigram_kl``'s drift diagnostic. Template farms and parked-page
+    clusters collapse to low entropy long before a human reads them;
+    a source whose entropy drops release-over-release is regressing
+    into boilerplate.
+
+        H = ln(N) - (sum_b c_b * ln(c_b)) / N
+
+    over the non-empty buckets (empty buckets contribute 0 exactly).
+    Both ln applications run through lm.py's exact-range-reduction
+    fixed-point series (counts span 1..corpus_size); the weighted sum
+    is exact BIGINT (c*ln_fp(c) <= N*ln_fp(N) — past ~10^11 tokens
+    per group carry it in DECIMAL(38,0), the unigram_kl pattern); the
+    final division floors through a double (< 2^53, the SCORE_PF
+    contract). Hashing collisions under-count entropy identically in
+    both engines — the signal consumed is the per-group comparison.
+
+    Scale shape: ONE (group, bucket) shuffle with map-side combine
+    over the token stream; everything after runs on groups x buckets
+    rows — a dimension, not data."""
+    from deepseek_ocr_spark.functions.lm import (
+        K_SQL,
+        NLL_FP_SQL,
+        Z2_SQL,
+        Z_SQL,
+        r2_sql,
+    )
+
+    shift = lambda x, amt: f"shiftleft(cast({x} as bigint), {amt})"  # noqa: E731
+
+    def lnfp(frame: DataFrame, num, out: str) -> DataFrame:
+        return (
+            frame.withColumn("__num", num.cast("bigint"))
+            .withColumn("__den", F.lit(1).cast("bigint"))
+            .withColumn("__k", F.expr(K_SQL))
+            .withColumn("__r2", F.expr(r2_sql(shift)))
+            .withColumn("__z", F.expr(Z_SQL))
+            .withColumn("__z2", F.expr(Z2_SQL))
+            .withColumn(out, F.expr(NLL_FP_SQL))
+            .drop("__num", "__den", "__k", "__r2", "__z", "__z2")
+        )
+
+    toks = hashed_tokens(df, group_col, text_col, n_buckets=n_buckets)
+    gb = toks.groupBy(group_col, "b").agg(F.count("*").alias("c"))
+    gb = lnfp(gb, F.col("c"), "__lnc")
+    per_group = gb.groupBy(group_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_buckets_used"),
+        F.sum(F.col("c") * F.col("__lnc")).alias("__s"),
+    )
+    per_group = lnfp(per_group, F.col("n_tokens"), "__lnn")
+    return per_group.select(
+        group_col,
+        "n_tokens",
+        "n_buckets_used",
+        (
+            F.col("__lnn")
+            - F.expr(
+                "CAST(FLOOR(CAST(__s AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+                " AS BIGINT)"
+            )
+        ).alias("entropy_fp"),
+    )

@@ -1,0 +1,121 @@
+"""Page-level web-corpus gates: license detection and parked/soft-404
+page signals.
+
+Two curation front doors the crawl pipelines publish but the shallow
+quality signals miss:
+
+* **License detection** — LAION/CommonPool-style corpora filter or
+  label by declared license; the machine-readable signals are the
+  ``rel="license"`` link relation (RDFa/HTML spec) and Creative
+  Commons license URLs (``creativecommons.org/licenses/<code>/<ver>``
+  and ``/publicdomain/<code>/<ver>``). Extracting them is a
+  zero-shuffle regexp projection over the raw page bytes.
+* **Parked-domain / soft-404 pages** — pages that return HTTP 200 but
+  carry no content: registrar parking lots ("this domain is for
+  sale"), placeholder sites ("under construction"), and error pages
+  whose title says 404 while the status code lied. They pollute every
+  downstream signal (their boilerplate is EXACTLY the near-identical
+  text that floods LSH buckets), so the cheap page-level flag runs
+  before any expensive stage.
+
+All patterns live in module constants interpolated verbatim into the
+DuckDB twins — Java∩RE2 subset: ``(?i)`` inline flag, explicit
+whitespace class (never ``\\s``), no ``^``/``$`` anchors, no
+backreferences. Booleans and counts only; no UDFs, no shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_WS = " \\t\\n\\x0B\\f\\r"
+
+# license code: the path segment after /licenses/ or /publicdomain/
+CC_CODE_RE = r"creativecommons\.org/(?:licenses|publicdomain)/([a-z-]+)"
+# license version: the numeric segment after the code
+CC_VERSION_RE = (
+    r"creativecommons\.org/(?:licenses|publicdomain)/[a-z-]+"
+    r"/([0-9]+(?:\.[0-9]+)?)"
+)
+# <a ...> or <link ...> carrying rel="license" (quotes optional)
+REL_LICENSE_RE = (
+    f"(?i)<(?:a|link)[{_WS}][^>]*rel=[\"']?license"
+)
+# error-page title despite a 200 response
+NOTFOUND_TITLE_RE = (
+    r"(?i)<title>[^<]*(?:404|not[ ]found|page[ ]unavailable)[^<]*</title>"
+)
+# registrar parking / placeholder phrases
+PARKED_RE = (
+    r"(?i)(?:domain[ ](?:is[ ])?for[ ]sale|buy[ ]this[ ]domain"
+    r"|parked[ ]domain|under[ ]construction|coming[ ]soon)"
+)
+
+
+def license_columns(html: Column) -> dict[str, Column]:
+    """cc_license / cc_version ('' when absent — both engines return
+    the empty string for a no-match extract) and has_rel_license."""
+    return {
+        "cc_license": F.regexp_extract(html, CC_CODE_RE, 1),
+        "cc_version": F.regexp_extract(html, CC_VERSION_RE, 1),
+        "has_rel_license": F.size(
+            F.regexp_extract_all(html, F.lit(REL_LICENSE_RE), 0)
+        )
+        > 0,
+    }
+
+
+def parked_columns(html: Column) -> dict[str, Column]:
+    """title_notfound, n_parked phrase count, and the combined
+    page-is-junk suspect flag."""
+    title_nf = (
+        F.size(F.regexp_extract_all(html, F.lit(NOTFOUND_TITLE_RE), 0)) > 0
+    )
+    n_parked = (
+        F.size(F.regexp_extract_all(html, F.lit(PARKED_RE), 0))
+    ).cast("int")
+    return {
+        "title_notfound": title_nf,
+        "n_parked": n_parked,
+        "is_suspect": title_nf | (n_parked > 0),
+    }
+
+
+def web_gates(df, url_col: str = "url", html_col: str = "html"):
+    """One projection with every gate column — the composed front
+    door. Runs on the raw page string; charset correctness belongs to
+    the content extractor (link targets and English parking phrases
+    survive lossy decoding)."""
+    h = F.col(html_col)
+    cols = {**license_columns(h), **parked_columns(h)}
+    return df.select(
+        F.col(url_col), *[c.alias(n) for n, c in cols.items()]
+    )
+
+
+def sql_gate_exprs(html_expr: str) -> dict[str, str]:
+    """The DuckDB-side expression strings, pattern constants
+    interpolated verbatim (single quotes doubled)."""
+
+    def q(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    return {
+        "cc_license": (
+            f"regexp_extract({html_expr}, '{q(CC_CODE_RE)}', 1)"
+        ),
+        "cc_version": (
+            f"regexp_extract({html_expr}, '{q(CC_VERSION_RE)}', 1)"
+        ),
+        "has_rel_license": (
+            f"len(regexp_extract_all({html_expr}, '{q(REL_LICENSE_RE)}')) > 0"
+        ),
+        "title_notfound": (
+            f"len(regexp_extract_all({html_expr},"
+            f" '{q(NOTFOUND_TITLE_RE)}')) > 0"
+        ),
+        "n_parked": (
+            f"len(regexp_extract_all({html_expr}, '{q(PARKED_RE)}'))::INT"
+        ),
+    }

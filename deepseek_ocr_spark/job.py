@@ -85,6 +85,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="optimize-table: files under this size are compacted",
     )
     p.add_argument(
+        "--zorder-by",
+        default=None,
+        metavar="A_EXPR,B_EXPR",
+        help="optimize-table: instead of bin-packing, FULLY rewrite "
+        "the table clustered on the Morton interleave of these two "
+        "integer column expressions (OPTIMIZE ... ZORDER) — per-file "
+        "min/max stats become selective on both, so pruned reads "
+        "skip files for range predicates on either",
+    )
+    p.add_argument(
         "--merge-variant",
         choices=("cli", "api"),
         default="cli",
@@ -348,9 +358,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.mode == "optimize-table":
         from deepseek_ocr_spark.operators.snapshot_table import (
             compact_table,
+            zorder_table,
         )
 
-        m = compact_table(spark, args.input, small_bytes=args.small_bytes)
+        if args.zorder_by:
+            a_expr, b_expr = (s.strip() for s in args.zorder_by.split(",", 1))
+            m = zorder_table(spark, args.input, a_expr, b_expr)
+        else:
+            m = compact_table(
+                spark, args.input, small_bytes=args.small_bytes
+            )
         print(json.dumps({
             "mode": "optimize-table",
             "op": m["op"],

@@ -905,3 +905,77 @@ def compact_table(
         except CommitConflict:
             continue  # rebase onto the newer snapshot and re-validate
     raise CommitConflict(f"gave up after {_RETRIES} commit races")
+
+
+def zorder_table(
+    spark: SparkSession,
+    table: str,
+    a_expr: str,
+    b_expr: str,
+    n_files: int | None = None,
+    bits: int | None = None,
+    stats_cols=None,
+) -> dict:
+    """OPTIMIZE ... ZORDER: rewrite the WHOLE table clustered on the
+    Morton interleave of two column expressions (op ``zorder``) —
+    Delta's ZORDER BY / Iceberg's sort-order rewrite over this repo's
+    snapshot format. After the rewrite every data file covers a small
+    tile of the (a, b) plane, so the manifest's per-file min/max
+    stats become selective on BOTH dimensions and
+    ``snapshot_read(..., prune=...)`` skips files for range
+    predicates on either column (tests pin the skip).
+
+    Unlike :func:`compact_table` (which touches only small files and
+    commutes with appends), a clustering rewrite replaces EVERY base
+    file, so it conflicts with ANY concurrent commit: if the current
+    version moved past the base the rewrite read, it aborts with
+    :class:`CommitConflict` rather than silently dropping the racer's
+    rows — rerun against the new base. Orphaned rewrite output is
+    vacuum's to sweep; readers never see it.
+
+    Cost is one full read + one RangePartitioning exchange + one full
+    write — O(table), the price of clustering; run it at the cadence
+    the small-file compactor runs, not per increment."""
+    from deepseek_ocr_spark.functions.layout import ZORDER_BITS, zorder_layout
+
+    base = current_version(table)
+    if base is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    m = _load_manifest(table, base)
+    if not m["files"]:
+        return {"op": "noop", "version": base, "rewrote_files": 0}
+    from pyspark.sql.types import StructType
+
+    df = spark.read.schema(
+        StructType.fromJson(json.loads(m["schema"]))
+    ).parquet(*[os.path.join(table, f) for f in m["files"]])
+    n_out = n_files or max(1, len(m["files"]))
+    laid = zorder_layout(
+        df, a_expr, b_expr, n_out, bits or ZORDER_BITS
+    ).drop("zorder_key")
+    new_files, _ = _write_data_files(laid, table)
+    new_stats = _collect_file_stats(
+        table, new_files, _pick_stats_cols(df, stats_cols)
+    )
+    conf = m.get("bloom_conf")
+    new_blooms = _collect_file_blooms(spark, table, new_files, conf)
+    cur = current_version(table)
+    if cur != base:
+        raise CommitConflict(
+            "table advanced during the clustering rewrite; re-run "
+            f"against version {cur}"
+        )
+    manifest = {
+        "version": base + 1,
+        "parent": base,
+        "op": "zorder",
+        "files": new_files,
+        "stats": new_stats,
+        "schema": m["schema"],
+        "ts": time.time(),
+        "zorder": [a_expr, b_expr],
+        "rewrote_files": len(m["files"]),
+        **({"bloom_conf": conf, "blooms": new_blooms} if conf else {}),
+    }
+    _commit(table, manifest)
+    return manifest

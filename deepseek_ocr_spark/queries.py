@@ -7544,6 +7544,174 @@ SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
 )
 
 
+def _gate_pages(spark, sf_dir):
+    """Synthesized license/parked fixture pages: doc_id % 4 picks the
+    license declaration, % 5 the error title, % 7 the parking pitch —
+    every gate class and the clean path on the same corpus."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("Oops 404 Not Found"))
+        .otherwise(F.concat(F.lit("Doc "), did)),
+        F.lit("</title></head><body>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit(
+                '<a rel="license" href="https://creativecommons.org'
+                '/licenses/by-sa/4.0/">CC BY-SA</a>'
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.lit(
+                '<link rel=license href="https://creativecommons.org'
+                '/publicdomain/zero/1.0/">'
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.lit(
+                '<a href="https://creativecommons.org/licenses'
+                '/by-nc-nd/3.0/">terms</a>'
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit(
+                "<p>This domain is for sale. Buy this domain today,"
+                " site under construction.</p>"
+            ),
+        ).otherwise(F.lit("<p>real content here</p>")),
+        F.lit("<p>"),
+        F.substring("text", 1, 40),
+        F.lit("</p></body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/g/"), did)
+        .alias("url"),
+        html.alias("html"),
+    )
+
+
+_GATE_PAGES_CTE = """
+  SELECT 'https://' || source || '/g/' || doc_id::VARCHAR AS url,
+         '<html><head><title>'
+         || CASE WHEN doc_id % 5 = 0 THEN 'Oops 404 Not Found'
+                 ELSE 'Doc ' || doc_id::VARCHAR END
+         || '</title></head><body>'
+         || CASE WHEN doc_id % 4 = 0
+              THEN '<a rel="license" href="https://creativecommons.org'
+                   || '/licenses/by-sa/4.0/">CC BY-SA</a>'
+            WHEN doc_id % 4 = 1
+              THEN '<link rel=license href="https://creativecommons.org'
+                   || '/publicdomain/zero/1.0/">'
+            WHEN doc_id % 4 = 2
+              THEN '<a href="https://creativecommons.org/licenses'
+                   || '/by-nc-nd/3.0/">terms</a>'
+            ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+              THEN '<p>This domain is for sale. Buy this domain today,'
+                   || ' site under construction.</p>'
+              ELSE '<p>real content here</p>' END
+         || '<p>' || substr(text, 1, 40) || '</p></body></html>' AS html
+  FROM documents
+"""
+
+
+def q_web_gates(spark, sf_dir):
+    """License + parked/soft-404 page gates (functions/webgates.py):
+    rel=license and Creative Commons URL extraction, error-title and
+    registrar-parking phrase flags — one zero-shuffle regexp
+    projection over synthesized fixture pages covering every gate
+    class. The LAION/CommonPool licensing front door plus the
+    junk-page pre-filter that runs before any expensive stage."""
+    from deepseek_ocr_spark.functions import webgates as WG
+
+    return WG.web_gates(_gate_pages(spark, sf_dir))
+
+
+def _web_gates_sql() -> str:
+    from deepseek_ocr_spark.functions import webgates as WG
+
+    e = WG.sql_gate_exprs("html")
+    return f"""
+WITH p AS ({_GATE_PAGES_CTE})
+SELECT url,
+       {e["cc_license"]} AS cc_license,
+       {e["cc_version"]} AS cc_version,
+       {e["has_rel_license"]} AS has_rel_license,
+       {e["title_notfound"]} AS title_notfound,
+       {e["n_parked"]} AS n_parked,
+       ({e["title_notfound"]}) OR ({e["n_parked"]}) > 0 AS is_suspect
+FROM p
+"""
+
+
+SQL_WEB_GATES = _web_gates_sql()
+
+
+def q_source_entropy(spark, sf_dir):
+    """Per-source hashed-unigram Shannon entropy
+    (functions/importance.py unigram_entropy): the corpus diversity
+    diagnostic — template farms collapse to low entropy. One
+    (source, bucket) shuffle; fixed-point ln via the shared
+    exact-range-reduction series."""
+    from deepseek_ocr_spark.functions.importance import unigram_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_entropy(d, "source", "text")
+
+
+def _source_entropy_sql() -> str:
+    from deepseek_ocr_spark.functions import lm as LM
+    from deepseek_ocr_spark.functions.importance import N_BUCKETS
+
+    shift = lambda x, amt: f"({x}::BIGINT << ({amt}))"  # noqa: E731
+    return f"""
+WITH toks AS (
+  SELECT source,
+         ('0x' || substr(md5(w2), 1, 15))::BIGINT % {N_BUCKETS} AS b
+  FROM (SELECT source,
+               unnest(string_split_regex(lower(trim(text)),
+                                         '[ \\t\\n\\x0B\\f\\r]+')) AS w2
+        FROM documents)
+), gb AS (
+  SELECT source, b, count(*)::BIGINT AS c FROM toks GROUP BY source, b
+), k1 AS (
+  SELECT source, c, c AS __num, 1::BIGINT AS __den FROM gb
+), k2 AS (SELECT source, c, __num, __den, {LM.K_SQL} AS __k FROM k1),
+r1 AS (SELECT source, c, __k, {LM.r2_sql(shift)} AS __r2 FROM k2),
+z1 AS (SELECT source, c, __k, {LM.Z_SQL} AS __z FROM r1),
+z2t AS (SELECT source, c, __k, __z, {LM.Z2_SQL} AS __z2 FROM z1),
+lnc AS (SELECT source, c, {LM.NLL_FP_SQL} AS __lnc FROM z2t),
+pg AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*)::BIGINT AS n_buckets_used,
+         CAST(sum(c * __lnc) AS BIGINT) AS __s
+  FROM lnc GROUP BY source
+), nk1 AS (
+  SELECT *, n_tokens AS __num, 1::BIGINT AS __den FROM pg
+), nk2 AS (SELECT *, {LM.K_SQL} AS __k FROM nk1),
+nr1 AS (SELECT source, n_tokens, n_buckets_used, __s, __k,
+               {LM.r2_sql(shift)} AS __r2 FROM nk2),
+nz1 AS (SELECT source, n_tokens, n_buckets_used, __s, __k,
+               {LM.Z_SQL} AS __z FROM nr1),
+nz2 AS (SELECT source, n_tokens, n_buckets_used, __s, __k, __z,
+               {LM.Z2_SQL} AS __z2 FROM nz1),
+lnn AS (SELECT source, n_tokens, n_buckets_used, __s,
+               {LM.NLL_FP_SQL} AS __lnn FROM nz2)
+SELECT source, n_tokens, n_buckets_used,
+       (__lnn - CAST(FLOOR(CAST(__s AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                     AS BIGINT)) AS entropy_fp
+FROM lnn
+"""
+
+
+SQL_SOURCE_ENTROPY = _source_entropy_sql()
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
     "html_markdown": (q_html_markdown, SQL_HTML_MARKDOWN),
@@ -7909,4 +8077,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # ann_lsh_recall discipline applied to dedup); both upstreams are
     # hash-verified queries of their own.
     "lsh_exact_recall": (q_lsh_exact_recall, SQL_LSH_EXACT_RECALL),
+    # web_gates: below-cut class (b) — zero-shuffle regexp projection
+    # of the same class as in-window c4_line_filter/script_mix; the
+    # pattern constants interpolate verbatim into the twin and
+    # tests/test_webgates.py pins every gate class.
+    "web_gates": (q_web_gates, SQL_WEB_GATES),
+    # source_entropy: below-cut class (b) — one (group, bucket)
+    # shuffle + the shared fixed-point ln chain, the same machinery
+    # as in-window mixture_kl/lm_perplexity; diversity-ordering
+    # sanity pinned by tests/test_importance.py.
+    "source_entropy": (q_source_entropy, SQL_SOURCE_ENTROPY),
 }

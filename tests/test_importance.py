@@ -173,3 +173,32 @@ def test_unigram_kl_ranks_drift_and_matches_float_reference(spark):
     again = {r["source"]: r["kl_fp"]
              for r in IM.unigram_kl(df.repartition(7), "source", "text").collect()}
     assert again == {k: v["kl_fp"] for k, v in got.items()}
+
+
+def test_unigram_entropy_ordering_and_degenerate(spark):
+    from deepseek_ocr_spark.functions.importance import unigram_entropy
+
+    rows = [
+        # diverse: 12 distinct words
+        ("div", "alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lam mu"),
+        # repetitive: one word 12 times -> entropy exactly 0
+        ("rep", " ".join(["spam"] * 12)),
+        # middling: two words
+        ("two", "yes no yes no yes no yes no yes no yes no"),
+    ]
+    d = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r["source"]: r for r in unigram_entropy(d, "source", "text").collect()
+    }
+    assert got["rep"]["entropy_fp"] == 0
+    assert got["rep"]["n_buckets_used"] == 1
+    assert got["div"]["n_buckets_used"] == 12
+    # ln(12) ~ 2.4849, ln(2) ~ 0.6931 in 1e-6 fp, small series error
+    assert abs(got["div"]["entropy_fp"] - 2_484_907) < 50
+    assert abs(got["two"]["entropy_fp"] - 693_147) < 50
+    assert (
+        got["div"]["entropy_fp"]
+        > got["two"]["entropy_fp"]
+        > got["rep"]["entropy_fp"]
+    )

@@ -469,3 +469,29 @@ def test_cli_optimize_table_mode(spark, tmp_path, capsys):
     assert summary["op"] == "compact" and summary["rewrote_files"] == 3
     assert {(r["url"], r["v"])
             for r in ST.snapshot_read(spark, t).collect()} == pre
+
+
+def test_cli_optimize_table_zorder(spark, tmp_path, capsys):
+    """--mode optimize-table --zorder-by a,b fully rewrites the table
+    clustered on the Morton key; rows identical, op recorded."""
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    t = str(tmp_path / "zsnap")
+    from pyspark.sql import functions as FN
+
+    df = spark.range(0, 200).select(
+        ((FN.col("id") * 37) % 200).alias("a"),
+        ((FN.col("id") * 91) % 200).alias("b"),
+    ).repartition(4)
+    ST.snapshot_write(df, t)
+    pre = sorted((r["a"], r["b"]) for r in ST.snapshot_read(spark, t).collect())
+    rc = main(
+        ["--mode", "optimize-table", "--input", t, "--zorder-by", "a, b"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["op"] == "zorder" and summary["rewrote_files"] == 4
+    assert sorted(
+        (r["a"], r["b"]) for r in ST.snapshot_read(spark, t).collect()
+    ) == pre

@@ -711,3 +711,77 @@ def test_bloom_all_null_key_file_is_prunable(spark, tmp_path):
     m = ST.snapshot_write(df.coalesce(1), t, bloom_cols=["url"])
     # all-NULL key file gets an all-zero filter: every probe prunes it
     assert ST._prune_files(m, None, {"url": "anything"}) == []
+
+
+# ---- ZORDER clustering rewrite ---------------------------------------
+
+
+def test_zorder_table_prunes_both_dimensions(spark, tmp_path):
+    t = str(tmp_path / "zord")
+    # write scrambled: neither a nor b is clustered, so range prunes
+    # nothing before the rewrite
+    df = spark.range(0, 1024).select(
+        ((F.col("id") * 37) % 1024).alias("a"),
+        ((F.col("id") * 91) % 1024).alias("b"),
+        F.col("id").alias("payload"),
+    ).repartition(8)
+    ST.snapshot_write(df, t)
+    before_a = len(
+        ST.snapshot_read(spark, t, prune={"a": (0, 63)}).inputFiles()
+    )
+    assert before_a == 8  # scrambled layout: nothing skippable
+    m = ST.zorder_table(spark, t, "a", "b", n_files=16, bits=10)
+    assert m["op"] == "zorder" and m["version"] == 2
+    # clustered layout: a tight range on EITHER dimension skips files
+    pa = ST.snapshot_read(spark, t, prune={"a": (0, 63)})
+    pb = ST.snapshot_read(spark, t, prune={"b": (0, 63)})
+    assert 0 < len(pa.inputFiles()) < 16
+    assert 0 < len(pb.inputFiles()) < 16
+    # superset guarantee: pruned read + real filter == full truth
+    got_a = {r.payload for r in pa.filter("a <= 63").collect()}
+    assert got_a == {i for i in range(1024) if (i * 37) % 1024 <= 63}
+    # row set identical to pre-rewrite
+    full = ST.snapshot_read(spark, t)
+    assert full.count() == 1024
+    assert {r.payload for r in full.collect()} == set(range(1024))
+
+
+def test_zorder_conflicts_with_concurrent_append(spark, tmp_path):
+    import pytest as _pytest
+
+    t = str(tmp_path / "zconf")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("a"), F.col("id").alias("b")
+    )
+    ST.snapshot_write(df, t)
+    base = ST.current_version(t)
+
+    # the racing append lands FIRST; the rewrite's base read is then
+    # faked stale (as if the append committed between its read and
+    # its commit), so the version check must abort the rewrite
+    ST.snapshot_write(
+        spark.range(100, 120).select(
+            F.col("id").alias("a"), F.col("id").alias("b")
+        ),
+        t,
+        mode="append",
+    )
+    import deepseek_ocr_spark.operators.snapshot_table as STM
+
+    orig = STM.current_version
+    calls = {"n": 0}
+
+    def fake(table):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return base  # the rewrite reads the pre-append base
+        return orig(table)
+
+    STM.current_version = fake
+    try:
+        with _pytest.raises(STM.CommitConflict):
+            STM.zorder_table(spark, t, "a", "b", n_files=2)
+    finally:
+        STM.current_version = orig
+    # the racer's rows were never lost
+    assert ST.snapshot_read(spark, t).count() == 120

@@ -1,0 +1,58 @@
+"""webgates: license detection + parked/soft-404 page signals."""
+
+from deepseek_ocr_spark.functions.webgates import web_gates
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_every_gate_class(spark):
+    rows = [
+        (
+            "u1",
+            '<html><head><title>Doc</title></head><body><a rel="license" '
+            'href="https://creativecommons.org/licenses/by-sa/4.0/">cc</a>'
+            "</body></html>",
+        ),
+        (
+            "u2",
+            "<html><head><title>Doc</title></head><body><link rel=license "
+            'href="https://creativecommons.org/publicdomain/zero/1.0/">'
+            "</body></html>",
+        ),
+        (
+            "u3",  # CC URL without rel=license
+            '<html><body><a href="https://creativecommons.org/licenses'
+            '/by-nc-nd/3.0/">terms</a></body></html>',
+        ),
+        ("u4", "<html><head><title>404 Not Found</title></head></html>"),
+        (
+            "u5",
+            "<html><body><p>This domain is for sale! Buy this domain "
+            "now. Under construction.</p></body></html>",
+        ),
+        ("u6", "<html><head><title>Fine</title></head><body>ok</body></html>"),
+    ]
+    got = {r["url"]: r.asDict() for r in web_gates(_pages(spark, rows)).collect()}
+    assert got["u1"]["cc_license"] == "by-sa"
+    assert got["u1"]["cc_version"] == "4.0"
+    assert got["u1"]["has_rel_license"]
+    assert got["u2"]["cc_license"] == "zero"
+    assert got["u2"]["has_rel_license"]
+    assert got["u3"]["cc_license"] == "by-nc-nd"
+    assert not got["u3"]["has_rel_license"]
+    assert got["u4"]["title_notfound"] and got["u4"]["is_suspect"]
+    assert got["u5"]["n_parked"] == 3 and got["u5"]["is_suspect"]
+    assert not got["u6"]["is_suspect"]
+    assert got["u6"]["cc_license"] == ""
+
+
+def test_case_insensitive_and_unquoted_rel(spark):
+    rows = [
+        ("u1", "<HTML><BODY><A REL=LICENSE HREF='x'>l</A>"
+               "<p>DOMAIN FOR SALE</p></BODY></HTML>"),
+    ]
+    got = web_gates(_pages(spark, rows)).collect()[0]
+    assert got["has_rel_license"]
+    assert got["n_parked"] == 1
