@@ -1,0 +1,166 @@
+"""PMI collocation / phrase mining (word2phrase, Mikolov et al. 2013,
+"Distributed Representations of Words and Phrases").
+
+Finds the word pairs that behave as single units ("new york",
+"machine learning") by comparing their joint count against what the
+unigram frequencies predict. Two scores per surviving pair:
+
+* ``score_fp`` — word2phrase's discounted ratio
+  ``(c_ab - delta) * N / (c_a * c_b)`` in 1e-6 fixed point, computed
+  entirely in DECIMAL(38,0) integer arithmetic (products stay under
+  1e38 even at 10^13 corpus tokens) — the threshold word2vec's phrase
+  pass applies iteratively;
+* ``pmi_fp`` — classic pointwise mutual information
+  ``ln(N * c_ab / (c_a * c_b))`` in 1e-6 fixed point, assembled as
+  ``ln N + ln c_ab - ln c_a - ln c_b`` where each term is the exact
+  range-reduced fixed-point ``ln`` of a SINGLE integer (lm.py
+  machinery with den=1) — no product ever feeds ``bin()``, so nothing
+  overflows and both engines agree bit-for-bit.
+
+The reference repo has no corpus-analysis stage (it is a per-request
+OCR service); this belongs to the training-data-pipeline surface the
+engine adds — phrase mining feeds tokenizer vocabularies (multi-word
+merges), query segmentation, and keyword dictionaries.
+
+Scale shape: two linear token scans (adjacent-pair rows — map-side,
+no BOS, pairs never cross document boundaries — and plain unigram
+counts), one pair-keyed partial agg (observed-pair-bounded), two
+hash joins onto the unigram count frame (vocabulary-sized — a join,
+not a broadcast, the Brants discipline), one 1-row crossJoin for N.
+min_count prunes the pair frame BEFORE the joins, so the long tail
+of hapax pairs never shuffles twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.dedup import words_col
+from deepseek_ocr_spark.functions.lm import (
+    K_SQL,
+    NLL_FP_SQL,
+    Z2_SQL,
+    Z_SQL,
+    r2_sql,
+)
+
+DELTA = 5  # word2phrase's default discount: suppresses rare-pair noise
+D38 = "decimal(38,0)"
+
+
+def word_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per adjacent in-document token pair: (tok_a, tok_b).
+    posexplode + element_at on the retained words array (the
+    doc_bigrams shape); position 0 emits no pair — collocations never
+    span document boundaries."""
+    base = df.select(F.col(id_col), words_col(F.col(text_col)).alias("w"))
+    return (
+        base.select(F.posexplode("w").alias("pos", "tok_b"), "w")
+        .where(F.col("pos") > 0)
+        .select(F.element_at("w", F.col("pos")).alias("tok_a"), "tok_b")
+    )
+
+
+def _ln1_cols(frame: DataFrame, src: str, out: str) -> DataFrame:
+    """Append ``out`` = floor(1e6 * ln(src)) for a positive BIGINT
+    column, via the shared exact-range-reduction chain with den = 1
+    (num >= den always). Unique temp names so chains compose."""
+    shift = lambda x, amt: f"shiftleft(cast({x} as bigint), {amt})"  # noqa: E731
+    # rename temps to names that share no substring prefix — a naive
+    # "__z" replace would re-match inside an already-substituted
+    # "__z2_{out}" (cascading-replacement trap)
+    sub = lambda s: (  # noqa: E731
+        s.replace("__num", f"__a_{out}")
+        .replace("__den", f"__b_{out}")
+        .replace("__k", f"__c_{out}")
+        .replace("__r2", f"__d_{out}")
+        .replace("__z2", f"__e_{out}")
+        .replace("__z", f"__f_{out}")
+    )
+    tmp = [f"__{c}_{out}" for c in "abcdef"]
+    return (
+        frame.withColumn(tmp[0], F.col(src).cast("bigint"))
+        .withColumn(tmp[1], F.lit(1).cast("bigint"))
+        .withColumn(tmp[2], F.expr(sub(K_SQL)))
+        .withColumn(tmp[3], F.expr(sub(r2_sql(shift))))
+        .withColumn(tmp[5], F.expr(sub(Z_SQL)))
+        .withColumn(tmp[4], F.expr(sub(Z2_SQL)))
+        .withColumn(out, F.expr(sub(NLL_FP_SQL)))
+        .drop(*tmp)
+    )
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delta: int = DELTA,
+    min_count: int = DELTA + 1,
+) -> DataFrame:
+    """(tok_a, tok_b, c_ab, c_a, c_b, score_fp, pmi_fp) for every
+    adjacent pair with c_ab >= min_count (and > delta, so the
+    discounted numerator stays positive). Both scores deterministic
+    integer fixed point; callers threshold on score_fp (word2phrase's
+    rule) or rank by pmi_fp."""
+    pairs = word_pairs(df, id_col, text_col)
+    c_ab = (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("c_ab"))
+        .where((F.col("c_ab") >= min_count) & (F.col("c_ab") > delta))
+    )
+    # plain unigram counts over ALL token positions (word2phrase's
+    # counts) — a second linear scan of the words array, never a
+    # corpus-sized join
+    uni = (
+        df.select(
+            F.explode(words_col(F.col(text_col))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n_tot = uni.agg(F.sum("c").cast("bigint").alias("n_tokens"))
+    joined = (
+        c_ab.join(
+            uni.select(
+                F.col("tok").alias("tok_a"), F.col("c").alias("c_a")
+            ),
+            "tok_a",
+        )
+        .join(
+            uni.select(
+                F.col("tok").alias("tok_b"), F.col("c").alias("c_b")
+            ),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(n_tot))
+    )
+    # exact integer floor-division (Spark DIV ≡ DuckDB // — the RRF
+    # precedent); DECIMAL(38,0) holds (c_ab * N * 1e6) <= ~1e32
+    scored = joined.withColumn(
+        "score_fp",
+        F.expr(
+            f"CAST((CAST(c_ab - {int(delta)} AS {D38})"
+            f" * CAST(n_tokens AS {D38}) * CAST(1000000 AS {D38}))"
+            f" DIV (CAST(c_a AS {D38}) * CAST(c_b AS {D38})) AS BIGINT)"
+        ),
+    )
+    for src, out in (
+        ("n_tokens", "__ln_n"),
+        ("c_ab", "__ln_ab"),
+        ("c_a", "__ln_a"),
+        ("c_b", "__ln_b"),
+    ):
+        scored = _ln1_cols(scored, src, out)
+    return scored.select(
+        "tok_a",
+        "tok_b",
+        "c_ab",
+        "c_a",
+        "c_b",
+        "score_fp",
+        (
+            F.col("__ln_n") + F.col("__ln_ab")
+            - F.col("__ln_a") - F.col("__ln_b")
+        ).alias("pmi_fp"),
+    )

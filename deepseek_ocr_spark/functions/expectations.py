@@ -1,0 +1,121 @@
+"""Declarative data-quality expectations (the Deequ pattern —
+Schelter et al. 2018, "Automating Large-Scale Data Quality
+Verification"): a rule list compiles into ONE aggregation pass over
+the table, and the result is a per-rule report frame
+(rule, column, metric_fp, threshold_fp, passed) a pipeline gates on
+before shipping a corpus snapshot.
+
+Supported rules (thresholds and metrics in 1e-6 fixed point, exact
+integer arithmetic — ``(count * 1e6) DIV total`` — so both engines
+agree bit-for-bit):
+
+* ``("completeness", col, min_frac_fp)`` — non-NULL fraction;
+* ``("uniqueness", col, min_frac_fp)`` — exact distinct/total (each
+  uniqueness rule adds one Expand to the single agg — the price of
+  exactness; at 100 TB swap in a sketch and a tolerance);
+* ``("min", col, lo)`` / ``("max", col, hi)`` — numeric bounds on a
+  BIGINT column (metric is the observed extreme itself, not a
+  fraction);
+* ``("non_empty", col, min_frac_fp)`` — non-NULL AND non-empty-string
+  fraction;
+* ``("in_set", col, values, min_frac_fp)`` — membership fraction over
+  an inline value list (dimension-sized by contract).
+
+Scale shape: every metric is a conditional aggregate over one linear
+scan (count-distinct rules expand the same scan, never re-read); the
+report frame is rules-sized. An empty table passes completeness-style
+rules vacuously (0/0 ratios define metric_fp = 1e6) and min/max rules
+trivially (no violating row) — the Deequ convention; assert a
+row-count floor separately if emptiness itself is a failure.
+
+The reference repo has no verification stage (per-request OCR
+service); this belongs to the pipeline-operations surface next to the
+snapshot table format's commit-time stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FP = 1_000_000
+
+
+def check_constraints(df: DataFrame, rules) -> DataFrame:
+    """Compile ``rules`` into one aggregation; return the report frame
+    ordered by (rule, column). Unknown rule kinds raise ValueError at
+    plan time (loudly, before any job runs)."""
+    aggs = [F.count("*").cast("bigint").alias("__total")]
+    specs = []  # (kind, col, threshold, metric_alias, is_frac)
+    for i, rule in enumerate(rules):
+        kind, col = rule[0], rule[1]
+        alias = f"__m{i}"
+        if kind == "completeness":
+            aggs.append(
+                F.count(F.col(col)).cast("bigint").alias(alias)
+            )
+            specs.append((kind, col, int(rule[2]), alias, True))
+        elif kind == "non_empty":
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(col).isNotNull() & (F.length(col) > 0), 1
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(alias)
+            )
+            specs.append((kind, col, int(rule[2]), alias, True))
+        elif kind == "uniqueness":
+            aggs.append(
+                F.countDistinct(F.col(col)).cast("bigint").alias(alias)
+            )
+            specs.append((kind, col, int(rule[2]), alias, True))
+        elif kind == "in_set":
+            values, thr = rule[2], int(rule[3])
+            aggs.append(
+                F.sum(
+                    F.when(F.col(col).isin(list(values)), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(alias)
+            )
+            specs.append((kind, col, thr, alias, True))
+        elif kind == "min":
+            aggs.append(F.min(F.col(col)).cast("bigint").alias(alias))
+            specs.append((kind, col, int(rule[2]), alias, False))
+        elif kind == "max":
+            aggs.append(F.max(F.col(col)).cast("bigint").alias(alias))
+            specs.append((kind, col, int(rule[2]), alias, False))
+        else:
+            raise ValueError(f"unknown expectation rule kind: {kind!r}")
+
+    one = df.agg(*aggs)
+    reports = []
+    for kind, col, thr, alias, is_frac in specs:
+        if is_frac:
+            metric = F.when(
+                F.col("__total") == 0, F.lit(FP).cast("bigint")
+            ).otherwise(F.expr(f"({alias} * {FP}) DIV __total"))
+            passed = metric >= F.lit(thr)
+        elif kind == "min":
+            metric = F.col(alias)
+            # vacuous pass on empty/all-NULL column (Deequ convention)
+            passed = metric.isNull() | (metric >= F.lit(thr))
+        else:  # max
+            metric = F.col(alias)
+            passed = metric.isNull() | (metric <= F.lit(thr))
+        reports.append(
+            F.struct(
+                F.lit(kind).alias("rule"),
+                F.lit(col).alias("column"),
+                metric.cast("bigint").alias("metric_fp"),
+                F.lit(thr).cast("bigint").alias("threshold_fp"),
+                passed.alias("passed"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*reports)).alias("r"))
+        .select("r.*")
+        .orderBy("rule", "column")
+    )

@@ -302,3 +302,156 @@ def ppl_buckets_sampled(
         )
         .drop("__c1", "__c2")
     )
+
+
+# ---------------------------------------------------------------------
+# Stupid Backoff trigram scoring (Brants et al. 2007, "Large Language
+# Models in Machine Translation").
+# ---------------------------------------------------------------------
+
+# floor(1e6 * ln(1/0.4)) — the per-backoff-step NLL penalty as an exact
+# integer literal, so k backoffs add k*LN_BACKOFF_FP deterministically
+# (the LN2_FP discipline: no transcendental runs in either engine).
+LN_BACKOFF_FP = 916290
+
+
+def doc_trigrams(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = LM_BUCKETS
+) -> DataFrame:
+    """One row per trigram event: (id, w1, w2, w3) hashed bucket ids,
+    with BOS sentinels (bucket == ``n_buckets``) padding the first two
+    contexts — every doc with >= 1 token produces exactly n events.
+    Same posexplode-on-the-retained-array shape as ``doc_bigrams``."""
+    base = df.select(
+        F.col(id_col), bucket_ids_col(F.col(text_col), n_buckets).alias("lb")
+    )
+    bos = F.lit(n_buckets).cast("bigint")
+    return base.select(
+        id_col, "lb", F.posexplode("lb").alias("pos", "w3")
+    ).select(
+        id_col,
+        F.when(F.col("pos") <= 1, bos)
+        .otherwise(F.element_at("lb", F.col("pos") - 1))
+        .alias("w1"),
+        F.when(F.col("pos") == 0, bos)
+        .otherwise(F.element_at("lb", F.col("pos")))
+        .alias("w2"),
+        "w3",
+    )
+
+
+def train_sb_lm(
+    ref: DataFrame, id_col: str, text_col: str, n_buckets: int = LM_BUCKETS
+):
+    """(tri, big, uni, n_tokens): the three count frames of a Stupid
+    Backoff trigram model over the reference corpus, each carrying its
+    own context total so scoring needs no extra context joins:
+
+    * ``tri``: (w1, w2, w3, c3, cctx3) with cctx3 = c(w1, w2);
+    * ``big``: (w2, w3, c2, cctx2) with cctx2 = c(w2);
+    * ``uni``: (w3, c1); ``n_tokens`` = total event count (a python
+      int — model state, the MLlib pattern; one tiny action at train).
+
+    Unlike the bigram LM's (B+1) x B bound, the trigram frame grows
+    with the OBSERVED reference trigram set — Brants' point is exactly
+    that the model is too big to broadcast and is served by a
+    distributed JOIN on the event key (here: a hash join on
+    (w1, w2, w3), which AQE turns into a broadcast when the reference
+    is small). All three aggs are map-side partial over one linear
+    trigram scan of the reference.
+    """
+    ev = doc_trigrams(ref, id_col, text_col, n_buckets)
+    tri = ev.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    tctx = tri.groupBy("w1", "w2").agg(F.sum("c3").alias("cctx3"))
+    tri = tri.join(tctx, ["w1", "w2"])
+    big = ev.groupBy("w2", "w3").agg(F.count("*").alias("c2"))
+    bctx = big.groupBy("w2").agg(F.sum("c2").alias("cctx2"))
+    big = big.join(bctx, ["w2"])
+    uni = ev.groupBy("w3").agg(F.count("*").alias("c1"))
+    n_tokens = ev.count()
+    return tri, big, uni, n_tokens
+
+
+def sb_score(
+    docs: DataFrame,
+    model,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = LM_BUCKETS,
+) -> DataFrame:
+    """(id, n_tri, nll_fp, nll_ptok_fp, n_backoff): per-doc Stupid
+    Backoff negative log-score in 1e-6 fixed point.
+
+    Per event, S = f(w3|w1 w2) when the trigram was seen, else
+    0.4 * f(w3|w2) when the bigram was seen, else 0.4^2 * f_L(w3) —
+    relative frequencies, no normalization (Brants' "stupid" part:
+    the backoff weight is a constant 0.4, not a discount). The final
+    unigram level deviates from the paper's bare c1/N by Laplace
+    smoothing ((c1+1)/(N+B)) so hash buckets absent from the
+    reference still score finitely — documented, deterministic.
+
+    -ln S = ln(num/den) + k * ln(1/0.4) with num >= den at every
+    level (context count >= event count; N + B >= c1 + 1), so the
+    exact-range-reduction fixed-point ln applies unchanged and the
+    per-doc sum is pure integer arithmetic. ``n_backoff`` counts the
+    total backoff steps — a model-coverage diagnostic.
+
+    Plan: one linear trigram scan of the corpus, one hash join per
+    model level (tri/big shuffle on their keys at scale — the
+    distributed-LM serving shape; uni broadcasts), one 1-row
+    crossJoin for N, one doc-keyed partial agg. Nothing quadratic,
+    nothing collects."""
+    tri, big, uni, n_tokens = model
+    spark = docs.sparkSession
+    n_df = spark.createDataFrame(
+        [(int(n_tokens),)], "n_tokens bigint"
+    )
+    ev = doc_trigrams(docs, id_col, text_col, n_buckets)
+    shift = lambda x, amt: f"shiftleft(cast({x} as bigint), {amt})"  # noqa: E731
+    scored = (
+        ev.join(tri, ["w1", "w2", "w3"], "left")
+        .join(big, ["w2", "w3"], "left")
+        .join(F.broadcast(uni), ["w3"], "left")
+        .crossJoin(F.broadcast(n_df))
+        .withColumn(
+            "__num",
+            F.when(F.col("c3").isNotNull(), F.col("cctx3"))
+            .when(F.col("c2").isNotNull(), F.col("cctx2"))
+            .otherwise(F.col("n_tokens") + F.lit(n_buckets))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "__den",
+            F.when(F.col("c3").isNotNull(), F.col("c3"))
+            .when(F.col("c2").isNotNull(), F.col("c2"))
+            .otherwise(F.coalesce(F.col("c1"), F.lit(0)) + F.lit(1))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "__kb",
+            F.when(F.col("c3").isNotNull(), F.lit(0))
+            .when(F.col("c2").isNotNull(), F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("bigint"),
+        )
+        .withColumn("__k", F.expr(K_SQL))
+        .withColumn("__r2", F.expr(r2_sql(shift)))
+        .withColumn("__z", F.expr(Z_SQL))
+        .withColumn("__z2", F.expr(Z2_SQL))
+        .withColumn(
+            "__nll", F.expr(NLL_FP_SQL) + F.col("__kb") * F.lit(LN_BACKOFF_FP)
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.sum("__nll").cast("bigint").alias("nll_fp"),
+            F.sum("__kb").cast("bigint").alias("n_backoff"),
+        )
+        .withColumn(
+            "nll_ptok_fp",
+            F.expr("CAST(FLOOR(CAST(nll_fp AS DOUBLE) / n_tri) AS BIGINT)"),
+        )
+        .select(id_col, "n_tri", "nll_fp", "nll_ptok_fp", "n_backoff")
+    )

@@ -282,3 +282,76 @@ def stratified_sample(
         .select(F.col(id_col), F.col("samp_rank").cast("bigint").alias("samp_rank"))
     )
     return docs.join(F.broadcast(winners), id_col)
+
+
+# ---------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+# "Weighted random sampling with a reservoir" — the exponential-clocks
+# A-ES variant).
+# ---------------------------------------------------------------------
+
+ES_HASH_BITS = 40
+ES_HASH_SCALE = 1 << ES_HASH_BITS  # 1099511627776
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    weight_col: str,
+    salt: str = "es1",
+) -> DataFrame:
+    """Exact-size weighted sample WITHOUT replacement: the k rows with
+    the smallest exponential clocks ``-ln(u_i) / w_i`` (A-ES) —
+    inclusion-probability-proportional-to-weight, the distributed
+    primitive behind importance-weighted corpus subsetting when exact
+    counts (not hash_budget_sample's in-expectation budgets) are
+    required.
+
+    Deterministic end to end: u_i is the salted 40-bit md5 prefix of
+    the id (+1, so u in (0, 1]); -ln u = ln(2^40 / h) runs through the
+    shared exact-range-reduction fixed-point ln (num = 2^40 >= h = den
+    always); the clock is ``key_fp = (lnu_fp * 1e6) DIV w`` — exact
+    integer division, bounded by ln(2^40)*1e12 ~ 2.8e13 << 2^63 — and
+    ties break on id. Changing the salt redraws the sample; membership
+    under one salt is stable forever (the hash_split contract).
+
+    Rows with weight <= 0 or NULL are excluded (a zero-weight item's
+    clock is +inf). Plan: the clock is a zero-shuffle codegen
+    projection; the k-cut is orderBy+limit — TakeOrderedAndProject,
+    per-partition heaps + one k-row merge, never a global sort."""
+    from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+    from deepseek_ocr_spark.functions.lm import (
+        K_SQL, NLL_FP_SQL, Z2_SQL, Z_SQL, r2_sql,
+    )
+
+    shift = lambda x, amt: f"shiftleft(cast({x} as bigint), {amt})"  # noqa: E731
+    nhex = ES_HASH_BITS // 4
+    out = (
+        df.where(F.col(weight_col) > 0)
+        .withColumn(
+            "__den",
+            (
+                md5_prefix_int(
+                    F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")),
+                    nhex,
+                )
+                + 1
+            ).cast("bigint"),
+        )
+        .withColumn("__num", F.lit(ES_HASH_SCALE).cast("bigint"))
+        .withColumn("__k", F.expr(K_SQL))
+        .withColumn("__r2", F.expr(r2_sql(shift)))
+        .withColumn("__z", F.expr(Z_SQL))
+        .withColumn("__z2", F.expr(Z2_SQL))
+        .withColumn("__lnu", F.expr(NLL_FP_SQL))
+        .withColumn(
+            "key_fp",
+            F.expr(f"(__lnu * 1000000) DIV CAST({weight_col} AS BIGINT)"),
+        )
+    )
+    return (
+        out.select(id_col, F.col(weight_col).alias("weight"), "key_fp")
+        .orderBy("key_fp", id_col)
+        .limit(k)
+    )

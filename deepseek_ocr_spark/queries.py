@@ -7712,6 +7712,308 @@ FROM lnn
 SQL_SOURCE_ENTROPY = _source_entropy_sql()
 
 
+def q_sb_trigram_nll(spark, sf_dir):
+    """Stupid Backoff trigram scoring (Brants et al. 2007 — the
+    distributed-LM paper: no normalization, constant 0.4 backoff,
+    model served by a JOIN instead of a broadcast): train the hashed
+    trigram/bigram/unigram count frames on the lang='en' reference
+    slice, score EVERY document's negative log-score in 1e-6 fixed
+    point. The n-gram-order upgrade over lm_perplexity's bigram LM;
+    ``n_backoff`` surfaces model coverage per doc."""
+    from deepseek_ocr_spark.functions import lm as LM
+
+    d = _t(spark, sf_dir, "documents")
+    model = LM.train_sb_lm(d.filter(F.col("lang") == "en"), "doc_id", "text")
+    return LM.sb_score(d, model, "doc_id", "text").orderBy("doc_id")
+
+
+def _sb_sql() -> str:
+    from deepseek_ocr_spark.functions import lm as LM
+
+    b = LM.LM_BUCKETS
+    shift = lambda x, amt: f"({x}::BIGINT << ({amt}))"  # noqa: E731
+    return f"""
+WITH lb AS (
+  SELECT doc_id, lang,
+         list_transform(
+           string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {b}) AS l
+  FROM documents
+), tg0 AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(l) + 1),
+           i -> struct_pack(
+             w1 := CASE WHEN i <= 2 THEN {b}::BIGINT ELSE l[i - 2] END,
+             w2 := CASE WHEN i = 1 THEN {b}::BIGINT ELSE l[i - 1] END,
+             w3 := l[i]))) AS e
+  FROM lb
+), ev AS (
+  SELECT doc_id, lang, e.w1 AS w1, e.w2 AS w2, e.w3 AS w3 FROM tg0
+), tri0 AS (
+  SELECT w1, w2, w3, count(*)::BIGINT AS c3
+  FROM ev WHERE coalesce(lang = 'en', false) GROUP BY w1, w2, w3
+), tctx AS (
+  SELECT w1, w2, sum(c3)::BIGINT AS cctx3 FROM tri0 GROUP BY w1, w2
+), tri AS (SELECT tri0.*, tctx.cctx3 FROM tri0 JOIN tctx USING (w1, w2)),
+big0 AS (
+  SELECT w2, w3, count(*)::BIGINT AS c2
+  FROM ev WHERE coalesce(lang = 'en', false) GROUP BY w2, w3
+), bctx AS (
+  SELECT w2, sum(c2)::BIGINT AS cctx2 FROM big0 GROUP BY w2
+), big AS (SELECT big0.*, bctx.cctx2 FROM big0 JOIN bctx USING (w2)),
+uni AS (
+  SELECT w3, count(*)::BIGINT AS c1
+  FROM ev WHERE coalesce(lang = 'en', false) GROUP BY w3
+), n AS (
+  SELECT count(*)::BIGINT AS n_tokens
+  FROM ev WHERE coalesce(lang = 'en', false)
+), j AS (
+  SELECT ev.doc_id,
+         CASE WHEN tri.c3 IS NOT NULL THEN tri.cctx3
+              WHEN big.c2 IS NOT NULL THEN big.cctx2
+              ELSE n.n_tokens + {b} END::BIGINT AS __num,
+         CASE WHEN tri.c3 IS NOT NULL THEN tri.c3
+              WHEN big.c2 IS NOT NULL THEN big.c2
+              ELSE coalesce(uni.c1, 0) + 1 END::BIGINT AS __den,
+         CASE WHEN tri.c3 IS NOT NULL THEN 0
+              WHEN big.c2 IS NOT NULL THEN 1
+              ELSE 2 END::BIGINT AS __kb
+  FROM ev
+  LEFT JOIN tri USING (w1, w2, w3)
+  LEFT JOIN big USING (w2, w3)
+  LEFT JOIN uni USING (w3)
+  CROSS JOIN n
+), k1 AS (
+  SELECT doc_id, __kb, __num, __den, {LM.K_SQL} AS __k FROM j
+), r1 AS (
+  SELECT doc_id, __kb, __k, {LM.r2_sql(shift)} AS __r2 FROM k1
+), z1 AS (
+  SELECT doc_id, __kb, __k, {LM.Z_SQL} AS __z FROM r1
+), z2t AS (
+  SELECT doc_id, __kb, __k, __z, {LM.Z2_SQL} AS __z2 FROM z1
+), evn AS (
+  SELECT doc_id, __kb,
+         ({LM.NLL_FP_SQL}) + __kb * {LM.LN_BACKOFF_FP} AS __nll
+  FROM z2t
+), s AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tri, sum(__nll)::BIGINT AS nll_fp,
+         sum(__kb)::BIGINT AS n_backoff
+  FROM evn GROUP BY doc_id
+)
+SELECT doc_id, n_tri, nll_fp,
+       CAST(FLOOR(CAST(nll_fp AS DOUBLE) / n_tri) AS BIGINT) AS nll_ptok_fp,
+       n_backoff
+FROM s ORDER BY doc_id
+"""
+
+
+SQL_SB_TRIGRAM_NLL = _sb_sql()
+
+
+def q_collocations(spark, sf_dir):
+    """PMI collocation mining (word2phrase, Mikolov 2013 — see
+    functions/collocations.py): adjacent-pair counts vs unigram
+    predictions over the documents table, both the discounted
+    word2phrase ratio and classic PMI in deterministic 1e-6 fixed
+    point; top 50 by the word2phrase score."""
+    from deepseek_ocr_spark.functions import collocations as CO
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        CO.collocations(d, "doc_id", "text", delta=2, min_count=3)
+        .orderBy(F.desc("score_fp"), "tok_a", "tok_b")
+        .limit(50)
+    )
+
+
+def _collocations_sql() -> str:
+    from deepseek_ocr_spark.functions import lm as LM
+
+    shift = lambda x, amt: f"({x}::BIGINT << ({amt}))"  # noqa: E731
+
+    def ln1(src: str, inp: str) -> str:
+        """CTE chain computing floor(1e6*ln(src)) as __ln_{src},
+        threading every other column through via SELECT *."""
+        return f"""__n_{src} AS (
+  SELECT *, {src}::BIGINT AS __num, 1::BIGINT AS __den FROM {inp}
+), __k_{src} AS (
+  SELECT *, {LM.K_SQL} AS __k FROM __n_{src}
+), __r_{src} AS (
+  SELECT *, {LM.r2_sql(shift)} AS __r2 FROM __k_{src}
+), __z_{src} AS (
+  SELECT *, {LM.Z_SQL} AS __z FROM __r_{src}
+), __z2_{src} AS (
+  SELECT *, {LM.Z2_SQL} AS __z2 FROM __z_{src}
+), __ln_{src}_t AS (
+  SELECT * EXCLUDE (__num, __den, __k, __r2, __z, __z2),
+         ({LM.NLL_FP_SQL}) AS __ln_{src}
+  FROM __z2_{src}
+)"""
+
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS l
+  FROM documents
+), pr0 AS (
+  SELECT unnest(list_transform(range(2, len(l) + 1),
+           i -> struct_pack(tok_a := l[i - 1], tok_b := l[i]))) AS e
+  FROM w
+), pr AS (
+  SELECT e.tok_a AS tok_a, e.tok_b AS tok_b FROM pr0
+), cab AS (
+  SELECT tok_a, tok_b, count(*)::BIGINT AS c_ab
+  FROM pr GROUP BY tok_a, tok_b
+  HAVING count(*) >= 3 AND count(*) > 2
+), unic AS (
+  SELECT tok, count(*)::BIGINT AS c
+  FROM (SELECT unnest(l) AS tok FROM w) GROUP BY tok
+), ntot AS (
+  SELECT sum(c)::BIGINT AS n_tokens FROM unic
+), j AS (
+  SELECT cab.tok_a, cab.tok_b, cab.c_ab, ua.c AS c_a, ub.c AS c_b,
+         ntot.n_tokens
+  FROM cab
+  JOIN unic ua ON ua.tok = cab.tok_a
+  JOIN unic ub ON ub.tok = cab.tok_b
+  CROSS JOIN ntot
+), sc AS (
+  SELECT *,
+         (((c_ab - 2)::HUGEINT * n_tokens::HUGEINT * 1000000::HUGEINT)
+          // (c_a::HUGEINT * c_b::HUGEINT))::BIGINT AS score_fp
+  FROM j
+), {ln1("n_tokens", "sc")}, {ln1("c_ab", "__ln_n_tokens_t")},
+{ln1("c_a", "__ln_c_ab_t")}, {ln1("c_b", "__ln_c_a_t")}
+SELECT tok_a, tok_b, c_ab, c_a, c_b, score_fp,
+       (__ln_n_tokens + __ln_c_ab - __ln_c_a - __ln_c_b) AS pmi_fp
+FROM __ln_c_b_t
+ORDER BY score_fp DESC, tok_a, tok_b
+LIMIT 50
+"""
+
+
+SQL_COLLOCATIONS = _collocations_sql()
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (functions/sampling.py weighted_sample): the 100 documents with
+    the smallest salted exponential clocks -ln(u)/n_chars — exact-size
+    probability-proportional-to-weight selection, deterministic under
+    the salt."""
+    from deepseek_ocr_spark.functions import sampling as SA
+
+    d = _t(spark, sf_dir, "documents")
+    return SA.weighted_sample(d, 100, "doc_id", "n_chars").orderBy(
+        "key_fp", "doc_id"
+    )
+
+
+def _weighted_sample_sql() -> str:
+    from deepseek_ocr_spark.functions import lm as LM
+    from deepseek_ocr_spark.functions import sampling as SA
+
+    shift = lambda x, amt: f"({x}::BIGINT << ({amt}))"  # noqa: E731
+    return f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         {SA.ES_HASH_SCALE}::BIGINT AS __num,
+         (('0x' || substr(md5('es1:' || doc_id::VARCHAR), 1, 10))::BIGINT
+          + 1)::BIGINT AS __den
+  FROM documents WHERE n_chars > 0
+), k1 AS (
+  SELECT doc_id, n_chars, __num, __den, {LM.K_SQL} AS __k FROM h
+), r1 AS (
+  SELECT doc_id, n_chars, __k, {LM.r2_sql(shift)} AS __r2 FROM k1
+), z1 AS (
+  SELECT doc_id, n_chars, __k, {LM.Z_SQL} AS __z FROM r1
+), z2t AS (
+  SELECT doc_id, n_chars, __k, __z, {LM.Z2_SQL} AS __z2 FROM z1
+), lnu AS (
+  SELECT doc_id, n_chars, ({LM.NLL_FP_SQL}) AS __lnu FROM z2t
+)
+SELECT doc_id, n_chars AS weight,
+       ((__lnu * 1000000) // n_chars::BIGINT) AS key_fp
+FROM lnu
+ORDER BY key_fp, doc_id
+LIMIT 100
+"""
+
+
+SQL_WEIGHTED_SAMPLE = _weighted_sample_sql()
+
+
+EXPECT_RULES = (
+    ("completeness", "text", 1_000_000),
+    ("completeness", "lang", 900_000),
+    ("uniqueness", "doc_id", 1_000_000),
+    ("non_empty", "text", 950_000),
+    ("in_set", "lang", ("en", "de", "fr", "zh", "ja"), 500_000),
+    ("min", "n_chars", 0),
+    ("max", "n_chars", 10_000_000),
+)
+
+
+def q_corpus_expectations(spark, sf_dir):
+    """Deequ-style declarative data-quality verification
+    (functions/expectations.py): a fixed rule list over the documents
+    table compiles into ONE aggregation pass; the report frame is what
+    a pipeline gates on before committing a corpus snapshot."""
+    from deepseek_ocr_spark.functions import expectations as EX
+
+    d = _t(spark, sf_dir, "documents")
+    return EX.check_constraints(d, EXPECT_RULES)
+
+
+def _expectations_sql() -> str:
+    langs = ", ".join(f"'{v}'" for v in EXPECT_RULES[4][2])
+    return f"""
+WITH a AS (
+  SELECT count(*)::BIGINT AS t,
+         count(text)::BIGINT AS c_text,
+         count(lang)::BIGINT AS c_lang,
+         count(DISTINCT doc_id)::BIGINT AS u_id,
+         sum(CASE WHEN text IS NOT NULL AND length(text) > 0
+                  THEN 1 ELSE 0 END)::BIGINT AS ne_text,
+         sum(CASE WHEN lang IN ({langs}) THEN 1 ELSE 0 END)::BIGINT
+           AS in_lang,
+         min(n_chars)::BIGINT AS mn,
+         max(n_chars)::BIGINT AS mx
+  FROM documents
+), f AS (
+  SELECT * REPLACE (CASE WHEN t = 0 THEN 1 ELSE t END AS t) FROM a
+)
+SELECT * FROM (
+  SELECT 'completeness' AS rule, 'text' AS "column",
+         (c_text * 1000000 // t) AS metric_fp,
+         1000000::BIGINT AS threshold_fp,
+         (c_text * 1000000 // t) >= 1000000 AS passed FROM f
+  UNION ALL
+  SELECT 'completeness', 'lang', (c_lang * 1000000 // t),
+         900000::BIGINT, (c_lang * 1000000 // t) >= 900000 FROM f
+  UNION ALL
+  SELECT 'uniqueness', 'doc_id', (u_id * 1000000 // t),
+         1000000::BIGINT, (u_id * 1000000 // t) >= 1000000 FROM f
+  UNION ALL
+  SELECT 'non_empty', 'text', (ne_text * 1000000 // t),
+         950000::BIGINT, (ne_text * 1000000 // t) >= 950000 FROM f
+  UNION ALL
+  SELECT 'in_set', 'lang', (in_lang * 1000000 // t),
+         500000::BIGINT, (in_lang * 1000000 // t) >= 500000 FROM f
+  UNION ALL
+  SELECT 'min', 'n_chars', mn, 0::BIGINT,
+         (mn IS NULL OR mn >= 0) FROM f
+  UNION ALL
+  SELECT 'max', 'n_chars', mx, 10000000::BIGINT,
+         (mx IS NULL OR mx <= 10000000) FROM f
+)
+ORDER BY rule, "column"
+"""
+
+
+SQL_CORPUS_EXPECTATIONS = _expectations_sql()
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
     "html_markdown": (q_html_markdown, SQL_HTML_MARKDOWN),
@@ -8087,4 +8389,24 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # as in-window mixture_kl/lm_perplexity; diversity-ordering
     # sanity pinned by tests/test_importance.py.
     "source_entropy": (q_source_entropy, SQL_SOURCE_ENTROPY),
+    # sb_trigram_nll: below-cut class (b) — the trigram-order sibling
+    # of in-window lm_perplexity: same exact-range-reduction ln chain
+    # and shared expression strings, plus the Brants backoff cascade;
+    # fluency separation and backoff semantics pinned by
+    # tests/test_lm.py.
+    "sb_trigram_nll": (q_sb_trigram_nll, SQL_SB_TRIGRAM_NLL),
+    # collocations: below-cut class (b) — a pair-keyed count agg plus
+    # two vocabulary joins and the shared single-integer ln chain;
+    # word2phrase semantics pinned by tests/test_collocations.py.
+    "collocations": (q_collocations, SQL_COLLOCATIONS),
+    # weighted_sample: below-cut class (b) — a zero-shuffle clock
+    # projection + TakeOrderedAndProject, sharing the stratified_
+    # sample/hash_split salted-hash membership machinery; the A-ES
+    # inclusion-probability law pinned by tests/test_sampling_es.py.
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    # corpus_expectations: below-cut class (b) — one conditional
+    # aggregation pass unpivoted to a rules-sized report; vacuous-
+    # empty-table and unknown-rule semantics pinned by
+    # tests/test_expectations.py.
+    "corpus_expectations": (q_corpus_expectations, SQL_CORPUS_EXPECTATIONS),
 }

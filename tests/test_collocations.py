@@ -1,0 +1,65 @@
+"""PMI collocation mining (functions/collocations.py, word2phrase
+semantics) — hand-computed counts, score formula, and determinism."""
+
+import math
+
+from deepseek_ocr_spark.functions import collocations as CO
+
+
+def _docs(spark):
+    # "new york" appears 5 times (2 + 3); tokens case-fold
+    rows = [
+        (1, "i love New York and new york loves me"),
+        (2, "new york new york new york is the city"),
+        (3, "the city and the city and the city"),
+        (4, "the the the the the the the the"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_pair_counts_and_score_formula(spark):
+    out = {
+        (r["tok_a"], r["tok_b"]): r
+        for r in CO.collocations(
+            _docs(spark), "doc_id", "text", delta=1, min_count=2
+        ).collect()
+    }
+    ny = out[("new", "york")]
+    # c("new york") = 5 (case-folded); c(new) = 5, c(york) = 5
+    assert (ny["c_ab"], ny["c_a"], ny["c_b"]) == (5, 5, 5)
+    n_tokens = 9 + 9 + 8 + 8
+    assert ny["score_fp"] == ((5 - 1) * n_tokens * 1_000_000) // (5 * 5)
+    # pmi within the series' tolerance of true ln(N*c_ab/(c_a*c_b))
+    true_pmi = math.log(n_tokens * 5 / 25)
+    assert abs(ny["pmi_fp"] / 1e6 - true_pmi) < 0.02
+    # "the city" occurs 4 times but 'the' is frequent (12x) -> lower score
+    tc = out[("the", "city")]
+    assert tc["score_fp"] < ny["score_fp"]
+
+
+def test_min_count_and_delta_prune(spark):
+    out = CO.collocations(
+        _docs(spark), "doc_id", "text", delta=4, min_count=5
+    ).collect()
+    pairs = {(r["tok_a"], r["tok_b"]) for r in out}
+    # only "new york" (5x) and doc4's "the the" (7x) reach min_count=5
+    assert pairs == {("new", "york"), ("the", "the")}
+    # pairs never cross document boundaries: ("me", "new") would need
+    # doc1->doc2 adjacency
+    assert ("me", "new") not in pairs
+
+
+def test_partitioning_independent(spark):
+    d = _docs(spark)
+    a = sorted(
+        map(tuple, CO.collocations(d, "doc_id", "text", 1, 2).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            CO.collocations(
+                d.repartition(5, "doc_id"), "doc_id", "text", 1, 2
+            ).collect(),
+        )
+    )
+    assert a == b

@@ -1,0 +1,86 @@
+"""Deequ-style expectations (functions/expectations.py) — metric
+values, pass/fail thresholds, vacuous empty-table semantics, the
+single-scan plan shape, and loud unknown-rule failure."""
+
+import pytest
+
+from deepseek_ocr_spark.functions import expectations as EX
+
+
+def _df(spark):
+    rows = [
+        (1, "alpha", "en", 5),
+        (2, "beta", "en", 4),
+        (3, None, "de", 0),
+        (4, "", "xx", 0),
+        (4, "dup-id", None, 6),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, n_chars bigint"
+    )
+
+
+def test_metrics_and_thresholds(spark):
+    out = {
+        (r["rule"], r["column"]): r
+        for r in EX.check_constraints(
+            _df(spark),
+            (
+                ("completeness", "text", 1_000_000),
+                ("non_empty", "text", 700_000),
+                ("uniqueness", "doc_id", 1_000_000),
+                ("in_set", "lang", ("en", "de"), 600_000),
+                ("min", "n_chars", 0),
+                ("max", "n_chars", 5),
+            ),
+        ).collect()
+    }
+    c = out[("completeness", "text")]
+    assert c["metric_fp"] == 4 * 1_000_000 // 5 and not c["passed"]
+    ne = out[("non_empty", "text")]
+    assert ne["metric_fp"] == 3 * 1_000_000 // 5 and not ne["passed"]
+    u = out[("uniqueness", "doc_id")]
+    assert u["metric_fp"] == 4 * 1_000_000 // 5 and not u["passed"]
+    s = out[("in_set", "lang")]
+    assert s["metric_fp"] == 3 * 1_000_000 // 5 and s["passed"]
+    mn = out[("min", "n_chars")]
+    assert mn["metric_fp"] == 0 and mn["passed"]
+    mx = out[("max", "n_chars")]
+    assert mx["metric_fp"] == 6 and not mx["passed"]
+
+
+def test_empty_table_vacuous_pass(spark):
+    empty = _df(spark).where("doc_id < 0")
+    out = EX.check_constraints(
+        empty,
+        (
+            ("completeness", "text", 1_000_000),
+            ("min", "n_chars", 100),
+            ("max", "n_chars", -5),
+        ),
+    ).collect()
+    assert all(r["passed"] for r in out)
+    frac = [r for r in out if r["rule"] == "completeness"][0]
+    assert frac["metric_fp"] == 1_000_000
+
+
+def test_unknown_rule_raises_at_plan_time(spark):
+    with pytest.raises(ValueError, match="unknown expectation rule"):
+        EX.check_constraints(_df(spark), (("median", "n_chars", 1),))
+
+
+def test_single_scan_plan(spark):
+    """Without uniqueness rules the report is ONE scan + one
+    single-row aggregate — no join, no second read of the table."""
+    plan = EX.check_constraints(
+        _df(spark),
+        (
+            ("completeness", "text", 1_000_000),
+            ("non_empty", "text", 1),
+            ("min", "n_chars", 0),
+            ("max", "n_chars", 10),
+            ("in_set", "lang", ("en",), 1),
+        ),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Scan") <= 1  # LocalTableScan of the fixture

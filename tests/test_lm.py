@@ -228,3 +228,85 @@ def test_ppl_buckets_sampled_semantics(spark):
     assert {(r["doc_id"], r["ppl_bucket"]) for r in re40} == {
         (r["doc_id"], r["ppl_bucket"]) for r in out
     }
+
+
+# ---------------------------------------------------------------------
+# Stupid Backoff trigram scoring (Brants 2007)
+# ---------------------------------------------------------------------
+
+
+def _sb_model(spark):
+    ref = spark.createDataFrame(REF, "url string, text string")
+    return LM.train_sb_lm(ref, "url", "text")
+
+
+def test_sb_backoff_cascade_semantics(spark):
+    """Seen trigram → 0 backoff steps; seen bigram w/ unseen trigram →
+    1; both unseen → 2. Hand-checkable on the fixed REF corpus."""
+    model = _sb_model(spark)
+    docs = spark.createDataFrame(
+        [
+            # every trigram (incl. BOS-padded) appears in REF
+            ("d_tri", "the quick brown fox jumps"),
+            # "fox sleeps": 'fox' seen, bigram/trigram around 'sleeps'
+            # unseen -> full backoff on that event
+            ("d_uni", "the quick brown fox sleeps"),
+        ],
+        "url string, text string",
+    )
+    out = {
+        r["url"]: r
+        for r in LM.sb_score(docs, model, "url", "text").collect()
+    }
+    assert out["d_tri"]["n_backoff"] == 0
+    assert out["d_uni"]["n_backoff"] >= 2  # 'sleeps' pays 2 steps
+    assert out["d_tri"]["n_tri"] == 5 and out["d_uni"]["n_tri"] == 5
+    # backoff penalty makes the unseen doc strictly worse per token
+    assert out["d_uni"]["nll_ptok_fp"] > out["d_tri"]["nll_ptok_fp"]
+    # every nll component is non-negative by construction
+    assert out["d_tri"]["nll_fp"] >= 0
+
+
+def test_sb_fluency_separation_and_coverage(spark):
+    """Reference-like text scores below scrambled text; every doc is
+    scored exactly once."""
+    model = _sb_model(spark)
+    docs = spark.createDataFrame(
+        [
+            ("fluent", REF[0][1]),
+            ("garbled", "tree shady the under rests fox dog lazy the "
+                        "over jumps brown quick xyzzy plugh"),
+        ],
+        "url string, text string",
+    )
+    out = {
+        r["url"]: r
+        for r in LM.sb_score(docs, model, "url", "text").collect()
+    }
+    assert set(out) == {"fluent", "garbled"}
+    assert out["fluent"]["nll_ptok_fp"] < out["garbled"]["nll_ptok_fp"]
+    assert out["fluent"]["n_backoff"] == 0
+
+
+def test_sb_scores_partitioning_independent(spark):
+    model = _sb_model(spark)
+    docs = spark.createDataFrame(
+        [(f"d{i}", REF[i % 4][1] + f" extra{i}") for i in range(12)],
+        "url string, text string",
+    )
+    a = sorted(
+        LM.sb_score(docs, model, "url", "text").collect(),
+        key=lambda r: r["url"],
+    )
+    b = sorted(
+        LM.sb_score(docs.repartition(7, "url"), model, "url", "text")
+        .collect(),
+        key=lambda r: r["url"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_sb_penalty_literal_is_ln_04(spark):
+    """LN_BACKOFF_FP is floor(1e6 * ln(1/0.4)) — pinned so neither
+    engine ever evaluates a transcendental."""
+    assert LM.LN_BACKOFF_FP == math.floor(1e6 * math.log(1 / 0.4))

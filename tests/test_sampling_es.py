@@ -1,0 +1,107 @@
+"""Efraimidis-Spirakis weighted sampling (sampling.weighted_sample) —
+the inclusion-probability law, exact-size guarantee, determinism, and
+the zero/NULL-weight exclusion."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions import sampling as SA
+
+
+def _items(spark, n=20):
+    rows = [(i, 1 if i else 9) for i in range(n)]  # item 0 is 9x heavier
+    return spark.createDataFrame(rows, "id bigint, w bigint")
+
+
+def test_exact_size_and_no_replacement(spark):
+    d = _items(spark)
+    out = SA.weighted_sample(d, 5, "id", "w").collect()
+    ids = [r["id"] for r in out]
+    assert len(ids) == 5 and len(set(ids)) == 5
+    # k >= n returns every positive-weight row exactly once
+    allr = SA.weighted_sample(d, 100, "id", "w").collect()
+    assert sorted(r["id"] for r in allr) == list(range(20))
+
+
+def test_zero_and_null_weights_excluded(spark):
+    rows = [(1, 10), (2, 0), (3, None), (4, -5), (5, 3)]
+    d = spark.createDataFrame(rows, "id bigint, w bigint")
+    out = SA.weighted_sample(d, 10, "id", "w").collect()
+    assert sorted(r["id"] for r in out) == [1, 5]
+
+
+def test_salt_stability_and_partitioning_independence(spark):
+    d = _items(spark, 50)
+    a = SA.weighted_sample(d, 7, "id", "w", salt="s1").collect()
+    b = SA.weighted_sample(
+        d.repartition(9, "id"), 7, "id", "w", salt="s1"
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    c = SA.weighted_sample(d, 7, "id", "w", salt="s2").collect()
+    assert [r["id"] for r in a] != [r["id"] for r in c]
+
+
+def test_inclusion_probability_tracks_weight(spark):
+    """k=1 winner frequency across salts approximates w_i / sum(w):
+    one Spark job over a (trial x item) grid — with one item carrying
+    90% of the mass, it must win far more often than any other."""
+    n_trials, n_items = 300, 10
+    # item 0: weight 90; items 1..9: weight 1 each (total 99)
+    grid = spark.range(n_trials).crossJoin(
+        spark.createDataFrame(
+            [(i, 90 if i == 0 else 1) for i in range(n_items)],
+            "item bigint, w bigint",
+        )
+    )
+    from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+    from deepseek_ocr_spark.functions.lm import (
+        K_SQL, NLL_FP_SQL, Z2_SQL, Z_SQL, r2_sql,
+    )
+
+    shift = lambda x, amt: f"shiftleft(cast({x} as bigint), {amt})"  # noqa: E731
+    keyed = (
+        grid.withColumn(
+            "__den",
+            (
+                md5_prefix_int(
+                    F.concat_ws(":", "id", "item"), SA.ES_HASH_BITS // 4
+                )
+                + 1
+            ).cast("bigint"),
+        )
+        .withColumn("__num", F.lit(SA.ES_HASH_SCALE).cast("bigint"))
+        .withColumn("__k", F.expr(K_SQL))
+        .withColumn("__r2", F.expr(r2_sql(shift)))
+        .withColumn("__z", F.expr(Z_SQL))
+        .withColumn("__z2", F.expr(Z2_SQL))
+        .withColumn("__lnu", F.expr(NLL_FP_SQL))
+        .withColumn("key_fp", F.expr("(__lnu * 1000000) DIV w"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy("key_fp", "item")
+    wins = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("item")
+        .count()
+        .collect()
+    )
+    by_item = {r["item"]: r["count"] for r in wins}
+    p0 = by_item.get(0, 0) / n_trials
+    # expected 90/99 ~ 0.909; 300 trials -> sd ~ 0.017
+    assert p0 > 0.8, by_item
+    assert max(v for k, v in by_item.items() if k != 0) < 0.15 * n_trials
+
+
+def test_clock_is_minus_ln_u_over_w(spark):
+    """The fixed-point clock matches -ln(u)/w within the series'
+    documented tolerance for a hand-computed row."""
+    import hashlib
+
+    d = spark.createDataFrame([(7, 3)], "id bigint, w bigint")
+    out = SA.weighted_sample(d, 1, "id", "w", salt="es1").collect()[0]
+    h = int(hashlib.md5(b"es1:7").hexdigest()[:10], 16) + 1
+    true_key = -math.log(h / SA.ES_HASH_SCALE) / 3 * 1e12
+    assert abs(out["key_fp"] - true_key) / max(true_key, 1) < 0.01
