@@ -131,6 +131,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "operators/snapshot_table)",
     )
     p.add_argument(
+        "--partition-by",
+        action="append",
+        default=[],
+        metavar="COL",
+        help="extract mode with --table-format snapshot: identity-"
+        "partition the output table on this column (repeatable; e.g. "
+        "--partition-by doc_type); appends inherit the table's spec",
+    )
+    p.add_argument(
         "--html-engine",
         choices=("fast", "reference"),
         default="fast",
@@ -636,6 +645,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             html_engine=args.html_engine,
             pdf_passwords=tuple(args.pdf_password),
             table_format=args.table_format,
+            partition_by=tuple(args.partition_by),
         )
         print(json.dumps(summary))
     if own_session:

@@ -55,6 +55,17 @@ module makes that pattern a first-class table format:
   row-identical new snapshot, O(small data)); it rebases over racing
   appends and aborts against overwrites/merges that removed its
   inputs — the rewrite-files concurrency contract;
+* IDENTITY PARTITIONING (``snapshot_write(partition_by=[...])``):
+  hive ``col=value`` layout, per-file partition values recorded in
+  the manifest, ``snapshot_read(partition_filter=...)`` skipping
+  whole partitions from metadata alone (plus synthesized [v, v]
+  stats so range ``prune`` works on spec columns too). Partition
+  columns live in the MANIFEST, not the data files — reads re-attach
+  them via a files-sized broadcast join keyed on the unique data
+  file name, so multi-nonce layouts never depend on Spark's
+  path-based partition discovery. The spec is a table property
+  (appends cannot change it; merge/compact flow rewritten files back
+  through the layout; spec evolution = overwrite);
 * ADDITIVE schema evolution: an append may introduce new columns —
   the manifest schema merges (same-name type changes raise; widening
   needs a rewrite, the Iceberg rule), reads always apply the
@@ -388,19 +399,161 @@ def _carried_blooms(base_manifest: dict, carried_files: list[str]) -> dict:
     return {f: base[f] for f in carried_files if f in base}
 
 
-def _write_data_files(df: DataFrame, table: str) -> tuple[list[str], str]:
+_PART_TYPES = {"string", "byte", "short", "integer", "long"}
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _write_data_files(
+    df: DataFrame, table: str, partition_by: list[str] | None = None
+) -> tuple[list[str], str]:
     """Write ``df`` into a fresh uncommitted data dir; return the
     RELATIVE parquet file paths and the schema json. Files are
-    invisible to readers until a manifest references them."""
+    invisible to readers until a manifest references them. With
+    ``partition_by``, a hive-layout ``partitionBy`` write: every data
+    file is value-pure and lives under ``col=value`` directories (the
+    identity-partition spec); the returned schema json still carries
+    the partition columns — on read they are re-attached from the
+    manifest, never inferred from paths."""
     nonce = f"data-{uuid.uuid4().hex[:12]}"
     out = os.path.join(table, nonce)
-    df.write.parquet(out)  # errorifexists: the nonce dir is ours alone
+    w = df.write
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(out)  # errorifexists: the nonce dir is ours alone
     files = sorted(
-        os.path.join(nonce, f)
-        for f in os.listdir(out)
+        os.path.relpath(os.path.join(root, f), table)
+        for root, _dirs, names in os.walk(out)
+        for f in names
         if f.endswith(".parquet")
     )
     return files, df.schema.json()
+
+
+def _parse_parts(rel: str, partition_by: list[str]) -> list:
+    """Partition VALUES (path-decoded strings; None for the hive NULL
+    sentinel) of one data file, parsed from its ``col=value`` path
+    segments in spec order. Raises if a spec column is missing —
+    a partitioned table's data files always carry every segment."""
+    from urllib.parse import unquote
+
+    found = {}
+    for seg in rel.split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            found[k] = None if v == _HIVE_NULL else unquote(v)
+    missing = [c for c in partition_by if c not in found]
+    if missing:
+        raise ValueError(
+            f"data file {rel!r} lacks partition segment(s) {missing}"
+        )
+    return [found[c] for c in partition_by]
+
+
+def _part_stats(
+    files: list[str], partition_by: list[str], schema_json: str
+) -> dict:
+    """Synthesized per-file [v, v] min/max stats for the partition
+    columns (value-pure by construction) so the EXISTING range pruning
+    works on them — parquet footers cannot provide these (partitionBy
+    keeps spec columns out of the data files). Integral columns store
+    ints; NULL partitions contribute no stat (superset guarantee)."""
+    types = {
+        f["name"]: f["type"] for f in json.loads(schema_json)["fields"]
+    }
+    out: dict = {}
+    for rel in files:
+        vals = _parse_parts(rel, partition_by)
+        st = {}
+        for c, v in zip(partition_by, vals):
+            if v is None:
+                continue
+            tv = int(v) if types.get(c) in ("byte", "short", "integer", "long") else v
+            st[c] = [tv, tv]
+        if st:
+            out[rel] = st
+    return out
+
+
+def _read_files(
+    spark: SparkSession,
+    table: str,
+    manifest: dict,
+    rel_files: list[str],
+    with_file_path: bool = False,
+):
+    """Read ``rel_files`` under the MANIFEST schema. For a partitioned
+    table the spec columns are absent from the data files (hive
+    layout); they re-attach by a broadcast join of the manifest's
+    per-file values keyed on the trailing ``_metadata.file_path``
+    segments — one scan plus a files-sized dimension join, no
+    reliance on Spark path-based partition discovery (which rejects
+    the multi-nonce layout). ``with_file_path`` appends the ``__f`` =
+    ``_metadata.file_path`` column (merge's hit detection). Column
+    order always matches the manifest schema."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    spec = manifest.get("partition_by") or []
+    extra = [F.col("_metadata.file_path").alias("__f")] if with_file_path else []
+    if not rel_files:
+        empty = spark.createDataFrame([], schema)
+        if with_file_path:
+            empty = empty.withColumn("__f", F.lit(None).cast("string"))
+        return empty
+    paths = [os.path.join(table, f) for f in rel_files]
+    if not spec:
+        df = spark.read.schema(schema).parquet(*paths)
+        return df.select(*df.columns, *extra) if extra else df
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in spec]
+    )
+    by_name = {f.name: f for f in schema.fields}
+    from pyspark.sql.types import StringType, StructField
+
+    # join key: the trailing (spec depth + 1) path segments — the
+    # hive ``col=value`` dirs plus the basename. The basename ALONE is
+    # ambiguous: one partitionBy task writes the same part-NNNN-uuid
+    # name into every partition dir it touches. Both sides carry the
+    # on-disk (hive-escaped) segment spelling, so no decoding happens
+    # in the key.
+    depth = len(spec) + 1
+    dim = spark.createDataFrame(
+        [
+            tuple(
+                ["/".join(rel.split(os.sep)[-depth:])]
+                + _parse_parts(rel, spec)
+            )
+            for rel in rel_files
+        ],
+        StructType(
+            [StructField("__fkey", StringType(), False)]
+            + [StructField(c, StringType(), True) for c in spec]
+        ),
+    )
+    key = F.concat_ws(
+        "/",
+        F.slice(F.split(F.col("_metadata.file_path"), "/"), -depth, depth),
+    )
+    scan_extra = [key.alias("__fkey")] + (
+        # _metadata resolves only on the scan relation itself —
+        # capture file_path BEFORE the dimension join consumes it
+        [F.col("_metadata.file_path").alias("__f")] if with_file_path else []
+    )
+    scan = spark.read.schema(data_schema).parquet(*paths)
+    df = (
+        scan.select(*scan.columns, *scan_extra)
+        .join(F.broadcast(dim), "__fkey")
+        .drop("__fkey")
+    )
+    casted = [
+        F.col(f.name).cast(by_name[f.name].dataType).alias(f.name)
+        if f.name in spec
+        else F.col(f.name)
+        for f in schema.fields
+    ]
+    return df.select(
+        *casted, *([F.col("__f")] if with_file_path else [])
+    )
 
 
 def _merge_schemas(base_json: str, new_json: str) -> str:
@@ -432,7 +585,7 @@ def _merge_schemas(base_json: str, new_json: str) -> str:
 def snapshot_write(
     df: DataFrame, table: str, mode: str = "append", stats_cols=None,
     props: dict | None = None, bloom_cols=None,
-    bloom_m: int = _BLOOM_M_FILE,
+    bloom_m: int = _BLOOM_M_FILE, partition_by=None,
 ) -> dict:
     """Commit ``df`` as a new table snapshot. ``append`` keeps the
     base snapshot's files by reference and retries transparently on
@@ -451,14 +604,58 @@ def snapshot_write(
     (re)enable at ``bloom_m`` bits, () = disable from this commit on.
     The config is a TABLE property — merge and compaction keep
     building filters for rewritten files automatically. Returns the
-    committed manifest."""
+    committed manifest.
+
+    ``partition_by`` (list of string/integral columns) writes an
+    IDENTITY-partitioned table: hive ``col=value`` layout, per-file
+    partition values recorded in the manifest (``"parts"``), and
+    synthesized [v, v] stats so both ``prune`` ranges and
+    ``snapshot_read(partition_filter=...)`` skip whole partitions
+    from metadata alone. The spec is a table property: None inherits
+    it, appends with a DIFFERENT spec raise (partition-spec evolution
+    needs a rewrite — the Iceberg rule; ``overwrite`` may change it,
+    since it replaces the file set)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_write: unknown mode {mode!r}")
     os.makedirs(table, exist_ok=True)
-    new_files, schema = _write_data_files(df, table)
+    pre_base = current_version(table)
+    base_spec = (
+        _load_manifest(table, pre_base).get("partition_by")
+        if pre_base is not None
+        else None
+    )
+    spec = list(partition_by) if partition_by is not None else None
+    if spec is None:
+        spec = list(base_spec or [])
+    elif mode == "append" and base_spec is not None and spec != base_spec:
+        raise ValueError(
+            f"snapshot append changes partition spec {base_spec} -> "
+            f"{spec}; spec evolution needs an overwrite rewrite"
+        )
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if f.name in spec and f.dataType.typeName() not in _PART_TYPES
+    ]
+    if bad:
+        raise ValueError(
+            f"partition columns must be string/integral, got {bad}"
+        )
+    if spec and bloom_cols and set(bloom_cols) & set(spec):
+        raise ValueError(
+            "bloom_cols cannot include partition columns (not stored "
+            "in data files; partition pruning already serves equality)"
+        )
+    new_files, schema = _write_data_files(df, table, spec or None)
     new_stats = _collect_file_stats(
         table, new_files, _pick_stats_cols(df, stats_cols)
     )
+    if spec:
+        part_st = _part_stats(new_files, spec, schema)
+        new_stats = {
+            f: {**part_st.get(f, {}), **new_stats.get(f, {})}
+            for f in set(new_stats) | set(part_st)
+        }
     base_at_write = current_version(table)
     conf = _resolve_bloom_conf(
         bloom_cols,
@@ -496,6 +693,25 @@ def snapshot_write(
             **({"props": props} if props else {}),
             **(
                 {
+                    "partition_by": spec,
+                    "parts": (
+                        {
+                            f: v
+                            for f, v in (
+                                base_m.get("parts", {}) if base_m else {}
+                            ).items()
+                            if f in set(carried)
+                        }
+                        | {
+                            f: _parse_parts(f, spec) for f in new_files
+                        }
+                    ),
+                }
+                if spec
+                else {}
+            ),
+            **(
+                {
                     "bloom_conf": conf,
                     "blooms": (
                         (_carried_blooms(base_m, carried) if base_m else {})
@@ -516,16 +732,13 @@ def snapshot_write(
     raise CommitConflict(f"gave up after {_RETRIES} commit races")
 
 
-def _abs_files(table: str, manifest: dict) -> list[str]:
-    return [os.path.join(table, f) for f in manifest["files"]]
-
-
 def snapshot_read(
     spark: SparkSession,
     table: str,
     version: int | None = None,
     prune: dict | None = None,
     prune_eq: dict | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest). Reads EXACTLY
     the manifest's files — concurrent writers' uncommitted or
@@ -541,23 +754,48 @@ def snapshot_read(
     point-lookup path where min/max stats on high-cardinality
     unsorted keys prune nothing. The result is a SUPERSET of the
     matching rows: apply the real filter on the returned frame
-    (Catalyst pushes it into the pruned scan)."""
-    from pyspark.sql.types import StructType
+    (Catalyst pushes it into the pruned scan).
 
+    ``partition_filter`` ({col: value or list-of-values}) keeps only
+    the files of matching identity partitions — EXACT skipping from
+    the manifest's recorded values (never a superset on the filtered
+    columns; None matches the NULL partition). Requires the table to
+    be partitioned on those columns (raises otherwise — a typo here
+    must not silently read everything)."""
     v = current_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots at {table}")
     m = _load_manifest(table, v)
-    schema = StructType.fromJson(json.loads(m["schema"]))
-    files = [
-        os.path.join(table, f) for f in _prune_files(m, prune, prune_eq)
-    ]
-    if not files:
-        return spark.createDataFrame([], schema)
+    rel = _prune_files(m, prune, prune_eq)
+    if partition_filter:
+        spec = m.get("partition_by") or []
+        missing = [c for c in partition_filter if c not in spec]
+        if missing:
+            raise ValueError(
+                f"partition_filter on non-partition column(s) {missing}; "
+                f"table spec is {spec or 'unpartitioned'}"
+            )
+        parts = m.get("parts", {})
+        want = {
+            c: {None if x is None else str(x) for x in (
+                v if isinstance(v, (list, tuple, set)) else [v]
+            )}
+            for c, v in partition_filter.items()
+        }
+        idx = {c: i for i, c in enumerate(spec)}
+        rel = [
+            f
+            for f in rel
+            if all(
+                parts.get(f, [None] * len(spec))[idx[c]] in vals
+                for c, vals in want.items()
+            )
+        ]
     # explicit manifest schema: no footer inference pass, and files
     # written before an additive schema evolution surface the added
-    # columns as NULL (the Iceberg read contract)
-    return spark.read.schema(schema).parquet(*files)
+    # columns as NULL (the Iceberg read contract); partition columns
+    # re-attach from the manifest inside _read_files
+    return _read_files(spark, table, m, rel)
 
 
 def _to_rel(table: str, uri: str) -> str:
@@ -586,21 +824,20 @@ def snapshot_merge(
     Raises :class:`CommitConflict` if any snapshot committed after
     the base this merge read from — the rewritten rows were derived
     from that base, so the caller must re-run the merge (Iceberg's
-    optimistic-concurrency contract)."""
-    from pyspark.sql.types import StructType
+    optimistic-concurrency contract).
 
+    Partitioned tables merge at the same file granularity — hit files
+    rewrite through the hive layout (a key appearing in one partition
+    touches only that partition's files) — but the updates frame must
+    carry the partition columns (they are part of the row)."""
     base = current_version(table)
     if base is None:
         return snapshot_write(updates, table, mode="append") | {"op": "merge"}
     m = _load_manifest(table, base)
-    files = _abs_files(table, m)
+    spec = m.get("partition_by") or []
     keys = updates.select(key).distinct()
     # manifest schema: pre-evolution files surface added columns NULL
-    cur = spark.read.schema(
-        StructType.fromJson(json.loads(m["schema"]))
-    ).parquet(*files).withColumn(
-        "__f", F.col("_metadata.file_path")
-    )
+    cur = _read_files(spark, table, m, m["files"], with_file_path=True)
     hit_abs = [
         r["__f"]
         for r in cur.join(keys, key, "left_semi").select("__f").distinct().collect()
@@ -612,22 +849,41 @@ def snapshot_merge(
         .drop("__f")
     )
     merged = survivors.unionByName(updates)
-    new_files, schema = _write_data_files(merged, table)
+    new_files, schema = _write_data_files(merged, table, spec or None)
     carried_files = [f for f in m["files"] if f not in hit_rel]
     conf = m.get("bloom_conf")
+    new_stats = _collect_file_stats(
+        table, new_files, _pick_stats_cols(merged, None)
+    )
+    if spec:
+        part_st = _part_stats(new_files, spec, schema)
+        new_stats = {
+            f: {**part_st.get(f, {}), **new_stats.get(f, {})}
+            for f in set(new_stats) | set(part_st)
+        }
     manifest = {
         "version": base + 1,
         "parent": base,
         "op": "merge",
         "files": carried_files + new_files,
-        "stats": _carried_stats(m, carried_files)
-        | _collect_file_stats(
-            table, new_files, _pick_stats_cols(merged, None)
-        ),
+        "stats": _carried_stats(m, carried_files) | new_stats,
         "schema": schema,
         "ts": time.time(),
         "rewrote_files": len(hit_rel),
         "carried_files": len(m["files"]) - len(hit_rel),
+        **(
+            {
+                "partition_by": spec,
+                "parts": {
+                    f: v
+                    for f, v in m.get("parts", {}).items()
+                    if f in set(carried_files)
+                }
+                | {f: _parse_parts(f, spec) for f in new_files},
+            }
+            if spec
+            else {}
+        ),
         **(
             {
                 "bloom_conf": conf,
@@ -698,22 +954,25 @@ def vacuum(
         if not d.startswith("data-"):
             continue
         ddir = os.path.join(table, d)
-        for f in os.listdir(ddir):
-            rel = os.path.join(d, f)
-            full = os.path.join(ddir, f)
-            if rel in referenced:
-                continue
-            try:
-                if now - os.path.getmtime(full) < orphan_age_secs:
+        # bottom-up walk: partitioned tables nest col=value dirs
+        # under the nonce; empty dirs collapse after their files go
+        for root, dirs, names in os.walk(ddir, topdown=False):
+            for f in names:
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, table)
+                if rel in referenced:
                     continue
-                os.remove(full)
-                deleted += 1
+                try:
+                    if now - os.path.getmtime(full) < orphan_age_secs:
+                        continue
+                    os.remove(full)
+                    deleted += 1
+                except OSError:
+                    continue  # vanished under us
+            try:
+                os.rmdir(root)  # only succeeds when fully empty
             except OSError:
-                continue  # vanished under us
-        try:
-            os.rmdir(ddir)  # only succeeds when fully empty
-        except OSError:
-            pass
+                pass
     return {
         "kept_snapshots": kept,
         "dropped_snapshots": dropped_snaps,
@@ -767,23 +1026,16 @@ def snapshot_diff(
             "snapshot_diff: schema changed between versions "
             f"{v_from} and {v_to}; diff per same-schema range"
         )
-    from pyspark.sql.types import StructType
-
-    schema = StructType.fromJson(json.loads(m_to["schema"]))
-
-    def _read(rel_files):
-        if not rel_files:
-            return spark.createDataFrame([], schema)
+    def _read(m, rel_files):
         # manifest schema, not footer inference: the removed/added
         # sets can mix pre- and post-evolution files (added columns
         # surface as NULL, and exceptAll compares by position under
-        # ONE schema)
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(table, f) for f in rel_files]
-        )
+        # ONE schema); partition columns re-attach per side from each
+        # version's own manifest
+        return _read_files(spark, table, m, rel_files)
 
     added_f, removed_f = diff_files(table, v_from, v_to)
-    add, rem = _read(added_f), _read(removed_f)
+    add, rem = _read(m_to, added_f), _read(m_from, removed_f)
     # cancel copy-on-write carry-over: a survivor row appears
     # identically in one removed and one added file
     ins_rows = add.exceptAll(rem)
@@ -853,19 +1105,27 @@ def compact_table(
     smalls = [f for f in m["files"] if sizes[f] < small_bytes]
     if len(smalls) < min_files:
         return {"op": "noop", "version": base, "rewrote_files": 0}
-    from pyspark.sql.types import StructType
-
+    spec = m.get("partition_by") or []
     # manifest schema: compaction also NORMALIZES files written
     # before an additive schema evolution (added columns materialize
-    # as NULL in the rewritten files)
-    df = spark.read.schema(
-        StructType.fromJson(json.loads(m["schema"]))
-    ).parquet(*[os.path.join(table, f) for f in smalls])
+    # as NULL in the rewritten files); on a partitioned table the
+    # rewrite flows back through the hive layout, so bin-packing is
+    # per partition (coalesce bounds tasks; partitionBy splits each
+    # task's rows by value — small partitions end up one file each)
+    df = _read_files(spark, table, m, smalls)
     n_out = max(1, -(-sum(sizes[f] for f in smalls) // small_bytes))
-    new_files, _ = _write_data_files(df.coalesce(n_out), table)
+    new_files, _ = _write_data_files(
+        df.coalesce(n_out), table, spec or None
+    )
     new_stats = _collect_file_stats(
         table, new_files, _pick_stats_cols(df, None)
     )
+    if spec:
+        part_st = _part_stats(new_files, spec, m["schema"])
+        new_stats = {
+            f: {**part_st.get(f, {}), **new_stats.get(f, {})}
+            for f in set(new_stats) | set(part_st)
+        }
     new_blooms = _collect_file_blooms(
         spark, table, new_files, m.get("bloom_conf")
     )
@@ -890,6 +1150,19 @@ def compact_table(
             "ts": time.time(),
             "rewrote_files": len(smalls),
             "carried_files": len(carried),
+            **(
+                {
+                    "partition_by": spec,
+                    "parts": {
+                        f: v
+                        for f, v in cm.get("parts", {}).items()
+                        if f in set(carried)
+                    }
+                    | {f: _parse_parts(f, spec) for f in new_files},
+                }
+                if spec
+                else {}
+            ),
             **(
                 {
                     "bloom_conf": conf,
@@ -944,11 +1217,14 @@ def zorder_table(
     m = _load_manifest(table, base)
     if not m["files"]:
         return {"op": "noop", "version": base, "rewrote_files": 0}
-    from pyspark.sql.types import StructType
-
-    df = spark.read.schema(
-        StructType.fromJson(json.loads(m["schema"]))
-    ).parquet(*[os.path.join(table, f) for f in m["files"]])
+    if m.get("partition_by"):
+        raise ValueError(
+            "zorder_table on a partitioned table is not supported: a "
+            "global clustering rewrite would fight the hive layout — "
+            "the upgrade is per-partition clustering (zorder within "
+            "each partition's file set)"
+        )
+    df = _read_files(spark, table, m, m["files"])
     n_out = n_files or max(1, len(m["files"]))
     laid = zorder_layout(
         df, a_expr, b_expr, n_out, bits or ZORDER_BITS

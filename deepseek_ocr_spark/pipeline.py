@@ -144,6 +144,7 @@ def run_job(
     html_engine: str = "fast",
     pdf_passwords: tuple = (),
     table_format: str = "parquet",
+    partition_by: tuple = (),
 ) -> dict:
     """Run (or resume) the extraction job. Returns summary counts.
 
@@ -160,6 +161,11 @@ def run_job(
     "snapshot" (operators/snapshot_table — atomic manifest commits,
     snapshot-isolated resume, time travel, vacuum). Resume
     auto-detects the output's format either way.
+
+    ``partition_by``: identity-partition the snapshot output on these
+    columns (e.g. ("doc_type",)) — hive layout + manifest partition
+    values, so downstream consumers skip whole partitions from
+    metadata (snapshot format only; appends inherit the spec).
     """
     rid = run_id or new_run_id()
     restore_batch_conf = None
@@ -190,7 +196,7 @@ def run_job(
         return _run_job_body(
             spark, rid, input_path, output_path, metrics_path, resume,
             parallelism, input_format, time_budget_secs, html_engine,
-            pdf_passwords, table_format,
+            pdf_passwords, table_format, partition_by,
         )
     finally:
         if restore_batch_conf is not None:
@@ -208,7 +214,7 @@ def run_job(
 def _run_job_body(
     spark, rid, input_path, output_path, metrics_path, resume,
     parallelism, input_format, time_budget_secs, html_engine,
-    pdf_passwords=(), table_format="parquet",
+    pdf_passwords=(), table_format="parquet", partition_by=(),
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -246,7 +252,10 @@ def _run_job_body(
         from deepseek_ocr_spark.operators import snapshot_table as ST
 
         local_out = output_path.removeprefix("file://")
-        ST.snapshot_write(extracted, local_out, mode="append")
+        ST.snapshot_write(
+            extracted, local_out, mode="append",
+            partition_by=list(partition_by) or None,
+        )
         run_stats = obs.get
         out = ST.snapshot_read(spark, local_out)
     else:

@@ -1,0 +1,250 @@
+"""Identity-partitioned snapshot tables (operators/snapshot_table.py
+``partition_by``) — layout, manifest parts, partition_filter pruning,
+spec immutability, NULL partitions, merge/compact flow-through,
+vacuum's nested sweep, and the stats synthesis."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.operators import snapshot_table as ST
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, lang string, n bigint"
+    )
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_partitioned_write_layout_and_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "p")
+    rows = [("a", "en", 1), ("b", "de", 2), ("c", "en", 3), ("d", None, 4)]
+    m = ST.snapshot_write(
+        _docs(spark, rows), t, partition_by=["lang"]
+    )
+    assert m["partition_by"] == ["lang"]
+    # hive layout + parts recorded per file
+    for f, vals in m["parts"].items():
+        seg = [s for s in f.split(os.sep) if s.startswith("lang=")]
+        assert len(seg) == 1 and len(vals) == 1
+    got_vals = {v[0] for v in m["parts"].values()}
+    assert got_vals == {"en", "de", None}
+    # full read returns every column incl. the re-attached spec col
+    out = ST.snapshot_read(spark, t)
+    assert set(out.columns) == {"url", "lang", "n"}
+    assert _rows(out) == set(rows)
+
+
+def test_partition_filter_prunes_files_exactly(spark, tmp_path):
+    t = str(tmp_path / "p")
+    ST.snapshot_write(
+        _docs(
+            spark,
+            [("a", "en", 1), ("b", "de", 2), ("c", "fr", 3), ("d", None, 4)],
+        ),
+        t,
+        partition_by=["lang"],
+    )
+    en = ST.snapshot_read(spark, t, partition_filter={"lang": "en"})
+    assert _rows(en) == {("a", "en", 1)}
+    multi = ST.snapshot_read(
+        spark, t, partition_filter={"lang": ["en", "fr"]}
+    )
+    assert _rows(multi) == {("a", "en", 1), ("c", "fr", 3)}
+    nulls = ST.snapshot_read(spark, t, partition_filter={"lang": None})
+    assert _rows(nulls) == {("d", None, 4)}
+    # the pruned scan opens ONLY the partition's files
+    m = ST._load_manifest(t, 1)
+    en_files = [f for f, v in m["parts"].items() if v == ["en"]]
+    plan = en._jdf.queryExecution().executedPlan().toString()
+    assert "lang=de" not in plan
+    assert len(en_files) >= 1
+    # filtering a non-partition column raises loudly
+    with pytest.raises(ValueError, match="non-partition column"):
+        ST.snapshot_read(spark, t, partition_filter={"url": "a"})
+
+
+def test_spec_is_a_table_property(spark, tmp_path):
+    t = str(tmp_path / "p")
+    ST.snapshot_write(
+        _docs(spark, [("a", "en", 1)]), t, partition_by=["lang"]
+    )
+    # appends inherit the spec without restating it
+    m2 = ST.snapshot_write(_docs(spark, [("b", "de", 2)]), t)
+    assert m2["partition_by"] == ["lang"]
+    assert _rows(ST.snapshot_read(spark, t, partition_filter={"lang": "de"})) == {
+        ("b", "de", 2)
+    }
+    # restating a DIFFERENT spec on append raises
+    with pytest.raises(ValueError, match="partition spec"):
+        ST.snapshot_write(
+            _docs(spark, [("c", "fr", 3)]), t, partition_by=["url"]
+        )
+    # overwrite may change the spec (it replaces the file set)
+    m3 = ST.snapshot_write(
+        _docs(spark, [("z", "ja", 9)]),
+        t,
+        mode="overwrite",
+        partition_by=[],
+    )
+    assert "partition_by" not in m3
+    # time travel still reads v1 under the old spec
+    assert ("a", "en", 1) in _rows(ST.snapshot_read(spark, t, version=1))
+
+
+def test_non_integral_partition_col_rejected(spark, tmp_path):
+    t = str(tmp_path / "p")
+    df = spark.createDataFrame([("a", 1.5)], "url string, score double")
+    with pytest.raises(ValueError, match="string/integral"):
+        ST.snapshot_write(df, t, partition_by=["score"])
+
+
+def test_partition_stats_serve_range_prune(spark, tmp_path):
+    t = str(tmp_path / "p")
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 20), ("c", 3, 30)],
+        "url string, bucket bigint, n bigint",
+    )
+    m = ST.snapshot_write(df, t, partition_by=["bucket"])
+    # synthesized [v, v] stats typed as ints for the integral spec col
+    assert any(
+        s.get("bucket") == [2, 2] for s in m["stats"].values()
+    )
+    pruned = ST.snapshot_read(spark, t, prune={"bucket": (2, 3)})
+    assert _rows(pruned.filter("bucket >= 2")) == {
+        ("b", 2, 20), ("c", 3, 30)
+    }
+
+
+def test_merge_flows_through_partitions(spark, tmp_path):
+    t = str(tmp_path / "p")
+    ST.snapshot_write(
+        _docs(spark, [("a", "en", 1), ("b", "de", 2), ("c", "en", 3)]),
+        t,
+        partition_by=["lang"],
+    )
+    m = ST.snapshot_merge(
+        spark,
+        _docs(spark, [("a", "en", 99), ("x", "fr", 7)]),
+        t,
+        key="url",
+    )
+    assert m["op"] == "merge" and m["partition_by"] == ["lang"]
+    out = ST.snapshot_read(spark, t)
+    assert _rows(out) == {
+        ("a", "en", 99), ("b", "de", 2), ("c", "en", 3), ("x", "fr", 7)
+    }
+    # the untouched de partition's file carried by reference
+    m1 = ST._load_manifest(t, 1)
+    de_files = {f for f, v in m1["parts"].items() if v == ["de"]}
+    assert de_files <= set(m["files"])
+    # new files' parts recorded; fr partition readable via filter
+    assert _rows(
+        ST.snapshot_read(spark, t, partition_filter={"lang": "fr"})
+    ) == {("x", "fr", 7)}
+
+
+def test_compact_preserves_partitions(spark, tmp_path):
+    t = str(tmp_path / "p")
+    for i in range(3):
+        ST.snapshot_write(
+            _docs(
+                spark,
+                [(f"a{i}", "en", i), (f"b{i}", "de", 100 + i)],
+            ),
+            t,
+            partition_by=["lang"] if i == 0 else None,
+        )
+    before = ST.snapshot_read(spark, t)
+    rows_before = _rows(before)
+    m = ST.compact_table(spark, t, small_bytes=32 << 20)
+    assert m["op"] == "compact" and m["partition_by"] == ["lang"]
+    assert _rows(ST.snapshot_read(spark, t)) == rows_before
+    # every rewritten file still value-pure and recorded
+    for f, vals in m["parts"].items():
+        assert vals[0] in ("en", "de")
+    assert _rows(
+        ST.snapshot_read(spark, t, partition_filter={"lang": "de"})
+    ) == {r for r in rows_before if r[1] == "de"}
+
+
+def test_zorder_refuses_partitioned_table(spark, tmp_path):
+    t = str(tmp_path / "p")
+    ST.snapshot_write(
+        _docs(spark, [("a", "en", 1)]), t, partition_by=["lang"]
+    )
+    with pytest.raises(ValueError, match="partitioned table"):
+        ST.zorder_table(spark, t, "n", "n")
+
+
+def test_vacuum_sweeps_nested_partition_dirs(spark, tmp_path):
+    t = str(tmp_path / "p")
+    ST.snapshot_write(
+        _docs(spark, [("a", "en", 1), ("b", "de", 2)]),
+        t,
+        partition_by=["lang"],
+    )
+    ST.snapshot_write(
+        _docs(spark, [("z", "ja", 9)]), t, mode="overwrite",
+        partition_by=["lang"],
+    )
+    res = ST.vacuum(t, keep_last=1, orphan_age_secs=0.0)
+    assert res["deleted_files"] >= 2  # v1's en + de files swept
+    # survivors still read
+    assert _rows(ST.snapshot_read(spark, t)) == {("z", "ja", 9)}
+    # no empty col=value dirs left under any nonce
+    for root, dirs, names in os.walk(t):
+        if os.path.basename(root).startswith("lang=") and not names:
+            assert dirs, f"empty partition dir {root}"
+
+
+def test_diff_reattaches_partition_columns(spark, tmp_path):
+    t = str(tmp_path / "p")
+    ST.snapshot_write(
+        _docs(spark, [("a", "en", 1), ("b", "de", 2)]),
+        t,
+        partition_by=["lang"],
+    )
+    ST.snapshot_merge(
+        spark, _docs(spark, [("a", "en", 5)]), t, key="url"
+    )
+    d = ST.snapshot_diff(spark, t, 1, 2, key="url")
+    got = {
+        (r["url"], r["lang"], r["n"], r["_change_type"])
+        for r in d.collect()
+    }
+    assert got == {
+        ("a", "en", 1, "update_preimage"),
+        ("a", "en", 5, "update_postimage"),
+    }
+
+
+def test_run_job_partitioned_snapshot_output(spark, pages_path, tmp_path):
+    """run_job(table_format='snapshot', partition_by=('doc_type',)):
+    the extraction output lands identity-partitioned — doc_type
+    partitions readable via partition_filter, resume inherits the
+    spec, totals unchanged."""
+    from deepseek_ocr_spark.pipeline import run_job
+
+    out = str(tmp_path / "extracted_part")
+    r1 = run_job(spark, pages_path, out, parallelism=4,
+                 table_format="snapshot", partition_by=("doc_type",))
+    assert r1["output_rows"] == 200
+    m = ST._load_manifest(out, 1)
+    assert m["partition_by"] == ["doc_type"]
+    full = ST.snapshot_read(spark, out)
+    html = ST.snapshot_read(
+        spark, out, partition_filter={"doc_type": "html"}
+    )
+    assert 0 < html.count() < full.count() == 200
+    assert html.filter("doc_type <> 'html'").count() == 0
+    # resume append (no partition_by restated) inherits the spec
+    r2 = run_job(spark, pages_path, out, parallelism=4,
+                 table_format="snapshot")
+    assert r2["output_rows"] == 200
+    assert ST._load_manifest(out, 2)["partition_by"] == ["doc_type"]

@@ -117,8 +117,8 @@ def test_merge_conflict_raises(spark, tmp_path):
     orig = ST._write_data_files
     raced = []
 
-    def write_then_race(df, table):
-        out = orig(df, table)
+    def write_then_race(df, table, partition_by=None):
+        out = orig(df, table, partition_by)
         if not raced:  # fire once: the nested append re-enters here
             raced.append(True)
             ST.snapshot_write(_df(spark, [("raced", 7)]), t)
