@@ -53,6 +53,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             "markdown",
             "curate-increment",
             "optimize-table",
+            "tag",
+            "ship",
         ),
         default="extract",
         help="extract: pages -> extracted table; curate: pages -> "
@@ -76,7 +78,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "(consumed source version recorded in the manifest; "
         "idempotent no-op when up to date); optimize-table: bin-pack "
         "the --input snapshot table's small data files (< "
-        "--small-bytes) into a row-identical new snapshot",
+        "--small-bytes) into a row-identical new snapshot; tag: run "
+        "one --tagger over the --input docs table and commit the "
+        "(id, attrs) frame as a snapshot table at --output (the "
+        "Dolma attribute-store write side); ship: compose --input "
+        "docs with --attrs attribute tables, keep rows passing "
+        "--keep-sql, commit the doc-columns-only corpus at --output",
     )
     p.add_argument(
         "--small-bytes",
@@ -138,6 +145,38 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="extract mode with --table-format snapshot: identity-"
         "partition the output table on this column (repeatable; e.g. "
         "--partition-by doc_type); appends inherit the table's spec",
+    )
+    p.add_argument(
+        "--tagger",
+        default=None,
+        help="tag mode: one of the built-in taggers "
+        "(operators/attributes.TAGGERS: gopher, quality, lang, "
+        "tokens, encoding)",
+    )
+    p.add_argument(
+        "--attrs",
+        action="append",
+        default=[],
+        metavar="NAME=PATH",
+        help="ship mode: attribute snapshot table to compose, "
+        "namespaced NAME__col in --keep-sql (repeatable)",
+    )
+    p.add_argument(
+        "--keep-sql",
+        default=None,
+        help="ship mode: SQL boolean over the namespaced attribute "
+        "columns; docs failing (or never tagged -> NULL) do not ship",
+    )
+    p.add_argument(
+        "--id-col",
+        default="url",
+        help="tag/ship modes: document id column (default url)",
+    )
+    p.add_argument(
+        "--text-col",
+        default="extracted_text",
+        help="tag mode: text column taggers read (default "
+        "extracted_text)",
     )
     p.add_argument(
         "--html-engine",
@@ -383,6 +422,60 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "version": m["version"],
             "rewrote_files": m["rewrote_files"],
         }))
+        if own_session:
+            spark.stop()
+        return 0
+    if args.mode in ("tag", "ship"):
+        from deepseek_ocr_spark.operators import attributes as AT
+        from deepseek_ocr_spark.operators import snapshot_table as ST
+
+        def _read_docs(path):
+            import os as _os
+
+            if _os.path.isdir(_os.path.join(path, "_snapshots")):
+                return ST.snapshot_read(spark, path)
+            return spark.read.parquet(path)
+
+        if args.mode == "tag":
+            if not args.tagger:
+                print("--tagger is required for tag mode", file=sys.stderr)
+                return 2
+            docs = _read_docs(args.input)
+            frame = AT.tag(
+                docs, args.tagger, id_col=args.id_col,
+                text_col=args.text_col,
+            )
+            m = ST.snapshot_write(frame, args.output)
+            n = ST.snapshot_read(spark, args.output).count()
+            print(json.dumps({
+                "mode": "tag", "tagger": args.tagger,
+                "version": m["version"], "rows": n,
+            }))
+        else:
+            if not args.attrs or not args.keep_sql:
+                print(
+                    "--attrs and --keep-sql are required for ship mode",
+                    file=sys.stderr,
+                )
+                return 2
+            attrs = {}
+            for spec in args.attrs:
+                name, _, path = spec.partition("=")
+                if not name or not path:
+                    print(f"bad --attrs {spec!r} (want NAME=PATH)",
+                          file=sys.stderr)
+                    return 2
+                attrs[name] = ST.snapshot_read(spark, path)
+            docs = _read_docs(args.input)
+            shipped = AT.ship(
+                docs, attrs, args.keep_sql, id_col=args.id_col
+            )
+            m = ST.snapshot_write(shipped, args.output)
+            n = ST.snapshot_read(spark, args.output).count()
+            print(json.dumps({
+                "mode": "ship", "version": m["version"], "rows": n,
+                "attrs": sorted(attrs),
+            }))
         if own_session:
             spark.stop()
         return 0

@@ -1,0 +1,166 @@
+"""Dolma-style attribute tables (Soldaini et al. 2024, "Dolma: an
+Open Corpus of Three Trillion Tokens..."): taggers write per-document
+ATTRIBUTES to separate tables instead of mutating the corpus, and the
+ship step composes the immutable doc table with any set of attribute
+tables plus a keep-predicate — so re-running one tagger never
+rewrites text, decisions stay auditable (every gate's inputs are
+queryable columns), and new taggers back-fill independently.
+
+This is the architecture the curation funnel (curate.py) trades away
+for single-pass throughput: curate() recomputes its signals inline
+each run; the attribute store amortizes them across runs and teams.
+Both are real production shapes — Dolma ships the store, C4/CCNet
+ship the funnel — and the engine now has both.
+
+Pieces:
+
+* ``tag(docs, tagger)`` — one of the built-in TAGGERS (each a thin
+  projection over the existing zero-shuffle column functions) as an
+  ``(id, attr...)`` frame; persist it with
+  ``snapshot_table.snapshot_write`` to get atomic commits, time
+  travel, and change-feed-driven incremental tagging for free;
+* ``compose(docs, attrs)`` — the doc table left-joined with each
+  attribute frame, attr columns namespaced ``{name}__{col}`` (Dolma's
+  attribute-path convention) so taggers can never collide; docs a
+  tagger has not covered surface NULL attributes, never drop;
+* ``ship(docs, attrs, keep_sql)`` — compose, filter on the predicate,
+  return the ORIGINAL doc columns (the shipped corpus carries no
+  tagger internals).
+
+Scale shape: every join is id-keyed; at 100 TB write the doc and
+attribute tables identically partitioned/bucketed on the id so the
+compose is a co-partitioned sort-merge join with no general shuffle
+(the snapshot format's identity partitioning gives file-level
+alignment). Tagger frames carry (id + a few scalars): joining them is
+bytes-per-row cheap next to the text column, and Catalyst prunes the
+text scan entirely for ship predicates that reference only
+attributes.
+
+The reference repo has no curation surface at all (per-request OCR
+service); this belongs to the training-data-pipeline architecture the
+engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tag_gopher(docs, id_col, text_col):
+    from deepseek_ocr_spark.functions import textstats as TS
+
+    t = F.col(text_col)
+    return docs.select(
+        id_col,
+        TS.symbol_ratio(t).alias("symbol_ratio"),
+        TS.bullet_line_ratio(t).alias("bullet_ratio"),
+        TS.ellipsis_line_ratio(t).alias("ellipsis_ratio"),
+    )
+
+
+def _tag_quality(docs, id_col, text_col):
+    from deepseek_ocr_spark.functions import textstats as TS
+
+    t = F.col(text_col)
+    return docs.select(
+        id_col,
+        TS.quality_score(t).alias("quality"),
+        TS.punct_count(t).alias("n_punct"),
+    )
+
+
+def _tag_lang(docs, id_col, text_col):
+    from deepseek_ocr_spark.functions import textstats as TS
+
+    return docs.select(
+        id_col, TS.lang_guess(F.col(text_col)).alias("lang_guess")
+    )
+
+
+def _tag_tokens(docs, id_col, text_col):
+    from deepseek_ocr_spark.functions import textstats as TS
+
+    t = F.col(text_col)
+    return docs.select(
+        id_col,
+        TS.token_count(t).alias("n_tokens"),
+        TS.char_count(t).alias("n_chars"),
+    )
+
+
+def _tag_encoding(docs, id_col, text_col):
+    from deepseek_ocr_spark.functions import textstats as TS
+
+    bad, repl, moji = TS.encoding_quality(F.col(text_col))
+    return docs.select(
+        id_col,
+        bad.alias("enc_bad"),
+        repl.alias("n_replacement"),
+        moji.alias("n_mojibake"),
+    )
+
+
+TAGGERS = {
+    "gopher": _tag_gopher,
+    "quality": _tag_quality,
+    "lang": _tag_lang,
+    "tokens": _tag_tokens,
+    "encoding": _tag_encoding,
+}
+
+
+def tag(
+    docs: DataFrame,
+    tagger: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Run one built-in tagger; unknown names raise at plan time with
+    the available set."""
+    fn = TAGGERS.get(tagger)
+    if fn is None:
+        raise ValueError(
+            f"unknown tagger {tagger!r}; available: {sorted(TAGGERS)}"
+        )
+    return fn(docs, id_col, text_col)
+
+
+def compose(
+    docs: DataFrame,
+    attrs: dict[str, DataFrame],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs + every attribute frame, left-joined on the id; attribute
+    columns namespaced ``{name}__{col}``. Attribute frames carrying
+    duplicate ids would multiply doc rows — rejected by contract at
+    the caller (taggers emit one row per doc; the tests pin it)."""
+    out = docs
+    for name in sorted(attrs):
+        a = attrs[name]
+        renamed = a.select(
+            id_col,
+            *[
+                F.col(c).alias(f"{name}__{c}")
+                for c in a.columns
+                if c != id_col
+            ],
+        )
+        out = out.join(renamed, id_col, "left")
+    return out
+
+
+def ship(
+    docs: DataFrame,
+    attrs: dict[str, DataFrame],
+    keep_sql: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The shipped corpus: docs whose composed attribute row satisfies
+    ``keep_sql`` (a SQL boolean over the namespaced columns, e.g.
+    ``"quality__quality >= 0.6 AND lang__lang_guess = 'en'"``).
+    Returns the ORIGINAL doc columns only. NULL attributes (docs a
+    tagger never covered) fail the predicate per SQL three-valued
+    logic — untagged docs do not ship, the conservative default."""
+    kept = compose(docs, attrs, id_col).filter(keep_sql)
+    return kept.select(*docs.columns)

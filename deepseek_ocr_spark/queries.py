@@ -8014,6 +8014,42 @@ ORDER BY rule, "column"
 SQL_CORPUS_EXPECTATIONS = _expectations_sql()
 
 
+ATTR_KEEP_SQL = (
+    "quality__quality >= 0.6 AND gopher__symbol_ratio <= 0.1 "
+    "AND lang__lang_guess = 'en'"
+)
+
+
+def q_attribute_ship(spark, sf_dir):
+    """Dolma-style attribute-store ship (operators/attributes.py):
+    three taggers write separate (id, attrs) frames; the ship step
+    composes docs + attributes and keeps rows passing the predicate,
+    returning the ORIGINAL doc columns — decisions live next to the
+    corpus, the corpus text is never rewritten."""
+    from deepseek_ocr_spark.operators import attributes as AT
+
+    d = _t(spark, sf_dir, "documents")
+    attrs = {
+        name: AT.tag(d, name) for name in ("gopher", "quality", "lang")
+    }
+    return AT.ship(d, attrs, ATTR_KEEP_SQL).orderBy("doc_id")
+
+
+SQL_ATTRIBUTE_SHIP = f"""
+WITH g AS ({SQL_GOPHER_FLAGS}),
+q AS ({SQL_QUALITY_SCORE}),
+l AS ({SQL_LANG_ID})
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d
+LEFT JOIN g USING (doc_id)
+LEFT JOIN q USING (doc_id)
+LEFT JOIN l USING (doc_id)
+WHERE q.quality >= 0.6 AND g.symbol_ratio <= 0.1
+  AND l.lang_guess = 'en'
+ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
     "html_markdown": (q_html_markdown, SQL_HTML_MARKDOWN),
@@ -8409,4 +8445,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # empty-table and unknown-rule semantics pinned by
     # tests/test_expectations.py.
     "corpus_expectations": (q_corpus_expectations, SQL_CORPUS_EXPECTATIONS),
+    # attribute_ship: below-cut class (b) — three id-keyed left joins
+    # over taggers whose projections are in-window hash-verified
+    # queries themselves (gopher_flags, quality_score, lang_id);
+    # store semantics pinned by tests/test_attributes.py.
+    "attribute_ship": (q_attribute_ship, SQL_ATTRIBUTE_SHIP),
 }

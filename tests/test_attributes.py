@@ -1,0 +1,92 @@
+"""Dolma-style attribute store (operators/attributes.py) — tagger
+frames, namespacing, compose/ship semantics, the untagged-doc
+conservative default, and snapshot-table persistence round-trip."""
+
+import pytest
+
+from deepseek_ocr_spark.operators import attributes as AT
+from deepseek_ocr_spark.operators import snapshot_table as ST
+
+
+def _docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog, and then "
+            "the fox rests. It is a fine day with the sun out."),
+        (2, "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) !!!!"),
+        (3, "der die das und ist mit von auf ein das und der die"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_taggers_one_row_per_doc_and_namespacing(spark):
+    d = _docs(spark)
+    attrs = {n: AT.tag(d, n) for n in ("gopher", "quality", "lang")}
+    for name, a in attrs.items():
+        assert a.count() == 3, name
+        assert a.select("doc_id").distinct().count() == 3, name
+    comp = AT.compose(d, attrs)
+    assert comp.count() == 3
+    assert "gopher__symbol_ratio" in comp.columns
+    assert "quality__quality" in comp.columns
+    assert "lang__lang_guess" in comp.columns
+    # original doc columns untouched
+    assert {"doc_id", "text"} <= set(comp.columns)
+
+
+def test_ship_filters_and_returns_doc_columns_only(spark):
+    d = _docs(spark)
+    attrs = {n: AT.tag(d, n) for n in ("quality", "lang")}
+    out = AT.ship(
+        d, attrs, "quality__quality >= 0.6 AND lang__lang_guess = 'en'"
+    )
+    assert out.columns == ["doc_id", "text"]
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 2 not in ids and 3 not in ids
+
+
+def test_untagged_docs_do_not_ship(spark):
+    d = _docs(spark)
+    # the quality tagger only covered doc 1 (e.g. an older tag run)
+    q = AT.tag(d.where("doc_id = 1"), "quality")
+    out = AT.ship(d, {"quality": q}, "quality__quality >= 0")
+    assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+def test_unknown_tagger_raises(spark):
+    with pytest.raises(ValueError, match="unknown tagger"):
+        AT.tag(_docs(spark), "toxicity")
+
+
+def test_attributes_persist_as_snapshot_tables(spark, tmp_path):
+    """The intended deployment: tagger output committed as a snapshot
+    table, ship reads it back — re-tagging commits a new version
+    without touching the corpus."""
+    d = _docs(spark)
+    t = str(tmp_path / "attr_quality")
+    ST.snapshot_write(AT.tag(d, "quality"), t)
+    loaded = ST.snapshot_read(spark, t)
+    out = AT.ship(d, {"quality": loaded}, "quality__quality >= 0.6")
+    # the shallow heuristic passes all three (doc 2's symbol spam is
+    # gopher's job to catch, not quality's)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}
+    # re-tag (say the tagger improved) -> overwrite commits v2
+    ST.snapshot_write(
+        AT.tag(d.where("doc_id <> 3"), "quality"), t, mode="overwrite"
+    )
+    out2 = AT.ship(
+        d, {"quality": ST.snapshot_read(spark, t)}, "quality__quality >= 0.6"
+    )
+    assert {r["doc_id"] for r in out2.collect()} == {1, 2}
+
+
+def test_attr_only_predicate_prunes_text_scan(spark, tmp_path):
+    """A ship predicate referencing only attributes lets Catalyst
+    prune the text column from the ATTRIBUTE side entirely — the
+    attribute frames never carry text."""
+    d = _docs(spark)
+    a = AT.tag(d, "tokens")
+    assert "text" not in a.columns
+    plan = AT.compose(d, {"tokens": a})._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    # exactly one side of the join projects the text column
+    assert plan.count("text#") >= 1

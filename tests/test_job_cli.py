@@ -495,3 +495,61 @@ def test_cli_optimize_table_zorder(spark, tmp_path, capsys):
     assert sorted(
         (r["a"], r["b"]) for r in ST.snapshot_read(spark, t).collect()
     ) == pre
+
+
+def test_cli_tag_and_ship_modes(spark, tmp_path, capsys):
+    """--mode tag writes an attribute snapshot table; --mode ship
+    composes attributes over the docs and commits the kept corpus —
+    the Dolma store workflow end to end from the CLI."""
+    docs = spark.createDataFrame(
+        [
+            ("u1", "The quick brown fox jumps over the lazy dog and "
+                   "then the fox rests under it. The day is fine."),
+            ("u2", "@@@@ #### $$$$ %%%% ^^^^ &&&&"),
+        ],
+        "url string, extracted_text string",
+    )
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    qattr = str(tmp_path / "attr_q")
+    rc = main(
+        ["--mode", "tag", "--tagger", "quality",
+         "--input", inp, "--output", qattr],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {
+        "mode": "tag", "tagger": "quality", "version": 1, "rows": 2
+    }
+    gattr = str(tmp_path / "attr_g")
+    rc = main(
+        ["--mode", "tag", "--tagger", "gopher",
+         "--input", inp, "--output", gattr],
+        spark=spark,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    shipped = str(tmp_path / "shipped")
+    rc = main(
+        ["--mode", "ship", "--input", inp, "--output", shipped,
+         "--attrs", f"q={qattr}", "--attrs", f"g={gattr}",
+         "--keep-sql",
+         "q__quality >= 0.6 AND g__symbol_ratio <= 0.1"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["mode"] == "ship" and summary["rows"] == 1
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    out = ST.snapshot_read(spark, shipped)
+    assert out.columns == ["url", "extracted_text"]
+    assert [r["url"] for r in out.collect()] == ["u1"]
+    # bad --attrs spec fails loudly
+    rc = main(
+        ["--mode", "ship", "--input", inp, "--output", shipped,
+         "--attrs", "nopath", "--keep-sql", "true"],
+        spark=spark,
+    )
+    assert rc == 2
