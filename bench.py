@@ -183,6 +183,12 @@ HEADLINE = [
     "signal_corr",
     "web_gates",
     "source_entropy",
+    # round 4, seventeenth wave
+    "sb_trigram_nll",
+    "collocations",
+    "weighted_sample",
+    "corpus_expectations",
+    "attribute_ship",
 ]
 
 

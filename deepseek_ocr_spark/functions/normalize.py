@@ -71,3 +71,56 @@ def normalize_sql(expr: str) -> str:
     out = f"regexp_replace({out}, '{SPACE_AROUND_NL_RE}', chr(10), 'g')"
     out = f"regexp_replace({out}, '{PARA_RE}', chr(10) || chr(10), 'g')"
     return f"trim({out})"
+
+
+# ---------------------------------------------------------------------
+# Homoglyph confusable folding (Unicode TR39 confusables, the pinned
+# high-frequency subset) — the spoof/spam counter next to
+# textstats.script_profile: "раypal" with a Cyrillic а must compare
+# equal to "paypal" for dedup, blocklists, and phrase gates. A single
+# ``translate`` (codegen, zero shuffle); the mapping strings
+# interpolate verbatim into the DuckDB twin, whose translate has
+# identical per-codepoint semantics.
+#
+# Conservative by design: only pairs that are glyph-identical in
+# common fonts — Cyrillic/Greek look-alikes and the fullwidth
+# ASCII block. NOT a transliteration pass (д → d is romanization,
+# not confusability) — folding real Cyrillic text would destroy it,
+# so the mapping touches only letters whose entire purpose in a
+# Latin-context string is deception. Callers gate on
+# script_profile.mixed first when folding whole corpora.
+# ---------------------------------------------------------------------
+
+_CYR_GREEK_SRC = (
+    "аеорсхуіѕј"  # аеорсхуіѕј
+    "АВЕКМНОРСТХ"  # АВЕКМНОРСТХ
+    "ονυιΑΒΕΖΗΙ"  # ονυι ΑΒΕΖΗΙ
+    "ΚΜΝΟΡΤΧΥ"  # ΚΜΝΟΡΤΧΥ
+)
+_CYR_GREEK_DST = (
+    "aeopcxyisj"
+    "ABEKMHOPCTX"
+    "onui" "ABEZHI"
+    "KMNOPTXY"
+)
+_FULLWIDTH_SRC = "".join(chr(0xFF01 + i) for i in range(0x5E))  # ！..～
+_FULLWIDTH_DST = "".join(chr(0x21 + i) for i in range(0x5E))  # !..~
+
+HOMOGLYPH_SRC = _CYR_GREEK_SRC + _FULLWIDTH_SRC
+HOMOGLYPH_DST = _CYR_GREEK_DST + _FULLWIDTH_DST
+assert len(HOMOGLYPH_SRC) == len(HOMOGLYPH_DST)
+
+
+def fold_homoglyphs(col: Column) -> Column:
+    """The column with every mapped confusable replaced by its ASCII
+    target."""
+    return F.translate(col, HOMOGLYPH_SRC, HOMOGLYPH_DST)
+
+
+def homoglyph_count(col: Column) -> Column:
+    """How many confusable codepoints the fold would touch — the
+    spoof-density signal (0 for clean Latin AND for genuinely
+    non-Latin text outside the mapping)."""
+    return (
+        F.length(col) - F.length(F.translate(col, HOMOGLYPH_SRC, ""))
+    ).cast("bigint")

@@ -154,6 +154,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "tokens, encoding)",
     )
     p.add_argument(
+        "--incremental",
+        action="store_true",
+        help="tag mode: tag only the docs added/updated in the "
+        "--input SNAPSHOT table since this attribute table's last "
+        "run (change-feed driven; consumed source version rides the "
+        "attribute manifest); no new source -> idempotent no-op",
+    )
+    p.add_argument(
         "--attrs",
         action="append",
         default=[],
@@ -440,17 +448,26 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if not args.tagger:
                 print("--tagger is required for tag mode", file=sys.stderr)
                 return 2
-            docs = _read_docs(args.input)
-            frame = AT.tag(
-                docs, args.tagger, id_col=args.id_col,
-                text_col=args.text_col,
-            )
-            m = ST.snapshot_write(frame, args.output)
-            n = ST.snapshot_read(spark, args.output).count()
-            print(json.dumps({
-                "mode": "tag", "tagger": args.tagger,
-                "version": m["version"], "rows": n,
-            }))
+            if args.incremental:
+                res = AT.tag_increment(
+                    spark, args.input, args.output, args.tagger,
+                    id_col=args.id_col, text_col=args.text_col,
+                )
+                print(json.dumps({
+                    "mode": "tag", "tagger": args.tagger, **res,
+                }))
+            else:
+                docs = _read_docs(args.input)
+                frame = AT.tag(
+                    docs, args.tagger, id_col=args.id_col,
+                    text_col=args.text_col,
+                )
+                m = ST.snapshot_write(frame, args.output)
+                n = ST.snapshot_read(spark, args.output).count()
+                print(json.dumps({
+                    "mode": "tag", "tagger": args.tagger,
+                    "version": m["version"], "rows": n,
+                }))
         else:
             if not args.attrs or not args.keep_sql:
                 print(

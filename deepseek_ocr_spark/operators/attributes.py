@@ -164,3 +164,65 @@ def ship(
     logic — untagged docs do not ship, the conservative default."""
     kept = compose(docs, attrs, id_col).filter(keep_sql)
     return kept.select(*docs.columns)
+
+
+def tag_increment(
+    spark,
+    docs_table: str,
+    attr_table: str,
+    tagger: str,
+    id_col: str = "url",
+    text_col: str = "extracted_text",
+) -> dict:
+    """Incremental tagging: run ``tagger`` over ONLY the docs added or
+    updated in ``docs_table`` (a snapshot table) since this attribute
+    table's last run, and MERGE the rows in (new docs insert, changed
+    docs replace their stale attribute row). The consumed source
+    version rides the attribute table's manifest props — the
+    curate_increment discipline — so re-running with no new source
+    snapshot is an idempotent no-op, and a year of monthly crawls pays
+    O(new crawl) per month, never O(corpus).
+
+    Returns {"status", "source_version", "tagged", "version"}."""
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    src_v = ST.current_version(docs_table)
+    if src_v is None:
+        raise FileNotFoundError(f"no snapshots at {docs_table}")
+    last_src = 0
+    attr_v = ST.current_version(attr_table)
+    for v in range((attr_v or 0), 0, -1):
+        try:
+            m = ST._load_manifest(attr_table, v)
+        except FileNotFoundError:
+            continue  # expired by vacuum
+        sv = (m.get("props") or {}).get("source_version")
+        if sv:
+            last_src = int(sv)
+            break
+    if last_src >= src_v:
+        return {
+            "status": "up_to_date",
+            "source_version": src_v,
+            "tagged": 0,
+            "version": attr_v,
+        }
+    if last_src == 0:
+        new_docs = ST.snapshot_read(spark, docs_table, version=src_v)
+    else:
+        changes = ST.snapshot_diff(spark, docs_table, last_src, src_v)
+        new_docs = changes.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type")
+    frame = tag(new_docs, tagger, id_col=id_col, text_col=text_col)
+    n = frame.count()
+    m = ST.snapshot_merge(
+        spark, frame, attr_table, key=id_col,
+        props={"source_version": src_v},
+    )
+    return {
+        "status": "tagged",
+        "source_version": src_v,
+        "tagged": n,
+        "version": m["version"],
+    }

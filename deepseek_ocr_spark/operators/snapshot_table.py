@@ -814,6 +814,7 @@ def snapshot_merge(
     updates: DataFrame,
     table: str,
     key: str = "url",
+    props: dict | None = None,
 ) -> dict:
     """MERGE (upsert on ``key``): rows of ``updates`` replace
     same-key rows; new keys insert. Copy-on-write at file
@@ -832,7 +833,9 @@ def snapshot_merge(
     carry the partition columns (they are part of the row)."""
     base = current_version(table)
     if base is None:
-        return snapshot_write(updates, table, mode="append") | {"op": "merge"}
+        return snapshot_write(updates, table, mode="append", props=props) | {
+            "op": "merge"
+        }
     m = _load_manifest(table, base)
     spec = m.get("partition_by") or []
     keys = updates.select(key).distinct()
@@ -871,6 +874,7 @@ def snapshot_merge(
         "ts": time.time(),
         "rewrote_files": len(hit_rel),
         "carried_files": len(m["files"]) - len(hit_rel),
+        **({"props": props} if props else {}),
         **(
             {
                 "partition_by": spec,

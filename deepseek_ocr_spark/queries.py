@@ -8014,6 +8014,40 @@ ORDER BY rule, "column"
 SQL_CORPUS_EXPECTATIONS = _expectations_sql()
 
 
+def q_homoglyph_fold(spark, sf_dir):
+    """Unicode confusable folding (functions/normalize.py
+    fold_homoglyphs): Cyrillic/Greek look-alikes and fullwidth ASCII
+    mapped to their Latin targets in one zero-shuffle translate —
+    the spoof counter next to script_mix. Returns the folded text
+    plus the per-doc confusable count."""
+    from deepseek_ocr_spark.functions import normalize as NO
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        NO.fold_homoglyphs(t).alias("folded"),
+        NO.homoglyph_count(t).alias("n_confusable"),
+    )
+
+
+def _homoglyph_sql() -> str:
+    from deepseek_ocr_spark.functions import normalize as NO
+
+    src = NO.HOMOGLYPH_SRC.replace("'", "''")
+    dst = NO.HOMOGLYPH_DST.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       translate(text, '{src}', '{dst}') AS folded,
+       (length(text) - length(translate(text, '{src}', '')))::BIGINT
+         AS n_confusable
+FROM documents
+"""
+
+
+SQL_HOMOGLYPH_FOLD = _homoglyph_sql()
+
+
 ATTR_KEEP_SQL = (
     "quality__quality >= 0.6 AND gopher__symbol_ratio <= 0.1 "
     "AND lang__lang_guess = 'en'"
@@ -8450,4 +8484,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # queries themselves (gopher_flags, quality_score, lang_id);
     # store semantics pinned by tests/test_attributes.py.
     "attribute_ship": (q_attribute_ship, SQL_ATTRIBUTE_SHIP),
+    # homoglyph_fold: below-cut class (b) — one zero-shuffle translate
+    # projection (the script_mix/normalize_text family); mapping
+    # correctness pinned by tests/test_normalize_homoglyphs.py.
+    "homoglyph_fold": (q_homoglyph_fold, SQL_HOMOGLYPH_FOLD),
 }

@@ -90,3 +90,42 @@ def test_attr_only_predicate_prunes_text_scan(spark, tmp_path):
     ).optimizedPlan().toString()
     # exactly one side of the join projects the text column
     assert plan.count("text#") >= 1
+
+
+def test_tag_increment_pays_only_new_docs(spark, tmp_path):
+    """tag_increment: first run tags everything; later runs tag only
+    the change feed (inserts + postimages merged in, stale attr rows
+    replaced); no new source snapshot -> idempotent no-op."""
+    docs_t = str(tmp_path / "docs")
+    attr_t = str(tmp_path / "attr")
+    d1 = spark.createDataFrame(
+        [("u1", "one two three four"), ("u2", "a b")],
+        "url string, extracted_text string",
+    )
+    ST.snapshot_write(d1, docs_t)
+    r1 = AT.tag_increment(spark, docs_t, attr_t, "tokens")
+    assert (r1["status"], r1["tagged"], r1["source_version"]) == (
+        "tagged", 2, 1
+    )
+    # no new source -> no-op, version unchanged
+    r2 = AT.tag_increment(spark, docs_t, attr_t, "tokens")
+    assert (r2["status"], r2["tagged"]) == ("up_to_date", 0)
+    assert ST.current_version(attr_t) == r1["version"]
+    # source moves: u2's text changes (merge), u3 appears (append)
+    ST.snapshot_merge(
+        spark,
+        spark.createDataFrame(
+            [("u2", "now five words long here"),
+             ("u3", "brand new doc")],
+            "url string, extracted_text string",
+        ),
+        docs_t,
+        key="url",
+    )
+    r3 = AT.tag_increment(spark, docs_t, attr_t, "tokens")
+    assert r3["status"] == "tagged" and r3["tagged"] == 2
+    attrs = {
+        r["url"]: r["n_tokens"]
+        for r in ST.snapshot_read(spark, attr_t).collect()
+    }
+    assert attrs == {"u1": 4, "u2": 5, "u3": 3}

@@ -1,0 +1,52 @@
+"""Homoglyph confusable folding (normalize.fold_homoglyphs) — spoof
+strings fold to their ASCII targets, genuine non-Latin text outside
+the mapping survives, and the count matches the touched codepoints."""
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions import normalize as NO
+
+
+def _fold(spark, s):
+    return (
+        spark.createDataFrame([(s,)], "t string")
+        .select(
+            NO.fold_homoglyphs(F.col("t")).alias("f"),
+            NO.homoglyph_count(F.col("t")).alias("n"),
+        )
+        .collect()[0]
+    )
+
+
+def test_cyrillic_spoof_folds_to_ascii(spark):
+    # 'раураl' spelled with Cyrillic а/р/у and а
+    spoof = "раypаl.com"  # р=U+0440, а=U+0430
+    r = _fold(spark, spoof)
+    assert r["f"] == "paypal.com"
+    assert r["n"] == 3
+
+
+def test_fullwidth_ascii_folds(spark):
+    r = _fold(spark, "ＨＥＬＬＯ　ｗｏｒｌｄ１２３")
+    # fullwidth letters/digits fold; the ideographic space (U+3000)
+    # is normalize_text's job, not the confusable map's
+    assert r["f"] == "HELLO　world123"
+    assert r["n"] == 13
+
+
+def test_clean_latin_and_real_cyrillic_text(spark):
+    clean = _fold(spark, "just a normal sentence")
+    assert clean["f"] == "just a normal sentence" and clean["n"] == 0
+    # real Russian uses letters outside the confusable map too (д, ж,
+    # я...) — those survive untouched; only glyph-identical letters
+    # fold, which is why whole-corpus folding gates on script_mix
+    ru = _fold(spark, "день")
+    assert ru["n"] == 1  # only е is in the map
+    assert ru["f"][0] == "д" and ru["f"][2:] == "нь"
+
+
+def test_mapping_is_bijective_enough(spark):
+    assert len(NO.HOMOGLYPH_SRC) == len(NO.HOMOGLYPH_DST)
+    assert len(set(NO.HOMOGLYPH_SRC)) == len(NO.HOMOGLYPH_SRC)
+    assert all(ord(c) > 127 for c in NO.HOMOGLYPH_SRC)
+    assert all(ord(c) < 128 for c in NO.HOMOGLYPH_DST)
