@@ -1,0 +1,192 @@
+"""Trained character-n-gram language identification — the
+CLD/fastText-langid shape (Joulin 2017, "Bag of Tricks..."), as a
+multinomial naive-Bayes classifier over hashed char TRIGRAMS of each
+document's head.
+
+``textstats.lang_guess`` is the zero-training heuristic (stopword
+regex hits for 4 languages); this is the step above it: train per-
+class trigram distributions from any labeled slice (e.g. the crawl's
+declared-lang column, or a vetted seed corpus), predict by MAP. Char
+trigrams — not words — are the published langid feature: they see
+morphology and script without tokenization, and they survive short
+strings.
+
+Determinism/portability discipline (the repo contract):
+
+* features hash through the md5-prefix trick; only the first
+  ``LID_MAX_CHARS`` chars of each doc feed the model (CLD's
+  head-sample — per-doc work is BOUNDED regardless of document
+  length, the 100 TB guarantee);
+* per-class weights are exact-range-reduction fixed-point
+  ``ln((tot_c + B) / (cnt_{b,c} + 1))`` — num >= den always, so the
+  shared lm.py chain applies unchanged and the model is bit-identical
+  across engines;
+* prediction = per-(doc, class) integer NLL sums + the class prior
+  ``ln(N / n_c)``, winner by (nll asc, lang asc) row_number — a pure
+  function of the input;
+* the trigram lambda binds the lowered head through a PROJECTION
+  BOUNDARY first (the winnow lesson: a lambda referencing an
+  unbound subexpression re-evaluates it per element), and short
+  texts guard against Spark's descending ``sequence(1, 0)`` quirk.
+
+Scale shape: the model is ``n_classes x B`` rows + an n_classes
+prior frame — broadcast dimensions. Scoring explodes <=
+``LID_MAX_CHARS - 2`` features per doc, joins the broadcast model
+(C rows per feature — C is single digits), and shuffles once on
+(doc, class) partial sums. Docs with fewer than 3 head chars carry
+no signal and predict 'und' explicitly.
+
+The reference repo has no language-ID stage (per-request OCR
+service); this belongs to the curation surface the engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deepseek_ocr_spark.functions.lm import (
+    K_SQL,
+    NLL_FP_SQL,
+    Z2_SQL,
+    Z_SQL,
+    r2_sql,
+)
+
+N_LID_BUCKETS = 4096
+LID_MAX_CHARS = 256
+
+_SHIFT = lambda x, amt: f"shiftleft(cast({x} as bigint), {amt})"  # noqa: E731
+
+
+def _trigram_frame(
+    df: DataFrame, id_col: str, extra: list[str], text_col: str
+) -> DataFrame:
+    """(id, *extra, b): one row per hashed char trigram of the
+    lowered LID_MAX_CHARS-char head."""
+    bound = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra],
+        F.lower(F.substring(F.col(text_col), 1, LID_MAX_CHARS)).alias(
+            "__s"
+        ),
+    )
+    # conv returns STRING — cast to bigint BEFORE the mod, or Spark
+    # coerces through DOUBLE and 60-bit hash values lose low bits
+    tri = F.when(
+        F.length("__s") >= 3,
+        F.expr(
+            "transform(sequence(1, length(__s) - 2), i -> "
+            "cast(conv(substr(md5(substring(__s, i, 3)), 1, 15), 16, 10)"
+            f" as bigint) % {N_LID_BUCKETS})"
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return bound.select(
+        id_col,
+        *extra,
+        F.explode(tri).alias("b"),
+    )
+
+
+def train_langid(
+    labeled: DataFrame,
+    label_col: str,
+    id_col: str,
+    text_col: str,
+):
+    """(model, priors): the per-class trigram NLL weight table
+    ``(lang, b, w_fp)`` on the FULL class x bucket spine (unseen
+    pairs get the smoothed ceiling, never 0) and the class prior
+    frame ``(lang, prior_fp)`` = fixed-point ln(N / n_c). Rows with
+    NULL labels are skipped (no evidence class)."""
+    lab = labeled.filter(F.col(label_col).isNotNull())
+    feats = _trigram_frame(lab, id_col, [label_col], text_col)
+    counts = feats.groupBy(label_col, "b").agg(
+        F.count("*").alias("cnt")
+    )
+    tots = counts.groupBy(label_col).agg(F.sum("cnt").alias("tot"))
+    spine = (
+        tots.select(label_col, "tot")
+        .crossJoin(
+            lab.sparkSession.range(N_LID_BUCKETS).select(
+                F.col("id").cast("bigint").alias("b")
+            )
+        )
+    )
+    model = (
+        spine.join(counts, [label_col, "b"], "left")
+        .withColumn(
+            "__num",
+            (F.col("tot") + F.lit(N_LID_BUCKETS)).cast("bigint"),
+        )
+        .withColumn(
+            "__den",
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).cast("bigint"),
+        )
+        .withColumn("__k", F.expr(K_SQL))
+        .withColumn("__r2", F.expr(r2_sql(_SHIFT)))
+        .withColumn("__z", F.expr(Z_SQL))
+        .withColumn("__z2", F.expr(Z2_SQL))
+        .select(
+            F.col(label_col).alias("lang"),
+            "b",
+            F.expr(NLL_FP_SQL).alias("w_fp"),
+        )
+    )
+    n_docs = lab.groupBy(label_col).agg(F.count("*").alias("n_c"))
+    n_tot = n_docs.agg(F.sum("n_c").alias("n_all"))
+    priors = (
+        n_docs.crossJoin(F.broadcast(n_tot))
+        .withColumn("__num", F.col("n_all").cast("bigint"))
+        .withColumn("__den", F.col("n_c").cast("bigint"))
+        .withColumn("__k", F.expr(K_SQL))
+        .withColumn("__r2", F.expr(r2_sql(_SHIFT)))
+        .withColumn("__z", F.expr(Z_SQL))
+        .withColumn("__z2", F.expr(Z2_SQL))
+        .select(
+            F.col(label_col).alias("lang"),
+            F.expr(NLL_FP_SQL).alias("prior_fp"),
+        )
+    )
+    return model, priors
+
+
+def langid_predict(
+    docs: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, lang_pred, nll_fp): the MAP class per document —
+    prior + summed per-feature weights, winner by (nll asc, lang
+    asc). EVERY doc appears: heads shorter than 3 chars have no
+    features and predict 'und' with NULL nll."""
+    feats = _trigram_frame(docs, id_col, [], text_col)
+    scored = (
+        feats.join(F.broadcast(model), "b")
+        .groupBy(id_col, "lang")
+        .agg(F.sum("w_fp").cast("bigint").alias("__s"))
+        .join(F.broadcast(priors), "lang")
+        .withColumn("__nll", F.col("__s") + F.col("prior_fp"))
+    )
+    w = Window.partitionBy(id_col).orderBy("__nll", "lang")
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("lang").alias("lang_pred"),
+            F.col("__nll").alias("nll_fp"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+            "nll_fp",
+        )
+    )

@@ -8048,6 +8048,104 @@ FROM documents
 SQL_HOMOGLYPH_FOLD = _homoglyph_sql()
 
 
+def q_langid_model(spark, sf_dir):
+    """Trained char-trigram language ID (functions/langid_model.py —
+    the CLD/fastText-langid shape as one-pass naive Bayes): per-class
+    hashed-trigram distributions trained from the declared ``lang``
+    column, every document re-predicted by MAP. The trained upgrade
+    over the heuristic lang_id; disagreement with the declared label
+    is the lang_mismatch signal's trained variant."""
+    from deepseek_ocr_spark.functions import langid_model as LID
+
+    d = _t(spark, sf_dir, "documents")
+    model, priors = LID.train_langid(d, "lang", "doc_id", "text")
+    return LID.langid_predict(d, model, priors, "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+def _langid_sql() -> str:
+    from deepseek_ocr_spark.functions import langid_model as LID
+    from deepseek_ocr_spark.functions import lm as LM
+
+    b = LID.N_LID_BUCKETS
+    mc = LID.LID_MAX_CHARS
+    shift = lambda x, amt: f"({x}::BIGINT << ({amt}))"  # noqa: E731
+
+    def ln_chain(inp: str, keep: str, out: str) -> str:
+        """CTEs from ``inp`` (carrying __num/__den + ``keep`` cols)
+        to ``{out}_t`` with ``{out}`` = fixed-point ln(num/den)."""
+        return f"""__k_{out} AS (
+  SELECT {keep}, __num, __den, {LM.K_SQL} AS __k FROM {inp}
+), __r_{out} AS (
+  SELECT {keep}, __k, {LM.r2_sql(shift)} AS __r2 FROM __k_{out}
+), __z_{out} AS (
+  SELECT {keep}, __k, {LM.Z_SQL} AS __z FROM __r_{out}
+), __z2_{out} AS (
+  SELECT {keep}, __k, __z, {LM.Z2_SQL} AS __z2 FROM __z_{out}
+), {out}_t AS (
+  SELECT {keep}, ({LM.NLL_FP_SQL}) AS {out} FROM __z2_{out}
+)"""
+
+    return f"""
+WITH head AS (
+  SELECT doc_id, lang, lower(substr(text, 1, {mc})) AS s FROM documents
+), f AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(s) - 2, 0) + 1),
+           i -> ('0x' || substr(md5(substr(s, i, 3)), 1, 15))::BIGINT
+                % {b})) AS b
+  FROM head
+), lf AS (
+  SELECT h.lang, f.b FROM f JOIN head h USING (doc_id)
+  WHERE h.lang IS NOT NULL
+), counts AS (
+  SELECT lang, b, count(*)::BIGINT AS cnt FROM lf GROUP BY lang, b
+), tots AS (
+  SELECT lang, sum(cnt)::BIGINT AS tot FROM counts GROUP BY lang
+), spine AS (
+  SELECT t.lang, t.tot, r.b
+  FROM tots t CROSS JOIN (SELECT unnest(range({b}))::BIGINT AS b) r
+), mj AS (
+  SELECT spine.lang, spine.b,
+         (spine.tot + {b})::BIGINT AS __num,
+         (coalesce(counts.cnt, 0) + 1)::BIGINT AS __den
+  FROM spine LEFT JOIN counts USING (lang, b)
+), {ln_chain("mj", "lang, b", "__w")},
+model AS (SELECT lang, b, __w AS w_fp FROM __w_t),
+nd AS (
+  SELECT lang, count(*)::BIGINT AS n_c FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+), nt AS (SELECT sum(n_c)::BIGINT AS n_all FROM nd),
+pj AS (
+  SELECT lang, n_all::BIGINT AS __num, n_c::BIGINT AS __den
+  FROM nd CROSS JOIN nt
+), {ln_chain("pj", "lang", "__p")},
+priors AS (SELECT lang, __p AS prior_fp FROM __p_t),
+sc AS (
+  SELECT f.doc_id, m.lang, sum(m.w_fp)::BIGINT AS __s
+  FROM f JOIN model m USING (b) GROUP BY f.doc_id, m.lang
+), nl AS (
+  SELECT sc.doc_id, sc.lang, (sc.__s + p.prior_fp)::BIGINT AS __nll
+  FROM sc JOIN priors p USING (lang)
+), best AS (
+  SELECT doc_id, lang, __nll,
+         row_number() OVER (PARTITION BY doc_id ORDER BY __nll, lang)
+           AS rn
+  FROM nl
+)
+SELECT d.doc_id,
+       coalesce(b.lang, 'und') AS lang_pred,
+       b.__nll AS nll_fp
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+SQL_LANGID_MODEL = _langid_sql()
+
+
 ATTR_KEEP_SQL = (
     "quality__quality >= 0.6 AND gopher__symbol_ratio <= 0.1 "
     "AND lang__lang_guess = 'en'"
@@ -8488,4 +8586,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # projection (the script_mix/normalize_text family); mapping
     # correctness pinned by tests/test_normalize_homoglyphs.py.
     "homoglyph_fold": (q_homoglyph_fold, SQL_HOMOGLYPH_FOLD),
+    # langid_model: below-cut class (b) — the trained sibling of
+    # in-window lang_id: hashed-feature NB on the quality_model
+    # pattern, shared fixed-point ln chain; accuracy and und
+    # semantics pinned by tests/test_langid_model.py.
+    "langid_model": (q_langid_model, SQL_LANGID_MODEL),
 }

@@ -1,0 +1,80 @@
+"""Trained char-trigram language ID (functions/langid_model.py) —
+learning separation, 'und' for featureless docs, NULL-label skip,
+completeness, and partitioning independence."""
+
+from deepseek_ocr_spark.functions import langid_model as LID
+
+TRAIN = [
+    (1, "the quick brown fox jumps over the lazy dog and the cat", "en"),
+    (2, "she sells sea shells by the sea shore every morning", "en"),
+    (3, "der schnelle braune fuchs springt über den faulen hund", "de"),
+    (4, "sie verkauft muscheln am meeresufer jeden morgen früh", "de"),
+    (5, "xy", None),  # NULL label: no evidence class
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_predicts_held_out_text_by_language(spark):
+    d = _df(spark, TRAIN)
+    model, priors = LID.train_langid(d, "lang", "doc_id", "text")
+    test = _df(
+        spark,
+        [
+            (10, "the brown dog jumps over the shore", None),
+            (11, "der faule hund springt über den morgen", None),
+            (12, "x", None),  # under 3 chars: no features
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in LID.langid_predict(
+            test, model, priors, "doc_id", "text"
+        ).collect()
+    }
+    assert out[10]["lang_pred"] == "en"
+    assert out[11]["lang_pred"] == "de"
+    assert out[12]["lang_pred"] == "und" and out[12]["nll_fp"] is None
+    assert len(out) == 3  # every doc appears exactly once
+
+
+def test_model_shape_is_full_spine(spark):
+    d = _df(spark, TRAIN)
+    model, priors = LID.train_langid(d, "lang", "doc_id", "text")
+    # full class x bucket spine: 2 classes (NULL label skipped)
+    assert model.count() == 2 * LID.N_LID_BUCKETS
+    assert {r["lang"] for r in priors.collect()} == {"en", "de"}
+    # every weight positive (NLL of a probability < 1)
+    assert model.filter("w_fp <= 0").count() == 0
+
+
+def test_partitioning_independent(spark):
+    d = _df(spark, TRAIN)
+    model, priors = LID.train_langid(d, "lang", "doc_id", "text")
+    test = _df(spark, [(i, TRAIN[i % 4][1] + f" pad{i}", None) for i in range(12)])
+    a = sorted(
+        map(
+            tuple,
+            LID.langid_predict(test, model, priors, "doc_id", "text").collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            LID.langid_predict(
+                test.repartition(7, "doc_id"), model, priors,
+                "doc_id", "text",
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_head_sample_bounds_work(spark):
+    """A doc longer than LID_MAX_CHARS contributes exactly
+    LID_MAX_CHARS - 2 features — per-doc work is bounded."""
+    long_doc = _df(spark, [(1, "ab" * 5000, "en")])
+    feats = LID._trigram_frame(long_doc, "doc_id", [], "text")
+    assert feats.count() == LID.LID_MAX_CHARS - 2
