@@ -189,6 +189,8 @@ HEADLINE = [
     "weighted_sample",
     "corpus_expectations",
     "attribute_ship",
+    "homoglyph_fold",
+    "langid_model",
 ]
 
 

@@ -164,10 +164,20 @@ def langid_predict(
     asc). EVERY doc appears: heads shorter than 3 chars have no
     features and predict 'und' with NULL nll."""
     feats = _trigram_frame(docs, id_col, [], text_col)
+    # pre-aggregate repeated (doc, bucket) features before the C-fold
+    # model join: sum(c * w) == sum-over-occurrences(w) EXACTLY
+    # (integer multiply distributes over the sum), and the join input
+    # shrinks to the distinct per-doc bucket set — measured 5.0 ->
+    # 3.0 s at sf0.1, outputs bit-identical
+    fc = feats.groupBy(id_col, "b").agg(F.count("*").alias("__c"))
     scored = (
-        feats.join(F.broadcast(model), "b")
+        fc.join(F.broadcast(model), "b")
         .groupBy(id_col, "lang")
-        .agg(F.sum("w_fp").cast("bigint").alias("__s"))
+        .agg(
+            F.sum(F.col("__c") * F.col("w_fp"))
+            .cast("bigint")
+            .alias("__s")
+        )
         .join(F.broadcast(priors), "lang")
         .withColumn("__nll", F.col("__s") + F.col("prior_fp"))
     )
