@@ -485,6 +485,7 @@ def curate(
     lm_max_nll_ptok_fp: int = 0,
     host_min_quality_fp: int = 0,
     host_min_docs: int = 3,
+    phrase_blocklist: DataFrame | None = None,
     pii_scrub: bool = False,
 ) -> tuple[DataFrame, dict]:
     """pages → (curated corpus DataFrame, funnel counts).
@@ -517,6 +518,10 @@ def curate(
     spans are excised from non-first occurrences, the doc's text is
     replaced by the rewrite, and token/quality stats are RECOMPUTED on
     the surviving text so the gate judges what will actually ship.
+    ``phrase_blocklist`` (a dimension frame with a ``phrase``
+    column) drops documents containing ANY gazetteer phrase as
+    consecutive tokens — the multi-word complement of ``badwords``
+    (see functions/phrases.py for placement rationale).
     ``badwords`` applies the C4 bad-words page gate right after the
     language gate (word-level membership, zero-shuffle predicate);
     ``blocklist`` (a DataFrame with a ``domain`` column) applies the
@@ -710,6 +715,21 @@ def curate(
             final, host_min_quality_fp, min_docs=host_min_docs
         )
         funnel["after_host_quality"] = final.count()
+    if phrase_blocklist is not None:
+        # phrase-level content gate (functions/phrases.phrase_gate):
+        # join-dependent (anchor votes + anti-join), so unlike the
+        # word-level badwords flag it cannot ride the one-pass head
+        # aggregation — it runs here on the smallest surviving frame,
+        # the cheapest point for an explode-based gate. A near-dup
+        # cluster whose keep-first survivor carries a phrase drops
+        # here even if other cluster members did not (documented:
+        # phrase spam's near-dups are the same spam).
+        from deepseek_ocr_spark.functions.phrases import phrase_gate
+
+        final = phrase_gate(
+            final, phrase_blocklist, id_col="url", text_col="text"
+        )
+        funnel["after_phrase_blocklist"] = final.count()
     if observe:
         # AQE's empty-relation propagation can elide an observed node
         # whose subtree came out empty (see lsh_candidate_pairs) —

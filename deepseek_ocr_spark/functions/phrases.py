@@ -1,0 +1,100 @@
+"""Multi-phrase gazetteer matching: find/drop documents containing
+ANY of a phrase table's entries as consecutive tokens — the
+phrase-level sibling of the C4 bad-WORDS gate (word membership cannot
+express "click here to buy" or multi-word entity blocklists), and the
+batch form of ``retrieval.phrase_search`` (one phrase per query
+there; a whole dimension table of phrases in one pass here).
+
+Anchor-vote matching (the phrase_search trick, batched): a token
+instance (pos, w) matching term i of phrase p votes for anchor
+``pos - i``; an anchor where all m distinct slots voted is an exact
+occurrence — repeated-term phrases stay correct because every slot
+must be independently witnessed.
+
+Scale shape: the phrase table tokenizes COLUMNARLY (split +
+posexplode on the dimension frame — no driver-side parsing, so a
+gazetteer of 10^5 phrases is fine), broadcasts, and semi-reduces the
+corpus token stream at the BroadcastHashJoin — only tokens matching
+some phrase term survive; the corpus never shuffles whole. One
+(doc, phrase, anchor) partial agg + one (doc, phrase) agg. The gate
+is a left-anti join on hit ids.
+
+The reference repo has no content-gating surface (per-request OCR
+service); this belongs to the curation family next to
+badwords_filter / domain_blocklist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions.dedup import words_col
+
+
+def _phrase_terms(phrases: DataFrame, phrase_col: str) -> DataFrame:
+    """(phrase, m, i, term) — the tokenized gazetteer, empty/blank
+    phrases dropped (a zero-term phrase would match everything)."""
+    pf = phrases.where(
+        F.col(phrase_col).isNotNull() & (F.trim(phrase_col) != "")
+    ).select(
+        F.col(phrase_col).alias("__phrase"),
+        words_col(F.col(phrase_col)).alias("__w"),
+    )
+    return pf.select(
+        "__phrase",
+        F.size("__w").alias("__m"),
+        F.posexplode("__w").alias("__i", "__term"),
+    )
+
+
+def phrase_hits(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """(id, phrase, n_occurrences) for every document x gazetteer
+    phrase with at least one exact consecutive-token occurrence."""
+    terms = _phrase_terms(phrases, phrase_col)
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(words_col(F.col(text_col))).alias("pos", "w"),
+    )
+    anchored = toks.join(
+        F.broadcast(terms), toks["w"] == terms["__term"]
+    ).select(
+        F.col(id_col),
+        "__phrase",
+        "__m",
+        (F.col("pos") - F.col("__i")).alias("anchor"),
+        "__i",
+    )
+    return (
+        anchored.groupBy(id_col, "__phrase", "__m", "anchor")
+        .agg(F.countDistinct("__i").alias("__nt"))
+        .filter((F.col("__nt") == F.col("__m")) & (F.col("anchor") >= 0))
+        .groupBy(id_col, "__phrase")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .select(
+            id_col,
+            F.col("__phrase").alias(phrase_col),
+            "n_occurrences",
+        )
+    )
+
+
+def phrase_gate(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Documents containing NO gazetteer phrase — the blocklist gate.
+    One left-anti join against the distinct hit ids."""
+    hits = phrase_hits(docs, phrases, id_col, text_col, phrase_col)
+    return docs.join(
+        hits.select(id_col).distinct(), id_col, "left_anti"
+    )

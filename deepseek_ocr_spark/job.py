@@ -270,6 +270,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "it matches are dropped before any content processing",
     )
     p.add_argument(
+        "--phrase-blocklist",
+        default=None,
+        help="curate mode: parquet path of a phrase gazetteer (one "
+        "'phrase' column); documents containing any phrase as "
+        "consecutive tokens are dropped (functions/phrases.py)",
+    )
+    p.add_argument(
         "--site-boilerplate",
         action="store_true",
         help="curate mode: excise site-template lines (on >=2 pages "
@@ -558,6 +565,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             lm_max_nll_ptok_fp=args.lm_max_nll_ptok,
             host_min_quality_fp=args.host_min_quality,
             host_min_docs=args.host_min_docs,
+            phrase_blocklist=(
+                spark.read.parquet(args.phrase_blocklist)
+                if args.phrase_blocklist
+                else None
+            ),
             pii_scrub=args.pii_scrub,
         )
         if args.output_format == "jsonl":

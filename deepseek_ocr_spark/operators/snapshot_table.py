@@ -1212,7 +1212,12 @@ def zorder_table(
 
     Cost is one full read + one RangePartitioning exchange + one full
     write — O(table), the price of clustering; run it at the cadence
-    the small-file compactor runs, not per increment."""
+    the small-file compactor runs, not per increment.
+
+    Partitioned tables cluster WITHIN each partition: the range split
+    runs on (spec..., zkey) and the rewrite flows back through the
+    hive layout, so files are Morton tiles inside their partition and
+    partition_filter pruning composes with the new range stats."""
     from deepseek_ocr_spark.functions.layout import ZORDER_BITS, zorder_layout
 
     base = current_version(table)
@@ -1221,22 +1226,37 @@ def zorder_table(
     m = _load_manifest(table, base)
     if not m["files"]:
         return {"op": "noop", "version": base, "rewrote_files": 0}
-    if m.get("partition_by"):
-        raise ValueError(
-            "zorder_table on a partitioned table is not supported: a "
-            "global clustering rewrite would fight the hive layout — "
-            "the upgrade is per-partition clustering (zorder within "
-            "each partition's file set)"
-        )
+    spec = m.get("partition_by") or []
     df = _read_files(spark, table, m, m["files"])
     n_out = n_files or max(1, len(m["files"]))
-    laid = zorder_layout(
-        df, a_expr, b_expr, n_out, bits or ZORDER_BITS
-    ).drop("zorder_key")
-    new_files, _ = _write_data_files(laid, table)
+    if spec:
+        # per-partition clustering: range-split on (spec..., zkey) so
+        # each partition value's rows land in contiguous Morton ranges,
+        # then the partitionBy write separates values into their hive
+        # dirs — every data file covers a small (a, b) tile WITHIN its
+        # partition, and the spec columns stay manifest-pruned
+        from deepseek_ocr_spark.functions.layout import zorder_key
+
+        keyed = df.withColumn(
+            "__zk", zorder_key(a_expr, b_expr, bits or ZORDER_BITS)
+        )
+        laid = keyed.repartitionByRange(
+            n_out, *spec, "__zk"
+        ).sortWithinPartitions(*spec, "__zk").drop("__zk")
+    else:
+        laid = zorder_layout(
+            df, a_expr, b_expr, n_out, bits or ZORDER_BITS
+        ).drop("zorder_key")
+    new_files, _ = _write_data_files(laid, table, spec or None)
     new_stats = _collect_file_stats(
         table, new_files, _pick_stats_cols(df, stats_cols)
     )
+    if spec:
+        part_st = _part_stats(new_files, spec, m["schema"])
+        new_stats = {
+            f: {**part_st.get(f, {}), **new_stats.get(f, {})}
+            for f in set(new_stats) | set(part_st)
+        }
     conf = m.get("bloom_conf")
     new_blooms = _collect_file_blooms(spark, table, new_files, conf)
     cur = current_version(table)
@@ -1255,6 +1275,14 @@ def zorder_table(
         "ts": time.time(),
         "zorder": [a_expr, b_expr],
         "rewrote_files": len(m["files"]),
+        **(
+            {
+                "partition_by": spec,
+                "parts": {f: _parse_parts(f, spec) for f in new_files},
+            }
+            if spec
+            else {}
+        ),
         **({"bloom_conf": conf, "blooms": new_blooms} if conf else {}),
     }
     _commit(table, manifest)

@@ -8146,6 +8146,69 @@ ORDER BY doc_id
 SQL_LANGID_MODEL = _langid_sql()
 
 
+PHRASE_GAZETTEER = ("batch batch batch", "table scan", "join order",
+                    "slow join sort")
+
+
+def q_phrase_blocklist(spark, sf_dir):
+    """Multi-phrase gazetteer matching (functions/phrases.py): every
+    (doc, phrase) exact consecutive-token occurrence count for a
+    fixed phrase dimension — the batch form of phrase_search and the
+    phrase-level sibling of badwords_filter. The gate variant
+    (phrase_gate) anti-joins the hit ids."""
+    from deepseek_ocr_spark.functions import phrases as PH
+
+    d = _t(spark, sf_dir, "documents")
+    gaz = spark.createDataFrame(
+        [(p,) for p in PHRASE_GAZETTEER], "phrase string"
+    )
+    return PH.phrase_hits(d, gaz).orderBy("doc_id", "phrase")
+
+
+def _phrase_blocklist_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in PHRASE_GAZETTEER)
+    return f"""
+WITH gaz AS (
+  SELECT phrase,
+         string_split_regex(lower(trim(phrase)), '[ \\t\\n\\x0B\\f\\r]+')
+           AS pw
+  FROM (VALUES {vals}) g(phrase)
+  WHERE phrase IS NOT NULL AND trim(phrase) <> ''
+), terms AS (
+  SELECT phrase, len(pw) AS m,
+         unnest(list_transform(range(1, len(pw) + 1),
+           j -> struct_pack(i := j - 1, term := pw[j]))) AS e
+  FROM gaz
+), tdim AS (
+  SELECT phrase, m, e.i AS i, e.term AS term FROM terms
+), toks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l) + 1),
+           j -> struct_pack(pos := j - 1, w := l[j]))) AS e
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(text)),
+                                  '[ \\t\\n\\x0B\\f\\r]+') AS l
+        FROM documents)
+), tk AS (
+  SELECT doc_id, e.pos AS pos, e.w AS w FROM toks
+), anchored AS (
+  SELECT tk.doc_id, tdim.phrase, tdim.m,
+         (tk.pos - tdim.i) AS anchor, tdim.i
+  FROM tk JOIN tdim ON tk.w = tdim.term
+), occ AS (
+  SELECT doc_id, phrase, m, anchor, count(DISTINCT i) AS nt
+  FROM anchored GROUP BY doc_id, phrase, m, anchor
+)
+SELECT doc_id, phrase, count(*)::BIGINT AS n_occurrences
+FROM occ WHERE nt = m AND anchor >= 0
+GROUP BY doc_id, phrase
+ORDER BY doc_id, phrase
+"""
+
+
+SQL_PHRASE_BLOCKLIST = _phrase_blocklist_sql()
+
+
 ATTR_KEEP_SQL = (
     "quality__quality >= 0.6 AND gopher__symbol_ratio <= 0.1 "
     "AND lang__lang_guess = 'en'"
@@ -8591,4 +8654,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # pattern, shared fixed-point ln chain; accuracy and und
     # semantics pinned by tests/test_langid_model.py.
     "langid_model": (q_langid_model, SQL_LANGID_MODEL),
+    # phrase_blocklist: below-cut class (b) — the in-window
+    # phrase_search anchor machinery batched over a broadcast phrase
+    # dimension; repeated-term and gate semantics pinned by
+    # tests/test_phrases.py.
+    "phrase_blocklist": (q_phrase_blocklist, SQL_PHRASE_BLOCKLIST),
 }

@@ -1,0 +1,97 @@
+"""Multi-phrase gazetteer matching (functions/phrases.py) — exact
+consecutive-token semantics, repeated-term phrases, overlap counting,
+blank-phrase guard, and the gate."""
+
+from deepseek_ocr_spark.functions import phrases as PH
+
+
+def _docs(spark):
+    rows = [
+        (1, "please click here to buy now"),
+        (2, "click to buy here now please"),  # scrambled: no hit
+        (3, "spam spam spam eggs and spam spam spam"),
+        (4, "Click HERE to BUY things"),  # case-folds to a hit
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _gaz(spark, phrases):
+    return spark.createDataFrame([(p,) for p in phrases], "phrase string")
+
+
+def test_exact_consecutive_matching_and_case_fold(spark):
+    hits = {
+        (r["doc_id"], r["phrase"]): r["n_occurrences"]
+        for r in PH.phrase_hits(
+            _docs(spark), _gaz(spark, ["click here to buy"])
+        ).collect()
+    }
+    assert hits == {
+        (1, "click here to buy"): 1,
+        (4, "click here to buy"): 1,
+    }
+
+
+def test_repeated_term_phrase_counts_overlaps(spark):
+    hits = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in PH.phrase_hits(
+            _docs(spark), _gaz(spark, ["spam spam spam"])
+        ).collect()
+    }
+    # "spam spam spam eggs and spam spam spam": anchors 0 and 5
+    assert hits == {3: 2}
+    # "spam spam" appears at anchors 0,1,5,6
+    hits2 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in PH.phrase_hits(
+            _docs(spark), _gaz(spark, ["spam spam"])
+        ).collect()
+    }
+    assert hits2 == {3: 4}
+
+
+def test_blank_phrases_dropped_and_gate(spark):
+    d = _docs(spark)
+    gaz = _gaz(spark, ["click here to buy", "", "   ", "spam spam"])
+    kept = {
+        r["doc_id"]
+        for r in PH.phrase_gate(d, gaz).collect()
+    }
+    # docs 1, 4 (phrase) and 3 (spam) drop; blank phrases match nothing
+    assert kept == {2, 5}
+
+
+def test_partitioning_independent(spark):
+    d = _docs(spark)
+    gaz = _gaz(spark, ["click here to buy", "spam spam"])
+    a = sorted(map(tuple, PH.phrase_hits(d, gaz).collect()))
+    b = sorted(
+        map(
+            tuple,
+            PH.phrase_hits(d.repartition(5, "doc_id"), gaz).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_curate_phrase_blocklist_wiring(spark, pages_path, tmp_path):
+    """curate(phrase_blocklist=...) drops phrase-hit docs with its own
+    funnel boundary; an unmatched gazetteer is a no-op."""
+    from deepseek_ocr_spark.curate import curate
+
+    pages = spark.read.parquet(pages_path)
+    gaz = _gaz(spark, ["zz unmatchable phrase zz"])
+    final, funnel = curate(pages, parallelism=4, phrase_blocklist=gaz)
+    assert funnel["after_phrase_blocklist"] == funnel["curated"]
+    n_base = funnel["curated"]
+    # a phrase built from a real curated doc must drop at least it
+    row = final.select("text").first()
+    words = row["text"].split()[:3]
+    if len(words) == 3:
+        gaz2 = _gaz(spark, [" ".join(words)])
+        _, funnel2 = curate(
+            pages, parallelism=4, phrase_blocklist=gaz2
+        )
+        assert funnel2["after_phrase_blocklist"] < n_base

@@ -173,13 +173,34 @@ def test_compact_preserves_partitions(spark, tmp_path):
     ) == {r for r in rows_before if r[1] == "de"}
 
 
-def test_zorder_refuses_partitioned_table(spark, tmp_path):
+def test_zorder_clusters_within_partitions(spark, tmp_path):
     t = str(tmp_path / "p")
+    rows = [
+        (f"u{v}{i}", lang, v)
+        for lang in ("en", "de")
+        for i, v in enumerate([1, 50, 100, 150, 3, 52, 102, 152])
+    ]
     ST.snapshot_write(
-        _docs(spark, [("a", "en", 1)]), t, partition_by=["lang"]
+        _docs(spark, rows), t, partition_by=["lang"]
     )
-    with pytest.raises(ValueError, match="partitioned table"):
-        ST.zorder_table(spark, t, "n", "n")
+    m = ST.zorder_table(spark, t, "n", "n", n_files=4)
+    assert m["op"] == "zorder" and m["partition_by"] == ["lang"]
+    # row-identical rewrite, parts recorded, partitions still filter
+    out = ST.snapshot_read(spark, t)
+    assert _rows(out) == set(rows)
+    en_rows = _rows(
+        ST.snapshot_read(spark, t, partition_filter={"lang": "en"})
+    )
+    assert en_rows == {r for r in rows if r[1] == "en"}
+    # per-file n ranges within a partition are tighter than the full
+    # span: some en file must exclude n=150 (range-split on zkey)
+    en_stats = [
+        s["n"]
+        for f, s in m["stats"].items()
+        if m["parts"][f] == ["en"] and "n" in s
+    ]
+    assert len(en_stats) >= 2
+    assert any(hi < 150 for _lo, hi in en_stats)
 
 
 def test_vacuum_sweeps_nested_partition_dirs(spark, tmp_path):
