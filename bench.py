@@ -191,6 +191,11 @@ HEADLINE = [
     "attribute_ship",
     "homoglyph_fold",
     "langid_model",
+    "phrase_blocklist",
+    "doc_ttr",
+    "zipf_slope",
+    "term_dispersion",
+    "source_overlap",
 ]
 
 

@@ -1,0 +1,211 @@
+"""Corpus-linguistics diagnostics: the numbers a data team reads
+BEFORE deciding gates — lexical richness per doc, Zipf rank-frequency
+slope per source, term burstiness, and cross-source duplication
+overlap. All deterministic integer fixed point (the repo contract),
+all bounded: per-doc projections, vocabulary-frame aggs, and a
+source-pair frame that is dimension x dimension.
+
+* ``ttr`` — type-token ratio (distinct words / words, 1e-6 fp): the
+  classic lexical-diversity signal; near-zero = keyword stuffing /
+  repetition spam (complements dup_ngram_fraction, which sees
+  REPEATED n-grams rather than a collapsed vocabulary).
+* ``zipf_slope`` — OLS slope of ln(freq) vs ln(rank) over each
+  group's top-K vocabulary, via the shared exact-range-reduction
+  fixed-point ln and DECIMAL(38,0) OLS sums. Natural text sits near
+  -1 (Zipf's law); generated/templated text flattens toward 0 and
+  dictionary-spam steepens — a distribution-level quality signal no
+  per-doc gate sees.
+* ``term_dispersion`` — per-term document frequency vs collection
+  frequency: ``burst_fp = cf * 1e6 DIV df`` (mean occurrences per
+  containing doc). High burst = term concentrates in few docs
+  (navigation boilerplate, SEO stuffing); the Church/Gale burstiness
+  diagnostic as one vocabulary agg.
+* ``source_overlap`` — pairwise Jaccard of per-source fingerprint
+  sets (|A∩B| via one fp-keyed self-join of the DISTINCT (source,
+  fp) frame, unions from per-source counts): which feeds duplicate
+  each other — the mixture-planning input exact_dup_groups's
+  row-level view cannot give directly.
+
+The reference repo has no corpus-analytics surface (per-request OCR
+service); this extends the engine's diagnostics family
+(source_entropy, corpus_rollup, mixture_kl).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deepseek_ocr_spark.functions.dedup import words_col
+from deepseek_ocr_spark.functions.lm import (
+    K_SQL,
+    NLL_FP_SQL,
+    Z2_SQL,
+    Z_SQL,
+    r2_sql,
+)
+
+ZIPF_TOP_K = 256
+D38 = "decimal(38,0)"
+_SHIFT = lambda x, amt: f"shiftleft(cast({x} as bigint), {amt})"  # noqa: E731
+
+
+def ttr(text_name: str) -> Column:
+    """floor(1e6 * distinct_words / words) for the named text column
+    (a name, not a Column — the expression needs exact integer DIV,
+    which only the SQL expression form provides); 0 for empty text.
+    The split is bound once through a named subexpression inside the
+    CASE, matching the DuckDB twin structurally."""
+    from deepseek_ocr_spark.functions.textstats import TOKEN_SPLIT_RE
+
+    split = (
+        f"split(lower(trim({text_name})), '{TOKEN_SPLIT_RE}')"
+    ).replace("\\", "\\\\")
+    return F.expr(
+        f"CASE WHEN length(trim({text_name})) = 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST((size(array_distinct({split})) * 1000000)"
+        f" DIV size({split}) AS BIGINT) END"
+    )
+
+
+def _ln_col(frame: DataFrame, src: str, out: str) -> DataFrame:
+    """out = floor(1e6 * ln(src)) for a positive BIGINT column."""
+    return (
+        frame.withColumn("__num", F.col(src).cast("bigint"))
+        .withColumn("__den", F.lit(1).cast("bigint"))
+        .withColumn("__k", F.expr(K_SQL))
+        .withColumn("__r2", F.expr(r2_sql(_SHIFT)))
+        .withColumn("__z", F.expr(Z_SQL))
+        .withColumn("__z2", F.expr(Z2_SQL))
+        .withColumn(out, F.expr(NLL_FP_SQL))
+        .drop("__num", "__den", "__k", "__r2", "__z", "__z2")
+    )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = ZIPF_TOP_K,
+) -> DataFrame:
+    """(group, n_terms, slope_fp): the rank-frequency log-log OLS
+    slope over each group's ``top_k`` most frequent terms (rank ties
+    broken by term — deterministic). slope_fp is 1e-6 fixed point;
+    Zipfian text lands near -1_000_000. Groups with < 2 ranked terms
+    (no regression possible) are omitted.
+
+    Plan: one token scan -> (group, term) agg -> per-group top-k
+    window over the VOCABULARY frame (never the corpus) -> two ln
+    chains -> one exact-integer OLS agg in DECIMAL(38,0)."""
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(words_col(F.col(text_col))).alias("tok"),
+    )
+    vocab = toks.groupBy("g", "tok").agg(F.count("*").alias("freq"))
+    w = Window.partitionBy("g").orderBy(F.desc("freq"), "tok")
+    ranked = (
+        vocab.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+    lx = _ln_col(_ln_col(ranked, "rank", "__lx"), "freq", "__ly")
+    d = lambda c: F.col(c).cast(D38)  # noqa: E731
+    sums = lx.groupBy("g").agg(
+        F.count("*").cast(D38).alias("n"),
+        F.sum(d("__lx")).cast(D38).alias("sx"),
+        F.sum(d("__ly")).cast(D38).alias("sy"),
+        F.sum(d("__lx") * d("__ly")).cast(D38).alias("sxy"),
+        F.sum(d("__lx") * d("__lx")).cast(D38).alias("sxx"),
+    )
+    return (
+        sums.filter(
+            (F.col("n") >= 2) & (F.expr("n * sxx - sx * sx") != 0)
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n").cast("bigint").alias("n_terms"),
+            F.expr(
+                "CAST(((n * sxy - sx * sy) * 1000000)"
+                " DIV (n * sxx - sx * sx) AS BIGINT)"
+            ).alias("slope_fp"),
+        )
+    )
+
+
+def term_dispersion(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """(tok, df, cf, burst_fp): document frequency, collection
+    frequency, and the mean per-containing-doc occurrence count in
+    1e-6 fixed point. One (doc, term) agg + one term agg — vocabulary
+    sized, never corpus-quadratic."""
+    per_doc = (
+        docs.select(
+            F.col(id_col),
+            F.explode(words_col(F.col(text_col))).alias("tok"),
+        )
+        # the empty-string pseudo-token of empty documents (split('')
+        # yields ['']) is not a term
+        .filter(F.length("tok") > 0)
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_doc.groupBy("tok")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("c").cast("bigint").alias("cf"),
+        )
+        .filter(F.col("df") >= min_df)
+        .withColumn("burst_fp", F.expr("(cf * 1000000) DIV df"))
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """(src_a, src_b, n_common, n_a, n_b, jaccard_fp) for every
+    unordered group pair sharing at least one fingerprint — which
+    feeds duplicate each other. The self-join runs on the DISTINCT
+    (group, fp) frame keyed by fp; its output is bounded by
+    sum-over-fps of (groups containing fp choose 2) — group counts
+    are small by definition, so this is fp-linear, not quadratic."""
+    gf = docs.select(
+        F.col(group_col).alias("g"), F.col(fp_col).alias("f")
+    ).distinct()
+    sizes = gf.groupBy("g").agg(F.count("*").alias("n"))
+    a, b_ = gf.alias("a"), gf.alias("b")
+    common = (
+        a.join(b_, F.col("a.f") == F.col("b.f"))
+        .filter(F.col("a.g") < F.col("b.g"))
+        .groupBy(
+            F.col("a.g").alias("src_a"), F.col("b.g").alias("src_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.select(
+                F.col("g").alias("src_a"), F.col("n").alias("n_a")
+            ),
+            "src_a",
+        )
+        .join(
+            sizes.select(
+                F.col("g").alias("src_b"), F.col("n").alias("n_b")
+            ),
+            "src_b",
+        )
+        .withColumn(
+            "jaccard_fp",
+            F.expr("(n_common * 1000000) DIV (n_a + n_b - n_common)"),
+        )
+        .select(
+            "src_a", "src_b", "n_common", "n_a", "n_b", "jaccard_fp"
+        )
+    )

@@ -8209,6 +8209,173 @@ ORDER BY doc_id, phrase
 SQL_PHRASE_BLOCKLIST = _phrase_blocklist_sql()
 
 
+def q_doc_ttr(spark, sf_dir):
+    """Type-token ratio per document (functions/corpusdiag.py) — the
+    lexical-diversity signal: near-zero = collapsed vocabulary
+    (keyword stuffing), complementing dup_ngram_fraction's repeated-
+    n-gram view. Zero-shuffle projection in exact integer DIV."""
+    from deepseek_ocr_spark.functions import corpusdiag as CD
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", CD.ttr("text").alias("ttr_fp"))
+
+
+SQL_DOC_TTR = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS l,
+         length(trim(text)) AS nt
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN nt = 0 THEN 0
+            ELSE (len(list_distinct(l)) * 1000000) // len(l)
+       END::BIGINT AS ttr_fp
+FROM w
+"""
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Per-source Zipf rank-frequency OLS slope over the top-256
+    vocabulary (functions/corpusdiag.py) — the distribution-level
+    naturalness signal (Zipfian text ~ -1e6 fixed point); exact
+    integer OLS over the shared fixed-point ln chains."""
+    from deepseek_ocr_spark.functions import corpusdiag as CD
+
+    d = _t(spark, sf_dir, "documents")
+    return CD.zipf_slope(d).orderBy("source")
+
+
+def _zipf_sql() -> str:
+    from deepseek_ocr_spark.functions import corpusdiag as CD
+    from deepseek_ocr_spark.functions import lm as LM
+
+    shift = lambda x, amt: f"({x}::BIGINT << ({amt}))"  # noqa: E731
+
+    def ln1(inp: str, src: str, keep: str, out: str) -> str:
+        return f"""__n_{out} AS (
+  SELECT {keep}, {src}::BIGINT AS __num, 1::BIGINT AS __den FROM {inp}
+), __k_{out} AS (
+  SELECT {keep}, __num, __den, {LM.K_SQL} AS __k FROM __n_{out}
+), __r_{out} AS (
+  SELECT {keep}, __k, {LM.r2_sql(shift)} AS __r2 FROM __k_{out}
+), __z_{out} AS (
+  SELECT {keep}, __k, {LM.Z_SQL} AS __z FROM __r_{out}
+), __z2_{out} AS (
+  SELECT {keep}, __k, __z, {LM.Z2_SQL} AS __z2 FROM __z_{out}
+), {out}_t AS (
+  SELECT {keep}, ({LM.NLL_FP_SQL}) AS {out} FROM __z2_{out}
+)"""
+
+    return f"""
+WITH toks AS (
+  SELECT source AS g, unnest(
+    string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT g, tok, count(*)::BIGINT AS freq FROM toks GROUP BY g, tok
+), ranked AS (
+  SELECT g, freq,
+         row_number() OVER (PARTITION BY g ORDER BY freq DESC, tok)
+           AS rank
+  FROM vocab QUALIFY rank <= {CD.ZIPF_TOP_K}
+), {ln1("ranked", "rank", "g, freq, rank", "__lx")},
+{ln1("__lx_t", "freq", "g, __lx", "__ly")},
+sums AS (
+  SELECT g,
+         count(*)::HUGEINT AS n,
+         sum(__lx::HUGEINT) AS sx, sum(__ly::HUGEINT) AS sy,
+         sum(__lx::HUGEINT * __ly::HUGEINT) AS sxy,
+         sum(__lx::HUGEINT * __lx::HUGEINT) AS sxx
+  FROM __ly_t GROUP BY g
+)
+SELECT g AS source, n::BIGINT AS n_terms,
+       (((n * sxy - sx * sy) * 1000000)
+        // (n * sxx - sx * sx))::BIGINT AS slope_fp
+FROM sums
+WHERE n >= 2 AND (n * sxx - sx * sx) <> 0
+ORDER BY source
+"""
+
+
+SQL_ZIPF_SLOPE = _zipf_sql()
+
+
+def q_term_dispersion(spark, sf_dir):
+    """Term burstiness (functions/corpusdiag.py): per-term document
+    frequency vs collection frequency — cf*1e6 DIV df is the mean
+    per-containing-doc count; high burst = boilerplate/SEO stuffing
+    (Church-Gale). Top 100 by burst for the driver window."""
+    from deepseek_ocr_spark.functions import corpusdiag as CD
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        CD.term_dispersion(d)
+        .orderBy(F.desc("burst_fp"), "tok")
+        .limit(100)
+    )
+
+
+SQL_TERM_DISPERSION = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(
+    string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS tok
+  FROM documents
+), pd AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS c
+  FROM toks WHERE length(tok) > 0 GROUP BY doc_id, tok
+), t AS (
+  SELECT tok, count(*)::BIGINT AS df, sum(c)::BIGINT AS cf
+  FROM pd GROUP BY tok HAVING count(*) >= 2
+)
+SELECT tok, df, cf, ((cf * 1000000) // df)::BIGINT AS burst_fp
+FROM t ORDER BY burst_fp DESC, tok LIMIT 100
+"""
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source set overlap (functions/corpusdiag.py
+    source_overlap — a generic per-group set-Jaccard): demonstrated
+    here on per-source VOCABULARY sets (the fixture has no exact
+    cross-source duplicate documents, so the fingerprint grain would
+    be vacuously empty; production dedup planning runs the same
+    operator over the fp column). High vocabulary Jaccard = sources
+    drawing from the same template/domain."""
+    from deepseek_ocr_spark.functions import corpusdiag as CD
+    from deepseek_ocr_spark.functions.dedup import words_col
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(words_col(F.col("text"))).alias("fp")
+    ).filter(F.length("fp") > 0)
+    return CD.source_overlap(toks, "source", "fp").orderBy(
+        "src_a", "src_b"
+    )
+
+
+SQL_SOURCE_OVERLAP = r"""
+WITH gf AS (
+  SELECT DISTINCT source AS g, tok AS f
+  FROM (SELECT source, unnest(string_split_regex(lower(trim(text)),
+          '[ \t\n\x0B\f\r]+')) AS tok FROM documents)
+  WHERE length(tok) > 0
+), sizes AS (
+  SELECT g, count(*)::BIGINT AS n FROM gf GROUP BY g
+), common AS (
+  SELECT a.g AS src_a, b.g AS src_b, count(*)::BIGINT AS n_common
+  FROM gf a JOIN gf b ON a.f = b.f AND a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT c.src_a, c.src_b, c.n_common, sa.n AS n_a, sb.n AS n_b,
+       ((c.n_common * 1000000) // (sa.n + sb.n - c.n_common))::BIGINT
+         AS jaccard_fp
+FROM common c
+JOIN sizes sa ON sa.g = c.src_a
+JOIN sizes sb ON sb.g = c.src_b
+ORDER BY src_a, src_b
+"""
+
+
 ATTR_KEEP_SQL = (
     "quality__quality >= 0.6 AND gopher__symbol_ratio <= 0.1 "
     "AND lang__lang_guess = 'en'"
@@ -8659,4 +8826,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # dimension; repeated-term and gate semantics pinned by
     # tests/test_phrases.py.
     "phrase_blocklist": (q_phrase_blocklist, SQL_PHRASE_BLOCKLIST),
+    # corpus-diagnostics family: below-cut class (b) — vocabulary-
+    # frame aggs and zero-shuffle projections on the source_entropy/
+    # corpus_rollup pattern; semantics pinned by
+    # tests/test_corpusdiag.py.
+    "doc_ttr": (q_doc_ttr, SQL_DOC_TTR),
+    "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
+    "term_dispersion": (q_term_dispersion, SQL_TERM_DISPERSION),
+    "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
 }

@@ -1,0 +1,98 @@
+"""Corpus diagnostics (functions/corpusdiag.py) — TTR values, Zipf
+slope on a constructed Zipfian vs uniform corpus, burstiness, set
+overlap, and determinism."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions import corpusdiag as CD
+
+
+def test_ttr_values(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a a a a"), (3, ""), (4, "x")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["ttr_fp"] for r in d.select(
+        "doc_id", CD.ttr("text").alias("ttr_fp")).collect()}
+    assert out == {1: 1_000_000, 2: 250_000, 3: 0, 4: 1_000_000}
+
+
+def test_zipf_slope_separates_zipfian_from_uniform(spark):
+    # zipfian: term k appears ~ N/k times; uniform: every term once
+    zipf_words = []
+    for k in range(1, 21):
+        zipf_words += [f"w{k}"] * (200 // k)
+    uni_words = [f"u{k}" for k in range(1, 200)]
+    d = spark.createDataFrame(
+        [
+            (1, " ".join(zipf_words), "zipf"),
+            (2, " ".join(uni_words), "uniform"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {r["source"]: r["slope_fp"] for r in CD.zipf_slope(d).collect()}
+    # zipfian slope near -1e6; uniform slope near 0
+    assert out["zipf"] < -700_000
+    assert abs(out["uniform"]) < 100_000
+
+
+def test_zipf_slope_matches_float_ols(spark):
+    words = []
+    for k in range(1, 11):
+        words += [f"w{k}"] * (100 // k)
+    d = spark.createDataFrame(
+        [(1, " ".join(words), "s")],
+        "doc_id bigint, text string, source string",
+    )
+    got = CD.zipf_slope(d).collect()[0]
+    freqs = sorted([100 // k for k in range(1, 11)], reverse=True)
+    xs = [math.log(i + 1) for i in range(len(freqs))]
+    ys = [math.log(f) for f in freqs]
+    n = len(xs)
+    slope = (n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)) / (
+        n * sum(x * x for x in xs) - sum(xs) ** 2
+    )
+    assert abs(got["slope_fp"] / 1e6 - slope) < 0.01
+
+
+def test_term_dispersion_burst(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "nav nav nav nav content words here"),
+            (2, "nav nav nav nav other words appear"),
+            (3, "plain text words only"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["tok"]: r for r in CD.term_dispersion(d).collect()}
+    assert out["nav"]["df"] == 2 and out["nav"]["cf"] == 8
+    assert out["nav"]["burst_fp"] == 4_000_000
+    assert out["words"]["burst_fp"] == 1_000_000
+    # min_df=2 drops singleton-doc terms
+    assert "content" not in out
+
+
+def test_source_overlap_jaccard(spark):
+    d = spark.createDataFrame(
+        [("s1", "f1"), ("s1", "f2"), ("s2", "f2"), ("s2", "f3"),
+         ("s3", "f9"), ("s1", "f2")],
+        "source string, fp string",
+    )
+    out = {(r["src_a"], r["src_b"]): r for r in
+           CD.source_overlap(d, "source", "fp").collect()}
+    # only the sharing pair appears; |A∩B|=1, |A∪B|=3
+    assert set(out) == {("s1", "s2")}
+    r = out[("s1", "s2")]
+    assert (r["n_common"], r["n_a"], r["n_b"]) == (1, 2, 2)
+    assert r["jaccard_fp"] == 1_000_000 // 3
+
+
+def test_partitioning_independence(spark):
+    rows = [(i, f"w{i % 7} w{i % 5} common text", f"s{i % 3}")
+            for i in range(30)]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    a = sorted(map(tuple, CD.zipf_slope(d).collect()))
+    b = sorted(map(tuple, CD.zipf_slope(d.repartition(7)).collect()))
+    assert a == b
