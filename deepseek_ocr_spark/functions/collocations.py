@@ -37,13 +37,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deepseek_ocr_spark.functions.dedup import words_col
-from deepseek_ocr_spark.functions.lm import (
-    K_SQL,
-    NLL_FP_SQL,
-    Z2_SQL,
-    Z_SQL,
-    r2_sql,
-)
 
 DELTA = 5  # word2phrase's default discount: suppresses rare-pair noise
 D38 = "decimal(38,0)"
@@ -63,32 +56,11 @@ def word_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _ln1_cols(frame: DataFrame, src: str, out: str) -> DataFrame:
-    """Append ``out`` = floor(1e6 * ln(src)) for a positive BIGINT
-    column, via the shared exact-range-reduction chain with den = 1
-    (num >= den always). Unique temp names so chains compose."""
-    shift = lambda x, amt: f"shiftleft(cast({x} as bigint), {amt})"  # noqa: E731
-    # rename temps to names that share no substring prefix — a naive
-    # "__z" replace would re-match inside an already-substituted
-    # "__z2_{out}" (cascading-replacement trap)
-    sub = lambda s: (  # noqa: E731
-        s.replace("__num", f"__a_{out}")
-        .replace("__den", f"__b_{out}")
-        .replace("__k", f"__c_{out}")
-        .replace("__r2", f"__d_{out}")
-        .replace("__z2", f"__e_{out}")
-        .replace("__z", f"__f_{out}")
-    )
-    tmp = [f"__{c}_{out}" for c in "abcdef"]
-    return (
-        frame.withColumn(tmp[0], F.col(src).cast("bigint"))
-        .withColumn(tmp[1], F.lit(1).cast("bigint"))
-        .withColumn(tmp[2], F.expr(sub(K_SQL)))
-        .withColumn(tmp[3], F.expr(sub(r2_sql(shift))))
-        .withColumn(tmp[5], F.expr(sub(Z_SQL)))
-        .withColumn(tmp[4], F.expr(sub(Z2_SQL)))
-        .withColumn(out, F.expr(sub(NLL_FP_SQL)))
-        .drop(*tmp)
-    )
+    """``out`` = floor(1e6 * ln(src)) for a positive BIGINT column —
+    the shared lm.ln_fp_cols chain with den = 1 (num >= den always)."""
+    from deepseek_ocr_spark.functions.lm import ln_fp_cols
+
+    return ln_fp_cols(frame, src, F.lit(1), out)
 
 
 def collocations(

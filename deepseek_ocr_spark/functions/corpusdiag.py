@@ -38,17 +38,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from deepseek_ocr_spark.functions.dedup import words_col
-from deepseek_ocr_spark.functions.lm import (
-    K_SQL,
-    NLL_FP_SQL,
-    Z2_SQL,
-    Z_SQL,
-    r2_sql,
-)
+from deepseek_ocr_spark.functions.lm import ln_fp_cols
 
 ZIPF_TOP_K = 256
 D38 = "decimal(38,0)"
-_SHIFT = lambda x, amt: f"shiftleft(cast({x} as bigint), {amt})"  # noqa: E731
 
 
 def ttr(text_name: str) -> Column:
@@ -62,25 +55,21 @@ def ttr(text_name: str) -> Column:
     split = (
         f"split(lower(trim({text_name})), '{TOKEN_SPLIT_RE}')"
     ).replace("\\", "\\\\")
+    # size() is INT — cast to BIGINT before the 1e6 multiply, or a
+    # doc with > 2147 distinct tokens overflows 32 bits (ANSI crash /
+    # non-ANSI garbage) while the DuckDB twin's len() stays BIGINT
     return F.expr(
         f"CASE WHEN length(trim({text_name})) = 0 THEN CAST(0 AS BIGINT)"
-        f" ELSE CAST((size(array_distinct({split})) * 1000000)"
-        f" DIV size({split}) AS BIGINT) END"
+        f" ELSE CAST((CAST(size(array_distinct({split})) AS BIGINT)"
+        f" * 1000000)"
+        f" DIV CAST(size({split}) AS BIGINT) AS BIGINT) END"
     )
 
 
 def _ln_col(frame: DataFrame, src: str, out: str) -> DataFrame:
-    """out = floor(1e6 * ln(src)) for a positive BIGINT column."""
-    return (
-        frame.withColumn("__num", F.col(src).cast("bigint"))
-        .withColumn("__den", F.lit(1).cast("bigint"))
-        .withColumn("__k", F.expr(K_SQL))
-        .withColumn("__r2", F.expr(r2_sql(_SHIFT)))
-        .withColumn("__z", F.expr(Z_SQL))
-        .withColumn("__z2", F.expr(Z2_SQL))
-        .withColumn(out, F.expr(NLL_FP_SQL))
-        .drop("__num", "__den", "__k", "__r2", "__z", "__z2")
-    )
+    """out = floor(1e6 * ln(src)) — the shared lm.ln_fp_cols chain
+    with den = 1."""
+    return ln_fp_cols(frame, src, F.lit(1), out)
 
 
 def zipf_slope(

@@ -46,18 +46,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from deepseek_ocr_spark.functions.lm import (
-    K_SQL,
-    NLL_FP_SQL,
-    Z2_SQL,
-    Z_SQL,
-    r2_sql,
-)
+from deepseek_ocr_spark.functions.lm import ln_fp_cols
 
 N_LID_BUCKETS = 4096
 LID_MAX_CHARS = 256
-
-_SHIFT = lambda x, amt: f"shiftleft(cast({x} as bigint), {amt})"  # noqa: E731
 
 
 def _trigram_frame(
@@ -114,41 +106,20 @@ def train_langid(
             )
         )
     )
-    model = (
-        spine.join(counts, [label_col, "b"], "left")
-        .withColumn(
-            "__num",
-            (F.col("tot") + F.lit(N_LID_BUCKETS)).cast("bigint"),
-        )
-        .withColumn(
-            "__den",
-            (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).cast("bigint"),
-        )
-        .withColumn("__k", F.expr(K_SQL))
-        .withColumn("__r2", F.expr(r2_sql(_SHIFT)))
-        .withColumn("__z", F.expr(Z_SQL))
-        .withColumn("__z2", F.expr(Z2_SQL))
-        .select(
-            F.col(label_col).alias("lang"),
-            "b",
-            F.expr(NLL_FP_SQL).alias("w_fp"),
-        )
-    )
+    model = ln_fp_cols(
+        spine.join(counts, [label_col, "b"], "left"),
+        F.col("tot") + F.lit(N_LID_BUCKETS),
+        F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1),
+        "w_fp",
+    ).select(F.col(label_col).alias("lang"), "b", "w_fp")
     n_docs = lab.groupBy(label_col).agg(F.count("*").alias("n_c"))
     n_tot = n_docs.agg(F.sum("n_c").alias("n_all"))
-    priors = (
-        n_docs.crossJoin(F.broadcast(n_tot))
-        .withColumn("__num", F.col("n_all").cast("bigint"))
-        .withColumn("__den", F.col("n_c").cast("bigint"))
-        .withColumn("__k", F.expr(K_SQL))
-        .withColumn("__r2", F.expr(r2_sql(_SHIFT)))
-        .withColumn("__z", F.expr(Z_SQL))
-        .withColumn("__z2", F.expr(Z2_SQL))
-        .select(
-            F.col(label_col).alias("lang"),
-            F.expr(NLL_FP_SQL).alias("prior_fp"),
-        )
-    )
+    priors = ln_fp_cols(
+        n_docs.crossJoin(F.broadcast(n_tot)),
+        "n_all",
+        "n_c",
+        "prior_fp",
+    ).select(F.col(label_col).alias("lang"), "prior_fp")
     return model, priors
 
 

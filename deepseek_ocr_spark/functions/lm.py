@@ -407,26 +407,11 @@ def sb_score(
         [(int(n_tokens),)], "n_tokens bigint"
     )
     ev = doc_trigrams(docs, id_col, text_col, n_buckets)
-    shift = lambda x, amt: f"shiftleft(cast({x} as bigint), {amt})"  # noqa: E731
-    scored = (
+    joined = (
         ev.join(tri, ["w1", "w2", "w3"], "left")
         .join(big, ["w2", "w3"], "left")
         .join(F.broadcast(uni), ["w3"], "left")
         .crossJoin(F.broadcast(n_df))
-        .withColumn(
-            "__num",
-            F.when(F.col("c3").isNotNull(), F.col("cctx3"))
-            .when(F.col("c2").isNotNull(), F.col("cctx2"))
-            .otherwise(F.col("n_tokens") + F.lit(n_buckets))
-            .cast("bigint"),
-        )
-        .withColumn(
-            "__den",
-            F.when(F.col("c3").isNotNull(), F.col("c3"))
-            .when(F.col("c2").isNotNull(), F.col("c2"))
-            .otherwise(F.coalesce(F.col("c1"), F.lit(0)) + F.lit(1))
-            .cast("bigint"),
-        )
         .withColumn(
             "__kb",
             F.when(F.col("c3").isNotNull(), F.lit(0))
@@ -434,13 +419,18 @@ def sb_score(
             .otherwise(F.lit(2))
             .cast("bigint"),
         )
-        .withColumn("__k", F.expr(K_SQL))
-        .withColumn("__r2", F.expr(r2_sql(shift)))
-        .withColumn("__z", F.expr(Z_SQL))
-        .withColumn("__z2", F.expr(Z2_SQL))
-        .withColumn(
-            "__nll", F.expr(NLL_FP_SQL) + F.col("__kb") * F.lit(LN_BACKOFF_FP)
-        )
+    )
+    scored = ln_fp_cols(
+        joined,
+        F.when(F.col("c3").isNotNull(), F.col("cctx3"))
+        .when(F.col("c2").isNotNull(), F.col("cctx2"))
+        .otherwise(F.col("n_tokens") + F.lit(n_buckets)),
+        F.when(F.col("c3").isNotNull(), F.col("c3"))
+        .when(F.col("c2").isNotNull(), F.col("c2"))
+        .otherwise(F.coalesce(F.col("c1"), F.lit(0)) + F.lit(1)),
+        "__ln",
+    ).withColumn(
+        "__nll", F.col("__ln") + F.col("__kb") * F.lit(LN_BACKOFF_FP)
     )
     return (
         scored.groupBy(id_col)
@@ -454,4 +444,43 @@ def sb_score(
             F.expr("CAST(FLOOR(CAST(nll_fp AS DOUBLE) / n_tri) AS BIGINT)"),
         )
         .select(id_col, "n_tri", "nll_fp", "nll_ptok_fp", "n_backoff")
+    )
+
+
+def ln_fp_cols(frame, num, den, out: str):
+    """Append ``out`` = floor(1e6 * ln(num / den)) to ``frame`` via
+    the exact-range-reduction chain — THE shared helper for every
+    fixed-point ln in the repo (collocations, corpus diagnostics,
+    langid, weighted sampling all previously copied the six-column
+    boilerplate; one site now owns the temp-name hygiene).
+
+    ``num`` / ``den`` are Columns (or column-name strings) of positive
+    BIGINTs. Temp columns derive from ``out`` with NON-OVERLAPPING
+    names (a naive "__z" rename re-matches inside an
+    already-substituted "__z2_{out}" — the cascading-replacement trap
+    collocations hit), so chains compose: call repeatedly with
+    distinct ``out`` names on one frame."""
+    from pyspark.sql import functions as F
+
+    shift = lambda x, amt: f"shiftleft(cast({x} as bigint), {amt})"  # noqa: E731
+    tmp = [f"__{c}_{out}" for c in "abcdef"]
+    sub = lambda s: (  # noqa: E731
+        s.replace("__num", tmp[0])
+        .replace("__den", tmp[1])
+        .replace("__k", tmp[2])
+        .replace("__r2", tmp[3])
+        .replace("__z2", tmp[4])
+        .replace("__z", tmp[5])
+    )
+    num_c = F.col(num) if isinstance(num, str) else num
+    den_c = F.col(den) if isinstance(den, str) else den
+    return (
+        frame.withColumn(tmp[0], num_c.cast("bigint"))
+        .withColumn(tmp[1], den_c.cast("bigint"))
+        .withColumn(tmp[2], F.expr(sub(K_SQL)))
+        .withColumn(tmp[3], F.expr(sub(r2_sql(shift))))
+        .withColumn(tmp[5], F.expr(sub(Z_SQL)))
+        .withColumn(tmp[4], F.expr(sub(Z2_SQL)))
+        .withColumn(out, F.expr(sub(NLL_FP_SQL)))
+        .drop(*tmp)
     )

@@ -317,38 +317,39 @@ def weighted_sample(
     under one salt is stable forever (the hash_split contract).
 
     Rows with weight <= 0 or NULL are excluded (a zero-weight item's
-    clock is +inf). Plan: the clock is a zero-shuffle codegen
+    clock is +inf). Weights must be an INTEGRAL column: a fractional
+    weight would silently truncate at the exact-integer DIV (0.5 -> 0
+    divides by zero; 1.9 -> 1 distorts inclusion probabilities), so
+    float/decimal weight columns are rejected at plan time — scale
+    them to fixed-point integers first (e.g. token counts, or
+    round(w * 1e6)). Plan: the clock is a zero-shuffle codegen
     projection; the k-cut is orderBy+limit — TakeOrderedAndProject,
     per-partition heaps + one k-row merge, never a global sort."""
     from deepseek_ocr_spark.functions.dedup import md5_prefix_int
-    from deepseek_ocr_spark.functions.lm import (
-        K_SQL, NLL_FP_SQL, Z2_SQL, Z_SQL, r2_sql,
-    )
+    from deepseek_ocr_spark.functions.lm import ln_fp_cols
 
-    shift = lambda x, amt: f"shiftleft(cast({x} as bigint), {amt})"  # noqa: E731
+    wtype = df.schema[weight_col].dataType.typeName()
+    if wtype not in ("byte", "short", "integer", "long"):
+        raise ValueError(
+            f"weighted_sample: weight column {weight_col!r} is "
+            f"{wtype}; weights must be integral — scale fractional "
+            "weights to fixed-point integers first"
+        )
     nhex = ES_HASH_BITS // 4
-    out = (
-        df.where(F.col(weight_col) > 0)
-        .withColumn(
-            "__den",
-            (
-                md5_prefix_int(
-                    F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")),
-                    nhex,
-                )
-                + 1
-            ).cast("bigint"),
+    out = ln_fp_cols(
+        df.where(F.col(weight_col) > 0),
+        F.lit(ES_HASH_SCALE),
+        md5_prefix_int(
+            F.concat(
+                F.lit(salt), F.lit(":"), F.col(id_col).cast("string")
+            ),
+            nhex,
         )
-        .withColumn("__num", F.lit(ES_HASH_SCALE).cast("bigint"))
-        .withColumn("__k", F.expr(K_SQL))
-        .withColumn("__r2", F.expr(r2_sql(shift)))
-        .withColumn("__z", F.expr(Z_SQL))
-        .withColumn("__z2", F.expr(Z2_SQL))
-        .withColumn("__lnu", F.expr(NLL_FP_SQL))
-        .withColumn(
-            "key_fp",
-            F.expr(f"(__lnu * 1000000) DIV CAST({weight_col} AS BIGINT)"),
-        )
+        + 1,
+        "__lnu",
+    ).withColumn(
+        "key_fp",
+        F.expr(f"(__lnu * 1000000) DIV CAST({weight_col} AS BIGINT)"),
     )
     return (
         out.select(id_col, F.col(weight_col).alias("weight"), "key_fp")

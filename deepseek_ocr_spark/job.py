@@ -469,7 +469,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     docs, args.tagger, id_col=args.id_col,
                     text_col=args.text_col,
                 )
-                m = ST.snapshot_write(frame, args.output)
+                # OVERWRITE: a retried tag run must replace the
+                # attribute rows, not append duplicates — compose()
+                # multiplies doc rows on duplicate ids (the
+                # incremental path already merges for the same reason)
+                m = ST.snapshot_write(frame, args.output, mode="overwrite")
                 n = ST.snapshot_read(spark, args.output).count()
                 print(json.dumps({
                     "mode": "tag", "tagger": args.tagger,

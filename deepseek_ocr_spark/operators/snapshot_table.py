@@ -627,10 +627,19 @@ def snapshot_write(
     spec = list(partition_by) if partition_by is not None else None
     if spec is None:
         spec = list(base_spec or [])
-    elif mode == "append" and base_spec is not None and spec != base_spec:
+    elif (
+        mode == "append"
+        and pre_base is not None
+        and spec != list(base_spec or [])
+    ):
+        # an unpartitioned base records NO spec — adding one on append
+        # must also raise, or the commit carries hive-segment-less
+        # files under a partition spec and every later read crashes
+        # in _parse_parts
         raise ValueError(
-            f"snapshot append changes partition spec {base_spec} -> "
-            f"{spec}; spec evolution needs an overwrite rewrite"
+            f"snapshot append changes partition spec "
+            f"{list(base_spec or [])} -> {spec}; spec evolution needs "
+            "an overwrite rewrite"
         )
     bad = [
         f.name

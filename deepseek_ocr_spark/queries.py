@@ -7967,8 +7967,20 @@ def q_corpus_expectations(spark, sf_dir):
 
 def _expectations_sql() -> str:
     langs = ", ".join(f"'{v}'" for v in EXPECT_RULES[4][2])
+
+    def frac(cnt: str, thr: int) -> str:
+        """The vacuous-pass convention of expectations.py, mirrored:
+        an empty table scores every fraction rule 1e6/passed (and
+        sum() over zero rows coalesces to 0, matching Spark's
+        conditional-sum semantics on non-empty tables)."""
+        m = (
+            f"CASE WHEN t = 0 THEN 1000000::BIGINT"
+            f" ELSE (coalesce({cnt}, 0) * 1000000 // t)::BIGINT END"
+        )
+        return f"{m} AS metric_fp, {thr}::BIGINT AS threshold_fp, ({m}) >= {thr} AS passed"
+
     return f"""
-WITH a AS (
+WITH f AS (
   SELECT count(*)::BIGINT AS t,
          count(text)::BIGINT AS c_text,
          count(lang)::BIGINT AS c_lang,
@@ -7980,26 +7992,18 @@ WITH a AS (
          min(n_chars)::BIGINT AS mn,
          max(n_chars)::BIGINT AS mx
   FROM documents
-), f AS (
-  SELECT * REPLACE (CASE WHEN t = 0 THEN 1 ELSE t END AS t) FROM a
 )
 SELECT * FROM (
   SELECT 'completeness' AS rule, 'text' AS "column",
-         (c_text * 1000000 // t) AS metric_fp,
-         1000000::BIGINT AS threshold_fp,
-         (c_text * 1000000 // t) >= 1000000 AS passed FROM f
+         {frac("c_text", 1000000)} FROM f
   UNION ALL
-  SELECT 'completeness', 'lang', (c_lang * 1000000 // t),
-         900000::BIGINT, (c_lang * 1000000 // t) >= 900000 FROM f
+  SELECT 'completeness', 'lang', {frac("c_lang", 900000)} FROM f
   UNION ALL
-  SELECT 'uniqueness', 'doc_id', (u_id * 1000000 // t),
-         1000000::BIGINT, (u_id * 1000000 // t) >= 1000000 FROM f
+  SELECT 'uniqueness', 'doc_id', {frac("u_id", 1000000)} FROM f
   UNION ALL
-  SELECT 'non_empty', 'text', (ne_text * 1000000 // t),
-         950000::BIGINT, (ne_text * 1000000 // t) >= 950000 FROM f
+  SELECT 'non_empty', 'text', {frac("ne_text", 950000)} FROM f
   UNION ALL
-  SELECT 'in_set', 'lang', (in_lang * 1000000 // t),
-         500000::BIGINT, (in_lang * 1000000 // t) >= 500000 FROM f
+  SELECT 'in_set', 'lang', {frac("in_lang", 500000)} FROM f
   UNION ALL
   SELECT 'min', 'n_chars', mn, 0::BIGINT,
          (mn IS NULL OR mn >= 0) FROM f

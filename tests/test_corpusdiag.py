@@ -96,3 +96,12 @@ def test_partitioning_independence(spark):
     a = sorted(map(tuple, CD.zipf_slope(d).collect()))
     b = sorted(map(tuple, CD.zipf_slope(d.repartition(7)).collect()))
     assert a == b
+
+
+def test_ttr_survives_wide_vocabulary(spark):
+    """Review regression: > 2147 distinct tokens must not overflow the
+    32-bit size()*1e6 product (ANSI crash / silent negative)."""
+    text = " ".join(f"tok{i}" for i in range(5000))
+    d = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    out = d.select(CD.ttr("text").alias("t")).collect()[0]["t"]
+    assert out == 1_000_000

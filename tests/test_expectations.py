@@ -84,3 +84,29 @@ def test_single_scan_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Scan") <= 1  # LocalTableScan of the fixture
+
+
+def test_twin_sql_matches_on_empty_table(spark):
+    """Review regression: the DuckDB twin must implement the same
+    vacuous-pass convention as the Spark side on an empty table."""
+    import duckdb
+
+    from deepseek_ocr_spark import queries as Q
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1::BIGINT, 'x', 'en', 's', 5::BIGINT)) "
+        "t(doc_id, text, lang, source, n_chars) WHERE doc_id < 0"
+    )
+    rows = con.sql(Q.SQL_CORPUS_EXPECTATIONS).fetchall()
+    # every fraction rule: metric 1e6, passed; min/max: NULL metric,
+    # passed
+    by_rule = {(r[0], r[1]): r for r in rows}
+    for key in [("completeness", "text"), ("completeness", "lang"),
+                ("uniqueness", "doc_id"), ("non_empty", "text"),
+                ("in_set", "lang")]:
+        assert by_rule[key][2] == 1_000_000 and by_rule[key][4] is True
+    assert by_rule[("min", "n_chars")][2] is None
+    assert by_rule[("min", "n_chars")][4] is True
+    assert by_rule[("max", "n_chars")][4] is True

@@ -553,3 +553,24 @@ def test_cli_tag_and_ship_modes(spark, tmp_path, capsys):
         spark=spark,
     )
     assert rc == 2
+
+
+def test_cli_tag_rerun_overwrites_not_duplicates(spark, tmp_path, capsys):
+    """Review regression: re-running --mode tag must replace the
+    attribute rows (overwrite), not append duplicates that would
+    multiply doc rows through ship's joins."""
+    docs = spark.createDataFrame(
+        [("u1", "some text here")], "url string, extracted_text string"
+    )
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    attr = str(tmp_path / "attr")
+    for _ in range(2):
+        rc = main(
+            ["--mode", "tag", "--tagger", "tokens",
+             "--input", inp, "--output", attr],
+            spark=spark,
+        )
+        assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 1  # v2 replaced v1, no duplicate ids

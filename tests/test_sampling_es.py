@@ -105,3 +105,14 @@ def test_clock_is_minus_ln_u_over_w(spark):
     h = int(hashlib.md5(b"es1:7").hexdigest()[:10], 16) + 1
     true_key = -math.log(h / SA.ES_HASH_SCALE) / 3 * 1e12
     assert abs(out["key_fp"] - true_key) / max(true_key, 1) < 0.01
+
+
+def test_fractional_weight_column_rejected(spark):
+    """Review regression: a float weight column would truncate at the
+    integer DIV (0.5 -> divide-by-zero; 1.9 -> 1) — rejected at plan
+    time with a scale-to-fixed-point message."""
+    import pytest
+
+    d = spark.createDataFrame([(1, 0.5), (2, 2.0)], "id bigint, w double")
+    with pytest.raises(ValueError, match="integral"):
+        SA.weighted_sample(d, 1, "id", "w")

@@ -269,3 +269,17 @@ def test_run_job_partitioned_snapshot_output(spark, pages_path, tmp_path):
                  table_format="snapshot")
     assert r2["output_rows"] == 200
     assert ST._load_manifest(out, 2)["partition_by"] == ["doc_type"]
+
+
+def test_spec_adding_append_on_unpartitioned_base_raises(spark, tmp_path):
+    """Review regression: appending WITH a spec onto an unpartitioned
+    base must raise — committing it would mix hive-segment-less files
+    under a partition spec and break every later read."""
+    t = str(tmp_path / "p")
+    ST.snapshot_write(_docs(spark, [("a", "en", 1)]), t)  # no spec
+    with pytest.raises(ValueError, match="partition spec"):
+        ST.snapshot_write(
+            _docs(spark, [("b", "de", 2)]), t, partition_by=["lang"]
+        )
+    # the table stays readable
+    assert _rows(ST.snapshot_read(spark, t)) == {("a", "en", 1)}
