@@ -196,6 +196,8 @@ HEADLINE = [
     "zipf_slope",
     "term_dispersion",
     "source_overlap",
+    "knn_graph",
+    "emb_clusters",
 ]
 
 

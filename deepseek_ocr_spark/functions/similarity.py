@@ -761,3 +761,113 @@ def remove_top_component(
             ).alias("r_fp"),
         )
     )
+
+
+# ---- kNN graph + semantic clusters ---------------------------------------
+
+KNN_BUCKET_CAP = 1000
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    bucket_cap: int = KNN_BUCKET_CAP,
+) -> DataFrame:
+    """(src, dst, sim): each vector's top-``k`` cosine neighbors
+    WITHIN its LSH bucket — the corpus-wide kNN graph that SemDeDup
+    clustering, near-dup exploration, and contrastive-pair mining
+    consume (``lsh_bucketed_topk`` answers one query; this answers
+    all of them in one pass).
+
+    Scale shape: one bucket projection, one bucket-keyed self-join
+    (quadratic ONLY within a bucket — ``bucket_cap`` keeps a
+    mega-bucket from exploding: per bucket, only the ``cap`` smallest
+    (md5(id), id) rows join, the deterministic LSH_MAX_BUCKET rule;
+    over-cap rows simply contribute no edges, never a skewed task),
+    one per-source top-k window over the candidate edges. Neighbors
+    in OTHER buckets are invisible by construction — the usual LSH
+    recall trade, priced by ann_lsh_recall.
+
+    ``sim`` rounds to 4 decimals (the ann-family contract) with
+    (sim desc, dst) tie-break, so the graph is a pure function of the
+    input across engines and partitionings."""
+    from pyspark.sql.window import Window
+
+    from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+
+    d = emb_double(df, emb_col).withColumn(
+        "bucket", bucket_col(F.col("emb"), n_planes)
+    )
+    wcap = Window.partitionBy("bucket").orderBy(
+        md5_prefix_int(F.col(id_col).cast("string"), 15), id_col
+    )
+    capped = (
+        d.withColumn("__bn", F.row_number().over(wcap))
+        .filter(F.col("__bn") <= bucket_cap)
+        .drop("__bn")
+    )
+    a = capped.select(
+        F.col("bucket"),
+        F.col(id_col).alias("src"),
+        F.col("emb").alias("emb_a"),
+    )
+    b = capped.select(
+        F.col("bucket"),
+        F.col(id_col).alias("dst"),
+        F.col("emb").alias("emb_b"),
+    )
+    edges = (
+        a.join(b, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(
+                cosine_col(F.col("emb_a"), F.col("emb_b")), 4
+            ).alias("sim"),
+        )
+    )
+    wk = Window.partitionBy("src").orderBy(F.desc("sim"), "dst")
+    return (
+        edges.withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def semantic_clusters(
+    df: DataFrame,
+    min_sim: float,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(node, cluster): weakly connected components of the kNN graph
+    restricted to edges with sim >= ``min_sim`` — embedding-space
+    duplicate/topic clusters (the SemDeDup grouping without the
+    k-means stage: LSH buckets play the role of cluster restriction).
+    Reuses the pointer-jumping min-label components the near-dup
+    pipeline ships; singleton vectors (no qualifying edge) are their
+    own cluster."""
+    from deepseek_ocr_spark.functions.dedup import connected_components
+
+    edges = knn_graph(df, k, id_col, emb_col).filter(
+        F.col("sim") >= min_sim
+    )
+    # kNN edges are DIRECTED (B may be A's neighbor without the
+    # converse) — symmetrize so the components are the weakly
+    # connected ones and dst-only nodes get label rows
+    sym = edges.select("src", "dst").union(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    comp = connected_components(sym, "src", "dst")
+    all_ids = df.select(F.col(id_col).alias("node")).distinct()
+    return all_ids.join(comp, "node", "left").select(
+        "node",
+        F.coalesce(F.col("cluster"), F.col("node")).alias("cluster"),
+    )

@@ -8213,6 +8213,82 @@ ORDER BY doc_id, phrase
 SQL_PHRASE_BLOCKLIST = _phrase_blocklist_sql()
 
 
+def q_knn_graph(spark, sf_dir):
+    """Corpus-wide kNN graph (functions/similarity.py knn_graph):
+    every vector's top-5 cosine neighbors within its LSH bucket in
+    ONE pass — the all-queries form of ann_lsh_topk, feeding
+    SemDeDup-style clustering and contrastive-pair mining."""
+    d = _t(spark, sf_dir, "embeddings")
+    return SIM.knn_graph(d, k=5).orderBy("src", "dst")
+
+
+def _knn_core_sql() -> str:
+    """The shared CTE chain (no WITH keyword) from the embeddings
+    table to ``kn`` = the top-5-per-source kNN edge list — one source
+    of truth for the knn_graph twin and the emb_clusters twin built
+    on top of it (no string surgery on a finished query)."""
+    cos = (
+        "round(list_inner_product(a.emb, b.emb) / "
+        "(sqrt(list_inner_product(a.emb, a.emb)) * "
+        "sqrt(list_inner_product(b.emb, b.emb))), 4)"
+    )
+    return f"""d0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), d AS (
+  SELECT vec_id, emb, {SIM.bucket_sql("emb")} AS bucket FROM d0
+), capped AS (
+  SELECT * FROM d
+  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY
+    ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id)
+    <= {SIM.KNN_BUCKET_CAP}
+), e AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {cos} AS sim
+  FROM capped a JOIN capped b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), kn AS (
+  SELECT src, dst, sim FROM e
+  QUALIFY row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst)
+    <= 5
+)"""
+
+
+SQL_KNN_GRAPH = (
+    "WITH " + _knn_core_sql() + "\nSELECT src, dst, sim FROM kn ORDER BY src, dst\n"
+)
+
+
+def q_emb_clusters(spark, sf_dir):
+    """Semantic clusters (functions/similarity.py semantic_clusters):
+    weakly connected components of the kNN graph thresholded at
+    cosine >= 0.5 — embedding-space duplicate/topic groups; singleton
+    vectors are their own cluster."""
+    d = _t(spark, sf_dir, "embeddings")
+    return SIM.semantic_clusters(d, min_sim=0.5, k=5).orderBy("node")
+
+
+SQL_EMB_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _knn_core_sql()
+    + """, thr AS (
+  SELECT src, dst FROM kn WHERE sim >= 0.5
+), edges AS (
+  SELECT src, dst FROM thr UNION SELECT dst, src FROM thr
+), walk AS (
+  SELECT src AS node, dst AS reach FROM edges
+  UNION
+  SELECT w.node, e2.dst FROM walk w JOIN edges e2 ON e2.src = w.reach
+), comp AS (
+  SELECT node, least(node, min(reach)) AS cluster
+  FROM walk GROUP BY node
+)
+SELECT d0.vec_id AS node,
+       coalesce(comp.cluster, d0.vec_id) AS cluster
+FROM d0 LEFT JOIN comp ON comp.node = d0.vec_id
+ORDER BY node
+"""
+)
+
+
 def q_doc_ttr(spark, sf_dir):
     """Type-token ratio per document (functions/corpusdiag.py) — the
     lexical-diversity signal: near-zero = collapsed vocabulary
@@ -8838,4 +8914,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
     "term_dispersion": (q_term_dispersion, SQL_TERM_DISPERSION),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
+    # knn_graph / emb_clusters: below-cut class (b) — the all-queries
+    # composition of in-window ann_lsh machinery plus the verified
+    # pointer-jumping components; cap and symmetrization semantics
+    # pinned by tests/test_knn_graph.py.
+    "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
+    "emb_clusters": (q_emb_clusters, SQL_EMB_CLUSTERS),
 }

@@ -1,0 +1,75 @@
+"""kNN graph + semantic clusters (functions/similarity.py) — top-k
+semantics, bucket restriction, the mega-bucket cap, symmetrized
+components, and singleton handling."""
+
+from deepseek_ocr_spark.functions import similarity as SIM
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def _basis(i, dim=SIM.EMB_DIM, eps=0.0):
+    v = [0.0] * dim
+    v[i % dim] = 1.0
+    if eps:
+        v[(i + 1) % dim] = eps
+    return v
+
+
+def test_topk_and_same_bucket_restriction(spark):
+    # two tight groups along different axes; cosine within a group is
+    # ~1, across groups ~0
+    rows = [(i, _basis(0, eps=0.01 * i)) for i in range(4)] + [
+        (10 + i, _basis(7, eps=0.01 * i)) for i in range(4)
+    ]
+    g = {
+        r["src"]: r
+        for r in SIM.knn_graph(_vecs(spark, rows), k=2).collect()
+    }
+    # a group member's neighbors come from its own group (same
+    # hyperplane signs -> same bucket; opposite group differs)
+    for src, row in g.items():
+        same_group = (src < 10) == (row["dst"] < 10)
+        assert same_group, (src, row["dst"])
+
+
+def test_knn_k_bound_and_determinism(spark):
+    rows = [(i, _basis(0, eps=0.001 * (i + 1))) for i in range(8)]
+    d = _vecs(spark, rows)
+    out = SIM.knn_graph(d, k=3).collect()
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r["src"], []).append((r["dst"], r["sim"]))
+    assert all(len(v) <= 3 for v in per_src.values())
+    a = sorted(map(tuple, out))
+    b = sorted(map(tuple, SIM.knn_graph(d.repartition(5), k=3).collect()))
+    assert a == b
+
+
+def test_bucket_cap_bounds_edges(spark):
+    """With cap=3, each bucket contributes at most 3*2 directed edges
+    regardless of bucket population — the anti-quadratic guard."""
+    rows = [(i, _basis(0)) for i in range(20)]  # all identical: 1 bucket
+    out = SIM.knn_graph(_vecs(spark, rows), k=19, bucket_cap=3).collect()
+    assert len(out) == 3 * 2
+    srcs = {r["src"] for r in out}
+    assert len(srcs) == 3  # only capped rows have edges
+
+
+def test_semantic_clusters_symmetrized_and_singletons(spark):
+    rows = (
+        [(i, _basis(0, eps=0.001 * i)) for i in range(3)]
+        + [(10 + i, _basis(7, eps=0.001 * i)) for i in range(2)]
+        + [(99, _basis(31))]  # singleton: nothing near it
+    )
+    out = {
+        r["node"]: r["cluster"]
+        for r in SIM.semantic_clusters(
+            _vecs(spark, rows), min_sim=0.9, k=3
+        ).collect()
+    }
+    assert len(out) == 6  # every vector has a row
+    assert out[0] == out[1] == out[2] == 0
+    assert out[10] == out[11] == 10
+    assert out[99] == 99
