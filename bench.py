@@ -198,6 +198,8 @@ HEADLINE = [
     "source_overlap",
     "knn_graph",
     "emb_clusters",
+    "paragraph_filter",
+    "hard_negatives",
 ]
 
 

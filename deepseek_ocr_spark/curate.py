@@ -42,6 +42,7 @@ def enrich(
     extracted: DataFrame,
     normalize: bool = False,
     c4_lines: bool = False,
+    paragraphs: bool = False,
 ) -> DataFrame:
     """status=ok rows → text-stat columns (all codegen expressions).
 
@@ -58,7 +59,15 @@ def enrich(
     ipsum', or a curly brace) AFTER normalization and BEFORE stats/
     fingerprinting — so dedup fingerprints, token counts, and quality
     scores judge the text that will actually ship. Zero-shuffle: both
-    rewrites stay inside the same codegen projection."""
+    rewrites stay inside the same codegen projection.
+
+    ``paragraphs=True`` applies the Dolma-shape PARAGRAPH filter
+    (functions/c4.py para_keep: >= 3 words, symbol fraction <= 20%)
+    after the line pass — blocks whose individual lines look fine but
+    whose aggregate is symbol soup drop as a unit, without killing
+    the page. Same zero-shuffle split/filter/join projection; a doc
+    whose every paragraph drops leaves with empty text and exits at
+    the keep predicate."""
     t = F.col("extracted_text")
     if normalize:
         from deepseek_ocr_spark.functions.normalize import normalize_text
@@ -71,6 +80,11 @@ def enrich(
         raw = t
         t = C4.c4_clean_text(raw)
         keep = keep & C4.c4_page_keep(t, raw) & (F.length(t) > 0)
+    if paragraphs:
+        from deepseek_ocr_spark.functions import c4 as C4
+
+        t = C4.paragraph_clean_text(t)
+        keep = keep & (F.length(t) > 0)
     return extracted.filter(keep).select(
         "url",
         "doc_type",
@@ -472,6 +486,7 @@ def curate(
     dsir_target_langs: tuple[str, ...] | None = None,
     normalize: bool = False,
     c4_lines: bool = False,
+    paragraphs: bool = False,
     intradoc_dedup: bool = False,
     substring_dedup: bool = False,
     badwords: tuple[str, ...] | None = None,
@@ -614,7 +629,10 @@ def curate(
         extracted = extracted.observe(
             canon_pages_obs, F.count(F.lit(1)).alias("n")
         )
-    docs = enrich(extracted, normalize=normalize, c4_lines=c4_lines)
+    docs = enrich(
+        extracted, normalize=normalize, c4_lines=c4_lines,
+        paragraphs=paragraphs,
+    )
     blocked_col = None
     if blocklist is not None:
         # mark once, before the persist, so the funnel's one-pass

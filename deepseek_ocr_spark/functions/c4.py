@@ -123,3 +123,54 @@ def c4_clean(
     if keep_pages_only:
         out = out.filter(F.col("page_keep")).drop("page_keep")
     return out
+
+
+# ---------------------------------------------------------------------
+# Paragraph-level filtering (the Dolma paragraph-filter shape:
+# Soldaini 2024 runs several quality rules at PARAGRAPH granularity —
+# line rules miss multi-line boilerplate blocks whose individual
+# lines look fine, and page rules throw away whole documents one bad
+# block should not kill).
+# ---------------------------------------------------------------------
+
+PARA_MIN_WORDS = 3
+PARA_MAX_SYMBOL_RATIO_FP = 200_000  # 20% of chars, 1e-6 fixed point
+_PARA_SYMBOL_RE = r"[^A-Za-z0-9\s]"  # textstats.SYMBOL_RE, verbatim
+
+
+def para_keep(p: Column) -> Column:
+    """Boolean: keep one paragraph — >= PARA_MIN_WORDS words and a
+    symbol fraction at most PARA_MAX_SYMBOL_RATIO_FP. The ratio test
+    is an integer cross-multiply (n_sym * 1e6 <= n_chars * cap), so
+    no division and no float boundary; a paragraph with >= 3 words
+    always has n_chars > 0."""
+    words = F.size(
+        F.filter(
+            F.split(F.trim(p), TOKEN_SPLIT_RE), lambda t: t != ""
+        )
+    )
+    n_sym = F.regexp_count(p, F.lit(_PARA_SYMBOL_RE)).cast("bigint")
+    n_chars = F.length(p).cast("bigint")
+    return (words >= PARA_MIN_WORDS) & (
+        n_sym * F.lit(1_000_000)
+        <= n_chars * F.lit(PARA_MAX_SYMBOL_RATIO_FP)
+    )
+
+
+def paragraph_clean_text(text: Column) -> Column:
+    """Text rebuilt from only the kept paragraphs (split/join on the
+    blank-line boundary) — one codegen projection, the paragraph
+    stream never leaves the row (the c4_clean_text shape one level
+    up)."""
+    return F.array_join(
+        F.filter(F.split(text, "\n\n"), para_keep), "\n\n"
+    )
+
+
+def paragraph_stats(text: Column) -> tuple[Column, Column]:
+    """(n_paras, n_kept) for funnel accounting."""
+    paras = F.split(text, "\n\n")
+    return (
+        F.size(paras).cast("bigint"),
+        F.size(F.filter(paras, para_keep)).cast("bigint"),
+    )

@@ -871,3 +871,35 @@ def semantic_clusters(
         "node",
         F.coalesce(F.col("cluster"), F.col("node")).alias("cluster"),
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    sim_lo: float,
+    sim_hi: float,
+    k: int = 1,
+    scan_k: int = 20,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(src, dst, sim): per anchor, the top-``k`` HARD negatives —
+    bucket neighbors with cosine in [sim_lo, sim_hi): similar enough
+    to be confusable, below the near-duplicate line. The standard
+    contrastive-training pair miner (in-batch random negatives are
+    too easy; near-dups would be false negatives) — one kNN-graph
+    pass (``scan_k`` candidates per anchor) + a band filter + a
+    per-anchor top-k window. Anchors whose bucket holds no
+    band-member yield no row (mine with more planes/probes, not a
+    fabricated pair)."""
+    from pyspark.sql.window import Window
+
+    edges = knn_graph(df, scan_k, id_col, emb_col)
+    band = edges.filter(
+        (F.col("sim") >= sim_lo) & (F.col("sim") < sim_hi)
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), "dst")
+    return (
+        band.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -270,6 +270,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "it matches are dropped before any content processing",
     )
     p.add_argument(
+        "--paragraphs",
+        action="store_true",
+        help="curate mode: Dolma-shape paragraph filter (drop blocks "
+        "under 3 words or over 20%% symbols) inside enrich, after "
+        "the optional --c4-lines pass",
+    )
+    p.add_argument(
         "--phrase-blocklist",
         default=None,
         help="curate mode: parquet path of a phrase gazetteer (one "
@@ -548,6 +555,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             dsir_target_langs=_parse_languages(args.dsir_target_langs),
             normalize=args.normalize,
             c4_lines=args.c4_lines,
+            paragraphs=args.paragraphs,
             intradoc_dedup=args.intradoc_dedup,
             substring_dedup=args.substring_dedup,
             badwords=(

@@ -8213,6 +8213,45 @@ ORDER BY doc_id, phrase
 SQL_PHRASE_BLOCKLIST = _phrase_blocklist_sql()
 
 
+def q_paragraph_filter(spark, sf_dir):
+    """Dolma-shape paragraph filtering (functions/c4.py para_keep):
+    per-doc paragraph counts and the rebuilt kept-paragraphs text —
+    the granularity between c4_line_filter's lines and the page gate.
+    One zero-shuffle split/filter/join projection."""
+    from deepseek_ocr_spark.functions import c4 as C4
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_paras, n_kept = C4.paragraph_stats(t)
+    return d.select(
+        "doc_id",
+        C4.paragraph_clean_text(t).alias("kept_text"),
+        n_paras.alias("n_paras"),
+        n_kept.alias("n_kept"),
+    )
+
+
+SQL_PARAGRAPH_FILTER = r"""
+WITH p AS (
+  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS paras
+  FROM documents
+), f AS (
+  SELECT doc_id, paras,
+         list_filter(paras, q ->
+           len(list_filter(string_split_regex(trim(q),
+                 '[ \t\n\x0B\f\r]+'), t -> t <> '')) >= 3
+           AND len(regexp_extract_all(q, '[^A-Za-z0-9\s]'))::BIGINT
+               * 1000000
+               <= length(q)::BIGINT * 200000) AS kept
+  FROM p
+)
+SELECT doc_id, list_aggr(kept, 'string_agg', chr(10) || chr(10))
+         AS kept_text,
+       len(paras)::BIGINT AS n_paras, len(kept)::BIGINT AS n_kept
+FROM f
+"""
+
+
 def q_knn_graph(spark, sf_dir):
     """Corpus-wide kNN graph (functions/similarity.py knn_graph):
     every vector's top-5 cosine neighbors within its LSH bucket in
@@ -8222,11 +8261,11 @@ def q_knn_graph(spark, sf_dir):
     return SIM.knn_graph(d, k=5).orderBy("src", "dst")
 
 
-def _knn_core_sql() -> str:
+def _knn_core_sql(k: int = 5) -> str:
     """The shared CTE chain (no WITH keyword) from the embeddings
-    table to ``kn`` = the top-5-per-source kNN edge list — one source
-    of truth for the knn_graph twin and the emb_clusters twin built
-    on top of it (no string surgery on a finished query)."""
+    table to ``kn`` = the top-``k``-per-source kNN edge list — one
+    source of truth for the knn_graph / emb_clusters / hard_negatives
+    twins (no string surgery on a finished query)."""
     cos = (
         "round(list_inner_product(a.emb, b.emb) / "
         "(sqrt(list_inner_product(a.emb, a.emb)) * "
@@ -8248,12 +8287,35 @@ def _knn_core_sql() -> str:
 ), kn AS (
   SELECT src, dst, sim FROM e
   QUALIFY row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst)
-    <= 5
+    <= {k}
 )"""
 
 
 SQL_KNN_GRAPH = (
     "WITH " + _knn_core_sql() + "\nSELECT src, dst, sim FROM kn ORDER BY src, dst\n"
+)
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (functions/similarity.py
+    hard_negatives): per anchor, the top bucket neighbor with cosine
+    in [0.05, 0.9) — confusable but below the near-dup line; the
+    training-pair miner built on the kNN graph."""
+    d = _t(spark, sf_dir, "embeddings")
+    return SIM.hard_negatives(d, 0.05, 0.9, k=1, scan_k=20).orderBy(
+        "src", "dst"
+    )
+
+
+SQL_HARD_NEGATIVES = (
+    "WITH "
+    + _knn_core_sql(k=20)
+    + """
+SELECT src, dst, sim FROM kn
+WHERE sim >= 0.05 AND sim < 0.9
+QUALIFY row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) <= 1
+ORDER BY src, dst
+"""
 )
 
 
@@ -8920,4 +8982,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # pinned by tests/test_knn_graph.py.
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
     "emb_clusters": (q_emb_clusters, SQL_EMB_CLUSTERS),
+    # paragraph_filter: below-cut class (b) — the paragraph-grain
+    # sibling of in-window c4_line_filter, same zero-shuffle
+    # split/filter/join projection; multi-paragraph semantics pinned
+    # by tests/test_c4_paragraphs.py.
+    "paragraph_filter": (q_paragraph_filter, SQL_PARAGRAPH_FILTER),
+    # hard_negatives: below-cut class (b) — a band filter + window
+    # over the verified kNN-graph core (twin shares _knn_core_sql);
+    # banding semantics pinned by tests/test_knn_graph.py.
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
 }

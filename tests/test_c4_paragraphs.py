@@ -1,0 +1,58 @@
+"""Paragraph-level filtering (functions/c4.py para_keep /
+paragraph_clean_text) — block semantics on realistic multi-paragraph
+fixtures, the symbol cross-multiply, and the curate wiring."""
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.functions import c4 as C4
+
+GOOD = "This paragraph has plenty of ordinary words in it."
+SHORT = "too short"
+SYMBOLS = "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) !!! ??? ~~~"
+
+
+def _clean(spark, text):
+    return (
+        spark.createDataFrame([(text,)], "t string")
+        .select(C4.paragraph_clean_text(F.col("t")).alias("c"))
+        .collect()[0]["c"]
+    )
+
+
+def test_drops_short_and_symbol_blocks_keeps_good(spark):
+    text = "\n\n".join([GOOD, SHORT, SYMBOLS, GOOD + " More words."])
+    out = _clean(spark, text)
+    assert out == "\n\n".join([GOOD, GOOD + " More words."])
+
+
+def test_symbol_ratio_boundary_is_exact(spark):
+    # 4 words, 1 symbol char in 25 chars = 4% -> keep; all-symbols
+    # block (0 alnum words... actually 12 symbol "words") drops on
+    # the ratio even though it has >= 3 whitespace tokens
+    borderline = "four plain words here!"
+    assert _clean(spark, borderline) == borderline
+    assert _clean(spark, SYMBOLS) == ""
+
+
+def test_stats_and_single_paragraph_passthrough(spark):
+    d = spark.createDataFrame(
+        [(1, "\n\n".join([GOOD, SHORT])), (2, GOOD)],
+        "doc_id bigint, text string",
+    )
+    n, k = C4.paragraph_stats(F.col("text"))
+    out = {
+        r["doc_id"]: (r["n"], r["k"])
+        for r in d.select("doc_id", n.alias("n"), k.alias("k")).collect()
+    }
+    assert out == {1: (2, 1), 2: (1, 1)}
+
+
+def test_curate_paragraphs_wiring(spark, pages_path):
+    """curate(paragraphs=True) runs inside enrich — the funnel still
+    closes and no surviving doc carries an empty text."""
+    from deepseek_ocr_spark.curate import curate
+
+    pages = spark.read.parquet(pages_path)
+    final, funnel = curate(pages, parallelism=4, paragraphs=True)
+    assert funnel["curated"] > 0
+    assert final.filter(F.length("text") == 0).count() == 0

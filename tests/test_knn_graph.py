@@ -73,3 +73,24 @@ def test_semantic_clusters_symmetrized_and_singletons(spark):
     assert out[0] == out[1] == out[2] == 0
     assert out[10] == out[11] == 10
     assert out[99] == 99
+
+
+def test_hard_negatives_band_semantics(spark):
+    """Band [lo, hi) keeps confusable-but-not-duplicate neighbors:
+    near-dups (sim ~ 1) and orthogonal vectors (sim ~ 0) are both
+    excluded."""
+    rows = (
+        [(0, _basis(0)), (1, _basis(0, eps=0.001))]  # near-dup pair
+        + [(2, [0.8] + [0.6 if i == 1 else 0.0 for i in range(1, SIM.EMB_DIM)])]
+        + [(3, _basis(7))]  # different bucket entirely
+    )
+    out = SIM.hard_negatives(
+        _vecs(spark, rows), 0.5, 0.99, k=1, scan_k=10
+    ).collect()
+    got = {(r["src"], r["dst"]) for r in out}
+    # 0/1 are near-dups (sim ~ 1.0 >= 0.99: excluded as negatives);
+    # 2 sits at cos 0.8 from both -> a hard negative for 0 and 1
+    assert (0, 1) not in got and (1, 0) not in got
+    assert (0, 2) in got and (1, 2) in got
+    for r in out:
+        assert 0.5 <= r["sim"] < 0.99
