@@ -55,6 +55,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             "optimize-table",
             "tag",
             "ship",
+            "export-warc",
         ),
         default="extract",
         help="extract: pages -> extracted table; curate: pages -> "
@@ -145,6 +146,26 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="extract mode with --table-format snapshot: identity-"
         "partition the output table on this column (repeatable; e.g. "
         "--partition-by doc_type); appends inherit the table's spec",
+    )
+    p.add_argument(
+        "--warc-kind",
+        choices=("conversion", "response"),
+        default="conversion",
+        help="export-warc mode: WET-style extracted-text records "
+        "(conversion) or crawl-shaped response records that "
+        "round-trip through the WARC reader",
+    )
+    p.add_argument(
+        "--payload-col",
+        default="text",
+        help="export-warc mode: payload column (curate outputs use "
+        "'text'; extracted tables use 'extracted_text')",
+    )
+    p.add_argument(
+        "--ts-col",
+        default=None,
+        help="export-warc mode: timestamp column for WARC-Date "
+        "(default: epoch — deterministic reruns)",
     )
     p.add_argument(
         "--tagger",
@@ -594,6 +615,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         else:
             final.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"mode": "curate", **funnel}))
+    elif args.mode == "export-warc":
+        from deepseek_ocr_spark.sources.warc import write_warc_shards
+
+        docs = spark.read.parquet(args.input)
+        write_warc_shards(
+            docs, args.output, kind=args.warc_kind,
+            url_col=args.id_col, ts_col=args.ts_col,
+            payload_col=args.payload_col,
+        )
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(args.output, "MANIFEST.json")) as fh:
+            m = _json.load(fh)
+        print(json.dumps({
+            "mode": "export-warc", "kind": args.warc_kind,
+            "shards": len(m["shards"]),
+        }))
     elif args.mode == "export-zip":
         from deepseek_ocr_spark.operators.zip_sink import write_zip_shards
 

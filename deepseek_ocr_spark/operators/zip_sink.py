@@ -134,14 +134,19 @@ def _sweep_stale_runs(out_dir: str) -> None:
             shutil.rmtree(path, ignore_errors=True)
 
 
-def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
-    """Write one ZIP shard per partition of ``extracted`` (needs url,
-    extracted_text, status, n_pages, n_bytes columns).
-
-    Reruns are atomic at the bundle level via the manifest pointer
-    swap (module docstring): a failed or crashed rerun leaves the
-    prior complete export untouched and LIVE, and a successful one
-    replaces it in a single ``os.replace``.
+def export_shards(
+    cols: DataFrame,
+    out_dir: str,
+    suffix: str,
+    write_shard,
+) -> None:
+    """The generic atomic shard-export skeleton (run dir + attempt-
+    unique temps + accumulator emptiness proof + MANIFEST pointer
+    swap + own-run GC — module docstring): ``write_shard(rows, path)``
+    serializes one partition's rows to ``path`` and returns the row
+    count; shards are named ``part-NNNNN{suffix}``. Shared by the ZIP
+    bundle sink and the WARC/WET export (sources/warc.py) — ONE owner
+    for the commit discipline.
 
     REQUIRES a filesystem shared between driver and executors (local
     mode, NFS, or a shared mount): tasks write shards with plain
@@ -154,7 +159,7 @@ def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
     input plan)."""
     if "://" in out_dir and not out_dir.startswith("file://"):
         raise ValueError(
-            f"write_zip_shards needs a driver+executor-shared local path, "
+            f"export_shards needs a driver+executor-shared local path, "
             f"got {out_dir!r}; write parquet and export from a shared "
             "mount, or use a Hadoop-FS-based sink for object stores"
         )
@@ -167,9 +172,6 @@ def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
     run_name = _run_dirname()
     run_dir = os.path.join(out_dir, run_name)
     os.makedirs(run_dir, exist_ok=True)
-    cols = extracted.select(
-        "url", "extracted_text", "status", "n_pages", "n_bytes"
-    )
     n_rows = cols.sparkSession.sparkContext.accumulator(0)
 
     def write_part(rows) -> None:
@@ -178,33 +180,13 @@ def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         attempt = ctx.taskAttemptId() if ctx is not None else 0
-        meta = []
         # attempt-unique temp name: concurrent attempts of the same
         # partition (speculation, zombie after stage retry) each write
         # a complete file and the final os.replace is last-wins-whole,
         # never an interleaving of two writers
-        tmp = os.path.join(run_dir, f".part-{pid:05d}.zip.tmp-{attempt}")
-        final = os.path.join(run_dir, f"part-{pid:05d}.zip")
-        wrote = 0
-        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
-            for r in rows:
-                name = entry_name(r["url"])
-                z.writestr(name, r["extracted_text"] or "")
-                meta.append(
-                    {
-                        "url": r["url"],
-                        "entry": name,
-                        "status": r["status"],
-                        "n_pages": r["n_pages"],
-                        "n_bytes": r["n_bytes"],
-                    }
-                )
-                wrote += 1
-            if wrote:
-                z.writestr(
-                    "metadata.json",
-                    json.dumps(meta, sort_keys=True, indent=0),
-                )
+        tmp = os.path.join(run_dir, f".part-{pid:05d}{suffix}.tmp-{attempt}")
+        final = os.path.join(run_dir, f"part-{pid:05d}{suffix}")
+        wrote = write_shard(rows, tmp)
         n_rows.add(wrote)
         if wrote:
             os.replace(tmp, final)
@@ -216,7 +198,7 @@ def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
     except Exception:
         shutil.rmtree(run_dir, ignore_errors=True)
         raise
-    staged = sorted(f for f in os.listdir(run_dir) if f.endswith(".zip"))
+    staged = sorted(f for f in os.listdir(run_dir) if f.endswith(suffix))
     if not staged:
         # Either the input was empty (fine — keep the prior export and
         # say so) or the executors wrote to a filesystem the driver
@@ -227,7 +209,7 @@ def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
             print(f"[zip_sink] empty input; prior export in {out_dir} kept")
             return
         raise RuntimeError(
-            f"write_zip_shards: tasks wrote {n_rows.value} rows but no "
+            f"export_shards: tasks wrote {n_rows.value} rows but no "
             f"shards appeared in {run_dir} — driver and executors do not "
             f"share this filesystem; prior export in {out_dir} left live"
         )
@@ -252,8 +234,44 @@ def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
         if parsed == (socket.gethostname(), os.getpid()):
             shutil.rmtree(os.path.join(out_dir, prev), ignore_errors=True)
     for f in os.listdir(out_dir):  # legacy pre-manifest top-level shards
-        if f.startswith("part-") and f.endswith(".zip"):
+        if f.startswith("part-") and f.endswith(suffix):
             os.remove(os.path.join(out_dir, f))
+
+
+def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:
+    """Write one ZIP shard per partition of ``extracted`` (needs url,
+    extracted_text, status, n_pages, n_bytes columns) through the
+    :func:`export_shards` commit skeleton — see its docstring for the
+    atomicity/shared-FS contract."""
+    cols = extracted.select(
+        "url", "extracted_text", "status", "n_pages", "n_bytes"
+    )
+
+    def write_shard(rows, tmp: str) -> int:
+        meta = []
+        wrote = 0
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for r in rows:
+                name = entry_name(r["url"])
+                z.writestr(name, r["extracted_text"] or "")
+                meta.append(
+                    {
+                        "url": r["url"],
+                        "entry": name,
+                        "status": r["status"],
+                        "n_pages": r["n_pages"],
+                        "n_bytes": r["n_bytes"],
+                    }
+                )
+                wrote += 1
+            if wrote:
+                z.writestr(
+                    "metadata.json",
+                    json.dumps(meta, sort_keys=True, indent=0),
+                )
+        return wrote
+
+    export_shards(cols, out_dir, ".zip", write_shard)
 
 
 def read_zip_shards(out_dir: str) -> dict[str, str]:

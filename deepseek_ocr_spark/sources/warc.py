@@ -460,3 +460,117 @@ def build_warc(pages: list[dict], gzip_members: bool = True) -> bytes:
         else:
             out.append(rec)
     return b"".join(out)
+
+
+# ---- distributed WARC / WET export sink ----------------------------------
+
+
+def _warc_record(
+    url: str, ts, payload: bytes, kind: str
+) -> bytes:
+    """One ISO 28500 record, deterministic: the record id derives from
+    the url (urn:md5) — no uuids, so a rerun writes byte-identical
+    shards. ``response`` records wrap the payload in the minimal HTTP
+    envelope our own reader strips; ``conversion`` records (the CC WET
+    convention for extracted text) carry the payload bare."""
+    import hashlib as _hl
+
+    if kind == "response":
+        body = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
+        )
+        ctype = b"application/http; msgtype=response"
+    else:
+        body = payload
+        ctype = b"text/plain"
+    tss = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    rid = _hl.md5(url.encode()).hexdigest()
+    hdr = (
+        b"WARC/1.0\r\n"
+        + f"WARC-Type: {kind}\r\n".encode()
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + f"WARC-Date: {tss}\r\n".encode()
+        + f"WARC-Record-ID: <urn:md5:{rid}>\r\n".encode()
+        + b"Content-Type: " + ctype + b"\r\n"
+        + f"Content-Length: {len(body)}\r\n".encode()
+    )
+    return hdr + _CRLF + body + _CRLF + _CRLF
+
+
+def write_warc_shards(
+    df,
+    out_dir: str,
+    kind: str = "conversion",
+    url_col: str = "url",
+    ts_col: str | None = None,
+    payload_col: str = "text",
+) -> None:
+    """Export a corpus as WARC shards — one ``part-NNNNN.warc.gz``
+    per partition, each record its own gzip member (the Common-Crawl
+    packing, so downstream readers — including this module's own —
+    can stream them).
+
+    ``kind="conversion"`` writes WET-style extracted-text records
+    (the curated-corpus interchange format); ``kind="response"``
+    writes crawl-shaped records with the minimal HTTP envelope, which
+    round-trip through :func:`read_warc_dir` byte-identically (the
+    test pins it). String payload columns encode UTF-8; binary
+    columns pass through. Rows with NULL url or payload are skipped
+    (a record needs both). Missing ``ts_col`` stamps the epoch —
+    determinism over wall clocks (reruns must produce byte-identical
+    shards for the export commit to be idempotent).
+
+    Commit discipline: rides operators/zip_sink.export_shards —
+    atomic MANIFEST pointer swap, attempt-unique temps, shared-FS
+    guard."""
+    import gzip as _gzip
+
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_spark.operators.zip_sink import export_shards
+
+    if kind not in ("conversion", "response"):
+        raise ValueError(f"unknown WARC record kind {kind!r}")
+    cols = [F.col(url_col).alias("__url")]
+    if ts_col is not None:
+        cols.append(F.col(ts_col).alias("__ts"))
+    else:
+        cols.append(F.lit("1970-01-01 00:00:00").cast("timestamp").alias("__ts"))
+    cols.append(F.col(payload_col).alias("__payload"))
+    sel = df.select(*cols).where(
+        F.col("__url").isNotNull() & F.col("__payload").isNotNull()
+    )
+
+    def write_shard(rows, tmp: str) -> int:
+        wrote = 0
+        with open(tmp, "wb") as fh:
+            for r in rows:
+                payload = r["__payload"]
+                if isinstance(payload, str):
+                    payload = payload.encode("utf-8")
+                rec = _warc_record(r["__url"], r["__ts"], bytes(payload), kind)
+                buf = io.BytesIO()
+                with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                    g.write(rec)
+                fh.write(buf.getvalue())
+                wrote += 1
+        return wrote
+
+    export_shards(sel, out_dir, ".warc.gz", write_shard)
+
+
+def read_warc_export(out_dir: str) -> list[tuple[dict, bytes]]:
+    """Test/inspection helper: every (headers, payload) record across
+    the CURRENT export's shards (manifest pointer), in shard order."""
+    import json as _json
+    import os as _os
+
+    out_dir = out_dir.removeprefix("file://")
+    with open(_os.path.join(out_dir, "MANIFEST.json")) as fh:
+        m = _json.load(fh)
+    recs: list[tuple[dict, bytes]] = []
+    for shard in m["shards"]:
+        path = _os.path.join(out_dir, m["run"], shard)
+        with open(path, "rb") as fh:
+            recs.extend(iter_warc_stream(_decompressed_chunks(fh)))
+    return recs

@@ -1,0 +1,105 @@
+"""WARC/WET export sink (sources/warc.py write_warc_shards) — record
+framing, WET vs response kinds, response round-trip through the
+module's own reader, determinism of reruns, and the export commit."""
+
+import datetime as dt
+import os
+
+import pytest
+
+from deepseek_ocr_spark.sources import warc as W
+
+
+def _docs(spark):
+    rows = [
+        ("http://a.example/1", dt.datetime(2024, 1, 2, 3, 4, 5),
+         "extracted text one"),
+        ("http://b.example/2", dt.datetime(2024, 2, 3, 4, 5, 6),
+         "unicode päragraph ✓"),
+        (None, dt.datetime(2024, 1, 1), "no url: skipped"),
+        ("http://c.example/3", dt.datetime(2024, 1, 1), None),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    )
+
+
+def test_wet_export_and_record_framing(spark, tmp_path):
+    out = str(tmp_path / "wet")
+    W.write_warc_shards(
+        _docs(spark), out, kind="conversion", ts_col="warc_ts"
+    )
+    recs = W.read_warc_export(out)
+    by_url = {h["warc-target-uri"]: (h, p) for h, p in recs}
+    assert set(by_url) == {"http://a.example/1", "http://b.example/2"}
+    h, p = by_url["http://a.example/1"]
+    assert h["warc-type"] == "conversion"
+    assert h["warc-date"] == "2024-01-02T03:04:05Z"
+    assert h["warc-record-id"].startswith("<urn:md5:")
+    assert p == b"extracted text one"
+    assert by_url["http://b.example/2"][1].decode() == "unicode päragraph ✓"
+
+
+def test_response_roundtrip_through_own_reader(spark, tmp_path):
+    out = str(tmp_path / "warc")
+    d = _docs(spark)
+    W.write_warc_shards(
+        d, out, kind="response", ts_col="warc_ts", payload_col="text"
+    )
+    # read back through the production reader (strips HTTP envelope)
+    import json
+
+    with open(os.path.join(out, "MANIFEST.json")) as fh:
+        m = json.load(fh)
+    pages = W.read_warc_dir(
+        spark, os.path.join(out, m["run"]), glob="*.warc.gz"
+    )
+    got = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    assert got == {
+        "http://a.example/1": b"extracted text one",
+        "http://b.example/2": "unicode päragraph ✓".encode(),
+    }
+
+
+def test_rerun_is_byte_identical(spark, tmp_path):
+    out = str(tmp_path / "wet")
+    d = _docs(spark).repartition(1)
+    W.write_warc_shards(d, out, ts_col="warc_ts")
+    import json
+
+    with open(os.path.join(out, "MANIFEST.json")) as fh:
+        m1 = json.load(fh)
+    b1 = open(
+        os.path.join(out, m1["run"], m1["shards"][0]), "rb"
+    ).read()
+    W.write_warc_shards(d, out, ts_col="warc_ts")
+    with open(os.path.join(out, "MANIFEST.json")) as fh:
+        m2 = json.load(fh)
+    b2 = open(
+        os.path.join(out, m2["run"], m2["shards"][0]), "rb"
+    ).read()
+    assert m1["run"] != m2["run"] and b1 == b2
+
+
+def test_unknown_kind_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="kind"):
+        W.write_warc_shards(_docs(spark), str(tmp_path / "x"), kind="wat")
+
+
+def test_cli_export_warc_mode(spark, tmp_path, capsys):
+    import json
+
+    from deepseek_ocr_spark.job import main
+
+    inp = str(tmp_path / "docs")
+    _docs(spark).write.parquet(inp)
+    out = str(tmp_path / "wet_cli")
+    rc = main(
+        ["--mode", "export-warc", "--input", inp, "--output", out,
+         "--ts-col", "warc_ts"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["mode"] == "export-warc" and summary["shards"] >= 1
+    assert len(W.read_warc_export(out)) == 2
