@@ -46,7 +46,8 @@ def read_docs_stream(
 
 
 def curate_stream(docs: DataFrame, eval_df: DataFrame | None = None,
-                  k: int = 8) -> DataFrame:
+                  k: int = 8,
+                  phrases: DataFrame | None = None) -> DataFrame:
     """Stateless curation projection over a (streaming or batch)
     documents frame; identical output either way.
 
@@ -57,6 +58,16 @@ def curate_stream(docs: DataFrame, eval_df: DataFrame | None = None,
     aggregate-free formulation of decontaminate(), because streaming
     can't groupBy without state; ``array_size ∘ array_intersect`` on
     the doc's own shingles gives the same count per row.
+
+    ``phrases`` (static gazetteer with a ``phrase`` column) adds
+    ``n_phrase_hits`` — how many gazetteer phrases occur as
+    CONSECUTIVE tokens — via the aggregate-free formulation: a
+    phrase-in-token-stream test is a substring test on the
+    single-space-joined, space-padded token stream (" a b " in
+    " x a b y "), so the whole gate is one broadcast row + a
+    ``filter`` lambda, no explode and no state. Batch parity:
+    ``n_phrase_hits == 0`` keeps exactly the docs
+    curate(phrase_blocklist=...) keeps (pinned by test).
     """
     ne, ni, np_, nc = PII.pii_counts(F.col("text"))
     cols = [
@@ -77,6 +88,46 @@ def curate_stream(docs: DataFrame, eval_df: DataFrame | None = None,
         TS.badword_stats(F.col("text"))[1].alias("n_badwords"),
     ]
     base = docs
+    if phrases is not None:
+        from deepseek_ocr_spark.functions.dedup import words_col
+
+        pad = (
+            phrases.where(
+                F.col("phrase").isNotNull() & (F.trim("phrase") != "")
+            )
+            .select(
+                F.concat(
+                    F.lit(" "),
+                    F.array_join(words_col(F.col("phrase")), " "),
+                    F.lit(" "),
+                ).alias("p")
+            )
+            .agg(F.collect_set("p").alias("ph_set"))
+        )
+        # bind the joined token stream through a projection boundary
+        # BEFORE the lambda references it — an unbound expression
+        # inside a higher-order-function lambda re-evaluates per
+        # element (per phrase), the documented shingles/winnow trap
+        base = docs.join(F.broadcast(pad)).withColumn(
+            "__norm",
+            F.concat(
+                F.lit(" "),
+                F.array_join(words_col(F.col("text")), " "),
+                F.lit(" "),
+            ),
+        )
+        cols.append(
+            F.coalesce(
+                F.size(
+                    F.filter(
+                        F.col("ph_set"),
+                        lambda p: F.col("__norm").contains(p),
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_phrase_hits")
+        )
+        docs = base
     if eval_df is not None:
         ev = (
             eval_df.select(

@@ -640,3 +640,42 @@ def test_stream_drain_to_snapshot_exactly_once(spark, tmp_path):
         for i in range(1, v2 + 1)
     ]
     assert len(ids2) == len(set(ids2))
+
+
+def test_curate_stream_phrase_gate_batch_parity(spark):
+    """n_phrase_hits == 0 keeps exactly the docs the batch
+    phrase_gate keeps — the aggregate-free substring-on-joined-tokens
+    formulation matches the anchor-vote operator."""
+    from deepseek_ocr_spark.functions.phrases import phrase_gate
+    from deepseek_ocr_spark.streaming.curate import curate_stream
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "en", "please click here to buy now"),
+            (2, "s", "en", "click to buy here now please"),
+            (3, "s", "en", "spam spam spam eggs"),
+            (4, "s", "en", "Click HERE to BUY things"),
+            (5, "s", "en", "clean and ordinary text"),
+        ],
+        "doc_id bigint, source string, lang string, text string",
+    )
+    gaz = spark.createDataFrame(
+        [("click here to buy",), ("spam spam",), ("",)],
+        "phrase string",
+    )
+    stream_keep = {
+        r["doc_id"]
+        for r in curate_stream(docs, phrases=gaz).collect()
+        if r["n_phrase_hits"] == 0
+    }
+    batch_keep = {
+        r["doc_id"]
+        for r in phrase_gate(docs, gaz, id_col="doc_id").collect()
+    }
+    assert stream_keep == batch_keep == {2, 5}
+    # hit counts: doc 3 contains "spam spam" (1 phrase matched)
+    hits = {
+        r["doc_id"]: r["n_phrase_hits"]
+        for r in curate_stream(docs, phrases=gaz).collect()
+    }
+    assert hits[3] == 1 and hits[1] == 1 and hits[4] == 1
