@@ -63,9 +63,10 @@ def enrich(
 
     ``paragraphs=True`` applies the Dolma-shape PARAGRAPH filter
     (functions/c4.py para_keep: >= 3 words, symbol fraction <= 20%)
-    after the line pass — blocks whose individual lines look fine but
-    whose aggregate is symbol soup drop as a unit, without killing
-    the page. Same zero-shuffle split/filter/join projection; a doc
+    BEFORE the line pass (which erases the blank-line paragraph
+    boundaries) — blocks whose individual lines look fine but whose
+    aggregate is symbol soup drop as a unit, without killing the
+    page. Same zero-shuffle split/filter/join projection; a doc
     whose every paragraph drops leaves with empty text and exits at
     the keep predicate."""
     t = F.col("extracted_text")
@@ -74,17 +75,22 @@ def enrich(
 
         t = normalize_text(t)
     keep = (F.col("status") == "ok") & (F.length(t) > 0)
+    if paragraphs:
+        # BEFORE the line pass: c4_clean_text drops blank separator
+        # lines (0 words) and rejoins with '\n', erasing every
+        # '\n\n' boundary — running after it would see the whole doc
+        # as ONE paragraph and either keep a bad block or kill the
+        # page (review finding; ordering pinned by test)
+        from deepseek_ocr_spark.functions import c4 as C4
+
+        t = C4.paragraph_clean_text(t)
+        keep = keep & (F.length(t) > 0)
     if c4_lines:
         from deepseek_ocr_spark.functions import c4 as C4
 
         raw = t
         t = C4.c4_clean_text(raw)
         keep = keep & C4.c4_page_keep(t, raw) & (F.length(t) > 0)
-    if paragraphs:
-        from deepseek_ocr_spark.functions import c4 as C4
-
-        t = C4.paragraph_clean_text(t)
-        keep = keep & (F.length(t) > 0)
     return extracted.filter(keep).select(
         "url",
         "doc_type",

@@ -294,8 +294,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "--paragraphs",
         action="store_true",
         help="curate mode: Dolma-shape paragraph filter (drop blocks "
-        "under 3 words or over 20%% symbols) inside enrich, after "
-        "the optional --c4-lines pass",
+        "under 3 words or over 20%% symbols) inside enrich, BEFORE "
+        "the optional --c4-lines pass (which erases paragraph "
+        "boundaries)",
     )
     p.add_argument(
         "--phrase-blocklist",
@@ -619,19 +620,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from deepseek_ocr_spark.sources.warc import write_warc_shards
 
         docs = spark.read.parquet(args.input)
-        write_warc_shards(
+        committed = write_warc_shards(
             docs, args.output, kind=args.warc_kind,
             url_col=args.id_col, ts_col=args.ts_col,
             payload_col=args.payload_col,
         )
-        import json as _json
-        import os as _os
-
-        with open(_os.path.join(args.output, "MANIFEST.json")) as fh:
-            m = _json.load(fh)
         print(json.dumps({
             "mode": "export-warc", "kind": args.warc_kind,
-            "shards": len(m["shards"]),
+            "shards": len(committed["shards"]) if committed else 0,
         }))
     elif args.mode == "export-zip":
         from deepseek_ocr_spark.operators.zip_sink import write_zip_shards

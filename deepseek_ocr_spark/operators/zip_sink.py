@@ -139,14 +139,18 @@ def export_shards(
     out_dir: str,
     suffix: str,
     write_shard,
-) -> None:
+) -> dict | None:
     """The generic atomic shard-export skeleton (run dir + attempt-
     unique temps + accumulator emptiness proof + MANIFEST pointer
     swap + own-run GC — module docstring): ``write_shard(rows, path)``
     serializes one partition's rows to ``path`` and returns the row
     count; shards are named ``part-NNNNN{suffix}``. Shared by the ZIP
     bundle sink and the WARC/WET export (sources/warc.py) — ONE owner
-    for the commit discipline.
+    for the commit discipline. Returns the committed
+    ``{"run", "shards"}`` info (None for an empty input, where the
+    prior export stays live and nothing commits) — callers report
+    THIS, never a re-read of the manifest, which on empty input
+    either does not exist or points at a stale run.
 
     REQUIRES a filesystem shared between driver and executors (local
     mode, NFS, or a shared mount): tasks write shards with plain
@@ -206,8 +210,11 @@ def export_shards(
         # The accumulator already counted rows during the one pass.
         shutil.rmtree(run_dir, ignore_errors=True)
         if n_rows.value == 0:
-            print(f"[zip_sink] empty input; prior export in {out_dir} kept")
-            return
+            print(
+                f"[export_shards] empty input; prior export in "
+                f"{out_dir} kept"
+            )
+            return None
         raise RuntimeError(
             f"export_shards: tasks wrote {n_rows.value} rows but no "
             f"shards appeared in {run_dir} — driver and executors do not "
@@ -236,6 +243,7 @@ def export_shards(
     for f in os.listdir(out_dir):  # legacy pre-manifest top-level shards
         if f.startswith("part-") and f.endswith(suffix):
             os.remove(os.path.join(out_dir, f))
+    return {"run": run_name, "shards": staged}
 
 
 def write_zip_shards(extracted: DataFrame, out_dir: str) -> None:

@@ -8245,7 +8245,8 @@ WITH p AS (
                <= length(q)::BIGINT * 200000) AS kept
   FROM p
 )
-SELECT doc_id, list_aggr(kept, 'string_agg', chr(10) || chr(10))
+SELECT doc_id,
+       coalesce(list_aggr(kept, 'string_agg', chr(10) || chr(10)), '')
          AS kept_text,
        len(paras)::BIGINT AS n_paras, len(kept)::BIGINT AS n_kept
 FROM f

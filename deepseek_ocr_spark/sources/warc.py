@@ -474,7 +474,14 @@ def _warc_record(
     envelope our own reader strips; ``conversion`` records (the CC WET
     convention for extracted text) carry the payload bare."""
     import hashlib as _hl
+    from urllib.parse import quote as _q
 
+    # WARC-Target-URI must be a URI: percent-encode anything outside
+    # printable ASCII (non-ASCII would mojibake through the latin-1
+    # header decode) and ESPECIALLY CR/LF — a hostile url containing
+    # "\r\n" would otherwise inject header lines and desync the
+    # record stream for every later record in the shard
+    url = _q(url, safe="!#$%&'()*+,-./:;=?@[]_~")
     if kind == "response":
         body = (
             b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
@@ -522,7 +529,8 @@ def write_warc_shards(
 
     Commit discipline: rides operators/zip_sink.export_shards —
     atomic MANIFEST pointer swap, attempt-unique temps, shared-FS
-    guard."""
+    guard. Returns its committed {"run", "shards"} info (None for an
+    empty input)."""
     import gzip as _gzip
 
     from pyspark.sql import functions as F
@@ -532,10 +540,13 @@ def write_warc_shards(
     if kind not in ("conversion", "response"):
         raise ValueError(f"unknown WARC record kind {kind!r}")
     cols = [F.col(url_col).alias("__url")]
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
     if ts_col is not None:
-        cols.append(F.col(ts_col).alias("__ts"))
+        # a NULL timestamp must not kill the export (one dirty row
+        # would abort the whole foreachPartition job): epoch-default
+        cols.append(F.coalesce(F.col(ts_col), epoch).alias("__ts"))
     else:
-        cols.append(F.lit("1970-01-01 00:00:00").cast("timestamp").alias("__ts"))
+        cols.append(epoch.alias("__ts"))
     cols.append(F.col(payload_col).alias("__payload"))
     sel = df.select(*cols).where(
         F.col("__url").isNotNull() & F.col("__payload").isNotNull()
@@ -556,7 +567,7 @@ def write_warc_shards(
                 wrote += 1
         return wrote
 
-    export_shards(sel, out_dir, ".warc.gz", write_shard)
+    return export_shards(sel, out_dir, ".warc.gz", write_shard)
 
 
 def read_warc_export(out_dir: str) -> list[tuple[dict, bytes]]:

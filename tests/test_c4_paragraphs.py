@@ -56,3 +56,25 @@ def test_curate_paragraphs_wiring(spark, pages_path):
     final, funnel = curate(pages, parallelism=4, paragraphs=True)
     assert funnel["curated"] > 0
     assert final.filter(F.length("text") == 0).count() == 0
+
+
+def test_paragraphs_compose_with_c4_lines(spark):
+    """Review regression: with c4_lines on, the paragraph pass must
+    still see blank-line boundaries (it runs FIRST) — a symbol block
+    drops as a unit while the good paragraphs survive the line pass."""
+    from deepseek_ocr_spark.curate import enrich
+
+    good1 = "This is a perfectly fine sentence with many words in it."
+    good2 = ("Another good paragraph follows here with enough words. "
+             "It even has a second full sentence inside it.")
+    text = "\n\n".join([good1, SYMBOLS, good2])
+    extracted = spark.createDataFrame(
+        [("u1", "html", text, "ok", 1, len(text))],
+        "url string, doc_type string, extracted_text string, "
+        "status string, n_pages int, n_bytes bigint",
+    )
+    out = enrich(extracted, c4_lines=True, paragraphs=True).collect()
+    assert len(out) == 1
+    t = out[0]["text"]
+    assert "@@@" not in t            # the bad block dropped as a unit
+    assert good1 in t and good2 in t  # the page survived

@@ -103,3 +103,59 @@ def test_cli_export_warc_mode(spark, tmp_path, capsys):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["mode"] == "export-warc" and summary["shards"] >= 1
     assert len(W.read_warc_export(out)) == 2
+
+
+def test_null_ts_defaults_to_epoch_not_crash(spark, tmp_path):
+    """Review regression: a NULL timestamp row must export with the
+    epoch date, not abort the whole job."""
+    d = spark.createDataFrame(
+        [("http://a.example/x", None, "body")],
+        "url string, warc_ts timestamp, text string",
+    )
+    out = str(tmp_path / "wet")
+    committed = W.write_warc_shards(d, out, ts_col="warc_ts")
+    recs = W.read_warc_export(out)
+    assert len(recs) == 1 and committed is not None
+    assert recs[0][0]["warc-date"] == "1970-01-01T00:00:00Z"
+
+
+def test_hostile_and_unicode_urls_are_header_safe(spark, tmp_path):
+    """Review regression: CRLF in a url must not desync the record
+    stream; non-ASCII urls percent-encode (WARC-Target-URI is a URI)
+    instead of mojibaking through the latin-1 header decode."""
+    d = spark.createDataFrame(
+        [
+            ("http://evil.example/a\r\nWARC-Injected: x", None, "one"),
+            ("http://ex.example/päge", None, "two"),
+            ("http://ok.example/plain", None, "three"),
+        ],
+        "url string, warc_ts timestamp, text string",
+    ).repartition(1)
+    out = str(tmp_path / "wet")
+    W.write_warc_shards(d, out, ts_col="warc_ts")
+    recs = W.read_warc_export(out)
+    assert len(recs) == 3  # nothing desynced, every record survives
+    uris = {h["warc-target-uri"] for h, _ in recs}
+    assert "http://ok.example/plain" in uris
+    assert "http://ex.example/p%C3%A4ge" in uris
+    assert not any("\r" in u or "\n" in u for u in uris)
+    assert not any("warc-injected" in h for h, _ in recs)
+
+
+def test_empty_input_export_reports_zero_shards(spark, tmp_path, capsys):
+    """Review regression: export-warc over an empty input must exit 0
+    with shards=0, not crash on a missing manifest."""
+    import json
+
+    from deepseek_ocr_spark.job import main
+
+    inp = str(tmp_path / "docs")
+    _docs(spark).where("url = 'nope'").write.parquet(inp)
+    rc = main(
+        ["--mode", "export-warc", "--input", inp,
+         "--output", str(tmp_path / "empty_out")],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["shards"] == 0
