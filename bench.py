@@ -200,6 +200,7 @@ HEADLINE = [
     "emb_clusters",
     "paragraph_filter",
     "hard_negatives",
+    "gopher_repetition",
 ]
 
 

@@ -667,3 +667,121 @@ def signal_correlation(df, x_col: str, y_col: str, group_col: str):
         "sum_xy",
         F.expr(corr).alias("corr_fp"),
     )
+
+
+# ---------------------------------------------------------------------
+# The full Gopher repetition-signal pack (Rae et al. 2021, Table A1).
+# dup_ngram_fraction above is the distinct/total view; this is the
+# paper's own signal set: duplicate line/paragraph fractions and the
+# top-/duplicated-n-gram CHARACTER fractions. All within-row — the
+# mode/duplicate totals come from ONE sorted-run `aggregate` over the
+# gram array (no explode, no shuffle) — and all exact integer fixed
+# point, so the DuckDB twin (which is free to unnest + GROUP BY; only
+# the VALUES must match) hash-verifies.
+# ---------------------------------------------------------------------
+
+# Run-length machinery on a SORTED gram array, boundary-index style:
+# b = 1-based positions where a new value starts; run_i = b_{i+1}-b_i.
+# Higher-order-function lambdas are INTERPRETED (not codegen), so the
+# shape matters: a named_struct fold over EVERY gram costs ~10x a
+# simple filter + a fold over the ~distinct-count boundary array
+# (measured 30.8 -> 17.0 -> 13.5 s at sf0.1 across the three
+# formulations — struct-fold-per-field, finish-lambda, boundary-runs;
+# receipts in BENCH.md; the remaining cost is the five per-doc sorts
+# plus the interpreted filter passes, which a codegen'd native
+# run-length kernel would remove if Spark ever compiles HOFs).
+# {sh} = the bound sorted gram array column name.
+_RUNS = (
+    "zip_with("
+    "  filter(sequence(1, size({sh})),"
+    "         i -> i = 1 OR element_at({sh}, i) !="
+    "              element_at({sh}, i - 1)),"
+    "  concat(slice(filter(sequence(1, size({sh})),"
+    "               i -> i = 1 OR element_at({sh}, i) !="
+    "                    element_at({sh}, i - 1)), 2, size({sh})),"
+    "         array(size({sh}) + 1)),"
+    "  (s, e) -> named_struct('run', CAST(e - s AS BIGINT), 'pos', s))"
+)
+
+# top-n: max over runs of (run, -pos) — pos is unique, so ties on run
+# resolve to the SMALLEST position = lexicographically smallest gram
+# (the array is sorted); the gram itself is recovered by element_at.
+# the outer CASE is load-bearing: Spark's LEAST SKIPS nulls, so a
+# NULL gram array (doc under n words) would otherwise read as the cap
+_TOP_EXPR = (
+    "CASE WHEN {sh} IS NULL THEN NULL ELSE CAST(LEAST("
+    "  aggregate(" + _RUNS + ", "
+    "    named_struct('run', CAST(0 AS BIGINT), 'negpos', CAST(-1 AS BIGINT)),"
+    "    (acc, r) -> IF(r.run > acc.run OR (r.run = acc.run AND -r.pos > acc.negpos),"
+    "                   named_struct('run', r.run, 'negpos', -r.pos), acc),"
+    "    acc -> acc.run * length(element_at({sh}, CAST(-acc.negpos AS INT)))"
+    "  ) * 1000000 DIV GREATEST(length(__t), 1), 1000000) AS BIGINT) END"
+)
+
+# dup-n: sum over runs >= 2 of run * chars(gram)
+_DUP_EXPR = (
+    "CASE WHEN {sh} IS NULL THEN NULL ELSE CAST(LEAST("
+    "  aggregate(" + _RUNS + ", CAST(0 AS BIGINT),"
+    "    (acc, r) -> acc + IF(r.run >= 2,"
+    "        r.run * length(element_at({sh}, CAST(r.pos AS INT))),"
+    "        CAST(0 AS BIGINT))"
+    "  ) * 1000000 DIV GREATEST(length(__t), 1), 1000000) AS BIGINT) END"
+)
+
+
+def gopher_repetition(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(id, dup_line_frac_fp, dup_para_frac_fp, top2_char_fp,
+    top3_char_fp, top4_char_fp, dup5_char_fp, dup10_char_fp): the
+    Gopher repetition signals in 1e-6 fixed point.
+
+    * duplicate line/paragraph fraction = 1 - distinct/total units
+      (splits on '\\n' / '\\n\\n');
+    * top-n char fraction = count(mode n-gram) * chars(mode) / chars
+      — the mode from run lengths over the sorted gram array, ties
+      to the lexicographically smaller gram;
+    * dup-n char fraction = sum over grams occurring >= 2 times of
+      count * chars(gram) / chars — the DataTrove-style
+      no-overlap-accounting approximation (overlapping spans double
+      count), capped at 1e6; documented, deterministic.
+
+    n-gram signals are NULL under n words (a NULL gram array nulls
+    the whole expression — the dup_ngram_fraction convention).
+    Zero-shuffle projection; per-doc cost is one sort per n plus
+    interpreted-HOF passes sized by the array (see the formulation
+    note above _RUNS)."""
+    from deepseek_ocr_spark.functions.dedup import shingles_col
+
+    out = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        *[
+            F.array_sort(shingles_col(F.col(text_col), n)).alias(
+                f"__sh{n}"
+            )
+            for n in (2, 3, 4, 5, 10)
+        ],
+    )
+
+    def unit_frac(sep: str):
+        u = f"split(__t, '{sep}')"
+        return F.expr(
+            f"CAST(((size({u}) - size(array_distinct({u}))) * 1000000)"
+            f" DIV size({u}) AS BIGINT)"
+        )
+
+    top = lambda n: F.expr(_TOP_EXPR.replace("{sh}", f"__sh{n}"))  # noqa: E731
+    dup = lambda n: F.expr(_DUP_EXPR.replace("{sh}", f"__sh{n}"))  # noqa: E731
+    return out.select(
+        id_col,
+        unit_frac("\\n").alias("dup_line_frac_fp"),
+        unit_frac("\\n\\n").alias("dup_para_frac_fp"),
+        top(2).alias("top2_char_fp"),
+        top(3).alias("top3_char_fp"),
+        top(4).alias("top4_char_fp"),
+        dup(5).alias("dup5_char_fp"),
+        dup(10).alias("dup10_char_fp"),
+    )

@@ -8213,6 +8213,84 @@ ORDER BY doc_id, phrase
 SQL_PHRASE_BLOCKLIST = _phrase_blocklist_sql()
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """The full Gopher repetition-signal pack (Rae 2021 Table A1 —
+    textstats.gopher_repetition): duplicate line/paragraph fractions
+    plus top-2/3/4-gram and duplicated-5/10-gram character fractions,
+    all within-row sorted-run aggregates in exact fixed point."""
+    d = _t(spark, sf_dir, "documents")
+    return TS.gopher_repetition(d).orderBy("doc_id")
+
+
+def _gopher_rep_sql() -> str:
+    def grams(n: int) -> str:
+        return f"""gr{n} AS (
+  SELECT doc_id, g, count(*)::BIGINT AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(l) - {n} + 2),
+             i -> array_to_string(list_slice(l, i, i + {n} - 1), ' ')))
+             AS g
+    FROM w WHERE len(l) >= {n}
+  ) GROUP BY doc_id, g
+)"""
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')
+           AS l,
+         string_split(text, chr(10)) AS ls,
+         string_split(text, chr(10) || chr(10)) AS ps
+  FROM documents
+), {grams(2)}, {grams(3)}, {grams(4)}, {grams(5)}, {grams(10)},
+top2 AS (SELECT doc_id, c, g FROM gr2
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+top3 AS (SELECT doc_id, c, g FROM gr3
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+top4 AS (SELECT doc_id, c, g FROM gr4
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+dup5 AS (SELECT doc_id, sum(c * length(g))::BIGINT AS dup
+  FROM gr5 WHERE c >= 2 GROUP BY doc_id),
+dup10 AS (SELECT doc_id, sum(c * length(g))::BIGINT AS dup
+  FROM gr10 WHERE c >= 2 GROUP BY doc_id)
+SELECT w.doc_id,
+  ((len(ls) - len(list_distinct(ls))) * 1000000 // len(ls))::BIGINT
+    AS dup_line_frac_fp,
+  ((len(ps) - len(list_distinct(ps))) * 1000000 // len(ps))::BIGINT
+    AS dup_para_frac_fp,
+  CASE WHEN len(l) >= 2 THEN
+    least(top2.c * length(top2.g) * 1000000
+          // greatest(length(text), 1), 1000000) END::BIGINT
+    AS top2_char_fp,
+  CASE WHEN len(l) >= 3 THEN
+    least(top3.c * length(top3.g) * 1000000
+          // greatest(length(text), 1), 1000000) END::BIGINT
+    AS top3_char_fp,
+  CASE WHEN len(l) >= 4 THEN
+    least(top4.c * length(top4.g) * 1000000
+          // greatest(length(text), 1), 1000000) END::BIGINT
+    AS top4_char_fp,
+  CASE WHEN len(l) >= 5 THEN
+    least(coalesce(dup5.dup, 0) * 1000000
+          // greatest(length(text), 1), 1000000) END::BIGINT
+    AS dup5_char_fp,
+  CASE WHEN len(l) >= 10 THEN
+    least(coalesce(dup10.dup, 0) * 1000000
+          // greatest(length(text), 1), 1000000) END::BIGINT
+    AS dup10_char_fp
+FROM w
+LEFT JOIN top2 ON top2.doc_id = w.doc_id
+LEFT JOIN top3 ON top3.doc_id = w.doc_id
+LEFT JOIN top4 ON top4.doc_id = w.doc_id
+LEFT JOIN dup5 ON dup5.doc_id = w.doc_id
+LEFT JOIN dup10 ON dup10.doc_id = w.doc_id
+ORDER BY w.doc_id
+"""
+
+
+SQL_GOPHER_REPETITION = _gopher_rep_sql()
+
+
 def q_paragraph_filter(spark, sf_dir):
     """Dolma-shape paragraph filtering (functions/c4.py para_keep):
     per-doc paragraph counts and the rebuilt kept-paragraphs text —
@@ -8992,4 +9070,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # over the verified kNN-graph core (twin shares _knn_core_sql);
     # banding semantics pinned by tests/test_knn_graph.py.
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    # gopher_repetition: below-cut class (b) — within-row sorted-run
+    # aggregates, the paper-complete sibling of in-window
+    # dup_ngram_fraction/gopher_flags; hand-computed fixtures pinned
+    # by tests/test_gopher_repetition.py.
+    "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
 }

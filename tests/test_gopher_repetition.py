@@ -1,0 +1,60 @@
+"""Gopher repetition pack (textstats.gopher_repetition) — hand-
+computed fixtures for every signal, NULL-under-n semantics, caps,
+and determinism."""
+
+from deepseek_ocr_spark.functions import textstats as TS
+
+
+def _rep(spark, text):
+    d = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    return TS.gopher_repetition(d).collect()[0]
+
+
+def test_duplicate_line_and_paragraph_fractions(spark):
+    r = _rep(spark, "a\nb\na\nc\n\nx\n\nb\na\nc")
+    # lines: [a,b,a,c,"",x,"",b,a,c] -> 10 units, 5 distinct
+    assert r["dup_line_frac_fp"] == (10 - 5) * 1_000_000 // 10
+    # paragraphs: ["a\nb\na\nc", "x", "b\na\nc"] -> all distinct
+    assert r["dup_para_frac_fp"] == 0
+
+
+def test_top_ngram_char_fraction_hand_computed(spark):
+    # "to be or not to be" -> bigrams: [to be, be or, or not, not to,
+    # to be]; mode "to be" x2, len 5; text chars 18
+    r = _rep(spark, "to be or not to be")
+    assert r["top2_char_fp"] == min(2 * 5 * 1_000_000 // 18, 1_000_000)
+    # trigram mode count 1 -> pick lexicographically smallest trigram
+    # "be or not" (len 9)
+    assert r["top3_char_fp"] == 1 * 9 * 1_000_000 // 18
+
+
+def test_dup_ngram_char_fraction_and_cap(spark):
+    # no repeated 5-gram in a 6-word sentence of distinct words
+    r = _rep(spark, "one two three four five six")
+    assert r["dup5_char_fp"] == 0
+    # heavy repetition: "w w w w w w w w w w w w" — every 5-gram is
+    # "w w w w w" (8 occurrences, len 9); 8*9*1e6/23 caps at 1e6
+    r2 = _rep(spark, " ".join(["w"] * 12))
+    assert r2["dup5_char_fp"] == 1_000_000
+    assert r2["top2_char_fp"] == 1_000_000
+
+
+def test_null_under_n_words(spark):
+    r = _rep(spark, "just four little words")
+    assert r["top4_char_fp"] is not None  # 4 words -> one 4-gram
+    assert r["dup5_char_fp"] is None
+    assert r["dup10_char_fp"] is None
+    r1 = _rep(spark, "single")
+    assert r1["top2_char_fp"] is None
+    assert r1["dup_line_frac_fp"] == 0
+
+
+def test_partitioning_independent(spark):
+    rows = [(i, ("spam " * (i % 5 + 2)).strip() + " tail words here")
+            for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(map(tuple, TS.gopher_repetition(d).collect()))
+    b = sorted(
+        map(tuple, TS.gopher_repetition(d.repartition(7)).collect())
+    )
+    assert a == b
