@@ -506,6 +506,7 @@ def curate(
     lm_max_nll_ptok_fp: int = 0,
     host_min_quality_fp: int = 0,
     host_min_docs: int = 3,
+    gopher_repetition: bool = False,
     phrase_blocklist: DataFrame | None = None,
     pii_scrub: bool = False,
 ) -> tuple[DataFrame, dict]:
@@ -739,6 +740,15 @@ def curate(
             final, host_min_quality_fp, min_docs=host_min_docs
         )
         funnel["after_host_quality"] = final.count()
+    if gopher_repetition:
+        # the paper's Table A1 repetition thresholds — the heaviest
+        # shallow gate (five per-doc gram sorts; priced in BENCH.md),
+        # so it runs HERE on the smallest surviving frame and is
+        # opt-in; the signals themselves are also available as a
+        # standing attribute via textstats.gopher_repetition
+        final = TS.gopher_repetition_gate(final, id_col="url",
+                                          text_col="text")
+        funnel["after_gopher_repetition"] = final.count()
     if phrase_blocklist is not None:
         # phrase-level content gate (functions/phrases.phrase_gate):
         # join-dependent (anchor votes + anti-join), so unlike the

@@ -768,9 +768,12 @@ def gopher_repetition(
 
     def unit_frac(sep: str):
         u = f"split(__t, '{sep}')"
+        # CAST BEFORE the 1e6 multiply: size() is INT and a page with
+        # > 2147 duplicate units overflows 32 bits (the ttr lesson)
         return F.expr(
-            f"CAST(((size({u}) - size(array_distinct({u}))) * 1000000)"
-            f" DIV size({u}) AS BIGINT)"
+            f"CAST((CAST(size({u}) - size(array_distinct({u}))"
+            f" AS BIGINT) * 1000000)"
+            f" DIV CAST(size({u}) AS BIGINT) AS BIGINT)"
         )
 
     top = lambda n: F.expr(_TOP_EXPR.replace("{sh}", f"__sh{n}"))  # noqa: E731
@@ -785,3 +788,39 @@ def gopher_repetition(
         dup(5).alias("dup5_char_fp"),
         dup(10).alias("dup10_char_fp"),
     )
+
+
+# Rae et al. 2021 Table A1 repetition thresholds (1e-6 fixed point):
+# a doc exceeding ANY of them is dropped by the Gopher rules.
+GOPHER_REP_MAX_FP = {
+    "dup_line_frac_fp": 300_000,
+    "dup_para_frac_fp": 300_000,
+    "top2_char_fp": 200_000,
+    "top3_char_fp": 180_000,
+    "top4_char_fp": 160_000,
+    "dup5_char_fp": 150_000,
+    "dup10_char_fp": 100_000,
+}
+
+
+def gopher_repetition_gate(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_fp: dict | None = None,
+):
+    """Rows of ``df`` passing EVERY Gopher repetition threshold
+    (paper defaults in GOPHER_REP_MAX_FP; NULL signals — docs under n
+    words — pass that rule vacuously: a 4-word doc cannot violate a
+    10-gram bound). One semi-join back onto ``df``; the signal pass
+    itself is the zero-shuffle projection above (priced in BENCH.md —
+    the heaviest shallow gate, run it once and persist the signals,
+    or tag them into the attribute store)."""
+    lims = {**GOPHER_REP_MAX_FP, **(max_fp or {})}
+    sig = gopher_repetition(df, id_col, text_col)
+    keep = sig
+    for col, lim in lims.items():
+        keep = keep.filter(
+            F.col(col).isNull() | (F.col(col) <= F.lit(lim))
+        )
+    return df.join(keep.select(id_col), id_col, "left_semi")

@@ -299,6 +299,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "boundaries)",
     )
     p.add_argument(
+        "--gopher-repetition",
+        action="store_true",
+        help="curate mode: drop docs exceeding any Rae-2021 Table A1 "
+        "repetition threshold (dup line/para fractions, top-2/3/4 and "
+        "dup-5/10 n-gram char fractions) — the heaviest shallow gate, "
+        "opt-in",
+    )
+    p.add_argument(
         "--phrase-blocklist",
         default=None,
         help="curate mode: parquet path of a phrase gazetteer (one "
@@ -599,6 +607,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             lm_max_nll_ptok_fp=args.lm_max_nll_ptok,
             host_min_quality_fp=args.host_min_quality,
             host_min_docs=args.host_min_docs,
+            gopher_repetition=args.gopher_repetition,
             phrase_blocklist=(
                 spark.read.parquet(args.phrase_blocklist)
                 if args.phrase_blocklist

@@ -58,3 +58,32 @@ def test_partitioning_independent(spark):
         map(tuple, TS.gopher_repetition(d.repartition(7)).collect())
     )
     assert a == b
+
+
+def test_gate_thresholds_and_null_vacuous_pass(spark):
+    # doc 1 must be LONG: the top-n char thresholds (16-20%) assume
+    # real documents — in a 90-char doc any single trigram already
+    # exceeds them (Gopher applies min-length rules first)
+    long_ok = " ".join(
+        f"word{i} thing{i} other{i}" for i in range(40)
+    )
+    rows = [
+        (1, long_ok),
+        (2, " ".join(["spam"] * 40)),  # top2 frac ~ 1 -> drop
+        (3, "tiny"),  # single word: ALL n-gram signals NULL -> pass
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kept = {
+        r["doc_id"]
+        for r in TS.gopher_repetition_gate(d).collect()
+    }
+    assert kept == {1, 3}
+
+
+def test_curate_gopher_repetition_wiring(spark, pages_path):
+    from deepseek_ocr_spark.curate import curate
+
+    pages = spark.read.parquet(pages_path)
+    final, funnel = curate(pages, parallelism=4, gopher_repetition=True)
+    assert "after_gopher_repetition" in funnel
+    assert 0 < funnel["after_gopher_repetition"] <= funnel["curated"]
