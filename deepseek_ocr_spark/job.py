@@ -56,6 +56,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             "tag",
             "ship",
             "export-warc",
+            "report",
         ),
         default="extract",
         help="extract: pages -> extracted table; curate: pages -> "
@@ -171,8 +172,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "--tagger",
         default=None,
         help="tag mode: one of the built-in taggers "
-        "(operators/attributes.TAGGERS: gopher, quality, lang, "
-        "tokens, encoding)",
+        "(operators/attributes.TAGGERS: gopher, repetition, quality, "
+        "lang, tokens, encoding)",
     )
     p.add_argument(
         "--incremental",
@@ -625,6 +626,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         else:
             final.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"mode": "curate", **funnel}))
+    elif args.mode == "report":
+        # dataset-card JSON for a (doc_id|url, text, lang, source)
+        # table — printed to stdout and written to --output
+        from deepseek_ocr_spark.report import corpus_report
+
+        docs = spark.read.parquet(args.input)
+        id_c = args.id_col if args.id_col in docs.columns else "doc_id"
+        text_c = "text" if "text" in docs.columns else args.text_col
+        lang_c = "lang" if "lang" in docs.columns else (
+            "lang_guess" if "lang_guess" in docs.columns else id_c
+        )
+        src_c = "source" if "source" in docs.columns else lang_c
+        rep = corpus_report(
+            docs, id_col=id_c, text_col=text_c, lang_col=lang_c,
+            source_col=src_c,
+        )
+        if args.output:
+            import os as _os
+
+            _os.makedirs(_os.path.dirname(args.output) or ".",
+                         exist_ok=True)
+            with open(args.output, "w") as fh:
+                json.dump(rep, fh, sort_keys=True, indent=1)
+        print(json.dumps({"mode": "report", **rep["totals"]}))
     elif args.mode == "export-warc":
         from deepseek_ocr_spark.sources.warc import write_warc_shards
 

@@ -101,8 +101,15 @@ def _tag_encoding(docs, id_col, text_col):
     )
 
 
+def _tag_repetition(docs, id_col, text_col):
+    from deepseek_ocr_spark.functions.textstats import gopher_repetition
+
+    return gopher_repetition(docs, id_col, text_col)
+
+
 TAGGERS = {
     "gopher": _tag_gopher,
+    "repetition": _tag_repetition,
     "quality": _tag_quality,
     "lang": _tag_lang,
     "tokens": _tag_tokens,

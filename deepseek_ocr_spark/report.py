@@ -1,0 +1,100 @@
+"""One-call corpus report — the dataset-card JSON a release ships
+next to the data (HuggingFace dataset cards / Datasheets for
+Datasets): totals per (lang, source), data-quality expectations,
+lexical diagnostics, and a small top-terms sample, computed from the
+engine's existing verified operators in a handful of jobs.
+
+This is deliberately GLUE, not new math: every number comes from an
+operator with its own hash-verified registry query (corpus_rollup,
+corpus expectations, zipf_slope, term_dispersion, doc_ttr), so the
+report inherits their cross-engine contracts. Scale shape is the sum
+of its parts — one scan per family, nothing collected except the
+report-sized dicts themselves.
+
+The reference repo has no reporting surface (per-request OCR
+service); this completes the pipeline-operations family next to
+expectations and the snapshot format's commit stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corpus_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    expectations: tuple | None = None,
+    top_terms: int = 20,
+) -> dict:
+    """JSON-serializable dataset card for a documents frame.
+
+    Sections: ``totals`` (docs/tokens/chars overall), ``by_lang`` /
+    ``by_source`` rollups, ``expectations`` (pass/fail report —
+    default rules check id completeness/uniqueness and non-empty
+    text), ``zipf`` (per-source slope — naturalness), ``ttr``
+    (corpus mean type-token ratio, 1e-6 fp), and ``top_burst_terms``
+    (the highest-burstiness terms — boilerplate suspects)."""
+    from deepseek_ocr_spark.functions import corpusdiag as CD
+    from deepseek_ocr_spark.functions import expectations as EX
+    from deepseek_ocr_spark.functions import textstats as TS
+
+    t = F.col(text_col)
+    totals_row = docs.agg(
+        F.count("*").alias("docs"),
+        F.sum(TS.token_count(t)).alias("tokens"),
+        F.sum(F.length(t)).alias("chars"),
+        F.avg(CD.ttr(text_col)).cast("bigint").alias("mean_ttr_fp"),
+    ).first()
+    by = lambda c: {  # noqa: E731
+        r[c]: {"docs": r["docs"], "tokens": r["tokens"]}
+        for r in docs.groupBy(c)
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(TS.token_count(t)).alias("tokens"),
+        )
+        .collect()
+    }
+    rules = expectations or (
+        ("completeness", id_col, 1_000_000),
+        ("uniqueness", id_col, 1_000_000),
+        ("non_empty", text_col, 950_000),
+    )
+    exp = [
+        {
+            "rule": r["rule"],
+            "column": r["column"],
+            "metric_fp": r["metric_fp"],
+            "passed": bool(r["passed"]),
+        }
+        for r in EX.check_constraints(docs, rules).collect()
+    ]
+    zipf = {
+        r[source_col]: r["slope_fp"]
+        for r in CD.zipf_slope(docs, source_col, text_col).collect()
+    }
+    burst = [
+        {"tok": r["tok"], "df": r["df"], "cf": r["cf"],
+         "burst_fp": r["burst_fp"]}
+        for r in CD.term_dispersion(docs, id_col, text_col)
+        .orderBy(F.desc("burst_fp"), "tok")
+        .limit(top_terms)
+        .collect()
+    ]
+    return {
+        "totals": {
+            "docs": totals_row["docs"],
+            "tokens": int(totals_row["tokens"] or 0),
+            "chars": int(totals_row["chars"] or 0),
+            "mean_ttr_fp": int(totals_row["mean_ttr_fp"] or 0),
+        },
+        "by_lang": by(lang_col),
+        "by_source": by(source_col),
+        "expectations": exp,
+        "zipf_slope_fp": zipf,
+        "top_burst_terms": burst,
+    }

@@ -1,0 +1,58 @@
+"""Dataset-card report (report.corpus_report + --mode report) —
+section contents, expectation integration, and CLI output file."""
+
+import json
+
+from deepseek_ocr_spark.report import corpus_report
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+        (2, "nav nav nav nav words appear here today", "en", "s1"),
+        (3, "der schnelle braune fuchs springt heute hier", "de", "s2"),
+        (4, "nav nav menu and other words appear", "en", "s1"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+
+
+def test_report_sections(spark):
+    rep = corpus_report(_docs(spark))
+    assert rep["totals"]["docs"] == 4
+    assert rep["totals"]["tokens"] == 9 + 8 + 7 + 7
+    assert rep["by_lang"]["en"]["docs"] == 3
+    assert rep["by_source"]["s2"]["tokens"] == 7
+    assert all(e["passed"] for e in rep["expectations"])
+    assert set(rep["zipf_slope_fp"]) <= {"s1", "s2"}
+    assert 0 < rep["totals"]["mean_ttr_fp"] <= 1_000_000
+    # burst terms: 'nav' (6 occurrences across 2 docs -> burst 3.0)
+    # leads every df>=2 term
+    assert rep["top_burst_terms"][0]["tok"] == "nav"
+    json.dumps(rep)  # fully serializable
+
+
+def test_report_flags_broken_corpus(spark):
+    d = _docs(spark).union(_docs(spark).where("doc_id = 1"))  # dup id
+    rep = corpus_report(d)
+    uniq = [e for e in rep["expectations"] if e["rule"] == "uniqueness"]
+    assert uniq and not uniq[0]["passed"]
+
+
+def test_cli_report_mode(spark, tmp_path, capsys):
+    from deepseek_ocr_spark.job import main
+
+    inp = str(tmp_path / "docs")
+    _docs(spark).write.parquet(inp)
+    out = str(tmp_path / "card.json")
+    rc = main(
+        ["--mode", "report", "--input", inp, "--output", out,
+         "--id-col", "doc_id"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["mode"] == "report" and summary["docs"] == 4
+    card = json.load(open(out))
+    assert card["totals"]["docs"] == 4 and "by_lang" in card
