@@ -201,6 +201,10 @@ HEADLINE = [
     "paragraph_filter",
     "hard_negatives",
     "gopher_repetition",
+    # round 4, twentieth wave
+    "temperature_mixture",
+    "retrieval_eval",
+    "capture_drift",
 ]
 
 

@@ -484,3 +484,82 @@ def ln_fp_cols(frame, num, den, out: str):
         .withColumn(out, F.expr(sub(NLL_FP_SQL)))
         .drop(*tmp)
     )
+
+
+# ---------------------------------------------------------------------
+# Fixed-point exp — the inverse of the ln chain above, same contract:
+# only exact integer arithmetic and correctly-rounded double +,-,x,/
+# with expression strings shared verbatim with the DuckDB twin, so
+# both engines produce bit-identical BIGINTs.
+#
+#   exp(x) = 2^k * exp(r),  k = floor(x / ln2),  r = x - k*ln2
+#
+# ln2 enters as the SAME integer literal LN2_FP the ln chain uses
+# (floor(1e6*ln2) = 693147), so exp(ln_fp(r)) round-trips under one
+# consistent constant. Using 2^k for e^(k*0.693147) carries a
+# deterministic relative bias of ~1.8e-7 per |k| (693147e-6 < ln2) —
+# the exact mirror of the ln chain's documented k*0.18e-6 truncation;
+# both engines compute it identically. r lands in [0, 0.6932), where
+# the 10-term Horner Taylor series is accurate to ~2e-9 — far below
+# the 1e-6 grain. Domain: |x_fp| <= ~29e6 keeps 1e6 * e^(x/1e6)
+# inside BIGINT; callers with probability-like inputs (x <= 0) are
+# always safe.
+# ---------------------------------------------------------------------
+
+# Inputs below this clamp would need a 2^63 shift (engine overflow);
+# exp there is < 2e-13 in 1e-6 units, i.e. exactly 0 after the floor,
+# so clamping to the deepest representable exponent loses nothing.
+# Twins must apply the SAME clamp when binding __x (exp_fp_cols does).
+EXP_MIN_FP = -62 * LN2_FP  # -42975114
+
+# Placeholders: __x (1e-6 fixed-point BIGINT), __ek, __er, __es.
+EK_SQL = f"CAST(FLOOR(CAST(__x AS DOUBLE) / {LN2_FP}.0) AS INT)"
+ER_SQL = (
+    f"(CAST(__x - CAST(__ek AS BIGINT) * {LN2_FP} AS DOUBLE) / 1000000.0)"
+)
+ES_SQL = (
+    "(1 + __er*(1 + __er/2*(1 + __er/3*(1 + __er/4*(1 + __er/5*"
+    "(1 + __er/6*(1 + __er/7*(1 + __er/8*(1 + __er/9*(1 + __er/10)"
+    ")))))))))"
+)
+
+
+def exp_fp_sql(shift) -> str:
+    """floor(1e6 * exp(__x/1e6)) from __ek/__es; ``shift(x, amt)``
+    renders an engine's 64-bit left shift (the r2_sql convention)."""
+    return (
+        "CASE WHEN __ek >= 0 THEN CAST(FLOOR(__es * 1000000 * "
+        f"CAST({shift('1', '__ek')} AS DOUBLE)) AS BIGINT) "
+        "ELSE CAST(FLOOR(__es * 1000000 / "
+        f"CAST({shift('1', '(-__ek)')} AS DOUBLE)) AS BIGINT) END"
+    )
+
+
+def exp_fp_cols(frame, x, out: str):
+    """Append ``out`` = floor(1e6 * exp(x / 1e6)) to ``frame`` — THE
+    shared fixed-point exp, the ``ln_fp_cols`` counterpart. ``x`` is a
+    Column (or name) of 1e-6 fixed-point BIGINTs. Temp columns derive
+    from ``out`` with non-overlapping names (the ln_fp_cols hygiene),
+    so chains compose on one frame."""
+    from pyspark.sql import functions as F
+
+    shift = lambda x_, amt: f"shiftleft(cast({x_} as bigint), {amt})"  # noqa: E731
+    tmp = [f"__{c}{out}" for c in ("ex", "ek", "er", "es")]
+    sub = lambda s: (  # noqa: E731
+        s.replace("__x", tmp[0])
+        .replace("__ek", tmp[1])
+        .replace("__er", tmp[2])
+        .replace("__es", tmp[3])
+    )
+    x_c = F.col(x) if isinstance(x, str) else x
+    return (
+        frame.withColumn(
+            tmp[0],
+            F.greatest(x_c.cast("bigint"), F.lit(EXP_MIN_FP)),
+        )
+        .withColumn(tmp[1], F.expr(sub(EK_SQL)))
+        .withColumn(tmp[2], F.expr(sub(ER_SQL)))
+        .withColumn(tmp[3], F.expr(sub(ES_SQL)))
+        .withColumn(out, F.expr(sub(exp_fp_sql(shift))))
+        .drop(*tmp)
+    )

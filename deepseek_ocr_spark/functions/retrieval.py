@@ -391,3 +391,116 @@ def phrase_search(
         .orderBy(F.desc("n_occurrences"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---- Ranked-retrieval evaluation (MRR / DCG / nDCG / recall@k) ------------
+
+DCG_SCALE = 1_000_000_000_000  # rel * 1e12 DIV log2_fp keeps 6 live digits
+
+
+def dcg_log2_fp(rank: int) -> int:
+    """floor(1e6 * log2(rank + 1)) — generated ONCE in Python and baked
+    into BOTH engines as integer literals (the HyperBall corrected-
+    value discipline: no transcendental ever runs in either engine)."""
+    import math
+
+    return math.floor(1_000_000 * math.log2(rank + 1))
+
+
+def retrieval_eval(
+    run: DataFrame,
+    qrels: DataFrame,
+    run_id_col: str,
+    score_col: str,
+    qrel_id_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """One-row retrieval scorecard: (n_rel, n_hit, mrr_fp, dcg_fp,
+    idcg_fp, ndcg_fp, recall_fp) for the top-``k`` of ``run`` against
+    graded ``qrels`` — the receipt every ranking rung of the ladder
+    (bm25 / ann / hybrid rrf) is judged by (Järvelin & Kekäläinen
+    2002 nDCG; TREC MRR/recall@k).
+
+    Inputs are dimension-sized by contract (a retrieval output and a
+    benchmark qrels set — the rrf_fuse precedent), so the rank
+    windows are single tiny partitions and nothing corpus-scale is
+    touched; the expensive part is the upstream retrieval, priced
+    separately. The ideal ranking still avoids a global sort on
+    principle: ``orderBy().limit(k)`` plans TakeOrderedAndProject and
+    the ideal-rank window runs on k rows.
+
+    Determinism across engines: rank = row_number over (score DESC,
+    id ASC); every DCG contribution is ``rel * 1e12 DIV
+    log2_fp(rank+1)`` with the log2 values baked as integer literals
+    (``dcg_log2_fp``) — exact integer division, summed as BIGINTs, so
+    no float ever enters. mrr/ndcg/recall are positive integer DIVs
+    in 1e-6 units. Empty hit sets score 0 across the board."""
+    from pyspark.sql.window import Window
+
+    log2s = F.array(*[F.lit(dcg_log2_fp(r)) for r in range(1, k + 1)])
+    w = Window.orderBy(F.col(score_col).desc(), F.col("__id"))
+    ranked = (
+        run.select(F.col(run_id_col).alias("__id"), F.col(score_col))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+    pos = qrels.filter(F.col(rel_col) > 0).select(
+        F.col(qrel_id_col).alias("__id"),
+        F.col(rel_col).cast("bigint").alias("rel"),
+    )
+    hits = ranked.join(pos, "__id").withColumn(
+        "__l2", F.element_at(log2s, F.col("rank").cast("int"))
+    )
+    m_run = hits.agg(
+        F.coalesce(
+            F.sum(F.expr(f"(rel * {DCG_SCALE}) DIV __l2")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("dcg_fp"),
+        F.min("rank").alias("__first"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+    )
+    iw = Window.orderBy(F.col("rel").desc(), F.col("__id"))
+    ideal = (
+        pos.orderBy(F.col("rel").desc(), F.col("__id"))
+        .limit(k)
+        .withColumn("irank", F.row_number().over(iw).cast("bigint"))
+        .withColumn("__l2", F.element_at(log2s, F.col("irank").cast("int")))
+    )
+    m_ideal = ideal.agg(
+        F.coalesce(
+            F.sum(F.expr(f"(rel * {DCG_SCALE}) DIV __l2")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("idcg_fp")
+    )
+    m_rel = pos.agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    return (
+        m_run.crossJoin(m_ideal)
+        .crossJoin(m_rel)
+        .select(
+            "n_rel",
+            "n_hit",
+            F.expr(
+                "CASE WHEN __first IS NULL THEN 0"
+                " ELSE 1000000 DIV __first END"
+            )
+            .cast("bigint")
+            .alias("mrr_fp"),
+            "dcg_fp",
+            "idcg_fp",
+            F.expr(
+                "CASE WHEN idcg_fp > 0 THEN (dcg_fp * 1000000) DIV idcg_fp"
+                " ELSE 0 END"
+            )
+            .cast("bigint")
+            .alias("ndcg_fp"),
+            F.expr(
+                "CASE WHEN n_rel > 0 THEN (n_hit * 1000000) DIV n_rel"
+                " ELSE 0 END"
+            )
+            .cast("bigint")
+            .alias("recall_fp"),
+        )
+    )

@@ -356,3 +356,67 @@ def weighted_sample(
         .orderBy("key_fp", id_col)
         .limit(k)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    alpha_num: int = 3,
+    alpha_den: int = 10,
+    size_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture weights (XLM-R, Conneau 2019; mT5,
+    Xue 2021): q_i = p_i^alpha / sum_j p_j^alpha with p_i the group's
+    corpus share — THE standard multilingual rebalancing rule (alpha
+    = 0.3 for both papers; alpha = 1 is proportional, alpha -> 0 is
+    uniform). Flattens the head and up-weights the tail WITHOUT the
+    hard caps of the UniMax water-fill (``budget_allocations``); the
+    output (group, weight_fp) frame feeds ``mixture_plan`` directly,
+    completing alpha-sampling -> epoch plan -> epoch_expand.
+
+    Returns (group, n, w_fp, q_fp): group size (rows, or the
+    ``size_col`` sum), the unnormalized p^alpha and the normalized
+    mixture weight, both in 1e-6 fixed point.
+
+    Determinism across engines: p^alpha = exp(alpha * ln p) runs
+    entirely through the repo's shared fixed-point chains —
+    ``ln_fp_cols`` (exact range reduction + atanh series) then
+    ``exp_fp_cols`` (2^k split + Horner Taylor) — with alpha applied
+    as an EXACT rational: x = -((-lnp * alpha_num) DIV alpha_den),
+    negated so the integer division always sees non-negative operands
+    (Spark DIV truncates toward zero while DuckDB // floors — they
+    agree only on non-negatives; ln p <= 0 always). Normalization is
+    a positive DIV. Every group with n > 0 gets w_fp >= 1 in
+    practice: p >= 1/total and alpha ln p >= -alpha*ln(total), inside
+    exp's clamp for any real corpus.
+
+    Scale shape: ONE group-keyed partial agg over the corpus; every
+    later step (ln/exp chains, the unpartitioned normalization
+    window) runs on the dimension-sized group frame — the
+    budget_allocations precedent."""
+    from deepseek_ocr_spark.functions.lm import exp_fp_cols, ln_fp_cols
+
+    size = (
+        F.count(F.lit(1)) if size_col is None else F.sum(size_col)
+    ).cast("bigint")
+    sizes = df.groupBy(group_col).agg(size.alias("n"))
+    w_all = Window.partitionBy()
+    frame = sizes.withColumn(
+        "__tot", F.sum("n").over(w_all).cast("bigint")
+    )
+    frame = ln_fp_cols(frame, "n", "__tot", "__lnp")
+    frame = frame.withColumn(
+        "__x",
+        F.expr(
+            f"-(((-__lnp) * {int(alpha_num)}) DIV {int(alpha_den)})"
+        ).cast("bigint"),
+    )
+    frame = exp_fp_cols(frame, "__x", "w_fp")
+    frame = frame.withColumn(
+        "q_fp",
+        F.expr(
+            "(w_fp * 1000000) DIV "
+            "CAST(sum(w_fp) OVER () AS BIGINT)"
+        ).cast("bigint"),
+    )
+    return frame.select(group_col, "n", "w_fp", "q_fp")

@@ -192,3 +192,124 @@ def url_change_rate(
             .cast("bigint"),
         )
     )
+
+
+# ---- content-level capture drift (recrawl change MAGNITUDE) ----------------
+
+
+def capture_drift(
+    captures: DataFrame,
+    url_col: str,
+    ts_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-url drift between CONSECUTIVE captures as a shingle-set
+    Jaccard: (url, seq, n_prev, n_cur, n_shared, jaccard_fp,
+    drift_fp) for every capture after a url's first. The content-
+    level companion of ``recrawl_changes``: the CDX digest rule only
+    says WHETHER a fetch changed; recrawl schedulers (Cho &
+    Garcia-Molina estimators and their weighted refinements) want HOW
+    MUCH — a rotated ad slot and a rewritten article both flip the
+    digest but should move the crawl budget very differently.
+
+    Per capture the distinct word ``k``-gram set (60-bit md5-prefix
+    ints — the repo's shingle hash); per consecutive pair,
+    ``jaccard_fp = |A∩B| * 1e6 DIV |A∪B|`` and ``drift_fp = 1e6 -
+    jaccard_fp``. Captures under ``k`` words have empty sets; two
+    empty sets count as identical (jaccard 1e6), one-sided emptiness
+    as total drift — pinned so the DuckDB twin agrees on degenerate
+    pages.
+
+    Scale shape: the capture sequence number is one url-keyed window,
+    then the gram stream shuffles ONCE, keyed on (url, gram), into
+    per-gram capture-sequence sets (captures per url are few by
+    contract — a crawl archive holds a handful of snapshots per url —
+    so the sets are tiny arrays). Set sizes and consecutive-pair
+    intersections both derive from that ONE grouped frame by map-side
+    explodes onto (url, seq) keys — no self-join, so the shingle
+    subtree is never evaluated twice (the duplicated-explode trap
+    ngram_jaccard documented; a join formulation measured ~2x slower
+    at sf0.1). Per-url work is bounded by page size x captures, never
+    corpus-quadratic."""
+    from pyspark.sql.window import Window
+
+    from deepseek_ocr_spark.functions.dedup import (
+        md5_prefix_int,
+        shingles_col,
+    )
+
+    seqd = captures.select(
+        F.col(url_col).alias("url"),
+        F.row_number()
+        .over(Window.partitionBy(url_col).orderBy(ts_col))
+        .cast("bigint")
+        .alias("seq"),
+        shingles_col(F.col(text_col), k).alias("__sh"),
+    )
+    per_gram = (
+        seqd.select("url", "seq", F.explode("__sh").alias("__s"))
+        .select("url", "seq", md5_prefix_int(F.col("__s"), 15).alias("g"))
+        .groupBy("url", "g")
+        .agg(F.collect_set("seq").alias("seqs"))
+    )
+    sz = (
+        per_gram.select("url", F.explode("seqs").alias("seq"))
+        .groupBy("url", "seq")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    )
+    spine = (
+        seqd.select("url", "seq")
+        .join(sz, ["url", "seq"], "left")
+        .withColumn("n_cur", F.coalesce("n_grams", F.lit(0)).cast("bigint"))
+        .withColumn(
+            "n_prev",
+            F.lag("n_cur").over(
+                Window.partitionBy("url").orderBy("seq")
+            ),
+        )
+        .filter(F.col("seq") >= 2)
+        .select("url", "seq", "n_prev", "n_cur")
+    )
+    # a gram is shared by the (s, s+1) pair iff both sit in its seq
+    # set; emit the LATER capture's seq per match
+    one = F.lit(1).cast("bigint")
+    inter = (
+        per_gram.select(
+            "url",
+            F.explode(
+                F.filter(
+                    "seqs",
+                    lambda s: F.array_contains(F.col("seqs"), s + one),
+                )
+            ).alias("__p"),
+        )
+        .select("url", (F.col("__p") + 1).alias("seq"))
+        .groupBy("url", "seq")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    out = (
+        spine.join(inter, ["url", "seq"], "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)).cast("bigint"))
+        .withColumn(
+            "jaccard_fp",
+            F.expr(
+                "CASE WHEN n_prev + n_cur - n_shared > 0"
+                " THEN (n_shared * 1000000)"
+                " DIV (n_prev + n_cur - n_shared)"
+                " ELSE 1000000 END"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "drift_fp", (F.lit(1000000) - F.col("jaccard_fp")).cast("bigint")
+        )
+    )
+    return out.select(
+        F.col("url").alias(url_col),
+        "seq",
+        "n_prev",
+        "n_cur",
+        "n_shared",
+        "jaccard_fp",
+        "drift_fp",
+    )

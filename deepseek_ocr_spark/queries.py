@@ -8633,6 +8633,240 @@ ORDER BY doc_id
 """
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture weights (functions/sampling.py
+    temperature_mixture — XLM-R/mT5 alpha-sampling, alpha = 0.3):
+    per-language corpus shares raised to alpha via the shared
+    fixed-point ln -> exp chains (exact range reduction + atanh
+    series, then 2^k split + Horner Taylor — functions/lm.py), alpha
+    applied as the exact rational 3/10 on non-negative operands so
+    Spark DIV and DuckDB // agree. One corpus partial-agg; everything
+    else on the language dimension frame."""
+    from deepseek_ocr_spark.functions.sampling import temperature_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_mixture(d, "lang", 3, 10).orderBy("lang")
+
+
+def _temperature_mixture_sql() -> str:
+    from deepseek_ocr_spark.functions import lm as LM
+
+    shift = lambda x_, amt: f"({x_}::BIGINT << ({amt}))"  # noqa: E731
+    return f"""
+WITH s AS (
+  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+), t AS (
+  SELECT *, (sum(n) OVER ())::BIGINT AS tot FROM s
+), a AS (
+  SELECT *, n::BIGINT AS __num, tot AS __den FROM t
+), b AS (
+  SELECT *, {LM.K_SQL} AS __k FROM a
+), c AS (
+  SELECT *, {LM.r2_sql(shift)} AS __r2 FROM b
+), d AS (
+  SELECT *, {LM.Z_SQL} AS __z FROM c
+), e AS (
+  SELECT *, {LM.Z2_SQL} AS __z2 FROM d
+), f AS (
+  SELECT lang, n, ({LM.NLL_FP_SQL}) AS __lnp FROM e
+), x AS (
+  SELECT lang, n,
+         GREATEST((-(((-__lnp) * 3) // 10))::BIGINT, {LM.EXP_MIN_FP})
+           AS __x
+  FROM f
+), g AS (
+  SELECT *, {LM.EK_SQL} AS __ek FROM x
+), h AS (
+  SELECT *, {LM.ER_SQL} AS __er FROM g
+), i AS (
+  SELECT *, {LM.ES_SQL} AS __es FROM h
+), w AS (
+  SELECT lang, n, ({LM.exp_fp_sql(shift)}) AS w_fp FROM i
+)
+SELECT lang, n, w_fp,
+       ((w_fp * 1000000) // (sum(w_fp) OVER ())::BIGINT)::BIGINT AS q_fp
+FROM w ORDER BY lang
+"""
+
+
+SQL_TEMPERATURE_MIXTURE = _temperature_mixture_sql()
+
+
+_REVAL_K = 10
+_REVAL_TERM = "spark"  # graded rel = least(tf, 3) where tf >= 2
+
+
+def q_retrieval_eval(spark, sf_dir):
+    """Ranked-retrieval scorecard (functions/retrieval.py
+    retrieval_eval): MRR / DCG / nDCG / recall at k=10 for the BM25
+    run against graded term-frequency qrels (rel = least(tf of
+    '{term}', 3) where tf >= 2) — the eval receipt for the retrieval
+    ladder, every metric an exact integer (log2 values baked as
+    literals in both engines)."""
+    from deepseek_ocr_spark.functions import retrieval as RET
+    from deepseek_ocr_spark.functions.dedup import words_col
+
+    d = _t(spark, sf_dir, "documents")
+    run = RET.bm25_topk(d, "doc_id", "text", _BM25_QUERY, k=_BM25_K)
+    tf = F.size(
+        F.filter(
+            words_col(F.col("text")), lambda t: t == F.lit(_REVAL_TERM)
+        )
+    ).cast("bigint")
+    qrels = (
+        d.select("doc_id", tf.alias("tf"))
+        .filter(F.col("tf") >= 2)
+        .select("doc_id", F.least(F.col("tf"), F.lit(3)).alias("rel"))
+    )
+    return RET.retrieval_eval(
+        run, qrels, "doc_id", "score_fp", "doc_id", "rel", k=_REVAL_K
+    )
+
+
+def _retrieval_eval_sql() -> str:
+    from deepseek_ocr_spark.functions import retrieval as RET
+
+    ws = "'[ \\t\\n\\x0B\\f\\r]+'"
+    lits = ", ".join(
+        str(RET.dcg_log2_fp(r)) for r in range(1, _REVAL_K + 1)
+    )
+    return f"""
+WITH run AS ({_bm25_sql()}),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rank
+  FROM run QUALIFY rank <= {_REVAL_K}
+), w AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(trim(text)), {ws}),
+             t -> t = '{_REVAL_TERM}'))::BIGINT AS tf
+  FROM documents
+), q AS (
+  SELECT doc_id, LEAST(tf, 3)::BIGINT AS rel FROM w WHERE tf >= 2
+), hits AS (
+  SELECT rank, rel FROM ranked JOIN q USING (doc_id)
+), m1 AS (
+  SELECT coalesce(sum((rel * {RET.DCG_SCALE}) // ([{lits}])[rank]),
+                  0)::BIGINT AS dcg_fp,
+         min(rank) AS first_rank,
+         count(rel)::BIGINT AS n_hit
+  FROM hits
+), ideal AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS irank
+  FROM q QUALIFY irank <= {_REVAL_K}
+), m2 AS (
+  SELECT coalesce(sum((rel * {RET.DCG_SCALE}) // ([{lits}])[irank]),
+                  0)::BIGINT AS idcg_fp
+  FROM ideal
+), m3 AS (
+  SELECT count(*)::BIGINT AS n_rel FROM q
+)
+SELECT n_rel, n_hit,
+       (CASE WHEN first_rank IS NULL THEN 0
+             ELSE 1000000 // first_rank END)::BIGINT AS mrr_fp,
+       dcg_fp, idcg_fp,
+       (CASE WHEN idcg_fp > 0 THEN (dcg_fp * 1000000) // idcg_fp
+             ELSE 0 END)::BIGINT AS ndcg_fp,
+       (CASE WHEN n_rel > 0 THEN (n_hit * 1000000) // n_rel
+             ELSE 0 END)::BIGINT AS recall_fp
+FROM m1, m2, m3
+"""
+
+
+SQL_RETRIEVAL_EVAL = _retrieval_eval_sql()
+
+
+def q_capture_drift(spark, sf_dir):
+    """Content-level recrawl drift (functions/trends.py
+    capture_drift): consecutive-capture shingle-set Jaccard per url —
+    the change MAGNITUDE next to recrawl_changes' binary digest rule.
+    Captures synthesized deterministically from documents: capture 2
+    appends a small revision note (partial drift), capture 3 (every
+    third url) repeats capture 2 exactly (drift 0)."""
+    from deepseek_ocr_spark.functions import trends as TR
+
+    d = _t(spark, sf_dir, "documents")
+    rev = F.concat(
+        F.col("text"),
+        F.lit(" revision note r"),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    cap1 = d.select(
+        F.col("doc_id").alias("url"),
+        F.lit(1).alias("cap_ts"),
+        F.col("text"),
+    )
+    cap2 = d.select(
+        F.col("doc_id").alias("url"), F.lit(2).alias("cap_ts"),
+        rev.alias("text"),
+    )
+    cap3 = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").alias("url"), F.lit(3).alias("cap_ts"),
+            rev.alias("text"),
+        )
+    )
+    caps = cap1.unionByName(cap2).unionByName(cap3)
+    return TR.capture_drift(caps, "url", "cap_ts", "text").orderBy(
+        "url", "seq"
+    )
+
+
+SQL_CAPTURE_DRIFT = r"""
+WITH caps AS (
+  SELECT doc_id AS url, 1 AS cap_ts, text FROM documents
+  UNION ALL
+  SELECT doc_id, 2, text || ' revision note r' || (doc_id % 7)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 3, text || ' revision note r' || (doc_id % 7)
+  FROM documents WHERE doc_id % 3 = 0
+), seqd AS (
+  SELECT url,
+         row_number() OVER (PARTITION BY url ORDER BY cap_ts)::BIGINT
+           AS seq,
+         string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS ws
+  FROM caps
+), g AS (
+  SELECT DISTINCT url, seq,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT AS g
+  FROM (
+    SELECT url, seq,
+           unnest(list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS s
+    FROM seqd
+  )
+), sz AS (
+  SELECT url, seq, count(*)::BIGINT AS n_grams FROM g GROUP BY url, seq
+), spine AS (
+  SELECT s.url, s.seq,
+         lag(coalesce(z.n_grams, 0))
+           OVER (PARTITION BY s.url ORDER BY s.seq)::BIGINT AS n_prev,
+         coalesce(z.n_grams, 0)::BIGINT AS n_cur
+  FROM seqd s LEFT JOIN sz z ON z.url = s.url AND z.seq = s.seq
+  QUALIFY s.seq >= 2
+), inter AS (
+  SELECT cur.url, cur.seq, count(*)::BIGINT AS n_shared
+  FROM g cur JOIN g prev
+    ON prev.url = cur.url AND prev.g = cur.g AND prev.seq = cur.seq - 1
+  GROUP BY cur.url, cur.seq
+)
+SELECT s.url, s.seq, s.n_prev, s.n_cur,
+       coalesce(i.n_shared, 0)::BIGINT AS n_shared,
+       (CASE WHEN s.n_prev + s.n_cur - coalesce(i.n_shared, 0) > 0
+             THEN (coalesce(i.n_shared, 0) * 1000000)
+                  // (s.n_prev + s.n_cur - coalesce(i.n_shared, 0))
+             ELSE 1000000 END)::BIGINT AS jaccard_fp,
+       (1000000 - (CASE WHEN s.n_prev + s.n_cur - coalesce(i.n_shared, 0) > 0
+             THEN (coalesce(i.n_shared, 0) * 1000000)
+                  // (s.n_prev + s.n_cur - coalesce(i.n_shared, 0))
+             ELSE 1000000 END))::BIGINT AS drift_fp
+FROM spine s LEFT JOIN inter i ON i.url = s.url AND i.seq = s.seq
+ORDER BY s.url, s.seq
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
     "html_markdown": (q_html_markdown, SQL_HTML_MARKDOWN),
@@ -9075,4 +9309,19 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # dup_ngram_fraction/gopher_flags; hand-computed fixtures pinned
     # by tests/test_gopher_repetition.py.
     "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
+    # temperature_mixture: below-cut class (b) — XLM-R/mT5
+    # alpha-sampling through the shared fixed-point ln chain plus the
+    # NEW exp chain (lm.exp_fp_cols — cross-engine bit-identity pinned
+    # by tests/test_sampling.py); feeds in-window mixture_plan.
+    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
+    # retrieval_eval: below-cut class (b) — the MRR/nDCG/recall@k
+    # scorecard over the in-window bm25_topk run (twin composes
+    # _bm25_sql; baked log2 literals, exact integer divisions);
+    # metric semantics pinned by tests/test_retrieval.py.
+    "retrieval_eval": (q_retrieval_eval, SQL_RETRIEVAL_EVAL),
+    # capture_drift: below-cut class (b) — consecutive-capture
+    # shingle Jaccard on the in-window recrawl_changes fixture shape;
+    # degenerate-page and zero-drift semantics pinned by
+    # tests/test_temporal_and_curation.py.
+    "capture_drift": (q_capture_drift, SQL_CAPTURE_DRIFT),
 }

@@ -163,3 +163,74 @@ def test_phrase_search_whitespace_and_case(spark):
         for r in phrase_search(d, "doc_id", "text", "KEY value STORE").collect()
     }
     assert got == {1: 1, 2: 1}
+
+
+# ---- retrieval_eval: hand-computed scorecard -------------------------------
+
+
+def _eval(spark, run_rows, qrel_rows, k=10):
+    from deepseek_ocr_spark.functions.retrieval import retrieval_eval
+
+    run = spark.createDataFrame(run_rows, "id long, score long")
+    qrels = spark.createDataFrame(qrel_rows, "id long, rel long")
+    return retrieval_eval(
+        run, qrels, "id", "score", "id", "rel", k=k
+    ).collect()[0]
+
+
+def test_retrieval_eval_hand_computed(spark):
+    from deepseek_ocr_spark.functions.retrieval import (
+        DCG_SCALE,
+        dcg_log2_fp,
+    )
+
+    # ranking by (score desc, id): 1,2,3,4 -> ranks 1..4
+    run = [(1, 400), (2, 300), (3, 200), (4, 100)]
+    # rel: doc1=3, doc3=1, doc9=2 (unretrieved); doc4 rel=0 ignored
+    qrels = [(1, 3), (3, 1), (9, 2), (4, 0)]
+    r = _eval(spark, run, qrels, k=3)
+    assert r["n_rel"] == 3 and r["n_hit"] == 2
+    assert r["mrr_fp"] == 1_000_000  # first relevant at rank 1
+    # dcg_log2_fp(r) = floor(1e6 * log2(r + 1)): rank 1 divides by
+    # log2(2), rank 3 by log2(4)
+    dcg = 3 * DCG_SCALE // dcg_log2_fp(1) + 1 * DCG_SCALE // dcg_log2_fp(3)
+    # ideal order: rel 3 (doc1), rel 2 (doc9), rel 1 (doc3)
+    idcg = (
+        3 * DCG_SCALE // dcg_log2_fp(1)
+        + 2 * DCG_SCALE // dcg_log2_fp(2)
+        + 1 * DCG_SCALE // dcg_log2_fp(3)
+    )
+    assert r["dcg_fp"] == dcg and r["idcg_fp"] == idcg
+    assert r["ndcg_fp"] == dcg * 1_000_000 // idcg
+    assert r["recall_fp"] == 2 * 1_000_000 // 3
+
+
+def test_retrieval_eval_perfect_and_empty(spark):
+    # perfect ranking: dcg == idcg -> ndcg exactly 1e6
+    run = [(1, 300), (2, 200), (3, 100)]
+    qrels = [(1, 3), (2, 2), (3, 1)]
+    r = _eval(spark, run, qrels, k=3)
+    assert r["ndcg_fp"] == 1_000_000 and r["recall_fp"] == 1_000_000
+    assert r["mrr_fp"] == 1_000_000 and r["n_hit"] == 3
+    # no relevant docs at all -> all-zero scorecard, no div-by-zero
+    r0 = _eval(spark, run, [(9, 1)], k=3)
+    assert (
+        r0["n_hit"],
+        r0["mrr_fp"],
+        r0["dcg_fp"],
+        r0["ndcg_fp"],
+        r0["recall_fp"],
+    ) == (0, 0, 0, 0, 0)
+    assert r0["n_rel"] == 1 and r0["idcg_fp"] > 0
+
+
+def test_retrieval_eval_k_cuts_run_not_qrels(spark):
+    # relevant doc at rank 4 contributes nothing at k=3, but still
+    # counts in n_rel / idcg (the TREC contract)
+    run = [(1, 400), (2, 300), (3, 200), (4, 100)]
+    qrels = [(4, 2)]
+    r = _eval(spark, run, qrels, k=3)
+    assert r["n_hit"] == 0 and r["dcg_fp"] == 0 and r["n_rel"] == 1
+    r4 = _eval(spark, run, qrels, k=4)
+    assert r4["n_hit"] == 1 and r4["mrr_fp"] == 1_000_000 // 4
+    assert r4["ndcg_fp"] == r4["dcg_fp"] * 1_000_000 // r4["idcg_fp"]

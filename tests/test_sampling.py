@@ -495,3 +495,93 @@ def test_frontier_schedule_one_url_per_host_per_wave(spark):
         scores = [s for _, s in entries]
         assert scores == sorted(scores, reverse=True)
 
+
+
+# ---- fixed-point exp + temperature mixture --------------------------------
+
+
+def test_exp_fp_accuracy_and_clamp(spark):
+    import math
+
+    from deepseek_ocr_spark.functions.lm import EXP_MIN_FP, exp_fp_cols
+
+    xs = [0, -1, -250000, -693147, -1386294, -5000000, -20000000,
+          -42975114, -42975115, -90000000, 500000, 2000000, 10000000]
+    df = spark.createDataFrame([(x,) for x in xs], "x bigint")
+    got = {r["x"]: r["e_fp"] for r in exp_fp_cols(df, "x", "e_fp").collect()}
+    for x in xs:
+        true = math.exp(max(x, EXP_MIN_FP) / 1e6) * 1e6
+        # documented bias: ~1.8e-7 relative per |k| plus the floor
+        k = abs(max(x, EXP_MIN_FP)) / 693147 + 1
+        budget = max(2.0, true * 2e-7 * k)
+        assert abs(got[x] - true) <= budget, (x, got[x], true)
+    assert got[-90000000] == got[-42975115] == got[-42975114]  # clamp
+
+
+def test_exp_ln_round_trip(spark):
+    # exp(ln(n/d)) in fixed point lands within a few 1e-6 units of n/d
+    # — the two chains share LN2_FP, so the k-biases cancel.
+    from deepseek_ocr_spark.functions.lm import exp_fp_cols, ln_fp_cols
+
+    pairs = [(1, 2), (1, 3), (7, 97), (1, 1000), (999, 1000), (1, 1)]
+    df = spark.createDataFrame(pairs, "num bigint, den bigint")
+    out = ln_fp_cols(df, "num", "den", "lnr")
+    out = exp_fp_cols(out, "lnr", "e_fp").collect()
+    for r in out:
+        true = r["num"] / r["den"] * 1e6
+        assert abs(r["e_fp"] - true) <= 25, (r["num"], r["den"], r["e_fp"])
+
+
+def _tm(spark, counts, an=3, ad=10):
+    from deepseek_ocr_spark.functions.sampling import temperature_mixture
+
+    rows = [(i, g) for g, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    return {
+        r["lang"]: (r["n"], r["w_fp"], r["q_fp"])
+        for r in temperature_mixture(df, "lang", an, ad).collect()
+    }
+
+
+def test_temperature_uniform_groups_equal_weights(spark):
+    got = _tm(spark, {"aa": 10, "bb": 10, "cc": 10})
+    qs = {q for _, _, q in got.values()}
+    assert len(qs) == 1
+    assert abs(next(iter(qs)) - 333333) <= 1
+
+
+def test_temperature_flattens_toward_tail(spark):
+    # p(head) = 0.9; alpha=0.3 must move mass to the tail: q(head)
+    # well under 0.9, q(tail) well over 0.1, ordering preserved.
+    got = _tm(spark, {"head": 90, "tail": 10})
+    q_head, q_tail = got["head"][2], got["tail"][2]
+    assert q_head + q_tail <= 1_000_000  # floor normalization
+    assert q_head > q_tail  # order preserved
+    import math
+
+    expect_head = 0.9**0.3 / (0.9**0.3 + 0.1**0.3)
+    assert abs(q_head / 1e6 - expect_head) < 1e-3
+    assert abs(q_tail / 1e6 - (1 - expect_head)) < 1e-3
+
+
+def test_temperature_alpha_one_is_proportional(spark):
+    got = _tm(spark, {"a": 75, "b": 25}, an=1, ad=1)
+    assert abs(got["a"][2] - 750000) <= 5
+    assert abs(got["b"][2] - 250000) <= 5
+
+
+def test_temperature_partitioning_independent(spark):
+    from deepseek_ocr_spark.functions.sampling import temperature_mixture
+
+    rows = [(i, f"l{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    a = sorted(
+        map(tuple, temperature_mixture(df, "lang").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            temperature_mixture(df.repartition(13), "lang").collect(),
+        )
+    )
+    assert a == b

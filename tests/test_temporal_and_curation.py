@@ -636,3 +636,77 @@ def test_intradoc_dedup_partitioning_independent(spark):
     assert a == b
     assert all(r[3] == f"nav\nbody {r[0][1:]}\ntail {int(r[0][1:]) % 3}"
                for r in a)
+
+
+# ---- capture_drift: consecutive-capture content change ---------------------
+
+
+def _drift(spark, caps):
+    from deepseek_ocr_spark.functions.trends import capture_drift
+
+    df = spark.createDataFrame(caps, "url long, ts long, text string")
+    return {
+        (r["url"], r["seq"]): (
+            r["n_prev"],
+            r["n_cur"],
+            r["n_shared"],
+            r["jaccard_fp"],
+            r["drift_fp"],
+        )
+        for r in capture_drift(df, "url", "ts", "text").collect()
+    }
+
+
+def test_capture_drift_identical_and_disjoint(spark):
+    caps = [
+        (1, 1, "alpha beta gamma delta"),
+        (1, 2, "alpha beta gamma delta"),  # identical -> drift 0
+        (2, 1, "one two three four"),
+        (2, 2, "five six seven eight"),  # disjoint -> drift 1e6
+    ]
+    got = _drift(spark, caps)
+    assert got[(1, 2)] == (2, 2, 2, 1_000_000, 0)
+    assert got[(2, 2)] == (2, 2, 0, 0, 1_000_000)
+
+
+def test_capture_drift_partial_and_degenerate(spark):
+    caps = [
+        # 4 words -> shingles {abc, bcd}; replace the tail word:
+        # {abc, bce} -> inter {abc} 1 of 3 -> jaccard 333333
+        (1, 1, "a b c d"),
+        (1, 2, "a b c e"),
+        # under-k captures have empty shingle sets: empty -> empty is
+        # identical; empty -> non-empty is total drift
+        (2, 1, "x y"),
+        (2, 2, "x"),
+        (2, 3, "p q r s"),
+        # first captures never emit a row
+        (3, 1, "lonely first capture"),
+    ]
+    got = _drift(spark, caps)
+    assert got[(1, 2)] == (2, 2, 1, 333_333, 666_667)
+    assert got[(2, 2)] == (0, 0, 0, 1_000_000, 0)
+    assert got[(2, 3)][3] == 0 and got[(2, 3)][4] == 1_000_000
+    assert (3, 1) not in got and (3, 2) not in got
+    assert len(got) == 3
+
+
+def test_capture_drift_partitioning_independent(spark):
+    from deepseek_ocr_spark.functions.trends import capture_drift
+
+    caps = [
+        (u, t, f"w{u} common text body version {t if u % 2 else 1}")
+        for u in range(40)
+        for t in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(caps, "url long, ts long, text string")
+    a = sorted(map(tuple, capture_drift(df, "url", "ts", "text").collect()))
+    b = sorted(
+        map(
+            tuple,
+            capture_drift(
+                df.repartition(17), "url", "ts", "text"
+            ).collect(),
+        )
+    )
+    assert a == b
