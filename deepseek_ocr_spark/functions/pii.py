@@ -112,3 +112,75 @@ def pii_counts(col: Column) -> tuple[Column, Column, Column, Column]:
         F.regexp_count(col, F.lit(PHONE_RE)),
         F.regexp_count(col, F.lit(CRED_RE)),
     )
+
+
+# ---- Dolma-style span emission (attribute-store parity) --------------------
+#
+# Dolma's taggers store SPANS (start, end, kind) next to the corpus so
+# redaction/excision decisions stay auditable and reversible; the
+# scrub above rewrites text. Span extraction needs match POSITIONS,
+# which regexp_replace/regexp_count cannot surface — so this one lives
+# as an Arrow-batched pandas UDF over the SAME pattern constants
+# (rows-only for the oracle: Python re has no DuckDB twin; semantics
+# pinned by tests instead). Per-pattern scans on the PRE-scrub text,
+# the pii_counts contract — overlapping spans are possible (a dotted
+# quad inside an email domain reports under both classes); consumers
+# excising spans must merge overlaps first.
+
+PII_KINDS = (
+    ("email", EMAIL_RE),
+    ("cred", CRED_RE),
+    ("ipv6", IPV6_RE),
+    ("ipv4", IPV4_RE),
+    ("phone", PHONE_RE),
+)
+
+_COMPILED = None
+
+
+def _compiled():
+    global _COMPILED
+    if _COMPILED is None:
+        import re
+
+        _COMPILED = [(k, re.compile(p)) for k, p in PII_KINDS]
+    return _COMPILED
+
+
+def find_pii_spans(text: str) -> list[dict]:
+    """[{kind, start, end}, ...] sorted by (start, end, kind) — the
+    single-threaded reference the UDF and the tests share."""
+    spans = []
+    for kind, pat in _compiled():
+        for m in pat.finditer(text):
+            spans.append(
+                {"kind": kind, "start": m.start(), "end": m.end()}
+            )
+    spans.sort(key=lambda s: (s["start"], s["end"], s["kind"]))
+    return spans
+
+
+def pii_spans_json_udf():
+    """Arrow-batched column: JSON array of spans (compact separators,
+    fixed key order) — the Dolma attribute payload shape. NULL text
+    maps to NULL."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _spans(s):
+        return s.map(
+            lambda t: None
+            if t is None
+            else json.dumps(
+                [
+                    [sp["kind"], sp["start"], sp["end"]]
+                    for sp in find_pii_spans(t)
+                ],
+                separators=(",", ":"),
+            )
+        )
+
+    _spans.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_spans, "string")

@@ -824,3 +824,37 @@ def gopher_repetition_gate(
             F.col(col).isNull() | (F.col(col) <= F.lit(lim))
         )
     return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+# ---- zlib compression ratio (The Pile / Dolma-family entropy signal) ------
+
+
+ZLIB_LEVEL = 6  # the zlib default; pinned so reruns are byte-stable
+
+
+def zlib_len_udf():
+    """Arrow-batched column: DEFLATE-compressed byte length of the
+    utf-8 text at the pinned zlib level. The compression-ratio signal
+    published pipelines gate on from both sides (too compressible =
+    templated/repetitive boilerplate; near-incompressible = binary
+    junk or encoding damage) — a whole-document redundancy measure
+    the per-signal Gopher fractions approximate piecewise.
+
+    Per-row Python is unavoidable here (no DEFLATE in either SQL
+    engine), so this is the Arrow-batched slow path by design —
+    rows-only for the oracle, semantics pinned by tests against
+    python zlib directly. NULL text maps to NULL."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _clen(s):
+        return s.map(
+            lambda t: None
+            if t is None
+            else len(zlib.compress(t.encode("utf-8"), ZLIB_LEVEL))
+        )
+
+    _clen.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_clen, "bigint")

@@ -173,7 +173,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         default=None,
         help="tag mode: one of the built-in taggers "
         "(operators/attributes.TAGGERS: gopher, repetition, quality, "
-        "lang, tokens, encoding)",
+        "lang, tokens, encoding, pii, compress)",
     )
     p.add_argument(
         "--incremental",

@@ -107,6 +107,48 @@ def _tag_repetition(docs, id_col, text_col):
     return gopher_repetition(docs, id_col, text_col)
 
 
+def _tag_pii(docs, id_col, text_col):
+    """Dolma-parity PII tagger: per-class occurrence counts (JVM
+    regexp scans) plus the span list as a JSON attribute payload
+    (Arrow-batched — positions need Python re; functions/pii.py).
+    Spans let ship predicates and downstream excision reference exact
+    offsets instead of rewritten text."""
+    from deepseek_ocr_spark.functions import pii as P
+
+    t = F.col(text_col)
+    n_emails, n_ips, n_phones, n_creds = P.pii_counts(t)
+    return docs.select(
+        id_col,
+        n_emails.cast("bigint").alias("n_emails"),
+        n_ips.cast("bigint").alias("n_ips"),
+        n_phones.cast("bigint").alias("n_phones"),
+        n_creds.cast("bigint").alias("n_creds"),
+        P.pii_spans_json_udf()(t).alias("spans_json"),
+    )
+
+
+def _tag_compress(docs, id_col, text_col):
+    """zlib compression-ratio tagger: (n_raw_bytes, n_zlib_bytes,
+    ratio_fp) with ratio in 1e-6 units of compressed/raw — gate from
+    both sides in keep_sql (low = templated/repetitive, near-1e6+ =
+    binary junk). Empty text rates NULL (no bytes to judge)."""
+    from deepseek_ocr_spark.functions import textstats as TS
+
+    t = F.col(text_col)
+    raw = F.octet_length(t).cast("bigint")
+    return docs.select(
+        id_col,
+        raw.alias("n_raw_bytes"),
+        TS.zlib_len_udf()(t).alias("n_zlib_bytes"),
+    ).withColumn(
+        "ratio_fp",
+        F.when(
+            F.col("n_raw_bytes") > 0,
+            F.expr("(n_zlib_bytes * 1000000) DIV n_raw_bytes"),
+        ).cast("bigint"),
+    )
+
+
 TAGGERS = {
     "gopher": _tag_gopher,
     "repetition": _tag_repetition,
@@ -114,6 +156,8 @@ TAGGERS = {
     "lang": _tag_lang,
     "tokens": _tag_tokens,
     "encoding": _tag_encoding,
+    "pii": _tag_pii,
+    "compress": _tag_compress,
 }
 
 

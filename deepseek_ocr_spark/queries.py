@@ -8867,6 +8867,31 @@ ORDER BY s.url, s.seq
 """
 
 
+def q_pii_spans(spark, sf_dir):
+    """Dolma-parity PII span tagger (operators/attributes.py _tag_pii):
+    per-class counts via the shared JVM patterns plus span offsets as
+    a JSON attribute payload (Arrow-batched pandas UDF over the SAME
+    pattern constants — positions are not expressible in either SQL
+    engine, so this entry is rows-only by nature; span semantics are
+    pinned against the single-threaded reference in tests)."""
+    from deepseek_ocr_spark.operators import attributes as AT
+
+    d = _t(spark, sf_dir, "documents")
+    return AT.tag(d, "pii").orderBy("doc_id")
+
+
+def q_compression_signal(spark, sf_dir):
+    """zlib compression-ratio signal (operators/attributes.py
+    _tag_compress): DEFLATE byte length at the pinned level over the
+    utf-8 text — the whole-document redundancy measure (The Pile /
+    Dolma family). Rows-only by nature (no DEFLATE in either SQL
+    engine); ratio arithmetic and NULL semantics pinned by tests."""
+    from deepseek_ocr_spark.operators import attributes as AT
+
+    d = _t(spark, sf_dir, "documents")
+    return AT.tag(d, "compress").orderBy("doc_id")
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
     "html_markdown": (q_html_markdown, SQL_HTML_MARKDOWN),
@@ -9324,4 +9349,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # degenerate-page and zero-drift semantics pinned by
     # tests/test_temporal_and_curation.py.
     "capture_drift": (q_capture_drift, SQL_CAPTURE_DRIFT),
+    # pii_spans / compression_signal: below-cut, rows-only BY NATURE
+    # (the ivf_topk precedent): span positions and DEFLATE lengths
+    # have no SQL-engine twin; both are Arrow-batched pandas UDFs —
+    # the documented slow path — with semantics pinned against
+    # single-threaded references in tests/test_attributes.py. The
+    # count columns of the pii tagger ride the SAME pattern constants
+    # the hash-verified pii_scrub query already gates.
+    "pii_spans": (q_pii_spans, None),
+    "compression_signal": (q_compression_signal, None),
 }
