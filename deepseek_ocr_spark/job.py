@@ -53,6 +53,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             "markdown",
             "curate-increment",
             "optimize-table",
+            "analyze-table",
             "tag",
             "ship",
             "export-warc",
@@ -80,7 +81,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "(consumed source version recorded in the manifest; "
         "idempotent no-op when up to date); optimize-table: bin-pack "
         "the --input snapshot table's small data files (< "
-        "--small-bytes) into a row-identical new snapshot; tag: run "
+        "--small-bytes) into a row-identical new snapshot; "
+        "analyze-table: one-pass ANALYZE of the --input snapshot "
+        "table (row count, per-column null counts + HLL NDV, "
+        "manifest-folded min/max) persisted as an atomic stats "
+        "sidecar (table_stats reads it back, staleness-flagged); "
+        "tag: run "
         "one --tagger over the --input docs table and commit the "
         "(id, attrs) frame as a snapshot table at --output (the "
         "Dolma attribute-store write side); ship: compose --input "
@@ -445,7 +451,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.make_zip:
         print(package_zip())
         return 0
-    if args.mode == "optimize-table":
+    if args.mode in ("optimize-table", "analyze-table"):
         if not args.input:
             print("--input is required", file=sys.stderr)
             return 2
@@ -475,6 +481,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "version": m["version"],
             "rewrote_files": m["rewrote_files"],
         }))
+        if own_session:
+            spark.stop()
+        return 0
+    if args.mode == "analyze-table":
+        from deepseek_ocr_spark.operators.snapshot_table import (
+            analyze_table,
+        )
+
+        stats = analyze_table(spark, args.input)
+        print(json.dumps({"mode": "analyze-table", **stats}))
         if own_session:
             spark.stop()
         return 0

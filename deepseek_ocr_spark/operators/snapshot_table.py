@@ -961,6 +961,11 @@ def vacuum(
             dropped_snaps += 1
         except FileNotFoundError:
             pass
+        # ANALYZE sidecars keyed to expired snapshots go with them
+        try:
+            os.remove(_stats_path(table, i))
+        except FileNotFoundError:
+            pass
     deleted = 0
     now = time.time()
     for d in os.listdir(table):
@@ -1296,3 +1301,173 @@ def zorder_table(
     }
     _commit(table, manifest)
     return manifest
+
+
+# ---- ANALYZE: table-level column statistics (the Iceberg puffin layer) ----
+#
+# Per-file min/max stats (above) serve scan-time skipping; planners
+# additionally want TABLE-level statistics — row count, per-column
+# null counts and NDV estimates — to size joins (broadcast or
+# shuffle?), pick build sides, and sanity-check corpus health.
+# Iceberg stores these as statistics files referenced from table
+# metadata (puffin); the sandbox analog is an atomic JSON sidecar in
+# _snapshots/ keyed to the ANALYZED version, advisory by design (no
+# new snapshot — stats describe table state, they are not table
+# state, so there is nothing to commit-race over).
+#
+# NDV uses the repo's deterministic 16-register HLL construction
+# (functions/graph.py HyperBall registers, functions/sketches.py
+# precedent) — ONE map-side-combining aggregation computes row count
+# + every column's null count + every column's registers in a single
+# corpus scan; the estimates evaluate engine-side on the 1-row agg
+# frame. Table-level min/max come from the MANIFEST's per-file stats
+# (metadata-only, no scan).
+
+_NDV_TYPES = _STATS_TYPES | {"boolean"}
+
+
+def _hb_prefixed_est(prefix: str) -> str:
+    """The HyperBall estimate expression over registers named
+    ``{prefix}{j}`` — the graph.py arithmetic with parameterizable
+    register names (a naive r{j} rename cascades: 'r1' matches inside
+    'r15')."""
+    from deepseek_ocr_spark.functions.graph import (
+        HB_LC,
+        HB_LC_MAX,
+        HB_REGS,
+        HB_SHIFT_BASE,
+        _HB_EST_NUM,
+    )
+
+    s = " + ".join(
+        f"shiftleft(cast(1 as bigint), {HB_SHIFT_BASE} - {prefix}{j})"
+        for j in range(HB_REGS)
+    )
+    v = " + ".join(
+        f"(CASE WHEN {prefix}{j} = 0 THEN 1 ELSE 0 END)"
+        for j in range(HB_REGS)
+    )
+    raw = (
+        f"CAST(FLOOR(CAST({_HB_EST_NUM} AS DOUBLE) / "
+        f"(1000e0 * CAST(({s}) AS DOUBLE))) AS BIGINT)"
+    )
+    lc = " ".join(
+        f"WHEN {val} THEN {HB_LC[val]}" for val in range(1, HB_REGS + 1)
+    )
+    return (
+        f"CASE WHEN ({raw}) <= {HB_LC_MAX} AND ({v}) > 0 "
+        f"THEN (CASE ({v}) {lc} END) ELSE ({raw}) END"
+    )
+
+
+def _stats_path(table: str, version: int) -> str:
+    return os.path.join(table, _SNAPDIR, f"stats-v{version:08d}.json")
+
+
+def analyze_table(
+    spark: SparkSession,
+    table: str,
+    columns=None,
+    version: int | None = None,
+) -> dict:
+    """Compute and persist table statistics for ``version`` (default:
+    latest): ``n_rows`` plus per-column ``null_count`` (exact),
+    ``ndv_est`` (deterministic 16-register HLL over non-null values),
+    and ``min``/``max`` folded from the manifest's per-file stats
+    (metadata-only; absent when any file lacks stats for the column).
+    ``columns`` defaults to every primitive column. ONE corpus scan,
+    one wide map-side-combining aggregate; the sidecar write is
+    atomic (tmp + rename), so re-ANALYZE simply replaces the file.
+    Returns the stats dict (also retrievable via ``table_stats``)."""
+    from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+    from deepseek_ocr_spark.functions.graph import HB_REGS, _hb_rho_sql
+
+    v = current_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    m = _load_manifest(table, v)
+    df = snapshot_read(spark, table, version=v)
+    cols = list(columns) if columns is not None else [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in _NDV_TYPES
+    ]
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"analyze_table: unknown column(s) {missing}")
+    proj = [F.count(F.lit(1)).cast("bigint").alias("__n_rows")]
+    hashed = df.select(
+        *[
+            md5_prefix_int(F.col(c).cast("string"), 15).alias(f"__h_{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    for i, _c in enumerate(cols):
+        h = F.col(f"__h_{i}")
+        rho = F.expr(_hb_rho_sql(f"__h_{i} DIV {HB_REGS}"))
+        proj.append(
+            F.sum(h.isNull().cast("bigint")).cast("bigint").alias(f"__nul_{i}")
+        )
+        proj.extend(
+            F.max(
+                F.when(h.isNotNull() & ((h % HB_REGS) == j), rho).otherwise(0)
+            )
+            .cast("int")
+            .alias(f"__c{i}_r{j}")
+            for j in range(HB_REGS)
+        )
+    agged = hashed.agg(*proj)
+    ests = agged.select(
+        "__n_rows",
+        *[F.col(f"__nul_{i}") for i in range(len(cols))],
+        *[
+            F.expr(_hb_prefixed_est(f"__c{i}_r")).alias(f"__ndv_{i}")
+            for i in range(len(cols))
+        ],
+    ).collect()[0]
+    # table-level min/max folded from manifest per-file stats —
+    # only when EVERY file carries stats for the column (else the
+    # fold would understate the true range)
+    per_file = m.get("stats", {})
+    col_stats: dict = {}
+    for i, c in enumerate(cols):
+        entry = {
+            "null_count": ests[f"__nul_{i}"],
+            "ndv_est": ests[f"__ndv_{i}"],
+        }
+        files = m.get("files", [])
+        if files and all(c in per_file.get(f, {}) for f in files):
+            entry["min"] = min(per_file[f][c][0] for f in files)
+            entry["max"] = max(per_file[f][c][1] for f in files)
+        col_stats[c] = entry
+    stats = {
+        "analyzed_version": v,
+        "ts": time.time(),
+        "n_rows": ests["__n_rows"],
+        "columns": col_stats,
+    }
+    path = _stats_path(table, v)
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh)
+    os.replace(tmp, path)
+    return stats
+
+
+def table_stats(table: str) -> dict | None:
+    """The newest persisted ANALYZE result at or below the current
+    version, with ``stale=True`` when the table has moved past the
+    analyzed snapshot (appends/merges invalidate counts), or None if
+    the table was never analyzed (or every analyzed snapshot
+    expired)."""
+    v = current_version(table)
+    if v is None:
+        return None
+    for i in range(v, 0, -1):
+        p = _stats_path(table, i)
+        if os.path.exists(p):
+            with open(p) as fh:
+                stats = json.load(fh)
+            stats["stale"] = stats["analyzed_version"] < v
+            return stats
+    return None

@@ -574,3 +574,24 @@ def test_cli_tag_rerun_overwrites_not_duplicates(spark, tmp_path, capsys):
         assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["rows"] == 1  # v2 replaced v1, no duplicate ids
+
+
+def test_cli_analyze_table_mode(spark, tmp_path, capsys):
+    """--mode analyze-table persists the stats sidecar and prints the
+    scorecard; table_stats reads the same answer back."""
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    t = str(tmp_path / "snap")
+    ST.snapshot_write(
+        spark.createDataFrame(
+            [(f"u{i}", i % 3) for i in range(30)], "url string, v long"
+        ),
+        t,
+    )
+    rc = main(["--mode", "analyze-table", "--input", t], spark=spark)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["mode"] == "analyze-table"
+    assert summary["n_rows"] == 30
+    assert summary["columns"]["url"]["null_count"] == 0
+    assert ST.table_stats(t)["n_rows"] == 30

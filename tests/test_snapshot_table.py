@@ -785,3 +785,78 @@ def test_zorder_conflicts_with_concurrent_append(spark, tmp_path):
         STM.current_version = orig
     # the racer's rows were never lost
     assert ST.snapshot_read(spark, t).count() == 120
+
+
+# ---- ANALYZE: table statistics sidecar --------------------------------------
+
+
+def test_analyze_table_stats_and_staleness(spark, tmp_path):
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"s{i % 7}", None if i % 5 == 0 else i * 2) for i in range(200)],
+        "id long, src string, val long",
+    )
+    ST.snapshot_write(df, t)
+    stats = ST.analyze_table(spark, t)
+    assert stats["n_rows"] == 200
+    cols = stats["columns"]
+    assert cols["id"]["null_count"] == 0
+    assert cols["val"]["null_count"] == 40
+    # HLL tolerance: ~26% raw range; the 16-register small range is
+    # coarser still (7 values can collide into fewer registers — the
+    # estimate is deterministic for given values, not exact)
+    assert abs(cols["id"]["ndv_est"] - 200) <= 60
+    assert 2 <= cols["src"]["ndv_est"] <= 14
+    # manifest-folded min/max (metadata only)
+    assert cols["id"]["min"] == 0 and cols["id"]["max"] == 199
+    # reader round trip, not stale yet
+    back = ST.table_stats(t)
+    assert back["analyzed_version"] == 1 and back["stale"] is False
+    assert back["columns"]["src"]["ndv_est"] == cols["src"]["ndv_est"]
+    # an append invalidates: stats survive but flag stale
+    ST.snapshot_write(
+        spark.createDataFrame([(999, "new", 1)], "id long, src string, val long"),
+        t,
+    )
+    back2 = ST.table_stats(t)
+    assert back2["stale"] is True and back2["n_rows"] == 200
+    # re-analyze at the new version replaces the answer
+    stats2 = ST.analyze_table(spark, t)
+    assert stats2["n_rows"] == 201 and ST.table_stats(t)["stale"] is False
+
+
+def test_analyze_table_column_subset_and_errors(spark, tmp_path):
+    import pytest
+
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    t = str(tmp_path / "tbl")
+    ST.snapshot_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"), t
+    )
+    stats = ST.analyze_table(spark, t, columns=["s"])
+    assert list(stats["columns"]) == ["s"]
+    with pytest.raises(ValueError, match="unknown column"):
+        ST.analyze_table(spark, t, columns=["nope"])
+    assert ST.table_stats(str(tmp_path / "never")) is None
+
+
+def test_vacuum_sweeps_expired_stats_sidecars(spark, tmp_path):
+    import os
+
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        ST.snapshot_write(
+            spark.createDataFrame([(i,)], "id long"), t
+        )
+        ST.analyze_table(spark, t)
+    assert os.path.exists(ST._stats_path(t, 1))
+    ST.vacuum(t, keep_last=1, orphan_age_secs=0)
+    assert not os.path.exists(ST._stats_path(t, 1))
+    assert not os.path.exists(ST._stats_path(t, 2))
+    # the surviving snapshot's sidecar still reads back
+    assert ST.table_stats(t)["analyzed_version"] == 3
