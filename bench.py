@@ -205,6 +205,9 @@ HEADLINE = [
     "temperature_mixture",
     "retrieval_eval",
     "capture_drift",
+    "pii_spans",
+    "compression_signal",
+    "bitext_align",
 ]
 
 

@@ -1,0 +1,195 @@
+"""Gale-Church sentence alignment (Gale & Church 1993, "A Program
+for Aligning Sentences in Bilingual Corpora").
+
+The third rung of the bitext stack: ``sitemaps.bitext_page_pairs``
+proposes page pairs from hreflang declarations,
+``similarity.bitext_margin_pairs`` mines document pairs by embedding
+margin, and THIS operator turns an aligned document pair into
+SENTENCE pairs — the unit an MT/multilingual trainer actually
+consumes. Gale-Church is the published length-based dynamic program:
+no dictionaries, no embeddings, just the empirical regularity that
+translated sentences have proportional lengths.
+
+Per pair, sentences split on a pinned terminal-punctuation rule; the
+DP minimizes ``-ln P(bead type) + length cost`` over bead types
+1-1, 1-0, 0-1, 2-1, 1-2, 2-2 with the paper's priors and the
+length model ``delta = (l2 - l1*c) / sqrt(l1 * s2)`` (c = 1,
+s2 = 6.8), cost ``-ln(2 * (1 - Phi(|delta|)))``.
+
+The DP is inherently row-wise sequential (O(n*m) per pair with the
+banded bead set), so it runs as an Arrow-batched pandas UDF — the
+documented slow path, rows-only for the oracle (no SQL engine can
+express the recurrence); the pure function is the single-threaded
+reference the UDF and the tests share. Scale shape: per-PAIR work
+bounded by sentence counts; pairs distribute embarrassingly — the
+expensive part of bitext mining is the upstream candidate
+generation, already priced.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+# pinned sentence splitter: terminal punctuation followed by
+# whitespace (the readability sentence-run rule, kept in sync by the
+# tests); trailing fragment without terminal punctuation counts as a
+# final sentence
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])[ \t\n\r\f\v]+")
+
+# Gale-Church 1993 bead priors
+_BEAD_PRIORS = {
+    (1, 1): 0.89,
+    (1, 0): 0.0099,
+    (0, 1): 0.0099,
+    (2, 1): 0.089 / 2,
+    (1, 2): 0.089 / 2,
+    (2, 2): 0.011,
+}
+_GC_C = 1.0  # expected chars-in-B per char-in-A
+_GC_S2 = 6.8  # variance per A-side char
+_BIG = 1e18
+
+
+def split_sentences(text: str) -> list[str]:
+    """Pinned sentence split; empty/whitespace text yields []."""
+    if text is None:
+        return []
+    parts = [p for p in _SENT_SPLIT_RE.split(text.strip()) if p]
+    return parts
+
+
+def _length_cost(la: int, lb: int) -> float:
+    """-ln(2 * (1 - Phi(|delta|))) for the paired char lengths; the
+    paper's two-sided tail probability of the length discrepancy."""
+    if la == 0 and lb == 0:
+        return 0.0
+    mean = (la + lb / _GC_C) / 2.0
+    if mean <= 0:
+        return _BIG
+    delta = (lb - la * _GC_C) / math.sqrt(mean * _GC_S2)
+    # two-sided tail via erfc; floor the probability so -ln stays finite
+    tail = max(math.erfc(abs(delta) / math.sqrt(2.0)), 1e-300)
+    return -math.log(tail)
+
+
+def gale_church(lens_a: list[int], lens_b: list[int]) -> list[tuple]:
+    """Alignment beads [(a_start, a_end, b_start, b_end), ...] over
+    sentence-length lists — half-open index ranges per side (an empty
+    range = the 1-0/0-1 insertion/deletion bead). Deterministic: on
+    equal DP cost the bead ORDER in _BEAD_PRIORS breaks the tie
+    (1-1 preferred, then deletions, then merges)."""
+    n, m = len(lens_a), len(lens_b)
+    # prefix sums so a 2-sentence bead costs its summed length
+    pa = [0]
+    for v in lens_a:
+        pa.append(pa[-1] + v)
+    pb = [0]
+    for v in lens_b:
+        pb.append(pb[-1] + v)
+    cost = [[_BIG] * (m + 1) for _ in range(n + 1)]
+    back = [[None] * (m + 1) for _ in range(n + 1)]
+    cost[0][0] = 0.0
+    beads = list(_BEAD_PRIORS.items())
+    for i in range(n + 1):
+        for j in range(m + 1):
+            base = cost[i][j]
+            if base >= _BIG:
+                continue
+            for (da, db), prior in beads:
+                ni, nj = i + da, j + db
+                if ni > n or nj > m:
+                    continue
+                la = pa[ni] - pa[i]
+                lb = pb[nj] - pb[j]
+                c = base - math.log(prior) + _length_cost(la, lb)
+                if c < cost[ni][nj] - 1e-12:
+                    cost[ni][nj] = c
+                    back[ni][nj] = (i, j)
+    out = []
+    i, j = n, m
+    if back[i][j] is None and (i, j) != (0, 0):
+        return []  # unreachable only if both sides empty mismatch
+    while (i, j) != (0, 0):
+        pi, pj = back[i][j]
+        out.append((pi, i, pj, j))
+        i, j = pi, pj
+    out.reverse()
+    return out
+
+
+def align_pair(text_a: str, text_b: str) -> dict:
+    """The single-threaded reference: sentences + beads + the 1-1
+    count for one document pair."""
+    sa = split_sentences(text_a)
+    sb = split_sentences(text_b)
+    beads = gale_church([len(s) for s in sa], [len(s) for s in sb])
+    n11 = sum(
+        1 for (a0, a1, b0, b1) in beads if a1 - a0 == 1 and b1 - b0 == 1
+    )
+    return {
+        "n_sents_a": len(sa),
+        "n_sents_b": len(sb),
+        "beads": [list(b) for b in beads],
+        "n_1to1": n11,
+    }
+
+
+def gale_church_align(
+    pairs,
+    id_col: str,
+    text_a_col: str,
+    text_b_col: str,
+):
+    """(id, n_sents_a, n_sents_b, n_beads, n_1to1, beads_json) per
+    candidate pair — beads as a compact JSON array of
+    [a_start, a_end, b_start, b_end] half-open sentence ranges (the
+    attribute-payload convention). Arrow-batched; NULL on either text
+    yields NULL alignment columns (the pair is reported, not
+    silently dropped)."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def _align(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ta, tb in zip(a, b):
+            if ta is None or tb is None:
+                out.append(None)
+                continue
+            r = align_pair(ta, tb)
+            out.append(
+                json.dumps(
+                    [
+                        r["n_sents_a"],
+                        r["n_sents_b"],
+                        r["n_1to1"],
+                        len(r["beads"]),
+                        r["beads"],
+                    ],
+                    separators=(",", ":"),
+                )
+            )
+        return pd.Series(out)
+
+    _align.__annotations__ = {
+        "a": pd.Series,
+        "b": pd.Series,
+        "return": pd.Series,
+    }
+    udf = pandas_udf(_align, "string")
+    packed = pairs.select(
+        F.col(id_col),
+        udf(F.col(text_a_col), F.col(text_b_col)).alias("__r"),
+    )
+    g = lambda i: F.get_json_object(F.col("__r"), f"$[{i}]")  # noqa: E731
+    return packed.select(
+        id_col,
+        g(0).cast("bigint").alias("n_sents_a"),
+        g(1).cast("bigint").alias("n_sents_b"),
+        g(3).cast("bigint").alias("n_beads"),
+        g(2).cast("bigint").alias("n_1to1"),
+        g(4).alias("beads_json"),
+    )

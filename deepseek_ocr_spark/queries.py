@@ -8892,6 +8892,45 @@ def q_compression_signal(spark, sf_dir):
     return AT.tag(d, "compress").orderBy("doc_id")
 
 
+def q_bitext_align(spark, sf_dir):
+    """Gale-Church sentence alignment (functions/align.py) over
+    synthesized document pairs: side A = the doc's first 60 words cut
+    into 8-word sentences; side B = the same, minus the last 16 words
+    on every third doc (expect trailing deletion beads there, all-1-1
+    elsewhere). Rows-only by nature — the DP recurrence has no SQL
+    twin; bead semantics are pinned against the single-threaded
+    reference in tests/test_align.py."""
+    from deepseek_ocr_spark.functions.align import gale_church_align
+    from deepseek_ocr_spark.functions.dedup import words_col
+
+    d = _t(spark, sf_dir, "documents")
+
+    def sent_text(words):
+        return F.array_join(
+            F.transform(
+                words,
+                lambda w, i: F.when(
+                    (i + 1) % 8 == 0, F.concat(w, F.lit("."))
+                ).otherwise(w),
+            ),
+            " ",
+        )
+
+    w60 = F.slice(words_col(F.col("text")), 1, 60)
+    pairs = d.select(
+        "doc_id",
+        sent_text(w60).alias("text_a"),
+        sent_text(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.slice(w60, 1, 44)
+            ).otherwise(w60)
+        ).alias("text_b"),
+    )
+    return gale_church_align(pairs, "doc_id", "text_a", "text_b").orderBy(
+        "doc_id"
+    )
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
     "html_markdown": (q_html_markdown, SQL_HTML_MARKDOWN),
@@ -9358,4 +9397,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # the hash-verified pii_scrub query already gates.
     "pii_spans": (q_pii_spans, None),
     "compression_signal": (q_compression_signal, None),
+    # bitext_align: below-cut, rows-only BY NATURE — the Gale-Church
+    # DP recurrence has no SQL-engine twin; bead semantics (1-1 /
+    # deletion / merge, priors, tie order) pinned against the
+    # single-threaded reference in tests/test_align.py. Completes the
+    # bitext stack: hreflang_bitext candidates -> bitext_mine margin
+    # pairs -> sentence beads.
+    "bitext_align": (q_bitext_align, None),
 }

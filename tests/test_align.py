@@ -1,0 +1,124 @@
+"""Gale-Church sentence alignment (functions/align.py): the pure DP
+reference (bead semantics, priors, tie order) and the Arrow-batched
+column twin."""
+
+import json
+
+from deepseek_ocr_spark.functions.align import (
+    align_pair,
+    gale_church,
+    gale_church_align,
+    split_sentences,
+)
+
+
+def test_split_sentences_pinned_rule():
+    assert split_sentences("One. Two! Three? Frag") == [
+        "One.",
+        "Two!",
+        "Three?",
+        "Frag",
+    ]
+    # terminal punctuation NOT followed by whitespace does not split
+    assert split_sentences("v1.2 is out. Yes.") == ["v1.2 is out.", "Yes."]
+    assert split_sentences("   ") == []
+    assert split_sentences(None) == []
+
+
+def test_identical_docs_align_one_to_one():
+    a = "First sentence here. Second one is a bit longer. Third! Frag"
+    r = align_pair(a, a)
+    assert r["n_sents_a"] == r["n_sents_b"] == 4
+    assert r["n_1to1"] == 4
+    assert r["beads"] == [[i, i + 1, i, i + 1] for i in range(4)]
+
+
+def test_deletion_vs_merge_preference():
+    # GC's published model makes bare deletions EXPENSIVE (the 0.0099
+    # prior plus the one-sided length tail), so a trailing extra
+    # sentence folds into a 2-1 merge rather than a 1-0 bead...
+    a = "Alpha beta gamma delta. Epsilon zeta eta theta. Iota kappa."
+    b = "Alpha beta gamma delta. Epsilon zeta eta theta."
+    r = align_pair(a, b)
+    assert r["beads"] == [[0, 1, 0, 1], [1, 3, 1, 2]]
+    assert r["n_1to1"] == 1
+    # ...but a count mismatch the bead set cannot merge away IS
+    # expressed as 1-0 insertions/deletions
+    assert gale_church([10, 10, 10], [10]) == [
+        (0, 1, 0, 0),
+        (1, 3, 0, 1),
+    ]
+    assert gale_church([10], []) == [(0, 1, 0, 0)]
+
+
+def test_merge_bead_two_to_one():
+    a = "Alpha beta gamma. Delta epsilon zeta. Closing line here."
+    b = "Alpha beta gamma delta epsilon zeta. Closing line here."
+    r = align_pair(a, b)
+    assert r["beads"] == [[0, 2, 0, 1], [2, 3, 1, 2]]
+
+
+def test_one_sided_empty_degenerates_to_insertions():
+    r = align_pair("", "x. y.")
+    assert r["beads"] == [[0, 0, 0, 1], [0, 0, 1, 2]]
+    assert align_pair("", "") == {
+        "n_sents_a": 0,
+        "n_sents_b": 0,
+        "beads": [],
+        "n_1to1": 0,
+    }
+
+
+def test_gale_church_total_cover_invariant():
+    # beads tile BOTH index ranges exactly, in order, no gaps
+    la = [12, 40, 9, 33, 21]
+    lb = [13, 38, 35, 20]
+    beads = gale_church(la, lb)
+    ca = cb = 0
+    for a0, a1, b0, b1 in beads:
+        assert a0 == ca and b0 == cb and a1 >= a0 and b1 >= b0
+        ca, cb = a1, b1
+    assert ca == len(la) and cb == len(lb)
+
+
+def test_column_twin_matches_reference(spark):
+    rows = [
+        (1, "One two three. Four five six. Seven.",
+         "One two three. Four five six. Seven."),
+        (2, "Alpha beta gamma. Delta epsilon zeta. Closing line here.",
+         "Alpha beta gamma delta epsilon zeta. Closing line here."),
+        (3, None, "x."),
+        (4, "Only a fragment", ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, ta string, tb string")
+    got = {
+        r["id"]: r
+        for r in gale_church_align(df, "id", "ta", "tb").collect()
+    }
+    for i, ta, tb in rows:
+        if ta is None or tb is None:
+            assert got[i]["beads_json"] is None
+            assert got[i]["n_1to1"] is None
+            continue
+        ref = align_pair(ta, tb)
+        assert got[i]["n_sents_a"] == ref["n_sents_a"]
+        assert got[i]["n_sents_b"] == ref["n_sents_b"]
+        assert got[i]["n_beads"] == len(ref["beads"])
+        assert got[i]["n_1to1"] == ref["n_1to1"]
+        assert json.loads(got[i]["beads_json"]) == ref["beads"]
+
+
+def test_column_twin_partitioning_independent(spark):
+    rows = [
+        (i, f"s{i} a b c. d e f g. h i.", f"s{i} a b c. d e f g.")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, ta string, tb string")
+    a = sorted(map(tuple, gale_church_align(df, "id", "ta", "tb").collect()))
+    b = sorted(
+        map(
+            tuple,
+            gale_church_align(df.repartition(11), "id", "ta", "tb").collect(),
+        )
+    )
+    assert a == b
