@@ -1440,10 +1440,19 @@ def analyze_table(
             entry["min"] = min(per_file[f][c][0] for f in files)
             entry["max"] = max(per_file[f][c][1] for f in files)
         col_stats[c] = entry
+    files = m.get("files", [])
+    total_bytes = 0
+    for f in files:
+        try:
+            total_bytes += os.path.getsize(os.path.join(table, f))
+        except OSError:
+            pass  # vacuumed under us; sizes stay a lower bound
     stats = {
         "analyzed_version": v,
         "ts": time.time(),
         "n_rows": ests["__n_rows"],
+        "n_files": len(files),
+        "total_bytes": total_bytes,
         "columns": col_stats,
     }
     path = _stats_path(table, v)
@@ -1471,3 +1480,41 @@ def table_stats(table: str) -> dict | None:
             stats["stale"] = stats["analyzed_version"] < v
             return stats
     return None
+
+
+def broadcast_advice(
+    table_a: str,
+    table_b: str,
+    threshold_bytes: int = 10 << 20,
+) -> dict:
+    """Join-planning advice from persisted ANALYZE stats — the
+    consumer the stats layer exists for: which side (if either) fits
+    a broadcast under ``threshold_bytes`` (Spark's
+    autoBroadcastJoinThreshold contract), plus the row counts and
+    on-disk sizes the decision used. Purely metadata — no scan, no
+    session. Sides never analyzed return advice "analyze_first";
+    stale stats still advise (sizes only move with appends — the
+    advice names staleness so the caller can re-ANALYZE)."""
+    sa, sb = table_stats(table_a), table_stats(table_b)
+    if sa is None or sb is None:
+        return {
+            "advice": "analyze_first",
+            "missing": [
+                t
+                for t, s in ((table_a, sa), (table_b, sb))
+                if s is None
+            ],
+        }
+    small, big, side = (
+        (sa, sb, "a") if sa["total_bytes"] <= sb["total_bytes"] else (sb, sa, "b")
+    )
+    fits = small["total_bytes"] <= threshold_bytes
+    return {
+        "advice": f"broadcast_{side}" if fits else "shuffle_join",
+        "small_bytes": small["total_bytes"],
+        "big_bytes": big["total_bytes"],
+        "small_rows": small["n_rows"],
+        "big_rows": big["n_rows"],
+        "stale": bool(sa.get("stale") or sb.get("stale")),
+        "threshold_bytes": threshold_bytes,
+    }

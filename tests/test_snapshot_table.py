@@ -860,3 +860,38 @@ def test_vacuum_sweeps_expired_stats_sidecars(spark, tmp_path):
     assert not os.path.exists(ST._stats_path(t, 2))
     # the surviving snapshot's sidecar still reads back
     assert ST.table_stats(t)["analyzed_version"] == 3
+
+
+def test_broadcast_advice_from_stats(spark, tmp_path):
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    small = str(tmp_path / "dim")
+    big = str(tmp_path / "fact")
+    ST.snapshot_write(
+        spark.createDataFrame([(i, f"n{i}") for i in range(10)],
+                              "k long, name string"),
+        small,
+    )
+    ST.snapshot_write(
+        spark.createDataFrame(
+            [(i % 10, "x" * 200) for i in range(5000)],
+            "k long, payload string",
+        ),
+        big,
+    )
+    # not analyzed yet -> explicit refusal, naming the missing sides
+    adv0 = ST.broadcast_advice(small, big)
+    assert adv0["advice"] == "analyze_first" and adv0["missing"]
+    ST.analyze_table(spark, small)
+    ST.analyze_table(spark, big)
+    adv = ST.broadcast_advice(small, big)
+    assert adv["advice"] == "broadcast_a" and adv["stale"] is False
+    assert adv["small_rows"] == 10 and adv["big_rows"] == 5000
+    assert 0 < adv["small_bytes"] < adv["big_bytes"]
+    # a 1-byte threshold forces the shuffle answer
+    assert ST.broadcast_advice(small, big, threshold_bytes=1)[
+        "advice"
+    ] == "shuffle_join"
+    # table sizes now ride the stats dict
+    st = ST.table_stats(big)
+    assert st["n_files"] >= 1 and st["total_bytes"] == adv["big_bytes"]
