@@ -118,12 +118,23 @@ def gale_church(lens_a: list[int], lens_b: list[int]) -> list[tuple]:
     return out
 
 
-def align_pair(text_a: str, text_b: str) -> dict:
+MAX_SENTS = 500  # per-side DP bound: O(n*m) on a book-length pair
+# would wedge a task; the published GC program bounds work the same
+# way (paragraph-level pre-alignment). Truncation is NEVER silent —
+# the flag rides the output (the LSH mega-bucket-cap contract).
+
+
+def align_pair(text_a: str, text_b: str, max_sents: int = MAX_SENTS) -> dict:
     """The single-threaded reference: sentences + beads + the 1-1
-    count for one document pair."""
+    count for one document pair. Sides longer than ``max_sents``
+    sentences align only their head, with ``truncated`` set."""
     sa = split_sentences(text_a)
     sb = split_sentences(text_b)
-    beads = gale_church([len(s) for s in sa], [len(s) for s in sb])
+    truncated = len(sa) > max_sents or len(sb) > max_sents
+    beads = gale_church(
+        [len(s) for s in sa[:max_sents]],
+        [len(s) for s in sb[:max_sents]],
+    )
     n11 = sum(
         1 for (a0, a1, b0, b1) in beads if a1 - a0 == 1 and b1 - b0 == 1
     )
@@ -132,6 +143,7 @@ def align_pair(text_a: str, text_b: str) -> dict:
         "n_sents_b": len(sb),
         "beads": [list(b) for b in beads],
         "n_1to1": n11,
+        "truncated": truncated,
     }
 
 
@@ -167,6 +179,7 @@ def gale_church_align(
                         r["n_sents_b"],
                         r["n_1to1"],
                         len(r["beads"]),
+                        1 if r["truncated"] else 0,
                         r["beads"],
                     ],
                     separators=(",", ":"),
@@ -191,5 +204,6 @@ def gale_church_align(
         g(1).cast("bigint").alias("n_sents_b"),
         g(3).cast("bigint").alias("n_beads"),
         g(2).cast("bigint").alias("n_1to1"),
-        g(4).alias("beads_json"),
+        (g(4).cast("int") == 1).alias("truncated"),
+        g(5).alias("beads_json"),
     )

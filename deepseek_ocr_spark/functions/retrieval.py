@@ -423,7 +423,9 @@ def retrieval_eval(
     2002 nDCG; TREC MRR/recall@k).
 
     Inputs are dimension-sized by contract (a retrieval output and a
-    benchmark qrels set — the rrf_fuse precedent), so the rank
+    benchmark qrels set — the rrf_fuse precedent); ``qrels`` must be
+    unique per id (a duplicate id would multiply its hit through the
+    join). The rank
     windows are single tiny partitions and nothing corpus-scale is
     touched; the expensive part is the upstream retrieval, priced
     separately. The ideal ranking still avoids a global sort on

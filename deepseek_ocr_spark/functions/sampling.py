@@ -396,6 +396,11 @@ def temperature_mixture(
     budget_allocations precedent."""
     from deepseek_ocr_spark.functions.lm import exp_fp_cols, ln_fp_cols
 
+    if alpha_num <= 0 or alpha_den <= 0:
+        raise ValueError(
+            "temperature_mixture: alpha must be a positive rational "
+            f"(got {alpha_num}/{alpha_den})"
+        )
     size = (
         F.count(F.lit(1)) if size_col is None else F.sum(size_col)
     ).cast("bigint")

@@ -219,7 +219,10 @@ def capture_drift(
     jaccard_fp``. Captures under ``k`` words have empty sets; two
     empty sets count as identical (jaccard 1e6), one-sided emptiness
     as total drift — pinned so the DuckDB twin agrees on degenerate
-    pages.
+    pages. ``ts_col`` must order a url's captures TOTALLY (the CDX
+    14-digit timestamp does); equal timestamps would make the
+    sequence numbering partition-order-dependent — pass a composite
+    sort column (e.g. ``struct(ts, digest)``) if ties are possible.
 
     Scale shape: the capture sequence number is one url-keyed window,
     then the gram stream shuffles ONCE, keyed on (url, gram), into

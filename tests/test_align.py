@@ -66,7 +66,19 @@ def test_one_sided_empty_degenerates_to_insertions():
         "n_sents_b": 0,
         "beads": [],
         "n_1to1": 0,
+        "truncated": False,
     }
+
+
+def test_dp_bound_truncates_loudly():
+    # a book-length side aligns only its head and SAYS so — the
+    # O(n*m) DP must never wedge a task silently
+    long_a = "Word one two three. " * 40
+    r = align_pair(long_a, long_a, max_sents=10)
+    assert r["truncated"] is True
+    assert r["n_sents_a"] == 40  # true count reported, not the cut
+    assert max(b[1] for b in r["beads"]) == 10  # beads cover the head
+    assert align_pair("a. b.", "a. b.")["truncated"] is False
 
 
 def test_gale_church_total_cover_invariant():
@@ -105,6 +117,7 @@ def test_column_twin_matches_reference(spark):
         assert got[i]["n_sents_b"] == ref["n_sents_b"]
         assert got[i]["n_beads"] == len(ref["beads"])
         assert got[i]["n_1to1"] == ref["n_1to1"]
+        assert got[i]["truncated"] is False
         assert json.loads(got[i]["beads_json"]) == ref["beads"]
 
 

@@ -95,12 +95,21 @@ def test_headline_queries_stay_jvm_side(spark, name):
 
 def test_registry_queries_jvm_only_except_designated():
     """Every registry query must compile to a JVM-only plan, except
-    the two deliberately-pandas-UDF operators (regex-with-callback
-    semantics that SQL cannot express)."""
+    the deliberately-pandas-UDF operators: regex-with-callback
+    semantics (repetition_clamp, formula_clean), match POSITIONS
+    (pii_spans), DEFLATE (compression_signal), and the Gale-Church
+    DP recurrence (bitext_align) — each rows-only in the registry
+    with its rationale at the registry row."""
     from deepseek_ocr_spark.plans.audit import uses_python_eval
     from deepseek_ocr_spark.queries import REGISTRY
 
-    designated = {"repetition_clamp", "formula_clean"}
+    designated = {
+        "repetition_clamp",
+        "formula_clean",
+        "pii_spans",
+        "compression_signal",
+        "bitext_align",
+    }
     from deepseek_ocr_spark.session import get_spark
 
     spark = get_spark()
