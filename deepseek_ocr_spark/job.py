@@ -187,7 +187,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="tag mode: tag only the docs added/updated in the "
         "--input SNAPSHOT table since this attribute table's last "
         "run (change-feed driven; consumed source version rides the "
-        "attribute manifest); no new source -> idempotent no-op",
+        "attribute manifest); no new source -> idempotent no-op. "
+        "analyze-table mode: scan only files added since the last "
+        "analysis and merge (HLL registers are mergeable; removed "
+        "files force a full rescan)",
     )
     p.add_argument(
         "--attrs",
@@ -486,10 +489,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return 0
     if args.mode == "analyze-table":
         from deepseek_ocr_spark.operators.snapshot_table import (
+            analyze_increment,
             analyze_table,
         )
 
-        stats = analyze_table(spark, args.input)
+        fn = analyze_increment if args.incremental else analyze_table
+        stats = fn(spark, args.input)
+        stats.pop("stale", None)  # up-to-date increment returns it
         print(json.dumps({"mode": "analyze-table", **stats}))
         if own_session:
             spark.stop()

@@ -1325,41 +1325,6 @@ def zorder_table(
 
 _NDV_TYPES = _STATS_TYPES | {"boolean"}
 
-
-def _hb_prefixed_est(prefix: str) -> str:
-    """The HyperBall estimate expression over registers named
-    ``{prefix}{j}`` — the graph.py arithmetic with parameterizable
-    register names (a naive r{j} rename cascades: 'r1' matches inside
-    'r15')."""
-    from deepseek_ocr_spark.functions.graph import (
-        HB_LC,
-        HB_LC_MAX,
-        HB_REGS,
-        HB_SHIFT_BASE,
-        _HB_EST_NUM,
-    )
-
-    s = " + ".join(
-        f"shiftleft(cast(1 as bigint), {HB_SHIFT_BASE} - {prefix}{j})"
-        for j in range(HB_REGS)
-    )
-    v = " + ".join(
-        f"(CASE WHEN {prefix}{j} = 0 THEN 1 ELSE 0 END)"
-        for j in range(HB_REGS)
-    )
-    raw = (
-        f"CAST(FLOOR(CAST({_HB_EST_NUM} AS DOUBLE) / "
-        f"(1000e0 * CAST(({s}) AS DOUBLE))) AS BIGINT)"
-    )
-    lc = " ".join(
-        f"WHEN {val} THEN {HB_LC[val]}" for val in range(1, HB_REGS + 1)
-    )
-    return (
-        f"CASE WHEN ({raw}) <= {HB_LC_MAX} AND ({v}) > 0 "
-        f"THEN (CASE ({v}) {lc} END) ELSE ({raw}) END"
-    )
-
-
 def _stats_path(table: str, version: int) -> str:
     return os.path.join(table, _SNAPDIR, f"stats-v{version:08d}.json")
 
@@ -1379,9 +1344,6 @@ def analyze_table(
     one wide map-side-combining aggregate; the sidecar write is
     atomic (tmp + rename), so re-ANALYZE simply replaces the file.
     Returns the stats dict (also retrievable via ``table_stats``)."""
-    from deepseek_ocr_spark.functions.dedup import md5_prefix_int
-    from deepseek_ocr_spark.functions.graph import HB_REGS, _hb_rho_sql
-
     v = current_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots at {table}")
@@ -1395,6 +1357,18 @@ def analyze_table(
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"analyze_table: unknown column(s) {missing}")
+    n_rows, col_scan = _analyze_frame(df, cols)
+    return _write_analyze_sidecar(table, m, v, n_rows, cols, col_scan)
+
+
+def _analyze_frame(df: DataFrame, cols: list[str]):
+    """ONE wide map-side-combining aggregate over ``df``: returns
+    (n_rows, {col: {"null_count", "registers"}}) — the mergeable raw
+    state (HLL registers merge by element-wise max; counts add),
+    shared by full ANALYZE and the incremental path."""
+    from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+    from deepseek_ocr_spark.functions.graph import HB_REGS, _hb_rho_sql
+
     proj = [F.count(F.lit(1)).cast("bigint").alias("__n_rows")]
     hashed = df.select(
         *[
@@ -1416,31 +1390,62 @@ def analyze_table(
             .alias(f"__c{i}_r{j}")
             for j in range(HB_REGS)
         )
-    agged = hashed.agg(*proj)
-    ests = agged.select(
-        "__n_rows",
-        *[F.col(f"__nul_{i}") for i in range(len(cols))],
-        *[
-            F.expr(_hb_prefixed_est(f"__c{i}_r")).alias(f"__ndv_{i}")
-            for i in range(len(cols))
-        ],
-    ).collect()[0]
-    # table-level min/max folded from manifest per-file stats —
-    # only when EVERY file carries stats for the column (else the
-    # fold would understate the true range)
-    per_file = m.get("stats", {})
-    col_stats: dict = {}
-    for i, c in enumerate(cols):
-        entry = {
-            "null_count": ests[f"__nul_{i}"],
-            "ndv_est": ests[f"__ndv_{i}"],
+    row = hashed.agg(*proj).collect()[0]
+    out = {
+        c: {
+            "null_count": row[f"__nul_{i}"],
+            "registers": [row[f"__c{i}_r{j}"] for j in range(HB_REGS)],
         }
-        files = m.get("files", [])
+        for i, c in enumerate(cols)
+    }
+    return row["__n_rows"], out
+
+
+def _hb_estimate(regs: list[int]) -> int:
+    """Python twin of the engine-side HyperBall estimate — the SAME
+    correctly-rounded op sequence (int->double conversions, one
+    multiply, one divide, floor; integer linear-counting literals),
+    so full and incremental ANALYZE agree bit-for-bit on merged
+    registers."""
+    import math
+
+    from deepseek_ocr_spark.functions.graph import (
+        HB_LC,
+        HB_LC_MAX,
+        HB_REGS,
+        HB_SHIFT_BASE,
+        _HB_EST_NUM,
+    )
+
+    s = sum(1 << (HB_SHIFT_BASE - r) for r in regs)
+    v = sum(1 for r in regs if r == 0)
+    raw = math.floor(float(_HB_EST_NUM) / (1000.0 * float(s)))
+    if raw <= HB_LC_MAX and v > 0:
+        return HB_LC[v]
+    return raw
+
+
+def _write_analyze_sidecar(
+    table: str, m: dict, v: int, n_rows: int, cols, col_scan: dict
+) -> dict:
+    """Assemble + atomically persist the stats sidecar: estimates
+    from registers, min/max folded from the manifest's per-file
+    stats (only when EVERY file carries stats for the column — else
+    the fold would understate the true range), sizes via getsize
+    (metadata-only, vacuum-tolerant lower bound)."""
+    per_file = m.get("stats", {})
+    files = m.get("files", [])
+    col_stats: dict = {}
+    for c in cols:
+        entry = {
+            "null_count": col_scan[c]["null_count"],
+            "ndv_est": _hb_estimate(col_scan[c]["registers"]),
+            "registers": col_scan[c]["registers"],
+        }
         if files and all(c in per_file.get(f, {}) for f in files):
             entry["min"] = min(per_file[f][c][0] for f in files)
             entry["max"] = max(per_file[f][c][1] for f in files)
         col_stats[c] = entry
-    files = m.get("files", [])
     total_bytes = 0
     for f in files:
         try:
@@ -1450,7 +1455,7 @@ def analyze_table(
     stats = {
         "analyzed_version": v,
         "ts": time.time(),
-        "n_rows": ests["__n_rows"],
+        "n_rows": n_rows,
         "n_files": len(files),
         "total_bytes": total_bytes,
         "columns": col_stats,
@@ -1461,6 +1466,78 @@ def analyze_table(
         json.dump(stats, fh)
     os.replace(tmp, path)
     return stats
+
+
+def analyze_increment(spark: SparkSession, table: str) -> dict:
+    """Incremental ANALYZE: scan ONLY the data files added since the
+    last persisted analysis and MERGE into the previous stats — HLL
+    registers merge by element-wise max, row/null counts add, min/max
+    and sizes re-fold from the new manifest (metadata-only). The
+    reason the sidecar stores raw registers: sketches are mergeable
+    where estimates are not; a year of monthly appends pays O(new
+    crawl) per month, never O(corpus) — the tag_increment discipline
+    applied to statistics.
+
+    Falls back to a FULL re-analysis when (a) the table was never
+    analyzed, (b) any file was REMOVED since the analyzed version
+    (merge/overwrite/compaction rewrote rows — counts are not
+    subtractable), or (c) a pre-registers sidecar is found. Columns
+    added by schema evolution since the last analysis merge exactly:
+    pre-evolution rows read the new column as NULL, so its prior
+    state is (null_count = prev n_rows, empty registers).
+    Up-to-date tables return the existing stats unchanged."""
+    prev = table_stats(table)
+    v_now = current_version(table)
+    if v_now is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    if (
+        prev is None
+        or any("registers" not in e for e in prev["columns"].values())
+    ):
+        return analyze_table(spark, table)
+    v_prev = prev["analyzed_version"]
+    if v_prev >= v_now:
+        return prev
+    added, removed = diff_files(table, v_prev, v_now)
+    if removed:
+        return analyze_table(spark, table)
+    m = _load_manifest(table, v_now)
+    new_df = _read_files(spark, table, m, added)
+    cols = [
+        f.name
+        for f in new_df.schema.fields
+        if f.dataType.typeName() in _NDV_TYPES
+    ]
+    if added:
+        n_new, scan_new = _analyze_frame(new_df, cols)
+    else:
+        from deepseek_ocr_spark.functions.graph import HB_REGS
+
+        n_new, scan_new = 0, {
+            c: {"null_count": 0, "registers": [0] * HB_REGS} for c in cols
+        }
+    prev_cols = prev["columns"]
+    merged: dict = {}
+    for c in cols:
+        if c in prev_cols:
+            p = prev_cols[c]
+            merged[c] = {
+                "null_count": p["null_count"] + scan_new[c]["null_count"],
+                "registers": [
+                    max(a, b)
+                    for a, b in zip(
+                        p["registers"], scan_new[c]["registers"]
+                    )
+                ],
+            }
+        else:  # evolution-added: old rows surface it as NULL
+            merged[c] = {
+                "null_count": prev["n_rows"] + scan_new[c]["null_count"],
+                "registers": scan_new[c]["registers"],
+            }
+    return _write_analyze_sidecar(
+        table, m, v_now, prev["n_rows"] + n_new, cols, merged
+    )
 
 
 def table_stats(table: str) -> dict | None:

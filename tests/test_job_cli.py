@@ -595,3 +595,23 @@ def test_cli_analyze_table_mode(spark, tmp_path, capsys):
     assert summary["n_rows"] == 30
     assert summary["columns"]["url"]["null_count"] == 0
     assert ST.table_stats(t)["n_rows"] == 30
+
+
+def test_cli_analyze_table_incremental(spark, tmp_path, capsys):
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    t = str(tmp_path / "snap")
+    ST.snapshot_write(
+        spark.createDataFrame([("u1", 1)], "url string, v long"), t
+    )
+    assert main(["--mode", "analyze-table", "--input", t], spark=spark) == 0
+    ST.snapshot_write(
+        spark.createDataFrame([("u2", 2)], "url string, v long"), t
+    )
+    rc = main(
+        ["--mode", "analyze-table", "--input", t, "--incremental"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_rows"] == 2 and out["analyzed_version"] == 2

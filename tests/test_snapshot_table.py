@@ -895,3 +895,88 @@ def test_broadcast_advice_from_stats(spark, tmp_path):
     # table sizes now ride the stats dict
     st = ST.table_stats(big)
     assert st["n_files"] >= 1 and st["total_bytes"] == adv["big_bytes"]
+
+
+def test_analyze_increment_matches_full(spark, tmp_path):
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    t = str(tmp_path / "tbl")
+    ST.snapshot_write(
+        spark.createDataFrame(
+            [(i, f"s{i % 5}") for i in range(100)], "id long, s string"
+        ),
+        t,
+    )
+    first = ST.analyze_table(spark, t)
+    # up to date -> returned unchanged, no rescan
+    assert ST.analyze_increment(spark, t) == dict(first, stale=False)
+    ST.snapshot_write(
+        spark.createDataFrame(
+            [(i, f"s{i % 5}") for i in range(100, 150)],
+            "id long, s string",
+        ),
+        t,
+    )
+    inc = ST.analyze_increment(spark, t)
+    full = ST.analyze_table(spark, t)
+    assert inc["n_rows"] == full["n_rows"] == 150
+    for c in ("id", "s"):
+        assert inc["columns"][c] == full["columns"][c], c
+    assert inc["total_bytes"] == full["total_bytes"]
+
+
+def test_analyze_increment_full_fallback_on_rewrite(spark, tmp_path):
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    t = str(tmp_path / "tbl")
+    ST.snapshot_write(
+        spark.createDataFrame([("a", 1), ("b", 2)], "url string, v long"), t
+    )
+    ST.analyze_table(spark, t)
+    # a merge rewrites a file -> removed set non-empty -> counts are
+    # not subtractable -> must fall back to a full scan
+    ST.snapshot_merge(
+        spark, spark.createDataFrame([("a", 9)], "url string, v long"),
+        t, key="url",
+    )
+    inc = ST.analyze_increment(spark, t)
+    assert inc["n_rows"] == 2
+    assert inc["columns"]["v"]["null_count"] == 0
+
+
+def test_analyze_increment_schema_evolution_column(spark, tmp_path):
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    t = str(tmp_path / "tbl")
+    ST.snapshot_write(
+        spark.createDataFrame([(1,), (2,)], "id long"), t
+    )
+    ST.analyze_table(spark, t)
+    ST.snapshot_write(
+        spark.createDataFrame([(3, "x")], "id long, extra string"), t
+    )
+    inc = ST.analyze_increment(spark, t)
+    # evolution-added column: the two pre-evolution rows read as NULL
+    assert inc["columns"]["extra"]["null_count"] == 2
+    assert inc["columns"]["extra"]["ndv_est"] >= 1
+    full = ST.analyze_table(spark, t)
+    assert inc["columns"]["extra"] == full["columns"]["extra"]
+
+
+def test_python_estimate_matches_engine_estimate(spark):
+    """_hb_estimate (the incremental merge path) must agree
+    bit-for-bit with the engine-side HLL expression on identical
+    values — both across the linear-counting and raw ranges."""
+    from deepseek_ocr_spark.functions.sketches import hll_distinct
+    from deepseek_ocr_spark.operators.snapshot_table import (
+        _analyze_frame,
+        _hb_estimate,
+    )
+
+    for n in (1, 3, 16, 200, 5000):
+        df = spark.createDataFrame(
+            [(f"v{i}",) for i in range(n)], "s string"
+        )
+        eng = hll_distinct(df, [], F.col("s")).collect()[0]["est_distinct"]
+        _, scan = _analyze_frame(df, ["s"])
+        assert _hb_estimate(scan["s"]["registers"]) == eng, n
