@@ -267,7 +267,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "--mix-weights",
         default=None,
         help="mixture mode: parquet path of (group, weight_fp) target "
-        "shares in 1e-6 units",
+        "shares in 1e-6 units (or derive them with --mix-alpha)",
+    )
+    p.add_argument(
+        "--mix-alpha",
+        default=None,
+        metavar="NUM/DEN",
+        help="mixture mode: instead of --mix-weights, derive the "
+        "target shares from the corpus itself by temperature "
+        "sampling q_i = p_i^alpha (XLM-R/mT5; e.g. 3/10 for the "
+        "published alpha = 0.3) over token counts per --mix-group",
     )
     p.add_argument(
         "--mix-group",
@@ -753,14 +762,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     elif args.mode == "mixture":
         from deepseek_ocr_spark.functions import sampling as SMP
 
-        if not args.mix_weights:
-            print("--mix-weights is required", file=sys.stderr)
+        if not args.mix_weights and not args.mix_alpha:
+            print(
+                "--mix-weights or --mix-alpha is required",
+                file=sys.stderr,
+            )
             if own_session:
                 spark.stop()
             return 2
         docs = spark.read.parquet(args.input)
-        weights = spark.read.parquet(args.mix_weights)
         group = args.mix_group
+        if args.mix_alpha:
+            from pyspark.sql import functions as F
+
+            a_num, a_den = (int(x) for x in args.mix_alpha.split("/", 1))
+            weights = SMP.temperature_mixture(
+                docs, group, a_num, a_den, size_col="n_tokens"
+            ).select(group, F.col("q_fp").alias("weight_fp"))
+        else:
+            weights = spark.read.parquet(args.mix_weights)
         out = SMP.epoch_expand(
             docs, group, "url" if "url" in docs.columns else "doc_id",
             "n_tokens", weights, args.mix_budget, args.mix_max_epochs,

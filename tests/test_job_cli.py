@@ -615,3 +615,30 @@ def test_cli_analyze_table_incremental(spark, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_rows"] == 2 and out["analyzed_version"] == 2
+
+
+def test_cli_mixture_alpha_derives_weights(spark, tmp_path, capsys):
+    """--mix-alpha derives the target shares from the corpus itself
+    (temperature sampling) instead of a weights table: the tail
+    group's realized share exceeds its proportional one."""
+    corpus = str(tmp_path / "curated.parquet")
+    spark.createDataFrame(
+        [(f"u{i}", "en", 100) for i in range(18)]
+        + [(f"d{i}", "de", 100) for i in range(2)],
+        "url string, lang string, n_tokens long",
+    ).write.parquet(corpus)
+    out = str(tmp_path / "mix_alpha_out")
+    rc = main(
+        ["--mode", "mixture", "--input", corpus, "--output", out,
+         "--mix-alpha", "3/10", "--mix-budget", "2000",
+         "--mix-max-epochs", "4"],
+        spark=spark,
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    by_lang = {
+        r["lang"]: r["count"]
+        for r in got.groupBy("lang").count().collect()
+    }
+    # proportional de share is 10%; alpha=0.3 lifts it well above
+    assert by_lang["de"] / (by_lang["de"] + by_lang["en"]) > 0.2
