@@ -1339,3 +1339,58 @@ def prefix_filter_pairs(
             .alias("jaccard_ppm"),
         )
     )
+
+
+# ---- LSH parameter planning (the (b, r) S-curve optimizer) ----------------
+
+
+def lsh_collision_prob(j: float, b: int, r: int) -> float:
+    """P(candidate | Jaccard = j) for b bands of r rows:
+    1 - (1 - j^r)^b — the banding S-curve (Mining of Massive
+    Datasets, ch. 3)."""
+    return 1.0 - (1.0 - j**r) ** b
+
+
+def lsh_plan(n_hashes: int, threshold: float, steps: int = 1000) -> dict:
+    """Choose (bands, rows) for a near-dup threshold: over every
+    exact factorization b*r = n_hashes, integrate the S-curve's
+    false-positive mass below the threshold and false-negative mass
+    above it (uniform-J priors — the textbook objective; reweight by
+    a corpus similarity histogram upstream if one exists) and pick
+    the factorization minimizing fp + fn. Deterministic pure Python
+    (fixed-step midpoint sums) — a PLAN-time utility like
+    perm_coeffs, not a query; ties break toward more bands (recall).
+
+    Why this exists: the repo's default (N_HASHES=8 as 4 bands x 2
+    rows) targets J around 0.3-0.5 corpora; a caller deduping at a
+    different operating point should derive (b, r) instead of
+    guessing. Returns {"bands", "rows", "fp", "fn", "candidates":
+    [(b, r, fp, fn, p_at_threshold), ...]}."""
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    cands = []
+    for r in range(1, n_hashes + 1):
+        if n_hashes % r:
+            continue
+        b = n_hashes // r
+        fp = fn = 0.0
+        for i in range(steps):
+            j = (i + 0.5) / steps
+            p = lsh_collision_prob(j, b, r)
+            if j < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        cands.append(
+            (b, r, fp, fn, lsh_collision_prob(threshold, b, r))
+        )
+    best = min(cands, key=lambda c: (c[2] + c[3], -c[0]))
+    return {
+        "bands": best[0],
+        "rows": best[1],
+        "fp": best[2],
+        "fn": best[3],
+        "candidates": cands,
+    }

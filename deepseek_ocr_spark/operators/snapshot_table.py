@@ -1033,17 +1033,35 @@ def snapshot_diff(
     that moved files because a neighbor changed) cancels in the
     ``exceptAll`` before any classification join.
 
-    Both snapshots must share a schema (schema-evolution diffing is
-    the named upgrade; raises ``ValueError`` otherwise)."""
+    Diffs spanning an ADDITIVE schema evolution align on the newer
+    schema: the older side surfaces evolution-added columns as NULL
+    (exactly how reads of pre-evolution files surface them), so a
+    backfill classifies as update_preimage(NULL)/update_postimage —
+    incremental consumers (tag_increment, curate_increment) survive
+    their source evolving. Non-additive changes (renames, type
+    changes — only an overwrite can produce them) still raise:
+    there is no principled row identity across those."""
+    from pyspark.sql.types import StructType
+
     m_from = _load_manifest(table, v_from)
     m_to = _load_manifest(table, v_to)
     # parsed comparison: manifest schema JSON may differ in
     # whitespace/serializer while being the same schema
-    if json.loads(m_from["schema"]) != json.loads(m_to["schema"]):
-        raise ValueError(
-            "snapshot_diff: schema changed between versions "
-            f"{v_from} and {v_to}; diff per same-schema range"
+    sch_from = json.loads(m_from["schema"])
+    sch_to = json.loads(m_to["schema"])
+    if sch_from != sch_to:
+        f_to = {f["name"]: f for f in sch_to["fields"]}
+        additive = all(
+            f["name"] in f_to and f_to[f["name"]]["type"] == f["type"]
+            for f in sch_from["fields"]
         )
+        if not additive:
+            raise ValueError(
+                "snapshot_diff: non-additive schema change between "
+                f"versions {v_from} and {v_to}; diff per same-schema "
+                "range"
+            )
+
     def _read(m, rel_files):
         # manifest schema, not footer inference: the removed/added
         # sets can mix pre- and post-evolution files (added columns
@@ -1054,6 +1072,18 @@ def snapshot_diff(
 
     added_f, removed_f = diff_files(table, v_from, v_to)
     add, rem = _read(m_to, added_f), _read(m_from, removed_f)
+    if sch_from != sch_to:
+        # align the older side onto the newer schema: evolution-added
+        # columns are NULL for every pre-evolution row by definition
+        target = StructType.fromJson(sch_to)
+        rem = rem.select(
+            *[
+                F.col(n)
+                if n in rem.columns
+                else F.lit(None).cast(target[n].dataType).alias(n)
+                for n in target.fieldNames()
+            ]
+        )
     # cancel copy-on-write carry-over: a survivor row appears
     # identically in one removed and one added file
     ins_rows = add.exceptAll(rem)

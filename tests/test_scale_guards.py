@@ -600,3 +600,40 @@ def test_hits_bipartite_hubs_and_authorities(spark):
     again = {r["node"]: (r["auth"], r["hub"])
              for r in GR.hits(df.repartition(7), "src", "dst").collect()}
     assert again == got
+
+
+# ---- LSH (b, r) planning ---------------------------------------------------
+
+
+def test_lsh_plan_validates_repo_default():
+    # the repo's 8-hash 4x2 banding IS the optimizer's answer for the
+    # J~0.4 near-dup operating point the fixtures target
+    from deepseek_ocr_spark.functions.dedup import lsh_plan
+
+    p = lsh_plan(8, 0.4)
+    assert (p["bands"], p["rows"]) == (4, 2)
+    assert 0 < p["fp"] < 0.15 and 0 < p["fn"] < 0.15
+
+
+def test_lsh_plan_rows_grow_with_threshold():
+    from deepseek_ocr_spark.functions.dedup import lsh_plan
+
+    rows = [lsh_plan(128, t)["rows"] for t in (0.3, 0.5, 0.7, 0.9)]
+    assert rows == sorted(rows) and rows[0] < rows[-1]
+
+
+def test_lsh_collision_prob_s_curve():
+    import pytest
+
+    from deepseek_ocr_spark.functions.dedup import (
+        lsh_collision_prob,
+        lsh_plan,
+    )
+
+    ps = [lsh_collision_prob(j / 10, 16, 8) for j in range(11)]
+    assert ps[0] == 0.0 and abs(ps[10] - 1.0) < 1e-12
+    assert all(a <= b for a, b in zip(ps, ps[1:]))
+    with pytest.raises(ValueError):
+        lsh_plan(0, 0.5)
+    with pytest.raises(ValueError):
+        lsh_plan(8, 1.0)

@@ -328,7 +328,10 @@ def test_diff_overwrite_and_reverse_direction(spark, tmp_path):
     }
 
 
-def test_diff_schema_change_raises(spark, tmp_path):
+def test_diff_additive_schema_change_aligns(spark, tmp_path):
+    # additive evolution diffs on the NEWER schema: the removed old
+    # row surfaces the added column as NULL (non-additive changes
+    # still raise — test_snapshot_diff_non_additive_still_raises)
     t = str(tmp_path / "t")
     ST.snapshot_write(_df(spark, [("a", 1)]), t)
     ST.snapshot_write(
@@ -336,8 +339,11 @@ def test_diff_schema_change_raises(spark, tmp_path):
         t,
         mode="overwrite",
     )
-    with pytest.raises(ValueError, match="schema changed"):
-        ST.snapshot_diff(spark, t, 1, 2)
+    got = {
+        (r["url"], r["_change_type"]): r["extra"]
+        for r in ST.snapshot_diff(spark, t, 1, 2).collect()
+    }
+    assert got == {("a", "delete"): None, ("b", "insert"): "x"}
 
 
 # ---- incremental curation over snapshot tables ------------------------------
@@ -980,3 +986,70 @@ def test_python_estimate_matches_engine_estimate(spark):
         eng = hll_distinct(df, [], F.col("s")).collect()[0]["est_distinct"]
         _, scan = _analyze_frame(df, ["s"])
         assert _hb_estimate(scan["s"]["registers"]) == eng, n
+
+
+def test_snapshot_diff_across_additive_evolution(spark):
+    import tempfile
+
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    with tempfile.TemporaryDirectory() as d:
+        t = str(d) + "/tbl"
+        ST.snapshot_write(
+            spark.createDataFrame([("a", 1), ("b", 2)], "url string, v long"),
+            t,
+        )
+        # v2: append introduces a column (additive evolution)
+        ST.snapshot_write(
+            spark.createDataFrame(
+                [("c", 3, "tagged")], "url string, v long, note string"
+            ),
+            t,
+        )
+        d12 = {
+            (r["url"], r["_change_type"]): r
+            for r in ST.snapshot_diff(spark, t, 1, 2).collect()
+        }
+        assert set(d12) == {("c", "insert")}
+        assert d12[("c", "insert")]["note"] == "tagged"
+        # v3: merge backfills an OLD row across the evolution boundary
+        ST.snapshot_merge(
+            spark,
+            spark.createDataFrame(
+                [("a", 1, "backfilled")], "url string, v long, note string"
+            ),
+            t,
+            key="url",
+        )
+        d13 = {
+            (r["url"], r["_change_type"]): r
+            for r in ST.snapshot_diff(spark, t, 1, 3, key="url").collect()
+        }
+        pre = d13[("a", "update_preimage")]
+        post = d13[("a", "update_postimage")]
+        assert pre["note"] is None and post["note"] == "backfilled"
+        assert ("c", "insert") in d13
+        # incremental consumers survive the evolution: the change feed
+        # is exactly what tag_increment/curate_increment read
+
+
+def test_snapshot_diff_non_additive_still_raises(spark):
+    import tempfile
+
+    import pytest
+
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    with tempfile.TemporaryDirectory() as d:
+        t = str(d) + "/tbl"
+        ST.snapshot_write(
+            spark.createDataFrame([("a", 1)], "url string, v long"), t
+        )
+        # only an overwrite can rename/retype columns
+        ST.snapshot_write(
+            spark.createDataFrame([("a", "one")], "url string, v string"),
+            t,
+            mode="overwrite",
+        )
+        with pytest.raises(ValueError, match="non-additive"):
+            ST.snapshot_diff(spark, t, 1, 2)
