@@ -208,6 +208,8 @@ HEADLINE = [
     "pii_spans",
     "compression_signal",
     "bitext_align",
+    "jsonld_blocks",
+    "microdata_census",
 ]
 
 

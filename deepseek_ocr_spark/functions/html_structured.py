@@ -1,0 +1,97 @@
+"""Embedded structured data: JSON-LD blocks and microdata types.
+
+The web's machine-readable layer — schema.org JSON-LD in
+``<script type="application/ld+json">`` blocks and microdata
+``itemtype`` attributes — is how crawl pipelines mine entity/product/
+recipe/article knowledge (the WebDataCommons extraction) and how
+curation slices a crawl by DECLARED content type (Article vs Product
+vs FAQPage) without running a classifier. The reference (a
+per-request OCR loop) never sees HTML metadata; this belongs to the
+web-mining surface the engine adds, next to functions/html_meta.py's
+flat meta tags.
+
+Scale shape: both extractors are ONE zero-shuffle regexp projection
+over the (column-pruned) html bytes; JSON-LD blocks explode map-side
+into one row per block, and every JSON field access is an engine
+JSON-path evaluation on that block — no Python, no UDF. Invalid JSON
+(truncated scripts, template damage) yields NULL typed fields, never
+a dropped row or a crash — the block is still reported for damage
+accounting.
+
+Determinism across engines: the DuckDB twin runs the IDENTICAL
+extraction regex (whitespace classes spelled as ``[ \\t\\n\\r]`` —
+never ``\\s``, whose membership differs between Java and RE2) and the
+same JSON paths; Spark's lenient ``get_json_object`` returns NULL on
+invalid JSON, which the twin mirrors with a ``json_valid`` guard.
+Both engines render array-valued ``@type`` identically as the raw
+JSON array string (pinned by the oracle hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# group 1 = the raw script body; lazy across multi-line blocks
+_WS = "[ \\t\\n\\r]*"
+JSONLD_SCRIPT_RE = (
+    "(?s)<script[^>]*type" + _WS + "=" + _WS
+    + "[\"']application/ld\\+json[\"'][^>]*>(.*?)</script"
+    + _WS + ">"
+)
+MICRODATA_ITEMTYPE_RE = (
+    "itemtype" + _WS + "=" + _WS + "[\"']([^\"']+)[\"']"
+)
+
+
+def jsonld_blocks(
+    df: DataFrame, id_col: str, html_col: str
+) -> DataFrame:
+    """(id, block_idx, block, item_type, context, name) — one row per
+    JSON-LD script block: the trimmed raw JSON plus the three fields
+    every consumer routes on (``@type`` — a string, or the raw JSON
+    array string for multi-typed items; ``@context``; ``name``).
+    Invalid JSON keeps its row with NULL fields (damage stays
+    countable). Pages without blocks emit nothing."""
+    blocks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(html_col), F.lit(JSONLD_SCRIPT_RE), F.lit(1)
+            )
+        ).alias("block_idx", "__raw"),
+    ).select(
+        id_col,
+        F.col("block_idx").cast("bigint").alias("block_idx"),
+        F.trim(F.col("__raw")).alias("block"),
+    )
+    return blocks.select(
+        id_col,
+        "block_idx",
+        "block",
+        F.get_json_object("block", "$['@type']").alias("item_type"),
+        F.get_json_object("block", "$['@context']").alias("context"),
+        F.get_json_object("block", "$.name").alias("name"),
+    )
+
+
+def microdata_type_census(
+    df: DataFrame, id_col: str, html_col: str
+) -> DataFrame:
+    """(itemtype, n_pages, n_occurrences) — the corpus census of
+    declared microdata types (distinct per page for n_pages, raw
+    occurrence count alongside): which schema.org entities a crawl
+    actually carries, the first question of any structured-data
+    mining run. One projection + one type-keyed partial agg."""
+    occ = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(html_col), F.lit(MICRODATA_ITEMTYPE_RE), F.lit(1)
+            )
+        ).alias("itemtype"),
+    )
+    return occ.groupBy("itemtype").agg(
+        F.countDistinct(id_col).cast("bigint").alias("n_pages"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+    )

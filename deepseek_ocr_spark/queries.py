@@ -8931,6 +8931,122 @@ def q_bitext_align(spark, sf_dir):
     )
 
 
+# shared Spark/DuckDB SQL fragment synthesizing the structured-data
+# fixture page: one well-formed JSON-LD block per doc, a second
+# array-@type block on every fourth doc, a BROKEN block on every
+# seventh (NULL fields, row kept), plus microdata itemtype attrs in
+# both quote styles
+_SD_TYPE_SQL = (
+    "CASE (doc_id % 3) WHEN 0 THEN 'Article' WHEN 1 THEN 'Product' "
+    "ELSE 'Recipe' END"
+)
+_SD_HTML_SQL = (
+    "'<html><head><script type=\"application/ld+json\">"
+    '{"@context":"https://schema.org","@type":"\''
+    f" || {_SD_TYPE_SQL} || "
+    "'\",\"name\":\"doc ' || doc_id || '\"}</script>'"
+    " || CASE WHEN doc_id % 4 = 1 THEN"
+    " '<script type=''application/ld+json''> {\"@type\":"
+    '["Product","Thing"],"name":"multi"}</script>'
+    "' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN"
+    " '<script type=\"application/ld+json\">{broken</script>'"
+    " ELSE '' END"
+    " || '<div itemscope itemtype=\"https://schema.org/'"
+    f" || {_SD_TYPE_SQL} || "
+    "'\">x</div>'"
+    " || CASE WHEN doc_id % 5 = 0 THEN"
+    " '<meta itemtype=''https://schema.org/Offer''>' ELSE '' END"
+    " || '</head></html>'"
+)
+
+
+def q_jsonld_blocks(spark, sf_dir):
+    """schema.org JSON-LD extraction (functions/html_structured.py):
+    script blocks explode map-side from one regexp projection; @type /
+    @context / name are engine JSON-path evaluations (array-valued
+    @type surfaces as the raw JSON array string — both engines render
+    it identically); broken JSON keeps its row with NULL fields."""
+    from deepseek_ocr_spark.functions.html_structured import (
+        jsonld_blocks,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select("doc_id", F.expr(_SD_HTML_SQL).alias("html"))
+    return jsonld_blocks(pages, "doc_id", "html").orderBy(
+        "doc_id", "block_idx"
+    )
+
+
+def _jsonld_sql() -> str:
+    from deepseek_ocr_spark.functions.html_structured import (
+        JSONLD_SCRIPT_RE,
+    )
+
+    pat = JSONLD_SCRIPT_RE.replace("'", "''")
+    return f"""
+WITH h AS (
+  SELECT doc_id, {_SD_HTML_SQL} AS html FROM documents
+), raw AS (
+  SELECT doc_id, regexp_extract_all(html, '{pat}', 1) AS l FROM h
+), b AS (
+  SELECT doc_id,
+         (generate_subscripts(l, 1) - 1)::BIGINT AS block_idx,
+         trim(unnest(l)) AS block
+  FROM raw
+)
+SELECT doc_id, block_idx, block,
+       CASE WHEN json_valid(block)
+            THEN json_extract_string(block, '$."@type"') END AS item_type,
+       CASE WHEN json_valid(block)
+            THEN json_extract_string(block, '$."@context"') END AS context,
+       CASE WHEN json_valid(block)
+            THEN json_extract_string(block, '$.name') END AS name
+FROM b ORDER BY doc_id, block_idx
+"""
+
+
+SQL_JSONLD_BLOCKS = _jsonld_sql()
+
+
+def q_microdata_census(spark, sf_dir):
+    """Microdata itemtype census (functions/html_structured.py): the
+    corpus-level count of declared schema.org entity types — one
+    regexp projection + one type-keyed partial agg."""
+    from deepseek_ocr_spark.functions.html_structured import (
+        microdata_type_census,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select("doc_id", F.expr(_SD_HTML_SQL).alias("html"))
+    return microdata_type_census(pages, "doc_id", "html").orderBy(
+        "itemtype"
+    )
+
+
+def _microdata_sql() -> str:
+    from deepseek_ocr_spark.functions.html_structured import (
+        MICRODATA_ITEMTYPE_RE,
+    )
+
+    pat = MICRODATA_ITEMTYPE_RE.replace("'", "''")
+    return f"""
+WITH h AS (
+  SELECT doc_id, {_SD_HTML_SQL} AS html FROM documents
+), occ AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(html, '{pat}', 1)) AS itemtype
+  FROM h
+)
+SELECT itemtype, count(DISTINCT doc_id)::BIGINT AS n_pages,
+       count(*)::BIGINT AS n_occurrences
+FROM occ GROUP BY itemtype ORDER BY itemtype
+"""
+
+
+SQL_MICRODATA_CENSUS = _microdata_sql()
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
     "html_markdown": (q_html_markdown, SQL_HTML_MARKDOWN),
@@ -9404,4 +9520,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # bitext stack: hreflang_bitext candidates -> bitext_mine margin
     # pairs -> sentence beads.
     "bitext_align": (q_bitext_align, None),
+    # jsonld_blocks / microdata_census: below-cut class (b) — the
+    # structured-data layer next to in-window html_markdown's
+    # html-projection family (zero-shuffle regexp + engine JSON
+    # paths; the json_valid NULL contract and array-@type rendering
+    # are part of the hash); semantics pinned by
+    # tests/test_html_structured.py.
+    "jsonld_blocks": (q_jsonld_blocks, SQL_JSONLD_BLOCKS),
+    "microdata_census": (q_microdata_census, SQL_MICRODATA_CENSUS),
 }

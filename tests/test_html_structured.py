@@ -1,0 +1,85 @@
+"""JSON-LD block extraction + microdata type census
+(functions/html_structured.py). The oracle gate cross-checks the
+registry fixtures against DuckDB; these pin the extraction semantics
+directly: attribute order/quote styles, multi-line JSON, the
+invalid-JSON NULL contract, array-valued @type rendering, and the
+census' distinct-page vs occurrence counts."""
+
+from deepseek_ocr_spark.functions.html_structured import (
+    jsonld_blocks,
+    microdata_type_census,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "id long, html string")
+
+
+def test_jsonld_attribute_orders_and_quotes(spark):
+    rows = [
+        # type attr after others, double quotes
+        (1, '<script async type="application/ld+json">'
+            '{"@type":"Article","name":"n1"}</script>'),
+        # single quotes, whitespace around =
+        (2, "<script type = 'application/ld+json'>"
+            '{"@type":"Product","name":"n2"}</script>'),
+        # multi-line block body
+        (3, '<script type="application/ld+json">\n{\n "@type": "Recipe",\n'
+            ' "name": "n3"\n}\n</script>'),
+        # a plain script must NOT match
+        (4, '<script type="text/javascript">var x = 1;</script>'),
+    ]
+    got = {
+        r["id"]: r
+        for r in jsonld_blocks(_pages(spark, rows), "id", "html").collect()
+    }
+    assert got[1]["item_type"] == "Article" and got[1]["name"] == "n1"
+    assert got[2]["item_type"] == "Product"
+    assert got[3]["item_type"] == "Recipe" and got[3]["name"] == "n3"
+    assert 4 not in got
+
+
+def test_jsonld_invalid_json_keeps_row_with_null_fields(spark):
+    rows = [
+        (1, '<script type="application/ld+json">{truncated'
+            "</script>"),
+        (2, "no blocks at all"),
+    ]
+    out = jsonld_blocks(_pages(spark, rows), "id", "html").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["id"] == 1 and r["block"] == "{truncated"
+    assert r["item_type"] is None and r["name"] is None
+
+
+def test_jsonld_multiple_blocks_and_array_type(spark):
+    rows = [
+        (1, '<script type="application/ld+json">{"@type":"Article"}'
+            '</script><p>x</p>'
+            '<script type="application/ld+json">'
+            '{"@type":["Product","Thing"]}</script>'),
+    ]
+    out = sorted(
+        jsonld_blocks(_pages(spark, rows), "id", "html").collect(),
+        key=lambda r: r["block_idx"],
+    )
+    assert [r["block_idx"] for r in out] == [0, 1]
+    assert out[0]["item_type"] == "Article"
+    assert out[1]["item_type"] == '["Product","Thing"]'
+
+
+def test_microdata_census_pages_vs_occurrences(spark):
+    rows = [
+        (1, '<div itemtype="https://schema.org/Product">a</div>'
+            "<span itemtype='https://schema.org/Product'>b</span>"),
+        (2, '<div itemtype="https://schema.org/Product">c</div>'),
+        (3, '<div itemtype="https://schema.org/Offer">d</div>'),
+    ]
+    got = {
+        r["itemtype"]: (r["n_pages"], r["n_occurrences"])
+        for r in microdata_type_census(
+            _pages(spark, rows), "id", "html"
+        ).collect()
+    }
+    assert got["https://schema.org/Product"] == (2, 3)
+    assert got["https://schema.org/Offer"] == (1, 1)
