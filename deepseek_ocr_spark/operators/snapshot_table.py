@@ -171,15 +171,17 @@ def _pick_stats_cols(df: DataFrame, stats_cols) -> list[str]:
 def _collect_file_stats(
     table: str, files: list[str], cols: list[str]
 ) -> dict:
-    """{relpath: {col: [min, max]}} from the parquet footers of
-    just-written files — the metadata Iceberg/Delta keep per data
-    file for scan-time skipping. Footer-only reads: O(files) driver
-    work at commit time, never row-sized. A column missing stats in
-    ANY row group of a file is omitted for that file (readers keep
-    stats-less files — skipping must be a superset guarantee).
-    Truncated string maxes are safe: parquet writers that truncate
-    increment the max so it stays a valid upper bound."""
-    if not cols or not files:
+    """{relpath: {"__rows": n, col: [min, max]}} from the parquet
+    footers of just-written files — the metadata Iceberg/Delta keep
+    per data file for scan-time skipping, plus the per-file ROW COUNT
+    (Iceberg's record_count: it makes ``snapshot_count`` a pure
+    metadata read). Footer-only reads: O(files) driver work at commit
+    time, never row-sized. A column missing stats in ANY row group of
+    a file is omitted for that file (readers keep stats-less files —
+    skipping must be a superset guarantee). Truncated string maxes
+    are safe: parquet writers that truncate increment the max so it
+    stays a valid upper bound."""
+    if not files:
         return {}
     import pyarrow.parquet as pq
 
@@ -187,7 +189,7 @@ def _collect_file_stats(
     for rel in files:
         md = pq.ParquetFile(os.path.join(table, rel)).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        stats = {}
+        stats = {"__rows": md.num_rows}
         for c in cols:
             ci = idx.get(c)
             if ci is None:
@@ -209,8 +211,7 @@ def _collect_file_stats(
                 hi = mx if hi is None or mx > hi else hi
             if ok:
                 stats[c] = [lo, hi]
-        if stats:
-            out[rel] = stats
+        out[rel] = stats
     return out
 
 
@@ -777,34 +778,71 @@ def snapshot_read(
     m = _load_manifest(table, v)
     rel = _prune_files(m, prune, prune_eq)
     if partition_filter:
-        spec = m.get("partition_by") or []
-        missing = [c for c in partition_filter if c not in spec]
-        if missing:
-            raise ValueError(
-                f"partition_filter on non-partition column(s) {missing}; "
-                f"table spec is {spec or 'unpartitioned'}"
-            )
-        parts = m.get("parts", {})
-        want = {
-            c: {None if x is None else str(x) for x in (
-                v if isinstance(v, (list, tuple, set)) else [v]
-            )}
-            for c, v in partition_filter.items()
-        }
-        idx = {c: i for i, c in enumerate(spec)}
-        rel = [
-            f
-            for f in rel
-            if all(
-                parts.get(f, [None] * len(spec))[idx[c]] in vals
-                for c, vals in want.items()
-            )
-        ]
+        rel = _partition_filtered(m, rel, partition_filter)
     # explicit manifest schema: no footer inference pass, and files
     # written before an additive schema evolution surface the added
     # columns as NULL (the Iceberg read contract); partition columns
     # re-attach from the manifest inside _read_files
     return _read_files(spark, table, m, rel)
+
+
+def _partition_filtered(m: dict, rel: list, partition_filter: dict) -> list:
+    """Files of matching identity partitions — EXACT skipping from
+    the manifest's recorded values (None matches the NULL partition);
+    raises on non-partition columns so a typo never silently reads
+    everything."""
+    spec = m.get("partition_by") or []
+    missing = [c for c in partition_filter if c not in spec]
+    if missing:
+        raise ValueError(
+            f"partition_filter on non-partition column(s) {missing}; "
+            f"table spec is {spec or 'unpartitioned'}"
+        )
+    parts = m.get("parts", {})
+    want = {
+        c: {None if x is None else str(x) for x in (
+            v if isinstance(v, (list, tuple, set)) else [v]
+        )}
+        for c, v in partition_filter.items()
+    }
+    idx = {c: i for i, c in enumerate(spec)}
+    return [
+        f
+        for f in rel
+        if all(
+            parts.get(f, [None] * len(spec))[idx[c]] in vals
+            for c, vals in want.items()
+        )
+    ]
+
+
+def snapshot_count(
+    table: str,
+    version: int | None = None,
+    partition_filter: dict | None = None,
+) -> int | None:
+    """``count(*)`` from the manifests alone — zero data reads, zero
+    Spark session (the Iceberg record_count answer): per-file row
+    counts are harvested from parquet footers at commit and summed
+    here, optionally within a ``partition_filter`` slice. Returns
+    None when any selected file predates row-count recording (the
+    caller falls back to a scan — an explicit miss, never a wrong
+    number)."""
+    v = current_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    m = _load_manifest(table, v)
+    rel = list(m["files"])
+    if partition_filter:
+        rel = _partition_filtered(m, rel, partition_filter)
+    stats = m.get("stats", {})
+    total = 0
+    for f in rel:
+        n = stats.get(f, {}).get("__rows")
+        if n is None:
+            return None
+        total += n
+    return total
 
 
 def _to_rel(table: str, uri: str) -> str:

@@ -196,7 +196,10 @@ def test_stats_recorded_and_pruned_read(spark, tmp_path):
     assert len(m["files"]) == 8
     # every file carries min/max for both auto-picked columns
     assert set(m["stats"]) == set(m["files"])
-    assert all(set(s) == {"url", "v"} for s in m["stats"].values())
+    # min/max for both auto-picked columns + the per-file row count
+    assert all(
+        set(s) == {"url", "v", "__rows"} for s in m["stats"].values()
+    )
     # a selective range prunes most files but returns a superset
     pruned = ST.snapshot_read(spark, t, prune={"v": (100, 120)})
     n_in = len(pruned.inputFiles())
@@ -1053,3 +1056,55 @@ def test_snapshot_diff_non_additive_still_raises(spark):
         )
         with pytest.raises(ValueError, match="non-additive"):
             ST.snapshot_diff(spark, t, 1, 2)
+
+
+def test_snapshot_count_metadata_only(spark, tmp_path):
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    t = str(tmp_path / "tbl")
+    ST.snapshot_write(
+        spark.createDataFrame(
+            [(i, "even" if i % 2 == 0 else "odd") for i in range(30)],
+            "id long, par string",
+        ),
+        t,
+        partition_by=["par"],
+    )
+    ST.snapshot_write(
+        spark.createDataFrame([(100, "even")], "id long, par string"), t
+    )
+    assert ST.snapshot_count(t) == 31
+    assert ST.snapshot_count(t, version=1) == 30
+    assert ST.snapshot_count(t, partition_filter={"par": "even"}) == 16
+    assert ST.snapshot_count(
+        t, partition_filter={"par": ["even", "odd"]}
+    ) == 31
+    import pytest
+
+    with pytest.raises(ValueError, match="non-partition"):
+        ST.snapshot_count(t, partition_filter={"nope": 1})
+    # counts survive merge/compaction (rewritten files re-harvest)
+    ST.snapshot_merge(
+        spark, spark.createDataFrame([(0, "even")], "id long, par string"),
+        t, key="id",
+    )
+    assert ST.snapshot_count(t) == 31
+
+
+def test_snapshot_count_explicit_miss_on_legacy_manifest(spark, tmp_path):
+    import json as _json
+
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    t = str(tmp_path / "tbl")
+    ST.snapshot_write(
+        spark.createDataFrame([("a", 1)], "url string, v long"), t
+    )
+    # simulate a pre-rowcount manifest: strip the recorded counts
+    p = ST._snap_path(t, 1)
+    m = _json.load(open(p))
+    for f in m["stats"]:
+        m["stats"][f].pop("__rows", None)
+    with open(p, "w") as fh:
+        _json.dump(m, fh)
+    assert ST.snapshot_count(t) is None  # explicit miss, never wrong
