@@ -34,13 +34,18 @@ from pyspark.sql import functions as F
 
 # group 1 = the raw script body; lazy across multi-line blocks
 _WS = "[ \\t\\n\\r]*"
+# the single-whitespace class before the attribute NAME is a
+# boundary: ``data-type="application/ld+json"`` must NOT match (the
+# hyphen fails it; a real attribute always follows whitespace after
+# the tag name or a prior attribute)
+_WB = "[ \\t\\n\\r]"
 JSONLD_SCRIPT_RE = (
-    "(?s)<script[^>]*type" + _WS + "=" + _WS
+    "(?s)<script[^>]*" + _WB + "type" + _WS + "=" + _WS
     + "[\"']application/ld\\+json[\"'][^>]*>(.*?)</script"
     + _WS + ">"
 )
 MICRODATA_ITEMTYPE_RE = (
-    "itemtype" + _WS + "=" + _WS + "[\"']([^\"']+)[\"']"
+    _WB + "itemtype" + _WS + "=" + _WS + "[\"']([^\"']+)[\"']"
 )
 
 

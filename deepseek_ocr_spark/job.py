@@ -775,7 +775,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if args.mix_alpha:
             from pyspark.sql import functions as F
 
-            a_num, a_den = (int(x) for x in args.mix_alpha.split("/", 1))
+            try:
+                a_num, a_den = (
+                    int(x) for x in args.mix_alpha.split("/", 1)
+                )
+            except ValueError:
+                print(
+                    "--mix-alpha must be an integer ratio like 3/10 "
+                    f"(got {args.mix_alpha!r})",
+                    file=sys.stderr,
+                )
+                if own_session:
+                    spark.stop()
+                return 2
             weights = SMP.temperature_mixture(
                 docs, group, a_num, a_den, size_col="n_tokens"
             ).select(group, F.col("q_fp").alias("weight_fp"))

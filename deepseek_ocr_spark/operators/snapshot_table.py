@@ -1570,6 +1570,12 @@ def analyze_increment(spark: SparkSession, table: str) -> dict:
     if removed:
         return analyze_table(spark, table)
     m = _load_manifest(table, v_now)
+    prev_schema_cols = {
+        f["name"]
+        for f in json.loads(_load_manifest(table, v_prev)["schema"])[
+            "fields"
+        ]
+    }
     new_df = _read_files(spark, table, m, added)
     cols = [
         f.name
@@ -1598,11 +1604,20 @@ def analyze_increment(spark: SparkSession, table: str) -> dict:
                     )
                 ],
             }
-        else:  # evolution-added: old rows surface it as NULL
+        elif c not in prev_schema_cols:
+            # evolution-added: every pre-evolution row reads it as
+            # NULL, so its prior state is exactly (all-null, empty
+            # registers) and the merge is EXACT
             merged[c] = {
                 "null_count": prev["n_rows"] + scan_new[c]["null_count"],
                 "registers": scan_new[c]["registers"],
             }
+        else:
+            # the column existed before but the previous analysis
+            # skipped it (a columns= subset) — its old-row state is
+            # unknown and NOT all-null; merging would fabricate a
+            # null count, so rescan everything
+            return analyze_table(spark, table)
     return _write_analyze_sidecar(
         table, m, v_now, prev["n_rows"] + n_new, cols, merged
     )

@@ -83,3 +83,24 @@ def test_microdata_census_pages_vs_occurrences(spark):
     }
     assert got["https://schema.org/Product"] == (2, 3)
     assert got["https://schema.org/Offer"] == (1, 1)
+
+
+def test_attribute_name_boundary_rejects_decoys(spark):
+    rows = [
+        # data-type decoy must NOT extract
+        (1, '<script data-type="application/ld+json">'
+            '{"@type":"Article"}</script>'),
+        # itemtype decoy attribute name
+        (2, '<div dataitemtype="https://schema.org/Product">x</div>'),
+        # the real things still do
+        (3, '<script type="application/ld+json">{"@type":"A"}</script>'
+            '<div itemtype="https://schema.org/Offer">y</div>'),
+    ]
+    docs = _pages(spark, rows)
+    got_blocks = {r["id"] for r in jsonld_blocks(docs, "id", "html").collect()}
+    assert got_blocks == {3}
+    got_types = {
+        r["itemtype"]
+        for r in microdata_type_census(docs, "id", "html").collect()
+    }
+    assert got_types == {"https://schema.org/Offer"}

@@ -1108,3 +1108,29 @@ def test_snapshot_count_explicit_miss_on_legacy_manifest(spark, tmp_path):
     with open(p, "w") as fh:
         _json.dump(m, fh)
     assert ST.snapshot_count(t) is None  # explicit miss, never wrong
+
+
+def test_analyze_increment_subset_forces_full_rescan(spark, tmp_path):
+    """A column that EXISTED before but was excluded from a previous
+    columns= subset has unknown old-row state — the increment must
+    rescan rather than fabricate an all-null prior (the
+    evolution-added merge applies only to truly new columns)."""
+    from deepseek_ocr_spark.operators import snapshot_table as ST
+
+    t = str(tmp_path / "tbl")
+    ST.snapshot_write(
+        spark.createDataFrame(
+            [(i, f"s{i}") for i in range(20)], "id long, s string"
+        ),
+        t,
+    )
+    ST.analyze_table(spark, t, columns=["s"])  # id existed, unanalyzed
+    ST.snapshot_write(
+        spark.createDataFrame([(99, "x")], "id long, s string"), t
+    )
+    inc = ST.analyze_increment(spark, t)
+    # full-rescan answer: id's nulls are truly 0, not prev_rows
+    assert inc["columns"]["id"]["null_count"] == 0
+    assert inc["n_rows"] == 21
+    full = ST.analyze_table(spark, t)
+    assert inc["columns"]["id"] == full["columns"]["id"]
