@@ -1,7 +1,10 @@
 """Gale-Church sentence alignment (Gale & Church 1993, "A Program
 for Aligning Sentences in Bilingual Corpora").
 
-The third rung of the bitext stack: ``sitemaps.bitext_page_pairs``
+The reference repo has no bitext surface at all (it is a per-request
+OCR service); this belongs to the training-data-pipeline operators
+the engine adds. The third rung of the bitext stack:
+``sitemaps.bitext_page_pairs``
 proposes page pairs from hreflang declarations,
 ``similarity.bitext_margin_pairs`` mines document pairs by embedding
 margin, and THIS operator turns an aligned document pair into
