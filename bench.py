@@ -210,6 +210,7 @@ HEADLINE = [
     "bitext_align",
     "jsonld_blocks",
     "microdata_census",
+    "paired_bootstrap",
 ]
 
 

@@ -198,3 +198,112 @@ def source_overlap(
             "src_a", "src_b", "n_common", "n_a", "n_b", "jaccard_fp"
         )
     )
+
+
+# ---- paired bootstrap significance (Koehn 2004 / Smucker 2007) ------------
+
+
+def paired_bootstrap(
+    items: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    n_resamples: int = 200,
+    salt: str = "pb",
+) -> DataFrame:
+    """One-row significance scorecard for a paired per-item metric
+    comparison — the "is A actually better than B" receipt every
+    pipeline A/B needs (Koehn 2004 for MT, Smucker 2007 for IR):
+    resample the item set with replacement ``n_resamples`` times,
+    count resamples where A's summed metric beats / ties / loses to
+    B's, and report the two-sided sign fraction as the p-value.
+
+    Returns (n_items, n_resamples, n_a_wins, n_b_wins, n_ties,
+    p_two_fp) — p in 1e-6 units, ``2 * min(P(diff<=0), P(diff>=0))``
+    clamped at 1e6.
+
+    Determinism (hash-verified like every diagnostics query): draw i
+    of resample b selects item index ``md5(salt:b:i) % n`` — the
+    salted-hash randomness every sampling operator in the repo uses
+    — and per-item diffs are exact BIGINTs summed per resample, so
+    both engines count identical wins. Inputs are an EVAL SET by
+    contract (dimension-sized, the retrieval_eval precedent): the
+    resample grid is n_resamples x n rows joined map-side against
+    the broadcast item frame; nothing corpus-scale is touched.
+    An empty item frame yields the degenerate row (all zeros,
+    p_two_fp = 1e6 — no evidence, no significance)."""
+    from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+
+    if n_resamples < 1:
+        raise ValueError("n_resamples must be >= 1")
+    w = Window.orderBy(id_col)
+    idx = items.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("idx"),
+        (F.col(a_col).cast("bigint") - F.col(b_col).cast("bigint")).alias(
+            "diff"
+        ),
+    )
+    nfr = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grid = (
+        nfr.select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(n_resamples) - 1))
+            ).alias("b"),
+            "n",
+        )
+        .select(
+            "b",
+            F.explode(
+                F.when(
+                    F.col("n") >= 1,
+                    F.sequence(F.lit(0), F.col("n") - 1),
+                )
+            ).alias("i"),
+            "n",
+        )
+        .select(
+            "b",
+            (
+                md5_prefix_int(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col("b"), F.col("i")
+                    ),
+                    15,
+                )
+                % F.col("n")
+            ).alias("idx"),
+        )
+    )
+    per = (
+        grid.join(F.broadcast(idx), "idx")
+        .groupBy("b")
+        .agg(F.sum("diff").cast("bigint").alias("d"))
+    )
+    res = per.agg(
+        F.coalesce(F.sum((F.col("d") > 0).cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("n_a_wins"),
+        F.coalesce(F.sum((F.col("d") < 0).cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("n_b_wins"),
+        F.coalesce(F.sum((F.col("d") == 0).cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("n_ties"),
+    )
+    B = int(n_resamples)
+    return (
+        nfr.crossJoin(res)
+        .select(
+            F.col("n").alias("n_items"),
+            F.lit(B).cast("bigint").alias("n_resamples"),
+            "n_a_wins",
+            "n_b_wins",
+            "n_ties",
+            F.expr(
+                f"CAST(CASE WHEN n = 0 THEN 1000000 ELSE "
+                f"LEAST(1000000, (2000000 * LEAST("
+                f"n_b_wins + n_ties, n_a_wins + n_ties)) DIV {B}) "
+                "END AS BIGINT)"
+            ).alias("p_two_fp"),
+        )
+    )

@@ -9047,6 +9047,91 @@ FROM occ GROUP BY itemtype ORDER BY itemtype
 SQL_MICRODATA_CENSUS = _microdata_sql()
 
 
+_PB_RESAMPLES = 200
+
+
+def q_paired_bootstrap(spark, sf_dir):
+    """Paired bootstrap significance (functions/corpusdiag.py
+    paired_bootstrap; Koehn 2004 / Smucker 2007): do two quality
+    axes — Flesch reading ease and the heuristic quality score —
+    RANK the corpus with a systematic displacement, or is the
+    disagreement within resampling noise? Per-doc corpus ranks of
+    each signal (ties by id) feed the salted-hash resampler; the
+    scorecard's win/tie counts and two-sided p are exact integers."""
+    from deepseek_ocr_spark.functions import textstats as TS
+    from deepseek_ocr_spark.functions.corpusdiag import paired_bootstrap
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    ra = TS.readability(d, "text", "doc_id").select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("flesch_fp"), F.col("doc_id")))
+        .cast("bigint")
+        .alias("rank_a"),
+    )
+    rb = d.select(
+        "doc_id", TS.quality_score(F.col("text")).alias("q")
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("q"), F.col("doc_id")))
+        .cast("bigint")
+        .alias("rank_b"),
+    )
+    items = ra.join(rb, "doc_id")
+    return paired_bootstrap(
+        items, "doc_id", "rank_a", "rank_b", n_resamples=_PB_RESAMPLES
+    )
+
+
+def _paired_bootstrap_sql() -> str:
+    B = _PB_RESAMPLES
+    return f"""
+WITH rd AS ({SQL_READABILITY}),
+qs AS ({SQL_QUALITY_SCORE}),
+items AS (
+  SELECT rd.doc_id,
+         (row_number() OVER (ORDER BY rd.flesch_fp DESC, rd.doc_id)
+          - row_number() OVER (ORDER BY qs.quality DESC, qs.doc_id))
+           ::BIGINT AS diff
+  FROM rd JOIN qs ON qs.doc_id = rd.doc_id
+), idx AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS idx, diff
+  FROM items
+), nn AS (
+  SELECT count(*)::BIGINT AS n FROM idx
+), grid AS (
+  SELECT b.b, i.i,
+         (('0x' || substr(md5('pb:' || b.b || ':' || i.i), 1, 15))
+            ::BIGINT) % nn.n AS idx
+  FROM nn,
+       (SELECT unnest(generate_series(0, {B - 1})) AS b) b,
+       (SELECT unnest(generate_series(0, (SELECT n FROM nn) - 1)) AS i)
+         i
+  WHERE nn.n >= 1
+), per AS (
+  SELECT g.b, sum(x.diff)::BIGINT AS d
+  FROM grid g JOIN idx x USING (idx) GROUP BY g.b
+), res AS (
+  SELECT coalesce(sum((d > 0)::BIGINT), 0)::BIGINT AS n_a_wins,
+         coalesce(sum((d < 0)::BIGINT), 0)::BIGINT AS n_b_wins,
+         coalesce(sum((d = 0)::BIGINT), 0)::BIGINT AS n_ties
+  FROM per
+)
+SELECT nn.n AS n_items, {B}::BIGINT AS n_resamples,
+       res.n_a_wins, res.n_b_wins, res.n_ties,
+       (CASE WHEN nn.n = 0 THEN 1000000 ELSE
+          LEAST(1000000, (2000000 * LEAST(res.n_b_wins + res.n_ties,
+                                          res.n_a_wins + res.n_ties))
+                         // {B}) END)::BIGINT AS p_two_fp
+FROM nn, res
+"""
+
+
+SQL_PAIRED_BOOTSTRAP = _paired_bootstrap_sql()
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
     "html_markdown": (q_html_markdown, SQL_HTML_MARKDOWN),
@@ -9528,4 +9613,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # tests/test_html_structured.py.
     "jsonld_blocks": (q_jsonld_blocks, SQL_JSONLD_BLOCKS),
     "microdata_census": (q_microdata_census, SQL_MICRODATA_CENSUS),
+    # paired_bootstrap: below-cut class (b) — the significance
+    # receipt for pipeline A/Bs (salted-hash resampling, exact
+    # integer win counts; composes two in-window quality signals);
+    # degenerate/forced outcomes pinned by tests/test_corpusdiag.py.
+    "paired_bootstrap": (q_paired_bootstrap, SQL_PAIRED_BOOTSTRAP),
 }

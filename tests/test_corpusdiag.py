@@ -105,3 +105,51 @@ def test_ttr_survives_wide_vocabulary(spark):
     d = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
     out = d.select(CD.ttr("text").alias("t")).collect()[0]["t"]
     assert out == 1_000_000
+
+
+# ---- paired bootstrap significance ----------------------------------------
+
+
+def _pb(spark, rows, B=50):
+    from deepseek_ocr_spark.functions.corpusdiag import paired_bootstrap
+
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    return paired_bootstrap(df, "id", "a", "b", n_resamples=B).collect()[0]
+
+
+def test_bootstrap_clear_winner_is_significant(spark):
+    # A beats B on EVERY item -> every resample sums positive
+    rows = [(i, 10 + i, i) for i in range(40)]
+    r = _pb(spark, rows, B=100)
+    assert r["n_items"] == 40 and r["n_resamples"] == 100
+    assert r["n_a_wins"] == 100 and r["n_b_wins"] == 0
+    assert r["p_two_fp"] == 0
+
+
+def test_bootstrap_identical_metrics_not_significant(spark):
+    rows = [(i, 7, 7) for i in range(20)]
+    r = _pb(spark, rows)
+    assert r["n_ties"] == r["n_resamples"]
+    assert r["p_two_fp"] == 1_000_000  # clamped: no evidence either way
+
+
+def test_bootstrap_empty_and_validation(spark):
+    import pytest
+
+    from deepseek_ocr_spark.functions.corpusdiag import paired_bootstrap
+
+    empty = spark.createDataFrame([], "id long, a long, b long")
+    r = paired_bootstrap(empty, "id", "a", "b", n_resamples=10).collect()[0]
+    assert r["n_items"] == 0 and r["p_two_fp"] == 1_000_000
+    with pytest.raises(ValueError):
+        paired_bootstrap(empty, "id", "a", "b", n_resamples=0)
+
+
+def test_bootstrap_partitioning_independent(spark):
+    from deepseek_ocr_spark.functions.corpusdiag import paired_bootstrap
+
+    rows = [(i, (i * 7) % 23, (i * 11) % 23) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    one = paired_bootstrap(df, "id", "a", "b", 80).collect()
+    two = paired_bootstrap(df.repartition(9), "id", "a", "b", 80).collect()
+    assert list(map(tuple, one)) == list(map(tuple, two))
