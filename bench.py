@@ -211,6 +211,9 @@ HEADLINE = [
     "jsonld_blocks",
     "microdata_census",
     "paired_bootstrap",
+    "sq8_encode",
+    "sq8_topk",
+    "sq8_recall",
 ]
 
 

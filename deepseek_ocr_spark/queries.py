@@ -9132,6 +9132,107 @@ FROM nn, res
 SQL_PAIRED_BOOTSTRAP = _paired_bootstrap_sql()
 
 
+def q_sq8_encode(spark, sf_dir):
+    """SQ8 scalar quantization (quantization.sq8_params/sq8_encode —
+    the faiss ScalarQuantizer default next to PQ): per-dimension
+    [lo, hi] from ONE min/max agg, one byte per dimension by
+    round-half-up integer arithmetic. The long-form code table."""
+    from deepseek_ocr_spark.functions import quantization as PQZ
+
+    e = _t(spark, sf_dir, "embeddings")
+    p = PQZ.sq8_params(e, "vec_id", "embedding")
+    return (
+        PQZ.sq8_encode(e, p, "vec_id", "embedding")
+        .select("vec_id", F.col("d").cast("bigint").alias("d"), "code")
+        .orderBy("vec_id", "d")
+    )
+
+
+def q_sq8_topk(spark, sf_dir):
+    """SQ8 asymmetric top-10 for vec_id 0: reconstructed dimensions
+    vs the exact query vector, all integer squared-L2 — approximate
+    by quantization, bit-identical across engines."""
+    from deepseek_ocr_spark.functions import quantization as PQZ
+
+    e = _t(spark, sf_dir, "embeddings")
+    p = PQZ.sq8_params(e, "vec_id", "embedding")
+    return PQZ.sq8_topk(e, p, "vec_id", "embedding", query_id=0, k=10)
+
+
+def q_sq8_recall(spark, sf_dir):
+    """|SQ8 top-10 ∩ exact-L2 top-10| — the scalar-quantizer quality
+    receipt; 8 bits per dimension is a fine grid, so this should sit
+    near k even on the unclustered fixture where PQ's crush cannot
+    (the two receipts together price the compression/recall trade)."""
+    from deepseek_ocr_spark.functions import quantization as PQZ
+
+    e = _t(spark, sf_dir, "embeddings")
+    return PQZ.sq8_recall_at_k(e, "vec_id", "embedding", query_id=0, k=10)
+
+
+def _sq8_cte() -> str:
+    from deepseek_ocr_spark.functions.clustering import EMB_SCALE
+    from deepseek_ocr_spark.functions.quantization import SQ8_LEVELS
+
+    return f"""
+WITH x AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+                        v -> CAST(FLOOR(CAST(v AS DOUBLE) * {EMB_SCALE})
+                                  AS BIGINT)) AS x
+  FROM embeddings
+), dims AS (
+  SELECT id, generate_subscripts(x, 1) - 1 AS d, unnest(x) AS v FROM x
+), prm AS (
+  SELECT d, min(v)::BIGINT AS lo_fp, max(v)::BIGINT AS hi_fp
+  FROM dims GROUP BY d
+), enc AS (
+  SELECT id, dims.d,
+         (CASE WHEN hi_fp > lo_fp THEN
+            ((v - lo_fp) * {SQ8_LEVELS} + (hi_fp - lo_fp) // 2)
+              // (hi_fp - lo_fp)
+          ELSE 0 END)::INT AS code
+  FROM dims JOIN prm USING (d)
+), rec AS (
+  SELECT id, enc.d,
+         lo_fp + (code * (hi_fp - lo_fp)) // {SQ8_LEVELS} AS rv
+  FROM enc JOIN prm USING (d)
+), qd AS (
+  SELECT d, v AS qv FROM dims WHERE id = 0
+), sqdist AS (
+  SELECT id, sum((rv - qv) * (rv - qv))::BIGINT AS dist_fp2
+  FROM rec JOIN qd USING (d) WHERE id <> 0 GROUP BY id
+)"""
+
+
+SQL_SQ8_ENCODE = (
+    _sq8_cte()
+    + "\nSELECT id AS vec_id, d::BIGINT AS d, code FROM enc"
+    + "\nORDER BY vec_id, d"
+)
+
+SQL_SQ8_TOPK = (
+    _sq8_cte()
+    + "\nSELECT id AS vec_id, dist_fp2 FROM sqdist"
+    + "\nORDER BY dist_fp2, vec_id LIMIT 10"
+)
+
+SQL_SQ8_RECALL = (
+    _sq8_cte()
+    + """
+, approx AS (
+  SELECT id FROM sqdist ORDER BY dist_fp2, id LIMIT 10
+), exact AS (
+  SELECT a.id, sum((a.v - q.qv) * (a.v - q.qv))::BIGINT AS ed
+  FROM dims a JOIN qd q USING (d) WHERE a.id <> 0 GROUP BY a.id
+  ORDER BY ed, a.id LIMIT 10
+)
+SELECT 10::BIGINT AS k, count(*)::BIGINT AS hits
+FROM approx JOIN exact USING (id)
+"""
+)
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
     "html_markdown": (q_html_markdown, SQL_HTML_MARKDOWN),
@@ -9618,4 +9719,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # integer win counts; composes two in-window quality signals);
     # degenerate/forced outcomes pinned by tests/test_corpusdiag.py.
     "paired_bootstrap": (q_paired_bootstrap, SQL_PAIRED_BOOTSTRAP),
+    # sq8 family: below-cut class (b) — the scalar-quantizer sibling
+    # of the in-window PQ family (pq_encode/pq_adc_topk/pq_recall):
+    # one min/max dimension model, non-negative integer rounding, an
+    # asymmetric search, and a hash-verified recall receipt; twin
+    # shares one _sq8_cte chain.
+    "sq8_encode": (q_sq8_encode, SQL_SQ8_ENCODE),
+    "sq8_topk": (q_sq8_topk, SQL_SQ8_TOPK),
+    "sq8_recall": (q_sq8_recall, SQL_SQ8_RECALL),
 }

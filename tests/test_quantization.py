@@ -115,3 +115,52 @@ def test_ivfpq_exhaustive_equals_adc_and_probe_subsets(spark):
     }
     assert probed <= {t[0] for t in adc} | set(range(24))
     assert len(probed) <= 8
+
+
+# ---- SQ8 scalar quantization ----------------------------------------------
+
+
+def test_sq8_codes_round_trip_and_bounds(spark):
+    from deepseek_ocr_spark.functions.quantization import (
+        sq8_encode,
+        sq8_params,
+    )
+
+    rows = [
+        (0, [0.0, -1.0, 5.0]),
+        (1, [1.0, 0.0, 5.0]),   # dim 2 constant -> code 0
+        (2, [0.5, -0.5, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    p = {r["d"]: (r["lo_fp"], r["hi_fp"])
+         for r in sq8_params(df, "vec_id", "embedding").collect()}
+    assert p[0] == (0, 1_000_000) and p[1] == (-1_000_000, 0)
+    assert p[2] == (5_000_000, 5_000_000)
+    codes = {(r["vec_id"], r["d"]): r["code"]
+             for r in sq8_encode(
+                 df, sq8_params(df, "vec_id", "embedding"),
+                 "vec_id", "embedding").collect()}
+    # endpoints hit 0 and 255 exactly; midpoint rounds to 128
+    assert codes[(0, 0)] == 0 and codes[(1, 0)] == 255
+    assert codes[(2, 0)] == 128  # (0.5*255 + 0.5) rounds half-up
+    assert codes[(0, 1)] == 0 and codes[(1, 1)] == 255
+    assert all(codes[(i, 2)] == 0 for i in range(3))  # constant dim
+    assert all(0 <= c <= 255 for c in codes.values())
+
+
+def test_sq8_recall_near_perfect_on_pseudorandom_vectors(spark):
+    """8 bits/dim is a fine grid: SQ8 recall@10 should be near-
+    perfect on unclustered vectors, where PQ's M-code crush reads
+    2-4 (the documented adversarial case) — the two receipts price
+    the compression/recall trade against each other."""
+    from deepseek_ocr_spark.functions.quantization import sq8_recall_at_k
+
+    vecs = [
+        [(((i * 37 + d * 101) % 211) - 105) / 105.0 for d in range(8)]
+        for i in range(120)
+    ]
+    df = _embs(spark, vecs)
+    row = sq8_recall_at_k(
+        df, "vec_id", "embedding", query_id=0, k=10
+    ).collect()[0]
+    assert row["k"] == 10 and row["hits"] >= 8
