@@ -19,8 +19,10 @@ Determinism (both operators are hash-verified against DuckDB):
   requirement, and a fixed seed is what makes the run reproducible
   across engines and reruns);
 * assignment ties break toward the smaller cluster index; centroid
-  means divide AS DOUBLE then floor (Spark DIV truncates, DuckDB //
-  floors — the repo-wide negative-value division rule);
+  means are EXACT integer floored division of possibly-negative sums
+  (`(s - pmod(s, n)) DIV n` — no double crossing anywhere after the
+  initial component fixed-pointing, so no engine/version can disagree
+  on a rounding boundary);
 * iteration count is FIXED (Lloyd converges fast; a production run
   picks iters like it picks k) so the DuckDB twin unrolls the same
   updates as chained CTEs.
@@ -47,9 +49,13 @@ KM_K = 8
 KM_ITERS = 3
 EMB_SCALE = 10**6
 
-# mean of possibly-negative fixed-point sums: through DOUBLE, floored
-# (exact while |s| < 2^53 — see similarity.label_centroids)
-_MEAN_FP_SQL = "CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"
+# floored mean of possibly-negative fixed-point sums as EXACT integer
+# arithmetic: subtract the positive remainder, then divide exactly.
+# Spark DIV truncates, but the numerator is an exact multiple of n, so
+# truncation == floor == exact quotient. No double crossing (the r4
+# driver hash divergence on dist_fp2-emitting queries pointed at the
+# old FLOOR(double/double) mean + DuckDB list_sum return-type drift).
+_MEAN_FP_SQL = "CAST((s - (((s % n) + n) % n)) DIV n AS BIGINT)"
 
 
 def emb_fp(emb_col: Column, scale: int = EMB_SCALE) -> Column:

@@ -119,9 +119,10 @@ def _assign_codes(s: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-# mean of possibly-negative fixed-point sums: through DOUBLE, floored
-# (the repo-wide negative-value division rule; exact while |s| < 2^53)
-_MEAN_FP_SQL = "CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"
+# floored mean of possibly-negative fixed-point sums as EXACT integer
+# arithmetic (see clustering._MEAN_FP_SQL): truncation == floor because
+# the numerator is made an exact multiple of n first. No double crossing.
+_MEAN_FP_SQL = "CAST((s - (((s % n) + n) % n)) DIV n AS BIGINT)"
 
 
 def pq_train(

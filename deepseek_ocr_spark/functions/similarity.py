@@ -396,16 +396,15 @@ def label_centroids(
 
     Determinism across engines: each component is floored into a
     fixed-point BIGINT BEFORE the sum (exact integer addition in any
-    order — float mean drifts with partitioning), and the mean divides
-    AS DOUBLE then floors, never integer division: Spark's DIV
-    truncates toward zero while DuckDB's // floors, and embedding
-    components go negative. Plan shape: one posexplode + one
-    (label, idx) partial agg — dim x labels result rows, no collect.
-
-    Scale note: component sums stay exact while |sum| < 2^53 at the
-    double-division step — at scale=1e6 and unit-normalized components
-    that is ~10^9 vectors per label; beyond that, shard the mean
-    (per-partition counts+sums, then combine) or drop scale."""
+    order — float mean drifts with partitioning), and the floored mean
+    is EXACT integer arithmetic — subtract the positive remainder,
+    then divide: `(s - pmod(s, n)) DIV n`. Spark's DIV truncates
+    toward zero and components go negative, but the adjusted numerator
+    is an exact multiple of n, so truncation == floor == exact. No
+    double anywhere after the initial fixed-pointing, so there is no
+    |sum| < 2^53 caveat and no engine/version rounding boundary to
+    disagree on. Plan shape: one posexplode + one (label, idx)
+    partial agg — dim x labels result rows, no collect."""
     ex = df.select(
         F.col(label_col).alias("label"),
         F.posexplode(F.col(emb_col)).alias("idx", "v"),
@@ -421,7 +420,7 @@ def label_centroids(
             "label",
             "idx",
             F.expr(
-                "CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"
+                "CAST((s - (((s % n) + n) % n)) DIV n AS BIGINT)"
             ).alias("c_fp"),
             "n",
         )
@@ -552,8 +551,8 @@ def centroid_probe(
     fastText-embedding gates take in published multimodal pipelines.
 
     score(e) = sum_i floor(e_i*scale) * (c_pos_i - c_neg_i), with the
-    centroids from ``label_centroids`` (floored-BIGINT sums, floored
-    double-division means — the established engine-portable
+    centroids from ``label_centroids`` (floored-BIGINT sums, exact
+    integer floored-division means — the established engine-portable
     discipline). Every term is an exact BIGINT product (|v_fp| <= 1e6,
     |w_fp| <= 2e6, dim 64 -> |score| < 2^48), summed in any order
     without drift, so the DuckDB twin hash-matches. ``keep`` is

@@ -32,6 +32,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fdiv(s: str, n: str) -> str:
+    """DuckDB-side EXACT integer floored division for possibly-negative
+    ``s``: subtract the positive remainder, then ``//`` an exact
+    multiple. Mirrors the Spark-side `(s - pmod(s, n)) DIV n` rule
+    (clustering._MEAN_FP_SQL) — no double crossing, so no DuckDB
+    version can move a rounding boundary (the r4 driver-vs-local hash
+    divergence on dist_fp2-emitting queries)."""
+    return (
+        f"CAST(({s} - ((({s} % {n}) + {n}) % {n})) // {n} AS BIGINT)"
+    )
+
+
 # --------------------------------------------------------------------
 # §2.2 filters / projections
 # --------------------------------------------------------------------
@@ -655,8 +667,7 @@ WITH ex AS (
   FROM ex
 )
 SELECT label, idx,
-       CAST(FLOOR(CAST(sum(v_fp) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-            AS BIGINT) AS c_fp,
+       CAST((sum(v_fp) - (((sum(v_fp) % count(*)) + count(*)) % count(*))) // count(*) AS BIGINT) AS c_fp,
        count(*)::BIGINT AS n
 FROM fp GROUP BY label, idx
 """
@@ -1441,10 +1452,14 @@ def _pq_cte() -> str:
     d_sub = SIM.EMB_DIM // m
 
     def dist(sa: str, ca: str) -> str:
+        # CAST AS BIGINT: see _kmeans_cte's dist note (list_sum
+        # return-type drift across DuckDB releases).
         return (
-            f"list_sum(list_transform(range(1, len({sa}) + 1),"
-            f" j -> ({sa}[j] - {ca}[j]) * ({sa}[j] - {ca}[j])))"
+            f"CAST(list_sum(list_transform(range(1, len({sa}) + 1),"
+            f" j -> ({sa}[j] - {ca}[j]) * ({sa}[j] - {ca}[j]))) AS BIGINT)"
         )
+
+    fd = _fdiv("sum(v)", "count(*)")
 
     parts = [
         f"""
@@ -1477,8 +1492,7 @@ WITH x AS (
   FROM pa_{i}
 ), pm_{i} AS (
   SELECT sub, cluster, idx,
-         CAST(FLOOR(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-              AS BIGINT) AS mv
+         {fd} AS mv
   FROM pu_{i} GROUP BY sub, cluster, idx
 ), pc_{i} AS (
   SELECT sub, cluster AS c, list(mv ORDER BY idx) AS cx
@@ -2770,10 +2784,15 @@ def _kmeans_cte() -> str:
     from deepseek_ocr_spark.functions import clustering as CL
 
     k, iters, s = CL.KM_K, CL.KM_ITERS, CL.EMB_SCALE
+    # CAST pins the emitted/ordered type to BIGINT: list_sum's return
+    # type has drifted across DuckDB releases (HUGEINT/DOUBLE), which
+    # is the prime suspect for the r4 driver-only hash mismatch on
+    # dist_fp2-emitting queries.
     dist = (
-        "list_sum(list_transform(range(1, len(x.x) + 1),"
-        " j -> (x.x[j] - c.cx[j]) * (x.x[j] - c.cx[j])))"
+        "CAST(list_sum(list_transform(range(1, len(x.x) + 1),"
+        " j -> (x.x[j] - c.cx[j]) * (x.x[j] - c.cx[j]))) AS BIGINT)"
     )
+    fd = _fdiv("sum(v)", "count(*)")
     parts = [
         f"""
 WITH x AS (
@@ -2799,8 +2818,7 @@ WITH x AS (
   FROM a_{i}
 ), m_{i} AS (
   SELECT cluster, idx,
-         CAST(FLOOR(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-              AS BIGINT) AS m
+         {fd} AS m
   FROM u_{i} GROUP BY cluster, idx
 ), c_{i} AS (
   SELECT cluster AS c, list(m ORDER BY idx) AS cx FROM m_{i} GROUP BY cluster
@@ -2829,8 +2847,8 @@ WHERE NOT EXISTS (
   SELECT 1 FROM fin a JOIN fin b
     ON a.cluster = b.cluster AND a.id < b.id
   WHERE b.id = e.vec_id
-    AND list_sum(list_transform(range(1, len(a.x) + 1),
-                 j -> (a.x[j] - b.x[j]) * (a.x[j] - b.x[j])))
+    AND CAST(list_sum(list_transform(range(1, len(a.x) + 1),
+                 j -> (a.x[j] - b.x[j]) * (a.x[j] - b.x[j]))) AS BIGINT)
         <= {_SEMDEDUP_THR_FP2})
 ORDER BY e.vec_id
 """
@@ -7270,8 +7288,7 @@ WITH ex AS (
   FROM ex
 ), c AS (
   SELECT label, idx,
-         CAST(FLOOR(CAST(sum(v_fp) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-              AS BIGINT) AS c_fp
+         CAST((sum(v_fp) - (((sum(v_fp) % count(*)) + count(*)) % count(*))) // count(*) AS BIGINT) AS c_fp
   FROM fp WHERE label IN (0, 1) GROUP BY label, idx
 ), w AS (
   SELECT idx,

@@ -3,12 +3,31 @@ query on Spark and its SQL twin on DuckDB, compare row count, column
 names, and order-insensitive values.
 
 Usage: python scripts/check_oracle.py [sf_dir] [name ...]
+           [--dump-on-mismatch DIR]
+
+Always records engine versions (duckdb / pyspark / python) in the
+header line — the round-4 driver-vs-local hash divergence on the
+k-means pair was undiagnosable precisely because neither side logged
+its DuckDB version. With ``--dump-on-mismatch DIR``, every failing
+query persists an artifact bundle under DIR/<name>/:
+
+  meta.json    — versions, sf_dir, column lists, row counts, the
+                 first 20 normalized-row diffs
+  spark.tsv    — ALL normalized Spark rows (sorted, tab-separated)
+  duckdb.tsv   — ALL normalized DuckDB rows
+  twin.sql     — the oracle SQL that ran
+
+so a divergence seen only in another environment ships enough state
+to be diffed offline instead of vanishing with the process.
 """
 
 from __future__ import annotations
 
+import json
 import math
+import platform
 import sys
+from pathlib import Path
 
 import duckdb
 
@@ -36,9 +55,40 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
 
 
+def _versions() -> dict:
+    import pyspark
+
+    return {
+        "duckdb": duckdb.__version__,
+        "pyspark": pyspark.__version__,
+        "python": platform.python_version(),
+    }
+
+
+def _dump(dump_dir, name, meta, a, b, sql):
+    d = Path(dump_dir) / name
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "meta.json").write_text(json.dumps(meta, indent=1, default=str))
+    (d / "spark.tsv").write_text("\n".join("\t".join(r) for r in a))
+    (d / "duckdb.tsv").write_text("\n".join("\t".join(r) for r in b))
+    if sql:
+        (d / "twin.sql").write_text(sql)
+    print(f"      dumped artifacts to {d}/")
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    dump_dir = None
+    if "--dump-on-mismatch" in argv:
+        i = argv.index("--dump-on-mismatch")
+        dump_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+
+    vers = _versions()
+    print(f"engines: duckdb={vers['duckdb']} pyspark={vers['pyspark']} "
+          f"python={vers['python']}  sf_dir={sf_dir}")
 
     con = duckdb.connect()
     for t in TABLES:
@@ -69,6 +119,7 @@ def main():
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             continue
         ok = True
+        a = b = None
         if sorted(c.lower() for c in scols) != sorted(dcols):
             ok = False
             print(f"FAIL  {name}: columns spark={scols} duck={dcols}")
@@ -86,6 +137,23 @@ def main():
             print(f"OK    {name}: {len(srows)} rows")
         else:
             failures.append(name)
+            if dump_dir is not None:
+                if a is None:
+                    a = norm_rows([c.lower() for c in scols], srows)
+                    b = norm_rows(dcols, drows)
+                meta = {
+                    "query": name,
+                    "sf_dir": sf_dir,
+                    "versions": vers,
+                    "spark_cols": scols,
+                    "duck_cols": dcols,
+                    "spark_rows": len(srows),
+                    "duck_rows": len(drows),
+                    "first_diffs": [
+                        (x, y) for x, y in zip(a, b) if x != y
+                    ][:20],
+                }
+                _dump(dump_dir, name, meta, a, b, sql)
     spark.stop()
     print()
     if failures:
