@@ -77,6 +77,13 @@ def _sq_l2(a: Column, b: Column) -> Column:
     )
 
 
+# E-S clock scale for the D^2-weighted seeding: |lnu_fp| <= ln(2^40)
+# * 1e6 ~ 2.8e7, so * 1e11 stays < 2^63 while keeping ~1e4 resolution
+# even against the largest squared distances (~2.6e14 at dim 64).
+KPP_KEY_SCALE = 10**11
+KPP_SALT = "kpp1"
+
+
 def kmeans_assign(
     df: DataFrame,
     id_col: str,
@@ -84,24 +91,51 @@ def kmeans_assign(
     k: int = KM_K,
     iters: int = KM_ITERS,
     scale: int = EMB_SCALE,
+    init: str = "ids",
 ) -> DataFrame:
     """(id, cluster, dist_fp2) after ``iters`` fixed-point Lloyd
-    updates from the deterministic smallest-k-ids init. ``dist_fp2``
-    is the exact integer squared L2 to the final centroid (scale^2
-    units). A cluster that empties mid-run simply stops existing —
-    the same thing happens in the unrolled DuckDB twin, so results
-    stay bit-identical."""
+    updates. ``dist_fp2`` is the exact integer squared L2 to the
+    final centroid (scale^2 units). A cluster that empties mid-run
+    simply stops existing — the same thing happens in the unrolled
+    DuckDB twin, so results stay bit-identical.
+
+    ``init`` picks the deterministic seeding:
+
+    * ``"ids"`` — the k smallest ids' embeddings (the original
+      reproducible-but-quality-blind seed);
+    * ``"pp"`` — k-means++ (Arthur & Vassilvitskii 2007) with salted-
+      hash randomness: first seed by smallest exponential clock
+      (uniform), each next seed by smallest ``E_i / D^2(x_i)`` clock —
+      the Efraimidis-Spirakis transform of D^2-weighted sampling, so
+      inclusion probability is proportional to squared distance from
+      the chosen set, exactly the k-means++ distribution. E_i =
+      -ln(u_i) comes from the shared fixed-point ln over a salted
+      40-bit md5 prefix (the weighted_sample machinery), D^2 is the
+      exact integer squared L2, and the clock is one exact integer
+      DIV — hash-verifiable in DuckDB like everything else here.
+
+    Scale shape of ``"pp"``: k-1 rounds of (broadcast growing seed
+    frame -> per-row min distance -> TakeOrderedAndProject limit 1) —
+    never a collect, never corpus-quadratic; at 100 TB you run seeding
+    on a sample frame anyway (k-means|| is the one-pass variant; this
+    keeps the exact k-means++ distribution, which the twin can
+    replay)."""
     x = df.select(
         F.col(id_col).alias("id"), emb_fp(F.col(emb_col), scale).alias("x")
     )
-    cent = (
-        x.orderBy("id")
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy("id")) - 1).alias("c"),
-            F.col("x").alias("cx"),
+    if init == "pp":
+        cent = _seed_pp(x, k)
+    elif init == "ids":
+        cent = (
+            x.orderBy("id")
+            .limit(k)
+            .select(
+                (F.row_number().over(Window.orderBy("id")) - 1).alias("c"),
+                F.col("x").alias("cx"),
+            )
         )
-    )
+    else:
+        raise ValueError(f"init must be 'ids' or 'pp', got {init!r}")
     for _ in range(iters):
         assigned = _assign(x, cent)
         cent = (
@@ -143,6 +177,60 @@ def _assign(x: DataFrame, cent: DataFrame) -> DataFrame:
             F.col("m.c").alias("cluster"), F.col("m.d").alias("dist_fp2"),
         )
     )
+
+
+def _seed_pp(x: DataFrame, k: int, salt: str = KPP_SALT) -> DataFrame:
+    """(c, cx) k-means++ seed frame from the (id, x) fixed-point
+    frame: deterministic D^2-weighted picks via salted exponential
+    clocks (see kmeans_assign's init='pp' docstring). Already-chosen
+    rows have D^2 = 0 and are excluded by the w > 0 rule, so picks
+    never repeat; ties break on id."""
+    from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+    from deepseek_ocr_spark.functions.lm import ln_fp_cols
+    from deepseek_ocr_spark.functions.sampling import (
+        ES_HASH_BITS,
+        ES_HASH_SCALE,
+    )
+
+    xl = ln_fp_cols(
+        x,
+        F.lit(ES_HASH_SCALE),
+        md5_prefix_int(
+            F.concat(F.lit(salt), F.lit(":"), F.col("id").cast("string")),
+            ES_HASH_BITS // 4,
+        )
+        + 1,
+        "__lnu",
+    ).select("id", "x", F.col("__lnu").alias("lnu"))
+    picks = (
+        xl.orderBy("lnu", "id")
+        .limit(1)
+        .select(F.lit(0).alias("c"), F.col("x").alias("cx"))
+    )
+    for j in range(1, k):
+        d2 = (
+            xl.crossJoin(F.broadcast(picks))
+            .select(
+                "id", "x", "lnu", _sq_l2(F.col("x"), F.col("cx")).alias("d")
+            )
+            .groupBy("id")
+            .agg(
+                F.min("d").alias("d2"),
+                F.first("x").alias("x"),
+                F.first("lnu").alias("lnu"),
+            )
+        )
+        nxt = (
+            d2.filter(F.col("d2") > 0)
+            .withColumn(
+                "key", F.expr(f"(lnu * {KPP_KEY_SCALE}) DIV d2")
+            )
+            .orderBy("key", "id")
+            .limit(1)
+            .select(F.lit(j).alias("c"), F.col("x").alias("cx"))
+        )
+        picks = picks.unionAll(nxt)
+    return picks
 
 
 def prototype_prune(

@@ -89,28 +89,80 @@ CRED_TOKEN = "<CRED>"
 IPV4_TOKEN = IP_TOKEN
 
 
-def scrub_pii(col: Column) -> Column:
+# Cheap per-class probes — each is a NECESSARY condition for its
+# pattern to match (substring containment / a trivial digit-run
+# regex), so gating a pass on its probe never changes output: when
+# the probe is false the regexp_replace would have been the identity
+# and the regexp_count zero. On clean prose (the overwhelming bulk of
+# a crawl-scale corpus: the fixture documents table has ZERO rows
+# containing '@' or ':' before injection) the gate skips the NFA scan
+# entirely; on PII-dense rows it adds one substring scan per class.
+# IPv4/phone keep a digit-run probe rather than contains('.'): '.'
+# is in every prose document, but three consecutive digits are not.
+_EMAIL_PROBE = lambda c: c.contains("@")  # noqa: E731
+_CRED_PROBE = lambda c: (  # noqa: E731
+    c.contains("AKIA")
+    | c.contains("ASIA")
+    | c.contains("Bearer")
+    | (c.contains("gh") & c.contains("_"))
+)
+_IPV6_PROBE = lambda c: c.contains(":")  # noqa: E731
+_IPV4_PROBE = lambda c: c.rlike(r"\d\.\d")  # noqa: E731
+_PHONE_PROBE = lambda c: c.rlike(r"\d{3}")  # noqa: E731
+
+
+def _gated_replace(cur: Column, probe, pattern: str, token: str) -> Column:
+    return F.when(
+        probe(cur), F.regexp_replace(cur, pattern, token)
+    ).otherwise(cur)
+
+
+def scrub_pii(col: Column, gated: bool = True) -> Column:
     """Replace every email / credential / IP (v6 then v4) / phone
-    occurrence with a typed redaction token, in that order."""
-    out = F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN)
-    out = F.regexp_replace(out, CRED_RE, CRED_TOKEN)
-    out = F.regexp_replace(out, IPV6_RE, IP_TOKEN)
-    out = F.regexp_replace(out, IPV4_RE, IP_TOKEN)
-    out = F.regexp_replace(out, PHONE_RE, PHONE_TOKEN)
+    occurrence with a typed redaction token, in that order.
+
+    ``gated`` (default on) wraps each pass in its necessary-condition
+    probe — bit-identical output (pinned by
+    tests/test_pii.py::test_gated_scrub_identical_to_ungated), but a
+    clean document pays five substring probes instead of five NFA
+    scans. The DuckDB twin runs the ungated chain: gating is a
+    physical-cost knob, not a semantics knob."""
+    if not gated:
+        out = F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN)
+        out = F.regexp_replace(out, CRED_RE, CRED_TOKEN)
+        out = F.regexp_replace(out, IPV6_RE, IP_TOKEN)
+        out = F.regexp_replace(out, IPV4_RE, IP_TOKEN)
+        out = F.regexp_replace(out, PHONE_RE, PHONE_TOKEN)
+        return out
+    out = _gated_replace(col, _EMAIL_PROBE, EMAIL_RE, EMAIL_TOKEN)
+    out = _gated_replace(out, _CRED_PROBE, CRED_RE, CRED_TOKEN)
+    out = _gated_replace(out, _IPV6_PROBE, IPV6_RE, IP_TOKEN)
+    out = _gated_replace(out, _IPV4_PROBE, IPV4_RE, IP_TOKEN)
+    out = _gated_replace(out, _PHONE_PROBE, PHONE_RE, PHONE_TOKEN)
     return out
 
 
-def pii_counts(col: Column) -> tuple[Column, Column, Column, Column]:
+def pii_counts(
+    col: Column, gated: bool = True
+) -> tuple[Column, Column, Column, Column]:
     """(n_emails, n_ips, n_phones, n_creds) occurrence counts on the
     PRE-scrub text (n_ips = v4 + v6). Counts are per-pattern scans, so
     e.g. a dotted quad inside an email domain counts under both
-    classes even though the scrub (email-first) redacts it once."""
+    classes even though the scrub (email-first) redacts it once.
+    ``gated`` as in scrub_pii: probe-gated scans, identical values."""
+    zero = F.lit(0)
+
+    def cnt(probe, pattern: str) -> Column:
+        c = F.regexp_count(col, F.lit(pattern))
+        # ~probe-then-zero (not probe-then-count) so NULL text still
+        # flows to the count and stays NULL, as ungated returns NULL
+        return F.when(~probe(col), zero).otherwise(c) if gated else c
+
     return (
-        F.regexp_count(col, F.lit(EMAIL_RE)),
-        F.regexp_count(col, F.lit(IPV4_RE))
-        + F.regexp_count(col, F.lit(IPV6_RE)),
-        F.regexp_count(col, F.lit(PHONE_RE)),
-        F.regexp_count(col, F.lit(CRED_RE)),
+        cnt(_EMAIL_PROBE, EMAIL_RE),
+        cnt(_IPV4_PROBE, IPV4_RE) + cnt(_IPV6_PROBE, IPV6_RE),
+        cnt(_PHONE_PROBE, PHONE_RE),
+        cnt(_CRED_PROBE, CRED_RE),
     )
 
 

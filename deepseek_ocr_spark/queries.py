@@ -2755,6 +2755,21 @@ def q_kmeans_assign(spark, sf_dir):
     return CL.kmeans_assign(e, "vec_id", "embedding").orderBy("vec_id")
 
 
+def q_kmeanspp_assign(spark, sf_dir):
+    """k-means with deterministic k-means++ seeding (the init='pp'
+    quality knob, functions/clustering.py _seed_pp): D^2-weighted
+    seed picks via salted exponential clocks, then the same 3
+    fixed-point Lloyd rounds. Same hash-verified contract as
+    kmeans_assign; lower inertia (the A/B receipt in BENCH.md prices
+    the seeding quality gap)."""
+    from deepseek_ocr_spark.functions import clustering as CL
+
+    e = _t(spark, sf_dir, "embeddings")
+    return CL.kmeans_assign(e, "vec_id", "embedding", init="pp").orderBy(
+        "vec_id"
+    )
+
+
 # Semantic near-dup threshold for the fixture corpus: squared L2 in
 # (1e-6)^2 fixed-point units. The sf0.01 minimum pairwise distance is
 # ~0.974e12, so 1.3e12 prunes the close tail without collapsing
@@ -2778,21 +2793,82 @@ def q_semdedup_keep(spark, sf_dir):
     )
 
 
-def _kmeans_cte() -> str:
+def _kmeanspp_seed_cte(k: int, pair_dist) -> str:
+    """CTE fragment (appended after the `x` CTE) that builds `c_0` by
+    k-means++ D^2-weighted seeding with salted exponential clocks —
+    the DuckDB replay of clustering._seed_pp: shared fixed-point ln
+    chain over the salted 40-bit md5 prefix, then k-1 rounds of
+    min-distance + `(lnu * KPP_KEY_SCALE) // d2` argmin picks."""
+    from deepseek_ocr_spark.functions import clustering as CL
+    from deepseek_ocr_spark.functions import lm as LM
+    from deepseek_ocr_spark.functions.sampling import ES_HASH_SCALE
+
+    shift = lambda x, amt: f"({x}::BIGINT << ({amt}))"  # noqa: E731
+    parts = [
+        f""", h AS (
+  SELECT id, x, {ES_HASH_SCALE}::BIGINT AS __num,
+         (('0x' || substr(md5('{CL.KPP_SALT}:' || id::VARCHAR), 1, 10))
+          ::BIGINT + 1)::BIGINT AS __den
+  FROM x
+), k1 AS (
+  SELECT id, x, __num, __den, {LM.K_SQL} AS __k FROM h
+), r1 AS (
+  SELECT id, x, __k, {LM.r2_sql(shift)} AS __r2 FROM k1
+), z1 AS (
+  SELECT id, x, __k, {LM.Z_SQL} AS __z FROM r1
+), z2t AS (
+  SELECT id, x, __k, __z, {LM.Z2_SQL} AS __z2 FROM z1
+), xl AS (
+  SELECT id, x, ({LM.NLL_FP_SQL}) AS lnu FROM z2t
+), s_0 AS (
+  SELECT 0 AS c, x AS cx FROM xl ORDER BY lnu, id LIMIT 1
+)"""
+    ]
+    for j in range(1, k):
+        d = pair_dist("xl.x", "s.cx")
+        parts.append(
+            f""", d_{j} AS (
+  SELECT xl.id, xl.x, xl.lnu, min({d}) AS d2
+  FROM xl, s_{j - 1} s GROUP BY xl.id, xl.x, xl.lnu
+), p_{j} AS (
+  SELECT {j} AS c, x AS cx FROM d_{j} WHERE d2 > 0
+  ORDER BY (lnu * {CL.KPP_KEY_SCALE}) // d2, id LIMIT 1
+), s_{j} AS (
+  SELECT * FROM s_{j - 1} UNION ALL SELECT * FROM p_{j}
+)"""
+        )
+    parts.append(f", c_0 AS (SELECT c, cx FROM s_{k - 1})")
+    return "".join(parts)
+
+
+def _kmeans_cte(init: str = "ids") -> str:
     """Shared CTE chain: x (fixed-point embeddings), unrolled Lloyd
-    iterations, `fin` = final assignment carrying x."""
+    iterations, `fin` = final assignment carrying x. ``init`` mirrors
+    kmeans_assign's seeding knob ('ids' | 'pp')."""
     from deepseek_ocr_spark.functions import clustering as CL
 
     k, iters, s = CL.KM_K, CL.KM_ITERS, CL.EMB_SCALE
+
     # CAST pins the emitted/ordered type to BIGINT: list_sum's return
     # type has drifted across DuckDB releases (HUGEINT/DOUBLE), which
     # is the prime suspect for the r4 driver-only hash mismatch on
     # dist_fp2-emitting queries.
-    dist = (
-        "CAST(list_sum(list_transform(range(1, len(x.x) + 1),"
-        " j -> (x.x[j] - c.cx[j]) * (x.x[j] - c.cx[j]))) AS BIGINT)"
-    )
+    def pair_dist(xa: str, ca: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, len({xa}) + 1),"
+            f" j -> ({xa}[j] - {ca}[j]) * ({xa}[j] - {ca}[j]))) AS BIGINT)"
+        )
+
+    dist = pair_dist("x.x", "c.cx")
     fd = _fdiv("sum(v)", "count(*)")
+    seed = (
+        f""", c_0 AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS c, x AS cx FROM x
+  QUALIFY row_number() OVER (ORDER BY id) <= {k}
+)"""
+        if init == "ids"
+        else _kmeanspp_seed_cte(k, pair_dist)
+    )
     parts = [
         f"""
 WITH x AS (
@@ -2801,10 +2877,8 @@ WITH x AS (
                         v -> CAST(FLOOR(CAST(v AS DOUBLE) * {s}) AS BIGINT))
            AS x
   FROM embeddings
-), c_0 AS (
-  SELECT row_number() OVER (ORDER BY id) - 1 AS c, x AS cx FROM x
-  QUALIFY row_number() OVER (ORDER BY id) <= {k}
 )"""
+        + seed
     ]
     for i in range(1, iters + 1):
         parts.append(
@@ -2836,6 +2910,11 @@ WITH x AS (
 
 SQL_KMEANS_ASSIGN = (
     _kmeans_cte()
+    + "\nSELECT id AS vec_id, cluster, dist_fp2 FROM fin ORDER BY vec_id"
+)
+
+SQL_KMEANSPP_ASSIGN = (
+    _kmeans_cte(init="pp")
     + "\nSELECT id AS vec_id, cluster, dist_fp2 FROM fin ORDER BY vec_id"
 )
 
@@ -9250,7 +9329,7 @@ FROM approx JOIN exact USING (id)
 )
 
 
-REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+_REGISTRY_DEF: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 queries ---------------------------------------------
     "html_markdown": (q_html_markdown, SQL_HTML_MARKDOWN),
     "heading_outline": (q_heading_outline, SQL_HEADING_OUTLINE),
@@ -9311,6 +9390,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_model_score": (q_quality_model_score, SQL_QUALITY_MODEL_SCORE),
     "hyperball_harmonic": (q_hyperball_harmonic, SQL_HYPERBALL_HARMONIC),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
+    "kmeanspp_assign": (q_kmeanspp_assign, SQL_KMEANSPP_ASSIGN),
     "semdedup_keep": (q_semdedup_keep, SQL_SEMDEDUP_KEEP),
     # --- round-3 operator families -----------------------------------
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
@@ -9350,9 +9430,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     #  r1-r3 and unchanged; ivf_topk_exhaustive shares its SQL twin
     #  and stays, so the brute-force path remains driver-checked.)
     # ------------------------------------------------------------------
-    # BELOW THE DRIVER'S 50-SLOT CUT — two classes, both re-verified
-    # locally by the all-entries gate (scripts/check_oracle.py) every
-    # round:
+    # NOTE (round 5): the driver's 50-slot window is no longer this
+    # dict's literal order — it is the explicit DRIVER_WINDOW list
+    # after this definition, which REGISTRY is reordered by, and the
+    # per-entry driver-evidence ledger lives in DRIVER_COVERAGE.
+    # The banner below and the wave-by-wave demotion comments are kept
+    # as the historical record of rounds 2-4's windowing decisions.
+    # ------------------------------------------------------------------
+    # BELOW THE DRIVER'S 50-SLOT CUT (rounds 2-4) — two classes, both
+    # re-verified locally by the all-entries gate
+    # (scripts/check_oracle.py) every round:
     #   (a) stable shapes driver-verified in rounds 1-3 and UNCHANGED
     #       since (the bulk of this section);
     #   (b) four round-4 queries the 50-slot budget could not hold
@@ -9745,3 +9832,208 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sq8_topk": (q_sq8_topk, SQL_SQ8_TOPK),
     "sq8_recall": (q_sq8_recall, SQL_SQ8_RECALL),
 }
+
+
+# ---------------------------------------------------------------------
+# Driver-evidence ledger and window (round-5 rotation policy)
+# ---------------------------------------------------------------------
+
+# DRIVER_COVERAGE: which driver CORRECTNESS rounds have checked each
+# query, generated from CORRECTNESS_r0{1..4}.json ("r4!" = ran but
+# red that round). Entries absent here have NEVER had a driver row —
+# they ride the all-entries local gate (scripts/check_oracle.py) only.
+# Update each round from the new CORRECTNESS artifact.
+DRIVER_COVERAGE: dict[str, str] = {
+    "ann_cosine_topk": "r1,r2,r3",
+    "ann_lsh_buckets": "r1,r2,r3",
+    "ann_lsh_recall": "r3",
+    "ann_lsh_topk": "r1,r2,r3",
+    "anti_join": "r1,r2,r3",
+    "asof_join": "r4",
+    "b64_roundtrip": "r1,r2",
+    "badwords_filter": "r4",
+    "bitext_mine": "r4",
+    "bm25_topk": "r4",
+    "bpe_encode": "r4",
+    "bpe_train": "r4",
+    "brand_supplier_stats": "r2,r3",
+    "burst_detect": "r4",
+    "c4_line_filter": "r4",
+    "canonical_dedup": "r4",
+    "ccnet_buckets_sampled": "r4",
+    "chunk_dedup_rewrite": "r3",
+    "chunk_dup_stats": "r3",
+    "cms_topk": "r4",
+    "corpus_rollup": "r4",
+    "crossmodal_neardup": "r1,r2",
+    "decontaminate": "r4",
+    "distinct": "r1,r2,r3",
+    "domain_blocklist": "r4",
+    "domain_rebalance": "r4",
+    "dsir_weights": "r4",
+    "emb_label_centroids": "r3",
+    "emb_neardup_pairs": "r1,r2",
+    "emb_norm_by_label": "r1,r2,r3",
+    "encoding_quality": "r3",
+    "eos_filter": "r1,r2,r3",
+    "equi_join_agg": "r1,r2,r3",
+    "exact_dup_groups": "r1,r2,r3",
+    "explode_tokens": "r1,r2,r3",
+    "filter_project": "r1,r2,r3",
+    "fingerprint": "r1,r2,r3",
+    "formula_clean": "r1!,r2!",
+    "frontier_schedule": "r4",
+    "gopher_flags": "r2,r3",
+    "hash_agg": "r1,r2,r3",
+    "heading_outline": "r4",
+    "hll_token_profile": "r4",
+    "host_hits": "r4",
+    "host_pagerank": "r4",
+    "host_trustrank": "r4",
+    "hreflang_bitext": "r4",
+    "html_markdown": "r4",
+    "hyperball_harmonic": "r4",
+    "incremental_lsh_pairs": "r4",
+    "inverted_postings": "r4",
+    "ivf_recall": "r3!",
+    "ivf_topk": "r2!,r3!",
+    "ivf_topk_exhaustive": "r2,r3",
+    "kgram_dedup_rewrite": "r4",
+    "kmeans_assign": "r4!",
+    "lang_id": "r1,r2,r3",
+    "lang_segments": "r4",
+    "latest_event_per_user": "r1,r2,r3",
+    "lm_perplexity": "r4",
+    "lsh_candidate_pairs": "r1,r2,r3",
+    "marker_strip_chain": "r1,r2,r3",
+    "minhash_signatures": "r1,r2,r3",
+    "mixture_kl": "r4",
+    "mixture_plan": "r4",
+    "mode_case_routing": "r1,r2,r3",
+    "neardup_clusters": "r2,r3",
+    "ngram_containment": "r4",
+    "ngram_jaccard": "r1,r2,r3,r4",
+    "normalize_text": "r4",
+    "ordered_merge": "r1,r2,r3",
+    "ordered_merge_api": "r2,r3",
+    "pack_sequences": "r2,r3",
+    "pii_scrub": "r4",
+    "preset_broadcast_join": "r1,r2,r3",
+    "prototype_prune": "r4!",
+    "quality_model_score": "r4",
+    "quality_score": "r1,r2,r3",
+    "readability": "r4",
+    "regional_revenue": "r2,r3",
+    "repetition_clamp": "r1!,r2!",
+    "robots_check": "r4",
+    "robots_directives": "r4",
+    "script_mix": "r4",
+    "semdedup_keep": "r4",
+    "semi_join": "r1,r2,r3",
+    "shard_plan": "r4",
+    "simhash": "r1,r2,r3",
+    "simhash_neardup_pairs": "r3",
+    "site_boilerplate": "r4",
+    "size_gate": "r1,r2,r3",
+    "span_extract": "r1,r2,r3",
+    "span_svg": "r2,r3",
+    "stratified_sample": "r2,r3",
+    "token_count": "r1,r2,r3",
+    "token_count_bpe": "r1,r2",
+    "token_count_multilingual": "r3",
+    "tokenizer_fertility": "r4",
+    "topk": "r1,r2,r3",
+    "ts_bucket_agg": "r1,r2,r3",
+    "union_paths": "r1,r2,r3",
+    "url_templates": "r4",
+    "user_sessions": "r1!,r2",
+    "value_quantiles": "r1,r2",
+    "window_rank": "r1,r2,r3",
+    "winnow_fingerprints": "r4",
+    "zorder_key": "r4",
+}
+
+# DRIVER_WINDOW: the 50 registry entries the driver's correctness gate
+# samples (it takes the first 50 of REGISTRY). Round-5 rotation, per
+# the round-4 verdict's ask #3:
+#   * the k-means family stays pinned until driver-green (the only r4
+#     reds: kmeans_assign / prototype_prune — plus semdedup_keep and
+#     the new kmeanspp_assign sharing the same core);
+#   * every query whose VALUES changed this round enters the window
+#     (the exact-integer centroid mean touched emb_label_centroids,
+#     embedding_gate, and the PQ family);
+#   * pii_scrub and ngram_jaccard stay for their round-5 perf asks;
+#   * the remaining ~38 slots are never-driver-checked entries,
+#     oldest-first (see DRIVER_COVERAGE) — 44 of the 50 get their
+#     FIRST driver row this round.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # pinned until driver-green + this round's value changes
+    "kmeans_assign",
+    "kmeanspp_assign",
+    "prototype_prune",
+    "semdedup_keep",
+    "emb_label_centroids",
+    "embedding_gate",
+    "pq_encode",
+    "pq_adc_topk",
+    "pq_recall",
+    "ivfpq_topk_exhaustive",
+    # round-5 perf asks (driver-visible numbers wanted)
+    "pii_scrub",
+    "ngram_jaccard",
+    # first-time driver rows, oldest-first
+    "hash_split",
+    "epoch_mixture",
+    "ccnet_buckets",
+    "host_harmonic",
+    "range_join_events",
+    "window_chunks",
+    "markdown_sections",
+    "lang_mismatch",
+    "host_communities",
+    "cluster_safe_split",
+    "tfidf_keywords",
+    "recrawl_churn",
+    "bloom_seen_urls",
+    "html_tables",
+    "html_code_blocks",
+    "sitemap_entries",
+    "site_template_ratio",
+    "host_reciprocity",
+    "cdx_entries",
+    "recrawl_changes",
+    "url_change_rate",
+    "host_reputation",
+    "hybrid_rrf",
+    "kgram_dup_stats",
+    "bpe_merge_pairs",
+    "host_graph_degrees",
+    "anchor_texts",
+    "html_metadata",
+    "asof_join_left_tol",
+    "decontaminate_spans",
+    "domain_profile",
+    "incremental_new_docs",
+    "dup_ngram_fraction",
+    "format_signals",
+    "url_signals",
+    "dsir_topk",
+    "feed_entries",
+    "intradoc_dedup",
+)
+
+assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
+assert len(set(DRIVER_WINDOW)) == 50
+assert all(n in _REGISTRY_DEF for n in DRIVER_WINDOW), [
+    n for n in DRIVER_WINDOW if n not in _REGISTRY_DEF
+]
+
+# REGISTRY: DRIVER_WINDOW first (the driver correctness window), then
+# every remaining entry in definition order (the local all-entries
+# gate runs the whole dict either way).
+REGISTRY: dict[
+    str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
+] = {n: _REGISTRY_DEF[n] for n in DRIVER_WINDOW}
+REGISTRY.update(
+    (n, v) for n, v in _REGISTRY_DEF.items() if n not in REGISTRY
+)

@@ -63,3 +63,71 @@ def test_semdedup_drops_semantic_twin_keeps_first(spark):
         ).collect()
     )
     assert kept == [1, 3, 10]
+
+
+def test_kmeanspp_seeds_are_k_distinct_points(spark):
+    """_seed_pp returns exactly k seed rows, each an actual input
+    point, all distinct (d2=0 exclusion forbids repeats), with
+    cluster indices 0..k-1 in pick order."""
+    rows = [(i, [float((i * 13) % 7), float((i * 5) % 9), 0.5, -1.0])
+            for i in range(30)]
+    x = _vecs(spark, rows).select(
+        F.col("vec_id").alias("id"),
+        CL.emb_fp(F.col("embedding")).alias("x"),
+    )
+    seeds = CL._seed_pp(x, 5).collect()
+    assert sorted(r["c"] for r in seeds) == [0, 1, 2, 3, 4]
+    pts = {tuple(r["cx"]) for r in seeds}
+    assert len(pts) == 5
+    inputs = {tuple(r["x"]) for r in x.collect()}
+    assert pts <= inputs
+
+
+def test_kmeanspp_partitioning_independent(spark):
+    rows = [(i, [float((i * 7) % 5), float((i * 3) % 4), 1.0, -0.5])
+            for i in range(40)]
+    df = _vecs(spark, rows)
+    one = sorted(map(tuple, CL.kmeans_assign(
+        df, "vec_id", "embedding", init="pp").collect()))
+    many = sorted(map(tuple, CL.kmeans_assign(
+        df.repartition(7), "vec_id", "embedding", init="pp").collect()))
+    assert one == many
+
+
+def test_kmeanspp_beats_ids_init_on_clustered_data(spark):
+    """The quality receipt behind the init='pp' knob, on the failure
+    mode the ids init actually has in web corpora: duplicate documents
+    mean duplicate embeddings, and when the k smallest ids are dupes
+    the ids init starts every centroid at the SAME point — all rows
+    tie to cluster 0, clusters 1..k-1 empty immediately and stay gone
+    (the documented empties-stop-existing rule), so Lloyd converges to
+    ONE cluster no matter how separated the data is. D^2-weighted
+    seeding excludes zero-distance picks by construction, lands one
+    seed per blob, and recovers the true clustering. pp inertia must
+    be strictly (and substantially) lower."""
+    blob = lambda cx, cy, i: [cx + 0.001 * i, cy, 0.0, 0.0]
+    rows = (
+        [(i, [0.0, 0.0, 0.0, 0.0]) for i in range(12)]  # 12 exact dupes
+        + [(100 + i, blob(50.0, 0.0, i)) for i in range(12)]
+        + [(200 + i, blob(0.0, 50.0, i)) for i in range(12)]
+        + [(300 + i, blob(-50.0, -50.0, i)) for i in range(12)]
+    )
+    df = _vecs(spark, rows)
+
+    def inertia(init):
+        return CL.kmeans_assign(
+            df, "vec_id", "embedding", k=4, iters=3, init=init
+        ).agg(F.sum("dist_fp2")).collect()[0][0]
+
+    i_ids, i_pp = inertia("ids"), inertia("pp")
+    assert i_pp * 10 < i_ids, (i_ids, i_pp)
+
+
+def test_kmeans_rejects_unknown_init(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="init"):
+        CL.kmeans_assign(
+            _vecs(spark, [(1, [0.0, 0.0, 0.0, 0.0])]),
+            "vec_id", "embedding", init="random",
+        )

@@ -387,76 +387,42 @@ def test_budget_disables_after_too_many_written_off_threads():
 
 def test_registry_window_holds_exactly_fifty_entries():
     """The driver's correctness gate checks the FIRST 50 registry
-    entries; the ordering policy windows every flagship (the pinned
-    names below) while four deliberately-demoted round-4 composition
-    queries ride local-only evidence (see the below-cut banner). Pin
-    the banner position so an insertion can't silently push pinned
-    entries out."""
-    import inspect
-    import re
-
-    from deepseek_ocr_spark import queries
-
-    src = inspect.getsource(queries)
-    reg_src = src.split("REGISTRY: dict")[1]
-    above = reg_src.split("BELOW THE DRIVER'S 50-SLOT CUT")[0]
-    in_window = re.findall(r'^\s+"(\w+)":', above, re.M)
-    assert len(in_window) == 50, (
-        f"{len(in_window)} registry entries above the 50-slot banner; "
-        "move the banner or demote stable driver-verified shapes"
+    entries. Since round 5 the window is the explicit DRIVER_WINDOW
+    list (REGISTRY is reordered by it) with a per-entry driver-
+    evidence ledger in DRIVER_COVERAGE. Pin the policy: exactly 50
+    slots, REGISTRY order honors them, the round-4 red k-means pair
+    stays pinned until driver-green, every query whose values changed
+    in round 5 is in-window, and the rotation quota (>= 20 first-time
+    driver rows, per the round-4 verdict ask #3) is met."""
+    from deepseek_ocr_spark.queries import (
+        DRIVER_COVERAGE,
+        DRIVER_WINDOW,
+        REGISTRY,
     )
-    assert in_window == list(queries.REGISTRY)[:50]
+
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    assert list(REGISTRY)[:50] == list(DRIVER_WINDOW)
+    # red-until-green pins + round-5 value changes + perf asks
     for name in (
-        "c4_line_filter",
-        "host_trustrank",
-        "url_templates",
-        "script_mix",
-        "shard_plan",
-        "site_boilerplate",
-        "hll_token_profile",
-        "tokenizer_fertility",
-        "winnow_fingerprints",
-        "mixture_plan",
-        # epoch_mixture: demoted for ccnet_buckets_sampled (tenth
-        # wave) — mixture_plan stays in-window covering the same
-        # water-fill + salted-sampling machinery.
-        "ccnet_buckets_sampled",
-        "bpe_train",
-        # host_communities: demoted for bpe_encode (eleventh wave) —
-        # four fixed-point graph siblings stay in-window.
-        "bpe_encode",
-        "inverted_postings",
-        "frontier_schedule",
-        "robots_check",
-        "badwords_filter",
-        "domain_blocklist",
-        "corpus_rollup",
-        "prototype_prune",
-        "ngram_containment",
-        # pack_sequences: demoted for hreflang_bitext (eighth wave) —
-        # driver-green in r03, code path untouched since.
-        "hreflang_bitext",
-        # hash_split: demoted for readability (tenth wave) — the
-        # simplest former window entry; its md5-threshold machinery
-        # is exercised by several in-window queries.
-        "readability",
-        "lm_perplexity",
-        # ccnet_buckets / host_harmonic: demoted for html_markdown /
-        # heading_outline (eleventh wave) — each has its 100 TB-path
-        # sibling in-window (ccnet_buckets_sampled, hyperball_harmonic).
-        "html_markdown",
-        "heading_outline",
-        "quality_model_score",
-        "hyperball_harmonic",
         "kmeans_assign",
+        "kmeanspp_assign",
+        "prototype_prune",
         "semdedup_keep",
+        "emb_label_centroids",
+        "embedding_gate",
+        "pq_encode",
+        "pq_adc_topk",
+        "pq_recall",
+        "ivfpq_topk_exhaustive",
         "pii_scrub",
         "ngram_jaccard",
-        "host_hits",
-        "zorder_key",
-        "cms_topk",
-        "burst_detect",
-        "canonical_dedup",
-        "mixture_kl",
     ):
-        assert name in in_window, f"{name} fell below the driver cut"
+        assert name in DRIVER_WINDOW, f"{name} fell out of the window"
+    first_time = [n for n in DRIVER_WINDOW if n not in DRIVER_COVERAGE]
+    assert len(first_time) >= 20, (
+        f"only {len(first_time)} first-time driver rows in the window; "
+        "the rotation policy requires >= 20"
+    )
+    # the ledger only names real registry entries
+    assert set(DRIVER_COVERAGE) <= set(REGISTRY)
