@@ -1,0 +1,196 @@
+"""One-order-of-magnitude receipt run (round-4 verdict ask #6): build
+a deterministic sf1-scale fixture (10x sf0.1) and run extraction plus
+the five heaviest registry queries once at that scale, so the 100 TB
+shape claims carry at least one scale-up datapoint instead of resting
+on sf0.1 alone.
+
+The sf1 tables are derived from the READ-ONLY driver tables by
+deterministic replication — no external data, no RNG:
+
+* documents: 10 replicas; replica r > 0 re-keys doc_id (+r*5000),
+  suffixes every whitespace token with ``~r`` (so cross-replica
+  shingle Jaccard is ~0 — a 10x corpus, NOT a 10x near-dup explosion;
+  within-replica dup structure is preserved exactly), and suffixes
+  ``source`` with ``_r{r}`` so the derived host graph grows 10x too.
+* embeddings: 10 replicas; replica r > 0 re-keys vec_id and adds a
+  deterministic per-replica fixed shift so vectors are distinct.
+* remaining tables are the sf0.1 files unchanged (none of the five
+  heavy queries reads them).
+
+Usage: python scripts/bench_sf1.py [--skip-extract] [--skip-queries]
+Prints one JSON line; paste the numbers into BENCH.md's sf1 section.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/dsocr_sf1"
+REPLICAS = 10
+SF1_DOCS = 480_000  # extraction pages: 10x the sf0.1 bench table
+
+HEAVY = [
+    "gopher_repetition",
+    "host_trustrank",
+    "host_hits",
+    "ppjoin_pairs",
+    "lsh_exact_recall",
+]
+
+OTHER_TABLES = (
+    "region nation customer supplier part orders lineitem events"
+).split()
+
+
+def build_tables(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(DST, exist_ok=True)
+    if not os.path.exists(f"{DST}/documents.parquet/_SUCCESS"):
+        d = spark.read.parquet(f"{SRC}/documents.parquet")
+        reps = []
+        for r in range(REPLICAS):
+            if r == 0:
+                reps.append(d)
+                continue
+            reps.append(
+                d.select(
+                    (F.col("doc_id") + r * 5000).alias("doc_id"),
+                    F.regexp_replace(
+                        F.col("text"), r"(\S+)", f"$1~{r}"
+                    ).alias("text"),
+                    "lang",
+                    F.concat(F.col("source"), F.lit(f"_r{r}")).alias(
+                        "source"
+                    ),
+                    F.lit(None).cast("bigint").alias("n_chars"),
+                )
+                .withColumn("n_chars", F.length("text").cast("bigint"))
+            )
+        out = reps[0]
+        for rep in reps[1:]:
+            out = out.unionByName(rep)
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{DST}/documents.parquet"
+        )
+    if not os.path.exists(f"{DST}/embeddings.parquet/_SUCCESS"):
+        e = spark.read.parquet(f"{SRC}/embeddings.parquet")
+        n = e.count()
+        reps = []
+        for r in range(REPLICAS):
+            shift = (r * 37) % 11 - 5
+            reps.append(
+                e.select(
+                    (F.col("vec_id") + r * n).alias("vec_id"),
+                    F.transform(
+                        F.col("embedding"),
+                        lambda v: (v + F.lit(shift * 1e-3)).cast("float"),
+                    ).alias("embedding"),
+                    "label",
+                )
+            )
+        out = reps[0]
+        for rep in reps[1:]:
+            out = out.unionByName(rep)
+        out.repartition(8).write.mode("overwrite").parquet(
+            f"{DST}/embeddings.parquet"
+        )
+    for t in OTHER_TABLES:
+        link = f"{DST}/{t}.parquet"
+        if not os.path.exists(link):
+            # parquet "file" in testdata is a single file, not a dir
+            src = f"{SRC}/{t}.parquet"
+            if os.path.isdir(src):
+                shutil.copytree(src, link)
+            else:
+                os.symlink(src, link)
+
+
+def run_queries(spark) -> dict:
+    from deepseek_ocr_spark.queries import REGISTRY
+
+    out = {}
+    for name in HEAVY:
+        fn, _sql = REGISTRY[name]
+        secs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, DST).write.format("noop").mode("overwrite").save()
+            secs.append(round(time.perf_counter() - t0, 2))
+        out[name] = {"best": min(secs), "reps": secs}
+    return out
+
+
+def run_extract() -> dict:
+    """Generate the 480k-page table (cached) and time extraction at 8
+    and 32 cores in fresh subprocesses via bench.py --extract-one."""
+    from bench import _pages_path  # noqa: E402
+
+    path = _pages_path(SF1_DOCS)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from deepseek_ocr_spark.fixtures.pages_gen import gen_pages_spark
+        from deepseek_ocr_spark.session import get_spark
+
+        spark = get_spark(
+            master="local[32]", app_name="sf1-gen", shuffle_partitions=32
+        )
+        gen_pages_spark(
+            spark, SF1_DOCS, seed=42, parts=192, profile="cc"
+        ).write.mode("overwrite").parquet(path)
+        spark.stop()
+    out = {}
+    for cores in (8, 32):
+        r = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(os.path.dirname(__file__)), "bench.py"
+                ),
+                "--extract-one",
+                str(cores),
+                str(SF1_DOCS),
+                "1",
+            ],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "BENCH_DOCS": str(SF1_DOCS)},
+        )
+        line = [
+            ln
+            for ln in r.stdout.splitlines()
+            if ln.startswith("EXTRACT_RESULT ")
+        ]
+        out[f"cores{cores}"] = (
+            json.loads(line[-1][len("EXTRACT_RESULT "):])
+            if line
+            else {"error": r.stderr[-500:]}
+        )
+    return out
+
+
+def main() -> None:
+    from deepseek_ocr_spark.session import get_spark
+
+    res: dict = {"sf": 1.0, "docs": REPLICAS * 5000}
+    spark = get_spark(
+        master="local[32]", app_name="sf1-bench", shuffle_partitions=64
+    )
+    build_tables(spark)
+    if "--skip-queries" not in sys.argv:
+        res["queries"] = run_queries(spark)
+    spark.stop()
+    if "--skip-extract" not in sys.argv:
+        res["extract"] = run_extract()
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
