@@ -101,7 +101,7 @@ SEED = 42
 # host steal from engine cost without leaving the JSON.
 QUERY_REPS = max(1, int(os.environ.get("BENCH_QUERY_REPS", "3")))
 PERF_ASK_QUERIES = {"ngram_jaccard", "pii_scrub", "kmeans_assign",
-                    "kmeanspp_assign", "hash_agg"}
+                    "kmeanspp_assign", "kmeansbb_assign", "hash_agg"}
 
 HEADLINE = [
     "hash_agg",
@@ -132,6 +132,7 @@ HEADLINE = [
     "semdedup_keep",
     # round 5
     "kmeanspp_assign",
+    "kmeansbb_assign",
     # round 4, second wave
     "tfidf_keywords",
     "cluster_safe_split",

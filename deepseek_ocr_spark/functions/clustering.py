@@ -14,10 +14,11 @@ Determinism (both operators are hash-verified against DuckDB):
 * embedding components are floored into 1e-6 fixed-point BIGINTs
   once, up front — every distance after that is exact integer
   arithmetic, immune to float summation order;
-* k-means init is the k smallest ids' embeddings (deterministic seed
-  — the k-means++ randomness is a quality knob, not a semantics
-  requirement, and a fixed seed is what makes the run reproducible
-  across engines and reruns);
+* k-means seeding is deterministic under every init: 'ids' (the k
+  smallest ids), 'pp' (k-means++ via salted exponential clocks), and
+  'bb' (k-means|| oversampling + weighted reduction) — randomness is
+  always a salted hash, so every run and both engines reproduce the
+  same seeds bit-for-bit;
 * assignment ties break toward the smaller cluster index; centroid
   means are EXACT integer floored division of possibly-negative sums
   (`(s - pmod(s, n)) DIV n` — no double crossing anywhere after the
@@ -114,17 +115,25 @@ def kmeans_assign(
       exact integer squared L2, and the clock is one exact integer
       DIV — hash-verifiable in DuckDB like everything else here.
 
+    * ``"bb"`` — k-means|| (Bahmani 2012): ``BB_ROUNDS`` rounds of
+      independent min(1, l*d2/phi) oversampling (exact 128-bit
+      integer cross-multiply test), then an exact weighted-k-means++
+      reduction of the small candidate frame — the 100 TB seeding
+      path: passes over the corpus scale with rounds (3), not with k.
+
     Scale shape of ``"pp"``: k-1 rounds of (broadcast growing seed
     frame -> per-row min distance -> TakeOrderedAndProject limit 1) —
-    never a collect, never corpus-quadratic; at 100 TB you run seeding
-    on a sample frame anyway (k-means|| is the one-pass variant; this
-    keeps the exact k-means++ distribution, which the twin can
-    replay)."""
+    never a collect, never corpus-quadratic, but SEQUENTIAL in k;
+    ``"bb"`` trades that for ``BB_ROUNDS`` corpus passes plus a
+    candidate-frame reduction (see _seed_bb), which is why it is the
+    at-scale default choice in published practice."""
     x = df.select(
         F.col(id_col).alias("id"), emb_fp(F.col(emb_col), scale).alias("x")
     )
     if init == "pp":
         cent = _seed_pp(x, k)
+    elif init == "bb":
+        cent = _seed_bb(x, k)
     elif init == "ids":
         cent = (
             x.orderBy("id")
@@ -135,7 +144,9 @@ def kmeans_assign(
             )
         )
     else:
-        raise ValueError(f"init must be 'ids' or 'pp', got {init!r}")
+        raise ValueError(
+            f"init must be 'ids', 'pp', or 'bb', got {init!r}"
+        )
     for _ in range(iters):
         assigned = _assign(x, cent)
         cent = (
@@ -230,6 +241,184 @@ def _seed_pp(x: DataFrame, k: int, salt: str = KPP_SALT) -> DataFrame:
             .select(F.lit(j).alias("c"), F.col("x").alias("cx"))
         )
         picks = picks.unionAll(nxt)
+    return picks
+
+
+BB_L = 16  # k-means|| oversampling factor per round (Bahmani: ~2k)
+BB_ROUNDS = 3
+BB_SALT = "kbb1"
+# Reduction-clock scale: the key is floor(lnu_fp * SCALE / (w*d2)).
+# lnu_fp <= ~2.8e7, so SCALE = 1e11 bounds the key by ~2.8e18 — always
+# inside BIGINT in BOTH engines even when w*d2 == 1 (a larger scale
+# overflows Spark's integral DIV there). The cross-multiply itself
+# runs in 128-bit (DECIMAL(38,0) / HUGEINT) because w*d2 can exceed
+# BIGINT at 10^9-row corpora; only the RESULT must fit.
+BB_KEY_SCALE = 10**11
+
+
+def _seed_bb(
+    x: DataFrame,
+    k: int,
+    l: int = BB_L,
+    rounds: int = BB_ROUNDS,
+    salt: str = BB_SALT,
+) -> DataFrame:
+    """(c, cx) k-means|| seed frame (Bahmani et al. 2012, "Scalable
+    k-means++") from the (id, x) fixed-point frame — the 100 TB
+    seeding path: where k-means++ needs k-1 SEQUENTIAL corpus passes,
+    k-means|| needs only ``rounds`` (default 3), each sampling ~l
+    candidates INDEPENDENTLY per point with probability
+    min(1, l*d2/phi) — then reduces the small candidate set to k by
+    exact weighted k-means++.
+
+    Deterministic and engine-portable like everything here:
+
+    * the inclusion test is `h * phi < l * d2 * 2^40` with h the
+      salted 40-bit md5 prefix — exact 128-bit integer cross-multiply
+      (DECIMAL(38,0) on Spark, HUGEINT in the twin), no division, no
+      floats;
+    * phi (the current total cost) is an exact BIGINT sum recomputed
+      per round — one global agg per round, the price Bahmani's
+      algorithm pays by design;
+    * already-chosen points have d2 = 0, so `h*phi < 0` never holds
+      and candidates never repeat;
+    * candidate weights are nearest-candidate counts (ties to the
+      smaller candidate id), and the k-sized reduction runs the
+      weighted Efraimidis-Spirakis clock `E/(w*d2)` (first pick:
+      `E/w`) over the candidate frame — k-1 limit-1 steps over a
+      frame of ~l*rounds rows, negligible at any corpus size.
+
+    Scale shape: per round one broadcast of the growing candidate
+    frame (~l*rounds rows max), one per-point min-distance
+    projection, one global sum, one filter — nothing sequential in k,
+    nothing corpus-quadratic."""
+    from deepseek_ocr_spark.functions.dedup import md5_prefix_int
+    from deepseek_ocr_spark.functions.lm import ln_fp_cols
+    from deepseek_ocr_spark.functions.sampling import (
+        ES_HASH_BITS,
+        ES_HASH_SCALE,
+    )
+
+    nhex = ES_HASH_BITS // 4
+
+    def h(tag: str) -> Column:
+        return md5_prefix_int(
+            F.concat(
+                F.lit(f"{salt}:{tag}:"), F.col("id").cast("string")
+            ),
+            nhex,
+        )
+
+    # round 0: one uniform pick (smallest salted hash)
+    cand = (
+        x.withColumn("h0", h("u"))
+        .orderBy("h0", "id")
+        .limit(1)
+        .select("id", "x")
+    )
+    for r in range(1, rounds + 1):
+        d2 = (
+            x.crossJoin(F.broadcast(cand.select(F.col("x").alias("cx"))))
+            .select("id", "x", _sq_l2(F.col("x"), F.col("cx")).alias("d"))
+            .groupBy("id")
+            .agg(F.min("d").alias("d2"), F.first("x").alias("x"))
+        )
+        phi = d2.agg(F.sum("d2").cast("bigint").alias("phi"))
+        newc = (
+            d2.crossJoin(F.broadcast(phi))
+            .withColumn("h", h(f"r{r}"))
+            .filter(
+                F.expr(
+                    "CAST(h AS DECIMAL(38,0)) * CAST(phi AS DECIMAL(38,0))"
+                    f" < CAST({int(l)} AS DECIMAL(38,0))"
+                    " * CAST(d2 AS DECIMAL(38,0))"
+                    f" * CAST({ES_HASH_SCALE} AS DECIMAL(38,0))"
+                )
+            )
+            .select("id", "x")
+        )
+        # localCheckpoint truncates the lineage: without it the
+        # union-into-self recursion doubles the plan tree per round
+        # (and per reduction step below), which OOMs the planner long
+        # before any data moves. The frame is ~l*rounds rows of exact
+        # BIGINTs — model state, deterministic, cheap to pin.
+        cand = cand.unionAll(newc).localCheckpoint(eager=True)
+    # weights: nearest-candidate counts (ties to smaller candidate id)
+    cw = (
+        x.crossJoin(
+            F.broadcast(
+                cand.select(
+                    F.col("id").alias("cid"), F.col("x").alias("cx")
+                )
+            )
+        )
+        .select(
+            "id",
+            F.struct(
+                _sq_l2(F.col("x"), F.col("cx")).alias("d"),
+                F.col("cid").alias("cid"),
+            ).alias("dc"),
+        )
+        .groupBy("id")
+        .agg(F.min("dc").alias("m"))
+        .groupBy(F.col("m.cid").alias("cid"))
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    cands = cand.join(
+        cw, cand["id"] == cw["cid"], "left"
+    ).select(
+        cand["id"].alias("id"),
+        "x",
+        F.coalesce(F.col("w"), F.lit(0)).alias("w"),
+    ).filter(F.col("w") > 0)
+    # exact weighted k-means++ reduction over the candidate frame
+    cl = ln_fp_cols(
+        cands,
+        F.lit(ES_HASH_SCALE),
+        md5_prefix_int(
+            F.concat(F.lit(f"{salt}:red:"), F.col("id").cast("string")),
+            nhex,
+        )
+        + 1,
+        "__lnu",
+    ).select("id", "x", "w", F.col("__lnu").alias("lnu"))
+    cl = cl.localCheckpoint(eager=True)  # candidate frame: tiny, final
+    picks = (
+        cl.withColumn("key", F.expr("(lnu * 1000000) DIV w"))
+        .orderBy("key", "id")
+        .limit(1)
+        .select(F.lit(0).alias("c"), F.col("x").alias("cx"))
+    )
+    for j in range(1, k):
+        d2c = (
+            cl.crossJoin(F.broadcast(picks))
+            .select(
+                "id", "x", "w", "lnu",
+                _sq_l2(F.col("x"), F.col("cx")).alias("d"),
+            )
+            .groupBy("id")
+            .agg(
+                F.min("d").alias("d2"),
+                F.first("x").alias("x"),
+                F.first("w").alias("w"),
+                F.first("lnu").alias("lnu"),
+            )
+        )
+        nxt = (
+            d2c.filter(F.col("d2") > 0)
+            .withColumn(
+                "key",
+                F.expr(
+                    f"CAST(CAST(lnu AS DECIMAL(38,0)) * {BB_KEY_SCALE}"
+                    " DIV (CAST(w AS DECIMAL(38,0))"
+                    " * CAST(d2 AS DECIMAL(38,0))) AS BIGINT)"
+                ),
+            )
+            .orderBy("key", "id")
+            .limit(1)
+            .select(F.lit(j).alias("c"), F.col("x").alias("cx"))
+        )
+        picks = picks.unionAll(nxt).localCheckpoint(eager=True)
     return picks
 
 

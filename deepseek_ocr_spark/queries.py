@@ -2755,6 +2755,22 @@ def q_kmeans_assign(spark, sf_dir):
     return CL.kmeans_assign(e, "vec_id", "embedding").orderBy("vec_id")
 
 
+def q_kmeansbb_assign(spark, sf_dir):
+    """k-means with deterministic k-means|| seeding (init='bb',
+    functions/clustering.py _seed_bb — Bahmani 2012): BB_ROUNDS rounds
+    of independent min(1, l*d2/phi) oversampling with an exact
+    128-bit integer inclusion test, then an exact weighted-k-means++
+    reduction of the candidate frame, then the same 3 fixed-point
+    Lloyd rounds. The 100 TB seeding path (corpus passes scale with
+    rounds, not k), hash-verified like its siblings."""
+    from deepseek_ocr_spark.functions import clustering as CL
+
+    e = _t(spark, sf_dir, "embeddings")
+    return CL.kmeans_assign(e, "vec_id", "embedding", init="bb").orderBy(
+        "vec_id"
+    )
+
+
 def q_kmeanspp_assign(spark, sf_dir):
     """k-means with deterministic k-means++ seeding (the init='pp'
     quality knob, functions/clustering.py _seed_pp): D^2-weighted
@@ -2791,6 +2807,97 @@ def q_semdedup_keep(spark, sf_dir):
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
+
+
+def _kmeansbb_seed_cte(k: int, pair_dist) -> str:
+    """CTE fragment (appended after the `x` CTE) that builds `c_0` by
+    k-means|| oversampling + exact weighted-k-means++ reduction — the
+    DuckDB replay of clustering._seed_bb: per-round min-distance +
+    total-cost CTEs, the 128-bit `h*phi < l*d2*2^40` inclusion test in
+    HUGEINT, nearest-candidate weight counts, then k-1 weighted-clock
+    argmin picks."""
+    from deepseek_ocr_spark.functions import clustering as CL
+    from deepseek_ocr_spark.functions import lm as LM
+    from deepseek_ocr_spark.functions.sampling import ES_HASH_SCALE
+
+    shift = lambda x, amt: f"({x}::BIGINT << ({amt}))"  # noqa: E731
+
+    def h(tag: str) -> str:
+        return (
+            f"('0x' || substr(md5('{CL.BB_SALT}:{tag}:' || id::VARCHAR),"
+            " 1, 10))::BIGINT"
+        )
+
+    parts = [
+        f""", cd_0 AS MATERIALIZED (
+  SELECT id, x FROM (
+    SELECT id, x, {h('u')} AS h0 FROM x
+  ) ORDER BY h0, id LIMIT 1
+)"""
+    ]
+    for r in range(1, CL.BB_ROUNDS + 1):
+        d = pair_dist("x.x", "c.x")
+        parts.append(
+            f""", bd_{r} AS MATERIALIZED (
+  SELECT x.id, x.x, min({d}) AS d2
+  FROM x, cd_{r - 1} c GROUP BY x.id, x.x
+), bp_{r} AS (
+  SELECT sum(d2)::BIGINT AS phi FROM bd_{r}
+), bn_{r} AS (
+  SELECT id, x FROM bd_{r}, bp_{r}
+  WHERE ({h(f'r{r}')})::HUGEINT * phi::HUGEINT
+        < {CL.BB_L}::HUGEINT * d2::HUGEINT * {ES_HASH_SCALE}::HUGEINT
+), cd_{r} AS MATERIALIZED (
+  SELECT * FROM cd_{r - 1} UNION ALL SELECT * FROM bn_{r}
+)"""
+        )
+    dw = pair_dist("x.x", "c.x")
+    parts.append(
+        f""", bw AS (
+  SELECT cid, count(*)::BIGINT AS w FROM (
+    SELECT x.id, c.id AS cid
+    FROM x, cd_{CL.BB_ROUNDS} c
+    QUALIFY row_number() OVER (PARTITION BY x.id ORDER BY {dw}, c.id) = 1
+  ) GROUP BY cid
+), bc AS (
+  SELECT c.id, c.x, bw.w FROM cd_{CL.BB_ROUNDS} c
+  JOIN bw ON bw.cid = c.id WHERE bw.w > 0
+), bh AS (
+  SELECT id, x, w, {ES_HASH_SCALE}::BIGINT AS __num,
+         (('0x' || substr(md5('{CL.BB_SALT}:red:' || id::VARCHAR), 1, 10))
+          ::BIGINT + 1)::BIGINT AS __den
+  FROM bc
+), bk1 AS (
+  SELECT id, x, w, __num, __den, {LM.K_SQL} AS __k FROM bh
+), br1 AS (
+  SELECT id, x, w, __k, {LM.r2_sql(shift)} AS __r2 FROM bk1
+), bz1 AS (
+  SELECT id, x, w, __k, {LM.Z_SQL} AS __z FROM br1
+), bz2 AS (
+  SELECT id, x, w, __k, __z, {LM.Z2_SQL} AS __z2 FROM bz1
+), bl AS MATERIALIZED (
+  SELECT id, x, w, ({LM.NLL_FP_SQL}) AS lnu FROM bz2
+), rd_0 AS MATERIALIZED (
+  SELECT 0 AS c, x AS cx FROM bl ORDER BY (lnu * 1000000) // w, id LIMIT 1
+)"""
+    )
+    for j in range(1, k):
+        d = pair_dist("bl.x", "p.cx")
+        parts.append(
+            f""", rdd_{j} AS (
+  SELECT bl.id, bl.x, bl.w, bl.lnu, min({d}) AS d2
+  FROM bl, rd_{j - 1} p GROUP BY bl.id, bl.x, bl.w, bl.lnu
+), rp_{j} AS (
+  SELECT {j} AS c, x AS cx FROM rdd_{j} WHERE d2 > 0
+  ORDER BY (lnu::HUGEINT * {CL.BB_KEY_SCALE})
+           // (w::HUGEINT * d2::HUGEINT), id
+  LIMIT 1
+), rd_{j} AS MATERIALIZED (
+  SELECT * FROM rd_{j - 1} UNION ALL SELECT * FROM rp_{j}
+)"""
+        )
+    parts.append(f", c_0 AS (SELECT c, cx FROM rd_{k - 1})")
+    return "".join(parts)
 
 
 def _kmeanspp_seed_cte(k: int, pair_dist) -> str:
@@ -2861,14 +2968,15 @@ def _kmeans_cte(init: str = "ids") -> str:
 
     dist = pair_dist("x.x", "c.cx")
     fd = _fdiv("sum(v)", "count(*)")
-    seed = (
-        f""", c_0 AS (
+    if init == "ids":
+        seed = f""", c_0 AS (
   SELECT row_number() OVER (ORDER BY id) - 1 AS c, x AS cx FROM x
   QUALIFY row_number() OVER (ORDER BY id) <= {k}
 )"""
-        if init == "ids"
-        else _kmeanspp_seed_cte(k, pair_dist)
-    )
+    elif init == "pp":
+        seed = _kmeanspp_seed_cte(k, pair_dist)
+    else:
+        seed = _kmeansbb_seed_cte(k, pair_dist)
     parts = [
         f"""
 WITH x AS (
@@ -2915,6 +3023,11 @@ SQL_KMEANS_ASSIGN = (
 
 SQL_KMEANSPP_ASSIGN = (
     _kmeans_cte(init="pp")
+    + "\nSELECT id AS vec_id, cluster, dist_fp2 FROM fin ORDER BY vec_id"
+)
+
+SQL_KMEANSBB_ASSIGN = (
+    _kmeans_cte(init="bb")
     + "\nSELECT id AS vec_id, cluster, dist_fp2 FROM fin ORDER BY vec_id"
 )
 
@@ -4736,7 +4849,7 @@ WITH d AS (
          CASE WHEN doc_id % 2 = 0 THEN source || '.example.com'
               ELSE 'cdn.' || source || '.example.com' END AS host
   FROM documents
-), bl AS (
+), bl AS MATERIALIZED (
   SELECT * FROM (VALUES {_BLOCKED_SQL_ROWS}) t(suf)
 ), parts AS (
   SELECT doc_id, host, string_split(host, '.') AS ps FROM d
@@ -9391,6 +9504,7 @@ _REGISTRY_DEF: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "hyperball_harmonic": (q_hyperball_harmonic, SQL_HYPERBALL_HARMONIC),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     "kmeanspp_assign": (q_kmeanspp_assign, SQL_KMEANSPP_ASSIGN),
+    "kmeansbb_assign": (q_kmeansbb_assign, SQL_KMEANSBB_ASSIGN),
     "semdedup_keep": (q_semdedup_keep, SQL_SEMDEDUP_KEEP),
     # --- round-3 operator families -----------------------------------
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
@@ -10019,7 +10133,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "url_signals",
     "dsir_topk",
     "feed_entries",
-    "intradoc_dedup",
+    "kmeansbb_assign",
 )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

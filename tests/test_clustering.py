@@ -131,3 +131,37 @@ def test_kmeans_rejects_unknown_init(spark):
             _vecs(spark, [(1, [0.0, 0.0, 0.0, 0.0])]),
             "vec_id", "embedding", init="random",
         )
+
+
+def test_kmeansbb_partitioning_independent(spark):
+    rows = [(i, [float((i * 7) % 5), float((i * 3) % 4), 1.0, -0.5])
+            for i in range(40)]
+    df = _vecs(spark, rows)
+    one = sorted(map(tuple, CL.kmeans_assign(
+        df, "vec_id", "embedding", init="bb").collect()))
+    many = sorted(map(tuple, CL.kmeans_assign(
+        df.repartition(7), "vec_id", "embedding", init="bb").collect()))
+    assert one == many
+
+
+def test_kmeansbb_recovers_clusters_despite_duplicate_head_ids(spark):
+    """Same duplicate-head-ids pathology as the pp test: the ids init
+    collapses to one cluster; k-means|| oversampling + weighted
+    reduction recovers the blobs (candidates with d2=0 are never
+    re-sampled, identical candidate dupes get w=0 and drop)."""
+    blob = lambda cx, cy, i: [cx + 0.001 * i, cy, 0.0, 0.0]
+    rows = (
+        [(i, [0.0, 0.0, 0.0, 0.0]) for i in range(12)]
+        + [(100 + i, blob(50.0, 0.0, i)) for i in range(12)]
+        + [(200 + i, blob(0.0, 50.0, i)) for i in range(12)]
+        + [(300 + i, blob(-50.0, -50.0, i)) for i in range(12)]
+    )
+    df = _vecs(spark, rows)
+
+    def inertia(init):
+        return CL.kmeans_assign(
+            df, "vec_id", "embedding", k=4, iters=3, init=init
+        ).agg(F.sum("dist_fp2")).collect()[0][0]
+
+    i_ids, i_bb = inertia("ids"), inertia("bb")
+    assert i_bb * 10 < i_ids, (i_ids, i_bb)

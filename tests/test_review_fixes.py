@@ -407,6 +407,7 @@ def test_registry_window_holds_exactly_fifty_entries():
     for name in (
         "kmeans_assign",
         "kmeanspp_assign",
+        "kmeansbb_assign",
         "prototype_prune",
         "semdedup_keep",
         "emb_label_centroids",
