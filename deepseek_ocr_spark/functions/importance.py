@@ -88,17 +88,21 @@ def hashed_tokens(
     )
 
 
-def bucket_logratios(
-    toks: DataFrame, target: Column, n_buckets: int = N_BUCKETS
-) -> DataFrame:
-    """Per-bucket fixed-point log-likelihood ratios (b, lr_fp) of the
-    target vs raw hashed-unigram distributions. ``toks`` is a
-    ``hashed_tokens`` frame carrying the columns ``target`` reads;
-    the result is exactly ``n_buckets`` rows (broadcastable)."""
-    counts = toks.groupBy("b").agg(
+def bucket_counts(toks: DataFrame, target: Column) -> DataFrame:
+    """(b, c_r, c_t) raw/target token counts per hash bucket — the
+    whole DSIR model state, at most ``n_buckets`` rows."""
+    return toks.groupBy("b").agg(
         F.count("*").alias("c_r"),
         F.sum(target.cast("bigint")).alias("c_t"),
     )
+
+
+def _logratios_from_counts(
+    counts: DataFrame, n_buckets: int
+) -> DataFrame:
+    """(b, lr_fp) from a ``bucket_counts`` frame — the fixed-point
+    expression chain, separated so a collected-and-reified counts
+    literal produces bit-identical ratios to the lazy path."""
     totals = counts.agg(
         F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
     )
@@ -111,6 +115,16 @@ def bucket_logratios(
     )
 
 
+def bucket_logratios(
+    toks: DataFrame, target: Column, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """Per-bucket fixed-point log-likelihood ratios (b, lr_fp) of the
+    target vs raw hashed-unigram distributions. ``toks`` is a
+    ``hashed_tokens`` frame carrying the columns ``target`` reads;
+    the result is exactly ``n_buckets`` rows (broadcastable)."""
+    return _logratios_from_counts(bucket_counts(toks, target), n_buckets)
+
+
 def importance_weights(
     df: DataFrame,
     id_col: str,
@@ -118,6 +132,7 @@ def importance_weights(
     target: Column,
     n_buckets: int = N_BUCKETS,
     persist_tokens: bool = False,
+    require_nonempty_target: bool = False,
 ) -> DataFrame:
     """Per-document DSIR importance weight: (id, n_toks, w_fp) where
     ``w_fp`` is the summed per-token log-likelihood ratio in 1e-6
@@ -132,7 +147,18 @@ def importance_weights(
     linear scans — the measured-cheaper shape at bench scale, see
     BENCH.md on the Jaccard-confirm persist). ``persist_tokens=True``
     caches it for corpora where one full scan dominates end-to-end
-    cost (the true 100 TB setting)."""
+    cost (the true 100 TB setting).
+
+    ``require_nonempty_target=True`` materializes the bucket-count
+    model NOW (one collect of <= n_buckets integer rows — the MLlib
+    model-state pattern) and raises ``ValueError`` if the target
+    slice contributed zero tokens, instead of scoring against pure
+    smoothing artifacts. The collected counts are reified as a
+    literal frame feeding the SAME ratio expression chain, so weights
+    are bit-identical to the lazy path — and the validation costs no
+    extra corpus scan (the counts aggregation was going to run
+    anyway; the old caller-side `filter(target).limit(1).count()`
+    probe was a separate corpus job)."""
     toks = hashed_tokens(
         df.withColumn(
             "__is_t", F.coalesce(target.cast("boolean"), F.lit(False))
@@ -141,7 +167,19 @@ def importance_weights(
     )
     if persist_tokens:
         toks = toks.persist()
-    lr = bucket_logratios(toks, F.col("__is_t"), n_buckets)
+    if require_nonempty_target:
+        rows = bucket_counts(toks, F.col("__is_t")).collect()
+        if sum(r["c_t"] for r in rows) == 0:
+            raise ValueError(
+                "importance_weights: target slice is empty"
+            )
+        counts = df.sparkSession.createDataFrame(
+            [(r["b"], r["c_r"], r["c_t"]) for r in rows],
+            "b bigint, c_r bigint, c_t bigint",
+        )
+        lr = _logratios_from_counts(counts, n_buckets)
+    else:
+        lr = bucket_logratios(toks, F.col("__is_t"), n_buckets)
     return (
         toks.join(F.broadcast(lr), "b")
         .groupBy(id_col)
