@@ -240,7 +240,9 @@ def _seed_pp(x: DataFrame, k: int, salt: str = KPP_SALT) -> DataFrame:
             .limit(1)
             .select(F.lit(j).alias("c"), F.col("x").alias("cx"))
         )
-        picks = picks.unionAll(nxt)
+        # lineage truncation: same planner-OOM guard as _seed_bb —
+        # the union-into-self recursion doubles the plan per pick
+        picks = picks.unionAll(nxt).localCheckpoint(eager=True)
     return picks
 
 

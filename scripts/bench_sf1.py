@@ -176,6 +176,62 @@ def run_extract() -> dict:
     return out
 
 
+def check_identity_sample(sample_every: int = 240) -> dict:
+    """Run the full extraction pipeline over the 480k-page table,
+    write the output, and byte-compare a deterministic sample (every
+    ``sample_every``-th url, ~2000 docs) against the single-threaded
+    oracle — evidence that byte-identity survives the at-scale path
+    (salted splits, partition boundaries, batched workers), not just
+    the 1000-doc golden fixture."""
+    from bench import _pages_path  # noqa: E402
+    from pyspark.sql.functions import broadcast as F_broadcast
+
+    from deepseek_ocr_spark.core.oracle import extract_document
+    from deepseek_ocr_spark.fixtures.pages_gen import gen_row
+    from deepseek_ocr_spark.pipeline import extract_pipeline
+    from deepseek_ocr_spark.session import get_spark
+
+    from deepseek_ocr_spark.operators.split_tuning import (
+        suggest_columnar_batch_rows,
+    )
+
+    out_path = "/tmp/dsocr_sf1_extracted.parquet"
+    spark = get_spark(
+        master="local[32]", app_name="sf1-identity", shuffle_partitions=64
+    )
+    # the same row-width-aware scan batching extract_one applies —
+    # tens-of-KB html rows at the default 4096-row batches x 32
+    # concurrent readers OOM the heap before any extraction runs
+    spark.conf.set(
+        "spark.sql.parquet.columnarReaderBatchSize",
+        str(suggest_columnar_batch_rows(_pages_path(SF1_DOCS))),
+    )
+    pages = spark.read.parquet(_pages_path(SF1_DOCS))
+    extract_pipeline(pages, parallelism=32).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+    idx = list(range(0, SF1_DOCS, sample_every))
+    want_urls = {gen_row(i, 42, "cc")["url"]: i for i in idx}
+    sample = spark.createDataFrame(
+        [(u,) for u in want_urls], "url string"
+    )
+    got = {
+        r["url"]: (r["extracted_text"], r["status"])
+        for r in spark.read.parquet(out_path)
+        .join(F_broadcast(sample), "url")
+        .select("url", "extracted_text", "status")
+        .collect()
+    }
+    spark.stop()
+    bad = 0
+    for url, i in want_urls.items():
+        row = gen_row(i, 42, "cc")
+        ora = extract_document(row["url"], row["html"])
+        if got.get(url) != (ora["extracted_text"], ora["status"]):
+            bad += 1
+    return {"sampled": len(want_urls), "mismatches": bad}
+
+
 def main() -> None:
     from deepseek_ocr_spark.session import get_spark
 
@@ -189,6 +245,8 @@ def main() -> None:
     spark.stop()
     if "--skip-extract" not in sys.argv:
         res["extract"] = run_extract()
+    if "--identity" in sys.argv:
+        res["identity"] = check_identity_sample()
     print(json.dumps(res))
 
 

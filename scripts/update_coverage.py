@@ -1,0 +1,46 @@
+"""Regenerate the DRIVER_COVERAGE ledger literal from the driver's
+CORRECTNESS_r*.json artifacts — run once at the start of each round
+after the driver writes the new file, then paste the output over the
+DRIVER_COVERAGE body in deepseek_ocr_spark/queries.py (the window
+pin test asserts ledger names stay inside the registry).
+
+"rN!" marks a round where the query ran but was red — reds stay in
+the ledger so the rotation policy can distinguish "never checked"
+from "checked and failing" (the latter must stay pinned in-window).
+
+Usage: python scripts/update_coverage.py [repo_root]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+
+def main() -> None:
+    root = sys.argv[1] if len(sys.argv) > 1 else "."
+    cov: dict[str, list[str]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path).split("_r")[1].split(".")[0].lstrip("0")
+        data = json.load(open(path))
+        for name, v in data.items():
+            ok = (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match", True)
+                and not v.get("err")
+            )
+            cov.setdefault(name, []).append(f"r{rnd}{'' if ok else '!'}")
+    for name in sorted(cov):
+        print(f'    "{name}": "{",".join(cov[name])}",')
+    print(
+        f"# {len(cov)} entries from "
+        f"{len(glob.glob(os.path.join(root, 'CORRECTNESS_r*.json')))} rounds",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
