@@ -4,6 +4,12 @@
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 from SURVEY.md §2 (registry lives in deepseek_ocr_spark/queries.py;
 each was verified against DuckDB locally via scripts/check_oracle.py).
+
+Ordering contract: the driver's correctness gate samples the FIRST 50
+entries; since round 5 that prefix is the explicit DRIVER_WINDOW list
+(rotation policy + per-entry driver-evidence ledger DRIVER_COVERAGE,
+both at the tail of queries.py; regenerate the ledger each round with
+scripts/update_coverage.py).
 """
 
 from __future__ import annotations

@@ -1,0 +1,101 @@
+"""Static audit of the DuckDB oracle twins for engine/version
+sensitivity — the class of failure behind round 4's driver-vs-local
+hash divergence (DuckDB ``list_sum``'s return type drifted across
+releases and the emitted BIGINT/DOUBLE formatting no longer matched
+Spark's).
+
+Two checks:
+
+1. **Float-surface scan** — twins whose SQL touches float-producing
+   functions (avg/sqrt/exp/ln/...) or an un-CAST
+   ``list_sum``/``list_aggregate``. The un-CAST list aggregates are a
+   HARD FAILURE (that exact pattern caused the r4 divergence); the
+   float functions are warnings — each surviving use is of a reviewed
+   class (4-dp-rounded cosines that feed ranks, avg-of-BIGINT exact
+   below 2^53) and both engines compute IEEE doubles identically
+   given identical operation order, which single-divide/round shapes
+   pin.
+2. **Driver-unexercised functions** — DuckDB functions appearing ONLY
+   in twins that have never been driver-green (per DRIVER_COVERAGE):
+   if the driver's DuckDB version lacks or changed one, the first
+   driver run of that twin is its first test anywhere.
+
+Usage: python scripts/audit_twins.py   (exit 1 on un-CAST
+list_sum/list_aggregate; warnings/info otherwise)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from deepseek_ocr_spark.queries import (  # noqa: E402
+    DRIVER_COVERAGE,
+    REGISTRY,
+)
+
+FLOAT_FNS = re.compile(
+    r"\b(avg|sqrt|pow|power|exp|ln|log|log2|log10|stddev|stddev_pop"
+    r"|stddev_samp|corr|var_pop|var_samp|list_avg)\s*\(",
+    re.I,
+)
+SQL_KEYWORDS = {
+    "select", "from", "where", "group", "order", "over", "partition",
+    "cast", "case", "when", "then", "else", "end", "and", "or", "not",
+    "in", "exists", "with", "as", "on", "join", "left", "right",
+    "inner", "cross", "union", "all", "by", "limit", "qualify",
+    "filter", "distinct", "if", "between", "like", "is", "null",
+    "values", "materialized", "rows",
+}
+
+# Reviewed float-use classes (warnings, not failures):
+#   sqrt — cosine denominators, always behind round(,4) before any
+#          rank/emission; a divergence needs a value within 5e-5 of a
+#          rounding edge AND a cross-version summation-order change.
+#   avg  — averages of BIGINTs, exact in double below 2^53, one
+#          divide then round — no summation-order freedom.
+
+
+def main() -> None:
+    fails = []
+    green_fns: set[str] = set()
+    fnpat = re.compile(r"\b([a-z_][a-z0-9_]{2,})\s*\(", re.I)
+    for name, rounds in DRIVER_COVERAGE.items():
+        sql = REGISTRY.get(name, (None, None))[1]
+        if sql and "!" not in rounds:
+            green_fns |= {
+                f.lower() for f in fnpat.findall(sql)
+            } - SQL_KEYWORDS
+
+    for name, (_fn, sql) in REGISTRY.items():
+        if sql is None:
+            continue
+        uncast = [
+            m.start()
+            for m in re.finditer(r"(?<!CAST\()list_(?:sum|aggregate)", sql)
+        ]
+        if uncast:
+            fails.append(f"{name}: {len(uncast)} un-CAST list_sum/agg")
+        for f in {f.lower() for f in FLOAT_FNS.findall(sql)}:
+            print(f"warn  {name}: float fn {f}() (reviewed class)")
+        never = name not in DRIVER_COVERAGE
+        if never:
+            novel = (
+                {f.lower() for f in fnpat.findall(sql)}
+                - SQL_KEYWORDS
+                - green_fns
+            )
+            if novel:
+                print(f"info  {name}: driver-unexercised fns {sorted(novel)}")
+
+    if fails:
+        for f in fails:
+            print("FAIL ", f)
+        sys.exit(1)
+    print("twin audit clean")
+
+
+if __name__ == "__main__":
+    main()
