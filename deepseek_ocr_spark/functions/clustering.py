@@ -213,6 +213,12 @@ def _seed_pp(x: DataFrame, k: int, salt: str = KPP_SALT) -> DataFrame:
         + 1,
         "__lnu",
     ).select("id", "x", F.col("__lnu").alias("lnu"))
+    # The k-1 pick jobs (eager, see the checkpoint below) each rescan
+    # this frame; persisting it pays the fixed-point ln chain and the
+    # emb projection ONCE instead of k times. Deterministic ints, so
+    # caching cannot change results; unpersisted before returning
+    # (every pick is already checkpoint-materialized by then).
+    xl = xl.persist()
     picks = (
         xl.orderBy("lnu", "id")
         .limit(1)
@@ -243,6 +249,7 @@ def _seed_pp(x: DataFrame, k: int, salt: str = KPP_SALT) -> DataFrame:
         # lineage truncation: same planner-OOM guard as _seed_bb —
         # the union-into-self recursion doubles the plan per pick
         picks = picks.unionAll(nxt).localCheckpoint(eager=True)
+    xl.unpersist()
     return picks
 
 
