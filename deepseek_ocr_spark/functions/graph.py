@@ -453,6 +453,8 @@ def hyperball_harmonic(
 
     r = est(r, "e0")
     for k in range(1, max_depth + 1):
+        # lineage truncation per ball-doubling - see pagerank's note
+        r = r.localCheckpoint(eager=True)
         nbr = (
             e.join(r.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -507,6 +509,15 @@ def pagerank(
         "node", F.expr(f"{scale} DIV n").alias("rank")
     )
     for _ in range(iters):
+        # lineage truncation per iteration (round-5): the
+        # recursive frame is node-dimension model state; without
+        # this the unrolled plan re-references it exponentially
+        # and Catalyst ANALYSIS dominates wall time (measured
+        # 10.1 -> 4.3-5.3 s on trustrank with identical output;
+        # the r4-rejected persist cached DATA but kept the
+        # exploding logical plan, which is why it measured
+        # SLOWER - the bottleneck was never recompute).
+        rank = rank.localCheckpoint(eager=True)
         contrib = (
             e.join(outd, "src")
             .join(rank.withColumnRenamed("node", "src"), "src")
@@ -598,6 +609,8 @@ def trustrank(
         .alias("trust"),
     )
     for _ in range(iters):
+        # lineage truncation per iteration - see pagerank's note
+        rank = rank.localCheckpoint(eager=True)
         contrib = (
             e.join(outd, "src")
             .join(
@@ -667,6 +680,8 @@ def label_propagation(
         .withColumn("label", F.col("node"))
     )
     for _ in range(rounds):
+        # lineage truncation per round - see pagerank's note
+        labels = labels.localCheckpoint(eager=True)
         nbr = sym.join(
             labels.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), "label")
@@ -744,6 +759,8 @@ def hits(
         "greatest(mx, CAST(1 AS BIGINT)) AS BIGINT)"
     )
     for _ in range(iters):
+        # lineage truncation per iteration - see pagerank's note
+        hub = hub.localCheckpoint(eager=True)
         araw = (
             e.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -867,6 +884,8 @@ def resolve_redirects(
     )
     f = e.select("src", "dst", F.lit(1).cast("bigint").alias("hops"))
     for _ in range(doublings):
+        # lineage truncation per doubling - see pagerank's note
+        f = f.localCheckpoint(eager=True)
         nxt = f.select(
             F.col("src").alias("_m"),
             F.col("dst").alias("_mdst"),
